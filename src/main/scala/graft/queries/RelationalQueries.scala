@@ -1,0 +1,655 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PgFunctions
+import graft.sources.Tables
+
+/** The relational operator surface from SURVEY.md §2.2, re-expressed as
+  * idiomatic DataFrame programs over the TPC-H-ish parquet fixtures.
+  *
+  * Each entry cites the reference packet whose SQL motivated it
+  * (paths relative to /root/reference). The DuckDB oracle string mirrors
+  * the semantics; aliases and ORDER BY are kept identical on both sides.
+  *
+  * Scale notes (100 TB posture):
+  *  - small dims (`nation`, `region`, bucket grids) are explicitly
+  *    `broadcast()` so the multiway joins never shuffle the fact table
+  *    more than once;
+  *  - top-k is always `orderBy(...).limit(k)` which Spark plans as
+  *    TakeOrderedAndProject (no global sort materialization);
+  *  - aggregates are plain `groupBy` — partial aggregation (map-side
+  *    combine) applies; no driver-side `collect` anywhere.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(QuerySpec.Dec)
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+  private def cust(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
+  private def nat(s: SparkSession, dir: String) = Tables.load(s, dir, "nation")
+  private def reg(s: SparkSession, dir: String) = Tables.load(s, dir, "region")
+  private def sup(s: SparkSession, dir: String) = Tables.load(s, dir, "supplier")
+  private def prt(s: SparkSession, dir: String) = Tables.load(s, dir, "part")
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- Aggregation --------------------------------------------------
+    // TPC-H Q1 shape; reference agg surface: packets/alert_bloat/01_step.sql:36-61
+    QuerySpec("q01_agg_pricing_summary", (s, dir) => {
+      import s.implicits._
+      li(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }, oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""), bench = true),
+
+    // ---- Multiway join (6-way catalog joins: alert_bloat/01_step.sql:20-26)
+    QuerySpec("q02_join_revenue_by_nation", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .join(ord(s, dir), $"c_custkey" === $"o_custkey")
+        .join(li(s, dir), $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(nat(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    }, oracle = Some("""
+      SELECT r_name, n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""), bench = true),
+
+    // ---- Left outer join (alert_stat/01_step.sql:9)
+    QuerySpec("q03_join_left_outer", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .join(ord(s, dir).filter($"o_orderstatus" === "P"),
+          $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_pending"),
+          coalesce(sum(dec($"o_totalprice")).cast("double"), lit(0.0)).as("pending_total"))
+        .orderBy($"c_custkey")
+    }, oracle = Some("""
+      SELECT c_custkey, count(o_orderkey) AS n_pending,
+        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS pending_total
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- Nested top-k (dba_top_tables/01_step.sql:29-56: limit 50 → re-sort → limit 30)
+    QuerySpec("q04_topk_nested_limit", (s, dir) => {
+      import s.implicits._
+      ord(s, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(50)
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .limit(30)
+    }, oracle = Some("""
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+      ORDER BY o_orderdate, o_orderkey LIMIT 30"""), bench = true),
+
+    // ---- Window: row_number (test_common/02_gen_obj.sql:16-25)
+    QuerySpec("q05_window_row_number", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      li(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 2)
+        .select($"l_orderkey", $"l_linenumber", $"rn")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, oracle = Some("""
+      SELECT l_orderkey, l_linenumber, rn FROM (
+        SELECT l_orderkey, l_linenumber,
+          row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 2
+      ORDER BY l_orderkey, l_linenumber"""), bench = true),
+
+    // ---- Window: running frame (extension beyond corpus; frames available)
+    QuerySpec("q06_window_running_sum", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li(s, dir)
+        .withColumn("running_qty", sum(dec($"l_quantity")).over(w).cast("double"))
+        .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"running_qty")
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+    }, oracle = Some("""
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""")),
+
+    // ---- Window: lag/lead (extension)
+    QuerySpec("q07_window_lag", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      ord(s, dir)
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"prev_price")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }, oracle = Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+      FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- Set ops (test_gens/01_gen_nsp.sql:2-6 UNION; dba_idx_diag/07_step.sql:19 UNION ALL)
+    QuerySpec("q08_union_distinct", (s, dir) => {
+      import s.implicits._
+      cust(s, dir).select($"c_nationkey".as("k"))
+        .union(sup(s, dir).select($"s_nationkey".as("k")))
+        .distinct()
+        .orderBy($"k")
+    }, oracle = Some("""
+      SELECT c_nationkey AS k FROM customer
+      UNION SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    QuerySpec("q09_union_all_counts", (s, dir) => {
+      import s.implicits._
+      cust(s, dir).select($"c_nationkey".as("k"))
+        .unionAll(sup(s, dir).select($"s_nationkey".as("k")))
+        .groupBy($"k").agg(count(lit(1)).as("cnt"))
+        .orderBy($"k")
+    }, oracle = Some("""
+      SELECT k, count(*) AS cnt FROM (
+        SELECT c_nationkey AS k FROM customer
+        UNION ALL SELECT s_nationkey FROM supplier)
+      GROUP BY k ORDER BY k""")),
+
+    QuerySpec("q10_intersect", (s, dir) => {
+      import s.implicits._
+      cust(s, dir).select($"c_nationkey".as("k"))
+        .intersect(sup(s, dir).select($"s_nationkey".as("k")))
+        .orderBy($"k")
+    }, oracle = Some("""
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    QuerySpec("q11_except", (s, dir) => {
+      import s.implicits._
+      nat(s, dir).select($"n_nationkey".as("k"))
+        .except(sup(s, dir).select($"s_nationkey".as("k")))
+        .orderBy($"k")
+    }, oracle = Some("""
+      SELECT n_nationkey AS k FROM nation
+      EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    // ---- Semi/anti join = EXISTS / NOT EXISTS
+    // (alert_check_autovacuum/01_step.sql:5-7; dedup anti-join dbccore.py:942-951)
+    QuerySpec("q12_exists_semi_join", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .join(ord(s, dir).filter($"o_orderstatus" === "F"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }, oracle = Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey""")),
+
+    QuerySpec("q13_not_exists_anti_join", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .join(ord(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }, oracle = Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey""")),
+
+    // ---- Scalar subquery (alert_bloat/01_step.sql:14)
+    QuerySpec("q14_scalar_subquery", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        WHERE p_retailprice > (
+          SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM part)
+        ORDER BY p_partkey""")
+    }, oracle = Some("""
+      SELECT p_partkey, p_name, p_retailprice FROM part
+      WHERE p_retailprice > (
+        SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM part)
+      ORDER BY p_partkey""")),
+
+    // ---- LATERAL join (dba_idx_diag/06_step.sql:30-41)
+    QuerySpec("q15_lateral_topn_per_group", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_custkey, c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, t.c_custkey""")
+    }, oracle = Some("""
+      SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+      FROM nation n
+      JOIN LATERAL (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t ON true
+      ORDER BY n.n_name, t.c_custkey""")),
+
+    // ---- Null-safe equality (dba_locks/01_step.sql:11-19 IS NOT DISTINCT FROM)
+    QuerySpec("q16_null_safe_eq_join", (s, dir) => {
+      import s.implicits._
+      val a = nat(s, dir).select($"n_nationkey".as("a_key"),
+        nullif($"n_regionkey", lit(0)).as("a_reg"))
+      val b = nat(s, dir).select($"n_nationkey".as("b_key"),
+        nullif($"n_regionkey", lit(0)).as("b_reg"))
+      a.join(b, $"a_reg" <=> $"b_reg" && $"a_key" < $"b_key")
+        .select($"a_key", $"b_key")
+        .orderBy($"a_key", $"b_key")
+    }, oracle = Some("""
+      SELECT a.a_key, b.b_key
+      FROM (SELECT n_nationkey AS a_key, nullif(n_regionkey, 0) AS a_reg FROM nation) a
+      JOIN (SELECT n_nationkey AS b_key, nullif(n_regionkey, 0) AS b_reg FROM nation) b
+        ON a.a_reg IS NOT DISTINCT FROM b.b_reg AND a.a_key < b.b_key
+      ORDER BY a_key, b_key""")),
+
+    // ---- CASE WHEN bucketing (alert_bloat/02_step.sql:30-31; dba_long_queries/01_step.sql:7-14)
+    QuerySpec("q17_case_when_bands", (s, dir) => {
+      import s.implicits._
+      ord(s, dir)
+        .withColumn("band",
+          when($"o_totalprice" < 1000, "small")
+            .when($"o_totalprice" < 10000, "medium")
+            .when($"o_totalprice" < 100000, "large")
+            .otherwise("huge"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec($"o_totalprice")).cast("double").as("total"))
+        .orderBy($"band")
+    }, oracle = Some("""
+      SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                  WHEN o_totalprice < 10000 THEN 'medium'
+                  WHEN o_totalprice < 100000 THEN 'large'
+                  ELSE 'huge' END AS band,
+        count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY band""")),
+
+    // ---- IN / LIKE / BETWEEN predicate stack (dba_get_conf/01_step.sql:24-36 etc.)
+    QuerySpec("q18_predicates_in_like_between", (s, dir) => {
+      import s.implicits._
+      prt(s, dir)
+        .filter($"p_size".between(10, 40)
+          && $"p_type".isin("STANDARD", "PROMO")
+          && $"p_name".like("%o%"))
+        .select($"p_partkey", $"p_name", $"p_type", $"p_size")
+        .orderBy($"p_partkey")
+    }, oracle = Some("""
+      SELECT p_partkey, p_name, p_type, p_size FROM part
+      WHERE p_size BETWEEN 10 AND 40
+        AND p_type IN ('STANDARD', 'PROMO')
+        AND p_name LIKE '%o%'
+      ORDER BY p_partkey""")),
+
+    // ---- Regex filter ~ (alert_bloat/02_step.sql:12; dba_top_tables/01_step.sql:53)
+    QuerySpec("q19_regex_filter", (s, dir) => {
+      import s.implicits._
+      prt(s, dir)
+        .filter($"p_name".rlike("^(red|blue) (bolt|gear)"))
+        .select($"p_partkey", $"p_name")
+        .orderBy($"p_partkey")
+    }, oracle = Some("""
+      SELECT p_partkey, p_name FROM part
+      WHERE regexp_matches(p_name, '^(red|blue) (bolt|gear)')
+      ORDER BY p_partkey""")),
+
+    // ---- String function stack (dba_clone_schema/01_step.sql:145-150; md5 dbccore.py:941)
+    QuerySpec("q20_string_functions", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .select(
+          $"c_custkey",
+          upper($"c_name").as("uname"),
+          length($"c_name").cast("long").as("len"),
+          substring($"c_name", 10, 9).as("numpart"),
+          regexp_replace($"c_name", "^Customer#0*", "").as("trimmed"),
+          concat($"c_name", lit("|"), $"c_mktsegment").as("joined"),
+          md5($"c_name").as("hash"))
+        .orderBy($"c_custkey")
+    }, oracle = Some("""
+      SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS len,
+        substring(c_name, 10, 9) AS numpart,
+        regexp_replace(c_name, '^Customer#0*', '') AS trimmed,
+        c_name || '|' || c_mktsegment AS joined,
+        md5(c_name) AS hash
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---- regexp_extract (fillfactor pattern, alert_bloat/01_step.sql:10)
+    QuerySpec("q21_regexp_extract", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .select($"c_custkey",
+          regexp_extract($"c_name", "([0-9]+)", 1).as("digits"))
+        .orderBy($"c_custkey")
+    }, oracle = Some("""
+      SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---- date_trunc aggregation (alert_stat/01_step.sql:17-26 time math)
+    QuerySpec("q22_date_trunc_monthly", (s, dir) => {
+      import s.implicits._
+      ord(s, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").as("mon"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("total"))
+        .orderBy($"mon")
+    }, oracle = Some("""
+      SELECT date_trunc('month', o_orderdate) AS mon,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY mon""")),
+
+    // ---- JSON extraction (jsonb meta_data, actiontracker.py:45,90)
+    QuerySpec("q23_json_extract", (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+        .orderBy($"event_type")
+    }, oracle = Some("""
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- generate_series (test_int4_to_int8/02_gen_obj.sql:14,21)
+    QuerySpec("q24_generate_series", (s, dir) => {
+      import s.implicits._
+      s.range(1, 101).select($"id", ($"id" * $"id").as("sq"))
+    }, oracle = Some("""
+      SELECT generate_series AS id, generate_series * generate_series AS sq
+      FROM generate_series(1, 100) ORDER BY id""")),
+
+    // ---- VALUES literal rows (test_read_only/01_step.sql:8-10)
+    QuerySpec("q25_values_inline", (s, dir) => {
+      import s.implicits._
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma"))
+        .toDF("id", "v").orderBy($"id")
+    }, oracle = Some("""
+      SELECT * FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) t(id, v)
+      ORDER BY id""")),
+
+    // ---- explode/unnest (dba_clone_schema/01_step.sql:26 unnest)
+    QuerySpec("q26_explode_word_counts", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word")
+        .limit(20)
+    }, oracle = Some("""
+      SELECT w AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY cnt DESC, word LIMIT 20""")),
+
+    // ---- Range/banded join (test_int4_to_int8 grid: 02_gen_obj.sql:10-24)
+    QuerySpec("q27_range_join_buckets", (s, dir) => {
+      import s.implicits._
+      val grid = s.range(0, 11).select(
+        $"id".as("bucket"), ($"id" * 5).cast("double").as("lo"),
+        (($"id" + 1) * 5).cast("double").as("hi"))
+      li(s, dir)
+        .join(broadcast(grid), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_quantity")).cast("double").as("qty"))
+        .orderBy($"bucket")
+    }, oracle = Some("""
+      SELECT b.bucket, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem l
+      JOIN (SELECT generate_series AS bucket,
+              generate_series * 5 AS lo, (generate_series + 1) * 5 AS hi
+            FROM generate_series(0, 10)) b
+        ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+      GROUP BY b.bucket ORDER BY b.bucket""")),
+
+    // ---- Array ops (@>, = any: alert_check_autovacuum/01_step.sql:7)
+    QuerySpec("q28_array_ops", (s, dir) => {
+      import s.implicits._
+      li(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_returnflag")).as("flags"))
+        .filter(array_contains($"flags", "R"))
+        .select($"l_orderkey",
+          array_join($"flags", ",").as("flags"),
+          size($"flags").cast("long").as("n_flags"))
+        .orderBy($"l_orderkey")
+    }, oracle = Some("""
+      SELECT l_orderkey,
+        array_to_string(flags, ',') AS flags, len(flags) AS n_flags
+      FROM (SELECT l_orderkey, list_sort(list(DISTINCT l_returnflag)) AS flags
+            FROM lineitem GROUP BY l_orderkey)
+      WHERE list_contains(flags, 'R')
+      ORDER BY l_orderkey""")),
+
+    // ---- string_agg (dba_clone_schema/01_step.sql:290,326,361)
+    QuerySpec("q29_string_agg", (s, dir) => {
+      import s.implicits._
+      sup(s, dir)
+        .groupBy($"s_nationkey")
+        .agg(array_join(array_sort(collect_list($"s_name")), ", ").as("names"))
+        .orderBy($"s_nationkey")
+    }, oracle = Some("""
+      SELECT s_nationkey, string_agg(s_name, ', ' ORDER BY s_name) AS names
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ---- HAVING + bool_or (dba_idx_diag/07_step.sql:18,31; alert_bloat/02_step.sql:16)
+    QuerySpec("q30_having_bool_or", (s, dir) => {
+      import s.implicits._
+      li(s, dir)
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("cnt"),
+          bool_or($"l_returnflag" === "R").as("any_returned"))
+        .filter($"cnt" > 25)
+        .orderBy($"l_partkey")
+    }, oracle = Some("""
+      SELECT l_partkey, count(*) AS cnt,
+        bool_or(l_returnflag = 'R') AS any_returned
+      FROM lineitem GROUP BY l_partkey HAVING count(*) > 25
+      ORDER BY l_partkey""")),
+
+    // ---- COUNT DISTINCT (actiontracker.py:22-28)
+    QuerySpec("q31_count_distinct", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .groupBy($"c_mktsegment")
+        .agg(countDistinct($"c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_cust"))
+        .orderBy($"c_mktsegment")
+    }, oracle = Some("""
+      SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        count(*) AS n_cust
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- Pivot / conditional aggregation (extension; corpus uses CASE sums)
+    QuerySpec("q32_pivot_status", (s, dir) => {
+      import s.implicits._
+      ord(s, dir)
+        .groupBy(year($"o_orderdate").as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec($"o_totalprice")).cast("double"))
+        .orderBy($"yr")
+    }, oracle = Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+      FROM orders GROUP BY 1 ORDER BY yr""")),
+
+    // ---- ROLLUP (extension; grouping sets native in both engines)
+    QuerySpec("q33_rollup", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .rollup($"c_mktsegment", $"c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"c_mktsegment".asc_nulls_first, $"c_nationkey".asc_nulls_first)
+    }, oracle = Some("""
+      SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+      FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+      ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")),
+
+    // ---- Theta self-join (dba_locks/01_step.sql:10-20; lock-observer OR-join dbccore.py:189-197)
+    QuerySpec("q34_theta_self_join", (s, dir) => {
+      import s.implicits._
+      val a = nat(s, dir).select($"n_nationkey".as("a_key"),
+        $"n_name".as("a_name"), $"n_regionkey".as("a_reg"))
+      val b = nat(s, dir).select($"n_nationkey".as("b_key"),
+        $"n_name".as("b_name"), $"n_regionkey".as("b_reg"))
+      a.join(b, $"a_reg" === $"b_reg" && $"a_key" < $"b_key")
+        .select($"a_name", $"b_name")
+        .orderBy($"a_name", $"b_name")
+    }, oracle = Some("""
+      SELECT a.n_name AS a_name, b.n_name AS b_name
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      ORDER BY a_name, b_name""")),
+
+    // ---- Cross join (generator fan-out nsp × obj, dbccore.py:935-939)
+    QuerySpec("q35_cross_join", (s, dir) => {
+      import s.implicits._
+      reg(s, dir).select($"r_name".as("a"))
+        .crossJoin(reg(s, dir).select($"r_name".as("b")))
+        .orderBy($"a", $"b")
+    }, oracle = Some("""
+      SELECT a.r_name AS a, b.r_name AS b FROM region a CROSS JOIN region b
+      ORDER BY a, b""")),
+
+    // ---- Positional GROUP BY / ORDER BY (alert_bloat/01_step.sql:60 GROUP BY 1..10)
+    QuerySpec("q36_positional_group_order", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")
+    }, oracle = Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Chained CTEs (alert_bloat/01_step.sql:1-106 four-stage pipeline)
+    QuerySpec("q37_cte_chain", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH order_totals AS (
+          SELECT l_orderkey,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+            count(*) AS n_lines
+          FROM lineitem GROUP BY l_orderkey),
+        enriched AS (
+          SELECT o.o_custkey, t.qty, t.n_lines FROM order_totals t
+          JOIN orders o ON o.o_orderkey = t.l_orderkey),
+        per_cust AS (
+          SELECT o_custkey, CAST(sum(qty) AS DOUBLE) AS total_qty,
+            CAST(sum(n_lines) AS BIGINT) AS total_lines
+          FROM enriched GROUP BY o_custkey)
+        SELECT * FROM per_cust WHERE total_lines >= 8
+        ORDER BY o_custkey"""): DataFrame
+    }, oracle = Some("""
+      WITH order_totals AS (
+        SELECT l_orderkey,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+          count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey),
+      enriched AS (
+        SELECT o.o_custkey, t.qty, t.n_lines FROM order_totals t
+        JOIN orders o ON o.o_orderkey = t.l_orderkey),
+      per_cust AS (
+        SELECT o_custkey, CAST(sum(qty) AS DOUBLE) AS total_qty,
+          CAST(sum(n_lines) AS BIGINT) AS total_lines
+        FROM enriched GROUP BY o_custkey)
+      SELECT * FROM per_cust WHERE total_lines >= 8
+      ORDER BY o_custkey"""), bench = true),
+
+    // ---- pg_size_pretty custom expression (alert_bloat/01_step.sql:111-113)
+    QuerySpec("q38_pg_size_pretty", (s, dir) => {
+      import s.implicits._
+      s.range(0, 40)
+        .select($"id",
+          (pow(lit(2.0), $"id").cast("long") * 3 + 1).as("b"))
+        .select($"id", $"b", PgFunctions.pg_size_pretty($"b").as("pretty"))
+        .orderBy($"id")
+    }, oracle = Some("""
+      SELECT id, b,
+        CASE WHEN b < 10240 THEN b || ' bytes'
+             WHEN b // 512 < 20479 THEN ((b // 512 + 1) // 2) || ' kB'
+             WHEN b // 524288 < 20479 THEN ((b // 524288 + 1) // 2) || ' MB'
+             WHEN b // 536870912 < 20479 THEN ((b // 536870912 + 1) // 2) || ' GB'
+             ELSE ((b // 549755813888 + 1) // 2) || ' TB' END AS pretty
+      FROM (SELECT generate_series AS id,
+              CAST(power(2, generate_series) AS BIGINT) * 3 + 1 AS b
+            FROM generate_series(0, 39))
+      ORDER BY id""")),
+
+    // ---- quote_ident custom expression (dba_clone_schema format('%I'))
+    QuerySpec("q39_quote_ident", (s, dir) => {
+      import s.implicits._
+      Seq("abc", "aBc", "a b", "a\"b", "_ok9", "9bad")
+        .toDF("ident")
+        .select($"ident", PgFunctions.quote_ident($"ident").as("quoted"))
+        .orderBy($"ident")
+    }, oracle = Some("""
+      SELECT ident,
+        CASE WHEN regexp_matches(ident, '^[a-z_][a-z0-9_]*$') THEN ident
+             ELSE '"' || replace(ident, '"', '""') || '"' END AS quoted
+      FROM (SELECT unnest(['abc','aBc','a b','a"b','_ok9','9bad']) AS ident)
+      ORDER BY ident""")),
+
+    // ---- Tumbling window over events (streaming-shape agg, batch-verified)
+    QuerySpec("q40_tumbling_window", (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "1 hour").getField("start").as("win_start"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"value")).cast("double").as("total"))
+        .orderBy($"win_start", $"event_type")
+    }, oracle = Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+  )
+}
