@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-local batches.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * `fakeDecodeFeatures` stands in for a real decoder with a deterministic
+  * byte-histogram "feature vector" so the Spark-side contract — schema,
+  * batching, partitioning, null handling — is real and tested. In
+  * production the same `mapPartitions` body calls the codec (or the
+  * pipeline runs the Python `mapInPandas` twin with PIL/ffmpeg); the plan
+  * shape is identical.
+  *
+  * Scale posture: binary payloads stay columnar in parquet; decode is
+  * partition-local (zero shuffle); `spark.sql.files.maxPartitionBytes`
+  * bounds batch memory; metadata-only predicates (size/format) push down
+  * to the scan so undecodable rows are skipped before the expensive step.
+  */
+object Multimodal {
+
+  final case class MediaRecord(media_id: Long, payload: Array[Byte],
+      format: String, n_bytes: Long)
+  final case class MediaFeatures(media_id: Long, format: String,
+      n_bytes: Long, features: Array[Double])
+
+  /** Build a deterministic binary corpus from the documents table (stands
+    * in for real image/audio payloads; derived only from fixture data). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      // deterministic fake modality tag
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      length(col("text")).cast("long").as("n_bytes"))
+
+  /** ??? decode stub ??? — deterministic 16-bin byte histogram, normalized.
+    * Replace the body of `decodeOne` with a real codec call in production. */
+  private def decodeOne(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xFF) >> 4) += 1.0; i += 1 }
+    val n = math.max(payload.length, 1).toDouble
+    hist.map(_ / n)
+  }
+
+  /** Partition-local feature extraction over the binary column — the
+    * batched-UDF shape (`mapPartitions` here ≡ `mapInPandas` in the
+    * Python twin: one iterator of records per partition, constant memory). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        MediaFeatures(r.media_id, r.format, r.n_bytes, decodeOne(r.payload))
+      }
+    }
+  }
+
+  /** Metadata/feature summary — demonstrates pushdown-friendly filtering
+    * on typed metadata before the decode step. */
+  def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val media = mediaFromDocuments(docs).filter(col("n_bytes") > 0)
+    extractFeatures(spark, media).toDF()
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("features"), 7)), 6).as("mean_bin6"))
+      .orderBy(col("format"))
+  }
+}

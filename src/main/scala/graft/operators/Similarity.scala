@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - bruteForceTopK: exact cosine top-k — the correctness baseline.
+  *    Scales as one scan + TakeOrderedAndProject (no shuffle of the
+  *    full table; per-partition top-k then k·numPartitions merge).
+  *  - lshTopK: sign-bit LSH restricts the scan to matching (and
+  *    neighboring, via multi-probe) buckets; at 100 TB the bucket column
+  *    becomes a partition key so probes touch only matching files
+  *    (partition pruning).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one query vector (as a literal array).
+    * TakeOrderedAndProject plan — no global sort. */
+  def bruteForceTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    embs.select(col(idCol),
+      VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: score only vectors whose bucket is within
+    * `probes` Hamming distance of the query's bucket (multi-probe LSH).
+    * Recall < 1.0 by construction; verified against bruteForceTopK in
+    * tests. */
+  def lshTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, bits: Int = 12, probes: Int = 1): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val bucketed = embs
+      .withColumn("bucket", VectorFunctions.lshBucket(col(vecCol), bits))
+    val qBucket = VectorFunctions.lshBucket(q, bits)
+    bucketed
+      .filter(bit_count(col("bucket").bitwiseXOR(qBucket)) <= probes)
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact top-k join for a (small) probe set against the full
+    * corpus: probe side broadcast, corpus side streamed — one pass. */
+  def topKJoin(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.crossJoin(broadcast(probes))
+      .select(col(probeId), col(corpusId),
+        VectorFunctions.cosine(col(corpusVec), col(probeVec)).as("cos"))
+    val w = Window.partitionBy(col(probeId)).orderBy(col("cos").desc, col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure column
+  * expressions (codegen'd, partition-local, zero shuffle) — each scales
+  * linearly and is reproducible in ANSI SQL for the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, or a
+    * single non-space symbol — the classic pre-tokenizer split. */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeIshTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeIshPattern), lit(0))).cast("long")
+
+  def wordCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Quality features: length, mean word length, punctuation ratio,
+    * stopword ratio, alpha ratio. Deterministic double math (single
+    * divisions of exact integer counts). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that")
+
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopArr = array(Stopwords.map(lit): _*)
+    df.withColumn("n_chars_m", length(text).cast("long"))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len",
+        (length(regexp_replace(text, "\\s+", "")).cast("double") / nTok))
+      .withColumn("punct_ratio",
+        length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+          length(text).cast("double"))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok)
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          col("stopword_ratio") * 2.0 +
+            when(col("n_words") >= 50, 0.5).otherwise(col("n_words").cast("double") / 100.0)), 6))
+  }
+
+  /** Language ID by stopword-profile overlap: score(lang) = |tokens ∩
+    * profile(lang)| / |profile(lang)|; argmax with deterministic
+    * tie-break on profile order. A real n-gram model plugs in the same
+    * shape; the point is the scalable column-expression form. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "dans", "un", "une", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "en", "un", "una", "por"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = array_distinct(tokens(lower(text)))
+    LangProfiles.map { case (lang, profile) =>
+      val profArr = array(profile.map(lit): _*)
+      lang -> (size(filter(profArr, p => array_contains(toks, p))).cast("double") /
+        profile.size.toDouble)
+    }
+  }
+
+  /** argmax over langScores with 'und' (undetermined) when max = 0. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of case-folded, whitespace-collapsed text —
+    * the reference's MD5 action-identity idea (dbccore.py:941) applied to
+    * document identity. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

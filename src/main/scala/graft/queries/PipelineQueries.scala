@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline operators (dedup, similarity, text analysis,
+  * multimodal) as verifiable QuerySpecs over the `documents` and
+  * `embeddings` fixtures. Hash-based operators (MinHash/SimHash/LSH use
+  * xxhash64, which DuckDB lacks) ship without an oracle — the driver
+  * records a rows-only check — and are instead verified by ScalaTest
+  * against planted duplicates with known ids.
+  */
+object PipelineQueries {
+
+  /** Stopword list rendered as a DuckDB array literal. */
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ",", "]")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- Text analysis ------------------------------------------------
+    QuerySpec("t01_token_stats", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          TextAnalysis.wordCount($"text").as("n_words"),
+          TextAnalysis.bpeIshTokenCount($"text").as("n_bpeish"))
+        .orderBy($"doc_id")
+    }, oracle = Some(s"""
+      SELECT doc_id,
+        len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        len(regexp_extract_all(text, '${TextAnalysis.BpeIshPattern}')) AS n_bpeish
+      FROM documents ORDER BY doc_id""")),
+
+    QuerySpec("t02_quality_score", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), $"text")
+        .select($"doc_id", $"n_words", round($"mean_word_len", 6).as("mean_word_len"),
+          round($"punct_ratio", 6).as("punct_ratio"),
+          round($"stopword_ratio", 6).as("stopword_ratio"),
+          $"quality_score")
+        .orderBy($"doc_id")
+    }, oracle = Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+          len(string_split_regex(trim(text), '\\s+')) AS n_words,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')) AS mean_word_len,
+          CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+            / length(text) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              t -> list_contains(${sqlList(TextAnalysis.Stopwords)}, t))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio
+        FROM documents)
+      SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+        round(punct_ratio, 6) AS punct_ratio,
+        round(stopword_ratio, 6) AS stopword_ratio,
+        round(least(1.0, stopword_ratio * 2.0 +
+          CASE WHEN n_words >= 50 THEN 0.5 ELSE CAST(n_words AS DOUBLE) / 100.0 END), 6)
+          AS quality_score
+      FROM f ORDER BY doc_id""")),
+
+    QuerySpec("t03_lang_id", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          TextAnalysis.langId($"text").as("lang_detected"))
+        .orderBy($"doc_id")
+    }, oracle = Some {
+      val scoreExprs = TextAnalysis.LangProfiles.map { case (lang, profile) =>
+        s"""CAST(len(list_filter(${sqlList(profile)},
+           p -> list_contains(toks, p))) AS DOUBLE) / ${profile.size}.0 AS s_$lang"""
+      }.mkString(",\n          ")
+      val caseArms = TextAnalysis.LangProfiles.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString("\n          ")
+      val bestExpr = TextAnalysis.LangProfiles
+        .map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+          list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+          $scoreExprs
+        FROM t),
+      b AS (SELECT *, $bestExpr AS best FROM sc)
+      SELECT doc_id, lang,
+        CASE $caseArms ELSE 'und' END AS lang_detected
+      FROM b ORDER BY doc_id"""
+    }),
+
+    QuerySpec("t04_fingerprint", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- Deduplication ------------------------------------------------
+    // Exact dedup with planted exact copies (doc_id+100000 for doc_id<25).
+    QuerySpec("d01_dedup_exact", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val planted = docs.filter($"doc_id" < 25)
+        .withColumn("doc_id", $"doc_id" + 100000L)
+      Dedup.exact(docs.unionByName(planted), "doc_id", "text")
+        .orderBy($"fp")
+    }, oracle = Some("""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        count(*) AS n_copies, min(doc_id) AS keep_id
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25)
+      GROUP BY fp ORDER BY fp"""), bench = true),
+
+    // MinHash+LSH near-dup against planted perturbed copies (rows-only:
+    // xxhash64 signatures are Spark-specific; correctness asserted in
+    // DedupSpec against the planted pair ids).
+    QuerySpec("d02_dedup_minhash_lsh", (s, dir) => {
+      import s.implicits._
+      val docs = Dedup.withPlantedDups(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 5)
+      Dedup.minhashLsh(docs, "doc_id", "text", numPerm = 64, bands = 16,
+          threshold = 0.5)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }, bench = true),
+
+    // SimHash near-dup (rows-only; verified in DedupSpec).
+    QuerySpec("d03_dedup_simhash", (s, dir) => {
+      import s.implicits._
+      val docs = Dedup.withPlantedDups(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 2)
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Exact token-set Jaccard via inverted index — SQL-expressible, full oracle.
+    QuerySpec("d04_ngram_jaccard", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 50).select($"doc_id", $"text")
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id AS id,
+          list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+        FROM documents WHERE doc_id < 50),
+      sizes AS (SELECT id, len(tk) AS n FROM toks),
+      inv AS (SELECT id, unnest(tk) AS t FROM toks),
+      shared AS (
+        SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+        FROM inv x JOIN inv y ON x.t = y.t AND x.id < y.id
+        GROUP BY x.id, y.id)
+      SELECT id_a, id_b,
+        round(CAST(shared AS DOUBLE) / (a.n + b.n - shared), 6) AS jaccard
+      FROM shared
+      JOIN sizes a ON a.id = id_a
+      JOIN sizes b ON b.id = id_b
+      WHERE CAST(shared AS DOUBLE) / (a.n + b.n - shared) >= 0.5
+      ORDER BY id_a, id_b""")),
+
+    // Embedding-cosine near-dup with planted exact copies (rows-only;
+    // verified in DedupSpec — LSH bucketing is xxhash64-derived).
+    QuerySpec("d05_dedup_embedding_cosine", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val planted = embs.filter($"vec_id" < 25)
+        .withColumn("vec_id", $"vec_id" + 100000L)
+      Dedup.embeddingNearDups(embs.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.99, lshBits = 12)
+        .select($"id_a", $"id_b", round($"cos", 6).as("cos"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- Similarity search --------------------------------------------
+    // Brute-force cosine top-k (exact baseline) — full DuckDB oracle with
+    // identical sequential-fold double math.
+    QuerySpec("s01_ann_brute_force", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.bruteForceTopK(embs.filter($"vec_id" =!= 0), "vec_id", "embedding", q, 20)
+        .select($"vec_id", round($"cos", 9).as("cos"))
+    }, oracle = Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          list_aggregate(list_transform(list_zip(embedding, qe),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings, q WHERE vec_id <> 0)
+      SELECT vec_id, round(cos, 9) AS cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT 20"""), bench = true),
+
+    // LSH-bucketed ANN (rows-only; recall vs brute force asserted in
+    // SimilaritySpec).
+    QuerySpec("s02_ann_lsh", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.lshTopK(embs.filter($"vec_id" =!= 0), "vec_id", "embedding", q,
+          k = 20, bits = 12, probes = 4)
+        .select($"vec_id", round($"cos", 9).as("cos"))
+    }),
+
+    // ---- Multimodal plumbing (rows-only: decode is a documented stub) --
+    QuerySpec("m01_multimodal_features", (s, dir) => {
+      Multimodal.featureSummary(s, Tables.load(s, dir, "documents"))
+    }),
+
+    // ---- Sessionization over events (gap > 30 min ⇒ new session) -------
+    QuerySpec("p01_sessionization", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("new_s",
+          when(unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUser)
+            > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_s").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id")
+        .agg(countDistinct($"session_id").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }, oracle = Some("""
+      WITH marked AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, sum(new_s) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked)
+      SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+        count(*) AS n_events
+      FROM sess GROUP BY user_id ORDER BY user_id"""), bench = true)
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Planted-duplicate recall tests for the hash-based operators that ship
+  * without a DuckDB oracle (xxhash64 signatures are Spark-native).
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  def docs = Tables.load(spark, dir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  test("exact dedup groups planted exact copies") {
+    import spark.implicits._
+    val planted = docs.filter($"doc_id" < 25)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+    val out = Dedup.exact(docs.unionByName(planted), "doc_id", "text")
+    val dupGroups = out.filter($"n_copies" === 2).count()
+    assert(dupGroups == 25, s"expected 25 dup groups, got $dupGroups")
+    assert(out.filter($"n_copies" === 2).agg(max($"keep_id")).head().getLong(0) < 25)
+  }
+
+  test("minhash LSH finds planted near-dups with high recall") {
+    import spark.implicits._
+    val withDups = Dedup.withPlantedDups(docs, "doc_id", "text",
+      nPlant = 25, idOffset = 100000L, dropWords = 5)
+    val pairs = Dedup.minhashLsh(withDups, "doc_id", "text",
+      numPerm = 64, bands = 16, threshold = 0.5)
+    val planted = pairs
+      .filter($"id_b" === $"id_a" + 100000L).count()
+    assert(planted >= 20, s"recall too low: $planted/25 planted pairs found")
+  }
+
+  test("simhash finds planted near-dups") {
+    import spark.implicits._
+    val withDups = Dedup.withPlantedDups(docs, "doc_id", "text",
+      nPlant = 25, idOffset = 100000L, dropWords = 2)
+    val pairs = Dedup.simhashPairs(withDups, "doc_id", "text", maxHamming = 3)
+    val planted = pairs.filter($"id_b" === $"id_a" + 100000L).count()
+    assert(planted >= 10, s"recall too low: $planted/25 planted pairs found")
+  }
+
+  test("embedding near-dup finds planted exact copies") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val planted = embs.filter($"vec_id" < 25)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    val pairs = Dedup.embeddingNearDups(embs.unionByName(planted),
+      "vec_id", "embedding", threshold = 0.99, lshBits = 12)
+    // identical vectors always share the LSH bucket → all 25 found
+    val found = pairs.filter($"id_b" === $"id_a" + 100000L).count()
+    assert(found == 25, s"expected 25 planted pairs, got $found")
+  }
+
+  test("ngram jaccard is symmetric-free and thresholded") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs.filter($"doc_id" < 50),
+      "doc_id", "text", threshold = 0.5)
+    assert(pairs.filter($"id_a" >= $"id_b").count() == 0)
+    assert(pairs.filter($"jaccard" < 0.5 || $"jaccard" > 1.0).count() == 0)
+  }
+
+  test("LSH ANN recall vs brute force") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, 20).select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.lshTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, 20, bits = 12, probes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+    // every approx hit must be a genuine vector id
+    assert(approx.forall(_ > 0))
+  }
+}
