@@ -1,0 +1,87 @@
+package graft.engine
+
+/** Core engine data model — Spark-native re-expression of the reference's
+  * packet/step/generator/action abstractions (SURVEY.md §1.1; reference:
+  * dbccore/dbccore.py:280-345 parse_packet, README.md:159-169).
+  */
+
+/** Packet execution semantics (reference: dbccore.py:22-27,
+  * db_converter.py:426-457). */
+sealed trait PacketType
+object PacketType {
+  case object Default extends PacketType      // tracked, committed
+  case object ReadOnly extends PacketType     // no tracker writes
+  case object NoCommit extends PacketType     // dry-run: plan, don't save
+  case object Maintenance extends PacketType  // untracked maintenance cmds
+  case object ExportData extends PacketType   // SELECT-only → CSV/zip sink
+
+  def parse(s: String): PacketType = s.trim.toLowerCase match {
+    case "read_only" => ReadOnly
+    case "no_commit" => NoCommit
+    case "maintenance" => Maintenance
+    case "export_data" => ExportData
+    case _ => Default
+  }
+}
+
+/** Hook verbosity subset (reference: dbccore.py:662-686). */
+final case class HookConf(
+    channel: Option[String] = None,
+    username: Option[String] = None,
+    message: Option[String] = None,
+    verbosity: Set[String] = Set.empty, // all | resultset | raise | stm_result
+    showParameters: Boolean = false)
+
+/** meta_data.json model (reference: dbccore.py:317-328). */
+final case class MetaData(
+    packetType: PacketType = PacketType.Default,
+    description: String = "",
+    responsible: String = "",
+    taskId: String = "",
+    tags: Seq[String] = Nil,
+    hook: Option[HookConf] = None,
+    exportUseZip: Boolean = false,
+    exportPassword: Option[String] = None)
+
+/** One step: ordered SQL text; generators attach by 2-digit index
+  * (reference: NN_step.sql / NN_gen_obj.sql / NN_gen_nsp.sql pairing at
+  * dbccore.py:296-301). `runOnce` steps execute before generators are
+  * evaluated (dbccore.py:465-469). */
+final case class Step(
+    name: String,
+    sql: String,
+    index: Option[String],       // "01".."99"; None for run_once
+    runOnce: Boolean = false)
+
+final case class Generator(index: String, kind: GeneratorKind, sql: String)
+sealed trait GeneratorKind
+object GeneratorKind {
+  case object Obj extends GeneratorKind // GEN_OBJ_FLD_i placeholders
+  case object Nsp extends GeneratorKind // GEN_NSP_FLD_i placeholders
+}
+
+final case class Packet(
+    name: String,
+    steps: Seq[Step],
+    genObj: Map[String, Generator],
+    genNsp: Map[String, Generator],
+    packetHash: String,
+    meta: MetaData)
+
+/** Step outcome taxonomy (reference classify at dbccore.py:465-543). */
+sealed trait StepOutcome
+object StepOutcome {
+  final case class Done(rows: Long) extends StepOutcome
+  final case class Skipped(reason: String) extends StepOutcome
+  final case class Failed(error: String) extends StepOutcome
+}
+
+/** RAISE-style notice channel (reference notice capture dbccore.py:838-844). */
+final case class Notice(severity: String, message: String)
+
+/** Run result shape (reference DBCResult, db_converter.py:356-369). */
+final case class RunResult(
+    resultCode: Map[String, String],   // target -> success|fail|locked|nothing_todo|terminate
+    packetStatus: Map[String, String], // target -> new|started|done|exception
+    stepResults: Map[String, Map[String, StepOutcome]],
+    notices: Seq[Notice])
