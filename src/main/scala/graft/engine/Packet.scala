@@ -22,6 +22,14 @@ object PacketType {
     case "export_data" => ExportData
     case _ => Default
   }
+
+  def name(t: PacketType): String = t match {
+    case Default => "default"
+    case ReadOnly => "read_only"
+    case NoCommit => "no_commit"
+    case Maintenance => "maintenance"
+    case ExportData => "export_data"
+  }
 }
 
 /** Hook verbosity subset (reference: dbccore.py:662-686). */
@@ -51,7 +59,8 @@ final case class Step(
     name: String,
     sql: String,
     index: Option[String],       // "01".."99"; None for run_once
-    runOnce: Boolean = false)
+    runOnce: Boolean = false,
+    isPython: Boolean = false)   // NN_step.py → registered Scala callback (E26)
 
 final case class Generator(index: String, kind: GeneratorKind, sql: String)
 sealed trait GeneratorKind
@@ -79,9 +88,16 @@ object StepOutcome {
 /** RAISE-style notice channel (reference notice capture dbccore.py:838-844). */
 final case class Notice(severity: String, message: String)
 
+/** One captured statement resultset (reference: psc_common.py:102-104
+  * rows + column_names; collected into result_data at dbccore.py:901-902). */
+final case class ResultSet(columns: Seq[String], rows: Seq[Seq[Any]])
+
 /** Run result shape (reference DBCResult, db_converter.py:356-369). */
 final case class RunResult(
     resultCode: Map[String, String],   // target -> success|fail|locked|nothing_todo|terminate
     packetStatus: Map[String, String], // target -> new|started|done|exception
     stepResults: Map[String, Map[String, StepOutcome]],
-    notices: Seq[Notice])
+    notices: Seq[Notice],
+    // target -> step file -> captured resultsets (reference result_data,
+    // db_converter.py:364-369, asserted on by test_packets.py:904-939)
+    resultData: Map[String, Map[String, Seq[ResultSet]]] = Map.empty)

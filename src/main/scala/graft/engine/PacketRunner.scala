@@ -1,0 +1,349 @@
+package graft.engine
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Runner configuration (reference: DBCParams CLI surface,
+  * db_converter.py:117-207 + SysConf db_converter.py:33-103). */
+final case class RunnerConf(
+    stateDir: String,
+    target: String = "spark",
+    placeholders: Map[String, String] = Map.empty,
+    force: Boolean = false,
+    skipStepCancel: Boolean = false,   // --skip-step-cancel (E25)
+    skipActionCancel: Boolean = false, // --skip-action-cancel (E25)
+    maxFanout: Int = 1000000,
+    resultRowCap: Int = 100000,
+    exportDir: Option[String] = None,
+    hookSink: Option[HookSink] = None,
+    now: () => Long = () => System.currentTimeMillis())
+
+/** Context handed to registered Scala step callbacks (the reference's
+  * `exec()` python-step escape hatch, dbccore.py:1113-1115, E26 — typed
+  * callback instead of arbitrary code). */
+final case class StepContext(
+    spark: SparkSession,
+    target: String,
+    packetName: String,
+    stepName: String,
+    notices: mutable.Buffer[Notice],
+    results: mutable.Buffer[ResultSet]) {
+  def notice(severity: String, message: String): Unit =
+    notices += Notice(severity, message)
+}
+
+/** Registry of Scala callbacks standing in for `NN_step.py` python steps.
+  * Keyed "packetName/stepFileName". */
+object ScalaSteps {
+  private val registry = mutable.Map.empty[String, StepContext => Unit]
+  def register(packetName: String, stepFile: String)(fn: StepContext => Unit): Unit =
+    registry.synchronized { registry(s"$packetName/$stepFile") = fn }
+  def lookup(packetName: String, stepFile: String): Option[StepContext => Unit] =
+    registry.synchronized { registry.get(s"$packetName/$stepFile") }
+}
+
+/** Executes a parsed packet end-to-end against a SparkSession whose
+  * catalog holds the target's tables (the reference's worker loop,
+  * dbccore.py:379-627):
+  *
+  *   run_once pass → generator evaluation → full steps pass with the
+  *   4-case GEN_NSP×GEN_OBJ fan-out (dbccore.py:905-1181), per-action MD5
+  *   dedup against the ActionTracker, `maint` pre-commands, per-step
+  *   status bookkeeping, notices, resultset capture.
+  *
+  * Scale posture: the fan-out itself is driver-side rows × template
+  * rendering (exactly the reference's model — generator resultsets are
+  * operational grids, e.g. 10k-id batch ranges, not data); each rendered
+  * action is a full Spark job whose plan Catalyst owns. Fan-outs beyond
+  * `maxFanout` fail loud — at that point the right tool is a crossJoin of
+  * the generator DataFrames, not a driver loop.
+  */
+final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
+
+  import PacketRunner._
+
+  private val tracker = new ActionTracker(spark, conf.stateDir, conf.now)
+  private val notices = mutable.Buffer.empty[Notice]
+  private val resultData = mutable.Map.empty[String, Seq[ResultSet]]
+  private val stepOutcomes = mutable.Map.empty[String, StepOutcome]
+
+  def run(packetDir: String): RunResult = {
+    val packet = PacketLoader.load(packetDir, conf.placeholders)
+    runPacket(packet)
+  }
+
+  def runPacket(packet: Packet): RunResult = {
+    tracker.initTables()
+    val readOnly = packet.meta.packetType == PacketType.ReadOnly
+    val tracking = packet.meta.packetType == PacketType.Default
+
+    // E16 hash-drift guard (dbccore.py:449-463)
+    if (!conf.force && !readOnly) {
+      tracker.packetStatus(packet.name).foreach { st =>
+        if (st.hash.nonEmpty && st.hash != packet.packetHash)
+          return result(packet, ResultFail, statusOf(packet),
+            err = Some(s"packet hash changed; use force"))
+      }
+    }
+    // E12 cooperative lock (db_converter.py:615-635)
+    if (tracker.isPacketLocked(packet.name))
+      return result(packet, ResultLocked, statusOf(packet))
+    tracker.setPacketLock(packet.name)
+
+    try {
+      val stepsHashes = mutable.Set.empty[String]
+
+      // pass 1: run_once.sql only, BEFORE generators are evaluated
+      // (dbccore.py:465-469,536)
+      var outcome = stepsPass(packet, runOnceOnly = true, Map.empty, Map.empty,
+        stepsHashes, tracking, readOnly)
+
+      // generator evaluation (dbccore.py:538-541): resultsets collected
+      // driver-side; col 0 is the reserved `maint` command
+      val genObjData = packet.genObj.map { case (idx, g) =>
+        idx -> collectGen(g.sql) }
+      val genNspData = packet.genNsp.map { case (idx, g) =>
+        idx -> collectGen(g.sql) }
+
+      // pass 2: every step (run_once.sql dedups via its own hash)
+      if (outcome._1 != "terminate" && outcome._2.isEmpty) {
+        outcome = stepsPass(packet, runOnceOnly = false, genNspData, genObjData,
+          stepsHashes, tracking, readOnly)
+      }
+
+      val (res, errDescr) = outcome
+      val packetStatus = if (errDescr.isDefined) "exception" else "done"
+      if (!readOnly && packet.meta.packetType != PacketType.Maintenance) {
+        tracker.ensurePacket(packet.name, packet.packetHash, metaJson(packet))
+        tracker.setPacketStatus(packet.name, packetStatus)
+      }
+      val code = res match {
+        case "terminate" => ResultTerminate
+        case _ if errDescr.isDefined => ResultFail
+        case _ => ResultSuccess
+      }
+      result(packet, code, packetStatus, errDescr)
+    } catch {
+      case e: Throwable =>
+        if (!readOnly) {
+          tracker.ensurePacket(packet.name, packet.packetHash, metaJson(packet))
+          tracker.setPacketStatus(packet.name, "exception")
+        }
+        result(packet, ResultFail, "exception", Some(e.getMessage))
+    } finally {
+      tracker.flushActions()
+      tracker.setPacketUnlock(packet.name) // unlock at end of run (db_converter.py:742-746)
+    }
+  }
+
+  // -- steps_processing (dbccore.py:465-543) -----------------------------
+  private def stepsPass(packet: Packet, runOnceOnly: Boolean,
+      genNsp: Map[String, Seq[GenRow]], genObj: Map[String, Seq[GenRow]],
+      stepsHashes: mutable.Set[String], tracking: Boolean,
+      readOnly: Boolean): (String, Option[String]) = {
+    packet.steps.foreach { step =>
+      if (!runOnceOnly || step.runOnce) {
+        val (res, descr) = executeStep(packet, step, genNsp, genObj,
+          stepsHashes, tracking, readOnly)
+        (res, descr) match {
+          case ("exception", Some("skip_step")) =>
+            stepOutcomes(step.name) = StepOutcome.Skipped("skip_step")
+            if (!readOnly)
+              tracker.setStepStatus(packet.name, step.name, "exception",
+                Some("skip_step"))
+          // continue with next step (reference logs and moves on)
+          case ("done", None) =>
+            stepOutcomes(step.name) = stepOutcomes.getOrElse(step.name,
+              StepOutcome.Done(0))
+            if (!readOnly && tracking)
+              tracker.setStepStatus(packet.name, step.name, "done")
+          case ("exception", d) =>
+            stepOutcomes(step.name) = StepOutcome.Failed(d.getOrElse("error"))
+            if (!readOnly)
+              tracker.setStepStatus(packet.name, step.name, "exception", d)
+            return ("exception", d)
+          case ("terminate", _) => return ("terminate", None)
+          case other => return other
+        }
+      }
+    }
+    ("done", None)
+  }
+
+  // -- execute_step: unified 4-case generator fan-out
+  //    (dbccore.py:905-1181; cases at :921,:991,:1046,:1088) -------------
+  private def executeStep(packet: Packet, step: Step,
+      genNsp: Map[String, Seq[GenRow]], genObj: Map[String, Seq[GenRow]],
+      stepsHashes: mutable.Set[String], tracking: Boolean,
+      readOnly: Boolean): (String, Option[String]) = {
+    val ctx = StepContext(spark, conf.target, packet.name, step.name,
+      notices, mutable.Buffer.empty)
+    val hasNsp = step.sql.contains("GEN_NSP_FLD_")
+    val hasObj = step.sql.contains("GEN_OBJ_FLD_")
+    val idx = step.index.getOrElse("")
+
+    def genOf(m: Map[String, Seq[GenRow]], kind: String): Either[String, Seq[GenRow]] =
+      m.get(idx).toRight(
+        s"${step.name}: not found generator for this step, but ${kind}_FLD_ is exists")
+
+    // fan-out combos, nsp-major × obj-minor (dbccore.py:935-939)
+    val combos: Either[String, Seq[(Option[GenRow], Option[GenRow])]] =
+      (hasNsp, hasObj) match {
+        case (true, true) => for {
+          ns <- genOf(genNsp, "GEN_NSP"); os <- genOf(genObj, "GEN_OBJ")
+        } yield for { n <- ns; o <- os } yield (Some(n), Some(o))
+        case (false, true) =>
+          genOf(genObj, "GEN_OBJ").map(_.map(o => (None, Some(o))))
+        case (true, false) =>
+          genOf(genNsp, "GEN_NSP").map(_.map(n => (Some(n), None)))
+        case (false, false) => Right(Seq((None, None)))
+      }
+
+    combos match {
+      case Left(err) =>
+        notices += Notice("ERROR", err)
+        ("exception", Some(err))
+      case Right(cs) if cs.size > conf.maxFanout =>
+        ("exception", Some(s"${step.name}: fan-out ${cs.size} exceeds " +
+          s"maxFanout=${conf.maxFanout}; use a crossJoin-based step"))
+      case Right(cs) =>
+        // executed-hash set loaded ONCE per step (reference does a per-action
+        // indexed EXISTS; the bulk load + left_anti equivalent is
+        // ActionTracker.notYetExecuted for DataFrame-sized fan-outs)
+        val executed: Set[String] =
+          if (tracking) tracker.executedHashes(packet.name, step.name)
+          else Set.empty
+        var ran = 0L
+        cs.foreach { case (nspRow, objRow) =>
+          val rendered0 = nspRow.map(n =>
+            Placeholders.applyNspRow(step.sql, n.fields)).getOrElse(step.sql)
+          val rendered = objRow.map(o =>
+            Placeholders.applyObjRow(rendered0, o.fields)).getOrElse(rendered0)
+          val stepHash = PacketLoader.md5Hex(rendered)
+          if (!stepsHashes.contains(stepHash)) {
+            if (executed.contains(stepHash)) {
+              stepsHashes += stepHash // already executed in a previous run
+            } else {
+              try {
+                // maint pre-commands (nsp first, then obj with nsp fields
+                // substituted — dbccore.py:954-966)
+                nspRow.flatMap(_.maint).filter(_.nonEmpty)
+                  .foreach(m => executeQ(ctx, packet, m))
+                objRow.flatMap(_.maint).filter(_.nonEmpty).foreach { m =>
+                  val mq = nspRow.map(n => Placeholders.applyNspRow(m, n.fields))
+                    .getOrElse(m)
+                  executeQ(ctx, packet, mq)
+                }
+                if (tracking)
+                  tracker.beginAction(packet.name, packet.packetHash, step.name,
+                    metaJson(packet))
+                if (step.isPython) {
+                  ScalaSteps.lookup(packet.name, step.name) match {
+                    case Some(fn) => fn(ctx)
+                    case None => throw new IllegalStateException(
+                      s"no Scala callback registered for python step " +
+                        s"${packet.name}/${step.name}")
+                  }
+                  if (ctx.results.nonEmpty)
+                    resultData(step.name) = ctx.results.toSeq
+                } else executeQ(ctx, packet, rendered)
+                if (tracking)
+                  tracker.applyAction(packet.name, step.name, stepHash)
+                stepsHashes += stepHash
+                ran += 1
+              } catch {
+                case e: Throwable =>
+                  tracker.flushActions()
+                  if (conf.skipStepCancel) return ("exception", Some("skip_step"))
+                  else if (conf.skipActionCancel) {
+                    stepsHashes += stepHash
+                    notices += Notice("ERROR",
+                      s"${step.name}: action $stepHash skipped: ${e.getMessage}")
+                  } else return ("exception", Some(trim(e.getMessage)))
+              }
+            }
+          }
+        }
+        tracker.flushActions()
+        stepOutcomes(step.name) = StepOutcome.Done(ran)
+        ("done", None)
+    }
+  }
+
+  // -- execute_q (dbccore.py:831-903) ------------------------------------
+  private def executeQ(ctx: StepContext, packet: Packet, sql: String): Unit = {
+    val stms = SqlSplitter.split(sql)
+    val results = mutable.Buffer.empty[ResultSet]
+    val pt = packet.meta.packetType
+    if (pt == PacketType.ExportData) {
+      // SELECT-only guard + CSV/zip sink (E20) — ExportSink owns semantics
+      ExportSink.exportData(spark, ctx, stms,
+        conf.exportDir.getOrElse(conf.stateDir + "/export"), packet.meta)
+      return
+    }
+    stms.foreach { stm =>
+      val ro = SqlSplitter.isReadOnlyStatement(stm)
+      if (pt == PacketType.ReadOnly && !ro)
+        throw new IllegalStateException(
+          s"cannot execute ${SqlSplitter.firstKeyword(stm)} in a read-only packet")
+      if (pt == PacketType.NoCommit && !ro) {
+        // dry-run: plan the statement, skip the effect (reference rollback,
+        // dbccore.py:886-888)
+        notices += Notice("INFO", s"no_commit: skipped ${SqlSplitter.firstKeyword(stm)}")
+      } else {
+        val df = spark.sql(stm)
+        if (df.schema.nonEmpty) {
+          val rows = df.take(conf.resultRowCap)
+          results += ResultSet(df.schema.fieldNames.toSeq,
+            rows.map(_.toSeq).toSeq)
+        }
+      }
+    }
+    if (results.nonEmpty) {
+      resultData(ctx.stepName) = results.toSeq // last action wins (dbccore.py:901-902)
+      conf.hookSink.foreach(_.resultsetHook(packet.meta, ctx.stepName, results.toSeq))
+    }
+  }
+
+  private def collectGen(sql: String): Seq[GenRow] = {
+    val df: DataFrame = spark.sql(sql)
+    df.collect().toSeq.map { r =>
+      val vals = r.toSeq.map(v => Option(v).map(_.toString))
+      GenRow(vals.headOption.flatten,
+        vals.map(_.getOrElse("null")))
+    }
+  }
+
+  private def statusOf(packet: Packet): String =
+    tracker.packetStatus(packet.name).map(_.status).getOrElse("new")
+
+  private def metaJson(packet: Packet): String =
+    s"""{"type":"${PacketType.name(packet.meta.packetType)}","description":"${packet.meta.description.replace("\"", "'")}"}"""
+
+  private def trim(s: String): String =
+    if (s == null) "error" else if (s.length > 500) s.take(500) + "…" else s
+
+  private def result(packet: Packet, code: String, status: String,
+      err: Option[String] = None): RunResult = {
+    err.foreach(e => notices += Notice("ERROR", e))
+    RunResult(
+      resultCode = Map(conf.target -> code),
+      packetStatus = Map(conf.target -> status),
+      stepResults = Map(conf.target -> stepOutcomes.toMap),
+      notices = notices.toSeq,
+      resultData = Map(conf.target -> resultData.toMap))
+  }
+}
+
+object PacketRunner {
+  val ResultSuccess = "success"
+  val ResultFail = "fail"
+  val ResultLocked = "locked"
+  val ResultNothingTodo = "nothing_todo"
+  val ResultTerminate = "terminate"
+
+  /** One generator resultset row: `maint` is field 0 (reserved pre-command),
+    * `fields` are the stringified values substituted for GEN_*_FLD_i
+    * (1-based; dbccore.py:30-36). */
+  final case class GenRow(maint: Option[String], fields: Seq[String])
+}

@@ -9,10 +9,13 @@ package graft.engine
   */
 object Placeholders {
 
+  /** Longer keys substitute first so DBC_PL_AB isn't clobbered by a
+    * DBC_PL_A replacement arriving earlier in map iteration order
+    * (the reference folds in dict order, dbccore.py:275-278 — we fix the
+    * prefix hazard deliberately; same order guarantee as applyGenRow). */
   def applyUser(sql: String, placeholders: Map[String, String]): String =
-    placeholders.foldLeft(sql) { case (acc, (k, v)) =>
-      acc.replace(s"DBC_PL_$k", v)
-    }
+    placeholders.toSeq.sortBy { case (k, _) => (-k.length, k) }
+      .foldLeft(sql) { case (acc, (k, v)) => acc.replace(s"DBC_PL_$k", v) }
 
   /** Substitute one generator row. Field 0 (the `maint` command) is NOT
     * substituted into the text — it is returned separately by the caller.

@@ -35,11 +35,27 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
   }
 
-  /** numPerm-wide MinHash signature: sig[p] = min over shingles of
-    * xxhash64(shingle, p). Pure nested HOFs — one pass over the data. */
-  def minhashSignature(sh: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      p => array_min(transform(sh, s => xxhash64(s, p))))
+  /** numPerm-wide MinHash signature in ONE pass over the shingles.
+    *
+    * Each shingle is string-hashed exactly once (it enters the aggregate
+    * as an already-evaluated lambda variable — an inline `xxhash64(s, p)`
+    * per permutation would re-hash every string numPerm times, which
+    * measured 177 s at sf0.1); the numPerm permutations are derived
+    * arithmetically as π_p(h) = a_p·h + b_p (multiply-shift universal
+    * hashing) with fixed odd multipliers baked in as constant-folded
+    * literal arrays. sig[p] = min over shingles of π_p(h). */
+  def minhashSignature(sh: Column, numPerm: Int): Column = {
+    val rnd = new java.util.SplittableRandom(0x5EED5EEDL)
+    val as = array((0 until numPerm).map(_ => lit(rnd.nextLong() | 1L)): _*)
+    val bs = array((0 until numPerm).map(_ => lit(rnd.nextLong())): _*)
+    val idx = sequence(lit(0), lit(numPerm - 1))
+    import org.apache.spark.sql.graft.ColumnBridge.{wrapAdd, wrapMul}
+    aggregate(
+      transform(sh, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), numPerm),
+      (acc, h) => zip_with(acc, idx, (m, p) =>
+        least(m, wrapAdd(wrapMul(element_at(as, p + 1), h), element_at(bs, p + 1)))))
+  }
 
   /** LSH band keys: split the signature into `bands` rows-per-band groups;
     * key = xxhash64 of the band's slice + band index. Docs sharing ANY
@@ -50,7 +66,18 @@ object Dedup {
         transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string"))), b))
 
-  /** Candidate near-dup pairs with exact Jaccard verification.
+  /** Near-dup pairs with Jaccard estimated from MinHash signatures.
+    *
+    * Scale shape (the whole point of MinHash — the raw shingle sets are
+    * NEVER shuffled):
+    *   1. one pass computes the compact (id, sig) table — numPerm longs
+    *      per doc — persisted so the text scan runs once, not once per
+    *      plan branch;
+    *   2. the band self-join carries only (band, id): shuffle payload is
+    *      ~`bands` longs per doc regardless of document length;
+    *   3. candidate pairs are de-duplicated BEFORE any similarity work,
+    *      then Jaccard is estimated as the fraction of agreeing signature
+    *      positions (unbiased; stderr ≈ sqrt(J(1-J)/numPerm)).
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
@@ -59,36 +86,44 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
     val sigs = docs
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("band", explode(bandKeys(
-        minhashSignature(col("sh"), numPerm), bands, rowsPerBand)))
-    // bucket-local self-join: shuffle key = band hash (already uniform)
-    val a = sigs.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sigs.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol)), numPerm).as("sig"))
+      .persist()
+    val banded = sigs.select(col("id"),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          (m: Column) => m)).cast("double") / numPerm.toDouble).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
   }
 
   // ---------------------------------------------------------------------
   // SimHash: 64-bit signature; near-dups = small Hamming distance.
 
   /** 64-bit SimHash over whitespace tokens: bit j is the sign of
-    * Σ_tokens (±1 by bit j of xxhash64(token)). */
+    * Σ_tokens (±1 by bit j of xxhash64(token)).
+    *
+    * One pass: each token is hashed ONCE, then 64 bit-counters are
+    * accumulated per token (cheap shifts/adds) — O(tokens) hash work
+    * instead of the naive O(64 × tokens) of re-hashing per bit. */
   def simhash(text: Column): Column = {
-    val toks = tokens(text)
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val counters = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitIdx, (c, j) =>
+        c + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)))
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => acc + when(
-        aggregate(toks, lit(0L), (s, t) =>
-          s + when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-        ) >= 0, call_function("shiftleft", lit(1L), j)).otherwise(0L))
+      zip_with(counters, bitIdx, (c, j) =>
+        when(c >= 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Near-dup pairs by SimHash: block on 4 × 16-bit chunks (pigeonhole —
@@ -115,26 +150,46 @@ object Dedup {
   // ---------------------------------------------------------------------
   // N-gram Jaccard via inverted index (exact, not probabilistic).
 
-  /** Exact token-set Jaccard for all pairs sharing ≥1 token, via an
-    * inverted-index join — the SQL-expressible exact counterpart of
-    * minhashLsh (oracle-friendly). Restrict `docs` first at scale. */
+  /** Exact token-set Jaccard pairs via a PREFIX-FILTERED inverted-index
+    * join (SSJoin / AllPairs, Chaudhuri et al. ICDE'06, Bayardo et al.
+    * WWW'07) — the SQL-expressible exact counterpart of minhashLsh.
+    *
+    * Tokens are globally ordered rarest-first (ascending document
+    * frequency); each doc indexes only its first n - ceil(t*n) + 1
+    * tokens. Lemma: any pair with Jaccard >= t shares its rarest common
+    * token inside BOTH prefixes, so no qualifying pair is missed — the
+    * result is byte-identical to the naive all-token join. Hot tokens
+    * ("the") sort last and never enter the index, so a degenerate
+    * posting list cannot make the self-join quadratic. Candidates are
+    * verified exactly against the full token arrays.
+    */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("tk"))
-    val sizes = toks.select(col("id"), size(col("tk")).as("n"))
-    val inv = toks.select(col("id"), explode(col("tk")).as("t"))
-    val shared = inv.as("x").join(inv.as("y"), Seq("t"))
+    val inv = toks.select(col("id"), size(col("tk")).as("n"),
+      explode(col("tk")).as("t"))
+    val dfreq = inv.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // prefix = the n - ceil(t*n) + 1 globally-rarest tokens of each doc
+    // (epsilon guards fp error in t*n from shrinking the prefix)
+    val prefix = inv.join(dfreq, "t")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("t"))))
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+      .select(col("id"), col("t"))
+    val cand = prefix.as("x").join(prefix.as("y"), Seq("t"))
       .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(toks.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tk").as("tk_b")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("tk_a"), col("tk_b"))).cast("double"))
+      .withColumn("jaccard", col("shared") /
+        (size(col("tk_a")) + size(col("tk_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -46,29 +46,44 @@ object EventsStreaming {
   private final case class SessionState(n: Long, start: Long, last: Long)
 
   /** Stateful sessionization: a session closes after `gapMs` of
-    * inactivity (processing-time timeout for the streaming case). */
+    * inactivity. A processing-time timeout flushes the open session when
+    * a key goes quiet (no new events ever arrive for it) and clears its
+    * state — without it, tail sessions are silently lost and per-key
+    * state grows unbounded in a real stream. In batch execution Spark
+    * never fires timeouts; closed sessions are still emitted inline. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
       gapMs: Long = 30 * 60 * 1000L): Dataset[SessionAgg] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // micro-batch arrival: fold events in ts order, emit closed sessions
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
-          val out = Seq.newBuilder[SessionAgg]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.n == 0L) st = SessionState(1L, t, t)
-            else if (t - st.last > gapMs) {
-              out += SessionAgg(userId, st.n,
-                new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last))
-              st = SessionState(1L, t, t)
-            } else st = SessionState(st.n + 1, st.start, t)
+          if (state.hasTimedOut) {
+            // key went quiet past the gap: emit the open session, drop state
+            val st = state.get
+            state.remove()
+            if (st.n > 0L)
+              Iterator(SessionAgg(userId, st.n,
+                new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last)))
+            else Iterator.empty
+          } else {
+            // micro-batch arrival: fold events in ts order, emit closed sessions
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+            val out = Seq.newBuilder[SessionAgg]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.n == 0L) st = SessionState(1L, t, t)
+              else if (t - st.last > gapMs) {
+                out += SessionAgg(userId, st.n,
+                  new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last))
+                st = SessionState(1L, t, t)
+              } else st = SessionState(st.n + 1, st.start, t)
+            }
+            state.update(st)
+            state.setTimeoutDuration(gapMs)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }

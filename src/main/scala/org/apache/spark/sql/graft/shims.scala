@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Add, EvalMode, Expression, Multiply}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge into Spark's package-private Column ↔ Expression conversions.
@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrapping (2-complement) long arithmetic for hash mixing — ANSI mode
+    * (Spark 4 default) makes `*`/`+` throw on overflow, but universal
+    * hashing WANTS modular wraparound. */
+  def wrapMul(a: Column, b: Column): Column =
+    column(Multiply(expression(a), expression(b), EvalMode.LEGACY))
+  def wrapAdd(a: Column, b: Column): Column =
+    column(Add(expression(a), expression(b), EvalMode.LEGACY))
 }

@@ -66,6 +66,39 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter($"jaccard" < 0.5 || $"jaccard" > 1.0).count() == 0)
   }
 
+  test("ngram jaccard prefix filter is lossless vs naive all-token join") {
+    import spark.implicits._
+    val in = docs.filter($"doc_id" < 50)
+    val got = Dedup.ngramJaccardPairs(in, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // naive reference: every pair sharing >= 1 token, exact jaccard
+    val toks = in.select($"doc_id".as("id"),
+      array_distinct(split(trim($"text"), "\\s+")).as("tk"))
+    val inv = toks.select($"id", explode($"tk").as("t"))
+    val naive = inv.as("x").join(inv.as("y"), Seq("t"))
+      .filter($"x.id" < $"y.id")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b")).distinct()
+      .join(toks.select($"id".as("id_a"), $"tk".as("tk_a")), "id_a")
+      .join(toks.select($"id".as("id_b"), $"tk".as("tk_b")), "id_b")
+      .withColumn("sh", size(array_intersect($"tk_a", $"tk_b")).cast("double"))
+      .filter($"sh" / (size($"tk_a") + size($"tk_b") - $"sh") >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == naive, s"prefix filter lost ${(naive -- got).size} pairs, " +
+      s"invented ${(got -- naive).size}")
+  }
+
+  test("ngram jaccard survives a planted hot token") {
+    import spark.implicits._
+    // every doc gets the same hot token appended: the naive inverted-index
+    // self-join would go quadratic on its posting list; the df-ordered
+    // prefix keeps it out of the index and results stay exact
+    val hot = docs.filter($"doc_id" < 50)
+      .withColumn("text", concat($"text", lit(" zzhotzz zzhotzz")))
+    val pairs = Dedup.ngramJaccardPairs(hot, "doc_id", "text", threshold = 0.5)
+    assert(pairs.filter($"id_a" >= $"id_b").count() == 0)
+    assert(pairs.filter($"jaccard" < 0.5 || $"jaccard" > 1.0).count() == 0)
+  }
+
   test("LSH ANN recall vs brute force") {
     import spark.implicits._
     val embs = Tables.load(spark, dir, "embeddings")
