@@ -133,30 +133,33 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     pendingActions = Vector.empty
   }
 
-  /** Executed hashes of (packet, step) — the dedup set the fan-out checks
-    * (reference is_action_exists join, actiontracker.py:101-116). */
-  def executedHashes(packetName: String, stepName: String): Set[String] = {
-    val p = packets.filter(col("name") === packetName).select(col("id"))
-    val s = steps.filter(col("name") === stepName).select(col("id"), col("packet_id"))
-    actions.join(broadcast(p), actions("packet_id") === p("id"))
-      .join(broadcast(s), actions("step_id") === s("id") &&
-        s("packet_id") === actions("packet_id"))
-      .select(col("step_hash")).collect().map(_.getString(0)).toSet
+  /** Executed step_hash values of (packet, step) as a DataFrame: the
+    * action log joined to the two (broadcast) id tables — reference
+    * is_action_exists join, actiontracker.py:101-116. */
+  def executedHashesDf(packetName: String, stepName: String): DataFrame = {
+    val a = actions
+    val p = packets.filter(col("name") === packetName)
+      .select(col("id").as("pid"))
+    val s = steps.filter(col("name") === stepName)
+      .select(col("id").as("sid"), col("packet_id").as("s_pid"))
+    a.join(broadcast(p), col("packet_id") === col("pid"))
+      .join(broadcast(s), col("step_id") === col("sid") &&
+        col("s_pid") === col("packet_id"))
+      .select(col("step_hash"))
   }
+
+  /** Driver-side dedup set for bounded fan-outs. */
+  def executedHashes(packetName: String, stepName: String): Set[String] =
+    executedHashesDf(packetName, stepName).collect().map(_.getString(0)).toSet
 
   /** Scale path: anti-join a DataFrame of candidate actions against the
     * executed log — used when a generator fan-out is too large for a
     * driver-side hash set. */
   def notYetExecuted(candidates: DataFrame, hashCol: String,
-      packetName: String, stepName: String): DataFrame = {
-    val p = packets.filter(col("name") === packetName).select(col("id").as("pid"))
-    val s = steps.filter(col("name") === stepName).select(col("id").as("sid"))
-    val executed = actions
-      .join(broadcast(p), col("packet_id") === col("pid"))
-      .join(broadcast(s), col("step_id") === col("sid"))
-      .select(col("step_hash").as(hashCol))
-    candidates.join(executed, Seq(hashCol), "left_anti")
-  }
+      packetName: String, stepName: String): DataFrame =
+    candidates.join(
+      executedHashesDf(packetName, stepName).withColumnRenamed("step_hash", hashCol),
+      Seq(hashCol), "left_anti")
 
   // -- statuses ----------------------------------------------------------
   def setStepStatus(packetName: String, stepName: String, status: String,

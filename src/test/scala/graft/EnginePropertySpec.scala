@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.engine.{GlobMatcher, PacketLoader, Placeholders}
+
+/** Property tests promised by SURVEY §5: glob matcher vs a regex oracle,
+  * placeholder substitution (prefix-safety, idempotent round-trips),
+  * packet-hash idempotency and rename-invariance. ScalaCheck generators
+  * sampled with a fixed seed (no scalatest bridge in the dependency set).
+  */
+class EnginePropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    (1 to n).foreach { _ =>
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private val nameChars = Gen.alphaNumChar
+  private val nameGen = Gen.chooseNum(0, 12).flatMap(n => Gen.stringOfN(n, nameChars))
+  private val maskGen = Gen.chooseNum(0, 10).flatMap(n =>
+    Gen.stringOfN(n, Gen.frequency(5 -> nameChars, 2 -> Gen.const('*'), 2 -> Gen.const('?'))))
+
+  test("glob matcher agrees with a regex oracle") {
+    forAll(maskGen, nameGen) { (mask: String, text: String) =>
+      val regex = mask.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c => java.util.regex.Pattern.quote(c.toString)
+      }
+      assert(GlobMatcher.matches(mask, text) == text.matches(regex),
+        s"mask=$mask text=$text")
+    }
+  }
+
+  test("glob matcher is linear-ish on pathological many-star masks") {
+    // the reference's recursive matcher blows up exponentially here
+    val mask = "*a" * 25 + "b"
+    val text = "a" * 200
+    val t0 = System.nanoTime()
+    assert(!GlobMatcher.matches(mask, text))
+    assert((System.nanoTime() - t0) / 1e9 < 1.0, "matcher must not be exponential")
+  }
+
+  test("resolve: exclude entries without '*' are exact names (reference parity)") {
+    val dbs = Seq("prod1", "prod2", "prod10", "stage")
+    // excluding exact "prod1" must NOT exclude "prod10"
+    assert(GlobMatcher.resolve("ALL,exclude:prod1", dbs) ==
+      Seq("prod2", "prod10", "stage"))
+    assert(GlobMatcher.resolve("ALL,exclude:prod*", dbs) == Seq("stage"))
+    assert(GlobMatcher.resolve("pro?1", dbs) == Seq("prod1"))
+    assert(GlobMatcher.resolve("ALL", dbs) == dbs)
+  }
+
+  test("user placeholders: longer keys win over their prefixes") {
+    forAll(nameGen.suchThat(_.nonEmpty)) { k =>
+      val sql = s"SELECT DBC_PL_$k, DBC_PL_${k}X"
+      val out = Placeholders.applyUser(sql, Map(k -> "a", s"${k}X" -> "b"))
+      assert(out == "SELECT a, b", s"k=$k out=$out")
+    }
+  }
+
+  test("generator rows: FLD_10 is not clobbered by FLD_1") {
+    val row = ("maint" +: (1 to 12).map(i => s"v$i")).toVector
+    val sql = (1 to 12).map(i => s"GEN_OBJ_FLD_$i").mkString(",")
+    assert(Placeholders.applyObjRow(sql, row) == (1 to 12).map(i => s"v$i").mkString(","))
+  }
+
+  test("unresolved detects leftovers and clean SQL passes") {
+    assert(Placeholders.unresolved("SELECT GEN_OBJ_FLD_3, DBC_PL_foo") ==
+      Seq("GEN_OBJ_FLD_3", "DBC_PL_foo"))
+    assert(Placeholders.unresolved("SELECT 1").isEmpty)
+  }
+
+  test("packet hash: idempotent, rename-invariant, content-sensitive, .py-sensitive") {
+    def mkPacket(files: Map[String, String]): String = {
+      val dir = Files.createTempDirectory("graft-hash").resolve("p")
+      Files.createDirectories(dir)
+      files.foreach { case (n, c) => Files.writeString(dir.resolve(n), c) }
+      dir.toString
+    }
+    val base = Map(
+      "01_step.sql" -> "SELECT 1;",
+      "02_step.py" -> "# python step",
+      "meta_data.json" -> """{"type":"default"}""")
+    val h1 = PacketLoader.load(mkPacket(base)).packetHash
+    val h2 = PacketLoader.load(mkPacket(base)).packetHash
+    assert(h1 == h2, "same content → same hash")
+    // rename-invariance: the reference hashes content-sorted concatenation
+    val renamed = Map(
+      "03_step.sql" -> "SELECT 1;",
+      "04_step.py" -> "# python step",
+      "meta_data.json" -> """{"type":"default"}""")
+    assert(PacketLoader.load(mkPacket(renamed)).packetHash == h1)
+    // editing a .py step must drift the hash (reference includes .py,
+    // dbccore.py:290-297 — round-1 loader missed this)
+    val pyEdit = base.updated("02_step.py", "# python step v2")
+    assert(PacketLoader.load(mkPacket(pyEdit)).packetHash != h1)
+    // editing meta_data.json drifts too
+    val metaEdit = base.updated("meta_data.json", """{"type":"read_only"}""")
+    assert(PacketLoader.load(mkPacket(metaEdit)).packetHash != h1)
+    // non-hashed files (goldens) do not drift
+    val withGolden = base + ("01_step.sql_out" -> "ignored")
+    assert(PacketLoader.load(mkPacket(withGolden)).packetHash == h1)
+  }
+
+  test("loader: .py files are steps, generators pair by index, run_once first") {
+    val dir = Files.createTempDirectory("graft-load").resolve("p")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("run_once.sql"), "SELECT 'setup';")
+    Files.writeString(dir.resolve("01_step.sql"), "SELECT GEN_OBJ_FLD_1;")
+    Files.writeString(dir.resolve("01_gen_obj.sql"), "SELECT null, 1;")
+    Files.writeString(dir.resolve("02_step.py"), "# callback")
+    val p = PacketLoader.load(dir.toString)
+    assert(p.steps.map(_.name) == Seq("run_once.sql", "01_step.sql", "02_step.py"))
+    assert(p.steps.head.runOnce)
+    assert(p.steps.last.isPython)
+    assert(p.genObj.keySet == Set("01"))
+  }
+}

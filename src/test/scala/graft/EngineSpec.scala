@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+import graft.sources.Tables
+
+/** End-to-end engine tests mirroring the reference's behavioral suite
+  * (tests/test_packets.py): packet runs with status assertions, idempotent
+  * resume (re-run executes zero new actions), wipe → full re-run, hash
+  * drift guard, cooperative locks, generator fan-out counts.
+  */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val fixtures = "/root/testdata/sf0.001"
+
+  private def tmpState(): String =
+    Files.createTempDirectory("graft-state").toString
+
+  private def runner(state: String, force: Boolean = false): PacketRunner =
+    new PacketRunner(spark, RunnerConf(stateDir = state, force = force))
+
+  private def copyPacket(src: String): String = {
+    val dst = Files.createTempDirectory("graft-packet").resolve(
+      java.nio.file.Paths.get(src).getFileName)
+    Files.createDirectories(dst)
+    Files.list(java.nio.file.Paths.get(src)).forEach { f =>
+      Files.copy(f, dst.resolve(f.getFileName))
+    }
+    dst.toString
+  }
+
+  test("test_common runs to success with the expected fan-out") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    val res = runner(state).run("packets/test_common")
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    assert(res.packetStatus("spark") == "done")
+    // step 02: 10 grid rows; step 03: 3 nsp rows; step 04: 3x3; 01/05: 1 each
+    val done = res.stepResults("spark")
+    assert(done("02_step.sql") == StepOutcome.Done(10), done.toString)
+    assert(done("03_step.sql") == StepOutcome.Done(3))
+    assert(done("04_step.sql") == StepOutcome.Done(9))
+    // fan-out substitution visible in captured resultsets (last action wins)
+    val rs = res.resultData("spark")("04_step.sql").head
+    assert(rs.columns == Seq("combo"))
+    // UNION (distinct) generator order is engine-defined; only the shape
+    // of the substituted value is stable
+    assert(rs.rows.head.head.toString.matches("nsp_[def]\\.tbl_[abc]"))
+    // tracker recorded every action
+    val tracker = new ActionTracker(spark, state)
+    assert(tracker.actions.count() == 1L + 10 + 3 + 9 + 1)
+  }
+
+  test("re-run is idempotent: zero new actions; wipe forces full re-run") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    runner(state).run("packets/test_common")
+    val tracker = new ActionTracker(spark, state)
+    val n1 = tracker.actions.count()
+    val res2 = runner(state).run("packets/test_common")
+    assert(res2.resultCode("spark") == "success")
+    assert(res2.stepResults("spark")("02_step.sql") == StepOutcome.Done(0))
+    assert(tracker.actions.count() == n1, "re-run must execute zero new actions")
+    assert(tracker.wipePacket("test_common"))
+    assert(tracker.actions.count() == 0)
+    runner(state).run("packets/test_common")
+    assert(tracker.actions.count() == n1, "wipe → run must re-execute all")
+  }
+
+  test("hash drift guard refuses a modified packet unless forced") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    val dir = copyPacket("packets/test_common")
+    runner(state).run(dir)
+    // edit a step: hash changes
+    val step = java.nio.file.Paths.get(dir, "05_step.sql")
+    Files.writeString(step, "SELECT 2 AS post_check;\n")
+    val res = runner(state).run(dir)
+    assert(res.resultCode("spark") == "fail")
+    assert(res.notices.exists(_.message.contains("hash")))
+    val forced = runner(state, force = true).run(dir)
+    assert(forced.resultCode("spark") == "success")
+  }
+
+  test("locked packet is not executed") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    val tracker = new ActionTracker(spark, state)
+    tracker.initTables()
+    tracker.setPacketLock("test_common")
+    val res = runner(state).run("packets/test_common")
+    assert(res.resultCode("spark") == "locked")
+    assert(tracker.actions.count() == 0)
+    tracker.setPacketUnlock("test_common")
+    assert(runner(state).run("packets/test_common").resultCode("spark") == "success")
+  }
+
+  test("packet status reflects the last run") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    runner(state).run("packets/test_common")
+    val tracker = new ActionTracker(spark, state)
+    val st = tracker.packetStatus("test_common")
+    assert(st.map(_.status).contains("done"))
+    assert(st.exists(_.hash.nonEmpty))
+  }
+
+  test("e01 packet: generator fan-out writes per-region counts") {
+    Tables.registerAll(spark, fixtures)
+    val res = new PacketRunner(spark,
+      RunnerConf(stateDir = tmpState(), placeholders = Map(
+        "out_loc" -> Files.createTempDirectory("graft-e01").toString)))
+      .run("packets/e01_packet_run")
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    val out = spark.sql("SELECT r_name, n_count FROM e01_out ORDER BY r_name")
+    assert(out.count() == 5)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_count"))
+      .head().getLong(0) == 25L)
+  }
+
+  test("failing step records exception status and stops") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    val dir = copyPacket("packets/test_common")
+    Files.writeString(java.nio.file.Paths.get(dir, "03_step.sql"),
+      "SELECT * FROM table_that_does_not_exist;\n")
+    val res = runner(state).run(dir)
+    assert(res.resultCode("spark") == "fail")
+    assert(res.packetStatus("spark") == "exception")
+    // earlier steps executed, later ones did not
+    val outcomes = res.stepResults("spark")
+    assert(outcomes("02_step.sql") == StepOutcome.Done(10))
+    assert(!outcomes.contains("04_step.sql"))
+    val tracker = new ActionTracker(spark, state)
+    val st = tracker.packetStatus("test_common")
+    assert(st.map(_.status).contains("exception"))
+  }
+
+  test("skip-step-cancel records the skip and continues with later steps") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    val dir = copyPacket("packets/test_common")
+    Files.writeString(java.nio.file.Paths.get(dir, "03_step.sql"),
+      "SELECT * FROM table_that_does_not_exist;\n")
+    val res = new PacketRunner(spark, RunnerConf(stateDir = state,
+      skipStepCancel = true)).run(dir)
+    assert(res.resultCode("spark") == "success")
+    val outcomes = res.stepResults("spark")
+    assert(outcomes("03_step.sql") == StepOutcome.Skipped("skip_step"))
+    assert(outcomes("04_step.sql") == StepOutcome.Done(9))
+  }
+
+  test("read_only packet rejects writes and tracks nothing") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    val dir = Files.createTempDirectory("graft-ro").resolve("ro_packet")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("01_step.sql"),
+      "SELECT count(*) AS n FROM region;\n")
+    Files.writeString(dir.resolve("meta_data.json"), """{"type": "read_only"}""")
+    val res = runner(state).run(dir.toString)
+    assert(res.resultCode("spark") == "success")
+    assert(res.resultData("spark")("01_step.sql").head.rows.head.head == 5L)
+    assert(new ActionTracker(spark, state).actions.count() == 0)
+
+    Files.writeString(dir.resolve("02_step.sql"),
+      "DROP TABLE IF EXISTS should_not_run;\n")
+    val res2 = runner(tmpState()).run(dir.toString)
+    assert(res2.resultCode("spark") == "fail")
+    assert(res2.notices.exists(_.message.contains("read-only")))
+  }
+
+  test("user placeholders substitute into steps and generators") {
+    Tables.registerAll(spark, fixtures)
+    val dir = Files.createTempDirectory("graft-pl").resolve("pl_packet")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("01_step.sql"),
+      "SELECT 'DBC_PL_user_name' AS who, DBC_PL_user_id AS uid;\n")
+    val res = new PacketRunner(spark, RunnerConf(stateDir = tmpState(),
+      placeholders = Map("user_name" -> "alice", "user_id" -> "42")))
+      .run(dir.toString)
+    assert(res.resultCode("spark") == "success")
+    val rs = res.resultData("spark")("01_step.sql").head
+    assert(rs.rows.head == Seq("alice", 42))
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+import graft.sources.Tables
+
+/** Export sink, hook sink, and python-step (Scala callback) behavior —
+  * mirrors reference tests TestDBCExportData (test_packets.py:586-632),
+  * the mocked-webhook assertions (:19-22,98) and TestDBCPyStep (:635-666).
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val fixtures = "/root/testdata/sf0.001"
+
+  private def mkPacket(name: String, files: Map[String, String]): String = {
+    val dir = Files.createTempDirectory("graft-sink").resolve(name)
+    Files.createDirectories(dir)
+    files.foreach { case (n, c) => Files.writeString(dir.resolve(n), c) }
+    dir.toString
+  }
+
+  test("export_data packet writes tab-delimited QUOTE_ALL csv with header") {
+    Tables.registerAll(spark, fixtures)
+    val exportDir = Files.createTempDirectory("graft-export").toString
+    val dir = mkPacket("test_export_data", Map(
+      "01_step.sql" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey;",
+      "meta_data.json" -> """{"type": "export_data"}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      exportDir = Some(exportDir))).run(dir)
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    val csvs = Files.list(Paths.get(exportDir)).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".csv"))
+    assert(csvs.size == 1)
+    val lines = Files.readAllLines(csvs.head).asScala
+    assert(lines.head == "\"r_regionkey\"\t\"r_name\"")
+    assert(lines.size == 6) // header + 5 regions
+    assert(lines(1).startsWith("\"0\"\t\""))
+  }
+
+  test("export_data with use_zip + random password embeds password in filename") {
+    Tables.registerAll(spark, fixtures)
+    val exportDir = Files.createTempDirectory("graft-export").toString
+    val dir = mkPacket("test_export_zip", Map(
+      "01_step.sql" -> "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey;",
+      "meta_data.json" ->
+        """{"type": "export_data", "export_options": {"use_zip": true, "password": "random"}}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      exportDir = Some(exportDir))).run(dir)
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    val files = Files.list(Paths.get(exportDir)).iterator().asScala.toSeq
+    val zips = files.filter(_.toString.endsWith(".zip"))
+    assert(zips.size == 1)
+    assert(files.count(_.toString.endsWith(".csv")) == 0, "csvs deleted after zipping")
+    // filename contract: export_<12-char-password>_<ts>_<target>.zip
+    val name = zips.head.getFileName.toString
+    val m = "export_([A-Za-z0-9]{12})_\\d{8}-\\d{6}_spark\\.zip".r.findFirstMatchIn(name)
+    assert(m.isDefined, s"unexpected zip name: $name")
+    // zip round-trip: entry is readable and has the header line
+    val zf = new java.util.zip.ZipFile(zips.head.toFile)
+    try {
+      val entries = zf.entries().asScala.toSeq
+      assert(entries.size == 1)
+      val content = new String(zf.getInputStream(entries.head).readAllBytes())
+      assert(content.startsWith("\"n_nationkey\"\t\"n_name\""))
+      assert(content.linesIterator.size == 26)
+    } finally zf.close()
+  }
+
+  test("export_data packet rejects non-SELECT statements") {
+    Tables.registerAll(spark, fixtures)
+    val dir = mkPacket("test_export_bad", Map(
+      "01_step.sql" -> "DROP TABLE IF EXISTS nope;",
+      "meta_data.json" -> """{"type": "export_data"}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      exportDir = Some(Files.createTempDirectory("graft-export").toString))).run(dir)
+    assert(res.resultCode("spark") == "fail")
+    assert(res.notices.exists(_.message.contains("non-SELECT")))
+  }
+
+  test("resultset hook posts markdown filtered by verbosity") {
+    Tables.registerAll(spark, fixtures)
+    val posts = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val dir = mkPacket("test_hook", Map(
+      "01_step.sql" -> "SELECT r_name FROM region ORDER BY r_name LIMIT 2;",
+      "meta_data.json" ->
+        """{"hook": {"channel": "alerts", "username": "dbc", "verbosity": ["resultset"]}}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      hookSink = Some(HookSink.buffering(posts)))).run(dir)
+    assert(res.resultCode("spark") == "success")
+    assert(posts.size == 1)
+    val (channel, user, md) = posts.head
+    assert(channel == "alerts" && user == "dbc")
+    assert(md.contains("**01_step.sql**"))
+    assert(md.contains("| r_name |") && md.contains("| AFRICA |"))
+  }
+
+  test("hook with raise-only verbosity posts nothing for resultsets") {
+    Tables.registerAll(spark, fixtures)
+    val posts = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val dir = mkPacket("test_hook2", Map(
+      "01_step.sql" -> "SELECT 1 AS x;",
+      "meta_data.json" -> """{"hook": {"channel": "c", "verbosity": ["raise"]}}"""))
+    new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      hookSink = Some(HookSink.buffering(posts)))).run(dir)
+    assert(posts.isEmpty)
+  }
+
+  test("python step runs a registered Scala callback with engine context") {
+    Tables.registerAll(spark, fixtures)
+    ScalaSteps.register("test_py_step", "02_step.py") { ctx =>
+      // the reference's py step imports a data file and reports on it
+      // (packets/test_py_step/02_step.py); here: count a fixture table
+      val n = ctx.spark.table("region").count()
+      ctx.results += ResultSet(Seq("n_regions"), Seq(Seq(n)))
+      ctx.notice("NOTICE", s"py step saw $n regions")
+    }
+    val dir = mkPacket("test_py_step", Map(
+      "01_step.sql" -> "SELECT 1 AS ok;",
+      "02_step.py" -> "# placeholder body: execution is the registered callback",
+      "meta_data.json" -> """{"type": "default"}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString)).run(dir)
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    assert(res.resultData("spark")("02_step.py").head.rows.head.head == 5L)
+    assert(res.notices.exists(_.message.contains("py step saw 5 regions")))
+  }
+
+  test("python step without a registered callback fails the step") {
+    Tables.registerAll(spark, fixtures)
+    val dir = mkPacket("test_py_missing", Map(
+      "01_step.py" -> "# no callback registered"))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString)).run(dir)
+    assert(res.resultCode("spark") == "fail")
+    assert(res.packetStatus("spark") == "exception")
+  }
+}
