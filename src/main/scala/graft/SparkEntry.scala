@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EngineQueries, PipelineQueries, QuerySpec, RelationalQueries}
+import graft.queries.{CatalogQueries, EngineQueries, PipelineQueries, QuerySpec, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every verifiable operator the engine ships (SURVEY.md §2 inventory). */
   def specs: Seq[QuerySpec] =
-    RelationalQueries.specs ++ PipelineQueries.specs ++ EngineQueries.specs
+    RelationalQueries.specs ++ PipelineQueries.specs ++ EngineQueries.specs ++
+      CatalogQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.sources.PgCatalog
+
+/** Real reference packets ported onto the synthesized pg_catalog fixture
+  * (SURVEY.md §2.2 catalog-scan row; fixture: graft.sources.PgCatalog).
+  *
+  * Each query body is written in the Spark-SQL ∩ DuckDB-SQL dialect
+  * intersection and prefixed with the SAME catalog CTEs on both sides
+  * (PgCatalog.withCatalog), so the Spark plan and the DuckDB oracle run
+  * literally identical text — any divergence is an engine-semantics bug,
+  * not a fixture drift.
+  *
+  * Portability rules used below (all verified by the oracle gate):
+  *  - pg_size_pretty → inline CASE emulation (PostgreSQL rounding:
+  *    (b/512+1)/2 kB etc.), power-of-two divisors are exact in doubles;
+  *  - double→int conversions via floor()/round() + CAST (DuckDB CAST
+  *    rounds, Spark CAST truncates — never cast a fractional double);
+  *  - `x // y` → CAST(floor(x / y) AS BIGINT); `::numeric` → DOUBLE math;
+  *  - regexp_split_to_table(indkey) → the pre-exploded pg_index_key table;
+  *  - pg_get_indexdef/constraintdef → pre-rendered catalog columns
+  *    (decompilers become data on a file target).
+  */
+object CatalogQueries {
+
+  /** PostgreSQL pg_size_pretty semantics as portable SQL over a BIGINT
+    * expression (same rounding as PgFunctions.sizePretty / q38). */
+  private def sizePretty(x: String): String = {
+    def half(div: Long, unit: String): String =
+      s"CAST(CAST(floor((CAST(floor(($x) / $div.0) AS BIGINT) + 1) / 2.0) AS BIGINT) AS STRING) || ' $unit'"
+    s"""CASE WHEN ($x) < 10240 THEN CAST(($x) AS STRING) || ' bytes'
+         WHEN CAST(floor(($x) / 512.0) AS BIGINT) < 20479 THEN ${half(512L, "kB")}
+         WHEN CAST(floor(($x) / 524288.0) AS BIGINT) < 20479 THEN ${half(524288L, "MB")}
+         WHEN CAST(floor(($x) / 536870912.0) AS BIGINT) < 20479 THEN ${half(536870912L, "GB")}
+         ELSE ${half(549755813888L, "TB")} END"""
+  }
+
+  /** dba_top_tables/01_step.sql:1-56 — top tables by total size with
+    * table/index/total pretty sizes and tuple stats. Sizes derive from
+    * catalog page counts (relpages × 8192 = pg_table_size on a file
+    * target); the nested LIMIT 50 → re-sort → LIMIT 30 shape is kept. */
+  val dbaTopTables: String = s"""
+    , pg_class_prep AS (
+        SELECT c_1.relname, c_1.relnamespace, c_1.relkind, c_1.oid,
+          s.n_live_tup, s.n_dead_tup, s.n_tup_ins, s.n_tup_upd
+        FROM pg_class c_1
+        JOIN pg_stat_all_tables s ON c_1.oid = s.relid
+        WHERE c_1.relpages > 10 AND c_1.relkind = 'r'
+        ORDER BY c_1.relpages DESC
+        LIMIT 50
+    ), idx_sizes AS (
+        SELECT i.indrelid, CAST(sum(ic.relpages) AS BIGINT) * 8192 AS idx_bytes
+        FROM pg_index i
+        JOIN pg_class ic ON ic.oid = i.indexrelid
+        GROUP BY i.indrelid
+    ), sized AS (
+        SELECT n.nspname, c.relname,
+          CAST(tc.relpages AS BIGINT) * 8192 AS size_raw,
+          COALESCE(x.idx_bytes, CAST(0 AS BIGINT)) AS idxsize_raw,
+          CAST(tc.relpages AS BIGINT) * 8192
+            + COALESCE(x.idx_bytes, CAST(0 AS BIGINT)) AS total_raw,
+          c.n_live_tup, c.n_dead_tup, c.n_tup_ins, c.n_tup_upd
+        FROM pg_class_prep c
+        JOIN pg_class tc ON tc.oid = c.oid
+        JOIN pg_namespace n ON n.oid = c.relnamespace
+        LEFT JOIN idx_sizes x ON x.indrelid = c.oid
+        WHERE n.nspname NOT IN ('pg_catalog', 'information_schema')
+          AND n.nspname NOT LIKE 'pg_toast%'
+          AND c.relkind IN ('r', 'i')
+    )
+    SELECT nspname, relname,
+      ${sizePretty("size_raw")} AS size,
+      ${sizePretty("idxsize_raw")} AS idxs_size,
+      ${sizePretty("total_raw")} AS total,
+      n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd
+    FROM sized
+    ORDER BY total_raw DESC, relname
+    LIMIT 30"""
+
+  /** dba_locks/01_step.sql:1-23 — blocked↔blocking backend pairs via the
+    * pg_locks self-join on nine IS NOT DISTINCT FROM columns (NULL-safe
+    * equality is load-bearing: most lock columns are NULL). ORDER BY added
+    * for hash determinism (the reference bare LIMIT is masked by its
+    * golden harness the same way). */
+  val dbaLocks: String = """
+    SELECT
+      blocking_locks.pid AS blocker_pid,
+      blocking_activity.usename AS blocker_user,
+      substring(blocking_activity.query, 1, 63) AS blocker_statement,
+      blocked_locks.pid AS blocked_pid,
+      blocked_activity.usename AS blocked_user,
+      substring(blocked_activity.query, 1, 63) AS blocked_statement
+    FROM pg_locks blocked_locks
+    JOIN pg_stat_activity blocked_activity
+      ON blocked_activity.pid = blocked_locks.pid
+    JOIN pg_locks blocking_locks
+      ON blocking_locks.locktype = blocked_locks.locktype
+      AND blocking_locks.database IS NOT DISTINCT FROM blocked_locks.database
+      AND blocking_locks.relation IS NOT DISTINCT FROM blocked_locks.relation
+      AND blocking_locks.page IS NOT DISTINCT FROM blocked_locks.page
+      AND blocking_locks.tuple IS NOT DISTINCT FROM blocked_locks.tuple
+      AND blocking_locks.virtualxid IS NOT DISTINCT FROM blocked_locks.virtualxid
+      AND blocking_locks.transactionid IS NOT DISTINCT FROM blocked_locks.transactionid
+      AND blocking_locks.classid IS NOT DISTINCT FROM blocked_locks.classid
+      AND blocking_locks.objid IS NOT DISTINCT FROM blocked_locks.objid
+      AND blocking_locks.objsubid IS NOT DISTINCT FROM blocked_locks.objsubid
+      AND blocking_locks.pid != blocked_locks.pid
+    JOIN pg_stat_activity blocking_activity
+      ON blocking_activity.pid = blocking_locks.pid
+    WHERE NOT blocked_locks.granted
+    ORDER BY blocked_pid, blocker_pid
+    LIMIT 30"""
+
+  /** alert_bloat/01_step.sql:1-117 — the 4-CTE b-tree bloat estimator
+    * (btree_index_atts → index_item_sizes → index_aligned_est → raw_bloat).
+    * The alignment/page-header arithmetic is kept verbatim; divergences:
+    * indkey split → pg_index_key join, pg_stats matched on attname (the
+    * functional-index OR branch needs the decompiler), fillfactor parsed
+    * with position/substring instead of the SQL pattern form (regexp
+    * extraction itself is covered by q21). */
+  val alertBloat: String = """
+    , btree_index_atts AS (
+        SELECT n.nspname, ci.relname AS index_name, ci.reltuples, ci.relpages,
+          i.indrelid, i.indexrelid, ci.relam, ct.relname AS tablename,
+          k.attnum,
+          CASE WHEN ci.reloptions LIKE '%fillfactor=%'
+               THEN CAST(substring(ci.reloptions,
+                 position('fillfactor=' IN ci.reloptions) + 11, 3) AS INT)
+               ELSE 100 END AS fillfactor,
+          i.indexrelid AS index_oid, i.inddef,
+          i.indisunique, i.indisprimary
+        FROM pg_index i
+        JOIN pg_class ci ON i.indexrelid = ci.oid AND ci.relkind = 'i'
+        JOIN pg_class ct ON i.indrelid = ct.oid AND ct.relkind IN ('r', 'm', 't')
+        JOIN pg_namespace n ON n.oid = ci.relnamespace
+        JOIN pg_am a ON ci.relam = a.oid
+        JOIN pg_index_key k ON k.indexrelid = i.indexrelid
+        WHERE a.amname = 'btree' AND ci.relpages > 3000
+          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+          AND ct.reltuples > 5000
+    ), index_item_sizes AS (
+        SELECT ia.nspname, ia.index_name, ia.reltuples, ia.relpages, ia.relam,
+          ia.indrelid AS table_oid, ia.index_oid,
+          8192 AS bs, ia.fillfactor,
+          8 AS maxalign, 24 AS pagehdr,
+          CASE WHEN max(COALESCE(st.null_frac, 0)) = 0 THEN 2 ELSE 6 END
+            AS index_tuple_hdr,
+          sum((1 - COALESCE(st.null_frac, 0)) * COALESCE(st.avg_width, 1024))
+            AS nulldatawidth
+        FROM pg_attribute att
+        JOIN btree_index_atts ia
+          ON att.attrelid = ia.indexrelid AND att.attnum = ia.attnum
+        JOIN pg_stats st ON st.schemaname = ia.nspname
+          AND st.tablename = ia.tablename AND st.attname = att.attname
+        WHERE att.attnum > 0
+        GROUP BY ia.nspname, ia.index_name, ia.reltuples, ia.relpages,
+          ia.relam, ia.indrelid, ia.index_oid, ia.fillfactor
+    ), index_aligned_est AS (
+        SELECT maxalign, bs, nspname, index_name, reltuples, relpages, relam,
+          table_oid, index_oid, fillfactor,
+          COALESCE(CAST(ceil(
+            reltuples * (6
+              + maxalign
+              - CASE WHEN index_tuple_hdr % maxalign = 0 THEN maxalign
+                     ELSE index_tuple_hdr % maxalign END
+              + nulldatawidth
+              + maxalign
+              - CASE WHEN CAST(round(nulldatawidth) AS INT) % maxalign = 0
+                     THEN maxalign
+                     ELSE CAST(round(nulldatawidth) AS INT) % maxalign END
+            ) / (bs - CAST(pagehdr AS DOUBLE)) + 1
+          ) AS DOUBLE), CAST(0 AS DOUBLE)) AS expected
+        FROM index_item_sizes
+    ), raw_bloat AS (
+        SELECT 'graft' AS dbname, e.nspname, c.relname AS table_name,
+          e.index_name,
+          CAST(e.bs AS BIGINT) * e.relpages AS totalbytes, e.expected,
+          CASE WHEN e.relpages <= e.expected THEN CAST(0 AS BIGINT)
+               ELSE CAST(e.bs AS BIGINT)
+                 * CAST(floor(e.relpages - e.expected) AS BIGINT)
+          END AS wastedbytes,
+          CASE WHEN e.relpages <= e.expected THEN CAST(0 AS DOUBLE)
+               ELSE CAST(e.bs AS BIGINT)
+                 * CAST(floor(e.relpages - e.expected) AS BIGINT) * 100
+                 / (CAST(e.bs AS BIGINT) * e.relpages)
+          END AS realbloat,
+          CAST(c.relpages AS BIGINT) * 8192 AS table_bytes,
+          stat.idx_scan AS index_scans, e.fillfactor
+        FROM index_aligned_est e
+        JOIN pg_class c ON c.oid = e.table_oid
+        JOIN pg_stat_user_indexes stat ON e.index_oid = stat.indexrelid
+    )
+    SELECT nspname AS schema_name, table_name, index_name,
+      round(realbloat, 2) AS bloat_pct,
+      """ + sizePretty("wastedbytes") + """ AS bloat_size,
+      """ + sizePretty("totalbytes") + """ AS index_size,
+      """ + sizePretty("table_bytes") + """ AS table_size,
+      fillfactor
+    FROM raw_bloat
+    WHERE round(realbloat, 2) >= 80 AND wastedbytes / 1048576.0 > 5
+    ORDER BY wastedbytes DESC, index_name
+    LIMIT 10"""
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("c01_dba_top_tables",
+      (s, _) => s.sql(PgCatalog.withCatalog(dbaTopTables)),
+      oracle = Some(PgCatalog.withCatalog(dbaTopTables))),
+    QuerySpec("c02_dba_locks",
+      (s, _) => s.sql(PgCatalog.withCatalog(dbaLocks)),
+      oracle = Some(PgCatalog.withCatalog(dbaLocks))),
+    QuerySpec("c03_alert_bloat",
+      (s, _) => s.sql(PgCatalog.withCatalog(alertBloat)),
+      oracle = Some(PgCatalog.withCatalog(alertBloat)))
+  )
+}

@@ -1,0 +1,236 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic synthesized pg_catalog fixture (FIXTURES.md §A8).
+  *
+  * The reference's alert_/dba_ packets read `pg_class`, `pg_namespace`,
+  * `pg_index`, `pg_attribute`, `pg_stats`, `pg_am`, `pg_constraint`,
+  * `pg_stat_all_tables`, `pg_stat_user_indexes`, `pg_locks`,
+  * `pg_stat_activity`, `pg_settings` (SURVEY.md §2.2 catalog-scan row; e.g.
+  * /root/reference/packets/alert_bloat/01_step.sql:18-26,
+  * /root/reference/packets/dba_locks/01_step.sql:8-22). File targets have
+  * no live catalog, so we synthesize one DESCRIBING the parquet fixture
+  * tables (lineitem/orders/... with plausible page counts and synthetic
+  * b-tree indexes, two of them deliberately bloated, plus a lock-wait
+  * scenario with NULL columns to exercise null-safe joins).
+  *
+  * Every table is a single dialect-portable `VALUES` SQL string (the
+  * intersection of Spark SQL and DuckDB SQL): the SAME text both registers
+  * the Spark temp views and prefixes the DuckDB oracle as CTEs, so catalog
+  * contents can never drift between the engine and its oracle.
+  *
+  * Size functions (`pg_table_size` family) are relpages-derived arithmetic
+  * (relpages × 8192) — the catalog's page counts are the single source of
+  * truth, exactly how a live catalog behaves.
+  */
+object PgCatalog {
+
+  /** (oid, nspname) */
+  val pgNamespace: String =
+    """SELECT * FROM (VALUES
+      (11, 'pg_catalog'), (2200, 'public'), (13000, 'information_schema'),
+      (16500, 'analytics'), (99, 'pg_toast')) AS t(oid, nspname)"""
+
+  /** (oid, amname) */
+  val pgAm: String =
+    """SELECT * FROM (VALUES (403, 'btree'), (405, 'hash')) AS t(oid, amname)"""
+
+  /** (oid, relname, relnamespace, relkind, reltuples, relpages, relam,
+    * reloptions) — relkind: r=table, i=index, t=toast. reloptions is the
+    * rendered storage-options string (fillfactor extraction target). */
+  val pgClass: String =
+    """SELECT * FROM (VALUES
+      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING)),
+      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL),
+      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL),
+      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL),
+      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL),
+      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL),
+      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL),
+      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   NULL),
+      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   NULL),
+      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL),
+      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL),
+      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL),
+      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90'),
+      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL),
+      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL),
+      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70'),
+      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL),
+      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL),
+      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70'),
+      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL),
+      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL),
+      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL)
+      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions)"""
+
+  /** (indexrelid, indrelid, indisunique, indisprimary, inddef) — inddef is
+    * the pre-rendered pg_get_indexdef text (decompilers become catalog
+    * columns on a file target, SURVEY.md §2.2). */
+  val pgIndex: String =
+    """SELECT * FROM (VALUES
+      (17001, 16384, 1, 1, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)'),
+      (17002, 16384, 0, 0, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)'),
+      (17003, 16385, 1, 1, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)'),
+      (17004, 16385, 0, 0, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)'),
+      (17005, 16386, 1, 1, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)'),
+      (17006, 16387, 1, 1, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)'),
+      (17007, 16391, 0, 0, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)'),
+      (17008, 16392, 0, 0, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)'),
+      (17009, 16393, 1, 1, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)'),
+      (17010, 16388, 1, 1, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)')
+      ) AS t(indexrelid, indrelid, indisunique, indisprimary, inddef)"""
+
+  /** (indexrelid, attnum, keypos) — one row per index key column: the
+    * portable form of `regexp_split_to_table(indkey::text, ' ')`
+    * (alert_bloat/01_step.sql:9). */
+  val pgIndexKey: String =
+    """SELECT * FROM (VALUES
+      (17001, 1, 1), (17001, 4, 2),
+      (17002, 11, 1),
+      (17003, 1, 1),
+      (17004, 2, 1),
+      (17005, 1, 1),
+      (17006, 1, 1),
+      (17007, 2, 1),
+      (17008, 3, 1),
+      (17009, 1, 1),
+      (17010, 1, 1)
+      ) AS t(indexrelid, attnum, keypos)"""
+
+  /** (attrelid, attnum, attname) — attribute rows under the INDEX oid with
+    * the TABLE attnum, the shape the bloat query's join uses. */
+  val pgAttribute: String =
+    """SELECT * FROM (VALUES
+      (17001, 1, 'l_orderkey'), (17001, 4, 'l_linenumber'),
+      (17002, 11, 'l_shipdate'),
+      (17003, 1, 'o_orderkey'),
+      (17004, 2, 'o_custkey'),
+      (17005, 1, 'c_custkey'),
+      (17006, 1, 'p_partkey'),
+      (17007, 2, 'ts'),
+      (17008, 3, 'fp'),
+      (17009, 1, 'vec_id'),
+      (17010, 1, 's_suppkey')
+      ) AS t(attrelid, attnum, attname)"""
+
+  /** (schemaname, tablename, attname, null_frac, avg_width) */
+  val pgStats: String =
+    """SELECT * FROM (VALUES
+      ('public', 'lineitem', 'l_orderkey',    CAST(0.0 AS DOUBLE), 8),
+      ('public', 'lineitem', 'l_linenumber',  CAST(0.0 AS DOUBLE), 4),
+      ('public', 'lineitem', 'l_shipdate',    CAST(0.02 AS DOUBLE), 4),
+      ('public', 'orders',   'o_orderkey',    CAST(0.0 AS DOUBLE), 8),
+      ('public', 'orders',   'o_custkey',     CAST(0.0 AS DOUBLE), 8),
+      ('public', 'customer', 'c_custkey',     CAST(0.0 AS DOUBLE), 8),
+      ('public', 'part',     'p_partkey',     CAST(0.0 AS DOUBLE), 8),
+      ('public', 'supplier', 's_suppkey',     CAST(0.0 AS DOUBLE), 8),
+      ('analytics', 'events', 'ts',           CAST(0.0 AS DOUBLE), 8),
+      ('analytics', 'documents', 'fp',        CAST(0.0 AS DOUBLE), 33),
+      ('analytics', 'embeddings', 'vec_id',   CAST(0.0 AS DOUBLE), 8)
+      ) AS t(schemaname, tablename, attname, null_frac, avg_width)"""
+
+  /** (relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd) */
+  val pgStatAllTables: String =
+    """SELECT * FROM (VALUES
+      (16384, CAST(600572 AS BIGINT), CAST(1200 AS BIGINT), CAST(600572 AS BIGINT), CAST(4500 AS BIGINT), CAST(900 AS BIGINT)),
+      (16385, CAST(150000 AS BIGINT), CAST(800 AS BIGINT),  CAST(150000 AS BIGINT), CAST(2500 AS BIGINT), CAST(400 AS BIGINT)),
+      (16386, CAST(15000 AS BIGINT),  CAST(40 AS BIGINT),   CAST(15000 AS BIGINT),  CAST(300 AS BIGINT),  CAST(80 AS BIGINT)),
+      (16387, CAST(20000 AS BIGINT),  CAST(60 AS BIGINT),   CAST(20000 AS BIGINT),  CAST(150 AS BIGINT),  CAST(20 AS BIGINT)),
+      (16388, CAST(1000 AS BIGINT),   CAST(5 AS BIGINT),    CAST(1000 AS BIGINT),   CAST(10 AS BIGINT),   CAST(2 AS BIGINT)),
+      (16389, CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
+      (16390, CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
+      (16391, CAST(250000 AS BIGINT), CAST(2000 AS BIGINT), CAST(250000 AS BIGINT), CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
+      (16392, CAST(5000 AS BIGINT),   CAST(100 AS BIGINT),  CAST(5000 AS BIGINT),   CAST(600 AS BIGINT),  CAST(120 AS BIGINT)),
+      (16393, CAST(5000 AS BIGINT),   CAST(20 AS BIGINT),   CAST(5000 AS BIGINT),   CAST(50 AS BIGINT),   CAST(10 AS BIGINT))
+      ) AS t(relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd)"""
+
+  /** (indexrelid, idx_scan) */
+  val pgStatUserIndexes: String =
+    """SELECT * FROM (VALUES
+      (17001, CAST(998877 AS BIGINT)), (17002, CAST(12 AS BIGINT)),
+      (17003, CAST(456789 AS BIGINT)), (17004, CAST(99 AS BIGINT)),
+      (17005, CAST(5000 AS BIGINT)),   (17006, CAST(7000 AS BIGINT)),
+      (17007, CAST(31337 AS BIGINT)),  (17008, CAST(0 AS BIGINT)),
+      (17009, CAST(424242 AS BIGINT)), (17010, CAST(800 AS BIGINT))
+      ) AS t(indexrelid, idx_scan)"""
+
+  /** (oid, conname, contype, connamespace, conindid, conrelid, condef) */
+  val pgConstraint: String =
+    """SELECT * FROM (VALUES
+      (18001, 'lineitem_pkey',   'p', 2200,  17001, 16384, 'PRIMARY KEY (l_orderkey, l_linenumber)'),
+      (18002, 'orders_pkey',     'p', 2200,  17003, 16385, 'PRIMARY KEY (o_orderkey)'),
+      (18003, 'customer_pkey',   'p', 2200,  17005, 16386, 'PRIMARY KEY (c_custkey)'),
+      (18004, 'part_pkey',       'p', 2200,  17006, 16387, 'PRIMARY KEY (p_partkey)'),
+      (18005, 'embeddings_pkey', 'p', 16500, 17009, 16393, 'PRIMARY KEY (vec_id)'),
+      (18006, 'supplier_pkey',   'p', 2200,  17010, 16388, 'PRIMARY KEY (s_suppkey)')
+      ) AS t(oid, conname, contype, connamespace, conindid, conrelid, condef)"""
+
+  /** Lock-wait scenario (dba_locks/01_step.sql:8-22): pid 202 waits on the
+    * relation lock held by 101; pid 303 waits on transactionid 555 held by
+    * 404; pid 505 holds an uncontended lock. NULL columns are load-bearing:
+    * the blocked↔blocking self-join matches them with IS NOT DISTINCT FROM. */
+  val pgLocks: String =
+    """SELECT * FROM (VALUES
+      ('relation',      16900, 16384, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS STRING), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT), 101, true),
+      ('relation',      16900, 16384, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 202, false),
+      ('transactionid', 16900, CAST(NULL AS INT), NULL, NULL, NULL, 555,  NULL, NULL, NULL, 404, true),
+      ('transactionid', 16900, NULL, NULL, NULL, NULL, 555,  NULL, NULL, NULL, 303, false),
+      ('relation',      16900, 16391, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 505, true),
+      ('virtualxid',    CAST(NULL AS INT), NULL, NULL, NULL, '3/42', NULL, NULL, NULL, NULL, 101, true)
+      ) AS t(locktype, database, relation, page, tuple, virtualxid, transactionid, classid, objid, objsubid, pid, granted)"""
+
+  /** (pid, usename, query, state, application_name) */
+  val pgStatActivity: String =
+    """SELECT * FROM (VALUES
+      (101, 'app_rw',    'UPDATE lineitem SET l_quantity = l_quantity + 1 WHERE l_orderkey BETWEEN 1 AND 10000', 'active', 'app'),
+      (202, 'dbc_user',  'ALTER TABLE lineitem ALTER COLUMN l_linenumber TYPE bigint', 'active', 'dbc_int4_to_int8'),
+      (303, 'report_ro', 'SELECT count(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey', 'active', 'reports'),
+      (404, 'app_rw',    'INSERT INTO orders SELECT * FROM orders_staging', 'idle in transaction', 'app'),
+      (505, 'etl',       'COPY events FROM stdin', 'active', 'etl_loader')
+      ) AS t(pid, usename, query, state, application_name)"""
+
+  /** (name, setting, unit) — current_setting targets (dba_get_conf). */
+  val pgSettings: String =
+    """SELECT * FROM (VALUES
+      ('block_size', '8192', CAST(NULL AS STRING)),
+      ('work_mem', '204800', 'kB'),
+      ('maintenance_work_mem', '1048576', 'kB'),
+      ('shared_buffers', '1048576', '8kB'),
+      ('autovacuum', 'on', NULL),
+      ('server_version', '14.11', NULL),
+      ('statement_timeout', '3600000', 'ms')
+      ) AS t(name, setting, unit)"""
+
+  /** name → portable VALUES SQL, in dependency-free registration order. */
+  val tables: Seq[(String, String)] = Seq(
+    "pg_namespace" -> pgNamespace,
+    "pg_am" -> pgAm,
+    "pg_class" -> pgClass,
+    "pg_index" -> pgIndex,
+    "pg_index_key" -> pgIndexKey,
+    "pg_attribute" -> pgAttribute,
+    "pg_stats" -> pgStats,
+    "pg_stat_all_tables" -> pgStatAllTables,
+    "pg_stat_user_indexes" -> pgStatUserIndexes,
+    "pg_constraint" -> pgConstraint,
+    "pg_locks" -> pgLocks,
+    "pg_stat_activity" -> pgStatActivity,
+    "pg_settings" -> pgSettings)
+
+  /** Register every catalog table as a Spark temp view. */
+  def registerAll(spark: SparkSession): Unit =
+    tables.foreach { case (n, sql) => spark.sql(sql).createOrReplaceTempView(n) }
+
+  /** The same fixture as a `WITH` prelude for a self-contained query:
+    * `withCatalog("SELECT ... FROM pg_class ...")` runs identically under
+    * Spark and DuckDB. The body may contribute its own CTEs by starting
+    * with `, name AS (...)`. */
+  def withCatalog(body: String): String = {
+    val ctes = tables.map { case (n, sql) => s"$n AS ($sql)" }.mkString(",\n")
+    val b = body.trim
+    if (b.startsWith(",")) s"WITH $ctes\n$b"
+    else s"WITH $ctes\n$b"
+  }
+}
