@@ -36,6 +36,49 @@ object EngineQueries {
       SELECT r_name,
         (SELECT count(*) FROM nation n WHERE n.n_regionkey = r.r_regionkey)
           AS n_count
-      FROM region r ORDER BY r_name"""))
+      FROM region r ORDER BY r_name""")),
+
+    // the int4→int8 migration: widened table built by generator-batched
+    // partition overwrites, validated, swapped — final table must agree
+    // with a direct relational recomputation from the source fixture
+    QuerySpec("w01_migration_int4_to_int8", (s, dir) => {
+      Tables.registerAll(s, dir)
+      val conf = RunnerConf(
+        stateDir = Files.createTempDirectory("graft-w01-state").toString,
+        placeholders = Map(
+          "mig_src" -> Files.createTempDirectory("graft-w01-src").toString,
+          "mig_dst" -> Files.createTempDirectory("graft-w01-dst").toString))
+      val res = new PacketRunner(s, conf).run(s"$packetsDir/test_int4_to_int8")
+      require(res.resultCode("spark") == "success",
+        s"migration packet failed: ${res.notices.mkString("; ")}")
+      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(min(id) AS BIGINT) AS min_id,
+                      CAST(max(id) AS BIGINT) AS max_id,
+                      CAST(sum(id) AS BIGINT) AS sum_id
+               FROM test_tbl""")
+    }, oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(o_orderkey) AS BIGINT) AS min_id,
+             CAST(max(o_orderkey) AS BIGINT) AS max_id,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_id
+      FROM orders""")),
+
+    // DELETE as anti-filter rewrite + swap; final table vs direct filter
+    QuerySpec("w02_delete_rewrite", (s, dir) => {
+      Tables.registerAll(s, dir)
+      val conf = RunnerConf(
+        stateDir = Files.createTempDirectory("graft-w02-state").toString,
+        placeholders = Map(
+          "del_src" -> Files.createTempDirectory("graft-w02-src").toString,
+          "del_dst" -> Files.createTempDirectory("graft-w02-dst").toString))
+      val res = new PacketRunner(s, conf).run(s"$packetsDir/test_delete")
+      require(res.resultCode("spark") == "success",
+        s"delete packet failed: ${res.notices.mkString("; ")}")
+      s.sql("""SELECT n_nationkey, n_name, n_regionkey FROM del_tbl
+               ORDER BY n_nationkey""")
+    }, oracle = Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM nation WHERE NOT (n_regionkey = 2) ORDER BY n_nationkey"""))
   )
 }

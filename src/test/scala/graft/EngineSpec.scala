@@ -120,6 +120,51 @@ class EngineSpec extends AnyFunSuite {
       .head().getLong(0) == 25L)
   }
 
+  test("int4→int8 migration widens the id column with idempotent batches") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    def conf = RunnerConf(stateDir = state, placeholders = Map(
+      "mig_src" -> Files.createTempDirectory("graft-mig-src").toString,
+      "mig_dst" -> Files.createTempDirectory("graft-mig-dst").toString))
+    val c1 = conf
+    val res = new PacketRunner(spark, c1).run("packets/test_int4_to_int8")
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    // id widened int → bigint, contents preserved
+    assert(spark.table("test_tbl").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val src = Tables.load(spark, fixtures, "orders")
+    assert(spark.table("test_tbl").count() == src.count())
+    // validation step saw zero null ids
+    val v = res.resultData("spark")("03_step.sql").head
+    assert(v.columns == Seq("src_rows", "dst_rows", "null_ids"))
+    assert(v.rows.head(2) == 0L)
+    // batched fan-out: one action per 1000-id grid slot
+    val batches = res.stepResults("spark")("02_step.sql")
+      .asInstanceOf[StepOutcome.Done].rows
+    assert(batches >= 2, s"expected a multi-batch fan-out, got $batches")
+    // re-run with the SAME tracker state (fresh placeholders would retarget
+    // the tables, but every action hash is unchanged) → zero new actions
+    val tracker = new ActionTracker(spark, state)
+    val n1 = tracker.actions.count()
+    val res2 = new PacketRunner(spark, c1).run("packets/test_int4_to_int8")
+    assert(res2.resultCode("spark") == "success")
+    assert(tracker.actions.count() == n1)
+  }
+
+  test("delete packet removes the filtered rows via rewrite + swap") {
+    Tables.registerAll(spark, fixtures)
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = tmpState(), placeholders = Map(
+        "del_src" -> Files.createTempDirectory("graft-del-src").toString,
+        "del_dst" -> Files.createTempDirectory("graft-del-dst").toString)))
+      .run("packets/test_delete")
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    assert(spark.table("del_tbl").count() == 20) // 25 nations - 5 in region 2
+    assert(spark.table("del_tbl")
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 2)
+      .count() == 0)
+  }
+
   test("failing step records exception status and stops") {
     Tables.registerAll(spark, fixtures)
     val state = tmpState()
