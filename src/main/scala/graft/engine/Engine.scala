@@ -1,0 +1,192 @@
+package graft.engine
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Tables
+
+/** One configured execution target: a named data location (the reference's
+  * `[databases]` entry, db_converter.py:51-53 — there a pq:// URI, here a
+  * parquet directory or any Tables-loadable root). */
+final case class Target(name: String, dataDir: String)
+
+/** Engine run request (reference DBCParams surface). */
+final case class RunSpec(
+    command: String,                    // run|list|status|wipe|unlock|stop|template
+    packetName: String = "",
+    targetSelector: String = "ALL",     // GlobMatcher selector over target names
+    sequential: Boolean = false,        // --seq (db_converter.py:498-524)
+    placeholders: Map[String, String] = Map.empty,
+    force: Boolean = false,
+    skipStepCancel: Boolean = false,
+    skipActionCancel: Boolean = false,
+    templateName: String = "default")
+
+/** Multi-target orchestration (reference E3 command dispatch + E5 parallel
+  * per-DB execution, db_converter.py:339-346,498-524,556-685).
+  *
+  * Spark-native shape: each target runs in its OWN child session
+  * (`spark.newSession()` — shared SparkContext and executors, isolated
+  * temp-view catalog and SQL conf, so parallel targets can both register
+  * `lineitem` without colliding) under its own job group, which is the
+  * cancellation handle (`--stop` / SIGINT → cancelJobGroup, the analogue
+  * of pg_cancel_backend by application_name, E18/E19).
+  */
+final class Engine(spark: SparkSession, targets: Seq[Target],
+    stateRoot: String, packetsRoot: String = "packets",
+    hookSink: Option[HookSink] = None) {
+
+  private val terminated = ConcurrentHashMap.newKeySet[String]()
+
+  private def jobGroup(target: String, packet: String) = s"dbc_${packet}_$target"
+
+  def stateDir(target: String): String = s"$stateRoot/$target"
+
+  /** Cancel a target's running packet jobs (E18 terminate/stop). */
+  def stop(targetName: String, packetName: String): Unit = {
+    terminated.add(targetName)
+    spark.sparkContext.cancelJobGroup(jobGroup(targetName, packetName))
+  }
+
+  /** Cancel everything — wired to SIGINT/shutdown by the CLI (E19). */
+  def stopAll(packetName: String): Unit =
+    targets.foreach(t => stop(t.name, packetName))
+
+  def run(spec: RunSpec): RunResult = {
+    val selected = GlobMatcher.resolve(spec.targetSelector, targets.map(_.name))
+    val byName = targets.map(t => t.name -> t).toMap
+    spec.command match {
+      case "run" => runPacketOnTargets(spec, selected.map(byName))
+      case "status" => mergeSimple(selected) { t =>
+        val st = tracker(t).packetStatus(spec.packetName)
+        (st.map(_ => "success").getOrElse("nothing_todo"),
+          st.map(_.status).getOrElse("new"))
+      }
+      case "wipe" => mergeSimple(selected) { t =>
+        val had = tracker(t).wipePacket(spec.packetName)
+        (if (had) "success" else "nothing_todo", "new")
+      }
+      case "unlock" => mergeSimple(selected) { t =>
+        tracker(t).setPacketUnlock(spec.packetName)
+        ("success", "new")
+      }
+      case "stop" =>
+        selected.foreach(t => stop(t, spec.packetName))
+        RunResult(selected.map(_ -> "terminate").toMap,
+          selected.map(_ -> "started").toMap, Map.empty, Nil)
+      case "list" =>
+        val names = Option(new java.io.File(packetsRoot).listFiles())
+          .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).sorted
+        RunResult(Map("local" -> "success"), Map("local" -> "new"), Map.empty,
+          names.map(n => Notice("INFO", n)).toSeq)
+      case "template" =>
+        val created = Template.scaffold(packetsRoot, spec.templateName, spec.packetName)
+        RunResult(Map("local" -> "success"), Map("local" -> "new"), Map.empty,
+          Seq(Notice("INFO", s"created $created")))
+      case other =>
+        RunResult(Map("local" -> "fail"), Map("local" -> "new"), Map.empty,
+          Seq(Notice("ERROR", s"unknown command: $other")))
+    }
+  }
+
+  private def tracker(target: String) =
+    new ActionTracker(spark, stateDir(target))
+
+  private def mergeSimple(selected: Seq[String])(
+      f: String => (String, String)): RunResult = {
+    val results = selected.map { t => val (code, st) = f(t); (t, code, st) }
+    RunResult(results.map(r => r._1 -> r._2).toMap,
+      results.map(r => r._1 -> r._3).toMap, Map.empty, Nil)
+  }
+
+  /** Per-target worker (reference worker_db_func + wait_threads,
+    * dbccore.py:379-627): child session, fixture registration, job group,
+    * PacketRunner. */
+  private def runPacketOnTargets(spec: RunSpec, selected: Seq[Target]): RunResult = {
+    terminated.clear()
+    def runOne(t: Target): RunResult = {
+      val session = spark.newSession()
+      session.sparkContext.setJobGroup(jobGroup(t.name, spec.packetName),
+        s"packet ${spec.packetName} on ${t.name}", interruptOnCancel = true)
+      try {
+        Tables.registerAll(session, t.dataDir)
+        graft.sources.PgCatalog.registerAll(session)
+        val conf = RunnerConf(
+          stateDir = stateDir(t.name), target = t.name,
+          placeholders = spec.placeholders, force = spec.force,
+          skipStepCancel = spec.skipStepCancel,
+          skipActionCancel = spec.skipActionCancel,
+          exportDir = Some(s"${stateDir(t.name)}/export"),
+          hookSink = hookSink,
+          terminated = () => terminated.contains(t.name))
+        new PacketRunner(session, conf).run(s"$packetsRoot/${spec.packetName}")
+      } finally session.sparkContext.clearJobGroup()
+    }
+
+    val results: Seq[RunResult] =
+      if (spec.sequential) selected.map(runOne)
+      else {
+        // one thread per target (the reference spawns a worker thread per
+        // DB); Spark jobs from all targets interleave on the shared pool
+        val pool = Executors.newFixedThreadPool(math.max(1, selected.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val futs = selected.map(t => Future(runOne(t)))
+          Await.result(Future.sequence(futs.map(_.transform(Success(_)))),
+            Duration.Inf).map {
+            case Success(r) => r
+            case Failure(e) => RunResult(Map.empty, Map.empty, Map.empty,
+              Seq(Notice("ERROR", String.valueOf(e.getMessage))))
+          }
+        } finally { pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS) }
+      }
+    results.foldLeft(RunResult(Map.empty, Map.empty, Map.empty, Nil)) { (acc, r) =>
+      RunResult(acc.resultCode ++ r.resultCode,
+        acc.packetStatus ++ r.packetStatus,
+        acc.stepResults ++ r.stepResults,
+        acc.notices ++ r.notices,
+        acc.resultData ++ r.resultData)
+    }
+  }
+}
+
+/** `--template` scaffold (reference E28, db_converter.py:266-285). */
+object Template {
+  def scaffold(packetsRoot: String, templateName: String,
+      newPacketName: String): String = {
+    require(newPacketName.nonEmpty, "packet name required for template")
+    val src = java.nio.file.Paths.get(packetsRoot, "templates", templateName)
+    val dst = java.nio.file.Paths.get(packetsRoot, newPacketName)
+    require(java.nio.file.Files.isDirectory(src), s"template not found: $src")
+    require(!java.nio.file.Files.exists(dst), s"packet already exists: $dst")
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.list(src).forEach { f =>
+      java.nio.file.Files.copy(f, dst.resolve(f.getFileName))
+    }
+    dst.toString
+  }
+}
+
+/** Minimal INI config reader (reference conf/db_converter.conf,
+  * psc_common.py:20-40 — sections, `k = v`, inline `#` comments). */
+object IniConf {
+  def parse(text: String): Map[String, Map[String, String]] = {
+    var section = ""
+    val out = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.startsWith("[") && line.endsWith("]"))
+        section = line.substring(1, line.length - 1)
+      else if (line.contains("=") && section.nonEmpty) {
+        val Array(k, v) = line.split("=", 2)
+        out(section) = out.getOrElse(section, Map.empty) +
+          (k.trim -> v.trim.stripPrefix("\"").stripSuffix("\""))
+      }
+    }
+    out.toMap
+  }
+}

@@ -16,6 +16,10 @@ final case class RunnerConf(
     resultRowCap: Int = 100000,
     exportDir: Option[String] = None,
     hookSink: Option[HookSink] = None,
+    /** polled on failure: true → the run was cancelled (E18/E19), result
+      * code `terminate` instead of `fail` (reference is_terminate checks,
+      * dbccore.py:1146-1150) */
+    terminated: () => Boolean = () => false,
     now: () => Long = () => System.currentTimeMillis())
 
 /** Context handed to registered Scala step callbacks (the reference's
@@ -112,8 +116,14 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       }
 
       val (res, errDescr) = outcome
-      val packetStatus = if (errDescr.isDefined) "exception" else "done"
-      if (!readOnly && packet.meta.packetType != PacketType.Maintenance) {
+      // terminate leaves the packet `started` (reference TERMINATE/STARTED
+      // expectation, test_packets.py:201-241)
+      val packetStatus =
+        if (res == "terminate") "started"
+        else if (errDescr.isDefined) "exception"
+        else "done"
+      if (!readOnly && packet.meta.packetType != PacketType.Maintenance &&
+          res != "terminate") {
         tracker.ensurePacket(packet.name, packet.packetHash, metaJson(packet))
         tracker.setPacketStatus(packet.name, packetStatus)
       }
@@ -124,6 +134,8 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       }
       result(packet, code, packetStatus, errDescr)
     } catch {
+      case e: Throwable if conf.terminated() =>
+        result(packet, ResultTerminate, "started", Some(String.valueOf(e.getMessage)))
       case e: Throwable =>
         if (!readOnly) {
           tracker.ensurePacket(packet.name, packet.packetHash, metaJson(packet))
@@ -254,6 +266,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
               } catch {
                 case e: Throwable =>
                   tracker.flushActions()
+                  if (conf.terminated()) return ("terminate", None)
                   if (conf.skipStepCancel) return ("exception", Some("skip_step"))
                   else if (conf.skipActionCancel) {
                     stepsHashes += stepHash
