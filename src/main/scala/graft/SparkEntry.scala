@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CatalogQueries, EngineQueries, PipelineQueries, QuerySpec, RelationalQueries}
+import graft.queries.{CatalogQueries, EngineQueries, PipelineQueries, QuerySpec, RelationalQueries, ScalarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,7 @@ object SparkEntry {
   /** Every verifiable operator the engine ships (SURVEY.md §2 inventory). */
   def specs: Seq[QuerySpec] =
     RelationalQueries.specs ++ PipelineQueries.specs ++ EngineQueries.specs ++
-      CatalogQueries.specs
+      CatalogQueries.specs ++ ScalarQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -98,6 +98,45 @@ object PgFunctions {
     * age(xid) (packets/alert_xact_age/01_step.sql:4-5) is integer distance. */
   def xid_age(current: Column, xid: Column): Column = current - xid
 
+  // -- age(timestamp) decomposition ------------------------------------
+  // PostgreSQL age(d2, d1) symbolic interval (used by dba_long_queries /
+  // alert_xact_age displays): months = calendar month distance, days
+  // borrow from the month of the EARLIER date when negative. Same
+  // algorithm as PG/DuckDB `age` for d2 >= d1 (the corpus's case).
+  import org.apache.spark.sql.functions._
+
+  private def ageParts(d2: Column, d1: Column): (Column, Column, Column) = {
+    val dd = dayofmonth(d2) - dayofmonth(d1)
+    val borrow = when(dd < 0, 1).otherwise(0)
+    val days = when(dd < 0, dd + dayofmonth(last_day(d1))).otherwise(dd)
+    val mmTotal = (year(d2) - year(d1)) * 12 + (month(d2) - month(d1)) - borrow
+    (floor(mmTotal / 12).cast("long"), pmod(mmTotal, lit(12)).cast("long"),
+      days.cast("long"))
+  }
+  def age_years(d2: Column, d1: Column): Column = ageParts(d2, d1)._1
+  def age_months(d2: Column, d1: Column): Column = ageParts(d2, d1)._2
+  def age_days(d2: Column, d1: Column): Column = ageParts(d2, d1)._3
+
+  /** to_char(interval, 'HH24:MI:SS') over a duration in whole seconds
+    * (alert_stat / dba_long_queries render intervals this way). */
+  def interval_hh24miss(seconds: Column): Column = {
+    val s = seconds.cast("long")
+    concat(
+      lpad(floor(s / 3600).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad(floor(pmod(s, lit(3600L)) / 60).cast("long").cast("string"), 2, "0"),
+      lit(":"),
+      lpad(pmod(s, lit(60L)).cast("string"), 2, "0"))
+  }
+
+  // -- WAL LSN arithmetic (dba_lag/01_step.sql:3-7) ---------------------
+  /** 'X/Y' hex LSN → absolute byte position (X·2^32 + Y). */
+  def lsn_bytes(lsn: Column): Column =
+    conv(split(lsn, "/").getItem(0), 16, 10).cast("long") * 4294967296L +
+      conv(split(lsn, "/").getItem(1), 16, 10).cast("long")
+
+  /** pg_wal_lsn_diff(a, b) = byte distance between two LSNs. */
+  def pg_wal_lsn_diff(a: Column, b: Column): Column = lsn_bytes(a) - lsn_bytes(b)
+
   private def expression(c: Column): Expression = ColumnBridge.expression(c)
 
   /** Register SQL names so `spark.sql("select pg_size_pretty(x) ...")` works. */

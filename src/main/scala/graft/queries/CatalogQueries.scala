@@ -21,11 +21,11 @@ import graft.sources.PgCatalog
   *  - pg_get_indexdef/constraintdef → pre-rendered catalog columns
   *    (decompilers become data on a file target).
   */
-object CatalogQueries {
-
+/** Shared SQL-text emitters for the Spark ∩ DuckDB dialect intersection. */
+object PortableSql {
   /** PostgreSQL pg_size_pretty semantics as portable SQL over a BIGINT
     * expression (same rounding as PgFunctions.sizePretty / q38). */
-  private def sizePretty(x: String): String = {
+  def sizePretty(x: String): String = {
     def half(div: Long, unit: String): String =
       s"CAST(CAST(floor((CAST(floor(($x) / $div.0) AS BIGINT) + 1) / 2.0) AS BIGINT) AS STRING) || ' $unit'"
     s"""CASE WHEN ($x) < 10240 THEN CAST(($x) AS STRING) || ' bytes'
@@ -34,6 +34,10 @@ object CatalogQueries {
          WHEN CAST(floor(($x) / 536870912.0) AS BIGINT) < 20479 THEN ${half(536870912L, "GB")}
          ELSE ${half(549755813888L, "TB")} END"""
   }
+}
+
+object CatalogQueries {
+  import PortableSql.sizePretty
 
   /** dba_top_tables/01_step.sql:1-56 — top tables by total size with
     * table/index/total pretty sizes and tuple stats. Sizes derive from

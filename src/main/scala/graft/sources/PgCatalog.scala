@@ -203,6 +203,16 @@ object PgCatalog {
       ('statement_timeout', '3600000', 'ms')
       ) AS t(name, setting, unit)"""
 
+  /** (pid, client_addr, sent_lsn, replay_lsn, sent_pos, replay_pos) —
+    * LSNs both as the wire 'X/Y' hex strings (parsed by
+    * PgFunctions.pg_wal_lsn_diff) and as absolute byte positions (the
+    * numeric truth the strings encode: X·2^32 + Y). */
+  val pgStatReplication: String =
+    """SELECT * FROM (VALUES
+      (9001, '10.0.0.21', '2/1A2B3C40', '2/1A2B0000', CAST(9028975680 AS BIGINT), CAST(9028960256 AS BIGINT)),
+      (9002, '10.0.0.22', '2/1A2B3C40', '1/FF000000', CAST(9028975680 AS BIGINT), CAST(8573157376 AS BIGINT))
+      ) AS t(pid, client_addr, sent_lsn, replay_lsn, sent_pos, replay_pos)"""
+
   /** name → portable VALUES SQL, in dependency-free registration order. */
   val tables: Seq[(String, String)] = Seq(
     "pg_namespace" -> pgNamespace,
@@ -217,7 +227,8 @@ object PgCatalog {
     "pg_constraint" -> pgConstraint,
     "pg_locks" -> pgLocks,
     "pg_stat_activity" -> pgStatActivity,
-    "pg_settings" -> pgSettings)
+    "pg_settings" -> pgSettings,
+    "pg_stat_replication" -> pgStatReplication)
 
   /** Register every catalog table as a Spark temp view. */
   def registerAll(spark: SparkSession): Unit =
