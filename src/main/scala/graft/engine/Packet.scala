@@ -49,7 +49,11 @@ final case class MetaData(
     tags: Seq[String] = Nil,
     hook: Option[HookConf] = None,
     exportUseZip: Boolean = false,
-    exportPassword: Option[String] = None)
+    exportPassword: Option[String] = None,
+    /** per-packet session overrides (reference `postgresql` block consumed
+      * by prepare_session, dbccore.py:347-377 — here Spark SQL confs,
+      * e.g. "spark.sql.shuffle.partitions": "64") */
+    sessionConf: Map[String, String] = Map.empty)
 
 /** One step: ordered SQL text; generators attach by 2-digit index
   * (reference: NN_step.sql / NN_gen_obj.sql / NN_gen_nsp.sql pairing at

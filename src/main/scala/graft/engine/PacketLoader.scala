@@ -112,10 +112,17 @@ object MetaJson {
     }
   }
 
+  private val kvRe = "\"([^\"]+)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
   def parse(json: String): MetaData = {
     val (hookJson, rest1) = cutObject(json, "hook")
     val (exportJson, rest2) = cutObject(rest1, "export_options")
-    val (_, top) = cutObject(rest2, "postgresql")
+    // `spark` block preferred; `postgresql` accepted for packet-dir parity
+    val (sparkJson, rest3) = cutObject(rest2, "spark")
+    val (pgJson, top) = cutObject(rest3, "postgresql")
+    val sessionConf = kvRe.findAllMatchIn(
+      if (sparkJson.nonEmpty) sparkJson else pgJson)
+      .map(m => m.group(1) -> m.group(2)).toMap
     val hook =
       if (hookJson.nonEmpty)
         Some(HookConf(
@@ -136,6 +143,7 @@ object MetaJson {
       tags = arrField(top, "tags"),
       hook = hook,
       exportUseZip = boolField(exportJson, "use_zip").getOrElse(false),
-      exportPassword = strField(exportJson, "password"))
+      exportPassword = strField(exportJson, "password"),
+      sessionConf = sessionConf)
   }
 }

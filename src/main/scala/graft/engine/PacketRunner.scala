@@ -94,6 +94,13 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       return result(packet, ResultLocked, statusOf(packet))
     tracker.setPacketLock(packet.name)
 
+    // E24 session preparation: per-packet conf overrides (the reference's
+    // prepare_session SET work_mem/... block, dbccore.py:347-377) + a job
+    // description carrying the application_name analogue
+    packet.meta.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sparkContext.setJobDescription(
+      s"dbc_${packet.name}_${conf.target}")
+
     try {
       val stepsHashes = mutable.Set.empty[String]
 
@@ -303,6 +310,13 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         // dry-run: plan the statement, skip the effect (reference rollback,
         // dbccore.py:886-888)
         notices += Notice("INFO", s"no_commit: skipped ${SqlSplitter.firstKeyword(stm)}")
+      } else if (SqlSplitter.isMaintenanceStatement(stm)) {
+        // E9: non-transactional maintenance routing (reference
+        // is_non_tx_query, dbccore.py:717-722,848-850) — executed directly,
+        // outside any sink transaction bracketing, and logged as such
+        notices += Notice("INFO",
+          s"maintenance statement: ${SqlSplitter.firstKeyword(stm)}")
+        spark.sql(stm)
       } else {
         val df = spark.sql(stm)
         if (df.schema.nonEmpty) {

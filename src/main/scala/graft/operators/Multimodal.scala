@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
@@ -39,13 +44,25 @@ object Multimodal {
 
   /** ??? decode stub ??? — deterministic 16-bin byte histogram, normalized.
     * Replace the body of `decodeOne` with a real codec call in production. */
-  private def decodeOne(payload: Array[Byte]): Array[Double] = {
+  def decodeOne(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     var i = 0
     while (i < payload.length) { hist((payload(i) & 0xFF) >> 4) += 1.0; i += 1 }
     val n = math.max(payload.length, 1).toDouble
     hist.map(_ / n)
   }
+
+  /** codegen bridge for [[BinaryByteHistogram]]. */
+  def decodeOneArrayData(payload: Array[Byte]): ArrayData =
+    new GenericArrayData(decodeOne(payload))
+
+  /** The decode stub as a NATIVE Catalyst expression: binary → features
+    * without leaving WholeStageCodegen (no Dataset encoder boundary). The
+    * hot summary path uses this; `extractFeatures` below keeps the
+    * batched-iterator shape a real out-of-JVM codec needs — the two are
+    * asserted identical in tests. */
+  def byteHistogram(c: Column): Column =
+    ColumnBridge.column(BinaryByteHistogram(ColumnBridge.expression(c)))
 
   /** Partition-local feature extraction over the binary column — the
     * batched-UDF shape (`mapPartitions` here ≡ `mapInPandas` in the
@@ -59,16 +76,33 @@ object Multimodal {
     }
   }
 
-  /** Metadata/feature summary — demonstrates pushdown-friendly filtering
-    * on typed metadata before the decode step. */
-  def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val media = mediaFromDocuments(docs).filter(col("n_bytes") > 0)
-    extractFeatures(spark, media).toDF()
+  /** Metadata/feature summary — pushdown-friendly metadata filter, then
+    * the codegen'd expression decode (one whole-stage pipeline: scan →
+    * filter → decode → partial agg, zero serialization boundaries). */
+  def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame =
+    mediaFromDocuments(docs).filter(col("n_bytes") > 0)
+      .withColumn("features", byteHistogram(col("payload")))
       .groupBy(col("format"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(element_at(col("features"), 7)), 6).as("mean_bin6"))
       .orderBy(col("format"))
-  }
+}
+
+/** Deterministic binary→feature decode as a unary expression with full
+  * codegen (the serialization-free twin of the mapPartitions path). */
+case class BinaryByteHistogram(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Multimodal.decodeOneArrayData(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.Multimodal.decodeOneArrayData($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BinaryByteHistogram =
+    copy(child = newChild)
 }

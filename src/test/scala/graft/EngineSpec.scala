@@ -217,6 +217,45 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.notices.exists(_.message.contains("read-only")))
   }
 
+  test("pretty table printer aligns columns like the reference") {
+    val rs = ResultSet(Seq("name", "n"), Seq(Seq("alpha", 1L), Seq("b", 22L)))
+    val out = ResultRenderer.printTable(rs)
+    val lines = out.split("\n")
+    assert(lines(0) == "| name  | n  |")
+    assert(lines(1) == "-" * lines(0).length)
+    assert(lines(2) == "| alpha | 1  |")
+    assert(lines(3) == "| b     | 22 |")
+  }
+
+  test("session preparation applies per-packet spark conf overrides") {
+    Tables.registerAll(spark, fixtures)
+    val dir = Files.createTempDirectory("graft-sess").resolve("sess_packet")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("01_step.sql"), "SELECT 1 AS ok;")
+    Files.writeString(dir.resolve("meta_data.json"),
+      """{"type": "default",
+         "spark": {"spark.sql.shuffle.partitions": "7"}}""")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val res = runner(tmpState()).run(dir.toString)
+      assert(res.resultCode("spark") == "success")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("maintenance statements route through the non-tx path with a notice") {
+    Tables.registerAll(spark, fixtures)
+    val dir = Files.createTempDirectory("graft-maint").resolve("maint_packet")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("01_step.sql"),
+      "REFRESH TABLE region;\nSELECT count(*) AS n FROM region;")
+    Files.writeString(dir.resolve("meta_data.json"), """{"type": "maintenance"}""")
+    val res = runner(tmpState()).run(dir.toString)
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    assert(res.notices.exists(n => n.message.contains("maintenance statement")))
+    assert(res.resultData("spark")("01_step.sql").head.rows.head.head == 5L)
+  }
+
   test("user placeholders substitute into steps and generators") {
     Tables.registerAll(spark, fixtures)
     val dir = Files.createTempDirectory("graft-pl").resolve("pl_packet")
