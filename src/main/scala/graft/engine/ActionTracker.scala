@@ -14,14 +14,27 @@ import org.apache.spark.sql.types._
   *   dbc_locks  (id, name, locked, dt)
   *
   * Storage: one parquet directory per table under `stateDir` (the Spark
-  * analogue of the reference's `schema_location`). The three small
-  * metadata tables are rewritten atomically (write-new + swap — they hold
-  * one row per packet/step). `dbc_actions` is APPEND-ONLY: each flush adds
-  * a parquet file, never rewrites history — the action log is a WAL, which
-  * is what makes a crash-resume read-your-writes safe, and at 100 TB the
-  * executed-hash check is a broadcast left_anti join against it
-  * (reference per-action EXISTS, actiontracker.py:101-116), not a
-  * driver-side scan.
+  * analogue of the reference's `schema_location`).
+  *
+  * Durability tiers (a tracker instance is the single writer for its
+  * stateDir during a run):
+  *  - `dbc_actions` is an APPEND-ONLY WAL: `flushActions` appends one
+  *    parquet file per flush (the runner flushes per step and on
+  *    exception) and never rewrites history — this is what makes
+  *    crash-resume correct;
+  *  - `dbc_locks` writes THROUGH immediately (a lock someone cannot see
+  *    is not a lock);
+  *  - `dbc_packets`/`dbc_steps` statuses are write-BEHIND: mutated in
+  *    memory and persisted at flush points (`persistMeta`, called by the
+  *    runner per run and on exception). They are advisory bookkeeping —
+  *    resume correctness never depends on them, and write-through would
+  *    cost a fixed-overhead Spark job per action.
+  *
+  * The executed-hash dedup check is a driver-side set for bounded
+  * fan-outs (the WAL is loaded once per run, not re-joined per step) and
+  * a broadcast left_anti join (`notYetExecuted`) for fan-outs too large
+  * to hold on the driver — the reference's per-action indexed EXISTS
+  * (actiontracker.py:101-116) split into its two scale regimes.
   *
   * Clock injection: `now` is a constructor param so tests and replays are
   * deterministic; production uses System.currentTimeMillis.
@@ -35,22 +48,49 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
 
   private def ts(): Timestamp = new Timestamp(now())
 
-  private def readOr(table: String, schema: StructType): DataFrame = {
-    val dir = new java.io.File(path(table))
-    if (dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(schema).parquet(path(table))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  private def schemaOf(table: String): StructType = table match {
+    case "dbc_packets" => PacketsSchema
+    case "dbc_steps" => StepsSchema
+    case "dbc_actions" => ActionsSchema
+    case _ => LocksSchema
   }
 
-  def packets: DataFrame = readOr("dbc_packets", PacketsSchema)
-  def steps: DataFrame = readOr("dbc_steps", StepsSchema)
-  def actions: DataFrame = readOr("dbc_actions", ActionsSchema)
-  def locks: DataFrame = readOr("dbc_locks", LocksSchema)
+  private def readOr(table: String): DataFrame = {
+    val dir = new java.io.File(path(table))
+    if (dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.schema(schemaOf(table)).parquet(path(table))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaOf(table))
+  }
 
-  // -- small-table persistence: collect → mutate → rewrite ---------------
-  private def writeRows(table: String, schema: StructType, rows: Seq[Row]): Unit = {
+  /** On-disk DataFrame views (external inspection; in-run state is
+    * authoritative in this instance's cache until persisted). */
+  def packets: DataFrame = readOr("dbc_packets")
+  def steps: DataFrame = readOr("dbc_steps")
+  def actions: DataFrame = readOr("dbc_actions")
+  def locks: DataFrame = readOr("dbc_locks")
+
+  // -- cache + persistence ----------------------------------------------
+  private val cache = scala.collection.mutable.Map.empty[String, Seq[Row]]
+  private var dirtyMeta = Set.empty[String]
+
+  private def rowsOf(table: String): Seq[Row] =
+    cache.getOrElseUpdate(table, readOr(table).collect().toSeq)
+
+  private def setRows(table: String, rows: Seq[Row], durable: Boolean): Unit = {
+    cache(table) = rows
+    if (durable) { writeRows(table, rows); dirtyMeta -= table }
+    else dirtyMeta += table
+  }
+
+  /** Persist write-behind metadata mutations (runner flush point). */
+  def persistMeta(): Unit = {
+    dirtyMeta.foreach(t => writeRows(t, cache(t)))
+    dirtyMeta = Set.empty
+  }
+
+  private def writeRows(table: String, rows: Seq[Row]): Unit = {
     val tmp = path(table) + ".tmp"
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schemaOf(table))
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val dst = new java.io.File(path(table))
     if (dst.exists()) {
@@ -62,51 +102,62 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     new java.io.File(tmp).renameTo(dst)
   }
 
+  /** DDL analogue (reference init_tbls, actiontracker.py:17-99): an empty
+    * table is an empty directory — `readOr` supplies the schema, so no
+    * Spark job is needed until the first real row lands. */
   def initTables(): Unit = Seq(
-    "dbc_packets" -> PacketsSchema, "dbc_steps" -> StepsSchema,
-    "dbc_actions" -> ActionsSchema, "dbc_locks" -> LocksSchema
-  ).foreach { case (t, s) =>
-    if (!new java.io.File(path(t)).isDirectory) writeRows(t, s, Nil)
-  }
+    "dbc_packets", "dbc_steps", "dbc_actions", "dbc_locks"
+  ).foreach(t => new java.io.File(path(t)).mkdirs())
 
-  def wipeAll(): Unit = Seq("dbc_packets", "dbc_steps", "dbc_actions", "dbc_locks")
-    .foreach { t =>
-      writeRows(t, t match {
-        case "dbc_packets" => PacketsSchema; case "dbc_steps" => StepsSchema
-        case "dbc_actions" => ActionsSchema; case _ => LocksSchema
-      }, Nil)
-    }
+  def wipeAll(): Unit = {
+    invalidateMemos()
+    Seq("dbc_packets", "dbc_steps", "dbc_actions", "dbc_locks")
+      .foreach(t => setRows(t, Nil, durable = true))
+  }
 
   // -- packets / steps upserts (reference begin_action DO-block,
   //    actiontracker.py:166-198; insert_step :225-255) -------------------
-  private def packetRows: Seq[Row] = packets.collect().toSeq
-  private def stepRows: Seq[Row] = steps.collect().toSeq
+  // id memos: resolved ids are stable for the single writer
+  private var packetIdMemo = Map.empty[String, Long]
+  private var stepIdMemo = Map.empty[(Long, String), Long]
+  private def invalidateMemos(): Unit = {
+    packetIdMemo = Map.empty; stepIdMemo = Map.empty
+  }
 
   /** id of the packet row, inserting `started` if absent. */
-  def ensurePacket(name: String, packetHash: String, metaData: String): Long = {
-    val rows = packetRows
-    rows.find(_.getString(1) == name) match {
-      case Some(r) => r.getLong(0)
-      case None =>
-        val id = if (rows.isEmpty) 1L else rows.map(_.getLong(0)).max + 1
-        writeRows("dbc_packets", PacketsSchema,
-          rows :+ Row(id, name, "started", ts(), packetHash, metaData))
-        id
-    }
-  }
+  def ensurePacket(name: String, packetHash: String, metaData: String): Long =
+    packetIdMemo.getOrElse(name, {
+      val rows = rowsOf("dbc_packets")
+      val id = rows.find(_.getString(1) == name) match {
+        case Some(r) => r.getLong(0)
+        case None =>
+          val newId = if (rows.isEmpty) 1L else rows.map(_.getLong(0)).max + 1
+          setRows("dbc_packets",
+            rows :+ Row(newId, name, "started", ts(), packetHash, metaData),
+            durable = false)
+          newId
+      }
+      packetIdMemo += name -> id
+      id
+    })
 
   /** id of the step row under the packet, inserting `started` if absent. */
-  def ensureStep(packetId: Long, stepName: String): Long = {
-    val rows = stepRows
-    rows.find(r => r.getString(1) == stepName && r.getLong(2) == packetId) match {
-      case Some(r) => r.getLong(0)
-      case None =>
-        val id = if (rows.isEmpty) 1L else rows.map(_.getLong(0)).max + 1
-        writeRows("dbc_steps", StepsSchema,
-          rows :+ Row(id, stepName, packetId, "started", ts(), null))
-        id
-    }
-  }
+  def ensureStep(packetId: Long, stepName: String): Long =
+    stepIdMemo.getOrElse((packetId, stepName), {
+      val rows = rowsOf("dbc_steps")
+      val id = rows.find(r => r.getString(1) == stepName &&
+          r.getLong(2) == packetId) match {
+        case Some(r) => r.getLong(0)
+        case None =>
+          val newId = if (rows.isEmpty) 1L else rows.map(_.getLong(0)).max + 1
+          setRows("dbc_steps",
+            rows :+ Row(newId, stepName, packetId, "started", ts(), null),
+            durable = false)
+          newId
+      }
+      stepIdMemo += (packetId, stepName) -> id
+      id
+    })
 
   def beginAction(packetName: String, packetHash: String, stepName: String,
       metaData: String): Unit = {
@@ -130,12 +181,28 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     spark.createDataFrame(
         spark.sparkContext.parallelize(pendingActions, 1), ActionsSchema)
       .coalesce(1).write.mode("append").parquet(path("dbc_actions"))
+    cache("dbc_actions") = rowsOf("dbc_actions") ++ pendingActions
     pendingActions = Vector.empty
   }
 
-  /** Executed step_hash values of (packet, step) as a DataFrame: the
-    * action log joined to the two (broadcast) id tables — reference
-    * is_action_exists join, actiontracker.py:101-116. */
+  /** Driver-side dedup set for bounded fan-outs: WAL loaded once per
+    * tracker instance, filtered in memory. */
+  def executedHashes(packetName: String, stepName: String): Set[String] = {
+    val pid = rowsOf("dbc_packets").find(_.getString(1) == packetName)
+      .map(_.getLong(0))
+    pid.fold(Set.empty[String]) { p =>
+      rowsOf("dbc_steps")
+        .find(r => r.getString(1) == stepName && r.getLong(2) == p)
+        .map(_.getLong(0))
+        .fold(Set.empty[String]) { s =>
+          rowsOf("dbc_actions")
+            .filter(r => r.getLong(1) == p && r.getLong(2) == s)
+            .map(_.getString(3)).toSet
+        }
+    }
+  }
+
+  /** Executed hashes as a DataFrame (the distributed path). */
   def executedHashesDf(packetName: String, stepName: String): DataFrame = {
     val a = actions
     val p = packets.filter(col("name") === packetName)
@@ -147,10 +214,6 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
         col("s_pid") === col("packet_id"))
       .select(col("step_hash"))
   }
-
-  /** Driver-side dedup set for bounded fan-outs. */
-  def executedHashes(packetName: String, stepName: String): Set[String] =
-    executedHashesDf(packetName, stepName).collect().map(_.getString(0)).toSet
 
   /** Scale path: anti-join a DataFrame of candidate actions against the
     * executed log — used when a generator fan-out is too large for a
@@ -166,49 +229,50 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
       exceptionDescr: Option[String] = None): Unit = {
     val pid = ensurePacket(packetName, "", "{}")
     ensureStep(pid, stepName)
-    val updated = stepRows.map { r =>
+    val updated = rowsOf("dbc_steps").map { r =>
       if (r.getString(1) == stepName && r.getLong(2) == pid)
         Row(r.getLong(0), r.getString(1), r.getLong(2), status, ts(),
           exceptionDescr.orNull)
       else r
     }
-    writeRows("dbc_steps", StepsSchema, updated)
+    setRows("dbc_steps", updated, durable = false)
   }
 
   def setPacketStatus(packetName: String, status: String): Unit = {
-    val updated = packetRows.map { r =>
+    val updated = rowsOf("dbc_packets").map { r =>
       if (r.getString(1) == packetName)
         Row(r.getLong(0), r.getString(1), status, ts(), r.getString(4), r.getString(5))
       else r
     }
-    writeRows("dbc_packets", PacketsSchema, updated)
+    setRows("dbc_packets", updated, durable = false)
   }
 
   /** Latest packet+step status (reference get_packet_status,
     * actiontracker.py:334-351: packets ⋈ steps ORDER BY s.dt DESC LIMIT 1). */
   def packetStatus(packetName: String): Option[PacketStatusRow] = {
-    val p = packets.filter(col("name") === packetName)
-      .select(col("id").as("pid"), col("status").as("p_status"), col("packet_hash"))
-    val joined = p.join(steps, col("packet_id") === col("pid"))
-      .orderBy(col("dt").desc, col("id").desc).limit(1)
-      .select(col("p_status"), col("exception_descr"), col("dt"), col("packet_hash"))
-      .collect()
-    joined.headOption.map(r => PacketStatusRow(
-      status = r.getString(0),
-      exceptionDescr = Option(r.getString(1)),
-      dt = Option(r.getTimestamp(2)),
-      hash = r.getString(3)))
+    rowsOf("dbc_packets").find(_.getString(1) == packetName).flatMap { pr =>
+      val pid = pr.getLong(0)
+      val stepRows = rowsOf("dbc_steps").filter(_.getLong(2) == pid)
+      if (stepRows.isEmpty) None
+      else {
+        val last = stepRows.maxBy(r => (r.getTimestamp(4).getTime, r.getLong(0)))
+        Some(PacketStatusRow(
+          status = pr.getString(2),
+          exceptionDescr = Option(last.getString(5)),
+          dt = Option(last.getTimestamp(4)),
+          hash = pr.getString(4)))
+      }
+    }
   }
 
   // -- locks (reference is_packet_locked/set_packet_lock/unlock,
-  //    actiontracker.py:118-164) -----------------------------------------
-  private def lockRows: Seq[Row] = locks.collect().toSeq
-
+  //    actiontracker.py:118-164) — write-through: a lock someone cannot
+  //    see is not a lock ---------------------------------------------------
   def isPacketLocked(packetName: String): Boolean =
-    lockRows.exists(r => r.getString(1) == packetName && r.getBoolean(2))
+    rowsOf("dbc_locks").exists(r => r.getString(1) == packetName && r.getBoolean(2))
 
   def setPacketLock(packetName: String): Unit = {
-    val rows = lockRows
+    val rows = rowsOf("dbc_locks")
     val updated =
       if (rows.exists(_.getString(1) == packetName))
         rows.map(r => if (r.getString(1) == packetName)
@@ -217,35 +281,42 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
         val id = if (rows.isEmpty) 1L else rows.map(_.getLong(0)).max + 1
         rows :+ Row(id, packetName, true, ts())
       }
-    writeRows("dbc_locks", LocksSchema, updated)
+    setRows("dbc_locks", updated, durable = true)
   }
 
-  def setPacketUnlock(packetName: String): Unit = {
-    val updated = lockRows.map(r => if (r.getString(1) == packetName)
-      Row(r.getLong(0), r.getString(1), false, ts()) else r)
-    writeRows("dbc_locks", LocksSchema, updated)
-  }
+  def setPacketUnlock(packetName: String): Unit =
+    setRows("dbc_locks",
+      rowsOf("dbc_locks").map(r => if (r.getString(1) == packetName)
+        Row(r.getLong(0), r.getString(1), false, ts()) else r),
+      durable = true)
 
   def unlockAll(): Unit =
-    writeRows("dbc_locks", LocksSchema,
-      lockRows.map(r => Row(r.getLong(0), r.getString(1), false, ts())))
+    setRows("dbc_locks",
+      rowsOf("dbc_locks").map(r => Row(r.getLong(0), r.getString(1), false, ts())),
+      durable = true)
 
   // -- wipe (reference wipe_packet FK-ordered cascade,
   //    actiontracker.py:257-294) -----------------------------------------
   /** @return true if the packet had any tracked data (reference returns
     *         is_data_exists for the nothing_todo result code). */
   def wipePacket(packetName: String): Boolean = {
-    val pids = packetRows.filter(_.getString(1) == packetName).map(_.getLong(0)).toSet
+    invalidateMemos()
+    val pids = rowsOf("dbc_packets").filter(_.getString(1) == packetName)
+      .map(_.getLong(0)).toSet
     if (pids.isEmpty) return false
-    val sids = stepRows.filter(r => pids.contains(r.getLong(2))).map(_.getLong(0)).toSet
+    val sids = rowsOf("dbc_steps").filter(r => pids.contains(r.getLong(2)))
+      .map(_.getLong(0)).toSet
     // actions → steps → packets, same FK order as the reference
-    val keptActions = actions.collect().toSeq
-      .filterNot(r => pids.contains(r.getLong(1)) && sids.contains(r.getLong(2)))
-    writeRows("dbc_actions", ActionsSchema, keptActions)
-    writeRows("dbc_steps", StepsSchema,
-      stepRows.filterNot(r => pids.contains(r.getLong(2))))
-    writeRows("dbc_packets", PacketsSchema,
-      packetRows.filterNot(r => pids.contains(r.getLong(0))))
+    setRows("dbc_actions",
+      rowsOf("dbc_actions").filterNot(r =>
+        pids.contains(r.getLong(1)) && sids.contains(r.getLong(2))),
+      durable = true)
+    setRows("dbc_steps",
+      rowsOf("dbc_steps").filterNot(r => pids.contains(r.getLong(2))),
+      durable = true)
+    setRows("dbc_packets",
+      rowsOf("dbc_packets").filterNot(r => pids.contains(r.getLong(0))),
+      durable = true)
     true
   }
 }

@@ -151,6 +151,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         result(packet, ResultFail, "exception", Some(e.getMessage))
     } finally {
       tracker.flushActions()
+      tracker.persistMeta()
       tracker.setPacketUnlock(packet.name) // unlock at end of run (db_converter.py:742-746)
     }
   }
@@ -273,6 +274,10 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
               } catch {
                 case e: Throwable =>
                   tracker.flushActions()
+                  // E22 raise_error_logic (dbccore.py:1183-1219): failures
+                  // surface on the hook channel, filtered by verbosity
+                  conf.hookSink.foreach(_.raiseHook(packet.meta, step.name,
+                    Notice("EXCEPTION", String.valueOf(e.getMessage))))
                   if (conf.terminated()) return ("terminate", None)
                   if (conf.skipStepCancel) return ("exception", Some("skip_step"))
                   else if (conf.skipActionCancel) {

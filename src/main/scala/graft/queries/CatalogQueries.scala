@@ -205,7 +205,42 @@ object CatalogQueries {
     ORDER BY wastedbytes DESC, index_name
     LIMIT 10"""
 
+  /** dba_idx_diag/04_step.sql:15-16 — `a.attnum = any(i.indkey)`: join
+    * table attributes to indexes ON ARRAY MEMBERSHIP. Spark side builds
+    * the real `indkey` array (collect_list over pg_index_key), explodes
+    * it, and equi-joins — the scale-correct rewrite of an any() join
+    * (explode turns a per-row membership probe into a shuffle-joinable
+    * key). Oracle recomputes relationally from the pre-exploded rows. */
+  def dbaIdxDiagArrayJoin(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    PgCatalog.registerAll(s)
+    val indkeys = s.table("pg_index_key")
+      .groupBy(col("indexrelid"))
+      .agg(sort_array(collect_list(col("attnum"))).as("indkey"))
+    val ic = s.table("pg_class")
+      .filter(col("relkind") === "i")
+      .select(col("oid").as("indexrelid"), col("relname").as("index_name"))
+    val attrs = s.table("pg_attribute")
+    indkeys
+      .select(col("indexrelid"), explode(col("indkey")).as("k_attnum"))
+      .join(attrs, col("attrelid") === col("indexrelid") &&
+        col("attnum") === col("k_attnum"))
+      .join(ic, "indexrelid")
+      .select(col("indexrelid"), col("index_name"), col("attnum"), col("attname"))
+      .orderBy(col("indexrelid"), col("attnum"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("c04_dba_idx_diag_array_join",
+      (s, _) => dbaIdxDiagArrayJoin(s),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT k.indexrelid, ic.relname AS index_name, k.attnum, a.attname
+        FROM pg_index_key k
+        JOIN pg_attribute a
+          ON a.attrelid = k.indexrelid AND a.attnum = k.attnum
+        JOIN pg_class ic ON ic.oid = k.indexrelid
+        ORDER BY k.indexrelid, k.attnum"""))),
     QuerySpec("c01_dba_top_tables",
       (s, _) => s.sql(PgCatalog.withCatalog(dbaTopTables)),
       oracle = Some(PgCatalog.withCatalog(dbaTopTables))),

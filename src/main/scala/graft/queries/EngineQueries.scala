@@ -43,9 +43,14 @@ object EngineQueries {
     // with a direct relational recomputation from the source fixture
     QuerySpec("w01_migration_int4_to_int8", (s, dir) => {
       Tables.registerAll(s, dir)
+      // partition grain sized to the data: ~20 partitions/batches at any SF
+      val maxId = Tables.load(s, dir, "orders")
+        .agg(org.apache.spark.sql.functions.max("o_orderkey")).head().getLong(0)
+      val grain = math.max(1000L, math.ceil(maxId / 20000.0).toLong * 1000L)
       val conf = RunnerConf(
         stateDir = Files.createTempDirectory("graft-w01-state").toString,
         placeholders = Map(
+          "bk_grain" -> grain.toString,
           "mig_src" -> Files.createTempDirectory("graft-w01-src").toString,
           "mig_dst" -> Files.createTempDirectory("graft-w01-dst").toString))
       val res = new PacketRunner(s, conf).run(s"$packetsDir/test_int4_to_int8")

@@ -124,6 +124,7 @@ class EngineSpec extends AnyFunSuite {
     Tables.registerAll(spark, fixtures)
     val state = tmpState()
     def conf = RunnerConf(stateDir = state, placeholders = Map(
+      "bk_grain" -> "1000",
       "mig_src" -> Files.createTempDirectory("graft-mig-src").toString,
       "mig_dst" -> Files.createTempDirectory("graft-mig-dst").toString))
     val c1 = conf

@@ -113,6 +113,20 @@ class SinksSpec extends AnyFunSuite {
     assert(posts.isEmpty)
   }
 
+  test("failing step posts to the hook channel under raise verbosity") {
+    Tables.registerAll(spark, fixtures)
+    val posts = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val dir = mkPacket("test_raise_hook", Map(
+      "01_step.sql" -> "SELECT * FROM no_such_table_anywhere;",
+      "meta_data.json" -> """{"hook": {"channel": "alerts", "verbosity": ["raise"]}}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      hookSink = Some(HookSink.buffering(posts)))).run(dir)
+    assert(res.resultCode("spark") == "fail")
+    assert(posts.size == 1)
+    assert(posts.head._3.contains("EXCEPTION"))
+  }
+
   test("python step runs a registered Scala callback with engine context") {
     Tables.registerAll(spark, fixtures)
     ScalaSteps.register("test_py_step", "02_step.py") { ctx =>
