@@ -128,6 +128,45 @@ object PgFunctions {
       lpad(pmod(s, lit(60L)).cast("string"), 2, "0"))
   }
 
+  /** PostgreSQL format() with %I / %L / %s / %% directives
+    * (packets/dba_idx_diag/06_step.sql:13-18, dba_clone_schema throughout).
+    * The format string is a compile-time constant, so it is parsed ONCE on
+    * the driver into a concat of plain column expressions — %I becomes the
+    * native QuoteIdent expression, %L single-quotes with '' doubling (NULL
+    * renders as unquoted NULL, as in PG), %s casts to string. The result
+    * stays fully codegen'd; no UDF, no per-row format parsing. */
+  def pg_format(fmt: String, args: Column*): Column = {
+    val parts = scala.collection.mutable.Buffer.empty[Column]
+    val sb = new StringBuilder
+    var argIdx = 0
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += lit(sb.toString); sb.clear() }
+    def nextArg(): Column = {
+      require(argIdx < args.length, s"format '$fmt': too few arguments")
+      val a = args(argIdx); argIdx += 1; a
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case '%' => sb += '%'
+          case 'I' => flush(); parts += quote_ident(nextArg())
+          case 'L' =>
+            flush()
+            val a = nextArg().cast("string")
+            parts += when(a.isNull, lit("NULL"))
+              .otherwise(concat(lit("'"), regexp_replace(a, "'", "''"), lit("'")))
+          case 's' => flush(); parts += nextArg().cast("string")
+          case c => throw new IllegalArgumentException(
+            s"format '$fmt': unsupported directive %$c")
+        }
+        i += 2
+      } else { sb += fmt.charAt(i); i += 1 }
+    }
+    flush()
+    concat(parts.toSeq: _*)
+  }
+
   // -- WAL LSN arithmetic (dba_lag/01_step.sql:3-7) ---------------------
   /** 'X/Y' hex LSN → absolute byte position (X·2^32 + Y). */
   def lsn_bytes(lsn: Column): Column =

@@ -231,6 +231,58 @@ object CatalogQueries {
       .orderBy(col("indexrelid"), col("attnum"))
   }
 
+  /** The lock observer's blocker-detection join (dbccore.py:185-198):
+    * which pids hold locks that non-granted backends have been waiting on
+    * since before the cutoff. The reference's `a AND b OR c` condition
+    * precedence is kept verbatim; the cutoff is a literal (the engine's
+    * LockObserver computes it from an injected clock). The OR join falls
+    * to BNLJ here — acceptable on a catalog-sized input; the engine-side
+    * LockObserver.blockerPids uses the two-equi-join union form instead. */
+  val lockObserverBlockers: String = """
+    SELECT DISTINCT other.pid AS blocker_pid
+    FROM pg_locks waiting
+    JOIN pg_stat_activity waiting_stm ON waiting_stm.pid = waiting.pid
+    JOIN pg_locks other
+      ON (waiting.database = other.database
+          AND waiting.relation = other.relation)
+      OR waiting.transactionid = other.transactionid
+    WHERE NOT waiting.granted
+      AND waiting.pid <> other.pid
+      AND waiting_stm.xact_start < TIMESTAMP '2024-01-01 10:04:00'
+    ORDER BY blocker_pid"""
+
+  /** aclexplode(relacl) (dba_clone_schema/01_step.sql:26,297,333,368):
+    * explode PostgreSQL's rendered acl array `{grantee=privchars/grantor}`
+    * into one (grantee, grantor, privilege_type) row per granted privilege.
+    * Spark shape: two chained generators — explode acl items, then explode
+    * the privilege-char positions via `transform(sequence(...))` — all
+    * codegen'd, no UDF; at scale this is a pure map-side fan-out (no
+    * shuffle until the final order). */
+  def aclExplode(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    PgCatalog.registerAll(s)
+    val items = s.table("pg_class_acl").select(col("oid"),
+      explode(split(regexp_replace(col("relacl"), "[{}]", ""), ",")).as("item"))
+    val parsed = items.select(col("oid"),
+      substring_index(col("item"), "=", 1).as("grantee"),
+      regexp_extract(col("item"), "=([a-zA-Z]+)/", 1).as("privs"),
+      substring_index(col("item"), "/", -1).as("grantor"))
+    val chars = parsed.select(col("oid"), col("grantee"), col("grantor"),
+      explode(transform(sequence(lit(1), length(col("privs"))),
+        i => col("privs").substr(i, lit(1)))).as("ch"))
+    chars
+      .join(s.table("pg_class"), "oid")
+      .select(col("relname"), col("grantee"), col("grantor"),
+        when(col("ch") === "a", "INSERT").when(col("ch") === "r", "SELECT")
+          .when(col("ch") === "w", "UPDATE").when(col("ch") === "d", "DELETE")
+          .when(col("ch") === "D", "TRUNCATE")
+          .when(col("ch") === "x", "REFERENCES")
+          .when(col("ch") === "t", "TRIGGER")
+          .otherwise("UNKNOWN").as("privilege_type"))
+      .orderBy(col("relname"), col("grantee"), col("privilege_type"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("c04_dba_idx_diag_array_join",
       (s, _) => dbaIdxDiagArrayJoin(s),
@@ -249,6 +301,35 @@ object CatalogQueries {
       oracle = Some(PgCatalog.withCatalog(dbaLocks))),
     QuerySpec("c03_alert_bloat",
       (s, _) => s.sql(PgCatalog.withCatalog(alertBloat)),
-      oracle = Some(PgCatalog.withCatalog(alertBloat)))
+      oracle = Some(PgCatalog.withCatalog(alertBloat))),
+    QuerySpec("c05_aclexplode",
+      (s, _) => aclExplode(s),
+      oracle = Some(PgCatalog.withCatalog("""
+        , items AS (
+            SELECT oid,
+              unnest(string_split(replace(replace(relacl, '{', ''), '}', ''), ',')) AS item
+            FROM pg_class_acl
+        ), parsed AS (
+            SELECT oid,
+              split_part(item, '=', 1) AS grantee,
+              split_part(split_part(item, '=', 2), '/', 1) AS privs,
+              split_part(item, '/', 2) AS grantor
+            FROM items
+        ), chars AS (
+            SELECT p.oid, p.grantee, p.grantor, substring(p.privs, n.i, 1) AS ch
+            FROM parsed p
+            JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) n(i)
+              ON n.i <= length(p.privs)
+        )
+        SELECT c.relname, h.grantee, h.grantor,
+          CASE ch WHEN 'a' THEN 'INSERT' WHEN 'r' THEN 'SELECT'
+            WHEN 'w' THEN 'UPDATE' WHEN 'd' THEN 'DELETE'
+            WHEN 'D' THEN 'TRUNCATE' WHEN 'x' THEN 'REFERENCES'
+            WHEN 't' THEN 'TRIGGER' ELSE 'UNKNOWN' END AS privilege_type
+        FROM chars h JOIN pg_class c ON c.oid = h.oid
+        ORDER BY relname, grantee, privilege_type"""))),
+    QuerySpec("c06_lock_observer_blockers",
+      (s, _) => s.sql(PgCatalog.withCatalog(lockObserverBlockers)),
+      oracle = Some(PgCatalog.withCatalog(lockObserverBlockers)))
   )
 }

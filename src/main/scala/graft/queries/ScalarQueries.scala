@@ -125,7 +125,41 @@ object ScalarQueries {
       SELECT pid, client_addr,
         sent_pos - replay_pos AS lag_bytes,
         ${PortableSql.sizePretty("sent_pos - replay_pos")} AS lag_pretty
-      FROM pg_stat_replication ORDER BY pid""")))
+      FROM pg_stat_replication ORDER BY pid"""))),
+
+    // format('%I.%I' / %L / %s) + oid::regclass resolution
+    // (dba_idx_diag/06_step.sql:13-18 builds ANALYZE/DROP commands this
+    // way; ::regclass appears in dba_top_tables/01_step.sql:53). regclass
+    // = oid→relname lookup through pg_class; format parses the constant
+    // fmt once on the driver into a codegen'd concat (PgFunctions.pg_format)
+    QuerySpec("x07_format_regclass", (s, _) => {
+      PgCatalog.registerAll(s)
+      val c = s.table("pg_class")
+        .filter(col("relkind") === "r" && col("relnamespace").isin(2200, 16500))
+      val n = s.table("pg_namespace")
+        .select(col("oid").as("relnamespace"), col("nspname"))
+      c.join(n, "relnamespace")
+        .select(col("oid"),
+          col("relname").as("regclass"),
+          PgFunctions.pg_format("%I.%I", col("nspname"), col("relname"))
+            .as("qualified"),
+          PgFunctions.pg_format("ANALYZE %I.%I;", col("nspname"), col("relname"))
+            .as("maint_cmd"),
+          PgFunctions.pg_format("COMMENT ON TABLE %I.%I IS %L",
+            col("nspname"), col("relname"),
+            concat(lit("rows of "), col("relname"), lit("'s data")))
+            .as("comment_cmd"))
+        .orderBy(col("oid"))
+    }, oracle = Some(PgCatalog.withCatalog("""
+      SELECT c.oid, c.relname AS regclass,
+        n.nspname || '.' || c.relname AS qualified,
+        'ANALYZE ' || n.nspname || '.' || c.relname || ';' AS maint_cmd,
+        'COMMENT ON TABLE ' || n.nspname || '.' || c.relname || ' IS ' ||
+          '''' || replace('rows of ' || c.relname || '''s data', '''', '''''')
+          || '''' AS comment_cmd
+      FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace
+      WHERE c.relkind = 'r' AND c.relnamespace IN (2200, 16500)
+      ORDER BY c.oid""")))
   )
 
 }

@@ -181,15 +181,19 @@ object PgCatalog {
       ('virtualxid',    CAST(NULL AS INT), NULL, NULL, NULL, '3/42', NULL, NULL, NULL, NULL, 101, true)
       ) AS t(locktype, database, relation, page, tuple, virtualxid, transactionid, classid, objid, objsubid, pid, granted)"""
 
-  /** (pid, usename, query, state, application_name) */
+  /** (pid, usename, query, state, application_name, xact_start,
+    * wait_event_type, wait_event) — the extra three columns are the lock
+    * observer's inputs (dbccore.py:185-220): 202 is OUR migration backend
+    * waiting on a relation lock (wait-timeout target); 404 idles in a
+    * transaction that blocks 303 (blocker-timeout target when 404 is ours). */
   val pgStatActivity: String =
     """SELECT * FROM (VALUES
-      (101, 'app_rw',    'UPDATE lineitem SET l_quantity = l_quantity + 1 WHERE l_orderkey BETWEEN 1 AND 10000', 'active', 'app'),
-      (202, 'dbc_user',  'ALTER TABLE lineitem ALTER COLUMN l_linenumber TYPE bigint', 'active', 'dbc_int4_to_int8'),
-      (303, 'report_ro', 'SELECT count(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey', 'active', 'reports'),
-      (404, 'app_rw',    'INSERT INTO orders SELECT * FROM orders_staging', 'idle in transaction', 'app'),
-      (505, 'etl',       'COPY events FROM stdin', 'active', 'etl_loader')
-      ) AS t(pid, usename, query, state, application_name)"""
+      (101, 'app_rw',    'UPDATE lineitem SET l_quantity = l_quantity + 1 WHERE l_orderkey BETWEEN 1 AND 10000', 'active', 'app', TIMESTAMP '2024-01-01 10:00:00', CAST(NULL AS STRING), CAST(NULL AS STRING)),
+      (202, 'dbc_user',  'ALTER TABLE lineitem ALTER COLUMN l_linenumber TYPE bigint', 'active', 'dbc_int4_to_int8', TIMESTAMP '2024-01-01 10:00:30', 'Lock', 'relation'),
+      (303, 'report_ro', 'SELECT count(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey', 'active', 'reports', TIMESTAMP '2024-01-01 10:02:00', 'Lock', 'transactionid'),
+      (404, 'app_rw',    'INSERT INTO orders SELECT * FROM orders_staging', 'idle in transaction', 'app', TIMESTAMP '2024-01-01 09:55:00', NULL, NULL),
+      (505, 'etl',       'COPY events FROM stdin', 'active', 'etl_loader', TIMESTAMP '2024-01-01 10:04:50', NULL, NULL)
+      ) AS t(pid, usename, query, state, application_name, xact_start, wait_event_type, wait_event)"""
 
   /** (name, setting, unit) — current_setting targets (dba_get_conf). */
   val pgSettings: String =
@@ -213,6 +217,17 @@ object PgCatalog {
       (9002, '10.0.0.22', '2/1A2B3C40', '1/FF000000', CAST(9028975680 AS BIGINT), CAST(8573157376 AS BIGINT))
       ) AS t(pid, client_addr, sent_lsn, replay_lsn, sent_pos, replay_pos)"""
 
+  /** (oid, relacl) — acl arrays in PostgreSQL's text rendering
+    * (`{grantee=privchars/grantor,...}`), the aclexplode input shape
+    * (dba_clone_schema/01_step.sql:26,297,333,368). */
+  val pgClassAcl: String =
+    """SELECT * FROM (VALUES
+      (16384, '{postgres=arwdDxt/postgres,app_rw=arwd/postgres,report_ro=r/postgres}'),
+      (16385, '{postgres=arwdDxt/postgres,app_rw=arwd/postgres}'),
+      (16391, '{postgres=arwdDxt/postgres,etl=arw/postgres,report_ro=r/postgres}'),
+      (16392, '{postgres=arwdDxt/postgres}')
+      ) AS t(oid, relacl)"""
+
   /** name → portable VALUES SQL, in dependency-free registration order. */
   val tables: Seq[(String, String)] = Seq(
     "pg_namespace" -> pgNamespace,
@@ -228,7 +243,8 @@ object PgCatalog {
     "pg_locks" -> pgLocks,
     "pg_stat_activity" -> pgStatActivity,
     "pg_settings" -> pgSettings,
-    "pg_stat_replication" -> pgStatReplication)
+    "pg_stat_replication" -> pgStatReplication,
+    "pg_class_acl" -> pgClassAcl)
 
   /** Register every catalog table as a Spark temp view. */
   def registerAll(spark: SparkSession): Unit =
