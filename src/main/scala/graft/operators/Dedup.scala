@@ -35,27 +35,16 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
   }
 
-  /** numPerm-wide MinHash signature in ONE pass over the shingles.
+  /** numPerm-wide MinHash signature in ONE pass over the shingles:
+    * each shingle hashed once (xxhash64), then numPerm multiply-shift
+    * permutations π_p(h) = a_p·h + b_p, sig[p] = min over shingles.
     *
-    * Each shingle is string-hashed exactly once (it enters the aggregate
-    * as an already-evaluated lambda variable — an inline `xxhash64(s, p)`
-    * per permutation would re-hash every string numPerm times, which
-    * measured 177 s at sf0.1); the numPerm permutations are derived
-    * arithmetically as π_p(h) = a_p·h + b_p (multiply-shift universal
-    * hashing) with fixed odd multipliers baked in as constant-folded
-    * literal arrays. sig[p] = min over shingles of π_p(h). */
-  def minhashSignature(sh: Column, numPerm: Int): Column = {
-    val rnd = new java.util.SplittableRandom(0x5EED5EEDL)
-    val as = array((0 until numPerm).map(_ => lit(rnd.nextLong() | 1L)): _*)
-    val bs = array((0 until numPerm).map(_ => lit(rnd.nextLong())): _*)
-    val idx = sequence(lit(0), lit(numPerm - 1))
-    import org.apache.spark.sql.graft.ColumnBridge.{wrapAdd, wrapMul}
-    aggregate(
-      transform(sh, s => xxhash64(s)),
-      array_repeat(lit(Long.MaxValue), numPerm),
-      (acc, h) => zip_with(acc, idx, (m, p) =>
-        least(m, wrapAdd(wrapMul(element_at(as, p + 1), h), element_at(bs, p + 1)))))
-  }
+    * Implemented as the native codegen'd [[graft.functions.MinHashSig]]
+    * expression — the interpreted `aggregate`/`zip_with` formulation
+    * allocated a boxed 64-wide array per shingle and measured 7.3 s of
+    * d02's 7.5 s at sf0.1; the JVM perm loop is negligible. */
+  def minhashSignature(sh: Column, numPerm: Int): Column =
+    graft.functions.MinHash.minhashSig(sh, numPerm)
 
   /** LSH band keys: split the signature into `bands` rows-per-band groups;
     * key = xxhash64 of the band's slice + band index. Docs sharing ANY
@@ -85,9 +74,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
+    // fused tokens→shingles→signature expression: no shingle arrays are
+    // ever materialized (graft.functions.MinHashTokensSig)
     val sigs = docs
       .select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol)), numPerm).as("sig"))
+        graft.functions.MinHash.minhashTokensSig(tokens(col(textCol)), 3, numPerm)
+          .as("sig"))
       .persist()
     val banded = sigs.select(col("id"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
