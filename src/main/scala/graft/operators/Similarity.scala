@@ -57,6 +57,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+    * (complements lshTopK): train k-means centroids once (fixed seed,
+    * Spark ML — idiomatic distributed Lloyd iterations), assign every
+    * vector to its nearest centroid's "inverted list", and serve a query
+    * by scanning only the `nprobe` lists whose centroids are closest to
+    * it.
+    *
+    * Scale posture: the assignment is an INGEST-time step — at 100 TB the
+    * corpus is written `bucketBy(list_id)` / partitioned on `list_id`, so
+    * the per-query `isin` on nprobe list ids prunes files at the scan
+    * exactly like lshTopK's probe-bucket IN-set (nothing outside the
+    * probed lists is read); centroids (nlist × dim doubles) live on the
+    * driver/broadcast. Recall < 1.0 by construction; verified against
+    * bruteForceTopK in tests. */
+  def ivfAssign(
+      embs: DataFrame, vecCol: String,
+      nlist: Int, seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = embs.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__features").setPredictionCol("list_id")
+      .fit(featured)
+    (model.clusterCenters.map(_.toArray),
+      model.transform(featured).drop("__features"))
+  }
+
+  def ivfTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfAssign(embs, vecCol, nlist)
+    // nprobe nearest centroids to the query — driver-side over nlist rows
+    val qd = query.map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - qd(i); s += d * d; i += 1 }
+      s
+    }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }
+      .take(nprobe).map(x => Integer.valueOf(x._2)).toSeq
+    val q = array(query.map(v => lit(v)): _*)
+    assigned.filter(col("list_id").isin(probed: _*))
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs exact top-k join for a (small) probe set against the full
     * corpus: probe side broadcast, corpus side streamed — one pass. */
   def topKJoin(

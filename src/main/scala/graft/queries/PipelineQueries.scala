@@ -220,6 +220,19 @@ object PipelineQueries {
         .select($"vec_id", round($"cos", 9).as("cos"))
     }),
 
+    // IVF ANN (rows-only; recall vs brute force asserted in DedupSpec) —
+    // the coarse-quantizer scale path: at 100 TB the kmeans assignment is
+    // an ingest step and list_id is the storage bucket key.
+    QuerySpec("s03_ann_ivf", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.ivfTopK(embs.filter($"vec_id" =!= 0), "vec_id", "embedding", q,
+          k = 20, nlist = 16, nprobe = 4)
+        .select($"vec_id", round($"cos", 9).as("cos"))
+    }),
+
     // ---- Multimodal plumbing (rows-only: decode is a documented stub) --
     QuerySpec("m01_multimodal_features", (s, dir) => {
       Multimodal.featureSummary(s, Tables.load(s, dir, "documents"))

@@ -113,4 +113,24 @@ class DedupSpec extends AnyFunSuite {
     // every approx hit must be a genuine vector id
     assert(approx.forall(_ > 0))
   }
+
+  test("IVF ANN recall vs brute force") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, "vec_id", "embedding", q,
+        k = 20, nlist = 16, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(approx.forall(_ > 0))
+    // probing ALL lists must be exhaustive: IVF with nprobe = nlist is exact
+    val full = Similarity.ivfTopK(corpus, "vec_id", "embedding", q,
+        k = 20, nlist = 16, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact, "nprobe = nlist IVF must equal brute force")
+  }
 }
