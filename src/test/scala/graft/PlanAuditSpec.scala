@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Physical-plan audits: the 100 TB postures the operators claim are
+  * asserted against the ACTUAL executed plans, so a regression that
+  * silently de-broadcasts a dim join, drops a pushed filter, or turns
+  * top-k into a global sort fails CI — not a code-review.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect() // force execution so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+  /** Final-plan text only (AQE's toString appends the pre-adaptive
+    * "Initial Plan", which would double-count nodes). */
+  private def planString(df: DataFrame): String =
+    executedPlan(df).toString
+
+  /** Full traversal including AQE query-stage subtrees (stages are leaves
+    * to `collect`, hiding the materialized exchanges inside them). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(s.plan)
+      case _ => Nil
+    }
+    p +: (p.children ++ extra).flatMap(allNodes)
+  }
+
+  private def shuffles(df: DataFrame) = allNodes(executedPlan(df)).collect {
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+  }
+
+  test("q02 joins the nation/region dims by broadcast, not shuffle") {
+    val plan = planString(SparkEntry.queries("q02_join_revenue_by_nation")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q04 top-k plans TakeOrderedAndProject, never a global sort") {
+    val plan = planString(SparkEntry.queries("q04_topk_nested_limit")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q18 predicates reach the parquet scan as PushedFilters") {
+    val df = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 1000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = planString(df)
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("IsNotNull(o_orderstatus)") ||
+      plan.contains("EqualTo(o_orderstatus,F)"), plan.take(2000))
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val df = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val plan = planString(df)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("d01 exact dedup is one shuffle with map-side partial aggregation") {
+    val df = Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val exchanges = shuffles(df)
+    assert(exchanges.size == 1, s"expected 1 shuffle, saw ${exchanges.size}")
+    // partial_ aggregate before the exchange = map-side combine
+    val full = allNodes(executedPlan(df)).mkString("\n")
+    assert(full.contains("partial_"), full.take(2000))
+  }
+
+  test("d02 minhash never shuffles document text or shingles") {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val df = Dedup.minhashLsh(docs, "doc_id", "text", 64, 16, 0.5)
+    // every Exchange's output schema must be free of text-typed payloads
+    val exchanges = shuffles(df)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val cols = e.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+      assert(!cols.exists(c => c.contains("text") || c.contains("array<string>")),
+        s"shuffle carries raw text/shingles: $cols")
+    }
+  }
+
+  test("s02 LSH probe set is an IN filter, not a per-row Hamming scan") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val df = Similarity.lshTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, 20, bits = 12, probes = 1)
+    val plan = planString(df)
+    assert(plan.contains("bucket#") || plan.contains(" IN ") || plan.contains("INSET"),
+      plan.take(2000))
+  }
+
+  test("hot scalar pipeline stays inside WholeStageCodegen") {
+    val df = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val plan = planString(df)
+    // '*(n)' node prefixes mark whole-stage-codegen'd spans
+    assert(plan.contains("*("), plan.take(2000))
+  }
+
+  test("q01 money aggregation is decimal-exact (no double partial sums)") {
+    val plan = SparkEntry.queries("q01_agg_pricing_summary")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("decimal(18,2)") || plan.contains("decimal(28,2)"),
+      plan.take(2000))
+  }
+}
