@@ -283,6 +283,92 @@ object CatalogQueries {
       .orderBy(col("relname"), col("grantee"), col("privilege_type"))
   }
 
+  /** alert_stat/01_step.sql:1-33 — tables whose analyze/vacuum state needs
+    * attention: never-maintained (all four timestamps NULL) or stale on
+    * BOTH the analyze side and the vacuum side. The reference's
+    * `LEAST(age(now, coalesce(ts, '2000-01-01'))) > '15 days'` is rewritten
+    * to the equivalent `GREATEST(coalesce(ts, '2000-01-01')) < now - 15d`
+    * with the cutoff folded to a literal — identical predicate, no
+    * engine-specific interval comparison; nulls-first multi-key ordering
+    * kept verbatim. */
+  val alertStat: String = """
+    SELECT n.nspname, c.relname, CAST(c.reltuples AS BIGINT) AS reltuples,
+      st.last_autoanalyze, st.last_autovacuum, st.last_analyze, st.last_vacuum
+    FROM pg_class c
+    JOIN pg_namespace n ON c.relnamespace = n.oid
+    LEFT JOIN pg_stat_all_tables st ON st.relid = c.oid
+    WHERE c.reltuples > 1000 AND c.relkind IN ('r', 'm')
+      AND NOT (n.nspname = 'pg_catalog' AND c.relname = 'pg_shdepend')
+      AND (
+        (st.last_autoanalyze IS NULL AND st.last_autovacuum IS NULL
+         AND st.last_analyze IS NULL AND st.last_vacuum IS NULL)
+        OR (
+          n.nspname NOT IN ('pg_toast', 'pg_catalog')
+          AND GREATEST(
+                COALESCE(st.last_autoanalyze, TIMESTAMP '2000-01-01 00:00:00'),
+                COALESCE(st.last_analyze, TIMESTAMP '2000-01-01 00:00:00'))
+              < TIMESTAMP '2023-12-17 10:05:00'
+          AND GREATEST(
+                COALESCE(st.last_autovacuum, TIMESTAMP '2000-01-01 00:00:00'),
+                COALESCE(st.last_vacuum, TIMESTAMP '2000-01-01 00:00:00'))
+              < TIMESTAMP '2023-12-17 10:05:00'
+        )
+      )
+    ORDER BY st.last_autoanalyze ASC NULLS FIRST,
+      st.last_autovacuum ASC NULLS FIRST,
+      st.last_analyze ASC NULLS FIRST,
+      st.last_vacuum ASC NULLS FIRST, c.relname
+    LIMIT 10"""
+
+  /** dba_active_maint/01_step.sql:1-33 — in-flight maintenance statements
+    * via an ILIKE chain over pg_stat_activity (the interval `to_char` age
+    * columns are covered by x02; this port keeps the detection logic). */
+  val dbaActiveMaint: String = """
+    SELECT datname, state, substring(query, 1, 31) AS query, pid,
+      application_name AS app_name, wait_event_type, wait_event
+    FROM pg_stat_activity
+    WHERE state IN ('active', 'idle in transaction')
+      AND (query ILIKE '%create%index%' OR query ILIKE '%alter%table%'
+        OR query ILIKE '%drop%table%' OR query ILIKE '%truncate%'
+        OR query ILIKE '%copy%to%' OR query ILIKE '%copy%from%'
+        OR query ILIKE '%reindex%' OR query ILIKE '%cluster%'
+        OR query ILIKE '%vacuum%' OR query ILIKE '%analyze%'
+        OR query ILIKE '%refresh%materialized%')
+    ORDER BY state_change ASC, pid
+    LIMIT 20"""
+
+  /** dba_long_queries/01_step.sql:1-21 — longest-running transactions with
+    * rendered ages and xid distance. Divergences (documented): the clock is
+    * pinned (injected `now`), ages render as HH24:MI:SS via the engine's
+    * interval_to_char (x02 twin; the reference's date_trunc('milliseconds')
+    * keeps sub-second noise a fixture can't), and `age(xid)` is xid
+    * distance from a pinned current-xid scalar (SURVEY §2.2). */
+  def dbaLongQueries(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PgFunctions
+    PgCatalog.registerAll(s)
+    val now = lit(java.sql.Timestamp.valueOf("2024-01-01 10:05:00"))
+    val currentXid = lit(9100)
+    val scAge = unix_timestamp(now) - unix_timestamp(col("state_change"))
+    val xsAge = unix_timestamp(now) - unix_timestamp(col("xact_start"))
+    s.table("pg_stat_activity")
+      .filter(col("state").isin("active", "idle in transaction"))
+      .select(col("datname"), col("state"),
+        substring(col("query"), 1, 31).as("query"),
+        col("pid"), col("backend_xid"),
+        PgFunctions.interval_hh24miss(scAge).as("state_change_age"),
+        PgFunctions.interval_hh24miss(xsAge).as("xact_start_age"),
+        greatest(
+          PgFunctions.xid_age(currentXid, col("backend_xmin")),
+          PgFunctions.xid_age(currentXid, col("backend_xid")))
+          .cast("long").as("query_age_in_tx"),
+        col("application_name").as("app_name"),
+        col("wait_event_type"), col("wait_event"))
+      .orderBy(col("xact_start_age").desc, col("pid"))
+      .limit(20)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("c04_dba_idx_diag_array_join",
       (s, _) => dbaIdxDiagArrayJoin(s),
@@ -330,6 +416,37 @@ object CatalogQueries {
         ORDER BY relname, grantee, privilege_type"""))),
     QuerySpec("c06_lock_observer_blockers",
       (s, _) => s.sql(PgCatalog.withCatalog(lockObserverBlockers)),
-      oracle = Some(PgCatalog.withCatalog(lockObserverBlockers)))
+      oracle = Some(PgCatalog.withCatalog(lockObserverBlockers))),
+    QuerySpec("c07_dba_long_queries",
+      (s, _) => dbaLongQueries(s),
+      oracle = Some(PgCatalog.withCatalog("""
+        , base AS (
+            SELECT *,
+              CAST(floor(epoch(TIMESTAMP '2024-01-01 10:05:00')) AS BIGINT)
+                - CAST(floor(epoch(state_change)) AS BIGINT) AS sc_s,
+              CAST(floor(epoch(TIMESTAMP '2024-01-01 10:05:00')) AS BIGINT)
+                - CAST(floor(epoch(xact_start)) AS BIGINT) AS xs_s
+            FROM pg_stat_activity
+            WHERE state IN ('active', 'idle in transaction'))
+        SELECT datname, state, substring(query, 1, 31) AS query, pid,
+          backend_xid,
+          lpad(CAST(CAST(floor(sc_s / 3600) AS BIGINT) AS STRING), 2, '0') || ':' ||
+          lpad(CAST(CAST(floor((sc_s % 3600) / 60) AS BIGINT) AS STRING), 2, '0') || ':' ||
+          lpad(CAST(CAST(sc_s % 60 AS BIGINT) AS STRING), 2, '0') AS state_change_age,
+          lpad(CAST(CAST(floor(xs_s / 3600) AS BIGINT) AS STRING), 2, '0') || ':' ||
+          lpad(CAST(CAST(floor((xs_s % 3600) / 60) AS BIGINT) AS STRING), 2, '0') || ':' ||
+          lpad(CAST(CAST(xs_s % 60 AS BIGINT) AS STRING), 2, '0') AS xact_start_age,
+          CAST(greatest(9100 - backend_xmin, 9100 - backend_xid) AS BIGINT)
+            AS query_age_in_tx,
+          application_name AS app_name, wait_event_type, wait_event
+        FROM base
+        ORDER BY xact_start_age DESC, pid
+        LIMIT 20"""))),
+    QuerySpec("c08_alert_stat",
+      (s, _) => s.sql(PgCatalog.withCatalog(alertStat)),
+      oracle = Some(PgCatalog.withCatalog(alertStat))),
+    QuerySpec("c09_dba_active_maint",
+      (s, _) => s.sql(PgCatalog.withCatalog(dbaActiveMaint)),
+      oracle = Some(PgCatalog.withCatalog(dbaActiveMaint)))
   )
 }

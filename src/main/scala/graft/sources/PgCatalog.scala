@@ -131,20 +131,25 @@ object PgCatalog {
       ('analytics', 'embeddings', 'vec_id',   CAST(0.0 AS DOUBLE), 8)
       ) AS t(schemaname, tablename, attname, null_frac, avg_width)"""
 
-  /** (relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd) */
+  /** (relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd,
+    * last_autoanalyze, last_autovacuum, last_analyze, last_vacuum) — the
+    * four maintenance timestamps drive alert_stat (c08): lineitem has
+    * never been analyzed/vacuumed (the "attention!" all-NULL branch),
+    * orders and documents are stale (> 15 days before the pinned clock
+    * 2024-01-01), the rest are fresh. */
   val pgStatAllTables: String =
     """SELECT * FROM (VALUES
-      (16384, CAST(600572 AS BIGINT), CAST(1200 AS BIGINT), CAST(600572 AS BIGINT), CAST(4500 AS BIGINT), CAST(900 AS BIGINT)),
-      (16385, CAST(150000 AS BIGINT), CAST(800 AS BIGINT),  CAST(150000 AS BIGINT), CAST(2500 AS BIGINT), CAST(400 AS BIGINT)),
-      (16386, CAST(15000 AS BIGINT),  CAST(40 AS BIGINT),   CAST(15000 AS BIGINT),  CAST(300 AS BIGINT),  CAST(80 AS BIGINT)),
-      (16387, CAST(20000 AS BIGINT),  CAST(60 AS BIGINT),   CAST(20000 AS BIGINT),  CAST(150 AS BIGINT),  CAST(20 AS BIGINT)),
-      (16388, CAST(1000 AS BIGINT),   CAST(5 AS BIGINT),    CAST(1000 AS BIGINT),   CAST(10 AS BIGINT),   CAST(2 AS BIGINT)),
-      (16389, CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
-      (16390, CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
-      (16391, CAST(250000 AS BIGINT), CAST(2000 AS BIGINT), CAST(250000 AS BIGINT), CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
-      (16392, CAST(5000 AS BIGINT),   CAST(100 AS BIGINT),  CAST(5000 AS BIGINT),   CAST(600 AS BIGINT),  CAST(120 AS BIGINT)),
-      (16393, CAST(5000 AS BIGINT),   CAST(20 AS BIGINT),   CAST(5000 AS BIGINT),   CAST(50 AS BIGINT),   CAST(10 AS BIGINT))
-      ) AS t(relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd)"""
+      (16384, CAST(600572 AS BIGINT), CAST(1200 AS BIGINT), CAST(600572 AS BIGINT), CAST(4500 AS BIGINT), CAST(900 AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)),
+      (16385, CAST(150000 AS BIGINT), CAST(800 AS BIGINT),  CAST(150000 AS BIGINT), CAST(2500 AS BIGINT), CAST(400 AS BIGINT), TIMESTAMP '2023-10-02 04:00:00', TIMESTAMP '2023-10-01 03:00:00', TIMESTAMP '2023-09-20 02:00:00', TIMESTAMP '2023-09-25 01:00:00'),
+      (16386, CAST(15000 AS BIGINT),  CAST(40 AS BIGINT),   CAST(15000 AS BIGINT),  CAST(300 AS BIGINT),  CAST(80 AS BIGINT),  TIMESTAMP '2023-12-30 04:10:00', TIMESTAMP '2023-12-30 03:10:00', NULL, NULL),
+      (16387, CAST(20000 AS BIGINT),  CAST(60 AS BIGINT),   CAST(20000 AS BIGINT),  CAST(150 AS BIGINT),  CAST(20 AS BIGINT),  TIMESTAMP '2023-12-29 04:20:00', TIMESTAMP '2023-12-29 03:20:00', NULL, NULL),
+      (16388, CAST(1000 AS BIGINT),   CAST(5 AS BIGINT),    CAST(1000 AS BIGINT),   CAST(10 AS BIGINT),   CAST(2 AS BIGINT),   TIMESTAMP '2023-12-28 04:30:00', TIMESTAMP '2023-12-28 03:30:00', NULL, NULL),
+      (16389, CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-27 04:40:00', TIMESTAMP '2023-12-27 03:40:00', NULL, NULL),
+      (16390, CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-26 04:50:00', TIMESTAMP '2023-12-26 03:50:00', NULL, NULL),
+      (16391, CAST(250000 AS BIGINT), CAST(2000 AS BIGINT), CAST(250000 AS BIGINT), CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-31 05:00:00', TIMESTAMP '2023-11-01 05:00:00', NULL, NULL),
+      (16392, CAST(5000 AS BIGINT),   CAST(100 AS BIGINT),  CAST(5000 AS BIGINT),   CAST(600 AS BIGINT),  CAST(120 AS BIGINT), TIMESTAMP '2023-11-10 06:00:00', TIMESTAMP '2023-11-11 06:00:00', TIMESTAMP '2023-11-12 06:00:00', TIMESTAMP '2023-11-13 06:00:00'),
+      (16393, CAST(5000 AS BIGINT),   CAST(20 AS BIGINT),   CAST(5000 AS BIGINT),   CAST(50 AS BIGINT),   CAST(10 AS BIGINT),  TIMESTAMP '2023-12-31 07:00:00', TIMESTAMP '2023-12-31 07:30:00', NULL, NULL)
+      ) AS t(relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd, last_autoanalyze, last_autovacuum, last_analyze, last_vacuum)"""
 
   /** (indexrelid, idx_scan) */
   val pgStatUserIndexes: String =
@@ -188,12 +193,12 @@ object PgCatalog {
     * transaction that blocks 303 (blocker-timeout target when 404 is ours). */
   val pgStatActivity: String =
     """SELECT * FROM (VALUES
-      (101, 'app_rw',    'UPDATE lineitem SET l_quantity = l_quantity + 1 WHERE l_orderkey BETWEEN 1 AND 10000', 'active', 'app', TIMESTAMP '2024-01-01 10:00:00', CAST(NULL AS STRING), CAST(NULL AS STRING)),
-      (202, 'dbc_user',  'ALTER TABLE lineitem ALTER COLUMN l_linenumber TYPE bigint', 'active', 'dbc_int4_to_int8', TIMESTAMP '2024-01-01 10:00:30', 'Lock', 'relation'),
-      (303, 'report_ro', 'SELECT count(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey', 'active', 'reports', TIMESTAMP '2024-01-01 10:02:00', 'Lock', 'transactionid'),
-      (404, 'app_rw',    'INSERT INTO orders SELECT * FROM orders_staging', 'idle in transaction', 'app', TIMESTAMP '2024-01-01 09:55:00', NULL, NULL),
-      (505, 'etl',       'COPY events FROM stdin', 'active', 'etl_loader', TIMESTAMP '2024-01-01 10:04:50', NULL, NULL)
-      ) AS t(pid, usename, query, state, application_name, xact_start, wait_event_type, wait_event)"""
+      (101, 'app_rw',    'graft', 'UPDATE lineitem SET l_quantity = l_quantity + 1 WHERE l_orderkey BETWEEN 1 AND 10000', 'active', 'app', TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:00:05', 9001, 8990, CAST(NULL AS STRING), CAST(NULL AS STRING)),
+      (202, 'dbc_user',  'graft', 'ALTER TABLE lineitem ALTER COLUMN l_linenumber TYPE bigint', 'active', 'dbc_int4_to_int8', TIMESTAMP '2024-01-01 10:00:30', TIMESTAMP '2024-01-01 10:00:31', 9005, 8990, 'Lock', 'relation'),
+      (303, 'report_ro', 'graft', 'SELECT count(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey', 'active', 'reports', TIMESTAMP '2024-01-01 10:02:00', TIMESTAMP '2024-01-01 10:02:02', CAST(NULL AS INT), 8995, 'Lock', 'transactionid'),
+      (404, 'app_rw',    'graft', 'INSERT INTO orders SELECT * FROM orders_staging', 'idle in transaction', 'app', TIMESTAMP '2024-01-01 09:55:00', TIMESTAMP '2024-01-01 09:58:00', 8998, 8990, NULL, NULL),
+      (505, 'etl',       'graft', 'COPY events FROM stdin', 'active', 'etl_loader', TIMESTAMP '2024-01-01 10:04:50', TIMESTAMP '2024-01-01 10:04:51', 9010, 9009, NULL, NULL)
+      ) AS t(pid, usename, datname, query, state, application_name, xact_start, state_change, backend_xid, backend_xmin, wait_event_type, wait_event)"""
 
   /** (name, setting, unit) — current_setting targets (dba_get_conf). */
   val pgSettings: String =
