@@ -78,7 +78,11 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val featured = embs.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+    // random init + few Lloyd iterations: a coarse quantizer only needs
+    // rough Voronoi cells (k-means|| init costs extra full passes that
+    // buy nothing for recall here)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(3)
+      .setInitMode("random")
       .setFeaturesCol("__features").setPredictionCol("list_id")
       .fit(featured)
     (model.clusterCenters.map(_.toArray),
