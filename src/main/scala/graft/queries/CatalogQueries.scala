@@ -283,6 +283,105 @@ object CatalogQueries {
       .orderBy(col("relname"), col("grantee"), col("privilege_type"))
   }
 
+  /** alert_bloat/02_step.sql:1-57 — the 4-CTE TABLE-bloat estimator
+    * (step1 → step2 → step3 → step4): per-table tuple-size reconstruction
+    * from pg_stats widths, alignment-padded, against actual heap+toast
+    * pages. Kept verbatim: the grouped 10-key positional GROUP BY, the
+    * bool_or(name-typed column) is_na flag, tuple-header math, fillfactor
+    * scalar subquery, '~'-prefixed live size. Documented divergences:
+    * `ma` is the literal 8 (the reference sniffs version() with a regex —
+    * our fixture is 64-bit by definition), reloptions is already a
+    * rendered string (array_to_string elided), attisdropped has no
+    * fixture column (no dropped columns exist), and integer division is
+    * spelled CAST(floor(x/8.0)) so Spark and DuckDB agree. */
+  val alertBloatTables: String = s"""
+    , step1 AS (
+        SELECT
+          tbl.oid AS tblid,
+          ns.nspname AS schema_name,
+          tbl.relname AS table_name,
+          tbl.reltuples,
+          tbl.relpages AS heappages,
+          COALESCE(toast.relpages, 0) AS toastpages,
+          COALESCE(toast.reltuples, CAST(0 AS BIGINT)) AS toasttuples,
+          CASE WHEN tbl.reloptions LIKE '%fillfactor=%'
+               THEN CAST(substring(tbl.reloptions,
+                 position('fillfactor=' IN tbl.reloptions) + 11, 3) AS INT)
+               ELSE 100 END AS fillfactor,
+          (SELECT CAST(setting AS INT) FROM pg_settings
+            WHERE name = 'block_size') AS bs,
+          8 AS ma,
+          24 AS page_hdr,
+          23 + CASE WHEN max(COALESCE(s.null_frac, 0)) > 0
+               THEN CAST(floor((7 + count(*)) / 8.0) AS INT) ELSE 0 END
+            AS tpl_hdr_size,
+          sum((1 - COALESCE(s.null_frac, 0)) * COALESCE(s.avg_width, 1024))
+            AS tpl_data_size,
+          bool_or(att.atttypid = 19)
+            OR count(att.attname) <> count(s.attname) AS is_na
+        FROM pg_attribute att
+        JOIN pg_class tbl ON att.attrelid = tbl.oid AND tbl.relkind = 'r'
+        JOIN pg_namespace ns ON ns.oid = tbl.relnamespace
+        JOIN pg_stats s ON s.schemaname = ns.nspname
+          AND s.tablename = tbl.relname AND NOT s.inherited
+          AND s.attname = att.attname
+        LEFT JOIN pg_class toast ON tbl.reltoastrelid = toast.oid
+        WHERE att.attnum > 0
+          AND s.schemaname NOT IN ('pg_catalog', 'information_schema')
+          AND tbl.relpages > 2000
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+    ), step2 AS (
+        SELECT *,
+          (4 + tpl_hdr_size + tpl_data_size + (2 * ma)
+            - CASE WHEN tpl_hdr_size % ma = 0 THEN ma
+                   ELSE tpl_hdr_size % ma END
+            - CASE WHEN CAST(ceil(tpl_data_size) AS INT) % ma = 0 THEN ma
+                   ELSE CAST(ceil(tpl_data_size) AS INT) % ma END
+          ) AS tpl_size,
+          bs - page_hdr AS size_per_block,
+          heappages + toastpages AS tblpages
+        FROM step1
+    ), step3 AS (
+        SELECT *,
+          ceil(reltuples / ((bs - page_hdr) / tpl_size))
+            + ceil(toasttuples / 4) AS est_tblpages,
+          ceil(reltuples / ((bs - page_hdr) * fillfactor / (tpl_size * 100)))
+            + ceil(toasttuples / 4) AS est_tblpages_ff
+        FROM step2
+    ), step4 AS (
+        SELECT *,
+          CAST(tblpages AS BIGINT) * bs AS real_size,
+          (tblpages - est_tblpages) * bs AS extra_size,
+          CASE WHEN tblpages - est_tblpages > 0
+               THEN 100 * (tblpages - est_tblpages)
+                 / CAST(tblpages AS DOUBLE)
+               ELSE 0 END AS extra_ratio,
+          (tblpages - est_tblpages_ff) * bs AS bloat_size,
+          CASE WHEN tblpages - est_tblpages_ff > 0
+               THEN 100 * (tblpages - est_tblpages_ff)
+                 / CAST(tblpages AS DOUBLE)
+               ELSE 0 END AS bloat_ratio
+        FROM step3
+    )
+    SELECT
+      step4.schema_name,
+      step4.table_name,
+      round(bloat_ratio, 2) AS bloat_pct,
+      ${sizePretty("CAST(bloat_size AS BIGINT)")} AS bloat_size,
+      ${sizePretty("real_size")} AS table_size,
+      CASE WHEN real_size - bloat_size >= 0
+           THEN '~' || ${sizePretty("CAST(real_size - bloat_size AS BIGINT)")}
+           ELSE NULL END AS live,
+      (SELECT CASE WHEN c.reloptions LIKE '%fillfactor=%'
+                   THEN CAST(substring(c.reloptions,
+                     position('fillfactor=' IN c.reloptions) + 11, 3) AS INT)
+                   ELSE 100 END
+       FROM pg_class c WHERE c.oid = tblid) AS fillfactor
+    FROM step4
+    WHERE bloat_ratio >= 80 AND bloat_size > 1024 * 1000 * 10
+    ORDER BY bloat_size DESC NULLS LAST, table_name
+    LIMIT 10"""
+
   /** alert_stat/01_step.sql:1-33 — tables whose analyze/vacuum state needs
     * attention: never-maintained (all four timestamps NULL) or stale on
     * BOTH the analyze side and the vacuum side. The reference's
@@ -447,6 +546,9 @@ object CatalogQueries {
       oracle = Some(PgCatalog.withCatalog(alertStat))),
     QuerySpec("c09_dba_active_maint",
       (s, _) => s.sql(PgCatalog.withCatalog(dbaActiveMaint)),
-      oracle = Some(PgCatalog.withCatalog(dbaActiveMaint)))
+      oracle = Some(PgCatalog.withCatalog(dbaActiveMaint))),
+    QuerySpec("c10_alert_bloat_tables",
+      (s, _) => s.sql(PgCatalog.withCatalog(alertBloatTables)),
+      oracle = Some(PgCatalog.withCatalog(alertBloatTables)))
   )
 }

@@ -37,33 +37,35 @@ object PgCatalog {
     """SELECT * FROM (VALUES (403, 'btree'), (405, 'hash')) AS t(oid, amname)"""
 
   /** (oid, relname, relnamespace, relkind, reltuples, relpages, relam,
-    * reloptions) — relkind: r=table, i=index, t=toast. reloptions is the
-    * rendered storage-options string (fillfactor extraction target). */
+    * reloptions, reltoastrelid) — relkind: r=table, i=index, t=toast.
+    * reloptions is the rendered storage-options string (fillfactor
+    * extraction target); reltoastrelid links a heap to its toast table
+    * (alert_bloat table-bloat estimator, c10). */
   val pgClass: String =
     """SELECT * FROM (VALUES
-      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING)),
-      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL),
-      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL),
-      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL),
-      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL),
-      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL),
-      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL),
-      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   NULL),
-      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   NULL),
-      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL),
-      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL),
-      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL),
-      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90'),
-      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL),
-      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL),
-      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70'),
-      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL),
-      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL),
-      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70'),
-      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL),
-      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL),
-      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL)
-      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions)"""
+      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING), 16394),
+      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL, 0),
+      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL, 0),
+      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL, 0),
+      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL, 0),
+      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL, 0),
+      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL, 0),
+      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   NULL, 0),
+      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   NULL, 0),
+      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL, 0),
+      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL, 0),
+      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL, 0),
+      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90', 0),
+      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL, 0),
+      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL, 0),
+      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70', 0),
+      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL, 0),
+      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL, 0),
+      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70', 0),
+      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL, 0),
+      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL, 0),
+      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0)
+      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid)"""
 
   /** (indexrelid, indrelid, indisunique, indisprimary, inddef) — inddef is
     * the pre-rendered pg_get_indexdef text (decompilers become catalog
@@ -99,37 +101,49 @@ object PgCatalog {
       (17010, 1, 1)
       ) AS t(indexrelid, attnum, keypos)"""
 
-  /** (attrelid, attnum, attname) — attribute rows under the INDEX oid with
-    * the TABLE attnum, the shape the bloat query's join uses. */
+  /** (attrelid, attnum, attname, atttypid) — attribute rows both under the
+    * INDEX oid with the TABLE attnum (the index-bloat join shape, c03/c04)
+    * and under the TABLE oid (the table-bloat join shape, c10). atttypid
+    * uses PG's type oids (20 int8, 23 int4, 1043 varchar, 1082 date,
+    * 1114 timestamp); none is 19 (`name`), so c10's is_na stays false. */
   val pgAttribute: String =
     """SELECT * FROM (VALUES
-      (17001, 1, 'l_orderkey'), (17001, 4, 'l_linenumber'),
-      (17002, 11, 'l_shipdate'),
-      (17003, 1, 'o_orderkey'),
-      (17004, 2, 'o_custkey'),
-      (17005, 1, 'c_custkey'),
-      (17006, 1, 'p_partkey'),
-      (17007, 2, 'ts'),
-      (17008, 3, 'fp'),
-      (17009, 1, 'vec_id'),
-      (17010, 1, 's_suppkey')
-      ) AS t(attrelid, attnum, attname)"""
+      (17001, 1, 'l_orderkey', 20), (17001, 4, 'l_linenumber', 23),
+      (17002, 11, 'l_shipdate', 1082),
+      (17003, 1, 'o_orderkey', 20),
+      (17004, 2, 'o_custkey', 20),
+      (17005, 1, 'c_custkey', 20),
+      (17006, 1, 'p_partkey', 20),
+      (17007, 2, 'ts', 1114),
+      (17008, 3, 'fp', 1043),
+      (17009, 1, 'vec_id', 20),
+      (17010, 1, 's_suppkey', 20),
+      (16384, 1, 'l_orderkey', 20), (16384, 4, 'l_linenumber', 23),
+      (16384, 11, 'l_shipdate', 1082),
+      (16385, 1, 'o_orderkey', 20), (16385, 2, 'o_custkey', 20),
+      (16386, 1, 'c_custkey', 20),
+      (16387, 1, 'p_partkey', 20),
+      (16388, 1, 's_suppkey', 20),
+      (16391, 2, 'ts', 1114),
+      (16392, 3, 'fp', 1043),
+      (16393, 1, 'vec_id', 20)
+      ) AS t(attrelid, attnum, attname, atttypid)"""
 
-  /** (schemaname, tablename, attname, null_frac, avg_width) */
+  /** (schemaname, tablename, attname, null_frac, avg_width, inherited) */
   val pgStats: String =
     """SELECT * FROM (VALUES
-      ('public', 'lineitem', 'l_orderkey',    CAST(0.0 AS DOUBLE), 8),
-      ('public', 'lineitem', 'l_linenumber',  CAST(0.0 AS DOUBLE), 4),
-      ('public', 'lineitem', 'l_shipdate',    CAST(0.02 AS DOUBLE), 4),
-      ('public', 'orders',   'o_orderkey',    CAST(0.0 AS DOUBLE), 8),
-      ('public', 'orders',   'o_custkey',     CAST(0.0 AS DOUBLE), 8),
-      ('public', 'customer', 'c_custkey',     CAST(0.0 AS DOUBLE), 8),
-      ('public', 'part',     'p_partkey',     CAST(0.0 AS DOUBLE), 8),
-      ('public', 'supplier', 's_suppkey',     CAST(0.0 AS DOUBLE), 8),
-      ('analytics', 'events', 'ts',           CAST(0.0 AS DOUBLE), 8),
-      ('analytics', 'documents', 'fp',        CAST(0.0 AS DOUBLE), 33),
-      ('analytics', 'embeddings', 'vec_id',   CAST(0.0 AS DOUBLE), 8)
-      ) AS t(schemaname, tablename, attname, null_frac, avg_width)"""
+      ('public', 'lineitem', 'l_orderkey',    CAST(0.0 AS DOUBLE), 8, false),
+      ('public', 'lineitem', 'l_linenumber',  CAST(0.0 AS DOUBLE), 4, false),
+      ('public', 'lineitem', 'l_shipdate',    CAST(0.02 AS DOUBLE), 4, false),
+      ('public', 'orders',   'o_orderkey',    CAST(0.0 AS DOUBLE), 8, false),
+      ('public', 'orders',   'o_custkey',     CAST(0.0 AS DOUBLE), 8, false),
+      ('public', 'customer', 'c_custkey',     CAST(0.0 AS DOUBLE), 8, false),
+      ('public', 'part',     'p_partkey',     CAST(0.0 AS DOUBLE), 8, false),
+      ('public', 'supplier', 's_suppkey',     CAST(0.0 AS DOUBLE), 8, false),
+      ('analytics', 'events', 'ts',           CAST(0.0 AS DOUBLE), 8, false),
+      ('analytics', 'documents', 'fp',        CAST(0.0 AS DOUBLE), 33, false),
+      ('analytics', 'embeddings', 'vec_id',   CAST(0.0 AS DOUBLE), 8, false)
+      ) AS t(schemaname, tablename, attname, null_frac, avg_width, inherited)"""
 
   /** (relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd,
     * last_autoanalyze, last_autovacuum, last_analyze, last_vacuum) — the
