@@ -39,6 +39,27 @@ object EventsStreaming {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Watermarked SLIDING-window counts (each event lands in
+    * window/slide overlapping windows). */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"), col("n"))
+
+  /** Exactly-once-per-id ingest dedup — the streaming twin of d01:
+    * duplicate event_ids arriving within the watermark horizon are
+    * dropped, and an id's state is freed once the watermark passes it,
+    * so state stays bounded by the horizon instead of growing with the
+    * stream. */
+  def dedupByKey(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long,

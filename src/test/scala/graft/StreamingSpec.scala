@@ -31,6 +31,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data: a finalized window never re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, hhmm: String): EventsStreaming.Event =
+      EventsStreaming.Event(id,
+        java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 1L, "click", 1.0)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Event]
+    val q = EventsStreaming.windowedCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(ev(1, "10:05"), ev(2, "10:20")) // window [10:00, 11:00)
+      q.processAllAvailable()
+      mem.addData(ev(3, "12:00")) // watermark → 11:50: closes + emits W1
+      q.processAllAvailable()
+      mem.addData(ev(4, "10:30")) // LATE: below watermark — must be dropped
+      q.processAllAvailable()
+      mem.addData(ev(5, "13:30")) // watermark → 13:20: closes W2 (12:00)
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select($"win_start".cast("string"), $"n").as[(String, Long)]
+        .collect().toMap
+      assert(rows("2024-01-01 10:00:00") == 2L,
+        s"late event leaked into a finalized window: $rows")
+      assert(rows("2024-01-01 12:00:00") == 1L, rows.toString)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps one row per event_id within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, mm: Int): EventsStreaming.Event =
+      EventsStreaming.Event(id,
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:$mm%02d:00"), 1L, "click", 1.0)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Event]
+    val q = EventsStreaming.dedupByKey(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(ev(1, 0), ev(1, 1), ev(2, 2)) // id 1 duplicated
+      q.processAllAvailable()
+      mem.addData(ev(1, 3), ev(3, 4)) // id 1 again, still within horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id").as[Long]
+        .collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("sliding windows count each event window/slide times") {
+    import spark.implicits._
+    val batch = Tables.load(spark, dir, "events")
+    val slid = EventsStreaming.slidingCounts(batch, "1 hour", "30 minutes")
+    assert(slid.agg(sum($"n")).head().getLong(0) == 2 * batch.count())
+  }
+
   test("stateful sessionization emits closed sessions") {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
