@@ -23,4 +23,28 @@ class PgFunctionsSpec extends AnyFunSuite {
     assert(PgStringFns.quoteIdent("a\"b") == "\"a\"\"b\"")
     assert(PgStringFns.quoteIdent("9x") == "\"9x\"")
   }
+
+  test("pg_format directives: %I, %L, %s, %%, NULL, escaping, arity") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PgFunctions
+    val spark = TestSpark.session
+    import spark.implicits._
+    val row = Seq(("My Table", "it's", "plain")).toDF("ident", "lit_v", "s")
+    def run(c: org.apache.spark.sql.Column): String =
+      row.select(c.as("r")).head().getString(0)
+    assert(run(PgFunctions.pg_format("DROP TABLE %I", $"ident"))
+      == "DROP TABLE \"My Table\"")
+    assert(run(PgFunctions.pg_format("x = %L", $"lit_v")) == "x = 'it''s'")
+    assert(run(PgFunctions.pg_format("%s/%s", $"s", $"s")) == "plain/plain")
+    assert(run(PgFunctions.pg_format("100%% of %s", $"s")) == "100% of plain")
+    // %L of NULL renders unquoted NULL (PG semantics)
+    assert(run(PgFunctions.pg_format("v = %L", lit(null).cast("string")))
+      == "v = NULL")
+    intercept[IllegalArgumentException] {
+      PgFunctions.pg_format("%I %I", lit("only_one"))
+    }
+    intercept[IllegalArgumentException] {
+      PgFunctions.pg_format("%q", lit("x"))
+    }
+  }
 }
