@@ -25,11 +25,9 @@ import org.apache.spark.sql.SparkSession
   *    `password: "random"` generates a 12-char password embedded in the
   *    zip FILENAME (`export_<password>_<ts>_<target>.zip`) — the
   *    reference's contract (dbccore.py:782-793, test_packets.py:586-632).
-  *    LIMITATION: the reference encrypts with WZ_AES via pyzipper; no
-  *    AES-zip library ships in this environment, so the archive is a
-  *    standard unencrypted zip — the password naming contract is kept and
-  *    the encryption call is isolated in `encryptEntry` for a zip4j-style
-  *    drop-in.
+  *    With a password the archive is WinZip AES-256 (AE-2) encrypted —
+  *    same format family as the reference's pyzipper WZ_AES — via
+  *    [[AesZip]] (JDK crypto only); without one it is a standard zip.
   */
 object ExportSink {
 
@@ -89,23 +87,25 @@ object ExportSink {
         case None => (None, s"export_${ts}_${ctx.target}.zip")
       }
       val zipPath = Paths.get(exportDir, zipName).toString
-      val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(zipPath)))
-      try {
-        csvFiles.foreach { f =>
-          val p = Paths.get(f)
-          zos.putNextEntry(new ZipEntry(p.getFileName.toString))
-          zos.write(encryptEntry(Files.readAllBytes(p), password))
-          zos.closeEntry()
-        }
-      } finally zos.close()
+      val entries = csvFiles.map { f =>
+        val p = Paths.get(f)
+        p.getFileName.toString -> Files.readAllBytes(p)
+      }.toSeq
+      password match {
+        case Some(pw) => AesZip.write(zipPath, entries, pw, rng)
+        case None =>
+          val zos = new ZipOutputStream(
+            new BufferedOutputStream(new FileOutputStream(zipPath)))
+          try entries.foreach { case (name, bytes) =>
+            zos.putNextEntry(new ZipEntry(name))
+            zos.write(bytes)
+            zos.closeEntry()
+          } finally zos.close()
+      }
       csvFiles.foreach(f => Files.delete(Paths.get(f)))
       ExportResult(csvFiles.toSeq, Some(zipPath), password)
     } else ExportResult(csvFiles.toSeq, None, None)
   }
-
-  /** AES hook point — identity today (see LIMITATION above). */
-  private def encryptEntry(bytes: Array[Byte], password: Option[String]): Array[Byte] =
-    bytes
 
   private def quote(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
 

@@ -60,15 +60,23 @@ class SinksSpec extends AnyFunSuite {
     val name = zips.head.getFileName.toString
     val m = "export_([A-Za-z0-9]{12})_\\d{8}-\\d{6}_spark\\.zip".r.findFirstMatchIn(name)
     assert(m.isDefined, s"unexpected zip name: $name")
-    // zip round-trip: entry is readable and has the header line
-    val zf = new java.util.zip.ZipFile(zips.head.toFile)
-    try {
-      val entries = zf.entries().asScala.toSeq
-      assert(entries.size == 1)
-      val content = new String(zf.getInputStream(entries.head).readAllBytes())
-      assert(content.startsWith("\"n_nationkey\"\t\"n_name\""))
-      assert(content.linesIterator.size == 26)
-    } finally zf.close()
+    // the reference's test extracts the password from the filename and
+    // decrypts (test_packets.py:586-632) — same round-trip here
+    val password = m.get.group(1)
+    val entries = engine.AesZip.read(zips.head.toString, password)
+    assert(entries.size == 1)
+    val content = new String(entries.values.head)
+    assert(content.startsWith("\"n_nationkey\"\t\"n_name\""))
+    assert(content.linesIterator.size == 26)
+    // java's plain ZipFile refuses archives whose central directory
+    // carries the encryption flag — proving the entry is actually marked
+    // encrypted, not a plain zip with a fancy name
+    intercept[java.util.zip.ZipException] {
+      new java.util.zip.ZipFile(zips.head.toFile)
+    }
+    intercept[IllegalArgumentException] {
+      engine.AesZip.read(zips.head.toString, "wrong-password")
+    }
   }
 
   test("export_data packet rejects non-SELECT statements") {
