@@ -113,8 +113,23 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
       session.sparkContext.setJobGroup(jobGroup(t.name, spec.packetName),
         s"packet ${spec.packetName} on ${t.name}", interruptOnCancel = true)
       try {
-        Tables.registerAll(session, t.dataDir)
-        graft.sources.PgCatalog.registerAll(session)
+        // register only what the packet's SQL references: each fixture
+        // registration costs a parquet-footer read and each catalog view
+        // an analysis pass — a 2-table packet should not pay for all 25
+        val sqlText = Option(new java.io.File(s"$packetsRoot/${spec.packetName}")
+            .listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".sql") || f.getName.endsWith(".py"))
+          .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+          .mkString("\n")
+        val referenced = Tables.all.filter(sqlText.contains)
+        // python-step callbacks can touch any table; be conservative there
+        val hasPy = sqlText.isEmpty ||
+          new java.io.File(s"$packetsRoot/${spec.packetName}")
+            .listFiles().exists(_.getName.endsWith(".py"))
+        if (hasPy) Tables.registerAll(session, t.dataDir)
+        else Tables.registerSome(session, t.dataDir, referenced)
+        if (hasPy || sqlText.contains("pg_"))
+          graft.sources.PgCatalog.registerAll(session)
         val conf = RunnerConf(
           stateDir = stateDir(t.name), target = t.name,
           placeholders = spec.placeholders, force = spec.force,

@@ -45,4 +45,11 @@ object Tables {
   /** Register every table of `dir` as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach { t => load(spark, dir, t).createOrReplaceTempView(t) }
+
+  /** Register only the named tables — each registration reads a parquet
+    * footer, so a packet run that touches two tables should not pay for
+    * ten (Engine resolves the referenced set from the packet SQL). */
+  def registerSome(spark: SparkSession, dir: String, names: Seq[String]): Unit =
+    names.filter(all.contains)
+      .foreach { t => load(spark, dir, t).createOrReplaceTempView(t) }
 }
