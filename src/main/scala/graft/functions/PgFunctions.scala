@@ -70,6 +70,28 @@ case class PgSizePretty(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** pg_sleep(seconds) — the corpus's control-function straggler
+  * (packets/test_sleep/01_step.sql:3; SURVEY §2.2 maps pg_cancel/
+  * terminate_backend to job-group cancellation and pg_sleep to a
+  * sleeping expression). Nondeterministic so Catalyst never folds or
+  * reorders it; interruptible so a cancelled job group stops mid-sleep
+  * exactly like the reference's cancelled backend. */
+case class PgSleep(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "pg_sleep"
+  override lazy val deterministic: Boolean = false
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val ms = (v.asInstanceOf[Double] * 1000).toLong
+    Thread.sleep(math.max(ms, 0L))
+    true
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PgSleep =
+    copy(child = newChild)
+}
+
 /** quote_ident(string) as a native expression with codegen. */
 case class QuoteIdent(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -185,5 +207,8 @@ object PgFunctions {
       "pg_size_pretty", es => PgSizePretty(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "quote_ident", es => QuoteIdent(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pg_sleep", es => PgSleep(org.apache.spark.sql.catalyst.expressions.Cast(
+        es.head, org.apache.spark.sql.types.DoubleType)), "built-in")
   }
 }

@@ -47,4 +47,13 @@ class PgFunctionsSpec extends AnyFunSuite {
       PgFunctions.pg_format("%q", lit("x"))
     }
   }
+
+  test("pg_sleep sleeps and is SQL-callable after registerAll") {
+    val spark = TestSpark.session
+    graft.functions.PgFunctions.registerAll(spark)
+    val t0 = System.nanoTime()
+    val ok = spark.sql("SELECT pg_sleep(0.2) AS slept").head().getBoolean(0)
+    assert(ok)
+    assert(System.nanoTime() - t0 >= 200L * 1000000, "returned too early")
+  }
 }
