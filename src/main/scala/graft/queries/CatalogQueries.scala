@@ -6,10 +6,11 @@ import graft.sources.PgCatalog
   * (SURVEY.md §2.2 catalog-scan row; fixture: graft.sources.PgCatalog).
   *
   * Each query body is written in the Spark-SQL ∩ DuckDB-SQL dialect
-  * intersection and prefixed with the SAME catalog CTEs on both sides
-  * (PgCatalog.withCatalog), so the Spark plan and the DuckDB oracle run
-  * literally identical text — any divergence is an engine-semantics bug,
-  * not a fixture drift.
+  * intersection and fed the SAME catalog VALUES text on both sides: the
+  * oracle prefixes it as CTEs (PgCatalog.withCatalog), Spark reads it
+  * through session views registered from the identical strings
+  * (PgCatalog.sqlOnViews — parsed once per session, not once per query).
+  * Any result divergence is an engine-semantics bug, not fixture drift.
   *
   * Portability rules used below (all verified by the oracle gate):
   *  - pg_size_pretty → inline CASE emulation (PostgreSQL rounding:
@@ -214,7 +215,7 @@ object CatalogQueries {
   def dbaIdxDiagArrayJoin(s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    PgCatalog.registerAll(s)
+    PgCatalog.ensureRegistered(s)
     val indkeys = s.table("pg_index_key")
       .groupBy(col("indexrelid"))
       .agg(sort_array(collect_list(col("attnum"))).as("indkey"))
@@ -261,7 +262,7 @@ object CatalogQueries {
   def aclExplode(s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    PgCatalog.registerAll(s)
+    PgCatalog.ensureRegistered(s)
     val items = s.table("pg_class_acl").select(col("oid"),
       explode(split(regexp_replace(col("relacl"), "[{}]", ""), ",")).as("item"))
     val parsed = items.select(col("oid"),
@@ -446,7 +447,7 @@ object CatalogQueries {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.PgFunctions
-    PgCatalog.registerAll(s)
+    PgCatalog.ensureRegistered(s)
     val now = lit(java.sql.Timestamp.valueOf("2024-01-01 10:05:00"))
     val currentXid = lit(9100)
     val scAge = unix_timestamp(now) - unix_timestamp(col("state_change"))
@@ -479,13 +480,13 @@ object CatalogQueries {
         JOIN pg_class ic ON ic.oid = k.indexrelid
         ORDER BY k.indexrelid, k.attnum"""))),
     QuerySpec("c01_dba_top_tables",
-      (s, _) => s.sql(PgCatalog.withCatalog(dbaTopTables)),
+      (s, _) => PgCatalog.sqlOnViews(s, dbaTopTables),
       oracle = Some(PgCatalog.withCatalog(dbaTopTables))),
     QuerySpec("c02_dba_locks",
-      (s, _) => s.sql(PgCatalog.withCatalog(dbaLocks)),
+      (s, _) => PgCatalog.sqlOnViews(s, dbaLocks),
       oracle = Some(PgCatalog.withCatalog(dbaLocks))),
     QuerySpec("c03_alert_bloat",
-      (s, _) => s.sql(PgCatalog.withCatalog(alertBloat)),
+      (s, _) => PgCatalog.sqlOnViews(s, alertBloat),
       oracle = Some(PgCatalog.withCatalog(alertBloat))),
     QuerySpec("c05_aclexplode",
       (s, _) => aclExplode(s),
@@ -514,7 +515,7 @@ object CatalogQueries {
         FROM chars h JOIN pg_class c ON c.oid = h.oid
         ORDER BY relname, grantee, privilege_type"""))),
     QuerySpec("c06_lock_observer_blockers",
-      (s, _) => s.sql(PgCatalog.withCatalog(lockObserverBlockers)),
+      (s, _) => PgCatalog.sqlOnViews(s, lockObserverBlockers),
       oracle = Some(PgCatalog.withCatalog(lockObserverBlockers))),
     QuerySpec("c07_dba_long_queries",
       (s, _) => dbaLongQueries(s),
@@ -542,13 +543,13 @@ object CatalogQueries {
         ORDER BY xact_start_age DESC, pid
         LIMIT 20"""))),
     QuerySpec("c08_alert_stat",
-      (s, _) => s.sql(PgCatalog.withCatalog(alertStat)),
+      (s, _) => PgCatalog.sqlOnViews(s, alertStat),
       oracle = Some(PgCatalog.withCatalog(alertStat))),
     QuerySpec("c09_dba_active_maint",
-      (s, _) => s.sql(PgCatalog.withCatalog(dbaActiveMaint)),
+      (s, _) => PgCatalog.sqlOnViews(s, dbaActiveMaint),
       oracle = Some(PgCatalog.withCatalog(dbaActiveMaint))),
     QuerySpec("c10_alert_bloat_tables",
-      (s, _) => s.sql(PgCatalog.withCatalog(alertBloatTables)),
+      (s, _) => PgCatalog.sqlOnViews(s, alertBloatTables),
       oracle = Some(PgCatalog.withCatalog(alertBloatTables)))
   )
 }

@@ -93,26 +93,26 @@ object ScalarQueries {
     // current_setting / current_database / version (dba_get_version,
     // dba_get_conf) over the settings catalog — shared text both sides
     QuerySpec("x03_settings_version",
-      (s, _) => s.sql(PgCatalog.withCatalog(SettingsSql)),
+      (s, _) => PgCatalog.sqlOnViews(s, SettingsSql),
       oracle = Some(PgCatalog.withCatalog(SettingsSql))),
 
     // pg_relation_size / pg_indexes_size / pg_total_relation_size family
     // as catalog page-count arithmetic (dba_top_tables/01_step.sql:34-40)
     QuerySpec("x04_relation_sizes",
-      (s, _) => s.sql(PgCatalog.withCatalog(RelationSizesSql)),
+      (s, _) => PgCatalog.sqlOnViews(s, RelationSizesSql),
       oracle = Some(PgCatalog.withCatalog(RelationSizesSql))),
 
     // pg_get_indexdef / pg_get_constraintdef decompilers as catalog
     // columns (dba_clone_schema/01_step.sql:110-240)
     QuerySpec("x05_get_defs",
-      (s, _) => s.sql(PgCatalog.withCatalog(GetDefsSql)),
+      (s, _) => PgCatalog.sqlOnViews(s, GetDefsSql),
       oracle = Some(PgCatalog.withCatalog(GetDefsSql))),
 
     // pg_wal_lsn_diff over 'X/Y' hex LSN strings (dba_lag/01_step.sql:3-7):
     // Spark parses the wire strings via conv(); the oracle subtracts the
     // numeric twin columns the fixture carries — equal by construction
     QuerySpec("x06_wal_lag", (s, _) => {
-      PgCatalog.registerAll(s)
+      PgCatalog.ensureRegistered(s)
       s.table("pg_stat_replication")
         .select(col("pid"), col("client_addr"),
           PgFunctions.pg_wal_lsn_diff(col("sent_lsn"), col("replay_lsn"))
@@ -133,7 +133,7 @@ object ScalarQueries {
     // = oid→relname lookup through pg_class; format parses the constant
     // fmt once on the driver into a codegen'd concat (PgFunctions.pg_format)
     QuerySpec("x07_format_regclass", (s, _) => {
-      PgCatalog.registerAll(s)
+      PgCatalog.ensureRegistered(s)
       val c = s.table("pg_class")
         .filter(col("relkind") === "r" && col("relnamespace").isin(2200, 16500))
       val n = s.table("pg_namespace")

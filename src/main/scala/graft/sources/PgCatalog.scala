@@ -269,6 +269,24 @@ object PgCatalog {
   def registerAll(spark: SparkSession): Unit =
     tables.foreach { case (n, sql) => spark.sql(sql).createOrReplaceTempView(n) }
 
+  /** Register once per session (temp views are session-scoped). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.catalog.tableExists("pg_namespace")) registerAll(spark)
+
+  /** Run a catalog query body against the registered VIEWS. The views
+    * hold the SAME `tables` VALUES strings the oracle's CTE prelude uses,
+    * so contents still cannot drift — but Spark parses the 15-table
+    * prelude once per session instead of once per query (the full
+    * `withCatalog` text costs ~2 s of analysis alone). A body that
+    * contributes its own CTEs by starting with `, name AS (...)` is
+    * rewritten to open its own WITH. */
+  def sqlOnViews(spark: SparkSession, body: String)
+      : org.apache.spark.sql.DataFrame = {
+    ensureRegistered(spark)
+    val b = body.trim
+    spark.sql(if (b.startsWith(",")) "WITH " + b.drop(1).trim else b)
+  }
+
   /** The same fixture as a `WITH` prelude for a self-contained query:
     * `withCatalog("SELECT ... FROM pg_class ...")` runs identically under
     * Spark and DuckDB. The body may contribute its own CTEs by starting
