@@ -239,6 +239,65 @@ object PipelineQueries {
     }),
 
     // ---- Sessionization over events (gap > 30 min ⇒ new session) -------
+    // ---- End-to-end corpus curation (the flagship composition): quality
+    // gate → language gate → exact-dedup keep-first. Every stage is a
+    // zero-shuffle column expression except the final dedup window (one
+    // shuffle on the fingerprint); at 100 TB this is scan → filter →
+    // one exchange — the canonical training-data curation shape.
+    QuerySpec("p02_curation_pipeline", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis
+        .qualityFeatures(Tables.load(s, dir, "documents"), $"text")
+        .withColumn("lang_detected", TextAnalysis.langId($"text"))
+        .withColumn("fp", TextAnalysis.fingerprint($"text"))
+      val kept = scored.filter($"n_words" >= 10 &&
+        $"quality_score" >= 0.3 && $"lang_detected" === "en")
+      kept
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"fp").orderBy($"doc_id")))
+        .filter($"rk" === 1)
+        .select($"doc_id", $"n_words",
+          round($"quality_score", 6).as("quality_score"))
+        .orderBy($"doc_id")
+    }, oracle = Some {
+      val scoreExprs = TextAnalysis.LangProfiles.map { case (lang, profile) =>
+        s"""CAST(len(list_filter(${sqlList(profile)},
+           p -> list_contains(toks, p))) AS DOUBLE) / ${profile.size}.0 AS s_$lang"""
+      }.mkString(",\n          ")
+      val caseArms = TextAnalysis.LangProfiles.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString("\n          ")
+      val bestExpr = TextAnalysis.LangProfiles
+        .map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      s"""
+      WITH f AS (
+        SELECT doc_id, text,
+          len(string_split_regex(trim(text), '\\s+')) AS n_words,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              t -> list_contains(${sqlList(TextAnalysis.Stopwords)}, t))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+          list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents),
+      q AS (
+        SELECT *, round(least(1.0, stopword_ratio * 2.0 +
+          CASE WHEN n_words >= 50 THEN 0.5
+               ELSE CAST(n_words AS DOUBLE) / 100.0 END), 6) AS quality_score,
+          $scoreExprs
+        FROM f),
+      b AS (SELECT *, $bestExpr AS best FROM q),
+      l AS (SELECT *, CASE $caseArms ELSE 'und' END AS lang_detected FROM b),
+      kept AS (
+        SELECT * FROM l
+        WHERE n_words >= 10 AND quality_score >= 0.3 AND lang_detected = 'en'),
+      dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM kept)
+      SELECT doc_id, n_words, quality_score
+      FROM dedup WHERE rk = 1 ORDER BY doc_id"""
+    }, bench = true),
+
     QuerySpec("p01_sessionization", (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
