@@ -130,15 +130,22 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
         else Tables.registerSome(session, t.dataDir, referenced)
         if (hasPy || sqlText.contains("pg_"))
           graft.sources.PgCatalog.registerAll(session)
-        val conf = RunnerConf(
-          stateDir = stateDir(t.name), target = t.name,
-          placeholders = spec.placeholders, force = spec.force,
-          skipStepCancel = spec.skipStepCancel,
-          skipActionCancel = spec.skipActionCancel,
-          exportDir = Some(s"${stateDir(t.name)}/export"),
-          hookSink = hookSink,
-          terminated = () => terminated.contains(t.name))
-        new PacketRunner(session, conf).run(s"$packetsRoot/${spec.packetName}")
+        // E27: one async batched run log per (target, packet), reference
+        // naming log/dbc_<db>_<packet>.log
+        val logger = AsyncLogger.forRun(s"${stateDir(t.name)}/log",
+          t.name, spec.packetName)
+        try {
+          val conf = RunnerConf(
+            stateDir = stateDir(t.name), target = t.name,
+            placeholders = spec.placeholders, force = spec.force,
+            skipStepCancel = spec.skipStepCancel,
+            skipActionCancel = spec.skipActionCancel,
+            exportDir = Some(s"${stateDir(t.name)}/export"),
+            hookSink = hookSink,
+            terminated = () => terminated.contains(t.name),
+            logger = Some(logger))
+          new PacketRunner(session, conf).run(s"$packetsRoot/${spec.packetName}")
+        } finally logger.close()
       } finally session.sparkContext.clearJobGroup()
     }
 

@@ -20,7 +20,10 @@ final case class RunnerConf(
       * code `terminate` instead of `fail` (reference is_terminate checks,
       * dbccore.py:1146-1150) */
     terminated: () => Boolean = () => false,
-    now: () => Long = () => System.currentTimeMillis())
+    now: () => Long = () => System.currentTimeMillis(),
+    /** E27 async run log (reference PSCLogger `log/dbc_<db>_<packet>.log`);
+      * owned by the caller — the engine opens one per target run. */
+    logger: Option[AsyncLogger] = None)
 
 /** Context handed to registered Scala step callbacks (the reference's
   * `exec()` python-step escape hatch, dbccore.py:1113-1115, E26 — typed
@@ -76,7 +79,11 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
     runPacket(packet)
   }
 
+  private def log(msg: String, level: String = "Info"): Unit =
+    conf.logger.foreach(_.log(msg, level))
+
   def runPacket(packet: Packet): RunResult = {
+    log(s"packet ${packet.name} started on ${conf.target}")
     tracker.initTables()
     val readOnly = packet.meta.packetType == PacketType.ReadOnly
     val tracking = packet.meta.packetType == PacketType.Default
@@ -139,6 +146,9 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         case _ if errDescr.isDefined => ResultFail
         case _ => ResultSuccess
       }
+      log(s"packet ${packet.name} finished: $code/$packetStatus" +
+        errDescr.fold("")(e => s" ($e)"),
+        if (errDescr.isDefined) "Error" else "Info")
       result(packet, code, packetStatus, errDescr)
     } catch {
       case e: Throwable if conf.terminated() =>
@@ -291,6 +301,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         }
         tracker.flushActions()
         stepOutcomes(step.name) = StepOutcome.Done(ran)
+        log(s"step ${step.name}: done ($ran actions)")
         ("done", None)
     }
   }

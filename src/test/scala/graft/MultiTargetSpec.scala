@@ -33,6 +33,11 @@ class MultiTargetSpec extends AnyFunSuite {
     Seq("alpha", "beta", "gamma").foreach { t =>
       val tr = new ActionTracker(spark, e.stateDir(t))
       assert(tr.actions.count() == 24, s"target $t")
+      // E27: each target run wrote its own batched log
+      val logLines = Files.readAllLines(java.nio.file.Paths.get(
+        e.stateDir(t), "log", s"dbc_${t}_test_common.log"))
+      assert(logLines.stream().anyMatch(_.contains("packet test_common started")))
+      assert(logLines.stream().anyMatch(_.contains("finished: success/done")))
     }
   }
 
