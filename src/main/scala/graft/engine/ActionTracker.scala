@@ -56,9 +56,16 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
   }
 
   private def readOr(table: String): DataFrame = {
+    def hasData(f: java.io.File) =
+      f.isDirectory && f.listFiles().exists(_.getName.endsWith(".parquet"))
     val dir = new java.io.File(path(table))
-    if (dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(schemaOf(table)).parquet(path(table))
+    // `.old` is the staged-aside copy from writeRows — present only if a
+    // crash hit between its two renames
+    val fallback = new java.io.File(path(table) + ".old")
+    if (hasData(dir))
+      spark.read.schema(schemaOf(table)).parquet(dir.getPath)
+    else if (hasData(fallback))
+      spark.read.schema(schemaOf(table)).parquet(fallback.getPath)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaOf(table))
   }
 
@@ -88,18 +95,25 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     dirtyMeta = Set.empty
   }
 
+  /** Crash-safe replace: write tmp → rename live aside → rename tmp in →
+    * drop the old copy. A crash between the renames leaves `.old`, which
+    * `readOr` falls back to — the table never just vanishes (the lock
+    * table's write-through promise depends on this). */
   private def writeRows(table: String, rows: Seq[Row]): Unit = {
-    val tmp = path(table) + ".tmp"
+    val tmp = new java.io.File(path(table) + ".tmp")
+    val old = new java.io.File(path(table) + ".old")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schemaOf(table))
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val dst = new java.io.File(path(table))
-    if (dst.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      rm(dst)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
     }
-    new java.io.File(tmp).renameTo(dst)
+    rm(old)
+    val dst = new java.io.File(path(table))
+    if (dst.exists() && !dst.renameTo(old))
+      throw new java.io.IOException(s"cannot stage $dst aside")
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"cannot publish $tmp")
+    rm(old)
   }
 
   /** DDL analogue (reference init_tbls, actiontracker.py:17-99): an empty
@@ -178,11 +192,17 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
   }
 
   def flushActions(): Unit = if (pendingActions.nonEmpty) {
+    val prior = rowsOf("dbc_actions") // BEFORE the append, or they count twice
     spark.createDataFrame(
         spark.sparkContext.parallelize(pendingActions, 1), ActionsSchema)
       .coalesce(1).write.mode("append").parquet(path("dbc_actions"))
-    cache("dbc_actions") = rowsOf("dbc_actions") ++ pendingActions
+    cache("dbc_actions") = prior ++ pendingActions
     pendingActions = Vector.empty
+    // the WAL references packet/step IDS whose name mappings live in the
+    // write-behind tables — the mapping must be durable no later than the
+    // actions that use it, or a crash orphans the WAL and every executed
+    // action re-runs on resume
+    persistMeta()
   }
 
   /** Driver-side dedup set for bounded fan-outs: WAL loaded once per

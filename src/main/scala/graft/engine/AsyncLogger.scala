@@ -65,7 +65,12 @@ final class AsyncLogger(
   @volatile private var running = true
   private val flusher = new Thread(() => {
     while (running) {
-      try flush() catch { case _: InterruptedException => running = false }
+      // an IO failure (disk full, permissions) must not kill the flusher:
+      // the queue would then grow for the rest of the run with no drain
+      try flush() catch {
+        case _: InterruptedException => running = false
+        case scala.util.control.NonFatal(_) => ()
+      }
       try Thread.sleep(flushIntervalMs)
       catch { case _: InterruptedException => running = false }
     }
@@ -73,12 +78,13 @@ final class AsyncLogger(
   flusher.setDaemon(true)
   flusher.start()
 
-  /** Stop the flusher and write out anything still queued. */
+  /** Stop the flusher and write out anything still queued. Never throws —
+    * a log-drain failure must not mask the run's real result. */
   def close(): Unit = {
     running = false
     flusher.interrupt()
     flusher.join(2000)
-    flush()
+    try flush() catch { case scala.util.control.NonFatal(_) => () }
   }
 }
 

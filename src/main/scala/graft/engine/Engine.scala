@@ -46,9 +46,20 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
 
   def stateDir(target: String): String = s"$stateRoot/$target"
 
-  /** Cancel a target's running packet jobs (E18 terminate/stop). */
+  private def stopFlag(target: String, packet: String) =
+    java.nio.file.Paths.get(stateDir(target), s"dbc_stop_$packet.flag")
+
+  /** Cancel a target's running packet jobs (E18 terminate/stop). The
+    * in-JVM path cancels the job group; the stop FLAG file makes the
+    * command work across processes (the reference's pg_cancel_backend by
+    * application_name is inherently cross-process, db_converter.py:390-411)
+    * — a runner in another JVM polls it between actions. */
   def stop(targetName: String, packetName: String): Unit = {
     terminated.add(targetName)
+    try {
+      java.nio.file.Files.createDirectories(stopFlag(targetName, packetName).getParent)
+      java.nio.file.Files.write(stopFlag(targetName, packetName), Array.empty[Byte])
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.sparkContext.cancelJobGroup(jobGroup(targetName, packetName))
   }
 
@@ -115,26 +126,44 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
       try {
         // register only what the packet's SQL references: each fixture
         // registration costs a parquet-footer read and each catalog view
-        // an analysis pass — a 2-table packet should not pay for all 25
-        val sqlText = Option(new java.io.File(s"$packetsRoot/${spec.packetName}")
+        // an analysis pass — a 2-table packet should not pay for all 25.
+        // The reference scan runs on PLACEHOLDER-SUBSTITUTED, lower-cased
+        // text (SQL identifiers are case-insensitive and a table name may
+        // arrive via DBC_PL_*); generator fields or leftover placeholders
+        // could still smuggle a name in, so any unresolved token falls
+        // back to registering everything.
+        val rawText = Option(new java.io.File(s"$packetsRoot/${spec.packetName}")
             .listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.endsWith(".sql") || f.getName.endsWith(".py"))
           .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
           .mkString("\n")
+        val sqlText = Placeholders.applyUser(rawText, spec.placeholders).toLowerCase
         val referenced = Tables.all.filter(sqlText.contains)
-        // python-step callbacks can touch any table; be conservative there
-        val hasPy = sqlText.isEmpty ||
+        // python-step callbacks can touch any table, an unresolved
+        // DBC_PL_* may hide a table name, and a generator field in table
+        // position (FROM GEN_OBJ_FLD_1) names tables at fan-out time —
+        // all three fall back to registering everything
+        val conservative = rawText.isEmpty ||
+          sqlText.contains("dbc_pl_") ||
+          "(?i)(from|join|table)\\s+gen_(obj|nsp)_fld".r
+            .findFirstIn(sqlText).isDefined ||
           new java.io.File(s"$packetsRoot/${spec.packetName}")
             .listFiles().exists(_.getName.endsWith(".py"))
-        if (hasPy) Tables.registerAll(session, t.dataDir)
+        if (conservative) Tables.registerAll(session, t.dataDir)
         else Tables.registerSome(session, t.dataDir, referenced)
-        if (hasPy || sqlText.contains("pg_"))
+        if (conservative || sqlText.contains("pg_"))
           graft.sources.PgCatalog.registerAll(session)
+        // packet SQL may call the PG scalar surface (pg_size_pretty,
+        // quote_ident, pg_sleep) — session-scoped, so register per run
+        graft.functions.PgFunctions.registerAll(session)
         // E27: one async batched run log per (target, packet), reference
         // naming log/dbc_<db>_<packet>.log
         val logger = AsyncLogger.forRun(s"${stateDir(t.name)}/log",
           t.name, spec.packetName)
         try {
+          // a stale stop flag from a previous stop command must not kill
+          // this fresh run
+          java.nio.file.Files.deleteIfExists(stopFlag(t.name, spec.packetName))
           val conf = RunnerConf(
             stateDir = stateDir(t.name), target = t.name,
             placeholders = spec.placeholders, force = spec.force,
@@ -142,7 +171,8 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
             skipActionCancel = spec.skipActionCancel,
             exportDir = Some(s"${stateDir(t.name)}/export"),
             hookSink = hookSink,
-            terminated = () => terminated.contains(t.name),
+            terminated = () => terminated.contains(t.name) ||
+              java.nio.file.Files.exists(stopFlag(t.name, spec.packetName)),
             logger = Some(logger))
           new PacketRunner(session, conf).run(s"$packetsRoot/${spec.packetName}")
         } finally logger.close()

@@ -43,8 +43,10 @@ object GlobMatcher {
     */
   def resolve(selector: String, configured: Seq[String]): Seq[String] = {
     val sel = selector.trim
-    if (sel == "ALL") configured
-    else if (sel.startsWith("ALL,exclude:")) {
+    // ALL / ALL,exclude: are case-insensitive keywords (reference
+    // init_dbs_list upper-cases before comparing, db_converter.py:459-466)
+    if (sel.equalsIgnoreCase("ALL")) configured
+    else if (sel.toUpperCase.startsWith("ALL,EXCLUDE:")) {
       val excl = sel.substring("ALL,exclude:".length)
         .split(",").map(_.trim).filter(_.nonEmpty)
       configured.filterNot { db =>

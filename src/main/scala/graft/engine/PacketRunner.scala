@@ -70,6 +70,8 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
   import PacketRunner._
 
   private val tracker = new ActionTracker(spark, conf.stateDir, conf.now)
+  // packet SQL may call the PG scalar surface; registry is session-scoped
+  graft.functions.PgFunctions.registerAll(spark)
   private val notices = mutable.Buffer.empty[Notice]
   private val resultData = mutable.Map.empty[String, Seq[ResultSet]]
   private val stepOutcomes = mutable.Map.empty[String, StepOutcome]
@@ -254,6 +256,13 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
             if (executed.contains(stepHash)) {
               stepsHashes += stepHash // already executed in a previous run
             } else {
+              // cooperative stop between actions (reference is_terminate
+              // poll, dbccore.py:1146-1150); also how the cross-process
+              // stop FLAG reaches a run whose jobs are all healthy
+              if (conf.terminated()) {
+                tracker.flushActions()
+                return ("terminate", None)
+              }
               try {
                 // maint pre-commands (nsp first, then obj with nsp fields
                 // substituted — dbccore.py:954-966)
@@ -323,8 +332,11 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         throw new IllegalStateException(
           s"cannot execute ${SqlSplitter.firstKeyword(stm)} in a read-only packet")
       if (pt == PacketType.NoCommit && !ro) {
-        // dry-run: plan the statement, skip the effect (reference rollback,
-        // dbccore.py:886-888)
+        // dry-run (reference executes-then-rolls-back, dbccore.py:886-888):
+        // parse AND analyze so syntax errors and missing tables/columns
+        // fail the validation run — but never execute the effect
+        val parsed = spark.sessionState.sqlParser.parsePlan(stm)
+        spark.sessionState.executePlan(parsed).assertAnalyzed()
         notices += Notice("INFO", s"no_commit: skipped ${SqlSplitter.firstKeyword(stm)}")
       } else if (SqlSplitter.isMaintenanceStatement(stm)) {
         // E9: non-transactional maintenance routing (reference

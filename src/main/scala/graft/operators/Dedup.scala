@@ -75,12 +75,16 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
     // fused tokens→shingles→signature expression: no shingle arrays are
-    // ever materialized (graft.functions.MinHashTokensSig)
+    // ever materialized (graft.functions.MinHashTokensSig). The signature
+    // table feeds three plan branches; localCheckpoint (not persist)
+    // materializes it once AND lets the blocks free with the RDD when the
+    // result is dropped — a CacheManager persist would pin them for the
+    // session (a leak for long-lived engines calling this repeatedly).
     val sigs = docs
       .select(col(idCol).as("id"),
         graft.functions.MinHash.minhashTokensSig(tokens(col(textCol)), 3, numPerm)
           .as("sig"))
-      .persist()
+      .localCheckpoint()
     val banded = sigs.select(col("id"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
     val cand = banded.as("a").join(banded.as("b"), Seq("band"))

@@ -218,6 +218,26 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.notices.exists(_.message.contains("read-only")))
   }
 
+  test("no_commit dry-run analyzes writes without executing; bad SQL fails") {
+    Tables.registerAll(spark, fixtures)
+    val dir = Files.createTempDirectory("graft-nc").resolve("nc_packet")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("01_step.sql"),
+      "CREATE TABLE IF NOT EXISTS nc_should_not_exist AS SELECT 1 AS x;\n")
+    Files.writeString(dir.resolve("meta_data.json"), """{"type": "no_commit"}""")
+    val res = runner(tmpState()).run(dir.toString)
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    assert(res.notices.exists(_.message.contains("no_commit: skipped")))
+    assert(!spark.catalog.tableExists("nc_should_not_exist"),
+      "dry-run executed the write")
+    // the dry-run must still CATCH analysis errors (reference runs the
+    // statement and rolls back, so a missing table fails validation)
+    Files.writeString(dir.resolve("02_step.sql"),
+      "INSERT INTO no_such_table_xyz SELECT 1;\n")
+    val res2 = runner(tmpState()).run(dir.toString)
+    assert(res2.resultCode("spark") == "fail")
+  }
+
   test("pretty table printer aligns columns like the reference") {
     val rs = ResultSet(Seq("name", "n"), Seq(Seq("alpha", 1L), Seq("b", 22L)))
     val out = ResultRenderer.printTable(rs)
