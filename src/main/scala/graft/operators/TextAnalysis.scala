@@ -62,7 +62,10 @@ object TextAnalysis {
     val toks = array_distinct(tokens(lower(text)))
     LangProfiles.map { case (lang, profile) =>
       val profArr = array(profile.map(lit): _*)
-      lang -> (size(filter(profArr, p => array_contains(toks, p))).cast("double") /
+      // |profile ∩ tokens| via the codegen'd array_intersect (both sides
+      // distinct, so identical to the filter/contains formulation the
+      // oracle uses — but without the interpreted-HOF boxing tax)
+      lang -> (size(array_intersect(profArr, toks)).cast("double") /
         profile.size.toDouble)
     }
   }
