@@ -383,6 +383,53 @@ object CatalogQueries {
     ORDER BY bloat_size DESC NULLS LAST, table_name
     LIMIT 10"""
 
+  /** dba_idx_diag/06_step.sql:1-45 — FK columns with no supporting index:
+    * the LEFT JOIN LATERAL probe (per-FK correlated subquery over
+    * pg_index) survives verbatim; `attnum = any(conkey/confkey)` reads
+    * the pre-exploded pg_constraint_key rows (same rewrite as
+    * pg_index_key — the scale-correct shuffle-joinable form of an any()
+    * membership probe); idx_def is built with plain concatenation here
+    * (the reference's format('%I...') is exercised by x07). */
+  val dbaIdxDiagFkNoIndex: String = """
+    SELECT
+      n_target.nspname AS target_nspname,
+      c_target.relname AS target_relname,
+      af.attname AS target_fld,
+      con.conname,
+      n_source.nspname AS source_nspname,
+      c_source.relname AS source_relname,
+      ar.attname AS source_fld,
+      con.condef AS constraint_def,
+      'CREATE INDEX ON ' || n_source.nspname || '.' || c_source.relname ||
+        ' USING btree (' || ar.attname || ')' AS idx_def
+    FROM pg_constraint con
+    JOIN pg_constraint_key k ON k.conoid = con.oid
+    JOIN pg_class c_target ON con.confrelid = c_target.oid
+    JOIN pg_class c_source ON con.conrelid = c_source.oid
+    JOIN pg_namespace n_target ON n_target.oid = c_target.relnamespace
+    JOIN pg_namespace n_source ON n_source.oid = c_source.relnamespace
+    JOIN pg_attribute af
+      ON af.attrelid = con.confrelid AND af.attnum = k.tgt_attnum
+    JOIN pg_attribute ar
+      ON ar.attrelid = con.conrelid AND ar.attnum = k.src_attnum
+    LEFT JOIN LATERAL (
+        SELECT cr.oid
+        FROM pg_index i
+        JOIN pg_class ci ON ci.oid = i.indexrelid AND ci.relkind = 'i'
+        JOIN pg_class cr ON cr.oid = i.indrelid AND cr.relkind = 'r'
+        JOIN pg_namespace n ON n.oid = ci.relnamespace
+          AND n.nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
+        JOIN pg_index_key ik
+          ON ik.indexrelid = i.indexrelid AND ik.keypos = 1
+        JOIN pg_attribute aidx
+          ON aidx.attrelid = i.indrelid AND aidx.attnum = ik.attnum
+        WHERE cr.oid = c_source.oid AND aidx.attname = ar.attname
+    ) t ON true
+    WHERE con.contype = 'f'
+      AND (con.confupdtype <> 'a' OR con.confdeltype <> 'a')
+      AND t.oid IS NULL
+    ORDER BY con.conname"""
+
   /** alert_stat/01_step.sql:1-33 — tables whose analyze/vacuum state needs
     * attention: never-maintained (all four timestamps NULL) or stale on
     * BOTH the analyze side and the vacuum side. The reference's
@@ -550,6 +597,9 @@ object CatalogQueries {
       oracle = Some(PgCatalog.withCatalog(dbaActiveMaint))),
     QuerySpec("c10_alert_bloat_tables",
       (s, _) => PgCatalog.sqlOnViews(s, alertBloatTables),
-      oracle = Some(PgCatalog.withCatalog(alertBloatTables)))
+      oracle = Some(PgCatalog.withCatalog(alertBloatTables))),
+    QuerySpec("c11_dba_idx_diag_fk_no_index",
+      (s, _) => PgCatalog.sqlOnViews(s, dbaIdxDiagFkNoIndex),
+      oracle = Some(PgCatalog.withCatalog(dbaIdxDiagFkNoIndex)))
   )
 }

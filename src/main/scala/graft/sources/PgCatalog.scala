@@ -125,6 +125,7 @@ object PgCatalog {
       (16387, 1, 'p_partkey', 20),
       (16388, 1, 's_suppkey', 20),
       (16391, 2, 'ts', 1114),
+      (16391, 3, 'user_id', 20),
       (16392, 3, 'fp', 1043),
       (16393, 1, 'vec_id', 20)
       ) AS t(attrelid, attnum, attname, atttypid)"""
@@ -175,16 +176,34 @@ object PgCatalog {
       (17009, CAST(424242 AS BIGINT)), (17010, CAST(800 AS BIGINT))
       ) AS t(indexrelid, idx_scan)"""
 
-  /** (oid, conname, contype, connamespace, conindid, conrelid, condef) */
+  /** (oid, conname, contype, connamespace, conindid, conrelid, confrelid,
+    * confupdtype, confdeltype, condef) — FK rows drive dba_idx_diag's
+    * FK-without-index check (c11): orders→customer is indexed
+    * (orders_custkey_idx suppresses it via the lateral probe),
+    * events→customer is NOT (the finding), lineitem→orders is
+    * no-action/no-action (excluded by the reference's filter). */
   val pgConstraint: String =
     """SELECT * FROM (VALUES
-      (18001, 'lineitem_pkey',   'p', 2200,  17001, 16384, 'PRIMARY KEY (l_orderkey, l_linenumber)'),
-      (18002, 'orders_pkey',     'p', 2200,  17003, 16385, 'PRIMARY KEY (o_orderkey)'),
-      (18003, 'customer_pkey',   'p', 2200,  17005, 16386, 'PRIMARY KEY (c_custkey)'),
-      (18004, 'part_pkey',       'p', 2200,  17006, 16387, 'PRIMARY KEY (p_partkey)'),
-      (18005, 'embeddings_pkey', 'p', 16500, 17009, 16393, 'PRIMARY KEY (vec_id)'),
-      (18006, 'supplier_pkey',   'p', 2200,  17010, 16388, 'PRIMARY KEY (s_suppkey)')
-      ) AS t(oid, conname, contype, connamespace, conindid, conrelid, condef)"""
+      (18001, 'lineitem_pkey',   'p', 2200,  17001, 16384, 0, 'a', 'a', 'PRIMARY KEY (l_orderkey, l_linenumber)'),
+      (18002, 'orders_pkey',     'p', 2200,  17003, 16385, 0, 'a', 'a', 'PRIMARY KEY (o_orderkey)'),
+      (18003, 'customer_pkey',   'p', 2200,  17005, 16386, 0, 'a', 'a', 'PRIMARY KEY (c_custkey)'),
+      (18004, 'part_pkey',       'p', 2200,  17006, 16387, 0, 'a', 'a', 'PRIMARY KEY (p_partkey)'),
+      (18005, 'embeddings_pkey', 'p', 16500, 17009, 16393, 0, 'a', 'a', 'PRIMARY KEY (vec_id)'),
+      (18006, 'supplier_pkey',   'p', 2200,  17010, 16388, 0, 'a', 'a', 'PRIMARY KEY (s_suppkey)'),
+      (18007, 'orders_custkey_fkey',   'f', 2200,  0, 16385, 16386, 'a', 'c', 'FOREIGN KEY (o_custkey) REFERENCES customer(c_custkey) ON DELETE CASCADE'),
+      (18008, 'events_user_fkey',      'f', 16500, 0, 16391, 16386, 'a', 'c', 'FOREIGN KEY (user_id) REFERENCES customer(c_custkey) ON DELETE CASCADE'),
+      (18009, 'lineitem_orderkey_fkey','f', 2200,  0, 16384, 16385, 'a', 'a', 'FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)')
+      ) AS t(oid, conname, contype, connamespace, conindid, conrelid, confrelid, confupdtype, confdeltype, condef)"""
+
+  /** (conoid, src_attnum, tgt_attnum) — one row per FK key column: the
+    * portable form of `attnum = any(conkey/confkey)`
+    * (dba_idx_diag/06_step.sql:24-28), same pattern as pg_index_key. */
+  val pgConstraintKey: String =
+    """SELECT * FROM (VALUES
+      (18007, 2, 1),
+      (18008, 3, 1),
+      (18009, 1, 1)
+      ) AS t(conoid, src_attnum, tgt_attnum)"""
 
   /** Lock-wait scenario (dba_locks/01_step.sql:8-22): pid 202 waits on the
     * relation lock held by 101; pid 303 waits on transactionid 555 held by
@@ -259,6 +278,7 @@ object PgCatalog {
     "pg_stat_all_tables" -> pgStatAllTables,
     "pg_stat_user_indexes" -> pgStatUserIndexes,
     "pg_constraint" -> pgConstraint,
+    "pg_constraint_key" -> pgConstraintKey,
     "pg_locks" -> pgLocks,
     "pg_stat_activity" -> pgStatActivity,
     "pg_settings" -> pgSettings,
