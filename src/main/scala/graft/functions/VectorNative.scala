@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, ArrayType}
+
+/** Native codegen'd kernels behind [[VectorFunctions]] — the HOF
+  * formulations they replace are interpreted (each element boxes through
+  * lambda variables), which dominates the similarity operators' time.
+  *
+  * Bit-compatibility: every sum is the SAME sequential left fold the HOF
+  * versions (and the DuckDB oracle's `list_aggregate('sum')`) perform, so
+  * s01's exact-double oracle keeps hash-matching; the LSH plane for
+  * (i, j) is derived with the same chained XxHash64 the column expression
+  * used, so bucket values are unchanged too.
+  */
+object VectorNative {
+
+  private def elemAsDouble(arr: ArrayData, i: Int, float: Boolean): Double =
+    if (float) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  /** dot / (‖a‖‖b‖) in one pass, sequential folds. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elemAsDouble(a, i, aFloat)
+      val y = elemAsDouble(b, i, bFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** plane_j(i) = (xxhash64(i, j) mod 100000) / 100000 - 0.5 — identical
+    * chained-seed derivation to `xxhash64(col_i, lit(j))`; planes depend
+    * only on (dims, bits), so they are computed once and cached. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planes(dims: Int, bits: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dims, bits), { _ =>
+      Array.tabulate(bits, dims) { (j, i) =>
+        var h = XxHash64Function.hash(i, IntegerType, 42L)
+        h = XxHash64Function.hash(j, IntegerType, h)
+        val r = ((h % 100000L) + 100000L) % 100000L
+        r.toDouble / 100000.0 - 0.5
+      }
+    })
+
+  def lshBucket(v: ArrayData, bits: Int, float: Boolean): Long = {
+    val dims = v.numElements()
+    val pl = planes(dims, bits)
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      val plane = pl(j)
+      var d = 0.0
+      var i = 0
+      while (i < dims) { d += elemAsDouble(v, i, float) * plane(i); i += 1 }
+      if (d >= 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+}
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorNative.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorNative.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class LshBucketExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorNative.lshBucket(v.asInstanceOf[ArrayData], bits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorNative.lshBucket($c, $bits, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
