@@ -155,6 +155,33 @@ class SinksSpec extends AnyFunSuite {
     assert(res.notices.exists(_.message.contains("py step saw 5 regions")))
   }
 
+  test("PL/pgSQL DO-block port raises its finding on the notice channel") {
+    // alert_int4_capacity's `raise notice '%', format(...)` twin: the
+    // driver-side Scala loop (queries.CatalogQueries.alertInt4Capacity)
+    // runs inside a step callback and RAISEs through ctx.notice, exactly
+    // the Notice-channel mapping SURVEY §2.2 prescribes
+    Tables.registerAll(spark, fixtures)
+    ScalaSteps.register("alert_int4_capacity", "01_step.py") { ctx =>
+      graft.queries.CatalogQueries
+        .alertInt4Capacity(ctx.spark, fixtures, threshold = 0.0)
+        .collect().foreach { r =>
+          ctx.notice("NOTICE",
+            s"tbl = ${r.getString(0)} pk = ${r.getString(1)} " +
+              s"type = ${r.getString(2)} current_value = ${r.getLong(3)} " +
+              s"capacity = ${r.getDouble(4)}")
+        }
+    }
+    val dir = mkPacket("alert_int4_capacity", Map(
+      "01_step.py" -> "# body is the registered Scala callback",
+      "meta_data.json" -> """{"type": "read_only"}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString)).run(dir)
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    assert(res.notices.exists(n => n.severity == "NOTICE" &&
+      n.message.contains("tbl = public.lineitem pk = l_linenumber type = int4")),
+      res.notices.mkString("; "))
+  }
+
   test("python step without a registered callback fails the step") {
     Tables.registerAll(spark, fixtures)
     val dir = mkPacket("test_py_missing", Map(
