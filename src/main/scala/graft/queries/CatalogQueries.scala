@@ -516,6 +516,45 @@ object CatalogQueries {
       .limit(20)
   }
 
+  /** dba_idx_diag/07_step.sql:1-35 — duplicate indexes: indexes sharing
+    * their table + first (two) key columns, reported as a sorted name
+    * list. The reference pivots `indkey[0]/indkey[1]`; here the same
+    * pivot reads pg_index_key keypos 1/2 (LEFT JOIN — single-column
+    * indexes keep a NULL second key, and the two reference branches
+    * collapse into one null-safe grouping). `array_agg(distinct)` is
+    * emitted as a sorted comma-joined string so both engines render the
+    * set identically; the reference's count(*) > 2 / > 1 thresholds (an
+    * artifact of its attribute-join row doubling) become
+    * count(distinct index) > 1 — same findings. */
+  def dbaIdxDiagDuplicates(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    PgCatalog.ensureRegistered(s)
+    val k1 = s.table("pg_index_key").filter(col("keypos") === 1)
+      .select(col("indexrelid"), col("attnum").as("key1"))
+    val k2 = s.table("pg_index_key").filter(col("keypos") === 2)
+      .select(col("indexrelid"), col("attnum").as("key2"))
+    val ci = s.table("pg_class").filter(col("relkind") === "i")
+      .select(col("oid").as("indexrelid"), col("relname").as("idx_name"),
+        col("relnamespace"))
+    val cr = s.table("pg_class").filter(col("relkind") === "r")
+      .select(col("oid").as("indrelid"), col("relname").as("tbl_name"))
+    val n = s.table("pg_namespace")
+      .filter(!col("nspname").isin("pg_catalog", "pg_toast", "information_schema"))
+      .select(col("oid").as("relnamespace"), col("nspname"))
+    s.table("pg_index")
+      .join(k1, "indexrelid").join(k2, Seq("indexrelid"), "left")
+      .join(ci, "indexrelid").join(n, "relnamespace").join(cr, "indrelid")
+      .groupBy(col("indrelid"), col("key1"), col("key2"))
+      .agg(max(col("nspname")).as("nspname"),
+        max(col("tbl_name")).as("tbl_name"),
+        concat_ws(",", sort_array(collect_set(col("idx_name")))).as("idxs"),
+        countDistinct(col("indexrelid")).as("n_dup"))
+      .filter(col("n_dup") > 1)
+      .select(col("nspname"), col("tbl_name"), col("idxs"))
+      .orderBy(col("nspname"), col("tbl_name"), col("idxs"))
+  }
+
   /** alert_int4_capacity (01_gen_obj.sql + 01_step.sql) — the corpus's
     * PL/pgSQL DO-block ported the way SURVEY §2.2 prescribes: the
     * catalog-driven generator stays SQL, and the block's dynamic
@@ -657,6 +696,26 @@ object CatalogQueries {
     // int4 PK column) directly — values, not the discovery, are checked;
     // the discovery generator itself is the SQL text above, exercised on
     // the Spark side
+    QuerySpec("c13_dba_idx_diag_duplicate_indexes",
+      (s, _) => dbaIdxDiagDuplicates(s),
+      oracle = Some(PgCatalog.withCatalog("""
+        , keyed AS (
+            SELECT i.indexrelid, i.indrelid, k1.attnum AS key1, k2.attnum AS key2
+            FROM pg_index i
+            JOIN pg_index_key k1
+              ON k1.indexrelid = i.indexrelid AND k1.keypos = 1
+            LEFT JOIN pg_index_key k2
+              ON k2.indexrelid = i.indexrelid AND k2.keypos = 2)
+        SELECT max(n.nspname) AS nspname, max(cr.relname) AS tbl_name,
+          array_to_string(list_sort(list(DISTINCT ci.relname)), ',') AS idxs
+        FROM keyed
+        JOIN pg_class ci ON ci.oid = keyed.indexrelid AND ci.relkind = 'i'
+        JOIN pg_class cr ON cr.oid = keyed.indrelid AND cr.relkind = 'r'
+        JOIN pg_namespace n ON n.oid = ci.relnamespace
+          AND n.nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
+        GROUP BY keyed.indrelid, keyed.key1, keyed.key2
+        HAVING count(DISTINCT keyed.indexrelid) > 1
+        ORDER BY nspname, tbl_name, idxs"""))),
     QuerySpec("c12_alert_int4_capacity",
       (s, dir) => alertInt4Capacity(s, dir),
       oracle = Some("""

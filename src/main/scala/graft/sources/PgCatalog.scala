@@ -64,7 +64,8 @@ object PgCatalog {
       (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70', 0),
       (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL, 0),
       (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL, 0),
-      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0)
+      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0),
+      (17011, 'orders_custkey_idx2',   2200,  'i', CAST(150000 AS BIGINT), 150,  403, NULL, 0)
       ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid)"""
 
   /** (indexrelid, indrelid, indisunique, indisprimary, inddef) — inddef is
@@ -81,7 +82,8 @@ object PgCatalog {
       (17007, 16391, 0, 0, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)'),
       (17008, 16392, 0, 0, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)'),
       (17009, 16393, 1, 1, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)'),
-      (17010, 16388, 1, 1, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)')
+      (17010, 16388, 1, 1, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)'),
+      (17011, 16385, 0, 0, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)')
       ) AS t(indexrelid, indrelid, indisunique, indisprimary, inddef)"""
 
   /** (indexrelid, attnum, keypos) — one row per index key column: the
@@ -98,7 +100,8 @@ object PgCatalog {
       (17007, 2, 1),
       (17008, 3, 1),
       (17009, 1, 1),
-      (17010, 1, 1)
+      (17010, 1, 1),
+      (17011, 2, 1)
       ) AS t(indexrelid, attnum, keypos)"""
 
   /** (attrelid, attnum, attname, atttypid) — attribute rows both under the
@@ -118,6 +121,7 @@ object PgCatalog {
       (17008, 3, 'fp', 1043),
       (17009, 1, 'vec_id', 20),
       (17010, 1, 's_suppkey', 20),
+      (17011, 2, 'o_custkey', 20),
       (16384, 1, 'l_orderkey', 20), (16384, 4, 'l_linenumber', 23),
       (16384, 11, 'l_shipdate', 1082),
       (16385, 1, 'o_orderkey', 20), (16385, 2, 'o_custkey', 20),
