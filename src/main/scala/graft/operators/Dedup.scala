@@ -201,6 +201,29 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Benchmark decontamination: which training documents contain any word
+  // n-gram that also appears in an evaluation set (the standard 13-gram
+  // overlap check, run here with a caller-chosen n).
+
+  /** Train-side doc ids sharing ≥1 word n-gram with `evalDocs`.
+    *
+    * Scale shape: the eval side is benchmarks — tiny next to a 100 TB
+    * train corpus — so its distinct n-gram set BROADCASTS; the train scan
+    * explodes n-grams map-side and semi-joins against the broadcast with
+    * NO shuffle of train data (the only exchange is the final distinct
+    * over matching doc ids, bounded by the contamination count). */
+  def contaminatedDocs(
+      train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    train
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  // ---------------------------------------------------------------------
   /** Test fixture: union `docs` with perturbed copies (last `dropWords`
     * words removed, id offset) so near-dup operators have planted positives
     * with known ids — deterministic, derived only from the input. */

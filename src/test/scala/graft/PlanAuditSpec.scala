@@ -111,6 +111,16 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("d06 decontamination broadcasts the eval grams and semi-joins") {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val df = Dedup.contaminatedDocs(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "doc_id", "text", n = 8)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+  }
+
   test("hot scalar pipeline stays inside WholeStageCodegen") {
     val df = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
