@@ -76,6 +76,28 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling over "video" payloads: split the binary into
+    * fixed-size frame chunks (the ??? stand-in for a real container
+    * demuxer — this container has no codecs) and keep every `stride`-th
+    * frame. The Spark-side plumbing is the real contract: one row per
+    * sampled frame with (media_id, frame_idx, frame_bytes), produced by
+    * a codegen'd generator expression chain (no UDF) — partition-local,
+    * zero shuffle, output rows ∝ payload size / (frameBytes × stride).
+    * A real decoder drops into the same schema via mapPartitions /
+    * mapInArrow batches (see extractFeatures for that shape). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256,
+      stride: Int = 4): DataFrame = {
+    val nFrames = ceil(length(col("payload")) / frameBytes.toDouble).cast("int")
+    media
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+          i => i % stride === 0)))
+      .select(col("media_id"), col("format"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
+      .filter(length(col("frame_bytes")) > 0)
+  }
+
   /** Metadata/feature summary — pushdown-friendly metadata filter, then
     * the codegen'd expression decode (one whole-stage pipeline: scan →
     * filter → decode → partial agg, zero serialization boundaries). */

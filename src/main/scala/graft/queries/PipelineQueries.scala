@@ -281,6 +281,20 @@ object PipelineQueries {
       Multimodal.featureSummary(s, Tables.load(s, dir, "documents"))
     }),
 
+    // Frame-sampling plumbing (rows-only: binary frame payloads; exact
+    // slice/reassembly semantics asserted in MultimodalSpec)
+    QuerySpec("m02_frame_sample", (s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(
+            Tables.load(s, dir, "documents").filter($"doc_id" < 100)),
+          frameBytes = 256, stride = 4)
+        .groupBy($"format")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length($"frame_bytes")).as("sampled_bytes"))
+        .orderBy($"format")
+    }),
+
     // ---- Sessionization over events (gap > 30 min ⇒ new session) -------
     // ---- End-to-end corpus curation (the flagship composition): quality
     // gate → language gate → exact-dedup keep-first. Every stage is a

@@ -650,6 +650,24 @@ object RelationalQueries {
       SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         count(*) AS n,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // ---- Exact percentiles / median (linear interpolation — Spark's
+    // percentile() and DuckDB's quantile_cont share the semantics)
+    QuerySpec("q41_percentile_median", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)").as("p25_price"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)").as("p75_price"))
+        .orderBy($"l_returnflag")
+    }, oracle = Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25_price,
+        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

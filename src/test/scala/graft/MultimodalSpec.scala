@@ -27,6 +27,33 @@ class MultimodalSpec extends AnyFunSuite {
     viaExpr.values.foreach(f => assert(math.abs(f.sum - 1.0) < 1e-9))
   }
 
+  test("frame sampling keeps every stride-th chunk and reassembles") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(
+      Tables.load(spark, dir, "documents").limit(20))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .as[(Long, String, Int, Array[Byte])].collect()
+    assert(frames.nonEmpty)
+    // only even frame indices survive stride 2
+    assert(frames.forall(_._3 % 2 == 0))
+    // each sampled frame is the exact payload slice it claims to be
+    val payloads = media.select($"media_id", $"payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    frames.foreach { case (id, _, idx, bytes) =>
+      val expect = payloads(id).slice(idx * 64, idx * 64 + 64)
+      assert(bytes.toSeq == expect.toSeq, s"media $id frame $idx")
+    }
+    // stride 1 covers the whole payload exactly
+    val full = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
+      .as[(Long, String, Int, Array[Byte])].collect()
+      .groupBy(_._1).map { case (id, fs) =>
+        id -> fs.sortBy(_._3).flatMap(_._4).toSeq
+      }
+    full.foreach { case (id, got) =>
+      assert(got == payloads(id).toSeq, s"media $id reassembly")
+    }
+  }
+
   test("feature summary stays inside whole-stage codegen") {
     val df = Multimodal.featureSummary(spark,
       Tables.load(spark, dir, "documents"))
