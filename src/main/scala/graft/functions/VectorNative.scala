@@ -20,12 +20,18 @@ object VectorNative {
   private def elemAsDouble(arr: ArrayData, i: Int, float: Boolean): Double =
     if (float) arr.getFloat(i).toDouble else arr.getDouble(i)
 
-  /** dot / (‖a‖‖b‖) in one pass, sequential folds. */
-  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** dot / (‖a‖‖b‖) in one pass, sequential folds. Mismatched lengths or
+    * a NULL element return null (boxed) — the same poisoning the HOF
+    * zip_with/aggregate formulation had, so a corrupted or truncated
+    * embedding is EXCLUDED by `cos >= threshold` filters rather than
+    * scored with fabricated zeros. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = elemAsDouble(a, i, aFloat)
       val y = elemAsDouble(b, i, bFloat)
       dot += x * y; na += x * x; nb += y * y
@@ -50,16 +56,20 @@ object VectorNative {
       }
     })
 
-  def lshBucket(v: ArrayData, bits: Int, float: Boolean): Long = {
+  /** Null element → null bucket (HOF parity: a poisoned plane dot made
+    * every `when(planeDot >= 0, ...)` branch null). */
+  def lshBucket(v: ArrayData, bits: Int, float: Boolean): Any = {
     val dims = v.numElements()
+    var i = 0
+    while (i < dims) { if (v.isNullAt(i)) return null; i += 1 }
     val pl = planes(dims, bits)
     var bucket = 0L
     var j = 0
     while (j < bits) {
       val plane = pl(j)
       var d = 0.0
-      var i = 0
-      while (i < dims) { d += elemAsDouble(v, i, float) * plane(i); i += 1 }
+      var k = 0
+      while (k < dims) { d += elemAsDouble(v, k, float) * plane(k); k += 1 }
       if (d >= 0) bucket |= 1L << j
       j += 1
     }
@@ -71,6 +81,16 @@ case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null beyond child-null propagation: length mismatch / null element
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType]))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -80,8 +100,12 @@ case class CosineSim(left: Expression, right: Expression)
       isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorNative.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object cosR = graft.functions.VectorNative.cosine(
+        $a, $b, ${isFloat(left)}, ${isFloat(right)});
+      if (cosR == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) cosR).doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -92,6 +116,14 @@ case class LshBucketExpr(child: Expression, bits: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array input, got ${child.dataType.simpleString}")
 
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -100,8 +132,11 @@ case class LshBucketExpr(child: Expression, bits: Int)
     VectorNative.lshBucket(v.asInstanceOf[ArrayData], bits, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorNative.lshBucket($c, $bits, $isFloat)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object lshR = graft.functions.VectorNative.lshBucket($c, $bits, $isFloat);
+      if (lshR == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) lshR).longValue(); }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)

@@ -21,16 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt in [0, salt): hash of the whole row. */
-  private def rowSalt(df: DataFrame, salt: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salt))
+  private val SaltCol = "__graft_salt"
+
+  /** Per-row salt in [0, salt). Uses the per-row unique id rather than a
+    * row-content hash: EXACT-duplicate rows under a hot key (the common
+    * shape after column pruning) must still spread — a content hash would
+    * send them all to one sub-key and the straggler would survive. The
+    * assignment varies with partitioning, which is fine: any assignment
+    * yields the identical join result. */
+  private def rowSalt(salt: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(salt))
 
   /** Inner equi-join of `big` ⋈ `small` on `key`, salted `salt` ways. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int): DataFrame = {
-    val bigS = big.withColumn("__salt", rowSalt(big, salt))
-    val smallS = small.withColumn("__salt",
+    require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"input already has a $SaltCol column")
+    val bigS = big.withColumn(SaltCol, rowSalt(salt))
+    val smallS = small.withColumn(SaltCol,
       explode(array((0 until salt).map(lit): _*)))
-    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+    bigS.join(smallS, Seq(key, SaltCol)).drop(SaltCol)
   }
 }

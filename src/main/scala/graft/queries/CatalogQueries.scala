@@ -586,18 +586,25 @@ object CatalogQueries {
       threshold: Double = 0.0): org.apache.spark.sql.DataFrame = {
     PgCatalog.ensureRegistered(s)
     val findings = PgCatalog.sqlOnViews(s, int4CapacityGenSql).collect().toSeq
-      .map { r =>
+      .flatMap { r =>
         val (nsp, tbl, typ, att) =
           (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
-        if (graft.sources.Tables.all.contains(tbl))
+        // a catalog row whose table has no data source here cannot be
+        // probed (live PG would have it by construction); skip, don't crash
+        if (!graft.sources.Tables.all.contains(tbl)) None
+        else {
           graft.sources.Tables.load(s, dir, tbl).createOrReplaceTempView(tbl)
-        // the DO block's `execute format(...) into val`
-        val maxVal = s.sql(s"SELECT CAST(max($att) AS BIGINT) FROM $tbl")
-          .head().getLong(0)
-        val capacity = if (typ == "int4") 2147483648.0 else 32768.0
-        val pct = BigDecimal(100.0 * maxVal / capacity)
-          .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
-        (s"$nsp.$tbl", att, typ, maxVal, pct)
+          // the DO block's `execute format(...) into val`
+          val row = s.sql(s"SELECT CAST(max($att) AS BIGINT) FROM $tbl").head()
+          if (row.isNullAt(0)) None // empty table: nothing to report
+          else {
+            val maxVal = row.getLong(0)
+            val capacity = if (typ == "int4") 2147483648.0 else 32768.0
+            val pct = BigDecimal(100.0 * maxVal / capacity)
+              .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+            Some((s"$nsp.$tbl", att, typ, maxVal, pct))
+          }
+        }
       }
       .filter(_._5 >= threshold * 100.0)
     import org.apache.spark.sql.functions.col
@@ -691,11 +698,20 @@ object CatalogQueries {
     QuerySpec("c11_dba_idx_diag_fk_no_index",
       (s, _) => PgCatalog.sqlOnViews(s, dbaIdxDiagFkNoIndex),
       oracle = Some(PgCatalog.withCatalog(dbaIdxDiagFkNoIndex))),
-    // oracle note: DuckDB cannot run the catalog-driven dynamic SQL loop,
-    // so it recomputes the fixture's one qualifying finding (lineitem's
-    // int4 PK column) directly — values, not the discovery, are checked;
-    // the discovery generator itself is the SQL text above, exercised on
-    // the Spark side
+    // c12 oracle note: DuckDB cannot run the catalog-driven dynamic SQL
+    // loop, so it recomputes the fixture's one qualifying finding
+    // (lineitem's int4 PK column) directly — values, not the discovery,
+    // are checked; the discovery generator is int4CapacityGenSql,
+    // exercised on the Spark side
+    QuerySpec("c12_alert_int4_capacity",
+      (s, dir) => alertInt4Capacity(s, dir),
+      oracle = Some("""
+        SELECT 'public.lineitem' AS tbl, 'l_linenumber' AS pk,
+          'int4' AS type_name,
+          CAST(max(l_linenumber) AS BIGINT) AS current_value,
+          round(100 * (CAST(max(l_linenumber) AS DOUBLE) / 2147483648.0), 2)
+            AS capacity_pct
+        FROM lineitem""")),
     QuerySpec("c13_dba_idx_diag_duplicate_indexes",
       (s, _) => dbaIdxDiagDuplicates(s),
       oracle = Some(PgCatalog.withCatalog("""
@@ -715,15 +731,6 @@ object CatalogQueries {
           AND n.nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
         GROUP BY keyed.indrelid, keyed.key1, keyed.key2
         HAVING count(DISTINCT keyed.indexrelid) > 1
-        ORDER BY nspname, tbl_name, idxs"""))),
-    QuerySpec("c12_alert_int4_capacity",
-      (s, dir) => alertInt4Capacity(s, dir),
-      oracle = Some("""
-        SELECT 'public.lineitem' AS tbl, 'l_linenumber' AS pk,
-          'int4' AS type_name,
-          CAST(max(l_linenumber) AS BIGINT) AS current_value,
-          round(100 * (CAST(max(l_linenumber) AS DOUBLE) / 2147483648.0), 2)
-            AS capacity_pct
-        FROM lineitem"""))
+        ORDER BY nspname, tbl_name, idxs""")))
   )
 }

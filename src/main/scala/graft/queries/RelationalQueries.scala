@@ -654,20 +654,26 @@ object RelationalQueries {
 
     // ---- Exact percentiles / median (linear interpolation — Spark's
     // percentile() and DuckDB's quantile_cont share the semantics)
+    // rounded to 6dp: Spark's percentile and DuckDB's quantile_cont use
+    // floating-point-different lerp formulas that diverge in the last ulp
+    // on ~7% of interpolated inputs — same normalization convention as
+    // s01's round(cos, 9)
     QuerySpec("q41_percentile_median", (s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)").as("p25_price"),
-          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)").as("p75_price"))
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)"), 6)
+            .as("p25_price"),
+          round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)"), 6)
+            .as("p75_price"))
         .orderBy($"l_returnflag")
     }, oracle = Some("""
       SELECT l_returnflag,
-        quantile_cont(l_quantity, 0.5) AS median_qty,
-        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25_price,
-        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75_price
+        round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25_price,
+        round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

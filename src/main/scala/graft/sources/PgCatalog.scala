@@ -177,7 +177,8 @@ object PgCatalog {
       (17003, CAST(456789 AS BIGINT)), (17004, CAST(99 AS BIGINT)),
       (17005, CAST(5000 AS BIGINT)),   (17006, CAST(7000 AS BIGINT)),
       (17007, CAST(31337 AS BIGINT)),  (17008, CAST(0 AS BIGINT)),
-      (17009, CAST(424242 AS BIGINT)), (17010, CAST(800 AS BIGINT))
+      (17009, CAST(424242 AS BIGINT)), (17010, CAST(800 AS BIGINT)),
+      (17011, CAST(0 AS BIGINT))
       ) AS t(indexrelid, idx_scan)"""
 
   /** (oid, conname, contype, connamespace, conindid, conrelid, confrelid,

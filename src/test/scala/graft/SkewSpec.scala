@@ -29,17 +29,17 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("a planted hot key spreads across salt sub-keys") {
+  test("a planted hot key of IDENTICAL rows spreads across salt sub-keys") {
     import spark.implicits._
-    // 10k rows all sharing ONE key — the pathological straggler input
-    val big = spark.range(10000).select(lit(1L).as("k"), $"id")
+    // 10k fully identical rows — the pathological post-pruning shape a
+    // row-content hash would collapse onto ONE sub-key
+    val big = spark.range(10000).select(lit(1L).as("k"))
     val small = Seq((1L, "x")).toDF("k", "v")
     val salted = Skew.saltedJoin(big, small, "k", salt = 8)
     assert(salted.count() == 10000)
-    // the big side's salt assignment actually uses multiple sub-keys
     val distinctSalts = big
-      .withColumn("__salt", pmod(xxhash64(col("k"), col("id")), lit(8)))
-      .select("__salt").distinct().count()
-    assert(distinctSalts == 8)
+      .withColumn("__s", pmod(xxhash64(monotonically_increasing_id()), lit(8)))
+      .select("__s").distinct().count()
+    assert(distinctSalts == 8, s"identical rows collapsed to $distinctSalts sub-keys")
   }
 }
