@@ -79,6 +79,10 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
   // -- cache + persistence ----------------------------------------------
   private val cache = scala.collection.mutable.Map.empty[String, Seq[Row]]
   private var dirtyMeta = Set.empty[String]
+  /** set when a NEW packet/step id mapping row was inserted since the
+    * last persist — the only metadata the WAL's durability depends on
+    * (status mutations are advisory and persist at run end) */
+  private var mappingDirty = false
 
   private def rowsOf(table: String): Seq[Row] =
     cache.getOrElseUpdate(table, readOr(table).collect().toSeq)
@@ -93,6 +97,7 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
   def persistMeta(): Unit = {
     dirtyMeta.foreach(t => writeRows(t, cache(t)))
     dirtyMeta = Set.empty
+    mappingDirty = false
   }
 
   /** Crash-safe replace: write tmp → rename live aside → rename tmp in →
@@ -149,6 +154,7 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
           setRows("dbc_packets",
             rows :+ Row(newId, name, "started", ts(), packetHash, metaData),
             durable = false)
+          mappingDirty = true
           newId
       }
       packetIdMemo += name -> id
@@ -167,6 +173,7 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
           setRows("dbc_steps",
             rows :+ Row(newId, stepName, packetId, "started", ts(), null),
             durable = false)
+          mappingDirty = true
           newId
       }
       stepIdMemo += (packetId, stepName) -> id
@@ -201,8 +208,9 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     // the WAL references packet/step IDS whose name mappings live in the
     // write-behind tables — the mapping must be durable no later than the
     // actions that use it, or a crash orphans the WAL and every executed
-    // action re-runs on resume
-    persistMeta()
+    // action re-runs on resume. Status-only mutations don't force this
+    // (advisory; persisted at run end).
+    if (mappingDirty) persistMeta()
   }
 
   /** Driver-side dedup set for bounded fan-outs: WAL loaded once per
