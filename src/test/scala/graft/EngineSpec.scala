@@ -218,6 +218,22 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.notices.exists(_.message.contains("read-only")))
   }
 
+  test("action WAL survives a crash before the run-end metadata persist") {
+    // simulate kill -9 mid-run: actions flushed, but persistMeta/unlock
+    // (the finally block) never ran — a FRESH tracker reading only disk
+    // must still resolve the WAL's packet/step ids to their names, or
+    // every executed action re-runs on resume
+    val state = tmpState()
+    val t1 = new ActionTracker(spark, state)
+    t1.initTables()
+    t1.beginAction("p1", "hash-p", "01_step.sql", "{}")
+    t1.applyAction("p1", "01_step.sql", "action-hash-123")
+    t1.flushActions()
+    // no persistMeta() — the crash point
+    val t2 = new ActionTracker(spark, state)
+    assert(t2.executedHashes("p1", "01_step.sql") == Set("action-hash-123"))
+  }
+
   test("no_commit dry-run analyzes writes without executing; bad SQL fails") {
     Tables.registerAll(spark, fixtures)
     val dir = Files.createTempDirectory("graft-nc").resolve("nc_packet")
