@@ -105,6 +105,48 @@ case class MinHashSig(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Word w-shingles of a token array as a native expression: the distinct
+  * (first-occurrence order, matching array_distinct) space-joined sliding
+  * windows — the HOF `transform(sequence…, slice+concat_ws)` chain it
+  * replaces materialized every window through interpreted lambdas. Same
+  * windowing as [[MinHashFns.signatureOfTokens]]: max(n-w,0)+1 windows,
+  * short docs yield one truncated window. */
+case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WordShingles.of(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordShingles.of($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def of(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val windows = math.max(n - w, 0) + 1
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val scratch = new Array[org.apache.spark.unsafe.types.UTF8String](w)
+    var i = 0
+    while (i < windows) {
+      val len = math.min(w, n - i)
+      var j = 0
+      while (j < len) { scratch(j) = arr.getUTF8String(i + j); j += 1 }
+      while (j < w) { scratch(j) = null; j += 1 } // concatWs skips nulls
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, scratch: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
+}
+
 case class MinHashTokensSig(child: Expression, w: Int, numPerm: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -27,12 +27,13 @@ object Dedup {
   // ---------------------------------------------------------------------
   // MinHash + LSH banding.
 
-  /** Word w-shingles (default w=3) as a distinct array. */
+  /** Word w-shingles (default w=3) as a distinct array — native codegen'd
+    * [[graft.functions.WordShingles]] (the HOF transform/slice/concat_ws
+    * chain was interpreted and cost d06 ~3 s at sf0.1). */
   def shingles(text: Column, w: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.WordShingles(
+      ColumnBridge.expression(tokens(text)), w))
   }
 
   /** numPerm-wide MinHash signature in ONE pass over the shingles:
