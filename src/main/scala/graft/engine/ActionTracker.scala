@@ -112,10 +112,15 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     def rm(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
     }
-    rm(old)
     val dst = new java.io.File(path(table))
-    if (dst.exists() && !dst.renameTo(old))
-      throw new java.io.IOException(s"cannot stage $dst aside")
+    if (dst.exists()) {
+      // only drop the `.old` fallback while `dst` is the durable copy —
+      // when `dst` is absent (crash between the renames), `.old` is the ONLY
+      // durable copy and must survive until tmp is published below
+      rm(old)
+      if (!dst.renameTo(old))
+        throw new java.io.IOException(s"cannot stage $dst aside")
+    }
     if (!tmp.renameTo(dst))
       throw new java.io.IOException(s"cannot publish $tmp")
     rm(old)
@@ -199,18 +204,19 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
   }
 
   def flushActions(): Unit = if (pendingActions.nonEmpty) {
+    // the WAL references packet/step IDS whose name mappings live in the
+    // write-behind tables — the mapping must be durable no later than the
+    // actions that use it, so it is persisted FIRST: a crash between the two
+    // writes then loses only unreferenced mapping rows, never a WAL whose ids
+    // could be reassigned differently on a reordered multi-packet resume.
+    // Status-only mutations don't force this (advisory; persisted at run end).
+    if (mappingDirty) persistMeta()
     val prior = rowsOf("dbc_actions") // BEFORE the append, or they count twice
     spark.createDataFrame(
         spark.sparkContext.parallelize(pendingActions, 1), ActionsSchema)
       .coalesce(1).write.mode("append").parquet(path("dbc_actions"))
     cache("dbc_actions") = prior ++ pendingActions
     pendingActions = Vector.empty
-    // the WAL references packet/step IDS whose name mappings live in the
-    // write-behind tables — the mapping must be durable no later than the
-    // actions that use it, or a crash orphans the WAL and every executed
-    // action re-runs on resume. Status-only mutations don't force this
-    // (advisory; persisted at run end).
-    if (mappingDirty) persistMeta()
   }
 
   /** Driver-side dedup set for bounded fan-outs: WAL loaded once per

@@ -70,7 +70,10 @@ object ExportSink {
         // mirrors the reference's 10k cursor batches
         df.toLocalIterator().asScala.grouped(10000).foreach { batch =>
           batch.foreach { row =>
-            out.write(row.toSeq.map(v => quote(String.valueOf(v))).mkString("\t") + "\r\n")
+            // SQL NULL → empty field (the reference's csv.writer renders None
+            // as ""), distinguishable from a literal 'null' string value
+            out.write(row.toSeq.map(v =>
+              quote(if (v == null) "" else String.valueOf(v))).mkString("\t") + "\r\n")
           }
         }
       } finally out.close()

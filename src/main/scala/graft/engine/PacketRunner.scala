@@ -101,16 +101,20 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
     // E12 cooperative lock (db_converter.py:615-635)
     if (tracker.isPacketLocked(packet.name))
       return result(packet, ResultLocked, statusOf(packet))
-    tracker.setPacketLock(packet.name)
-
-    // E24 session preparation: per-packet conf overrides (the reference's
-    // prepare_session SET work_mem/... block, dbccore.py:347-377) + a job
-    // description carrying the application_name analogue
-    packet.meta.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
-    spark.sparkContext.setJobDescription(
-      s"dbc_${packet.name}_${conf.target}")
 
     try {
+      // Lock and session prep live inside the try: a throwing conf key (e.g.
+      // a static SQL conf in meta_data.json) must still reach the finally's
+      // unlock, or the packet stays locked with no exception status recorded.
+      tracker.setPacketLock(packet.name)
+
+      // E24 session preparation: per-packet conf overrides (the reference's
+      // prepare_session SET work_mem/... block, dbccore.py:347-377) + a job
+      // description carrying the application_name analogue
+      packet.meta.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sparkContext.setJobDescription(
+        s"dbc_${packet.name}_${conf.target}")
+
       val stepsHashes = mutable.Set.empty[String]
 
       // pass 1: run_once.sql only, BEFORE generators are evaluated

@@ -25,7 +25,9 @@ object PgStringFns {
     val limit = 10L * 1024
     val limit2 = 10L * 1024 * 2 - 1
     var size = bytes
-    def half(x: Long): Long = (x + 1) >> 1
+    // PG's half_rounded rounds toward zero for negatives ((x-1)/2), which
+    // (x+1)>>1 would miss by one unit on negative sizes (wal lag deltas)
+    def half(x: Long): Long = (x + (if (x < 0) -1 else 1)) / 2
     if (math.abs(size) < limit) s"$size bytes"
     else {
       size >>= 9

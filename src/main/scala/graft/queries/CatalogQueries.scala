@@ -27,12 +27,20 @@ object PortableSql {
   /** PostgreSQL pg_size_pretty semantics as portable SQL over a BIGINT
     * expression (same rounding as PgFunctions.sizePretty / q38). */
   def sizePretty(x: String): String = {
-    def half(div: Long, unit: String): String =
-      s"CAST(CAST(floor((CAST(floor(($x) / $div.0) AS BIGINT) + 1) / 2.0) AS BIGINT) AS STRING) || ' $unit'"
-    s"""CASE WHEN ($x) < 10240 THEN CAST(($x) AS STRING) || ' bytes'
-         WHEN CAST(floor(($x) / 512.0) AS BIGINT) < 20479 THEN ${half(512L, "kB")}
-         WHEN CAST(floor(($x) / 524288.0) AS BIGINT) < 20479 THEN ${half(524288L, "MB")}
-         WHEN CAST(floor(($x) / 536870912.0) AS BIGINT) < 20479 THEN ${half(536870912L, "GB")}
+    // >>N on negatives is an arithmetic shift → floor(x / 2^N)
+    def shift(div: Long) = s"CAST(floor(($x) / $div.0) AS BIGINT)"
+    // half_rounded rounds toward zero for BOTH signs ((x-1)/2 in C for x<0);
+    // floor/ceil keep the double integral so the BIGINT cast is portable
+    // (DuckDB rounds on double→int casts, Spark truncates)
+    def half(div: Long, unit: String): String = {
+      val v = shift(div)
+      s"CAST(CAST(CASE WHEN $v < 0 THEN ceil(($v - 1) / 2.0) " +
+        s"ELSE floor(($v + 1) / 2.0) END AS BIGINT) AS STRING) || ' $unit'"
+    }
+    s"""CASE WHEN abs($x) < 10240 THEN CAST(($x) AS STRING) || ' bytes'
+         WHEN abs(${shift(512L)}) < 20479 THEN ${half(512L, "kB")}
+         WHEN abs(${shift(524288L)}) < 20479 THEN ${half(524288L, "MB")}
+         WHEN abs(${shift(536870912L)}) < 20479 THEN ${half(536870912L, "GB")}
          ELSE ${half(549755813888L, "TB")} END"""
   }
 }

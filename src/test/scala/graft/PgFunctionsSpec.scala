@@ -13,6 +13,11 @@ class PgFunctionsSpec extends AnyFunSuite {
     assert(PgStringFns.sizePretty(10485760L) == "10 MB")
     assert(PgStringFns.sizePretty(10737418240L) == "10 GB")
     assert(PgStringFns.sizePretty(10995116277760L) == "10 TB")
+    // negatives: PG's half_rounded rounds toward zero ((x-1)/2), and the
+    // byte threshold is on abs(size)
+    assert(PgStringFns.sizePretty(-10239L) == "-10239 bytes")
+    assert(PgStringFns.sizePretty(-523776L) == "-512 kB") // (-1023-1)/2, not (-1023+1)>>1
+    assert(PgStringFns.sizePretty(-10485760L) == "-10 MB")
   }
 
   test("quote_ident") {
