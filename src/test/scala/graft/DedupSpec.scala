@@ -133,4 +133,16 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(full == exact, "nprobe = nlist IVF must equal brute force")
   }
+
+  test("IVF index is staged once per session key (no per-query retrain)") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "embeddings").filter($"vec_id" =!= 0)
+    val i1 = Similarity.ivfIndex(corpus, "embedding", "staging-test", 8)
+    val i2 = Similarity.ivfIndex(corpus, "embedding", "staging-test", 8)
+    assert(i1 eq i2, "same (session, key, nlist) must reuse the staged index")
+    val q = Tables.load(spark, dir, "embeddings")
+      .filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    // probes against the staged index still return k rows
+    assert(Similarity.ivfProbe(i1, "vec_id", "embedding", q, 10, 8).count() == 10)
+  }
 }
