@@ -706,20 +706,35 @@ object CatalogQueries {
     QuerySpec("c11_dba_idx_diag_fk_no_index",
       (s, _) => PgCatalog.sqlOnViews(s, dbaIdxDiagFkNoIndex),
       oracle = Some(PgCatalog.withCatalog(dbaIdxDiagFkNoIndex))),
-    // c12 oracle note: DuckDB cannot run the catalog-driven dynamic SQL
-    // loop, so it recomputes the fixture's one qualifying finding
-    // (lineitem's int4 PK column) directly — values, not the discovery,
-    // are checked; the discovery generator is int4CapacityGenSql,
-    // exercised on the Spark side
+    // c12 oracle: the DISCOVERY runs relationally in DuckDB too — the same
+    // int4CapacityGenSql text as a CTE over the catalog fixture, joined to
+    // a mechanically-exhaustive probe (max of EVERY column of EVERY corpus
+    // table via UNPIVOT, no finding-specific names), standing in for the
+    // DO-block's dynamic `execute format('select max(%I) ...')`. If the
+    // generator's catalog logic drifts, the joined finding set changes and
+    // the hash mismatches.
     QuerySpec("c12_alert_int4_capacity",
       (s, dir) => alertInt4Capacity(s, dir),
-      oracle = Some("""
-        SELECT 'public.lineitem' AS tbl, 'l_linenumber' AS pk,
-          'int4' AS type_name,
-          CAST(max(l_linenumber) AS BIGINT) AS current_value,
-          round(100 * (CAST(max(l_linenumber) AS DOUBLE) / 2147483648.0), 2)
+      oracle = Some(PgCatalog.withCatalog {
+        val probes = graft.sources.Tables.all.map { t =>
+          s"""SELECT '$t' AS relname, attname, maxv
+              FROM (UNPIVOT (SELECT CAST(max(COLUMNS(*)) AS VARCHAR) FROM $t)
+                    ON COLUMNS(*) INTO NAME attname VALUE maxv)"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+        , gen AS ($int4CapacityGenSql)
+        , probes AS ($probes)
+        SELECT g.nspname || '.' || g.relname AS tbl, g.attname AS pk,
+          g.typname AS type_name,
+          CAST(p.maxv AS BIGINT) AS current_value,
+          round(100 * (CAST(p.maxv AS DOUBLE) /
+            CASE g.typname WHEN 'int4' THEN 2147483648.0 ELSE 32768.0 END), 2)
             AS capacity_pct
-        FROM lineitem""")),
+        FROM gen g
+        JOIN probes p ON p.relname = g.relname AND p.attname = g.attname
+        WHERE p.maxv IS NOT NULL
+        ORDER BY tbl, pk"""
+      })),
     QuerySpec("c13_dba_idx_diag_duplicate_indexes",
       (s, _) => dbaIdxDiagDuplicates(s),
       oracle = Some(PgCatalog.withCatalog("""
