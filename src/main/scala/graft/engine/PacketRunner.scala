@@ -73,6 +73,9 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
   // packet SQL may call the PG scalar surface; registry is session-scoped
   graft.functions.PgFunctions.registerAll(spark)
   private val notices = mutable.Buffer.empty[Notice]
+  // reference errors_count (dbccore.py:1156,1166): skip-step / skip-action
+  // failures don't stop the run but MUST fail it at the end (:585-597)
+  private var errorsCount = 0
   private val resultData = mutable.Map.empty[String, Seq[ResultSet]]
   private val stepOutcomes = mutable.Map.empty[String, StepOutcome]
 
@@ -86,6 +89,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
 
   def runPacket(packet: Packet): RunResult = {
     log(s"packet ${packet.name} started on ${conf.target}")
+    errorsCount = 0
     tracker.initTables()
     val readOnly = packet.meta.packetType == PacketType.ReadOnly
     val tracking = packet.meta.packetType == PacketType.Default
@@ -137,10 +141,12 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
 
       val (res, errDescr) = outcome
       // terminate leaves the packet `started` (reference TERMINATE/STARTED
-      // expectation, test_packets.py:201-241)
+      // expectation, test_packets.py:201-241); skipped steps/actions leave
+      // it `exception` + FAIL even though the run completed (errors_count
+      // rule, dbccore.py:585-597; test_packets.py:292-373)
       val packetStatus =
         if (res == "terminate") "started"
-        else if (errDescr.isDefined) "exception"
+        else if (errDescr.isDefined || errorsCount > 0) "exception"
         else "done"
       if (!readOnly && packet.meta.packetType != PacketType.Maintenance &&
           res != "terminate") {
@@ -149,7 +155,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       }
       val code = res match {
         case "terminate" => ResultTerminate
-        case _ if errDescr.isDefined => ResultFail
+        case _ if errDescr.isDefined || errorsCount > 0 => ResultFail
         case _ => ResultSuccess
       }
       log(s"packet ${packet.name} finished: $code/$packetStatus" +
@@ -302,9 +308,15 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
                   conf.hookSink.foreach(_.raiseHook(packet.meta, step.name,
                     Notice("EXCEPTION", String.valueOf(e.getMessage))))
                   if (conf.terminated()) return ("terminate", None)
-                  if (conf.skipStepCancel) return ("exception", Some("skip_step"))
-                  else if (conf.skipActionCancel) {
+                  if (conf.skipStepCancel) {
+                    errorsCount += 1
+                    return ("exception", Some("skip_step"))
+                  } else if (conf.skipActionCancel) {
+                    // in-run memory only (reference dbccore.py:1158-1166):
+                    // the action is NOT applied to the tracker, so a re-run
+                    // retries it; the rest of the fan-out continues
                     stepsHashes += stepHash
+                    errorsCount += 1
                     notices += Notice("ERROR",
                       s"${step.name}: action $stepHash skipped: ${e.getMessage}")
                   } else return ("exception", Some(trim(e.getMessage)))

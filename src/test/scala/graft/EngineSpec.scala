@@ -192,10 +192,46 @@ class EngineSpec extends AnyFunSuite {
       "SELECT * FROM table_that_does_not_exist;\n")
     val res = new PacketRunner(spark, RunnerConf(stateDir = state,
       skipStepCancel = true)).run(dir)
-    assert(res.resultCode("spark") == "success")
+    // reference semantics: the run completes but errors_count > 0 makes it
+    // EXCEPTION/FAIL (test_packets.py:292-331, dbccore.py:585-597)
+    assert(res.resultCode("spark") == "fail")
+    assert(res.packetStatus("spark") == "exception")
     val outcomes = res.stepResults("spark")
     assert(outcomes("03_step.sql") == StepOutcome.Skipped("skip_step"))
     assert(outcomes("04_step.sql") == StepOutcome.Done(9))
+  }
+
+  test("skip-action-cancel skips the failing action, continues the fan-out, " +
+      "and a re-run retries it") {
+    Tables.registerAll(spark, fixtures)
+    val state = tmpState()
+    val dir = copyPacket("packets/test_common")
+    // one of the ten grid actions fails (GEN_OBJ_FLD_1 = 50), the rest run
+    Files.writeString(java.nio.file.Paths.get(dir, "02_step.sql"),
+      "SELECT assert_true(GEN_OBJ_FLD_1 <> 50) AS ok;\n")
+    val res = new PacketRunner(spark, RunnerConf(stateDir = state,
+      skipActionCancel = true)).run(dir)
+    // reference: EXCEPTION/FAIL at run end (test_packets.py:335-373), but
+    // the fan-out continued past the failure and later steps all ran
+    assert(res.resultCode("spark") == "fail")
+    assert(res.packetStatus("spark") == "exception")
+    val outcomes = res.stepResults("spark")
+    assert(outcomes("02_step.sql") == StepOutcome.Done(9), outcomes.toString)
+    assert(outcomes("03_step.sql") == StepOutcome.Done(3))
+    assert(outcomes("04_step.sql") == StepOutcome.Done(9))
+    assert(res.notices.exists(n =>
+      n.severity == "ERROR" && n.message.contains("skipped")))
+    // the skipped action was never applied to the tracker...
+    val tracker = new ActionTracker(spark, state)
+    val n1 = tracker.actions.count()
+    assert(n1 == 1L + 9 + 3 + 9 + 1, s"applied actions: $n1")
+    // ...so a re-run retries exactly that action (and only it), fails the
+    // same way, and still applies nothing new
+    val res2 = new PacketRunner(spark, RunnerConf(stateDir = state,
+      skipActionCancel = true)).run(dir)
+    assert(res2.resultCode("spark") == "fail")
+    assert(res2.stepResults("spark")("02_step.sql") == StepOutcome.Done(0))
+    assert(new ActionTracker(spark, state).actions.count() == n1)
   }
 
   test("read_only packet rejects writes and tracks nothing") {
