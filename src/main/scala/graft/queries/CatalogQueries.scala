@@ -621,6 +621,81 @@ object CatalogQueries {
       .orderBy(col("tbl"), col("pk"))
   }
 
+  /** alert_check_autovacuum/01_step.sql:3-16 — the DO-block's EXISTS +
+    * raise-exception becomes a one-row resultset carrying the same message
+    * text (the raise→hook twin is exercised in SinksSpec with the packet's
+    * verbosity="raise" meta). Divergences: the `'{autovacuum_enabled=false}'
+    * ::text[] @> reloptions` array-membership test is a LIKE over the
+    * rendered options string on a file target; array_agg order (unspecified
+    * in PG) is made deterministic by sorting; fixture identifiers are plain
+    * so quote_ident (exercised by q39/x07) is identity in the oracle twin. */
+  val alertAutovacuumSparkSql: String = """
+    SELECT 'autovacuum_enabled=false on some tables! {' ||
+      concat_ws(',', sort_array(collect_list(
+        quote_ident(nspname) || '.' || quote_ident(relname)))) || '}' AS alert
+    FROM (SELECT n.nspname, c.relname
+          FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace
+          WHERE c.relkind = 'r'
+            AND c.reloptions LIKE '%autovacuum_enabled=false%')
+    HAVING count(1) > 0"""
+
+  val alertAutovacuumOracleSql: String = """
+    , found AS (
+        SELECT n.nspname, c.relname
+        FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace
+        WHERE c.relkind = 'r'
+          AND c.reloptions LIKE '%autovacuum_enabled=false%')
+    SELECT 'autovacuum_enabled=false on some tables! {' ||
+      array_to_string(list_sort(list(nspname || '.' || relname)), ',') ||
+      '}' AS alert
+    FROM found HAVING count(1) > 0"""
+
+  def alertCheckAutovacuum(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.PgFunctions.registerAll(s)
+    PgCatalog.sqlOnViews(s, alertAutovacuumSparkSql)
+  }
+
+  /** alert_invalid_indexes/01_step.sql:1-9 kept verbatim. Divergences:
+    * indisvalid/indisready are 1/0 ints on the file target (`= false` →
+    * `= 0`); a relname tiebreak is appended to the `relpages DESC` sort so
+    * the LIMIT is deterministic for the hash compare. */
+  val alertInvalidIndexes: String = """
+    SELECT n.nspname, c.relname AS tbl, ci.relname AS idx,
+      indisvalid, indisready
+    FROM pg_index i
+    JOIN pg_class c ON i.indrelid = c.oid AND c.relkind IN ('r', 'm')
+    JOIN pg_class ci ON i.indexrelid = ci.oid AND ci.relkind = 'i'
+    JOIN pg_namespace n ON n.oid = c.relnamespace
+    WHERE indisvalid = 0 OR indisready = 0
+    ORDER BY c.relpages DESC, ci.relname
+    LIMIT 100"""
+
+  /** alert_max_connections/01_step.sql:1-10. Divergences: format('%s…')
+    * becomes || concatenation (pg_format itself is covered by x07);
+    * `::numeric` ratio arithmetic runs as DOUBLE so both dialects render
+    * the percentage identically. */
+  val alertMaxConnections: String = """
+    SELECT 'Low number of free connections: ' || CAST(T.c AS STRING) ||
+      ' (' || CAST(T.v AS STRING) || '%) [max_connections = ' || T.s ||
+      ']' AS alert
+    FROM (
+      SELECT
+        round(CAST((SELECT count(1) FROM pg_stat_activity) * 100.0 AS DOUBLE)
+          / CAST(setting AS INT), 2) AS v,
+        CAST(setting AS INT) - (SELECT count(1) FROM pg_stat_activity) AS c,
+        setting AS s
+      FROM pg_settings
+      WHERE name = 'max_connections'
+    ) T WHERE T.v > 70"""
+
+  /** dba_find_db/01_step.sql:1 kept verbatim (ORDER BY added for the
+    * hash compare; the reference relies on client display order). */
+  val dbaFindDb: String = """
+    SELECT datname FROM pg_database
+    WHERE datname ILIKE '%some_db%'
+    ORDER BY datname"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("c04_dba_idx_diag_array_join",
       (s, _) => dbaIdxDiagArrayJoin(s),
@@ -754,6 +829,18 @@ object CatalogQueries {
           AND n.nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
         GROUP BY keyed.indrelid, keyed.key1, keyed.key2
         HAVING count(DISTINCT keyed.indexrelid) > 1
-        ORDER BY nspname, tbl_name, idxs""")))
+        ORDER BY nspname, tbl_name, idxs"""))),
+    QuerySpec("c15_alert_check_autovacuum",
+      (s, _) => alertCheckAutovacuum(s),
+      oracle = Some(PgCatalog.withCatalog(alertAutovacuumOracleSql))),
+    QuerySpec("c16_alert_invalid_indexes",
+      (s, _) => PgCatalog.sqlOnViews(s, alertInvalidIndexes),
+      oracle = Some(PgCatalog.withCatalog(alertInvalidIndexes))),
+    QuerySpec("c17_alert_max_connections",
+      (s, _) => PgCatalog.sqlOnViews(s, alertMaxConnections),
+      oracle = Some(PgCatalog.withCatalog(alertMaxConnections))),
+    QuerySpec("c18_dba_find_db",
+      (s, _) => PgCatalog.sqlOnViews(s, dbaFindDb),
+      oracle = Some(PgCatalog.withCatalog(dbaFindDb)))
   )
 }

@@ -50,8 +50,8 @@ object PgCatalog {
       (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL, 0),
       (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL, 0),
       (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL, 0),
-      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   NULL, 0),
-      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   NULL, 0),
+      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   'autovacuum_enabled=false', 0),
+      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   'autovacuum_enabled=false,toast.autovacuum_enabled=false', 0),
       (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL, 0),
       (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL, 0),
       (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL, 0),
@@ -68,23 +68,25 @@ object PgCatalog {
       (17011, 'orders_custkey_idx2',   2200,  'i', CAST(150000 AS BIGINT), 150,  403, NULL, 0)
       ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid)"""
 
-  /** (indexrelid, indrelid, indisunique, indisprimary, inddef) — inddef is
-    * the pre-rendered pg_get_indexdef text (decompilers become catalog
-    * columns on a file target, SURVEY.md §2.2). */
+  /** (indexrelid, indrelid, indisunique, indisprimary, indisvalid,
+    * indisready, inddef) — inddef is the pre-rendered pg_get_indexdef text
+    * (decompilers become catalog columns on a file target, SURVEY.md §2.2);
+    * indisvalid/indisready are 1/0 ints (alert_invalid_indexes targets:
+    * a failed CREATE INDEX CONCURRENTLY leaves 0s). */
   val pgIndex: String =
     """SELECT * FROM (VALUES
-      (17001, 16384, 1, 1, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)'),
-      (17002, 16384, 0, 0, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)'),
-      (17003, 16385, 1, 1, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)'),
-      (17004, 16385, 0, 0, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)'),
-      (17005, 16386, 1, 1, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)'),
-      (17006, 16387, 1, 1, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)'),
-      (17007, 16391, 0, 0, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)'),
-      (17008, 16392, 0, 0, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)'),
-      (17009, 16393, 1, 1, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)'),
-      (17010, 16388, 1, 1, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)'),
-      (17011, 16385, 0, 0, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)')
-      ) AS t(indexrelid, indrelid, indisunique, indisprimary, inddef)"""
+      (17001, 16384, 1, 1, 1, 1, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)'),
+      (17002, 16384, 0, 0, 0, 1, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)'),
+      (17003, 16385, 1, 1, 1, 1, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)'),
+      (17004, 16385, 0, 0, 1, 1, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)'),
+      (17005, 16386, 1, 1, 1, 1, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)'),
+      (17006, 16387, 1, 1, 1, 1, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)'),
+      (17007, 16391, 0, 0, 1, 1, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)'),
+      (17008, 16392, 0, 0, 1, 1, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)'),
+      (17009, 16393, 1, 1, 1, 1, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)'),
+      (17010, 16388, 1, 1, 1, 1, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)'),
+      (17011, 16385, 0, 0, 1, 0, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)')
+      ) AS t(indexrelid, indrelid, indisunique, indisprimary, indisvalid, indisready, inddef)"""
 
   /** (indexrelid, attnum, keypos) — one row per index key column: the
     * portable form of `regexp_split_to_table(indkey::text, ' ')`
@@ -247,8 +249,20 @@ object PgCatalog {
       ('shared_buffers', '1048576', '8kB'),
       ('autovacuum', 'on', NULL),
       ('server_version', '14.11', NULL),
-      ('statement_timeout', '3600000', 'ms')
+      ('statement_timeout', '3600000', 'ms'),
+      ('max_connections', '6', NULL)
       ) AS t(name, setting, unit)"""
+
+  /** (oid, datname) — database list (dba_find_db/01_step.sql:1). */
+  val pgDatabase: String =
+    """SELECT * FROM (VALUES
+      (13443, 'postgres'),
+      (13444, 'template1'),
+      (16400, 'graft'),
+      (16401, 'app_some_db_prod'),
+      (16402, 'some_db_stage'),
+      (16403, 'analytics')
+      ) AS t(oid, datname)"""
 
   /** (pid, client_addr, sent_lsn, replay_lsn, sent_pos, replay_pos) —
     * LSNs both as the wire 'X/Y' hex strings (parsed by
@@ -288,7 +302,8 @@ object PgCatalog {
     "pg_stat_activity" -> pgStatActivity,
     "pg_settings" -> pgSettings,
     "pg_stat_replication" -> pgStatReplication,
-    "pg_class_acl" -> pgClassAcl)
+    "pg_class_acl" -> pgClassAcl,
+    "pg_database" -> pgDatabase)
 
   /** Register every catalog table as a Spark temp view. */
   def registerAll(spark: SparkSession): Unit =

@@ -182,6 +182,34 @@ class SinksSpec extends AnyFunSuite {
       res.notices.mkString("; "))
   }
 
+  test("autovacuum DO-block raise reaches the hook under raise verbosity") {
+    // alert_check_autovacuum's meta wires hook verbosity "raise": the
+    // DO-block's `raise exception 'autovacuum_enabled=false…'` must land on
+    // the hook channel (reference meta_data.json + 01_step.sql:8-14)
+    Tables.registerAll(spark, fixtures)
+    val posts = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    ScalaSteps.register("alert_check_autovacuum", "01_step.py") { ctx =>
+      graft.queries.CatalogQueries.alertCheckAutovacuum(ctx.spark)
+        .collect().foreach { r =>
+          throw new IllegalStateException(r.getString(0)) // the raise
+        }
+    }
+    val dir = mkPacket("alert_check_autovacuum", Map(
+      "01_step.py" -> "# body is the registered Scala callback",
+      "meta_data.json" ->
+        """{"type": "read_only",
+            "hook": {"channel": "dbc-alert", "verbosity": ["raise"]}}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      hookSink = Some(HookSink.buffering(posts)))).run(dir)
+    assert(res.resultCode("spark") == "fail")
+    assert(posts.size == 1)
+    assert(posts.head._1 == "dbc-alert")
+    assert(posts.head._3.contains("autovacuum_enabled=false on some tables!"),
+      posts.head._3)
+    assert(posts.head._3.contains("analytics.documents,analytics.events"))
+  }
+
   test("python step without a registered callback fails the step") {
     Tables.registerAll(spark, fixtures)
     val dir = mkPacket("test_py_missing", Map(
