@@ -52,6 +52,12 @@ object PgStringFns {
   def quoteIdent(s: String): String =
     if (plainIdent.findFirstIn(s).isDefined) s
     else "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** PostgreSQL quote_literal: single-quote wrap, embedded quotes doubled
+    * (backslashes too, via the E'' form PG picks — the corpus never feeds
+    * backslashes, so the plain form is kept). */
+  def quoteLiteral(s: String): String =
+    "'" + s.replace("'", "''") + "'"
 }
 
 /** pg_size_pretty(bigint) as a native expression with codegen.
@@ -111,12 +117,34 @@ case class QuoteIdent(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** quote_literal(string) as a native expression with codegen: wraps in
+  * single quotes, doubling embedded quotes — the %L side of the format()
+  * family (dba_idx_diag/06_step.sql builds DROP/ANALYZE commands with it).
+  */
+case class QuoteLiteral(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "quote_literal"
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(PgStringFns.quoteLiteral(v.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.PgStringFns.quoteLiteral($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): QuoteLiteral =
+    copy(child = newChild)
+}
+
 object PgFunctions {
   /** Column-level API. */
   def pg_size_pretty(c: Column): Column =
     ColumnBridge.column(PgSizePretty(expression(c.cast("long"))))
   def quote_ident(c: Column): Column =
     ColumnBridge.column(QuoteIdent(expression(c.cast("string"))))
+  def quote_literal(c: Column): Column =
+    ColumnBridge.column(QuoteLiteral(expression(c.cast("string"))))
 
   /** xid age as plain arithmetic vs a "current xid" scalar — the reference's
     * age(xid) (packets/alert_xact_age/01_step.sql:4-5) is integer distance. */
@@ -212,5 +240,12 @@ object PgFunctions {
     reg.createOrReplaceTempFunction(
       "pg_sleep", es => PgSleep(org.apache.spark.sql.catalyst.expressions.Cast(
         es.head, org.apache.spark.sql.types.DoubleType)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quote_literal", es => QuoteLiteral(es.head), "built-in")
+    // pg_get_expr(adbin, adrelid): on a file target adbin already holds the
+    // rendered expression, so this is a passthrough of the first argument —
+    // the same compat shim DuckDB ships, which keeps the SQL text portable
+    reg.createOrReplaceTempFunction(
+      "pg_get_expr", es => es.head, "built-in")
   }
 }

@@ -621,6 +621,164 @@ object CatalogQueries {
       .orderBy(col("tbl"), col("pk"))
   }
 
+  /** dba_clone_schema/01_step.sql:17-431 — the reference's largest packet:
+    * clone_schema(template, new, dry_run) walks twelve catalog families and
+    * renders the DDL/DCL script that recreates the template namespace. The
+    * PL/pgSQL FOR-loops + array_append + clone_schema_exec notice/execute
+    * machinery becomes ONE relational union — each family is a SELECT
+    * rendering its statements, tagged (fam_ord, fam) so the script order is
+    * data; dry_run ≡ the resultset itself (execution would feed each cdm to
+    * the engine's executeQ exactly like e01's generator fan-out).
+    *
+    * Decompilers become data on a file target (same pattern as x05's
+    * inddef/condef): pg_get_viewdef → pg_views.viewdef, pg_get_functiondef/
+    * function_arguments → pg_proc.prodef/proargs, pg_get_triggerdef →
+    * pg_trigger.tgdef, pg_get_serial_sequence → pg_attrdef.serial_seq;
+    * pg_get_expr(adbin, adrelid) stays a CALL — Spark registers the same
+    * first-argument passthrough DuckDB ships, since adbin holds rendered
+    * text (PgFunctions.registerAll).
+    *
+    * Documented divergences:
+    *  - format('%I') quoting is identity for the fixture's plain
+    *    identifiers (quote_ident itself is covered by q39/x07); the PG
+    *    quirk quote_ident('PUBLIC') → "PUBLIC" is kept for the
+    *    empty-grantee acl entry.
+    *  - aclexplode + GROUP BY string_agg(privilege_type) collapses each acl
+    *    ENTRY's privilege chars in canonical acl order — equivalently a
+    *    scalar char→name replace chain over the entry's privs string (an
+    *    acl array holds at most one entry per grantee), which keeps the
+    *    text portable with NO aggregate; pg_roles oid→rolname joins are
+    *    identity because the rendered acl strings already carry names.
+    *  - the catalog-order loops get deterministic ORDER BY for the hash
+    *    compare; the unsupported-relpersistence raise (":99") cannot fire
+    *    on the fixture and is elided.
+    */
+  def cloneSchemaSql(tmpl: String = "analytics",
+      newNsp: String = "analytics_clone"): String = {
+    // privilege-char → name chains; uppercase keys FIRST ('U' appears
+    // inside UPDATE/TRUNCATE and 'D' inside UPDATE/DELETE, so replacing
+    // them after those names are introduced would corrupt the text —
+    // replacement names themselves contain no lowercase key)
+    def privChain(src: String, pairs: Seq[(String, String)]): String = {
+      val replaced = pairs.foldLeft(src) { case (acc, (ch, name)) =>
+        s"replace($acc, '$ch', '$name, ')"
+      }
+      s"substring($replaced, 1, length($replaced) - 2)"
+    }
+    val relPrivs = privChain("privs", Seq(
+      "U" -> "USAGE", "D" -> "TRUNCATE", "a" -> "INSERT", "r" -> "SELECT",
+      "w" -> "UPDATE", "d" -> "DELETE", "x" -> "REFERENCES",
+      "t" -> "TRIGGER"))
+    val nspPrivs = privChain("privs", Seq("U" -> "USAGE", "C" -> "CREATE"))
+    val funcPrivs = privChain("privs", Seq("X" -> "EXECUTE"))
+    // aclexplode's item fan-out, portably: split on ',' against a bounded
+    // numbers table (acl arrays in the corpus hold ≤ 8 entries)
+    def aclItems(srcSql: String, aclCol: String, keyCols: String): String = s"""
+      SELECT $keyCols,
+        split_part(item, '=', 1) AS grantee_raw,
+        split_part(split_part(item, '=', 2), '/', 1) AS privs
+      FROM (
+        SELECT $keyCols,
+          split_part(replace(replace($aclCol, '{', ''), '}', ''), ',', n.i) AS item
+        FROM $srcSql, (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) AS n(i)
+        WHERE split_part(replace(replace($aclCol, '{', ''), '}', ''), ',', n.i) <> ''
+      ) raw"""
+    // quote_ident('PUBLIC') renders quoted (PG quirk, kept); plain
+    // lower-case grantees are identity-quoted
+    val grantee = """CASE WHEN grantee_raw = '' THEN '"PUBLIC"' ELSE grantee_raw END"""
+    s"""
+    , tpl_rels AS (
+        SELECT c.oid, c.relname, c.relkind, c.relpersistence
+        FROM pg_class c JOIN pg_namespace n ON c.relnamespace = n.oid
+        WHERE n.nspname = '$tmpl')
+    , tpl_defaults AS (
+        SELECT c.relname, a.attname,
+          pg_get_expr(ad.adbin, ad.adrelid) AS adsrc, ad.serial_seq
+        FROM tpl_rels c
+        JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
+        JOIN pg_attrdef ad ON ad.adrelid = c.oid AND ad.adnum = a.attnum
+        WHERE c.relkind = 'r')
+    , nsp_acl AS (${aclItems(
+        s"(SELECT nspacl FROM pg_namespace WHERE nspname = '$tmpl') nsp",
+        "nspacl", "nspacl")})
+    , rel_acl AS (${aclItems(
+        s"""(SELECT c.relname, c.relkind, acl.relacl
+             FROM tpl_rels c JOIN pg_class_acl acl ON acl.oid = c.oid
+             WHERE c.relkind IN ('r', 'm', 'v', 'S', 'f')) rels""",
+        "relacl", "relname, relkind")})
+    , proc_acl AS (${aclItems(
+        s"""(SELECT p.proname, p.proargs, p.proacl
+             FROM pg_proc p JOIN pg_namespace n ON n.oid = p.pronamespace
+             WHERE n.nspname = '$tmpl' AND p.proacl IS NOT NULL) procs""",
+        "proacl", "proname, proargs")})
+    SELECT * FROM (
+      SELECT 1 AS fam_ord, 'ddl_nsp' AS fam,
+        'CREATE SCHEMA $newNsp' AS cdm
+      UNION ALL SELECT 1, 'ddl_nsp',
+        'SET search_path = ''$newNsp'', ''operating'', ''public'''
+      UNION ALL
+      SELECT 2, 'ddl_tbls',
+        'CREATE ' ||
+        CASE WHEN relpersistence = 'u' THEN 'UNLOGGED TABLE' ELSE 'TABLE' END ||
+        ' $newNsp.' || relname || ' (LIKE $tmpl.' || relname || ' INCLUDING ALL)'
+      FROM tpl_rels WHERE relkind IN ('r', 'f')
+      UNION ALL
+      SELECT 3, 'ddl_sequences', 'CREATE SEQUENCE $newNsp.' || relname
+      FROM tpl_rels WHERE relkind = 'S'
+      UNION ALL
+      SELECT 4, 'ddl_own_sequences',
+        'ALTER SEQUENCE ' || replace(serial_seq, '$tmpl.', '$newNsp.') ||
+        ' OWNED BY $newNsp.' || relname || '.' || attname
+      FROM tpl_defaults WHERE serial_seq IS NOT NULL
+      UNION ALL
+      SELECT 5, 'ddl_defaults',
+        'ALTER TABLE $newNsp.' || relname || ' ALTER COLUMN ' || attname ||
+        ' SET DEFAULT ' || replace(adsrc, '$tmpl.', '$newNsp.')
+      FROM tpl_defaults
+      UNION ALL
+      SELECT 6, 'ddl_fks',
+        'ALTER TABLE $newNsp.' || c.relname || ' ADD CONSTRAINT ' ||
+        cn.conname || ' ' ||
+        replace(cn.condef, 'REFERENCES $tmpl.', 'REFERENCES $newNsp.')
+      FROM pg_constraint cn
+      JOIN pg_namespace n ON cn.connamespace = n.oid
+      JOIN pg_class c ON c.oid = cn.conrelid
+      WHERE n.nspname = '$tmpl' AND cn.contype NOT IN ('p', 'u')
+      UNION ALL
+      SELECT 7, 'ddl_views',
+        'CREATE ' ||
+        CASE WHEN relkind = 'm' THEN 'MATERIALIZED VIEW' ELSE 'VIEW' END ||
+        ' $newNsp.' || relname || ' as ' ||
+        replace(v.viewdef, '$tmpl.', '$newNsp.')
+      FROM tpl_rels r JOIN pg_views v ON v.oid = r.oid
+      WHERE relkind IN ('v', 'm')
+      UNION ALL
+      SELECT 8, 'ddl_funcs', replace(p.prodef, '$tmpl.', '$newNsp.')
+      FROM pg_proc p JOIN pg_namespace n ON n.oid = p.pronamespace
+      WHERE n.nspname = '$tmpl'
+      UNION ALL
+      SELECT 9, 'ddl_tgs', replace(t.tgdef, '$tmpl.', '$newNsp.')
+      FROM pg_trigger t JOIN tpl_rels c ON c.oid = t.tgrelid
+      WHERE t.tgisinternal = 0
+      UNION ALL
+      SELECT 10, 'dcl_nsp',
+        'GRANT ' || $nspPrivs || ' ON SCHEMA $newNsp TO ' || $grantee
+      FROM nsp_acl
+      UNION ALL
+      SELECT 11, 'dcl_tbls',
+        'GRANT ' || $relPrivs || ' ON ' ||
+        CASE WHEN relkind = 'S' THEN 'SEQUENCE' ELSE 'TABLE' END ||
+        ' $newNsp.' || relname || ' TO ' || $grantee
+      FROM rel_acl
+      UNION ALL
+      SELECT 12, 'dcl_funcs',
+        'GRANT ' || $funcPrivs || ' ON FUNCTION $newNsp.' || proname ||
+        '(' || proargs || ') TO ' || $grantee
+      FROM proc_acl
+    ) script
+    ORDER BY fam_ord, cdm"""
+  }
+
   /** alert_check_autovacuum/01_step.sql:3-16 — the DO-block's EXISTS +
     * raise-exception becomes a one-row resultset carrying the same message
     * text (the raise→hook twin is exercised in SinksSpec with the packet's
@@ -830,6 +988,12 @@ object CatalogQueries {
         GROUP BY keyed.indrelid, keyed.key1, keyed.key2
         HAVING count(DISTINCT keyed.indexrelid) > 1
         ORDER BY nspname, tbl_name, idxs"""))),
+    QuerySpec("c14_dba_clone_schema",
+      (s, _) => {
+        graft.functions.PgFunctions.registerAll(s) // pg_get_expr passthrough
+        PgCatalog.sqlOnViews(s, cloneSchemaSql())
+      },
+      oracle = Some(PgCatalog.withCatalog(cloneSchemaSql()))),
     QuerySpec("c15_alert_check_autovacuum",
       (s, _) => alertCheckAutovacuum(s),
       oracle = Some(PgCatalog.withCatalog(alertAutovacuumOracleSql))),

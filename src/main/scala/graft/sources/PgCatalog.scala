@@ -27,46 +27,57 @@ import org.apache.spark.sql.SparkSession
 object PgCatalog {
 
   /** (oid, nspname) */
+  /** (oid, nspname, nspacl) — nspacl is the rendered acl array string
+    * (aclexplode input for dba_clone_schema's dcl_nsp, 01_step.sql:292-313;
+    * the empty-grantee entry `=U/postgres` is PUBLIC). */
   val pgNamespace: String =
     """SELECT * FROM (VALUES
-      (11, 'pg_catalog'), (2200, 'public'), (13000, 'information_schema'),
-      (16500, 'analytics'), (99, 'pg_toast')) AS t(oid, nspname)"""
+      (11, 'pg_catalog', CAST(NULL AS STRING)), (2200, 'public', NULL),
+      (13000, 'information_schema', NULL),
+      (16500, 'analytics', '{postgres=UC/postgres,app_rw=U/postgres,=U/postgres}'),
+      (99, 'pg_toast', NULL)) AS t(oid, nspname, nspacl)"""
 
   /** (oid, amname) */
   val pgAm: String =
     """SELECT * FROM (VALUES (403, 'btree'), (405, 'hash')) AS t(oid, amname)"""
 
   /** (oid, relname, relnamespace, relkind, reltuples, relpages, relam,
-    * reloptions, reltoastrelid) — relkind: r=table, i=index, t=toast.
+    * reloptions, reltoastrelid, relpersistence) — relkind: r=table,
+    * i=index, t=toast, S=sequence, v=view, m=materialized view.
     * reloptions is the rendered storage-options string (fillfactor
     * extraction target); reltoastrelid links a heap to its toast table
-    * (alert_bloat table-bloat estimator, c10). */
+    * (alert_bloat table-bloat estimator, c10); relpersistence p/u drives
+    * dba_clone_schema's TABLE vs UNLOGGED TABLE branch (01_step.sql:93-99).
+    */
   val pgClass: String =
     """SELECT * FROM (VALUES
-      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING), 16394),
-      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL, 0),
-      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL, 0),
-      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL, 0),
-      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL, 0),
-      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL, 0),
-      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL, 0),
-      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   'autovacuum_enabled=false', 0),
-      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   'autovacuum_enabled=false,toast.autovacuum_enabled=false', 0),
-      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL, 0),
-      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL, 0),
-      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL, 0),
-      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90', 0),
-      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL, 0),
-      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL, 0),
-      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70', 0),
-      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL, 0),
-      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL, 0),
-      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70', 0),
-      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL, 0),
-      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL, 0),
-      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0),
-      (17011, 'orders_custkey_idx2',   2200,  'i', CAST(150000 AS BIGINT), 150,  403, NULL, 0)
-      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid)"""
+      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING), 16394, 'p'),
+      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL, 0, 'p'),
+      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL, 0, 'p'),
+      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL, 0, 'p'),
+      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL, 0, 'p'),
+      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL, 0, 'p'),
+      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL, 0, 'p'),
+      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   'autovacuum_enabled=false', 0, 'u'),
+      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   'autovacuum_enabled=false,toast.autovacuum_enabled=false', 0, 'p'),
+      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL, 0, 'p'),
+      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL, 0, 'p'),
+      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL, 0, 'p'),
+      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90', 0, 'p'),
+      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL, 0, 'p'),
+      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL, 0, 'p'),
+      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70', 0, 'p'),
+      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL, 0, 'p'),
+      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL, 0, 'p'),
+      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70', 0, 'p'),
+      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL, 0, 'p'),
+      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL, 0, 'p'),
+      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0, 'p'),
+      (17011, 'orders_custkey_idx2',   2200,  'i', CAST(150000 AS BIGINT), 150,  403, NULL, 0, 'p'),
+      (17101, 'events_id_seq',   16500, 'S', CAST(1 AS BIGINT),   1,  0, NULL, 0, 'p'),
+      (17102, 'v_recent_events', 16500, 'v', CAST(0 AS BIGINT),   0,  0, NULL, 0, 'p'),
+      (17103, 'mv_doc_stats',    16500, 'm', CAST(300 AS BIGINT), 20, 0, NULL, 0, 'p')
+      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid, relpersistence)"""
 
   /** (indexrelid, indrelid, indisunique, indisprimary, indisvalid,
     * indisready, inddef) — inddef is the pre-rendered pg_get_indexdef text
@@ -130,9 +141,12 @@ object PgCatalog {
       (16386, 1, 'c_custkey', 20),
       (16387, 1, 'p_partkey', 20),
       (16388, 1, 's_suppkey', 20),
+      (16391, 1, 'event_id', 20),
       (16391, 2, 'ts', 1114),
       (16391, 3, 'user_id', 20),
       (16392, 3, 'fp', 1043),
+      (16392, 9, 'event_ref', 20),
+      (16392, 10, 'created_at', 1114),
       (16393, 1, 'vec_id', 20)
       ) AS t(attrelid, attnum, attname, atttypid)"""
 
@@ -199,7 +213,8 @@ object PgCatalog {
       (18006, 'supplier_pkey',   'p', 2200,  17010, 16388, 0, 'a', 'a', 'PRIMARY KEY (s_suppkey)'),
       (18007, 'orders_custkey_fkey',   'f', 2200,  0, 16385, 16386, 'a', 'c', 'FOREIGN KEY (o_custkey) REFERENCES customer(c_custkey) ON DELETE CASCADE'),
       (18008, 'events_user_fkey',      'f', 16500, 0, 16391, 16386, 'a', 'c', 'FOREIGN KEY (user_id) REFERENCES customer(c_custkey) ON DELETE CASCADE'),
-      (18009, 'lineitem_orderkey_fkey','f', 2200,  0, 16384, 16385, 'a', 'a', 'FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)')
+      (18009, 'lineitem_orderkey_fkey','f', 2200,  0, 16384, 16385, 'a', 'a', 'FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)'),
+      (18010, 'documents_event_fkey',  'f', 16500, 0, 16392, 16391, 'a', 'c', 'FOREIGN KEY (event_ref) REFERENCES analytics.events(event_id) ON DELETE CASCADE')
       ) AS t(oid, conname, contype, connamespace, conindid, conrelid, confrelid, confupdtype, confdeltype, condef)"""
 
   /** (conoid, src_attnum, tgt_attnum) — one row per FK key column: the
@@ -209,7 +224,8 @@ object PgCatalog {
     """SELECT * FROM (VALUES
       (18007, 2, 1),
       (18008, 3, 1),
-      (18009, 1, 1)
+      (18009, 1, 1),
+      (18010, 9, 1)
       ) AS t(conoid, src_attnum, tgt_attnum)"""
 
   /** Lock-wait scenario (dba_locks/01_step.sql:8-22): pid 202 waits on the
@@ -253,6 +269,48 @@ object PgCatalog {
       ('max_connections', '6', NULL)
       ) AS t(name, setting, unit)"""
 
+  /** (adrelid, adnum, adbin, serial_seq) — column defaults
+    * (dba_clone_schema/01_step.sql:131-190). adbin holds the RENDERED
+    * default expression: pg_get_expr(adbin, adrelid) is then a passthrough
+    * of its first argument — exactly DuckDB's own pg_get_expr compat shim
+    * and the Spark native twin (PgFunctions.PgGetExpr). serial_seq is the
+    * pre-rendered pg_get_serial_sequence result (NULL for non-serial
+    * defaults); atthasdef/attisdropped need no fixture columns — in PG too,
+    * atthasdef is exactly "a pg_attrdef row exists". */
+  val pgAttrdef: String =
+    """SELECT * FROM (VALUES
+      (16391, 1, 'nextval(''analytics.events_id_seq''::regclass)', 'analytics.events_id_seq'),
+      (16392, 10, 'now()', CAST(NULL AS STRING))
+      ) AS t(adrelid, adnum, adbin, serial_seq)"""
+
+  /** (oid, proname, pronamespace, prodef, proargs, proacl) — prodef is the
+    * pre-rendered pg_get_functiondef body, proargs the pre-rendered
+    * pg_get_function_arguments list (dba_clone_schema/01_step.sql:244-258,
+    * 357-390); proacl the rendered acl array (X = EXECUTE). */
+  val pgProc: String =
+    """SELECT * FROM (VALUES
+      (19001, 'fn_doc_quality', 16500, 'CREATE OR REPLACE FUNCTION analytics.fn_doc_quality(doc_id bigint) RETURNS double precision LANGUAGE sql AS $function$ SELECT 1.0 FROM analytics.documents d WHERE d.doc_id = doc_id $function$', 'doc_id bigint', '{postgres=X/postgres,report_ro=X/postgres}'),
+      (19002, 'fn_event_count', 16500, 'CREATE OR REPLACE FUNCTION analytics.fn_event_count() RETURNS bigint LANGUAGE sql AS $function$ SELECT count(*) FROM analytics.events $function$', '', CAST(NULL AS STRING))
+      ) AS t(oid, proname, pronamespace, prodef, proargs, proacl)"""
+
+  /** (oid, tgname, tgrelid, tgisinternal, tgdef) — tgdef is the
+    * pre-rendered pg_get_triggerdef text (dba_clone_schema/01_step.sql:
+    * 262-276); internal (FK) triggers carry tgisinternal = 1 and are
+    * excluded by the clone. */
+  val pgTrigger: String =
+    """SELECT * FROM (VALUES
+      (19101, 'trg_events_audit', 16391, 0, 'CREATE TRIGGER trg_events_audit AFTER INSERT ON analytics.events FOR EACH ROW EXECUTE FUNCTION analytics.fn_doc_quality()'),
+      (19102, 'RI_ConstraintTrigger_c_19102', 16392, 1, 'internal FK trigger')
+      ) AS t(oid, tgname, tgrelid, tgisinternal, tgdef)"""
+
+  /** (oid, viewdef) — pre-rendered pg_get_viewdef(oid, true) per view /
+    * materialized view (dba_clone_schema/01_step.sql:215-240). */
+  val pgViews: String =
+    """SELECT * FROM (VALUES
+      (17102, 'SELECT event_id, ts, user_id FROM analytics.events WHERE event_id > 0'),
+      (17103, 'SELECT user_id, count(1) AS n_docs FROM analytics.documents GROUP BY user_id')
+      ) AS t(oid, viewdef)"""
+
   /** (oid, datname) — database list (dba_find_db/01_step.sql:1). */
   val pgDatabase: String =
     """SELECT * FROM (VALUES
@@ -282,7 +340,8 @@ object PgCatalog {
       (16384, '{postgres=arwdDxt/postgres,app_rw=arwd/postgres,report_ro=r/postgres}'),
       (16385, '{postgres=arwdDxt/postgres,app_rw=arwd/postgres}'),
       (16391, '{postgres=arwdDxt/postgres,etl=arw/postgres,report_ro=r/postgres}'),
-      (16392, '{postgres=arwdDxt/postgres}')
+      (16392, '{postgres=arwdDxt/postgres}'),
+      (17101, '{postgres=rwU/postgres,app_rw=rw/postgres}')
       ) AS t(oid, relacl)"""
 
   /** name → portable VALUES SQL, in dependency-free registration order. */
@@ -303,7 +362,11 @@ object PgCatalog {
     "pg_settings" -> pgSettings,
     "pg_stat_replication" -> pgStatReplication,
     "pg_class_acl" -> pgClassAcl,
-    "pg_database" -> pgDatabase)
+    "pg_database" -> pgDatabase,
+    "pg_attrdef" -> pgAttrdef,
+    "pg_proc" -> pgProc,
+    "pg_trigger" -> pgTrigger,
+    "pg_views" -> pgViews)
 
   /** Register every catalog table as a Spark temp view. */
   def registerAll(spark: SparkSession): Unit =

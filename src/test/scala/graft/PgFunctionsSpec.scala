@@ -53,6 +53,20 @@ class PgFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("quote_literal and pg_get_expr are SQL-callable after registerAll") {
+    assert(PgStringFns.quoteLiteral("abc") == "'abc'")
+    assert(PgStringFns.quoteLiteral("it's") == "'it''s'")
+    val spark = TestSpark.session
+    graft.functions.PgFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT quote_literal('O''Brien') AS ql, " +
+        "pg_get_expr('now()', 16392) AS ge").head()
+    assert(r.getString(0) == "'O''Brien'")
+    // pg_get_expr is a first-arg passthrough: adbin already holds rendered
+    // text on a file target (same shim DuckDB ships)
+    assert(r.getString(1) == "now()")
+  }
+
   test("pg_sleep sleeps and is SQL-callable after registerAll") {
     val spark = TestSpark.session
     graft.functions.PgFunctions.registerAll(spark)

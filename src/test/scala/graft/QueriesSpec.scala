@@ -23,6 +23,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("c14 clone script renders exact statements (shared-text twin-bug guard)") {
+    // the DuckDB oracle runs the SAME SQL text, so a rendering bug would
+    // hash-match on both sides — pin exact statements here instead
+    val cdms = SparkEntry.queries("c14_dba_clone_schema")(spark, dir)
+      .collect().map(_.getString(2)).toSet
+    assert(cdms.contains("CREATE SCHEMA analytics_clone"))
+    assert(cdms.contains(
+      "CREATE UNLOGGED TABLE analytics_clone.events (LIKE analytics.events INCLUDING ALL)"))
+    assert(cdms.contains(
+      "ALTER SEQUENCE analytics_clone.events_id_seq OWNED BY analytics_clone.events.event_id"))
+    assert(cdms.contains(
+      "ALTER TABLE analytics_clone.events ALTER COLUMN event_id SET DEFAULT " +
+        "nextval('analytics_clone.events_id_seq'::regclass)"))
+    assert(cdms.contains(
+      "ALTER TABLE analytics_clone.documents ADD CONSTRAINT documents_event_fkey " +
+        "FOREIGN KEY (event_ref) REFERENCES analytics_clone.events(event_id) ON DELETE CASCADE"))
+    // cross-schema FK stays untouched (REFERENCES rewrite is template-scoped)
+    assert(cdms.contains(
+      "ALTER TABLE analytics_clone.events ADD CONSTRAINT events_user_fkey " +
+        "FOREIGN KEY (user_id) REFERENCES customer(c_custkey) ON DELETE CASCADE"))
+    // privilege char → name chains, canonical acl order, PUBLIC quirk
+    assert(cdms.contains(
+      "GRANT INSERT, SELECT, UPDATE, DELETE, TRUNCATE, REFERENCES, TRIGGER " +
+        "ON TABLE analytics_clone.events TO postgres"))
+    assert(cdms.contains(
+      "GRANT SELECT, UPDATE, USAGE ON SEQUENCE analytics_clone.events_id_seq TO postgres"))
+    assert(cdms.contains("GRANT USAGE, CREATE ON SCHEMA analytics_clone TO postgres"))
+    assert(cdms.contains("GRANT USAGE ON SCHEMA analytics_clone TO \"PUBLIC\""))
+    assert(cdms.contains(
+      "GRANT EXECUTE ON FUNCTION analytics_clone.fn_doc_quality(doc_id bigint) TO report_ro"))
+  }
+
   test("oracleSql keys are a subset of queries") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
