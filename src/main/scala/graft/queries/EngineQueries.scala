@@ -84,6 +84,42 @@ object EngineQueries {
     }, oracle = Some("""
       SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
              CAST(n_regionkey AS BIGINT) AS n_regionkey
-      FROM nation WHERE NOT (n_regionkey = 2) ORDER BY n_nationkey"""))
+      FROM nation WHERE NOT (n_regionkey = 2) ORDER BY n_nationkey""")),
+
+    // MERGE-style keyed upsert: copy-on-write anti-join + union, published
+    // by dynamic partition overwrite scoped to delta-touched partitions
+    // (packets/test_merge; untouched-partition-files-unchanged is pinned in
+    // EngineSpec). Final table vs a direct relational MERGE recomputation.
+    QuerySpec("w03_merge_upsert", (s, dir) => {
+      Tables.registerAll(s, dir)
+      val conf = RunnerConf(
+        stateDir = Files.createTempDirectory("graft-w03-state").toString,
+        placeholders = Map(
+          "mrg_src" -> Files.createTempDirectory("graft-w03-src").toString,
+          "mrg_delta" -> Files.createTempDirectory("graft-w03-delta").toString,
+          "mrg_stage" -> Files.createTempDirectory("graft-w03-stage").toString))
+      val res = new PacketRunner(s, conf).run(s"$packetsDir/test_merge")
+      require(res.resultCode("spark") == "success",
+        s"merge packet failed: ${res.notices.mkString("; ")}")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal FROM mrg_tbl
+               ORDER BY c_custkey""")
+    }, oracle = Some("""
+      WITH delta AS (
+        SELECT c_custkey, c_name || ' (upd)' AS c_name,
+               c_acctbal + 100.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 100 = 0
+        UNION ALL
+        SELECT 1000000 + c_custkey * 20 + 1,
+               'new customer ' || CAST(c_custkey AS STRING),
+               CAST(0.0 AS DOUBLE)
+        FROM customer WHERE c_custkey % 97 = 0)
+      SELECT CAST(m.c_custkey AS BIGINT) AS c_custkey, m.c_name,
+             CAST(m.c_acctbal AS DOUBLE) AS c_acctbal
+      FROM (
+        SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+        WHERE NOT EXISTS
+          (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
+        UNION ALL SELECT * FROM delta) m
+      ORDER BY c_custkey"""))
   )
 }

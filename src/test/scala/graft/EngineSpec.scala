@@ -234,6 +234,40 @@ class EngineSpec extends AnyFunSuite {
     assert(new ActionTracker(spark, state).actions.count() == n1)
   }
 
+  test("merge packet rewrites only delta-touched partitions") {
+    Tables.registerAll(spark, fixtures)
+    val src = Files.createTempDirectory("graft-mrg-src").toString
+    val conf = RunnerConf(
+      stateDir = tmpState(),
+      placeholders = Map(
+        "mrg_src" -> src,
+        "mrg_delta" -> Files.createTempDirectory("graft-mrg-delta").toString,
+        "mrg_stage" -> Files.createTempDirectory("graft-mrg-stage").toString))
+    val res = new PacketRunner(spark, conf).run("packets/test_merge")
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    // every Spark write job stamps its part files with one job UUID
+    // (part-00000-<uuid>…): untouched partitions must still carry the SEED
+    // job's uuid, while delta partitions carry a different (publish) uuid
+    def jobUuids(bk: Int): Set[String] =
+      new java.io.File(s"$src/bk=$bk").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getName.split("-", 3)(2)).toSet
+    val seedUuids = jobUuids(5)
+    assert(seedUuids.nonEmpty && jobUuids(7) == seedUuids,
+      "untouched partitions must keep the seed write's files")
+    assert((jobUuids(0) intersect seedUuids).isEmpty,
+      "updated partition bk=0 must be rewritten by a different write job")
+    assert((jobUuids(1) intersect seedUuids).isEmpty,
+      "insert partition bk=1 must be rewritten by a different write job")
+    // and the merge outcome is visible: updates marked, inserts landed
+    import org.apache.spark.sql.functions._
+    val t = spark.table("mrg_tbl")
+    assert(t.filter(col("c_name").endsWith(" (upd)")).count() > 0)
+    assert(t.filter(col("c_custkey") > 1000000).count() > 0)
+    // every updated key exists exactly once (no dup from union)
+    assert(t.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("read_only packet rejects writes and tracks nothing") {
     Tables.registerAll(spark, fixtures)
     val state = tmpState()
