@@ -64,23 +64,50 @@ object EventsStreaming {
       user_id: Long, event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
-  private final case class SessionState(n: Long, start: Long, last: Long)
+  // not `private`: the state encoder's generated code constructs it
+  // reflectively in the timeout-firing path (codegen cannot see private
+  // members of the enclosing object)
+  final case class SessionState(n: Long, start: Long, last: Long)
 
   /** Stateful sessionization: a session closes after `gapMs` of
-    * inactivity. A processing-time timeout flushes the open session when
-    * a key goes quiet (no new events ever arrive for it) and clears its
-    * state — without it, tail sessions are silently lost and per-key
-    * state grows unbounded in a real stream. In batch execution Spark
-    * never fires timeouts; closed sessions are still emitted inline. */
+    * inactivity.
+    *
+    * Streaming: an EVENT-TIME timeout (watermark-driven) flushes the open
+    * session once the watermark passes last_event + gap — quiet keys close
+    * deterministically on stream PROGRESS, not wall clock, so a replayed
+    * stream yields identical sessions. Per-key work is bounded by the
+    * micro-batch slice (sorted in the handler; partition-local sort is
+    * disallowed on streams).
+    *
+    * Batch: the input is repartitioned by key and partition-locally sorted
+    * (user_id, ts, event_id). The stateful operator's required ordering
+    * (key asc) is a prefix of that sort and its required distribution is
+    * satisfied by the repartition, so Catalyst inserts NO further exchange
+    * or sort and each key's iterator arrives ts-ordered — the fold is
+    * single-pass with zero per-key buffering (a hot key's full history
+    * never materializes on one iterator buffer). Timeouts never fire in
+    * batch; closed sessions are emitted inline. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionAgg] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"): Dataset[SessionAgg] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val prepared =
+      if (streaming) events.withWatermark("ts", watermark)
+      else events.repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // key by the COLUMN, not a lambda: groupByKey(_.user_id) would append
+    // a fresh grouping column Catalyst cannot relate to user_id, forcing
+    // its own exchange + sort and discarding the secondary sort above
+    prepared.groupBy(col("user_id")).as[Long, Event]
       .flatMapGroupsWithState[SessionState, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // key went quiet past the gap: emit the open session, drop state
+            // watermark passed last + gap: emit the open session, drop state
             val st = state.get
             state.remove()
             if (st.n > 0L)
@@ -88,11 +115,15 @@ object EventsStreaming {
                 new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last)))
             else Iterator.empty
           } else {
-            // micro-batch arrival: fold events in ts order, emit closed sessions
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // batch iterators are pre-sorted (see above); a micro-batch
+            // slice is sorted here, bounded by the trigger size
+            val ordered =
+              if (streaming)
+                it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator
+              else it
             var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
             val out = Seq.newBuilder[SessionAgg]
-            sorted.foreach { e =>
+            ordered.foreach { e =>
               val t = e.ts.getTime
               if (st.n == 0L) st = SessionState(1L, t, t)
               else if (t - st.last > gapMs) {
@@ -102,7 +133,11 @@ object EventsStreaming {
               } else st = SessionState(st.n + 1, st.start, t)
             }
             state.update(st)
-            state.setTimeoutDuration(gapMs)
+            // close when the WATERMARK (not the clock) passes the gap;
+            // must stay strictly above the current watermark
+            if (streaming)
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

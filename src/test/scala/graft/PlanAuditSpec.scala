@@ -129,6 +129,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("*("), plan.take(2000))
   }
 
+  test("batch sessionize: one exchange, one sort (secondary-sort preserved)") {
+    import spark.implicits._
+    // the repartition + (user_id, ts, event_id) sort must SATISFY the
+    // stateful operator's requirements: a second Sort or Exchange in the
+    // plan means Catalyst discarded our ordering and each key's iterator
+    // would need re-buffering (the hot-key memory bound depends on this)
+    val events = Tables.load(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.EventsStreaming.Event]
+    val df = graft.streaming.EventsStreaming.sessionize(spark, events).toDF()
+    val nodes = allNodes(executedPlan(df))
+    val sorts = nodes.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(sorts.size == 1, s"expected only our secondary sort: $sorts")
+    assert(sorts.head.sortOrder.size == 3, sorts.head.sortOrder.toString)
+    assert(exchanges.size == 1, s"expected only our repartition: $exchanges")
+  }
+
   test("q01 money aggregation is decimal-exact (no double partial sums)") {
     val plan = SparkEntry.queries("q01_agg_pricing_summary")(spark, dir)
       .queryExecution.optimizedPlan.toString

@@ -89,6 +89,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(slid.agg(sum($"n")).head().getLong(0) == 2 * batch.count())
   }
 
+  test("quiet key's session closes on watermark advance, not wall clock") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long, hhmm: String): EventsStreaming.Event =
+      EventsStreaming.Event(id,
+        java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), user, "click", 1.0)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Event]
+    val q = EventsStreaming
+      .sessionize(spark, mem.toDS(), gapMs = 30 * 60 * 1000L,
+        watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1 goes quiet after 10:10 (out-of-order within the batch);
+      // user 2 keeps the stream moving
+      mem.addData(ev(2, 1L, "10:10"), ev(1, 1L, "10:00"), ev(3, 2L, "10:05"))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty, "nothing closed yet")
+      // watermark → 13:50, far past user 1's last+gap (10:40): the NEXT
+      // batch fires the event-time timeout — no sleep involved
+      mem.addData(ev(4, 2L, "14:00"))
+      q.processAllAvailable()
+      mem.addData(ev(5, 2L, "14:01"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user_id", $"n_events", $"session_start".cast("string"),
+          $"session_end".cast("string"))
+        .as[(Long, Long, String, String)].collect().toSet
+      // user 1's tail session closed by the WATERMARK timeout (no new user-1
+      // data ever arrived); user 2's first session closed inline by the gap
+      assert(rows == Set(
+        (1L, 2L, "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+        (2L, 1L, "2024-01-01 10:05:00", "2024-01-01 10:05:00")),
+        rows.mkString("; "))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
