@@ -10,9 +10,15 @@ import org.apache.spark.sql.SparkSession
 import graft.sources.Tables
 
 /** One configured execution target: a named data location (the reference's
-  * `[databases]` entry, db_converter.py:51-53 — there a pq:// URI, here a
-  * parquet directory or any Tables-loadable root). */
-final case class Target(name: String, dataDir: String)
+  * `[databases]` entry, db_converter.py:51-53). A parquet directory by
+  * default; with `jdbcUrl` set, a LIVE database — reads become
+  * spark.read.jdbc views, writes a single-connection transaction sink,
+  * and `jdbcInit` the E24 session-preparation SET block (see Jdbc). */
+final case class Target(name: String, dataDir: String,
+    jdbcUrl: Option[String] = None, jdbcInit: Seq[String] = Nil) {
+  def channel: Option[JdbcChannel] =
+    jdbcUrl.map(u => JdbcChannel(name, u, jdbcInit))
+}
 
 /** Engine run request (reference DBCParams surface). */
 final case class RunSpec(
@@ -61,6 +67,9 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
       java.nio.file.Files.write(stopFlag(targetName, packetName), Array.empty[Byte])
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.sparkContext.cancelJobGroup(jobGroup(targetName, packetName))
+    // JDBC half: cancel in-flight database statements (on PostgreSQL the
+    // driver's cancel IS the pg_cancel_backend wire request)
+    Jdbc.cancelAll(targetName)
   }
 
   /** Cancel everything — wired to SIGINT/shutdown by the CLI (E19). */
@@ -149,9 +158,15 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
             .findFirstIn(sqlText).isDefined ||
           new java.io.File(s"$packetsRoot/${spec.packetName}")
             .listFiles().exists(_.getName.endsWith(".py"))
-        if (conservative) Tables.registerAll(session, t.dataDir)
-        else Tables.registerSome(session, t.dataDir, referenced)
-        if (conservative || sqlText.contains("pg_"))
+        t.channel match {
+          case Some(ch) =>
+            // live target: every user table becomes a spark.read.jdbc view
+            Jdbc.registerTables(session, ch)
+          case None =>
+            if (conservative) Tables.registerAll(session, t.dataDir)
+            else Tables.registerSome(session, t.dataDir, referenced)
+        }
+        if (t.channel.isEmpty && (conservative || sqlText.contains("pg_")))
           graft.sources.PgCatalog.registerAll(session)
         // packet SQL may call the PG scalar surface (pg_size_pretty,
         // quote_ident, pg_sleep) — session-scoped, so register per run
@@ -166,6 +181,7 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
           java.nio.file.Files.deleteIfExists(stopFlag(t.name, spec.packetName))
           val conf = RunnerConf(
             stateDir = stateDir(t.name), target = t.name,
+            jdbc = t.channel,
             placeholders = spec.placeholders, force = spec.force,
             skipStepCancel = spec.skipStepCancel,
             skipActionCancel = spec.skipActionCancel,

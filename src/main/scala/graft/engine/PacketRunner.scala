@@ -14,6 +14,9 @@ final case class RunnerConf(
     skipActionCancel: Boolean = false, // --skip-action-cancel (E25)
     maxFanout: Int = 1000000,
     resultRowCap: Int = 100000,
+    /** live JDBC target: write steps run through its transaction sink,
+      * reads through the spark.read.jdbc views the Engine registered */
+    jdbc: Option[JdbcChannel] = None,
     exportDir: Option[String] = None,
     hookSink: Option[HookSink] = None,
     /** polled on failure: true → the run was cancelled (E18/E19), result
@@ -340,6 +343,40 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       // SELECT-only guard + CSV/zip sink (E20) — ExportSink owns semantics
       ExportSink.exportData(spark, ctx, stms,
         conf.exportDir.getOrElse(conf.stateDir + "/export"), packet.meta)
+      return
+    }
+    // JDBC write routing: a step containing ANY write runs WHOLE on one
+    // database connection in one transaction (reference execute_q
+    // bracketing, dbccore.py:831-903) — its read statements then observe
+    // the transaction's own uncommitted effects, exactly like the
+    // reference; pure-read steps stay on the Spark view path (DataFrame
+    // plans with pushdown). Maintenance statements route outside the
+    // transaction either way (E9).
+    val jdbcWrite = conf.jdbc.isDefined && pt != PacketType.ReadOnly &&
+      stms.exists(s => !SqlSplitter.isReadOnlyStatement(s) &&
+        !SqlSplitter.isMaintenanceStatement(s))
+    if (jdbcWrite) {
+      val ch = conf.jdbc.get
+      val (maint, txStms) = stms.partition(SqlSplitter.isMaintenanceStatement)
+      maint.foreach { m =>
+        notices += Notice("INFO",
+          s"maintenance statement: ${SqlSplitter.firstKeyword(m)}")
+        spark.sql(m)
+      }
+      // no_commit on a live target is the reference's execute-then-rollback
+      // dry run (dbccore.py:886-888)
+      val commit = pt != PacketType.NoCommit
+      val (rs, hadDdl) = Jdbc.executeTx(ch, txStms, conf.resultRowCap, commit)
+      if (!commit)
+        notices += Notice("INFO",
+          s"no_commit: rolled back ${txStms.size} statement(s)")
+      results ++= rs
+      // created/dropped tables must be visible to later SELECT steps
+      if (hadDdl && commit) Jdbc.registerTables(spark, ch)
+      if (results.nonEmpty) {
+        resultData(ctx.stepName) = results.toSeq
+        conf.hookSink.foreach(_.resultsetHook(packet.meta, ctx.stepName, results.toSeq))
+      }
       return
     }
     stms.foreach { stm =>

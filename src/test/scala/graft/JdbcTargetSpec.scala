@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine._
+import graft.sources.Tables
+
+/** Live-JDBC target behavior against embedded Derby (the in-sandbox stand-in
+  * for the reference's PostgreSQL targets): spark.read.jdbc sources, the
+  * single-connection transaction sink, session-preparation init statements,
+  * and the LockObserver fed by REAL database lock snapshots. Mirrors the
+  * reference's live-DB test flows (tests/test_packets.py runs every packet
+  * against an actual server; TestDBCLockObserver at :415-497).
+  */
+class JdbcTargetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val fixtures = "/root/testdata/sf0.001"
+
+  private def freshDb(): String = {
+    val dir = Files.createTempDirectory("graft-derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  /** Seed Derby tables from the parquet fixture through Spark's JDBC sink
+    * (DataFrame write → database table, the ingest direction). */
+  private def seed(url: String, tables: String*): Unit =
+    tables.foreach { t =>
+      Tables.load(spark, fixtures, t).write.format("jdbc")
+        .option("url", url).option("dbtable", t).save()
+    }
+
+  private def mkPackets(name: String, files: Map[String, String]): (String, String) = {
+    val root = Files.createTempDirectory("graft-jdbc-pk")
+    val dir = root.resolve(name)
+    Files.createDirectories(dir)
+    files.foreach { case (n, c) => Files.writeString(dir.resolve(n), c) }
+    (root.toString, name)
+  }
+
+  private def engine(t: Target, packetsRoot: String = "packets"): Engine =
+    new Engine(spark, Seq(t),
+      stateRoot = Files.createTempDirectory("graft-jdbc-state").toString,
+      packetsRoot = packetsRoot)
+
+  test("test_common runs against a live Derby target") {
+    val url = freshDb()
+    seed(url, "region", "nation") // the maint REFRESH targets
+    val e = engine(Target("derbyt", "", jdbcUrl = Some(url)))
+    val res = e.run(RunSpec("run", "test_common", "derbyt"))
+    assert(res.resultCode("derbyt") == "success", res.notices.mkString("; "))
+    assert(res.packetStatus("derbyt") == "done")
+    val done = res.stepResults("derbyt")
+    assert(done("02_step.sql") == StepOutcome.Done(10))
+    assert(done("04_step.sql") == StepOutcome.Done(9))
+  }
+
+  test("write packet: one transaction per step, init statements applied, " +
+      "reads see the new tables") {
+    val url = freshDb()
+    val (root, name) = mkPackets("jdbc_write", Map(
+      "01_step.sql" -> "CREATE TABLE dbc_t (id INT PRIMARY KEY, v VARCHAR(20));",
+      "02_step.sql" -> ("INSERT INTO dbc_t VALUES (1, 'a');" +
+        "INSERT INTO dbc_t VALUES (2, 'b');" +
+        "UPDATE dbc_t SET v = 'z' WHERE id = 2;" +
+        "VALUES CURRENT ISOLATION;"),
+      "03_step.sql" -> "SELECT id, v FROM dbc_t ORDER BY id;",
+      "meta_data.json" -> """{"description": "derby write packet"}"""))
+    val e = engine(Target("derbyw", "", jdbcUrl = Some(url),
+      jdbcInit = Seq("SET ISOLATION SERIALIZABLE")), root)
+    val res = e.run(RunSpec("run", name, "derbyw"))
+    assert(res.resultCode("derbyw") == "success", res.notices.mkString("; "))
+    // the VALUES probe ran INSIDE the write transaction's connection, where
+    // the E24 init statement set serializable isolation ('RR')
+    val probe = res.resultData("derbyw")("02_step.sql").last
+    assert(probe.rows.head.head.toString.trim == "RR", probe.toString)
+    // step 03 is a pure read: it flows through the spark.read.jdbc view
+    // registered after step 01's DDL, and sees both committed rows
+    val read = res.resultData("derbyw")("03_step.sql").head
+    assert(read.columns == Seq("id", "v"))
+    assert(read.rows.map(r => (r.head.toString, r(1).toString)) ==
+      Seq(("1", "a"), ("2", "z")))
+  }
+
+  test("a failing statement rolls back the whole step's transaction") {
+    val url = freshDb()
+    val (root, name) = mkPackets("jdbc_rollback", Map(
+      "01_step.sql" -> "CREATE TABLE roll_t (id INT PRIMARY KEY);",
+      "02_step.sql" -> ("INSERT INTO roll_t VALUES (1);" +
+        "INSERT INTO roll_t VALUES (1);"), // duplicate PK → step fails
+      "meta_data.json" -> """{"description": "rollback atomicity"}"""))
+    val e = engine(Target("derbyr", "", jdbcUrl = Some(url)), root)
+    val res = e.run(RunSpec("run", name, "derbyr"))
+    assert(res.resultCode("derbyr") == "fail")
+    // the FIRST insert of the failed step must not survive (atomic tx)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery("SELECT count(*) FROM roll_t")
+      rs.next()
+      assert(rs.getInt(1) == 0, "failed step leaked a partial transaction")
+    } finally conn.close()
+  }
+
+  test("no_commit packet executes then rolls back on the live target") {
+    val url = freshDb()
+    val (root, name) = mkPackets("jdbc_nocommit", Map(
+      "01_step.sql" -> "CREATE TABLE nc_t (id INT);",
+      "meta_data.json" -> """{"type": "no_commit"}"""))
+    val e = engine(Target("derbyn", "", jdbcUrl = Some(url)), root)
+    val res = e.run(RunSpec("run", name, "derbyn"))
+    assert(res.resultCode("derbyn") == "success", res.notices.mkString("; "))
+    assert(res.notices.exists(_.message.contains("no_commit: rolled back")))
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "NC_T", null)
+      assert(!rs.next(), "no_commit must leave no table behind")
+    } finally conn.close()
+  }
+
+  test("lock observer detects a real blocker and a real waiter over JDBC") {
+    val url = freshDb()
+    val ch = JdbcChannel("derbyl", url)
+    // a committed base table with one contended row
+    val setup = DriverManager.getConnection(url)
+    try {
+      val st = setup.createStatement()
+      st.execute("CREATE TABLE lk_t (id INT PRIMARY KEY, v INT)")
+      st.execute("INSERT INTO lk_t VALUES (1, 0)")
+      st.close()
+    } finally setup.close()
+
+    val holder = DriverManager.getConnection(url)
+    holder.setAutoCommit(false)
+    val blocked = new java.util.concurrent.CountDownLatch(1)
+    val waiterThread = new Thread(() => {
+      val waiter = DriverManager.getConnection(url)
+      try {
+        waiter.setAutoCommit(false)
+        blocked.countDown()
+        val st = waiter.createStatement()
+        st.executeUpdate("UPDATE lk_t SET v = 2 WHERE id = 1") // blocks
+        st.close()
+        waiter.commit()
+      } catch { case _: Throwable => () } finally waiter.close()
+    }, "graft-jdbc-waiter")
+    try {
+      holder.createStatement().executeUpdate("UPDATE lk_t SET v = 1 WHERE id = 1")
+      waiterThread.start()
+      blocked.await()
+      // poll until the database reports the waiter's ungranted lock
+      var snap = Jdbc.lockSnapshot(spark, ch)
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (snap.locks.filter("NOT granted AND relation = 'LK_T'").count() == 0 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        snap = Jdbc.lockSnapshot(spark, ch)
+      }
+      val waitPid = snap.locks.filter("NOT granted AND relation = 'LK_T'")
+        .select("pid").head().getInt(0)
+      val holdPid = snap.locks
+        .filter(s"granted AND relation = 'LK_T' AND pid <> $waitPid")
+        .select("pid").head().getInt(0)
+      val cancelled = scala.collection.mutable.Buffer.empty[Int]
+      val obs = new LockObserver(
+        snapshot = () => Jdbc.lockSnapshot(spark, ch),
+        cancel = cancelled += _,
+        now = () => new java.sql.Timestamp(System.currentTimeMillis()),
+        blockerTimeoutSec = 0, waitTimeoutSec = 0)
+      // rule 1 on the REAL snapshot: our pid (the holder) blocks the waiter
+      assert(obs.blockerPids(snap, Set(holdPid)) == Seq(holdPid))
+      // rule 2: our pid (the waiter) is stuck on a heavyweight lock
+      assert(obs.waiterPids(snap, Set(waitPid)) == Seq(waitPid))
+      // pollOnce drives cancel + counters off the live snapshot
+      obs.pollOnce(Set(holdPid))
+      assert(cancelled.toSeq == Seq(holdPid) && obs.blockerCnt.get() == 1)
+    } finally {
+      holder.commit()
+      holder.close()
+      waiterThread.join(30000)
+    }
+  }
+
+  test("stop cancels in-flight jdbc statements without breaking the engine") {
+    // embedded Derby may not implement Statement.cancel; the passthrough
+    // must tolerate that (on PostgreSQL the driver's cancel is the
+    // pg_cancel_backend wire request) and the registry must drain
+    assert(Jdbc.cancelAll("no-such-target") == 0)
+  }
+}
