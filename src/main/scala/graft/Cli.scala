@@ -12,10 +12,23 @@ import graft.engine._
   *             [--seq] [--force] [--skip-step-cancel] [--skip-action-cancel]
   *             [--placeholders=k1:v1,k2:v2] [--template=T] [--yes]
   *
-  * Config INI: `[databases]` name = parquet-dir; `[main]` state_root,
-  * packets_root.
+  * Config INI: `[databases]` name = parquet-dir OR a jdbc: URL (the
+  * reference's pq:// target URIs, db_converter.py:51-53); `[main]`
+  * state_root, packets_root; `[session]` ordered init statements applied
+  * to every JDBC connection (the reference's prepare_session SET block,
+  * dbccore.py:347-377).
   */
 object Cli {
+
+  /** `[databases]` values → Targets: jdbc: URLs become live targets with
+    * the `[session]` init block, anything else a parquet dir. */
+  def targetsFrom(dbs: Map[String, String],
+      sessionInit: Seq[String]): Seq[Target] =
+    dbs.toSeq.sortBy(_._1).map { case (n, d) =>
+      if (d.startsWith("jdbc:")) Target(n, "", jdbcUrl = Some(d),
+        jdbcInit = sessionInit)
+      else Target(n, d)
+    }
   def main(args: Array[String]): Unit = {
     val opts = args.collect {
       case a if a.startsWith("--") && a.contains("=") =>
@@ -40,7 +53,9 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val targets = dbs.toSeq.sortBy(_._1).map { case (n, d) => Target(n, d) }
+    val sessionInit = ini.getOrElse("session", Map.empty)
+      .toSeq.sortBy(_._1).map(_._2)
+    val targets = targetsFrom(dbs, sessionInit)
     val engine = new Engine(spark, targets,
       stateRoot = main_.getOrElse("state_root", "dbc_state"),
       packetsRoot = main_.getOrElse("packets_root", "packets"))

@@ -32,6 +32,31 @@ final case class RunSpec(
     skipActionCancel: Boolean = false,
     templateName: String = "default")
 
+/** Serializes state-mutating commands per state directory — the reference
+  * gets this for free by routing every mutation through one database; a
+  * file-backed tracker needs it explicitly (a wipe landing mid-run would
+  * orphan the run's id mappings). In-JVM monitor + OS file lock, so both
+  * same-process and cross-process run/wipe/unlock on one target queue up;
+  * reads (status) stay lock-free like the reference's. */
+object StateLock {
+  private val jvmLocks =
+    new ConcurrentHashMap[String, Object]()
+
+  def withLock[T](stateDir: String)(f: => T): T = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    val key = new java.io.File(stateDir).getCanonicalPath
+    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val chan = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(stateDir, ".dbc_state.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val fl = chan.lock()
+      try f finally { fl.release(); chan.close() }
+    }
+  }
+}
+
 /** Multi-target orchestration (reference E3 command dispatch + E5 parallel
   * per-DB execution, db_converter.py:339-346,498-524,556-685).
   *
@@ -87,11 +112,15 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
           st.map(_.status).getOrElse("new"))
       }
       case "wipe" => mergeSimple(selected) { t =>
-        val had = tracker(t).wipePacket(spec.packetName)
+        val had = StateLock.withLock(stateDir(t)) {
+          tracker(t).wipePacket(spec.packetName)
+        }
         (if (had) "success" else "nothing_todo", "new")
       }
       case "unlock" => mergeSimple(selected) { t =>
-        tracker(t).setPacketUnlock(spec.packetName)
+        StateLock.withLock(stateDir(t)) {
+          tracker(t).setPacketUnlock(spec.packetName)
+        }
         ("success", "new")
       }
       case "stop" =>
@@ -190,7 +219,9 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
             terminated = () => terminated.contains(t.name) ||
               java.nio.file.Files.exists(stopFlag(t.name, spec.packetName)),
             logger = Some(logger))
-          new PacketRunner(session, conf).run(s"$packetsRoot/${spec.packetName}")
+          StateLock.withLock(stateDir(t.name)) {
+            new PacketRunner(session, conf).run(s"$packetsRoot/${spec.packetName}")
+          }
         } finally logger.close()
       } finally session.sparkContext.clearJobGroup()
     }

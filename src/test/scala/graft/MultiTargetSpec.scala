@@ -94,6 +94,22 @@ class MultiTargetSpec extends AnyFunSuite {
     assert(res.packetStatus("slow") == "started")
   }
 
+  test("concurrent run and wipe on one state dir serialize, never interleave") {
+    val e = engine(Seq(Target("solo", "/root/testdata/sf0.001")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val runFut = Future(e.run(RunSpec("run", "test_common", "solo")))
+    Thread.sleep(500) // let the run take the state lock
+    val wipeFut = Future(e.run(RunSpec("wipe", "test_common", "solo")))
+    Await.result(runFut, 180.seconds)
+    Await.result(wipeFut, 180.seconds)
+    // serialized outcomes only: wipe-after-run → 0 actions; a wipe landing
+    // BEFORE the run's lock → the full 24. Anything else is interleaving.
+    val n = new ActionTracker(spark, e.stateDir("solo")).actions.count()
+    assert(n == 0L || n == 24L, s"interleaved run/wipe left $n actions")
+  }
+
   test("template scaffolds a new packet; list sees it") {
     val root = Files.createTempDirectory("graft-tpl").toString
     val tpl = java.nio.file.Paths.get(root, "templates", "default")
