@@ -1,11 +1,17 @@
--- the MERGE body, staged (Spark forbids overwriting a table it reads):
--- matched base rows are replaced by the delta's values via the anti-join,
--- unmatched delta rows insert; only delta-touched partitions are read
--- (the bk IN pushdown prunes the base scan to the affected partitions)
-CREATE TABLE mrg_stage USING parquet LOCATION 'DBC_PL_mrg_stage'
+-- merge ONE delta-touched partition (Spark forbids overwriting a table it
+-- reads, so each action stages first): the literal bk from the generator
+-- is a STATIC partition filter — the base scan reads only this partition's
+-- files (PartitionFilters pruning, asserted in PlanAuditSpec), which is
+-- what keeps merge cost proportional to the delta's partition footprint
+-- at any scale. An IN-subquery over the delta would NOT prune (it plans
+-- as a semi-join scanning every partition).
+DROP TABLE IF EXISTS mrg_stage_GEN_OBJ_FLD_1;
+CREATE TABLE mrg_stage_GEN_OBJ_FLD_1 USING parquet
+LOCATION 'DBC_PL_mrg_stage/bk_GEN_OBJ_FLD_1'
 AS SELECT t.c_custkey, t.c_name, t.c_acctbal, t.bk
    FROM mrg_tbl t
    LEFT ANTI JOIN mrg_delta d ON t.c_custkey = d.c_custkey
-   WHERE t.bk IN (SELECT DISTINCT bk FROM mrg_delta)
+   WHERE t.bk = GEN_OBJ_FLD_1
    UNION ALL
-   SELECT c_custkey, c_name, c_acctbal, bk FROM mrg_delta;
+   SELECT c_custkey, c_name, c_acctbal, bk FROM mrg_delta
+   WHERE bk = GEN_OBJ_FLD_1;

@@ -149,6 +149,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"expected only our repartition: $exchanges")
   }
 
+  test("w03 merge action prunes the base scan to its own partition") {
+    import spark.implicits._
+    // one rendered per-partition merge action (test_merge/01_step.sql with
+    // GEN_OBJ_FLD_1 = 0): the literal bk predicate must reach the scan as
+    // a PartitionFilter selecting exactly one partition — the property
+    // that keeps merge cost ∝ delta footprint at 100 TB
+    val src = java.nio.file.Files.createTempDirectory("pa-mrg").toString
+    spark.sql("DROP TABLE IF EXISTS pa_mrg_tbl")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("pa_customer")
+    spark.sql(s"""CREATE TABLE pa_mrg_tbl USING parquet PARTITIONED BY (bk)
+      LOCATION '$src' AS SELECT c_custkey, c_name,
+      CAST(c_custkey % 20 AS INT) AS bk FROM pa_customer""")
+    spark.sql("""SELECT c_custkey FROM pa_customer WHERE c_custkey % 100 = 0""")
+      .createOrReplaceTempView("pa_delta")
+    try {
+      val q = spark.sql(
+        """SELECT t.c_custkey FROM pa_mrg_tbl t
+           LEFT ANTI JOIN pa_delta d ON t.c_custkey = d.c_custkey
+           WHERE t.bk = 0""")
+      val scans = allNodes(executedPlan(q)).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "pa_mrg_tbl") => f
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.partitionFilters.exists(_.toString.contains("= 0")),
+        scans.head.partitionFilters.toString)
+      assert(scans.head.selectedPartitions.partitionCount == 1,
+        s"expected 1 partition read, got ${scans.head.selectedPartitions.partitionCount}")
+    } finally spark.sql("DROP TABLE pa_mrg_tbl")
+  }
+
   test("q01 money aggregation is decimal-exact (no double partial sums)") {
     val plan = SparkEntry.queries("q01_agg_pricing_summary")(spark, dir)
       .queryExecution.optimizedPlan.toString
