@@ -29,6 +29,20 @@ object Cli {
         jdbcInit = sessionInit)
       else Target(n, d)
     }
+
+  /** E29 confirmation gate (reference's interactive YES prompt,
+    * db_converter.py:556-560): multi-target run requires explicit consent
+    * unless --yes/--force. Injectable reader so the gate is testable. */
+  def confirmGate(command: String, packetName: String, selected: Seq[String],
+      yes: Boolean, force: Boolean,
+      readLine: () => String = () => scala.io.StdIn.readLine()): Boolean = {
+    if (command != "run" || selected.size <= 1 || yes || force) true
+    else {
+      println(s"About to run '$packetName' on ${selected.size} targets: " +
+        selected.mkString(", ") + "\nType YES to continue:")
+      readLine() == "YES"
+    }
+  }
   def main(args: Array[String]): Unit = {
     val opts = args.collect {
       case a if a.startsWith("--") && a.contains("=") =>
@@ -75,12 +89,8 @@ object Cli {
 
     // E29 confirmation gate: multi-target run asks unless --yes/--force
     val selected = GlobMatcher.resolve(spec.targetSelector, targets.map(_.name))
-    if (spec.command == "run" && selected.size > 1 && !opts.contains("yes") &&
-        !spec.force) {
-      println(s"About to run '${spec.packetName}' on ${selected.size} targets: " +
-        selected.mkString(", ") + "\nType YES to continue:")
-      if (scala.io.StdIn.readLine() != "YES") { println("aborted"); return }
-    }
+    if (!confirmGate(spec.command, spec.packetName, selected,
+        opts.contains("yes"), spec.force)) { println("aborted"); return }
     // E19: SIGINT/SIGTERM → cancel every target's job group
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       engine.stopAll(spec.packetName)))

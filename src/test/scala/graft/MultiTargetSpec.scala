@@ -125,6 +125,38 @@ class MultiTargetSpec extends AnyFunSuite {
     assert(listed.notices.exists(_.message == "my_new_packet"))
   }
 
+  test("confirmation gate: multi-target run needs YES unless --yes/--force") {
+    import graft.Cli.confirmGate
+    val two = Seq("a", "b")
+    assert(confirmGate("run", "p", two, yes = false, force = false,
+      readLine = () => "YES"))
+    assert(!confirmGate("run", "p", two, yes = false, force = false,
+      readLine = () => "no"))
+    // single target, --yes, --force, and non-run commands skip the prompt
+    assert(confirmGate("run", "p", Seq("a"), yes = false, force = false,
+      readLine = () => fail("prompted for a single target")))
+    assert(confirmGate("run", "p", two, yes = true, force = false,
+      readLine = () => fail("prompted despite --yes")))
+    assert(confirmGate("run", "p", two, yes = false, force = true,
+      readLine = () => fail("prompted despite --force")))
+    assert(confirmGate("wipe", "p", two, yes = false, force = false,
+      readLine = () => fail("prompted for a non-run command")))
+  }
+
+  test("shutdown hook path cancels every target and flags a fresh stop") {
+    // E19: the SIGINT/SIGTERM hook is `stopAll(packet)` — drive the same
+    // function the hook registers and observe the cross-process stop flags
+    val e = engine(threeTargets)
+    e.stopAll("test_common")
+    Seq("alpha", "beta", "gamma").foreach { t =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        e.stateDir(t), "dbc_stop_test_common.flag")), s"no stop flag for $t")
+    }
+    // a subsequent run clears its own stale flag and completes
+    val res = e.run(RunSpec("run", "test_common", "alpha"))
+    assert(res.resultCode("alpha") == "success", res.notices.mkString("; "))
+  }
+
   test("ini config parses databases and main sections") {
     val conf = IniConf.parse(
       """# engine config
