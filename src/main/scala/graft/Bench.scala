@@ -21,20 +21,22 @@ object Bench {
     // warmed code/caches for everything the first run planned, which kills
     // run-order noise (q02-style regressions that vanish on a fresh JVM)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val v =
-        try math.min(once(), once())
-        catch { case e: Throwable =>
+      def once(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name
-          -1.0 // failed queries are EXCLUDED from the total (a broken
-               // query must not make the bench look faster)
+          None
         }
-      name -> v
+      // each run caught separately: a flaky second run must not discard a
+      // real first timing — only a query with NO successful run is errored
+      // and EXCLUDED from the total (a broken query must not make the
+      // bench look faster)
+      val runs = Seq(once(), once()).flatten
+      if (runs.isEmpty) errors ::= name
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)

@@ -75,11 +75,16 @@ object Jdbc {
     conn
   }
 
-  /** User tables of the target database (system schemas excluded). */
+  /** Readable relations of the target database: tables AND views, plus
+    * system catalogs outside the excluded schemas — on PostgreSQL that is
+    * pg_catalog (so the DBA/alert packet corpus reads live pg_class/
+    * pg_stat_activity/... through JDBC); Derby's SYS* diagnostics stay
+    * excluded (they are reached via lockSnapshot). */
   def listTables(ch: JdbcChannel): Seq[(String, String)] = {
     val conn = DriverManager.getConnection(ch.url)
     try {
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val rs = conn.getMetaData.getTables(null, null, "%",
+        Array("TABLE", "VIEW", "SYSTEM TABLE", "SYSTEM VIEW"))
       val out = mutable.Buffer.empty[(String, String)]
       while (rs.next()) {
         val schema = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
@@ -100,10 +105,12 @@ object Jdbc {
         .option("url", ch.url)
         .option("dbtable",
           if (schema.isEmpty) s""""$table"""" else s""""$schema"."$table"""")
-      // Spark's option takes ONE statement; the engine-side connections
-      // apply the full init list (openConnection)
-      ch.initStatements.headOption.foreach(s =>
-        reader = reader.option("sessionInitStatement", s))
+      // Spark executes the option as one string; drivers that accept
+      // multi-statement strings (PostgreSQL) get the whole init block
+      // joined — partition readers then match the engine-side connections
+      if (ch.initStatements.nonEmpty)
+        reader = reader.option("sessionInitStatement",
+          ch.initStatements.mkString("; "))
       ch.readOptions.foreach { case (k, v) => reader = reader.option(k, v) }
       reader.load().createOrReplaceTempView(table.toLowerCase)
     }
@@ -138,6 +145,30 @@ object Jdbc {
         try conn.rollback() catch { case scala.util.control.NonFatal(_) => () }
         throw e
     } finally conn.close()
+  }
+
+  /** Non-transactional execution (E9 maintenance routing): one autocommit
+    * connection per statement — VACUUM/REINDEX/ALTER SYSTEM refuse to run
+    * inside a transaction block on PostgreSQL (is_non_tx_query,
+    * dbccore.py:717-722). */
+  def executeAutoCommit(ch: JdbcChannel, stm: String): Unit = {
+    val conn = openConnection(ch)
+    try {
+      conn.setAutoCommit(true)
+      val st = conn.createStatement()
+      track(ch.targetName, st)
+      try st.execute(stm)
+      finally { untrack(ch.targetName, st); st.close() }
+    } finally conn.close()
+  }
+
+  /** Maintenance statements Spark itself owns (view-cache refresh); the
+    * rest of the maintenance surface (VACUUM/REINDEX/ALTER SYSTEM/...) is
+    * database-side on a live target. */
+  def isSparkSideMaintenance(stm: String): Boolean = {
+    val s = SqlSplitter.stripComments(stm).trim.toUpperCase
+    Seq("REFRESH TABLE", "MSCK REPAIR", "ANALYZE TABLE", "OPTIMIZE")
+      .exists(s.startsWith)
   }
 
   private def toResultSet(rs: java.sql.ResultSet, rowCap: Int): ResultSet = {
@@ -182,7 +213,12 @@ object Jdbc {
     val waitXids = rawLocks.filter(col("STATE") === "WAIT")
       .select(col("XID")).collect().map(_.getString(0).trim).toSet
     val nowMs = System.currentTimeMillis()
-    txRows.foreach(x => firstSeen.putIfAbsent(s"${ch.url}#$x", nowMs))
+    // capture each xid's first-seen INSIDE computeIfAbsent so a concurrent
+    // poller's prune (below) can at worst reset another thread's entry to
+    // a slightly later first-seen — never null it out from under the read
+    val seenAt: Map[String, Long] = txRows.map { x =>
+      x -> firstSeen.computeIfAbsent(s"${ch.url}#$x", _ => nowMs).longValue()
+    }.toMap
     val live = txRows.map(x => s"${ch.url}#$x").toSet
     firstSeen.keySet().removeIf(k => k.startsWith(ch.url + "#") && !live(k))
     val activity = spark.createDataFrame(
@@ -190,7 +226,7 @@ object Jdbc {
         val waiting = waitXids(x)
         org.apache.spark.sql.Row(
           Integer.valueOf(x.toInt),
-          new java.sql.Timestamp(firstSeen.get(s"${ch.url}#$x")),
+          new java.sql.Timestamp(seenAt(x)),
           if (waiting) "Lock" else null,
           if (waiting) "relation" else null)
       }.asJava,

@@ -361,7 +361,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       maint.foreach { m =>
         notices += Notice("INFO",
           s"maintenance statement: ${SqlSplitter.firstKeyword(m)}")
-        spark.sql(m)
+        runMaintenance(ch = Some(ch), m)
       }
       // no_commit on a live target is the reference's execute-then-rollback
       // dry run (dbccore.py:886-888)
@@ -397,7 +397,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         // outside any sink transaction bracketing, and logged as such
         notices += Notice("INFO",
           s"maintenance statement: ${SqlSplitter.firstKeyword(stm)}")
-        spark.sql(stm)
+        runMaintenance(conf.jdbc, stm)
       } else {
         val df = spark.sql(stm)
         if (df.schema.nonEmpty) {
@@ -412,6 +412,17 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       conf.hookSink.foreach(_.resultsetHook(packet.meta, ctx.stepName, results.toSeq))
     }
   }
+
+  /** E9 routing by OWNER: Spark maintains its own view caches (REFRESH
+    * TABLE/...); everything else in the maintenance surface belongs to the
+    * database on a live target — executed there on an autocommit
+    * connection (VACUUM et al. refuse transaction blocks on PG). */
+  private def runMaintenance(ch: Option[JdbcChannel], stm: String): Unit =
+    ch match {
+      case Some(c) if !Jdbc.isSparkSideMaintenance(stm) =>
+        Jdbc.executeAutoCommit(c, stm)
+      case _ => spark.sql(stm)
+    }
 
   private def collectGen(sql: String): Seq[GenRow] = {
     val df: DataFrame = spark.sql(sql)

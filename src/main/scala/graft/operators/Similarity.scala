@@ -97,25 +97,39 @@ object Similarity {
 
   // ingest-time staging: one trained index per (session, key, nlist, seed) —
   // queries must never pay Lloyd iterations (the reference point: an IVF
-  // query scans nprobe inverted lists, it does not build the quantizer)
+  // query scans nprobe inverted lists, it does not build the quantizer).
+  // Bounded LRU, NOT a WeakHashMap keyed by session: the cached DataFrame
+  // references its session, which would pin the weak key forever; the cap
+  // bounds pinned sessions/checkpoints instead (evicted entries' blocks
+  // are freed by the ContextCleaner once unreferenced).
+  private val IvfCacheCap = 8
   private val ivfCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[(String, Int, Long), IvfIndex]]
+    new java.util.LinkedHashMap[(Int, String, Int, Long), IvfIndex](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Int, Long), IvfIndex]): Boolean =
+        size() > IvfCacheCap
+    }
+
+  private def ivfKey(embs: DataFrame, indexKey: String, nlist: Int,
+      seed: Long): (Int, String, Int, Long) =
+    (System.identityHashCode(embs.sparkSession), indexKey, nlist, seed)
 
   /** Train + assign once per session per `indexKey`; subsequent calls are
-    * cache hits (the PgCatalog.ensureRegistered pattern). */
+    * cache hits (the PgCatalog.ensureRegistered pattern). Training runs
+    * OUTSIDE the cache monitor so concurrent stagings of different keys
+    * never serialize; a racing duplicate train is possible and first-wins. */
   def ivfIndex(embs: DataFrame, vecCol: String, indexKey: String,
-      nlist: Int, seed: Long = 42L): IvfIndex = ivfCache.synchronized {
-    val perSession = {
-      val s = embs.sparkSession
-      var m = ivfCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; ivfCache.put(s, m) }
-      m
-    }
-    perSession.getOrElseUpdate((indexKey, nlist, seed), {
+      nlist: Int, seed: Long = 42L): IvfIndex = {
+    val key = ivfKey(embs, indexKey, nlist, seed)
+    val cached = ivfCache.synchronized(Option(ivfCache.get(key)))
+    cached.getOrElse {
       val (c, a) = ivfAssign(embs, vecCol, nlist, seed)
-      IvfIndex(c, a.localCheckpoint())
-    })
+      val built = IvfIndex(c, a.localCheckpoint())
+      ivfCache.synchronized {
+        Option(ivfCache.get(key)).getOrElse { ivfCache.put(key, built); built }
+      }
+    }
   }
 
   /** Serve one query from a staged index: pick the `nprobe` nearest

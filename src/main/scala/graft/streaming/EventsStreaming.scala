@@ -130,7 +130,14 @@ object EventsStreaming {
                 out += SessionAgg(userId, st.n,
                   new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last))
                 st = SessionState(1L, t, t)
-              } else st = SessionState(st.n + 1, st.start, t)
+              } else {
+                // a late-but-in-watermark event from an EARLIER batch may
+                // precede the state's bounds: extend, never rewind (a
+                // rewound `last` would corrupt session_end and fire the
+                // event-time timeout early)
+                st = SessionState(st.n + 1,
+                  math.min(st.start, t), math.max(st.last, t))
+              }
             }
             state.update(st)
             // close when the WATERMARK (not the clock) passes the gap;

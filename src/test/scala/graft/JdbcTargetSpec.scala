@@ -67,6 +67,8 @@ class JdbcTargetSpec extends AnyFunSuite {
         "UPDATE dbc_t SET v = 'z' WHERE id = 2;" +
         "VALUES CURRENT ISOLATION;"),
       "03_step.sql" -> "SELECT id, v FROM dbc_t ORDER BY id;",
+      "04_step.sql" -> "CREATE VIEW dbc_v AS SELECT id FROM dbc_t WHERE id = 2;",
+      "05_step.sql" -> "SELECT id FROM dbc_v;",
       "meta_data.json" -> """{"description": "derby write packet"}"""))
     val e = engine(Target("derbyw", "", jdbcUrl = Some(url),
       jdbcInit = Seq("SET ISOLATION SERIALIZABLE")), root)
@@ -82,6 +84,10 @@ class JdbcTargetSpec extends AnyFunSuite {
     assert(read.columns == Seq("id", "v"))
     assert(read.rows.map(r => (r.head.toString, r(1).toString)) ==
       Seq(("1", "a"), ("2", "z")))
+    // a VIEW created mid-run is registered too (getTables must ask for
+    // view types, not just TABLE) and readable by a later pure-read step
+    val viewRead = res.resultData("derbyw")("05_step.sql").head
+    assert(viewRead.rows.map(_.head.toString) == Seq("2"))
   }
 
   test("a failing statement rolls back the whole step's transaction") {

@@ -127,6 +127,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late in-watermark event from an earlier batch extends, never rewinds") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long, hhmm: String): EventsStreaming.Event =
+      EventsStreaming.Event(id,
+        java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), user, "click", 1.0)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Event]
+    val q = EventsStreaming
+      .sessionize(spark, mem.toDS(), gapMs = 30 * 60 * 1000L,
+        watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sess_out").start()
+    try {
+      mem.addData(ev(1, 1L, "10:20"))
+      q.processAllAvailable() // state: start=end=10:20
+      // LATE but above the watermark: must extend start to 10:05, keep end
+      mem.addData(ev(2, 1L, "10:05"))
+      q.processAllAvailable()
+      mem.addData(ev(3, 2L, "14:00")) // advance watermark far past last+gap
+      q.processAllAvailable()
+      mem.addData(ev(4, 2L, "14:01"))
+      q.processAllAvailable()
+      val rows = spark.table("late_sess_out")
+        .filter($"user_id" === 1L)
+        .select($"n_events", $"session_start".cast("string"),
+          $"session_end".cast("string"))
+        .as[(Long, String, String)].collect().toSeq
+      assert(rows == Seq((2L, "2024-01-01 10:05:00", "2024-01-01 10:20:00")),
+        rows.mkString("; "))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions") {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
