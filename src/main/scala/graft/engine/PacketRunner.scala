@@ -399,11 +399,34 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
           s"maintenance statement: ${SqlSplitter.firstKeyword(stm)}")
         runMaintenance(conf.jdbc, stm)
       } else {
-        val df = spark.sql(stm)
-        if (df.schema.nonEmpty) {
-          val rows = df.take(conf.resultRowCap)
-          results += ResultSet(df.schema.fieldNames.toSeq,
-            rows.map(_.toSeq).toSeq)
+        // live-target dialect passthrough: a read statement the Spark
+        // parser rejects (::casts, VALUES CURRENT …, other server-isms)
+        // still runs verbatim on the database — the reference sends every
+        // statement to the server anyway, so read-only parity must not
+        // depend on Spark's dialect
+        val sparkCanRun =
+          conf.jdbc.isEmpty || {
+            try {
+              val p = spark.sessionState.sqlParser.parsePlan(stm)
+              spark.sessionState.executePlan(p).assertAnalyzed()
+              true
+            } catch {
+              // parse- or analysis-rejected → the server is the authority
+              // (execution errors after analysis stay Spark-side)
+              case _: org.apache.spark.sql.catalyst.parser.ParseException => false
+              case _: org.apache.spark.sql.AnalysisException => false
+            }
+          }
+        if (!sparkCanRun) {
+          val (rs, _) = Jdbc.executeTx(conf.jdbc.get, Seq(stm), conf.resultRowCap)
+          results ++= rs
+        } else {
+          val df = spark.sql(stm)
+          if (df.schema.nonEmpty) {
+            val rows = df.take(conf.resultRowCap)
+            results += ResultSet(df.schema.fieldNames.toSeq,
+              rows.map(_.toSeq).toSeq)
+          }
         }
       }
     }

@@ -125,6 +125,33 @@ class JdbcTargetSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("read-only dialect passthrough: server-only syntax runs verbatim") {
+    val url = freshDb()
+    val (root, name) = mkPackets("jdbc_dialect", Map(
+      // Spark's parser rejects VALUES CURRENT ISOLATION; a read_only
+      // packet must still run it against the live database
+      "01_step.sql" -> "VALUES CURRENT ISOLATION;",
+      "meta_data.json" -> """{"type": "read_only"}"""))
+    val e = engine(Target("derbyd", "", jdbcUrl = Some(url)), root)
+    val res = e.run(RunSpec("run", name, "derbyd"))
+    assert(res.resultCode("derbyd") == "success", res.notices.mkString("; "))
+    val rs = res.resultData("derbyd")("01_step.sql").head
+    assert(Set("CS", "RS", "RR", "UR")(rs.rows.head.head.toString.trim),
+      rs.toString)
+  }
+
+  test("jdbc reads push filters down into the database scan") {
+    val url = freshDb()
+    seed(url, "nation")
+    val ch = JdbcChannel("derbyp", url)
+    Jdbc.registerTables(spark, ch)
+    val q = spark.table("nation").filter("n_regionkey = 2")
+      .select("n_name")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(n_regionkey,2)"), plan.take(1500))
+  }
+
   test("lock observer detects a real blocker and a real waiter over JDBC") {
     val url = freshDb()
     val ch = JdbcChannel("derbyl", url)
