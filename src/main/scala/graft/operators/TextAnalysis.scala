@@ -21,6 +21,53 @@ object TextAnalysis {
 
   def wordCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Gopher-style repetition signals: total words, distinct words, the
+    * most frequent word and its count — the raw inputs of the
+    * top-word-fraction and duplicate-word-fraction quality rules. Emitted
+    * as EXACT integers (ratios are one division away) so the oracle
+    * compare is float-free. Scale shape: one generator explode, then two
+    * aggregations whose shuffles carry only (id, word) / (id) keys with
+    * map-side partial aggregation — no text is shuffled. */
+  def repetitionSignals(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val words = df.select(col(idCol), explode(tokens(text)).as("w"))
+    val wc = words.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val agg = wc.groupBy(col(idCol)).agg(
+      sum(col("c")).cast("long").as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_c"))
+    // tie on the top count → lexicographically first word (deterministic)
+    wc.join(agg, idCol).filter(col("c") === col("top_c"))
+      .groupBy(col(idCol), col("n_words"), col("n_distinct"), col("top_c"))
+      .agg(min(col("w")).as("top_word"))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        col("top_c"), col("top_word"))
+  }
+
+  /** Deterministic per-stratum hash sampling — training-mixture
+    * construction (keep X% of source A, Y% of source B) that is exactly
+    * reproducible on any engine: a row survives iff the leading byte of
+    * md5(salt:id) falls under its stratum's threshold. A pure
+    * partition-local filter (no shuffle, no RNG state); changing the salt
+    * redraws the sample, changing a rate only grows/shrinks that stratum
+    * monotonically (hexThreshold is monotone in the rate). */
+  def hexThreshold(rate: Double): String = {
+    val n = math.max(0, math.min(256, math.round(rate * 256))).toInt
+    // the compare is LEXICOGRAPHIC on two hex chars: rate 1.0 needs a
+    // sentinel above "ff" of the same shape ("100" would sort BELOW "20")
+    if (n >= 256) "zz" else f"$n%02x"
+  }
+
+  def hashSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], salt: String): DataFrame = {
+    val bucket = substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 2)
+    val threshold = rates.foldLeft(lit("00")) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** Quality features: length, mean word length, punctuation ratio,
     * stopword ratio, alpha ratio. Deterministic double math (single
     * divisions of exact integer counts). */

@@ -103,6 +103,47 @@ object PipelineQueries {
         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       FROM documents ORDER BY doc_id""")),
 
+    // Repetition signals (Gopher-style filters: top-word fraction,
+    // duplicate-word fraction) as exact integer counts
+    QuerySpec("t05_repetition", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.repetitionSignals(
+          Tables.load(s, dir, "documents"), "doc_id", $"text")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents),
+      wc AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS c
+             FROM words GROUP BY doc_id, w),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(1) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_c
+              FROM wc GROUP BY doc_id)
+      SELECT a.doc_id, a.n_words, a.n_distinct, a.top_c,
+        min(wc.w) AS top_word
+      FROM agg a JOIN wc ON wc.doc_id = a.doc_id AND wc.c = a.top_c
+      GROUP BY a.doc_id, a.n_words, a.n_distinct, a.top_c
+      ORDER BY a.doc_id""")),
+
+    // Deterministic mixture sampling: per-source keep rates via a hash
+    // threshold — the exact rows are engine-independent (md5 hex compare),
+    // so the oracle recomputes the same sample relationally
+    QuerySpec("t06_hash_sample", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.hashSample(
+          Tables.load(s, dir, "documents").select($"doc_id", $"source"),
+          "doc_id", "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          salt = "mix1")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      SELECT doc_id, source FROM documents
+      WHERE substring(md5('mix1:' || CAST(doc_id AS STRING)), 1, 2) <
+        CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN '80'
+                    WHEN 'src2' THEN '40' ELSE '00' END
+      ORDER BY doc_id""")),
+
     // ---- Deduplication ------------------------------------------------
     // Exact dedup with planted exact copies (doc_id+100000 for doc_id<25).
     QuerySpec("d01_dedup_exact", (s, dir) => {
