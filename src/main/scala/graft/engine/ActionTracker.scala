@@ -1,6 +1,9 @@
 package graft.engine
 
 import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,8 +16,15 @@ import org.apache.spark.sql.types._
   *   dbc_actions(dt, packet_id, step_id, step_hash)
   *   dbc_locks  (id, name, locked, dt)
   *
-  * Storage: one parquet directory per table under `stateDir` (the Spark
-  * analogue of the reference's `schema_location`).
+  * Storage: one directory per table under `stateDir` (the Spark analogue
+  * of the reference's `schema_location`), rows as TSV lines with
+  * base64-encoded strings — written with plain java IO. Tracker state is
+  * OPERATIONAL driver-side data (tens of rows): paying a Spark job per
+  * write (~250 ms scheduling + executor round trip for one row) was the
+  * engine path's largest fixed cost, and on a real cluster those jobs
+  * would contend with data jobs for executors. The crash-rename protocol
+  * and WAL-append semantics are unchanged; public accessors still expose
+  * DataFrames (local relations over the parsed rows).
   *
   * Durability tiers (a tracker instance is the single writer for its
   * stateDir during a run):
@@ -55,19 +65,72 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     case _ => LocksSchema
   }
 
-  private def readOr(table: String): DataFrame = {
-    def hasData(f: java.io.File) =
-      f.isDirectory && f.listFiles().exists(_.getName.endsWith(".parquet"))
+  // -- TSV codec: positional fields per schema; strings base64'd (no
+  //    escaping pitfalls), timestamps as epoch millis, null as \N --------
+  private def encodeRow(r: Row, schema: StructType): String =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      if (r.isNullAt(i)) "\\N"
+      else f.dataType match {
+        case StringType => java.util.Base64.getEncoder.encodeToString(
+          r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case TimestampType => r.getTimestamp(i).getTime.toString
+        case _ => String.valueOf(r.get(i))
+      }
+    }.mkString("\t")
+
+  private def decodeRow(line: String, schema: StructType): Row = {
+    val parts = line.split("\t", -1)
+    Row.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+      val v = parts(i)
+      if (v == "\\N") null
+      else f.dataType match {
+        case StringType => new String(java.util.Base64.getDecoder.decode(v),
+          java.nio.charset.StandardCharsets.UTF_8)
+        case TimestampType => new Timestamp(v.toLong)
+        case LongType => v.toLong
+        case IntegerType => v.toInt
+        case BooleanType => v.toBoolean
+        case other => throw new IllegalStateException(s"unsupported $other")
+      }
+    }.toSeq)
+  }
+
+  private def writeFile(dir: java.io.File, name: String, rows: Seq[Row],
+      schema: StructType, replaceDir: Boolean): Unit = {
+    def rmAll(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rmAll); f.delete()
+    }
+    if (replaceDir) rmAll(dir)
+    java.nio.file.Files.createDirectories(dir.toPath)
+    val bytes = rows.map(encodeRow(_, schema)).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // write via a temp name + rename so a reader never sees a torn file
+    val tmp = new java.io.File(dir, s".$name.tmp")
+    java.nio.file.Files.write(tmp.toPath, bytes)
+    if (!tmp.renameTo(new java.io.File(dir, name)))
+      throw new java.io.IOException(s"cannot publish $tmp")
+  }
+
+  private def dataFiles(f: java.io.File): Seq[java.io.File] =
+    if (!f.isDirectory) Nil
+    else f.listFiles().filter(_.getName.endsWith(".tsv")).sortBy(_.getName).toSeq
+
+  private def readRows(table: String): Seq[Row] = {
     val dir = new java.io.File(path(table))
     // `.old` is the staged-aside copy from writeRows — present only if a
     // crash hit between its two renames
     val fallback = new java.io.File(path(table) + ".old")
-    if (hasData(dir))
-      spark.read.schema(schemaOf(table)).parquet(dir.getPath)
-    else if (hasData(fallback))
-      spark.read.schema(schemaOf(table)).parquet(fallback.getPath)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaOf(table))
+    val files =
+      if (dataFiles(dir).nonEmpty) dataFiles(dir) else dataFiles(fallback)
+    val schema = schemaOf(table)
+    files.flatMap { f =>
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).map(l => decodeRow(l, schema))
+    }
   }
+
+  private def readOr(table: String): DataFrame =
+    spark.createDataFrame(readRows(table).asJava, schemaOf(table))
 
   /** On-disk DataFrame views (external inspection; in-run state is
     * authoritative in this instance's cache until persisted). */
@@ -107,8 +170,7 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
   private def writeRows(table: String, rows: Seq[Row]): Unit = {
     val tmp = new java.io.File(path(table) + ".tmp")
     val old = new java.io.File(path(table) + ".old")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schemaOf(table))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    writeFile(tmp, "rows.tsv", rows, schemaOf(table), replaceDir = true)
     def rm(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
     }
@@ -212,12 +274,15 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     // Status-only mutations don't force this (advisory; persisted at run end).
     if (mappingDirty) persistMeta()
     val prior = rowsOf("dbc_actions") // BEFORE the append, or they count twice
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(pendingActions, 1), ActionsSchema)
-      .coalesce(1).write.mode("append").parquet(path("dbc_actions"))
+    // WAL semantics: a NEW uniquely-named file per flush, never a rewrite
+    writeFile(new java.io.File(path("dbc_actions")),
+      f"actions-${now()}%013d-${walSeq}%06d.tsv",
+      pendingActions, ActionsSchema, replaceDir = false)
+    walSeq += 1
     cache("dbc_actions") = prior ++ pendingActions
     pendingActions = Vector.empty
   }
+  private var walSeq = 0
 
   /** Driver-side dedup set for bounded fan-outs: WAL loaded once per
     * tracker instance, filtered in memory. */

@@ -109,6 +109,10 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
     if (tracker.isPacketLocked(packet.name))
       return result(packet, ResultLocked, statusOf(packet))
 
+    // session prep must not outlive the run when the caller shares its
+    // session (the reference's SETs die with the connection): capture the
+    // prior values for the finally's restore
+    var priorConf: Seq[(String, Option[String])] = Nil
     try {
       // Lock and session prep live inside the try: a throwing conf key (e.g.
       // a static SQL conf in meta_data.json) must still reach the finally's
@@ -118,6 +122,8 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       // E24 session preparation: per-packet conf overrides (the reference's
       // prepare_session SET work_mem/... block, dbccore.py:347-377) + a job
       // description carrying the application_name analogue
+      priorConf = packet.meta.sessionConf.keys.toSeq
+        .map(k => k -> spark.conf.getOption(k))
       packet.meta.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
       spark.sparkContext.setJobDescription(
         s"dbc_${packet.name}_${conf.target}")
@@ -175,6 +181,11 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         }
         result(packet, ResultFail, "exception", Some(e.getMessage))
     } finally {
+      priorConf.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) =>
+          try spark.conf.unset(k) catch { case scala.util.control.NonFatal(_) => () }
+      }
       tracker.flushActions()
       tracker.persistMeta()
       tracker.setPacketUnlock(packet.name) // unlock at end of run (db_converter.py:742-746)

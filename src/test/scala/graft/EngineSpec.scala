@@ -334,20 +334,27 @@ class EngineSpec extends AnyFunSuite {
     assert(lines(3) == "| b     | 22 |")
   }
 
-  test("session preparation applies per-packet spark conf overrides") {
+  test("session preparation applies per-packet spark conf overrides " +
+      "during the run and restores them after") {
     Tables.registerAll(spark, fixtures)
     val dir = Files.createTempDirectory("graft-sess").resolve("sess_packet")
     Files.createDirectories(dir)
-    Files.writeString(dir.resolve("01_step.sql"), "SELECT 1 AS ok;")
+    Files.writeString(dir.resolve("01_step.py"),
+      "# callback observes the conf mid-run")
     Files.writeString(dir.resolve("meta_data.json"),
       """{"type": "default",
          "spark": {"spark.sql.shuffle.partitions": "7"}}""")
+    var seenDuringRun = ""
+    ScalaSteps.register("sess_packet", "01_step.py") { ctx =>
+      seenDuringRun = ctx.spark.conf.get("spark.sql.shuffle.partitions")
+    }
     val before = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      val res = runner(tmpState()).run(dir.toString)
-      assert(res.resultCode("spark") == "success")
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    val res = runner(tmpState()).run(dir.toString)
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    assert(seenDuringRun == "7")
+    // the reference's SETs die with the connection: a shared session must
+    // not keep packet-local conf after the run
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
   test("maintenance statements route through the non-tx path with a notice") {
