@@ -28,6 +28,48 @@ class EnginePropertySpec extends AnyFunSuite {
   private val maskGen = Gen.chooseNum(0, 10).flatMap(n =>
     Gen.stringOfN(n, Gen.frequency(5 -> nameChars, 2 -> Gen.const('*'), 2 -> Gen.const('?'))))
 
+  test("tracker state survives arbitrary text through a fresh instance") {
+    // the TSV/base64 persistence is the crash-resume substrate: any packet
+    // name / exception text (tabs, newlines, unicode, the \N marker, empty)
+    // must round-trip bit-exact through a NEW tracker reading the files
+    val spark = TestSpark.session
+    val textGen = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\t', '\n', '"', '\\', '\'', 'ß', '☃', ' ')))
+      .map(_.mkString)
+    forAll(Gen.zip(textGen.suchThat(_.trim.nonEmpty), textGen), 40) {
+      case (pkt, descr) =>
+        val state = Files.createTempDirectory("graft-codec").toString
+        val t1 = new graft.engine.ActionTracker(spark, state)
+        t1.initTables()
+        t1.ensurePacket(pkt, "hash-" + descr, s"""{"d":"$descr"}""")
+        t1.setStepStatus(pkt, "01_step.sql", "exception", Some(descr))
+        t1.applyAction(pkt, "01_step.sql", "h1")
+        t1.flushActions()
+        t1.persistMeta()
+        val t2 = new graft.engine.ActionTracker(spark, state)
+        assert(t2.packetStatus(pkt).exists(_.exceptionDescr.contains(descr)))
+        assert(t2.executedHashes(pkt, "01_step.sql") == Set("h1"))
+        assert(t2.actions.count() == 1)
+    }
+    // the null marker itself must stay distinguishable from the STRING \N
+    val state = Files.createTempDirectory("graft-codec").toString
+    val t = new graft.engine.ActionTracker(spark, state)
+    t.initTables()
+    t.ensurePacket("p", "h", "{}")
+    t.setStepStatus("p", "s", "exception", Some("\\N"))
+    t.persistMeta()
+    val rt = new graft.engine.ActionTracker(spark, state)
+    assert(rt.packetStatus("p").exists(_.exceptionDescr.contains("\\N")))
+    val state2 = Files.createTempDirectory("graft-codec").toString
+    val t2 = new graft.engine.ActionTracker(spark, state2)
+    t2.initTables()
+    t2.ensurePacket("p", "h", "{}")
+    t2.setStepStatus("p", "s", "done", None)
+    t2.persistMeta()
+    val rt2 = new graft.engine.ActionTracker(spark, state2)
+    assert(rt2.packetStatus("p").exists(_.exceptionDescr.isEmpty))
+  }
+
   test("glob matcher agrees with a regex oracle") {
     forAll(maskGen, nameGen) { (mask: String, text: String) =>
       val regex = mask.flatMap {
