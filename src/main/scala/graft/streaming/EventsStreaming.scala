@@ -60,6 +60,27 @@ object EventsStreaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus curation — the p02 composition on an unbounded
+    * document stream: quality gate → language gate → fingerprint dedup.
+    * Every scoring stage is a pure column expression (streams untouched);
+    * the batch dedup window becomes dropDuplicatesWithinWatermark on the
+    * fingerprint, so dedup state holds only the horizon's fingerprints —
+    * at continuous-ingest scale the state store is bounded by the
+    * watermark, not corpus history. */
+  def curate(docs: DataFrame, tsCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored = TextAnalysis.qualityFeatures(docs, col("text"))
+      .withColumn("lang_detected", TextAnalysis.langId(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    scored
+      .filter(col("n_words") >= 10 && col("quality_score") >= 0.3 &&
+        col("lang_detected") === "en")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("n_words"), col("quality_score"), col("fp"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long,

@@ -89,6 +89,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(slid.agg(sum($"n")).head().getLong(0) == 2 * batch.count())
   }
 
+  test("streaming curation keeps the same corpus as the batch pipeline") {
+    import spark.implicits._
+    // stream the documents fixture (with planted duplicates) through the
+    // curation composition; the kept FINGERPRINT set must equal the batch
+    // p02 selection (kept doc ids differ only on which duplicate survives)
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    val dup = docs.filter($"doc_id" < 25)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    docs.unionByName(dup).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(docs.unionByName(dup).schema).parquet(tmp)
+    val q = EventsStreaming.curate(stream, "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out")
+      val batch = SparkEntry.queries("p02_curation_pipeline")(spark, dir)
+      assert(streamed.select("fp").distinct().count() == streamed.count(),
+        "streaming dedup left duplicate fingerprints")
+      assert(streamed.count() == batch.count(),
+        s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    } finally q.stop()
+  }
+
   test("quiet key's session closes on watermark advance, not wall clock") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
