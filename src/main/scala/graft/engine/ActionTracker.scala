@@ -95,11 +95,12 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     }.toSeq)
   }
 
+  private def rmAll(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) f.listFiles().foreach(rmAll); f.delete()
+  }
+
   private def writeFile(dir: java.io.File, name: String, rows: Seq[Row],
       schema: StructType, replaceDir: Boolean): Unit = {
-    def rmAll(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rmAll); f.delete()
-    }
     if (replaceDir) rmAll(dir)
     java.nio.file.Files.createDirectories(dir.toPath)
     val bytes = rows.map(encodeRow(_, schema)).mkString("", "\n", "\n")
@@ -107,21 +108,33 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     // write via a temp name + rename so a reader never sees a torn file
     val tmp = new java.io.File(dir, s".$name.tmp")
     java.nio.file.Files.write(tmp.toPath, bytes)
-    if (!tmp.renameTo(new java.io.File(dir, name)))
+    val dst = new java.io.File(dir, name)
+    // renameTo silently replaces on POSIX: an append-mode target that
+    // already exists would OVERWRITE history — refuse instead
+    if (!replaceDir && dst.exists())
+      throw new java.io.IOException(s"refusing to overwrite $dst")
+    if (!tmp.renameTo(dst))
       throw new java.io.IOException(s"cannot publish $tmp")
   }
 
-  private def dataFiles(f: java.io.File): Seq[java.io.File] =
-    if (!f.isDirectory) Nil
-    else f.listFiles().filter(_.getName.endsWith(".tsv")).sortBy(_.getName).toSeq
+  private def dataFiles(f: java.io.File): Seq[java.io.File] = {
+    if (!f.isDirectory) return Nil
+    val all = f.listFiles()
+    // a stateDir from a different tracker build must fail LOUD, not read
+    // as empty (empty state re-runs every executed action)
+    if (all.exists(_.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"$f holds a legacy-format state table; wipe or convert it")
+    all.filter(_.getName.endsWith(".tsv")).sortBy(_.getName).toSeq
+  }
 
   private def readRows(table: String): Seq[Row] = {
-    val dir = new java.io.File(path(table))
+    val dir = dataFiles(new java.io.File(path(table)))
     // `.old` is the staged-aside copy from writeRows — present only if a
     // crash hit between its two renames
-    val fallback = new java.io.File(path(table) + ".old")
     val files =
-      if (dataFiles(dir).nonEmpty) dataFiles(dir) else dataFiles(fallback)
+      if (dir.nonEmpty) dir
+      else dataFiles(new java.io.File(path(table) + ".old"))
     val schema = schemaOf(table)
     files.flatMap { f =>
       java.nio.file.Files.readAllLines(f.toPath).asScala
@@ -171,21 +184,18 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     val tmp = new java.io.File(path(table) + ".tmp")
     val old = new java.io.File(path(table) + ".old")
     writeFile(tmp, "rows.tsv", rows, schemaOf(table), replaceDir = true)
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
     val dst = new java.io.File(path(table))
     if (dst.exists()) {
       // only drop the `.old` fallback while `dst` is the durable copy —
       // when `dst` is absent (crash between the renames), `.old` is the ONLY
       // durable copy and must survive until tmp is published below
-      rm(old)
+      rmAll(old)
       if (!dst.renameTo(old))
         throw new java.io.IOException(s"cannot stage $dst aside")
     }
     if (!tmp.renameTo(dst))
       throw new java.io.IOException(s"cannot publish $tmp")
-    rm(old)
+    rmAll(old)
   }
 
   /** DDL analogue (reference init_tbls, actiontracker.py:17-99): an empty
@@ -274,15 +284,19 @@ final class ActionTracker(spark: SparkSession, stateDir: String,
     // Status-only mutations don't force this (advisory; persisted at run end).
     if (mappingDirty) persistMeta()
     val prior = rowsOf("dbc_actions") // BEFORE the append, or they count twice
-    // WAL semantics: a NEW uniquely-named file per flush, never a rewrite
-    writeFile(new java.io.File(path("dbc_actions")),
-      f"actions-${now()}%013d-${walSeq}%06d.tsv",
+    // WAL semantics: a NEW uniquely-named file per flush, never a rewrite.
+    // The sequence starts past any existing file (a resumed instance — or
+    // a deterministic injected clock — must not collide with history;
+    // writeFile additionally refuses to overwrite).
+    val dir = new java.io.File(path("dbc_actions"))
+    if (walSeq < 0) walSeq = dataFiles(dir).size
+    writeFile(dir, f"actions-${now()}%013d-${walSeq}%06d.tsv",
       pendingActions, ActionsSchema, replaceDir = false)
     walSeq += 1
     cache("dbc_actions") = prior ++ pendingActions
     pendingActions = Vector.empty
   }
-  private var walSeq = 0
+  private var walSeq = -1
 
   /** Driver-side dedup set for bounded fan-outs: WAL loaded once per
     * tracker instance, filtered in memory. */

@@ -124,12 +124,17 @@ object Jdbc {
     * reference's behavior (dbccore.py:886-888), stronger than analyze-only
     * because constraint violations and lock conflicts surface too. */
   def executeTx(ch: JdbcChannel, stms: Seq[String], rowCap: Int,
-      commit: Boolean = true): (Seq[ResultSet], Boolean) = {
+      commit: Boolean = true, readOnly: Boolean = false): (Seq[ResultSet], Boolean) = {
     val conn = openConnection(ch)
     var hadDdl = false
     val out = mutable.Buffer.empty[ResultSet]
     try {
       conn.setAutoCommit(false)
+      // read_only packets run under a READ ONLY connection so the SERVER
+      // rejects writes (the reference's SET TRANSACTION READ ONLY,
+      // dbccore.py:857-860) — keyword classification alone would let a
+      // data-modifying CTE (`WITH del AS (DELETE …) SELECT …`) through
+      if (readOnly) conn.setReadOnly(true)
       stms.foreach { stm =>
         val st = conn.createStatement()
         track(ch.targetName, st)

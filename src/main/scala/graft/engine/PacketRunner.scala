@@ -181,8 +181,12 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         }
         result(packet, ResultFail, "exception", Some(e.getMessage))
     } finally {
+      // every restore arm is guarded: a static conf that refused the SET
+      // also refuses the restore, and a throw here would skip the unlock
+      // below — leaving the packet locked forever
       priorConf.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, Some(v)) =>
+          try spark.conf.set(k, v) catch { case scala.util.control.NonFatal(_) => () }
         case (k, None) =>
           try spark.conf.unset(k) catch { case scala.util.control.NonFatal(_) => () }
       }
@@ -415,24 +419,33 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         // still runs verbatim on the database — the reference sends every
         // statement to the server anyway, so read-only parity must not
         // depend on Spark's dialect
-        val sparkCanRun =
-          conf.jdbc.isEmpty || {
-            try {
-              val p = spark.sessionState.sqlParser.parsePlan(stm)
-              spark.sessionState.executePlan(p).assertAnalyzed()
-              true
-            } catch {
-              // parse- or analysis-rejected → the server is the authority
-              // (execution errors after analysis stay Spark-side)
-              case _: org.apache.spark.sql.catalyst.parser.ParseException => false
-              case _: org.apache.spark.sql.AnalysisException => false
-            }
+        // the classification probe's parsed plan is REUSED on success so
+        // Spark-runnable statements are parsed once, not twice
+        val probed: Option[DataFrame] =
+          if (conf.jdbc.isEmpty) Some(spark.sql(stm))
+          else try {
+            val p = spark.sessionState.sqlParser.parsePlan(stm)
+            val df = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, p)
+            df.queryExecution.assertAnalyzed()
+            Some(df)
+          } catch {
+            // parse- or analysis-rejected → the server is the authority
+            // (execution errors after analysis stay Spark-side)
+            case _: org.apache.spark.sql.catalyst.parser.ParseException => None
+            case _: org.apache.spark.sql.AnalysisException => None
           }
-        if (!sparkCanRun) {
-          val (rs, _) = Jdbc.executeTx(conf.jdbc.get, Seq(stm), conf.resultRowCap)
+        if (probed.isEmpty) {
+          // the packet type's write promises must hold on the passthrough:
+          // read_only → server-enforced READ ONLY connection; no_commit →
+          // execute-then-rollback (a keyword-misclassified writing CTE must
+          // not commit)
+          val (rs, _) = Jdbc.executeTx(conf.jdbc.get, Seq(stm),
+            conf.resultRowCap,
+            commit = pt != PacketType.NoCommit,
+            readOnly = pt == PacketType.ReadOnly)
           results ++= rs
         } else {
-          val df = spark.sql(stm)
+          val df = probed.get
           if (df.schema.nonEmpty) {
             val rows = df.take(conf.resultRowCap)
             results += ResultSet(df.schema.fieldNames.toSeq,

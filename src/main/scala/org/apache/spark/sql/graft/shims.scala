@@ -14,6 +14,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an already-parsed logical plan (Dataset.ofRows is
+    * private[sql]) — lets a caller that parsed a statement to CLASSIFY it
+    * execute the same plan without re-parsing/re-analyzing. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Wrapping (2-complement) long arithmetic for hash mixing — ANSI mode
     * (Spark 4 default) makes `*`/`+` throw on overflow, but universal
     * hashing WANTS modular wraparound. */

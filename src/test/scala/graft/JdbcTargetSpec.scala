@@ -125,6 +125,27 @@ class JdbcTargetSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("read-only transactions are enforced by the SERVER, not keywords") {
+    // the read_only passthrough path runs statements the Spark parser
+    // rejected — a keyword-misclassified write (e.g. a data-modifying CTE)
+    // must be refused by the database's READ ONLY connection
+    val url = freshDb()
+    val setup = DriverManager.getConnection(url)
+    try setup.createStatement().execute("CREATE TABLE ro_t (id INT)")
+    finally setup.close()
+    val ch = JdbcChannel("derbyro", url)
+    intercept[java.sql.SQLException] {
+      Jdbc.executeTx(ch, Seq("INSERT INTO ro_t VALUES (1)"), 10,
+        readOnly = true)
+    }
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery("SELECT count(*) FROM ro_t")
+      rs.next()
+      assert(rs.getInt(1) == 0, "read-only connection let a write through")
+    } finally conn.close()
+  }
+
   test("read-only dialect passthrough: server-only syntax runs verbatim") {
     val url = freshDb()
     val (root, name) = mkPackets("jdbc_dialect", Map(
