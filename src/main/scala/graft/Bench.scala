@@ -44,11 +44,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // The driver captures a fixed-size TAIL of stdout: anything printed early
+    // can be truncated from the left (BENCH_r02/r03 lost `total` + the first
+    // 20 query keys). So: full JSON goes to a repo file, the long per-query
+    // line prints FIRST, and a compact machine-parseable total line prints
+    // LAST so the tail always contains it intact.
+    val out = java.nio.file.Paths.get("bench_out.json")
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     // stop Spark BEFORE printing: shutdown chatter must not land after the
-    // JSON line, or a tail-capture of the output truncates it (BENCH_r02)
+    // JSON lines, or a tail-capture of the output truncates them (BENCH_r02)
     spark.stop()
-    println(line)
+    println(full)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","file":"bench_out.json"}""")
     System.out.flush()
   }
 }
