@@ -69,7 +69,11 @@ object StateLock {
   */
 final class Engine(spark: SparkSession, targets: Seq[Target],
     stateRoot: String, packetsRoot: String = "packets",
-    hookSink: Option[HookSink] = None) {
+    hookSink: Option[HookSink] = None,
+    /** E25 reconnect pacing (reference [main] conn_exception_sleep_interval,
+      * db_converter.py:61-62) */
+    connExceptionSleepMs: Long = 5000,
+    connRetryLimit: Int = 720) {
 
   private val terminated = ConcurrentHashMap.newKeySet[String]()
 
@@ -216,6 +220,8 @@ final class Engine(spark: SparkSession, targets: Seq[Target],
             placeholders = spec.placeholders, force = spec.force,
             skipStepCancel = spec.skipStepCancel,
             skipActionCancel = spec.skipActionCancel,
+            connExceptionSleepMs = connExceptionSleepMs,
+            connRetryLimit = connRetryLimit,
             exportDir = Some(s"${stateDir(t.name)}/export"),
             hookSink = hookSink,
             terminated = () => terminated.contains(t.name) ||

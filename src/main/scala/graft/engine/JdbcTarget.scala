@@ -65,6 +65,40 @@ object Jdbc {
     set.length
   }
 
+  /** Classify a throwable into the reference's RETRYABLE taxonomy — the
+    * SQLSTATEs its reconnect loop sleeps on and resumes from
+    * (dbccore.py:1125-1168):
+    *
+    *   57014 query_canceled        57P01 admin_shutdown
+    *   57P02 crash_shutdown        57P03 cannot_connect_now
+    *   57P04 database_dropped      40P01 deadlock_detected
+    *
+    * plus SQLSTATE class 08 (connection exceptions — what a dropped/killed
+    * connection surfaces as through JDBC, the reference's driver-level
+    * ConnectionError) and 40001 serialization_failure (Derby reports
+    * deadlocks under the standard state, PostgreSQL under 40P01). Returns
+    * the reference's `exception_descr` channel value
+    * ("deadlock_detected" | "connection"), walking the cause chain since
+    * Spark and pooled layers wrap the SQLException. */
+  def retryClass(e: Throwable): Option[String] = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 20) {
+      cur match {
+        case s: java.sql.SQLException =>
+          val st = Option(s.getSQLState).getOrElse("")
+          if (st == "40P01" || st == "40001") return Some("deadlock_detected")
+          if (st.startsWith("08") || st == "57014" || st.startsWith("57P"))
+            return Some("connection")
+        case _ => ()
+      }
+      val next = cur.getCause
+      cur = if (next eq cur) null else next
+      depth += 1
+    }
+    None
+  }
+
   /** Open an engine-side connection with session preparation applied. */
   def openConnection(ch: JdbcChannel): Connection = {
     val conn = DriverManager.getConnection(ch.url)

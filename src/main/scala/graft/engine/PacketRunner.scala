@@ -12,6 +12,13 @@ final case class RunnerConf(
     force: Boolean = false,
     skipStepCancel: Boolean = false,   // --skip-step-cancel (E25)
     skipActionCancel: Boolean = false, // --skip-action-cancel (E25)
+    /** E25 reconnect: sleep before retrying a transient failure (the
+      * reference's conn_exception_sleep_interval, db_converter.py:61-62,
+      * default 5 s; its test conf uses 1 s). */
+    connExceptionSleepMs: Long = 5000,
+    /** the reference retries forever (`while do_work`); a bounded loud
+      * backstop is safer for an embedded library — ~1 h at default sleep */
+    connRetryLimit: Int = 720,
     maxFanout: Int = 1000000,
     resultRowCap: Int = 100000,
     /** live JDBC target: write steps run through its transaction sink,
@@ -130,22 +137,65 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
 
       val stepsHashes = mutable.Set.empty[String]
 
-      // pass 1: run_once.sql only, BEFORE generators are evaluated
-      // (dbccore.py:465-469,536)
-      var outcome = stepsPass(packet, runOnceOnly = true, Map.empty, Map.empty,
-        stepsHashes, tracking, readOnly)
+      // E25 reconnect (the other half of skip-step/skip-action): the
+      // reference's worker loop retries the WHOLE steps pass after a
+      // transient failure — query cancel, admin/crash shutdown,
+      // server-not-ready, dropped connection, deadlock (dbccore.py:409-576
+      // `while do_work`, classification dbccore.py:1125-1168) — sleeping
+      // conn_exception_sleep_interval, reconnecting, and re-running
+      // prepare_session before resuming. Here every JDBC statement batch
+      // already executes on a FRESH connection with initStatements applied
+      // (Jdbc.openConnection IS the prepare_session analogue), so the retry
+      // itself is the reconnect; `stepsHashes` + the tracker's executed-hash
+      // WAL make the resume idempotent — completed actions skip, only the
+      // failed action re-runs. Generators re-evaluate each attempt (the
+      // reference re-collects them inside the loop: a resumed batch range
+      // must reflect the database as it is NOW, dbccore.py:538-541).
+      var outcome: (String, Option[String]) = ("done", None)
+      var retries = 0
+      var retry = true
+      while (retry) {
+        retry = false
+        try {
+          // pass 1: run_once.sql only, BEFORE generators are evaluated
+          // (dbccore.py:465-469,536)
+          outcome = stepsPass(packet, runOnceOnly = true, Map.empty, Map.empty,
+            stepsHashes, tracking, readOnly)
 
-      // generator evaluation (dbccore.py:538-541): resultsets collected
-      // driver-side; col 0 is the reserved `maint` command
-      val genObjData = packet.genObj.map { case (idx, g) =>
-        idx -> collectGen(g.sql) }
-      val genNspData = packet.genNsp.map { case (idx, g) =>
-        idx -> collectGen(g.sql) }
+          // generator evaluation (dbccore.py:538-541): resultsets collected
+          // driver-side; col 0 is the reserved `maint` command
+          if (outcome._1 != "terminate" && outcome._2.isEmpty) {
+            val genObjData = packet.genObj.map { case (idx, g) =>
+              idx -> collectGen(g.sql) }
+            val genNspData = packet.genNsp.map { case (idx, g) =>
+              idx -> collectGen(g.sql) }
 
-      // pass 2: every step (run_once.sql dedups via its own hash)
-      if (outcome._1 != "terminate" && outcome._2.isEmpty) {
-        outcome = stepsPass(packet, runOnceOnly = false, genNspData, genObjData,
-          stepsHashes, tracking, readOnly)
+            // pass 2: every step (run_once.sql dedups via its own hash)
+            outcome = stepsPass(packet, runOnceOnly = false, genNspData,
+              genObjData, stepsHashes, tracking, readOnly)
+          }
+        } catch {
+          // a generator read against a dead database lands here rather than
+          // in a step outcome — the reference's worker-loop catch also
+          // flips do_work for its retryable classes (dbccore.py:545-567)
+          case e: Throwable if Jdbc.retryClass(e).isDefined && !conf.terminated() =>
+            outcome = ("exception", Jdbc.retryClass(e))
+        }
+        if (outcome._1 == "exception" &&
+            outcome._2.exists(d => d == "connection" || d == "deadlock_detected") &&
+            !conf.terminated()) {
+          if (retries < conf.connRetryLimit) {
+            retries += 1
+            log(s"packet ${packet.name}: ${outcome._2.get}; reconnecting " +
+              s"after ${conf.connExceptionSleepMs} ms " +
+              s"(retry $retries/${conf.connRetryLimit})", "Error")
+            Thread.sleep(conf.connExceptionSleepMs)
+            retry = true
+          } else {
+            outcome = ("exception", Some(
+              s"${outcome._2.get}: retry limit ${conf.connRetryLimit} exceeded"))
+          }
+        }
       }
 
       val (res, errDescr) = outcome
@@ -217,6 +267,11 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
               StepOutcome.Done(0))
             if (!readOnly && tracking)
               tracker.setStepStatus(packet.name, step.name, "done")
+          case ("exception", d @ Some("connection" | "deadlock_detected")) =>
+            // retryable: surfaces to runPacket's reconnect loop WITHOUT an
+            // exception status write — the reference returns do_work=True
+            // before its set_step_exception_status (dbccore.py:496-526)
+            return ("exception", d)
           case ("exception", d) =>
             stepOutcomes(step.name) = StepOutcome.Failed(d.getOrElse("error"))
             if (!readOnly)
@@ -337,7 +392,14 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
                     errorsCount += 1
                     notices += Notice("ERROR",
                       s"${step.name}: action $stepHash skipped: ${e.getMessage}")
-                  } else return ("exception", Some(trim(e.getMessage)))
+                  } else Jdbc.retryClass(e) match {
+                    // E25 reconnect classification (dbccore.py:1168-1171):
+                    // skip flags take precedence (reference order), then a
+                    // transient failure surfaces on the exception_descr
+                    // channel for runPacket's retry loop
+                    case Some(kind) => return ("exception", Some(kind))
+                    case None => return ("exception", Some(trim(e.getMessage)))
+                  }
               }
             }
           }
