@@ -117,23 +117,57 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: block on 4 × 16-bit chunks (pigeonhole —
     * any pair within Hamming distance 3 shares at least one chunk), then
-    * verify bit_count(xor) <= maxHamming within blocks. */
+    * verify bit_count(xor) <= maxHamming within blocks.
+    *
+    * Degenerate-input posture (the corpus-scale hazard: thousands of
+    * empty/boilerplate docs all hash to the same signature, making one
+    * chunk bucket quadratic):
+    *
+    *  1. identical signatures COLLAPSE before blocking — a group of k
+    *     equal-signature docs emits k-1 star pairs to its min-id
+    *     representative (hamming 0) instead of a k²/2 clique, and only the
+    *     representative enters the chunk index. Lossless for dedup: the
+    *     star keeps the whole group connected, and a clique adds no
+    *     information a keep-one pass would use.
+    *  2. residual skew among DISTINCT signatures is bounded by a posting-
+    *     list cap (d04's truncated-inverted-index pattern): within an
+    *     oversized (chunk, value) bucket only the first `chunkCap` members
+    *     (by id) are indexed; every member still probes the index, so work
+    *     is O(chunkCap·n) per bucket, each member stays connected to the
+    *     bucket prefix, and only prefix-disjoint pairs that share no OTHER
+    *     chunk lose recall. Buckets at or under the cap are exhaustive —
+    *     results there are identical to the uncapped operator.
+    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, chunkCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // 1. equal signatures → star pairs around the min-id representative
+    val reps = sigs.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+    val starPairs = sigs.join(reps, "sig")
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(0L).as("hamming"))
+    // 2. chunk-blocked candidate join over one row per DISTINCT signature
+    val chunked = reps
+      .select(col("rep").as("id"), col("sig"))
       .withColumn("chunk", explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("c"),
           call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("v")))))
-    val a = sigs.select(col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("id"))))
+    val a = chunked.filter(col("rk") <= chunkCap)
+      .select(col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val repPairs = a.join(b, Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // distinct sigs → hamming >= 1
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
+    starPairs.unionByName(repPairs)
   }
 
   // ---------------------------------------------------------------------
@@ -185,12 +219,31 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // Embedding cosine near-dup: LSH-bucketed, exact cosine verify.
+
+  /** Cosine near-dup pairs over an embedding column.
+    *
+    * Degenerate-bucket posture: correlated real-world embeddings can
+    * concentrate one LSH bucket far past its expected n/2^lshBits share,
+    * and unlike simhash there is no exact-signature collapse to hide
+    * behind (near-identical vectors still differ). The posting-list cap
+    * bounds the bucket-local join: only the first `bucketCap` members of a
+    * bucket (by id) are indexed, every member probes the index, so an
+    * n-member bucket costs O(bucketCap·n) cosines instead of n²/2. Every
+    * member still pairs with the bucket prefix, so keep-one dedup
+    * connectivity survives the cap; recall is lost only for pairs of two
+    * beyond-prefix members. Buckets at or under the cap — every bucket, in
+    * a healthy corpus — are exhaustive and match the uncapped operator. */
   def embeddingNearDups(
       embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, lshBits: Int = 12): DataFrame = {
+      threshold: Double = 0.95, lshBits: Int = 12,
+      bucketCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val withBucket = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", VectorFunctions.lshBucket(col("v"), lshBits))
-    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("id"))))
+    val a = withBucket.filter(col("rk") <= bucketCap)
+      .select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

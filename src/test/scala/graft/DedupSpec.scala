@@ -46,6 +46,57 @@ class DedupSpec extends AnyFunSuite {
     assert(planted >= 10, s"recall too low: $planted/25 planted pairs found")
   }
 
+  test("simhash: 10k identical-signature docs produce a linear star, " +
+      "not a quadratic clique") {
+    import spark.implicits._
+    // the corpus-scale hazard: every empty doc hashes to signature 0, so
+    // all four 16-bit chunk buckets degenerate into one — uncapped, that
+    // was ~5·10^7 candidate pairs; collapsed, the group emits k-1 star
+    // pairs around the min-id representative and ONE row enters the index
+    val empties = spark.range(10000)
+      .select($"id".as("doc_id"), lit("").as("text"))
+    val pairs = Dedup.simhashPairs(empties, "doc_id", "text", maxHamming = 3)
+    assert(pairs.count() == 9999)
+    assert(pairs.filter($"id_a" === 0 && $"hamming" === 0).count() == 9999)
+    // connectivity: keep-one dedup still sees every doc
+    assert(pairs.select(explode(array($"id_a", $"id_b"))).distinct().count()
+      == 10000)
+  }
+
+  test("simhash: identical-signature collapse composes with normal docs") {
+    import spark.implicits._
+    val mixed = docs.limit(200).unionByName(
+      spark.range(5000).select(($"id" + 500000L).as("doc_id"),
+        lit("boilerplate header").as("text")))
+    val pairs = Dedup.simhashPairs(mixed, "doc_id", "text", maxHamming = 3)
+    // the 5k-doc boilerplate group stays linear…
+    val boiler = pairs.filter($"id_a" >= 500000L && $"id_b" > 500000L)
+    assert(boiler.count() == 4999)
+    // …and never swamps the output with a quadratic block
+    assert(pairs.count() < 20000, s"quadratic blow-up: ${pairs.count()} pairs")
+  }
+
+  test("embedding near-dup: a degenerate LSH bucket is capped with " +
+      "connectivity preserved") {
+    import spark.implicits._
+    // 3k near-identical embeddings land in ONE 12-bit bucket (identical
+    // hyperplane signs) — the uncapped join did n²/2 ≈ 4.5M cosines; the
+    // posting-list cap bounds it at cap·n while every member still links
+    // into the bucket prefix, so keep-one dedup collapses the whole group
+    val n = 3000
+    val cap = 64
+    val vecs = spark.range(n).select($"id".as("vec_id"),
+      array((0 until 8).map(d =>
+        lit(1.0f) + ($"id" % 97).cast("float") * lit(1e-7f)): _*).as("embedding"))
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.9, lshBits = 12, bucketCap = cap)
+    val cnt = pairs.count()
+    assert(cnt <= cap.toLong * n, s"cap did not bound the bucket: $cnt pairs")
+    assert(cnt >= n - 1, s"bucket lost connectivity: $cnt pairs")
+    assert(pairs.select(explode(array($"id_a", $"id_b"))).distinct().count()
+      == n, "a bucket member fell out of the pair graph")
+  }
+
   test("embedding near-dup finds planted exact copies") {
     import spark.implicits._
     val embs = Tables.load(spark, dir, "embeddings")
