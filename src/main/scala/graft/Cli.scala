@@ -72,7 +72,12 @@ object Cli {
     val targets = targetsFrom(dbs, sessionInit)
     val engine = new Engine(spark, targets,
       stateRoot = main_.getOrElse("state_root", "dbc_state"),
-      packetsRoot = main_.getOrElse("packets_root", "packets"))
+      packetsRoot = main_.getOrElse("packets_root", "packets"),
+      // [mattermost_hooks] / [slack_hooks] webhook sections
+      // (reference db_converter.py:84-103,317-329)
+      hookSink = Webhooks.fromIni(ini),
+      connExceptionSleepMs = 1000L * main_.getOrElse(
+        "conn_exception_sleep_interval", "5").toLong)
     val spec = RunSpec(
       command = opts.getOrElse("cmd", "run"),
       packetName = opts.getOrElse("packet-name", ""),

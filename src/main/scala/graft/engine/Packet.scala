@@ -32,8 +32,12 @@ object PacketType {
   }
 }
 
-/** Hook verbosity subset (reference: dbccore.py:662-686). */
+/** Hook verbosity subset (reference: dbccore.py:662-686). `hookType`
+  * selects the webhook dialect (reference meta_data.json hook.type,
+  * dbccore.py:632-648: "mattermost" | "slack" — same verbosity filter,
+  * different payload shape and emphasis markup). */
 final case class HookConf(
+    hookType: String = "mattermost",
     channel: Option[String] = None,
     username: Option[String] = None,
     message: Option[String] = None,

@@ -126,6 +126,7 @@ object MetaJson {
     val hook =
       if (hookJson.nonEmpty)
         Some(HookConf(
+          hookType = strField(hookJson, "type").getOrElse("mattermost"),
           channel = strField(hookJson, "channel"),
           username = strField(hookJson, "username"),
           message = strField(hookJson, "message"),

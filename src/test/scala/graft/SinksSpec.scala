@@ -109,6 +109,73 @@ class SinksSpec extends AnyFunSuite {
     assert(md.contains("| r_name |") && md.contains("| AFRICA |"))
   }
 
+  test("hook type slack posts the slack payload shape, same verbosity filter") {
+    // reference dbccore.py:632-648,696-697: hook.type selects the dialect —
+    // slack gets *single-asterisk* emphasis + code-fenced tables, and the
+    // payload carries text only (the webhook key selects the channel)
+    Tables.registerAll(spark, fixtures)
+    val mm = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val slack = scala.collection.mutable.Buffer.empty[(String, String)]
+    val dir = mkPacket("test_hook_slack", Map(
+      "01_step.sql" -> "SELECT r_name FROM region ORDER BY r_name LIMIT 2;",
+      "meta_data.json" ->
+        """{"hook": {"type": "slack", "channel": "alerts", "verbosity": ["resultset"]}}"""))
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      hookSink = Some(HookSink.bufferingBoth(mm, slack)))).run(dir)
+    assert(res.resultCode("spark") == "success")
+    assert(mm.isEmpty, "slack hook must not reach the mattermost transport")
+    assert(slack.size == 1)
+    val (channel, text) = slack.head
+    assert(channel == "alerts")
+    assert(text.contains(":gear: *01_step.sql*"))
+    assert(text.contains("```\n| r_name |") && text.contains("| AFRICA |"))
+    // and raise-only verbosity suppresses it, same filter as mattermost
+    val slack2 = scala.collection.mutable.Buffer.empty[(String, String)]
+    val dir2 = mkPacket("test_hook_slack2", Map(
+      "01_step.sql" -> "SELECT 1 AS x;",
+      "meta_data.json" ->
+        """{"hook": {"type": "slack", "channel": "c", "verbosity": ["raise"]}}"""))
+    new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-st").toString,
+      hookSink = Some(HookSink.bufferingBoth(mm, slack2)))).run(dir2)
+    assert(slack2.isEmpty)
+  }
+
+  test("Webhooks.fromIni routes both dialects to their webhook urls") {
+    // [mattermost_hooks] chat_keys are chat/KEY, posts to url/hooks/KEY with
+    // channel+username in the payload; [slack_hooks] chat_keys are chat=KEY,
+    // posts to url/KEY text-only (db_converter.py:84-103, 317-329)
+    val sent = scala.collection.mutable.Buffer.empty[(String, String)]
+    val ini = Map(
+      "mattermost_hooks" -> Map(
+        "url" -> "https://mm.example.com",
+        "chat_keys" -> "alerts/MKEY1,ops/MKEY2"),
+      "slack_hooks" -> Map(
+        "url" -> "https://hooks.slack.example",
+        "chat_keys" -> "alerts=SKEY1"))
+    val sink = Webhooks.fromIni(ini, (url, body) => sent += ((url, body))).get
+    val mmMeta = MetaData(hook = Some(HookConf(
+      channel = Some("ops"), username = Some("dbc"), verbosity = Set("all"))))
+    sink.raiseHook(mmMeta, "01_step.sql", Notice("ERROR", "boom \"quoted\""))
+    val slMeta = MetaData(hook = Some(HookConf(hookType = "slack",
+      channel = Some("alerts"), verbosity = Set("all"))))
+    sink.raiseHook(slMeta, "01_step.sql", Notice("ERROR", "boom"))
+    assert(sent.size == 2)
+    assert(sent(0)._1 == "https://mm.example.com/hooks/MKEY2")
+    assert(sent(0)._2.contains("\"channel\":\"ops\"") &&
+      sent(0)._2.contains("\"username\":\"dbc\"") &&
+      sent(0)._2.contains("\\\"quoted\\\""))
+    assert(sent(1)._1 == "https://hooks.slack.example/SKEY1")
+    assert(sent(1)._2 == """{"text":"*01_step.sql* ERROR: boom"}""")
+    // unknown channel: dropped, never thrown (alerting must not fail a run)
+    sink.raiseHook(MetaData(hook = Some(HookConf(hookType = "slack",
+      channel = Some("nope"), verbosity = Set("all")))), "s", Notice("E", "m"))
+    assert(sent.size == 2)
+    // neither section configured → no sink at all
+    assert(Webhooks.fromIni(Map.empty).isEmpty)
+  }
+
   test("hook with raise-only verbosity posts nothing for resultsets") {
     Tables.registerAll(spark, fixtures)
     val posts = scala.collection.mutable.Buffer.empty[(String, String, String)]
