@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism note: sums are sequential left folds matching both the
   * original HOF formulation and DuckDB's `list_aggregate('sum')`, so the
-  * s01 oracle reproduces the exact double bit pattern; LSH planes use
-  * the same chained-XxHash64 derivation, so bucket values are unchanged.
+  * s01 oracle reproduces the exact double bit pattern; LSH planes derive
+  * from md5 of "(plane)_(component)" so the d05/s02 oracles rebuild the
+  * exact plane weights — and therefore buckets — in SQL.
   */
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
@@ -34,7 +35,7 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Sign-bit LSH bucket: k pseudo-random hyperplanes derived
-    * deterministically from xxhash64 — plane j component i is mapped onto
+    * deterministically from md5 — plane j component i is mapped onto
     * [-0.5, 0.5). Bucket = k-bit integer of dot-product signs. Two vectors
     * with high cosine land in the same bucket with high probability; used
     * to restrict near-dup / ANN search to bucket-local joins so the only

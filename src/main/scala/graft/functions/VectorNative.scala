@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, ArrayType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType, ArrayType}
 
 /** Native codegen'd kernels behind [[VectorFunctions]] — the HOF
   * formulations they replace are interpreted (each element boxes through
@@ -12,8 +12,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
   * Bit-compatibility: every sum is the SAME sequential left fold the HOF
   * versions (and the DuckDB oracle's `list_aggregate('sum')`) perform, so
   * s01's exact-double oracle keeps hash-matching; the LSH plane for
-  * (i, j) is derived with the same chained XxHash64 the column expression
-  * used, so bucket values are unchanged too.
+  * (i, j) derives from md5 so the d05/s02 oracles recompute the buckets
+  * in SQL bit-identically (see `planes` below).
   */
 object VectorNative {
 
@@ -40,19 +40,24 @@ object VectorNative {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** plane_j(i) = (xxhash64(i, j) mod 100000) / 100000 - 0.5 — identical
-    * chained-seed derivation to `xxhash64(col_i, lit(j))`; planes depend
-    * only on (dims, bits), so they are computed once and cached. */
+  /** plane_j(i) = first 52 bits of md5("j_i") mapped onto [-0.5, 0.5).
+    * md5 (not xxhash64) so a SQL oracle can recompute the buckets
+    * relationally — DuckDB: `('0x' || substr(md5(j || '_' || i), 1, 13))
+    * ::UBIGINT / 2^52 - 0.5`. 52 bits keep the integer exact in a double
+    * and the division by 2^52 is exact, so JVM and SQL derive bit-identical
+    * plane weights. Planes depend only on (dims, bits), so they are
+    * computed once and cached. */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
   private def planes(dims: Int, bits: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((dims, bits), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(bits, dims) { (j, i) =>
-        var h = XxHash64Function.hash(i, IntegerType, 42L)
-        h = XxHash64Function.hash(j, IntegerType, h)
-        val r = ((h % 100000L) + 100000L) % 100000L
-        r.toDouble / 100000.0 - 0.5
+        md.reset()
+        val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 13)
+        java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 - 0.5
       }
     })
 

@@ -7,16 +7,41 @@ import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
   * multimodal) as verifiable QuerySpecs over the `documents` and
-  * `embeddings` fixtures. Hash-based operators (MinHash/SimHash/LSH use
-  * xxhash64, which DuckDB lacks) ship without an oracle — the driver
-  * records a rows-only check — and are instead verified by ScalaTest
-  * against planted duplicates with known ids.
+  * `embeddings` fixtures. The MinHash/SimHash operators hash with
+  * xxhash64, which DuckDB lacks, so they ship without an oracle — the
+  * driver records a rows-only check — and are instead verified by
+  * ScalaTest against planted duplicates with known ids. The sign-bit LSH
+  * operators (d05, s02) derive their planes from md5 exactly so their
+  * oracles CAN rebuild the buckets in SQL (see [[LshBucketCte]]).
   */
 object PipelineQueries {
 
   /** Stopword list rendered as a DuckDB array literal. */
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("[", ",", "]")
+
+  /** DuckDB CTEs rebuilding VectorNative.planes bit-identically:
+    * plane_j(i) = first 52 bits of md5("j_i") / 2^52 - 0.5 (12 planes ×
+    * 64 dims, both divisions exact in double). `plane_lists` is one row
+    * per plane with the weight list in component order, so the dot
+    * product below is the same sequential left fold the JVM kernel runs.
+    * Ends with a comma — splice before further CTEs. */
+  private val LshBucketCte = """plane_rows AS (
+        SELECT j.range AS j, i.range AS i,
+          (('0x' || substr(md5(CAST(j.range AS VARCHAR) || '_' ||
+            CAST(i.range AS VARCHAR)), 1, 13))::UBIGINT
+            / 4503599627370496.0) - 0.5 AS w
+        FROM range(12) j, range(64) i),
+      plane_lists AS (
+        SELECT j, list(w ORDER BY i) AS ws FROM plane_rows GROUP BY j),"""
+
+  /** Bucket accumulator over `plane_lists p` for vector column
+    * `c.embedding` — sign bit of each plane dot (>= 0 sets bit j,
+    * matching VectorNative.lshBucket). */
+  private val LshBucketSum = """sum(CASE WHEN
+          list_aggregate(list_transform(list_zip(c.embedding, p.ws),
+            x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') >= 0
+          THEN 1 << p.j ELSE 0 END)"""
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -212,8 +237,10 @@ object PipelineQueries {
       WHERE CAST(shared AS DOUBLE) / (a.n + b.n - shared) >= 0.5
       ORDER BY id_a, id_b""")),
 
-    // Embedding-cosine near-dup with planted exact copies (rows-only;
-    // verified in DedupSpec — LSH bucketing is xxhash64-derived).
+    // Embedding-cosine near-dup with planted exact copies — FULL oracle:
+    // the LSH planes derive from md5 (VectorNative.planes), so DuckDB
+    // rebuilds the exact plane weights, buckets, bucket-equijoin and
+    // cosine verification relationally.
     QuerySpec("d05_dedup_embedding_cosine", (s, dir) => {
       import s.implicits._
       val embs = Tables.load(s, dir, "embeddings")
@@ -223,7 +250,27 @@ object PipelineQueries {
           threshold = 0.99, lshBits = 12)
         .select($"id_a", $"id_b", round($"cos", 6).as("cos"))
         .orderBy($"id_a", $"id_b")
-    }),
+    }, oracle = Some(s"""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS id, embedding FROM embeddings WHERE vec_id < 25),
+      $LshBucketCte
+      b AS (SELECT c.id, $LshBucketSum AS bucket
+            FROM corpus c, plane_lists p GROUP BY c.id),
+      scored AS (
+        SELECT a.id AS id_a, bb.id AS id_b,
+          list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(ea.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(eb.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+        JOIN corpus ea ON ea.id = a.id
+        JOIN corpus eb ON eb.id = bb.id)
+      SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+      WHERE cos >= 0.99 ORDER BY id_a, id_b""")),
 
     // Benchmark decontamination: train docs sharing any word 8-gram with
     // the eval set (docs < 20); planted truncated copies of the eval docs
@@ -292,8 +339,10 @@ object PipelineQueries {
       SELECT vec_id, round(cos, 9) AS cos FROM scored
       ORDER BY cos DESC, vec_id LIMIT 20"""), bench = true),
 
-    // LSH-bucketed ANN (rows-only; recall vs brute force asserted in
-    // SimilaritySpec).
+    // LSH-bucketed ANN — FULL oracle: DuckDB rebuilds the md5-derived
+    // planes, the query and corpus buckets, the Hamming-<=probes probe
+    // set, and the bucket-restricted top-k (recall vs brute force stays
+    // asserted in DedupSpec).
     QuerySpec("s02_ann_lsh", (s, dir) => {
       import s.implicits._
       val embs = Tables.load(s, dir, "embeddings")
@@ -302,7 +351,28 @@ object PipelineQueries {
       Similarity.lshTopK(embs.filter($"vec_id" =!= 0), "vec_id", "embedding", q,
           k = 20, bits = 12, probes = 4)
         .select($"vec_id", round($"cos", 9).as("cos"))
-    }),
+    }, oracle = Some(s"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      corpus AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id <> 0),
+      $LshBucketCte
+      b AS (SELECT c.id, $LshBucketSum AS bucket
+            FROM corpus c, plane_lists p GROUP BY c.id),
+      qb AS (SELECT ${LshBucketSum.replace("c.embedding", "q.qe")} AS bucket
+             FROM q, plane_lists p),
+      probed AS (
+        SELECT b.id FROM b, qb
+        WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(qb.bucket AS BIGINT))) <= 4),
+      scored AS (
+        SELECT c.id AS vec_id,
+          list_aggregate(list_transform(list_zip(c.embedding, qe),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(c.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM corpus c JOIN probed USING (id), q)
+      SELECT vec_id, round(cos, 9) AS cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT 20""")),
 
     // IVF ANN (rows-only; recall vs brute force asserted in DedupSpec) —
     // the coarse-quantizer scale path: the kmeans assignment is an
