@@ -13,6 +13,7 @@
 SET spark.sql.sources.partitionOverwriteMode=dynamic;
 DROP TABLE IF EXISTS test_tbl;
 DROP TABLE IF EXISTS test_tbl_new;
+DROP TABLE IF EXISTS test_tbl_catchup;
 CREATE TABLE test_tbl USING parquet PARTITIONED BY (bk) LOCATION 'DBC_PL_mig_src'
 AS SELECT CAST(o_orderkey AS INT) AS id, o_orderstatus AS val,
           CAST(o_orderkey div DBC_PL_bk_grain AS INT) AS bk

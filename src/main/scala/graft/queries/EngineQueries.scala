@@ -52,7 +52,8 @@ object EngineQueries {
         placeholders = Map(
           "bk_grain" -> grain.toString,
           "mig_src" -> Files.createTempDirectory("graft-w01-src").toString,
-          "mig_dst" -> Files.createTempDirectory("graft-w01-dst").toString))
+          "mig_dst" -> Files.createTempDirectory("graft-w01-dst").toString,
+          "mig_catch" -> Files.createTempDirectory("graft-w01-catch").toString))
       val res = new PacketRunner(s, conf).run(s"$packetsDir/test_int4_to_int8")
       require(res.resultCode("spark") == "success",
         s"migration packet failed: ${res.notices.mkString("; ")}")

@@ -126,7 +126,8 @@ class EngineSpec extends AnyFunSuite {
     def conf = RunnerConf(stateDir = state, placeholders = Map(
       "bk_grain" -> "1000",
       "mig_src" -> Files.createTempDirectory("graft-mig-src").toString,
-      "mig_dst" -> Files.createTempDirectory("graft-mig-dst").toString))
+      "mig_dst" -> Files.createTempDirectory("graft-mig-dst").toString,
+      "mig_catch" -> Files.createTempDirectory("graft-mig-catch").toString))
     val c1 = conf
     val res = new PacketRunner(spark, c1).run("packets/test_int4_to_int8")
     assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
@@ -135,10 +136,11 @@ class EngineSpec extends AnyFunSuite {
       org.apache.spark.sql.types.LongType)
     val src = Tables.load(spark, fixtures, "orders")
     assert(spark.table("test_tbl").count() == src.count())
-    // validation step saw zero null ids
-    val v = res.resultData("spark")("03_step.sql").head
-    assert(v.columns == Seq("src_rows", "dst_rows", "null_ids"))
+    // validation step saw zero null ids and no duplicate ids
+    val v = res.resultData("spark")("05_step.sql").head
+    assert(v.columns == Seq("src_rows", "dst_rows", "null_ids", "dst_ids"))
     assert(v.rows.head(2) == 0L)
+    assert(v.rows.head(1) == v.rows.head(3), "duplicate ids after catch-up")
     // batched fan-out: one action per 1000-id grid slot
     val batches = res.stepResults("spark")("02_step.sql")
       .asInstanceOf[StepOutcome.Done].rows
@@ -150,6 +152,78 @@ class EngineSpec extends AnyFunSuite {
     val res2 = new PacketRunner(spark, c1).run("packets/test_int4_to_int8")
     assert(res2.resultCode("spark") == "success")
     assert(tracker.actions.count() == n1)
+  }
+
+  test("int4→int8 migration under concurrent writes: capture + catch-up " +
+      "lands every concurrently inserted row (TestDBCInt4ToInt8 parity)") {
+    // the reference runs the migration WHILE a writer inserts
+    // (test_packets.py:500-544); its trigger keeps id_new current for
+    // mid-run arrivals — the parquet twin is the 03/04 snapshot-diff
+    // capture + partition-scoped catch-up. A python barrier step between
+    // the backfill and the capture joins the writer thread, so the capture
+    // deterministically sees every concurrent insert.
+    Tables.registerAll(spark, fixtures)
+    val dir = copyPacket("packets/test_int4_to_int8")
+    Files.writeString(java.nio.file.Paths.get(dir, "025_step.py"),
+      "# barrier: join the concurrent writer, then add post-backfill rows")
+    spark.sql("DROP TABLE IF EXISTS test_tbl") // writer must see THIS run's table
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      // append 50 rows interleaved with the backfill batches, starting as
+      // soon as run_once has created the source table (reference
+      // emulate_workload inserts on a 10 ms cadence mid-run)
+      while (!spark.catalog.tableExists("test_tbl")) Thread.sleep(20)
+      (1 to 5).foreach { k =>
+        val rows = (0 until 10).map { i =>
+          val id = 10000 + k * 10 + i
+          s"($id, 'w$k$i', CAST(${id / 1000} AS INT))"
+        }
+        spark.sql(s"INSERT INTO test_tbl VALUES ${rows.mkString(",")}")
+        Thread.sleep(100)
+      }
+      writerDone.set(true)
+    })
+    // the barrier runs between the 02 backfill and the 03 capture: join the
+    // racing writer (its rows land via backfill OR catch-up depending on
+    // timing), then insert rows that are DETERMINISTICALLY post-backfill —
+    // only the capture + catch-up pass can land those
+    ScalaSteps.register("test_int4_to_int8", "025_step.py") { _ =>
+      writer.join(60000)
+      require(writerDone.get(), "concurrent writer did not finish")
+      val late = (0 until 10).map(i =>
+        s"(${50000 + i}, 'late$i', CAST(50 AS INT))")
+      spark.sql(s"INSERT INTO test_tbl VALUES ${late.mkString(",")}")
+    }
+    writer.start()
+    val res = new PacketRunner(spark, RunnerConf(
+      stateDir = tmpState(), placeholders = Map(
+        "bk_grain" -> "1000",
+        "mig_src" -> Files.createTempDirectory("graft-migc-src").toString,
+        "mig_dst" -> Files.createTempDirectory("graft-migc-dst").toString,
+        "mig_catch" -> Files.createTempDirectory("graft-migc-catch").toString)))
+      .run(dir)
+    assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
+    // final table = source ∪ concurrent inserts ∪ late inserts, once each
+    import org.apache.spark.sql.functions.col
+    val got = spark.table("test_tbl").select(col("id").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val srcIds = Tables.load(spark, fixtures, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val writerIds = (1 to 5).flatMap(k => (0 until 10).map(i =>
+      10000L + k * 10 + i))
+    val lateIds = (0 until 10).map(i => 50000L + i)
+    val want = (srcIds ++ writerIds ++ lateIds).sorted
+    assert(got.length == want.length,
+      s"expected ${want.length} rows, got ${got.length}")
+    assert(java.util.Arrays.equals(got, want.toArray),
+      "final table is not source ∪ concurrent inserts")
+    // the late rows prove the capture + catch-up path end-to-end: their
+    // partition (bk=50) was never in the backfill grid
+    assert(spark.table("test_tbl").filter(col("val").startsWith("late"))
+      .count() == 10)
+    // id column is widened on the survivors too
+    assert(spark.table("test_tbl").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("delete packet removes the filtered rows via rewrite + swap") {
