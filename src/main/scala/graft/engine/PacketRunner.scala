@@ -72,8 +72,10 @@ object ScalaSteps {
   * rendering (exactly the reference's model — generator resultsets are
   * operational grids, e.g. 10k-id batch ranges, not data); each rendered
   * action is a full Spark job whose plan Catalyst owns. Fan-outs beyond
-  * `maxFanout` fail loud — at that point the right tool is a crossJoin of
-  * the generator DataFrames, not a driver loop.
+  * `maxFanout` switch to `executeFanoutAsOneJob`: the grid becomes a
+  * DataFrame joined laterally against the rewritten statement — ONE
+  * distributed job instead of N driver-loop actions, same per-combo
+  * action hashes, so the two execution shapes share one resume history.
   */
 final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
 
@@ -319,8 +321,8 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         notices += Notice("ERROR", err)
         ("exception", Some(err))
       case Right(cs) if cs.size > conf.maxFanout =>
-        ("exception", Some(s"${step.name}: fan-out ${cs.size} exceeds " +
-          s"maxFanout=${conf.maxFanout}; use a crossJoin-based step"))
+        executeFanoutAsOneJob(packet, step, ctx, cs, stepsHashes, tracking,
+          readOnly)
       case Right(cs) =>
         // executed-hash set loaded ONCE per step (reference does a per-action
         // indexed EXISTS; the bulk load + left_anti equivalent is
@@ -408,6 +410,149 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         stepOutcomes(step.name) = StepOutcome.Done(ran)
         log(s"step ${step.name}: done ($ran actions)")
         ("done", None)
+    }
+  }
+
+  // -- distributed fan-out (combos > maxFanout): ONE joined job ----------
+  //    The driver loop pays a full Spark job per combo — right for the
+  //    reference's operational grids (tens to thousands of batches), wrong
+  //    past maxFanout. There the grid becomes a DataFrame joined LATERALLY
+  //    against the step's (rewritten) statement, so Catalyst decorrelates
+  //    the per-combo predicate into one join and the whole fan-out is a
+  //    single distributed job. Action hashes are the SAME per-combo
+  //    rendered-SQL md5 the loop path uses, so histories interoperate:
+  //    a half-finished loop run resumes distributed (and vice versa), and
+  //    a re-run skips everything. Limits (fail loud, same as before):
+  //    python/export/multi-statement steps, live-target writes, and
+  //    generator fields in table position — a FLD can become a correlated
+  //    column reference only in expression position. Per-combo `maint`
+  //    pre-commands run once per DISTINCT rendered command (amortized, not
+  //    per-batch — at this grain per-batch maintenance is meaningless).
+  private def executeFanoutAsOneJob(packet: Packet, step: Step,
+      ctx: StepContext, cs: Seq[(Option[GenRow], Option[GenRow])],
+      stepsHashes: mutable.Set[String], tracking: Boolean,
+      readOnly: Boolean): (String, Option[String]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+
+    def unsupported(why: String): (String, Option[String]) =
+      ("exception", Some(s"${step.name}: fan-out ${cs.size} exceeds " +
+        s"maxFanout=${conf.maxFanout} and cannot run as one joined job " +
+        s"($why); raise maxFanout or restructure the step"))
+
+    val stms = SqlSplitter.split(step.sql)
+    if (step.isPython) return unsupported("python step")
+    if (packet.meta.packetType == PacketType.ExportData)
+      return unsupported("export step")
+    if (stms.size != 1) return unsupported("multi-statement step")
+    if (conf.jdbc.isDefined && packet.meta.packetType != PacketType.ReadOnly &&
+        stms.exists(s => !SqlSplitter.isReadOnlyStatement(s)))
+      return unsupported("live-target write step")
+    val stm = stms.head
+    if ("(?i)(from|join|table)\\s+gen_(obj|nsp)_fld_".r
+        .findFirstIn(stm.toLowerCase).isDefined)
+      return unsupported("generator field in table position")
+
+    val nFldN = cs.head._1.map(f => f.fields.size - 1).getOrElse(0)
+    val nFldO = cs.head._2.map(f => f.fields.size - 1).getOrElse(0)
+    // per-combo rendered-SQL hash + field row (fields are 1-based; index 0
+    // is the reserved maint command)
+    val byHash = new java.util.HashMap[String, (Option[GenRow], Option[GenRow])]()
+    val rendered: Seq[Row] = cs.map { case (n, o) =>
+      val r0 = n.map(x => Placeholders.applyNspRow(step.sql, x.fields))
+        .getOrElse(step.sql)
+      val r = o.map(x => Placeholders.applyObjRow(r0, x.fields)).getOrElse(r0)
+      val h = PacketLoader.md5Hex(r)
+      byHash.put(h, (n, o))
+      Row.fromSeq(n.map(_.fields.drop(1)).getOrElse(Nil) ++
+        o.map(_.fields.drop(1)).getOrElse(Nil) :+ h)
+    }
+    val schema = StructType(
+      (1 to nFldN).map(i => StructField(s"nsp_fld_$i", StringType)) ++
+      (1 to nFldO).map(i => StructField(s"obj_fld_$i", StringType)) :+
+      StructField("__hash", StringType))
+    val fresh = rendered.filterNot(r =>
+      stepsHashes.contains(r.getString(schema.length - 1)))
+    // executed-history dedup stays DISTRIBUTED: the candidate grid
+    // anti-joins the tracker's executed-hash DataFrame (broadcast), never a
+    // driver-side set sized by the fan-out
+    val pending: Seq[Row] =
+      if (fresh.isEmpty) Nil
+      else if (tracking) tracker.notYetExecuted(
+        spark.createDataFrame(fresh.asJava, schema), "__hash",
+        packet.name, step.name).collect().toSeq
+      else fresh
+    if (pending.isEmpty) {
+      stepOutcomes(step.name) = StepOutcome.Done(0)
+      log(s"step ${step.name}: distributed fan-out, nothing pending")
+      return ("done", None)
+    }
+    if (conf.terminated()) return ("terminate", None)
+
+    try {
+      // distinct maint pre-commands of the PENDING combos (obj maint gets
+      // nsp fields substituted, loop-path order, dbccore.py:954-966)
+      pending.flatMap { r =>
+        val (n, o) = byHash.get(r.getString(schema.length - 1))
+        n.flatMap(_.maint).filter(_.nonEmpty).toSeq ++
+          o.flatMap(_.maint).filter(_.nonEmpty).map { m =>
+            n.map(x => Placeholders.applyNspRow(m, x.fields)).getOrElse(m)
+          }.toSeq
+      }.distinct.foreach(m => executeQ(ctx, packet, m))
+
+      if (tracking)
+        tracker.beginAction(packet.name, packet.packetHash, step.name,
+          metaJson(packet))
+
+      spark.createDataFrame(pending.asJava, schema)
+        .createOrReplaceTempView("dbc_fanout_grid")
+      var q = stm
+      q = "GEN_NSP_FLD_(\\d+)".r.replaceAllIn(q,
+        m => s"__g.nsp_fld_${m.group(1)}")
+      q = "GEN_OBJ_FLD_(\\d+)".r.replaceAllIn(q,
+        m => s"__g.obj_fld_${m.group(1)}")
+      val wrapped = SqlSplitter.firstKeyword(stm) match {
+        case "SELECT" | "WITH" =>
+          s"SELECT __r.* FROM dbc_fanout_grid __g, LATERAL ($q) __r"
+        case "INSERT" =>
+          // wrap the trailing SELECT body (partition specs cannot contain
+          // the keyword, so the first SELECT is the body)
+          val i = "(?i)\\bselect\\b".r.findFirstMatchIn(q).map(_.start)
+            .getOrElse(-1)
+          if (i < 0) return unsupported("INSERT without a SELECT body")
+          s"${q.substring(0, i)} SELECT __r.* FROM dbc_fanout_grid __g, " +
+            s"LATERAL (${q.substring(i)}) __r"
+        case other => return unsupported(s"$other statement")
+      }
+      // executeQ owns the packet-type semantics (read_only guard, no_commit
+      // analyze-only, resultset capture + hooks) for the single statement
+      executeQ(ctx, packet, wrapped)
+      if (tracking) {
+        pending.foreach(r => tracker.applyAction(packet.name, step.name,
+          r.getString(schema.length - 1)))
+        tracker.flushActions()
+      }
+      pending.foreach(r => stepsHashes += r.getString(schema.length - 1))
+      stepOutcomes(step.name) = StepOutcome.Done(pending.size)
+      log(s"step ${step.name}: distributed fan-out done " +
+        s"(${pending.size} combos, one job)")
+      ("done", None)
+    } catch {
+      case e: Throwable =>
+        tracker.flushActions()
+        conf.hookSink.foreach(_.raiseHook(packet.meta, step.name,
+          Notice("EXCEPTION", String.valueOf(e.getMessage))))
+        if (conf.terminated()) ("terminate", None)
+        else if (conf.skipStepCancel || conf.skipActionCancel) {
+          // one job IS the whole fan-out: both skip flags degrade to
+          // skip-the-step (no action applied, a re-run retries everything)
+          errorsCount += 1
+          ("exception", Some("skip_step"))
+        } else Jdbc.retryClass(e) match {
+          case Some(kind) => ("exception", Some(kind))
+          case None => ("exception", Some(trim(e.getMessage)))
+        }
     }
   }
 
