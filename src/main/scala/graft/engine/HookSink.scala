@@ -20,9 +20,19 @@ package graft.engine
 class HookSink(post: (String, String, String) => Unit,
     slackPost: (String, String) => Unit = (_, _) => ()) {
 
+  /** Alerting must never fail the run (reference log-and-continue,
+    * dbccore.py:702-706): raiseHook fires inside the runner's catch
+    * blocks, where a webhook outage — plausibly correlated with the very
+    * DB outage being handled — must not replace the original exception or
+    * bypass the skip/reconnect classification. */
   private def dispatch(h: HookConf, mmText: => String, slackText: => String): Unit =
-    if (h.hookType == "slack") slackPost(h.channel.getOrElse(""), slackText)
-    else post(h.channel.getOrElse(""), h.username.getOrElse("db_converter"), mmText)
+    try {
+      if (h.hookType == "slack") slackPost(h.channel.getOrElse(""), slackText)
+      else post(h.channel.getOrElse(""), h.username.getOrElse("db_converter"), mmText)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[hook] webhook post failed; dropped: ${e.getMessage}")
+    }
 
   /** Render + post captured resultsets (verbosity: all|resultset). */
   def resultsetHook(meta: MetaData, stepName: String,
@@ -115,9 +125,15 @@ object Webhooks {
       case c => c.toString
     } + "\""
 
+  /** Bounded transport: a hook post must not hang the run, so both the
+    * connect and the whole request carry timeouts (failures are swallowed
+    * by HookSink.dispatch either way). */
   private def httpPost(url: String, body: String): Unit = {
-    val client = java.net.http.HttpClient.newHttpClient()
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5))
+      .build()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(10))
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
       .build()

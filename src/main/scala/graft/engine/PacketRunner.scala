@@ -153,7 +153,10 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       // failed action re-runs. Generators re-evaluate each attempt (the
       // reference re-collects them inside the loop: a resumed batch range
       // must reflect the database as it is NOW, dbccore.py:538-541).
-      var outcome: (String, Option[String]) = ("done", None)
+      // Retryability is a TYPED outcome kind, never a descr-string match: a
+      // non-retryable failure whose message happens to read "connection"
+      // must not enter this loop (only Jdbc.retryClass classifies).
+      var outcome: Outcome = Outcome(Kind.Done)
       var retries = 0
       var retry = true
       while (retry) {
@@ -166,7 +169,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
 
           // generator evaluation (dbccore.py:538-541): resultsets collected
           // driver-side; col 0 is the reserved `maint` command
-          if (outcome._1 != "terminate" && outcome._2.isEmpty) {
+          if (outcome.kind == Kind.Done) {
             val genObjData = packet.genObj.map { case (idx, g) =>
               idx -> collectGen(g.sql) }
             val genNspData = packet.genNsp.map { case (idx, g) =>
@@ -181,43 +184,54 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
           // in a step outcome — the reference's worker-loop catch also
           // flips do_work for its retryable classes (dbccore.py:545-567)
           case e: Throwable if Jdbc.retryClass(e).isDefined && !conf.terminated() =>
-            outcome = ("exception", Jdbc.retryClass(e))
+            outcome = Outcome(Kind.Retryable, Jdbc.retryClass(e))
         }
-        if (outcome._1 == "exception" &&
-            outcome._2.exists(d => d == "connection" || d == "deadlock_detected") &&
-            !conf.terminated()) {
+        if (outcome.kind == Kind.Retryable && !conf.terminated()) {
           if (retries < conf.connRetryLimit) {
             retries += 1
-            log(s"packet ${packet.name}: ${outcome._2.get}; reconnecting " +
-              s"after ${conf.connExceptionSleepMs} ms " +
+            log(s"packet ${packet.name}: ${outcome.descr.getOrElse("")}; " +
+              s"reconnecting after ${conf.connExceptionSleepMs} ms " +
               s"(retry $retries/${conf.connRetryLimit})", "Error")
             Thread.sleep(conf.connExceptionSleepMs)
             retry = true
           } else {
-            outcome = ("exception", Some(
-              s"${outcome._2.get}: retry limit ${conf.connRetryLimit} exceeded"))
+            val descr = s"${outcome.descr.getOrElse("transient")}: " +
+              s"retry limit ${conf.connRetryLimit} exceeded"
+            // exhaustion must leave a STEP exception status too — while
+            // retrying, the step stays status-less by design (the reference
+            // returns do_work before set_step_exception_status), but a
+            // given-up failure is terminal and the step must say so
+            if (!readOnly) outcome.failedStep.foreach { st =>
+              tracker.setStepStatus(packet.name, st, "exception", Some(descr))
+              stepOutcomes(st) = StepOutcome.Failed(descr)
+            }
+            outcome = Outcome(Kind.Error, Some(descr), outcome.failedStep)
           }
+        } else if (outcome.kind == Kind.Retryable) {
+          // terminated while a retryable failure was in flight: terminal
+          outcome = Outcome(Kind.Error, outcome.descr, outcome.failedStep)
         }
       }
 
-      val (res, errDescr) = outcome
+      val errDescr = if (outcome.kind == Kind.Done) None else outcome.descr
       // terminate leaves the packet `started` (reference TERMINATE/STARTED
       // expectation, test_packets.py:201-241); skipped steps/actions leave
       // it `exception` + FAIL even though the run completed (errors_count
       // rule, dbccore.py:585-597; test_packets.py:292-373)
-      val packetStatus =
-        if (res == "terminate") "started"
-        else if (errDescr.isDefined || errorsCount > 0) "exception"
-        else "done"
+      val packetStatus = outcome.kind match {
+        case Kind.Terminate => "started"
+        case Kind.Done if errorsCount == 0 => "done"
+        case _ => "exception"
+      }
       if (!readOnly && packet.meta.packetType != PacketType.Maintenance &&
-          res != "terminate") {
+          outcome.kind != Kind.Terminate) {
         tracker.ensurePacket(packet.name, packet.packetHash, metaJson(packet))
         tracker.setPacketStatus(packet.name, packetStatus)
       }
-      val code = res match {
-        case "terminate" => ResultTerminate
-        case _ if errDescr.isDefined || errorsCount > 0 => ResultFail
-        case _ => ResultSuccess
+      val code = outcome.kind match {
+        case Kind.Terminate => ResultTerminate
+        case Kind.Done if errorsCount == 0 => ResultSuccess
+        case _ => ResultFail
       }
       log(s"packet ${packet.name} finished: $code/$packetStatus" +
         errDescr.fold("")(e => s" ($e)"),
@@ -252,39 +266,38 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
   private def stepsPass(packet: Packet, runOnceOnly: Boolean,
       genNsp: Map[String, Seq[GenRow]], genObj: Map[String, Seq[GenRow]],
       stepsHashes: mutable.Set[String], tracking: Boolean,
-      readOnly: Boolean): (String, Option[String]) = {
+      readOnly: Boolean): Outcome = {
     packet.steps.foreach { step =>
       if (!runOnceOnly || step.runOnce) {
-        val (res, descr) = executeStep(packet, step, genNsp, genObj,
+        val o = executeStep(packet, step, genNsp, genObj,
           stepsHashes, tracking, readOnly)
-        (res, descr) match {
-          case ("exception", Some("skip_step")) =>
+        o.kind match {
+          case Kind.Skipped =>
             stepOutcomes(step.name) = StepOutcome.Skipped("skip_step")
             if (!readOnly)
               tracker.setStepStatus(packet.name, step.name, "exception",
                 Some("skip_step"))
           // continue with next step (reference logs and moves on)
-          case ("done", None) =>
+          case Kind.Done =>
             stepOutcomes(step.name) = stepOutcomes.getOrElse(step.name,
               StepOutcome.Done(0))
             if (!readOnly && tracking)
               tracker.setStepStatus(packet.name, step.name, "done")
-          case ("exception", d @ Some("connection" | "deadlock_detected")) =>
-            // retryable: surfaces to runPacket's reconnect loop WITHOUT an
-            // exception status write — the reference returns do_work=True
-            // before its set_step_exception_status (dbccore.py:496-526)
-            return ("exception", d)
-          case ("exception", d) =>
-            stepOutcomes(step.name) = StepOutcome.Failed(d.getOrElse("error"))
+          case Kind.Retryable =>
+            // surfaces to runPacket's reconnect loop WITHOUT an exception
+            // status write — the reference returns do_work=True before its
+            // set_step_exception_status (dbccore.py:496-526)
+            return o
+          case Kind.Error =>
+            stepOutcomes(step.name) = StepOutcome.Failed(o.descr.getOrElse("error"))
             if (!readOnly)
-              tracker.setStepStatus(packet.name, step.name, "exception", d)
-            return ("exception", d)
-          case ("terminate", _) => return ("terminate", None)
-          case other => return other
+              tracker.setStepStatus(packet.name, step.name, "exception", o.descr)
+            return o
+          case Kind.Terminate => return Outcome(Kind.Terminate)
         }
       }
     }
-    ("done", None)
+    Outcome(Kind.Done)
   }
 
   // -- execute_step: unified 4-case generator fan-out
@@ -292,7 +305,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
   private def executeStep(packet: Packet, step: Step,
       genNsp: Map[String, Seq[GenRow]], genObj: Map[String, Seq[GenRow]],
       stepsHashes: mutable.Set[String], tracking: Boolean,
-      readOnly: Boolean): (String, Option[String]) = {
+      readOnly: Boolean): Outcome = {
     val ctx = StepContext(spark, conf.target, packet.name, step.name,
       notices, mutable.Buffer.empty)
     val hasNsp = step.sql.contains("GEN_NSP_FLD_")
@@ -319,7 +332,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
     combos match {
       case Left(err) =>
         notices += Notice("ERROR", err)
-        ("exception", Some(err))
+        Outcome(Kind.Error, Some(err), Some(step.name))
       case Right(cs) if cs.size > conf.maxFanout =>
         executeFanoutAsOneJob(packet, step, ctx, cs, stepsHashes, tracking,
           readOnly)
@@ -346,7 +359,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
               // stop FLAG reaches a run whose jobs are all healthy
               if (conf.terminated()) {
                 tracker.flushActions()
-                return ("terminate", None)
+                return Outcome(Kind.Terminate)
               }
               try {
                 // maint pre-commands (nsp first, then obj with nsp fields
@@ -382,10 +395,10 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
                   // surface on the hook channel, filtered by verbosity
                   conf.hookSink.foreach(_.raiseHook(packet.meta, step.name,
                     Notice("EXCEPTION", String.valueOf(e.getMessage))))
-                  if (conf.terminated()) return ("terminate", None)
+                  if (conf.terminated()) return Outcome(Kind.Terminate)
                   if (conf.skipStepCancel) {
                     errorsCount += 1
-                    return ("exception", Some("skip_step"))
+                    return Outcome(Kind.Skipped, Some("skip_step"), Some(step.name))
                   } else if (conf.skipActionCancel) {
                     // in-run memory only (reference dbccore.py:1158-1166):
                     // the action is NOT applied to the tracker, so a re-run
@@ -397,10 +410,13 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
                   } else Jdbc.retryClass(e) match {
                     // E25 reconnect classification (dbccore.py:1168-1171):
                     // skip flags take precedence (reference order), then a
-                    // transient failure surfaces on the exception_descr
-                    // channel for runPacket's retry loop
-                    case Some(kind) => return ("exception", Some(kind))
-                    case None => return ("exception", Some(trim(e.getMessage)))
+                    // transient failure surfaces as a TYPED Retryable
+                    // outcome for runPacket's retry loop
+                    case Some(kind) =>
+                      return Outcome(Kind.Retryable, Some(kind), Some(step.name))
+                    case None =>
+                      return Outcome(Kind.Error, Some(trim(e.getMessage)),
+                        Some(step.name))
                   }
               }
             }
@@ -409,7 +425,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         tracker.flushActions()
         stepOutcomes(step.name) = StepOutcome.Done(ran)
         log(s"step ${step.name}: done ($ran actions)")
-        ("done", None)
+        Outcome(Kind.Done)
     }
   }
 
