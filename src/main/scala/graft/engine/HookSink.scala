@@ -25,18 +25,20 @@ class HookSink(post: (String, String, String) => Unit,
     * blocks, where a webhook outage — plausibly correlated with the very
     * DB outage being handled — must not replace the original exception or
     * bypass the skip/reconnect classification. */
-  private def dispatch(h: HookConf, mmText: => String, slackText: => String): Unit =
+  private def dispatch(h: HookConf, mmText: => String, slackText: => String)(
+      implicit log: HookSink.Log): Unit =
     try {
       if (h.hookType == "slack") slackPost(h.channel.getOrElse(""), slackText)
       else post(h.channel.getOrElse(""), h.username.getOrElse("db_converter"), mmText)
     } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[hook] webhook post failed; dropped: ${e.getMessage}")
+        log(s"[hook] webhook post failed; dropped: ${e.getMessage}", "Error")
     }
 
   /** Render + post captured resultsets (verbosity: all|resultset). */
   def resultsetHook(meta: MetaData, stepName: String,
-      results: Seq[ResultSet]): Unit =
+      results: Seq[ResultSet])(
+      implicit log: HookSink.Log = HookSink.stderrLog): Unit =
     meta.hook.foreach { h =>
       if (h.verbosity.contains("all") || h.verbosity.contains("resultset")) {
         val nonEmpty = results.filter(_.rows.nonEmpty)
@@ -50,7 +52,8 @@ class HookSink(post: (String, String, String) => Unit,
 
   /** Post a RAISE-style notice (verbosity: all|raise) — reference
     * raise_error_logic, dbccore.py:1183-1219. */
-  def raiseHook(meta: MetaData, stepName: String, notice: Notice): Unit =
+  def raiseHook(meta: MetaData, stepName: String, notice: Notice)(
+      implicit log: HookSink.Log = HookSink.stderrLog): Unit =
     meta.hook.foreach { h =>
       if (h.verbosity.contains("all") || h.verbosity.contains("raise"))
         dispatch(h,
@@ -59,7 +62,8 @@ class HookSink(post: (String, String, String) => Unit,
     }
 
   /** Post a statement execution summary (verbosity: all|stm_result). */
-  def stmResultHook(meta: MetaData, stepName: String, summary: String): Unit =
+  def stmResultHook(meta: MetaData, stepName: String, summary: String)(
+      implicit log: HookSink.Log = HookSink.stderrLog): Unit =
     meta.hook.foreach { h =>
       if (h.verbosity.contains("all") || h.verbosity.contains("stm_result"))
         dispatch(h,
@@ -78,6 +82,15 @@ class HookSink(post: (String, String, String) => Unit,
 }
 
 object HookSink {
+  /** Per-call logger for swallowed hook failures — an opaque wrapper (not a
+    * bare function type) so the implicit can't be satisfied by an unrelated
+    * (String, String) => Unit in scope. PacketRunner supplies its run
+    * logger implicitly; outside a run the stderr default applies. */
+  final case class Log(fn: (String, String) => Unit) {
+    def apply(msg: String, level: String): Unit = fn(msg, level)
+  }
+  val stderrLog: Log = Log((m, _) => System.err.println(m))
+
   /** Test/double-entry sink collecting (channel, username, message). */
   def buffering(buf: scala.collection.mutable.Buffer[(String, String, String)]): HookSink =
     new HookSink((c, u, m) => buf += ((c, u, m)))

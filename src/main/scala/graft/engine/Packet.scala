@@ -85,6 +85,27 @@ final case class Packet(
     packetHash: String,
     meta: MetaData)
 
+/** Typed run-outcome kind for the steps loop (reference do_work /
+  * skip / terminate classification, dbccore.py:465-576,1125-1171).
+  * Retryability is a KIND, never a descr-string match. */
+sealed trait Kind
+object Kind {
+  case object Done extends Kind
+  case object Skipped extends Kind
+  case object Retryable extends Kind
+  case object Error extends Kind
+  case object Terminate extends Kind
+}
+
+/** Outcome of a step / steps-pass / packet run: the kind, an optional
+  * human description (error text or retry class), and the step file
+  * that produced a non-Done outcome (needed so retry exhaustion can
+  * write the terminal step status, dbccore.py:496-526). */
+final case class Outcome(
+    kind: Kind,
+    descr: Option[String] = None,
+    failedStep: Option[String] = None)
+
 /** Step outcome taxonomy (reference classify at dbccore.py:465-543). */
 sealed trait StepOutcome
 object StepOutcome {

@@ -99,6 +99,9 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
   private def log(msg: String, level: String = "Info"): Unit =
     conf.logger.foreach(_.log(msg, level))
 
+  // swallowed webhook failures land in this run's log stream, not stderr
+  private implicit val hookLog: HookSink.Log = HookSink.Log(log(_, _))
+
   def runPacket(packet: Packet): RunResult = {
     log(s"packet ${packet.name} started on ${conf.target}")
     errorsCount = 0
@@ -245,7 +248,9 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
           tracker.ensurePacket(packet.name, packet.packetHash, metaJson(packet))
           tracker.setPacketStatus(packet.name, "exception")
         }
-        result(packet, ResultFail, "exception", Some(e.getMessage))
+        // e.toString, not getMessage: a null-message NPE must still leave
+        // a diagnosable ERROR notice (class name + location-less summary)
+        result(packet, ResultFail, "exception", Some(trim(String.valueOf(e))))
     } finally {
       // every restore arm is guarded: a static conf that refused the SET
       // also refuses the restore, and a throw here would skip the unlock
@@ -390,6 +395,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
                 ran += 1
               } catch {
                 case e: Throwable =>
+                  if (sys.env.contains("GRAFT_DEBUG")) e.printStackTrace()
                   tracker.flushActions()
                   // E22 raise_error_logic (dbccore.py:1183-1219): failures
                   // surface on the hook channel, filtered by verbosity
@@ -447,15 +453,15 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
   private def executeFanoutAsOneJob(packet: Packet, step: Step,
       ctx: StepContext, cs: Seq[(Option[GenRow], Option[GenRow])],
       stepsHashes: mutable.Set[String], tracking: Boolean,
-      readOnly: Boolean): (String, Option[String]) = {
+      readOnly: Boolean): Outcome = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
 
-    def unsupported(why: String): (String, Option[String]) =
-      ("exception", Some(s"${step.name}: fan-out ${cs.size} exceeds " +
+    def unsupported(why: String): Outcome =
+      Outcome(Kind.Error, Some(s"${step.name}: fan-out ${cs.size} exceeds " +
         s"maxFanout=${conf.maxFanout} and cannot run as one joined job " +
-        s"($why); raise maxFanout or restructure the step"))
+        s"($why); raise maxFanout or restructure the step"), Some(step.name))
 
     val stms = SqlSplitter.split(step.sql)
     if (step.isPython) return unsupported("python step")
@@ -469,11 +475,20 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
     if ("(?i)(from|join|table)\\s+gen_(obj|nsp)_fld_".r
         .findFirstIn(stm.toLowerCase).isDefined)
       return unsupported("generator field in table position")
+    // the loop path string-splices fields into literals correctly
+    // (reference packets/test_common/02_gen_obj.sql:8-12); the one-job
+    // rewrite would turn 'GEN_NSP_FLD_1%' into the literal column name —
+    // silently wrong, so fail loud and route back to the loop contract
+    if (PacketRunner.genTokenInQuotedLiteral(stm))
+      return unsupported("generator field inside a quoted string literal")
 
     val nFldN = cs.head._1.map(f => f.fields.size - 1).getOrElse(0)
     val nFldO = cs.head._2.map(f => f.fields.size - 1).getOrElse(0)
     // per-combo rendered-SQL hash + field row (fields are 1-based; index 0
-    // is the reserved maint command)
+    // is the reserved maint command). Two combos can render IDENTICAL SQL
+    // (e.g. a step using only the nsp fields under an obj fan-out) — the
+    // loop path executes that once via stepsHashes, so the grid must too:
+    // dedup by hash or an INSERT applies the action per-duplicate-combo.
     val byHash = new java.util.HashMap[String, (Option[GenRow], Option[GenRow])]()
     val rendered: Seq[Row] = cs.map { case (n, o) =>
       val r0 = n.map(x => Placeholders.applyNspRow(step.sql, x.fields))
@@ -483,7 +498,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       byHash.put(h, (n, o))
       Row.fromSeq(n.map(_.fields.drop(1)).getOrElse(Nil) ++
         o.map(_.fields.drop(1)).getOrElse(Nil) :+ h)
-    }
+    }.distinctBy(r => r.getString(r.length - 1))
     val schema = StructType(
       (1 to nFldN).map(i => StructField(s"nsp_fld_$i", StringType)) ++
       (1 to nFldO).map(i => StructField(s"obj_fld_$i", StringType)) :+
@@ -492,25 +507,33 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       stepsHashes.contains(r.getString(schema.length - 1)))
     // executed-history dedup stays DISTRIBUTED: the candidate grid
     // anti-joins the tracker's executed-hash DataFrame (broadcast), never a
-    // driver-side set sized by the fan-out
+    // driver-side set sized by the fan-out. The using-columns join MOVES
+    // `__hash` to the front of its output, so re-select the original field
+    // order — every consumer below reads the hash positionally (last).
     val pending: Seq[Row] =
       if (fresh.isEmpty) Nil
       else if (tracking) tracker.notYetExecuted(
         spark.createDataFrame(fresh.asJava, schema), "__hash",
-        packet.name, step.name).collect().toSeq
+        packet.name, step.name)
+        .select(schema.fieldNames.head, schema.fieldNames.tail: _*)
+        .collect().toSeq
       else fresh
     if (pending.isEmpty) {
       stepOutcomes(step.name) = StepOutcome.Done(0)
       log(s"step ${step.name}: distributed fan-out, nothing pending")
-      return ("done", None)
+      return Outcome(Kind.Done)
     }
-    if (conf.terminated()) return ("terminate", None)
+    if (conf.terminated()) return Outcome(Kind.Terminate)
 
     try {
       // distinct maint pre-commands of the PENDING combos (obj maint gets
       // nsp fields substituted, loop-path order, dbccore.py:954-966)
       pending.flatMap { r =>
-        val (n, o) = byHash.get(r.getString(schema.length - 1))
+        val h = r.getString(schema.length - 1)
+        // fail loud, not MatchError(null), if a pending row's hash is not
+        // in the grid (a column-order regression would land exactly here)
+        val (n, o) = Option(byHash.get(h)).getOrElse(throw new IllegalStateException(
+          s"${step.name}: pending fan-out hash $h missing from combo grid"))
         n.flatMap(_.maint).filter(_.nonEmpty).toSeq ++
           o.flatMap(_.maint).filter(_.nonEmpty).map { m =>
             n.map(x => Placeholders.applyNspRow(m, x.fields)).getOrElse(m)
@@ -553,21 +576,33 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       stepOutcomes(step.name) = StepOutcome.Done(pending.size)
       log(s"step ${step.name}: distributed fan-out done " +
         s"(${pending.size} combos, one job)")
-      ("done", None)
+      Outcome(Kind.Done)
     } catch {
+      // Spark supports lateral outer references only in WHERE/HAVING: a
+      // step projecting a generator field (rather than filtering on it)
+      // cannot run as one joined job — surface the CONTRACT violation, not
+      // the subquery internals (same fail-loud family as the quoted-literal
+      // guard; the loop path below maxFanout handles these steps fine)
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getMessage).contains("CORRELATED_REFERENCE") =>
+        tracker.flushActions()
+        unsupported("generator field outside WHERE/HAVING — lateral outer " +
+          "references are only supported there")
       case e: Throwable =>
+        if (sys.env.contains("GRAFT_DEBUG")) e.printStackTrace()
         tracker.flushActions()
         conf.hookSink.foreach(_.raiseHook(packet.meta, step.name,
           Notice("EXCEPTION", String.valueOf(e.getMessage))))
-        if (conf.terminated()) ("terminate", None)
+        if (conf.terminated()) Outcome(Kind.Terminate)
         else if (conf.skipStepCancel || conf.skipActionCancel) {
           // one job IS the whole fan-out: both skip flags degrade to
           // skip-the-step (no action applied, a re-run retries everything)
           errorsCount += 1
-          ("exception", Some("skip_step"))
+          Outcome(Kind.Skipped, Some("skip_step"), Some(step.name))
         } else Jdbc.retryClass(e) match {
-          case Some(kind) => ("exception", Some(kind))
-          case None => ("exception", Some(trim(e.getMessage)))
+          case Some(kind) => Outcome(Kind.Retryable, Some(kind), Some(step.name))
+          case None => Outcome(Kind.Error, Some(trim(e.getMessage)),
+            Some(step.name))
         }
     }
   }
@@ -735,4 +770,30 @@ object PacketRunner {
     * `fields` are the stringified values substituted for GEN_*_FLD_i
     * (1-based; dbccore.py:30-36). */
   final case class GenRow(maint: Option[String], fields: Seq[String])
+
+  /** True when any GEN_*_FLD_ token sits inside a single-quoted SQL string
+    * literal (with `''` escaping) — e.g. `name LIKE 'GEN_NSP_FLD_1%'`. The
+    * loop path splices the field VALUE into that literal; the one-job
+    * column-reference rewrite cannot, so such steps must stay on the loop
+    * contract (fail loud past maxFanout, never silently compare against the
+    * literal column name). */
+  def genTokenInQuotedLiteral(sql: String): Boolean = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    var inQ = false
+    var start = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) {
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1
+          else { inQ = false; spans += ((start, i)) }
+        }
+      } else if (c == '\'') { inQ = true; start = i }
+      i += 1
+    }
+    if (inQ) spans += ((start, sql.length))
+    spans.nonEmpty && "GEN_(NSP|OBJ)_FLD_\\d+".r.findAllMatchIn(sql)
+      .exists(m => spans.exists { case (s, e) => m.start > s && m.start < e })
+  }
 }

@@ -361,4 +361,78 @@ class JdbcTargetSpec extends AnyFunSuite {
     assert(res.resultCode("derbys") == "fail") // errors_count rule
     assert(calls.get == 1, "skip must not retry")
   }
+
+  // -- typed retryability (Outcome/Kind refactor): retry is a KIND, never a
+  //    descr-string match (reference classifies by error class,
+  //    dbccore.py:1125-1171, not by message text) ------------------------
+
+  test("a non-retryable failure whose MESSAGE says 'connection' is NOT " +
+      "retried (typed Kind, not string match)") {
+    val url = freshDb()
+    val (root, name) = mkPackets("test_msg_not_class", Map(
+      "01_step.py" -> "# permanent failure with a misleading message",
+      "meta_data.json" -> """{"description": "message is not a class"}"""))
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    ScalaSteps.register(name, "01_step.py") { _ =>
+      calls.incrementAndGet()
+      // message reads like an outage; the exception class/SQLSTATE is NOT
+      // retryable — retrying this would loop on a permanent failure
+      throw new IllegalStateException("connection: invalid column reference")
+    }
+    val e = new Engine(spark, Seq(Target("derbym", "", jdbcUrl = Some(url))),
+      stateRoot = Files.createTempDirectory("graft-jdbc-state").toString,
+      packetsRoot = root, connExceptionSleepMs = 1, connRetryLimit = 5)
+    val res = e.run(RunSpec("run", name, "derbym"))
+    assert(res.resultCode("derbym") == "fail")
+    assert(res.packetStatus("derbym") == "exception")
+    assert(calls.get == 1, s"non-retryable must run once, saw ${calls.get}")
+  }
+
+  test("retry exhaustion leaves a terminal exception status on the FAILED " +
+      "step (while retrying, the step stays status-less)") {
+    val url = freshDb()
+    val (root, name) = mkPackets("test_exhaust_step_status", Map(
+      "01_step.py" -> "# permanent outage",
+      "meta_data.json" -> """{"description": "outage step status"}"""))
+    ScalaSteps.register(name, "01_step.py") { _ =>
+      throw new java.sql.SQLNonTransientConnectionException("down", "08006")
+    }
+    val e = new Engine(spark, Seq(Target("derbyes", "", jdbcUrl = Some(url))),
+      stateRoot = Files.createTempDirectory("graft-jdbc-state").toString,
+      packetsRoot = root, connExceptionSleepMs = 1, connRetryLimit = 2)
+    val res = e.run(RunSpec("run", name, "derbyes"))
+    assert(res.resultCode("derbyes") == "fail")
+    // the exhausted step carries the terminal error, not just the packet
+    res.stepResults("derbyes").get("01_step.py") match {
+      case Some(StepOutcome.Failed(err)) =>
+        assert(err.contains("retry limit"), err)
+      case other => fail(s"expected Failed(retry limit ...) step, got $other")
+    }
+  }
+
+  test("terminate during a retryable failure ends the run as a terminal " +
+      "error, not a silent loop exit") {
+    val (root, name) = mkPackets("test_term_in_retry", Map(
+      "01_step.py" -> "# retryable failure with terminate in flight",
+      "meta_data.json" -> """{"description": "terminate mid-retry"}"""))
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    ScalaSteps.register(name, "01_step.py") { _ =>
+      calls.incrementAndGet()
+      throw new java.sql.SQLNonTransientConnectionException("killed", "08006")
+    }
+    // terminated() flips AFTER the step classifies its failure Retryable
+    // (calls 1-2: pre-action poll + in-catch precedence check) and BEFORE
+    // the runner's retry gate (call 3) — the narrow window where the old
+    // code silently exited the while loop with a stale outcome
+    val polls = new java.util.concurrent.atomic.AtomicInteger
+    val conf = RunnerConf(
+      stateDir = Files.createTempDirectory("graft-term-state").toString,
+      connExceptionSleepMs = 1, connRetryLimit = 5,
+      terminated = () => polls.incrementAndGet() >= 3)
+    val res = new PacketRunner(spark, conf).run(s"$root/$name")
+    assert(res.resultCode("spark") == "fail",
+      s"expected terminal error, got ${res.resultCode}")
+    assert(res.packetStatus("spark") == "exception")
+    assert(calls.get == 1, s"no retry may run after terminate, saw ${calls.get}")
+  }
 }
