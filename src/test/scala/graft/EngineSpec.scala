@@ -138,9 +138,11 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.table("test_tbl").count() == src.count())
     // validation step saw zero null ids and no duplicate ids
     val v = res.resultData("spark")("05_step.sql").head
-    assert(v.columns == Seq("src_rows", "dst_rows", "null_ids", "dst_ids"))
+    assert(v.columns ==
+      Seq("src_rows", "dst_rows", "null_ids", "dst_ids", "validation"))
     assert(v.rows.head(2) == 0L)
     assert(v.rows.head(1) == v.rows.head(3), "duplicate ids after catch-up")
+    assert(v.rows.head(4) == "ok")
     // batched fan-out: one action per 1000-id grid slot
     val batches = res.stepResults("spark")("02_step.sql")
       .asInstanceOf[StepOutcome.Done].rows
@@ -152,6 +154,36 @@ class EngineSpec extends AnyFunSuite {
     val res2 = new PacketRunner(spark, c1).run("packets/test_int4_to_int8")
     assert(res2.resultCode("spark") == "success")
     assert(tracker.actions.count() == n1)
+  }
+
+  test("int4→int8 validation FAILS the packet before the swap when the " +
+      "widened table holds a duplicate id") {
+    // the 05 validation step must raise (not just report) on a corrupt
+    // widened table — a double-applied catch-up would look exactly like
+    // this planted duplicate — so the 06 swap never publishes it
+    Tables.registerAll(spark, fixtures)
+    val dir = copyPacket("packets/test_int4_to_int8")
+    Files.writeString(java.nio.file.Paths.get(dir, "04b_step.sql"),
+      // plant a duplicate id between catch-up and validation
+      """INSERT INTO test_tbl_new
+        |SELECT CAST(min(id) AS BIGINT) AS id, 'dup' AS val, 0 AS bk
+        |FROM test_tbl;""".stripMargin)
+    val conf = RunnerConf(stateDir = tmpState(), placeholders = Map(
+      "bk_grain" -> "1000",
+      "mig_src" -> Files.createTempDirectory("graft-migf-src").toString,
+      "mig_dst" -> Files.createTempDirectory("graft-migf-dst").toString,
+      "mig_catch" -> Files.createTempDirectory("graft-migf-catch").toString))
+    val res = new PacketRunner(spark, conf).run(dir)
+    assert(res.resultCode("spark") == "fail")
+    res.stepResults("spark").get("05_step.sql") match {
+      case Some(StepOutcome.Failed(err)) =>
+        assert(err.contains("w01 validation failed"), err)
+      case other => fail(s"expected the validation step to fail, got $other")
+    }
+    // the swap never ran: the original narrow table is still published
+    assert(spark.table("test_tbl").schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "06_step must not swap after a failed validation")
   }
 
   test("int4→int8 migration under concurrent writes: capture + catch-up " +
