@@ -2,24 +2,47 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 64-bit SimHash of a token array as a NATIVE Catalyst expression.
   *
-  * Semantics: bit j is set iff a majority of tokens have bit j set in
-  * xxhash64(token) — exactly the HOF formulation (each token hashed with
-  * Spark's own XXH64, seed 42, so signatures are bit-identical to
-  * `xxhash64(t)` column results), but the 64-counter accumulation runs
-  * as a tight JVM loop instead of interpreted higher-order-function
-  * lambdas (which box every intermediate — the measured cost model at
-  * sf0.1 was ~6 s of signature time for 5k docs; this loop is
-  * negligible). Codegen'd, so the whole scan → signature → explode
-  * pipeline stays in one WholeStageCodegen span.
+  * Semantics: bit j is set iff a majority of tokens (ties count) have bit
+  * j set in the token's 64-bit hash. The per-token hash is the FIRST 8
+  * BYTES OF md5(token), big-endian — md5, not xxhash64, so a SQL oracle
+  * can recompute signatures relationally (the same derivation that made
+  * d05/s02 oracle-checkable): DuckDB rebuilds the two 32-bit halves as
+  *   hi = ('0x' || substr(md5(t), 1, 8))::UBIGINT
+  *   lo = ('0x' || substr(md5(t), 9, 8))::UBIGINT
+  * and bit j of the JVM long is bit j of lo for j < 32, bit j-32 of hi
+  * otherwise.
+  *
+  * The 64-counter accumulation runs as a tight JVM loop instead of
+  * interpreted higher-order-function lambdas (which box every
+  * intermediate — the measured cost model at sf0.1 was ~6 s of signature
+  * time for 5k docs; this loop is negligible). Codegen'd, so the whole
+  * scan → signature → explode pipeline stays in one WholeStageCodegen
+  * span.
   */
 object SimHashFns {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(token), big-endian. */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var k = 0
+    while (k < 8) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+    v
+  }
+
   /** counters loop shared by eval and codegen. */
   def ofTokens(arr: ArrayData): Long = {
     val n = arr.numElements()
@@ -27,7 +50,7 @@ object SimHashFns {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = tokenHash(arr.getUTF8String(i).getBytes)
         var j = 0
         while (j < 64) {
           counters(j) += (((h >>> j) & 1L).toInt << 1) - 1

@@ -7,12 +7,13 @@ import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
   * multimodal) as verifiable QuerySpecs over the `documents` and
-  * `embeddings` fixtures. The MinHash/SimHash operators hash with
-  * xxhash64, which DuckDB lacks, so they ship without an oracle — the
-  * driver records a rows-only check — and are instead verified by
-  * ScalaTest against planted duplicates with known ids. The sign-bit LSH
-  * operators (d05, s02) derive their planes from md5 exactly so their
-  * oracles CAN rebuild the buckets in SQL (see [[LshBucketCte]]).
+  * `embeddings` fixtures. The MinHash operator (d02) hashes with
+  * xxhash64, which DuckDB lacks, so it ships without an oracle — the
+  * driver records a rows-only check — and is instead verified by
+  * ScalaTest against planted duplicates with known ids. The md5-derived
+  * operators are fully oracle-checked: d05/s02 rebuild their sign-bit
+  * LSH planes in SQL (see [[LshBucketCte]]) and d03 rebuilds every
+  * SimHash signature from md5(token) halves (SimHashFns.tokenHash).
   */
 object PipelineQueries {
 
@@ -200,7 +201,13 @@ object PipelineQueries {
         .orderBy($"id_a", $"id_b")
     }, bench = true),
 
-    // SimHash near-dup (rows-only; verified in DedupSpec).
+    // SimHash near-dup — FULL oracle: the per-token bit source is the
+    // first 8 bytes of md5(token) (SimHashFns.tokenHash), so DuckDB
+    // rebuilds every signature as two unsigned 32-bit halves, collapses
+    // equal signatures to min-id star pairs, and emits distinct-signature
+    // rep pairs at hamming <= 3 — exactly the operator's contract (the
+    // chunk blocking is lossless by pigeonhole, and no sf0.01 bucket
+    // approaches chunkCap, so blocked and all-pairs results coincide).
     QuerySpec("d03_dedup_simhash", (s, dir) => {
       import s.implicits._
       val docs = Dedup.withPlantedDups(
@@ -208,7 +215,60 @@ object PipelineQueries {
         "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 2)
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
         .orderBy($"id_a", $"id_b")
-    }),
+    }, oracle = Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)), ' ')
+            AS text
+        FROM base WHERE doc_id < 25),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM planted),
+      toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM corpus),
+      th AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(t), 1, 8))::UBIGINT AS hi,
+          ('0x' || substr(md5(t), 9, 8))::UBIGINT AS lo
+        FROM toks),
+      bits AS (
+        SELECT doc_id, j.range AS j,
+          sum(CASE WHEN
+            ((CASE WHEN j.range < 32 THEN lo >> j.range
+                   ELSE hi >> (j.range - 32) END) & 1) = 1
+            THEN 1 ELSE -1 END) AS c
+        FROM th, range(64) j
+        GROUP BY doc_id, j.range),
+      sigs AS (
+        SELECT doc_id AS id,
+          CAST(sum(CASE WHEN c >= 0 AND j >= 32
+            THEN (1::UBIGINT << CAST(j - 32 AS INTEGER)) ELSE 0 END)
+            AS UBIGINT) AS sig_hi,
+          CAST(sum(CASE WHEN c >= 0 AND j < 32
+            THEN (1::UBIGINT << CAST(j AS INTEGER)) ELSE 0 END)
+            AS UBIGINT) AS sig_lo
+        FROM bits GROUP BY doc_id),
+      reps AS (
+        SELECT sig_hi, sig_lo, min(id) AS rep
+        FROM sigs GROUP BY sig_hi, sig_lo),
+      star AS (
+        SELECT r.rep AS id_a, s.id AS id_b, 0 AS hamming
+        FROM sigs s JOIN reps r USING (sig_hi, sig_lo)
+        WHERE s.id <> r.rep),
+      rep_pairs AS (
+        SELECT a.rep AS id_a, b.rep AS id_b,
+          bit_count(xor(a.sig_hi, b.sig_hi)) +
+          bit_count(xor(a.sig_lo, b.sig_lo)) AS hamming
+        FROM reps a JOIN reps b ON a.rep < b.rep
+        WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
+              bit_count(xor(a.sig_lo, b.sig_lo)) <= 3)
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM star
+      UNION ALL
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM rep_pairs
+      ORDER BY id_a, id_b""")),
 
     // Exact token-set Jaccard via inverted index — SQL-expressible, full oracle.
     QuerySpec("d04_ngram_jaccard", (s, dir) => {
