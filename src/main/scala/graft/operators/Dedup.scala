@@ -255,6 +255,62 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Near-dup cluster resolution: pairs → connected components → keep-one.
+
+  /** Connected components over an undirected near-dup pair graph: every
+    * node's label converges to the MINIMUM doc id reachable from it;
+    * `cluster` is that label and `keep` marks the cluster representative —
+    * the keeper a keep-one dedup pass retains, which is the step a real
+    * pipeline needs AFTER pair generation (pairs alone don't say which
+    * copies to drop when dups chain: a~b, b~c must drop b AND c).
+    *
+    * Shape: min-label propagation — per round every node takes the min of
+    * its own label and its neighbors' labels; a driver loop re-joins until
+    * a fixpoint. Rounds = graph diameter, and near-dup graphs are stars +
+    * short chains (diameter ≲ 5 in practice), so the loop is a handful of
+    * bounded jobs; lineage is cut with localCheckpoint each round so the
+    * plan does not grow with iterations. `maxIter` is a loud backstop — an
+    * unconverged result NEVER returns silently. At 100 TB the edge set is
+    * the dup-pair list (orders of magnitude smaller than the corpus) and
+    * each round shuffles only (id, label) long pairs — the corpus text
+    * never enters the loop.
+    */
+  def dupClusters(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("label", col("id")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxIter)
+        throw new IllegalStateException(
+          s"dupClusters: no fixpoint after $maxIter rounds")
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "any label still falling" IS the
+      // fixpoint probe (stops at the first witness, no full count)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster"),
+      (col("id") === col("label")).as("keep"))
+  }
+
+  // ---------------------------------------------------------------------
   // Benchmark decontamination: which training documents contain any word
   // n-gram that also appears in an evaluation set (the standard 13-gram
   // overlap check, run here with a caller-chosen n).

@@ -44,6 +44,62 @@ object PipelineQueries {
             x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') >= 0
           THEN 1 << p.j ELSE 0 END)"""
 
+  /** DuckDB CTE chain rebuilding Dedup.simhashPairs relationally over the
+    * planted-dup d03 corpus: signatures as two unsigned 32-bit halves from
+    * md5(token) (SimHashFns.tokenHash derivation), equal signatures
+    * collapsed to min-id star pairs, rep pairs at hamming <= 3. Shared by
+    * the d03 (pairs) and d07 (connected components) oracles. Ends WITHOUT
+    * a comma — splice as `WITH $SimhashPairCtes` or append further CTEs. */
+  private val SimhashPairCtes = """base AS (SELECT doc_id, text FROM documents),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)), ' ')
+            AS text
+        FROM base WHERE doc_id < 25),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM planted),
+      toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM corpus),
+      th AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(t), 1, 8))::UBIGINT AS hi,
+          ('0x' || substr(md5(t), 9, 8))::UBIGINT AS lo
+        FROM toks),
+      bits AS (
+        SELECT doc_id, j.range AS j,
+          sum(CASE WHEN
+            ((CASE WHEN j.range < 32 THEN lo >> j.range
+                   ELSE hi >> (j.range - 32) END) & 1) = 1
+            THEN 1 ELSE -1 END) AS c
+        FROM th, range(64) j
+        GROUP BY doc_id, j.range),
+      sigs AS (
+        SELECT doc_id AS id,
+          CAST(sum(CASE WHEN c >= 0 AND j >= 32
+            THEN (1::UBIGINT << CAST(j - 32 AS INTEGER)) ELSE 0 END)
+            AS UBIGINT) AS sig_hi,
+          CAST(sum(CASE WHEN c >= 0 AND j < 32
+            THEN (1::UBIGINT << CAST(j AS INTEGER)) ELSE 0 END)
+            AS UBIGINT) AS sig_lo
+        FROM bits GROUP BY doc_id),
+      reps AS (
+        SELECT sig_hi, sig_lo, min(id) AS rep
+        FROM sigs GROUP BY sig_hi, sig_lo),
+      star AS (
+        SELECT r.rep AS id_a, s.id AS id_b, 0 AS hamming
+        FROM sigs s JOIN reps r USING (sig_hi, sig_lo)
+        WHERE s.id <> r.rep),
+      rep_pairs AS (
+        SELECT a.rep AS id_a, b.rep AS id_b,
+          bit_count(xor(a.sig_hi, b.sig_hi)) +
+          bit_count(xor(a.sig_lo, b.sig_lo)) AS hamming
+        FROM reps a JOIN reps b ON a.rep < b.rep
+        WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
+              bit_count(xor(a.sig_lo, b.sig_lo)) <= 3)"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- Text analysis ------------------------------------------------
@@ -215,60 +271,41 @@ object PipelineQueries {
         "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 2)
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
         .orderBy($"id_a", $"id_b")
-    }, oracle = Some("""
-      WITH base AS (SELECT doc_id, text FROM documents),
-      planted AS (
-        SELECT doc_id + 100000 AS doc_id,
-          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
-            greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)), ' ')
-            AS text
-        FROM base WHERE doc_id < 25),
-      corpus AS (
-        SELECT doc_id, text FROM base
-        UNION ALL SELECT doc_id, text FROM planted),
-      toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
-        FROM corpus),
-      th AS (
-        SELECT doc_id,
-          ('0x' || substr(md5(t), 1, 8))::UBIGINT AS hi,
-          ('0x' || substr(md5(t), 9, 8))::UBIGINT AS lo
-        FROM toks),
-      bits AS (
-        SELECT doc_id, j.range AS j,
-          sum(CASE WHEN
-            ((CASE WHEN j.range < 32 THEN lo >> j.range
-                   ELSE hi >> (j.range - 32) END) & 1) = 1
-            THEN 1 ELSE -1 END) AS c
-        FROM th, range(64) j
-        GROUP BY doc_id, j.range),
-      sigs AS (
-        SELECT doc_id AS id,
-          CAST(sum(CASE WHEN c >= 0 AND j >= 32
-            THEN (1::UBIGINT << CAST(j - 32 AS INTEGER)) ELSE 0 END)
-            AS UBIGINT) AS sig_hi,
-          CAST(sum(CASE WHEN c >= 0 AND j < 32
-            THEN (1::UBIGINT << CAST(j AS INTEGER)) ELSE 0 END)
-            AS UBIGINT) AS sig_lo
-        FROM bits GROUP BY doc_id),
-      reps AS (
-        SELECT sig_hi, sig_lo, min(id) AS rep
-        FROM sigs GROUP BY sig_hi, sig_lo),
-      star AS (
-        SELECT r.rep AS id_a, s.id AS id_b, 0 AS hamming
-        FROM sigs s JOIN reps r USING (sig_hi, sig_lo)
-        WHERE s.id <> r.rep),
-      rep_pairs AS (
-        SELECT a.rep AS id_a, b.rep AS id_b,
-          bit_count(xor(a.sig_hi, b.sig_hi)) +
-          bit_count(xor(a.sig_lo, b.sig_lo)) AS hamming
-        FROM reps a JOIN reps b ON a.rep < b.rep
-        WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
-              bit_count(xor(a.sig_lo, b.sig_lo)) <= 3)
+    }, oracle = Some(s"""
+      WITH $SimhashPairCtes
       SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM star
       UNION ALL
       SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM rep_pairs
       ORDER BY id_a, id_b""")),
+
+    // Near-dup cluster resolution (keep-one): connected components over
+    // the d03 pair graph — cluster = min reachable id, keep = cluster
+    // representative. The oracle rebuilds the same pairs (md5-derived
+    // signatures) and walks the graph with a recursive CTE, so the
+    // iterative Spark label propagation is hash-checked end to end.
+    QuerySpec("d07_dup_clusters", (s, dir) => {
+      import s.implicits._
+      val withDups = Dedup.withPlantedDups(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 2)
+      val pairs = Dedup.simhashPairs(withDups, "doc_id", "text", maxHamming = 3)
+      Dedup.dupClusters(withDups, pairs, "doc_id").orderBy($"doc_id")
+    }, oracle = Some(s"""
+      WITH RECURSIVE $SimhashPairCtes,
+      pairs AS (
+        SELECT id_a, id_b FROM star
+        UNION ALL SELECT id_a, id_b FROM rep_pairs),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      SELECT id AS doc_id, CAST(cluster AS BIGINT) AS cluster,
+             (id = cluster) AS keep
+      FROM cc ORDER BY doc_id""")),
 
     // Exact token-set Jaccard via inverted index — SQL-expressible, full oracle.
     QuerySpec("d04_ngram_jaccard", (s, dir) => {

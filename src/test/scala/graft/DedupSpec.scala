@@ -109,6 +109,37 @@ class DedupSpec extends AnyFunSuite {
     assert(found == 25, s"expected 25 planted pairs, got $found")
   }
 
+  test("dup clusters: chained pairs collapse transitively to the min id") {
+    import spark.implicits._
+    // a~b, b~c, c~d plus an isolated e: one 4-node chain, one singleton
+    val nodes = Seq(10L, 11L, 12L, 13L, 99L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L)).toDF("id_a", "id_b")
+    val cc = Dedup.dupClusters(nodes, pairs, "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(cc.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+        (13L, 10L, false), (99L, 99L, true)))
+  }
+
+  test("dup clusters are consistent with the pair graph on the planted " +
+      "corpus: pairs share a cluster, keepers are the cluster minima") {
+    import spark.implicits._
+    val withDups = Dedup.withPlantedDups(docs, "doc_id", "text",
+      nPlant = 25, idOffset = 100000L, dropWords = 2)
+    val pairs = Dedup.simhashPairs(withDups, "doc_id", "text", maxHamming = 3)
+    val cc = Dedup.dupClusters(withDups, pairs, "doc_id")
+    // every pair's endpoints landed in the same cluster
+    val split = pairs
+      .join(cc.select($"doc_id".as("id_a"), $"cluster".as("ca")), "id_a")
+      .join(cc.select($"doc_id".as("id_b"), $"cluster".as("cb")), "id_b")
+      .filter($"ca" =!= $"cb").count()
+    assert(split == 0, s"$split pairs split across clusters")
+    // keepers are exactly the per-cluster minima, one per cluster
+    val byCluster = cc.groupBy($"cluster")
+      .agg(min($"doc_id").as("lo"), sum(when($"keep", 1).otherwise(0)).as("k"))
+    assert(byCluster.filter($"cluster" =!= $"lo" || $"k" =!= 1).count() == 0)
+  }
+
   test("ngram jaccard is symmetric-free and thresholded") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.filter($"doc_id" < 50),
