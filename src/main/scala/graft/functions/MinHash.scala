@@ -2,23 +2,26 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** numPerm-wide MinHash signature of a shingle array as a NATIVE Catalyst
   * expression.
   *
-  * Bit-identical semantics to the HOF formulation it replaces (each
-  * shingle hashed once with Spark's own XXH64 seed 42, then numPerm
-  * multiply-shift permutations π_p(h) = a_p·h + b_p with the SAME
-  * SplittableRandom(0x5EED5EED)-derived coefficients, sig[p] = min), but
-  * the perm loop runs as a tight JVM loop over a primitive long array —
-  * the interpreted `aggregate`/`zip_with` lambdas allocated a fresh boxed
-  * 64-element array per shingle, which measured 7.3 s of d02's 7.5 s at
-  * sf0.1. Codegen'd, so scan → shingle → signature stays in one
-  * WholeStageCodegen span.
+  * Each shingle is hashed ONCE — the first 8 bytes of md5(shingle),
+  * big-endian ([[SimHashFns.tokenHash]]; md5, not xxhash64, so a SQL
+  * oracle can rebuild the base hash from
+  * `('0x' || substr(md5(s), …))::UBIGINT` halves) — then numPerm
+  * multiply-shift permutations π_p(h) = a_p·h + b_p with
+  * SplittableRandom(0x5EED5EED)-derived coefficients, sig[p] = min. The
+  * wrapping 64-bit arithmetic is SQL-reproducible too: HUGEINT multiply,
+  * mod 2^64, re-center to signed. The perm loop runs as a tight JVM loop
+  * over a primitive long array — the interpreted `aggregate`/`zip_with`
+  * lambdas allocated a fresh boxed 64-element array per shingle, which
+  * measured 7.3 s of d02's 7.5 s at sf0.1. Codegen'd, so scan → shingle
+  * → signature stays in one WholeStageCodegen span.
   */
 object MinHashFns {
   /** (a, b) coefficient arrays per numPerm — derived exactly like the HOF
@@ -54,9 +57,9 @@ object MinHashFns {
       var j = 0
       while (j < len) { scratch(j) = arr.getUTF8String(i + j); j += 1 }
       while (j < w) { scratch(j) = null; j += 1 } // concatWs skips nulls
-      val h = XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.concatWs(sep, scratch: _*),
-        StringType, 42L)
+      val h = SimHashFns.tokenHash(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(sep, scratch: _*)
+          .getBytes)
       var p = 0
       while (p < numPerm) {
         val v = as(p) * h + bs(p)
@@ -75,7 +78,7 @@ object MinHashFns {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = SimHashFns.tokenHash(arr.getUTF8String(i).getBytes)
         var p = 0
         while (p < numPerm) {
           val v = as(p) * h + bs(p)

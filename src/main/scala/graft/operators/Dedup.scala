@@ -37,7 +37,8 @@ object Dedup {
   }
 
   /** numPerm-wide MinHash signature in ONE pass over the shingles:
-    * each shingle hashed once (xxhash64), then numPerm multiply-shift
+    * each shingle hashed once (md5-derived, SQL-reproducible —
+    * SimHashFns.tokenHash), then numPerm multiply-shift
     * permutations π_p(h) = a_p·h + b_p, sig[p] = min over shingles.
     *
     * Implemented as the native codegen'd [[graft.functions.MinHashSig]]

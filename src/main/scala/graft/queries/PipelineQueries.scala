@@ -100,6 +100,86 @@ object PipelineQueries {
         WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
               bit_count(xor(a.sig_lo, b.sig_lo)) <= 3)"""
 
+  /** DuckDB oracle rebuilding Dedup.minhashLsh end to end: w=3 shingles
+    * over the dropWords=5 planted corpus, base hash = first 8 bytes of
+    * md5(shingle) re-centered to a signed 64-bit value, the 64
+    * multiply-shift permutations π_p(h) = a_p·h + b_p replayed with the
+    * JVM's exact coefficients (rendered below as literals) in HUGEINT
+    * arithmetic mod 2^64, signatures as min per permutation, candidates
+    * by exact band-slice equality (16 bands × 4 rows), and the Jaccard
+    * estimate as agreeing-position fraction — n/64 is a dyadic rational,
+    * so the doubles compare exactly. */
+  private lazy val MinhashOracle: String = {
+    val (as, bs) = graft.functions.MinHashFns.coeffs(64)
+    s"""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\\s+')) - 5, 1)), ' ')
+            AS text
+        FROM base WHERE doc_id < 25),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM planted),
+      toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM corpus),
+      sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(t) - 3, 0) + 1),
+            i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+          FROM toks)),
+      hs AS (
+        SELECT doc_id,
+          CAST(CASE WHEN hi >= 2147483648
+               THEN hi::HUGEINT * 4294967296 + lo - 18446744073709551616
+               ELSE hi::HUGEINT * 4294967296 + lo END AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 8))::UBIGINT AS hi,
+                ('0x' || substr(md5(s), 9, 8))::UBIGINT AS lo
+              FROM sh)),
+      perms AS (
+        SELECT p.range AS p,
+          (${as.mkString("[", ",", "]")})[CAST(p.range + 1 AS INTEGER)] AS a,
+          (${bs.mkString("[", ",", "]")})[CAST(p.range + 1 AS INTEGER)] AS b
+        FROM range(64) p),
+      minv AS (
+        SELECT doc_id, p, min(CAST(
+          CASE WHEN m >= 9223372036854775808
+               THEN m - 18446744073709551616 ELSE m END AS BIGINT)) AS v
+        FROM (SELECT doc_id, p,
+                ((a::HUGEINT * h::HUGEINT + b::HUGEINT)
+                  % 18446744073709551616 + 18446744073709551616)
+                  % 18446744073709551616 AS m
+              FROM hs, perms)
+        GROUP BY doc_id, p),
+      sigs AS (
+        SELECT doc_id AS id, list(v ORDER BY p) AS sig
+        FROM minv GROUP BY doc_id),
+      bandslices AS (
+        SELECT id, b.range AS band,
+          array_to_string(list_transform(
+            list_slice(sig, CAST(b.range * 4 + 1 AS INTEGER),
+              CAST(b.range * 4 + 4 AS INTEGER)),
+            x -> CAST(x AS VARCHAR)), ',') AS key
+        FROM sigs, range(16) b),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+        FROM bandslices a JOIN bandslices bb
+          ON a.band = bb.band AND a.key = bb.key AND a.id < bb.id),
+      est AS (
+        SELECT id_a, id_b,
+          len(list_filter(list_zip(sa.sig, sb.sig),
+            x -> x[1] = x[2])) / 64.0 AS jaccard
+        FROM cand
+        JOIN sigs sa ON sa.id = id_a
+        JOIN sigs sb ON sb.id = id_b)
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM est
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- Text analysis ------------------------------------------------
@@ -243,9 +323,14 @@ object PipelineQueries {
             SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25)
       GROUP BY fp ORDER BY fp"""), bench = true),
 
-    // MinHash+LSH near-dup against planted perturbed copies (rows-only:
-    // xxhash64 signatures are Spark-specific; correctness asserted in
-    // DedupSpec against the planted pair ids).
+    // MinHash+LSH near-dup against planted perturbed copies — FULL
+    // oracle: base hashes derive from md5(shingle) halves, the
+    // multiply-shift permutation coefficients (deterministic
+    // SplittableRandom stream) are rendered into the SQL as literals, and
+    // the wrapping 64-bit arithmetic is replayed in HUGEINT mod 2^64. The
+    // oracle forms candidates by EXACT band-slice equality where the
+    // operator compares 64-bit band hashes — identical except under an
+    // xxhash64 collision between different slices (probability ~2^-64).
     QuerySpec("d02_dedup_minhash_lsh", (s, dir) => {
       import s.implicits._
       val docs = Dedup.withPlantedDups(
@@ -255,7 +340,7 @@ object PipelineQueries {
           threshold = 0.5)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"id_a", $"id_b")
-    }, bench = true),
+    }, oracle = Some(MinhashOracle), bench = true),
 
     // SimHash near-dup — FULL oracle: the per-token bit source is the
     // first 8 bytes of md5(token) (SimHashFns.tokenHash), so DuckDB
