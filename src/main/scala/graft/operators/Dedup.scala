@@ -287,6 +287,13 @@ object Dedup {
       .localCheckpoint()
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .withColumn("label", col("id")).localCheckpoint()
+    // labels only ever decrease, so a strictly decreasing Σ label IS the
+    // fixpoint probe — one scan of the (already checkpointed) labels per
+    // round, no self-join; decimal(38) so a 100 TB id space cannot wrap
+    def labelSum(): java.math.BigDecimal = Option(labels
+      .agg(sum(col("label").cast("decimal(38,0)"))).head()
+      .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty corpus
+    var prevSum = labelSum()
     var round = 0
     var converged = false
     while (!converged) {
@@ -296,15 +303,13 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      labels = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      // labels only ever decrease, so "any label still falling" IS the
-      // fixpoint probe (stops at the first witness, no full count)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      val s = labelSum()
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       round += 1
     }
     labels.select(col("id").as(idCol), col("label").as("cluster"),
