@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** 64-bit SimHash of a token array as a NATIVE Catalyst expression.
   *
@@ -41,6 +41,21 @@ object SimHashFns {
     var k = 0
     while (k < 8) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
     v
+  }
+
+  /** md5-derived 64-bit hash of EVERY element: array<string> →
+    * array<long> (null elements hash to 0). Shared by the winnowing
+    * fingerprint operator; SQL-reproducible like tokenHash. */
+  def hashAll(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) 0L
+        else tokenHash(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** counters loop shared by eval and codegen. */
@@ -83,8 +98,27 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Element-wise md5-derived 64-bit hashes: array<string> → array<long>. */
+case class TokenHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hash64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashFns.hashAll(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashFns.hashAll($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash64 =
+    copy(child = newChild)
+}
+
 object SimHash {
   /** Column API: simhash64(array<string> tokens) → long. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Column API: token_hash64(array<string>) → array<long>. */
+  def tokenHash64(tokens: Column): Column =
+    ColumnBridge.column(TokenHash64(ColumnBridge.expression(tokens)))
 }

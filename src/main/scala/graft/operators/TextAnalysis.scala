@@ -131,4 +131,27 @@ object TextAnalysis {
     * document identity. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS scheme): hash every word k-gram (rolling hash over the token
+    * stream), then keep the MINIMUM hash of each w-wide window of
+    * consecutive k-gram hashes; the sorted distinct minima are the
+    * document's fingerprint set. Guarantees: any shared run of w+k-1
+    * tokens between two documents contributes at least one SHARED
+    * fingerprint, while a local edit perturbs only the windows that
+    * overlap it — the document-level rolling-hash sketch a corpus pipeline
+    * matches on. Per-k-gram hashes are md5-derived (SimHashFns.hashAll),
+    * so a SQL oracle rebuilds the set exactly. Partition-local column
+    * expression, zero shuffle; the set size is ~tokens/avg-gap, bounded
+    * by the window structure, not the vocabulary. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    val hashes = graft.functions.SimHash.tokenHash64(grams)
+    sort_array(array_distinct(transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => array_min(slice(hashes, i, lit(w))))))
+  }
 }

@@ -306,6 +306,39 @@ object PipelineQueries {
                     WHEN 'src2' THEN '40' ELSE '00' END
       ORDER BY doc_id""")),
 
+    // Winnowing fingerprints (the MOSS rolling-hash scheme): k-gram
+    // hashes → per-window minima → sorted distinct set per doc. md5-derived
+    // hashes, so the oracle rebuilds every set exactly (k=5, w=4).
+    QuerySpec("t07_winnow_fingerprints", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          explode(TextAnalysis.winnowFingerprints($"text")).as("fp"))
+        .orderBy($"doc_id", $"fp")
+    }, oracle = Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id, list_transform(
+          generate_series(1, greatest(len(t) - 4, 1)),
+          i -> array_to_string(list_slice(t, i, i + 4), ' ')) AS g
+        FROM toks),
+      gh AS (
+        SELECT doc_id, list_transform(g, s ->
+          CAST(CASE WHEN ('0x' || substr(md5(s), 1, 8))::UBIGINT >= 2147483648
+               THEN ('0x' || substr(md5(s), 1, 8))::UBIGINT::HUGEINT * 4294967296
+                    + ('0x' || substr(md5(s), 9, 8))::UBIGINT - 18446744073709551616
+               ELSE ('0x' || substr(md5(s), 1, 8))::UBIGINT::HUGEINT * 4294967296
+                    + ('0x' || substr(md5(s), 9, 8))::UBIGINT END AS BIGINT)) AS h
+        FROM grams),
+      wins AS (
+        SELECT doc_id, list_sort(list_distinct(list_transform(
+          generate_series(1, greatest(len(h) - 3, 1)),
+          i -> list_aggregate(list_slice(h, i, i + 3), 'min')))) AS fps
+        FROM gh)
+      SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""")),
+
     // ---- Deduplication ------------------------------------------------
     // Exact dedup with planted exact copies (doc_id+100000 for doc_id<25).
     QuerySpec("d01_dedup_exact", (s, dir) => {

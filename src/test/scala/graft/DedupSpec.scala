@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Planted-duplicate recall tests for the hash-based operators that ship
@@ -138,6 +138,23 @@ class DedupSpec extends AnyFunSuite {
     val byCluster = cc.groupBy($"cluster")
       .agg(min($"doc_id").as("lo"), sum(when($"keep", 1).otherwise(0)).as("k"))
     assert(byCluster.filter($"cluster" =!= $"lo" || $"k" =!= 1).count() == 0)
+  }
+
+  test("winnowing fingerprints survive a trailing edit: a local " +
+      "perturbation changes only the windows that overlap it") {
+    import spark.implicits._
+    val base = docs.filter($"doc_id" < 25)
+      .select($"doc_id", TextAnalysis.winnowFingerprints($"text").as("fp"))
+    val toks = TextAnalysis.tokens($"text")
+    val cut = docs.filter($"doc_id" < 25)
+      .select($"doc_id", TextAnalysis.winnowFingerprints(
+        concat_ws(" ", slice(toks, lit(1),
+          greatest(size(toks) - 2, lit(1))))).as("fp2"))
+    val ov = base.join(cut, "doc_id")
+      .select((size(array_intersect($"fp", $"fp2")).cast("double") /
+        size($"fp")).as("ov"))
+      .agg(avg($"ov")).head().getDouble(0)
+    assert(ov >= 0.8, s"avg fingerprint overlap $ov too low for a 2-word cut")
   }
 
   test("ngram jaccard is symmetric-free and thresholded") {
