@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate: ordering is score DESC, id ASC (deterministic
+  * tie-break so top-k boundaries are reproducible across engines). */
+final case class ScoredId(score: Double, id: Long)
+
+/** Bounded top-k as a typed [[Aggregator]] — the scale-correct shape for
+  * per-group top-k: the partial (map-side) aggregate keeps AT MOST k
+  * candidates per group per partition, so grouping n corpus rows by
+  * query shuffles k·partitions rows per query instead of n (a window
+  * `row_number <= k` would shuffle every scored row to its group's
+  * reducer first). This is the custom-TypedColumn extension tier: no
+  * built-in aggregate expresses a bounded heap.
+  *
+  * The buffer is a sorted Seq truncated to k; per-row insert first
+  * checks against the current k-th score (O(1) reject for the vast
+  * majority of rows once the heap warms), so the occasional re-sort
+  * amortizes to ~O(log k) per accepted row.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  private def better(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[ScoredId] = Seq.empty
+
+  override def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
+    if (buf.size >= k && !better(x, buf.last)) buf
+    else ((buf :+ x).sortWith(better)).take(k)
+
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+}

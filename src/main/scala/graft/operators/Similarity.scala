@@ -167,19 +167,36 @@ object Similarity {
     ivfProbe(index, idCol, vecCol, query, k, nprobe)
   }
 
-  /** All-pairs exact top-k join for a (small) probe set against the full
-    * corpus: probe side broadcast, corpus side streamed — one pass. */
-  def topKJoin(
+  /** Batched exact top-k: for EVERY query in a (small) probe set, the k
+    * nearest corpus vectors by cosine — the retrieval shape production
+    * pipelines actually run (queries arrive in batches, not one at a
+    * time).
+    *
+    * Scale shape: probe side broadcast, corpus side streamed ONE pass;
+    * per-query top-k accumulates in [[graft.functions.TopKByScore]] — a
+    * bounded typed Aggregator whose map-side partial keeps at most k
+    * candidates per (query, partition), so the only shuffle is
+    * k·partitions rows per query. The window-function formulation
+    * (row_number over partitionBy(query)) would shuffle ALL n×q scored
+    * rows to the reducers first — wrong at 100 TB.
+    *
+    * @return (q_id, rank, id, cos) with rank 1..k per query
+    */
+  def batchTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       probes: DataFrame, probeId: String, probeVec: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val joined = corpus.crossJoin(broadcast(probes))
-      .select(col(probeId), col(corpusId),
-        VectorFunctions.cosine(col(corpusVec), col(probeVec)).as("cos"))
-    val w = Window.partitionBy(col(probeId)).orderBy(col("cos").desc, col(corpusId))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("rank")
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    corpus.crossJoin(broadcast(probes.select(col(probeId).as("q_id"),
+        col(probeVec).as("__qv"))))
+      .select(col("q_id"),
+        VectorFunctions.cosine(col(corpusVec), col("__qv")).as("score"),
+        col(corpusId).cast("long").as("id"))
+      .groupBy(col("q_id"))
+      // the udaf takes the ScoredId FIELDS as its argument list
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank", "s")))
+      .select(col("q_id"), (col("rank") + 1).cast("long").as("rank"),
+        col("s.id").as(corpusId), col("s.score").as("cos"))
   }
 }

@@ -554,6 +554,39 @@ object PipelineQueries {
       SELECT vec_id, round(cos, 9) AS cos FROM scored
       ORDER BY cos DESC, vec_id LIMIT 20"""), bench = true),
 
+    // Batched exact top-k (one pass over the corpus for a query SET,
+    // bounded typed-Aggregator partials — see Similarity.batchTopK). The
+    // oracle recomputes every (query, corpus) cosine with the identical
+    // sequential-fold double math and ranks per query.
+    QuerySpec("s04_ann_batch_topk", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      Similarity.batchTopK(
+          embs.filter($"vec_id" >= 5), "vec_id", "embedding",
+          embs.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+        .select($"q_id", $"rank", $"vec_id", round($"cos", 9).as("cos"))
+        .orderBy($"q_id", $"rank")
+    }, oracle = Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q_id, vec_id,
+          list_aggregate(list_transform(list_zip(embedding, qe),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings, q WHERE vec_id >= 5),
+      ranked AS (
+        SELECT q_id, vec_id, cos,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+             round(cos, 9) AS cos
+      FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
+
     // LSH-bucketed ANN — FULL oracle: DuckDB rebuilds the md5-derived
     // planes, the query and corpus buckets, the Hamming-<=probes probe
     // set, and the bucket-restricted top-k (recall vs brute force stays

@@ -198,6 +198,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter($"jaccard" < 0.5 || $"jaccard" > 1.0).count() == 0)
   }
 
+  test("batch top-k agrees with per-query brute force") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val corpus = embs.filter($"vec_id" >= 5)
+    val queries = embs.filter($"vec_id" < 3)
+    val batch = Similarity.batchTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+    queries.select($"vec_id", $"embedding").collect().foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+      val got = batch.filter($"q_id" === qid).orderBy($"rank")
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == brute, s"query $qid: $got != $brute")
+    }
+  }
+
   test("LSH ANN recall vs brute force") {
     import spark.implicits._
     val embs = Tables.load(spark, dir, "embeddings")
