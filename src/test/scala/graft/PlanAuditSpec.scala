@@ -100,6 +100,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s04 batch top-k aggregates partially BEFORE the shuffle (at most " +
+      "k candidates per query per partition cross the wire)") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val df = Similarity.batchTopK(
+      embs.filter($"vec_id" >= 5), "vec_id", "embedding",
+      embs.filter($"vec_id" < 3), "vec_id", "embedding", 10)
+    df.collect() // force execution so the adaptive plan is final
+    val full = allNodes(executedPlan(df)).mkString("\n")
+    // the typed Aggregator's partial runs map-side (ObjectHashAggregate
+    // partial_topkbyscore), so the exchange ships k-capped buffers, not
+    // the n×q scored rows a window row_number() formulation would
+    assert(full.contains("partial_topkbyscore"), full.take(3000))
+  }
+
   test("s02 LSH probe set is an IN filter, not a per-row Hamming scan") {
     import spark.implicits._
     val embs = Tables.load(spark, dir, "embeddings")
