@@ -149,4 +149,33 @@ object TextAnalysis {
     * the vocabulary. */
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     graft.functions.Winnow.fingerprints(tokens(text), k, w)
+
+  /** PII scrubbing patterns — deliberately conservative RE2-compatible
+    * regexes (no lookaround, no backreferences) so the same pattern text
+    * runs identically under Spark's Java regex and the DuckDB oracle's
+    * RE2. Order matters: emails before digit runs (an email's local part
+    * may contain digits), IPs before digit runs (dotted quads). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val LongDigitPattern = "\\b[0-9]{9,}\\b"
+
+  /** Redact emails, IPv4 addresses, and long digit runs (ids, phone-ish
+    * numbers) to typed placeholder tokens — the scrubbing pass a
+    * training-data pipeline runs before publication. Pure codegen'd
+    * column expressions, partition-local, zero shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      LongDigitPattern, "<ID>")
+
+  /** How many of each PII class a document carries (emails, IPs, long
+    * digit runs) — the triage signal for routing docs to redaction. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+     size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long"),
+     size(regexp_extract_all(regexp_replace(
+         regexp_replace(text, EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"),
+       lit(LongDigitPattern), lit(0))).cast("long"))
 }

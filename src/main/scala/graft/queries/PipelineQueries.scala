@@ -306,6 +306,44 @@ object PipelineQueries {
                     WHEN 'src2' THEN '40' ELSE '00' END
       ORDER BY doc_id""")),
 
+    // PII redaction + triage counts over documents with deterministic
+    // planted PII (email, IPv4, long digit id appended per doc). The
+    // patterns are RE2-compatible so the oracle applies the SAME regex
+    // text in DuckDB.
+    QuerySpec("t08_pii_redaction", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        .withColumn("text", concat($"text",
+          lit(" reach user"), $"doc_id".cast("string"),
+          lit("@example.com at 10.0."), ($"doc_id" % 200).cast("string"),
+          lit(".7 ref 900000000"), $"doc_id".cast("string")))
+      val (ne, ni, nd) = TextAnalysis.piiCounts($"text")
+      docs.select($"doc_id", TextAnalysis.redactPii($"text").as("clean"),
+          ne.as("n_email"), ni.as("n_ip"), nd.as("n_digit"))
+        .orderBy($"doc_id")
+    }, oracle = Some(s"""
+      WITH pl AS (
+        SELECT doc_id,
+          text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+            '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+            '.7 ref 900000000' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+          '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+          '${TextAnalysis.LongDigitPattern}', '<ID>', 'g') AS clean,
+        CAST(len(regexp_extract_all(text,
+          '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text,
+          '${TextAnalysis.Ipv4Pattern}')) AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(
+          regexp_replace(regexp_replace(text,
+            '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+            '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+          '${TextAnalysis.LongDigitPattern}')) AS BIGINT) AS n_digit
+      FROM pl ORDER BY doc_id""")),
+
     // Winnowing fingerprints (the MOSS rolling-hash scheme): k-gram
     // hashes → per-window minima → sorted distinct set per doc. md5-derived
     // hashes, so the oracle rebuilds every set exactly (k=5, w=4).
