@@ -44,4 +44,11 @@ object VectorFunctions {
     */
   def lshBucket(v: Column, bits: Int): Column =
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(v), bits))
+
+  /** Symmetric int8 scalar quantization (array<float|double> →
+    * array<int> in [-127, 127]); cosine over quantized vectors is
+    * scale-free, so the int arrays alone serve similarity search at
+    * ~4-8x less storage/bandwidth than the raw embeddings. */
+  def int8Quantize(v: Column): Column =
+    ColumnBridge.column(Int8Quantize(ColumnBridge.expression(v)))
 }

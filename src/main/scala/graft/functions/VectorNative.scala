@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType, ArrayType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, ArrayType}
 
 /** Native codegen'd kernels behind [[VectorFunctions]] — the HOF
   * formulations they replace are interpreted (each element boxes through
@@ -38,6 +38,33 @@ object VectorNative {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Symmetric int8 scalar quantization: scale = max|x| / 127 (per
+    * vector), q_i = floor(x_i / scale + 0.5) ∈ [-127, 127]. The scale is
+    * NOT returned because cosine is scale-invariant — the quantized
+    * arrays alone reproduce the approximate cosine, and all downstream
+    * arithmetic is exact integer math (SQL-oracle-exact: int sums stay
+    * below 2^53 in doubles). A zero vector quantizes to zeros (scale 1).
+    * Null element → null vector, matching `cosine`'s poisoning. */
+  def quantizeInt8(arr: ArrayData, float: Boolean): Any = {
+    val n = arr.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = math.abs(elemAsDouble(arr, i, float))
+      if (v > mx) mx = v
+      i += 1
+    }
+    val scale = if (mx == 0.0) 1.0 else mx / 127.0
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(elemAsDouble(arr, i, float) / scale + 0.5).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** plane_j(i) = first 52 bits of md5("j_i") mapped onto [-0.5, 0.5).
@@ -144,5 +171,34 @@ case class LshBucketExpr(child: Expression, bits: Int)
     """)
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array input, got ${child.dataType.simpleString}")
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorNative.quantizeInt8(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object q8R = graft.functions.VectorNative.quantizeInt8($c, $isFloat);
+      if (q8R == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) q8R; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
     copy(child = newChild)
 }

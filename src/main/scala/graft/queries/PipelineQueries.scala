@@ -625,6 +625,47 @@ object PipelineQueries {
              round(cos, 9) AS cos
       FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
 
+    // Int8-quantized exact top-k — FULL oracle: quantization and cosine
+    // are exact integer math in doubles (sums < 2^53), so DuckDB replays
+    // them bit-identically (see Similarity.quantizedTopK).
+    QuerySpec("s05_ann_quantized", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.quantizedTopK(embs.filter($"vec_id" =!= 0),
+          "vec_id", "embedding", q, 20)
+        .select($"vec_id", round($"cos", 9).as("cos"))
+    }, oracle = Some("""
+      WITH qq AS (
+        SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT embedding, list_aggregate(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id = 0)),
+      cq AS (
+        SELECT vec_id,
+          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
+                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id <> 0)),
+      scored AS (
+        SELECT vec_id,
+          list_aggregate(list_transform(list_zip(c.q, qq.q),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(c.q,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qq.q,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM cq c, qq)
+      SELECT vec_id, round(cos, 9) AS cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT 20""")),
+
     // LSH-bucketed ANN — FULL oracle: DuckDB rebuilds the md5-derived
     // planes, the query and corpus buckets, the Hamming-<=probes probe
     // set, and the bucket-restricted top-k (recall vs brute force stays

@@ -216,6 +216,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("int8-quantized ANN keeps high recall vs the float baseline") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(corpus, "vec_id", "embedding", q, 20)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val hit = (exact & quant).size
+    assert(hit >= 16, s"recall@20 too low for int8 quantization: $hit/20")
+  }
+
   test("LSH ANN recall vs brute force") {
     import spark.implicits._
     val embs = Tables.load(spark, dir, "embeddings")
