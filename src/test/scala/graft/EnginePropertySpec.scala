@@ -166,4 +166,31 @@ class EnginePropertySpec extends AnyFunSuite {
     assert(p.steps.last.isPython)
     assert(p.genObj.keySet == Set("01"))
   }
+
+  test("TopKByScore: any partition split + merge order equals whole-list " +
+      "top-k (the distributed-correctness property of the partial agg)") {
+    import graft.functions.{ScoredId, TopKByScore}
+    // scores drawn from a small set so ties (the risky path) are common
+    val itemGen = Gen.zip(Gen.chooseNum(0, 5).map(_ / 2.0),
+      Gen.chooseNum(0L, 30L)).map { case (s, i) => ScoredId(s, i) }
+    val listGen = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.listOfN(n, itemGen))
+    val splitGen = Gen.chooseNum(1, 5)
+    forAll(Gen.zip(listGen, splitGen, Gen.chooseNum(1, 7)), 200) {
+      case (items, nSplits, k) =>
+        val agg = new TopKByScore(k)
+        // reference: sort the WHOLE list by (score desc, id asc), take k
+        val expect = items.distinct
+          .sortBy(x => (-x.score, x.id)).take(k)
+        // distributed: shard round-robin, reduce each shard, merge in
+        // arbitrary (left-fold) order — duplicates collapse like a
+        // groupBy would not, so feed distinct items to both sides
+        val shards = items.distinct.zipWithIndex
+          .groupBy(_._2 % nSplits).values.map(_.map(_._1))
+        val partials = shards.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(merged) == expect,
+          s"k=$k splits=$nSplits items=$items")
+    }
+  }
 }
