@@ -123,6 +123,39 @@ class FanoutSpec extends AnyFunSuite {
       spark.table("fo_dup_loop").orderBy("g").collect().toSeq)
   }
 
+  test("nsp×obj combined grid: one-job path matches the loop path on a " +
+      "two-generator fan-out") {
+    val files = Map(
+      "run_once.sql" ->
+        """DROP TABLE IF EXISTS DBC_PL_tbl;
+          |CREATE TABLE DBC_PL_tbl (n BIGINT)
+          |USING parquet LOCATION 'DBC_PL_loc';""".stripMargin,
+      "01_gen_nsp.sql" ->
+        ("SELECT NULL AS maint, r_regionkey FROM region " +
+          "WHERE r_regionkey < 2 ORDER BY r_regionkey"),
+      "01_gen_obj.sql" ->
+        ("SELECT NULL AS maint, n_nationkey FROM nation " +
+          "WHERE n_nationkey < 3 ORDER BY n_nationkey"),
+      // 2 nsp × 3 obj = 6 combos; both fields referenced in WHERE
+      "01_step.sql" ->
+        """INSERT INTO DBC_PL_tbl
+          |SELECT count(*) AS n FROM nation
+          |WHERE n_regionkey = GEN_NSP_FLD_1 AND n_nationkey >= GEN_OBJ_FLD_1;""".stripMargin,
+      "meta_data.json" -> """{"description": "fanout nsp obj"}""")
+    val dir = mkPacket("fanout_nspobj", files)
+
+    val loop = run(dir, "fo_no_loop", maxFanout = 1000)
+    assert(loop.resultCode("spark") == "success", loop.notices.mkString("; "))
+    assert(loop.stepResults("spark")("01_step.sql") == StepOutcome.Done(6))
+    val expect = spark.table("fo_no_loop").orderBy("n").collect().toSeq
+
+    val job = run(dir, "fo_no_job", maxFanout = 3) // 6 combos > 3: one job
+    assert(job.resultCode("spark") == "success", job.notices.mkString("; "))
+    assert(job.stepResults("spark")("01_step.sql") == StepOutcome.Done(6))
+    val got = spark.table("fo_no_job").orderBy("n").collect().toSeq
+    assert(got == expect, s"nsp-obj one-job diverged: $got vs $expect")
+  }
+
   test("GEN token inside a quoted string literal fails loud past maxFanout " +
       "(the rewrite cannot splice values into literals) but the loop path " +
       "string-splices it correctly") {
