@@ -20,6 +20,12 @@ final case class ScoredId(score: Double, id: Long)
   * checks against the current k-th score (O(1) reject for the vast
   * majority of rows once the heap warms), so the occasional re-sort
   * amortizes to ~O(log k) per accepted row.
+  *
+  * NaN scores (e.g. cosine against a zero-norm vector) are rejected at
+  * the reduce input: a NaN can never rank, and admitting it would make
+  * the `better` comparator inconsistent (NaN compares false both ways).
+  * This is a deliberate behavior choice — "no similarity" beats the SQL
+  * window formulation's NaN-ranks-first artifact.
   */
 class TopKByScore(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
@@ -30,7 +36,8 @@ class TopKByScore(k: Int)
   override def zero: Seq[ScoredId] = Seq.empty
 
   override def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
-    if (buf.size >= k && !better(x, buf.last)) buf
+    if (x.score.isNaN) buf
+    else if (buf.size >= k && !better(x, buf.last)) buf
     else ((buf :+ x).sortWith(better)).take(k)
 
   override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
