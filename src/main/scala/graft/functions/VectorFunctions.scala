@@ -51,4 +51,10 @@ object VectorFunctions {
     * ~4-8x less storage/bandwidth than the raw embeddings. */
   def int8Quantize(v: Column): Column =
     ColumnBridge.column(Int8Quantize(ColumnBridge.expression(v)))
+
+  /** Argmin centroid index by exact integer squared L2 over an int8-
+    * quantized vector column (seeded-IVF coarse assignment; ties → lowest
+    * index). */
+  def int8NearestList(v: Column, centroids: Array[Array[Int]]): Column =
+    ColumnBridge.column(Int8NearestList(ColumnBridge.expression(v), centroids))
 }

@@ -88,6 +88,34 @@ object VectorNative {
       }
     })
 
+  /** Nearest centroid by exact integer squared L2 over int8-quantized
+    * vectors (ties → lowest index); the coarse-assignment kernel of the
+    * seeded IVF (s03). Distances stay in Long (64 dims × 254² ≪ 2^63),
+    * so a SQL oracle replays the argmin bit-identically. Null element or
+    * length mismatch → null (poisoning, same contract as `cosine`). */
+  def nearestList(v: ArrayData, centroids: Array[Array[Int]]): Any = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    var best = -1
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      if (c.length != n) return null
+      var d = 0L
+      var t = 0
+      while (t < n) {
+        val diff = (v.getInt(t) - c(t)).toLong
+        d += diff * diff
+        t += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    if (best < 0) null else best
+  }
+
   /** Null element → null bucket (HOF parity: a poisoned plane dot made
     * every `when(planeDot >= 0, ...)` branch null). */
   def lshBucket(v: ArrayData, bits: Int, float: Boolean): Any = {
@@ -131,13 +159,16 @@ case class CosineSim(left: Expression, right: Expression)
     VectorNative.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       isFloat(left), isFloat(right))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: two instances in one projection must not redeclare the local
+    val r = ctx.freshName("cosR")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object cosR = graft.functions.VectorNative.cosine(
+      Object $r = graft.functions.VectorNative.cosine(
         $a, $b, ${isFloat(left)}, ${isFloat(right)});
-      if (cosR == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Double) cosR).doubleValue(); }
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -163,12 +194,14 @@ case class LshBucketExpr(child: Expression, bits: Int)
   override protected def nullSafeEval(v: Any): Any =
     VectorNative.lshBucket(v.asInstanceOf[ArrayData], bits, isFloat)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("lshR")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object lshR = graft.functions.VectorNative.lshBucket($c, $bits, $isFloat);
-      if (lshR == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Long) lshR).longValue(); }
+      Object $r = graft.functions.VectorNative.lshBucket($c, $bits, $isFloat);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)
@@ -192,13 +225,52 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(v: Any): Any =
     VectorNative.quantizeInt8(v.asInstanceOf[ArrayData], isFloat)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("q8R")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object q8R = graft.functions.VectorNative.quantizeInt8($c, $isFloat);
-      if (q8R == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) q8R; }
+      Object $r = graft.functions.VectorNative.quantizeInt8($c, $isFloat);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
+/** list_id = argmin over `centroids` of exact integer squared distance to
+  * the (already int8-quantized) child vector — the seeded-IVF coarse
+  * assignment. Centroids ride along as a reference object so the kernel
+  * stays inside whole-stage codegen. */
+case class Int8NearestList(child: Expression, centroids: Array[Array[Int]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "int8_nearest_list"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorNative.nearestList(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "int[][]")
+    val r = ctx.freshName("nlR")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = graft.functions.VectorNative.nearestList($c, $cRef);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Integer) $r).intValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8NearestList =
     copy(child = newChild)
 }

@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * explode stays in one WholeStageCodegen span.
   */
 object WinnowFns {
-  def fingerprints(arr: ArrayData, k: Int, w: Int): ArrayData = {
+  /** Positional k-gram hashes: h(i) = md5-derived 64-bit hash of
+    * tokens[i..i+k-1] joined by ' ' (SimHashFns.tokenHash, so a SQL
+    * oracle rebuilds every value). A doc shorter than k tokens emits ONE
+    * gram over its whole token list (concatWs skips the null padding). */
+  def gramHashes(arr: ArrayData, k: Int): Array[Long] = {
     val n = arr.numElements()
     val nGrams = math.max(n - k + 1, 1)
     val sep = UTF8String.fromString(" ")
@@ -39,6 +43,15 @@ object WinnowFns {
         UTF8String.concatWs(sep, scratch: _*).getBytes)
       i += 1
     }
+    hashes
+  }
+
+  def gramHashesArray(arr: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(gramHashes(arr, k))
+
+  def fingerprints(arr: ArrayData, k: Int, w: Int): ArrayData = {
+    val hashes = gramHashes(arr, k)
+    val nGrams = hashes.length
     // sorted distinct window minima; TreeSet orders signed ascending,
     // matching sort_array / the oracle's list_sort
     val mins = new java.util.TreeSet[java.lang.Long]()
@@ -83,8 +96,33 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** All positional k-gram hashes of a token array (no winnowing): the
+  * signature source for exact-substring dedup (d08) — position i's hash
+  * identifies the substring tokens[i..i+k-1], so runs of globally
+  * duplicated positions ARE duplicated spans. Fused for the same reason
+  * as [[WinnowFingerprints]]: one codegen'd pass, no HOF re-evaluation. */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowFns.gramHashesArray(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowFns.gramHashesArray($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 object Winnow {
   /** Column API: winnow_fingerprints(array<string> tokens) → array<long>. */
   def fingerprints(tokens: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(tokens), k, w))
+
+  /** Column API: gram_hashes(array<string> tokens) → array<long>. */
+  def gramHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(GramHashes(ColumnBridge.expression(tokens), k))
 }

@@ -317,6 +317,60 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Exact-substring dedup (the Lee et al. 2022 "Deduplicating Training
+  // Data Makes Language Models Better" family): find the cross-document
+  // duplicated SPANS — boilerplate, licenses, quoted text — that exact
+  // (d01) and near-dup (d02–d05) whole-document passes cannot see.
+
+  /** Maximal duplicated token spans per document.
+    *
+    * The suffix-array formulation is single-machine; the distributed
+    * counterpart is positional k-gram frequency: position i's gram hash
+    * identifies the exact substring tokens[i..i+k-1], so a substring of
+    * length >= k duplicated ANYWHERE in the corpus (another doc or the
+    * same doc) shows up as a run of positions whose gram occurs > 1 time
+    * globally. Merging consecutive duplicated positions (the classic
+    * islands grouping: pos - row_number is constant on a run) yields the
+    * maximal spans, reported when they reach `minTokens`.
+    *
+    * Scale shape — NO pairwise join anywhere (unlike d02–d05 there is no
+    * candidate-pair stage to cap):
+    *   1. gram hashes are one fused codegen'd pass (GramHashes), shipped
+    *      as (id, pos, gh) — three longs, never the text;
+    *   2. global frequency is a map-side-combinable groupBy(gh) count;
+    *      the dup-gram join back is a plain equi-join on gh, so a hot
+    *      boilerplate gram (10^8 occurrences at corpus scale) is an AQE
+    *      skew-join split, not a single-reducer window partition;
+    *   3. the islands window shuffles only the DUPLICATED positions by
+    *      doc — bounded by the duplication rate, not the corpus.
+    *
+    * @return (id, span_start, span_tokens): 0-based token offset and
+    *         length; span_tokens = run_length - 1 + k (for a doc shorter
+    *         than k tokens the single whole-doc gram reports k).
+    */
+  def substringDupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minTokens: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.Winnow.gramHashes(tokens(col(textCol)), k))
+        .as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("gh"))
+    val dupPos = grams.join(dupGrams, "gh")
+    dupPos
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("id").as(idCol), col("span_start"), col("span_tokens"))
+  }
+
+  // ---------------------------------------------------------------------
   // Benchmark decontamination: which training documents contain any word
   // n-gram that also appears in an evaluation set (the standard 13-gram
   // overlap check, run here with a caller-chosen n).

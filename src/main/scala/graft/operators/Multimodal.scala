@@ -42,6 +42,22 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
       length(col("text")).cast("long").as("n_bytes"))
 
+  /** REAL binary media corpus (no codecs needed): even doc_ids carry a
+    * deterministic P6 PPM image, odd doc_ids a PCM16 mono WAV — actual
+    * fixed-layout binary formats encoded pure-JVM ([[MediaCodec]]), so the
+    * m01/m02 decoders parse genuine headers and sample data. Payload
+    * bytes derive from md5("<id>_<block>"), which is what lets the DuckDB
+    * oracle replay the decode reductions relationally. */
+  def mediaCorpus(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+          MediaCodecColumns.ppmEncode(col("doc_id")))
+        .otherwise(MediaCodecColumns.wavEncode(col("doc_id"))).as("payload"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("ppm"))
+        .otherwise(lit("wav")).as("format"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+
   /** ??? decode stub ??? — deterministic 16-bin byte histogram, normalized.
     * Replace the body of `decodeOne` with a real codec call in production. */
   def decodeOne(payload: Array[Byte]): Array[Double] = {

@@ -167,21 +167,48 @@ object Similarity {
     ivfProbe(index, idCol, vecCol, query, k, nprobe)
   }
 
-  /** Batched exact top-k: for EVERY query in a (small) probe set, the k
-    * nearest corpus vectors by cosine — the retrieval shape production
-    * pipelines actually run (queries arrive in batches, not one at a
-    * time).
+  /** Seeded IVF — the fully DETERMINISTIC inverted-file variant (the
+    * float-kmeans ivfTopK above keeps its recall tests but its Lloyd
+    * iterations sum floats in partition order, so no second engine can
+    * replay it): the coarse quantizer is the int8-QUANTIZED embeddings of
+    * the `nlist` smallest ids — FAISS's "sample training points, zero
+    * Lloyd iterations" IVF init — and assignment + probe selection are
+    * exact integer squared-L2 argmins (ties → lowest centroid index).
+    * Every stage is integer math, so a SQL oracle rebuilds the whole
+    * index end to end; scoring inside the probed lists is the same
+    * sequential-fold float cosine s01 hash-matches.
     *
-    * Scale shape: probe side broadcast, corpus side streamed ONE pass;
-    * per-query top-k accumulates in [[graft.functions.TopKByScore]] — a
-    * bounded typed Aggregator whose map-side partial keeps at most k
-    * candidates per (query, partition), so the only shuffle is
-    * k·partitions rows per query. The window-function formulation
-    * (row_number over partitionBy(query)) would shuffle ALL n×q scored
-    * rows to the reducers first — wrong at 100 TB.
-    *
-    * @return (q_id, rank, id, cos) with rank 1..k per query
+    * Scale posture: identical to ivfTopK — assignment is ingest-time
+    * (list_id the bucketBy/partition key, probes prune files via the
+    * IN-set), centroids are nlist quantized vectors on the driver.
     */
+  def ivfSeededTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids: Array[Array[Int]] = embs.orderBy(col(idCol)).limit(nlist)
+      .select(VectorFunctions.int8Quantize(col(vecCol)).as("q"))
+      .collect().map(_.getSeq[Int](0).toArray)
+    val q = array(query.map(v => lit(v)): _*)
+    val qq: Array[Int] = embs.sparkSession.range(1)
+      .select(VectorFunctions.int8Quantize(q).as("qq")).head()
+      .getSeq[Int](0).toArray
+    def dist2(c: Array[Int]): Long = {
+      var s = 0L; var i = 0
+      while (i < c.length) { val d = (qq(i) - c(i)).toLong; s += d * d; i += 1 }
+      s
+    }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }
+      .take(nprobe).map(x => Integer.valueOf(x._2)).toSeq
+    embs
+      .withColumn("list_id", VectorFunctions.int8NearestList(
+        VectorFunctions.int8Quantize(col(vecCol)), centroids))
+      .filter(col("list_id").isin(probed: _*))
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact top-k over int8-QUANTIZED vectors: the storage/bandwidth
     * scale path — at 100 TB the quantized corpus is written once at
     * ingest (4× smaller than float32, 8× than float64) and every query
@@ -204,6 +231,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact top-k: for EVERY query in a (small) probe set, the k
+    * nearest corpus vectors by cosine — the retrieval shape production
+    * pipelines actually run (queries arrive in batches, not one at a
+    * time).
+    *
+    * Scale shape: probe side broadcast, corpus side streamed ONE pass;
+    * per-query top-k accumulates in [[graft.functions.TopKByScore]] — a
+    * bounded typed Aggregator whose map-side partial keeps at most k
+    * candidates per (query, partition), so the only shuffle is
+    * k·partitions rows per query. The window-function formulation
+    * (row_number over partitionBy(query)) would shuffle ALL n×q scored
+    * rows to the reducers first — wrong at 100 TB.
+    *
+    * @return (q_id, rank, id, cos) with rank 1..k per query
+    */
   def batchTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       probes: DataFrame, probeId: String, probeVec: String,

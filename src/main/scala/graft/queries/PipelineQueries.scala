@@ -2,18 +2,18 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MediaCodecColumns, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
   * multimodal) as verifiable QuerySpecs over the `documents` and
-  * `embeddings` fixtures. The MinHash operator (d02) hashes with
-  * xxhash64, which DuckDB lacks, so it ships without an oracle — the
-  * driver records a rows-only check — and is instead verified by
-  * ScalaTest against planted duplicates with known ids. The md5-derived
-  * operators are fully oracle-checked: d05/s02 rebuild their sign-bit
-  * LSH planes in SQL (see [[LshBucketCte]]) and d03 rebuilds every
-  * SimHash signature from md5(token) halves (SimHashFns.tokenHash).
+  * `embeddings` fixtures. The hash-based operators are fully
+  * oracle-checked via md5-derived hashing: d02 derives every base
+  * MinHash from md5(shingle) (only the post-signature band hash uses
+  * xxhash64, which both engines share), d03 rebuilds every SimHash
+  * signature from md5(token) halves (SimHashFns.tokenHash), and
+  * d05/s02 rebuild their sign-bit LSH planes in SQL
+  * (see [[LshBucketCte]]).
   */
 object PipelineQueries {
 
@@ -463,6 +463,58 @@ object PipelineQueries {
              (id = cluster) AS keep
       FROM cc ORDER BY doc_id""")),
 
+    // Exact-substring dedup (Lee et al. 2022 family): maximal duplicated
+    // token spans via positional k-gram frequency — no pairwise join.
+    // FULL oracle: gram hashes are md5-derived (SimHashFns.tokenHash), so
+    // DuckDB rebuilds every positional hash, the global frequency, and
+    // the islands merge relationally (k=8, minTokens=15).
+    QuerySpec("d08_substring_dedup", (s, dir) => {
+      import s.implicits._
+      val docs = Dedup.withPlantedDups(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 5)
+      Dedup.substringDupSpans(docs, "doc_id", "text", k = 8, minTokens = 15)
+        .orderBy($"doc_id", $"span_start")
+    }, oracle = Some(s"""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\\s+')) - 5, 1)), ' ')
+            AS text
+        FROM base WHERE doc_id < 25),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM planted),
+      toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM corpus),
+      posgrams AS (
+        SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i,
+          t FROM toks),
+      ghv AS (
+        SELECT doc_id, i,
+          CAST(CASE WHEN ('0x' || substr(md5(g), 1, 8))::UBIGINT >= 2147483648
+               THEN ('0x' || substr(md5(g), 1, 8))::UBIGINT::HUGEINT * 4294967296
+                    + ('0x' || substr(md5(g), 9, 8))::UBIGINT - 18446744073709551616
+               ELSE ('0x' || substr(md5(g), 1, 8))::UBIGINT::HUGEINT * 4294967296
+                    + ('0x' || substr(md5(g), 9, 8))::UBIGINT END AS BIGINT) AS gh
+        FROM (SELECT doc_id, i,
+                array_to_string(list_slice(t, i, i + 7), ' ') AS g
+              FROM posgrams)),
+      freq AS (SELECT gh, count(*) AS cnt FROM ghv GROUP BY gh),
+      dup AS (SELECT doc_id, i FROM ghv JOIN freq USING (gh) WHERE cnt > 1),
+      isl AS (
+        SELECT doc_id, i,
+          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM dup),
+      spans AS (
+        SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start,
+          CAST(max(i) - min(i) + 8 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, island)
+      SELECT doc_id, span_start, span_tokens FROM spans
+      WHERE span_tokens >= 15 ORDER BY doc_id, span_start"""), bench = true),
+
     // Exact token-set Jaccard via inverted index — SQL-expressible, full oracle.
     QuerySpec("d04_ngram_jaccard", (s, dir) => {
       import s.implicits._
@@ -701,38 +753,155 @@ object PipelineQueries {
       SELECT vec_id, round(cos, 9) AS cos FROM scored
       ORDER BY cos DESC, vec_id LIMIT 20""")),
 
-    // IVF ANN (rows-only; recall vs brute force asserted in DedupSpec) —
-    // the coarse-quantizer scale path: the kmeans assignment is an
-    // INGEST-time step (staged once per session via indexKey, list_id the
-    // storage bucket key), so the query itself times probe + scan only.
+    // IVF ANN — FULL oracle via the seeded deterministic variant: the
+    // coarse quantizer is the int8-quantized embeddings of the nlist
+    // smallest corpus ids (FAISS's sampled-points init, zero Lloyd
+    // iterations), assignment/probing are exact integer squared-L2
+    // argmins, scoring is the s01 sequential-fold cosine — every stage
+    // DuckDB-replayable. The float-kmeans ivfTopK keeps its recall tests
+    // in DedupSpec; at 100 TB the assignment is an INGEST-time step
+    // (list_id the bucketBy/partition key) so the query times probe+scan.
     QuerySpec("s03_ann_ivf", (s, dir) => {
       import s.implicits._
       val embs = Tables.load(s, dir, "embeddings")
       val q = embs.filter($"vec_id" === 0)
         .select($"embedding").head().getSeq[Float](0)
-      Similarity.ivfTopK(embs.filter($"vec_id" =!= 0), "vec_id", "embedding", q,
-          k = 20, nlist = 16, nprobe = 4, indexKey = Some(s"s03:$dir"))
+      Similarity.ivfSeededTopK(embs.filter($"vec_id" =!= 0), "vec_id",
+          "embedding", q, k = 20, nlist = 16, nprobe = 4)
         .select($"vec_id", round($"cos", 9).as("cos"))
-    }),
+    }, oracle = Some("""
+      WITH qq AS (
+        SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT embedding, list_aggregate(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id = 0)),
+      cq AS (
+        SELECT vec_id,
+          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
+                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id <> 0)),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cvec
+        FROM cq ORDER BY vec_id LIMIT 16),
+      asgn AS (
+        SELECT vec_id, cidx,
+          row_number() OVER (PARTITION BY vec_id ORDER BY
+            list_aggregate(list_transform(list_zip(c.q, ct.cvec),
+              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+            cidx) AS rn
+        FROM cq c, cent ct),
+      probe AS (
+        SELECT cidx, row_number() OVER (ORDER BY
+          list_aggregate(list_transform(list_zip(qq.q, ct.cvec),
+            x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+          cidx) AS rn
+        FROM qq, cent ct),
+      scored AS (
+        SELECT e.vec_id,
+          list_aggregate(list_transform(list_zip(e.embedding, qe.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings e
+        JOIN (SELECT vec_id FROM asgn WHERE rn = 1 AND cidx IN
+                (SELECT cidx FROM probe WHERE rn <= 4)) keep USING (vec_id),
+        (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+      SELECT vec_id, round(cos, 9) AS cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT 20""")),
 
-    // ---- Multimodal plumbing (rows-only: decode is a documented stub) --
+    // ---- Multimodal: REAL decode on codec-free formats -----------------
+    // m01: P6 PPM image decode — the operator parses actual binary
+    // headers + pixel data (MediaCodec.ppmStats); the oracle replays the
+    // per-channel integer sums from the md5-derived pixel stream without
+    // touching a blob. element_at over one decoded array: ProjectExec
+    // codegen CSEs the decode, so the payload parses once per row.
     QuerySpec("m01_multimodal_features", (s, dir) => {
-      Multimodal.featureSummary(s, Tables.load(s, dir, "documents"))
-    }),
+      import s.implicits._
+      val media = Multimodal.mediaCorpus(Tables.load(s, dir, "documents"))
+      media.filter($"format" === "ppm")
+        .select($"media_id", MediaCodecColumns.ppmStats($"payload").as("st"))
+        .select($"media_id",
+          element_at($"st", 1).as("w"), element_at($"st", 2).as("h"),
+          element_at($"st", 3).as("sum_r"), element_at($"st", 4).as("sum_g"),
+          element_at($"st", 5).as("sum_b"))
+        .orderBy($"media_id")
+    }, oracle = Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, 8 + (doc_id % 8) AS w, 8 AS h
+        FROM documents WHERE doc_id % 2 = 0),
+      blocks AS (
+        SELECT media_id, w, h, unnest(generate_series(0,
+          CAST(ceil(w * h * 3 / 16.0) AS BIGINT) - 1)) AS b
+        FROM media),
+      bj AS (
+        SELECT media_id, w, h, b, unnest(generate_series(0, 15)) AS j
+        FROM blocks),
+      bytes AS (
+        SELECT media_id, w, h, b * 16 + j AS p,
+          ('0x' || substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+             CAST(b AS VARCHAR)), CAST(j * 2 + 1 AS INTEGER), 2))::UBIGINT AS v
+        FROM bj WHERE b * 16 + j < w * h * 3)
+      SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        CAST(sum(CASE WHEN p % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        CAST(sum(CASE WHEN p % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        CAST(sum(CASE WHEN p % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+      FROM bytes GROUP BY media_id, w, h ORDER BY media_id""")),
 
-    // Frame-sampling plumbing (rows-only: binary frame payloads; exact
-    // slice/reassembly semantics asserted in MultimodalSpec)
+    // m02: WAV frame sampling — the operator demuxes a real RIFF chunk
+    // list, slices PCM16 LE samples, and emits every 2nd frame's exact
+    // integer energy; the oracle rebuilds the identical samples from the
+    // md5-derived data bytes (LE pair → signed 16-bit) and the same
+    // frame grouping.
     QuerySpec("m02_frame_sample", (s, dir) => {
       import s.implicits._
-      Multimodal.sampleFrames(
-          Multimodal.mediaFromDocuments(
-            Tables.load(s, dir, "documents").filter($"doc_id" < 100)),
-          frameBytes = 256, stride = 4)
-        .groupBy($"format")
-        .agg(count(lit(1)).as("n_frames"),
-          sum(length($"frame_bytes")).as("sampled_bytes"))
-        .orderBy($"format")
-    }),
+      val media = Multimodal.mediaCorpus(
+        Tables.load(s, dir, "documents").filter($"doc_id" < 200))
+      media.filter($"format" === "wav")
+        .select($"media_id",
+          posexplode(MediaCodecColumns.wavFrameEnergies($"payload", 64, 2))
+            .as(Seq("kidx", "energy")))
+        .select($"media_id", ($"kidx" * 2).cast("long").as("frame_idx"),
+          $"energy")
+        .orderBy($"media_id", $"frame_idx")
+    }, oracle = Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, 256 + (doc_id % 256) AS n
+        FROM documents WHERE doc_id % 2 = 1 AND doc_id < 200),
+      blocks AS (
+        SELECT media_id, n, unnest(generate_series(0,
+          CAST(ceil(n * 2 / 16.0) AS BIGINT) - 1)) AS b
+        FROM media),
+      bj AS (SELECT media_id, n, b, unnest(generate_series(0, 15)) AS j
+             FROM blocks),
+      bytes AS (
+        SELECT media_id, n, b * 16 + j AS p,
+          ('0x' || substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+             CAST(b AS VARCHAR)), CAST(j * 2 + 1 AS INTEGER), 2))::UBIGINT AS v
+        FROM bj WHERE b * 16 + j < n * 2),
+      samples AS (
+        SELECT media_id, CAST(floor(p / 2) AS BIGINT) AS i,
+          CAST(sum(CASE WHEN p % 2 = 0 THEN v ELSE 256 * v END) AS BIGINT)
+            AS raw
+        FROM bytes GROUP BY media_id, CAST(floor(p / 2) AS BIGINT)),
+      sgn AS (
+        SELECT media_id, i,
+          CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+        FROM samples),
+      frames AS (
+        SELECT media_id, CAST(floor(i / 64) AS BIGINT) AS frame_idx,
+          CAST(sum(s * s) AS BIGINT) AS energy
+        FROM sgn GROUP BY media_id, CAST(floor(i / 64) AS BIGINT))
+      SELECT media_id, frame_idx, energy FROM frames
+      WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx""")),
 
     // ---- Sessionization over events (gap > 30 min ⇒ new session) -------
     // ---- End-to-end corpus curation (the flagship composition): quality

@@ -157,6 +157,44 @@ class DedupSpec extends AnyFunSuite {
     assert(ov >= 0.8, s"avg fingerprint overlap $ov too low for a 2-word cut")
   }
 
+  test("substring dedup recovers a planted cross-document span exactly") {
+    import spark.implicits._
+    // two docs share a 30-token boilerplate block at different offsets,
+    // surrounded by globally-unique context; a third doc is all-unique.
+    val boiler = (0 until 30).map(i => s"boiler$i").mkString(" ")
+    val d1 = ((0 until 20).map(i => s"aa$i") :+ boiler).mkString(" ") +
+      " " + (0 until 10).map(i => s"cc$i").mkString(" ")
+    val d2 = ((0 until 15).map(i => s"dd$i") :+ boiler).mkString(" ") +
+      " " + (0 until 5).map(i => s"ee$i").mkString(" ")
+    val d3 = (0 until 40).map(i => s"ff$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(df, "doc_id", "text",
+      k = 8, minTokens = 15)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // k-grams fully inside the boilerplate are the only duplicated ones:
+    // 30 - 8 + 1 = 23 consecutive positions -> span_tokens = 22 + 8 = 30,
+    // starting exactly where the boilerplate starts (0-based token offset)
+    assert(spans.toSeq == Seq((1L, 20L, 30L), (2L, 15L, 30L)),
+      s"got ${spans.toSeq}")
+  }
+
+  test("substring dedup sees within-document repetition too") {
+    import spark.implicits._
+    val block = (0 until 20).map(i => s"rep$i").mkString(" ")
+    val text = ((0 until 10).map(i => s"gg$i") :+ block).mkString(" ") +
+      " " + (0 until 10).map(i => s"hh$i").mkString(" ") + " " + block
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(df, "doc_id", "text",
+      k = 8, minTokens = 15)
+      .orderBy($"span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 20-token block appears at positions 10 and 40: 13 duplicated
+    // gram positions each -> two spans of 12 + 8 = 20 tokens
+    assert(spans.toSeq == Seq((7L, 10L, 20L), (7L, 40L, 20L)),
+      s"got ${spans.toSeq}")
+  }
+
   test("ngram jaccard is symmetric-free and thresholded") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.filter($"doc_id" < 50),
@@ -263,6 +301,26 @@ class DedupSpec extends AnyFunSuite {
         k = 20, nlist = 16, nprobe = 16)
       .select("vec_id").as[Long].collect().toSet
     assert(full == exact, "nprobe = nlist IVF must equal brute force")
+  }
+
+  test("seeded IVF recall vs brute force; full probe is exhaustive") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfSeededTopK(corpus, "vec_id", "embedding", q,
+        k = 20, nlist = 16, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"seeded IVF recall $recall too low")
+    assert(approx.forall(_ > 0))
+    // probing every list degenerates to exact brute force
+    val full = Similarity.ivfSeededTopK(corpus, "vec_id", "embedding", q,
+        k = 20, nlist = 16, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact, "nprobe = nlist seeded IVF must equal brute force")
   }
 
   test("IVF index is staged once per session key (no per-query retrain)") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
+import graft.operators.{MediaCodec, MediaCodecColumns, Multimodal}
 import graft.sources.Tables
 
 class MultimodalSpec extends AnyFunSuite {
@@ -51,6 +51,90 @@ class MultimodalSpec extends AnyFunSuite {
       }
     full.foreach { case (id, got) =>
       assert(got == payloads(id).toSeq, s"media $id reassembly")
+    }
+  }
+
+  test("PPM round-trip: encoded payload decodes to the exact pixel sums") {
+    val ids = Seq(0L, 2L, 4L, 100L, 998L)
+    ids.foreach { id =>
+      val payload = MediaCodec.ppmPayload(id)
+      // header is genuine ASCII P6
+      assert(new String(payload.take(2), "US-ASCII") == "P6")
+      val st = MediaCodec.ppmStats(payload)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      val w = MediaCodec.ppmWidth(id)
+      assert(st(0) == w && st(1) == 8, s"id=$id dims")
+      // brute-force recompute of the channel sums from the raw bytes
+      val px = payload.drop(payload.length - w * 8 * 3)
+      val sums = new Array[Long](3)
+      px.zipWithIndex.foreach { case (b, p) => sums(p % 3) += (b & 0xFF) }
+      assert(st.drop(2).toSeq == sums.toSeq, s"id=$id sums")
+    }
+  }
+
+  test("PPM decoder rejects malformed payloads with null, not garbage") {
+    // wrong magic / truncated pixels / bad maxval all poison to null
+    assert(MediaCodec.ppmStats("P5\n4 4\n255\n".getBytes ++
+      Array.fill[Byte](48)(1)) == null)
+    assert(MediaCodec.ppmStats(MediaCodec.ppmPayload(2L).dropRight(1)) == null)
+    assert(MediaCodec.ppmStats("P6\n2 2\n127\n".getBytes ++
+      Array.fill[Byte](12)(1)) == null)
+    assert(MediaCodec.ppmStats(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("WAV demux walks the chunk list like a real parser") {
+    val id = 7L
+    val canonical = MediaCodec.wavPayload(id)
+    val direct = MediaCodec.wavFrameEnergies(canonical, 64, 2)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    // brute-force recompute from the canonical 44-byte layout
+    val n = MediaCodec.wavSamples(id)
+    val samples = (0 until n).map { i =>
+      val lo = canonical(44 + 2 * i) & 0xFF
+      val hi = canonical(45 + 2 * i).toInt
+      (lo | (hi << 8)).toShort.toLong
+    }
+    val expect = samples.grouped(64).zipWithIndex
+      .filter(_._2 % 2 == 0).map(_._1.map(s => s * s).sum).toSeq
+    assert(direct.toSeq == expect)
+    // an extra LIST chunk between fmt and data must not break the demux
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withChunk = canonical.take(36) ++ extra ++ canonical.drop(36)
+    // patch the RIFF size field (bytes 4..7, LE) for the inserted 12 bytes
+    val riffSize = (canonical.length - 8) + extra.length
+    (0 until 4).foreach(i =>
+      withChunk(4 + i) = ((riffSize >> (8 * i)) & 0xFF).toByte)
+    val viaChunk = MediaCodec.wavFrameEnergies(withChunk, 64, 2)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(viaChunk.toSeq == expect, "demux must skip unknown chunks")
+  }
+
+  test("WAV decoder rejects malformed payloads with null") {
+    val good = MediaCodec.wavPayload(3L)
+    assert(MediaCodec.wavFrameEnergies("nope".getBytes, 64, 2) == null)
+    assert(MediaCodec.wavFrameEnergies(good.dropRight(3), 64, 2) == null)
+    // stereo fmt must be rejected (decoder only speaks PCM16 mono)
+    val stereo = good.clone(); stereo(22) = 2
+    assert(MediaCodec.wavFrameEnergies(stereo, 64, 2) == null)
+  }
+
+  test("media corpus carries real decodable payloads for both formats") {
+    import spark.implicits._
+    val media = Multimodal.mediaCorpus(
+      Tables.load(spark, dir, "documents").limit(40))
+    val decoded = media.select($"media_id", $"format",
+        when($"format" === "ppm",
+          MediaCodecColumns.ppmStats($"payload").isNotNull)
+          .otherwise(MediaCodecColumns.wavFrameEnergies($"payload", 64, 2)
+            .isNotNull).as("ok"))
+      .collect()
+    assert(decoded.nonEmpty)
+    assert(decoded.forall(_.getBoolean(2)), "every payload must decode")
+    // formats split by parity
+    decoded.foreach { r =>
+      val expected = if (r.getLong(0) % 2 == 0) "ppm" else "wav"
+      assert(r.getString(1) == expected)
     }
   }
 
