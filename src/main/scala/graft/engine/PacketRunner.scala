@@ -495,7 +495,9 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         .getOrElse(step.sql)
       val r = o.map(x => Placeholders.applyObjRow(r0, x.fields)).getOrElse(r0)
       val h = PacketLoader.md5Hex(r)
-      byHash.put(h, (n, o))
+      // first-occurrence wins, matching the loop path's stepsHashes dedup:
+      // duplicate-hash combos may carry different maint pre-commands
+      byHash.putIfAbsent(h, (n, o))
       Row.fromSeq(n.map(_.fields.drop(1)).getOrElse(Nil) ++
         o.map(_.fields.drop(1)).getOrElse(Nil) :+ h)
     }.distinctBy(r => r.getString(r.length - 1))
@@ -566,7 +568,29 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       }
       // executeQ owns the packet-type semantics (read_only guard, no_commit
       // analyze-only, resultset capture + hooks) for the single statement
-      executeQ(ctx, packet, wrapped)
+      try executeQ(ctx, packet, wrapped)
+      catch {
+        // Spark supports lateral outer references only in WHERE/HAVING; a
+        // step PROJECTING a generator field falls back to a bounded
+        // UNION ALL of the per-combo rendered statements — loop-path
+        // semantics by construction (same string splicing), still ONE
+        // distributed job. Bounded because each branch is a plan subtree:
+        // past the cap the plan itself becomes the bottleneck, so fail
+        // loud instead of degrading silently.
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("CORRELATED_REFERENCE") =>
+          val combos = pending.map { r =>
+            val h = r.getString(schema.length - 1)
+            Option(byHash.get(h)).getOrElse(throw new IllegalStateException(
+              s"${step.name}: pending fan-out hash $h missing from combo grid"))
+          }
+          fanoutUnionSql(stm, combos) match {
+            case Right(unionSql) => executeQ(ctx, packet, unionSql)
+            case Left(why) =>
+              tracker.flushActions()
+              return unsupported(why)
+          }
+      }
       if (tracking) {
         pending.foreach(r => tracker.applyAction(packet.name, step.name,
           r.getString(schema.length - 1)))
@@ -578,16 +602,6 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         s"(${pending.size} combos, one job)")
       Outcome(Kind.Done)
     } catch {
-      // Spark supports lateral outer references only in WHERE/HAVING: a
-      // step projecting a generator field (rather than filtering on it)
-      // cannot run as one joined job — surface the CONTRACT violation, not
-      // the subquery internals (same fail-loud family as the quoted-literal
-      // guard; the loop path below maxFanout handles these steps fine)
-      case e: org.apache.spark.sql.AnalysisException
-          if String.valueOf(e.getMessage).contains("CORRELATED_REFERENCE") =>
-        tracker.flushActions()
-        unsupported("generator field outside WHERE/HAVING — lateral outer " +
-          "references are only supported there")
       case e: Throwable =>
         if (sys.env.contains("GRAFT_DEBUG")) e.printStackTrace()
         tracker.flushActions()
@@ -604,6 +618,51 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
           case None => Outcome(Kind.Error, Some(trim(e.getMessage)),
             Some(step.name))
         }
+    }
+  }
+
+  // one-job fan-out fallback cap: each UNION ALL branch is a full plan
+  // subtree, and Catalyst analysis cost grows with plan size — past this
+  // the "one job" stops being cheaper than the loop, so fail loud
+  private val FanoutUnionCap = 1024
+
+  /** Per-combo rendered statements as ONE UNION ALL statement (the
+    * one-job fallback for projection-position generator fields). Each
+    * branch is the SAME string splice the loop path executes, so
+    * semantics match the loop contract exactly (aggregates, ORDER BY and
+    * literals stay combo-scoped). INSERTs require an identical prefix
+    * across combos — a generator field inside the INSERT clause itself
+    * (e.g. a partition spec) cannot union into one statement. */
+  private def fanoutUnionSql(stm: String,
+      combos: Seq[(Option[GenRow], Option[GenRow])]): Either[String, String] = {
+    if (combos.size > FanoutUnionCap)
+      return Left(s"projection-position generator fields with " +
+        s"${combos.size} combos exceed the union-all fallback cap " +
+        s"$FanoutUnionCap")
+    val rendered = combos.map { case (n, o) =>
+      val r0 = n.map(x => Placeholders.applyNspRow(stm, x.fields)).getOrElse(stm)
+      o.map(x => Placeholders.applyObjRow(r0, x.fields)).getOrElse(r0)
+    }
+    SqlSplitter.firstKeyword(stm) match {
+      case "SELECT" | "WITH" =>
+        Right(rendered.map(r => s"($r)").mkString("\nUNION ALL\n"))
+      case "INSERT" =>
+        val parts = rendered.map { r =>
+          "(?i)\\bselect\\b".r.findFirstMatchIn(r).map(_.start) match {
+            case Some(i) => Some((r.substring(0, i), r.substring(i)))
+            case None => None
+          }
+        }
+        if (parts.exists(_.isEmpty))
+          return Left("INSERT without a SELECT body")
+        val prefixes = parts.flatten.map(_._1.trim).distinct
+        if (prefixes.size != 1)
+          return Left("generator field inside the INSERT clause itself " +
+            "(prefix differs per combo) cannot run as one union-all job")
+        Right(prefixes.head + " SELECT * FROM (\n" +
+          parts.flatten.map(p => s"(${p._2})").mkString("\nUNION ALL\n") +
+          "\n) __u")
+      case other => Left(s"$other statement")
     }
   }
 

@@ -37,8 +37,8 @@ class FanoutSpec extends AnyFunSuite {
   }
 
   // grid refs in WHERE only: Spark's lateral correlation supports outer
-  // references in WHERE/HAVING; projection-position refs fail loud (pinned
-  // in a dedicated test below)
+  // references in WHERE/HAVING; projection-position refs take the
+  // union-all fallback (pinned in a dedicated test below)
   private val parityFiles = Map(
     "run_once.sql" ->
       """DROP TABLE IF EXISTS DBC_PL_tbl;
@@ -181,9 +181,9 @@ class FanoutSpec extends AnyFunSuite {
     }, s"expected loud quoted-literal failure, got $failed")
   }
 
-  test("GEN token in projection position fails loud past maxFanout " +
-      "(lateral outer references are WHERE/HAVING-only) but runs fine on " +
-      "the loop path") {
+  test("GEN token in projection position matches the loop path past " +
+      "maxFanout (union-all fallback: lateral outer references are " +
+      "WHERE/HAVING-only, so the per-combo renders union into one job)") {
     val files = Map(
       "run_once.sql" ->
         """DROP TABLE IF EXISTS DBC_PL_tbl;
@@ -203,12 +203,11 @@ class FanoutSpec extends AnyFunSuite {
     assert(spark.table("fo_proj_loop").count() == 5)
 
     val job = run(dir, "fo_proj_job", maxFanout = 2)
-    assert(job.resultCode("spark") == "fail")
-    job.stepResults("spark")("01_step.sql") match {
-      case StepOutcome.Failed(e) =>
-        assert(e.contains("WHERE/HAVING"), e)
-      case other => fail(s"expected loud projection-ref failure, got $other")
-    }
+    assert(job.resultCode("spark") == "success", job.notices.mkString("; "))
+    assert(job.stepResults("spark")("01_step.sql") == StepOutcome.Done(5))
+    val expect = spark.table("fo_proj_loop").orderBy("rk").collect().toSeq
+    val got = spark.table("fo_proj_job").orderBy("rk").collect().toSeq
+    assert(got == expect, "union-all fallback must reproduce the loop path")
   }
 
   test("genTokenInQuotedLiteral classifies literals with '' escapes") {
