@@ -201,4 +201,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("decimal(18,2)") || plan.contains("decimal(28,2)"),
       plan.take(2000))
   }
+
+  test("d07 label propagation: lineage stays constant across rounds and " +
+      "each round's exchanges carry only (id, label) longs") {
+    import spark.implicits._
+    def chainGraph(len: Int): (DataFrame, DataFrame) = {
+      val docs = (0L until 40L).map(i => (i, s"text payload $i"))
+        .toDF("doc_id", "text")
+      val pairs = (0L until len.toLong)
+        .map(i => (i, i + 1)).toDF("id_a", "id_b")
+      (docs, pairs)
+    }
+    // localCheckpoint must cut lineage every round: a 1-round star and a
+    // multi-round chain (diameter forces >= 4 propagation rounds) must
+    // produce the SAME optimized-plan shape — the plan reads the final
+    // checkpointed RDD, it does not replay the loop
+    def planNodes(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case n => n }.size
+    val (d1, p1) = chainGraph(1)
+    val (d2, p2) = chainGraph(12)
+    val short = Dedup.dupClusters(d1, p1, "doc_id")
+    val long = Dedup.dupClusters(d2, p2, "doc_id")
+    assert(planNodes(short) == planNodes(long),
+      s"lineage grew with rounds: ${planNodes(short)} vs ${planNodes(long)} " +
+        "nodes — localCheckpoint regression")
+    // and the result plan itself holds no shuffle at all (everything was
+    // materialized inside the loop)
+    assert(shuffles(long).isEmpty, "post-loop plan must read the " +
+      "checkpointed labels, not re-shuffle")
+    // correctness of the long chain while we're here: one cluster, min id
+    val labels = long.collect()
+    assert(labels.filter(_.getLong(0) <= 12).forall(_.getLong(1) == 0L))
+
+    // white-box replica of one propagation round (the exact join+agg
+    // dupClusters builds): every exchange ships at most two columns, all
+    // LongType — no text, no arrays ever enter the loop's shuffles
+    val docs = d2.select(col("doc_id").cast("long").as("id"))
+      .withColumn("label", col("id"))
+    val edges = p2
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(p2.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+    val neighborMin = edges
+      .join(docs.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst").as("id")).agg(min("label").as("nmin"))
+    val round = docs.join(neighborMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    val ex = shuffles(round)
+    assert(ex.nonEmpty)
+    ex.foreach { e =>
+      val out = e.child.output
+      assert(out.size <= 2, s"round exchange ships ${out.size} columns: " +
+        out.map(_.name).mkString(", "))
+      assert(out.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType),
+        s"round exchange ships non-long payload: ${out.map(a =>
+          s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
+    }
+  }
 }
