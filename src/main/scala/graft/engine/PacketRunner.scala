@@ -444,12 +444,16 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
   //    single distributed job. Action hashes are the SAME per-combo
   //    rendered-SQL md5 the loop path uses, so histories interoperate:
   //    a half-finished loop run resumes distributed (and vice versa), and
-  //    a re-run skips everything. Limits (fail loud, same as before):
-  //    python/export/multi-statement steps, live-target writes, and
-  //    generator fields in table position — a FLD can become a correlated
-  //    column reference only in expression position. Per-combo `maint`
-  //    pre-commands run once per DISTINCT rendered command (amortized, not
-  //    per-batch — at this grain per-batch maintenance is meaningless).
+  //    a re-run skips everything. Projection-position FLD references (not
+  //    expressible as lateral correlation, which is WHERE/HAVING-only)
+  //    fall back to a bounded UNION ALL of the per-combo renders — loop
+  //    semantics, still one job (fanoutUnionSql). Limits (fail loud):
+  //    python/export/multi-statement steps, live-target writes, generator
+  //    fields in table position or quoted literals, INSERT prefixes that
+  //    differ per combo, and fallbacks past FanoutUnionCap. Per-combo
+  //    `maint` pre-commands run once per DISTINCT rendered command
+  //    (amortized, not per-batch — at this grain per-batch maintenance is
+  //    meaningless).
   private def executeFanoutAsOneJob(packet: Packet, step: Step,
       ctx: StepContext, cs: Seq[(Option[GenRow], Option[GenRow])],
       stepsHashes: mutable.Set[String], tracking: Boolean,

@@ -202,6 +202,23 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("d08 substring dedup never shuffles document text") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val df = Dedup.substringDupSpans(docs, "doc_id", "text",
+      k = 8, minTokens = 15)
+    val ex = shuffles(df)
+    assert(ex.nonEmpty)
+    // text is consumed by the codegen'd gram-hash pass before the first
+    // exchange: every shuffle ships only compact numeric columns
+    ex.foreach { e =>
+      val strs = e.child.output.filter(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(strs.isEmpty,
+        s"d08 shuffle ships text columns: ${strs.map(_.name).mkString(", ")}")
+    }
+  }
+
   test("d07 label propagation: lineage stays constant across rounds and " +
       "each round's exchanges carry only (id, label) longs") {
     import spark.implicits._
