@@ -370,6 +370,62 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_tokens"))
   }
 
+  /** Keep-one substring dedup APPLY: the cleaned corpus d08's span report
+    * points at — every duplicated substring keeps its globally-first
+    * occurrence and loses the rest (the Lee et al. 2022 removal step).
+    *
+    * Deterministic relational rule (identical in the SQL oracle):
+    *   - a gram occurrence (doc, pos) is KEPT iff its gram is globally
+    *     unique or (doc, pos) is the lexicographically first occurrence;
+    *   - token t survives iff at least one kept gram covers it
+    *     (pos <= t <= min(pos+k-1, n-1)).
+    * Boundary grams that straddle a duplicated span and unique context
+    * are unique, so each removed span keeps up to k-1 boundary tokens on
+    * each side — the same slack the suffix-array formulation exhibits.
+    *
+    * Scale shape: keeper election is a map-side-combinable groupBy(gh)
+    * with min(struct(id,pos)) + an equi-join back (AQE splits hot
+    * boilerplate grams); the only stage that ships text is the final
+    * per-doc reconstruction — unavoidable, because the OUTPUT is the
+    * cleaned text itself, and it shuffles each token once (the same cost
+    * as writing the cleaned corpus).
+    *
+    * @return (id, n_tokens, n_kept, clean_text); docs losing every token
+    *         come back with n_kept = 0 and clean_text = ''.
+    */
+  def substringDedupApply(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val sized = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+    val grams = sized.select(col("id"), col("n"),
+      posexplode(graft.functions.Winnow.gramHashes(col("tk"), k))
+        .as(Seq("pos", "gh")))
+    val freq = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("pos"))).as("keep"))
+    val kept = grams.join(freq, "gh")
+      .filter(col("cnt") === 1 ||
+        (col("id") === col("keep.id") && col("pos") === col("keep.pos")))
+    val coverage = kept.select(col("id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + k - 1, col("n") - 1))).as("t"))
+      .distinct()
+    val tokPos = sized.select(col("id"),
+      posexplode(col("tk")).as(Seq("t", "tok")))
+    val preserved = tokPos.join(coverage, Seq("id", "t"), "left_semi")
+    val rebuilt = preserved.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("t").as("t"), col("tok").as("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    sized.select(col("id"), col("n"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n").cast("long").as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---------------------------------------------------------------------
   // Benchmark decontamination: which training documents contain any word
   // n-gram that also appears in an evaluation set (the standard 13-gram

@@ -515,6 +515,77 @@ object PipelineQueries {
       SELECT doc_id, span_start, span_tokens FROM spans
       WHERE span_tokens >= 15 ORDER BY doc_id, span_start"""), bench = true),
 
+    // Keep-one substring dedup APPLY: the cleaned corpus (globally-first
+    // occurrence of every duplicated substring survives; interiors of
+    // later occurrences are cut, boundary grams keep up to k-1 tokens of
+    // slack). FULL oracle: keeper election, coverage and reconstruction
+    // replay relationally from the md5-derived gram hashes.
+    QuerySpec("d09_substring_dedup_apply", (s, dir) => {
+      import s.implicits._
+      val docs = Dedup.withPlantedDups(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 5)
+      Dedup.substringDedupApply(docs, "doc_id", "text", k = 8)
+        .orderBy($"doc_id")
+    }, oracle = Some(s"""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\\s+')) - 5, 1)), ' ')
+            AS text
+        FROM base WHERE doc_id < 25),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM planted),
+      sized AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+          len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM corpus),
+      posg AS (
+        SELECT doc_id, n, t,
+          unnest(generate_series(1, greatest(n - 7, 1))) AS i
+        FROM sized),
+      ghv AS (
+        SELECT doc_id, n, i,
+          CAST(CASE WHEN ('0x' || substr(md5(g), 1, 8))::UBIGINT >= 2147483648
+               THEN ('0x' || substr(md5(g), 1, 8))::UBIGINT::HUGEINT * 4294967296
+                    + ('0x' || substr(md5(g), 9, 8))::UBIGINT - 18446744073709551616
+               ELSE ('0x' || substr(md5(g), 1, 8))::UBIGINT::HUGEINT * 4294967296
+                    + ('0x' || substr(md5(g), 9, 8))::UBIGINT END AS BIGINT) AS gh
+        FROM (SELECT doc_id, n, i,
+                array_to_string(list_slice(t, i, i + 7), ' ') AS g
+              FROM posg)),
+      freq AS (SELECT gh, count(*) AS cnt FROM ghv GROUP BY gh),
+      ranked AS (
+        SELECT doc_id, n, i, gh,
+          row_number() OVER (PARTITION BY gh ORDER BY doc_id, i) AS rn
+        FROM ghv),
+      kept AS (
+        SELECT r.doc_id, r.n, r.i FROM ranked r JOIN freq USING (gh)
+        WHERE cnt = 1 OR rn = 1),
+      cover AS (
+        SELECT DISTINCT doc_id,
+          unnest(generate_series(i, least(i + 7, n))) AS tpos
+        FROM kept),
+      tokpos AS (
+        SELECT doc_id, unnest(t) AS tok,
+          unnest(generate_series(1, n)) AS tpos
+        FROM sized),
+      pres AS (
+        SELECT tp.doc_id, tp.tpos, tp.tok
+        FROM tokpos tp JOIN cover c
+          ON c.doc_id = tp.doc_id AND c.tpos = tp.tpos),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+          array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text
+        FROM pres GROUP BY doc_id)
+      SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+        CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        coalesce(a.clean_text, '') AS clean_text
+      FROM sized s LEFT JOIN agg a USING (doc_id)
+      ORDER BY s.doc_id"""), bench = true),
+
     // Exact token-set Jaccard via inverted index — SQL-expressible, full oracle.
     QuerySpec("d04_ngram_jaccard", (s, dir) => {
       import s.implicits._

@@ -195,6 +195,74 @@ class DedupSpec extends AnyFunSuite {
       s"got ${spans.toSeq}")
   }
 
+  test("substring dedup spans match a brute-force reference on random " +
+      "small-vocabulary corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val k = 4
+    val minT = 6
+    (0 until 3).foreach { trial =>
+      val docs = (0 until 12).map { i =>
+        val len = 1 + rnd.nextInt(30)
+        (i.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.substringDupSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k, minT)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // brute force over gram STRINGS (equivalent to the 64-bit md5-derived
+      // hashes absent a ~2^-64 collision): global frequency, dup positions,
+      // consecutive-run islands, minTokens filter
+      val grams: Map[Long, Vector[String]] = docs.map { case (id, text) =>
+        val t = text.trim.split("\\s+").toVector
+        val ng = math.max(t.size - k + 1, 1)
+        id -> (0 until ng).map(i => t.slice(i, i + k).mkString(" ")).toVector
+      }.toMap
+      val freq = grams.values.flatten.toSeq.groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val expect = grams.flatMap { case (id, gs) =>
+        val dup = gs.zipWithIndex.collect {
+          case (g, p) if freq(g) > 1 => p
+        }
+        val runs = dup.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        runs.collect {
+          case (s, e) if e - s + k >= minT => (id, s.toLong, (e - s + k).toLong)
+        }
+      }.toSet
+      assert(got == expect, s"trial $trial: got ${got.size}, " +
+        s"expected ${expect.size} spans")
+    }
+  }
+
+  test("substring dedup apply keeps the first occurrence and cuts the " +
+      "interior of later ones") {
+    import spark.implicits._
+    val boiler = (0 until 30).map(i => s"boiler$i")
+    val d1 = ((0 until 20).map(i => s"aa$i") ++ boiler ++
+      (0 until 10).map(i => s"cc$i")).mkString(" ")
+    val d2 = ((0 until 15).map(i => s"dd$i") ++ boiler ++
+      (0 until 5).map(i => s"ee$i")).mkString(" ")
+    val d3 = (0 until 40).map(i => s"ff$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.substringDedupApply(df, "doc_id", "text", k = 8)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 owns the boilerplate (first occurrence) — fully preserved;
+    // doc 3 is all-unique — fully preserved
+    assert(out(0) == ((1L, 60L, 60L, d1)))
+    assert(out(2) == ((3L, 40L, 40L, d3)))
+    // doc 2 loses the boilerplate INTERIOR: unique straddling grams keep
+    // k-1 = 7 boundary tokens on each side, so boiler7..boiler22 drop
+    val expect2 = ((0 until 15).map(i => s"dd$i") ++
+      (0 until 7).map(i => s"boiler$i") ++
+      (23 until 30).map(i => s"boiler$i") ++
+      (0 until 5).map(i => s"ee$i")).mkString(" ")
+    assert(out(1) == ((2L, 50L, 34L, expect2)), out(1).toString)
+  }
+
   test("ngram jaccard is symmetric-free and thresholded") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.filter($"doc_id" < 50),
