@@ -210,6 +210,42 @@ class FanoutSpec extends AnyFunSuite {
     assert(got == expect, "union-all fallback must reproduce the loop path")
   }
 
+  test("union-all fallback handles a two-generator grid with BOTH fields " +
+      "in projection position") {
+    val files = Map(
+      "run_once.sql" ->
+        """DROP TABLE IF EXISTS DBC_PL_tbl;
+          |CREATE TABLE DBC_PL_tbl (rk BIGINT, nk BIGINT, n BIGINT)
+          |USING parquet LOCATION 'DBC_PL_loc';""".stripMargin,
+      "01_gen_nsp.sql" ->
+        ("SELECT NULL AS maint, r_regionkey FROM region " +
+          "WHERE r_regionkey < 2 ORDER BY r_regionkey"),
+      "01_gen_obj.sql" ->
+        ("SELECT NULL AS maint, n_nationkey FROM nation " +
+          "WHERE n_nationkey < 3 ORDER BY n_nationkey"),
+      // both generator fields appear in the SELECT list (and one in an
+      // ungrouped aggregate context), which the lateral rewrite rejects
+      "01_step.sql" ->
+        """INSERT INTO DBC_PL_tbl
+          |SELECT CAST(GEN_NSP_FLD_1 AS BIGINT) AS rk,
+          |  CAST(GEN_OBJ_FLD_1 AS BIGINT) AS nk, count(*) AS n
+          |FROM nation
+          |WHERE n_regionkey = GEN_NSP_FLD_1 AND n_nationkey >= GEN_OBJ_FLD_1;""".stripMargin,
+      "meta_data.json" -> """{"description": "fanout proj nsp obj"}""")
+    val dir = mkPacket("fanout_proj_nspobj", files)
+
+    val loop = run(dir, "fo_pno_loop", maxFanout = 1000)
+    assert(loop.resultCode("spark") == "success", loop.notices.mkString("; "))
+    assert(loop.stepResults("spark")("01_step.sql") == StepOutcome.Done(6))
+    val expect = spark.table("fo_pno_loop").orderBy("rk", "nk").collect().toSeq
+
+    val job = run(dir, "fo_pno_job", maxFanout = 3)
+    assert(job.resultCode("spark") == "success", job.notices.mkString("; "))
+    assert(job.stepResults("spark")("01_step.sql") == StepOutcome.Done(6))
+    val got = spark.table("fo_pno_job").orderBy("rk", "nk").collect().toSeq
+    assert(got == expect, s"projection nsp-obj fallback diverged: $got vs $expect")
+  }
+
   test("genTokenInQuotedLiteral classifies literals with '' escapes") {
     import PacketRunner.genTokenInQuotedLiteral
     assert(!genTokenInQuotedLiteral(
