@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-then-chunk step of an LLM pretraining
+  * pipeline: documents are laid out in one deterministic global token
+  * stream (doc-id order) and cut into fixed-size context windows; each
+  * document lands in chunks [chunk_first, chunk_last], straddling a
+  * boundary when its tokens cross a multiple of `window`.
+  *
+  * The core is a GLOBAL prefix sum of token counts, and the naive
+  * formulation — `sum(n) over (ORDER BY id)` with no partitionBy — is a
+  * single-partition window: the whole corpus funnels through one task,
+  * the classic 100 TB scale-killer (PlanAuditSpec pins its absence).
+  * Instead this runs the textbook distributed scan:
+  *   1. range-partition by id (partitions are globally id-ordered);
+  *   2. one tiny aggregation computes per-partition token subtotals —
+  *      numPartitions rows to the driver, nothing else leaves;
+  *   3. exclusive prefix offsets of those subtotals broadcast back via a
+  *      literal map, and the cumulative sum completes per-partition
+  *      (window PARTITIONED by the range-partition id, fully parallel).
+  *
+  * Every quantity is an exact integer, so the SQL oracle replays the
+  * layout with a plain ordered cumsum.
+  *
+  * @return (id, n_tokens, tok_start, chunk_first, chunk_last) — tok_start
+  *         is the document's offset in the global stream, chunks are
+  *         0-based windows of `window` tokens; empty-token docs occupy
+  *         zero width and report their boundary position's chunk.
+  */
+object Packing {
+
+  def sequenceChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val counted = docs.select(col(idCol).cast("long").as("id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    // 1. id-ordered partitions (ranges are globally ordered, so prefix
+    //    offsets by partition id ARE stream offsets); the in-partition
+    //    sort keeps the checkpoint layout ordered, and the window below
+    //    re-sorts only within its own hash partitions
+    val parted = counted
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .withColumn("__pid", spark_partition_id())
+    // materialize ONCE: the subtotal pass and the final pass must read the
+    // same frozen __pid assignment (repartitionByRange re-samples ranges
+    // per job, so an un-checkpointed plan could change partition ids
+    // between the two passes and mis-key the offsets)
+    val staged = parted.localCheckpoint()
+    // 2. per-partition subtotals: numPartitions rows, driver-side scan
+    val subtotals = staged.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 3. exclusive prefix offsets, broadcast as a literal CASE map
+    val pids = subtotals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = pids.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), pid) => (pid, acc)
+    }.tail.map { case (pid, off) => pid -> off }.toMap
+    // map_from_arrays literal lookup keeps the plan free of joins
+    val offCol =
+      if (pids.isEmpty) lit(0L)
+      else element_at(
+        map_from_arrays(
+          array(pids.map(lit(_)): _*),
+          array(pids.map(p => lit(offsets(p))): _*)),
+        col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn("tok_end", sum(col("n_tokens")).over(w) + offCol)
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / window).cast("long").as("chunk_first"),
+        floor(greatest(col("tok_end") - 1, col("tok_start")) / window)
+          .cast("long").as("chunk_last"))
+  }
+}

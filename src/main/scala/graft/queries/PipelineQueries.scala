@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, MediaCodecColumns, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MediaCodecColumns, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
@@ -1033,6 +1033,36 @@ object PipelineQueries {
       SELECT doc_id, n_words, quality_score
       FROM dedup WHERE rk = 1 ORDER BY doc_id"""
     }, bench = true),
+
+    // Sequence packing (concat-then-chunk): the global token stream cut
+    // into 2048-token context windows. The Spark side runs a DISTRIBUTED
+    // prefix sum (range-partition -> per-partition subtotals -> broadcast
+    // offsets), never a single-partition window (plan-asserted); the
+    // oracle replays the same exact-integer layout with a plain ordered
+    // cumsum.
+    QuerySpec("p03_sequence_chunks", (s, dir) => {
+      import s.implicits._
+      Packing.sequenceChunks(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text", window = 2048)
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH counted AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      c2 AS (
+        SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        FROM counted)
+      SELECT doc_id, n_tokens,
+        CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+        CAST(floor((tok_end - n_tokens) / 2048.0) AS BIGINT) AS chunk_first,
+        CAST(floor(greatest(tok_end - 1, tok_end - n_tokens) / 2048.0)
+          AS BIGINT) AS chunk_last
+      FROM c2 ORDER BY doc_id"""), bench = true),
 
     QuerySpec("p01_sessionization", (s, dir) => {
       import s.implicits._

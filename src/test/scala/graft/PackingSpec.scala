@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+import graft.sources.Tables
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("sequence chunks equal a driver-side sequential scan") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val w = 512
+    val got = Packing.sequenceChunks(docs, "doc_id", "text", w)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // sequential reference: same tokenizer, one pass in doc-id order
+    val counts = docs
+      .select($"doc_id", size(graft.operators.TextAnalysis.tokens($"text"))
+        .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val expect = counts.map { case (id, n) =>
+      val start = acc
+      acc += n
+      (id, n, start, start / w, math.max(acc - 1, start) / w)
+    }
+    assert(got.toSeq == expect.toSeq)
+    // the layout is gap-free: consecutive docs abut exactly
+    got.sliding(2).foreach {
+      case Array((_, n, s, _, _), (_, _, s2, _, _)) => assert(s2 == s + n)
+      case _ => ()
+    }
+  }
+
+  test("multi-partition layout stays consistent (offsets keyed correctly)") {
+    import spark.implicits._
+    // force many range partitions over a synthetic corpus large enough
+    // that a mis-keyed per-partition offset would misplace whole blocks
+    val docs = spark.range(0, 5000)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("w"), col("id").cast("string"),
+          lit("x y z")).as("text"))
+      .repartition(13)
+    val out = Packing.sequenceChunks(docs, "doc_id", "text", 128)
+    val rows = out.orderBy($"doc_id").collect()
+    assert(rows.length == 5000)
+    // every doc is 5 tokens; doc i starts exactly at 5i
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == 5L, s"doc $i token count")
+      assert(r.getLong(2) == 5L * i, s"doc $i offset: ${r.getLong(2)}")
+    }
+  }
+}

@@ -202,6 +202,18 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("p03 sequence packing never funnels through a single partition") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val df = graft.operators.Packing.sequenceChunks(docs, "doc_id", "text", 2048)
+    // the naive global cumsum would plan Exchange SinglePartition; the
+    // distributed scan must not
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "global prefix sum collapsed to a single partition")
+  }
+
   test("d08 substring dedup never shuffles document text") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
