@@ -306,6 +306,29 @@ object PipelineQueries {
                     WHEN 'src2' THEN '40' ELSE '00' END
       ORDER BY doc_id""")),
 
+    // Corpus heavy hitters: top-50 word bigrams by DOCUMENT frequency
+    // (per-doc distinct shingles, the d02 kernel reused). Scale shape:
+    // map-side partial count on the exploded grams, then
+    // TakeOrderedAndProject — no global sort ever materializes the full
+    // frequency table.
+    QuerySpec("t09_top_ngrams", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(Dedup.shingles($"text", 2)).as("gram"))
+        .groupBy($"gram").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"gram").limit(50)
+    }, oracle = Some("""
+      WITH grams AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(
+            generate_series(1, greatest(len(string_split_regex(trim(text),
+              '\s+')) - 2, 0) + 1),
+            i -> array_to_string(list_slice(string_split_regex(trim(text),
+              '\s+'), i, i + 1), ' '))) AS gram
+        FROM documents)
+      SELECT gram, count(*) AS df FROM grams
+      GROUP BY gram ORDER BY df DESC, gram LIMIT 50"""), bench = true),
+
     // PII redaction + triage counts over documents with deterministic
     // planted PII (email, IPv4, long digit id appended per doc). The
     // patterns are RE2-compatible so the oracle applies the SAME regex
@@ -788,6 +811,52 @@ object PipelineQueries {
         FROM cq c, qq)
       SELECT vec_id, round(cos, 9) AS cos FROM scored
       ORDER BY cos DESC, vec_id LIMIT 20""")),
+
+    // kNN label classification: majority vote over each probe's 10
+    // nearest neighbors (batchTopK reused — one corpus pass for the whole
+    // probe set), ties → smallest label. The oracle recomputes every
+    // cosine, ranks, and replays the vote.
+    QuerySpec("s06_knn_label", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val embs = Tables.load(s, dir, "embeddings")
+      val corpus = embs.filter($"vec_id" >= 5)
+      val nn = Similarity.batchTopK(corpus, "vec_id", "embedding",
+        embs.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+      nn.join(corpus.select($"vec_id", $"label"), "vec_id")
+        .groupBy($"q_id", $"label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"votes".desc, $"label")))
+        .filter($"rk" === 1)
+        .select($"q_id", $"label".as("pred_label"), $"votes")
+        .orderBy($"q_id")
+    }, oracle = Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q_id, vec_id, label,
+          list_aggregate(list_transform(list_zip(embedding, qe),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings, q WHERE vec_id >= 5),
+      ranked AS (
+        SELECT q_id, vec_id, label,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos DESC, vec_id) AS rank
+        FROM scored),
+      votes AS (
+        SELECT q_id, label, count(*) AS votes
+        FROM ranked WHERE rank <= 10 GROUP BY q_id, label),
+      best AS (
+        SELECT q_id, label, votes, row_number() OVER (PARTITION BY q_id
+          ORDER BY votes DESC, label) AS rk
+        FROM votes)
+      SELECT q_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+      FROM best WHERE rk = 1 ORDER BY q_id""")),
 
     // LSH-bucketed ANN — FULL oracle: DuckDB rebuilds the md5-derived
     // planes, the query and corpus buckets, the Hamming-<=probes probe
