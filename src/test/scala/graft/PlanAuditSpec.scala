@@ -202,6 +202,13 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("t09 heavy hitters take top-k without a global sort") {
+    val plan = planString(SparkEntry.queries("t09_top_ngrams")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
   test("p03 sequence packing never funnels through a single partition") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
