@@ -34,16 +34,20 @@ object Packing {
 
   def sequenceChunks(
       docs: DataFrame, idCol: String, textCol: String,
-      window: Int): DataFrame = {
-    val spark = docs.sparkSession
+      window: Int, numPartitions: Option[Int] = None): DataFrame = {
     val counted = docs.select(col(idCol).cast("long").as("id"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
     // 1. id-ordered partitions (ranges are globally ordered, so prefix
     //    offsets by partition id ARE stream offsets); the in-partition
     //    sort keeps the checkpoint layout ordered, and the window below
-    //    re-sorts only within its own hash partitions
-    val parted = counted
-      .repartitionByRange(col("id"))
+    //    re-sorts only within its own hash partitions. Default: let AQE
+    //    pick/coalesce the partition count; pass numPartitions to pin it
+    //    (REPARTITION_BY_NUM is exempt from AQE coalescing).
+    val ranged = numPartitions match {
+      case Some(n) => counted.repartitionByRange(n, col("id"))
+      case None => counted.repartitionByRange(col("id"))
+    }
+    val parted = ranged
       .sortWithinPartitions(col("id"))
       .withColumn("__pid", spark_partition_id())
     // materialize ONCE: the subtotal pass and the final pass must read the
@@ -55,11 +59,13 @@ object Packing {
     val subtotals = staged.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("ptotal"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // 3. exclusive prefix offsets, broadcast as a literal CASE map
+    // 3. exclusive prefix offsets: offset(pid) = Σ subtotals of all
+    //    lower-id partitions (scanLeft's init is the running sum BEFORE
+    //    each pid, which is exactly the exclusive prefix)
     val pids = subtotals.keys.toSeq.sorted
-    val offsets: Map[Int, Long] = pids.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), pid) => (pid, acc)
-    }.tail.map { case (pid, off) => pid -> off }.toMap
+    val offsets: Map[Int, Long] = pids
+      .zip(pids.scanLeft(0L)((acc, pid) => acc + subtotals(pid)).init)
+      .toMap
     // map_from_arrays literal lookup keeps the plan free of joins
     val offCol =
       if (pids.isEmpty) lit(0L)

@@ -39,14 +39,18 @@ class PackingSpec extends AnyFunSuite {
 
   test("multi-partition layout stays consistent (offsets keyed correctly)") {
     import spark.implicits._
-    // force many range partitions over a synthetic corpus large enough
-    // that a mis-keyed per-partition offset would misplace whole blocks
+    // PIN 8 range partitions (REPARTITION_BY_NUM is exempt from AQE
+    // coalescing, which otherwise folds this small corpus into ONE
+    // partition and lets an all-zero offset bug pass unnoticed): with
+    // real partitions, a wrong per-partition offset misplaces whole
+    // blocks of 625 docs
     val docs = spark.range(0, 5000)
       .select(col("id").as("doc_id"),
         concat_ws(" ", lit("w"), col("id").cast("string"),
           lit("x y z")).as("text"))
       .repartition(13)
-    val out = Packing.sequenceChunks(docs, "doc_id", "text", 128)
+    val out = Packing.sequenceChunks(docs, "doc_id", "text", 128,
+      numPartitions = Some(8))
     val rows = out.orderBy($"doc_id").collect()
     assert(rows.length == 5000)
     // every doc is 5 tokens; doc i starts exactly at 5i
