@@ -449,6 +449,32 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Decontamination at the scale where the eval gram set no longer
+    * BROADCASTS (d06's assumption): a driver-built Bloom filter over the
+    * eval grams pre-filters the train grams inside WholeStageCodegen
+    * ([[graft.functions.BloomMightContain]]), so the exact verify
+    * semi-join — a plain shuffle join here, by design — ships only the
+    * candidate survivors (fpp of the corpus) instead of every train
+    * gram. Bloom filters have NO false negatives and the verify join
+    * removes the false positives, so the result is bit-identical to
+    * [[contaminatedDocs]] — same oracle. */
+  def contaminatedDocsBloom(
+      train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    // one computation feeds both the filter build and the verify join
+    val evalGrams = evalDocs
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+      .localCheckpoint()
+    val expected = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("g", expected, fpp)
+    train
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .filter(graft.functions.BloomExpr.mightContain(col("g"), bf))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   // ---------------------------------------------------------------------
   /** Test fixture: union `docs` with perturbed copies (last `dropWords`
     * words removed, id offset) so near-dup operators have planted positives

@@ -100,6 +100,38 @@ object PipelineQueries {
         WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
               bit_count(xor(a.sig_lo, b.sig_lo)) <= 3)"""
 
+  /** Shared by d06 (broadcast semi-join) and d10 (Bloom pre-filter +
+    * exact verify): the two operators are bit-identical by construction,
+    * so one relational recomputation oracles both. */
+  private val DecontaminationOracle = """
+      WITH base AS (SELECT doc_id, text FROM documents),
+      eval_docs AS (SELECT doc_id, text FROM base WHERE doc_id < 20),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\s+')) - 5, 1)), ' ')
+            AS text
+        FROM eval_docs),
+      train AS (
+        SELECT doc_id, text FROM base WHERE doc_id >= 20
+        UNION ALL SELECT doc_id, text FROM planted),
+      eval_grams AS (
+        SELECT DISTINCT
+          unnest(list_transform(
+            generate_series(1, greatest(len(t) - 8, 0) + 1),
+            i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM eval_docs)),
+      train_grams AS (
+        SELECT doc_id,
+          unnest(list_transform(
+            generate_series(1, greatest(len(t) - 8, 0) + 1),
+            i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM train))
+      SELECT DISTINCT doc_id FROM train_grams
+      WHERE g IN (SELECT g FROM eval_grams)
+      ORDER BY doc_id"""
+
   /** DuckDB oracle rebuilding Dedup.minhashLsh end to end: w=3 shingles
     * over the dropWords=5 planted corpus, base hash = first 8 bytes of
     * md5(shingle) re-centered to a signed 64-bit value, the 64
@@ -674,7 +706,8 @@ object PipelineQueries {
     // Benchmark decontamination: train docs sharing any word 8-gram with
     // the eval set (docs < 20); planted truncated copies of the eval docs
     // are the guaranteed contamination. Eval n-grams broadcast — the
-    // train side never shuffles (see Dedup.contaminatedDocs).
+    // train side never shuffles (see Dedup.contaminatedDocs). The oracle
+    // is shared with d10, whose result is bit-identical by construction.
     QuerySpec("d06_decontamination", (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
@@ -685,34 +718,23 @@ object PipelineQueries {
           .filter($"doc_id" >= 100000L))
       Dedup.contaminatedDocs(train, evalDocs, "doc_id", "text", n = 8)
         .orderBy($"doc_id")
-    }, oracle = Some("""
-      WITH base AS (SELECT doc_id, text FROM documents),
-      eval_docs AS (SELECT doc_id, text FROM base WHERE doc_id < 20),
-      planted AS (
-        SELECT doc_id + 100000 AS doc_id,
-          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
-            greatest(len(string_split_regex(trim(text), '\s+')) - 5, 1)), ' ')
-            AS text
-        FROM eval_docs),
-      train AS (
-        SELECT doc_id, text FROM base WHERE doc_id >= 20
-        UNION ALL SELECT doc_id, text FROM planted),
-      eval_grams AS (
-        SELECT DISTINCT
-          unnest(list_transform(
-            generate_series(1, greatest(len(t) - 8, 0) + 1),
-            i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
-        FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM eval_docs)),
-      train_grams AS (
-        SELECT doc_id,
-          unnest(list_transform(
-            generate_series(1, greatest(len(t) - 8, 0) + 1),
-            i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-              FROM train))
-      SELECT DISTINCT doc_id FROM train_grams
-      WHERE g IN (SELECT g FROM eval_grams)
-      ORDER BY doc_id""")),
+    }, oracle = Some(DecontaminationOracle)),
+
+    // Bloom-filter decontamination — the scale path for an eval set too
+    // big to broadcast: Bloom pre-filter inside codegen, then an exact
+    // shuffle semi-join over the candidates only. No false negatives +
+    // exact verify ⇒ bit-identical to d06, so the SAME oracle applies.
+    QuerySpec("d10_decontamination_bloom", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val evalDocs = docs.filter($"doc_id" < 20)
+      val train = docs.filter($"doc_id" >= 20).unionByName(
+        Dedup.withPlantedDups(evalDocs, "doc_id", "text",
+          nPlant = 20, idOffset = 100000L, dropWords = 5)
+          .filter($"doc_id" >= 100000L))
+      Dedup.contaminatedDocsBloom(train, evalDocs, "doc_id", "text", n = 8)
+        .orderBy($"doc_id")
+    }, oracle = Some(DecontaminationOracle)),
 
     // ---- Similarity search --------------------------------------------
     // Brute-force cosine top-k (exact baseline) — full DuckDB oracle with

@@ -195,6 +195,28 @@ class DedupSpec extends AnyFunSuite {
       s"got ${spans.toSeq}")
   }
 
+  test("bloom decontamination equals the broadcast path exactly") {
+    import spark.implicits._
+    val evalDocs = docs.filter($"doc_id" < 20)
+    val train = docs.filter($"doc_id" >= 20).unionByName(
+      Dedup.withPlantedDups(evalDocs, "doc_id", "text",
+        nPlant = 20, idOffset = 100000L, dropWords = 5)
+        .filter($"doc_id" >= 100000L))
+    val exact = Dedup.contaminatedDocs(train, evalDocs, "doc_id", "text", n = 8)
+      .as[Long].collect().toSet
+    val bloom = Dedup.contaminatedDocsBloom(train, evalDocs, "doc_id", "text",
+        n = 8)
+      .as[Long].collect().toSet
+    assert(exact.nonEmpty, "planted contamination must be found")
+    assert(bloom == exact,
+      "bloom pre-filter + exact verify must be bit-identical to broadcast")
+    // even a sloppy filter (high fpp) stays exact after the verify join
+    val sloppy = Dedup.contaminatedDocsBloom(train, evalDocs, "doc_id", "text",
+        n = 8, fpp = 0.5)
+      .as[Long].collect().toSet
+    assert(sloppy == exact)
+  }
+
   test("substring dedup spans match a brute-force reference on random " +
       "small-vocabulary corpora") {
     import spark.implicits._
