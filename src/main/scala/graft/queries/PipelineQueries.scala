@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, MediaCodecColumns, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, MediaCodecColumns, Multimodal, Packing, Quota, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
@@ -360,6 +360,30 @@ object PipelineQueries {
         FROM documents)
       SELECT gram, count(*) AS df FROM grams
       GROUP BY gram ORDER BY df DESC, gram LIMIT 50"""), bench = true),
+
+    // Text normalization: NFC (custom codegen'd expression — Spark has
+    // no built-in) → lowercase → collapse whitespace → trim, emitted as
+    // (length, md5) so the oracle pins the exact cleaned bytes. The
+    // fixtures are pure ASCII (NFC = identity there); the Unicode
+    // composition path is pinned by NormalizeSpec against
+    // composed/decomposed literals.
+    QuerySpec("t10_normalize", (s, dir) => {
+      import s.implicits._
+      val clean = trim(regexp_replace(
+        lower(graft.functions.Normalize.nfc($"text")), "\\s+", " "))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", clean.as("c"))
+        .select($"doc_id", length($"c").cast("long").as("clean_len"),
+          md5($"c").as("clean_md5"))
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      SELECT doc_id, CAST(length(c) AS BIGINT) AS clean_len,
+        md5(c) AS clean_md5
+      FROM (SELECT doc_id,
+          trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+            AS c
+        FROM documents)
+      ORDER BY doc_id""")),
 
     // PII redaction + triage counts over documents with deterministic
     // planted PII (email, IPv4, long digit id appended per doc). The
@@ -1154,6 +1178,64 @@ object PipelineQueries {
         CAST(floor(greatest(tok_end - 1, tok_end - n_tokens) / 2048.0)
           AS BIGINT) AS chunk_last
       FROM c2 ORDER BY doc_id"""), bench = true),
+
+    // As-of join: each purchase event attached to the user's latest view
+    // event at or before it (last-touch attribution). Spark side is the
+    // union-merge single-shuffle formulation (operators/AsOf.scala — no
+    // join node, plan-asserted); the oracle is DuckDB's native ASOF LEFT
+    // JOIN, a genuinely independent implementation. Both compare on
+    // microseconds (events ts is nanos in parquet; Tables.load truncates,
+    // epoch_us truncates identically — fixtures have no sub-µs ties).
+    QuerySpec("p04_asof_join", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id", $"ts", $"value")
+      AsOf.asofBackward(purchases, views, Seq("user_id"),
+          "ts", "ts", tiebreakCol = "event_id", prefix = "view_")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"),
+          $"view_event_id", $"view_value",
+          (unix_micros($"ts") - unix_micros($"view_ts")).as("gap_us"))
+        .orderBy($"user_id", $"event_id")
+    }, oracle = Some("""
+      WITH l AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+        WHERE event_type = 'purchase'),
+      r AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events
+        WHERE event_type = 'view')
+      SELECT l.user_id, l.event_id, l.t_us,
+        r.event_id AS view_event_id, r.value AS view_value,
+        l.t_us - r.t_us AS gap_us
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.t_us
+      ORDER BY l.user_id, l.event_id"""), bench = true),
+
+    // Per-source quota (C4/Gopher-style domain cap): keep each source's
+    // 10 longest documents. Runs the bounded top-k Aggregator — map-side
+    // k-capped partials, k·partitions shuffle rows per source however hot
+    // the source — not a whole-group window sort. Score n_chars is an
+    // exact integer, so the ranked-window oracle replays the boundary
+    // bit-for-bit (ties broken by doc_id asc on both sides).
+    QuerySpec("p05_source_quota", (s, dir) => {
+      import s.implicits._
+      Quota.keepTopKPerGroup(
+          Tables.load(s, dir, "documents").select($"source", $"doc_id", $"n_chars"),
+          "source", "doc_id", "n_chars", k = 10)
+        .select($"source", $"rank", $"doc_id",
+          $"score".cast("long").as("n_chars"))
+        .orderBy($"source", $"rank")
+    }, oracle = Some("""
+      WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents)
+      SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+        CAST(n_chars AS BIGINT) AS n_chars
+      FROM ranked WHERE rank <= 10
+      ORDER BY source, rank""")),
 
     QuerySpec("p01_sessionization", (s, dir) => {
       import s.implicits._
