@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, MediaCodecColumns, Multimodal, Packing, Quota, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, MediaCodecColumns, Multimodal, Packing, Quota, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
@@ -903,6 +903,45 @@ object PipelineQueries {
         FROM votes)
       SELECT q_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
       FROM best WHERE rk = 1 ORDER BY q_id""")),
+
+    // BM25 keyword retrieval (operators/Retrieval.scala) — engine-exact
+    // scoring: all inputs are exact integers, the float expression tree
+    // is mirrored literally below (same association, same decimal
+    // literals), ln runs through LnLibm (platform libm — Spark's builtin
+    // StrictMath.log is 1 ulp off libm on ~4% of inputs), and per-term
+    // scores quantize to integer micros BEFORE the per-doc sum so the
+    // only reduction is an order-free integer sum.
+    QuerySpec("s07_bm25", (s, dir) => {
+      import s.implicits._
+      Retrieval.bm25TopK(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text",
+        terms = Seq("vector", "stream", "merge", "window", "spark"),
+        topK = 20)
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
+      tf AS (
+        SELECT doc_id, dl, tok, count(*) AS tf FROM (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok
+          FROM toks)
+        WHERE tok IN ('vector','stream','merge','window','spark')
+        GROUP BY doc_id, dl, tok),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      scored AS (
+        SELECT tf.doc_id,
+          CAST(floor(1000000.0 *
+            ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+            (tf.tf * 2.2) /
+            (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+              (CAST(stats.tot AS DOUBLE) / stats.n)))) AS BIGINT) AS s
+        FROM tf JOIN df USING (tok) CROSS JOIN stats)
+      SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros
+      FROM scored GROUP BY doc_id
+      ORDER BY score_micros DESC, doc_id LIMIT 20"""), bench = true),
 
     // LSH-bucketed ANN — FULL oracle: DuckDB rebuilds the md5-derived
     // planes, the query and corpus buckets, the Hamming-<=probes probe

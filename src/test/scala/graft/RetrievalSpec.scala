@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+import graft.sources.Tables
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+  val terms = Seq("vector", "stream", "merge", "window", "spark")
+
+  test("bm25 matches a driver-side sequential reference") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tokd = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val n = tokd.length.toLong
+    val avgdl = tokd.map(_._2.size.toLong).sum.toDouble / n
+    val tf = tokd.flatMap { case (id, ts) =>
+      ts.filter(terms.contains).groupBy(identity).map {
+        case (tok, xs) => (id, ts.size.toLong, tok, xs.size.toLong)
+      }
+    }
+    val df = tf.groupBy(_._3).map { case (tok, xs) => tok -> xs.size.toLong }
+    val perDoc = tf.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map { case (_, dl, tok, f) =>
+        val idf = java.lang.Math.log(
+          (n - df(tok) + 0.5) / (df(tok) + 0.5) + 1.0)
+        math.floor(1000000.0 * idf * (f * 2.2) /
+          (f + 1.2 * (0.25 + 0.75 * dl / avgdl))).toLong
+      }.sum
+    }
+    val want = perDoc.toSeq.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Retrieval.bm25TopK(
+        Tables.load(spark, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", terms, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("bm25 plan: term filter precedes the shuffle, top-k avoids a global sort") {
+    import spark.implicits._
+    val plan = Retrieval.bm25TopK(
+        Tables.load(spark, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", terms, topK = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global Sort:\n$plan")
+    // the postings filter must sit below the first aggregation exchange:
+    // bottom-up print order puts the scan-side filter AFTER the exchange
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val filterIdx = plan.lastIndexOf("Filter")
+    assert(exIdx >= 0 && filterIdx > exIdx,
+      s"terms filter must run before the shuffle:\n$plan")
+  }
+}
