@@ -263,4 +263,36 @@ object Similarity {
       .select(col("q_id"), (col("rank") + 1).cast("long").as("rank"),
         col("s.id").as(corpusId), col("s.score").as("cos"))
   }
+
+  /** Hard-negative mining for contrastive training: for every probe, the
+    * k corpus vectors MOST similar to it whose label differs — close
+    * enough to be confusing, wrong by label, exactly the negatives a
+    * contrastive loss wants.
+    *
+    * Same scale shape as [[batchTopK]] (one corpus pass, broadcast
+    * probes, bounded map-side top-k partials); the label-mismatch filter
+    * runs per scored pair BEFORE aggregation, so exactness doesn't
+    * depend on an over-retrieve margin the way "top-(k+m) then filter"
+    * post-processing would.
+    *
+    * @return (q_id, rank, id, cos) with rank 1..k per probe, negatives only
+    */
+  def hardNegatives(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      corpusLabel: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      probeLabel: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    corpus.crossJoin(broadcast(probes.select(col(probeId).as("q_id"),
+        col(probeVec).as("__qv"), col(probeLabel).as("__ql"))))
+      .filter(col(corpusLabel) =!= col("__ql"))
+      .select(col("q_id"),
+        VectorFunctions.cosine(col(corpusVec), col("__qv")).as("score"),
+        col(corpusId).cast("long").as("id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank", "s")))
+      .select(col("q_id"), (col("rank") + 1).cast("long").as("rank"),
+        col("s.id").as(corpusId), col("s.score").as("cos"))
+  }
 }

@@ -817,6 +817,41 @@ object PipelineQueries {
              round(cos, 9) AS cos
       FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
 
+    // Hard-negative mining: per probe, the 10 most-similar corpus
+    // vectors with a DIFFERENT label (Similarity.hardNegatives — the
+    // batchTopK shape with the label-mismatch filter before aggregation,
+    // so no over-retrieve margin is involved). Oracle replays cosine,
+    // the label filter, and the ranking.
+    QuerySpec("s08_hard_negatives", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(
+          embs.filter($"vec_id" >= 5), "vec_id", "embedding", "label",
+          embs.filter($"vec_id" < 5), "vec_id", "embedding", "label",
+          k = 10)
+        .select($"q_id", $"rank", $"vec_id", round($"cos", 9).as("cos"))
+        .orderBy($"q_id", $"rank")
+    }, oracle = Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q_id, vec_id,
+          list_aggregate(list_transform(list_zip(embedding, qe),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings, q WHERE vec_id >= 5 AND label <> ql),
+      ranked AS (
+        SELECT q_id, vec_id, cos,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+             round(cos, 9) AS cos
+      FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
+
     // Int8-quantized exact top-k — FULL oracle: quantization and cosine
     // are exact integer math in doubles (sums < 2^53), so DuckDB replays
     // them bit-identically (see Similarity.quantizedTopK).

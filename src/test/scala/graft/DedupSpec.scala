@@ -344,6 +344,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: label always differs, ranking = filtered brute force") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val corpus = embs.filter($"vec_id" >= 5)
+    val probes = embs.filter($"vec_id" < 3)
+    val negs = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+      "label", probes, "vec_id", "embedding", "label", k = 8)
+    val labels = corpus.select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probes.select($"vec_id", $"embedding", $"label").collect().foreach { r =>
+      val (qid, q, ql) = (r.getLong(0), r.getSeq[Float](1), r.getInt(2))
+      val got = negs.filter($"q_id" === qid).orderBy($"rank")
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got.forall(labels(_) != ql), s"probe $qid got a same-label row")
+      val brute = Similarity.bruteForceTopK(
+          corpus.filter($"label" =!= ql), "vec_id", "embedding", q, 8)
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == brute, s"probe $qid: $got != $brute")
+    }
+  }
+
   test("int8-quantized ANN keeps high recall vs the float baseline") {
     import spark.implicits._
     val embs = Tables.load(spark, dir, "embeddings")
