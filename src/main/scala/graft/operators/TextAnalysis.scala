@@ -150,6 +150,46 @@ object TextAnalysis {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     graft.functions.Winnow.fingerprints(tokens(text), k, w)
 
+  /** Unigram surprisal scoring — the CCNet/Gopher-style LM-quality
+    * filter reduced to its engine-exact core: score every document by
+    * the mean negative log-probability of its tokens under the corpus's
+    * OWN unigram distribution (high surprisal = rare-token gibberish,
+    * low = boilerplate). A real deployment swaps the unigram model for a
+    * KenLM binary; the relational shape — vocab build, postings join,
+    * per-doc reduction — is identical, and that shape is the operator.
+    *
+    * Engine-exact: token and vocab counts are exact integers,
+    * `p = c/T` is one IEEE division, ln runs through
+    * [[graft.functions.LnLibm]] (platform libm, matches DuckDB `ln`
+    * bit-for-bit), and each token's surprisal quantizes to integer
+    * micros BEFORE the per-doc sum, so every reduction is an order-free
+    * integer sum and the mean is an integer division.
+    *
+    * Scale shape: vocab = one map-side-combined groupBy over tokens;
+    * scoring = postings join on token (AQE broadcasts the vocab while it
+    * fits; at 100 TB both sides hash-shuffle on the token key) then one
+    * groupBy(doc). Nothing is all-pairs, nothing driver-side except the
+    * scalar total.
+    *
+    * @return (id, n_tokens, surprisal_sum_micros, mean_surprisal_micros)
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val postings = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = postings.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c"))).head().getLong(0)
+    // mirrored literally in the SQL oracle: floor(-1000000.0 * ln(c/T))
+    val micros = floor(lit(-1000000.0) * graft.functions.MathNative.lnLibm(
+      col("c").cast("double") / lit(total.toDouble))).cast("long")
+    postings.join(vocab, "tok")
+      .select(col(idCol), micros.as("m"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("m")).as("surprisal_sum_micros"))
+      .withColumn("mean_surprisal_micros",
+        expr("surprisal_sum_micros div n_tokens"))
+  }
+
   /** PII scrubbing patterns — deliberately conservative RE2-compatible
     * regexes (no lookaround, no backreferences) so the same pattern text
     * runs identically under Spark's Java regex and the DuckDB oracle's

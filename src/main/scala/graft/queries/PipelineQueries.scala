@@ -385,6 +385,35 @@ object PipelineQueries {
         FROM documents)
       ORDER BY doc_id""")),
 
+    // Unigram surprisal quality scoring (TextAnalysis.unigramSurprisal):
+    // per-token -ln p quantized to integer micros before any reduction,
+    // so the oracle's replay is exact (LnLibm = libm = DuckDB ln).
+    QuerySpec("t11_surprisal", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.unigramSurprisal(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH postings AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, count(*) AS c FROM postings GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+      scored AS (
+        SELECT doc_id,
+          CAST(floor(-1000000.0 *
+            ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))) AS BIGINT) AS m
+        FROM postings JOIN vocab USING (tok) CROSS JOIN tot),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(m) AS BIGINT) AS surprisal_sum_micros
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_tokens, surprisal_sum_micros,
+        CAST(surprisal_sum_micros // n_tokens AS BIGINT)
+          AS mean_surprisal_micros
+      FROM agg ORDER BY doc_id""")),
+
     // PII redaction + triage counts over documents with deterministic
     // planted PII (email, IPv4, long digit id appended per doc). The
     // patterns are RE2-compatible so the oracle applies the SAME regex

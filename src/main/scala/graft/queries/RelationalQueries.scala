@@ -533,6 +533,32 @@ object RelationalQueries {
       FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
       ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")),
 
+    // ---- GROUPING SETS (extension; the general form q33's ROLLUP is a
+    // special case of) with per-column GROUPING flags — flags rather than
+    // grouping_id() because the per-column form has one unambiguous
+    // cross-engine semantic (no bit-order convention to match)
+    QuerySpec("q42_grouping_sets", (s, dir) => {
+      import s.implicits._
+      cust(s, dir)
+        .groupingSets(
+          Seq(Seq($"c_mktsegment"), Seq($"c_nationkey"), Seq()),
+          $"c_mktsegment", $"c_nationkey")
+        .agg(grouping($"c_mktsegment").cast("long").as("g_seg"),
+          grouping($"c_nationkey").cast("long").as("g_nat"),
+          count(lit(1)).as("cnt"))
+        .select($"c_mktsegment", $"c_nationkey", $"g_seg", $"g_nat", $"cnt")
+        .orderBy($"g_seg", $"g_nat",
+          $"c_mktsegment".asc_nulls_first, $"c_nationkey".asc_nulls_first)
+    }, oracle = Some("""
+      SELECT c_mktsegment, c_nationkey,
+        CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+        count(*) AS cnt
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+        c_nationkey NULLS FIRST""")),
+
     // ---- Theta self-join (dba_locks/01_step.sql:10-20; lock-observer OR-join dbccore.py:189-197)
     QuerySpec("q34_theta_self_join", (s, dir) => {
       import s.implicits._
