@@ -83,12 +83,80 @@ object EventsStreaming {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
+  final case class AsOfMatch(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, view_event_id: Option[Long],
+      view_value: Option[Double])
+  // reflectively constructed by the state encoder (see SessionState)
+  final case class LastSeen(ts: Long, id: Long, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
   // not `private`: the state encoder's generated code constructs it
   // reflectively in the timeout-firing path (codegen cannot see private
   // members of the enclosing object)
   final case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Streaming twin of the p04 as-of join (operators/AsOf.scala):
+    * last-touch attribution on a live stream — every `probeType` event
+    * (purchase) is emitted with the newest `refType` event (view) at or
+    * before it for the same user.
+    *
+    * State is ONE (ts, id, value) triple per user — O(users), not
+    * O(events) — and never expires: the latest view stays relevant for
+    * the stream's whole life, which is exactly the state a 1000-executor
+    * RocksDB store holds comfortably. Within a micro-batch the slice is
+    * sorted by (ts, side, id) with views before purchases at equal ts —
+    * the batch operator's inclusive-match + greatest-tiebreak rule.
+    * Append-mode caveat, by design: a view arriving LATER than an
+    * already-emitted purchase (cross-batch out-of-order) cannot
+    * retro-update that purchase — streaming attribution is
+    * emit-on-arrival, and the batch twin is the replayable gold answer
+    * (the spec pins stream == batch on an in-order replay).
+    *
+    * Batch: same handler after repartition + partition-local sort (the
+    * sessionize trick — no extra exchange, zero per-key buffering). */
+  def asofAttribution(spark: SparkSession, events: Dataset[Event],
+      probeType: String = "purchase", refType: String = "view")
+      : Dataset[AsOfMatch] = {
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val relevant = events
+      .filter(col("event_type").isin(probeType, refType))
+    val prepared =
+      if (streaming) relevant
+      else relevant.repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"),
+          // views before probes at equal ts = inclusive match
+          when(col("event_type") === refType, 0).otherwise(1),
+          col("event_id"))
+    prepared.groupBy(col("user_id")).as[Long, Event]
+      .flatMapGroupsWithState[LastSeen, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LastSeen]) =>
+          val ordered =
+            if (streaming)
+              it.toSeq.sortBy(e =>
+                (e.ts.getTime, if (e.event_type == refType) 0 else 1,
+                  e.event_id)).iterator
+            else it
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AsOfMatch]
+          ordered.foreach { e =>
+            if (e.event_type == refType) {
+              val t = e.ts.getTime
+              // newest wins; equal-ts ties to the greatest event_id —
+              // the batch operator's deterministic tie rule
+              if (st == null || t > st.ts ||
+                  (t == st.ts && e.event_id > st.id))
+                st = LastSeen(t, e.event_id, e.value)
+            } else {
+              out += AsOfMatch(userId, e.event_id, e.ts,
+                Option(st).map(_.id), Option(st).map(_.value))
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 
   /** Stateful sessionization: a session closes after `gapMs` of
     * inactivity.

@@ -116,6 +116,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of attribution equals the batch operator on an in-order replay") {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    // in-order replay: the file stream feeds whole-fixture batches, and
+    // the handler sorts each per-user slice by event time
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    events.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(EventsStreaming.eventSchema).parquet(tmp)
+      .as[EventsStreaming.Event]
+    val q = EventsStreaming.asofAttribution(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    val want = SparkEntry.queries("p04_asof_join")(spark, dir)
+      .select($"event_id", $"view_event_id", $"view_value")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    try {
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .select($"event_id", $"view_event_id", $"view_value").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+        .toMap
+      assert(got.size == want.size, s"${got.size} purchases vs ${want.size}")
+      assert(got == want)
+    } finally q.stop()
+
+    // batch mode runs the same handler single-pass
+    val batchGot = EventsStreaming.asofAttribution(spark,
+        events.as[EventsStreaming.Event])
+      .collect()
+      .map(m => m.event_id -> m.view_event_id.map(id => (id, m.view_value.get)))
+      .toMap
+    assert(batchGot == want)
+  }
+
   test("quiet key's session closes on watermark advance, not wall clock") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
