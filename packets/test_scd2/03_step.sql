@@ -1,0 +1,3 @@
+-- cleanup as its own tracked step (crash-retry keeps the stage intact
+-- until the publish action's WAL flush — see test_merge/03_step.sql)
+DROP TABLE IF EXISTS scd_stage_GEN_OBJ_FLD_1;

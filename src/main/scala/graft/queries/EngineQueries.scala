@@ -91,6 +91,46 @@ object EngineQueries {
     // by dynamic partition overwrite scoped to delta-touched partitions
     // (packets/test_merge; untouched-partition-files-unchanged is pinned in
     // EngineSpec). Final table vs a direct relational MERGE recomputation.
+    // SCD2 history-preserving dimension upsert through the packet engine
+    // (packets/test_scd2): attribute changes close the current row and
+    // insert a new one; only delta-touched partitions are republished.
+    // The oracle reconstructs the post-upsert dimension relationally from
+    // the customer fixture.
+    QuerySpec("w04_scd2_upsert", (s, dir) => {
+      Tables.registerAll(s, dir)
+      val conf = RunnerConf(
+        stateDir = Files.createTempDirectory("graft-w04-state").toString,
+        placeholders = Map(
+          "scd_src" -> Files.createTempDirectory("graft-w04-src").toString,
+          "scd_delta" -> Files.createTempDirectory("graft-w04-delta").toString,
+          "scd_stage" -> Files.createTempDirectory("graft-w04-stage").toString))
+      val res = new PacketRunner(s, conf).run(s"$packetsDir/test_scd2")
+      require(res.resultCode("spark") == "success",
+        s"scd2 packet failed: ${res.notices.mkString("; ")}")
+      s.sql("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+                      CAST(valid_from AS STRING) AS valid_from,
+                      CAST(valid_to AS STRING) AS valid_to,
+                      CAST(CAST(is_current AS INT) AS BIGINT) AS is_current
+               FROM scd_dim ORDER BY c_custkey, valid_from""")
+    }, oracle = Some("""
+      WITH rows2 AS (
+        SELECT c_custkey, c_mktsegment, '2024-01-01' AS valid_from,
+               '9999-12-31' AS valid_to, 1 AS is_current
+        FROM customer WHERE c_custkey % 50 <> 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, '2024-01-01', '2024-06-01', 0
+        FROM customer WHERE c_custkey % 50 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || ' (v2)', '2024-06-01',
+               '9999-12-31', 1
+        FROM customer WHERE c_custkey % 50 = 0
+        UNION ALL
+        SELECT 1000000 + c_custkey, 'NEWSEG', '2024-06-01', '9999-12-31', 1
+        FROM customer WHERE c_custkey % 97 = 0)
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+             valid_from, valid_to, CAST(is_current AS BIGINT) AS is_current
+      FROM rows2 ORDER BY c_custkey, valid_from""")),
+
     QuerySpec("w03_merge_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       val conf = RunnerConf(
