@@ -475,6 +475,28 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Incremental ingest dedup — the shape a CONTINUOUSLY-GROWING corpus
+    * actually runs: yesterday's corpus is already deduplicated and
+    * materialized as a fingerprint index; today's batch must admit only
+    * documents that are new against the index AND first-of-their-kind
+    * within the batch (min id wins, d01's keeper rule).
+    *
+    * Scale shape: texts never shuffle — the batch reduces to (fp, min id)
+    * with a map-side-combined groupBy, the index side ships fingerprints
+    * only, and the anti-join is a plain hash join of two fingerprint
+    * sets. The index table is the persisted output of prior runs, so
+    * each day's cost is O(batch + index lookup), never O(corpus history
+    * rescan). */
+  def incrementalAdmit(
+      index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val idxFp = index.select(md5(col(textCol)).as("fp")).distinct()
+    batch.select(col(idCol), md5(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+      .join(idxFp, Seq("fp"), "left_anti")
+      .select(col(idCol))
+  }
+
   // ---------------------------------------------------------------------
   /** Test fixture: union `docs` with perturbed copies (last `dropWords`
     * words removed, id offset) so near-dup operators have planted positives

@@ -773,6 +773,34 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }, oracle = Some(DecontaminationOracle)),
 
+    // Incremental ingest dedup (Dedup.incrementalAdmit): docs < 400 are
+    // the already-deduped corpus index; the batch is docs >= 400 plus
+    // planted byte-copies of 30 indexed docs under new ids. Admitted =
+    // new-against-index AND first-in-batch (min id).
+    QuerySpec("d11_incremental_dedup", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val index = docs.filter($"doc_id" < 400)
+      val batch = docs.filter($"doc_id" >= 400).unionByName(
+        docs.filter($"doc_id" < 30)
+          .withColumn("doc_id", $"doc_id" + 200000L))
+      Dedup.incrementalAdmit(index, batch, "doc_id", "text")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH index_fp AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text FROM documents
+        WHERE doc_id < 30),
+      keep AS (
+        SELECT md5(text) AS fp, min(doc_id) AS doc_id
+        FROM batch GROUP BY md5(text))
+      SELECT doc_id FROM keep
+      WHERE fp NOT IN (SELECT fp FROM index_fp)
+      ORDER BY doc_id""")),
+
     // Bloom-filter decontamination — the scale path for an eval set too
     // big to broadcast: Bloom pre-filter inside codegen, then an exact
     // shuffle semi-join over the candidates only. No false negatives +

@@ -559,6 +559,38 @@ object RelationalQueries {
       ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
         c_nationkey NULLS FIRST""")),
 
+    // ---- Ranking-function family (extension beyond q05's row_number):
+    // rank/dense_rank/percent_rank/cume_dist over a TIED ordering (all
+    // four are tie-deterministic; percent_rank and cume_dist are single
+    // IEEE divisions of exact integers, so no rounding is needed), plus
+    // ntile over a unique ordering (ntile depends on row order, so its
+    // sort key must be total)
+    QuerySpec("q43_ranking_family", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tied = Window.partitionBy($"c_mktsegment").orderBy($"c_nationkey")
+      val unique = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal", $"c_custkey")
+      cust(s, dir)
+        .select($"c_custkey", $"c_mktsegment",
+          rank().over(tied).cast("long").as("rnk"),
+          dense_rank().over(tied).cast("long").as("drnk"),
+          percent_rank().over(tied).as("prk"),
+          cume_dist().over(tied).as("cd"),
+          ntile(4).over(unique).cast("long").as("tile"))
+        .orderBy($"c_custkey")
+    }, oracle = Some("""
+      SELECT c_custkey, c_mktsegment,
+        CAST(rank() OVER t AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER t AS BIGINT) AS drnk,
+        percent_rank() OVER t AS prk,
+        cume_dist() OVER t AS cd,
+        CAST(ntile(4) OVER u AS BIGINT) AS tile
+      FROM customer
+      WINDOW t AS (PARTITION BY c_mktsegment ORDER BY c_nationkey),
+             u AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey""")),
+
     // ---- Theta self-join (dba_locks/01_step.sql:10-20; lock-observer OR-join dbccore.py:189-197)
     QuerySpec("q34_theta_self_join", (s, dir) => {
       import s.implicits._
