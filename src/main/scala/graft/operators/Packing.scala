@@ -84,4 +84,54 @@ object Packing {
         floor(greatest(col("tok_end") - 1, col("tok_start")) / window)
           .cast("long").as("chunk_last"))
   }
+
+  /** Deterministic corpus shuffle + shard assignment — pretraining wants
+    * a REPRODUCIBLE global permutation (same seed → same order on any
+    * cluster, any partition count) and balanced shard files. The
+    * permutation key is md5(seed ':' id): engine-independent, uniform,
+    * and replayable by any SQL engine's `row_number() OVER (ORDER BY
+    * key)` — which is also exactly the formulation that must NOT run
+    * here (a global-ORDER window is one task doing the whole corpus).
+    * Instead the permutation position comes from the sequenceChunks
+    * machinery: range-partition by key (globally ordered ranges), count
+    * rows per partition, broadcast exclusive prefix offsets, finish the
+    * rank per-partition in parallel. Shards are `pos % nShards` —
+    * perfectly balanced by construction, no sampling step.
+    *
+    * @return (id, pos 0-based global permutation position, shard)
+    */
+  def deterministicShuffle(
+      docs: DataFrame, idCol: String, seed: String, nShards: Int,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("k"))
+    val ranged = numPartitions match {
+      case Some(n) => keyed.repartitionByRange(n, col("k"), col("id"))
+      case None => keyed.repartitionByRange(col("k"), col("id"))
+    }
+    // freeze the pid assignment once — both passes must see the same
+    // ranges (see sequenceChunks)
+    val staged = ranged.sortWithinPartitions(col("k"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = pids
+      .zip(pids.scanLeft(0L)((acc, pid) => acc + counts(pid)).init)
+      .toMap
+    val offCol =
+      if (pids.isEmpty) lit(0L)
+      else element_at(
+        map_from_arrays(
+          array(pids.map(lit(_)): _*),
+          array(pids.map(p => lit(offsets(p))): _*)),
+        col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("k"), col("id"))
+    staged
+      .withColumn("pos", row_number().over(w).cast("long") - 1L + offCol)
+      .select(col("id").as(idCol), col("pos"),
+        (col("pos") % nShards).as("shard"))
+  }
 }

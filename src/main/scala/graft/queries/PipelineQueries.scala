@@ -1368,6 +1368,28 @@ object PipelineQueries {
       FROM ranked WHERE rank <= 10
       ORDER BY source, rank""")),
 
+    // Deterministic corpus shuffle (Packing.deterministicShuffle): global
+    // md5-permutation position + round-robin shard, computed by the
+    // distributed prefix-rank — NOT the single-partition global-ORDER
+    // window the oracle uses (PackingSpec plan-asserts its absence).
+    QuerySpec("p06_corpus_shuffle", (s, dir) => {
+      import s.implicits._
+      Packing.deterministicShuffle(
+          Tables.load(s, dir, "documents").select($"doc_id"),
+          "doc_id", seed = "graft-epoch-0", nShards = 8)
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH keyed AS (
+        SELECT doc_id,
+          md5(concat('graft-epoch-0', ':', CAST(doc_id AS VARCHAR))) AS k
+        FROM documents),
+      ranked AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+        FROM keyed)
+      SELECT doc_id, pos, pos % 8 AS shard FROM ranked
+      ORDER BY doc_id""")),
+
     QuerySpec("p01_sessionization", (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window

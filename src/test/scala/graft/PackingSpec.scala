@@ -59,4 +59,31 @@ class PackingSpec extends AnyFunSuite {
       assert(r.getLong(2) == 5L * i, s"doc $i offset: ${r.getLong(2)}")
     }
   }
+
+  test("deterministic shuffle is a permutation matching a driver-side sort") {
+    import spark.implicits._
+    val docs = spark.range(0, 4000).select(col("id").as("doc_id"))
+      .repartition(11)
+    val out = Packing.deterministicShuffle(docs, "doc_id", "s1", 8,
+        numPartitions = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 4000)
+    // pos is a permutation of 0..n-1
+    assert(out.map(_._2).sorted.toSeq == (0L until 4000L))
+    // and matches the sequential reference order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"s1:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (0L until 4000L).sortBy(id => (key(id), id)).zipWithIndex
+      .map { case (id, pos) => id -> pos.toLong }.toMap
+    out.foreach { case (id, pos, shard) =>
+      assert(pos == want(id), s"doc $id pos $pos != ${want(id)}")
+      assert(shard == pos % 8)
+    }
+    // same seed reproduces; a different seed permutes differently
+    val again = Packing.deterministicShuffle(docs, "doc_id", "s1", 8,
+        numPartitions = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.forall { case (id, pos, _) => again(id) == pos })
+  }
 }

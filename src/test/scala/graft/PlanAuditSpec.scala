@@ -221,6 +221,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "global prefix sum collapsed to a single partition")
   }
 
+  test("p06 corpus shuffle never funnels through a single partition") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id")
+    val df = graft.operators.Packing.deterministicShuffle(
+      docs, "doc_id", seed = "graft-epoch-0", nShards = 8)
+    // the oracle's row_number() OVER (ORDER BY k) would plan Exchange
+    // SinglePartition; the distributed prefix-rank must not
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "global permutation rank collapsed to a single partition")
+  }
+
   test("d08 substring dedup never shuffles document text") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
