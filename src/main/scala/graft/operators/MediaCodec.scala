@@ -111,6 +111,55 @@ object MediaCodec {
     new GenericArrayData(Array(w.toLong, h.toLong, sr, sg, sb))
   }
 
+  /** Perceptual average-hash over a P6 payload: per-pixel integer
+    * grayscale (r+g+b) div 3, image mean by integer division, bit j set
+    * iff pixel j's gray >= mean (row-major, first 64 pixels — every
+    * fixture image has >= 8x8). All-integer, so an engine replaying the
+    * same bytes derives the identical 64-bit hash. Null on malformed
+    * input or images smaller than 64 pixels. */
+  def ppmAHash(payload: Array[Byte]): Any = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return null
+    var i = 2
+    val vals = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      while (i < payload.length && Character.isWhitespace(payload(i))) i += 1
+      if (i >= payload.length || payload(i) < '0' || payload(i) > '9') return null
+      var x = 0
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        x = x * 10 + (payload(i) - '0')
+        i += 1
+      }
+      vals(v) = x
+      v += 1
+    }
+    if (i >= payload.length || !Character.isWhitespace(payload(i))) return null
+    i += 1
+    val w = vals(0); val h = vals(1)
+    if (vals(2) != 255 || w <= 0 || h <= 0) return null
+    val n = w * h
+    if (n < 64 || payload.length - i < n * 3) return null
+    val gray = new Array[Int](n)
+    var sum = 0L
+    var p = 0
+    while (p < n) {
+      val r = payload(i + p * 3) & 0xFF
+      val g = payload(i + p * 3 + 1) & 0xFF
+      val b = payload(i + p * 3 + 2) & 0xFF
+      gray(p) = (r + g + b) / 3
+      sum += gray(p)
+      p += 1
+    }
+    val mean = sum / n
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (gray(j) >= mean) hash |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
   // -- WAV (RIFF PCM16 mono): 44-byte canonical header + LE samples ------
 
   def wavSamples(id: Long): Int = 256 + (id % 256).toInt
@@ -254,6 +303,25 @@ case class PpmStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** P6 payload → 64-bit perceptual average-hash; null on malformed input. */
+case class PpmAHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ppm_ahash"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodec.ppmAHash(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("ahashR")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = graft.operators.MediaCodec.ppmAHash($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PpmAHash =
+    copy(child = newChild)
+}
+
 /** WAV payload → kept-frame energies; null on malformed input. */
 case class WavFrameEnergies(child: Expression, frameLen: Int, stride: Int)
     extends UnaryExpression {
@@ -282,6 +350,8 @@ object MediaCodecColumns {
     ColumnBridge.column(WavEncode(ColumnBridge.expression(id)))
   def ppmStats(payload: Column): Column =
     ColumnBridge.column(PpmStats(ColumnBridge.expression(payload)))
+  def ppmAHash(payload: Column): Column =
+    ColumnBridge.column(PpmAHash(ColumnBridge.expression(payload)))
   def wavFrameEnergies(payload: Column, frameLen: Int, stride: Int): Column =
     ColumnBridge.column(WavFrameEnergies(
       ColumnBridge.expression(payload), frameLen, stride))

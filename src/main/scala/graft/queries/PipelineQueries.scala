@@ -1173,6 +1173,54 @@ object PipelineQueries {
         CAST(sum(CASE WHEN p % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
       FROM bytes GROUP BY media_id, w, h ORDER BY media_id""")),
 
+    // m03: perceptual average-hash over the decoded P6 pixels — the
+    // multimodal fingerprint (near-dup images share low-Hamming hashes).
+    // All-integer (gray = rgb div 3, mean = sum div n, threshold bits),
+    // so the oracle replays the md5-derived byte stream to the identical
+    // 64 bits; emitted as two unsigned 32-bit halves to stay inside
+    // BIGINT on both engines.
+    QuerySpec("m03_image_ahash", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaCorpus(Tables.load(s, dir, "documents"))
+      media.filter($"format" === "ppm")
+        .select($"media_id", MediaCodecColumns.ppmAHash($"payload").as("h"))
+        .select($"media_id",
+          expr("shiftrightunsigned(h, 32)").as("ahash_hi"),
+          $"h".bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy($"media_id")
+    }, oracle = Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, 8 + (doc_id % 8) AS w, 8 AS h
+        FROM documents WHERE doc_id % 2 = 0),
+      blocks AS (
+        SELECT media_id, w, h, unnest(generate_series(0,
+          CAST(ceil(w * h * 3 / 16.0) AS BIGINT) - 1)) AS b
+        FROM media),
+      bj AS (
+        SELECT media_id, w, h, b, unnest(generate_series(0, 15)) AS j
+        FROM blocks),
+      bytes AS (
+        SELECT media_id, w, h, b * 16 + j AS p,
+          ('0x' || substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+             CAST(b AS VARCHAR)), CAST(j * 2 + 1 AS INTEGER), 2))::UBIGINT AS v
+        FROM bj WHERE b * 16 + j < w * h * 3),
+      gray AS (
+        SELECT media_id, w, h, p // 3 AS px,
+          CAST(sum(v) // 3 AS BIGINT) AS g
+        FROM bytes GROUP BY media_id, w, h, p // 3),
+      means AS (
+        SELECT media_id, CAST(sum(g) // (w * h) AS BIGINT) AS mean
+        FROM gray GROUP BY media_id, w, h)
+      SELECT g.media_id,
+        CAST(sum(CASE WHEN g.px >= 32 AND g.px < 64 AND g.g >= m.mean
+          THEN (CAST(1 AS BIGINT) << CAST(g.px - 32 AS INTEGER))
+          ELSE 0 END) AS BIGINT) AS ahash_hi,
+        CAST(sum(CASE WHEN g.px < 32 AND g.g >= m.mean
+          THEN (CAST(1 AS BIGINT) << CAST(g.px AS INTEGER))
+          ELSE 0 END) AS BIGINT) AS ahash_lo
+      FROM gray g JOIN means m ON g.media_id = m.media_id
+      GROUP BY g.media_id ORDER BY g.media_id""")),
+
     // m02: WAV frame sampling — the operator demuxes a real RIFF chunk
     // list, slices PCM16 LE samples, and emits every 2nd frame's exact
     // integer energy; the oracle rebuilds the identical samples from the

@@ -82,6 +82,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.ppmStats(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("perceptual aHash: known half-black/half-white image, stability under decode") {
+    // 8x8 P6, pixels 0-31 black (gray 0), 32-63 white (gray 255):
+    // mean = (32*255)/64 = 127, so exactly the white half sets its bits
+    val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(64 * 3)(i => if (i < 32 * 3) 0.toByte else 0xFF.toByte)
+    val payload = header ++ px
+    val h = MediaCodec.ppmAHash(payload)
+    assert(h == java.lang.Long.valueOf(0xFFFFFFFF00000000L),
+      f"got ${h.asInstanceOf[java.lang.Long].longValue()}%016x")
+    // malformed inputs null out, never throw
+    assert(MediaCodec.ppmAHash("P6 junk".getBytes("US-ASCII")) == null)
+    assert(MediaCodec.ppmAHash(header ++ px.take(10)) == null)
+    // expression path agrees with the direct call on fixture payloads
+    import spark.implicits._
+    val media = Multimodal.mediaCorpus(
+      Tables.load(spark, dir, "documents").limit(40))
+      .filter($"format" === "ppm")
+    val viaExpr = media
+      .select($"media_id", MediaCodecColumns.ppmAHash($"payload").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val direct = media.select($"media_id", $"payload")
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, p) =>
+        id -> MediaCodec.ppmAHash(p).asInstanceOf[java.lang.Long].longValue() }
+      .toMap
+    assert(viaExpr == direct)
+  }
+
   test("WAV demux walks the chunk list like a real parser") {
     val id = 7L
     val canonical = MediaCodec.wavPayload(id)
