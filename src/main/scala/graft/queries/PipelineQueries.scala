@@ -385,6 +385,46 @@ object PipelineQueries {
         FROM documents)
       ORDER BY doc_id""")),
 
+    // Flesch reading-ease readability — the classic rule-based quality
+    // band (syllables ~ vowel runs, the standard heuristic). Counts are
+    // regexp-exact integers shared with the oracle; the score's float
+    // tree is mirrored literally and quantized to micros, so it
+    // hash-matches without rounding tolerance.
+    QuerySpec("t12_readability", (s, dir) => {
+      import s.implicits._
+      val w = size(TextAnalysis.tokens($"text")).cast("long")
+      val sents = greatest(
+        size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))).cast("long"),
+        lit(1L))
+      val syl = size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"),
+        lit(0))).cast("long")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", w.as("n_words"), sents.as("n_sentences"),
+          syl.as("n_syllables"))
+        .withColumn("flesch_micros",
+          floor(lit(1000000.0) * (lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double")))).cast("long"))
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH counted AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_words,
+          greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+            1) AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+            AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CAST(floor(1000000.0 * (206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))))
+          AS BIGINT) AS flesch_micros
+      FROM counted ORDER BY doc_id""")),
+
     // Unigram surprisal quality scoring (TextAnalysis.unigramSurprisal):
     // per-token -ln p quantized to integer micros before any reduction,
     // so the oracle's replay is exact (LnLibm = libm = DuckDB ln).
@@ -1437,6 +1477,46 @@ object PipelineQueries {
         FROM keyed)
       SELECT doc_id, pos, pos % 8 AS shard FROM ranked
       ORDER BY doc_id""")),
+
+    // Conversion-funnel analysis: per signed-up user, the first view at
+    // or after signup and the first purchase at or after that view —
+    // ordered-stage funnels are min-aggregations + stage-gated joins
+    // (one shuffle per stage on user_id, no window, no self-cross).
+    QuerySpec("p07_funnel", (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
+      val signup = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"t").as("t_signup"))
+      val view = ev.filter($"event_type" === "view")
+        .join(signup, "user_id").filter($"t" >= $"t_signup")
+        .groupBy($"user_id").agg(min($"t").as("t_view"))
+      val purchase = ev.filter($"event_type" === "purchase")
+        .join(view, "user_id").filter($"t" >= $"t_view")
+        .groupBy($"user_id").agg(min($"t").as("t_purchase"))
+      signup.join(view, Seq("user_id"), "left")
+        .join(purchase, Seq("user_id"), "left")
+        .select($"user_id", $"t_signup", $"t_view", $"t_purchase")
+        .orderBy($"user_id")
+    }, oracle = Some("""
+      WITH su AS (
+        SELECT user_id, min(epoch_us(ts)) AS t_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      vw AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_view
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'view' AND epoch_us(e.ts) >= su.t_signup
+        GROUP BY e.user_id),
+      pu AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        FROM events e JOIN vw ON e.user_id = vw.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= vw.t_view
+        GROUP BY e.user_id)
+      SELECT su.user_id, su.t_signup, vw.t_view, pu.t_purchase
+      FROM su
+      LEFT JOIN vw ON su.user_id = vw.user_id
+      LEFT JOIN pu ON su.user_id = pu.user_id
+      ORDER BY su.user_id""")),
 
     QuerySpec("p01_sessionization", (s, dir) => {
       import s.implicits._
