@@ -208,6 +208,64 @@ object MediaCodec {
     a(off) == s.charAt(0) && a(off + 1) == s.charAt(1) &&
       a(off + 2) == s.charAt(2) && a(off + 3) == s.charAt(3)
 
+  /** Per-frame zero-crossing count and peak amplitude of a PCM16 mono
+    * WAV — the two classic integer audio features (speech/music and
+    * clipping triage). Per frame f of `frameLen` samples: zcr = #{i in
+    * frame, i > frame start : sign(s[i-1]) != sign(s[i])} (sign = `< 0`,
+    * so zero is nonnegative — no float epsilon), peak = max |s_i| (32768
+    * fits in Long). Same RIFF chunk walk as [[wavFrameEnergies]]; null
+    * on malformed input. Returns [zcr_0, peak_0, zcr_1, peak_1, …]
+    * interleaved (a flat long array keeps the expression's dataType
+    * primitive — the query side un-interleaves with one posexplode). */
+  def wavFrameZcrPeak(payload: Array[Byte], frameLen: Int): Any = {
+    if (payload.length < 12 || !tagAt(payload, 0, "RIFF") ||
+        !tagAt(payload, 8, "WAVE")) return null
+    var off = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= payload.length && dataOff < 0) {
+      val size = leInt(payload, off + 4)
+      if (size < 0 || off + 8 + size > payload.length) return null
+      if (tagAt(payload, off, "fmt ")) {
+        fmtOk = size >= 16 && leShort(payload, off + 8) == 1 &&
+          leShort(payload, off + 10) == 1 && leShort(payload, off + 22) == 16
+        if (!fmtOk) return null
+      } else if (tagAt(payload, off, "data")) {
+        dataOff = off + 8
+        dataLen = size
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (!fmtOk || dataOff < 0 || dataLen % 2 != 0) return null
+    val n = dataLen / 2
+    val nFrames = (n + frameLen - 1) / frameLen
+    val out = new Array[Long](nFrames * 2)
+    var f = 0
+    while (f < nFrames) {
+      var zcr = 0L
+      var peak = 0L
+      var i = f * frameLen
+      val end = math.min(i + frameLen, n)
+      var prevNeg = false
+      var first = true
+      while (i < end) {
+        val s = (leShort(payload, dataOff + 2 * i) << 16) >> 16
+        val neg = s < 0
+        if (!first && neg != prevNeg) zcr += 1
+        prevNeg = neg
+        first = false
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        i += 1
+      }
+      out(f * 2) = zcr
+      out(f * 2 + 1) = peak
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-frame integer energies of a PCM16 mono WAV, keeping every
     * `stride`-th frame of `frameLen` samples (the trailing partial frame
     * counts): energy_f = Σ s_i² over frame f — exact in Long (≤ 2^30 per
@@ -343,6 +401,27 @@ case class WavFrameEnergies(child: Expression, frameLen: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** WAV payload → interleaved per-frame [zcr, peak]; null on malformed
+  * input. */
+case class WavFrameZcrPeak(child: Expression, frameLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "wav_frame_zcr_peak"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodec.wavFrameZcrPeak(v.asInstanceOf[Array[Byte]], frameLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("zcrR")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = graft.operators.MediaCodec.wavFrameZcrPeak($c, $frameLen);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WavFrameZcrPeak =
+    copy(child = newChild)
+}
+
 object MediaCodecColumns {
   def ppmEncode(id: Column): Column =
     ColumnBridge.column(PpmEncode(ColumnBridge.expression(id)))
@@ -355,4 +434,7 @@ object MediaCodecColumns {
   def wavFrameEnergies(payload: Column, frameLen: Int, stride: Int): Column =
     ColumnBridge.column(WavFrameEnergies(
       ColumnBridge.expression(payload), frameLen, stride))
+  def wavFrameZcrPeak(payload: Column, frameLen: Int): Column =
+    ColumnBridge.column(WavFrameZcrPeak(
+      ColumnBridge.expression(payload), frameLen))
 }

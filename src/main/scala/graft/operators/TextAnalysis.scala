@@ -218,4 +218,66 @@ object TextAnalysis {
      size(regexp_extract_all(regexp_replace(
          regexp_replace(text, EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"),
        lit(LongDigitPattern), lit(0))).cast("long"))
+
+  /** Gopher-style document-quality RULE FLAGS (Rae et al. 2021 §A1.1,
+    * adapted to word-level signals — the fixture corpus has no line
+    * structure): word-count bounds, mean-word-length bounds, minimum
+    * alphabetic-word fraction, minimum stopword presence. Every rule is
+    * an exact-integer comparison (ratios become cross-multiplications:
+    * `alpha/words > 4/5` ⇔ `5*alpha > 4*words`), so the boolean flags
+    * are bit-identical on any engine — no float thresholds to drift.
+    * Complements [[qualityFeatures]] (soft score) and
+    * [[repetitionSignals]] (repetition rules) with the hard gate a
+    * curation pipeline filters on. Pure codegen'd column expressions,
+    * partition-local, zero shuffle.
+    *
+    * @return df + (n_words, chars_no_ws, alpha_words, n_stopwords,
+    *         flag_n_words, flag_word_len, flag_alpha, flag_stopwords,
+    *         keep)
+    */
+  def gopherFlags(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val stopArr = array(Stopwords.map(lit): _*)
+    df.withColumn("n_words", size(toks).cast("long"))
+      .withColumn("chars_no_ws",
+        length(regexp_replace(text, "\\s+", "")).cast("long"))
+      .withColumn("alpha_words",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+      // 50 <= words <= 100000 (Gopher's doc-length gate)
+      .withColumn("flag_n_words",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      // 3 <= mean word length <= 10, exactly: 3n <= chars <= 10n
+      .withColumn("flag_word_len",
+        col("chars_no_ws") >= col("n_words") * 3 &&
+          col("chars_no_ws") <= col("n_words") * 10)
+      // > 80% of words contain an alphabetic character: 5*alpha > 4*n
+      .withColumn("flag_alpha",
+        col("alpha_words") * 5 > col("n_words") * 4)
+      // at least 2 stopword occurrences (Gopher's "2 of the required
+      // stopwords" presence check)
+      .withColumn("flag_stopwords", col("n_stopwords") >= 2)
+      .withColumn("keep",
+        col("flag_n_words") && col("flag_word_len") &&
+          col("flag_alpha") && col("flag_stopwords"))
+  }
+
+  /** Deterministic stratified train/valid/test split: every document
+    * hashes to a 16-bit value from md5(salt:source:id) and lands in a
+    * split by fixed integer thresholds (train < 52429 ≈ 80%,
+    * valid < 58982 ≈ 10%, else test). Hashing WITHIN the source stratum
+    * makes per-source proportions independent of corpus mixture; the
+    * assignment is a pure partition-local expression (zero shuffle, no
+    * RNG state), stable under re-runs, appends, and repartitioning —
+    * the reproducible-split contract a training pipeline needs.
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+      salt: String): DataFrame = {
+    val h = conv(substring(md5(concat(
+      lit(salt + ":"), col(stratumCol), lit(":"),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("int")
+    df.withColumn("split",
+      when(h < 52429, "train").when(h < 58982, "valid").otherwise("test"))
+  }
 }

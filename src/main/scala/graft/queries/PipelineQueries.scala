@@ -425,6 +425,58 @@ object PipelineQueries {
           AS BIGINT) AS flesch_micros
       FROM counted ORDER BY doc_id""")),
 
+    // Gopher hard-rule quality gate (TextAnalysis.gopherFlags): every
+    // rule an exact-integer cross-multiplication, so the booleans are
+    // engine-independent. Zero shuffle.
+    QuerySpec("t13_gopher_rules", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.gopherFlags(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"), $"text")
+        .drop("text")
+        .orderBy($"doc_id")
+    }, oracle = Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+            AS n_words,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+            AS chars_no_ws,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> list_contains(${sqlList(TextAnalysis.Stopwords)}, t)))
+            AS BIGINT) AS n_stopwords
+        FROM documents)
+      SELECT doc_id, n_words, chars_no_ws, alpha_words, n_stopwords,
+        (n_words >= 50 AND n_words <= 100000) AS flag_n_words,
+        (chars_no_ws >= n_words * 3 AND chars_no_ws <= n_words * 10)
+          AS flag_word_len,
+        (alpha_words * 5 > n_words * 4) AS flag_alpha,
+        (n_stopwords >= 2) AS flag_stopwords,
+        ((n_words >= 50 AND n_words <= 100000) AND
+         (chars_no_ws >= n_words * 3 AND chars_no_ws <= n_words * 10) AND
+         (alpha_words * 5 > n_words * 4) AND (n_stopwords >= 2)) AS keep
+      FROM f ORDER BY doc_id""")),
+
+    // Deterministic stratified train/valid/test split
+    // (TextAnalysis.stratifiedSplit): md5-threshold assignment hashed
+    // within the source stratum; reproducible on any engine, stable
+    // under appends/repartitioning. Zero shuffle.
+    QuerySpec("p08_stratified_split", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.stratifiedSplit(
+          Tables.load(s, dir, "documents").select($"doc_id", $"source"),
+          "doc_id", "source", salt = "split1")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      SELECT doc_id, source,
+        CASE WHEN ('0x' || substr(md5('split1:' || source || ':' ||
+            CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER < 52429 THEN 'train'
+          WHEN ('0x' || substr(md5('split1:' || source || ':' ||
+            CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER < 58982 THEN 'valid'
+          ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
     // Unigram surprisal quality scoring (TextAnalysis.unigramSurprisal):
     // per-token -ln p quantized to integer micros before any reduction,
     // so the oracle's replay is exact (LnLibm = libm = DuckDB ln).
@@ -1308,6 +1360,61 @@ object PipelineQueries {
       SELECT media_id, frame_idx, energy FROM frames
       WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx""")),
 
+    // m04: WAV audio features — per-frame zero-crossing count + peak
+    // amplitude from the same real RIFF demux (MediaCodec
+    // .wavFrameZcrPeak). All-integer (sign compares, |s| max), so the
+    // oracle replays the md5-derived samples to identical values. The
+    // interleaved [zcr, peak] array un-interleaves with one
+    // partition-local transform+posexplode — zero shuffle.
+    QuerySpec("m04_audio_features", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaCorpus(
+        Tables.load(s, dir, "documents").filter($"doc_id" < 200))
+      media.filter($"format" === "wav")
+        .select($"media_id",
+          MediaCodecColumns.wavFrameZcrPeak($"payload", 64).as("zp"))
+        .select($"media_id", posexplode(expr(
+          "transform(sequence(0, size(zp) div 2 - 1)," +
+            " f -> struct(zp[2*f] AS zcr, zp[2*f+1] AS peak))"))
+          .as(Seq("fi", "s")))
+        .select($"media_id", $"fi".cast("long").as("frame_idx"),
+          $"s.zcr".as("zcr"), $"s.peak".as("peak"))
+        .orderBy($"media_id", $"frame_idx")
+    }, oracle = Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, 256 + (doc_id % 256) AS n
+        FROM documents WHERE doc_id % 2 = 1 AND doc_id < 200),
+      blocks AS (
+        SELECT media_id, n, unnest(generate_series(0,
+          CAST(ceil(n * 2 / 16.0) AS BIGINT) - 1)) AS b
+        FROM media),
+      bj AS (SELECT media_id, n, b, unnest(generate_series(0, 15)) AS j
+             FROM blocks),
+      bytes AS (
+        SELECT media_id, n, b * 16 + j AS p,
+          ('0x' || substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+             CAST(b AS VARCHAR)), CAST(j * 2 + 1 AS INTEGER), 2))::UBIGINT AS v
+        FROM bj WHERE b * 16 + j < n * 2),
+      samples AS (
+        SELECT media_id, CAST(floor(p / 2) AS BIGINT) AS i,
+          CAST(sum(CASE WHEN p % 2 = 0 THEN v ELSE 256 * v END) AS BIGINT)
+            AS raw
+        FROM bytes GROUP BY media_id, CAST(floor(p / 2) AS BIGINT)),
+      sgn AS (
+        SELECT media_id, i,
+          CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+        FROM samples),
+      lagged AS (
+        SELECT media_id, i, s,
+          lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        FROM sgn)
+      SELECT media_id, CAST(i // 64 AS BIGINT) AS frame_idx,
+        CAST(sum(CASE WHEN i % 64 <> 0 AND (prev < 0) <> (s < 0)
+          THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        CAST(max(abs(s)) AS BIGINT) AS peak
+      FROM lagged GROUP BY media_id, i // 64
+      ORDER BY media_id, frame_idx""")),
+
     // ---- Sessionization over events (gap > 30 min ⇒ new session) -------
     // ---- End-to-end corpus curation (the flagship composition): quality
     // gate → language gate → exact-dedup keep-first. Every stage is a
@@ -1517,6 +1624,39 @@ object PipelineQueries {
       LEFT JOIN vw ON su.user_id = vw.user_id
       LEFT JOIN pu ON su.user_id = pu.user_id
       ORDER BY su.user_id""")),
+
+    // ---- Retention cohort matrix: cohort = each user's first-purchase
+    // day; cell (cohort, week_offset) = distinct users purchasing that
+    // many weeks later. Scale shape: the purchase stream shuffles ONCE
+    // on user_id (cohort agg + self-join are co-partitioned; AQE
+    // broadcasts the cohort side while it fits), then one
+    // (cohort, offset) shuffle with map-side partial distinct — no
+    // windows, nothing all-pairs. All keys exact (date_trunc + integer
+    // day arithmetic).
+    QuerySpec("p09_retention_cohorts", (s, dir) => {
+      import s.implicits._
+      val p = Tables.load(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", date_trunc("day", $"ts").as("d"))
+      val cohort = p.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+      p.join(cohort, "user_id")
+        .groupBy($"cohort_day",
+          expr("datediff(d, cohort_day) div 7").cast("long").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"week_offset")
+    }, oracle = Some("""
+      WITH p AS (
+        SELECT user_id, date_trunc('day', ts) AS d FROM events
+        WHERE event_type = 'purchase'),
+      cohort AS (
+        SELECT user_id, min(d) AS cohort_day FROM p GROUP BY user_id)
+      SELECT c.cohort_day,
+        CAST(date_diff('day', c.cohort_day, e.d) // 7 AS BIGINT)
+          AS week_offset,
+        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      FROM p e JOIN cohort c USING (user_id)
+      GROUP BY c.cohort_day, week_offset
+      ORDER BY cohort_day, week_offset""")),
 
     QuerySpec("p01_sessionization", (s, dir) => {
       import s.implicits._

@@ -591,6 +591,61 @@ object RelationalQueries {
              u AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       ORDER BY c_custkey""")),
 
+    // ---- PIVOT (extension): long→wide reshape with an explicit value
+    // list (no data-dependent schema — the driver's compare needs static
+    // columns, and at scale an explicit list also skips Spark's extra
+    // distinct-value job). Decimal-exact sums, one shuffle.
+    QuerySpec("q44_pivot", (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.load(s, dir, "events")
+        .groupBy(($"user_id" % 10).as("cohort"))
+        .pivot("event_type", types)
+        .agg(sum($"value".cast(QuerySpec.Dec)))
+        .select($"cohort" +: types.map(t =>
+          col(t).cast("double").as(s"${t}_sum")): _*)
+        .orderBy($"cohort")
+    }, oracle = Some("""
+      SELECT user_id % 10 AS cohort,
+        CAST(sum(CASE WHEN event_type = 'click'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_sum,
+        CAST(sum(CASE WHEN event_type = 'error'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error_sum,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_sum,
+        CAST(sum(CASE WHEN event_type = 'signup'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup_sum,
+        CAST(sum(CASE WHEN event_type = 'view'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_sum
+      FROM events GROUP BY 1 ORDER BY cohort""")),
+
+    // ---- UNPIVOT/melt (extension): wide→long reshape — the inverse of
+    // q44. Spark's native unpivot (no generator explosion); values cast
+    // to a common type first, as unpivot requires.
+    QuerySpec("q45_unpivot", (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(sum($"l_quantity".cast(QuerySpec.Dec)).as("q"),
+          sum($"l_extendedprice".cast(QuerySpec.Dec)).as("p"))
+        .select($"l_returnflag", $"q".cast("double").as("qty"),
+          $"p".cast("double").as("price"))
+        .unpivot(Array($"l_returnflag"), Array($"qty", $"price"),
+          "measure", "val")
+        .orderBy($"l_returnflag", $"measure")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT l_returnflag,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'qty' AS measure, CAST(qty AS DOUBLE) AS val
+      FROM base
+      UNION ALL
+      SELECT l_returnflag, 'price' AS measure, CAST(price AS DOUBLE) AS val
+      FROM base
+      ORDER BY l_returnflag, measure""")),
+
     // ---- Theta self-join (dba_locks/01_step.sql:10-20; lock-observer OR-join dbccore.py:189-197)
     QuerySpec("q34_theta_self_join", (s, dir) => {
       import s.implicits._
