@@ -255,6 +255,60 @@ object Dedup {
       .agg(max(col("cos")).as("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
+    * embedding-space analog of d05 that scales past LSH recall limits by
+    * comparing only WITHIN coarse clusters. A vector is a duplicate iff
+    * some lower-id vector in its cluster has cosine >= threshold; the
+    * winning witness is the smallest such id (SemDeDup's "keep one per
+    * semantic group" rule, with lowest-id in place of
+    * closest-to-centroid so the keeper election is engine-exact).
+    *
+    * Fully deterministic end to end — the s03/s05 machinery reused:
+    * centroids are the int8-quantized embeddings of the `nlist` smallest
+    * ids (seeded, no Lloyd iterations), assignment is exact integer
+    * squared-L2 argmin, and pair scoring is cosine over the QUANTIZED
+    * vectors (integer-valued doubles, sums < 2^53 — bit-reproducible),
+    * so a SQL oracle replays the entire operator.
+    *
+    * Scale shape: one shuffle on cidx; `clusterCap` bounds the join's
+    * left side per cluster exactly like d05's bucketCap (pairwise work
+    * is cap×members per cluster, never corpus²). At 100 TB the
+    * assignment is ingest-time (cidx the bucketBy key) and only (cidx,
+    * id, int8 vec) rows — not raw floats — enter the shuffle.
+    *
+    * @return (vec_id, kept_by, cos) one row per DROPPED vector
+    */
+  def semanticDedup(
+      embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16,
+      clusterCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids: Array[Array[Int]] = embs.orderBy(col(idCol)).limit(nlist)
+      .select(VectorFunctions.int8Quantize(col(vecCol)).as("q"))
+      .collect().map(_.getSeq[Int](0).toArray)
+    val assigned = embs.select(col(idCol).as("id"),
+        VectorFunctions.int8Quantize(col(vecCol)).as("qi"))
+      .withColumn("cidx", VectorFunctions.int8NearestList(col("qi"), centroids))
+      .select(col("id"), col("cidx"), col("qi").cast("array<double>").as("q"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cidx")).orderBy(col("id"))))
+    val keepers = assigned.filter(col("rk") <= clusterCap)
+      .select(col("cidx"), col("id").as("keeper_id"), col("q").as("q_a"))
+    val members = assigned
+      .select(col("cidx"), col("id").as("dup_id"), col("q").as("q_b"))
+    keepers.join(members, Seq("cidx"))
+      .filter(col("keeper_id") < col("dup_id"))
+      .select(col("dup_id"), col("keeper_id"),
+        VectorFunctions.cosine(col("q_a"), col("q_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      // smallest qualifying witness; struct min is lexicographic, so the
+      // carried cos is that witness's score
+      .groupBy(col("dup_id"))
+      .agg(min(struct(col("keeper_id"), col("cos"))).as("w"))
+      .select(col("dup_id").as(idCol), col("w.keeper_id").as("kept_by"),
+        col("w.cos").as("cos"))
+  }
+
   // ---------------------------------------------------------------------
   // Near-dup cluster resolution: pairs → connected components → keep-one.
 

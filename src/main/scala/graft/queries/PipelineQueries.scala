@@ -893,6 +893,65 @@ object PipelineQueries {
       WHERE fp NOT IN (SELECT fp FROM index_fp)
       ORDER BY doc_id""")),
 
+    // SemDeDup cluster-scoped semantic dedup (Dedup.semanticDedup):
+    // seeded int8 centroids + integer-exact assignment (the s03
+    // machinery) + quantized-cosine pair scoring inside clusters only.
+    // Planted copies (vec_id+100000 for vec_id < 25) are the guaranteed
+    // semantic dups (cos = 1.0 exactly); the corpus's organic in-cluster
+    // pairs sit below 0.5, so threshold 0.99 recovers precisely the
+    // planted set with lowest-id witnesses.
+    QuerySpec("d12_semantic_dedup", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val planted = embs.filter($"vec_id" < 25)
+        .withColumn("vec_id", $"vec_id" + 100000L)
+      Dedup.semanticDedup(embs.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.99, nlist = 16)
+        .select($"vec_id", $"kept_by", round($"cos", 9).as("cos"))
+        .orderBy($"vec_id")
+    }, oracle = Some("""
+      WITH corpus AS (
+        SELECT vec_id AS id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS id, embedding FROM embeddings
+        WHERE vec_id < 25),
+      cq AS (
+        SELECT id,
+          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT id, embedding, list_aggregate(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx FROM corpus)),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, q AS cvec
+        FROM cq ORDER BY id LIMIT 16),
+      asgn AS (
+        SELECT id, cidx,
+          row_number() OVER (PARTITION BY id ORDER BY
+            list_aggregate(list_transform(list_zip(c.q, ct.cvec),
+              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+            cidx) AS rn
+        FROM cq c, cent ct),
+      mem AS (
+        SELECT a.id, a.cidx, c.q FROM asgn a JOIN cq c USING (id)
+        WHERE a.rn = 1),
+      pairs AS (
+        SELECT b.id AS dup_id, a.id AS keeper_id,
+          list_aggregate(list_transform(list_zip(a.q, b.q),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(a.q,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(b.q,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM mem a JOIN mem b ON a.cidx = b.cidx AND a.id < b.id),
+      qual AS (
+        SELECT dup_id, keeper_id, cos,
+          row_number() OVER (PARTITION BY dup_id ORDER BY keeper_id) AS rn
+        FROM pairs WHERE cos >= 0.99)
+      SELECT dup_id AS vec_id, keeper_id AS kept_by, round(cos, 9) AS cos
+      FROM qual WHERE rn = 1 ORDER BY vec_id""")),
+
     // Bloom-filter decontamination — the scale path for an eval set too
     // big to broadcast: Bloom pre-filter inside codegen, then an exact
     // shuffle semi-join over the candidates only. No false negatives +

@@ -109,6 +109,36 @@ class DedupSpec extends AnyFunSuite {
     assert(found == 25, s"expected 25 planted pairs, got $found")
   }
 
+  test("semantic dedup drops exactly the planted copies, witnessed by " +
+      "their originals") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val planted = embs.filter($"vec_id" < 25)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    val dropped = Dedup.semanticDedup(embs.unionByName(planted),
+      "vec_id", "embedding", threshold = 0.99, nlist = 16)
+    val rows = dropped.collect()
+    // identical quantized vectors share the cluster → every planted copy
+    // is dropped, witnessed by its original, at cos ≈ 1 (S/(√S·√S)
+    // differs from 1.0 only in the last ulp); nothing organic crosses
+    // 0.99
+    assert(rows.length == 25, s"expected 25 drops, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1) + 100000L))
+    assert(rows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
+  }
+
+  test("semantic dedup witness is always a lower id in the same cluster") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val dropped = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      threshold = 0.3, nlist = 8)
+    val bad = dropped.filter($"kept_by" >= $"vec_id").count()
+    assert(bad == 0)
+    // at a loose threshold something organic must drop (sanity that the
+    // operator isn't vacuously empty)
+    assert(dropped.count() > 0)
+  }
+
   test("dup clusters: chained pairs collapse transitively to the min id") {
     import spark.implicits._
     // a~b, b~c, c~d plus an isolated e: one 4-node chain, one singleton
