@@ -280,4 +280,67 @@ object TextAnalysis {
     df.withColumn("split",
       when(h < 52429, "train").when(h < 58982, "valid").otherwise("test"))
   }
+
+  /** Corpus-wide BPE pair statistics — the counting core of byte-pair-
+    * encoding tokenizer training: every adjacent character pair inside
+    * every whitespace token, counted across the corpus, top-N by
+    * frequency (count DESC, pair ASC tie-break — a deterministic merge
+    * order). One BPE training iteration = take the top pair, merge,
+    * recount; this operator is that iteration's scan, and re-running it
+    * on merged text iterates the training loop.
+    *
+    * Scale shape: a generator explode of (token → pairs) built from
+    * codegen'd `transform(sequence(...))` (no UDF), then one
+    * aggregation whose shuffle carries only (pair, partial-count) over
+    * a tiny key domain (≤ alphabet², heavily map-side combined), then
+    * TakeOrderedAndProject for the top-N — no global sort, nothing
+    * driver-side. Counts are exact integers; the oracle replays them
+    * bit-for-bit.
+    *
+    * @return (pair, c) — at most topN rows
+    */
+  def bpePairStats(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+      // a 1-char token has no pair; Spark's sequence(1, 0) would count
+      // DOWN ([1,0]) rather than return empty like generate_series
+      .filter(length(col("tok")) >= 2)
+    toks.select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** Temperature-scaled source mixture weights — the multilingual /
+    * multi-source sampling-rate computation (alpha-smoothing with
+    * α = 0.5): each source's token mass m_i gives p_i = m_i/T, its
+    * sampling weight ∝ p_i^α, which up-weights small sources relative
+    * to proportional sampling. α is fixed at 1/2 so the power is IEEE
+    * `sqrt` (correctly rounded on every engine, unlike `pow`); the
+    * sqrt quantizes to integer micros BEFORE normalization, so the
+    * final ppm weights are order-free integer arithmetic and replay
+    * exactly in the oracle.
+    *
+    * Scale shape: one map-side-combined groupBy(source) over token
+    * counts (the only shuffle, carrying (source, long)); the two corpus
+    * scalars (total tokens, total weight) reduce driver-side — they are
+    * single numbers, the t11 pattern. Sources are few by construction
+    * (domains, languages, crawls), so the weight table itself is tiny.
+    *
+    * @return (srcCol, n_tokens, w_micros, weight_ppm) — one row per source
+    */
+  def sourceMixtureWeights(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val mass = df.select(col(srcCol), wordCount(col(textCol)).as("n"))
+      .groupBy(col(srcCol)).agg(sum(col("n")).as("m"))
+    val total = mass.agg(sum(col("m"))).head().getLong(0)
+    // mirrored literally in the SQL oracle: floor(1e6 * sqrt(m/T))
+    val q = mass.withColumn("w_micros",
+      floor(lit(1000000.0) *
+        sqrt(col("m").cast("double") / lit(total.toDouble))).cast("long"))
+    val sw = q.agg(sum(col("w_micros"))).head().getLong(0)
+    q.select(col(srcCol), col("m").as("n_tokens"), col("w_micros"),
+      expr(s"w_micros * 1000000L div ${sw}L").as("weight_ppm"))
+  }
 }

@@ -477,6 +477,52 @@ object PipelineQueries {
           ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    // Corpus-wide BPE pair statistics (TextAnalysis.bpePairStats): the
+    // counting scan of one byte-pair-encoding training iteration.
+    // Exact-integer counts, deterministic (count DESC, pair ASC) top-N.
+    QuerySpec("t14_bpe_pair_stats", (s, dir) => {
+      TextAnalysis.bpePairStats(
+        Tables.load(s, dir, "documents").select(col("text")), "text", 200)
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents),
+      pairs AS (
+        SELECT substr(tok, i, 2) AS pair
+        FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+              FROM toks)),
+      cnt AS (SELECT pair, CAST(count(*) AS BIGINT) AS c
+              FROM pairs GROUP BY pair)
+      SELECT pair, c FROM cnt ORDER BY c DESC, pair LIMIT 200""")),
+
+    // Temperature-scaled source mixture weights
+    // (TextAnalysis.sourceMixtureWeights): alpha = 0.5 sampling weights
+    // from per-source token mass; sqrt is IEEE-exact and quantizes to
+    // micros before the integer normalization, so ppm weights replay.
+    QuerySpec("p10_mixture_weights", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.sourceMixtureWeights(
+          Tables.load(s, dir, "documents").select($"source", $"text"),
+          "source", "text")
+        .orderBy($"source")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      mass AS (SELECT source, CAST(sum(n) AS BIGINT) AS m
+               FROM toks GROUP BY source),
+      tot AS (SELECT CAST(sum(m) AS BIGINT) AS t FROM mass),
+      q AS (
+        SELECT source, m,
+          CAST(floor(1000000.0 *
+            sqrt(CAST(m AS DOUBLE) / CAST(t AS DOUBLE))) AS BIGINT) AS w
+        FROM mass CROSS JOIN tot),
+      s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM q)
+      SELECT source, m AS n_tokens, w AS w_micros,
+        CAST(w * 1000000 // sw AS BIGINT) AS weight_ppm
+      FROM q CROSS JOIN s ORDER BY source""")),
+
     // Unigram surprisal quality scoring (TextAnalysis.unigramSurprisal):
     // per-token -ln p quantized to integer micros before any reduction,
     // so the oracle's replay is exact (LnLibm = libm = DuckDB ln).

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("bpe pair stats equal a driver-side sequential count") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"text")
+    val got = TextAnalysis.bpePairStats(docs, "text", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    docs.collect().map(_.getString(0)).foreach { text =>
+      text.trim.split("\\s+").foreach { tok =>
+        var i = 0
+        while (i < tok.length - 1) {
+          val p = tok.substring(i, i + 2)
+          cnt(p) = cnt.getOrElse(p, 0L) + 1L
+          i += 1
+        }
+      }
+    }
+    val ref = cnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+    assert(got.toSeq == ref)
+  }
+
+  test("bpe pair stats skip 1-char tokens (no descending-sequence pairs)") {
+    import spark.implicits._
+    val df = Seq("a bc a x yz").toDF("text")
+    val got = TextAnalysis.bpePairStats(df, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("bc", 1L), ("yz", 1L)))
+  }
+
+  test("mixture weights match a driver-side alpha=0.5 reference") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"source", $"text")
+    val got = TextAnalysis.sourceMixtureWeights(docs, "source", "text")
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val mass = docs.collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = mass.values.sum
+    val w = mass.view.mapValues(m =>
+      math.floor(1e6 * math.sqrt(m.toDouble / total.toDouble)).toLong).toMap
+    val sw = w.values.sum
+    val ref = mass.keys.toSeq.sorted
+      .map(s => (s, mass(s), w(s), w(s) * 1000000L / sw))
+    assert(got.toSeq == ref)
+    // weights sum to ~1e6 (ppm; floor loss < n_sources)
+    val ppmSum = got.map(_._4).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - got.length)
+    // alpha-smoothing up-weights small sources: weight_ppm/token share
+    // ordering is monotone in mass but flatter than proportional
+    val bySmall = got.minBy(_._2); val byBig = got.maxBy(_._2)
+    assert(byBig._4.toDouble / bySmall._4 <
+      byBig._2.toDouble / bySmall._2 || byBig._2 == bySmall._2)
+  }
+}
