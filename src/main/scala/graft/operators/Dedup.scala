@@ -552,6 +552,63 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Line-level (repeated-segment) dedup: the C4 / MassiveText rule that
+  // removes every repeated LINE across the whole corpus, keeping only
+  // its globally-first occurrence, then re-emits each document with its
+  // surviving lines in order. The fixtures carry no newlines, so the
+  // "line" is a deterministic fixed segmentation: consecutive
+  // non-overlapping `span`-word windows (the same stand-in C4 uses for
+  // its three-sentence spans when sentence bounds are unreliable).
+
+  /** Repeated-segment removal with first-occurrence-wins semantics.
+    *
+    * Rule (mirrored exactly in the SQL oracle): segment s at (doc, pos)
+    * survives iff (doc, pos) is the lexicographically-first occurrence
+    * of s's text in the corpus — this removes cross-document boilerplate
+    * AND within-document repetition in one pass.
+    *
+    * Scale shape: segment text NEVER shuffles. Segmentation is a
+    * partition-local codegen'd transform/slice (no UDF); the keeper
+    * election is ONE groupBy(fingerprint) whose shuffle carries
+    * (md5, doc, pos) — the md5 stands in for the segment (equal text
+    * <=> equal key); the per-doc kept-position sets shuffle (doc,
+    * int-array) only; the rebuild then joins those sets back to the
+    * doc rows by id and re-slices the token array partition-locally —
+    * the document text moves exactly once, which is the cost of
+    * writing the cleaned corpus itself. Degenerate hot segments
+    * (boilerplate) are single GROUP BY keys, map-side combined — no
+    * posting-list blowup.
+    *
+    * @return (id, n_segments, n_kept, text_dedup); docs losing every
+    *         segment come back with n_kept = 0 and text_dedup = ''.
+    */
+  def lineDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      span: Int = 10): DataFrame = {
+    val sized = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .withColumn("nseg",
+        ceil(size(col("tk")).cast("double") / span).cast("long"))
+    val segs = sized.select(col("id"),
+      posexplode(expr(
+        s"transform(sequence(0, cast(nseg as int) - 1), " +
+        s"i -> concat_ws(' ', slice(tk, i * $span + 1, $span)))"))
+        .as(Seq("pos", "seg")))
+    val firsts = segs
+      .select(col("id"), col("pos"), md5(col("seg")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"))).as("keep"))
+      .select(col("keep.id").as("id"), col("keep.pos").as("pos"))
+    val keptPos = firsts.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("kp"))
+    sized.join(keptPos, Seq("id"), "left")
+      .select(col("id").as(idCol), col("nseg").as("n_segments"),
+        coalesce(size(col("kp")).cast("long"), lit(0L)).as("n_kept"),
+        coalesce(concat_ws(" ", expr(
+          s"transform(kp, i -> concat_ws(' ', slice(tk, i * $span + 1, $span)))")),
+          lit("")).as("text_dedup"))
+  }
+
+  // ---------------------------------------------------------------------
   /** Test fixture: union `docs` with perturbed copies (last `dropWords`
     * words removed, id offset) so near-dup operators have planted positives
     * with known ids — deterministic, derived only from the input. */

@@ -313,6 +313,47 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** TF-IDF keyword extraction: the `topK` highest-scoring terms of
+    * every document, scored tf × ln((N+1)/(df+1)) — the classic
+    * smoothed idf. The idf quantizes to integer micros straight off the
+    * ln (LnLibm = platform libm = the oracle's ln), so the per-term
+    * score tf·idf_micros is exact integer math and the ranking
+    * (score DESC, term ASC) replays bit-for-bit in DuckDB.
+    *
+    * Scale shape: tf is one map-side-combined groupBy(doc, term); df
+    * derives from tf by a second compact groupBy(term) — the term table
+    * is vocabulary-sized (≪ corpus), so the tf↔idf equi-join BROADCASTS
+    * the vocabulary rather than shuffling the postings; the final
+    * per-doc top-k is a window over doc_id — rank k is tiny, and no
+    * stage ever carries document text past tokenization.
+    *
+    * @return (id, rank, term, tf, score_micros), rank 1..topK per doc
+    */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      // mirrored literally in the SQL oracle: floor(1e6 * ln((N+1)/(df+1)))
+      .select(col("term"), floor(lit(1000000.0) *
+        graft.functions.MathNative.lnLibm(
+          (lit(n) + lit(1.0)) / (col("df") + lit(1.0))))
+        .cast("long").as("idf_micros"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("score_micros", col("tf") * col("idf_micros"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score_micros").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("id").as(idCol), col("rank"), col("term"),
+        col("tf"), col("score_micros"))
+  }
+
   /** Temperature-scaled source mixture weights — the multilingual /
     * multi-source sampling-rate computation (alpha-smoothing with
     * α = 0.5): each source's token mass m_i gives p_i = m_i/T, its

@@ -495,6 +495,39 @@ object PipelineQueries {
               FROM pairs GROUP BY pair)
       SELECT pair, c FROM cnt ORDER BY c DESC, pair LIMIT 200""")),
 
+    // TF-IDF keyword extraction (TextAnalysis.tfidfTopTerms): top-5
+    // terms per doc by tf × smoothed-idf. idf quantizes to integer
+    // micros straight off LnLibm (= DuckDB's ln), so scores and ranks
+    // replay exactly.
+    QuerySpec("t15_tfidf_terms", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.tfidfTopTerms(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text", topK = 5)
+        .orderBy($"doc_id", $"rank")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM toks GROUP BY doc_id, term),
+      nn AS (SELECT count(*) AS n FROM documents),
+      idf AS (
+        SELECT term, CAST(floor(1000000.0 *
+          ln((nn.n + 1.0) / (count(*) + 1.0))) AS BIGINT) AS idf_micros
+        FROM tf CROSS JOIN nn GROUP BY term, nn.n),
+      sc AS (
+        SELECT doc_id, term, tf, tf * idf_micros AS score_micros
+        FROM tf JOIN idf USING (term)),
+      r AS (
+        SELECT doc_id, term, tf, score_micros,
+          row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score_micros DESC, term) AS rank
+        FROM sc)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        CAST(tf AS BIGINT) AS tf, CAST(score_micros AS BIGINT) AS score_micros
+      FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
     // Temperature-scaled source mixture weights
     // (TextAnalysis.sourceMixtureWeights): alpha = 0.5 sampling weights
     // from per-source token mass; sqrt is IEEE-exact and quantizes to
@@ -997,6 +1030,60 @@ object PipelineQueries {
         FROM pairs WHERE cos >= 0.99)
       SELECT dup_id AS vec_id, keeper_id AS kept_by, round(cos, 9) AS cos
       FROM qual WHERE rn = 1 ORDER BY vec_id""")),
+
+    // Line-level repeated-segment dedup (Dedup.lineDedup): the C4 /
+    // MassiveText cross-corpus repeated-line removal with a
+    // deterministic 10-word segmentation (fixtures carry no newlines)
+    // and first-occurrence-wins semantics. Planted near-copies
+    // (doc_id+100000, last 5 words dropped) share every full segment
+    // with their originals, so they come back mostly emptied while the
+    // originals survive intact.
+    QuerySpec("d13_line_dedup", (s, dir) => {
+      import s.implicits._
+      val docs = Dedup.withPlantedDups(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 5)
+      Dedup.lineDedup(docs, "doc_id", "text", span = 10)
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\s+')) - 5, 1)), ' ')
+            AS text
+        FROM base WHERE doc_id < 25),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM planted),
+      sized AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM corpus),
+      segd AS (
+        SELECT doc_id, CAST(ceil(len(t) / 10.0) AS BIGINT) AS nseg, t
+        FROM sized),
+      segs AS (
+        SELECT doc_id, nseg,
+          unnest(generate_series(0, nseg - 1)) AS pos, t
+        FROM segd),
+      segtext AS (
+        SELECT doc_id, pos,
+          array_to_string(list_slice(t, pos * 10 + 1, pos * 10 + 10), ' ')
+            AS seg
+        FROM segs),
+      rn AS (
+        SELECT doc_id, pos, seg,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM segtext),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(seg, ' ' ORDER BY pos) AS txt
+        FROM rn WHERE rn = 1 GROUP BY doc_id)
+      SELECT d.doc_id, d.nseg AS n_segments,
+        CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        coalesce(a.txt, '') AS text_dedup
+      FROM segd d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""")),
 
     // Bloom-filter decontamination — the scale path for an eval set too
     // big to broadcast: Bloom pre-filter inside codegen, then an exact

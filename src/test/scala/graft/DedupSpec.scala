@@ -315,6 +315,45 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1) == ((2L, 50L, 34L, expect2)), out(1).toString)
   }
 
+  test("line dedup removes repeated segments across AND within docs, " +
+      "first occurrence wins") {
+    import spark.implicits._
+    // span = 3; seg0 of doc 1 = "a b c" repeats as doc 1 seg2, doc 2
+    // seg0; doc 3 is all-unique; doc 4 duplicates doc 3 entirely
+    val d3 = "p q r s t u"
+    val df = Seq(
+      (1L, "a b c d e f a b c"),
+      (2L, "a b c x y z"),
+      (3L, d3),
+      (4L, d3)).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text", span = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 2L, "a b c d e f")))   // in-doc repeat cut
+    assert(out(1) == ((2L, 2L, 1L, "x y z")))          // cross-doc cut
+    assert(out(2) == ((3L, 2L, 2L, d3)))               // first owner keeps
+    assert(out(3) == ((4L, 2L, 0L, "")))               // full dup emptied
+  }
+
+  test("line dedup matches a driver-side sequential reference on the " +
+      "organic corpus") {
+    import spark.implicits._
+    val out = Dedup.lineDedup(docs, "doc_id", "text", span = 10)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    val rows = docs.orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val seen = scala.collection.mutable.Set.empty[String]
+    val ref = rows.map { case (id, t) =>
+      val tk = t.trim.split("\\s+")
+      val segs = tk.grouped(10).map(_.mkString(" ")).toSeq
+      val kept = segs.filter(s => seen.add(s))
+      (id, segs.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }
+    assert(out.toSeq == ref.toSeq)
+  }
+
   test("ngram jaccard is symmetric-free and thresholded") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.filter($"doc_id" < 50),

@@ -39,6 +39,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Set(("bc", 1L), ("yz", 1L)))
   }
 
+  test("tfidf top terms match a driver-side reference") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 100)
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topK = 3)
+      .orderBy($"doc_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = rows.length
+    val tf = rows.flatMap { case (id, t) =>
+      t.trim.split("\\s+").map(w => (id, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val idf = dfm.view.mapValues(d =>
+      math.floor(1e6 * math.log((n + 1.0) / (d + 1.0))).toLong).toMap
+    val ref = tf.toSeq
+      .map { case ((id, w), c) => (id, w, c, c * idf(w)) }
+      .groupBy(_._1).toSeq.flatMap { case (id, xs) =>
+        xs.sortBy { case (_, w, _, s) => (-s, w) }.take(3).zipWithIndex
+          .map { case ((_, w, c, s), i) => (id, i + 1L, w, c, s) }
+      }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == ref)
+  }
+
   test("mixture weights match a driver-side alpha=0.5 reference") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"source", $"text")
