@@ -209,6 +209,96 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization (PQ) ANN — the FAISS-family code-compression
+    * scale path: the vector splits into `m` subvectors, each subspace
+    * gets a `ksub`-entry codebook, and every corpus vector is stored as
+    * just `m` small codes. A query is answered by one scan of the CODES
+    * with per-subspace lookup tables (ADC) — at 100 TB the codes table
+    * is ~dim·4/m × smaller than the raw float corpus (64-dim float32 →
+    * 4 bytes/vector at m=4), which is the difference between scanning
+    * 100 TB and scanning 400 GB; encode is ingest-time, like s03's
+    * list assignment.
+    *
+    * Two stages, the production ADC-then-refine shape: the code scan
+    * ranks every vector by RECONSTRUCTED cosine (per-subspace integer
+    * dot/norm lookup tables — raw quantized-L2 would ignore the
+    * per-vector max-abs scales and track cosine poorly), keeps a
+    * `shortlist` via TakeOrderedAndProject (per-partition bounded
+    * heaps, no corpus shuffle), and only the shortlist is re-scored
+    * with the exact float cosine. At scale the stored vector rides the
+    * shortlist heap (FAISS's refine), so the corpus is still read once.
+    *
+    * Every stage is deterministic — codebooks are the int8-quantized
+    * subvectors of the `ksub` smallest corpus ids (the s03 seeded
+    * sampled-points init — zero Lloyd iterations), encode is an exact
+    * integer squared-L2 argmin per subspace (ties → lowest code), ADC
+    * sums are exact longs with one correctly-rounded sqrt+divide, and
+    * the refine cosine is the s01 sequential fold — so a SQL oracle
+    * replays the whole index end to end. Recall < 1.0 by construction;
+    * asserted against bruteForceTopK in tests.
+    *
+    * @return (idCol, cos) — k rows, descending exact cosine over the
+    *         ADC shortlist
+    */
+  def pqTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, m: Int = 8, ksub: Int = 16,
+      shortlist: Int = 100): DataFrame = {
+    val sample: Array[Array[Int]] = embs.orderBy(col(idCol)).limit(ksub)
+      .select(VectorFunctions.int8Quantize(col(vecCol)).as("q"))
+      .collect().map(_.getSeq[Int](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // codebooks(j): the ksub candidate subvectors for subspace j
+    val codebooks: Array[Array[Array[Int]]] =
+      Array.tabulate(m)(j => sample.map(_.slice(j * sub, (j + 1) * sub)))
+    val q = array(query.map(v => lit(v)): _*)
+    val qq: Array[Int] = embs.sparkSession.range(1)
+      .select(VectorFunctions.int8Quantize(q).as("qq")).head()
+      .getSeq[Int](0).toArray
+    // ADC lookup tables, m·ksub longs each on the driver:
+    //   dot(j)(c)  = Σ_i qq_ji · cb_ji   (query ⋅ codebook entry)
+    //   nrm(j)(c)  = Σ_i cb_ji²          (reconstruction norm piece)
+    val dotLut: Array[Array[Long]] = Array.tabulate(m) { j =>
+      codebooks(j).map { c =>
+        var s = 0L; var i = 0
+        while (i < sub) { s += qq(j * sub + i).toLong * c(i); i += 1 }
+        s
+      }
+    }
+    val nrmLut: Array[Array[Long]] = Array.tabulate(m) { j =>
+      codebooks(j).map { c =>
+        var s = 0L; var i = 0
+        while (i < sub) { s += c(i).toLong * c(i); i += 1 }
+        s
+      }
+    }
+    val qNorm: Long = qq.foldLeft(0L)((acc, x) => acc + x.toLong * x)
+    val qvec = VectorFunctions.int8Quantize(col(vecCol))
+    // encode: per-subspace argmin code over the sliced quantized vector
+    val codeCols = (0 until m).map { j =>
+      VectorFunctions.int8NearestList(
+        slice(qvec, j * sub + 1, sub), codebooks(j))
+    }
+    def lutSum(lut: Array[Array[Long]]): Column = aggregate(
+      zip_with(
+        array(lut.map(row => array(row.map(lit): _*)): _*),
+        col("__codes"), (row, c) => element_at(row, c + 1)),
+      lit(0L), (acc, x) => acc + x)
+    embs
+      .withColumn("__codes", array(codeCols: _*))
+      .select(col(idCol), col(vecCol),
+        (lutSum(dotLut).cast("double") /
+          (sqrt(lutSum(nrmLut).cast("double")) *
+           sqrt(lit(qNorm.toDouble)))).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact top-k over int8-QUANTIZED vectors: the storage/bandwidth
     * scale path — at 100 TB the quantized corpus is written once at
     * ingest (4× smaller than float32, 8× than float64) and every query

@@ -503,6 +503,28 @@ class DedupSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist seeded IVF must equal brute force")
   }
 
+  test("PQ ANN recall vs brute force; exhaustive shortlist is exact") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.pqTopK(corpus, "vec_id", "embedding", q,
+        k = 20, m = 8, ksub = 16, shortlist = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall $recall too low")
+    assert(approx.forall(_ > 0))
+    // a shortlist covering the whole corpus degenerates to brute force:
+    // the refine stage then ranks every vector by exact cosine
+    val n = corpus.count().toInt
+    val full = Similarity.pqTopK(corpus, "vec_id", "embedding", q,
+        k = 20, m = 8, ksub = 16, shortlist = n)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact, "shortlist = corpus PQ must equal brute force")
+  }
+
   test("IVF index is staged once per session key (no per-query retrain)") {
     import spark.implicits._
     val corpus = Tables.load(spark, dir, "embeddings").filter($"vec_id" =!= 0)
