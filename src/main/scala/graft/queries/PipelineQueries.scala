@@ -556,6 +556,25 @@ object PipelineQueries {
         CAST(w * 1000000 // sw AS BIGINT) AS weight_ppm
       FROM q CROSS JOIN s ORDER BY source""")),
 
+    // Bucketed co-located join (BucketedTables.colocatedOrderRevenue):
+    // orders and lineitem staged once as bucketBy(o/l_orderkey) twins,
+    // then the fact-to-fact join AND the keyed aggregation run with ZERO
+    // exchanges (plan-asserted in PlanAuditSpec) — the ingest-time
+    // layout that removes the biggest shuffle a 100 TB query has. The
+    // oracle replays the same join over the raw parquet.
+    QuerySpec("p11_colocated_join", (s, dir) => {
+      import s.implicits._
+      graft.sources.BucketedTables.colocatedOrderRevenue(s, dir)
+        .orderBy($"o_orderkey")
+    }, oracle = Some("""
+      SELECT o_orderkey, o_orderpriority,
+        count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_orderpriority ORDER BY o_orderkey""")),
+
     // Unigram surprisal quality scoring (TextAnalysis.unigramSurprisal):
     // per-token -ln p quantized to integer micros before any reduction,
     // so the oracle's replay is exact (LnLibm = libm = DuckDB ln).

@@ -309,4 +309,16 @@ class PlanAuditSpec extends AnyFunSuite {
           s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
     }
   }
+
+  test("p11 bucketed co-located join + keyed agg run with zero exchanges") {
+    val df = graft.sources.BucketedTables.colocatedOrderRevenue(spark, dir)
+    // the UNORDERED pipeline (join + groupBy on the bucket key) must be
+    // exchange-free: both scans are bucketed on the join key, the
+    // sort-merge join consumes the bucket partitioning, and the keyed
+    // aggregation reuses it
+    assert(shuffles(df).isEmpty,
+      s"bucketed join shuffled anyway:\n${planString(df).take(3000)}")
+    assert(planString(df).contains("Bucketed: true"),
+      "scan did not use the bucketed layout")
+  }
 }
