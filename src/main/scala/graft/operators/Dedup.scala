@@ -218,6 +218,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance verification of near-dup candidates — the VERIFY
+    * stage real fuzzy-dedup pipelines end with: token-set overlap
+    * (or MinHash) proposes candidate pairs cheaply, and only those
+    * pairs pay the O(|a|·|b|) Levenshtein DP. Similarity is reported
+    * as integer parts-per-million of the longer text,
+    * (mx − lev)·10⁶ div mx, so the oracle replay is exact (both
+    * engines implement the classic Wagner–Fischer distance).
+    *
+    * Scale shape: the quadratic-in-length DP runs ONLY on candidate
+    * pairs (candidates ≪ corpus² by the lossless rarest-token prefix
+    * filter of [[ngramJaccardPairs]]); document text shuffles only to
+    * pair up those candidates — the same "signatures first, text only
+    * for survivors" posture as d04/d08.
+    *
+    * @return (id_a, id_b, lev, sim_ppm), pairs with sim_ppm ≥ minSimPpm
+    */
+  def fuzzyVerifyPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      candThreshold: Double, minSimPpm: Long): DataFrame = {
+    val cands = ngramJaccardPairs(docs, idCol, textCol, candThreshold)
+      .select(col("id_a"), col("id_b"))
+    val txt = docs.select(col(idCol), col(textCol))
+    cands
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("txt_a")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("txt_b")), "id_b")
+      .withColumn("lev", levenshtein(col("txt_a"), col("txt_b")).cast("long"))
+      .withColumn("mx",
+        greatest(length(col("txt_a")), length(col("txt_b"))).cast("long"))
+      .withColumn("sim_ppm",
+        when(col("mx") === 0, lit(1000000L))
+          .otherwise(expr("(mx - lev) * 1000000L div mx")))
+      .filter(col("sim_ppm") >= minSimPpm)
+      .select(col("id_a"), col("id_b"), col("lev"), col("sim_ppm"))
+  }
+
   // ---------------------------------------------------------------------
   // Embedding cosine near-dup: LSH-bucketed, exact cosine verify.
 

@@ -1104,6 +1104,61 @@ object PipelineQueries {
       FROM segd d LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id""")),
 
+    // Edit-distance fuzzy-dedup verify (Dedup.fuzzyVerifyPairs): token-
+    // jaccard candidates (the lossless d04 prefix filter) verified by
+    // Levenshtein, reported as integer ppm of the longer text — both
+    // engines implement Wagner-Fischer, so the replay is exact. Planted
+    // near-copies (last 5 words dropped) are the known positives.
+    QuerySpec("d14_fuzzy_verify", (s, dir) => {
+      import s.implicits._
+      val docs = Dedup.withPlantedDups(
+        Tables.load(s, dir, "documents").filter($"doc_id" < 50)
+          .select($"doc_id", $"text"),
+        "doc_id", "text", nPlant = 25, idOffset = 100000L, dropWords = 5)
+      Dedup.fuzzyVerifyPairs(docs, "doc_id", "text",
+          candThreshold = 0.5, minSimPpm = 600000L)
+        .orderBy($"id_a", $"id_b")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\s+')) - 5, 1)), ' ')
+            AS text
+        FROM base WHERE doc_id < 25),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM planted),
+      toks AS (
+        SELECT doc_id AS id, text,
+          list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+        FROM corpus),
+      sizes AS (SELECT id, len(tk) AS n FROM toks),
+      inv AS (SELECT id, unnest(tk) AS t FROM toks),
+      shared AS (
+        SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+        FROM inv x JOIN inv y ON x.t = y.t AND x.id < y.id
+        GROUP BY x.id, y.id),
+      cand AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes a ON a.id = id_a JOIN sizes b ON b.id = id_b
+        WHERE CAST(shared AS DOUBLE) / (a.n + b.n - shared) >= 0.5),
+      lv AS (
+        SELECT id_a, id_b,
+          CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+          CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS mx
+        FROM cand
+        JOIN toks ta ON ta.id = id_a
+        JOIN toks tb ON tb.id = id_b),
+      simd AS (
+        SELECT id_a, id_b, lev,
+          CASE WHEN mx = 0 THEN CAST(1000000 AS BIGINT)
+               ELSE (mx - lev) * 1000000 // mx END AS sim_ppm
+        FROM lv)
+      SELECT id_a, id_b, lev, sim_ppm FROM simd
+      WHERE sim_ppm >= 600000 ORDER BY id_a, id_b""")),
+
     // Bloom-filter decontamination — the scale path for an eval set too
     // big to broadcast: Bloom pre-filter inside codegen, then an exact
     // shuffle semi-join over the candidates only. No false negatives +

@@ -354,6 +354,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == ref.toSeq)
   }
 
+  test("fuzzy verify finds planted near-dups and bounds similarity") {
+    import spark.implicits._
+    val base = docs.filter($"doc_id" < 50)
+    val corpus = Dedup.withPlantedDups(base, "doc_id", "text",
+      nPlant = 25, idOffset = 100000L, dropWords = 5)
+    val pairs = Dedup.fuzzyVerifyPairs(corpus, "doc_id", "text",
+        candThreshold = 0.5, minSimPpm = 600000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // planted copy = original minus its last 5 words: high similarity,
+    // pair (id, id+100000) must surface for most planted docs
+    val planted = pairs.count { case (a, b, _, _) => b == a + 100000L }
+    assert(planted >= 20, s"planted recall too low: $planted/25")
+    // ppm similarity is a true ratio: within [600000, 1000000] after the
+    // filter, and lev is consistent with it
+    pairs.foreach { case (a, b, lev, ppm) =>
+      assert(ppm >= 600000L && ppm <= 1000000L, s"($a,$b) ppm=$ppm")
+      assert(lev >= 0L, s"($a,$b) lev=$lev")
+    }
+  }
+
   test("ngram jaccard is symmetric-free and thresholded") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.filter($"doc_id" < 50),
