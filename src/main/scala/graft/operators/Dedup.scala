@@ -564,6 +564,40 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Per-document contamination SCORE — the graded variant of
+    * [[contaminatedDocs]]: instead of flagging any document sharing one
+    * n-gram with the eval set, report how much of each training
+    * document is contaminated — distinct-gram count, hit count, and the
+    * hit fraction in integer parts-per-million (the GPT-3-style overlap
+    * statistic pipelines threshold AFTER inspection, rather than
+    * hard-dropping on first contact).
+    *
+    * Scale shape: the eval gram set broadcasts (tiny next to a 100 TB
+    * train corpus); each train document's distinct grams come off a
+    * partition-local codegen'd expression ([[shingles]] dedups in-row),
+    * so train text never shuffles — the two exchanges carry only
+    * (id, long) pairs: map-side-combined hit counts, and the
+    * totals-to-hits join.
+    *
+    * @return (idCol, n_grams, n_hit, frac_ppm), one row per train doc
+    */
+  def contaminationScore(
+      train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    val sized = train.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("gr"))
+    val matched = sized.select(col("id"), explode(col("gr")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    sized.select(col("id"), size(col("gr")).cast("long").as("n_grams"))
+      .join(matched, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L div n_grams").as("frac_ppm"))
+  }
+
   /** Incremental ingest dedup — the shape a CONTINUOUSLY-GROWING corpus
     * actually runs: yesterday's corpus is already deduplicated and
     * materialized as a fingerprint index; today's batch must admit only

@@ -963,6 +963,60 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }, oracle = Some(DecontaminationOracle)),
 
+    // Per-document contamination score (Dedup.contaminationScore): the
+    // graded d06 — distinct 8-grams per train doc, eval-set hits, and
+    // the overlap fraction in integer ppm. Same train/eval split and
+    // planted contamination as d06; exact integer output.
+    QuerySpec("d15_contamination_score", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val evalDocs = docs.filter($"doc_id" < 20)
+      val train = docs.filter($"doc_id" >= 20).unionByName(
+        Dedup.withPlantedDups(evalDocs, "doc_id", "text",
+          nPlant = 20, idOffset = 100000L, dropWords = 5)
+          .filter($"doc_id" >= 100000L))
+      Dedup.contaminationScore(train, evalDocs, "doc_id", "text", n = 8)
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      eval_docs AS (SELECT doc_id, text FROM base WHERE doc_id < 20),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+            greatest(len(string_split_regex(trim(text), '\s+')) - 5, 1)), ' ')
+            AS text
+        FROM eval_docs),
+      train AS (
+        SELECT doc_id, text FROM base WHERE doc_id >= 20
+        UNION ALL SELECT doc_id, text FROM planted),
+      eval_grams AS (
+        SELECT DISTINCT
+          unnest(list_transform(
+            generate_series(1, greatest(len(t) - 8, 0) + 1),
+            i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+              FROM eval_docs)),
+      train_grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id,
+            unnest(list_transform(
+              generate_series(1, greatest(len(t) - 8, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM train))),
+      stats AS (
+        SELECT doc_id, count(*) AS n_grams
+        FROM train_grams GROUP BY doc_id),
+      hits AS (
+        SELECT doc_id, count(*) AS n_hit
+        FROM train_grams JOIN eval_grams USING (g) GROUP BY doc_id)
+      SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        CAST(coalesce(h.n_hit, 0) * 1000000 // s.n_grams AS BIGINT)
+          AS frac_ppm
+      FROM stats s LEFT JOIN hits h USING (doc_id)
+      ORDER BY s.doc_id""")),
+
     // Incremental ingest dedup (Dedup.incrementalAdmit): docs < 400 are
     // the already-deduped corpus index; the batch is docs >= 400 plus
     // planted byte-copies of 30 indexed docs under new ids. Admitted =

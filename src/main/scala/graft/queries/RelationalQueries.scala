@@ -646,6 +646,31 @@ object RelationalQueries {
       FROM base
       ORDER BY l_returnflag, measure""")),
 
+    // ---- Rolling time-RANGE window (extension): per-user trailing-1-hour
+    // event count and value sum — the rolling-feature computation online
+    // ML pipelines batch-precompute. RANGE frame over epoch micros (both
+    // engines share integer micro semantics); the sum is decimal-exact so
+    // equal-timestamp frame ties cannot perturb a float fold. One shuffle
+    // on user_id; the frame scan is sorted-run local.
+    QuerySpec("q46_rolling_range_window", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600000000L, 0L)
+      ev(s, dir)
+        .select($"event_id", $"user_id",
+          count(lit(1)).over(w).as("n_1h"),
+          sum(dec($"value")).over(w).cast("double").as("sum_1h"))
+        .orderBy($"event_id")
+    }, oracle = Some("""
+      SELECT event_id, user_id,
+        CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
     // ---- Theta self-join (dba_locks/01_step.sql:10-20; lock-observer OR-join dbccore.py:189-197)
     QuerySpec("q34_theta_self_join", (s, dir) => {
       import s.implicits._

@@ -375,6 +375,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination score: planted eval copies score near 1e6, clean " +
+      "docs score 0 hits against a disjoint eval set") {
+    import spark.implicits._
+    val evalDocs = docs.filter($"doc_id" < 20)
+    val planted = Dedup.withPlantedDups(evalDocs, "doc_id", "text",
+      nPlant = 20, idOffset = 100000L, dropWords = 5)
+      .filter($"doc_id" >= 100000L)
+    val train = docs.filter($"doc_id" >= 20).unionByName(planted)
+    val out = Dedup.contaminationScore(train, evalDocs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = out.map(x => x._1 -> x).toMap
+    // planted docs are eval prefixes: every one of their grams is an
+    // eval gram, so frac_ppm = 1e6 exactly
+    (100000L until 100020L).foreach { id =>
+      val (_, ng, hit, ppm) = byId(id)
+      assert(hit == ng && ppm == 1000000L, s"planted $id: $hit/$ng ppm=$ppm")
+    }
+    // fractions are well-formed everywhere
+    out.foreach { case (id, ng, hit, ppm) =>
+      assert(ng >= 1 && hit >= 0 && hit <= ng, s"$id: $hit/$ng")
+      assert(ppm == hit * 1000000L / ng, s"$id: ppm $ppm != $hit/$ng")
+    }
+  }
+
   test("ngram jaccard is symmetric-free and thresholded") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.filter($"doc_id" < 50),
