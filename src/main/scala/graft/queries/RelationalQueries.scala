@@ -671,6 +671,36 @@ object RelationalQueries {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""")),
 
+    // ---- FULL OUTER join (extension): reconcile two keyed aggregates
+    // where either side may lack a key — the coverage-diff shape (which
+    // nations have early customers but no early suppliers, and vice
+    // versa). Nulls survive on the unmatched side; coalesce rebuilds the
+    // key. Both sides pre-aggregate BEFORE the join, so the exchange
+    // carries one row per key, not per fact.
+    QuerySpec("q47_full_outer_join", (s, dir) => {
+      import s.implicits._
+      val c = cust(s, dir).filter($"c_custkey" < 30)
+        .groupBy($"c_nationkey".as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.load(s, dir, "supplier").filter($"s_suppkey" < 30)
+        .groupBy($"s_nationkey".as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, $"nk_c" === $"nk_s", "full_outer")
+        .select(coalesce($"nk_c", $"nk_s").cast("long").as("nationkey"),
+          $"n_cust", $"n_supp")
+        .orderBy($"nationkey")
+    }, oracle = Some("""
+      WITH c AS (
+        SELECT c_nationkey AS nk, count(*) AS n_cust
+        FROM customer WHERE c_custkey < 30 GROUP BY 1),
+      s AS (
+        SELECT s_nationkey AS nk, count(*) AS n_supp
+        FROM supplier WHERE s_suppkey < 30 GROUP BY 1)
+      SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+        n_cust, n_supp
+      FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      ORDER BY nationkey""")),
+
     // ---- Theta self-join (dba_locks/01_step.sql:10-20; lock-observer OR-join dbccore.py:189-197)
     QuerySpec("q34_theta_self_join", (s, dir) => {
       import s.implicits._
