@@ -321,6 +321,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance (MMR) diverse retrieval: greedily pick
+    * `k` results maximizing λ·cos(d, q) − (1−λ)·max_{s∈picked} cos(d, s)
+    * — relevance minus redundancy, the re-rank RAG retrievers run so
+    * the k passages aren't k paraphrases. Ties → lowest id.
+    *
+    * Scale shape: the corpus pays ONE brute-force scan (the s01
+    * TakeOrderedAndProject) to produce a `poolSize` candidate pool;
+    * the O(pool²) pairwise cosines and the O(k·pool) greedy loop run
+    * on the driver over that bounded pool — the fan-out pattern
+    * (bounded-by-construction driver work after a distributed scan).
+    * Every arithmetic step is replayable: candidate cosines are the
+    * engine's own sequential-fold doubles (collected, never
+    * recomputed), the objective is binary64 `λ·q − (1−λ)·m` with the
+    * subtraction 1−λ evaluated identically in the SQL oracle's
+    * recursive CTE, and the pairwise matrix uses the same CosineSim
+    * expression — so selection replays bit-for-bit.
+    *
+    * @return (rank, idCol, qcos) — the k picks in selection order
+    */
+  def mmrTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, lambda: Double = 0.7,
+      poolSize: Int = 30): DataFrame = {
+    val spark = embs.sparkSession
+    val qcosRows = bruteForceTopK(embs, idCol, vecCol, query, poolSize)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = qcosRows.map(_._1)
+    val qcos = qcosRows.toMap
+    val pv = embs.filter(col(idCol).isin(ids.map(Long.box): _*))
+      .select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    val pc: Map[(Long, Long), Double] = pv
+      .crossJoin(pv.select(col("a_id").as("b_id"), col("a_v").as("b_v")))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        VectorFunctions.cosine(col("a_v"), col("b_v")).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val mu = 1 - lambda // one binary64 subtraction, mirrored in the oracle
+    var picked = Vector.empty[Long]
+    while (picked.size < math.min(k, ids.length)) {
+      val best = ids.filterNot(picked.contains).map { id =>
+        val m = if (picked.isEmpty) 0.0
+          else picked.map(s => pc((id, s))).max
+        (lambda * qcos(id) - mu * m, id)
+      }.minBy { case (s, id) => (-s, id) }
+      picked :+= best._2
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case (id, i) => (i + 1L, id, qcos(id)) }
+      .toDF("rank", idCol, "qcos")
+  }
+
   /** Batched exact top-k: for EVERY query in a (small) probe set, the k
     * nearest corpus vectors by cosine — the retrieval shape production
     * pipelines actually run (queries arrive in batches, not one at a

@@ -1444,6 +1444,68 @@ object PipelineQueries {
       SELECT vec_id, round(cos, 9) AS cos FROM refined
       ORDER BY cos DESC, vec_id LIMIT 20""")),
 
+    // MMR diverse retrieval (Similarity.mmrTopK): greedy relevance-minus-
+    // redundancy re-rank over a top-30 candidate pool — FULL oracle via a
+    // recursive CTE that replays the greedy selection; the binary64
+    // objective (incl. the 1 - 0.7 subtraction) and both cosine folds
+    // are engine-exact, so every pick matches bit-for-bit.
+    QuerySpec("s10_mmr_diverse", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.mmrTopK(embs.filter($"vec_id" =!= 0), "vec_id",
+          "embedding", q, k = 10, lambda = 0.7, poolSize = 30)
+        .select($"rank", $"vec_id", round($"qcos", 9).as("qcos"))
+        .orderBy($"rank")
+    }, oracle = Some("""
+      WITH RECURSIVE
+      scored AS (
+        SELECT e.vec_id,
+          list_aggregate(list_transform(list_zip(e.embedding, qe.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings e,
+          (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+        WHERE e.vec_id <> 0),
+      pool AS (
+        SELECT vec_id AS id, cos AS qcos FROM scored
+        ORDER BY cos DESC, vec_id LIMIT 30),
+      pv AS (
+        SELECT p.id, e.embedding FROM pool p
+        JOIN embeddings e ON e.vec_id = p.id),
+      pc AS (
+        SELECT x.id AS a, y.id AS b,
+          list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(x.embedding,
+             t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(y.embedding,
+             t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum'))) AS cos
+        FROM pv x, pv y WHERE x.id <> y.id),
+      sel AS (
+        SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked
+        UNION ALL
+        SELECT step + 1, list_append(picked, (
+            SELECT p.id FROM pool p
+            WHERE NOT list_contains(picked, p.id)
+            ORDER BY 0.7 * p.qcos - (1 - 0.7) * coalesce((
+                SELECT max(x.cos) FROM pc x
+                WHERE x.a = p.id AND list_contains(picked, x.b)), 0.0)
+              DESC, p.id
+            LIMIT 1))
+        FROM sel WHERE step < 10),
+      fin AS (SELECT picked FROM sel WHERE step = 10),
+      ranked AS (
+        SELECT CAST(i AS BIGINT) AS rank, picked[i] AS vec_id
+        FROM fin, generate_series(1, 10) t(i))
+      SELECT r.rank, r.vec_id, round(p.qcos, 9) AS qcos
+      FROM ranked r JOIN pool p ON p.id = r.vec_id
+      ORDER BY r.rank""")),
+
     // kNN label classification: majority vote over each probe's 10
     // nearest neighbors (batchTopK reused — one corpus pass for the whole
     // probe set), ties → smallest label. The oracle recomputes every

@@ -548,6 +548,31 @@ class DedupSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist seeded IVF must equal brute force")
   }
 
+  test("MMR: lambda=1 degenerates to brute-force order; picks are " +
+      "distinct pool members led by the top-1") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // no redundancy penalty => pure relevance order
+    val pure = Similarity.mmrTopK(corpus, "vec_id", "embedding", q,
+        k = 10, lambda = 1.0, poolSize = 30)
+      .orderBy($"rank").select("vec_id").as[Long].collect().toSeq
+    assert(pure == brute, s"lambda=1 MMR $pure != brute $brute")
+    // diversified: still distinct, still starts at the top-1 (an empty
+    // picked set leaves the first step pure relevance)
+    val div = Similarity.mmrTopK(corpus, "vec_id", "embedding", q,
+        k = 10, lambda = 0.5, poolSize = 30)
+      .orderBy($"rank").select("vec_id").as[Long].collect().toSeq
+    assert(div.head == brute.head)
+    assert(div.distinct.size == 10)
+    val pool = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 30)
+      .select("vec_id").as[Long].collect().toSet
+    assert(div.forall(pool.contains))
+  }
+
   test("PQ ANN recall vs brute force; exhaustive shortlist is exact") {
     import spark.implicits._
     val embs = Tables.load(spark, dir, "embeddings")
