@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Locality-preserving data layout: Z-order (Morton) interleaving of two
+  * integer dimensions, and the shard assignment derived from it.
+  *
+  * The 100 TB problem this solves: a table is physically ordered by ONE
+  * key, so range filters on a second dimension read everything. Mapping
+  * (a, b) onto the Z-curve and partitioning by Z ranges gives every
+  * shard a small rectangle in BOTH dimensions — a filter on either
+  * column prunes most shards at the file level (the same layout Delta's
+  * OPTIMIZE ZORDER BY and Hudi clustering write). The curve math is
+  * pure integer bit-twiddling (the classic mask-spread sequence), so it
+  * runs inside WholeStageCodegen here and replays exactly in any SQL
+  * engine.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `x` onto even bit positions (0, 2, …, 30)
+    * — the textbook mask sequence, exact integer ops only. */
+  def spreadBits16(x: Column): Column = {
+    val v0 = x.bitwiseAND(lit(0xFFFFL))
+    val v1 = (v0.bitwiseOR(shiftleft(v0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = (v1.bitwiseOR(shiftleft(v1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = (v2.bitwiseOR(shiftleft(v2, 2))).bitwiseAND(lit(0x33333333L))
+    (v3.bitwiseOR(shiftleft(v3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of (a, b): a's bits on even positions, b's on
+    * odd. Monotone locality: close (a, b) pairs share long Z prefixes. */
+  def zOrder16(a: Column, b: Column): Column =
+    spreadBits16(a).bitwiseOR(shiftleft(spreadBits16(b), 1))
+
+  /** Shard id = the top log2(nShards) bits of the Z code (nShards must
+    * be a power of two): equal-width Z ranges, each a rectangle block
+    * in (a, b) space. */
+  def zShard(z: Column, nShards: Int): Column = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
+    shiftright(z, 32 - Integer.numberOfTrailingZeros(nShards))
+  }
+
+  /** Events laid out on the (user_id, event-day) Z-curve: the layout a
+    * 100 TB event store writes so BOTH per-user scans and per-day scans
+    * prune files. Each dimension is min-max scaled to the full 16-bit
+    * range first (what Delta's ZORDER range-bounds pass does) —
+    * interleaving RAW values whose data range only touches the low bits
+    * would leave every row in one Z quadrant and prune nothing. The
+    * range scan is one min/max aggregate (4 scalars to the driver);
+    * scaling is exact integer math, so the whole layout replays in SQL.
+    * Returns (event_id, u16, d16, z, shard). */
+  def eventsZLayout(events: DataFrame, nShards: Int = 16): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id").as("u"),
+      // integer `div`, not `/` (Column./ is float division)
+      expr("unix_micros(ts) div 86400000000L").as("d"))
+    val r = base.agg(min(col("u")), max(col("u")),
+      min(col("d")), max(col("d"))).head()
+    val (umin, umax, dmin, dmax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val spanU = math.max(umax - umin, 1L)
+    val spanD = math.max(dmax - dmin, 1L)
+    val scaled = base.select(col("event_id"),
+      expr(s"((u - ${umin}L) * 65535L) div ${spanU}L").as("u16"),
+      expr(s"((d - ${dmin}L) * 65535L) div ${spanD}L").as("d16"))
+    scaled.select(col("event_id"), col("u16"), col("d16"),
+        zOrder16(col("u16"), col("d16")).as("z"))
+      .withColumn("shard", zShard(col("z"), nShards))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, MediaCodecColumns, Multimodal, Packing, Quota, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Layout, MediaCodecColumns, Multimodal, Packing, Quota, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
@@ -574,6 +574,47 @@ object PipelineQueries {
           AS revenue
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderkey, o_orderpriority ORDER BY o_orderkey""")),
+
+    // Z-order layout (Layout.eventsZLayout): Morton interleaving of
+    // (user_id, event-day) and the shard each row lands in — the
+    // locality-preserving layout that lets BOTH per-user and per-day
+    // filters prune files (Delta ZORDER's math). Pure integer
+    // bit-twiddling; the oracle replays the mask-spread sequence
+    // stage by stage. File-level pruning is plan-asserted in
+    // PlanAuditSpec over a partitionBy(shard) write.
+    QuerySpec("p12_zorder_layout", (s, dir) => {
+      import s.implicits._
+      Layout.eventsZLayout(Tables.load(s, dir, "events"), nShards = 16)
+        .orderBy($"event_id")
+    }, oracle = Some("""
+      WITH raw AS (
+        SELECT event_id, user_id AS u,
+          (epoch_us(ts) // 86400000000) AS d
+        FROM events),
+      mm AS (
+        SELECT min(u) AS umin, max(u) AS umax,
+               min(d) AS dmin, max(d) AS dmax
+        FROM raw),
+      base AS (
+        SELECT event_id,
+          ((u - umin) * 65535) // greatest(umax - umin, 1) AS u16,
+          ((d - dmin) * 65535) // greatest(dmax - dmin, 1) AS d16
+        FROM raw CROSS JOIN mm),
+      s1 AS (SELECT event_id, u16, d16,
+        ((u16 | (u16 << 8)) & 16711935) AS ua,
+        ((d16 | (d16 << 8)) & 16711935) AS da FROM base),
+      s2 AS (SELECT event_id, u16, d16,
+        ((ua | (ua << 4)) & 252645135) AS ub,
+        ((da | (da << 4)) & 252645135) AS db FROM s1),
+      s3 AS (SELECT event_id, u16, d16,
+        ((ub | (ub << 2)) & 858993459) AS uc,
+        ((db | (db << 2)) & 858993459) AS dc FROM s2),
+      s4 AS (SELECT event_id, u16, d16,
+        ((uc | (uc << 1)) & 1431655765) AS us,
+        ((dc | (dc << 1)) & 1431655765) AS ds FROM s3),
+      fin AS (SELECT event_id, u16, d16, (us | (ds << 1)) AS z FROM s4)
+      SELECT event_id, u16, d16, z, (z >> 28) AS shard
+      FROM fin ORDER BY event_id""")),
 
     // Unigram surprisal quality scoring (TextAnalysis.unigramSurprisal):
     // per-token -ln p quantized to integer micros before any reduction,

@@ -310,6 +310,40 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("p12 z-order shards are rectangles in both dimensions and a " +
+      "shard filter prunes files at the scan") {
+    import spark.implicits._
+    val laid = graft.operators.Layout.eventsZLayout(
+      Tables.load(spark, dir, "events"), nShards = 16)
+    // top-4-z-bit shards quarter each dimension: within one shard both
+    // u16 and d16 span at most 2^14 — the locality that makes EITHER
+    // column's range filter skip most shards
+    val spans = laid.groupBy($"shard")
+      .agg((max($"u16") - min($"u16")).as("du"),
+        (max($"d16") - min($"d16")).as("dd"))
+      .collect()
+    spans.foreach { r =>
+      assert(r.getLong(1) <= 16383 && r.getLong(2) <= 16383,
+        s"shard ${r.getLong(0)} spans u=${r.getLong(1)} d=${r.getLong(2)}")
+    }
+    // a partitionBy(shard) write turns the shard predicate into
+    // file-level pruning: the filtered read touches strictly fewer files
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+    laid.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val full = spark.read.parquet(out)
+    val one = full.filter($"shard" === spans.head.getLong(0))
+    assert(one.count() > 0)
+    // inputFiles ignores partition pruning — read the executed scan's
+    // numFiles metric instead
+    val scanned = allNodes(executedPlan(one)).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.get
+    assert(scanned < full.inputFiles.length,
+      s"shard filter read $scanned of ${full.inputFiles.length} files " +
+        "- no pruning")
+  }
+
   test("p11 bucketed co-located join + keyed agg run with zero exchanges") {
     val df = graft.sources.BucketedTables.colocatedOrderRevenue(spark, dir)
     // the UNORDERED pipeline (join + groupBy on the bucket key) must be
