@@ -160,6 +160,49 @@ object MediaCodec {
     java.lang.Long.valueOf(hash)
   }
 
+  /** Nearest-neighbor resize of a P6 payload to tw×th: target pixel
+    * (ty, tx) samples source pixel (ty*h div th, tx*w div tw) — the
+    * standard integer NN mapping, so an engine replaying the same byte
+    * stream picks the identical source offsets. Returns the resized
+    * image as a flat [r0, g0, b0, r1, …] long array (row-major); null on
+    * malformed input (same poisoning contract as [[ppmStats]]). Resizing
+    * to the source dimensions is the identity on the pixel block (the
+    * spec pins that). */
+  def ppmResize(payload: Array[Byte], tw: Int, th: Int): Any = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return null
+    var i = 2
+    val vals = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      while (i < payload.length && Character.isWhitespace(payload(i))) i += 1
+      if (i >= payload.length || payload(i) < '0' || payload(i) > '9') return null
+      var x = 0
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        x = x * 10 + (payload(i) - '0')
+        i += 1
+      }
+      vals(v) = x
+      v += 1
+    }
+    if (i >= payload.length || !Character.isWhitespace(payload(i))) return null
+    i += 1
+    val w = vals(0); val h = vals(1)
+    if (vals(2) != 255 || w <= 0 || h <= 0 || tw <= 0 || th <= 0) return null
+    if (payload.length - i < w * h * 3) return null
+    val out = new Array[Long](tw * th * 3)
+    var t = 0
+    while (t < tw * th) {
+      val sy = (t / tw) * h / th
+      val sx = (t % tw) * w / tw
+      val src = i + (sy * w + sx) * 3
+      out(t * 3) = payload(src) & 0xFF
+      out(t * 3 + 1) = payload(src + 1) & 0xFF
+      out(t * 3 + 2) = payload(src + 2) & 0xFF
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // -- WAV (RIFF PCM16 mono): 44-byte canonical header + LE samples ------
 
   def wavSamples(id: Long): Int = 256 + (id % 256).toInt
@@ -380,6 +423,27 @@ case class PpmAHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** P6 payload → tw×th nearest-neighbor resize as flat [r,g,b,…] longs;
+  * null on malformed input. */
+case class PpmResize(child: Expression, tw: Int, th: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ppm_resize"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodec.ppmResize(v.asInstanceOf[Array[Byte]], tw, th)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("rszR")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = graft.operators.MediaCodec.ppmResize($c, $tw, $th);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PpmResize =
+    copy(child = newChild)
+}
+
 /** WAV payload → kept-frame energies; null on malformed input. */
 case class WavFrameEnergies(child: Expression, frameLen: Int, stride: Int)
     extends UnaryExpression {
@@ -431,6 +495,8 @@ object MediaCodecColumns {
     ColumnBridge.column(PpmStats(ColumnBridge.expression(payload)))
   def ppmAHash(payload: Column): Column =
     ColumnBridge.column(PpmAHash(ColumnBridge.expression(payload)))
+  def ppmResize(payload: Column, tw: Int, th: Int): Column =
+    ColumnBridge.column(PpmResize(ColumnBridge.expression(payload), tw, th))
   def wavFrameEnergies(payload: Column, frameLen: Int, stride: Int): Column =
     ColumnBridge.column(WavFrameEnergies(
       ColumnBridge.expression(payload), frameLen, stride))

@@ -30,6 +30,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED exact top-k — the vector-database "filtered
+    * search" shape: restrict the corpus by (a) an attribute predicate on
+    * the embedding table itself and (b) a metadata table (keep only ids
+    * passing a filter on a second table), THEN rank by cosine.
+    *
+    * Strategy is pre-filter, not post-filter: at 6% selectivity a
+    * post-filter top-k would have to over-retrieve ~17× to survive the
+    * filter; pre-filtering instead pushes the attribute predicate into
+    * the parquet scan (PushedFilters — plan-asserted) and broadcasts the
+    * filtered metadata ids as a left_semi, so the expensive per-vector
+    * distance only runs on survivors. At 100 TB: scan prunes row groups
+    * on the attribute, the semi-join ships only ids, and the result is
+    * still TakeOrderedAndProject (k·partitions rows, no global sort). */
+  def filteredTopK(
+      embs: DataFrame, idCol: String, vecCol: String, pred: Column,
+      keepIds: DataFrame, keepIdCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    embs.filter(pred)
+      .join(broadcast(keepIds.select(col(keepIdCol).as(idCol))),
+        Seq(idCol), "left_semi")
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: score only vectors whose bucket is within
     * `probes` Hamming distance of the query's bucket (multi-probe LSH).
     *

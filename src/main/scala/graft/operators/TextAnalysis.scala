@@ -263,6 +263,36 @@ object TextAnalysis {
           col("flag_alpha") && col("flag_stopwords"))
   }
 
+  /** KMV distinct-cardinality sketch per group — the sketch path for
+    * "how many distinct shingles/tokens does each source contribute" at
+    * corpus scale, where an exact count(DISTINCT) would shuffle every
+    * item. One generator explode → bounded [[graft.functions.KMinLongs]]
+    * sketch (k longs per group per partition map-side) → closed-form
+    * estimate. Emits the sketch size, the KMV estimate, and the exact
+    * distinct count (exact is affordable at test scale and lets the
+    * oracle grade the estimator itself — at 100 TB you'd drop it).
+    * All-integer: the estimate is one HUGEINT-style decimal division,
+    * replayed exactly by the oracle. */
+  def kmvDistinctCardinality(df: DataFrame, groupCol: String, items: Column,
+      k: Int = 128): DataFrame = {
+    val kmin = udaf(new graft.functions.KMinLongs(k))
+    val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+    val hashed = df.select(col(groupCol),
+      explode(graft.functions.SimHash.tokenHash64(items)).as("h"))
+    hashed.groupBy(col(groupCol))
+      .agg(kmin(col("h")).as("sk"),
+        countDistinct(col("h")).as("exact_distinct"))
+      .withColumn("sketch_size", size(col("sk")).cast("long"))
+      .withColumn("u_k", expr(
+        s"CAST(element_at(sk, $k) AS DECIMAL(38,0)) + " +
+          s"CASE WHEN element_at(sk, $k) < 0 THEN $two64 ELSE CAST(0 AS DECIMAL(38,0)) END"))
+      .withColumn("est_distinct", expr(
+        s"CASE WHEN sketch_size < $k THEN sketch_size " +
+          s"ELSE CAST(floor(CAST(${k - 1} AS DECIMAL(38,0)) * $two64 / u_k) AS BIGINT) END"))
+      .select(col(groupCol), col("sketch_size"), col("est_distinct"),
+        col("exact_distinct"))
+  }
+
   /** Deterministic stratified train/valid/test split: every document
     * hashes to a 16-bit value from md5(salt:source:id) and lands in a
     * split by fixed integer thresholds (train < 52429 ≈ 80%,

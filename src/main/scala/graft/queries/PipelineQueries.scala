@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Layout, MediaCodecColumns, Multimodal, Packing, Quota, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Cdc, Dedup, Layout, MediaCodecColumns, Multimodal, Packing, Quota, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
@@ -528,6 +528,49 @@ object PipelineQueries {
         CAST(tf AS BIGINT) AS tf, CAST(score_micros AS BIGINT) AS score_micros
       FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
 
+    // KMV cardinality sketch (TextAnalysis.kmvDistinctCardinality over
+    // 3-gram shingles): distinct-shingle count per source via a k=128
+    // k-minimum-values synopsis — the engine-replayable alternative to
+    // HLL (approx_count_distinct's sketch can't be oracle-checked; KMV's
+    // can, exactly). The KMinLongs Aggregator IS the sketch: bounded
+    // map-side partials (k longs/group/partition), merge = KMV union.
+    // Estimate = (k-1)·2^64 div u_k, one integer division — the oracle
+    // replays sketch, estimate, and the exact count it approximates
+    // (~1.2–1.5k distinct shingles/source, so the estimator branch is
+    // genuinely exercised).
+    QuerySpec("t16_kmv_cardinality", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.kmvDistinctCardinality(
+          Tables.load(s, dir, "documents").select($"source", $"text"),
+          "source", Dedup.shingles($"text", 3), k = 128)
+        .orderBy($"source")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT source, s FROM (
+          SELECT source, unnest(list_transform(
+            generate_series(1, greatest(len(t) - 3, 0) + 1),
+            i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+          FROM toks)),
+      hs AS (SELECT source, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+             FROM sh),
+      ranked AS (SELECT source, u,
+               row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+               FROM hs),
+      agg AS (SELECT source, count(*) AS nd FROM hs GROUP BY source),
+      kth AS (SELECT source, u AS uk FROM ranked WHERE rn = 128)
+      SELECT a.source,
+        CAST(LEAST(a.nd, 128) AS BIGINT) AS sketch_size,
+        CAST(CASE WHEN a.nd < 128 THEN a.nd
+             ELSE 127 * CAST('18446744073709551616' AS HUGEINT)
+                  // CAST(k.uk AS HUGEINT)
+             END AS BIGINT) AS est_distinct,
+        CAST(a.nd AS BIGINT) AS exact_distinct
+      FROM agg a LEFT JOIN kth k ON a.source = k.source
+      ORDER BY a.source""")),
+
     // Temperature-scaled source mixture weights
     // (TextAnalysis.sourceMixtureWeights): alpha = 0.5 sampling weights
     // from per-source token mass; sqrt is IEEE-exact and quantizes to
@@ -615,6 +658,47 @@ object PipelineQueries {
       fin AS (SELECT event_id, u16, d16, (us | (ds << 1)) AS z FROM s4)
       SELECT event_id, u16, d16, z, (z >> 28) AS shard
       FROM fin ORDER BY event_id""")),
+
+    // CDC change-feed apply (Cdc.applyLatestWins): events become a keyed
+    // I/U/D feed (signup→I, error→D, else U; key spread so inserts land
+    // beyond the base key range), folded latest-wins into the customer
+    // base. One window over the feed + one full-outer key join — the
+    // base never windows; at scale the deduped feed broadcasts. All
+    // three origins (base/insert/update) and deletes are exercised at
+    // the gate SF.
+    QuerySpec("p13_cdc_apply", (s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      val changes = Tables.load(s, dir, "events")
+        .select(($"user_id" * 12 + 1).as("c_custkey"),
+          when($"event_type" === "signup", "I")
+            .when($"event_type" === "error", "D").otherwise("U").as("op"),
+          $"ts", $"event_id", $"value".as("c_acctbal"))
+      Cdc.applyLatestWins(base, "c_custkey", changes, "op",
+          Seq($"ts", $"event_id"),
+          Map("c_name" -> lit("cdc_insert")))
+        .orderBy($"c_custkey")
+    }, oracle = Some("""
+      WITH ch AS (
+        SELECT user_id * 12 + 1 AS k, value,
+          CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+               ELSE 'U' END AS op,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      lastc AS (SELECT k, value, op FROM ch WHERE rn = 1)
+      SELECT coalesce(b.c_custkey, l.k) AS c_custkey,
+        CASE WHEN b.c_custkey IS NOT NULL THEN b.c_name
+             ELSE 'cdc_insert' END AS c_name,
+        CASE WHEN l.op IS NOT NULL THEN l.value
+             ELSE b.c_acctbal END AS c_acctbal,
+        CASE WHEN l.op IS NULL THEN 'base'
+             WHEN b.c_custkey IS NULL THEN 'insert'
+             ELSE 'update' END AS origin
+      FROM customer b FULL OUTER JOIN lastc l ON b.c_custkey = l.k
+      WHERE l.op IS NULL OR l.op <> 'D'
+      ORDER BY c_custkey""")),
 
     // Unigram surprisal quality scoring (TextAnalysis.unigramSurprisal):
     // per-token -ln p quantized to integer micros before any reduction,
@@ -1294,6 +1378,38 @@ object PipelineQueries {
       SELECT vec_id, round(cos, 9) AS cos FROM scored
       ORDER BY cos DESC, vec_id LIMIT 20"""), bench = true),
 
+    // Filtered vector search: attribute predicate (label — pushed to the
+    // parquet scan) + metadata-table filter (documents.lang — broadcast
+    // semi-join of ids) BEFORE any distance math. Pre-filter, not
+    // post-filter: see Similarity.filteredTopK; plan-asserted in
+    // PlanAuditSpec.
+    QuerySpec("s11_filtered_ann", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      val keep = Tables.load(s, dir, "documents")
+        .filter($"lang" === "en").select($"doc_id")
+      Similarity.filteredTopK(
+          embs.filter($"vec_id" =!= 0), "vec_id", "embedding",
+          $"label" === 3, keep, "doc_id", q, 20)
+        .select($"vec_id", round($"cos", 9).as("cos"))
+    }, oracle = Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      scored AS (
+        SELECT vec_id,
+          list_aggregate(list_transform(list_zip(embedding, qe),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings JOIN keep ON vec_id = doc_id, q
+        WHERE vec_id <> 0 AND label = 3)
+      SELECT vec_id, round(cos, 9) AS cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT 20""")),
+
     // Batched exact top-k (one pass over the corpus for a query SET,
     // bounded typed-Aggregator partials — see Similarity.batchTopK). The
     // oracle recomputes every (query, corpus) cosine with the identical
@@ -1919,6 +2035,55 @@ object PipelineQueries {
         CAST(max(abs(s)) AS BIGINT) AS peak
       FROM lagged GROUP BY media_id, i // 64
       ORDER BY media_id, frame_idx""")),
+
+    // m05: image resize — nearest-neighbor downsample of the decoded P6
+    // pixels to a fixed 4×4 thumbnail (the preprocessing step every
+    // vision-training pipeline runs before batching). Target pixel
+    // (ty, tx) samples source (ty*h div th, tx*w div tw) — all-integer,
+    // so the oracle picks the identical source bytes from the
+    // md5-derived stream. One row per output pixel checks every value
+    // the resize produced. Partition-local, zero shuffle; output is
+    // 48 longs/image regardless of source size (the 100 TB story: a
+    // resize SHRINKS the data before anything wide happens).
+    QuerySpec("m05_image_resize", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaCorpus(Tables.load(s, dir, "documents"))
+      media.filter($"format" === "ppm")
+        .select($"media_id",
+          MediaCodecColumns.ppmResize($"payload", 4, 4).as("rz"))
+        .select($"media_id", posexplode(expr(
+          "transform(sequence(0, size(rz) div 3 - 1)," +
+            " t -> struct(rz[3*t] AS r, rz[3*t+1] AS g, rz[3*t+2] AS b))"))
+          .as(Seq("pxi", "s")))
+        .select($"media_id", $"pxi".cast("long").as("px"),
+          $"s.r".as("r"), $"s.g".as("g"), $"s.b".as("b"))
+        .orderBy($"media_id", $"px")
+    }, oracle = Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, 8 + (doc_id % 8) AS w, 8 AS h
+        FROM documents WHERE doc_id % 2 = 0),
+      grid AS (
+        SELECT media_id, w, h, unnest(generate_series(0, 15)) AS t
+        FROM media),
+      src AS (
+        SELECT media_id, t,
+          ((t // 4) * h // 4) * w + ((t % 4) * w // 4) AS pix
+        FROM grid),
+      chan AS (
+        SELECT media_id, t, 3 * pix + unnest(generate_series(0, 2)) AS p,
+          unnest(generate_series(0, 2)) AS c
+        FROM src),
+      vals AS (
+        SELECT media_id, t, c,
+          ('0x' || substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+             CAST(p // 16 AS VARCHAR)),
+             CAST((p % 16) * 2 + 1 AS INTEGER), 2))::UBIGINT AS v
+        FROM chan)
+      SELECT media_id, CAST(t AS BIGINT) AS px,
+        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r,
+        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g,
+        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b
+      FROM vals GROUP BY media_id, t ORDER BY media_id, px""")),
 
     // ---- Sessionization over events (gap > 30 min ⇒ new session) -------
     // ---- End-to-end corpus curation (the flagship composition): quality

@@ -559,6 +559,35 @@ object RelationalQueries {
       ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
         c_nationkey NULLS FIRST""")),
 
+    // ---- CUBE (completes the grouping family: q33 ROLLUP ⊂ q42 GROUPING
+    // SETS ⊂ all-subsets CUBE). One aggregation pass expands each input
+    // row into the 2^n grouping combinations BEFORE the exchange — partial
+    // aggregation still applies, so the shuffle carries group rows, not
+    // input rows. Money sum in exact decimal (the q01 rule); GROUPING
+    // flags disambiguate real NULL keys from subtotal rows.
+    QuerySpec("q48_cube", (s, dir) => {
+      import s.implicits._
+      ord(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(grouping($"o_orderstatus").cast("long").as("g_st"),
+          grouping($"o_orderpriority").cast("long").as("g_pr"),
+          count(lit(1)).as("cnt"),
+          sum($"o_totalprice".cast(QuerySpec.Dec)).cast("double").as("total"))
+        .select($"o_orderstatus", $"o_orderpriority", $"g_st", $"g_pr",
+          $"cnt", $"total")
+        .orderBy($"g_st", $"g_pr",
+          $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }, oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr,
+        count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST,
+        o_orderpriority NULLS FIRST""")),
+
     // ---- Ranking-function family (extension beyond q05's row_number):
     // rank/dense_rank/percent_rank/cume_dist over a TIED ordering (all
     // four are tie-deterministic; percent_rank and cume_dist are single

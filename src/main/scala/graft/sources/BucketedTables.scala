@@ -40,9 +40,21 @@ object BucketedTables {
     * calls are cache hits. Suites run sequentially, so holding the
     * monitor across the (rare) write keeps duplicate-overwrite races
     * out without the ivfIndex outside-monitor dance. */
+  /** A killed JVM can leave the managed location on disk while the (in-
+    * memory) catalog forgets the table; CTAS then fails with
+    * LOCATION_ALREADY_EXISTS. Drop both halves before staging. */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+  }
+
   def ensure(spark: SparkSession, dir: String): Unit = staged.synchronized {
     val key = (System.identityHashCode(spark), dir)
     if (!staged(key)) {
+      dropStale(spark, ordersTable(dir))
+      dropStale(spark, lineitemTable(dir))
       Tables.load(spark, dir, "orders").write.mode("overwrite")
         .format("parquet")
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")

@@ -82,6 +82,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.ppmStats(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("NN resize: identity at source dims, known thumbnail, malformed → null") {
+    val ids = Seq(0L, 2L, 100L)
+    ids.foreach { id =>
+      val payload = MediaCodec.ppmPayload(id)
+      val w = MediaCodec.ppmWidth(id)
+      // resize to the source dims reproduces the pixel block exactly
+      val same = MediaCodec.ppmResize(payload, w, 8)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      val px = payload.drop(payload.length - w * 8 * 3).map(b => (b & 0xFF).toLong)
+      assert(same.toSeq == px.toSeq, s"id=$id identity resize")
+      // 4x4 thumbnail picks the standard NN source offsets
+      val thumb = MediaCodec.ppmResize(payload, 4, 4)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      assert(thumb.length == 48)
+      for (t <- 0 until 16) {
+        val sy = (t / 4) * 8 / 4
+        val sx = (t % 4) * w / 4
+        val s = (sy * w + sx) * 3
+        assert(thumb(t * 3) == px(s) && thumb(t * 3 + 1) == px(s + 1) &&
+          thumb(t * 3 + 2) == px(s + 2), s"id=$id px=$t")
+      }
+    }
+    assert(MediaCodec.ppmResize("P5\n4 4\n255\n".getBytes ++
+      Array.fill[Byte](48)(1), 2, 2) == null)
+    assert(MediaCodec.ppmResize(MediaCodec.ppmPayload(2L).dropRight(1), 2, 2) == null)
+  }
+
   test("perceptual aHash: known half-black/half-white image, stability under decode") {
     // 8x8 P6, pixels 0-31 black (gray 0), 32-63 white (gray 255):
     // mean = (32*255)/64 = 127, so exactly the white half sets its bits

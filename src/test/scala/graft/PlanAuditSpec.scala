@@ -355,4 +355,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(planString(df).contains("Bucketed: true"),
       "scan did not use the bucketed layout")
   }
+
+  test("s11 filtered ANN pre-filters: label pushed to the scan, metadata " +
+      "ids broadcast, result is TakeOrderedAndProject") {
+    val df = SparkEntry.queries("s11_filtered_ann")(spark, dir)
+    val plan = planString(df)
+    // attribute predicate prunes row groups BEFORE any distance math
+    assert(plan.contains("EqualTo(label,3)"), plan.take(3000))
+    // metadata-table filter arrives as a broadcast semi-join of bare ids
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+    // top-k never global-sorts the survivors
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
 }

@@ -91,4 +91,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byBig._4.toDouble / bySmall._4 <
       byBig._2.toDouble / bySmall._2 || byBig._2 == bySmall._2)
   }
+
+  test("KMV sketch matches a driver-side k-min reference; exact below k") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"source", $"text").limit(200)
+    val k = 64
+    val got = TextAnalysis.kmvDistinctCardinality(
+        docs, "source", graft.operators.Dedup.shingles($"text", 3), k = k)
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // driver-side reference: same shingles, same md5-prefix hash, true
+    // k-min under unsigned order, closed-form estimate
+    def h64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xFFL))
+    }
+    val ref = docs.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues { rows =>
+        val hs = rows.flatMap { case (_, t) =>
+          val ts = t.trim.split("\\s+").toSeq
+          (0 until math.max(ts.length - 3, 0) + 1)
+            .map(i => ts.slice(i, i + 3).mkString(" "))
+        }.map(h64).distinct.sortBy(h => h ^ Long.MinValue)
+        val nd = hs.length.toLong
+        val size = math.min(nd, k.toLong)
+        val uk = BigInt(hs(k - 1)) +
+          (if (hs(k - 1) < 0) BigInt(1) << 64 else BigInt(0))
+        val est =
+          if (nd < k) nd
+          else (BigInt(k - 1) * (BigInt(1) << 64) / uk).toLong
+        (size, est, nd)
+      }.toMap
+    got.foreach { case (src, size, est, exact) =>
+      val (rSize, rEst, rExact) = ref(src)
+      assert(size == rSize && exact == rExact, s"$src size/exact")
+      assert(est == rEst, s"$src estimate: got $est want $rEst")
+    }
+    // estimator sanity: every estimate within 50% of truth at k=64
+    got.foreach { case (src, _, est, exact) =>
+      assert(math.abs(est - exact).toDouble / exact < 0.5, s"$src way off")
+    }
+  }
 }
