@@ -238,4 +238,50 @@ object EventsStreaming {
           }
       }
   }
+
+  final case class CdcChange(k: Long, op: String, ts: java.sql.Timestamp,
+      seq: Long, v: Double)
+  /** One changelog emission: the key's new current row plus the
+    * (ts_ms, seq) version of the change that produced it, so a sink can
+    * order upserts without trusting arrival order. */
+  final case class CdcCurrent(k: Long, present: Boolean, v: Double,
+      ts_ms: Long, seq: Long)
+  // reflectively constructed by the state encoder (see SessionState)
+  final case class CdcState(ts: Long, seq: Long, present: Boolean, v: Double)
+
+  /** Streaming twin of the p13 CDC apply (operators/Cdc.scala): fold a
+    * live I/U/D change feed into per-key current state, emitting the new
+    * current row whenever a key's state changes ('D' emits
+    * present=false — a retraction the sink applies as a delete).
+    *
+    * ORDER-INDEPENDENT by construction, unlike the as-of twin: the state
+    * keeps the (ts, seq) of the applied change and ignores any arriving
+    * change that is older, so latest-wins holds under arbitrary
+    * cross-batch reordering and the LAST emission per key always equals
+    * the batch fold's answer (the spec replays the feed shuffled to pin
+    * exactly that). State is one (ts, seq, present, v) per key —
+    * O(keys), the dimension-table cardinality, which is what a RocksDB
+    * state store holds comfortably at cluster scale. */
+  def cdcFold(spark: SparkSession, changes: Dataset[CdcChange])
+      : Dataset[CdcCurrent] = {
+    import spark.implicits._
+    changes.groupBy(col("k")).as[Long, CdcChange]
+      .flatMapGroupsWithState[CdcState, CdcCurrent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[CdcChange], state: GroupState[CdcState]) =>
+          var st = state.getOption.orNull
+          var changed = false
+          it.foreach { c =>
+            val t = c.ts.getTime
+            if (st == null || t > st.ts || (t == st.ts && c.seq > st.seq)) {
+              st = CdcState(t, c.seq, c.op != "D", c.v)
+              changed = true
+            }
+          }
+          if (changed) {
+            state.update(st)
+            Iterator.single(CdcCurrent(k, st.present, st.v, st.ts, st.seq))
+          } else Iterator.empty
+      }
+  }
 }

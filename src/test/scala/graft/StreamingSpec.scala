@@ -237,4 +237,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0, "no sessions emitted")
     assert(sessions.filter($"session_end" < $"session_start").count() == 0)
   }
+
+  test("streaming CDC fold equals the batch latest-wins under a SHUFFLED replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the p13 feed shape, derived from events
+    val feed = Tables.load(spark, dir, "events")
+      .select(($"user_id" * 12 + 1).as("k"),
+        when($"event_type" === "signup", "I")
+          .when($"event_type" === "error", "D").otherwise("U").as("op"),
+        $"ts", $"event_id".as("seq"), $"value".as("v"))
+      .as[EventsStreaming.CdcChange]
+    val rows = feed.collect()
+
+    // deterministic shuffle: order-independence is the operator's claim,
+    // so replay the feed WAY out of order across three micro-batches
+    val shuffled = rows.sortBy(c => (c.seq * 2654435761L) % 1000003)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.CdcChange]
+    val q = EventsStreaming.cdcFold(spark, mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_out").start()
+    try {
+      shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      // final emission per key = the row with the newest (ts_ms, seq)
+      val got = spark.table("cdc_out")
+        .as[EventsStreaming.CdcCurrent].collect()
+        .groupBy(_.k).view.mapValues(_.maxBy(c => (c.ts_ms, c.seq)))
+        .mapValues(c => (c.present, c.v)).toMap
+
+      // driver-side latest-wins reference (the batch fold's rule)
+      val want = rows.groupBy(_.k).view.mapValues { cs =>
+        val last = cs.maxBy(c => (c.ts.getTime, c.seq))
+        (last.op != "D", last.v)
+      }.toMap
+      assert(got == want)
+      // sanity: the feed genuinely exercises deletes and live rows
+      assert(want.values.exists(!_._1) && want.values.exists(_._1))
+    } finally q.stop()
+  }
 }
