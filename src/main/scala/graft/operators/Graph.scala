@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the d07
+  * label-propagation pattern (operators/Dedup.scala) generalized:
+  * per-iteration state is (node, long), every shuffle carries exactly
+  * those two columns, and lineage is cut with localCheckpoint so ten
+  * iterations cost ten bounded jobs, not one ten-deep plan.
+  */
+object Graph {
+
+  /** Integer-exact PageRank: ranks in ppm (10^6 = 1.0), damping in ppm,
+    * contribution = rank div out-degree, update = (1-d) + d·Σcontrib
+    * with every step an INTEGER operation — so a second engine unrolling
+    * the same iterations replays the ranks bit-for-bit (float PageRank
+    * never replays: partial-sum order changes the low bits).
+    *
+    * Iteration plan shape (the 100 TB contract, the d07 posture):
+    * ranks join edges on src (one shuffle of (node, long)), groupBy dst
+    * with map-side partial sums (one more (node, long) shuffle) — the
+    * edge list itself is loop-invariant and stays put; localCheckpoint
+    * every iteration keeps lineage depth constant.
+    *
+    * Nodes with no in-edges would converge to the (1-d) floor; the
+    * caller's edge list here is symmetric (both directions), so the
+    * node set is closed under the update. Dangling mass is NOT
+    * redistributed (each iteration leaks div remainders ≤ outdeg-1 ppm
+    * per node) — acceptable for ranking, and exactly mirrored by the
+    * oracle's identical integer divisions.
+    *
+    * @param edges (src: long, dst: long), treated as directed
+    * @return (node, rank_ppm) after `iters` iterations
+    */
+  def pageRankPpm(edges: DataFrame, iters: Int = 10,
+      dampingPpm: Long = 850000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val base = 1000000L - dampingPpm
+    var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_ppm div deg").as("c"))
+      ranks = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(base) + expr(s"($dampingPpm * s) div 1000000"))
+            .as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -68,4 +68,30 @@ object Layout {
         zOrder16(col("u16"), col("d16")).as("z"))
       .withColumn("shard", zShard(col("z"), nShards))
   }
+
+  /** Small-file compaction plan: assign each input file to an output bin
+    * so every bin holds ~`targetBytes`, greedily in file order within a
+    * partition — the planning pass behind OPTIMIZE/compaction
+    * maintenance. bin = (bytes of earlier files) div target, so a bin
+    * closes once it reaches the target (the last file may overflow it by
+    * less than one file — first-fit-in-order semantics, deterministic
+    * and oracle-replayable as one window running sum).
+    *
+    * Scale shape: the input is FILE METADATA (one row per file — ~10^5
+    * rows for a 100 TB table, not 10^12 data rows), so the per-partition
+    * window is metadata-scale; the plan then drives one
+    * read-shuffle-write of only the affected partitions.
+    *
+    * @return (partCol, fileCol, bytesCol, bin) — the compaction plan
+    */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.select(col(partCol), col(fileCol), col(bytesCol))
+      .withColumn("__before", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before div ${targetBytes}L"))
+      .drop("__before")
+  }
 }

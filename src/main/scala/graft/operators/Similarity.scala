@@ -433,6 +433,37 @@ object Similarity {
         col("s.id").as(corpusId), col("s.score").as("cos"))
   }
 
+  /** Retrieval-quality evaluation — recall@k and MRR of a candidate
+    * retrieval run against exact gold top-k, the metric pass every ANN
+    * index deployment needs before trading recall for speed. Inputs are
+    * ranked result sets (q_id, rank, vec_id); output per query:
+    * n_hits (|retrieved ∩ truth|), recall_ppm (n_hits·10^6 div k) and
+    * mrr_ppm (10^6 div first hit rank; 0 when nothing relevant was
+    * retrieved). Integer-exact by construction — both metrics are one
+    * integer division, so a second engine replays them bit-for-bit.
+    *
+    * Scale shape: both inputs are k·|queries| rows (the corpus scan
+    * already happened inside the searchers), so the join is tiny; the
+    * left join keeps zero-hit queries visible instead of dropping them —
+    * a silent drop would overstate the index. */
+  def evalRetrieval(retrieved: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val r = retrieved.select(col("q_id"), col("rank"), col("vec_id")).alias("r")
+    val t = truth.select(col("q_id"), col("vec_id")).alias("t")
+    val hits = r
+      .join(t, col("r.q_id") === col("t.q_id") &&
+        col("r.vec_id") === col("t.vec_id"))
+      .groupBy(col("r.q_id").as("q_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("r.rank")).as("__fh"))
+    retrieved.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"CAST(coalesce(n_hits, 0) * 1000000 div $k AS BIGINT)")
+          .as("recall_ppm"),
+        expr("CAST(CASE WHEN __fh IS NULL THEN 0 " +
+          "ELSE 1000000 div __fh END AS BIGINT)").as("mrr_ppm"))
+  }
+
   /** Hard-negative mining for contrastive training: for every probe, the
     * k corpus vectors MOST similar to it whose label differs — close
     * enough to be confusing, wrong by label, exactly the negatives a

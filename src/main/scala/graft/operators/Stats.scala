@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics at corpus scale. */
+object Stats {
+
+  /** Order-independent table content checksum per group: Σ over rows of
+    * the md5-derived 64-bit hash of a canonical row rendering, mod 2^64
+    * — the validation primitive a data-migration tool needs (the
+    * reference's whole purpose is moving tables; its packets verify by
+    * counts — `packets/test_int4_to_int8/05_step.sql` — while a checksum
+    * catches VALUE corruption too, and two engines/two copies can each
+    * compute it independently and compare one number per partition).
+    *
+    * Order-independence comes from + being commutative — no ORDER BY,
+    * no collect; map-side partial sums make the shuffle one decimal per
+    * partition per group. Emitted as hi/lo 32-bit halves so the unsigned
+    * 2^64 total survives BIGINT on every engine. The caller's `rowStr`
+    * must render identically across engines: integers/strings verbatim,
+    * floats through DECIMAL (raw double→string notation diverges).
+    */
+  def contentChecksum(df: DataFrame, groupCol: String, rowStr: Column)
+      : DataFrame = {
+    val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+    df.select(col(groupCol),
+        element_at(graft.functions.SimHash.tokenHash64(array(rowStr)), 1)
+          .as("h"))
+      .withColumn("hu", expr("CAST(h AS DECIMAL(38,0)) + " +
+        s"CASE WHEN h < 0 THEN $two64 ELSE CAST(0 AS DECIMAL(38,0)) END"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("hu")).as("s"))
+      .select(col(groupCol), col("n_rows"),
+        expr(s"CAST((s % $two64) div 4294967296 AS BIGINT)")
+          .as("checksum_hi"),
+        expr(s"CAST((s % $two64) % 4294967296 AS BIGINT)")
+          .as("checksum_lo"))
+  }
+
+  /** Per-group quantiles over a DETERMINISTIC hash sample — the scale
+    * path for "what does the value distribution look like" when a full
+    * sort is off the table: an md5-threshold row sample (the t06
+    * convention — engine-independent, no RNG state) bounds the sort to
+    * the sample, and each requested quantile is the discrete order
+    * statistic at rank ceil(q·n/100) (an EXISTING value, never an
+    * interpolation — so the result is engine-exact, where interpolated
+    * quantiles and t-digest/KLL sketches never replay).
+    *
+    * The rank arithmetic is integer ((n·q + 99) div 100); ties in the
+    * value order are broken by `idCol` so the row_number is total, and
+    * the picked VALUE at a tied boundary is the same either way.
+    *
+    * Scale shape: the filter is a codegen'd md5 predicate at the scan;
+    * only the ~rate fraction shuffles into the per-group sort window.
+    * At 100 TB with a 1e-4 rate the window sees 10^7 rows — bounded.
+    *
+    * @return (groupCol, n_sample, p<q1>, p<q2>, …)
+    */
+  def hashSampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, salt: String, rateHex: String,
+      qs: Seq[Int] = Seq(25, 50, 90)): DataFrame = {
+    val sampled = df.filter(
+      substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        1, 2) < lit(rateHex))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val wc = Window.partitionBy(col(groupCol))
+    val ranked = sampled
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wc))
+    val qCols = qs.map(q =>
+      max(when(col("__rn") === expr(s"(__n * $q + 99) div 100"),
+        col(valueCol))).as(s"p$q"))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_sample"), qCols: _*)
+  }
+}

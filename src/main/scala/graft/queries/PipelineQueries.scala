@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Cdc, Dedup, Layout, MediaCodecColumns, Multimodal, Packing, Quota, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Cdc, Dedup, Graph, Layout, MediaCodecColumns, Multimodal, Packing, Quota, Retrieval, Similarity, Stats, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
@@ -699,6 +699,170 @@ object PipelineQueries {
       FROM customer b FULL OUTER JOIN lastc l ON b.c_custkey = l.k
       WHERE l.op IS NULL OR l.op <> 'D'
       ORDER BY c_custkey""")),
+
+    // Small-file compaction plan (Layout.compactionPlan): greedy
+    // first-fit-in-order binning of a per-partition file inventory to a
+    // target output size — the metadata-scale planning pass behind
+    // OPTIMIZE/compaction. One window running sum replays it exactly.
+    QuerySpec("p15_compaction_plan", (s, dir) => {
+      import s.implicits._
+      Layout.compactionPlan(
+          Tables.load(s, dir, "documents")
+            .select($"source", $"doc_id", $"n_chars"),
+          "source", "doc_id", "n_chars", targetBytes = 2048L)
+        .orderBy($"source", $"doc_id")
+    }, oracle = Some("""
+      SELECT source, doc_id, n_chars,
+        CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+          AS BIGINT) AS bin
+      FROM documents ORDER BY source, doc_id""")),
+
+    // Deterministic sample quantiles (Stats.hashSampleQuantiles): per
+    // event type, p25/p50/p90 of `value` over an md5-threshold ~10%
+    // sample — discrete order statistics at integer ranks, so the
+    // quantiles are engine-exact (interpolated quantiles and
+    // t-digest/KLL sketches never replay; this does).
+    QuerySpec("p16_sample_quantiles", (s, dir) => {
+      import s.implicits._
+      Stats.hashSampleQuantiles(
+          Tables.load(s, dir, "events")
+            .select($"event_type", $"event_id", $"value"),
+          "event_type", "event_id", "value",
+          salt = "pq", rateHex = "1a", qs = Seq(25, 50, 90))
+        .orderBy($"event_type")
+    }, oracle = Some("""
+      WITH s AS (
+        SELECT event_type, event_id, value FROM events
+        WHERE substring(md5('pq:' || CAST(event_id AS VARCHAR)), 1, 2)
+          < '1a'),
+      r AS (
+        SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n
+        FROM s)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_sample,
+        max(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END) AS p25,
+        max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+        max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90
+      FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // Table content checksum (Stats.contentChecksum): order-independent
+    // Σ md5-row-hash mod 2^64 per segment — the migration-validation
+    // primitive (counts catch lost rows; this catches corrupted VALUES,
+    // and both engines compute it independently from their own copy).
+    // Doubles render through DECIMAL so the canonical row string is
+    // engine-identical.
+    QuerySpec("p17_content_checksum", (s, dir) => {
+      import s.implicits._
+      Stats.contentChecksum(
+          Tables.load(s, dir, "customer"),
+          "c_mktsegment",
+          concat_ws("|", $"c_custkey".cast("string"), $"c_name",
+            $"c_acctbal".cast("decimal(18,2)").cast("string")))
+        .orderBy($"c_mktsegment")
+    }, oracle = Some("""
+      WITH rows_ AS (
+        SELECT c_mktsegment,
+          CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+            CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS row_str
+        FROM customer),
+      hs AS (
+        SELECT c_mktsegment,
+          ('0x' || substr(md5(row_str), 1, 16))::UBIGINT::HUGEINT AS h
+        FROM rows_),
+      agg AS (
+        SELECT c_mktsegment, count(*) AS n_rows,
+          sum(h) % CAST('18446744073709551616' AS HUGEINT) AS cs
+        FROM hs GROUP BY c_mktsegment)
+      SELECT c_mktsegment, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(cs // 4294967296 AS BIGINT) AS checksum_hi,
+        CAST(cs % 4294967296 AS BIGINT) AS checksum_lo
+      FROM agg ORDER BY c_mktsegment""")),
+
+    // Integer-exact PageRank (Graph.pageRankPpm) over the symmetric
+    // customer-supplier trade graph (48.5k edges, 1.6k nodes at the gate
+    // SF). All-integer update (contrib = rank div outdeg, next = 150000
+    // + 850000*sum div 10^6), so ten unrolled iterations replay
+    // bit-for-bit in SQL — float PageRank never does (partial-sum order
+    // moves the low bits). Iteration shuffles carry (node, long) only,
+    // lineage cut per round: the d07 label-propagation posture.
+    QuerySpec("p14_pagerank", (s, dir) => {
+      import s.implicits._
+      val raw = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+        .join(Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
+      val edges = raw
+        .select($"c".as("src"), ($"s" + 1000000L).as("dst"))
+        .unionByName(raw.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
+      Graph.pageRankPpm(edges, iters = 10)
+        .select($"node", $"rank_ppm").orderBy($"node")
+    }, oracle = Some("""
+
+      WITH raw AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT c AS src, s + 1000000 AS dst FROM raw
+        UNION ALL SELECT s + 1000000 AS src, c AS dst FROM raw),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+      r1 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r0 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r2 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r1 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r3 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r2 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r4 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r3 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r5 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r4 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r6 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r5 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r7 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r6 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r8 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r7 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r9 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r8 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      r10 AS (
+        SELECT e.dst AS node,
+          150000 + (850000 * sum(p.r // d.deg)) // 1000000 AS r
+        FROM edges e JOIN r9 p ON p.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst)
+      SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM r10
+      ORDER BY node""")),
 
     // Unigram surprisal quality scoring (TextAnalysis.unigramSurprisal):
     // per-token -ln p quantized to integer micros before any reduction,
@@ -1662,6 +1826,137 @@ object PipelineQueries {
       SELECT r.rank, r.vec_id, round(p.qcos, 9) AS qcos
       FROM ranked r JOIN pool p ON p.id = r.vec_id
       ORDER BY r.rank""")),
+
+    // Retrieval-quality evaluation (Similarity.evalRetrieval): recall@10
+    // and MRR of the PQ compressed-domain searcher (s09's ADC shortlist,
+    // no over-retrieve) against exact batchTopK ground truth. Integer-ppm
+    // metrics replay exactly; at the gate SF the PQ recall genuinely
+    // ranges 0.0–0.5 across probes (8 codes can't preserve a 64-dim
+    // top-10), including the zero-hit MRR=0 branch — the eval is
+    // informative, not a tautology. Probe loop is driver-side over the
+    // bounded probe set (5); each pqTopK is one distributed scan.
+    QuerySpec("s12_retrieval_eval", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val embs = Tables.load(s, dir, "embeddings")
+      val corpus = embs.filter($"vec_id" >= 5)
+      val probes = embs.filter($"vec_id" < 5)
+      val probeRows = probes.select($"vec_id", $"embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val retrieved = probeRows.map { case (qid, qv) =>
+        Similarity.pqTopK(corpus, "vec_id", "embedding", qv,
+            k = 10, m = 8, ksub = 16, shortlist = 10)
+          .withColumn("q_id", lit(qid))
+      }.reduce(_ unionByName _)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
+          .cast("long"))
+      val truth = Similarity.batchTopK(corpus, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 10)
+      Similarity.evalRetrieval(
+          retrieved.select($"q_id", $"rank", $"vec_id"),
+          truth.select($"q_id", $"rank", $"vec_id"), k = 10)
+        .orderBy($"q_id")
+    }, oracle = Some("""
+      WITH probes AS (
+        SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 5),
+      t_scored AS (
+        SELECT p.q_id, e.vec_id,
+          row_number() OVER (PARTITION BY p.q_id ORDER BY
+            list_aggregate(list_transform(list_zip(e.embedding, p.qe),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+            (sqrt(list_aggregate(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+             sqrt(list_aggregate(list_transform(p.qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) DESC,
+            e.vec_id) AS rn
+        FROM embeddings e, probes p WHERE e.vec_id >= 5),
+      truth AS (SELECT q_id, vec_id FROM t_scored WHERE rn <= 10),
+      cq AS (
+        SELECT vec_id,
+          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
+                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id >= 5)),
+      pqv AS (
+        SELECT vec_id AS q_id,
+          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
+                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id < 5)),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cvec
+        FROM cq ORDER BY vec_id LIMIT 16),
+      subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+      asgn AS (
+        SELECT vec_id, j, cidx,
+          row_number() OVER (PARTITION BY vec_id, j ORDER BY
+            list_aggregate(list_transform(list_zip(
+              list_slice(c.q, j * 8 + 1, j * 8 + 8),
+              list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
+              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+            cidx) AS rn
+        FROM cq c, cent ct, subs),
+      codes AS (SELECT vec_id, j, cidx AS code FROM asgn WHERE rn = 1),
+      lut AS (
+        SELECT p.q_id, j, cidx,
+          list_aggregate(list_transform(list_zip(
+            list_slice(p.q, j * 8 + 1, j * 8 + 8),
+            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
+            x -> CAST(x[1] AS BIGINT) * x[2]), 'sum') AS dot,
+          list_aggregate(list_transform(
+            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8),
+            x -> CAST(x AS BIGINT) * x), 'sum') AS nrm
+        FROM pqv p, cent ct, subs),
+      qn AS (SELECT q_id, list_aggregate(list_transform(q,
+               x -> CAST(x AS BIGINT) * x), 'sum') AS qnorm FROM pqv),
+      adc AS (
+        SELECT l.q_id, c.vec_id,
+          CAST(sum(l.dot) AS DOUBLE) /
+            (sqrt(CAST(sum(l.nrm) AS DOUBLE)) *
+             sqrt(CAST(qn.qnorm AS DOUBLE))) AS adc
+        FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cidx
+        JOIN qn ON qn.q_id = l.q_id
+        GROUP BY l.q_id, c.vec_id, qn.qnorm),
+      short AS (
+        SELECT q_id, vec_id,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY adc DESC, vec_id) AS rn
+        FROM adc),
+      refined AS (
+        SELECT s.q_id, s.vec_id,
+          row_number() OVER (PARTITION BY s.q_id ORDER BY
+            list_aggregate(list_transform(list_zip(e.embedding, p.qe),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+            (sqrt(list_aggregate(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+             sqrt(list_aggregate(list_transform(p.qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) DESC,
+            s.vec_id) AS rank
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN probes p ON p.q_id = s.q_id
+        WHERE s.rn <= 10),
+      hits AS (
+        SELECT r.q_id, count(*) AS n_hits, min(r.rank) AS fh
+        FROM refined r JOIN truth t
+          ON r.q_id = t.q_id AND r.vec_id = t.vec_id
+        GROUP BY r.q_id)
+      SELECT qs.q_id,
+        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm,
+        CAST(CASE WHEN h.fh IS NULL THEN 0
+             ELSE 1000000 // h.fh END AS BIGINT) AS mrr_ppm
+      FROM (SELECT DISTINCT q_id FROM refined) qs
+      LEFT JOIN hits h ON qs.q_id = h.q_id
+      ORDER BY qs.q_id""")),
 
     // kNN label classification: majority vote over each probe's 10
     // nearest neighbors (batchTopK reused — one corpus pass for the whole
