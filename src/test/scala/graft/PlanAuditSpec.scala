@@ -356,6 +356,52 @@ class PlanAuditSpec extends AnyFunSuite {
       "scan did not use the bucketed layout")
   }
 
+  test("p14 PageRank: lineage stays constant across iterations and each " +
+      "iteration's exchanges carry only (node, long) longs") {
+    import spark.implicits._
+    def ring(n: Int): DataFrame =
+      (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    // localCheckpoint must cut lineage every iteration: 2 vs 10
+    // iterations must yield the SAME optimized-plan size (the plan reads
+    // the final checkpointed RDD, it does not replay the loop)
+    def planNodes(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case n => n }.size
+    val short = graft.operators.Graph.pageRankPpm(ring(8), iters = 2)
+    val long = graft.operators.Graph.pageRankPpm(ring(8), iters = 10)
+    assert(planNodes(short) == planNodes(long),
+      s"lineage grew with iterations: ${planNodes(short)} vs " +
+        s"${planNodes(long)} nodes — localCheckpoint regression")
+    assert(shuffles(long).isEmpty, "post-loop plan must read the " +
+      "checkpointed ranks, not re-shuffle")
+    // a symmetric ring is rank-uniform: every node sits at the 10^6
+    // fixpoint exactly (integer arithmetic makes this precise)
+    assert(long.as[(Long, Long)].collect().forall(_._2 == 1000000L))
+
+    // white-box replica of one iteration (the exact join+agg the loop
+    // builds): every exchange ships at most two columns, all LongType
+    val e = ring(8)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val ranks = e.select($"src".as("node")).distinct()
+      .withColumn("rank_ppm", lit(1000000L))
+    val round = e.join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(deg, "src")
+      .select($"dst".as("node"), expr("rank_ppm div deg").as("c"))
+      .groupBy($"node").agg(sum($"c").as("s"))
+      .select($"node",
+        (lit(150000L) + expr("(850000 * s) div 1000000")).as("rank_ppm"))
+    val ex = shuffles(round)
+    assert(ex.nonEmpty)
+    ex.foreach { x =>
+      val out = x.child.output
+      assert(out.size <= 2, s"iteration exchange ships ${out.size} " +
+        s"columns: ${out.map(_.name).mkString(", ")}")
+      assert(out.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType),
+        s"iteration exchange ships non-long payload: ${out.map(a =>
+          s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
+    }
+  }
+
   test("s11 filtered ANN pre-filters: label pushed to the scan, metadata " +
       "ids broadcast, result is TakeOrderedAndProject") {
     val df = SparkEntry.queries("s11_filtered_ann")(spark, dir)
