@@ -35,7 +35,10 @@ object Graph {
     */
   def pageRankPpm(edges: DataFrame, iters: Int = 10,
       dampingPpm: Long = 850000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // the edge list is loop-invariant: materialize it ONCE — without
+    // this every iteration re-evaluates whatever plan produced the
+    // edges (a join + distinct here costs more than the iteration)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))

@@ -96,6 +96,30 @@ object EngineQueries {
     // insert a new one; only delta-touched partitions are republished.
     // The oracle reconstructs the post-upsert dimension relationally from
     // the customer fixture.
+    // Schema evolution through the packet engine (packets/
+    // test_add_column): ADD COLUMN + computed backfill as copy-on-write
+    // (parquet cannot backfill in place), single-pass fail-loud
+    // validation before the swap (the w01 rule). The oracle recomputes
+    // the widened table from the supplier fixture.
+    QuerySpec("w05_add_column_backfill", (s, dir) => {
+      Tables.registerAll(s, dir)
+      val conf = RunnerConf(
+        stateDir = Files.createTempDirectory("graft-w05-state").toString,
+        placeholders = Map(
+          "evo_src" -> Files.createTempDirectory("graft-w05-src").toString,
+          "evo_dst" -> Files.createTempDirectory("graft-w05-dst").toString))
+      val res = new PacketRunner(s, conf).run(s"$packetsDir/test_add_column")
+      require(res.resultCode("spark") == "success",
+        s"add-column packet failed: ${res.notices.mkString("; ")}")
+      s.sql("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal, acct_band
+               FROM evo_tbl ORDER BY s_suppkey""")
+    }, oracle = Some("""
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        CASE WHEN s_acctbal < 0 THEN 'neg'
+             WHEN s_acctbal < 5000 THEN 'mid'
+             ELSE 'high' END AS acct_band
+      FROM supplier ORDER BY s_suppkey""")),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       val conf = RunnerConf(

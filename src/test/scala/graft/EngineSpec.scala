@@ -489,4 +489,30 @@ class EngineSpec extends AnyFunSuite {
     val rs = res.resultData("spark")("01_step.sql").head
     assert(rs.rows.head == Seq("alice", 42))
   }
+
+  test("add-column validation FAILS the packet before the swap when the " +
+      "backfill leaves a NULL band") {
+    // same fail-loud contract as the w01 migration: the 02 validation
+    // step must raise on a corrupt widened table so the 03 swap never
+    // publishes it
+    Tables.registerAll(spark, fixtures)
+    val dir = copyPacket("packets/test_add_column")
+    Files.writeString(java.nio.file.Paths.get(dir, "01b_step.sql"),
+      """INSERT INTO evo_tbl_new
+        |SELECT CAST(1000000 AS BIGINT), 'planted', CAST(0 AS BIGINT),
+        |  CAST(0.0 AS DOUBLE), CAST(NULL AS STRING);""".stripMargin)
+    val conf = RunnerConf(stateDir = tmpState(), placeholders = Map(
+      "evo_src" -> Files.createTempDirectory("graft-evof-src").toString,
+      "evo_dst" -> Files.createTempDirectory("graft-evof-dst").toString))
+    val res = new PacketRunner(spark, conf).run(dir)
+    assert(res.resultCode("spark") == "fail")
+    res.stepResults("spark").get("02_step.sql") match {
+      case Some(StepOutcome.Failed(err)) =>
+        assert(err.contains("add-column validation failed"), err)
+      case other => fail(s"expected the validation step to fail, got $other")
+    }
+    // the swap never ran: the published table still lacks the new column
+    assert(!spark.table("evo_tbl").columns.contains("acct_band"),
+      "03_step must not swap after a failed validation")
+  }
 }
