@@ -309,6 +309,50 @@ object MediaCodec {
     new GenericArrayData(out)
   }
 
+  /** Decimation resample of a PCM16 mono WAV: keep every `factor`-th
+    * sample (the integer-rate downsample every audio pipeline runs
+    * before feature extraction; no interpolation filter, so every kept
+    * sample is a SOURCE sample and the result replays exactly).
+    * Returns [n_kept, energy, peak] over the decimated signal — exact
+    * in Long. Same RIFF chunk walk as [[wavFrameEnergies]]; null on
+    * malformed input. */
+  def wavDecimateStats(payload: Array[Byte], factor: Int): Any = {
+    if (payload.length < 12 || !tagAt(payload, 0, "RIFF") ||
+        !tagAt(payload, 8, "WAVE")) return null
+    var off = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= payload.length && dataOff < 0) {
+      val size = leInt(payload, off + 4)
+      if (size < 0 || off + 8 + size > payload.length) return null
+      if (tagAt(payload, off, "fmt ")) {
+        fmtOk = size >= 16 && leShort(payload, off + 8) == 1 &&
+          leShort(payload, off + 10) == 1 && leShort(payload, off + 22) == 16
+        if (!fmtOk) return null
+      } else if (tagAt(payload, off, "data")) {
+        dataOff = off + 8
+        dataLen = size
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (!fmtOk || dataOff < 0 || dataLen % 2 != 0 || factor <= 0) return null
+    val n = dataLen / 2
+    var kept = 0L
+    var energy = 0L
+    var peak = 0L
+    var i = 0
+    while (i < n) {
+      val s = (leShort(payload, dataOff + 2 * i) << 16) >> 16
+      kept += 1
+      energy += s.toLong * s
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      i += factor
+    }
+    new GenericArrayData(Array(kept, energy, peak))
+  }
+
   /** Per-frame integer energies of a PCM16 mono WAV, keeping every
     * `stride`-th frame of `frameLen` samples (the trailing partial frame
     * counts): energy_f = Σ s_i² over frame f — exact in Long (≤ 2^30 per
@@ -444,6 +488,27 @@ case class PpmResize(child: Expression, tw: Int, th: Int)
     copy(child = newChild)
 }
 
+/** WAV payload → [n_kept, energy, peak] of the decimated signal; null
+  * on malformed input. */
+case class WavDecimateStats(child: Expression, factor: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "wav_decimate_stats"
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaCodec.wavDecimateStats(v.asInstanceOf[Array[Byte]], factor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("decR")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = graft.operators.MediaCodec.wavDecimateStats($c, $factor);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WavDecimateStats =
+    copy(child = newChild)
+}
+
 /** WAV payload → kept-frame energies; null on malformed input. */
 case class WavFrameEnergies(child: Expression, frameLen: Int, stride: Int)
     extends UnaryExpression {
@@ -503,4 +568,7 @@ object MediaCodecColumns {
   def wavFrameZcrPeak(payload: Column, frameLen: Int): Column =
     ColumnBridge.column(WavFrameZcrPeak(
       ColumnBridge.expression(payload), frameLen))
+  def wavDecimateStats(payload: Column, factor: Int): Column =
+    ColumnBridge.column(WavDecimateStats(
+      ColumnBridge.expression(payload), factor))
 }

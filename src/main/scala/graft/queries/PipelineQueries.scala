@@ -2331,6 +2331,54 @@ object PipelineQueries {
       FROM lagged GROUP BY media_id, i // 64
       ORDER BY media_id, frame_idx""")),
 
+    // m06: audio resample — decimation (keep every 4th PCM16 sample, no
+    // interpolation filter, so every kept sample is a SOURCE sample and
+    // the decimated-signal stats replay exactly from the md5-derived
+    // byte stream). The audio twin of m05's image resize: together they
+    // complete decode/feature/resize-resample/frame-sample over both
+    // modalities. Partition-local, zero shuffle.
+    QuerySpec("m06_audio_resample", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaCorpus(
+        Tables.load(s, dir, "documents").filter($"doc_id" < 200))
+      media.filter($"format" === "wav")
+        .select($"media_id",
+          MediaCodecColumns.wavDecimateStats($"payload", 4).as("st"))
+        .select($"media_id",
+          element_at($"st", 1).as("n_kept"),
+          element_at($"st", 2).as("energy"),
+          element_at($"st", 3).as("peak"))
+        .orderBy($"media_id")
+    }, oracle = Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, 256 + (doc_id % 256) AS n
+        FROM documents WHERE doc_id % 2 = 1 AND doc_id < 200),
+      blocks AS (
+        SELECT media_id, n, unnest(generate_series(0,
+          CAST(ceil(n * 2 / 16.0) AS BIGINT) - 1)) AS b
+        FROM media),
+      bj AS (SELECT media_id, n, b, unnest(generate_series(0, 15)) AS j
+             FROM blocks),
+      bytes AS (
+        SELECT media_id, n, b * 16 + j AS p,
+          ('0x' || substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+             CAST(b AS VARCHAR)), CAST(j * 2 + 1 AS INTEGER), 2))::UBIGINT AS v
+        FROM bj WHERE b * 16 + j < n * 2),
+      samples AS (
+        SELECT media_id, CAST(floor(p / 2) AS BIGINT) AS i,
+          CAST(sum(CASE WHEN p % 2 = 0 THEN v ELSE 256 * v END) AS BIGINT)
+            AS raw
+        FROM bytes GROUP BY media_id, CAST(floor(p / 2) AS BIGINT)),
+      sgn AS (
+        SELECT media_id, i,
+          CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+        FROM samples),
+      dec AS (SELECT media_id, s FROM sgn WHERE i % 4 = 0)
+      SELECT media_id, CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(sum(s * s) AS BIGINT) AS energy,
+        CAST(max(abs(s)) AS BIGINT) AS peak
+      FROM dec GROUP BY media_id ORDER BY media_id""")),
+
     // m05: image resize — nearest-neighbor downsample of the decoded P6
     // pixels to a fixed 4×4 thumbnail (the preprocessing step every
     // vision-training pipeline runs before batching). Target pixel

@@ -137,6 +137,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaExpr == direct)
   }
 
+  test("WAV decimation: factor-1 is identity vs full-signal stats, " +
+      "known stride, malformed → null") {
+    val id = 9L
+    val payload = MediaCodec.wavPayload(id)
+    val n = MediaCodec.wavSamples(id)
+    // brute-force samples from the canonical layout
+    val samples = (0 until n).map { i =>
+      ((payload(44 + 2 * i) & 0xFF) | (payload(45 + 2 * i) << 8)).toShort.toLong
+    }
+    def stats(factor: Int) = MediaCodec.wavDecimateStats(payload, factor)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val full = stats(1)
+    assert(full(0) == n && full(1) == samples.map(s => s * s).sum &&
+      full(2) == samples.map(math.abs).max)
+    val dec = stats(4)
+    val kept = samples.grouped(4).map(_.head).toSeq
+    assert(dec(0) == kept.length && dec(1) == kept.map(s => s * s).sum &&
+      dec(2) == kept.map(math.abs).max)
+    assert(MediaCodec.wavDecimateStats(payload.dropRight(1), 4) == null)
+    assert(MediaCodec.wavDecimateStats("RIFFjunk".getBytes, 4) == null)
+  }
+
   test("WAV demux walks the chunk list like a real parser") {
     val id = 7L
     val canonical = MediaCodec.wavPayload(id)
