@@ -193,4 +193,30 @@ class EnginePropertySpec extends AnyFunSuite {
           s"k=$k splits=$nSplits items=$items")
     }
   }
+
+  test("KMinLongs: any partition split + merge order equals the whole-" +
+      "multiset k-min sketch (KMV union correctness, incl. duplicates)") {
+    import graft.functions.KMinLongs
+    def ult(a: Long, b: Long) = java.lang.Long.compareUnsigned(a, b) < 0
+    // values from a small domain spanning the signed/unsigned boundary
+    // so duplicates and negative (= high unsigned) longs are common
+    val valGen = Gen.oneOf(
+      Gen.chooseNum(0L, 20L),
+      Gen.chooseNum(Long.MinValue, Long.MinValue + 20L))
+    val listGen = Gen.chooseNum(0, 50).flatMap(n => Gen.listOfN(n, valGen))
+    forAll(Gen.zip(listGen, Gen.chooseNum(1, 6), Gen.chooseNum(1, 9)), 200) {
+      case (items, nSplits, k) =>
+        val agg = new KMinLongs(k)
+        // reference: the k smallest DISTINCT values under unsigned order
+        // of the WHOLE multiset — duplicates must collapse inside the
+        // sketch (sketch of a multiset == sketch of its support set)
+        val expect = items.distinct.sortWith(ult).take(k)
+        val shards = items.zipWithIndex
+          .groupBy(_._2 % nSplits).values.map(_.map(_._1))
+        val partials = shards.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = partials.foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(merged) == expect,
+          s"k=$k splits=$nSplits items=$items")
+    }
+  }
 }
