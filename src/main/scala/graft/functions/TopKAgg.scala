@@ -50,3 +50,39 @@ class TopKByScore(k: Int)
   override def outputEncoder: Encoder[Seq[ScoredId]] =
     ExpressionEncoder[Seq[ScoredId]]()
 }
+
+/** A scored candidate CARRYING its stored vector — the payload variant
+  * used by the PQ shortlist heap: FAISS's refine step re-scores the
+  * shortlist with the exact vector, and carrying the vector through the
+  * bounded heap is what keeps the corpus read-once (a post-shortlist
+  * join back to the corpus would be a second full scan). Ordering is
+  * identical to [[ScoredId]]: score DESC, id ASC. */
+final case class ScoredVec(score: Double, id: Long, vec: Seq[Float])
+
+/** Bounded top-k with a vector payload — same shape and NaN contract as
+  * [[TopKByScore]]; the partial keeps at most k (score, id, vec) triples
+  * per group per partition, so the shuffle per query is k·partitions
+  * (score, id, dim-float) rows instead of the whole scored corpus. */
+class TopKByScoreVec(k: Int)
+    extends Aggregator[ScoredVec, Seq[ScoredVec], Seq[ScoredVec]] {
+
+  private def better(a: ScoredVec, b: ScoredVec): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[ScoredVec] = Seq.empty
+
+  override def reduce(buf: Seq[ScoredVec], x: ScoredVec): Seq[ScoredVec] =
+    if (x.score.isNaN) buf
+    else if (buf.size >= k && !better(x, buf.last)) buf
+    else ((buf :+ x).sortWith(better)).take(k)
+
+  override def merge(a: Seq[ScoredVec], b: Seq[ScoredVec]): Seq[ScoredVec] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(r: Seq[ScoredVec]): Seq[ScoredVec] = r
+
+  override def bufferEncoder: Encoder[Seq[ScoredVec]] =
+    ExpressionEncoder[Seq[ScoredVec]]()
+  override def outputEncoder: Encoder[Seq[ScoredVec]] =
+    ExpressionEncoder[Seq[ScoredVec]]()
+}

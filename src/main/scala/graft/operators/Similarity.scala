@@ -266,10 +266,21 @@ object Similarity {
     * @return (idCol, cos) — k rows, descending exact cosine over the
     *         ADC shortlist
     */
-  def pqTopK(
-      embs: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, m: Int = 8, ksub: Int = 16,
-      shortlist: Int = 100): DataFrame = {
+  // ingest-time staging for PQ codebooks — one derivation job per
+  // (session, key, m, ksub), the ivfCache pattern: a PQ query pays one
+  // scan of the CODES, it does not re-derive the quantizer. Bounded LRU
+  // for the same reason as ivfCache (identityHashCode key, no session pin).
+  private val PqCacheCap = 8
+  private val pqCache =
+    new java.util.LinkedHashMap[(Int, String, Int, Int), Array[Array[Array[Int]]]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Int, Int), Array[Array[Array[Int]]]])
+          : Boolean = size() > PqCacheCap
+    }
+
+  private def pqDerive(embs: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Array[Array[Array[Int]]] = {
     val sample: Array[Array[Int]] = embs.orderBy(col(idCol)).limit(ksub)
       .select(VectorFunctions.int8Quantize(col(vecCol)).as("q"))
       .collect().map(_.getSeq[Int](0).toArray)
@@ -277,8 +288,35 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     // codebooks(j): the ksub candidate subvectors for subspace j
-    val codebooks: Array[Array[Array[Int]]] =
-      Array.tabulate(m)(j => sample.map(_.slice(j * sub, (j + 1) * sub)))
+    Array.tabulate(m)(j => sample.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** PQ codebooks: the int8-quantized subvectors of the `ksub` smallest
+    * corpus ids (seeded sampled-points init — zero Lloyd iterations).
+    * With `indexKey` the derivation runs once per session and is reused
+    * by every subsequent probe (the codebook is an ingest-time artifact,
+    * like s03's list assignment — a query must never pay for it). */
+  def pqCodebooks(embs: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, indexKey: Option[String] = None)
+      : Array[Array[Array[Int]]] = indexKey match {
+    case None => pqDerive(embs, idCol, vecCol, m, ksub)
+    case Some(key) =>
+      val ck = (System.identityHashCode(embs.sparkSession), key, m, ksub)
+      val cached = pqCache.synchronized(Option(pqCache.get(ck)))
+      cached.getOrElse {
+        val built = pqDerive(embs, idCol, vecCol, m, ksub)
+        pqCache.synchronized {
+          Option(pqCache.get(ck)).getOrElse { pqCache.put(ck, built); built }
+        }
+      }
+  }
+
+  def pqTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, m: Int = 8, ksub: Int = 16,
+      shortlist: Int = 100, indexKey: Option[String] = None): DataFrame = {
+    val codebooks = pqCodebooks(embs, idCol, vecCol, m, ksub, indexKey)
+    val sub = codebooks.head.head.length
     val q = array(query.map(v => lit(v)): _*)
     val qq: Array[Int] = embs.sparkSession.range(1)
       .select(VectorFunctions.int8Quantize(q).as("qq")).head()
@@ -323,6 +361,109 @@ object Similarity {
       .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** BATCHED product-quantization search — the shape a production ANN
+    * index actually serves: probes arrive as a SET, and the whole set is
+    * answered by ONE scan of the PQ codes (vs. [[pqTopK]] in a loop =
+    * one corpus scan per probe — q scans for q probes, wrong at 100 TB).
+    *
+    * One-pass construction, per stage:
+    *  - the codebook derives ONCE (cached via `indexKey` like the IVF
+    *    centroids — an ingest-time artifact);
+    *  - every probe's ADC dot-LUT (m·ksub longs) and norm are computed
+    *    on the driver from one bounded probe-quantization job, then ride
+    *    a BROADCAST (q_id, lut, qnorm) relation — the corpus side never
+    *    shuffles;
+    *  - the corpus encodes once (`m` argmin codes per row), each row
+    *    scores against every probe's LUT via the broadcast nested-loop,
+    *    and the per-probe ADC shortlist accumulates in
+    *    [[graft.functions.TopKByScoreVec]] — a bounded heap whose
+    *    map-side partial keeps ≤ shortlist candidates per (probe,
+    *    partition), the stored vector riding the heap (FAISS's refine)
+    *    so no second corpus pass is needed to re-score;
+    *  - the exploded shortlists (shortlist·q rows total) re-score with
+    *    the exact float cosine against the broadcast probe vectors and
+    *    the final top-k re-ranks through the s04 [[TopKByScore]] udaf.
+    *
+    * Arithmetic is stage-for-stage identical to [[pqTopK]] (same integer
+    * LUT sums, same double division, same DESC/id tie-breaks), so the
+    * per-probe results match the looped form bit-for-bit and the same
+    * SQL oracle replays it.
+    *
+    * @return (q_id, rank, idCol, cos) with rank 1..k per probe
+    */
+  def pqBatchTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      k: Int, m: Int = 8, ksub: Int = 16, shortlist: Int = 100,
+      indexKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebooks = pqCodebooks(corpus, corpusId, corpusVec, m, ksub, indexKey)
+    val sub = codebooks.head.head.length
+    // one bounded job quantizes the probe set with the engine's own
+    // Int8Quantize expression (bit-identical to the corpus path); the
+    // per-probe LUTs are then pure integer folds on the driver
+    val probeQ: Array[(Long, Array[Int])] = probes
+      .select(col(probeId).cast("long"),
+        VectorFunctions.int8Quantize(col(probeVec)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+    val lutRows: Seq[(Long, Seq[Seq[Long]], Long)] = probeQ.toSeq.map {
+      case (qid, qq) =>
+        val dot: Seq[Seq[Long]] = (0 until m).map { j =>
+          codebooks(j).toSeq.map { c =>
+            var s = 0L; var i = 0
+            while (i < sub) { s += qq(j * sub + i).toLong * c(i); i += 1 }
+            s
+          }
+        }
+        val qn = qq.foldLeft(0L)((acc, x) => acc + x.toLong * x)
+        (qid, dot, qn)
+    }
+    val lutDf = lutRows.toDF("q_id", "__dot", "__qn")
+    // probe-INDEPENDENT pieces, evaluated once per corpus row before the
+    // probe fan-out: the m codes and the reconstruction-norm LUT sum
+    val nrmLut: Array[Array[Long]] = Array.tabulate(m) { j =>
+      codebooks(j).map(c => c.foldLeft(0L)((s, x) => s + x.toLong * x))
+    }
+    val qvec = VectorFunctions.int8Quantize(col(corpusVec))
+    val codeCols = (0 until m).map { j =>
+      VectorFunctions.int8NearestList(
+        slice(qvec, j * sub + 1, sub), codebooks(j))
+    }
+    def lutSum(lut: Column): Column = aggregate(
+      zip_with(lut, col("__codes"), (row, c) => element_at(row, c + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val nrmLit = array(nrmLut.map(row => array(row.map(lit): _*)): _*)
+    val topShort = udaf(new graft.functions.TopKByScoreVec(shortlist))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val qv = probes.select(col(probeId).cast("long").as("q_id"),
+      col(probeVec).as("__qv"))
+    corpus
+      .withColumn("__codes", array(codeCols: _*))
+      .select(col(corpusId).cast("long").as("id"), col(corpusVec).as("__v"),
+        lutSum(nrmLit).as("__nrm"), col("__codes"))
+      .crossJoin(broadcast(lutDf))
+      .select(col("q_id"),
+        (lutSum(col("__dot")).cast("double") /
+          (sqrt(col("__nrm").cast("double")) *
+           sqrt(col("__qn").cast("double")))).as("score"),
+        col("id"), col("__v").as("vec"))
+      .groupBy(col("q_id"))
+      // the udaf takes the ScoredVec FIELDS as its argument list
+      .agg(topShort(col("score"), col("id"), col("vec")).as("cand"))
+      .select(col("q_id"), explode(col("cand")).as("s"))
+      .select(col("q_id"), col("s.id").as("id"), col("s.vec").as("vec"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"),
+        VectorFunctions.cosine(col("vec"), col("__qv")).as("score"),
+        col("id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank", "s")))
+      .select(col("q_id"), (col("rank") + 1).cast("long").as("rank"),
+        col("s.id").as(corpusId), col("s.score").as("cos"))
   }
 
   /** Exact top-k over int8-QUANTIZED vectors: the storage/bandwidth
@@ -444,8 +585,10 @@ object Similarity {
     *
     * Scale shape: both inputs are k·|queries| rows (the corpus scan
     * already happened inside the searchers), so the join is tiny; the
-    * left join keeps zero-hit queries visible instead of dropping them —
-    * a silent drop would overstate the index. */
+    * output row set is the UNION of truth-side and retrieved-side query
+    * ids, so a probe whose searcher returned ZERO rows still surfaces as
+    * a recall_ppm=0 row (basing rows on `retrieved` alone would silently
+    * drop empty retrievals and overstate the index). */
   def evalRetrieval(retrieved: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val r = retrieved.select(col("q_id"), col("rank"), col("vec_id")).alias("r")
     val t = truth.select(col("q_id"), col("vec_id")).alias("t")
@@ -454,7 +597,7 @@ object Similarity {
         col("r.vec_id") === col("t.vec_id"))
       .groupBy(col("r.q_id").as("q_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("r.rank")).as("__fh"))
-    retrieved.select(col("q_id")).distinct()
+    truth.select(col("q_id")).union(retrieved.select(col("q_id"))).distinct()
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -1833,24 +1833,17 @@ object PipelineQueries {
     // metrics replay exactly; at the gate SF the PQ recall genuinely
     // ranges 0.0–0.5 across probes (8 codes can't preserve a 64-dim
     // top-10), including the zero-hit MRR=0 branch — the eval is
-    // informative, not a tautology. Probe loop is driver-side over the
-    // bounded probe set (5); each pqTopK is one distributed scan.
+    // informative, not a tautology. The whole probe set is served by
+    // pqBatchTopK: ONE corpus scan (codes + broadcast per-probe LUTs),
+    // not one scan per probe (plan-asserted in PlanAuditSpec).
     QuerySpec("s12_retrieval_eval", (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val embs = Tables.load(s, dir, "embeddings")
       val corpus = embs.filter($"vec_id" >= 5)
       val probes = embs.filter($"vec_id" < 5)
-      val probeRows = probes.select($"vec_id", $"embedding")
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      val retrieved = probeRows.map { case (qid, qv) =>
-        Similarity.pqTopK(corpus, "vec_id", "embedding", qv,
-            k = 10, m = 8, ksub = 16, shortlist = 10)
-          .withColumn("q_id", lit(qid))
-      }.reduce(_ unionByName _)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id"))
-          .cast("long"))
+      val retrieved = Similarity.pqBatchTopK(corpus, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 10, m = 8, ksub = 16,
+        shortlist = 10)
       val truth = Similarity.batchTopK(corpus, "vec_id", "embedding",
         probes, "vec_id", "embedding", k = 10)
       Similarity.evalRetrieval(
@@ -1954,7 +1947,7 @@ object PipelineQueries {
         CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm,
         CAST(CASE WHEN h.fh IS NULL THEN 0
              ELSE 1000000 // h.fh END AS BIGINT) AS mrr_ppm
-      FROM (SELECT DISTINCT q_id FROM refined) qs
+      FROM (SELECT q_id FROM truth UNION SELECT q_id FROM refined) qs
       LEFT JOIN hits h ON qs.q_id = h.q_id
       ORDER BY qs.q_id""")),
 

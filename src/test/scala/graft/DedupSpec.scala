@@ -595,6 +595,54 @@ class DedupSpec extends AnyFunSuite {
     assert(full == exact, "shortlist = corpus PQ must equal brute force")
   }
 
+  test("pqBatchTopK matches the per-probe pqTopK loop bit-for-bit") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val corpus = embs.filter($"vec_id" >= 5)
+    val probes = embs.filter($"vec_id" < 5)
+    val batch = Similarity.pqBatchTopK(corpus, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 10, m = 8, ksub = 16,
+        shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val looped = probes.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .flatMap { case (qid, qv) =>
+        Similarity.pqTopK(corpus, "vec_id", "embedding", qv,
+            k = 10, m = 8, ksub = 16, shortlist = 30)
+          .collect().zipWithIndex.map { case (r, i) =>
+            (qid, i + 1L, r.getLong(0), r.getDouble(1)) }
+      }.toSet
+    assert(batch == looped,
+      s"batch - looped: ${batch -- looped}\nlooped - batch: ${looped -- batch}")
+  }
+
+  test("PQ codebooks are staged once per session key (no per-probe re-derive)") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "embeddings").filter($"vec_id" =!= 0)
+    val c1 = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 8, 16,
+      Some("pq-staging-test"))
+    val c2 = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 8, 16,
+      Some("pq-staging-test"))
+    assert(c1 eq c2, "same (session, key, m, ksub) must reuse the codebook")
+  }
+
+  test("evalRetrieval surfaces probes with ZERO retrieved rows as recall 0") {
+    import spark.implicits._
+    // probe 2 has gold rows but the searcher returned nothing for it —
+    // the metric row must still appear (recall_ppm = 0, mrr_ppm = 0)
+    val retrieved = Seq((1L, 1L, 10L), (1L, 2L, 11L))
+      .toDF("q_id", "rank", "vec_id")
+    val truth = Seq((1L, 1L, 10L), (2L, 1L, 20L), (2L, 2L, 21L))
+      .toDF("q_id", "rank", "vec_id")
+    val out = Similarity.evalRetrieval(retrieved, truth, k = 2)
+      .orderBy($"q_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 500000L, 1000000L),
+      (2L, 0L, 0L, 0L)), out.toSeq.toString)
+  }
+
   test("IVF index is staged once per session key (no per-query retrain)") {
     import spark.implicits._
     val corpus = Tables.load(spark, dir, "embeddings").filter($"vec_id" =!= 0)

@@ -402,6 +402,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s12/pqBatchTopK serves the whole probe set with ONE corpus scan") {
+    import spark.implicits._
+    // corpus from parquet, probes from a local relation: every
+    // FileSourceScanExec in the final plan is then a corpus read, so
+    // counting them pins "one scan for the whole probe set" directly
+    // (the looped pqTopK form this replaced planned q scans for q probes)
+    val corpus = Tables.load(spark, dir, "embeddings").filter($"vec_id" >= 5)
+    val probeRows = Tables.load(spark, dir, "embeddings")
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probes = probeRows.toSeq.toDF("vec_id", "embedding")
+    val df = Similarity.pqBatchTopK(corpus, "vec_id", "embedding",
+      probes, "vec_id", "embedding", k = 10, m = 8, ksub = 16,
+      shortlist = 10, indexKey = Some("plan-audit-pq"))
+    val scans = allNodes(executedPlan(df)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"expected exactly 1 corpus scan for the whole probe set, got " +
+        s"${scans.size}")
+    // the probe LUTs arrive by broadcast — the corpus side never shuffles
+    // before the bounded shortlist aggregation
+    assert(planString(df).contains("BroadcastNestedLoopJoin"),
+      planString(df).take(3000))
+  }
+
   test("s11 filtered ANN pre-filters: label pushed to the scan, metadata " +
       "ids broadcast, result is TakeOrderedAndProject") {
     val df = SparkEntry.queries("s11_filtered_ann")(spark, dir)
