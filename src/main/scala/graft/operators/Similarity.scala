@@ -311,16 +311,35 @@ object Similarity {
       }
   }
 
+  /** Quantize one query vector with the engine's own Int8Quantize
+    * expression (one 1-row job — bit-identical to the corpus path). */
+  private def quantizeQuery(embs: DataFrame, query: Seq[Float]): Array[Int] =
+    embs.sparkSession.range(1)
+      .select(VectorFunctions.int8Quantize(
+        array(query.map(v => lit(v)): _*)).as("qq")).head()
+      .getSeq[Int](0).toArray
+
   def pqTopK(
       embs: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, m: Int = 8, ksub: Int = 16,
       shortlist: Int = 100, indexKey: Option[String] = None): DataFrame = {
     val codebooks = pqCodebooks(embs, idCol, vecCol, m, ksub, indexKey)
+    pqAdcRefine(embs, idCol, vecCol, codebooks,
+      quantizeQuery(embs, query), query, k, shortlist)
+  }
+
+  /** The PQ serve path shared by [[pqTopK]] and [[ivfPqTopK]]: encode
+    * `scan` with the given (corpus-trained) codebooks, rank by ADC
+    * reconstructed cosine, keep `shortlist`, exact-refine to top k.
+    * `scan` may be the full corpus or an IVF-pruned subset — the
+    * codebooks stay a whole-corpus ingest-time artifact either way. */
+  private def pqAdcRefine(
+      scan: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Int]]], qq: Array[Int],
+      query: Seq[Float], k: Int, shortlist: Int): DataFrame = {
+    val m = codebooks.length
     val sub = codebooks.head.head.length
     val q = array(query.map(v => lit(v)): _*)
-    val qq: Array[Int] = embs.sparkSession.range(1)
-      .select(VectorFunctions.int8Quantize(q).as("qq")).head()
-      .getSeq[Int](0).toArray
     // ADC lookup tables, m·ksub longs each on the driver:
     //   dot(j)(c)  = Σ_i qq_ji · cb_ji   (query ⋅ codebook entry)
     //   nrm(j)(c)  = Σ_i cb_ji²          (reconstruction norm piece)
@@ -350,7 +369,7 @@ object Similarity {
         array(lut.map(row => array(row.map(lit): _*)): _*),
         col("__codes"), (row, c) => element_at(row, c + 1)),
       lit(0L), (acc, x) => acc + x)
-    embs
+    scan
       .withColumn("__codes", array(codeCols: _*))
       .select(col(idCol), col(vecCol),
         (lutSum(dotLut).cast("double") /
@@ -361,6 +380,56 @@ object Similarity {
       .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** IVF×PQ composite ANN — the architecture every large-scale vector
+    * store actually runs (FAISS `IVFx,PQy`): the seeded coarse quantizer
+    * (s03) prunes the corpus to the `nprobe` inverted lists nearest the
+    * query, the PQ code scan (s09) ranks ONLY those survivors by ADC
+    * reconstructed cosine, and the exact float cosine refines the
+    * shortlist. The two stages multiply: at 100 TB the list filter
+    * prunes files (list_id the bucketBy/partition key — nothing outside
+    * the probed lists is read), and what IS read is the m-code column,
+    * not the raw floats — nprobe/nlist × dim·4/m less IO than brute
+    * force.
+    *
+    * Both halves stay exactly their standalone selves: the PQ codebooks
+    * are a WHOLE-corpus ingest-time artifact (re-deriving per probed
+    * subset would mean a per-query training pass — wrong at scale), the
+    * centroid/probe/assignment argmins are exact integer L2, and every
+    * downstream stage is [[pqTopK]]'s arithmetic verbatim — so the
+    * composite inherits a full SQL oracle by concatenating the s03 and
+    * s09 CTEs. Recall < 1.0 by construction (two approximation layers);
+    * degenerates to exact brute force at nprobe=nlist with an exhaustive
+    * shortlist (test-pinned).
+    */
+  def ivfPqTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, shortlist: Int = 100,
+      indexKey: Option[String] = None): DataFrame = {
+    // coarse stage — s03's seeded centroids, integer-exact probe pick
+    val centroids: Array[Array[Int]] = embs.orderBy(col(idCol)).limit(nlist)
+      .select(VectorFunctions.int8Quantize(col(vecCol)).as("q"))
+      .collect().map(_.getSeq[Int](0).toArray)
+    val qq = quantizeQuery(embs, query)
+    def dist2(c: Array[Int]): Long = {
+      var s = 0L; var i = 0
+      while (i < c.length) { val d = (qq(i) - c(i)).toLong; s += d * d; i += 1 }
+      s
+    }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }
+      .take(nprobe).map(x => Integer.valueOf(x._2)).toSeq
+    val survivors = embs
+      .withColumn("__list_id", VectorFunctions.int8NearestList(
+        VectorFunctions.int8Quantize(col(vecCol)), centroids))
+      .filter(col("__list_id").isin(probed: _*))
+      .drop("__list_id")
+    // compressed stage — s09's ADC scan + refine over the survivors,
+    // codebooks trained on the FULL corpus (ingest-time artifact)
+    val codebooks = pqCodebooks(embs, idCol, vecCol, m, ksub, indexKey)
+    pqAdcRefine(survivors, idCol, vecCol, codebooks, qq, query, k, shortlist)
   }
 
   /** BATCHED product-quantization search — the shape a production ANN

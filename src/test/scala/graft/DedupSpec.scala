@@ -595,6 +595,33 @@ class DedupSpec extends AnyFunSuite {
     assert(full == exact, "shortlist = corpus PQ must equal brute force")
   }
 
+  test("IVF×PQ composite: recall vs brute force; exhaustive settings are exact") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", q,
+        k = 20, nlist = 16, nprobe = 4, m = 8, ksub = 16, shortlist = 50)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF×PQ recall $recall too low")
+    // the composite prunes twice, so it can never beat its PQ half run
+    // with the same shortlist over the FULL corpus
+    val pqOnly = Similarity.pqTopK(corpus, "vec_id", "embedding", q,
+        k = 20, m = 8, ksub = 16, shortlist = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect approx).size <= (exact intersect pqOnly).size + 2)
+    // probing every list with an exhaustive shortlist degenerates to
+    // brute force: both approximation layers turned off
+    val n = corpus.count().toInt
+    val full = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", q,
+        k = 20, nlist = 16, nprobe = 16, m = 8, ksub = 16, shortlist = n)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact, "nprobe=nlist + shortlist=corpus must equal brute")
+  }
+
   test("pqBatchTopK matches the per-probe pqTopK loop bit-for-bit") {
     import spark.implicits._
     val embs = Tables.load(spark, dir, "embeddings")
