@@ -81,6 +81,59 @@ object EventsStreaming {
       .select(col("doc_id"), col("n_words"), col("quality_score"), col("fp"))
   }
 
+  /** Streaming twin of the d02 MinHash-LSH NEAR-dup (batch
+    * Dedup.minhashLsh): an ingest pipeline that near-dedups in batch but
+    * only exact-dedups its stream silently diverges — this closes that
+    * gap. Emits (w_start, band, doc_id, keep_id): doc_id shares an LSH
+    * band with keep_id (the bucket's min id) inside one event-time
+    * window, i.e. the same band-collision candidate rule as the batch
+    * operator, with the same deterministic keep-lowest winner as d07.
+    *
+    * Shape: the fused tokens→shingles→signature expression runs
+    * per-document (streams untouched), band keys explode to `bands`
+    * (ts, band, id) rows, and ONE windowed aggregation per (window,
+    * band) holds min-id + a CAPPED sorted member list — the only
+    * stateful operator, so append mode emits each bucket exactly once
+    * when the watermark closes its window. Aggregation is commutative,
+    * which makes the result provably ARRIVAL-ORDER-INDEPENDENT
+    * (test-pinned by a shuffled replay), unlike a first-seen-wins
+    * dropDuplicates formulation whose winner depends on replay order.
+    *
+    * Scale posture: state per (window, band) is ≤ cap+2 longs — bounded
+    * by the watermark horizon × band cardinality, never by corpus
+    * history; the text never enters the shuffle (signature rows are
+    * `bands` longs per doc, the d02 posture); a boilerplate band bucket
+    * (every doc sharing one gram) degrades to ONE capped row, not a
+    * quadratic pair blow-up. Singleton buckets emit nothing.
+    */
+  def nearDupBands(docs: DataFrame, tsCol: String,
+      watermark: String = "1 hour", window_ : String = "1 hour",
+      numPerm: Int = 64, bands: Int = 16, cap: Int = 64): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val rowsPerBand = numPerm / bands
+    val wm = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+      else docs
+    val banded = wm.select(col(tsCol), col("doc_id"),
+      explode(Dedup.bandKeys(
+        graft.functions.MinHash.minhashTokensSig(
+          TextAnalysis.tokens(col("text")), 3, numPerm),
+        bands, rowsPerBand)).as("band"))
+    banded
+      .groupBy(window(col(tsCol), window_), col("band"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        // keep-lowest members, capped: sort_array then slice is
+        // deterministic under any arrival order, and bounds a
+        // boilerplate bucket's state/output at cap ids
+        slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("members"))
+      .select(col("window.start").as("w_start"), col("band"),
+        explode(col("members")).as("doc_id"), col("keep_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+  }
+
+  /** One document arrival for the streaming near-dup twin. */
+  final case class DocArrival(doc_id: Long, text: String,
+      ts: java.sql.Timestamp)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class AsOfMatch(user_id: Long, event_id: Long,
