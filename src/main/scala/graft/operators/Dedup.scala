@@ -444,10 +444,20 @@ object Dedup {
     val grams = docs.select(col(idCol).as("id"),
       posexplode(graft.functions.Winnow.gramHashes(tokens(col(textCol)), k))
         .as(Seq("pos", "gh")))
+    // localCheckpoint is load-bearing for the skew posture, not a cache:
+    // left fused with the join, the final HashAggregate feeds the SMJ
+    // directly (its own exchange already clusters by gh), and AQE's
+    // OptimizeSkewedJoin only fires when BOTH join inputs are bare
+    // ENSURE_REQUIREMENTS shuffle stages — so a hot boilerplate gram
+    // would be stuck in ONE reducer with no split. Materializing the
+    // (small, keys-only) dup-gram set forces a fresh exchange on each
+    // side of the join, making the hot partition an AQE skew split
+    // (plan-asserted in PlanAuditSpec).
     val dupGrams = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .select(col("gh"))
+      .localCheckpoint()
     val dupPos = grams.join(dupGrams, "gh")
     dupPos
       .withColumn("island", col("pos") - row_number().over(
@@ -490,11 +500,20 @@ object Dedup {
     val grams = sized.select(col("id"), col("n"),
       posexplode(graft.functions.Winnow.gramHashes(col("tk"), k))
         .as(Seq("pos", "gh")))
-    val freq = grams.groupBy(col("gh"))
+    // keeper election only for DUPLICATED grams: a unique gram needs no
+    // join at all (it is kept by definition), so the joined side is
+    // bounded by the duplication rate, not the gram dictionary. The
+    // localCheckpoint mirrors d08's: it forces ENSURE_REQUIREMENTS
+    // exchanges on both inputs of the left join so a hot boilerplate
+    // gram is an AQE skew split, not a single reducer (plan-asserted).
+    val dupKeep = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("id"), col("pos"))).as("keep"))
-    val kept = grams.join(freq, "gh")
-      .filter(col("cnt") === 1 ||
+      .filter(col("cnt") > 1)
+      .select(col("gh"), col("keep"))
+      .localCheckpoint()
+    val kept = grams.join(dupKeep, Seq("gh"), "left")
+      .filter(col("keep").isNull ||
         (col("id") === col("keep.id") && col("pos") === col("keep.pos")))
     val coverage = kept.select(col("id"),
         explode(sequence(col("pos"),

@@ -402,6 +402,68 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d08 hot boilerplate gram becomes an AQE skew-join split, not a " +
+      "single-reducer partition") {
+    import spark.implicits._
+    // plant ONE hot gram: 480 of 600 docs carry a 200-token single-token
+    // boilerplate run, so every window of it hashes to the same gh —
+    // ~93k postings on one shuffle key, ~10x the median partition. The
+    // other 100 tokens per doc are unique, forming the median. Broadcast
+    // is disabled to emulate the at-scale shape (a 100 TB dup-gram set
+    // never broadcasts), and the skew thresholds are scaled to the
+    // fixture so the production AQE path actually exercises.
+    val docs = (0 until 600).map { i =>
+      val uniq = (0 until 50).map(t => s"u${i}x$t").mkString(" ")
+      (i.toLong,
+        if (i % 5 != 0) uniq + " " + Seq.fill(800)("boiler").mkString(" ")
+        else uniq)
+    }.toDF("doc_id", "text")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16384")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      val out = Dedup.substringDupSpans(docs, "doc_id", "text",
+        k = 8, minTokens = 15)
+      val plan = executedPlan(out)
+      // the spans themselves: every hot doc reports its boilerplate run
+      assert(out.filter($"span_tokens" >= 200).count() == 480)
+      val skewJoins = allNodes(plan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.isSkewJoin => j
+      }
+      assert(skewJoins.nonEmpty,
+        "hot-gram equi-join was not planned as an AQE skew split:\n" +
+          plan.toString.take(4000))
+      // the d09 apply step's keeper-election join has the same hazard
+      val applied = Dedup.substringDedupApply(docs, "doc_id", "text", k = 8)
+      val applySkew = allNodes(executedPlan(applied)).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.isSkewJoin => j
+      }
+      assert(applySkew.nonEmpty,
+        "d09 keeper-election join was not planned as an AQE skew split")
+      // boilerplate collapses to its first occurrence: every hot doc
+      // except the keeper loses its run
+      assert(applied.filter($"n_kept" < $"n_tokens").count() >= 479)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("s12/pqBatchTopK serves the whole probe set with ONE corpus scan") {
     import spark.implicits._
     // corpus from parquet, probes from a local relation: every
