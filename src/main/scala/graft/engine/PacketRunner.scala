@@ -652,10 +652,10 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
         Right(rendered.map(r => s"($r)").mkString("\nUNION ALL\n"))
       case "INSERT" =>
         val parts = rendered.map { r =>
-          "(?i)\\bselect\\b".r.findFirstMatchIn(r).map(_.start) match {
-            case Some(i) => Some((r.substring(0, i), r.substring(i)))
-            case None => None
-          }
+          // skip 'select' occurrences inside quoted literals — a spliced
+          // generator VALUE containing the word must not split the prefix
+          PacketRunner.firstSelectOutsideLiterals(r)
+            .map(i => (r.substring(0, i), r.substring(i)))
         }
         if (parts.exists(_.isEmpty))
           return Left("INSERT without a SELECT body")
@@ -840,7 +840,9 @@ object PacketRunner {
     * column-reference rewrite cannot, so such steps must stay on the loop
     * contract (fail loud past maxFanout, never silently compare against the
     * literal column name). */
-  def genTokenInQuotedLiteral(sql: String): Boolean = {
+  /** Single-quoted string-literal spans (with `''` escaping); an
+    * unterminated literal spans to the end. */
+  def quotedSpans(sql: String): Seq[(Int, Int)] = {
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
     var inQ = false
@@ -856,7 +858,23 @@ object PacketRunner {
       i += 1
     }
     if (inQ) spans += ((start, sql.length))
+    spans.toSeq
+  }
+
+  def genTokenInQuotedLiteral(sql: String): Boolean = {
+    val spans = quotedSpans(sql)
     spans.nonEmpty && "GEN_(NSP|OBJ)_FLD_\\d+".r.findAllMatchIn(sql)
       .exists(m => spans.exists { case (s, e) => m.start > s && m.start < e })
+  }
+
+  /** Offset of the first SELECT keyword OUTSIDE any quoted literal — the
+    * INSERT-prefix split point for the union-all fan-out. A literal word
+    * 'select' inside a quoted value (e.g. a partition name) must not
+    * split the statement. */
+  def firstSelectOutsideLiterals(sql: String): Option[Int] = {
+    val spans = quotedSpans(sql)
+    "(?i)\\bselect\\b".r.findAllMatchIn(sql)
+      .map(_.start)
+      .find(p => !spans.exists { case (s, e) => p > s && p < e })
   }
 }

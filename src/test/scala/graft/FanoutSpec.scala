@@ -264,4 +264,18 @@ class FanoutSpec extends AnyFunSuite {
     assert(genTokenInQuotedLiteral(
       "SELECT 'GEN_OBJ_FLD_1"))
   }
+
+  test("INSERT union-all split skips 'select' inside quoted literals") {
+    import PacketRunner.firstSelectOutsideLiterals
+    val sql = "INSERT INTO t PARTITION (p = 'select') SELECT a FROM s"
+    val at = firstSelectOutsideLiterals(sql)
+    assert(at.contains(sql.indexOf("SELECT a")),
+      s"split at $at, expected ${sql.indexOf("SELECT a")}")
+    // escaped quote inside the value does not end the literal
+    val esc = "INSERT INTO t PARTITION (p = 'it''s select') SELECT a FROM s"
+    assert(firstSelectOutsideLiterals(esc).contains(esc.indexOf("SELECT a")))
+    // no real SELECT at all
+    assert(firstSelectOutsideLiterals(
+      "INSERT INTO t VALUES ('select')").isEmpty)
+  }
 }

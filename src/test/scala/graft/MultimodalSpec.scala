@@ -196,6 +196,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.wavFrameEnergies(stereo, 64, 2) == null)
   }
 
+  test("WAV walkers poison adversarial chunk sizes and framing to null") {
+    val good = MediaCodec.wavPayload(3L)
+    // chunk size near Int.MaxValue: int arithmetic would overflow the
+    // bound check negative and walk out of the array — must be null
+    val hostile = good.clone()
+    hostile(16) = 0xF0.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0x7F.toByte
+    assert(MediaCodec.wavFrameEnergies(hostile, 64, 2) == null)
+    assert(MediaCodec.wavFrameZcrPeak(hostile, 64) == null)
+    assert(MediaCodec.wavDecimateStats(hostile, 4) == null)
+    // non-positive framing: null (the factor<=0 contract), not a
+    // division-by-zero task failure
+    assert(MediaCodec.wavFrameZcrPeak(good, 0) == null)
+    assert(MediaCodec.wavFrameEnergies(good, 0, 2) == null)
+    assert(MediaCodec.wavFrameEnergies(good, 64, 0) == null)
+    assert(MediaCodec.wavFrameEnergies(good, -1, -1) == null)
+  }
+
   test("media corpus carries real decodable payloads for both formats") {
     import spark.implicits._
     val media = Multimodal.mediaCorpus(
