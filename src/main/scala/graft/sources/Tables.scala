@@ -29,17 +29,45 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        // reader rejects; read the raw int64 and truncate to micros.
-        // Integer `div` (not `/`) — ns-since-epoch exceeds double's 2^53
-        // exact range, float division would corrupt microseconds.
+        // events.ts is parquet TIMESTAMP(NANOS) in some fixture generations,
+        // which Spark's vectorized reader rejects; read the raw int64 and
+        // truncate to micros below. Harmless for non-nanos encodings.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path(dir, name))
       } else spark.read.parquet(path(dir, name))
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(spark, df) else df
+  }
+
+  /** Normalize `events.ts` to `TimestampType` (micros, UTC instant) across
+    * every physical parquet encoding a writer may have used. A 100 TB lake
+    * never has one writer; a downstream operator must see ONE shape:
+    *   - int64 TIMESTAMP(NANOS)   → surfaced as LongType via nanosAsLong;
+    *     integer-div to micros (`div`, not `/` — ns-since-epoch exceeds
+    *     double's 2^53 exact range).
+    *   - timestamp[us] without tz → surfaced as TimestampNTZType; with the
+    *     session time zone pinned UTC the cast to TimestampType is a pure
+    *     reinterpretation (identical epoch micros), matching the DuckDB
+    *     oracle's `epoch_us`.
+    *   - timestamp[us/ms] UTC     → already TimestampType; no-op.
+    * The UTC pin is asserted here (not only in the entrypoint builders) so
+    * a launcher that bypasses sbt's -D flags cannot silently shift values.
+    */
+  private[graft] def normalizeTs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; expected " +
+            "int64-nanos, timestamp_ntz, or timestamp")
+    }
   }
 
   /** Register every table of `dir` as a temp view (idempotent). */
