@@ -444,20 +444,23 @@ object Dedup {
     val grams = docs.select(col(idCol).as("id"),
       posexplode(graft.functions.Winnow.gramHashes(tokens(col(textCol)), k))
         .as(Seq("pos", "gh")))
-    // localCheckpoint is load-bearing for the skew posture, not a cache:
-    // left fused with the join, the final HashAggregate feeds the SMJ
-    // directly (its own exchange already clusters by gh), and AQE's
+    // The PartitioningBarrier on the aggregate's join key is load-bearing
+    // for the skew posture: left bare, the final HashAggregate feeds the
+    // SMJ directly (its own exchange already clusters by gh), and AQE's
     // OptimizeSkewedJoin only fires when BOTH join inputs are bare
     // ENSURE_REQUIREMENTS shuffle stages — so a hot boilerplate gram
-    // would be stuck in ONE reducer with no split. Materializing the
-    // (small, keys-only) dup-gram set forces a fresh exchange on each
-    // side of the join, making the hot partition an AQE skew split
-    // (plan-asserted in PlanAuditSpec).
+    // would be stuck in ONE reducer with no split. The barrier severs the
+    // partitioning lineage so EnsureRequirements inserts a LAZY exchange
+    // on the aggregate side (plan-asserted in PlanAuditSpec under a
+    // planted hot gram), unlike round 9's eager localCheckpoint which
+    // bought the same plan shape at the price of running the text scan +
+    // gram explode twice (measured 2-9x on d08/d09). In the broadcast
+    // regime (small dup set) the barrier is a no-op projection and the
+    // fused one-pass streaming plan survives.
     val dupGrams = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .select(col("gh"))
-      .localCheckpoint()
+      .select(graft.functions.Barrier.partitioning(col("gh")).as("gh"))
     val dupPos = grams.join(dupGrams, "gh")
     dupPos
       .withColumn("island", col("pos") - row_number().over(
@@ -503,15 +506,16 @@ object Dedup {
     // keeper election only for DUPLICATED grams: a unique gram needs no
     // join at all (it is kept by definition), so the joined side is
     // bounded by the duplication rate, not the gram dictionary. The
-    // localCheckpoint mirrors d08's: it forces ENSURE_REQUIREMENTS
-    // exchanges on both inputs of the left join so a hot boilerplate
-    // gram is an AQE skew split, not a single reducer (plan-asserted).
+    // PartitioningBarrier mirrors d08's: it severs the aggregate's
+    // partitioning lineage so EnsureRequirements inserts lazy exchanges
+    // on both inputs of the left join and a hot boilerplate gram is an
+    // AQE skew split, not a single reducer (plan-asserted) — without the
+    // eager double-explode a localCheckpoint costs.
     val dupKeep = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("id"), col("pos"))).as("keep"))
       .filter(col("cnt") > 1)
-      .select(col("gh"), col("keep"))
-      .localCheckpoint()
+      .select(graft.functions.Barrier.partitioning(col("gh")).as("gh"), col("keep"))
     val kept = grams.join(dupKeep, Seq("gh"), "left")
       .filter(col("keep").isNull ||
         (col("id") === col("keep.id") && col("pos") === col("keep.pos")))
