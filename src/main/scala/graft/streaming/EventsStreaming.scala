@@ -130,6 +130,66 @@ object EventsStreaming {
       .filter(col("doc_id") =!= col("keep_id"))
   }
 
+  /** Streaming twin of the d03 SimHash near-dup (batch
+    * Dedup.simhashPairs): the hamming-ball candidate rule on an unbounded
+    * stream. Blocks on the same 4 x 16-bit signature chunks as the batch
+    * operator (pigeonhole: any pair within Hamming distance 3 shares at
+    * least one chunk), verifies `bit_count(xor) <= maxHamming`, and emits
+    * (w_start, chunk, id_a, id_b, hamming) per event-time window.
+    *
+    * Shape: the fused tokens→simhash64 expression runs per-document
+    * (streams untouched); each doc explodes to exactly 4 (chunk, value)
+    * keys carrying (id, sig) — two longs, never the text; ONE windowed
+    * aggregation per (window, chunk-key) holds a capped sorted member
+    * list — the only stateful operator, so append mode emits each bucket
+    * exactly once when the watermark closes its window. The pair
+    * expansion and hamming verify are STATELESS post-aggregation
+    * projections over the emitted (<= cap)-member row. Aggregation is
+    * commutative → result is arrival-order independent (test-pinned by a
+    * shuffled replay). A pair colliding in several chunks emits once per
+    * chunk (chunk is part of the output key) — the batch operator's
+    * cross-chunk min-hamming dedup would be a second stateful
+    * aggregation, which append-mode streaming disallows; consumers
+    * `distinct` on (id_a, id_b) instead.
+    *
+    * Scale posture: state per (window, chunk-key) is <= cap (id, sig)
+    * structs — bounded by watermark horizon x chunk-key cardinality,
+    * never corpus history; a boilerplate bucket (thousands of identical
+    * signatures) degrades to one capped row and a cap² local pair
+    * expansion, not unbounded state.
+    */
+  def simhashNearDup(docs: DataFrame, tsCol: String,
+      watermark: String = "1 hour", window_ : String = "1 hour",
+      maxHamming: Int = 3, cap: Int = 64): DataFrame = {
+    import graft.operators.Dedup
+    val wm = if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+      else docs
+    val chunked = wm
+      .select(col(tsCol), col("doc_id"),
+        Dedup.simhash(col("text")).as("sig"))
+      .select(col(tsCol), col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("c"),
+            call_function("shiftright", col("sig"), c * 16)
+              .bitwiseAND(0xFFFFL).as("v")))).as("chunk"))
+    chunked
+      .groupBy(window(col(tsCol), window_), col("chunk"))
+      .agg(slice(sort_array(collect_set(struct(col("doc_id").as("id"),
+        col("sig").as("sig")))), 1, cap).as("members"))
+      .filter(size(col("members")) > 1)
+      // stateless pair expansion: members x members, ordered pairs only
+      .select(col("window.start").as("w_start"), col("chunk"),
+        explode(col("members")).as("a"), col("members"))
+      .select(col("w_start"), col("chunk"), col("a"),
+        explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("w_start"), col("chunk.c").cast("long").as("chunk"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One document arrival for the streaming near-dup twin. */
   final case class DocArrival(doc_id: Long, text: String,
       ts: java.sql.Timestamp)

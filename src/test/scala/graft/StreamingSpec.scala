@@ -291,6 +291,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SimHash near-dup equals batch under a SHUFFLED replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // near-identical planted copies: one token appended, so the SimHash
+    // signature lands within the hamming ball of its original (unlike
+    // exact copies, which only exercise hamming 0)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def tsOf(id: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(base.getTime + (id % 2) * 3600L * 1000)
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => EventsStreaming.DocArrival(r.getLong(0), r.getString(1),
+        tsOf(r.getLong(0))))
+    val planted = docs.filter(_.doc_id < 25)
+      .map(d => d.copy(doc_id = d.doc_id + 100000L, ts = tsOf(d.doc_id),
+        text = d.text + " zq"))
+    val all = docs ++ planted
+
+    // batch reference: the SAME operator on a static frame
+    val batchRows = EventsStreaming
+      .simhashNearDup(spark.createDataFrame(all.toSeq), "ts")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(batchRows.nonEmpty)
+
+    // shuffled replay across three micro-batches, then a far-future
+    // sentinel advances the watermark so append mode flushes the windows
+    val shuffled = all.sortBy(d => (d.doc_id * 2654435761L) % 1000003)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.DocArrival]
+    val q = EventsStreaming.simhashNearDup(mem.toDF(), "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simhash_out").start()
+    try {
+      shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      mem.addData(EventsStreaming.DocArrival(999999999L, "zzz sentinel",
+        new java.sql.Timestamp(base.getTime + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("simhash_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // arrival-order independence: the flushed buckets equal batch
+      assert(got == batchRows,
+        s"stream-batch: ${(got -- batchRows).take(5)}; " +
+          s"batch-stream: ${(batchRows -- got).take(5)}")
+      // near-identical planted copies surface within the hamming ball
+      val flaggedPairs = got.filter(t => t._4 >= 100000L && t._3 == t._4 - 100000L)
+      assert(flaggedPairs.size >= 15,
+        s"only ${flaggedPairs.map(t => t._3).size} planted near-dup pairs found")
+      // and they are genuine NEAR dups, not exact: some hamming > 0
+      assert(flaggedPairs.exists(_._5 > 0))
+    } finally q.stop()
+  }
+
   test("streaming CDC fold equals the batch latest-wins under a SHUFFLED replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
