@@ -57,4 +57,10 @@ object VectorFunctions {
     * index). */
   def int8NearestList(v: Column, centroids: Array[Array[Int]]): Column =
     ColumnBridge.column(Int8NearestList(ColumnBridge.expression(v), centroids))
+
+  /** Per-probe PQ ADC dot-LUT (m × ksub exact integer dots) over an
+    * int8-quantized probe column — executor-side LUT construction, so a
+    * probe TABLE of any size builds its LUTs in the scan that reads it. */
+  def pqDotLut(v: Column, codebooks: Array[Array[Array[Int]]]): Column =
+    ColumnBridge.column(PqDotLut(ColumnBridge.expression(v), codebooks))
 }

@@ -135,6 +135,36 @@ object VectorNative {
     }
     bucket
   }
+
+  /** Kernel behind [[PqDotLut]]: exact integer subvector dots, the same
+    * sequential fold as the former driver-side loop (bit-identical
+    * results). Null element or a probe shorter than m·sub → null. */
+  def pqDotLut(qq: ArrayData, codebooks: Array[Array[Array[Int]]]): Any = {
+    val m = codebooks.length
+    val n = qq.numElements()
+    var i = 0
+    while (i < n) { if (qq.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val sub = if (cb.length > 0) cb(0).length else 0
+      if ((j + 1) * sub > n) return null
+      val row = new Array[Long](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val cc = cb(c)
+        var s = 0L
+        var t = 0
+        while (t < sub) { s += qq.getInt(j * sub + t).toLong * cc(t); t += 1 }
+        row(c) = s
+        c += 1
+      }
+      out(j) = new GenericArrayData(row)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class CosineSim(left: Expression, right: Expression)
@@ -272,5 +302,53 @@ case class Int8NearestList(child: Expression, centroids: Array[Array[Int]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Int8NearestList =
+    copy(child = newChild)
+}
+
+/** Per-probe PQ ADC dot-LUT, executor-side: for an int8-quantized probe
+  * vector (length m·sub) and the broadcast-by-reference codebooks
+  * (m × ksub × sub ints), row j column c is the exact integer dot of the
+  * probe's j-th subvector with codebook centroid (j, c) — the same
+  * sequential fold the driver-side loop (and the SQL oracle's CTE)
+  * performs, so results are bit-identical. Output array<array<long>>
+  * (m × ksub); sums stay far below 2^63 (sub·127² per cell).
+  *
+  * This is what lets [[graft.operators.Similarity.pqBatchTopK]] take the
+  * probe set as a DATAFRAME: LUT construction is a per-row codegen'd
+  * projection over the probe table instead of a driver collect+loop, so
+  * a 1M-probe batch never materializes m·ksub longs per probe on the
+  * driver. Null element / short vector → null (poisoning contract shared
+  * with the other kernels). */
+case class PqDotLut(child: Expression, codebooks: Array[Array[Array[Int]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_dot_lut"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorNative.pqDotLut(v.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "int[][][]")
+    val r = ctx.freshName("lutR")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $r = graft.functions.VectorNative.pqDotLut($c, $cbRef);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDotLut =
     copy(child = newChild)
 }

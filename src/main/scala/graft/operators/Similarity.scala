@@ -471,26 +471,20 @@ object Similarity {
     import spark.implicits._
     val codebooks = pqCodebooks(corpus, corpusId, corpusVec, m, ksub, indexKey)
     val sub = codebooks.head.head.length
-    // one bounded job quantizes the probe set with the engine's own
-    // Int8Quantize expression (bit-identical to the corpus path); the
-    // per-probe LUTs are then pure integer folds on the driver
-    val probeQ: Array[(Long, Array[Int])] = probes
-      .select(col(probeId).cast("long"),
-        VectorFunctions.int8Quantize(col(probeVec)))
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
-    val lutRows: Seq[(Long, Seq[Seq[Long]], Long)] = probeQ.toSeq.map {
-      case (qid, qq) =>
-        val dot: Seq[Seq[Long]] = (0 until m).map { j =>
-          codebooks(j).toSeq.map { c =>
-            var s = 0L; var i = 0
-            while (i < sub) { s += qq(j * sub + i).toLong * c(i); i += 1 }
-            s
-          }
-        }
-        val qn = qq.foldLeft(0L)((acc, x) => acc + x.toLong * x)
-        (qid, dot, qn)
-    }
-    val lutDf = lutRows.toDF("q_id", "__dot", "__qn")
+    // the probe set stays a DATAFRAME end-to-end: quantization (the
+    // engine's own Int8Quantize, bit-identical to the corpus path), the
+    // per-probe integer dot-LUT (the codegen'd PqDotLut kernel — same
+    // sequential folds the former driver loop ran) and the probe norm
+    // are all executor-side projections in the scan that reads the
+    // probes, so a 1M-probe table never materializes m·ksub longs per
+    // probe on the driver; only the broadcast ships the finished LUTs
+    val lutDf = probes
+      .select(col(probeId).cast("long").as("q_id"),
+        VectorFunctions.int8Quantize(col(probeVec)).as("__pq"))
+      .select(col("q_id"),
+        VectorFunctions.pqDotLut(col("__pq"), codebooks).as("__dot"),
+        aggregate(col("__pq"), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long")).as("__qn"))
     // probe-INDEPENDENT pieces, evaluated once per corpus row before the
     // probe fan-out: the m codes and the reconstruction-norm LUT sum
     val nrmLut: Array[Array[Long]] = Array.tabulate(m) { j =>
