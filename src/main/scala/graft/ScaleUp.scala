@@ -27,9 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val out = args(1)
-    val replicas = if (args.length > 2) args(2).toInt else 10
+    val ownSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isEmpty
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -38,6 +37,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10)
+    // only tear down a session this main created (the spec drives `run`
+    // through the shared test session)
+    if (ownSession) spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, out: String,
+      replicas: Int): Unit = {
 
     def t(name: String): DataFrame =
       graft.sources.Tables.load(spark, src, name)
@@ -112,7 +120,5 @@ object ScaleUp {
               size(col("embedding")) - col("rep")),
             slice(col("embedding"), lit(1), col("rep"))))),
       "embeddings")
-
-    spark.stop()
   }
 }

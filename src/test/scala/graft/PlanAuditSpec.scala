@@ -488,6 +488,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // before the bounded shortlist aggregation
     assert(planString(df).contains("BroadcastNestedLoopJoin"),
       planString(df).take(3000))
+    // LUT construction is a plan-side projection over the probe relation
+    // (not a driver loop feeding precomputed LUT rows, the shape this
+    // replaced). Asserted on the ANALYZED plan: for this test's literal
+    // probe set ConvertToLocalRelation legitimately folds the projection
+    // into the local relation; a parquet-backed probe table keeps it on
+    // the executors.
+    assert(df.queryExecution.analyzed.toString.contains("pq_dot_lut"),
+      df.queryExecution.analyzed.toString.take(3000))
   }
 
   test("s11 filtered ANN pre-filters: label pushed to the scan, metadata " +
