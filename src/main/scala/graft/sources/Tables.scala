@@ -35,7 +35,32 @@ object Tables {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path(dir, name))
       } else spark.read.parquet(path(dir, name))
-    if (name == "events") normalizeTs(spark, df) else df
+    if (name == "events") normalizeNtz(spark, normalizeTs(spark, df))
+    else normalizeNtz(spark, df)
+  }
+
+  /** Normalize EVERY TimestampNTZ column of a table to `TimestampType`
+    * (UTC instant). The round-9 fixture regeneration changed only
+    * `events.ts`, but nothing guarantees the next writer does not emit
+    * `orders.o_orderdate` or `lineitem.l_shipdate` as timestamp-without-
+    * timezone too — one typio-style normalization layer, applied to all
+    * tables, is the contract (reference:
+    * psc/postgresql/types/io/stdlib_datetime.py funnels every wire
+    * encoding through one codec for the same reason). Lossless: session
+    * TZ is pinned UTC (asserted below), so the NTZ wall-clock IS the
+    * instant. */
+  private[graft] def normalizeNtz(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntzCols = df.schema.fields
+      .filter(_.dataType == TimestampNTZType).map(_.name)
+    if (ntzCols.isEmpty) df
+    else {
+      if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+      ntzCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c).cast(TimestampType)))
+    }
   }
 
   /** Normalize `events.ts` to `TimestampType` (micros, UTC instant) across

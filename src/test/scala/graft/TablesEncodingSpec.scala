@@ -89,6 +89,24 @@ class TablesEncodingSpec extends AnyFunSuite {
     assert(df.select(unix_micros(col("ts"))).limit(1).count() == 1)
   }
 
+  test("NTZ timestamp columns normalize in EVERY table, not just events") {
+    // the round-9 regeneration changed events.ts; the next one could emit
+    // orders.o_orderdate as timestamp-without-timezone the same way
+    val dir = Files.createTempDirectory("orders_enc_").toFile
+    dir.deleteOnExit()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(baseRows, 1),
+        StructType(Seq(StructField("o_orderkey", LongType), StructField("ts", LongType))))
+      .withColumn("o_orderdate", timestamp_micros(col("ts")).cast(TimestampNTZType))
+      .drop("ts")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/orders.parquet")
+    val df = Tables.load(spark, dir.getAbsolutePath, "orders")
+    assert(df.schema("o_orderdate").dataType == TimestampType)
+    val got = df.orderBy("o_orderkey")
+      .select(unix_micros(col("o_orderdate"))).collect().map(_.getLong(0)).toSeq
+    assert(got == epochMicros, "NTZ order dates must reinterpret losslessly")
+  }
+
   test("an unrecognized ts encoding fails loudly, not silently") {
     val df = spark.range(1).select(col("id").as("event_id"),
       col("id").cast(StringType).as("ts"))
