@@ -190,9 +190,49 @@ object EventsStreaming {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Streaming twin of the p05 per-source quota
+    * (operators/Quota.keepTopKPerGroup): cap every source's contribution
+    * per event-time window, keeping its best k rows by score. An ingest
+    * pipeline that curates batch corpora with quotas but streams
+    * uncapped silently over-samples hot domains — this closes that gap.
+    *
+    * Shape: the SAME bounded [[graft.functions.TopKByScore]] Aggregator
+    * the batch operator uses, under a windowed groupBy — its partial
+    * buffers keep <= k candidates per (window, source, partition) and
+    * merge commutatively, so state per key is <= k (score, id) pairs,
+    * the result is arrival-order independent (test-pinned by a shuffled
+    * replay), and append mode emits each (window, source) exactly once
+    * at watermark close. Same DESC-score / ASC-id tie rule as batch, so
+    * a window's emission equals the batch operator run on that window's
+    * slice, row for row.
+    *
+    * @return (w_start, groupCol, rank 1..k, id, score)
+    */
+  def quotaTopK(rows: DataFrame, tsCol: String, groupCol: String,
+      idCol: String, scoreCol: String, k: Int,
+      watermark: String = "1 hour", window_ : String = "1 hour"): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val wm = if (rows.isStreaming) rows.withWatermark(tsCol, watermark)
+      else rows
+    wm.select(col(tsCol), col(groupCol),
+        col(scoreCol).cast("double").as("score"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(window(col(tsCol), window_), col(groupCol))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("window.start").as("w_start"), col(groupCol),
+        posexplode(col("top")).as(Seq("rank", "s")))
+      .select(col("w_start"), col(groupCol),
+        (col("rank") + 1).cast("long").as("rank"),
+        col("s.id").as(idCol), col("s.score").as("score"))
+  }
+
   /** One document arrival for the streaming near-dup twin. */
   final case class DocArrival(doc_id: Long, text: String,
       ts: java.sql.Timestamp)
+
+  /** One scored arrival for the streaming quota twin. */
+  final case class ScoredArrival(doc_id: Long, source: String,
+      n_chars: Long, ts: java.sql.Timestamp)
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)

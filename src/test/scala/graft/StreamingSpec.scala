@@ -347,6 +347,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-source quota equals the batch operator under a SHUFFLED replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def tsOf(id: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(base.getTime + (id % 2) * 3600L * 1000)
+    val rows = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => EventsStreaming.ScoredArrival(r.getLong(0), r.getString(1),
+        r.getLong(2), tsOf(r.getLong(0))))
+
+    // batch reference: the SAME operator on a static frame
+    val batchRows = EventsStreaming
+      .quotaTopK(spark.createDataFrame(rows.toSeq), "ts", "source",
+        "doc_id", "n_chars", k = 10)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batchRows.nonEmpty)
+
+    // and the window slices equal the BATCH Quota operator row for row —
+    // the twin claim, not just self-consistency
+    for (w <- 0 to 1) {
+      val slice = rows.filter(_.doc_id % 2 == w)
+      val wStart = new java.sql.Timestamp(base.getTime + w * 3600L * 1000)
+      val batchOp = graft.operators.Quota.keepTopKPerGroup(
+          spark.createDataFrame(slice.toSeq), "source", "doc_id", "n_chars",
+          k = 10)
+        .collect().map(r => (wStart, r.getString(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(batchRows.filter(_._1 == wStart) == batchOp,
+        s"window $w diverges from the batch Quota operator")
+    }
+
+    val shuffled = rows.sortBy(d => (d.doc_id * 2654435761L) % 1000003)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.ScoredArrival]
+    val q = EventsStreaming.quotaTopK(mem.toDF(), "ts", "source",
+        "doc_id", "n_chars", k = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_out").start()
+    try {
+      shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      mem.addData(EventsStreaming.ScoredArrival(999999999L, "zz", 1L,
+        new java.sql.Timestamp(base.getTime + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("quota_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == batchRows,
+        s"stream-batch: ${(got -- batchRows).take(5)}; " +
+          s"batch-stream: ${(batchRows -- got).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming CDC fold equals the batch latest-wins under a SHUFFLED replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
