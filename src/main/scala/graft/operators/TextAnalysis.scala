@@ -293,6 +293,83 @@ object TextAnalysis {
         col("exact_distinct"))
   }
 
+  /** Cross-source overlap estimation from KMV sketches (Beyer et al.,
+    * SIGMOD 2007 multiset-operation estimators): pairwise shingle-set
+    * Jaccard and intersection size between every pair of sources,
+    * computed from the per-source k-minimum-values synopses ALONE — the
+    * sketches are the only thing compared, never the shingle sets. This
+    * is how a 100 TB lake answers "how much does crawl A overlap crawl
+    * B" for every source pair: one bounded-sketch aggregation over the
+    * corpus (k longs per source), then pure array arithmetic on the
+    * tiny source×source grid.
+    *
+    * Estimator: L = k smallest of K_A ∪ K_B (the union's own KMV
+    * sketch, computable from the two sketches — closure under union is
+    * THE KMV property); ρ = |L ∩ K_A ∩ K_B| / |L| estimates J(A,B);
+    * est|A∪B| from L's k-th value; est|A∩B| = ρ·est|A∪B|. Every step is
+    * integer-exact on md5-derived hashes, so a SQL oracle replays the
+    * sketches and both estimates bit-for-bit. The exact overlap rides
+    * along (affordable at test scale, lets the oracle grade the
+    * estimator; at 100 TB you would drop it).
+    *
+    * Unsigned-order trick: sketches hold signed longs in UNSIGNED KMV
+    * order; XOR with Long.MinValue maps them to signed order, so
+    * array_sort/array_union implement the unsigned merge natively.
+    *
+    * @return (source_a, source_b, union_sketch_size, jaccard_ppm,
+    *         est_overlap, exact_overlap) with source_a < source_b
+    */
+  def kmvSourceOverlap(df: DataFrame, groupCol: String, items: Column,
+      k: Int = 128): DataFrame = {
+    val kmin = udaf(new graft.functions.KMinLongs(k))
+    val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+    val hashed = df.select(col(groupCol),
+      explode(graft.functions.SimHash.tokenHash64(items)).as("h"))
+    val sketches = hashed.groupBy(col(groupCol)).agg(kmin(col("h")).as("sk"))
+    // exact pairwise overlap: distinct (source, hash) self-joined on hash
+    val dh = hashed.distinct()
+    val exact = dh.select(col(groupCol).as("source_a"), col("h"))
+      .join(dh.select(col(groupCol).as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val flip = (c: Column) =>
+      transform(c, x => x.bitwiseXOR(lit(Long.MinValue)))
+    val pairs = sketches
+      .select(col(groupCol).as("source_a"), flip(col("sk")).as("fa"))
+      .crossJoin(broadcast(sketches
+        .select(col(groupCol).as("source_b"), flip(col("sk")).as("fb"))))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("l", slice(array_sort(array_union(col("fa"), col("fb"))),
+        1, k))
+      .withColumn("union_sketch_size", size(col("l")).cast("long"))
+      .withColumn("inter_cnt", size(filter(col("l"),
+        v => array_contains(col("fa"), v) && array_contains(col("fb"), v)))
+        .cast("long"))
+      // unflip the k-th union value back to its unsigned decimal
+      // (try_element_at: null, not an ANSI error, when the union sketch
+      // is shorter than k — the estimator branch is not taken then)
+      .withColumn("u_raw", expr(
+        s"try_element_at(l, $k) ^ CAST('${Long.MinValue}' AS BIGINT)"))
+      .withColumn("u_k", expr(
+        s"CAST(u_raw AS DECIMAL(38,0)) + CASE WHEN u_raw < 0 " +
+          s"THEN $two64 ELSE CAST(0 AS DECIMAL(38,0)) END"))
+      .withColumn("est_union", expr(
+        s"CASE WHEN union_sketch_size < $k THEN union_sketch_size " +
+          s"ELSE CAST(floor(CAST(${k - 1} AS DECIMAL(38,0)) * $two64 / u_k) AS BIGINT) END"))
+      // integer-exact ppm and overlap: DECIMAL intermediates, `div` floor
+      .withColumn("jaccard_ppm", expr(
+        "inter_cnt * CAST(1000000 AS BIGINT) div union_sketch_size"))
+      .withColumn("est_overlap", expr(
+        "CAST(floor(CAST(inter_cnt AS DECIMAL(38,0)) * " +
+          "CAST(est_union AS DECIMAL(38,0)) / union_sketch_size) AS BIGINT)"))
+    pairs
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("union_sketch_size"),
+        col("jaccard_ppm"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
   /** Deterministic stratified train/valid/test split: every document
     * hashes to a 16-bit value from md5(salt:source:id) and lands in a
     * split by fixed integer thresholds (train < 52429 ≈ 80%,

