@@ -40,16 +40,29 @@ object Graph {
     // edges (a join + distinct here costs more than the iteration)
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // Loop-invariant (src, dst, deg): degrees pre-joined ONCE (the old
+    // per-iteration deg join did identical work ten times), then
+    // hash-partitioned by the join key and CACHED. persist, not
+    // localCheckpoint, deliberately: an InMemoryTableScan PRESERVES the
+    // cached plan's outputPartitioning, so every iteration's ranks join
+    // sees the edge side already clustered by src and shuffles ONLY the
+    // (node, long) ranks — a checkpoint leaf would forget the
+    // partitioning and re-shuffle the whole edge list every round (10x
+    // the largest exchange in the loop). Unpersisted before return:
+    // the eager per-iteration checkpoints mean every job that needs the
+    // cache has already run.
+    val e2 = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src"))
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val base = 1000000L - dampingPpm
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 0 until iters) {
-      val contrib = e
+      val contrib = e2
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"),
           expr("rank_ppm div deg").as("c"))
       ranks = contrib.groupBy(col("node"))
@@ -59,6 +72,7 @@ object Graph {
             .as("rank_ppm"))
         .localCheckpoint()
     }
+    e2.unpersist()
     ranks
   }
 }

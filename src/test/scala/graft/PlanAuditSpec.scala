@@ -378,28 +378,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(long.as[(Long, Long)].collect().forall(_._2 == 1000000L))
 
     // white-box replica of one iteration (the exact join+agg the loop
-    // builds): every exchange ships at most two columns, all LongType
+    // builds): the loop-invariant (src, dst, deg) relation is staged
+    // ONCE (cached, clustered by src — its one-time exchange ships 3
+    // longs at ingest), and every PER-ITERATION exchange ships at most
+    // two LongType columns
     val e = ring(8)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val ranks = e.select($"src".as("node")).distinct()
-      .withColumn("rank_ppm", lit(1000000L))
-    val round = e.join(ranks.withColumnRenamed("node", "src"), "src")
-      .join(deg, "src")
-      .select($"dst".as("node"), expr("rank_ppm div deg").as("c"))
-      .groupBy($"node").agg(sum($"c").as("s"))
-      .select($"node",
-        (lit(150000L) + expr("(850000 * s) div 1000000")).as("rank_ppm"))
-    val ex = shuffles(round)
-    assert(ex.nonEmpty)
-    ex.foreach { x =>
-      val out = x.child.output
-      assert(out.size <= 2, s"iteration exchange ships ${out.size} " +
-        s"columns: ${out.map(_.name).mkString(", ")}")
-      assert(out.forall(_.dataType ==
-        org.apache.spark.sql.types.LongType),
-        s"iteration exchange ships non-long payload: ${out.map(a =>
-          s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
-    }
+    val e2 = e.join(deg, "src").select($"src", $"dst", $"deg")
+      .repartition($"src").persist()
+    try {
+      val ranks = e.select($"src".as("node")).distinct()
+        .withColumn("rank_ppm", lit(1000000L))
+      val round = e2.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), expr("rank_ppm div deg").as("c"))
+        .groupBy($"node").agg(sum($"c").as("s"))
+        .select($"node",
+          (lit(150000L) + expr("(850000 * s) div 1000000")).as("rank_ppm"))
+      // exchanges INSIDE the cached e2 subplan are ingest-time, not
+      // per-iteration (collect does not descend into the InMemoryRelation)
+      val ex = shuffles(round)
+      assert(ex.nonEmpty)
+      ex.foreach { x =>
+        val out = x.child.output
+        assert(out.size <= 2, s"iteration exchange ships ${out.size} " +
+          s"columns: ${out.map(_.name).mkString(", ")}")
+        assert(out.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType),
+          s"iteration exchange ships non-long payload: ${out.map(a =>
+            s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
+      }
+      // and the cached edge side is NOT re-shuffled by the iteration:
+      // no exchange in the round's plan carries the 3-column edge schema
+      assert(!shuffles(round).exists(_.child.output.size > 2),
+        "iteration re-shuffles the loop-invariant edge relation")
+    } finally { e2.unpersist(); () }
   }
 
   test("d08 hot boilerplate gram becomes an AQE skew-join split, not a " +
