@@ -368,12 +368,22 @@ object Dedup {
   def dupClusters(
       docs: DataFrame, pairs: DataFrame, idCol: String,
       maxIter: Int = 25): DataFrame = {
+    // loop-invariant edge list: checkpointed (one materialization of the
+    // pair plan), then clustered by the per-round join key and CACHED so
+    // every round's neighbor join sees the edges already partitioned and
+    // shuffles only the (id, label) pairs — the p14 staging posture; a
+    // bare checkpoint leaf would forget the partitioning and re-exchange
+    // the edges each round in the at-scale regime where labels do not
+    // broadcast. Unpersisted before return: the eager per-round label
+    // checkpoints have already run every job that reads the cache.
     val edges = pairs
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
       .localCheckpoint()
+      .repartition(col("src"))
+      .persist()
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .withColumn("label", col("id")).localCheckpoint()
     // labels only ever decrease, so a strictly decreasing Σ label IS the
@@ -401,6 +411,7 @@ object Dedup {
       prevSum = s
       round += 1
     }
+    edges.unpersist()
     labels.select(col("id").as(idCol), col("label").as("cluster"),
       (col("id") === col("label")).as("keep"))
   }
