@@ -55,8 +55,11 @@ object ScaleUp {
     val reps = spark.range(replicas.toLong).select(col("id").as("rep"))
     def fan(df: DataFrame): DataFrame = df.crossJoin(broadcast(reps))
 
-    def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0)
+    def maxOf(df: DataFrame, c: String): Long = {
+      val row = df.agg(max(col(c))).head()
+      require(!row.isNullAt(0), s"cannot scale an empty table: max($c) is null")
+      row.getLong(0)
+    }
 
     def shifted(c: String, span: Long) = col(c) + col("rep") * span
 
@@ -112,13 +115,18 @@ object ScaleUp {
 
     val emb = t("embeddings")
     val vecSpan = maxOf(emb, "vec_id") + 1
+    // rotation shift is rep mod dim: rep >= dim would otherwise produce
+    // an identity rotation (exact cross-replica duplicate, the tie shape
+    // this transform exists to avoid) or a negative slice length
     write(fan(emb)
-        .withColumn("vec_id", shifted("vec_id", vecSpan))
-        .withColumn("embedding", when(col("rep") === 0, col("embedding")).otherwise(
+        .withColumn("__shift", pmod(col("rep"), size(col("embedding"))))
+        .withColumn("embedding", when(col("__shift") === 0, col("embedding")).otherwise(
           concat(
-            slice(col("embedding"), col("rep") + 1,
-              size(col("embedding")) - col("rep")),
-            slice(col("embedding"), lit(1), col("rep"))))),
+            slice(col("embedding"), col("__shift") + 1,
+              size(col("embedding")) - col("__shift")),
+            slice(col("embedding"), lit(1), col("__shift")))))
+        .withColumn("vec_id", shifted("vec_id", vecSpan))
+        .drop("__shift"),
       "embeddings")
   }
 }

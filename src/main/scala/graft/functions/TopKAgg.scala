@@ -86,3 +86,50 @@ class TopKByScoreVec(k: Int)
   override def outputEncoder: Encoder[Seq[ScoredVec]] =
     ExpressionEncoder[Seq[ScoredVec]]()
 }
+
+/** Bounded k-smallest distinct-by-construction id set (signed ascending)
+  * — the state-bounded replacement for `slice(sort_array(collect_set(id)),
+  * 1, k)` in streaming aggregations: collect_set's buffer grows with the
+  * bucket (a boilerplate band bucket at corpus scale holds millions of
+  * members in the state store even though only k are emitted); this
+  * partial keeps AT MOST k longs per group per partition, and the
+  * watermark-scoped state row is <= k longs by construction. Callers
+  * guarantee per-group id uniqueness (one row per (window, key, id)), so
+  * no dedup pass is needed — the sorted merge-truncate is the whole
+  * operator, and its result equals the collect_set formulation for any
+  * bucket at or under k members. */
+class MinKLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Seq.empty
+  override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
+    if (buf.size >= k && x >= buf.last) buf
+    else ((buf :+ x).sorted).take(k)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).sorted.take(k)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
+/** One (id, signature) bucket member for the streaming SimHash twin. */
+final case class IdSig(id: Long, sig: Long)
+
+/** [[MinKLongs]] with a signature payload: k smallest members by id,
+  * each carrying its 64-bit SimHash so the post-aggregation pair
+  * expansion can verify hamming distance without a join back. Same
+  * bounded-state contract: <= k (id, sig) pairs per group partial and
+  * per state row. */
+class MinKIdSigs(k: Int) extends Aggregator[IdSig, Seq[IdSig], Seq[IdSig]] {
+  override def zero: Seq[IdSig] = Seq.empty
+  override def reduce(buf: Seq[IdSig], x: IdSig): Seq[IdSig] =
+    if (buf.size >= k && x.id >= buf.last.id) buf
+    else ((buf :+ x).sortBy(_.id)).take(k)
+  override def merge(a: Seq[IdSig], b: Seq[IdSig]): Seq[IdSig] =
+    (a ++ b).sortBy(_.id).take(k)
+  override def finish(r: Seq[IdSig]): Seq[IdSig] = r
+  override def bufferEncoder: Encoder[Seq[IdSig]] =
+    ExpressionEncoder[Seq[IdSig]]()
+  override def outputEncoder: Encoder[Seq[IdSig]] =
+    ExpressionEncoder[Seq[IdSig]]()
+}

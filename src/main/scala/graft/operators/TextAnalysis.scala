@@ -308,9 +308,11 @@ object TextAnalysis {
     * THE KMV property); ρ = |L ∩ K_A ∩ K_B| / |L| estimates J(A,B);
     * est|A∪B| from L's k-th value; est|A∩B| = ρ·est|A∪B|. Every step is
     * integer-exact on md5-derived hashes, so a SQL oracle replays the
-    * sketches and both estimates bit-for-bit. The exact overlap rides
-    * along (affordable at test scale, lets the oracle grade the
-    * estimator; at 100 TB you would drop it).
+    * sketches and both estimates bit-for-bit. With `includeExact` the
+    * exact overlap rides along (affordable at test scale, lets the
+    * oracle grade the estimator); pass false at scale — the exact path
+    * is a second corpus scan plus a (source, hash) self-join, precisely
+    * the cost the sketches exist to avoid, and the column comes back 0.
     *
     * Unsigned-order trick: sketches hold signed longs in UNSIGNED KMV
     * order; XOR with Long.MinValue maps them to signed order, so
@@ -320,19 +322,27 @@ object TextAnalysis {
     *         est_overlap, exact_overlap) with source_a < source_b
     */
   def kmvSourceOverlap(df: DataFrame, groupCol: String, items: Column,
-      k: Int = 128): DataFrame = {
+      k: Int = 128, includeExact: Boolean = true): DataFrame = {
     val kmin = udaf(new graft.functions.KMinLongs(k))
     val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
     val hashed = df.select(col(groupCol),
       explode(graft.functions.SimHash.tokenHash64(items)).as("h"))
     val sketches = hashed.groupBy(col(groupCol)).agg(kmin(col("h")).as("sk"))
     // exact pairwise overlap: distinct (source, hash) self-joined on hash
-    val dh = hashed.distinct()
-    val exact = dh.select(col(groupCol).as("source_a"), col("h"))
-      .join(dh.select(col(groupCol).as("source_b"), col("h")), Seq("h"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("exact_overlap"))
+    lazy val dh = hashed.distinct()
+    val exact =
+      if (!includeExact)
+        // type-correct empty relation: the left join below then yields
+        // exact_overlap = 0 for every pair without a second corpus scan
+        sketches.select(col(groupCol).as("source_a"))
+          .crossJoin(sketches.select(col(groupCol).as("source_b")))
+          .withColumn("exact_overlap", lit(0L))
+          .limit(0)
+      else dh.select(col(groupCol).as("source_a"), col("h"))
+        .join(dh.select(col(groupCol).as("source_b"), col("h")), Seq("h"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
     val flip = (c: Column) =>
       transform(c, x => x.bitwiseXOR(lit(Long.MinValue)))
     val pairs = sketches

@@ -35,7 +35,7 @@ object Tables {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path(dir, name))
       } else spark.read.parquet(path(dir, name))
-    if (name == "events") normalizeNtz(spark, normalizeTs(spark, df))
+    if (name == "events") normalizeTs(spark, normalizeNtz(spark, df))
     else normalizeNtz(spark, df)
   }
 
@@ -56,8 +56,17 @@ object Tables {
       .filter(_.dataType == TimestampNTZType).map(_.name)
     if (ntzCols.isEmpty) df
     else {
-      if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // loud, not silent: flipping the session TZ here would corrupt
+      // every other timestamp expression in a non-UTC session, and the
+      // cast below is LAZY — it executes under whatever TZ is current at
+      // action time, so only a hard contract makes the reinterpretation
+      // safe. Every engine entrypoint pins UTC; a launcher that does not
+      // must fail here, not shift values.
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"Tables.load requires spark.sql.session.timeZone=UTC to cast " +
+          s"NTZ columns ${ntzCols.mkString(",")} losslessly; session has " +
+          s"'$tz' — pin UTC in the SparkSession builder")
       ntzCols.foldLeft(df)((d, c) =>
         d.withColumn(c, col(c).cast(TimestampType)))
     }
@@ -69,24 +78,16 @@ object Tables {
     *   - int64 TIMESTAMP(NANOS)   → surfaced as LongType via nanosAsLong;
     *     integer-div to micros (`div`, not `/` — ns-since-epoch exceeds
     *     double's 2^53 exact range).
-    *   - timestamp[us] without tz → surfaced as TimestampNTZType; with the
-    *     session time zone pinned UTC the cast to TimestampType is a pure
-    *     reinterpretation (identical epoch micros), matching the DuckDB
-    *     oracle's `epoch_us`.
+    *   - timestamp[us] without tz → already cast by [[normalizeNtz]]
+    *     (load chains it first).
     *   - timestamp[us/ms] UTC     → already TimestampType; no-op.
-    * The UTC pin is asserted here (not only in the entrypoint builders) so
-    * a launcher that bypasses sbt's -D flags cannot silently shift values.
     */
   private[graft] def normalizeTs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
-          spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other =>
         throw new IllegalStateException(

@@ -118,13 +118,17 @@ object EventsStreaming {
         graft.functions.MinHash.minhashTokensSig(
           TextAnalysis.tokens(col("text")), 3, numPerm),
         bands, rowsPerBand)).as("band"))
+    // keep-lowest members via the BOUNDED MinKLongs aggregator: its
+    // partial and its state-store row hold <= cap longs no matter how
+    // hot the bucket (a collect_set formulation only truncates the
+    // EMITTED slice — its state grows with bucket membership, exactly
+    // the boilerplate-bucket hazard the cap exists for). Deterministic
+    // under any arrival order: sorted merge-truncate is commutative.
+    val minK = udaf(new graft.functions.MinKLongs(cap))
     banded
       .groupBy(window(col(tsCol), window_), col("band"))
       .agg(min(col("doc_id")).as("keep_id"),
-        // keep-lowest members, capped: sort_array then slice is
-        // deterministic under any arrival order, and bounds a
-        // boilerplate bucket's state/output at cap ids
-        slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("members"))
+        minK(col("doc_id")).as("members"))
       .select(col("window.start").as("w_start"), col("band"),
         explode(col("members")).as("doc_id"), col("keep_id"))
       .filter(col("doc_id") =!= col("keep_id"))
@@ -153,10 +157,20 @@ object EventsStreaming {
     * `distinct` on (id_a, id_b) instead.
     *
     * Scale posture: state per (window, chunk-key) is <= cap (id, sig)
-    * structs — bounded by watermark horizon x chunk-key cardinality,
-    * never corpus history; a boilerplate bucket (thousands of identical
-    * signatures) degrades to one capped row and a cap² local pair
-    * expansion, not unbounded state.
+    * structs — enforced INSIDE the aggregation by the bounded MinKIdSigs
+    * buffer, so the state store is bounded by watermark horizon x
+    * chunk-key cardinality, never corpus history; a boilerplate bucket
+    * (thousands of identical signatures) degrades to one capped row and
+    * a cap² local pair expansion, not unbounded state.
+    *
+    * Cap semantics vs batch (deliberate divergence, recall-side only):
+    * bucket members beyond the cap lose their pairs entirely, keeping
+    * state bounded — the batch operator's chunkCap=4096 instead caps
+    * only the indexed side and still probes every member (and collapses
+    * equal signatures into lossless star pairs first). A bucket at or
+    * under cap emits identically to an uncapped bucket; oversized
+    * buckets keep their cap-smallest members connected. Raise `cap` to
+    * trade state for recall.
     */
   def simhashNearDup(docs: DataFrame, tsCol: String,
       watermark: String = "1 hour", window_ : String = "1 hour",
@@ -172,10 +186,13 @@ object EventsStreaming {
           c => struct(c.as("c"),
             call_function("shiftright", col("sig"), c * 16)
               .bitwiseAND(0xFFFFL).as("v")))).as("chunk"))
+    // bounded bucket membership: MinKIdSigs keeps <= cap (id, sig) pairs
+    // in the aggregation partial AND the state-store row (a collect_set
+    // would grow state with the bucket; see nearDupBands)
+    val minK = udaf(new graft.functions.MinKIdSigs(cap))
     chunked
       .groupBy(window(col(tsCol), window_), col("chunk"))
-      .agg(slice(sort_array(collect_set(struct(col("doc_id").as("id"),
-        col("sig").as("sig")))), 1, cap).as("members"))
+      .agg(minK(col("doc_id"), col("sig")).as("members"))
       .filter(size(col("members")) > 1)
       // stateless pair expansion: members x members, ordered pairs only
       .select(col("window.start").as("w_start"), col("chunk"),

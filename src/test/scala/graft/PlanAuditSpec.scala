@@ -407,10 +407,6 @@ class PlanAuditSpec extends AnyFunSuite {
           s"iteration exchange ships non-long payload: ${out.map(a =>
             s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
       }
-      // and the cached edge side is NOT re-shuffled by the iteration:
-      // no exchange in the round's plan carries the 3-column edge schema
-      assert(!shuffles(round).exists(_.child.output.size > 2),
-        "iteration re-shuffles the loop-invariant edge relation")
     } finally { e2.unpersist(); () }
   }
 

@@ -179,5 +179,13 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"estimate $estOverlap outside 2x band of 200")
     // jaccard truth = 200/1000 = 0.2 -> 200000 ppm, same 2x band
     assert(row.getLong(3) >= 100000L && row.getLong(3) <= 400000L)
+    // the at-scale mode: estimates identical, exact column zeroed, and
+    // no second corpus scan (sketch-only)
+    val noExact = TextAnalysis.kmvSourceOverlap(
+      docs, "source", graft.operators.Dedup.shingles($"text", 1), k = 64,
+      includeExact = false).head()
+    assert(noExact.getLong(3) == row.getLong(3) &&
+      noExact.getLong(4) == row.getLong(4))
+    assert(noExact.getLong(5) == 0L)
   }
 }
