@@ -506,6 +506,28 @@ class PlanAuditSpec extends AnyFunSuite {
       df.queryExecution.analyzed.toString.take(3000))
   }
 
+  test("t17 sketch-only overlap reads the corpus ONCE and broadcasts the " +
+      "pair grid") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"source", $"text")
+    val df = graft.operators.TextAnalysis.kmvSourceOverlap(
+      docs, "source", graft.operators.Dedup.shingles($"text", 3),
+      k = 64, includeExact = false)
+    val plan = executedPlan(df)
+    // the at-scale contract: estimates come from the sketches ALONE, so
+    // the corpus parquet is scanned exactly once (includeExact=true
+    // deliberately pays a second scan to grade the estimator)
+    val scans = allNodes(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"sketch-only overlap scanned the corpus ${scans.size} times")
+    // the source-pair grid joins by broadcast: the sketch relation
+    // (sources x k longs) never shuffles
+    assert(planString(df).contains("BroadcastNestedLoopJoin") ||
+      planString(df).contains("BroadcastExchange"), planString(df).take(3000))
+  }
+
   test("s11 filtered ANN pre-filters: label pushed to the scan, metadata " +
       "ids broadcast, result is TakeOrderedAndProject") {
     val df = SparkEntry.queries("s11_filtered_ann")(spark, dir)
