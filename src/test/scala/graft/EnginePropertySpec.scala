@@ -219,4 +219,38 @@ class EnginePropertySpec extends AnyFunSuite {
           s"k=$k splits=$nSplits items=$items")
     }
   }
+
+  test("MinKLongs/MinKIdSigs: any split + merge order equals the sorted-" +
+      "truncated whole set (the collect_set formulation they replaced)") {
+    import graft.functions.{IdSig, MinKIdSigs, MinKLongs}
+    // distinct ids per group (the twins' per-(window,key) uniqueness
+    // contract); shuffled arrival and arbitrary partition splits must
+    // yield the cap-smallest members in order — the streaming state
+    // boundedness claim rests on this equivalence
+    val idsGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.pick(n, 0L until 200L).map(_.toList))
+    forAll(Gen.zip(idsGen, Gen.chooseNum(1, 6), Gen.chooseNum(1, 12)), 200) {
+      case (ids, nSplits, cap) =>
+        val shuffledIds = scala.util.Random.shuffle(ids)
+        val expect = ids.sorted.take(cap)
+        val la = new MinKLongs(cap)
+        val lShards = shuffledIds.zipWithIndex
+          .groupBy(_._2 % nSplits).values.map(_.map(_._1))
+        val lMerged = lShards.map(_.foldLeft(la.zero)(la.reduce))
+          .foldLeft(la.zero)(la.merge)
+        assert(la.finish(lMerged) == expect, s"cap=$cap ids=$ids")
+        // every partial buffer is itself bounded — the state claim
+        lShards.map(_.foldLeft(la.zero)(la.reduce))
+          .foreach(p => assert(p.size <= cap))
+        val sa = new MinKIdSigs(cap)
+        val sigs = shuffledIds.map(i => IdSig(i, i * 31L))
+        val sShards = sigs.zipWithIndex
+          .groupBy(_._2 % nSplits).values.map(_.map(_._1))
+        val sMerged = sShards.map(_.foldLeft(sa.zero)(sa.reduce))
+          .foldLeft(sa.zero)(sa.merge)
+        assert(sa.finish(sMerged).map(_.id) == expect, s"cap=$cap ids=$ids")
+        sShards.map(_.foldLeft(sa.zero)(sa.reduce))
+          .foreach(p => assert(p.size <= cap))
+    }
+  }
 }
