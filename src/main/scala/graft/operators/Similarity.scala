@@ -701,4 +701,63 @@ object Similarity {
       .select(col("q_id"), (col("rank") + 1).cast("long").as("rank"),
         col("s.id").as(corpusId), col("s.score").as("cos"))
   }
+
+  /** Compressed-domain near-duplicate SEARCH: top-k corpus docs per probe
+    * by SimHash Hamming distance, candidates blocked on the d03 chunk rule
+    * (4 × 16-bit signature chunks; any pair at Hamming ≤ 3 shares at least
+    * one chunk, so results within that radius are exhaustive — farther
+    * candidates surface only when they collide on a chunk, the standard
+    * banding trade). The whole searcher runs on 8-byte signatures — the
+    * "which shard of a 100 TB corpus should even be read" primitive.
+    *
+    * Scale shape: both sides explode into (chunk, value) postings and
+    * equi-join — never a cross join; per-posting corpus lists are capped
+    * at `chunkCap` by deterministic min-id election (same rule as
+    * [[graft.operators.Dedup.simhashPairs]], replayable in SQL). A pair
+    * colliding on several chunks is kept only at its FIRST matching chunk
+    * — a pure expression on the two signatures, so no distinct pass ever
+    * shuffles the candidate set. Ranking is the bounded
+    * [[graft.functions.TopKByScore]] heap keyed by the probe: map-side
+    * partials keep ≤ k rows per probe per partition (score = −hamming,
+    * ties broken by corpus id — Hamming is an exact small integer in
+    * DOUBLE, so the heap order replays).
+    *
+    * @return (q_id, rank, doc_id, hamming), rank 1..k per probe
+    */
+  def hammingTopK(corpus: DataFrame, corpusId: String,
+      probes: DataFrame, probeId: String, textCol: String,
+      k: Int, chunkCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    def chunked(df: DataFrame, id: String, outId: String, outSig: String) =
+      df.select(col(id).cast("long").as(outId),
+          graft.operators.Dedup.simhash(col(textCol)).as(outSig))
+        .withColumn("chunk", explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("c"),
+            call_function("shiftright", col(outSig), c * 16)
+              .bitwiseAND(0xFFFFL).as("v")))))
+    val cch = chunked(corpus, corpusId, "cid", "csig")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("cid"))))
+      .filter(col("rk") <= chunkCap).drop("rk")
+    val pch = chunked(probes, probeId, "pid", "psig")
+    val x = col("psig").bitwiseXOR(col("csig"))
+    // first chunk index where the signatures agree — dedupes multi-chunk
+    // collisions without a distinct
+    val firstMatch =
+      when(x.bitwiseAND(0xFFFFL) === 0, 0)
+        .when(call_function("shiftright", x, lit(16)).bitwiseAND(0xFFFFL) === 0, 1)
+        .when(call_function("shiftright", x, lit(32)).bitwiseAND(0xFFFFL) === 0, 2)
+        .otherwise(3)
+    pch.join(cch, Seq("chunk"))
+      .filter(col("pid") =!= col("cid") && col("chunk.c") === firstMatch)
+      .select(col("pid").as("q_id"),
+        (-bit_count(x).cast("double")).as("score"), col("cid").as("id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank", "s")))
+      .select(col("q_id"), (col("rank") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"),
+        (-col("s.score")).cast("long").as("hamming"))
+  }
 }

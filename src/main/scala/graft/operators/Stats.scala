@@ -76,4 +76,43 @@ object Stats {
     ranked.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n_sample"), qCols: _*)
   }
+
+  /** Deterministic weight-proportional Bernoulli sample — the importance
+    * sampler a data-mixture pipeline needs ("sample ~k docs, long docs
+    * proportionally more often") with zero RNG state: row i is kept iff
+    *
+    *   h60(salt:id) · ΣW  <  2^60 · k · w_i
+    *
+    * where h60 is the first 60 bits of md5 as a uniform integer in
+    * [0, 2^60). That is P(keep) = min(1, k·w_i/ΣW) — expected sample
+    * size ≤ k (exactly k·w/ΣW summed, short only by the capped heavy
+    * rows) — decided by one integer comparison. Both sides are computed
+    * in exact wide-integer arithmetic (Spark DECIMAL(38,0), oracle-side
+    * int128), never a float ratio, so the kept row SET replays
+    * bit-identically on any engine at any parallelism; the operand casts
+    * below keep every declared precision ≤ 38 (19+18+1 and 21+16+1).
+    *
+    * Scale shape: the total weight is one scalar (broadcast back), and
+    * the keep predicate is a codegen'd per-row expression — no shuffle,
+    * no sort, no state; appending data changes other rows' inclusion
+    * only through ΣW, exactly as importance sampling must.
+    *
+    * @param weightCol non-negative integral weights (e.g. n_chars)
+    * @param targetK   expected sample size in rows
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
+      targetK: Long, salt: String): DataFrame = {
+    require(targetK > 0, s"targetK must be positive, got $targetK")
+    val tot = df.agg(
+      sum(col(weightCol).cast("decimal(18,0)")).as("__W"))
+    val h60 = conv(substring(
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("decimal(19,0)")
+    val rhsConst = (BigInt(2).pow(60) * targetK).toString
+    df.crossJoin(broadcast(tot))
+      .filter(h60 * col("__W") <
+        expr(s"CAST('$rhsConst' AS DECIMAL(21,0))") *
+          col(weightCol).cast("decimal(16,0)"))
+      .drop("__W")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Cdc, Dedup, Graph, Layout, MediaCodecColumns, Multimodal, Packing, Quota, Retrieval, Similarity, Stats, TextAnalysis}
+import graft.operators.{AsOf, Cdc, Dedup, Graph, Layout, MediaCodecColumns, Multimodal, Packing, Quota, RangeJoin, Retrieval, Similarity, Stats, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (dedup, similarity, text analysis,
@@ -2858,6 +2858,172 @@ object PipelineQueries {
         FROM marked)
       SELECT user_id, count(DISTINCT session_id) AS n_sessions,
         count(*) AS n_events
-      FROM sess GROUP BY user_id ORDER BY user_id"""), bench = true)
+      FROM sess GROUP BY user_id ORDER BY user_id"""), bench = true),
+
+    // ---- Interval (range) join via grid bucketing: lineitems shipped
+    // inside any urgent order's 7-day launch window, counted per ship
+    // day. A BETWEEN predicate has no equality, so the naive Spark plan
+    // is BroadcastNestedLoopJoin — all pairs, one unsplittable stage.
+    // RangeJoin.pointInInterval restores an equi-key by exploding each
+    // interval into its covered 7-day grid cells and hash-joining on the
+    // cell id (≤ 2 cells per 7-day window), with the exact containment
+    // check bucket-local. PlanAuditSpec pins the no-nested-loop shape.
+    QuerySpec("p18_interval_join", (s, dir) => {
+      import s.implicits._
+      val day = 86400000000L
+      val pts = Tables.load(s, dir, "lineitem")
+        .select(expr(s"unix_micros(l_shipdate) div ${day}L").as("ship_day"))
+      val win = Tables.load(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey",
+          expr(s"unix_micros(o_orderdate) div ${day}L").as("lo"))
+        .withColumn("hi", $"lo" + 6L)
+      RangeJoin.pointInInterval(pts, $"ship_day", win, $"lo", $"hi", cell = 7L)
+        .groupBy($"ship_day")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"o_orderkey").as("n_windows"))
+        .orderBy($"ship_day")
+    }, oracle = Some("""
+      WITH pts AS (
+        SELECT epoch_us(l_shipdate) // 86400000000 AS ship_day
+        FROM lineitem),
+      win AS (
+        SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS lo
+        FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT ship_day, count(*) AS n_pairs,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_windows
+      FROM pts JOIN win ON pts.ship_day BETWEEN win.lo AND win.lo + 6
+      GROUP BY ship_day ORDER BY ship_day"""), bench = true),
+
+    // ---- Per-node triangle counts over the co-supplier graph (edge =
+    // two suppliers sharing >= 30 orders; the threshold makes the graph
+    // sparse at the verification SF). Spark enumerates via degree-ordered
+    // orientation (compact-forward — wedge centers capped at O(sqrt m)
+    // out-degree regardless of hubs); the oracle enumerates id-ordered.
+    // The triangle SET is orientation-invariant, so the per-node counts
+    // hash-match even though the two engines walk the graph differently.
+    QuerySpec("p19_triangle_count", (s, dir) => {
+      import s.implicits._
+      val ls = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey".as("k"), $"l_suppkey".as("a")).distinct()
+      val edges = ls.join(ls.withColumnRenamed("a", "b"), "k")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 30).select($"a", $"b")
+      Graph.triangleCounts(edges).orderBy($"node")
+    }, oracle = Some("""
+      WITH ls AS (
+        SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem),
+      e AS (
+        SELECT x.s AS a, y.s AS b FROM ls x JOIN ls y
+        ON x.k = y.k AND x.s < y.s
+        GROUP BY x.s, y.s HAVING count(*) >= 30),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+      cnt AS (
+        SELECT node, count(*) AS t FROM (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY node)
+      SELECT n.node, CAST(coalesce(c.t, 0) AS BIGINT) AS n_triangles
+      FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node"""),
+      bench = true),
+
+    // ---- Deterministic weight-proportional sample: expected-~100-doc
+    // Bernoulli sample with P(keep) ∝ n_chars, decided by one exact
+    // wide-integer comparison per row (no RNG, no sort, no shuffle) —
+    // the importance sampler behind "sample a mixture, long docs more
+    // often". Spark compares in DECIMAL(38,0); the oracle replays the
+    // same comparison in int128 — identical kept SET by construction.
+    QuerySpec("p20_weighted_sample", (s, dir) => {
+      import s.implicits._
+      Stats.weightedHashSample(
+          Tables.load(s, dir, "documents")
+            .select($"doc_id", $"source", $"n_chars"),
+          "doc_id", "n_chars", targetK = 100L, salt = "ws1")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH tot AS (SELECT sum(n_chars)::HUGEINT AS w FROM documents)
+      SELECT doc_id, source, n_chars FROM documents, tot
+      WHERE ('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::UBIGINT::HUGEINT * w
+        < 1152921504606846976::HUGEINT * 100 * n_chars
+      ORDER BY doc_id""")),
+
+    // ---- Compressed-domain near-dup SEARCH: top-3 corpus docs per probe
+    // (every 25th doc) by SimHash Hamming distance, candidates blocked on
+    // the d03 16-bit-chunk rule and ranked by the bounded TopKByScore
+    // heap. The oracle rebuilds the signatures from md5(token) halves
+    // (the d03 derivation), replays the chunk join INCLUDING the
+    // first-matching-chunk dedupe and the per-posting cap, and ranks with
+    // a window — so the banding trade itself is hash-checked, not just
+    // the distances.
+    QuerySpec("s14_hamming_topk", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      Similarity.hammingTopK(docs, "doc_id",
+          docs.filter($"doc_id" % 25 === 0), "doc_id", "text", k = 3)
+        .orderBy($"q_id", $"rank")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents),
+      th AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(t), 1, 8))::UBIGINT AS hi,
+          ('0x' || substr(md5(t), 9, 8))::UBIGINT AS lo
+        FROM toks),
+      bits AS (
+        SELECT doc_id, j.range AS j,
+          sum(CASE WHEN
+            ((CASE WHEN j.range < 32 THEN lo >> j.range
+                   ELSE hi >> (j.range - 32) END) & 1) = 1
+            THEN 1 ELSE -1 END) AS c
+        FROM th, range(64) j
+        GROUP BY doc_id, j.range),
+      sigs AS (
+        SELECT doc_id AS id,
+          CAST(sum(CASE WHEN c >= 0 AND j >= 32
+            THEN (1::UBIGINT << CAST(j - 32 AS INTEGER)) ELSE 0 END)
+            AS UBIGINT) AS sig_hi,
+          CAST(sum(CASE WHEN c >= 0 AND j < 32
+            THEN (1::UBIGINT << CAST(j AS INTEGER)) ELSE 0 END)
+            AS UBIGINT) AS sig_lo
+        FROM bits GROUP BY doc_id),
+      ch AS (
+        SELECT id, sig_hi, sig_lo, j.range AS c,
+          CASE WHEN j.range = 0 THEN sig_lo & 65535
+               WHEN j.range = 1 THEN (sig_lo >> 16) & 65535
+               WHEN j.range = 2 THEN sig_hi & 65535
+               ELSE (sig_hi >> 16) & 65535 END AS v
+        FROM sigs, range(4) j),
+      cch AS (
+        SELECT * FROM (
+          SELECT ch.*, row_number() OVER
+            (PARTITION BY c, v ORDER BY id) AS rk FROM ch)
+        WHERE rk <= 4096),
+      cand AS (
+        SELECT p.id AS q_id, cc.id AS doc_id,
+          bit_count(xor(p.sig_hi, cc.sig_hi)) +
+          bit_count(xor(p.sig_lo, cc.sig_lo)) AS hamming
+        FROM ch p JOIN cch cc ON p.c = cc.c AND p.v = cc.v AND p.id <> cc.id
+        WHERE p.id % 25 = 0
+          AND p.c = CASE
+            WHEN (xor(p.sig_lo, cc.sig_lo)) & 65535 = 0 THEN 0
+            WHEN (xor(p.sig_lo, cc.sig_lo) >> 16) & 65535 = 0 THEN 1
+            WHEN (xor(p.sig_hi, cc.sig_hi)) & 65535 = 0 THEN 2
+            ELSE 3 END),
+      ranked AS (
+        SELECT q_id, doc_id, hamming, row_number() OVER
+          (PARTITION BY q_id ORDER BY hamming, doc_id) AS rank
+        FROM cand)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        CAST(hamming AS BIGINT) AS hamming
+      FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }

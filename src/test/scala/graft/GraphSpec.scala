@@ -37,4 +37,36 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= 150000L))
     assert(got.values.max > 1000000L)
   }
+
+  test("triangle counts on a known graph: two triangles sharing an edge, " +
+      "a pendant, and dirty input (dup/reversed/self edges)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {2,3,4} share edge 2-3; 5 hangs off 4
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val dirty = clean ++ Seq((2L, 1L), (1L, 2L), (3L, 3L)) // reversed, dup, loop
+    val got = Graph.triangleCounts(dirty.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("triangle counts match a brute-force driver fold on a seeded " +
+      "random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val es = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.2
+    } yield (a, b)).toSeq
+    val got = Graph.triangleCounts(es.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val adj = es.toSet
+    def conn(x: Long, y: Long) = adj((x min y, x max y))
+    val expect = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    es.foreach { case (a, b) => expect(a) += 0; expect(b) += 0 }
+    for (x <- 0L until n; y <- (x + 1) until n; z <- (y + 1) until n
+         if conn(x, y) && conn(y, z) && conn(x, z)) {
+      expect(x) += 1; expect(y) += 1; expect(z) += 1
+    }
+    assert(got == expect.toMap)
+  }
 }

@@ -540,4 +540,55 @@ class PlanAuditSpec extends AnyFunSuite {
     // top-k never global-sorts the survivors
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
+
+  test("p18 grid-bucketed interval join plans an equi-join, never a " +
+      "nested loop or cartesian product") {
+    val df = SparkEntry.queries("p18_interval_join")(spark, dir)
+    val plan = planString(df)
+    // a raw BETWEEN theta-join would be BroadcastNestedLoopJoin — one
+    // all-pairs unsplittable stage; the grid cell restores a hash key
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
+  test("p19 triangle counting shuffles only long keys — the document-" +
+      "free posture every graph round must keep") {
+    val df = SparkEntry.queries("p19_triangle_count")(spark, dir)
+    for (e <- shuffles(df)) {
+      val cols = e.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+      assert(cols.forall(_.endsWith(":bigint")) ||
+        cols.forall(c => c.endsWith(":bigint") || c.endsWith(":int")),
+        s"triangle shuffle carries non-integer columns: $cols")
+    }
+    assert(!planString(df).contains("CartesianProduct"),
+      planString(df).take(3000))
+  }
+
+  test("p20 weighted sample: the only shuffle is the one-row weight " +
+      "total; the keep decision never moves data") {
+    val df = SparkEntry.queries("p20_weighted_sample")(spark, dir)
+    // the final orderBy is presentation; ignore rangepartitioning
+    val aggShuffles = shuffles(df).filterNot(
+      _.outputPartitioning.toString.contains("rangepartitioning"))
+    assert(aggShuffles.size == 1,
+      s"expected only the ΣW scalar shuffle, saw ${aggShuffles.size}")
+    // the partial-sum buffer is (sum, isEmpty) — nothing row-shaped
+    val cols = aggShuffles.head.output.map(_.name)
+    assert(cols.forall(c => c.contains("sum") || c.contains("isEmpty")),
+      s"scalar-total shuffle carries row data: $cols")
+  }
+
+  test("s14 hamming top-k: bounded heap aggregates partially before the " +
+      "probe shuffle; candidate join is an equi-join on the chunk") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val df = Similarity.hammingTopK(docs, "doc_id",
+      docs.filter($"doc_id" % 25 === 0), "doc_id", "text", k = 3)
+    val full = allNodes(executedPlan(df)).mkString("\n")
+    assert(full.contains("partial_topkbyscore"), full.take(3000))
+    assert(!full.contains("CartesianProduct") &&
+      !full.contains("BroadcastNestedLoopJoin"), full.take(3000))
+  }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  test("point-in-interval equals a brute-force theta join, across cell " +
+      "widths and cell-boundary-straddling intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextInt(200).toLong))
+      .toDF("pid", "t")
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextInt(200).toLong
+      (i.toLong, lo, lo + rnd.nextInt(15).toLong)
+    }.toDF("iid", "lo", "hi")
+    val expect = pts.join(ivs, $"t" >= $"lo" && $"t" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    for (cell <- Seq(1L, 7L, 16L, 1000L)) {
+      val got = RangeJoin.pointInInterval(pts, $"t", ivs, $"lo", $"hi", cell)
+        .select($"pid", $"iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"cell=$cell produced dup pairs")
+      assert(got.toSet == expect, s"cell=$cell mismatch")
+    }
+  }
+
+  test("empty-overlap and point-width intervals behave") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (2L, 50L)).toDF("pid", "t")
+    val ivs = Seq((10L, 5L, 5L), (11L, 6L, 7L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, $"t", ivs, $"lo", $"hi", 10L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+}

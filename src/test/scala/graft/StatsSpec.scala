@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Stats
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  test("weighted hash sample is deterministic, weight-proportional, and " +
+      "independent of partitioning") {
+    import spark.implicits._
+    // two strata: heavy rows (w=1000) and light rows (w=10)
+    val rows = ((1 to 200).map(i => (i.toLong, 1000L)) ++
+      (201 to 400).map(i => (i.toLong, 10L))).toDF("id", "w")
+    val kept = Stats.weightedHashSample(rows, "id", "w", targetK = 100L,
+      salt = "t").select($"id").as[Long].collect().toSet
+    val kept2 = Stats.weightedHashSample(rows.repartition(13), "id", "w",
+      targetK = 100L, salt = "t").select($"id").as[Long].collect().toSet
+    assert(kept == kept2, "sample must not depend on partitioning")
+    val heavy = kept.count(_ <= 200)
+    val light = kept.size - heavy
+    // E[heavy] ≈ 100·(200·1000/202000) ≈ 99, E[light] ≈ 1
+    assert(heavy > 70 && heavy <= 200, s"heavy=$heavy")
+    assert(light < 10, s"light=$light")
+    // per-row keep probability caps at 1 — a degenerate heavy row cannot
+    // inflate the sample
+    val capped = Stats.weightedHashSample(
+      Seq((1L, 1000000L), (2L, 1L)).toDF("id", "w"), "id", "w",
+      targetK = 5L, salt = "t").count()
+    assert(capped <= 2)
+  }
+
+  test("weighted sample with weight 0 rows never keeps them") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (i.toLong, if (i <= 25) 0L else 7L))
+      .toDF("id", "w")
+    val kept = Stats.weightedHashSample(rows, "id", "w", targetK = 10L,
+      salt = "z").select($"id").as[Long].collect()
+    assert(kept.forall(_ > 25))
+  }
+}
