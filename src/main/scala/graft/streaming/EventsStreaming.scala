@@ -454,4 +454,110 @@ object EventsStreaming {
           } else Iterator.empty
       }
   }
+
+  /** One per-user funnel row (times in epoch micros, the p07 unit). */
+  final case class FunnelRow(user_id: Long, t_signup: Option[Long],
+    t_view: Option[Long], t_purchase: Option[Long])
+  // reflectively constructed by the state encoder (see SessionState)
+  final case class FunnelState(s: Long, views: Seq[Long],
+    purchases: Seq[Long], maxT: Long)
+
+  private def tMicros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Exact-pruned state fold for the gated funnel. The gates only move
+    * DOWN as events arrive (min-signup is monotone non-increasing, hence
+    * so is the admissible-view threshold, hence the view answer, hence
+    * the purchase threshold), which yields an exact prune: among views at
+    * or above the current min-signup only the MINIMUM can ever be the
+    * final answer under ANY still-reachable final signup time, so the
+    * rest are dropped; views BELOW it must be retained (a later-arriving
+    * earlier signup may admit them). Purchases prune identically against
+    * the current view answer. In-order streams therefore hold O(1) state
+    * per user; out-of-order arrivals grow it only by events that could
+    * still genuinely change the answer, all bounded by the watermark
+    * horizon. */
+  private def funnelStep(st: FunnelState, tpe: String, t: Long,
+      stages: (String, String, String)): FunnelState = {
+    val bumped = tpe match {
+      case stages._1 => st.copy(s = math.min(st.s, t))
+      case stages._2 => st.copy(views = st.views :+ t)
+      case stages._3 => st.copy(purchases = st.purchases :+ t)
+      case _ => st
+    }
+    val withMax = bumped.copy(maxT = math.max(bumped.maxT, t))
+    val (vBelow, vAbove) = withMax.views.partition(_ < withMax.s)
+    val keptViews = vBelow ++ vAbove.minOption
+    val kept = vAbove.minOption match {
+      case None => withMax.copy(views = keptViews)
+      case Some(tv) =>
+        val (pBelow, pAbove) = withMax.purchases.partition(_ < tv)
+        withMax.copy(views = keptViews, purchases = pBelow ++ pAbove.minOption)
+    }
+    kept
+  }
+
+  private def funnelFinish(userId: Long, st: FunnelState)
+      : Option[FunnelRow] =
+    if (st.s == Long.MaxValue) None // p07 keys the funnel on signups
+    else {
+      val v = st.views.filter(_ >= st.s).minOption
+      val p = v.flatMap(tv => st.purchases.filter(_ >= tv).minOption)
+      Some(FunnelRow(userId, Some(st.s), v, p))
+    }
+
+  /** Streaming twin of the p07 conversion funnel: per user, the earliest
+    * signup, the earliest view at-or-after it, and the earliest purchase
+    * at-or-after THAT — emitted once the event-time watermark passes the
+    * user's last event plus `quietMs` (funnels are complete facts, so
+    * emission waits for stream progress to close the user, the
+    * sessionize pattern — never the wall clock).
+    *
+    * ORDER-INDEPENDENT by construction (see [[funnelStep]]): the pruned
+    * state reaches the same answer under arbitrary cross-batch
+    * reordering, so stream == batch is pinned under a shuffled replay —
+    * stronger than the as-of twin's in-order contract, which a gated
+    * funnel needs because its stages chain (one out-of-order signup
+    * re-gates everything after it). A user producing events again after
+    * emission re-opens fresh state and emits a second row — the
+    * attribution-window semantics at horizon scale.
+    *
+    * Batch: the same fold with inline emission — no sort is even needed,
+    * order-independence makes the unsorted group iterator exact. */
+  def funnel(spark: SparkSession, events: Dataset[Event],
+      stages: (String, String, String) = ("signup", "view", "purchase"),
+      watermark: String = "1 hour",
+      quietMs: Long = 30 * 60 * 1000L): Dataset[FunnelRow] = {
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val prepared =
+      if (streaming) events.withWatermark("ts", watermark) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val relevant = prepared
+      .filter(col("event_type").isin(stages._1, stages._2, stages._3))
+    relevant.groupBy(col("user_id")).as[Long, Event]
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            funnelFinish(userId, st).iterator
+          } else {
+            var st = state.getOption.getOrElse(
+              FunnelState(Long.MaxValue, Seq.empty, Seq.empty, Long.MinValue))
+            it.foreach { e =>
+              st = funnelStep(st, e.event_type, tMicros(e.ts), stages)
+            }
+            if (streaming) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.maxT / 1000L + quietMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            } else funnelFinish(userId, st).iterator
+          }
+      }
+  }
 }

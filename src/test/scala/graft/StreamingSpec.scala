@@ -443,4 +443,80 @@ class StreamingSpec extends AnyFunSuite {
       assert(want.values.exists(!_._1) && want.values.exists(_._1))
     } finally q.stop()
   }
+
+  test("streaming funnel equals batch under a SHUFFLED replay, including " +
+      "late-arriving earlier signups that re-gate pruned views") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    var eid = 0L
+    def ev(u: Long, tpe: String, sec: Long): EventsStreaming.Event = {
+      eid += 1
+      EventsStreaming.Event(eid, new java.sql.Timestamp(base + sec * 1000),
+        u, tpe, 1.0)
+    }
+    // u1 in order; u2's signup arrives LAST with the earliest time;
+    // u3 exercises the exact prune (views 80/90 arrive under signup@60,
+    // then signup@40 + view@45 re-gate; purchase@44 is inadmissible);
+    // u4 never signs up -> no row
+    val arrivalOrder = Seq(
+      ev(1, "signup", 1000), ev(1, "view", 2000), ev(1, "purchase", 3000),
+      ev(2, "view", 100), ev(2, "purchase", 150),
+      ev(3, "signup", 60), ev(3, "view", 80), ev(3, "view", 90),
+      ev(3, "purchase", 44), ev(3, "purchase", 200),
+      ev(4, "view", 10), ev(4, "purchase", 20),
+      ev(3, "signup", 40), ev(3, "view", 45),
+      ev(2, "signup", 50))
+
+    // batch twin on the same rows (order-independent: no sort applied)
+    val batchRows = EventsStreaming
+      .funnel(spark, spark.createDataset(arrivalOrder))
+      .collect().map(r => (r.user_id, r.t_signup, r.t_view, r.t_purchase))
+      .toSet
+    def us(sec: Long) = Some((base + sec * 1000) * 1000L)
+    assert(batchRows == Set(
+      (1L, us(1000), us(2000), us(3000)),
+      (2L, us(50), us(100), us(150)),
+      (3L, us(40), us(45), us(200))))
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Event]
+    val q = EventsStreaming.funnel(spark, mem.toDS(), watermark = "24 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // replay in arrival order across four micro-batches (the late
+      // signups land in the final batch), then a far-future sentinel
+      // advances the watermark past every user's quiet period
+      arrivalOrder.grouped(4).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      mem.addData(EventsStreaming.Event(999L,
+        new java.sql.Timestamp(base + 96L * 3600 * 1000), 999L, "signup", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .as[EventsStreaming.FunnelRow]
+        .collect().map(r => (r.user_id, r.t_signup, r.t_view, r.t_purchase))
+        .toSet
+      assert(got == batchRows,
+        s"stream-batch: ${got -- batchRows}; batch-stream: ${batchRows -- got}")
+    } finally q.stop()
+  }
+
+  test("batch funnel operator equals the p07 query on the events fixture") {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStreaming.Event]
+    val got = EventsStreaming.funnel(spark, events)
+      .collect()
+      .map(r => (r.user_id, r.t_signup.get, r.t_view, r.t_purchase)).toSet
+    val want = SparkEntry.queries("p07_funnel")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
