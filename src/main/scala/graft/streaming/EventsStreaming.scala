@@ -477,7 +477,7 @@ object EventsStreaming {
     * per user; out-of-order arrivals grow it only by events that could
     * still genuinely change the answer, all bounded by the watermark
     * horizon. */
-  private def funnelStep(st: FunnelState, tpe: String, t: Long,
+  private[graft] def funnelStep(st: FunnelState, tpe: String, t: Long,
       stages: (String, String, String)): FunnelState = {
     val bumped = tpe match {
       case stages._1 => st.copy(s = math.min(st.s, t))
@@ -497,7 +497,7 @@ object EventsStreaming {
     kept
   }
 
-  private def funnelFinish(userId: Long, st: FunnelState)
+  private[graft] def funnelFinish(userId: Long, st: FunnelState)
       : Option[FunnelRow] =
     if (st.s == Long.MaxValue) None // p07 keys the funnel on signups
     else {

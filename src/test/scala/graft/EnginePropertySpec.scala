@@ -253,4 +253,50 @@ class EnginePropertySpec extends AnyFunSuite {
           .foreach(p => assert(p.size <= cap))
     }
   }
+
+  test("funnel state fold: ANY arrival order reaches the batch gated-" +
+      "funnel answer, and in-order streams hold O(1) state") {
+    import graft.streaming.EventsStreaming
+    import graft.streaming.EventsStreaming.FunnelState
+    val stages = ("s", "v", "p")
+    // small time domain so gate ties and equal-time chains are common
+    val evGen = Gen.zip(Gen.oneOf("s", "v", "p", "x"), Gen.chooseNum(0L, 12L))
+    val seqGen = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, evGen))
+    def fold(evs: List[(String, Long)]): Option[(Long, Option[Long], Option[Long])] = {
+      val st = evs.foldLeft(
+        FunnelState(Long.MaxValue, Seq.empty, Seq.empty, Long.MinValue)) {
+        case (acc, (tpe, t)) => EventsStreaming.funnelStep(acc, tpe, t, stages)
+      }
+      EventsStreaming.funnelFinish(1L, st)
+        .map(r => (r.t_signup.get, r.t_view, r.t_purchase))
+    }
+    forAll(seqGen, 400) { evs =>
+      // reference: the p07 definition computed on the full multiset
+      val ss = evs.collect { case ("s", t) => t }
+      val expect =
+        if (ss.isEmpty) None
+        else {
+          val s = ss.min
+          val v = evs.collect { case ("v", t) if t >= s => t }.minOption
+          val p = v.flatMap(tv =>
+            evs.collect { case ("p", t) if t >= tv => t }.minOption)
+          Some((s, v, p))
+        }
+      assert(fold(evs) == expect, s"in-order $evs")
+      val rnd = new scala.util.Random(evs.hashCode)
+      assert(fold(rnd.shuffle(evs)) == expect, s"shuffled $evs")
+      // time-sorted arrival (the in-order stream) keeps ≤1 view and
+      // ≤1 purchase at-or-above each gate — the O(1)-per-user claim
+      val sortedSt = evs.sortBy(_._2).foldLeft(
+        FunnelState(Long.MaxValue, Seq.empty, Seq.empty, Long.MinValue)) {
+        case (acc, (tpe, t)) => EventsStreaming.funnelStep(acc, tpe, t, stages)
+      }
+      if (ss.nonEmpty) {
+        assert(sortedSt.views.count(_ >= sortedSt.s) <= 1)
+        sortedSt.views.filter(_ >= sortedSt.s).minOption.foreach { tv =>
+          assert(sortedSt.purchases.count(_ >= tv) <= 1)
+        }
+      }
+    }
+  }
 }
