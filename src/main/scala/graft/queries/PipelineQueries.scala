@@ -2871,8 +2871,15 @@ object PipelineQueries {
     QuerySpec("p18_interval_join", (s, dir) => {
       import s.implicits._
       val day = 86400000000L
+      // pre-aggregate points per day BEFORE the range join: every lineitem
+      // shipped the same day matches the same windows, so the join probes
+      // shrink from |lineitem| rows to |distinct days| (600k -> ~2.4k at
+      // sf0.1, and the same ~2.4k at 100 TB — the probe side becomes
+      // CALENDAR-sized while all row-count weight rides in one long).
+      // n_pairs is then a weighted count: sum of per-day multiplicities.
       val pts = Tables.load(s, dir, "lineitem")
         .select(expr(s"unix_micros(l_shipdate) div ${day}L").as("ship_day"))
+        .groupBy($"ship_day").agg(count(lit(1)).as("n_pts"))
       val win = Tables.load(s, dir, "orders")
         .filter($"o_orderpriority" === "1-URGENT")
         .select($"o_orderkey",
@@ -2880,7 +2887,7 @@ object PipelineQueries {
         .withColumn("hi", $"lo" + 6L)
       RangeJoin.pointInInterval(pts, $"ship_day", win, $"lo", $"hi", cell = 7L)
         .groupBy($"ship_day")
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(sum($"n_pts").as("n_pairs"),
           countDistinct($"o_orderkey").as("n_windows"))
         .orderBy($"ship_day")
     }, oracle = Some("""
