@@ -31,11 +31,16 @@ object RangeJoin {
     *                  the same unit, inclusive on both ends
     * @param cell      grid width in the same unit; intervals explode into
     *                  (hi div cell) - (lo div cell) + 1 rows
+    * @param keys      extra equi-key columns present on BOTH sides (e.g.
+    *                  user_id for per-entity temporal joins); the hash key
+    *                  becomes (keys..., cell), so a hot entity's candidate
+    *                  set is further cut by the time grid — the skew
+    *                  control a bare entity-keyed join lacks
     * @return points × containing-intervals, all columns of both inputs
     */
   def pointInInterval(points: DataFrame, pt: Column,
       intervals: DataFrame, lo: Column, hi: Column,
-      cell: Long): DataFrame = {
+      cell: Long, keys: Seq[String] = Seq.empty): DataFrame = {
     require(cell > 0, s"grid cell must be positive, got $cell")
     val cells = intervals
       .withColumn("_lo", lo.cast("long"))
@@ -45,10 +50,10 @@ object RangeJoin {
     val probes = points
       .withColumn("_pt", pt.cast("long"))
       .withColumn("_cell", expr(s"_pt div ${cell}L"))
-    // equi-join on the cell id; the exact containment check runs inside
-    // the co-partitioned bucket. A point lies in exactly one cell, so no
-    // pair can match twice — no distinct pass needed.
-    probes.join(cells, Seq("_cell"))
+    // equi-join on the cell id (+ caller keys); the exact containment
+    // check runs inside the co-partitioned bucket. A point lies in
+    // exactly one cell, so no pair can match twice — no distinct pass.
+    probes.join(cells, keys :+ "_cell")
       .filter(col("_pt") >= col("_lo") && col("_pt") <= col("_hi"))
       .drop("_cell", "_pt", "_lo", "_hi")
   }

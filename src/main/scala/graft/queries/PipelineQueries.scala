@@ -2941,6 +2941,46 @@ object PipelineQueries {
       FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node"""),
       bench = true),
 
+    // ---- Multi-touch attribution: every view by the same user in the
+    // trailing 24 h before a purchase is a touch; the purchase's credit
+    // splits linearly (w_ppm = 1000000 div n, integer-exact). The p04
+    // as-of join is LAST-touch; this is the every-touch window variant —
+    // and the join key is (user_id, time-cell), so a bot user's candidate
+    // set is cut by the grid instead of going quadratic in their events
+    // (the skew that kills a bare user-keyed join at 100 TB).
+    QuerySpec("p21_multitouch_attribution", (s, dir) => {
+      import s.implicits._
+      val winUs = 86400000000L // 24 h in micros
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"),
+          unix_micros($"ts").as("tv"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          unix_micros($"ts").as("tp"))
+        .withColumn("lo", $"tp" - winUs).withColumn("hi", $"tp")
+      RangeJoin.pointInInterval(views, $"tv", purchases,
+          $"lo", $"hi", cell = winUs, keys = Seq("user_id"))
+        .groupBy($"user_id", $"purchase_id")
+        .agg(count(lit(1)).as("n_touches"),
+          expr("CAST(1000000 div count(1) AS BIGINT)").as("w_ppm"),
+          min($"tv").as("t_first_touch"))
+        .orderBy($"purchase_id")
+    }, oracle = Some("""
+      WITH v AS (
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS tv
+        FROM events WHERE event_type = 'view'),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tp
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, count(*) AS n_touches,
+        CAST(1000000 // count(*) AS BIGINT) AS w_ppm,
+        min(v.tv) AS t_first_touch
+      FROM p JOIN v ON v.user_id = p.user_id
+        AND v.tv BETWEEN p.tp - 86400000000 AND p.tp
+      GROUP BY p.user_id, p.purchase_id
+      ORDER BY purchase_id""")),
+
     // ---- Deterministic weight-proportional sample: expected-~100-doc
     // Bernoulli sample with P(keep) ∝ n_chars, decided by one exact
     // wide-integer comparison per row (no RNG, no sort, no shuffle) —

@@ -580,6 +580,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scalar-total shuffle carries row data: $cols")
   }
 
+  test("p21 multi-touch attribution joins on (user, time-cell) — an " +
+      "equi-join with the grid in the key, never entity-only or nested " +
+      "loop") {
+    val df = SparkEntry.queries("p21_multitouch_attribution")(spark, dir)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    // the hash key carries BOTH user_id and the grid cell: a hot user's
+    // candidate set is cut by the calendar, the anti-skew claim
+    val joinKey = allNodes(executedPlan(df)).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",")
+    }.find(_.contains("_cell"))
+    assert(joinKey.exists(k => k.contains("user_id") && k.contains("_cell")),
+      s"join keys: $joinKey\n${plan.take(2000)}")
+  }
+
   test("s14 hamming top-k: bounded heap aggregates partially before the " +
       "probe shuffle; candidate join is an equi-join on the chunk") {
     import spark.implicits._

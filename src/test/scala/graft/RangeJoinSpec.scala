@@ -28,6 +28,26 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("composite keys: per-entity containment equals the brute-force " +
+      "per-entity theta join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 400).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(100).toLong)).toDF("pid", "u", "t")
+    val ivs = (1 to 80).map { i =>
+      val lo = rnd.nextInt(100).toLong
+      (i.toLong, (i % 7).toLong, lo, lo + rnd.nextInt(20).toLong)
+    }.toDF("iid", "u", "lo", "hi")
+    val expect = pts.as("p").join(ivs.as("i"),
+        $"p.u" === $"i.u" && $"t" >= $"lo" && $"t" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val got = RangeJoin.pointInInterval(pts, $"t", ivs, $"lo", $"hi",
+        cell = 16L, keys = Seq("u"))
+      .select($"pid", $"iid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == expect)
+  }
+
   test("empty-overlap and point-width intervals behave") {
     import spark.implicits._
     val pts = Seq((1L, 5L), (2L, 50L)).toDF("pid", "t")
