@@ -871,6 +871,50 @@ object RelationalQueries {
         round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
         round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25_price,
         round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75_price
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Value-window family (completes q43's RANKING family): first /
+    // last / nth over explicit frames, plus a trailing ROWS moving sum.
+    // last_value needs the UNBOUNDED FOLLOWING frame (the default frame
+    // stops at CURRENT ROW — the classic wrong-answer trap both engines
+    // share); the moving sum is decimal-exact so partial order cannot
+    // perturb low bits. One shuffle: all four windows share one
+    // (partition, order) pair.
+    QuerySpec("q49_value_window_family", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // l_linenumber is NOT unique inside an order in this fixture —
+      // the (partkey, suppkey) tiebreak totalizes the frame order, or
+      // first/last/nth answers differ run to run and engine to engine
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey")
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val trail = w.rowsBetween(-2, Window.currentRow)
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("line_no"),
+          $"l_partkey", $"l_suppkey",
+          first($"l_quantity").over(full).as("first_qty"),
+          last($"l_quantity").over(full).as("last_qty"),
+          nth_value($"l_quantity", 2).over(full).as("second_qty"),
+          sum($"l_extendedprice".cast(QuerySpec.Dec)).over(trail)
+            .cast("double").as("trail3_price"))
+        .orderBy($"l_orderkey", $"line_no", $"l_partkey", $"l_suppkey")
+    }, oracle = Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        l_partkey, l_suppkey,
+        first_value(l_quantity) OVER f AS first_qty,
+        last_value(l_quantity) OVER f AS last_qty,
+        nth_value(l_quantity, 2) OVER f AS second_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER t AS DOUBLE)
+          AS trail3_price
+      FROM lineitem
+      WINDOW f AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             t AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY l_orderkey, line_no, l_partkey, l_suppkey"""))
   )
 }

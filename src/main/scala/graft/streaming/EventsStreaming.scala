@@ -247,6 +247,21 @@ object EventsStreaming {
   final case class DocArrival(doc_id: Long, text: String,
       ts: java.sql.Timestamp)
 
+  /** Stream-static enrichment — the canonical "join the live stream to a
+    * dimension table" shape: the static side is broadcast, so the stream
+    * side never shuffles and no state store is involved — unlike
+    * stream-stream joins there is nothing to watermark. The static plan
+    * re-EXECUTES per micro-batch, but for FILE sources the file LISTING
+    * is pinned when the DataFrame is built (an overwritten parquet dim
+    * breaks the query; refreshable dims need a table/Delta source or a
+    * foreachBatch re-read — documented, test-pinned contract). At 100 TB
+    * the stream's scale is irrelevant to this join: cost is per-batch
+    * broadcast of the dim (bounded) times stream partitions. Inner by
+    * default; `how = "left_outer"` keeps unmatched events flowing. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String,
+      how: String = "inner"): DataFrame =
+    events.join(broadcast(dim), Seq(key), how)
+
   /** One scored arrival for the streaming quota twin. */
   final case class ScoredArrival(doc_id: Long, source: String,
       n_chars: Long, ts: java.sql.Timestamp)

@@ -503,6 +503,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim join over micro-batches " +
+      "equals the batch join; left_outer keeps unmatched events") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("user_id", "seg")
+    def ev(id: Long, u: Long): EventsStreaming.Event =
+      EventsStreaming.Event(id,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u, "view", 1.0)
+    val all = Seq(ev(10, 1), ev(11, 2), ev(12, 3), ev(13, 2), ev(14, 3))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Event]
+    val q = EventsStreaming.enrich(mem.toDF(), dim, "user_id", "left_outer")
+      .select($"event_id", $"seg")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      all.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("enrich_out")
+        .as[(Long, Option[String])].collect().toSet
+      val want = EventsStreaming
+        .enrich(spark.createDataset(all).toDF(), dim, "user_id", "left_outer")
+        .select($"event_id", $"seg")
+        .as[(Long, Option[String])].collect().toSet
+      assert(got == want)
+      // unmatched users flow with null segment; matched ones enrich
+      assert(got.contains((12L, None)) && got.contains((10L, Some("BUILDING"))))
+    } finally q.stop()
+  }
+
   test("batch funnel operator equals the p07 query on the events fixture") {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
