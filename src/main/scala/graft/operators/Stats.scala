@@ -103,8 +103,12 @@ object Stats {
   def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
       targetK: Long, salt: String): DataFrame = {
     require(targetK > 0, s"targetK must be positive, got $targetK")
+    // Spark widens sum(decimal(18,0)) to decimal(28,0); the cast back
+    // keeps the product's DECLARED precision at 19+18+1 = 38 (values
+    // stay far under 10^18 — weights are doc lengths, not monies)
     val tot = df.agg(
-      sum(col(weightCol).cast("decimal(18,0)")).as("__W"))
+      sum(col(weightCol).cast("decimal(18,0)")).cast("decimal(18,0)")
+        .as("__W"))
     val h60 = conv(substring(
         md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15),
       16, 10).cast("decimal(19,0)")

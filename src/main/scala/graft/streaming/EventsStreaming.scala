@@ -262,6 +262,43 @@ object EventsStreaming {
       how: String = "inner"): DataFrame =
     events.join(broadcast(dim), Seq(key), how)
 
+  /** Stream-STREAM interval join — the p21 multi-touch window as two live
+    * streams, using Spark's native stream-stream join: every purchase
+    * pairs with every view by the same user inside the trailing window.
+    * Both sides carry watermarks and the join condition bounds event time
+    * on BOTH ends, which is exactly what lets the engine drop view state
+    * once the watermark passes `window` behind (unbounded state
+    * otherwise — the planner rejects an unbounded-time stream-stream
+    * join in append mode without these constraints).
+    *
+    * Scale posture: state is the in-horizon slice of both streams keyed
+    * by (user, time), exactly the candidate set; the batch twin is the
+    * p21 grid range join, and Spark's micro-batch join reaches the same
+    * pair set because an inner join over complete (within-watermark)
+    * inputs is arrival-order independent — pinned by the shuffled-replay
+    * test.
+    *
+    * @return (user_id, purchase_id, view_id, tp, tv) — one row per
+    *         (purchase, touch) pair, tp/tv in epoch micros
+    */
+  def touchPairs(views: DataFrame, purchases: DataFrame,
+      window_ : String = "24 hours",
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    v.join(p, expr(
+        s"""user_id = p_user AND
+            v_ts >= p_ts - INTERVAL $window_ AND v_ts <= p_ts"""))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        unix_micros(col("p_ts")).as("tp"), unix_micros(col("v_ts")).as("tv"))
+  }
+
   /** One scored arrival for the streaming quota twin. */
   final case class ScoredArrival(doc_id: Long, source: String,
       n_chars: Long, ts: java.sql.Timestamp)

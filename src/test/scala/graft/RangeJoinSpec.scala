@@ -48,6 +48,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSet == expect)
   }
 
+  test("negative coordinates: truncating division is monotone, so grid " +
+      "cells stay consistent across zero") {
+    import spark.implicits._
+    // pre-epoch timestamps / negative offsets: `div` truncates toward
+    // zero (cell 0 spans (-cell, cell)) — irregular but CONSISTENT
+    // between the point's cell and the interval's cell range, which is
+    // all containment needs
+    val pts = (-30L to 30L).map(t => (t, t)).toDF("pid", "t")
+    val ivs = Seq((1L, -25L, -10L), (2L, -5L, 5L), (3L, -31L, 31L))
+      .toDF("iid", "lo", "hi")
+    val expect = pts.join(ivs, $"t" >= $"lo" && $"t" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    for (cell <- Seq(1L, 7L, 100L)) {
+      val got = RangeJoin.pointInInterval(pts, $"t", ivs, $"lo", $"hi", cell)
+        .select($"pid", $"iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"cell=$cell dup pairs")
+      assert(got.toSet == expect, s"cell=$cell mismatch")
+    }
+  }
+
   test("empty-overlap and point-width intervals behave") {
     import spark.implicits._
     val pts = Seq((1L, 5L), (2L, 50L)).toDF("pid", "t")

@@ -533,6 +533,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the p21 grid range join under " +
+      "a SHUFFLED replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    var eid = 0L
+    def ev(u: Long, tpe: String, minute: Long): EventsStreaming.Event = {
+      eid += 1
+      EventsStreaming.Event(eid, new java.sql.Timestamp(base + minute * 60000),
+        u, tpe, 1.0)
+    }
+    val rnd = new scala.util.Random(5)
+    val all = (1L to 6L).flatMap { u =>
+      (1 to 12).map { _ =>
+        ev(u, if (rnd.nextBoolean()) "view" else "purchase",
+          rnd.nextInt(300).toLong)
+      }
+    }
+    // batch reference: the SAME operator on static frames (inner join on
+    // complete inputs — the stream twin must reach the identical pair set)
+    def split(rows: Seq[EventsStreaming.Event]) = {
+      val df = spark.createDataset(rows).toDF()
+      (df.filter($"event_type" === "view"),
+        df.filter($"event_type" === "purchase"))
+    }
+    val (bv, bp) = split(all)
+    val want = EventsStreaming.touchPairs(bv, bp, window_ = "1 hour")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+
+    val memV = { implicit val sq = spark.sqlContext
+      MemoryStream[EventsStreaming.Event] }
+    val memP = { implicit val sq = spark.sqlContext
+      MemoryStream[EventsStreaming.Event] }
+    val q = EventsStreaming.touchPairs(memV.toDF(), memP.toDF(),
+        window_ = "1 hour", watermark = "10 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("touch_out").start()
+    try {
+      val shuffled = rnd.shuffle(all)
+      shuffled.grouped(18).foreach { b =>
+        val (vs, ps) = b.partition(_.event_type == "view")
+        if (vs.nonEmpty) memV.addData(vs: _*)
+        if (ps.nonEmpty) memP.addData(ps: _*)
+        q.processAllAvailable()
+      }
+      // advance BOTH watermarks so every in-window pair flushes
+      val late = new java.sql.Timestamp(base + 48L * 3600 * 1000)
+      memV.addData(EventsStreaming.Event(9998L, late, 99L, "view", 1.0))
+      memP.addData(EventsStreaming.Event(9999L, late, 99L, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("touch_out")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+        .filter(_._1 != 99L) // drop the sentinel's self-pair
+      assert(got == want,
+        s"stream-batch: ${(got -- want).take(5)}; " +
+          s"batch-stream: ${(want -- got).take(5)}")
+    } finally q.stop()
+  }
+
   test("batch funnel operator equals the p07 query on the events fixture") {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
