@@ -69,6 +69,39 @@ object Layout {
       .withColumn("shard", zShard(col("z"), nShards))
   }
 
+  /** Events laid out on the (user_id, event-day) HILBERT curve — the
+    * strictly-better-locality sibling of [[eventsZLayout]]: consecutive
+    * curve positions are always grid neighbors, so equal-width index
+    * ranges (shards) are compact blobs with no Z-corner jumps, and a
+    * filter on EITHER dimension prunes more shards at the file level.
+    * Same min-max range scaling as the Z layout but onto an 8-bit grid
+    * (256×256 cells → 16-bit curve index): at 100 TB the shard count is
+    * what matters, and 4^8 cells already give 4096× the shard
+    * granularity any real table needs; the per-cell fold is one
+    * codegen'd integer loop (functions/Hilbert.scala) instead of an
+    * exploding CASE unroll. Returns (event_id, u8, d8, h, shard).
+    */
+  def eventsHilbertLayout(events: DataFrame, nShards: Int = 16): DataFrame = {
+    import graft.functions.Hilbert
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
+    val base = events.select(col("event_id"), col("user_id").as("u"),
+      expr("unix_micros(ts) div 86400000000L").as("d"))
+    val r = base.agg(min(col("u")), max(col("u")),
+      min(col("d")), max(col("d"))).head()
+    val (umin, umax, dmin, dmax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val spanU = math.max(umax - umin, 1L)
+    val spanD = math.max(dmax - dmin, 1L)
+    val scaled = base.select(col("event_id"),
+      expr(s"((u - ${umin}L) * 255L) div ${spanU}L").as("u8"),
+      expr(s"((d - ${dmin}L) * 255L) div ${spanD}L").as("d8"))
+    scaled.select(col("event_id"), col("u8"), col("d8"),
+        Hilbert.code(col("u8"), col("d8"), bits = 8).as("h"))
+      .withColumn("shard",
+        shiftright(col("h"), 16 - Integer.numberOfTrailingZeros(nShards)))
+  }
+
   /** Small-file compaction plan: assign each input file to an output bin
     * so every bin holds ~`targetBytes`, greedily in file order within a
     * partition — the planning pass behind OPTIMIZE/compaction

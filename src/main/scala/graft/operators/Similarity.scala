@@ -83,6 +83,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** RANGE (radius) search over a probe TABLE: every corpus vector with
+    * `cosine >= tau` of each probe — the "all matches above threshold"
+    * complement of top-k, and the distributed-probe complement of
+    * [[lshTopK]] (whose probe is one driver-side vector). Both sides
+    * compute the same codegen'd sign-bit LSH bucket; each probe then
+    * EXPLODES to its Hamming<=1 bucket neighborhood (bits+1 distinct
+    * values), which turns multi-probe matching into a plain EQUI-join on
+    * `bucket` — broadcastable for an eval-sized probe set, shuffle-on-
+    * bucket co-location otherwise; never a per-row Hamming scan of the
+    * corpus. A (probe, doc) pair matches at most one variant (the
+    * variants are distinct buckets), so no post-join dedup is needed.
+    * Exact cosine verification keeps precision 1; recall is the explicit
+    * LSH neighborhood trade, measured against brute force in DedupSpec.
+    */
+  def rangeSearch(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String, tau: Double,
+      bits: Int = 12): DataFrame = {
+    val cb = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", VectorFunctions.lshBucket(col("cv"), bits))
+    val pb = probes.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+      .withColumn("b0", VectorFunctions.lshBucket(col("qv"), bits))
+    val nbrs = array((col("b0") +: (0 until bits).map(i =>
+      col("b0").bitwiseXOR(lit(1L << i)))): _*)
+    pb.select(col("q_id"), col("qv"), explode(nbrs).as("bucket"))
+      .join(cb, Seq("bucket"))
+      .select(col("q_id"), col("doc_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path
     * (complements lshTopK): train k-means centroids once (fixed seed,
     * Spark ML — idiomatic distributed Lloyd iterations), assign every

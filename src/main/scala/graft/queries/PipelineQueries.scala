@@ -21,6 +21,33 @@ object PipelineQueries {
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("[", ",", "]")
 
+  /** The p22 oracle's unrolled Hilbert fold: 8 chained CTEs h1..h8, one
+    * per bit plane s = 128 … 1, each computing the next (hd, hx, hy)
+    * from the previous level — the exact recurrence of
+    * functions/Hilbert.scala `HilbertIndex.compute` (quadrant id
+    * (3·rx)^ry written as nested CASE; reflect-and-transpose arms
+    * merged into one CASE per coordinate). Column references inside
+    * each level bind to the PREVIOUS cte's columns (standard SQL
+    * scoping; DuckDB's lateral aliases only apply to otherwise-
+    * unresolvable names). */
+  private val hilbertCtes: String =
+    (7 to 0 by -1).map { i =>
+      val s = 1 << i
+      val k = 8 - i
+      s"""
+      h$k AS (
+        SELECT event_id, u8, d8,
+          hd + ${s * s} * (CASE
+            WHEN (hx & $s) > 0 THEN
+              (CASE WHEN (hy & $s) > 0 THEN 2 ELSE 3 END)
+            ELSE (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) END) AS hd,
+          CASE WHEN (hy & $s) > 0 THEN hx
+               WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END AS hx,
+          CASE WHEN (hy & $s) > 0 THEN hy
+               WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END AS hy
+        FROM h${k - 1})"""
+    }.mkString(",")
+
   /** DuckDB CTEs rebuilding VectorNative.planes bit-identically:
     * plane_j(i) = first 52 bits of md5("j_i") / 2^52 - 0.5 (12 planes ×
     * 64 dims, both divisions exact in double). `plane_lists` is one row
@@ -726,6 +753,37 @@ object PipelineQueries {
       fin AS (SELECT event_id, u16, d16, (us | (ds << 1)) AS z FROM s4)
       SELECT event_id, u16, d16, z, (z >> 28) AS shard
       FROM fin ORDER BY event_id""")),
+
+    // Hilbert-curve layout (Layout.eventsHilbertLayout): the strictly-
+    // better-locality sibling of p12 — consecutive curve positions are
+    // always grid neighbors, so shard ranges are compact blobs with no
+    // Z-corner jumps (Delta 3.x OPTIMIZE BY HILBERT's layout). The
+    // quadrant fold runs as ONE codegen'd integer loop
+    // (functions/Hilbert.scala — a Column-level unroll would grow the
+    // expression tree ~5× per round); the oracle unrolls the identical
+    // recurrence as an 8-level CTE chain, level by level.
+    QuerySpec("p22_hilbert_layout", (s, dir) => {
+      import s.implicits._
+      Layout.eventsHilbertLayout(Tables.load(s, dir, "events"), nShards = 16)
+        .orderBy($"event_id")
+    }, oracle = Some(s"""
+      WITH raw AS (
+        SELECT event_id, user_id AS u,
+          (epoch_us(ts) // 86400000000) AS d
+        FROM events),
+      mm AS (
+        SELECT min(u) AS umin, max(u) AS umax,
+               min(d) AS dmin, max(d) AS dmax
+        FROM raw),
+      base AS (
+        SELECT event_id,
+          ((u - umin) * 255) // greatest(umax - umin, 1) AS u8,
+          ((d - dmin) * 255) // greatest(dmax - dmin, 1) AS d8
+        FROM raw CROSS JOIN mm),
+      h0 AS (SELECT event_id, u8, d8, u8 AS hx, d8 AS hy,
+        CAST(0 AS BIGINT) AS hd FROM base),${hilbertCtes}
+      SELECT event_id, u8, d8, hd AS h, (hd >> 12) AS shard
+      FROM h8 ORDER BY event_id""")),
 
     // CDC change-feed apply (Cdc.applyLatestWins): events become a keyed
     // I/U/D feed (signup→I, error→D, else U; key spread so inserts land
@@ -3071,6 +3129,53 @@ object PipelineQueries {
         FROM cand)
       SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
         CAST(hamming AS BIGINT) AS hamming
-      FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+      FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // RANGE (radius) search over a probe TABLE (Similarity.rangeSearch):
+    // all corpus vectors with cosine >= tau per probe, multi-probe LSH
+    // (each probe explodes to its Hamming<=1 bucket neighborhood, so
+    // matching is an equi-join on bucket — no per-row Hamming scan).
+    // Probes are planted copies of every 25th corpus vector, so each is
+    // GUARANTEED its source (identical vector → identical bucket,
+    // cos = 1); tau under the corpus's organic cosine ceiling (~0.51)
+    // lets genuinely-close bucket-adjacent pairs surface too. FULL
+    // oracle: DuckDB rebuilds planes, both bucket sets, the Hamming<=1
+    // candidate join, and the exact-cosine verify.
+    QuerySpec("s15_range_search", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val probes = embs.filter($"vec_id" % 25 === 0)
+        .select(($"vec_id" + 200000L).as("q_id"), $"embedding".as("qe"))
+      Similarity.rangeSearch(embs, probes, "vec_id", "embedding",
+          "q_id", "qe", tau = 0.45, bits = 12)
+        .select($"q_id", $"doc_id", round($"cos", 9).as("cos"))
+        .orderBy($"q_id", $"doc_id")
+    }, oracle = Some(s"""
+      WITH probes AS (
+        SELECT vec_id + 200000 AS q_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 25 = 0),
+      corpus AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
+      $LshBucketCte
+      b AS (SELECT c.doc_id, $LshBucketSum AS bucket
+            FROM corpus c, plane_lists p GROUP BY c.doc_id),
+      qb AS (SELECT q.q_id, ${LshBucketSum.replace("c.embedding", "q.qe")}
+               AS bucket
+             FROM probes q, plane_lists p GROUP BY q.q_id),
+      cand AS (
+        SELECT qb.q_id, b.doc_id
+        FROM qb JOIN b ON bit_count(xor(CAST(qb.bucket AS BIGINT),
+          CAST(b.bucket AS BIGINT))) <= 1),
+      scored AS (
+        SELECT cand.q_id, cand.doc_id,
+          list_aggregate(list_transform(list_zip(p.qe, c.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(p.qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(c.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM cand JOIN probes p ON p.q_id = cand.q_id
+        JOIN corpus c ON c.doc_id = cand.doc_id)
+      SELECT q_id, doc_id, round(cos, 9) AS cos FROM scored
+      WHERE cos >= 0.45 ORDER BY q_id, doc_id"""))
   )
 }

@@ -681,4 +681,32 @@ class DedupSpec extends AnyFunSuite {
     // probes against the staged index still return k rows
     assert(Similarity.ivfProbe(i1, "vec_id", "embedding", q, 10, 8).count() == 10)
   }
+
+  test("range search finds every planted copy, verifies exactly, and " +
+      "never exceeds brute-force radius results") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val probes = embs.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" + 200000L).as("q_id"), $"embedding".as("qe"))
+    val nProbes = probes.count()
+    val got = Similarity.rangeSearch(embs, probes, "vec_id", "embedding",
+        "q_id", "qe", tau = 0.45, bits = 12)
+      .select($"q_id", $"doc_id", $"cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every probe is a planted copy → its source shares the bucket
+    // exactly and scores cos = 1
+    val selfHits = got.filter { case (q, d, c) => q - 200000L == d }
+    assert(selfHits.length == nProbes, s"${selfHits.length} != $nProbes")
+    assert(selfHits.forall(_._3 >= 1.0 - 1e-12))
+    // precision 1: every returned pair really is within the radius
+    assert(got.forall(_._3 >= 0.45))
+    // soundness vs brute force: the multi-probe candidates are a SUBSET
+    // of the true radius result (LSH trades recall, never precision)
+    val brute = probes.as("p").crossJoin(embs.as("c"))
+      .select($"q_id", $"vec_id".as("doc_id"),
+        graft.functions.VectorFunctions.cosine($"qe", $"embedding").as("cos"))
+      .filter($"cos" >= 0.45)
+      .select($"q_id", $"doc_id").as[(Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2)).toSet.subsetOf(brute))
+  }
 }
