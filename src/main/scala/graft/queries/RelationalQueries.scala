@@ -915,6 +915,67 @@ object RelationalQueries {
              t AS (PARTITION BY l_orderkey
                ORDER BY l_linenumber, l_partkey, l_suppkey
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-      ORDER BY l_orderkey, line_no, l_partkey, l_suppkey"""))
+      ORDER BY l_orderkey, line_no, l_partkey, l_suppkey""")),
+
+    // ---- Statistical-moments family: corr / covar_samp / stddev_samp /
+    // regr_slope per group. Built-in corr()/covar_samp() stream doubles
+    // in partition order — their low bits depend on the merge tree, so
+    // they can never hash-match an external engine. Instead: the five
+    // power sums in EXACT decimal (order-independent, parallel-safe),
+    // cast once to double, then one identical scalar epilogue on both
+    // sides. Map-side partial aggregation applies to the sums like any
+    // sum; the epilogue is per-group O(1).
+    QuerySpec("q50_stats_moments", (s, dir) => {
+      import s.implicits._
+      val d4 = "decimal(38,4)"
+      val sums = li(s, dir).groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_quantity")).cast("double").as("sx"),
+          sum(dec($"l_extendedprice")).cast("double").as("sy"),
+          sum((dec($"l_quantity") * dec($"l_quantity")).cast(d4))
+            .cast("double").as("sxx"),
+          sum((dec($"l_extendedprice") * dec($"l_extendedprice")).cast(d4))
+            .cast("double").as("syy"),
+          sum((dec($"l_quantity") * dec($"l_extendedprice")).cast(d4))
+            .cast("double").as("sxy"))
+      sums.select($"l_returnflag", $"n",
+          round(($"sx" / $"n"), 6).as("mean_qty"),
+          round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6)
+            .as("stddev_qty"),
+          round((($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)), 6)
+            .as("covar_qty_price"),
+          round((($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)) /
+            (sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)) *
+             sqrt(($"syy" - $"sy" * $"sy" / $"n") / ($"n" - 1))), 6)
+            .as("corr_qty_price"),
+          round((($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)) /
+            (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6)
+            .as("regr_slope"))
+        .orderBy($"l_returnflag")
+    }, oracle = Some("""
+      WITH sums AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+            CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS sxx,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS syy,
+          CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+            CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round(sx / n, 6) AS mean_qty,
+        round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+        round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+        round(((sxy - sx * sy / n) / (n - 1)) /
+          (sqrt((sxx - sx * sx / n) / (n - 1)) *
+           sqrt((syy - sy * sy / n) / (n - 1))), 6) AS corr_qty_price,
+        round(((sxy - sx * sy / n) / (n - 1)) /
+          ((sxx - sx * sx / n) / (n - 1)), 6) AS regr_slope
+      FROM sums ORDER BY l_returnflag"""))
   )
 }
