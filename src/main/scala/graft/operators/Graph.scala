@@ -76,6 +76,43 @@ object Graph {
     ranks
   }
 
+  /** k-core decomposition by synchronous iterative peeling (the
+    * Matula–Beck bucket peel, run breadth-synchronously the way every
+    * BSP graph engine does): each round drops all nodes of current
+    * degree < k at once, until the surviving subgraph — the k-core —
+    * is stable. `rounds` is a FIXED unroll, identical in the SQL
+    * oracle; peeling is monotone (a stable graph is a fixpoint of the
+    * round function), so a converged unroll IS the k-core, and the
+    * gate-SF convergence margin is pinned in GraphSpec by running
+    * rounds and rounds+1 and asserting equality.
+    *
+    * Scale posture (the p14 contract): each round is one (node, long)
+    * degree shuffle plus two semi-joins against a NODE-scale keep set
+    * (broadcast — the keep set shrinks every round); the edge list
+    * localCheckpoints per round so lineage depth stays constant
+    * across the unroll.
+    *
+    * @param edges (a, b) undirected, deduped, a < b
+    * @return (node, deg) — every surviving node with its k-core degree
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+      e = e
+        .join(broadcast(keep.withColumnRenamed("node", "a")),
+          Seq("a"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("node", "b")),
+          Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    degrees(e)
+  }
+
   /** Per-node triangle counts over an undirected graph, by degree-ordered
     * edge orientation (the compact-forward / node-iterator-core algorithm,
     * Latapy TCS'08; same orientation trick GraphX's TriangleCount uses).

@@ -48,6 +48,19 @@ object PipelineQueries {
         FROM h${k - 1})"""
     }.mkString(",")
 
+  /** The p23 oracle's unrolled peel: `rounds` chained (degree, keep,
+    * filter) CTE triples — the exact round function of Graph.kCore. */
+  private def kCoreCtes(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s"""
+      d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM e${i - 1}
+          UNION ALL SELECT b FROM e${i - 1}) GROUP BY node),
+      k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+      e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+        JOIN k$i x ON x.node = e.a JOIN k$i y ON y.node = e.b)"""
+    }.mkString(",")
+
   /** DuckDB CTEs rebuilding VectorNative.planes bit-identically:
     * plane_j(i) = first 52 bits of md5("j_i") / 2^52 - 0.5 (12 planes ×
     * 64 dims, both divisions exact in double). `plane_lists` is one row
@@ -3130,6 +3143,33 @@ object PipelineQueries {
       SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
         CAST(hamming AS BIGINT) AS hamming
       FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // k-core decomposition (Graph.kCore): synchronous Matula–Beck
+    // peeling of the p19 supplier co-occurrence graph, 6 unrolled
+    // rounds (fixpoint at round 4 on the gate fixture — margin pinned
+    // in GraphSpec). Survivors = the 6-core with per-node core degrees.
+    // The oracle unrolls the same 6 (degree, keep, filter) rounds as
+    // chained CTEs — peeling is integer-exact, so the round-for-round
+    // replay hash-matches.
+    QuerySpec("p23_kcore", (s, dir) => {
+      import s.implicits._
+      val ls = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey".as("k"), $"l_suppkey".as("a")).distinct()
+      val edges = ls.join(ls.withColumnRenamed("a", "b"), "k")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 30).select($"a", $"b")
+      Graph.kCore(edges, k = 6, rounds = 6).orderBy($"node")
+    }, oracle = Some(s"""
+      WITH ls AS (
+        SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT x.s AS a, y.s AS b FROM ls x JOIN ls y
+        ON x.k = y.k AND x.s < y.s
+        GROUP BY x.s, y.s HAVING count(*) >= 30),${kCoreCtes(6, 6)}
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
+      GROUP BY node ORDER BY node""")),
 
     // RANGE (radius) search over a probe TABLE (Similarity.rangeSearch):
     // all corpus vectors with cosine >= tau per probe, multi-probe LSH

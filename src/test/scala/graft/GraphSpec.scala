@@ -69,4 +69,37 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(got == expect.toMap)
   }
+
+  test("k-core strips tails and keeps the clique") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus a pendant chain 4-5-6: the 2-core drops
+    // the chain in two peels (6 first, then 5), keeping the clique
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core2 = Graph.kCore(edges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the 4-core is empty (clique degrees are 3)
+    assert(Graph.kCore(edges, k = 4, rounds = 4).count() == 0)
+  }
+
+  test("p23 unroll has converged at the gate SF (fixpoint margin)") {
+    import spark.implicits._
+    val ls = graft.sources.Tables.load(spark, "/root/testdata/sf0.01",
+        "lineitem")
+      .select($"l_orderkey".as("k"), $"l_suppkey".as("a")).distinct()
+    val edges = ls.join(ls.withColumnRenamed("a", "b"), "k")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .filter($"c" >= 30).select($"a", $"b")
+    val at6 = Graph.kCore(edges, k = 6, rounds = 6)
+      .as[(Long, Long)].collect().toSet
+    val at7 = Graph.kCore(edges, k = 6, rounds = 7)
+      .as[(Long, Long)].collect().toSet
+    assert(at6 == at7, "p23's 6-round unroll must be a fixpoint at sf0.01")
+    assert(at6.nonEmpty, "the 6-core must be non-empty at sf0.01")
+    // k-core invariant: every surviving node keeps degree >= k
+    assert(at6.forall(_._2 >= 6L))
+  }
 }
