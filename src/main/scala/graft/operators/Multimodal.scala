@@ -120,6 +120,35 @@ object Multimodal {
       .filter(length(col("frame_bytes")) > 0)
   }
 
+  /** Scene-cut detection over an ordered frame stream: per video, the
+    * Hamming distance between consecutive frames' perceptual hashes,
+    * flagged as a cut where the jump reaches `threshold` — the shot-
+    * boundary pass every video-curation pipeline runs before frame
+    * sampling (sample per SCENE, not per fixed stride, or repeated
+    * shots dominate the training mix).
+    *
+    * Input contract: one row per frame with (video, frame index, 64-bit
+    * perceptual hash) — the hash typically [[MediaCodecColumns.ppmAHash]]
+    * over the decoded frame. The window partitions by video, so state
+    * is per-video and the shuffle is one (video, long, long) exchange;
+    * no payload bytes move — hash first, window second (frames are the
+    * big thing; hashes are 8 bytes).
+    *
+    * @return input columns plus (hamming, is_cut); the first frame of
+    *         each video has NULL hamming (nothing to compare against)
+    */
+  def sceneCuts(frames: DataFrame, videoCol: String, idxCol: String,
+      hashCol: String, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(videoCol)).orderBy(col(idxCol))
+    frames
+      .withColumn("prev_h", lag(col(hashCol), 1).over(w))
+      .withColumn("hamming",
+        expr(s"bit_count($hashCol ^ prev_h)").cast("long"))
+      .withColumn("is_cut", col("hamming") >= threshold)
+      .drop("prev_h")
+  }
+
   /** Metadata/feature summary — pushdown-friendly metadata filter, then
     * the codegen'd expression decode (one whole-stage pipeline: scan →
     * filter → decode → partial agg, zero serialization boundaries). */

@@ -2460,6 +2460,79 @@ object PipelineQueries {
       FROM gray g JOIN means m ON g.media_id = m.media_id
       GROUP BY g.media_id ORDER BY g.media_id""")),
 
+    // m07: scene-cut detection (Multimodal.sceneCuts) — a synthetic
+    // "video" per (media_id % 4) built by holding each PPM image for 3
+    // consecutive frames: within a scene the aHash is identical
+    // (hamming 0), across scene boundaries two independent md5-derived
+    // images sit near hamming ~32, so threshold 16 recovers exactly
+    // the planted shot structure. Hash first, window second — only
+    // (video, long, long) rows shuffle, never frame payloads. Oracle:
+    // m03's relational aHash rebuild + the same lag window, hamming
+    // summed over hi/lo halves (DuckDB can't shift into bit 63).
+    QuerySpec("m07_scene_cuts", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaCorpus(
+        Tables.load(s, dir, "documents").filter($"doc_id" < 200))
+      val frames = media.filter($"format" === "ppm")
+        .select($"media_id", MediaCodecColumns.ppmAHash($"payload").as("h"))
+        .select($"media_id", $"h",
+          explode(array((0 until 3).map(lit(_)): _*)).as("r"))
+        .select(($"media_id" % 4).as("video_id"),
+          ($"media_id" * 3 + $"r").cast("long").as("frame_idx"), $"h")
+      Multimodal.sceneCuts(frames, "video_id", "frame_idx", "h",
+          threshold = 16)
+        .filter($"hamming".isNotNull)
+        .select($"video_id", $"frame_idx", $"hamming", $"is_cut")
+        .orderBy($"video_id", $"frame_idx")
+    }, oracle = Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, 8 + (doc_id % 8) AS w, 8 AS h
+        FROM documents WHERE doc_id % 2 = 0 AND doc_id < 200),
+      blocks AS (
+        SELECT media_id, w, h, unnest(generate_series(0,
+          CAST(ceil(w * h * 3 / 16.0) AS BIGINT) - 1)) AS b
+        FROM media),
+      bj AS (
+        SELECT media_id, w, h, b, unnest(generate_series(0, 15)) AS j
+        FROM blocks),
+      bytes AS (
+        SELECT media_id, w, h, b * 16 + j AS p,
+          ('0x' || substr(md5(CAST(media_id AS VARCHAR) || '_' ||
+             CAST(b AS VARCHAR)), CAST(j * 2 + 1 AS INTEGER), 2))::UBIGINT AS v
+        FROM bj WHERE b * 16 + j < w * h * 3),
+      gray AS (
+        SELECT media_id, w, h, p // 3 AS px,
+          CAST(sum(v) // 3 AS BIGINT) AS g
+        FROM bytes GROUP BY media_id, w, h, p // 3),
+      means AS (
+        SELECT media_id, CAST(sum(g) // (w * h) AS BIGINT) AS mean
+        FROM gray GROUP BY media_id, w, h),
+      hashes AS (
+        SELECT g.media_id,
+          CAST(sum(CASE WHEN g.px >= 32 AND g.px < 64 AND g.g >= m.mean
+            THEN (CAST(1 AS BIGINT) << CAST(g.px - 32 AS INTEGER))
+            ELSE 0 END) AS BIGINT) AS hi,
+          CAST(sum(CASE WHEN g.px < 32 AND g.g >= m.mean
+            THEN (CAST(1 AS BIGINT) << CAST(g.px AS INTEGER))
+            ELSE 0 END) AS BIGINT) AS lo
+        FROM gray g JOIN means m ON g.media_id = m.media_id
+        GROUP BY g.media_id),
+      frames AS (
+        SELECT media_id % 4 AS video_id, media_id * 3 + r AS frame_idx,
+          hi, lo
+        FROM hashes, (SELECT unnest(generate_series(0, 2)) AS r)),
+      lagged AS (
+        SELECT video_id, frame_idx, hi, lo,
+          lag(hi) OVER w AS phi, lag(lo) OVER w AS plo
+        FROM frames
+        WINDOW w AS (PARTITION BY video_id ORDER BY frame_idx))
+      SELECT video_id, frame_idx,
+        CAST(bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) AS BIGINT)
+          AS hamming,
+        (bit_count(xor(hi, phi)) + bit_count(xor(lo, plo))) >= 16 AS is_cut
+      FROM lagged WHERE phi IS NOT NULL
+      ORDER BY video_id, frame_idx""")),
+
     // m02: WAV frame sampling — the operator demuxes a real RIFF chunk
     // list, slices PCM16 LE samples, and emits every 2nd frame's exact
     // integer energy; the oracle rebuilds the identical samples from the

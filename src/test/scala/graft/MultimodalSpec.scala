@@ -241,4 +241,32 @@ class MultimodalSpec extends AnyFunSuite {
       "expression path must not introduce an encoder boundary")
     assert(df.count() == 3) // png / jpeg / wav
   }
+
+  test("scene cuts recover exactly the planted shot boundaries") {
+    import spark.implicits._
+    val media = Multimodal.mediaCorpus(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter($"doc_id" < 120))
+    // hold each image for 3 frames: cuts must appear exactly where the
+    // underlying image changes (frame_idx % 3 == 0), nowhere else
+    val frames = media.filter($"format" === "ppm")
+      .select($"media_id", MediaCodecColumns.ppmAHash($"payload").as("h"))
+      .select($"media_id", $"h", explode(array(lit(0), lit(1), lit(2))).as("r"))
+      .select(($"media_id" % 4).as("video_id"),
+        ($"media_id" * 3 + $"r").cast("long").as("frame_idx"), $"h")
+    val got = Multimodal.sceneCuts(frames, "video_id", "frame_idx", "h",
+        threshold = 16)
+      .filter($"hamming".isNotNull)
+      .select($"video_id", $"frame_idx", $"hamming", $"is_cut")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val (idx, hamming, isCut) =
+        (row.getLong(1), row.getLong(2), row.getBoolean(3))
+      if (idx % 3 == 0) assert(isCut && hamming >= 16,
+        s"scene boundary at $idx must be a cut (hamming $hamming)")
+      else assert(!isCut && hamming == 0,
+        s"within-scene frame $idx must be identical (hamming $hamming)")
+    }
+  }
 }
