@@ -210,6 +210,32 @@ object RelationalQueries {
       SELECT n_nationkey AS k FROM nation
       EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""")),
 
+    // ---- Multiset set ops: INTERSECT ALL / EXCEPT ALL — the bag
+    // semantics q10/q11 don't cover (per-value multiplicity = min /
+    // difference of the two sides' counts). Spark plans both as a
+    // count-comparing aggregate, not a distinct — no row explosion,
+    // same shuffle shape as a groupBy.
+    QuerySpec("q51_multiset_ops", (s, dir) => {
+      import s.implicits._
+      val a = li(s, dir).filter($"l_quantity" > 45)
+        .select($"l_suppkey".as("k"))
+      val b = li(s, dir).filter($"l_discount" > 0.05)
+        .select($"l_suppkey".as("k"))
+      a.intersectAll(b).withColumn("op", lit("intersect"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except")))
+        .orderBy($"op", $"k")
+    }, oracle = Some("""
+      SELECT k, 'intersect' AS op FROM (
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+        INTERSECT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
+      UNION ALL
+      SELECT k, 'except' AS op FROM (
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
+      ORDER BY op, k""")),
+
     // ---- Semi/anti join = EXISTS / NOT EXISTS
     // (alert_check_autovacuum/01_step.sql:5-7; dedup anti-join dbccore.py:942-951)
     QuerySpec("q12_exists_semi_join", (s, dir) => {

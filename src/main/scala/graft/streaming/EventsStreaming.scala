@@ -612,4 +612,87 @@ object EventsStreaming {
           }
       }
   }
+
+  /** One frame arrival for the streaming scene-cut twin: event time is
+    * the frame's presentation timestamp (monotone in frame_idx within a
+    * video — true of any real decode order, and the contract that makes
+    * watermark-ordered emission exact). */
+  final case class Frame(video_id: Long, frame_idx: Long, h: Long,
+      ts: java.sql.Timestamp)
+
+  /** One emitted shot-boundary decision (the m07 row). */
+  final case class SceneCut(video_id: Long, frame_idx: Long, hamming: Long,
+      is_cut: Boolean)
+
+  /** Per-video scene-cut state: the newest FLUSHED frame (the comparison
+    * anchor) plus the out-of-order frames still above the watermark. */
+  final case class SceneState(lastIdx: Long, lastHash: Long,
+      hasLast: Boolean, pending: List[(Long, Long, Long)])
+
+  /** Streaming twin of the m07 scene-cut pass (Multimodal.sceneCuts):
+    * consecutive-frame hash Hamming jumps on an unbounded frame stream.
+    *
+    * The batch operator is a lag window — inexpressible directly on a
+    * stream (append-mode windows cannot look across rows). Instead:
+    * frames buffer per video until the WATERMARK passes their
+    * presentation time, then flush in frame order against the last
+    * flushed frame's hash. Because presentation time is monotone in
+    * frame_idx (the input contract), no frame that could still arrive
+    * can precede a flushed one, so emitted decisions are final — a
+    * shuffled replay emits the batch answer exactly (StreamingSpec).
+    *
+    * Scale posture: state per video is the O(1) anchor plus only the
+    * frames inside the watermark horizon (late-disorder window), never
+    * video history; only (idx, hash, ts) triples are keyed and
+    * shuffled — frame payloads were reduced to 8-byte hashes upstream,
+    * the same hash-first posture as batch m07. Event-time timeouts
+    * flush quiet videos on stream progress, not wall clock.
+    */
+  def sceneCuts(spark: SparkSession, frames: Dataset[Frame],
+      threshold: Int, watermark: String = "10 seconds")
+      : Dataset[SceneCut] = {
+    import spark.implicits._
+    val streaming = frames.isStreaming
+    val prepared =
+      if (streaming) frames.withWatermark("ts", watermark)
+      else frames.repartition(col("video_id"))
+        .sortWithinPartitions(col("video_id"), col("frame_idx"))
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    prepared.groupBy(col("video_id")).as[Long, Frame]
+      .flatMapGroupsWithState[SceneState, SceneCut](
+        OutputMode.Append, timeoutConf) {
+        (vid: Long, it: Iterator[Frame], state: GroupState[SceneState]) =>
+          // batch: everything is final; stream: only frames at or below
+          // the watermark are (a later frame has later event time)
+          val wm =
+            if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val st0 = state.getOption.getOrElse(
+            SceneState(Long.MinValue, 0L, false, Nil))
+          val incoming =
+            it.map(f => (f.frame_idx, f.h, f.ts.getTime)).toList
+          val (ready, hold) = (st0.pending ++ incoming)
+            .sortBy(_._1).partition(_._3 <= wm)
+          val out = List.newBuilder[SceneCut]
+          var (lastIdx, lastHash, hasLast) =
+            (st0.lastIdx, st0.lastHash, st0.hasLast)
+          ready.foreach { case (idx, h, _) =>
+            if (hasLast) {
+              val ham = java.lang.Long.bitCount(h ^ lastHash).toLong
+              out += SceneCut(vid, idx, ham, ham >= threshold)
+            }
+            lastIdx = idx; lastHash = h; hasLast = true
+          }
+          if (streaming) {
+            state.update(SceneState(lastIdx, lastHash, hasLast, hold))
+            // wake when the watermark can free the oldest held frame;
+            // must stay strictly above the current watermark
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(hold.iterator.map(_._3).min, wm + 1))
+          } else state.update(SceneState(lastIdx, lastHash, hasLast, Nil))
+          out.result().iterator
+      }
+  }
 }

@@ -609,4 +609,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("streaming scene cuts equal batch under a SHUFFLED replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    // two videos, 24 frames each, underlying image changes every 3
+    // frames — a deterministic integer mix stands in for the aHash
+    // (consecutive-scene hamming >= 14 here; within-scene 0)
+    def hash(v: Long, scene: Long): Long = (v * 1000003L + scene) * 2654435761L
+    val frames = for (v <- Seq(1L, 2L); i <- 0L until 24L) yield
+      EventsStreaming.Frame(v, i, hash(v, i / 3),
+        new java.sql.Timestamp(base + i * 1000))
+    val batchRows = EventsStreaming
+      .sceneCuts(spark, spark.createDataset(frames), threshold = 8)
+      .collect().map(c => (c.video_id, c.frame_idx, c.hamming, c.is_cut))
+      .toSet
+    assert(batchRows.size == 2 * 23)
+    assert(batchRows.forall { case (_, idx, ham, cut) =>
+      if (idx % 3 == 0) cut && ham >= 8 else !cut && ham == 0 })
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.Frame]
+    val q = EventsStreaming.sceneCuts(spark, mem.toDS(), threshold = 8,
+        watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scene_out").start()
+    try {
+      // deterministic shuffle: frames interleave across videos and
+      // arrive far from presentation order, in 7-frame micro-batches
+      val shuffled = frames.sortBy(f =>
+        ((f.frame_idx * 7 + f.video_id * 3) % 13, f.video_id, f.frame_idx))
+      shuffled.grouped(7).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      // far-future sentinel advances the watermark past every frame;
+      // its own single frame has no predecessor and emits nothing
+      mem.addData(EventsStreaming.Frame(999L, 0L, 0L,
+        new java.sql.Timestamp(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("scene_out")
+        .as[EventsStreaming.SceneCut]
+        .collect().map(c => (c.video_id, c.frame_idx, c.hamming, c.is_cut))
+        .toSet
+      assert(got == batchRows,
+        s"stream-batch: ${got -- batchRows}; batch-stream: ${batchRows -- got}")
+    } finally q.stop()
+  }
 }
