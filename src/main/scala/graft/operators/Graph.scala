@@ -96,21 +96,26 @@ object Graph {
     * @return (node, deg) — every surviving node with its k-core degree
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     var e = edges.select(col("a"), col("b")).localCheckpoint()
-    for (_ <- 0 until rounds) {
-      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
-      e = e
-        .join(broadcast(keep.withColumnRenamed("node", "a")),
-          Seq("a"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("node", "b")),
-          Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint()
-    }
-    degrees(e)
+    for (_ <- 0 until rounds)
+      e = peelRound(e, k).localCheckpoint()
+    kCoreDegrees(e)
+  }
+
+  private[graft] def kCoreDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** One synchronous peel — exposed so PlanAuditSpec can pin the round's
+    * physical shape (the checkpoints in [[kCore]] hide per-round plans
+    * from the final DataFrame). */
+  private[graft] def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = kCoreDegrees(e).filter(col("deg") >= k).select(col("node"))
+    e.join(broadcast(keep.withColumnRenamed("node", "a")),
+        Seq("a"), "left_semi")
+      .join(broadcast(keep.withColumnRenamed("node", "b")),
+        Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
   }
 
   /** Per-node triangle counts over an undirected graph, by degree-ordered

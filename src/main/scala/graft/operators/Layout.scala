@@ -102,6 +102,59 @@ object Layout {
         shiftright(col("h"), 16 - Integer.numberOfTrailingZeros(nShards)))
   }
 
+  /** Contiguous Hilbert-index runs covering the cell rectangle
+    * [x0..x1] × [y0..y1] — THE pruning primitive a curve layout exists
+    * for: a 2-D predicate becomes a short list of 1-D index intervals,
+    * and each interval prunes shards/files at the scan. Enumerated by
+    * an exhaustive walk of the fixed 2^bits × 2^bits grid — pure
+    * METADATA-scale work (65k cells at the layout's 8 bits, independent
+    * of data volume, driver-side microseconds), which sidesteps the
+    * rotation bookkeeping a recursive quadrant descent needs; larger
+    * grids would switch to the descent.
+    *
+    * @return merged inclusive (lo, hi) index runs, ascending
+    */
+  def hilbertRuns(bits: Int, x0: Long, x1: Long,
+      y0: Long, y1: Long): Seq[(Long, Long)] = {
+    import graft.functions.HilbertIndex
+    val n = 1L << bits
+    require(0 <= x0 && x0 <= x1 && x1 < n && 0 <= y0 && y0 <= y1 && y1 < n,
+      s"rect [$x0,$x1]x[$y0,$y1] outside the $n x $n grid")
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var d = 0L
+    var runStart = -1L
+    val total = n * n
+    while (d < total) {
+      val (x, y) = HilbertIndex.inverse(bits, d)
+      val in = x >= x0 && x <= x1 && y >= y0 && y <= y1
+      if (in) { if (runStart < 0) runStart = d }
+      else if (runStart >= 0) { runs += ((runStart, d - 1)); runStart = -1L }
+      d += 1
+    }
+    if (runStart >= 0) runs += ((runStart, total - 1))
+    runs.toSeq
+  }
+
+  /** The rectangle predicate, pushed down a Hilbert layout: an IN-set
+    * on the partition column (prunes files before any row is read)
+    * AND an OR-of-BETWEENs on the curve index (exact cell containment,
+    * min/max-prunable per row group). Both sides are plain comparisons
+    * on stored columns, so they reach the scan as PushedFilters /
+    * PartitionFilters — plan-asserted in PlanAuditSpec. */
+  def hilbertRectPredicate(hCol: Column, shardCol: Column, bits: Int,
+      nShards: Int, x0: Long, x1: Long, y0: Long, y1: Long): Column = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
+    val runs = hilbertRuns(bits, x0, x1, y0, y1)
+    require(runs.nonEmpty, "empty rectangle")
+    val shift = 2 * bits - Integer.numberOfTrailingZeros(nShards)
+    val shards = runs.flatMap { case (lo, hi) => (lo >> shift) to (hi >> shift) }
+      .distinct.map(java.lang.Long.valueOf)
+    val hPred = runs.map { case (lo, hi) => hCol.between(lo, hi) }
+      .reduce(_ || _)
+    shardCol.isin(shards: _*) && hPred
+  }
+
   /** Small-file compaction plan: assign each input file to an output bin
     * so every bin holds ~`targetBytes`, greedily in file order within a
     * partition — the planning pass behind OPTIMIZE/compaction

@@ -105,4 +105,21 @@ class HilbertSpec extends AnyFunSuite {
       assert(shard == (h >> 12))
     }
   }
+
+  test("hilbert runs exactly cover arbitrary rectangles") {
+    val rects = Seq((0L, 255L, 0L, 255L), (3L, 27L, 5L, 10L),
+      (100L, 101L, 200L, 207L), (0L, 0L, 0L, 0L), (17L, 240L, 33L, 34L))
+    rects.foreach { case (x0, x1, y0, y1) =>
+      val runs = Layout.hilbertRuns(8, x0, x1, y0, y1)
+      // runs are merged, ascending, disjoint
+      runs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + 1 < b._1, s"unmerged $a $b")
+        case _ =>
+      }
+      val fromRuns = runs.flatMap { case (lo, hi) => lo to hi }.toSet
+      val direct = (for (x <- x0 to x1; y <- y0 to y1)
+        yield HilbertIndex.compute(8, x, y)).toSet
+      assert(fromRuns == direct, s"rect ($x0,$x1,$y0,$y1)")
+    }
+  }
 }

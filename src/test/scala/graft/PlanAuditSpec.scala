@@ -608,4 +608,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!full.contains("CartesianProduct") &&
       !full.contains("BroadcastNestedLoopJoin"), full.take(3000))
   }
+
+  test("p22 hilbert layout: a 2-D rectangle predicate prunes files via " +
+      "its curve runs and matches the direct filter exactly") {
+    import spark.implicits._
+    val laid = graft.operators.Layout.eventsHilbertLayout(
+      Tables.load(spark, dir, "events"), nShards = 16)
+    val out = java.nio.file.Files.createTempDirectory("hilbert").toString
+    laid.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val full = spark.read.parquet(out)
+    // a mid-grid rectangle in (user, day) cell space
+    val (x0, x1, y0, y1) = (64L, 127L, 32L, 95L)
+    val pruned = full.filter(graft.operators.Layout.hilbertRectPredicate(
+      $"h", $"shard", bits = 8, nShards = 16, x0, x1, y0, y1))
+    val direct = full.filter($"u8".between(x0, x1) && $"d8".between(y0, y1))
+    // exact: the runs ARE the rectangle, just in curve coordinates
+    assert(pruned.select($"event_id").as[Long].collect().sorted.toSeq ==
+      direct.select($"event_id").as[Long].collect().sorted.toSeq)
+    assert(pruned.count() > 0, "test rectangle must be non-empty")
+    val scanned = allNodes(executedPlan(pruned)).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.get
+    assert(scanned < full.inputFiles.length,
+      s"rect predicate read $scanned of ${full.inputFiles.length} files " +
+        "- shard IN-set did not prune")
+  }
+
+  test("s15 range search joins probe buckets to the corpus as an " +
+      "equi-join - no cartesian, no nested loop") {
+    val plan = planString(
+      SparkEntry.queries("s15_range_search")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("p23 k-core: each peel round semi-joins the keep set by " +
+      "broadcast - the edge list itself is never re-shuffled") {
+    import spark.implicits._
+    val edges = (for (a <- 1L to 30L; b <- a + 1 to 30L if b - a <= 3)
+      yield (a, b)).toDF("a", "b").localCheckpoint()
+    val round = graft.operators.Graph.peelRound(edges, k = 2)
+    val plan = planString(round)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the only exchanges feed the node-scale degree aggregate (and its
+    // broadcast) - none may repartition the edge relation itself
+    val edgeShuffles = shuffles(round).filter(
+      _.child.schema.fieldNames.toSet == Set("a", "b"))
+    assert(edgeShuffles.isEmpty,
+      s"edge list was shuffled:\n${plan.take(3000)}")
+  }
 }
