@@ -62,4 +62,32 @@ object Retrieval {
       .limit(topK)
       .select(col("id").as(idCol), col("score_micros"))
   }
+
+  /** Positional-postings phrase search: every document containing the
+    * exact token sequence `phrase`, with occurrence count and first
+    * match position — the positional-inverted-index plan (Lucene's
+    * PhraseQuery shape) expressed relationally. The corpus tokenizes
+    * once into (doc, pos, tok) postings; an n-token phrase is n-1
+    * EQUI-joins on (doc, pos - i), each side pre-filtered to one
+    * token's posting list, so only the phrase's own postings ever
+    * shuffle — the corpus text never moves, and a stopword-free phrase
+    * keeps every join input tiny. At 100 TB the postings are the
+    * materialized index (bucketed by token); this is the query-time
+    * plan over them.
+    *
+    * @return (doc_id, n_matches, first_pos), first_pos 0-based
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).cast("long").as("base"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("base")).as("first_pos"))
+  }
 }

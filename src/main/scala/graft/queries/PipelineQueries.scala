@@ -3244,6 +3244,34 @@ object PipelineQueries {
         SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
       GROUP BY node ORDER BY node""")),
 
+    // Positional phrase search (Retrieval.phraseSearch): docs containing
+    // the exact 3-token phrase, via n-1 equi-joins over (doc, pos - i)
+    // postings pre-filtered to the phrase's tokens — Lucene's
+    // PhraseQuery plan, relationally. Only the phrase's postings
+    // shuffle; the corpus text never moves.
+    QuerySpec("s16_phrase_search", (s, dir) => {
+      import s.implicits._
+      Retrieval.phraseSearch(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text", Seq("part", "filter", "scan"))
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(text), '\s+')) AS tok,
+          unnest(generate_series(1,
+            len(string_split_regex(trim(text), '\s+')))) AS ord
+        FROM documents),
+      m AS (
+        SELECT a.doc_id, a.ord - 1 AS base
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+        WHERE a.tok = 'part' AND b.tok = 'filter' AND c.tok = 'scan')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        CAST(min(base) AS BIGINT) AS first_pos
+      FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
     // RANGE (radius) search over a probe TABLE (Similarity.rangeSearch):
     // all corpus vectors with cosine >= tau per probe, multi-probe LSH
     // (each probe explodes to its Hamming<=1 bucket neighborhood, so

@@ -54,4 +54,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(exIdx >= 0 && filterIdx > exIdx,
       s"terms filter must run before the shuffle:\n$plan")
   }
+
+  test("phrase search: overlapping matches, repeated tokens, punctuation-" +
+      "free exactness") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x a b a b a y"),   // "a b a" matches at 1 and 3 (overlap)
+      (2L, "a b"),             // too short, prefix only
+      (3L, "b a b a"),         // matches at 1
+      (4L, "a a a a")          // no "a b a"
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Retrieval
+      .phraseSearch(docs, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (3L, 1L, 1L)))
+    // repeated-token phrase on a run of the same token: "a a" overlaps
+    val runs = graft.operators.Retrieval
+      .phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(runs == Set((4L, 3L, 0L)))
+  }
 }
