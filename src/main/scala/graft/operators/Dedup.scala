@@ -218,6 +218,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CONTAINMENT near-dup (asymmetric Jaccard): |A ∩ B| / |A| over
+    * distinct word n-gram sets, reported for BOTH directions of every
+    * candidate pair. Detects what symmetric Jaccard structurally
+    * misses — a short doc embedded in a long one (truncations, quote
+    * inclusions, boilerplate wrappers): 100 grams fully inside a
+    * 1000-gram doc is containment 1.0 but Jaccard only 0.1, below any
+    * useful symmetric threshold (Broder's original resemblance/
+    * containment split).
+    *
+    * Scale shape: gram postings (capped per gram at `postingCap` by
+    * ascending id — the d08/s14 hot-gram posture, so a boilerplate
+    * gram costs O(cap²), not O(n²)) self-join into directed pair
+    * counts; one join against the contained side's distinct-gram size
+    * finishes the score. All-integer ppm output → exact oracle replay,
+    * cap included.
+    *
+    * @return (id_a, id_b, containment_ppm): grams of id_a found in id_b
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      thresholdPpm: Long = 800000L, postingCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), n)).as("g"))
+    val sizes = gs.select(col("id"), size(col("g")).cast("long").as("sz_a"))
+    val inv = gs.select(col("id"), explode(col("g")).as("t"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("t")).orderBy(col("id"))))
+      .filter(col("rk") <= postingCap)
+      .select(col("id"), col("t"))
+    inv.as("x").join(inv.as("y"), Seq("t"))
+      .filter(col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+      .withColumn("containment_ppm",
+        expr("(shared * 1000000L) div sz_a"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("containment_ppm"))
+  }
+
   /** Edit-distance verification of near-dup candidates — the VERIFY
     * stage real fuzzy-dedup pipelines end with: token-set overlap
     * (or MinHash) proposes candidate pairs cheaply, and only those

@@ -3244,6 +3244,57 @@ object PipelineQueries {
         SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
       GROUP BY node ORDER BY node""")),
 
+    // Containment near-dup (Dedup.containmentPairs): asymmetric Jaccard
+    // |A∩B|/|A| over distinct 8-gram sets — catches the planted
+    // truncations (each is a strict gram-subset of its source, so
+    // containment hits 1.0 where symmetric Jaccard stays below any
+    // useful threshold). Directed pairs, integer ppm, hot-gram posting
+    // cap replayed by the oracle.
+    QuerySpec("d16_containment", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val corpus = docs.unionByName(
+        Dedup.withPlantedDups(docs, "doc_id", "text", nPlant = 40,
+          idOffset = 100000L, dropWords = 5).filter($"doc_id" >= 100000L))
+      Dedup.containmentPairs(corpus, "doc_id", "text", n = 8,
+          thresholdPpm = 800000L)
+        .orderBy($"id_a", $"id_b")
+    }, oracle = Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'),
+            1, greatest(len(string_split_regex(trim(text), '\s+')) - 5, 1)),
+            ' ') AS text
+        FROM base WHERE doc_id < 40),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id, text FROM planted),
+      grams AS (
+        SELECT DISTINCT doc_id AS id,
+          unnest(list_transform(
+            generate_series(1, greatest(len(tk) - 8, 0) + 1),
+            i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS t
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+              FROM corpus)),
+      capped AS (
+        SELECT id, t FROM (
+          SELECT id, t, row_number() OVER
+            (PARTITION BY t ORDER BY id) AS rk FROM grams)
+        WHERE rk <= 4096),
+      sizes AS (
+        SELECT id AS id_a, CAST(count(*) AS BIGINT) AS sz_a
+        FROM grams GROUP BY id),
+      pairs AS (
+        SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+        FROM capped x JOIN capped y ON x.t = y.t AND x.id <> y.id
+        GROUP BY x.id, y.id)
+      SELECT id_a, id_b,
+        CAST((shared * 1000000) // sz_a AS BIGINT) AS containment_ppm
+      FROM pairs JOIN sizes USING (id_a)
+      WHERE (shared * 1000000) // sz_a >= 800000
+      ORDER BY id_a, id_b""")),
+
     // Positional phrase search (Retrieval.phraseSearch): docs containing
     // the exact 3-token phrase, via n-1 equi-joins over (doc, pos - i)
     // postings pre-filtered to the phrase's tokens — Lucene's

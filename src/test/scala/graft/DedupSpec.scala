@@ -709,4 +709,31 @@ class DedupSpec extends AnyFunSuite {
       .select($"q_id", $"doc_id").as[(Long, Long)].collect().toSet
     assert(got.map(t => (t._1, t._2)).toSet.subsetOf(brute))
   }
+
+  test("containment catches a short doc embedded in a long one where " +
+      "symmetric Jaccard cannot") {
+    import spark.implicits._
+    val words = (1 to 100).map(i => s"w$i")
+    val long = (1L, words.mkString(" "))
+    val short = (2L, words.slice(10, 30).mkString(" "))   // strict slice
+    val other = (3L, (200 to 260).map(i => s"v$i").mkString(" "))
+    val docs = Seq(long, short, other).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 8,
+        thresholdPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the short doc is fully contained: every one of its 8-grams is in
+    // the long doc
+    assert(cont.exists { case (a, b, ppm) => a == 2L && b == 1L &&
+      ppm == 1000000L }, cont.mkString(","))
+    // the reverse direction is far below threshold, as is everything
+    // involving the unrelated doc
+    assert(cont.count(t => t._1 == 1L) == 0)
+    assert(!cont.exists(t => t._1 == 3L || t._2 == 3L))
+    // symmetric Jaccard on the same pair: 13 shared grams of 93+13-13
+    // => ~0.14, invisible at any useful threshold
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+    assert(jac.count() == 0,
+      "symmetric Jaccard should NOT see the embedded doc")
+  }
 }
