@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val sfDir = args(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"[timeq] $n run$i ${(System.nanoTime()-t0)/1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -60,7 +60,7 @@ object Graph {
       .localCheckpoint()
     val base = 1000000L - dampingPpm
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = e2
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -70,7 +70,13 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr(s"($dampingPpm * s) div 1000000"))
             .as("rank_ppm"))
-        .localCheckpoint()
+      // checkpoint every SECOND iteration (and always the last): each
+      // eager checkpoint is a full job, and on a node-scale rank table
+      // the per-job scheduling/AQE latency — not the arithmetic — is
+      // what the loop pays for. Two fused iterations double the plan
+      // once (bounded), then the checkpoint cuts lineage again, so
+      // depth stays constant while the job count halves.
+      if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint()
     }
     e2.unpersist()
     ranks
