@@ -23,6 +23,17 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Register a native expression builder on a LIVE session's function
+    * registry (sessionState is private[sql]; this shim is the same
+    * package-tree technique as the Column bridge above). Extensions
+    * (`spark.sql.extensions`) only apply at session construction — this
+    * is the runtime path. */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
   /** Wrapping (2-complement) long arithmetic for hash mixing — ANSI mode
     * (Spark 4 default) makes `*`/`+` throw on overflow, but universal
     * hashing WANTS modular wraparound. */
