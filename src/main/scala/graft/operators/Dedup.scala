@@ -227,34 +227,50 @@ object Dedup {
     * useful symmetric threshold (Broder's original resemblance/
     * containment split).
     *
-    * Scale shape: gram postings (capped per gram at `postingCap` by
-    * ascending id — the d08/s14 hot-gram posture, so a boilerplate
-    * gram costs O(cap²), not O(n²)) self-join into directed pair
-    * counts; one join against the contained side's distinct-gram size
-    * finishes the score. All-integer ppm output → exact oracle replay,
-    * cap included.
+    * Scale shape — the LOSSLESS SSJoin prefix filter (Chaudhuri et al.
+    * ICDE'06, directed-containment form): B can contain a t-fraction of
+    * A's grams only if it shares one of A's (|A| − ⌈t·|A|⌉ + 1) RAREST
+    * grams (global (df, gram) order — miss the whole prefix and the
+    * overlap fits inside the suffix, which is < t·|A|). So candidates
+    * come from prefix postings × full postings, and a boilerplate gram
+    * — huge df — lands in nobody's prefix: the hot gram never reaches
+    * the candidate join at all, no cap needed (the d04 posture, made
+    * directional). Verification then ships gram ARRAYS only for
+    * candidate pairs and computes the exact intersection. Nothing is
+    * approximate: candidates ⊇ all qualifying pairs, verify is exact,
+    * so the brute-force oracle matches bit-for-bit.
     *
     * @return (id_a, id_b, containment_ppm): grams of id_a found in id_b
     */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 8,
-      thresholdPpm: Long = 800000L, postingCap: Int = 4096): DataFrame = {
+      thresholdPpm: Long = 800000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gs = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), n)).as("g"))
-    val sizes = gs.select(col("id"), size(col("g")).cast("long").as("sz_a"))
+    val sizes = gs.select(col("id"), size(col("g")).cast("long").as("sz"))
     val inv = gs.select(col("id"), explode(col("g")).as("t"))
+    val dfreq = inv.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // prefix length |A| - ceil(t|A|) + 1, all-integer ceil
+    val prefix = inv.join(dfreq, "t")
+      .join(sizes, "id")
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("t")).orderBy(col("id"))))
-      .filter(col("rk") <= postingCap)
+        Window.partitionBy(col("id")).orderBy(col("df"), col("t"))))
+      .filter(col("rk") <=
+        col("sz") - expr(s"(sz * ${thresholdPpm}L + 999999L) div 1000000L")
+          + 1)
       .select(col("id"), col("t"))
-    inv.as("x").join(inv.as("y"), Seq("t"))
+    val cand = prefix.as("x").join(inv.as("y"), Seq("t"))
       .filter(col("x.id") =!= col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(gs.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(gs.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
       .withColumn("containment_ppm",
-        expr("(shared * 1000000L) div sz_a"))
+        expr("(shared * 1000000L) div size(g_a)"))
       .filter(col("containment_ppm") >= thresholdPpm)
       .select(col("id_a"), col("id_b"), col("containment_ppm"))
   }

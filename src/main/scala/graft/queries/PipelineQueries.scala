@@ -3248,8 +3248,10 @@ object PipelineQueries {
     // |A∩B|/|A| over distinct 8-gram sets — catches the planted
     // truncations (each is a strict gram-subset of its source, so
     // containment hits 1.0 where symmetric Jaccard stays below any
-    // useful threshold). Directed pairs, integer ppm, hot-gram posting
-    // cap replayed by the oracle.
+    // useful threshold). Candidates via the LOSSLESS directed prefix
+    // filter (rarest grams only — a hot gram never reaches the join),
+    // exact array-intersect verify; the oracle is therefore plain brute
+    // force, like d04's.
     QuerySpec("d16_containment", (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
@@ -3277,17 +3279,12 @@ object PipelineQueries {
             i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS t
         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
               FROM corpus)),
-      capped AS (
-        SELECT id, t FROM (
-          SELECT id, t, row_number() OVER
-            (PARTITION BY t ORDER BY id) AS rk FROM grams)
-        WHERE rk <= 4096),
       sizes AS (
         SELECT id AS id_a, CAST(count(*) AS BIGINT) AS sz_a
         FROM grams GROUP BY id),
       pairs AS (
         SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
-        FROM capped x JOIN capped y ON x.t = y.t AND x.id <> y.id
+        FROM grams x JOIN grams y ON x.t = y.t AND x.id <> y.id
         GROUP BY x.id, y.id)
       SELECT id_a, id_b,
         CAST((shared * 1000000) // sz_a AS BIGINT) AS containment_ppm
