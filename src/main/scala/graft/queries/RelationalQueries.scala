@@ -236,6 +236,41 @@ object RelationalQueries {
         SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
       ORDER BY op, k""")),
 
+    // ---- Collation-aware grouping and comparison (Spark 4 collations):
+    // case-diverse variants of the region names grouped and filtered
+    // under UTF8_LCASE without lower()-mangling the data — the
+    // collation lives in the COMPARISON, not the values (DuckDB twin:
+    // COLLATE NOCASE). Representative = binary min, deterministic on
+    // both engines — and robust to the one variant the engines render
+    // differently (initcap title-cases every word, the oracle's
+    // ucfirst only the first; both fold into the same NOCASE group and
+    // neither can beat the all-caps original at binary min).
+    QuerySpec("q53_collation", (s, dir) => {
+      import s.implicits._
+      val names = Tables.load(s, dir, "region").select($"r_name")
+      val variants = names
+        .unionByName(names.select(lower($"r_name").as("r_name")))
+        .unionByName(names.select(initcap(lower($"r_name")).as("r_name")))
+      variants
+        .groupBy(collate($"r_name", "UTF8_LCASE").as("k"))
+        .agg(min($"r_name").as("name"), count(lit(1)).as("n"),
+          max((collate($"r_name", "UTF8_LCASE") === lit("africa"))
+            .cast("int")).cast("boolean").as("is_africa"))
+        .select($"name", $"n", $"is_africa")
+        .orderBy($"name")
+    }, oracle = Some("""
+      WITH variants AS (
+        SELECT r_name FROM region
+        UNION ALL SELECT lower(r_name) FROM region
+        UNION ALL SELECT upper(substr(lower(r_name), 1, 1)) ||
+          substr(lower(r_name), 2) FROM region)
+      SELECT min(r_name) AS name, count(*) AS n,
+        max(CASE WHEN r_name = 'africa' COLLATE NOCASE
+          THEN 1 ELSE 0 END) = 1 AS is_africa
+      FROM variants
+      GROUP BY r_name COLLATE NOCASE
+      ORDER BY name""")),
+
     // ---- Semi/anti join = EXISTS / NOT EXISTS
     // (alert_check_autovacuum/01_step.sql:5-7; dedup anti-join dbccore.py:942-951)
     QuerySpec("q12_exists_semi_join", (s, dir) => {
