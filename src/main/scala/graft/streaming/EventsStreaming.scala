@@ -695,4 +695,24 @@ object EventsStreaming {
           out.result().iterator
       }
   }
+
+  /** Streaming decontamination gate — the d06 benchmark-leak check
+    * applied at INGEST: an unbounded document stream drops every doc
+    * sharing a word n-gram with the (bounded) eval set, entirely
+    * STATELESSLY. The eval grams compile into the plan as a literal
+    * array and the test is one `arrays_overlap` over the doc's own
+    * gram array — no state store, no watermark, no shuffle of the
+    * stream; every micro-batch row is decided locally, so the gate
+    * adds zero latency classes. Exact (not Bloom): the d10 Bloom
+    * expression is the scale path that FRONTS this check when the
+    * eval set outgrows a literal; semantics here match batch d06
+    * bit-for-bit (StreamingSpec pins the complement identity).
+    */
+  def decontaminate(docs: DataFrame, textCol: String,
+      evalGrams: Seq[String], n: Int = 8): DataFrame = {
+    require(evalGrams.nonEmpty, "empty eval gram set")
+    val evalArr = array(evalGrams.map(lit(_)): _*)
+    docs.filter(!arrays_overlap(
+      graft.operators.Dedup.shingles(col(textCol), n), evalArr))
+  }
 }

@@ -656,4 +656,42 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-batch: ${got -- batchRows}; batch-stream: ${batchRows -- got}")
     } finally q.stop()
   }
+
+  test("streaming decontamination gate equals the batch d06 complement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val evalDocs = docs.filter($"doc_id" < 20)
+    val train = docs.filter($"doc_id" >= 20).unionByName(
+      graft.operators.Dedup.withPlantedDups(evalDocs, "doc_id", "text",
+        nPlant = 20, idOffset = 100000L, dropWords = 5)
+        .filter($"doc_id" >= 100000L))
+    val evalGrams = evalDocs
+      .select(explode(graft.operators.Dedup.shingles($"text", 8)).as("g"))
+      .distinct().as[String].collect().toSeq
+    val contaminated = graft.operators.Dedup
+      .contaminatedDocs(train, evalDocs, "doc_id", "text", n = 8)
+      .as[Long].collect().toSet
+    val expectClean = train.select($"doc_id").as[Long].collect().toSet --
+      contaminated
+    assert(contaminated.nonEmpty && expectClean.nonEmpty)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventsStreaming.decontaminate(
+        mem.toDF().toDF("doc_id", "text"), "text", evalGrams, n = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try {
+      train.as[(Long, String)].collect().grouped(40).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("decon_out")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == expectClean,
+        s"extra: ${got -- expectClean}; missing: ${expectClean -- got}")
+    } finally q.stop()
+  }
 }
