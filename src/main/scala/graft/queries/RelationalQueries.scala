@@ -236,6 +236,35 @@ object RelationalQueries {
         SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
       ORDER BY op, k""")),
 
+    // ---- ANSI-safe error handling: the try_* family. The engine runs
+    // ANSI mode (Spark 4 default) where overflow/bad-cast/div-zero
+    // THROW — these are the row-local escape hatches that turn each
+    // failure into NULL instead of killing a 100 TB job at one bad row.
+    // Oracle: TRY_CAST plus CASE twins for the arithmetic (DuckDB
+    // errors on int div-zero too).
+    QuerySpec("q54_try_functions", (s, dir) => {
+      import s.implicits._
+      li(s, dir).filter($"l_orderkey" <= 100)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("line_no"),
+          $"l_quantity", $"l_partkey")
+        .select($"l_orderkey", $"line_no",
+          try_divide($"l_quantity", $"line_no" - 1).as("per_prior_line"),
+          expr("try_cast(cast(l_partkey * 100000000000L AS string) AS int)")
+            .as("overflow_int"),
+          expr("try_cast(concat('x', l_partkey) AS bigint)").as("bad_cast"),
+          try_element_at(array($"l_quantity"), lit(2)).as("oob"))
+        .orderBy($"l_orderkey", $"line_no")
+    }, oracle = Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        CASE WHEN l_linenumber - 1 = 0 THEN NULL
+             ELSE l_quantity / (l_linenumber - 1) END AS per_prior_line,
+        TRY_CAST(CAST(l_partkey * 100000000000 AS VARCHAR) AS INTEGER)
+          AS overflow_int,
+        TRY_CAST('x' || CAST(l_partkey AS VARCHAR) AS BIGINT) AS bad_cast,
+        CAST(NULL AS DOUBLE) AS oob
+      FROM lineitem WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, line_no""")),
+
     // ---- Collation-aware grouping and comparison (Spark 4 collations):
     // case-diverse variants of the region names grouped and filtered
     // under UTF8_LCASE without lower()-mangling the data — the
