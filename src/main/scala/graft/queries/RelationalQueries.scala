@@ -236,6 +236,50 @@ object RelationalQueries {
         SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
       ORDER BY op, k""")),
 
+    // ---- Generator NULL semantics: explode vs explode_outer. The
+    // inner generator DROPS rows whose array is empty; the outer form
+    // keeps them with NULL — the LEFT JOIN LATERAL distinction, and
+    // the difference between losing short docs silently and keeping
+    // them auditable in a tokenization pass.
+    QuerySpec("q55_explode_outer", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 30)
+        // plant empty-token docs: text stripped to whitespace
+        .select($"doc_id",
+          when($"doc_id" % 10 === 0, lit("")).otherwise($"text").as("text"))
+        .select($"doc_id",
+          array_remove(split(trim($"text"), "\\s+"), "").as("toks"))
+      val inner = docs.select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val outer = docs.select($"doc_id", explode_outer($"toks").as("tok"))
+        .groupBy($"doc_id").agg(count($"tok").as("n"))
+      outer.withColumnRenamed("n", "n_outer")
+        .join(inner.withColumnRenamed("n", "n_inner"), Seq("doc_id"), "left")
+        .select($"doc_id", $"n_outer", coalesce($"n_inner", lit(-1L)).as("n_inner"))
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(
+            CASE WHEN doc_id % 10 = 0 THEN '' ELSE text END), '\s+'),
+            t -> t <> '') AS toks
+        FROM documents WHERE doc_id < 30),
+      inner_g AS (
+        SELECT doc_id, count(*) AS n_inner
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+        GROUP BY doc_id),
+      outer_g AS (
+        SELECT d.doc_id, count(u.tok) AS n_outer
+        FROM docs d LEFT JOIN
+          (SELECT doc_id, unnest(toks) AS tok FROM docs) u
+          ON u.doc_id = d.doc_id
+        GROUP BY d.doc_id)
+      SELECT o.doc_id, o.n_outer,
+        coalesce(i.n_inner, -1) AS n_inner
+      FROM outer_g o LEFT JOIN inner_g i ON i.doc_id = o.doc_id
+      ORDER BY o.doc_id""")),
+
     // ---- ANSI-safe error handling: the try_* family. The engine runs
     // ANSI mode (Spark 4 default) where overflow/bad-cast/div-zero
     // THROW — these are the row-local escape hatches that turn each

@@ -74,4 +74,22 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(runs == Set((4L, 3L, 0L)))
   }
+
+  test("phrase-search plan: per-token filters precede every join " +
+      "exchange - only the phrase's postings shuffle") {
+    import spark.implicits._
+    val df = graft.operators.Retrieval.phraseSearch(
+      Tables.load(spark, dir, "documents").select($"doc_id", $"text"),
+      "doc_id", "text", Seq("part", "filter", "scan"))
+    val plan = df.queryExecution.executedPlan.toString
+    // every join input carries its token filter below the exchange:
+    // in bottom-up print order, each Exchange must be preceded later in
+    // the text by a Filter containing the token predicate
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    val filterIdx = plan.lastIndexOf("Filter")
+    assert(exIdx >= 0 && filterIdx > exIdx,
+      s"token filters must run before the shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
