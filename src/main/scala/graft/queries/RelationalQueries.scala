@@ -236,6 +236,38 @@ object RelationalQueries {
         SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
       ORDER BY op, k""")),
 
+    // ---- IGNORE NULLS window navigation: the gap-filling idiom
+    // (last observation carried forward). Sparse observations — only
+    // 'purchase' events carry a meaningful value here — are smeared
+    // forward per user with last_value(...) IGNORE NULLS; lead/lag
+    // with IGNORE NULLS skip over the gaps entirely. Both engines
+    // implement the ANSI semantics; ties broken by event_id for a
+    // total frame order.
+    QuerySpec("q56_ignore_nulls_window", (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      ev(s, dir).filter($"user_id" < 50)
+        .select($"user_id", $"event_id", $"ts",
+          when($"event_type" === "purchase", $"value").as("v"))
+        .select($"user_id", $"event_id",
+          last($"v", ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("locf"),
+          lag($"v", 1, null, ignoreNulls = true).over(w).as("prev_obs"))
+        .orderBy($"user_id", $"event_id")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN event_type = 'purchase' THEN value END AS v
+        FROM events WHERE user_id < 50)
+      SELECT user_id, event_id,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        lag(v, 1 IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev_obs
+      FROM base ORDER BY user_id, event_id""")),
+
     // ---- Generator NULL semantics: explode vs explode_outer. The
     // inner generator DROPS rows whose array is empty; the outer form
     // keeps them with NULL — the LEFT JOIN LATERAL distinction, and
