@@ -119,4 +119,46 @@ object Stats {
           col(weightCol).cast("decimal(16,0)"))
       .drop("__W")
   }
+
+  /** Time-series RESAMPLE to a regular grid with LOCF fill — the
+    * densification pass feature pipelines run before any
+    * fixed-frequency model sees event data: per key, an aligned
+    * `stepHours`-hour grid spans the key's own [min, max] range; sparse
+    * observations land on their grid cell by pure integer arithmetic
+    * (so the cell join is an EQUI-join, never a range join), and
+    * `last_value IGNORE NULLS` carries each observation forward across
+    * the gaps.
+    *
+    * Scale shape: the grid explodes from one row per key (bounds
+    * aggregate — map-side combinable), cells are (key, timestamp)
+    * pairs, and the window partitions by key: every stage shuffles
+    * key-scale or grid-scale rows, never raw events beyond the first
+    * bounds/cell pass.
+    *
+    * @param obsPred which events carry an observation (others only
+    *                shape the grid via the bounds)
+    * @return (key, h, obs_v, filled) — one row per grid cell
+    */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, obsPred: Column, stepHours: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stepUs = stepHours.toLong * 3600L * 1000000L
+    val bounds = events.groupBy(col(keyCol))
+      .agg(date_trunc("hour", min(col(tsCol))).as("t0"),
+        max(col(tsCol)).as("tmax"))
+    val grid = bounds.select(col(keyCol),
+      explode(expr(s"sequence(t0, tmax, interval $stepHours hours)")).as("h"))
+    val obs = events.filter(obsPred)
+      .join(bounds.select(col(keyCol), col("t0")), keyCol)
+      .withColumn("h", expr(
+        s"t0 + make_interval(0, 0, 0, 0, cast($stepHours * " +
+          s"((unix_micros($tsCol) - unix_micros(t0)) div ${stepUs}L) " +
+          "as int), 0, 0)"))
+      .groupBy(col(keyCol), col("h"))
+      .agg(max(col(valueCol)).as("obs_v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "h"), "left")
+      .withColumn("filled", last(col("obs_v"), ignoreNulls = true).over(w))
+  }
 }

@@ -3244,6 +3244,50 @@ object PipelineQueries {
         SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
       GROUP BY node ORDER BY node""")),
 
+    // Time-series resample + LOCF (Stats.resampleLocf): per-user
+    // 6-hour grid spanning each user's own event range; purchase
+    // values land on their cell by integer arithmetic (equi-join, no
+    // range join) and carry forward across gaps via IGNORE NULLS.
+    // The densification pass before any fixed-frequency featurization.
+    QuerySpec("p24_resample_locf", (s, dir) => {
+      import s.implicits._
+      Stats.resampleLocf(
+          Tables.load(s, dir, "events").filter($"user_id" < 20),
+          "user_id", "ts", "value",
+          obsPred = col("event_type") === "purchase", stepHours = 6)
+        .select($"user_id", $"h", $"obs_v", $"filled")
+        .orderBy($"user_id", $"h")
+    }, oracle = Some("""
+      WITH e AS (
+        SELECT user_id, ts, event_type, value FROM events
+        WHERE user_id < 20),
+      b AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+          max(ts) AS tmax
+        FROM e GROUP BY user_id),
+      grid AS (
+        SELECT user_id,
+          unnest(generate_series(t0, tmax, INTERVAL 6 HOUR)) AS h
+        FROM b),
+      obs AS (
+        SELECT e.user_id,
+          b.t0 + (INTERVAL 6 HOUR) *
+            CAST((epoch_us(e.ts) - epoch_us(b.t0)) // 21600000000
+              AS BIGINT) AS h,
+          max(e.value) AS obs_v
+        FROM e JOIN b ON b.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      j AS (
+        SELECT g.user_id, g.h, o.obs_v
+        FROM grid g LEFT JOIN obs o
+          ON o.user_id = g.user_id AND o.h = g.h)
+      SELECT user_id, h, obs_v,
+        last_value(obs_v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM j ORDER BY user_id, h""")),
+
     // Containment near-dup (Dedup.containmentPairs): asymmetric Jaccard
     // |A∩B|/|A| over distinct 8-gram sets — catches the planted
     // truncations (each is a strict gram-subset of its source, so

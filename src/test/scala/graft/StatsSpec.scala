@@ -40,4 +40,29 @@ class StatsSpec extends AnyFunSuite {
       salt = "z").select($"id").as[Long].collect()
     assert(kept.forall(_ > 25))
   }
+
+  test("resample+LOCF: gaps fill forward, never backward; single-event " +
+      "keys get a one-cell grid") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    val rows = Seq(
+      (1L, ts(0), "purchase", 10.0),   // cell 00:00
+      (1L, ts(1), "view", 99.0),       // shapes grid only
+      (1L, ts(13), "purchase", 20.0),  // cell 12:00 (6h steps from 00:00)
+      (1L, ts(20), "view", 0.0),       // extends grid to 18:00
+      (2L, ts(5), "purchase", 7.0)     // single event -> one cell
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Stats.resampleLocf(rows, "user_id", "ts", "value",
+        obsPred = col("event_type") === "purchase", stepHours = 6)
+      .orderBy($"user_id", $"h")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", Some(10.0), Some(10.0)),
+      (1L, "2024-01-01 06:00:00.0", None, Some(10.0)),       // gap: LOCF
+      (1L, "2024-01-01 12:00:00.0", Some(20.0), Some(20.0)),
+      (1L, "2024-01-01 18:00:00.0", None, Some(20.0)),
+      (2L, "2024-01-01 05:00:00.0", Some(7.0), Some(7.0))))
+  }
 }
