@@ -3336,6 +3336,87 @@ object PipelineQueries {
       WHERE (shared * 1000000) // sz_a >= 800000
       ORDER BY id_a, id_b""")),
 
+    // Reciprocal-rank fusion (hybrid retrieval): the standard way a
+    // RAG stack combines a lexical retriever with a vector retriever —
+    // score = Σ 1/(k + rank_i) over the lists that returned the doc
+    // (Cormack et al. SIGIR'09, k = 60). Ranks come from s07's BM25
+    // top-20 and s01's exact cosine top-20 (vec_id ≡ doc_id in the
+    // fixtures); contributions in integer micro-units (1e6 div (k +
+    // rank)) so the fusion is engine-exact. Full-outer on doc id:
+    // a doc in either list scores.
+    QuerySpec("s17_rrf_fusion", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+          terms = Seq("vector", "stream", "merge", "window", "spark"),
+          topK = 20)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy($"score_micros".desc, $"doc_id")).cast("long"))
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      val vec = Similarity.bruteForceTopK(embs.filter($"vec_id" =!= 0),
+          "vec_id", "embedding", q, 20)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+      lex.select($"doc_id", $"r_lex")
+        .join(vec.select($"vec_id".as("doc_id"), $"r_vec"),
+          Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micros",
+          expr("coalesce(1000000L div (60 + r_lex), 0L) + " +
+            "coalesce(1000000L div (60 + r_vec), 0L)"))
+        .select($"doc_id", $"r_lex", $"r_vec", $"rrf_micros")
+        .orderBy($"rrf_micros".desc, $"doc_id").limit(10)
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
+      tf AS (
+        SELECT doc_id, dl, tok, count(*) AS tf FROM (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok
+          FROM toks)
+        WHERE tok IN ('vector','stream','merge','window','spark')
+        GROUP BY doc_id, dl, tok),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      bm AS (
+        SELECT tf.doc_id,
+          CAST(sum(CAST(floor(1000000.0 *
+            ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+            (tf.tf * 2.2) /
+            (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+              (CAST(stats.tot AS DOUBLE) / stats.n)))) AS BIGINT))
+            AS BIGINT) AS score_micros
+        FROM tf JOIN df USING (tok) CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY score_micros DESC, doc_id LIMIT 20),
+      lex AS (
+        SELECT doc_id, CAST(row_number() OVER
+          (ORDER BY score_micros DESC, doc_id) AS BIGINT) AS r_lex
+        FROM bm),
+      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cosod AS (
+        SELECT c.vec_id AS doc_id,
+          list_aggregate(list_transform(list_zip(c.embedding, qe),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(c.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings c, qv WHERE c.vec_id <> 0
+        ORDER BY cos DESC, doc_id LIMIT 20),
+      vec AS (
+        SELECT doc_id, CAST(row_number() OVER
+          (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec
+        FROM cosod)
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+        coalesce(1000000 // (60 + l.r_lex), 0) +
+        coalesce(1000000 // (60 + v.r_vec), 0) AS rrf_micros
+      FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+      ORDER BY rrf_micros DESC, doc_id LIMIT 10""")),
+
     // Positional phrase search (Retrieval.phraseSearch): docs containing
     // the exact 3-token phrase, via n-1 equi-joins over (doc, pos - i)
     // postings pre-filtered to the phrase's tokens — Lucene's
