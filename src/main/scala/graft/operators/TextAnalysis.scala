@@ -501,4 +501,43 @@ object TextAnalysis {
     q.select(col(srcCol), col("m").as("n_tokens"), col("w_micros"),
       expr(s"w_micros * 1000000L div ${sw}L").as("weight_ppm"))
   }
+
+  /** Temperature-scaled mixture RESAMPLE — the decision pass that makes
+    * [[sourceMixtureWeights]] actionable: given a total token budget,
+    * each source s gets target_s = budget · weight_ppm(s) tokens, and a
+    * doc of s survives with probability target_s / m_s — decided by ONE
+    * exact wide-decimal compare on the doc's salted md5 (the p20
+    * mechanism), so the sample is deterministic, partitioning-
+    * independent, and engine-replayable; expected kept tokens per
+    * source equal the temperature-T=2 mixture regardless of document
+    * length distribution (E[Σ_kept len] = p_s · m_s = target_s).
+    * Rare sources are upweighted (sqrt flattening), dominant ones
+    * downsampled — the standard LLM data-mixing step.
+    *
+    * Scale shape: the per-source weight table is source-cardinality
+    * (broadcast); the keep decision is row-local codegen'd arithmetic —
+    * zero shuffles beyond the weights aggregate itself.
+    *
+    * @return kept (id, source, n_toks) rows
+    */
+  def temperatureMixtureSample(docs: DataFrame, idCol: String,
+      srcCol: String, textCol: String, targetTokens: Long,
+      salt: String): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive")
+    val weights = sourceMixtureWeights(
+        docs.select(col(srcCol), col(textCol)), srcCol, textCol)
+      .withColumn("target_toks",
+        expr(s"(${targetTokens}L * weight_ppm) div 1000000L"))
+      .select(col(srcCol), col("n_tokens"), col("target_toks"))
+    val h60 = conv(substring(
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("decimal(19,0)")
+    docs.join(broadcast(weights), srcCol)
+      // keep iff h60 / 2^60 < target/m  ⟺  h60·m < 2^60·target, exact
+      .filter(h60 * col("n_tokens").cast("decimal(18,0)") <
+        expr("CAST('1152921504606846976' AS DECIMAL(19,0))") *
+          col("target_toks").cast("decimal(12,0)"))
+      .select(col(idCol), col(srcCol),
+        wordCount(col(textCol)).as("n_toks"))
+  }
 }

@@ -3244,6 +3244,50 @@ object PipelineQueries {
         SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
       GROUP BY node ORDER BY node""")),
 
+    // Temperature-scaled mixture resample (TextAnalysis
+    // .temperatureMixtureSample): p10's sqrt-flattened source weights
+    // made actionable — each source gets target tokens ∝ weight_ppm,
+    // each doc survives with probability target/m decided by one exact
+    // wide-decimal md5 compare (the p20 mechanism). Deterministic,
+    // partitioning-independent, fully oracle-replayed (weights,
+    // targets, hash, compare).
+    QuerySpec("p25_temperature_mixture", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.temperatureMixtureSample(
+          Tables.load(s, dir, "documents")
+            .select($"doc_id", $"source", $"text"),
+          "doc_id", "source", "text",
+          targetTokens = 8000L, salt = "mix")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, source, text,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      mass AS (SELECT source, CAST(sum(n) AS BIGINT) AS m
+               FROM toks GROUP BY source),
+      tot AS (SELECT CAST(sum(m) AS BIGINT) AS t FROM mass),
+      q AS (
+        SELECT source, m,
+          CAST(floor(1000000.0 *
+            sqrt(CAST(m AS DOUBLE) / CAST(t AS DOUBLE))) AS BIGINT) AS w
+        FROM mass CROSS JOIN tot),
+      sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM q),
+      wt AS (
+        SELECT source, m,
+          (8000 * (w * 1000000 // sw.sw)) // 1000000 AS target_toks
+        FROM q CROSS JOIN sw),
+      d AS (
+        SELECT doc_id, source, n,
+          ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::UBIGINT AS h60
+        FROM toks)
+      SELECT d.doc_id, d.source, d.n AS n_toks
+      FROM d JOIN wt USING (source)
+      WHERE CAST(d.h60 AS HUGEINT) * wt.m <
+        CAST('1152921504606846976' AS HUGEINT) * wt.target_toks
+      ORDER BY d.doc_id""")),
+
     // Time-series resample + LOCF (Stats.resampleLocf): per-user
     // 6-hour grid spanning each user's own event range; purchase
     // values land on their cell by integer arithmetic (equi-join, no

@@ -188,4 +188,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       noExact.getLong(4) == row.getLong(4))
     assert(noExact.getLong(5) == 0L)
   }
+
+  test("temperature mixture: dominant source downsampled harder than " +
+      "rare one, deterministic and partitioning-independent") {
+    import spark.implicits._
+    // heavy source: 900 docs x 10 tokens; rare source: 30 docs x 10
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 900).map(i => (i.toLong, "heavy", text)) ++
+      (1001 to 1030).map(i => (i.toLong, "rare", text)))
+      .toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.temperatureMixtureSample(docs, "doc_id",
+        "source", "text", targetTokens = 3000L, salt = "t")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val kept2 = TextAnalysis.temperatureMixtureSample(docs.repartition(17),
+        "doc_id", "source", "text", targetTokens = 3000L, salt = "t")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    assert(kept.toSet == kept2.toSet, "sample must not depend on partitioning")
+    val hr = kept.count(_._2 == "heavy").toDouble / 900
+    val rr = kept.count(_._2 == "rare").toDouble / 30
+    // sqrt flattening: heavy's target share ~ sqrt(900/930) of the
+    // weight mass over 9000 tokens -> keep rate ~0.28; rare's ~ 1.0
+    assert(hr < 0.45, s"heavy keep rate $hr should be downsampled")
+    assert(rr > 0.8, s"rare keep rate $rr should stay near 1")
+    assert(rr > 2 * hr, s"rare ($rr) must beat heavy ($hr) decisively")
+  }
 }
