@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
 
-  /** Σ a_i * b_i in double precision (HOF form — kept for API parity;
-    * the hot paths use [[cosine]]). */
+  /** Σ a_i * b_i — native codegen'd kernel, the same sequential left
+    * fold the old HOF form (and the oracle's list_aggregate) performs,
+    * so scores stay bit-faithful across engines. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** ‖v‖₂ in double precision. */
   def l2norm(v: Column): Column =

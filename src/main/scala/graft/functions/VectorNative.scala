@@ -165,6 +165,58 @@ object VectorNative {
     }
     new GenericArrayData(out)
   }
+  /** Raw inner product, same sequential left fold as [[cosine]] (and the
+    * oracle's list_aggregate sum) — bit-faithful across engines. Same
+    * null poisoning: length mismatch / null element → null. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += elemAsDouble(a, i, aFloat) * elemAsDouble(b, i, bFloat)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType]))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorNative.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("dotR")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object $r = graft.functions.VectorNative.dot(
+        $a, $b, ${isFloat(left)}, ${isFloat(right)});
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
 }
 
 case class CosineSim(left: Expression, right: Expression)

@@ -83,6 +83,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximum-inner-product search (MIPS): top-k by RAW dot product —
+    * the recommender/two-tower serving objective, genuinely different
+    * from cosine whenever norms vary (a long vector can out-score a
+    * better-aligned short one). Exact scan; the codegen'd dot kernel is
+    * the same sequential fold the SQL oracle's list sum performs, and
+    * TakeOrderedAndProject keeps it a scan + heap, never a global sort.
+    */
+  def mipsTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    embs.select(col(idCol),
+        VectorFunctions.dot(col(vecCol), q).as("dot"))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** MIPS under LSH — the Shrivastava–Li (NeurIPS'14) asymmetric
+    * transform: corpus vectors scale into the unit ball (x/M for
+    * M ≥ max‖x‖) and gain the coordinate √(1 − ‖x/M‖²); the query
+    * gains a 0. Then q'·x' = (q·x)/M with ‖x'‖ = 1, so COSINE order on
+    * the augmented space IS inner-product order on the original — and
+    * every cosine-family index (the sign-bit LSH here, IVF, PQ alike)
+    * serves MIPS unchanged. Recall vs [[mipsTopK]] is the LSH trade,
+    * pinned in DedupSpec; the augmentation itself is exact (spec pins
+    * full-scan augmented-cosine order == dot order).
+    */
+  def mipsLshTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, bits: Int = 12,
+      probes: Int = 2): DataFrame = {
+    val m = embs.select(
+        max(VectorFunctions.l2norm(col(vecCol))).as("m"))
+      .head().getDouble(0)
+    require(m > 0, "corpus has no non-zero vector")
+    val aug = embs.withColumn("__scaled",
+        transform(col(vecCol), e => e.cast("double") / lit(m)))
+      .withColumn("__aug", concat(col("__scaled"),
+        array(sqrt(greatest(lit(0.0),
+          lit(1.0) - VectorFunctions.dot(col("__scaled"), col("__scaled")))))))
+    val qn = math.sqrt(query.map(v => v.toDouble * v).sum)
+    require(qn > 0, "zero query vector")
+    val qAug: Seq[Double] = query.map(_ / qn) :+ 0.0
+    val qCol = array(qAug.map(lit(_)): _*)
+    val qBucket: Long = embs.sparkSession.range(1)
+      .select(VectorFunctions.lshBucket(qCol, bits).as("b")).head().getLong(0)
+    val probeBuckets: Seq[Long] = (0 to probes).flatMap { d =>
+      (0 until bits).combinations(d)
+        .map(_.foldLeft(qBucket)((acc, j) => acc ^ (1L << j)))
+    }
+    aug
+      .withColumn("bucket", VectorFunctions.lshBucket(col("__aug"), bits))
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .select(col(idCol),
+        (VectorFunctions.dot(col(vecCol), array(query.map(lit(_)): _*)))
+          .as("dot"))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+  }
+
   /** RANGE (radius) search over a probe TABLE: every corpus vector with
     * `cosine >= tau` of each probe — the "all matches above threshold"
     * complement of top-k, and the distributed-probe complement of

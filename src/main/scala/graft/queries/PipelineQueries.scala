@@ -3380,6 +3380,30 @@ object PipelineQueries {
       WHERE (shared * 1000000) // sz_a >= 800000
       ORDER BY id_a, id_b""")),
 
+    // Maximum-inner-product search (Similarity.mipsTopK): top-k by RAW
+    // dot product — the recommender/two-tower objective, different
+    // from cosine whenever norms vary. The Shrivastava–Li augmentation
+    // (mipsLshTopK) is the indexed scale path, recall- and
+    // exactness-pinned in DedupSpec; this entry oracles the exact scan.
+    QuerySpec("s18_mips", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.mipsTopK(embs.filter($"vec_id" =!= 0), "vec_id",
+          "embedding", q, k = 20)
+        .select($"vec_id", round($"dot", 9).as("dot"))
+    }, oracle = Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT c.vec_id,
+          list_aggregate(list_transform(list_zip(c.embedding, qe),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+            AS dot
+        FROM embeddings c, q WHERE c.vec_id <> 0)
+      SELECT vec_id, round(dot, 9) AS dot FROM scored
+      ORDER BY dot DESC, vec_id LIMIT 20""")),
+
     // Reciprocal-rank fusion (hybrid retrieval): the standard way a
     // RAG stack combines a lexical retriever with a vector retriever —
     // score = Σ 1/(k + rank_i) over the lists that returned the doc

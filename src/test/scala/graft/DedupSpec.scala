@@ -736,4 +736,46 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.count() == 0,
       "symmetric Jaccard should NOT see the embedded doc")
   }
+
+  test("MIPS: augmented-cosine order equals dot order exactly; LSH " +
+      "variant keeps recall and never invents scores") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val brute = Similarity.mipsTopK(corpus, "vec_id", "embedding", q, 20)
+      .select($"vec_id").as[Long].collect().toSeq
+    // exactness of the Shrivastava-Li transform: with EVERY bucket
+    // probed (bits small enough), the augmented path must return the
+    // exact brute-force ranking
+    val allProbes = Similarity.mipsLshTopK(corpus, "vec_id", "embedding",
+        q, 20, bits = 2, probes = 2)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(allProbes == brute,
+      s"full-probe augmented ranking diverged: $allProbes vs $brute")
+    // the real LSH trade: recall against brute force
+    val lsh = Similarity.mipsLshTopK(corpus, "vec_id", "embedding",
+        q, 20, bits = 12, probes = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (brute.toSet intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"MIPS LSH recall $recall too low")
+    assert(lsh.subsetOf(corpus.select($"vec_id").as[Long].collect().toSet))
+    // MIPS vs cosine: inflate some norms (x3 for vec_id % 7 == 1) -
+    // dot ranking must move where cosine's cannot (scale-invariant)
+    val inflated = corpus.withColumn("embedding",
+      org.apache.spark.sql.functions.when($"vec_id" % 7 === 1,
+        org.apache.spark.sql.functions.transform($"embedding",
+          e => e * org.apache.spark.sql.functions.lit(3.0f)))
+        .otherwise($"embedding"))
+    val mipsInf = Similarity.mipsTopK(inflated, "vec_id", "embedding",
+      q, 20).select($"vec_id").as[Long].collect().toSeq
+    val cosInf = Similarity.bruteForceTopK(inflated, "vec_id", "embedding",
+      q, 20).select($"vec_id").as[Long].collect().toSeq
+    assert(mipsInf != cosInf, "norm inflation must separate MIPS from cosine")
+    val cosOrig = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      q, 20).select($"vec_id").as[Long].collect().toSeq
+    assert(cosInf == cosOrig,
+      "cosine must be blind to the inflation (scale-invariant)")
+  }
 }
