@@ -540,4 +540,41 @@ object TextAnalysis {
       .select(col(idCol), col(srcCol),
         wordCount(col(textCol)).as("n_toks"))
   }
+
+  /** Deterministic curriculum interleave — the global TRAINING ORDER a
+    * mixture ships as: within each source, docs order longest-first
+    * (stand-in difficulty key; any integer per-doc score plugs in);
+    * across sources, weighted fair queuing — doc r of source s is
+    * scheduled at virtual finish time r·10⁶ div weight_ppm(s), so
+    * sources appear throughout the stream proportionally to their
+    * [[sourceMixtureWeights]] share instead of in blocks (the property
+    * that keeps every training window on-mixture). All-integer
+    * arithmetic; ties totalized by (vtime, source, r) so the order —
+    * and the SQL oracle's — is unique.
+    *
+    * Scale shape: one window per source partition for the rank, the
+    * weight table broadcasts at source cardinality, and the final
+    * global position is the only total order (at 100 TB, consumers
+    * shard by vtime RANGE instead of materializing row numbers —
+    * the vtime column is the curriculum; pos is for the oracle).
+    *
+    * @return (pos, doc_id, source, r, vtime) in curriculum order
+    */
+  def curriculumInterleave(docs: DataFrame, idCol: String,
+      srcCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = sourceMixtureWeights(
+        docs.select(col(srcCol), col(textCol)), srcCol, textCol)
+      .select(col(srcCol), col("weight_ppm"))
+    val ranked = docs
+      .select(col(idCol), col(srcCol), wordCount(col(textCol)).as("n_toks"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col(srcCol))
+          .orderBy(col("n_toks").desc, col(idCol))).cast("long"))
+    ranked.join(broadcast(weights), srcCol)
+      .withColumn("vtime", expr("(r * 1000000L) div weight_ppm"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("vtime"), col(srcCol), col("r"))).cast("long"))
+      .select(col("pos"), col(idCol), col(srcCol), col("r"), col("vtime"))
+  }
 }

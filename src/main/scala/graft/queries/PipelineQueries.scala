@@ -3244,6 +3244,48 @@ object PipelineQueries {
         SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
       GROUP BY node ORDER BY node""")),
 
+    // Curriculum interleave (TextAnalysis.curriculumInterleave):
+    // the deterministic global training order — longest-first within
+    // source, weighted fair queuing across sources (doc r of source s
+    // at virtual time r·1e6 div weight_ppm), so every window of the
+    // stream is on-mixture. All-integer; the oracle replays rank,
+    // weights, vtime, and the totalized position.
+    QuerySpec("p26_curriculum_interleave", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.curriculumInterleave(
+          Tables.load(s, dir, "documents")
+            .select($"doc_id", $"source", $"text"),
+          "doc_id", "source", "text")
+        .orderBy($"pos")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      mass AS (SELECT source, CAST(sum(n) AS BIGINT) AS m
+               FROM toks GROUP BY source),
+      tot AS (SELECT CAST(sum(m) AS BIGINT) AS t FROM mass),
+      q AS (
+        SELECT source, m,
+          CAST(floor(1000000.0 *
+            sqrt(CAST(m AS DOUBLE) / CAST(t AS DOUBLE))) AS BIGINT) AS w
+        FROM mass CROSS JOIN tot),
+      sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM q),
+      wt AS (SELECT source, (w * 1000000 // sw.sw) AS weight_ppm
+             FROM q CROSS JOIN sw),
+      ranked AS (
+        SELECT doc_id, source, n AS n_toks,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n DESC, doc_id) AS BIGINT) AS r
+        FROM toks),
+      vt AS (
+        SELECT ranked.*, (r * 1000000) // wt.weight_ppm AS vtime
+        FROM ranked JOIN wt USING (source))
+      SELECT CAST(row_number() OVER
+          (ORDER BY vtime, source, r) AS BIGINT) AS pos,
+        doc_id, source, r, CAST(vtime AS BIGINT) AS vtime
+      FROM vt ORDER BY pos""")),
+
     // Temperature-scaled mixture resample (TextAnalysis
     // .temperatureMixtureSample): p10's sqrt-flattened source weights
     // made actionable — each source gets target tokens ∝ weight_ppm,

@@ -212,4 +212,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rr > 0.8, s"rare keep rate $rr should stay near 1")
     assert(rr > 2 * hr, s"rare ($rr) must beat heavy ($hr) decisively")
   }
+
+  test("curriculum interleave keeps every window on-mixture: no source " +
+      "blocks, weighted cadence holds") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 90).map(i => (i.toLong, "big", text)) ++
+      (101 to 110).map(i => (i.toLong, "small", text)))
+      .toDF("doc_id", "source", "text")
+    val order = TextAnalysis.curriculumInterleave(docs, "doc_id",
+        "source", "text")
+      .orderBy($"pos").select($"source").as[String].collect()
+    assert(order.length == 100)
+    // weights ~ sqrt(900):sqrt(100) = 3:1 -> "small" about every 4th
+    // slot WHILE its supply lasts (10 docs at 25% weight run dry near
+    // position 40 — after a source exhausts, the remainder is
+    // legitimately single-source; WFQ guarantees mixing only within
+    // supply). So: the small docs must spread at the weighted cadence
+    // over their window, not bunch at either end of it.
+    val smallPos = order.zipWithIndex.collect { case ("small", i) => i }
+    assert(smallPos.length == 10)
+    assert(smallPos.head <= 8, s"first small at ${smallPos.head}")
+    val gaps = (smallPos.head +: smallPos).zip(smallPos).map {
+      case (a, b) => b - a }.tail
+    assert(gaps.forall(_ <= 8),
+      s"small-source cadence broke: gaps ${gaps.mkString(",")}")
+    // and within the shared window, the big source never blocks either
+    val window = order.take(smallPos.last + 1)
+    val maxRun = window.foldLeft((0, "", 0)) { case ((best, prev, cur), s) =>
+      val c = if (s == prev) cur + 1 else 1
+      (math.max(best, c), s, c)
+    }._1
+    assert(maxRun <= 8, s"source run of $maxRun inside the shared window")
+  }
 }
