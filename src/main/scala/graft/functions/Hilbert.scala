@@ -110,3 +110,60 @@ object Hilbert {
     ColumnBridge.column(HilbertCode(
       ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
 }
+
+/** Jump consistent hash (Lamping & Veach, arXiv 2014) — the shard
+  * assignment with MINIMAL MOVEMENT under resize: going from n to n+1
+  * shards moves exactly the keys that land on the new shard (≈ 1/(n+1)
+  * of them) and NO others, where `key % n` reshuffles nearly
+  * everything. That is the property a 100 TB re-shard lives or dies
+  * by: adding capacity must not rewrite the whole layout. O(ln n)
+  * expected iterations per key, zero memory, no ring to store.
+  */
+object JumpHash {
+
+  /** Reference loop — the published algorithm verbatim (wrapping
+    * 64-bit LCG; unsigned shift keeps the double positive). */
+  def compute(key0: Long, numShards: Int): Int = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    var key = key0
+    var b = -1L
+    var j = 0L
+    while (j < numShards) {
+      b = j
+      key = key * 2862933555777941757L + 1
+      j = ((b + 1) * ((1L << 31).toDouble / ((key >>> 33) + 1).toDouble))
+        .toLong
+    }
+    b.toInt
+  }
+}
+
+/** Codegen'd jump hash of a long key column. */
+case class JumpHashCode(child: Expression, numShards: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numShards > 0, s"numShards must be positive: $numShards")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "jump_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint key, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    JumpHash.compute(v.asInstanceOf[Long], numShards)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.JumpHash.compute($c, $numShards)")
+
+  override protected def withNewChildInternal(newChild: Expression): JumpHashCode =
+    copy(child = newChild)
+}
+
+object JumpHashColumn {
+  def jumpHash(key: Column, numShards: Int): Column =
+    ColumnBridge.column(JumpHashCode(ColumnBridge.expression(key), numShards))
+}
+

@@ -122,4 +122,34 @@ class HilbertSpec extends AnyFunSuite {
       assert(fromRuns == direct, s"rect ($x0,$x1,$y0,$y1)")
     }
   }
+
+  test("jump hash: resize moves ONLY keys that land on the new shard, " +
+      "and shards stay balanced") {
+    import graft.functions.JumpHash
+    val keys = (1L to 20000L).map(_ * 2654435761L)
+    val at16 = keys.map(k => k -> JumpHash.compute(k, 16)).toMap
+    val at17 = keys.map(k => k -> JumpHash.compute(k, 17)).toMap
+    val moved = keys.filter(k => at16(k) != at17(k))
+    // THE consistent-hash contract: every mover goes to the NEW shard
+    assert(moved.forall(k => at17(k) == 16),
+      "a key moved between pre-existing shards")
+    // expected movement = 1/17 of keys; allow generous slack
+    val frac = moved.size.toDouble / keys.size
+    assert(frac > 0.03 && frac < 0.09, s"moved fraction $frac")
+    // balance at 16 shards: each within 25% of the uniform share
+    val byShard = keys.groupBy(at16).view.mapValues(_.size)
+    val exp = keys.size / 16.0
+    assert(byShard.values.forall(c => c > exp * 0.75 && c < exp * 1.25),
+      s"imbalanced: ${byShard.toMap}")
+  }
+
+  test("jump hash codegen'd expression matches the reference loop") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(_ * 40503L).toDF("k")
+      .select($"k", graft.functions.JumpHashColumn.jumpHash($"k", 21).as("s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == graft.functions.JumpHash.compute(r.getLong(0), 21))
+    }
+  }
 }
