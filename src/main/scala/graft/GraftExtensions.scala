@@ -72,7 +72,11 @@ object GraftFunctions {
       args => { arity("simhash64", 1, args); SimHash64(args(0)) }),
     ("nfc_normalize",
       "nfc_normalize(s) - Unicode NFC normalization",
-      args => { arity("nfc_normalize", 1, args); NfcNormalize(args(0)) }))
+      args => { arity("nfc_normalize", 1, args); NfcNormalize(args(0)) }),
+    ("jump_hash",
+      "jump_hash(key, n) - Lamping-Veach consistent shard of a bigint key",
+      args => { arity("jump_hash", 2, args)
+        JumpHashCode(args(0), intLit(args(1), "jump_hash", "n")) }))
 
   /** Register every descriptor on a LIVE session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -26,6 +26,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Int](3) == Seq(64, -127))
     assert(r.getString(4) == "é")
     // the token-array family composes inside one SQL expression
+    assert(spark.sql("SELECT jump_hash(12345L, 16) AS s").head().getInt(0)
+      == graft.functions.JumpHash.compute(12345L, 16))
     val sig = spark.sql("""
       SELECT simhash64(split('a b c a', ' ')) AS sh,
              minhash_sig(word_shingles(split('a b c d e', ' '), 3), 4) AS mh,
