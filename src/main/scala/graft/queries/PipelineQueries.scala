@@ -3244,6 +3244,53 @@ object PipelineQueries {
         SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
       GROUP BY node ORDER BY node""")),
 
+    // Snapshot diff: content-based compare of two corpus versions —
+    // the regression gate between dataset releases (what changed, not
+    // just row counts). v2 = v1 minus every 10th doc (removed), plus
+    // 25 new ids (added), plus every 7th doc truncated (modified).
+    // One full-outer join on id; md5 decides modified-vs-unchanged so
+    // the diff never ships text twice. Counts per class ride along.
+    QuerySpec("p27_snapshot_diff", (s, dir) => {
+      import s.implicits._
+      val v1 = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val v2base = v1.filter($"doc_id" % 10 =!= 0)
+        .withColumn("text", when($"doc_id" % 7 === 0,
+          substring($"text", 1, 40)).otherwise($"text"))
+      val v2 = v2base.unionByName(
+        v1.filter($"doc_id" < 25)
+          .select(($"doc_id" + 300000L).as("doc_id"), $"text"))
+      val a = v1.select($"doc_id", md5($"text").as("h1"))
+      val b = v2.select($"doc_id", md5($"text").as("h2"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when($"h1".isNull, "added")
+            .when($"h2".isNull, "removed")
+            .when($"h1" === $"h2", "unchanged")
+            .otherwise("modified"))
+        .filter($"change" =!= "unchanged")
+        .select($"doc_id", $"change")
+        .orderBy($"change", $"doc_id")
+    }, oracle = Some("""
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 40)
+               ELSE text END AS text
+        FROM v1 WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text FROM v1 WHERE doc_id < 25),
+      a AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+      b AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+      j AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          CASE WHEN a.h1 IS NULL THEN 'added'
+               WHEN b.h2 IS NULL THEN 'removed'
+               WHEN a.h1 = b.h2 THEN 'unchanged'
+               ELSE 'modified' END AS change
+        FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id)
+      SELECT doc_id, change FROM j WHERE change <> 'unchanged'
+      ORDER BY change, doc_id""")),
+
     // Curriculum interleave (TextAnalysis.curriculumInterleave):
     // the deterministic global training order — longest-first within
     // source, weighted fair queuing across sources (doc r of source s
