@@ -778,4 +778,39 @@ class DedupSpec extends AnyFunSuite {
     assert(cosInf == cosOrig,
       "cosine must be blind to the inflation (scale-invariant)")
   }
+
+  test("containment prefix filter is LOSSLESS: equals brute force on " +
+      "randomized small-vocab corpora") {
+    import spark.implicits._
+    // small vocabulary + short docs force heavy gram sharing, the
+    // regime where a buggy prefix bound would actually drop pairs
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 12).map(i => s"v$i")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 40L).map { id =>
+        val n = 6 + rnd.nextInt(10)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+          thresholdPpm = 600000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // driver-side brute force with the same gram definition
+      def grams(t: String): Set[String] = {
+        val toks = t.trim.split("\\s+").toSeq
+        val k = math.max(toks.length - 3, 0) + 1
+        (0 until k).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val gs = docs.map { case (id, t) => id -> grams(t) }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a != b
+        shared = (gs(a) intersect gs(b)).size.toLong
+        ppm = shared * 1000000L / gs(a).size
+        if ppm >= 600000L
+      } yield (a, b, ppm)).toSet
+      assert(got == want,
+        s"trial $trial: missing ${want -- got}; extra ${got -- want}")
+    }
+  }
 }
