@@ -658,4 +658,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(edgeShuffles.isEmpty,
       s"edge list was shuffled:\n${plan.take(3000)}")
   }
+
+  test("s18 MIPS plans TakeOrderedAndProject - scan + heap, no global sort") {
+    val plan = planString(SparkEntry.queries("s18_mips")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("p25 mixture resample: keep decision is row-local - the weights " +
+      "broadcast and the doc stream never shuffles") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p25_temperature_mixture")(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the only exchanges may carry source-scale weight rows or the
+    // final ORDER BY - never a shuffle keyed on the doc stream itself
+    val docShuffles = shuffles(df).filter { e =>
+      val names = e.child.schema.fieldNames.toSet
+      names.contains("text") || names.contains("doc_id") &&
+        !names.contains("weight_ppm") && names.size > 2
+    }
+    assert(docShuffles.forall(_.outputPartitioning.toString
+        .contains("rangepartitioning")),
+      s"doc rows hash-shuffled:\n${plan.take(3000)}")
+  }
+
+  test("p24 resample: the observation-to-cell join is an equi-join and " +
+      "nothing plans a cartesian or range join") {
+    val plan = planString(SparkEntry.queries("p24_resample_locf")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
