@@ -236,6 +236,25 @@ object RelationalQueries {
         SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
       ORDER BY op, k""")),
 
+    // ---- Deterministic argmax: max over a (value, tiebreak) struct.
+    // Bare max_by is underdetermined on ties; lexicographic struct max
+    // totalizes the choice identically on both engines — one aggregate
+    // instead of a window + filter, so map-side partial aggregation
+    // applies (the window formulation shuffles every row).
+    QuerySpec("q57_argmax_struct", (s, dir) => {
+      import s.implicits._
+      ord(s, dir).groupBy($"o_custkey")
+        .agg(max(struct($"o_totalprice".as("p"), $"o_orderkey".as("k")))
+          .as("m"))
+        .select($"o_custkey", $"m.k".as("top_order"),
+          $"m.p".as("top_price"))
+        .orderBy($"o_custkey")
+    }, oracle = Some("""
+      SELECT o_custkey,
+        max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS top_order,
+        max(struct_pack(p := o_totalprice, k := o_orderkey)).p AS top_price
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // ---- IGNORE NULLS window navigation: the gap-filling idiom
     // (last observation carried forward). Sparse observations — only
     // 'purchase' events carry a meaningful value here — are smeared
