@@ -142,6 +142,13 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunkCap: Int = 4096): DataFrame = {
+    // 4 chunks guarantee exhaustive recall only for Hamming <= 3
+    // (pigeonhole: 4 errors can touch all 4 chunks); a larger radius
+    // would need maxHamming+1 chunks, so refuse rather than silently
+    // return partial results
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: 4-chunk blocking is exhaustive only for " +
+        s"maxHamming <= 3, got $maxHamming")
     import org.apache.spark.sql.expressions.Window
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     // 1. equal signatures → star pairs around the min-id representative

@@ -105,6 +105,15 @@ object Graph {
     var e = edges.select(col("a"), col("b")).localCheckpoint()
     for (_ <- 0 until rounds)
       e = peelRound(e, k).localCheckpoint()
+    // convergence probe (the d07 fail-loud posture): peeling is monotone,
+    // so a no-op extra round proves e IS the k-core fixpoint; a graph
+    // needing more rounds (long chains peel one node per round) would
+    // otherwise silently return a superset of the true k-core
+    val n = e.count()
+    val n1 = peelRound(e, k).count()
+    require(n1 == n,
+      s"kCore: $rounds-round unroll did not converge (edges $n -> $n1 " +
+        s"on a probe round); raise rounds to cover this graph's peel depth")
     kCoreDegrees(e)
   }
 

@@ -90,7 +90,7 @@ object Stats {
     * in exact wide-integer arithmetic (Spark DECIMAL(38,0), oracle-side
     * int128), never a float ratio, so the kept row SET replays
     * bit-identically on any engine at any parallelism; the operand casts
-    * below keep every declared precision ≤ 38 (19+18+1 and 21+16+1).
+    * below keep every declared precision ≤ 38 (19+18+1 on both sides).
     *
     * Scale shape: the total weight is one scalar (broadcast back), and
     * the keep predicate is a codegen'd per-row expression — no shuffle,
@@ -112,11 +112,16 @@ object Stats {
     val h60 = conv(substring(
         md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15),
       16, 10).cast("decimal(19,0)")
-    val rhsConst = (BigInt(2).pow(60) * targetK).toString
+    // keep iff h60·ΣW < 2^60·(targetK·w): the 2^60 literal stays at its
+    // own 19-digit precision and targetK multiplies onto the WEIGHT side
+    // in exact BIGINT (ANSI errors loudly on overflow), so any targetK
+    // with targetK·max(w) < ~1.15e18 works — folding targetK into the
+    // literal capped targetK at ~867 before DECIMAL(21,0) overflowed
+    val rhs = (lit(targetK) * col(weightCol).cast("long"))
+      .cast("decimal(18,0)")
     df.crossJoin(broadcast(tot))
       .filter(h60 * col("__W") <
-        expr(s"CAST('$rhsConst' AS DECIMAL(21,0))") *
-          col(weightCol).cast("decimal(16,0)"))
+        expr(s"CAST('${BigInt(2).pow(60)}' AS DECIMAL(19,0))") * rhs)
       .drop("__W")
   }
 

@@ -533,10 +533,12 @@ object TextAnalysis {
         md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15),
       16, 10).cast("decimal(19,0)")
     docs.join(broadcast(weights), srcCol)
-      // keep iff h60 / 2^60 < target/m  ⟺  h60·m < 2^60·target, exact
+      // keep iff h60 / 2^60 < target/m  ⟺  h60·m < 2^60·target, exact;
+      // target at decimal(18,0) (19+18+1 = 38) so token budgets up to
+      // 10^18 — comfortably past the 100 TB posture — don't overflow
       .filter(h60 * col("n_tokens").cast("decimal(18,0)") <
         expr("CAST('1152921504606846976' AS DECIMAL(19,0))") *
-          col("target_toks").cast("decimal(12,0)"))
+          col("target_toks").cast("decimal(18,0)"))
       .select(col(idCol), col(srcCol),
         wordCount(col(textCol)).as("n_toks"))
   }

@@ -32,6 +32,17 @@ class StatsSpec extends AnyFunSuite {
     assert(capped <= 2)
   }
 
+  test("weighted sample accepts realistic targetK (> 867 regression)") {
+    import spark.implicits._
+    // targetK 50k over 100 rows: expected keep probability caps at 1, so
+    // everything is kept — the point is the DECIMAL arithmetic no longer
+    // overflows when targetK stops fitting beside 2^60 in one literal
+    val rows = (1 to 100).map(i => (i.toLong, 500L)).toDF("id", "w")
+    val kept = Stats.weightedHashSample(rows, "id", "w",
+      targetK = 50000L, salt = "big").count()
+    assert(kept == 100L)
+  }
+
   test("weighted sample with weight 0 rows never keeps them") {
     import spark.implicits._
     val rows = (1 to 50).map(i => (i.toLong, if (i <= 25) 0L else 7L))

@@ -213,6 +213,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rr > 2 * hr, s"rare ($rr) must beat heavy ($hr) decisively")
   }
 
+  test("temperature mixture survives a trillion-token budget " +
+      "(decimal(12,0) overflow regression)") {
+    import spark.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, "s", "a b c d e"))
+      .toDF("doc_id", "source", "text")
+    // budget >= 10^12 used to overflow the decimal(12,0) target cast;
+    // with the keep probability capped at 1 every doc survives
+    val kept = TextAnalysis.temperatureMixtureSample(docs, "doc_id",
+      "source", "text", targetTokens = 5000000000000L, salt = "t").count()
+    assert(kept == 20L)
+  }
+
   test("curriculum interleave keeps every window on-mixture: no source " +
       "blocks, weighted cadence holds") {
     import spark.implicits._
