@@ -105,13 +105,38 @@ object Packing {
       numPartitions: Option[Int] = None): DataFrame = {
     val keyed = docs.select(col(idCol).cast("long").as("id"),
       md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("k"))
+    withGlobalRowNumber(keyed, "__rn", Seq("k", "id"), numPartitions)
+      .withColumn("pos", col("__rn") - 1L)
+      .select(col("id").as(idCol), col("pos"),
+        (col("pos") % nShards).as("shard"))
+  }
+
+  /** Distributed global `row_number` (1-based, in `orderCols` order) —
+    * the [[sequenceChunks]]/[[deterministicShuffle]] machinery factored
+    * out so ANY operator needing a total-order position (p26's
+    * curriculum stream) gets the scale-safe scan instead of the
+    * single-partition `Window.orderBy` it replaces:
+    *   1. range-partition by the order columns (ranges are globally
+    *      ordered, so per-partition offsets ARE stream positions);
+    *   2. per-partition row counts — numPartitions longs to the driver,
+    *      nothing else leaves;
+    *   3. exclusive prefix offsets broadcast back as a literal map, and
+    *      the rank completes per-partition (window PARTITIONED by the
+    *      range-partition id, fully parallel).
+    * The pid assignment is frozen with one localCheckpoint so the count
+    * pass and the rank pass read identical ranges (repartitionByRange
+    * re-samples per job otherwise). `orderCols` must be a TOTAL order —
+    * ties would make the position nondeterministic across runs.
+    */
+  private[graft] def withGlobalRowNumber(
+      df: DataFrame, posCol: String, orderCols: Seq[String],
+      numPartitions: Option[Int] = None): DataFrame = {
+    val ord = orderCols.map(col)
     val ranged = numPartitions match {
-      case Some(n) => keyed.repartitionByRange(n, col("k"), col("id"))
-      case None => keyed.repartitionByRange(col("k"), col("id"))
+      case Some(n) => df.repartitionByRange(n, ord: _*)
+      case None => df.repartitionByRange(ord: _*)
     }
-    // freeze the pid assignment once — both passes must see the same
-    // ranges (see sequenceChunks)
-    val staged = ranged.sortWithinPartitions(col("k"), col("id"))
+    val staged = ranged.sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val counts = staged.groupBy(col("__pid"))
@@ -128,10 +153,9 @@ object Packing {
           array(pids.map(lit(_)): _*),
           array(pids.map(p => lit(offsets(p))): _*)),
         col("__pid"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col("k"), col("id"))
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
     staged
-      .withColumn("pos", row_number().over(w).cast("long") - 1L + offCol)
-      .select(col("id").as(idCol), col("pos"),
-        (col("pos") % nShards).as("shard"))
+      .withColumn(posCol, row_number().over(w).cast("long") + offCol)
+      .drop("__pid")
   }
 }

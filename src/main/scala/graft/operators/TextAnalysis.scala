@@ -555,10 +555,12 @@ object TextAnalysis {
     * and the SQL oracle's — is unique.
     *
     * Scale shape: one window per source partition for the rank, the
-    * weight table broadcasts at source cardinality, and the final
-    * global position is the only total order (at 100 TB, consumers
-    * shard by vtime RANGE instead of materializing row numbers —
-    * the vtime column is the curriculum; pos is for the oracle).
+    * weight table broadcasts at source cardinality, and the global
+    * position over (vtime, source, r) — the only total order — runs
+    * through [[Packing.withGlobalRowNumber]]'s distributed prefix-sum
+    * scan (range-partition + broadcast per-partition offsets), never a
+    * bare `Window.orderBy` single-partition funnel (PlanAuditSpec pins
+    * its absence, the p03/p06 contract).
     *
     * @return (pos, doc_id, source, r, vtime) in curriculum order
     */
@@ -573,10 +575,9 @@ object TextAnalysis {
       .withColumn("r", row_number().over(
         Window.partitionBy(col(srcCol))
           .orderBy(col("n_toks").desc, col(idCol))).cast("long"))
-    ranked.join(broadcast(weights), srcCol)
+    val vt = ranked.join(broadcast(weights), srcCol)
       .withColumn("vtime", expr("(r * 1000000L) div weight_ppm"))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("vtime"), col(srcCol), col("r"))).cast("long"))
+    Packing.withGlobalRowNumber(vt, "pos", Seq("vtime", srcCol, "r"))
       .select(col("pos"), col(idCol), col(srcCol), col("r"), col("vtime"))
   }
 }

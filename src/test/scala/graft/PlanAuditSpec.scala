@@ -234,6 +234,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "global permutation rank collapsed to a single partition")
   }
 
+  test("p26 curriculum interleave never funnels through a single partition") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val df = graft.operators.TextAnalysis.curriculumInterleave(
+      docs, "doc_id", "source", "text")
+    // the oracle's row_number() OVER (ORDER BY vtime, source, r) would
+    // plan Exchange SinglePartition; the distributed prefix-rank must not
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "curriculum global position collapsed to a single partition")
+  }
+
   test("d08 substring dedup never shuffles document text") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
