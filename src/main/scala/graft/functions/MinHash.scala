@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -166,6 +166,41 @@ case class MinHashTokensSig(child: Expression, w: Int, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Position-wise agreement count of two signature arrays — the MinHash
+  * Jaccard estimator's kernel (agree/numPerm), as a tight primitive loop
+  * so the d02 verify runs inside the band join's codegen span instead of
+  * an interpreted `zip_with` allocating a boxed 64-wide array per pair
+  * (at sf1 the band join evaluates ~13M candidate pairs). */
+object SigAgreeFns {
+  def agree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreeFns.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SigAgreeFns.agree($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgree =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHash {
   /** Column API: minhash_sig(array<string> shingles) → array<long>. */
   def minhashSig(shingles: Column, numPerm: Int): Column =
@@ -175,4 +210,9 @@ object MinHash {
   def minhashTokensSig(tokens: Column, w: Int, numPerm: Int): Column =
     ColumnBridge.column(
       MinHashTokensSig(ColumnBridge.expression(tokens), w, numPerm))
+
+  /** Column API: sig_agree(array<long>, array<long>) → int. */
+  def sigAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SigAgree(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -62,13 +62,27 @@ object Dedup {
     * Scale shape (the whole point of MinHash — the raw shingle sets are
     * NEVER shuffled):
     *   1. one pass computes the compact (id, sig) table — numPerm longs
-    *      per doc — persisted so the text scan runs once, not once per
-    *      plan branch;
+    *      per doc — materialized once (localCheckpoint) so the text scan
+    *      never reruns per join branch;
     *   2. the band self-join carries only (band, id): shuffle payload is
-    *      ~`bands` longs per doc regardless of document length;
+    *      ~`bands` longs per doc regardless of document length
+    *      (experiments that carried signatures or band-key arrays into
+    *      the join to verify bucket-locally LOST at 10x scale — the wide
+    *      shuffle+sort outweighed the saved candidate passes);
     *   3. candidate pairs are de-duplicated BEFORE any similarity work,
-    *      then Jaccard is estimated as the fraction of agreeing signature
-    *      positions (unbiased; stderr ≈ sqrt(J(1-J)/numPerm)).
+    *      then Jaccard is estimated by the codegen'd
+    *      [[graft.functions.SigAgree]] — agreeing positions / numPerm
+    *      (unbiased; stderr ≈ sqrt(J(1-J)/numPerm)) — a tight primitive
+    *      loop where the interpreted `zip_with` formulation allocated a
+    *      boxed 64-wide array per candidate (millions at 10x scale).
+    *
+    * Cost tracks OUTPUT: near-dup families of size f emit f(f-1)/2
+    * qualifying pairs by contract, so a corpus whose near-dup mass grows
+    * quadratically produces quadratic output; the sf1 rehearsal measured
+    * 11,800x the sf0.1 output (3.34M vs 283 pairs — repetitive docs
+    * whose shingle sets are permutation-invariant alias across ScaleUp
+    * replicas) against 13x the wall time, i.e. runtime is strongly
+    * SUB-linear in output (see BENCH_NOTES).
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
@@ -97,8 +111,8 @@ object Dedup {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          (m: Column) => m)).cast("double") / numPerm.toDouble).as("jaccard"))
+        (graft.functions.MinHash.sigAgree(col("sig_a"), col("sig_b"))
+          .cast("double") / numPerm.toDouble).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -37,6 +37,22 @@ class DedupSpec extends AnyFunSuite {
     assert(planted >= 20, s"recall too low: $planted/25 planted pairs found")
   }
 
+  test("SigAgree equals the interpreted zip_with agreement count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val a = Array.fill(64)(rnd.nextLong() % 4)
+      val b = Array.fill(64)(rnd.nextLong() % 4)
+      (i, a.toSeq, b.toSeq)
+    }.toDF("i", "a", "b")
+    val mism = rows.select(
+        graft.functions.MinHash.sigAgree($"a", $"b").as("fast"),
+        size(filter(zip_with($"a", $"b", (x, y) => x === y),
+          (m: org.apache.spark.sql.Column) => m)).as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(mism == 0)
+  }
+
   test("simhash finds planted near-dups") {
     import spark.implicits._
     val withDups = Dedup.withPlantedDups(docs, "doc_id", "text",
