@@ -172,6 +172,61 @@ object PipelineQueries {
       WHERE g IN (SELECT g FROM eval_grams)
       ORDER BY doc_id"""
 
+  /** DuckDB oracle rebuilding the seeded IVF end to end (s03 AND s19 —
+    * the persisted variant is result-identical by construction): int8
+    * quantization, sampled-points centroids (nlist=16 smallest ids),
+    * exact integer squared-L2 assignment + probe selection (nprobe=4,
+    * ties → lowest centroid index), exact-cosine scoring of the probed
+    * lists. */
+  private val SeededIvfOracle: String = """
+      WITH qq AS (
+        SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT embedding, list_aggregate(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id = 0)),
+      cq AS (
+        SELECT vec_id,
+          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
+                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id <> 0)),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cvec
+        FROM cq ORDER BY vec_id LIMIT 16),
+      asgn AS (
+        SELECT vec_id, cidx,
+          row_number() OVER (PARTITION BY vec_id ORDER BY
+            list_aggregate(list_transform(list_zip(c.q, ct.cvec),
+              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+            cidx) AS rn
+        FROM cq c, cent ct),
+      probe AS (
+        SELECT cidx, row_number() OVER (ORDER BY
+          list_aggregate(list_transform(list_zip(qq.q, ct.cvec),
+            x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+          cidx) AS rn
+        FROM qq, cent ct),
+      scored AS (
+        SELECT e.vec_id,
+          list_aggregate(list_transform(list_zip(e.embedding, qe.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings e
+        JOIN (SELECT vec_id FROM asgn WHERE rn = 1 AND cidx IN
+                (SELECT cidx FROM probe WHERE rn <= 4)) keep USING (vec_id),
+        (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+      SELECT vec_id, round(cos, 9) AS cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT 20"""
+
   /** DuckDB oracle rebuilding Dedup.minhashLsh end to end: w=3 shingles
     * over the dropWords=5 planted corpus, base hash = first 8 bytes of
     * md5(shingle) re-centered to a signed 64-bit value, the 64
@@ -2226,54 +2281,27 @@ object PipelineQueries {
       Similarity.ivfSeededTopK(embs.filter($"vec_id" =!= 0), "vec_id",
           "embedding", q, k = 20, nlist = 16, nprobe = 4)
         .select($"vec_id", round($"cos", 9).as("cos"))
-    }, oracle = Some("""
-      WITH qq AS (
-        SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
-          ELSE list_transform(embedding, x ->
-            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
-          END AS q
-        FROM (SELECT embedding, list_aggregate(list_transform(embedding,
-                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
-              FROM embeddings WHERE vec_id = 0)),
-      cq AS (
-        SELECT vec_id,
-          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
-          ELSE list_transform(embedding, x ->
-            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
-          END AS q
-        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
-                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
-              FROM embeddings WHERE vec_id <> 0)),
-      cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cvec
-        FROM cq ORDER BY vec_id LIMIT 16),
-      asgn AS (
-        SELECT vec_id, cidx,
-          row_number() OVER (PARTITION BY vec_id ORDER BY
-            list_aggregate(list_transform(list_zip(c.q, ct.cvec),
-              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
-            cidx) AS rn
-        FROM cq c, cent ct),
-      probe AS (
-        SELECT cidx, row_number() OVER (ORDER BY
-          list_aggregate(list_transform(list_zip(qq.q, ct.cvec),
-            x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
-          cidx) AS rn
-        FROM qq, cent ct),
-      scored AS (
-        SELECT e.vec_id,
-          list_aggregate(list_transform(list_zip(e.embedding, qe.embedding),
-            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-          (sqrt(list_aggregate(list_transform(e.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-           sqrt(list_aggregate(list_transform(qe.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM embeddings e
-        JOIN (SELECT vec_id FROM asgn WHERE rn = 1 AND cidx IN
-                (SELECT cidx FROM probe WHERE rn <= 4)) keep USING (vec_id),
-        (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
-      SELECT vec_id, round(cos, 9) AS cos FROM scored
-      ORDER BY cos DESC, vec_id LIMIT 20""")),
+    }, oracle = Some(SeededIvfOracle), bench = true),
+
+    // Persisted IVF (Similarity.ivfStagedTopK) — s03's "at 100 TB the
+    // assignment is ingest-time and list_id is the partition key"
+    // posture made REAL: the seeded assignment is WRITTEN as a parquet
+    // table partitioned by list_id (BucketedTables ingest pattern), the
+    // centroids re-derive from the staged rows (nlist smallest ids), and
+    // the probe's list_id IN-set prunes partition DIRECTORIES at the
+    // scan — only nprobe of nlist lists are read off disk
+    // (numFiles-asserted in PlanAuditSpec like p22's Hilbert runs).
+    // Result-identical to s03 by construction, so it shares s03's full
+    // end-to-end DuckDB oracle.
+    QuerySpec("s19_ann_ivf_persisted", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.ivfStagedTopK(s, dir, embs.filter($"vec_id" =!= 0),
+          "vec_id", "embedding", q, k = 20, nlist = 16, nprobe = 4)
+        .select($"vec_id", round($"cos", 9).as("cos"))
+    }, oracle = Some(SeededIvfOracle), bench = true),
 
     // IVF×PQ composite ANN (Similarity.ivfPqTopK) — the production
     // 100 TB architecture: s03's seeded coarse quantizer prunes the scan

@@ -623,6 +623,35 @@ class PlanAuditSpec extends AnyFunSuite {
       !full.contains("BroadcastNestedLoopJoin"), full.take(3000))
   }
 
+  test("s19 persisted IVF: the probe's list_id IN-set prunes partition " +
+      "directories at the scan and matches the in-memory seeded IVF") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val stagedDf = Similarity.ivfStagedTopK(spark, dir, corpus,
+      "vec_id", "embedding", q, k = 20, nlist = 16, nprobe = 4)
+    val staged = stagedDf.as[(Long, Double)].collect().toSeq
+    val mem = Similarity.ivfSeededTopK(corpus, "vec_id", "embedding",
+      q, k = 20, nlist = 16, nprobe = 4).as[(Long, Double)].collect().toSeq
+    assert(staged == mem, "staged probe must equal the in-memory index")
+    // the staged scan reads ONLY the nprobe probed list_id directories
+    val scans = allNodes(executedPlan(stagedDf)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("list_id")),
+      s"no list_id partition filter: ${scan.partitionFilters}")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = spark.table(Similarity.ivfStagedTable(dir))
+      .select($"list_id").distinct().count()
+    assert(selected <= 4, s"probe read $selected partitions, nprobe=4")
+    assert(selected < total,
+      s"probe read $selected of $total list partitions - no pruning")
+  }
+
   test("p22 hilbert layout: a 2-D rectangle predicate prunes files via " +
       "its curve runs and matches the direct filter exactly") {
     import spark.implicits._
