@@ -430,6 +430,99 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. ACL'16): learn `iters`
+    * merge rules by iterated exact pair counting — the verb pair t14's
+    * single-scan pair stats only started.
+    *
+    * The corpus is scanned ONCE into the word-frequency table (the
+    * Sennrich formulation: pair counts are Σ over DISTINCT words of
+    * in-word occurrences × word count), so every training iteration
+    * runs at VOCABULARY scale, not corpus scale — the property that
+    * makes T iterations affordable at 100 TB. Segmentations are
+    * represented as boundary-wrapped strings (word "low" → "|l||o||w|")
+    * and one merge (a,b) is `replace(rep, "|a||b|", "|ab|")` — string
+    * replace is leftmost non-overlapping, which IS BPE's in-word merge
+    * order, and the doubled separators make token boundaries unambiguous
+    * (a match cannot start or end inside a longer token). Ties in the
+    * pair argmax break (count DESC, a ASC, b ASC) so the learned table
+    * is a pure function of the corpus; every stage is exact-integer and
+    * string-literal arithmetic, so a DuckDB oracle replays training end
+    * to end with `iters` unrolled CTE stages (the merge applied at stage
+    * r comes from stage r's own argmax via a CROSS JOIN — no literals
+    * needed).
+    *
+    * Words containing the separator char '|' are excluded up front (the
+    * oracle replays the same guard); merged tokens never contain '|' by
+    * construction.
+    *
+    * @return the learned merges in application order
+    */
+  def bpeLearnMerges(df: DataFrame, textCol: String,
+      iters: Int): Seq[(String, String)] = {
+    var rep = bpeWordTable(df, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 0 until iters) {
+      val top = bpePairCounts(rep).limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        rep = rep.withColumn("rep", call_function("replace", col("rep"),
+            lit(s"|$a||$b|"), lit(s"|$a$b|")))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** (w, wc, rep): distinct corpus words with counts and the
+    * boundary-wrapped initial (per-character) segmentation. */
+  private def bpeWordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("rep", expr("concat('|', concat_ws('||', " +
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))), '|')"))
+
+  /** Exact weighted adjacent-pair counts over the current segmentation,
+    * ordered (count DESC, a, b) — head is the next merge. */
+  private def bpePairCounts(rep: DataFrame): DataFrame =
+    rep.select(col("wc"),
+        expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
+          .as("segs"))
+      .filter(size(col("segs")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, size(segs) - 1), i -> " +
+          "struct(element_at(segs, i) AS a, element_at(segs, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("wc"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("c"))
+      .orderBy(col("c").desc, col("a"), col("b"))
+
+  /** BPE APPLY + vocabulary: segment every corpus word with a learned
+    * merge table and report the resulting token vocabulary (top-N by
+    * frequency). The merge table broadcasts as literals inside a chain
+    * of codegen'd string `replace`s — applying T merges is T leftmost
+    * non-overlapping scans per word, exactly the training semantics, so
+    * train-then-apply round-trips. Runs at vocabulary scale like
+    * training (occurrences weight the distinct-word table).
+    *
+    * @return (seg, c) — topN BPE tokens by (count DESC, seg ASC)
+    */
+  def bpeVocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], topN: Int): DataFrame = {
+    val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    bpeWordTable(df, textCol)
+      .withColumn("rep", applied)
+      .select(col("wc"),
+        explode(expr("split(substring(rep, 2, length(rep) - 2), " +
+          "'\\\\|\\\\|')")).as("seg"))
+      .groupBy(col("seg")).agg(sum(col("wc")).as("c"))
+      .orderBy(col("c").desc, col("seg"))
+      .limit(topN)
+  }
+
   /** TF-IDF keyword extraction: the `topK` highest-scoring terms of
     * every document, scored tf × ln((N+1)/(df+1)) — the classic
     * smoothed idf. The idf quantizes to integer micros straight off the

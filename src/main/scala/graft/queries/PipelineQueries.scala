@@ -172,6 +172,55 @@ object PipelineQueries {
       WHERE g IN (SELECT g FROM eval_grams)
       ORDER BY doc_id"""
 
+  /** DuckDB oracle replaying BPE training (t18/t19) end to end: the
+    * word-frequency table, the boundary-wrapped char segmentation, then
+    * `iters` UNROLLED stages — each stage argmaxes its own weighted pair
+    * counts (count DESC, a, b) and applies that merge with a leftmost-
+    * non-overlapping replace whose search/replacement strings come from
+    * the stage's own top-1 row via CROSS JOIN (data-dependent, no
+    * literals). `select` consumes the final `rep{iters}` / `top{r}`
+    * CTEs. */
+  private def bpeOracle(iters: Int, select: String): String = {
+    val sb = new StringBuilder
+    // every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // rep_r references rep_{r-1} twice (directly and through top_r), so
+    // un-materialized unrolling re-evaluates the chain 2^iters times
+    sb.append("""
+      WITH w0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents)
+        WHERE length(w) >= 1 AND w NOT LIKE '%|%'
+        GROUP BY w),
+      rep0 AS MATERIALIZED (
+        SELECT w, wc,
+          '|' || array_to_string(list_transform(
+            generate_series(1, length(w)), i -> substr(w, i, 1)), '||')
+            || '|' AS rep
+        FROM w0)""")
+    for (r <- 1 to iters) {
+      val p = r - 1
+      sb.append(s""",
+      pairs$r AS MATERIALIZED (
+        SELECT wc, segs[i] AS a, segs[i + 1] AS b
+        FROM (SELECT wc, segs,
+                unnest(generate_series(1, len(segs) - 1)) AS i
+              FROM (SELECT wc, string_split(substr(rep, 2,
+                      length(rep) - 2), '||') AS segs FROM rep$p)
+              WHERE len(segs) >= 2)),
+      top$r AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT a, b, sum(wc) AS c FROM pairs$r GROUP BY a, b)
+        ORDER BY c DESC, a, b LIMIT 1),
+      rep$r AS MATERIALIZED (
+        SELECT w, wc, replace(rep, '|' || a || '||' || b || '|',
+          '|' || a || b || '|') AS rep
+        FROM rep$p CROSS JOIN top$r)""")
+    }
+    sb.append(select)
+    sb.toString
+  }
+
   /** DuckDB oracle rebuilding the seeded IVF end to end (s03 AND s19 —
     * the persisted variant is result-identical by construction): int8
     * quantization, sampled-points centroids (nlist=16 smallest ids),
@@ -622,6 +671,45 @@ object PipelineQueries {
       SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
         CAST(tf AS BIGINT) AS tf, CAST(score_micros AS BIGINT) AS score_micros
       FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
+    // BPE tokenizer TRAINING (TextAnalysis.bpeLearnMerges): 12 iterated
+    // exact pair-count argmaxes over the word-frequency table (Sennrich
+    // ACL'16 — corpus scanned once, iterations run at vocabulary scale).
+    // FULL oracle: 12 unrolled CTE stages, each applying its own
+    // argmax'd merge via replace() with CROSS JOIN args — training
+    // replayed end to end, no literals.
+    QuerySpec("t18_bpe_train", (s, dir) => {
+      import s.implicits._
+      val merges = TextAnalysis.bpeLearnMerges(
+        Tables.load(s, dir, "documents").select($"text"), "text", iters = 12)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "a", "b").orderBy($"rank")
+    }, oracle = Some(bpeOracle(12, {
+      val union = (1 to 12)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b FROM top$r")
+        .mkString("\n        UNION ALL ")
+      s"""
+      SELECT rank, a, b FROM ($union)
+      ORDER BY rank"""
+    }))),
+
+    // BPE APPLY (TextAnalysis.bpeVocab): segment the corpus with the
+    // learned merge table (broadcast as literals in a chain of codegen'd
+    // leftmost-non-overlap string replaces — the training semantics
+    // exactly, so train-then-apply round-trips) and report the resulting
+    // token vocabulary. Completes the tokenizer train/apply verb pair
+    // every training-data pipeline ends with.
+    QuerySpec("t19_bpe_apply", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("text"))
+      val merges = TextAnalysis.bpeLearnMerges(docs, "text", iters = 12)
+      TextAnalysis.bpeVocab(docs, "text", merges, topN = 100)
+    }, oracle = Some(bpeOracle(12, """
+      SELECT seg, CAST(sum(wc) AS BIGINT) AS c
+      FROM (SELECT wc, unnest(string_split(substr(rep, 2, length(rep) - 2),
+              '||')) AS seg
+            FROM rep12)
+      GROUP BY seg ORDER BY c DESC, seg LIMIT 100"""))),
 
     // KMV cardinality sketch (TextAnalysis.kmvDistinctCardinality over
     // 3-gram shingles): distinct-shingle count per source via a k=128

@@ -213,6 +213,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rr > 2 * hr, s"rare ($rr) must beat heavy ($hr) decisively")
   }
 
+  test("BPE train/apply: merges, tie-breaks, and leftmost-non-overlap " +
+      "segmentation match the hand-computed trace") {
+    import spark.implicits._
+    // corpus: aaab x2, aab x1.
+    //  round 1: (a,a)=5 beats (a,b)=3 -> merge aa
+    //  round 2: (aa,a)=2 ties (a,b)=2 -> a < aa, so (a,b) merges (ab)
+    //  round 3: (aa,ab)=2 beats (aa,b)=1 -> merge aaab
+    val docs = Seq("aaab aaab aab").toDF("text")
+    val merges = TextAnalysis.bpeLearnMerges(docs, "text", iters = 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val vocab = TextAnalysis.bpeVocab(docs, "text", merges, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab == Seq(("aaab", 2L), ("aa", 1L), ("b", 1L)))
+    // leftmost non-overlap: merging (a,a) in "aaa" gives [aa, a], not [a, aa]
+    val m1 = Seq(("a", "a"))
+    val v1 = TextAnalysis.bpeVocab(Seq("aaa").toDF("text"), "text", m1, 10)
+      .as[(String, Long)].collect().toMap
+    assert(v1 == Map("aa" -> 1L, "a" -> 1L))
+  }
+
   test("temperature mixture survives a trillion-token budget " +
       "(decimal(12,0) overflow regression)") {
     import spark.implicits._
