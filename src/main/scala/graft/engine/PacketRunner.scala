@@ -44,7 +44,10 @@ final case class StepContext(
     packetName: String,
     stepName: String,
     notices: mutable.Buffer[Notice],
-    results: mutable.Buffer[ResultSet]) {
+    results: mutable.Buffer[ResultSet],
+    /** the run's DBC_PL_* placeholder map — python steps see the packet
+      * variables exactly like SQL steps do (rendered vs. passed) */
+    placeholders: Map[String, String] = Map.empty) {
   def notice(severity: String, message: String): Unit =
     notices += Notice(severity, message)
 }
@@ -312,7 +315,7 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       stepsHashes: mutable.Set[String], tracking: Boolean,
       readOnly: Boolean): Outcome = {
     val ctx = StepContext(spark, conf.target, packet.name, step.name,
-      notices, mutable.Buffer.empty)
+      notices, mutable.Buffer.empty, conf.placeholders)
     val hasNsp = step.sql.contains("GEN_NSP_FLD_")
     val hasObj = step.sql.contains("GEN_OBJ_FLD_")
     val idx = step.index.getOrElse("")

@@ -69,14 +69,19 @@ object EngineQueries {
              CAST(sum(o_orderkey) AS BIGINT) AS sum_id
       FROM orders""")),
 
-    // DELETE as anti-filter rewrite + swap; final table vs direct filter
+    // DELETE as anti-filter rewrite + ATOMIC manifest publish (the
+    // 02_step.py callback: version write -> one-rename pointer swap ->
+    // single-op view re-point; graft.engine.ManifestTable); final table
+    // vs direct filter
     QuerySpec("w02_delete_rewrite", (s, dir) => {
       Tables.registerAll(s, dir)
+      graft.engine.ManifestTable.ensurePacketPublishSteps()
       val conf = RunnerConf(
         stateDir = Files.createTempDirectory("graft-w02-state").toString,
         placeholders = Map(
           "del_src" -> Files.createTempDirectory("graft-w02-src").toString,
-          "del_dst" -> Files.createTempDirectory("graft-w02-dst").toString))
+          "del_dst" -> Files.createTempDirectory("graft-w02-dst").toString,
+          "del_pub" -> Files.createTempDirectory("graft-w02-pub").toString))
       val res = new PacketRunner(s, conf).run(s"$packetsDir/test_delete")
       require(res.resultCode("spark") == "success",
         s"delete packet failed: ${res.notices.mkString("; ")}")
@@ -103,11 +108,13 @@ object EngineQueries {
     // the widened table from the supplier fixture.
     QuerySpec("w05_add_column_backfill", (s, dir) => {
       Tables.registerAll(s, dir)
+      graft.engine.ManifestTable.ensurePacketPublishSteps()
       val conf = RunnerConf(
         stateDir = Files.createTempDirectory("graft-w05-state").toString,
         placeholders = Map(
           "evo_src" -> Files.createTempDirectory("graft-w05-src").toString,
-          "evo_dst" -> Files.createTempDirectory("graft-w05-dst").toString))
+          "evo_dst" -> Files.createTempDirectory("graft-w05-dst").toString,
+          "evo_pub" -> Files.createTempDirectory("graft-w05-pub").toString))
       val res = new PacketRunner(s, conf).run(s"$packetsDir/test_add_column")
       require(res.resultCode("spark") == "success",
         s"add-column packet failed: ${res.notices.mkString("; ")}")

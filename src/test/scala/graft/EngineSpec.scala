@@ -258,18 +258,70 @@ class EngineSpec extends AnyFunSuite {
       org.apache.spark.sql.types.LongType)
   }
 
-  test("delete packet removes the filtered rows via rewrite + swap") {
+  test("delete packet removes the filtered rows via rewrite + manifest " +
+      "publish") {
     Tables.registerAll(spark, fixtures)
+    ManifestTable.ensurePacketPublishSteps()
+    val pub = Files.createTempDirectory("graft-del-pub").toString
     val res = new PacketRunner(spark, RunnerConf(
       stateDir = tmpState(), placeholders = Map(
         "del_src" -> Files.createTempDirectory("graft-del-src").toString,
-        "del_dst" -> Files.createTempDirectory("graft-del-dst").toString)))
+        "del_dst" -> Files.createTempDirectory("graft-del-dst").toString,
+        "del_pub" -> pub)))
       .run("packets/test_delete")
     assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
     assert(spark.table("del_tbl").count() == 20) // 25 nations - 5 in region 2
     assert(spark.table("del_tbl")
       .filter(org.apache.spark.sql.functions.col("n_regionkey") === 2)
       .count() == 0)
+    // the cross-session reader path resolves the same rows via the pointer
+    assert(ManifestTable.read(spark, pub).count() == 20)
+  }
+
+  test("manifest publish is atomic: a reader racing republishes sees a " +
+      "complete old or new version, never a mix or a missing table") {
+    val root = Files.createTempDirectory("graft-manifest").toString
+    import spark.implicits._
+    def version(v: Int) = (1 to 50).map(i => (v.toLong, i.toLong)).toDF("v", "i")
+    ManifestTable.publish(spark, root, version(0))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        // a single scan may legitimately lose its version to the keep-2
+        // GC horizon if TWO publishes complete inside it (the documented
+        // snapshot-expiry contract) — so a failed scan gets ONE fresh
+        // resolve+retry, exactly like an Iceberg reader. A TORN read
+        // (mixed versions / partial rows in a SUCCESSFUL scan) is never
+        // excused: that is the atomicity claim under test.
+        def scan(): Option[Array[(Long, Long)]] =
+          try Some(ManifestTable.read(spark, root).as[(Long, Long)].collect())
+          catch { case _: Throwable => None }
+        scan().orElse(scan()) match {
+          case Some(rows) =>
+            val vs = rows.map(_._1).distinct
+            if (rows.length != 50 || vs.length != 1)
+              bad.compareAndSet(null,
+                s"torn read: ${rows.length} rows, versions ${vs.toSeq}")
+            reads.incrementAndGet()
+          case None =>
+            bad.compareAndSet(null, "reader failed twice in a row")
+        }
+      }
+    })
+    reader.start()
+    for (v <- 1 to 6) ManifestTable.publish(spark, root, version(v))
+    stop.set(true)
+    reader.join(60000)
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(reads.get() > 0, "reader never completed a read")
+    // keep-2 GC: only the current and previous version dirs remain
+    val dirs = new java.io.File(root).listFiles
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 2, dirs.toSeq)
+    assert(ManifestTable.read(spark, root)
+      .as[(Long, Long)].collect().forall(_._1 == 6L))
   }
 
   test("failing step records exception status and stops") {
@@ -493,9 +545,10 @@ class EngineSpec extends AnyFunSuite {
   test("add-column validation FAILS the packet before the swap when the " +
       "backfill leaves a NULL band") {
     // same fail-loud contract as the w01 migration: the 02 validation
-    // step must raise on a corrupt widened table so the 03 swap never
-    // publishes it
+    // step must raise on a corrupt widened table so the 03 publish never
+    // runs
     Tables.registerAll(spark, fixtures)
+    ManifestTable.ensurePacketPublishSteps()
     val dir = copyPacket("packets/test_add_column")
     Files.writeString(java.nio.file.Paths.get(dir, "01b_step.sql"),
       """INSERT INTO evo_tbl_new
@@ -503,7 +556,8 @@ class EngineSpec extends AnyFunSuite {
         |  CAST(0.0 AS DOUBLE), CAST(NULL AS STRING);""".stripMargin)
     val conf = RunnerConf(stateDir = tmpState(), placeholders = Map(
       "evo_src" -> Files.createTempDirectory("graft-evof-src").toString,
-      "evo_dst" -> Files.createTempDirectory("graft-evof-dst").toString))
+      "evo_dst" -> Files.createTempDirectory("graft-evof-dst").toString,
+      "evo_pub" -> Files.createTempDirectory("graft-evof-pub").toString))
     val res = new PacketRunner(spark, conf).run(dir)
     assert(res.resultCode("spark") == "fail")
     res.stepResults("spark").get("02_step.sql") match {
