@@ -854,6 +854,38 @@ object CatalogQueries {
     WHERE datname ILIKE '%some_db%'
     ORDER BY datname"""
 
+  /** Activity DELTAS against the stored monitoring snapshot — the
+    * reference's alert pattern of comparing live pg_stat counters with
+    * previously captured state (alert_stat's temporal comparison,
+    * /root/reference/packets/alert_stat/01_step.sql:9-27, generalized
+    * from timestamps to counter deltas): per table, inserts/updates/
+    * live-tuple growth since the 2023-12-20 snapshot, a no-prior-row
+    * branch for tables created after it (embeddings), and a hot/quiet
+    * classification on total churn. Zero-delta fixtures (customer,
+    * supplier, region) pin the quiet branch. */
+  val dbaStatDelta: String = """
+    , cur AS (
+        SELECT relid, n_live_tup, n_tup_ins, n_tup_upd
+        FROM pg_stat_all_tables),
+    prev AS (
+        SELECT relid, n_live_tup AS p_live, n_tup_ins AS p_ins,
+               n_tup_upd AS p_upd
+        FROM pg_stat_all_tables_prev)
+    SELECT n.nspname || '.' || c.relname AS tbl,
+      cur.n_tup_ins - COALESCE(prev.p_ins, CAST(0 AS BIGINT)) AS d_ins,
+      cur.n_tup_upd - COALESCE(prev.p_upd, CAST(0 AS BIGINT)) AS d_upd,
+      cur.n_live_tup - COALESCE(prev.p_live, CAST(0 AS BIGINT)) AS d_live,
+      (prev.relid IS NULL) AS new_since_snapshot,
+      CASE WHEN cur.n_tup_ins - COALESCE(prev.p_ins, CAST(0 AS BIGINT))
+                + cur.n_tup_upd - COALESCE(prev.p_upd, CAST(0 AS BIGINT))
+                > 1000
+           THEN 'hot' ELSE 'quiet' END AS activity
+    FROM cur
+    JOIN pg_class c ON c.oid = cur.relid
+    JOIN pg_namespace n ON c.relnamespace = n.oid
+    LEFT JOIN prev ON prev.relid = cur.relid
+    ORDER BY d_ins + d_upd DESC, tbl"""
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("c04_dba_idx_diag_array_join",
       (s, _) => dbaIdxDiagArrayJoin(s),
@@ -1005,6 +1037,9 @@ object CatalogQueries {
       oracle = Some(PgCatalog.withCatalog(alertMaxConnections))),
     QuerySpec("c18_dba_find_db",
       (s, _) => PgCatalog.sqlOnViews(s, dbaFindDb),
-      oracle = Some(PgCatalog.withCatalog(dbaFindDb)))
+      oracle = Some(PgCatalog.withCatalog(dbaFindDb))),
+    QuerySpec("c19_dba_stat_delta",
+      (s, _) => PgCatalog.sqlOnViews(s, dbaStatDelta),
+      oracle = Some(PgCatalog.withCatalog(dbaStatDelta)))
   )
 }

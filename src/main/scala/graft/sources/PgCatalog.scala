@@ -186,6 +186,25 @@ object PgCatalog {
       (16393, CAST(5000 AS BIGINT),   CAST(20 AS BIGINT),   CAST(5000 AS BIGINT),   CAST(50 AS BIGINT),   CAST(10 AS BIGINT),  TIMESTAMP '2023-12-31 07:00:00', TIMESTAMP '2023-12-31 07:30:00', NULL, NULL)
       ) AS t(relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd, last_autoanalyze, last_autovacuum, last_analyze, last_vacuum)"""
 
+  /** The PREVIOUS monitoring snapshot of pg_stat_all_tables (as of
+    * 2023-12-20), the stored state a reference alert compares against:
+    * cumulative counters are lower than the current view's; embeddings
+    * (16393) is absent — created after the snapshot — so delta queries
+    * must handle the no-prior-row branch. customer/supplier/region
+    * (16386/16388/16389) are byte-identical to current = zero delta. */
+  val pgStatAllTablesPrev: String =
+    """SELECT * FROM (VALUES
+      (16384, CAST(590572 AS BIGINT), CAST(1000 AS BIGINT), CAST(590000 AS BIGINT), CAST(3900 AS BIGINT), CAST(800 AS BIGINT)),
+      (16385, CAST(149000 AS BIGINT), CAST(700 AS BIGINT),  CAST(149000 AS BIGINT), CAST(2100 AS BIGINT), CAST(350 AS BIGINT)),
+      (16386, CAST(15000 AS BIGINT),  CAST(40 AS BIGINT),   CAST(15000 AS BIGINT),  CAST(300 AS BIGINT),  CAST(80 AS BIGINT)),
+      (16387, CAST(19980 AS BIGINT),  CAST(55 AS BIGINT),   CAST(19980 AS BIGINT),  CAST(150 AS BIGINT),  CAST(20 AS BIGINT)),
+      (16388, CAST(1000 AS BIGINT),   CAST(5 AS BIGINT),    CAST(1000 AS BIGINT),   CAST(10 AS BIGINT),   CAST(2 AS BIGINT)),
+      (16389, CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
+      (16390, CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
+      (16391, CAST(230000 AS BIGINT), CAST(1500 AS BIGINT), CAST(230000 AS BIGINT), CAST(0 AS BIGINT),    CAST(0 AS BIGINT)),
+      (16392, CAST(4900 AS BIGINT),   CAST(90 AS BIGINT),   CAST(4900 AS BIGINT),   CAST(520 AS BIGINT),  CAST(100 AS BIGINT))
+      ) AS t(relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd)"""
+
   /** (indexrelid, idx_scan) */
   val pgStatUserIndexes: String =
     """SELECT * FROM (VALUES
@@ -354,6 +373,7 @@ object PgCatalog {
     "pg_attribute" -> pgAttribute,
     "pg_stats" -> pgStats,
     "pg_stat_all_tables" -> pgStatAllTables,
+    "pg_stat_all_tables_prev" -> pgStatAllTablesPrev,
     "pg_stat_user_indexes" -> pgStatUserIndexes,
     "pg_constraint" -> pgConstraint,
     "pg_constraint_key" -> pgConstraintKey,

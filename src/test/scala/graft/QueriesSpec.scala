@@ -23,6 +23,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("c19 stat deltas render exact values (shared-text twin-bug guard)") {
+    // shared-text oracle: both engines run the same SQL, so a wrong delta
+    // formula would hash-match — pin computed values here instead
+    val rows = SparkEntry.queries("c19_dba_stat_delta")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4), r.getString(5)))).toMap
+    assert(rows("public.lineitem") == ((10572L, 600L, false, "hot")))
+    assert(rows("analytics.events") == ((20000L, 0L, false, "hot")))
+    // created after the snapshot: full counters count as the delta
+    assert(rows("analytics.embeddings") == ((5000L, 50L, true, "hot")))
+    // byte-identical snapshots pin the quiet/zero-delta branch
+    assert(rows("public.customer") == ((0L, 0L, false, "quiet")))
+    assert(rows("analytics.documents") == ((100L, 80L, false, "quiet")))
+  }
+
   test("c14 clone script renders exact statements (shared-text twin-bug guard)") {
     // the DuckDB oracle runs the SAME SQL text, so a rendering bug would
     // hash-match on both sides — pin exact statements here instead
