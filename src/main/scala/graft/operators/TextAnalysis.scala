@@ -523,6 +523,60 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** BPE ENCODE: the corpus as token-ID sequences — the operator every
+    * training-data pipeline runs last and most often. Ids come from the
+    * frequency-ranked vocabulary (id = rank by count DESC, seg ASC, the
+    * deterministic assignment both engines can replay); each document's
+    * exact id SEQUENCE is pinned by an order-sensitive checksum
+    * Σ position·id (exact integers — any reorder, drop, or wrong id
+    * changes it), so the compact (doc, n_bpe, checksum) result
+    * hash-checks the full encoding without shipping id arrays.
+    *
+    * Scale shape: the corpus explodes to (doc, word-position) pairs
+    * ONCE; the word→segmentation and segment→id joins both broadcast
+    * VOCABULARY-scale tables (the Sennrich property again), and the
+    * position/checksum window partitions by document. Words containing
+    * the separator are skipped on both engines (the training guard).
+    *
+    * @return (id, n_bpe, id_checksum) per document
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    val wordSegs = bpeWordTable(df, textCol)
+      .withColumn("rep", applied)
+      .select(col("w"), col("wc"),
+        expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
+          .as("segs"))
+    // frequency-ranked vocabulary ids; vocabulary-scale (alphabet +
+    // merges), so the bare rank window is bounded-small by construction
+    val vocabIds = wordSegs
+      .select(col("wc"), explode(col("segs")).as("seg"))
+      .groupBy(col("seg")).agg(sum(col("wc")).as("c"))
+      .withColumn("tok_id", row_number().over(
+        Window.orderBy(col("c").desc, col("seg"))).cast("long"))
+      .select(col("seg"), col("tok_id"))
+    val words = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
+    val toks = words
+      .join(broadcast(wordSegs.select(col("w"), col("segs"))), "w")
+      .select(col("id"), col("wi"),
+        posexplode(col("segs")).as(Seq("si", "seg")))
+      .join(broadcast(vocabIds), "seg")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("wi"), col("si")))
+        .cast("long"))
+    toks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bpe"),
+        sum(col("pos") * col("tok_id")).as("id_checksum"))
+      .select(col("id").as(idCol), col("n_bpe"), col("id_checksum"))
+  }
+
   /** TF-IDF keyword extraction: the `topK` highest-scoring terms of
     * every document, scored tf × ln((N+1)/(df+1)) — the classic
     * smoothed idf. The idf quantizes to integer micros straight off the

@@ -725,6 +725,54 @@ object PipelineQueries {
             FROM rep12)
       GROUP BY seg ORDER BY c DESC, seg LIMIT 100"""))),
 
+    // BPE ENCODE (TextAnalysis.bpeEncode): the corpus as token-ID
+    // sequences — ids from the frequency-ranked vocabulary, each doc's
+    // exact id SEQUENCE pinned by the order-sensitive checksum
+    // Σ position·id (exact integers), so the oracle verifies the full
+    // encoding without shipping id arrays. Word→segmentation and
+    // segment→id joins broadcast vocabulary-scale tables.
+    QuerySpec("t20_bpe_encode", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeEncode(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text", learnedBpeMerges(s, dir))
+        .orderBy($"doc_id")
+    }, oracle = Some(bpeOracle(12, """,
+      vocab AS MATERIALIZED (
+        SELECT seg, sum(wc) AS c
+        FROM (SELECT wc, unnest(string_split(substr(rep, 2,
+                length(rep) - 2), '||')) AS seg
+              FROM rep12)
+        GROUP BY seg),
+      vids AS (
+        SELECT seg, CAST(row_number() OVER (ORDER BY c DESC, seg)
+          AS BIGINT) AS tok_id
+        FROM vocab),
+      wsegs AS MATERIALIZED (
+        SELECT w, string_split(substr(rep, 2, length(rep) - 2), '||')
+          AS segs
+        FROM rep12),
+      dwords AS (
+        SELECT doc_id, wi, ws[wi] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents))
+        WHERE length(ws[wi]) >= 1 AND ws[wi] NOT LIKE '%|%'),
+      dtoks0 AS (
+        SELECT d.doc_id, d.wi, s.segs,
+               unnest(generate_series(1, len(s.segs))) AS si
+        FROM dwords d JOIN wsegs s USING (w)),
+      positioned AS (
+        SELECT t.doc_id, v.tok_id,
+          row_number() OVER (PARTITION BY t.doc_id ORDER BY t.wi, t.si)
+            AS pos
+        FROM (SELECT doc_id, wi, si, segs[si] AS seg FROM dtoks0) t
+        JOIN vids v USING (seg))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+        CAST(sum(pos * tok_id) AS BIGINT) AS id_checksum
+      FROM positioned GROUP BY doc_id ORDER BY doc_id"""))),
+
     // KMV cardinality sketch (TextAnalysis.kmvDistinctCardinality over
     // 3-gram shingles): distinct-shingle count per source via a k=128
     // k-minimum-values synopsis — the engine-replayable alternative to

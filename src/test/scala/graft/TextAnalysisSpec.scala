@@ -231,6 +231,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     val v1 = TextAnalysis.bpeVocab(Seq("aaa").toDF("text"), "text", m1, 10)
       .as[(String, Long)].collect().toMap
     assert(v1 == Map("aa" -> 1L, "a" -> 1L))
+    // encode: ids rank (count DESC, seg ASC): aaab->1, aa->2, b->3; the
+    // doc's sequence [aaab, aaab, aa, b] checksums 1·1+2·1+3·2+4·3 = 21
+    val enc = TextAnalysis.bpeEncode(
+        Seq((7L, "aaab aaab aab")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc == Seq((7L, 4L, 21L)))
   }
 
   test("temperature mixture survives a trillion-token budget " +
