@@ -577,6 +577,39 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_bpe"), col("id_checksum"))
   }
 
+  /** Overlapping token-window CHUNKING — the retrieval/RAG ingestion
+    * verb: each document splits into windows of `window` tokens every
+    * `stride` tokens (overlap = window − stride), the last window
+    * truncated, single short docs yielding one chunk. Chunk text is
+    * reported as an md5 fingerprint plus token offsets, so the result
+    * stays compact and the oracle verifies the exact reconstruction of
+    * every chunk.
+    *
+    * Scale shape: one generator explode per doc (chunk count =
+    * ⌈(n−window)/stride⌉+1 rows of integer offsets), the chunk text
+    * re-assembled by a codegen'd slice+concat over the doc's own token
+    * array — no shuffle at all until a consumer aggregates; the explode
+    * ships (doc, offsets, md5), never the full text per chunk.
+    *
+    * @return (id, chunk_idx, tok_start, n_toks, chunk_md5)
+    */
+  def ragChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") >= 1)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0L, CAST(greatest(ceil((n - $window) / $stride.0), 0) AS LONG))")))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("n_toks",
+        least(lit(window.toLong), col("n") - col("tok_start")))
+      .select(col(idCol), col("chunk_idx"), col("tok_start"), col("n_toks"),
+        md5(expr(s"concat_ws(' ', slice(tk, CAST(tok_start + 1 AS INT), " +
+          s"CAST(n_toks AS INT)))")).as("chunk_md5"))
+  }
+
   /** TF-IDF keyword extraction: the `topK` highest-scoring terms of
     * every document, scored tf × ln((N+1)/(df+1)) — the classic
     * smoothed idf. The idf quantizes to integer micros straight off the

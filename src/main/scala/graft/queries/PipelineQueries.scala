@@ -773,6 +773,37 @@ object PipelineQueries {
         CAST(sum(pos * tok_id) AS BIGINT) AS id_checksum
       FROM positioned GROUP BY doc_id ORDER BY doc_id"""))),
 
+    // RAG chunking (TextAnalysis.ragChunks): overlapping 64-token
+    // windows every 48 tokens — the retrieval-ingestion split. Chunk
+    // text is verified by md5 fingerprint (compact result, exact
+    // reconstruction check); integer offsets replay directly.
+    QuerySpec("t21_rag_chunks", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.ragChunks(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text", window = 64, stride = 48)
+        .orderBy($"doc_id", $"chunk_idx")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+              FROM documents)
+        WHERE len(tk) >= 1),
+      chunks AS (
+        SELECT doc_id, tk, n,
+          unnest(generate_series(0,
+            CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT)))
+            AS chunk_idx
+        FROM base)
+      SELECT doc_id, chunk_idx,
+        chunk_idx * 48 AS tok_start,
+        CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_toks,
+        md5(array_to_string(list_slice(tk,
+          CAST(chunk_idx * 48 + 1 AS BIGINT),
+          CAST(chunk_idx * 48 + least(64, n - chunk_idx * 48) AS BIGINT)),
+          ' ')) AS chunk_md5
+      FROM chunks ORDER BY doc_id, chunk_idx""")),
+
     // KMV cardinality sketch (TextAnalysis.kmvDistinctCardinality over
     // 3-gram shingles): distinct-shingle count per source via a k=128
     // k-minimum-values synopsis — the engine-replayable alternative to

@@ -240,6 +240,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(enc == Seq((7L, 4L, 21L)))
   }
 
+  test("RAG chunking boundaries: exact-window, window+1, and short docs") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, (1 to n).map("w" + _).mkString(" "))
+    val docs = Seq(doc(1, 4), doc(2, 5), doc(3, 2), doc(4, 9))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ragChunks(docs, "doc_id", "text",
+        window = 4, stride = 3)
+      .select($"doc_id", $"chunk_idx", $"tok_start", $"n_toks")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 4L),               // exactly one window
+      (2L, 0L, 0L, 4L), (2L, 1L, 3L, 2L), // window+1: short tail chunk
+      (3L, 0L, 0L, 2L),               // short doc: one truncated chunk
+      (4L, 0L, 0L, 4L), (4L, 1L, 3L, 4L), (4L, 2L, 6L, 3L)))
+  }
+
   test("temperature mixture survives a trillion-token budget " +
       "(decimal(12,0) overflow regression)") {
     import spark.implicits._
