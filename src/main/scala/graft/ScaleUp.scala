@@ -14,9 +14,16 @@ import org.apache.spark.sql.functions._
   * workload character instead of degenerating:
   *   - `documents.text`: tokens re-ordered by a replica-seeded hash sort.
   *     Token multisets (t-family stats) are unchanged and within-replica
-  *     dup/near-dup structure is preserved, but replicas do not alias each
-  *     other as 10-way exact/near duplicates — corpus duplication RATE
-  *     stays at the sf0.1 rate, which is what d01-d15 scale against.
+  *     dup/near-dup structure is preserved; replicas of DIVERSE docs do
+  *     not alias each other, so the EXACT-dup rate provably stays at the
+  *     sf0.1 rate (round-11 measurement: 8 -> 80 fingerprint pairs).
+  *     CAVEAT (round-11 forensics, BENCH_NOTES): docs whose shingle sets
+  *     are permutation-INVARIANT — short or repetitive template text —
+  *     necessarily alias across replicas under any multiset-preserving
+  *     transform, so NEAR-dup families grow 10x and pair-enumeration
+  *     output (d02) grows ~100x per family. Operators whose cost tracks
+  *     output therefore scale superlinearly against this rehearsal by
+  *     construction, not by defect.
   *   - `embeddings.embedding`: circular shift by replica index. Norms and
   *     coordinate distributions are identical, within-replica geometry is
   *     preserved, replicas decorrelate instead of forming 10-deep cosine=1

@@ -652,6 +652,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe read $selected of $total list partitions - no pruning")
   }
 
+  test("t21 RAG chunking is shuffle-free: explode + codegen'd slicing, " +
+      "no Exchange") {
+    import spark.implicits._
+    val df = graft.operators.TextAnalysis.ragChunks(
+      Tables.load(spark, dir, "documents").select($"doc_id", $"text"),
+      "doc_id", "text", window = 64, stride = 48)
+    assert(shuffles(df).isEmpty,
+      "chunking must be a pure per-partition generator explode")
+  }
+
+  test("t20 BPE encode joins broadcast the vocabulary-scale tables, " +
+      "never shuffling the exploded corpus") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val merges = graft.operators.TextAnalysis.bpeLearnMerges(
+      docs, "text", iters = 4)
+    val df = graft.operators.TextAnalysis.bpeEncode(
+      docs, "doc_id", "text", merges)
+    val joins = allNodes(executedPlan(df)).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    val nonBroadcast = joins.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(nonBroadcast.isEmpty,
+      s"corpus-side shuffle join planned: ${nonBroadcast.map(_.nodeName)}")
+  }
+
   test("p22 hilbert layout: a 2-D rectangle predicate prunes files via " +
       "its curve runs and matches the direct filter exactly") {
     import spark.implicits._
