@@ -317,7 +317,7 @@ object Similarity {
   /** The seeded coarse quantizer: int8-quantized embeddings of the
     * `nlist` smallest ids (FAISS's sampled-points init, zero Lloyd
     * iterations) — nlist rows to the driver, nothing else. */
-  private def seededCentroids(corpus: DataFrame, idCol: String,
+  private[graft] def seededCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nlist: Int): Array[Array[Int]] =
     corpus.orderBy(col(idCol)).limit(nlist)
       .select(VectorFunctions.int8Quantize(col(vecCol)).as("q"))
@@ -325,7 +325,7 @@ object Similarity {
 
   /** Driver-side probe selection: the `nprobe` centroids nearest the
     * quantized query by exact integer squared-L2 (ties → lowest index). */
-  private def seededProbeLists(spark: SparkSession,
+  private[graft] def seededProbeLists(spark: SparkSession,
       centroids: Array[Array[Int]], query: Seq[Float],
       nprobe: Int): Seq[Integer] = {
     val q = array(query.map(v => lit(v)): _*)

@@ -244,6 +244,28 @@ object EventsStreaming {
   }
 
   /** One document arrival for the streaming near-dup twin. */
+  final case class VecArrival(vec_id: Long, embedding: Seq[Float])
+
+  /** Streaming twin of the s19 INGEST path: continuous IVF list
+    * assignment. New vectors are assigned to their inverted list by the
+    * same codegen'd integer-exact argmin the batch stager uses (the
+    * centroids — nlist quantized vectors — ride into every executor as a
+    * literal, the broadcast-dimension pattern), so a
+    * `writeStream.partitionBy("list_id")` sink APPENDS each micro-batch
+    * into the exact layout [[graft.operators.Similarity.ivfStagedTopK]]
+    * serves: probes keep pruning to their nprobe directories while the
+    * index grows, no rebuild, no state (stateless projection — the
+    * stream side of "assignment is an ingest-time step").
+    * StreamingSpec pins stream==batch assignment AND that a probe over
+    * the mixed batch+streamed directory still file-prunes and matches
+    * the in-memory index. */
+  def ivfAssign(vectors: DataFrame,
+      centroids: Array[Array[Int]]): DataFrame = {
+    import graft.functions.VectorFunctions
+    vectors.withColumn("list_id", VectorFunctions.int8NearestList(
+      VectorFunctions.int8Quantize(col("embedding")), centroids))
+  }
+
   final case class DocArrival(doc_id: Long, text: String,
       ts: java.sql.Timestamp)
 

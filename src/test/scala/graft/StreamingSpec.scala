@@ -694,4 +694,71 @@ class StreamingSpec extends AnyFunSuite {
         s"extra: ${got -- expectClean}; missing: ${expectClean -- got}")
     } finally q.stop()
   }
+
+  test("streaming IVF ingest appends into the served list_id layout: " +
+      "stream==batch assignment, probes over the mixed directory still " +
+      "prune and match the in-memory index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    val embs = Tables.load(spark, dir, "embeddings")
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val centroids = Similarity.seededCentroids(
+      corpus, "vec_id", "embedding", nlist = 16)
+    val root = java.nio.file.Files.createTempDirectory("ivf-ingest").toString
+    // half the corpus staged in batch (the s19 ingest step) ...
+    EventsStreaming.ivfAssign(
+        corpus.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding"),
+        centroids)
+      .write.mode("append").partitionBy("list_id").parquet(root)
+    // ... the other half arrives as a stream, appended micro-batch by
+    // micro-batch into the SAME layout via foreachBatch (the production
+    // continuous-ingest pattern; at-least-once — idempotent ids)
+    val arrivals = corpus.filter($"vec_id" % 2 === 0)
+      .select($"vec_id", $"embedding")
+      .as[EventsStreaming.VecArrival].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.VecArrival]
+    val q = EventsStreaming.ivfAssign(mem.toDF(), centroids)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("list_id").parquet(root)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ivf-chk").toString)
+      .start()
+    try {
+      arrivals.grouped(math.max(arrivals.length / 3, 1)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 1. the directory holds the full corpus with batch-identical lists
+    val dirDf = spark.read.parquet(root)
+    val gotAssign = dirDf.select($"vec_id", $"list_id".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val wantAssign = EventsStreaming.ivfAssign(
+        corpus.select($"vec_id", $"embedding"), centroids)
+      .select($"vec_id", $"list_id".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotAssign == wantAssign)
+    // 2. a probe over the mixed directory equals the in-memory index and
+    //    reads only its nprobe list directories
+    val qv = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val probed = Similarity.seededProbeLists(spark, centroids, qv, nprobe = 4)
+    val qCol = array(qv.map(v => lit(v)): _*)
+    val servedDf = dirDf.filter($"list_id".isin(probed: _*))
+      .select($"vec_id",
+        graft.functions.VectorFunctions.cosine($"embedding", qCol).as("cos"))
+      .orderBy($"cos".desc, $"vec_id").limit(20)
+    val served = servedDf.as[(Long, Double)].collect().toSeq
+    val mem20 = Similarity.ivfSeededTopK(corpus, "vec_id", "embedding",
+      qv, k = 20, nlist = 16, nprobe = 4).as[(Long, Double)].collect().toSeq
+    assert(served == mem20)
+    val scan = servedDf.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount <= 4,
+      s"probe read ${scan.selectedPartitions.partitionCount} list dirs")
+  }
 }
