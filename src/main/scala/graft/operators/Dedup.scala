@@ -155,16 +155,27 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunkCap: Int = 4096): DataFrame = {
+      maxHamming: Int = 3, chunkCap: Int = 4096): DataFrame =
+    hamming64Pairs(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      maxHamming, chunkCap)
+
+  /** The signature-agnostic core of [[simhashPairs]]: near-dup pairs of
+    * any 64-bit signature column (SimHash, perceptual image aHash, …) by
+    * the 4 × 16-bit chunk pigeonhole blocking, equal-signature star
+    * collapse, and capped posting lists — the full degenerate-input
+    * posture documented above. Input must be an (id, sig) frame. */
+  def hamming64Pairs(
+      sigs: DataFrame, maxHamming: Int = 3,
+      chunkCap: Int = 4096): DataFrame = {
     // 4 chunks guarantee exhaustive recall only for Hamming <= 3
     // (pigeonhole: 4 errors can touch all 4 chunks); a larger radius
     // would need maxHamming+1 chunks, so refuse rather than silently
     // return partial results
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"simhashPairs: 4-chunk blocking is exhaustive only for " +
+      s"hamming64Pairs: 4-chunk blocking is exhaustive only for " +
         s"maxHamming <= 3, got $maxHamming")
     import org.apache.spark.sql.expressions.Window
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     // 1. equal signatures → star pairs around the min-id representative
     val reps = sigs.groupBy(col("sig")).agg(min(col("id")).as("rep"))
     val starPairs = sigs.join(reps, "sig")

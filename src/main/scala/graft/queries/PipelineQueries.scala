@@ -2742,6 +2742,99 @@ object PipelineQueries {
       FROM lagged WHERE phi IS NOT NULL
       ORDER BY video_id, frame_idx""")),
 
+    // m08: perceptual IMAGE near-dup — the cross-modal d03: 64-bit aHash
+    // signatures through Dedup.hamming64Pairs (equal-signature star
+    // collapse + chunk-pigeonhole blocking). Planted variants: exact
+    // byte copies (+100000 → hamming-0 stars) and pixel-0-whitened edits
+    // (+200000, three payload bytes forced to 255 by pure binary
+    // substring/concat — an "edited image" whose hash drifts 1-3 bits
+    // for most images via the mean shift). FULL oracle: the m03 aHash
+    // rebuild extended per-variant (whiten = CASE on byte position),
+    // star + distinct-signature pairs replayed like d03's (the chunk
+    // blocking is lossless by pigeonhole; no sf0.01 bucket nears the
+    // cap, so blocked == all-pairs).
+    QuerySpec("m08_image_neardup", (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaCorpus(Tables.load(s, dir, "documents"))
+        .filter($"format" === "ppm").select($"media_id", $"payload")
+      val copies = media.filter($"media_id" < 60)
+        .select(($"media_id" + 100000L).as("media_id"), $"payload")
+      // header "P6\n{w} 8\n255\n" is 11 bytes for single-digit w (id%8
+      // <= 1), else 12; whiten pixel 0 = overwrite the 3 bytes after it
+      val edited = media.filter($"media_id" < 60)
+        .withColumn("hdr",
+          when($"media_id" % 8 <= 1, 11).otherwise(12))
+        .select(($"media_id" + 200000L).as("media_id"),
+          expr("concat(substring(payload, 1, hdr), X'FFFFFF', " +
+            "substring(payload, hdr + 4, 2147483647))").as("payload"))
+      val sigs = media.unionByName(copies).unionByName(edited)
+        .select($"media_id".as("id"),
+          MediaCodecColumns.ppmAHash($"payload").as("sig"))
+      Dedup.hamming64Pairs(sigs, maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }, oracle = Some("""
+      WITH media AS (
+        SELECT doc_id AS media_id, 8 + (doc_id % 8) AS w, 8 AS h
+        FROM documents WHERE doc_id % 2 = 0),
+      vars AS (
+        SELECT media_id AS vid, media_id AS src, w, h, 0 AS whiten
+        FROM media
+        UNION ALL
+        SELECT media_id + 100000, media_id, w, h, 0 FROM media
+        WHERE media_id < 60
+        UNION ALL
+        SELECT media_id + 200000, media_id, w, h, 1 FROM media
+        WHERE media_id < 60),
+      blocks AS (
+        SELECT vid, src, w, h, whiten, unnest(generate_series(0,
+          CAST(ceil(w * h * 3 / 16.0) AS BIGINT) - 1)) AS b
+        FROM vars),
+      bj AS (
+        SELECT vid, src, w, h, whiten, b, unnest(generate_series(0, 15)) AS j
+        FROM blocks),
+      bytes AS (
+        SELECT vid, w, h, b * 16 + j AS p,
+          CASE WHEN whiten = 1 AND b * 16 + j < 3 THEN 255::UBIGINT
+          ELSE ('0x' || substr(md5(CAST(src AS VARCHAR) || '_' ||
+             CAST(b AS VARCHAR)), CAST(j * 2 + 1 AS INTEGER), 2))::UBIGINT
+          END AS v
+        FROM bj WHERE b * 16 + j < w * h * 3),
+      gray AS (
+        SELECT vid, w, h, p // 3 AS px,
+          CAST(sum(v) // 3 AS BIGINT) AS g
+        FROM bytes GROUP BY vid, w, h, p // 3),
+      means AS (
+        SELECT vid, CAST(sum(g) // (w * h) AS BIGINT) AS mean
+        FROM gray GROUP BY vid, w, h),
+      sigs AS (
+        SELECT g.vid AS id,
+          CAST(sum(CASE WHEN g.px >= 32 AND g.px < 64 AND g.g >= m.mean
+            THEN (1::UBIGINT << CAST(g.px - 32 AS INTEGER))
+            ELSE 0 END) AS UBIGINT) AS sig_hi,
+          CAST(sum(CASE WHEN g.px < 32 AND g.g >= m.mean
+            THEN (1::UBIGINT << CAST(g.px AS INTEGER))
+            ELSE 0 END) AS UBIGINT) AS sig_lo
+        FROM gray g JOIN means m ON g.vid = m.vid
+        GROUP BY g.vid),
+      reps AS (
+        SELECT sig_hi, sig_lo, min(id) AS rep
+        FROM sigs GROUP BY sig_hi, sig_lo),
+      star AS (
+        SELECT r.rep AS id_a, s.id AS id_b, 0 AS hamming
+        FROM sigs s JOIN reps r USING (sig_hi, sig_lo)
+        WHERE s.id <> r.rep),
+      rep_pairs AS (
+        SELECT a.rep AS id_a, b.rep AS id_b,
+          bit_count(xor(a.sig_hi, b.sig_hi)) +
+          bit_count(xor(a.sig_lo, b.sig_lo)) AS hamming
+        FROM reps a JOIN reps b ON a.rep < b.rep
+        WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
+              bit_count(xor(a.sig_lo, b.sig_lo)) <= 3)
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM star
+      UNION ALL
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM rep_pairs
+      ORDER BY id_a, id_b""")),
+
     // m02: WAV frame sampling — the operator demuxes a real RIFF chunk
     // list, slices PCM16 LE samples, and emits every 2nd frame's exact
     // integer energy; the oracle rebuilds the identical samples from the

@@ -269,4 +269,26 @@ class MultimodalSpec extends AnyFunSuite {
         s"within-scene frame $idx must be identical (hamming $hamming)")
     }
   }
+
+  test("m08 image near-dup: every exact copy stars at hamming 0, most " +
+      "one-pixel edits pair within the hamming ball") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("m08_image_neardup")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val copyPairs = pairs.filter(p => p._2 == p._1 + 100000L)
+    val editPairs = pairs.filter(p => p._2 == p._1 + 200000L)
+    // sf0.001 ppm media: even doc_ids < 60 → 30 planted of each kind
+    assert(copyPairs.length == 30, s"copies found: ${copyPairs.length}")
+    assert(copyPairs.forall(_._3 == 0L))
+    // the whitened pixel flips bit 0 plus any mean-borderline bits (or
+    // nothing, when pixel 0 was already bright and no bit is borderline —
+    // those edits surface as hamming-0 stars); most images stay within
+    // hamming 3 of their original, and some genuinely drift >= 1 so the
+    // chunk-blocked ball (not just the star collapse) is exercised
+    assert(editPairs.length >= 20,
+      s"only ${editPairs.length}/30 edited images paired")
+    assert(editPairs.forall(_._3 <= 3L))
+    assert(editPairs.count(_._3 >= 1L) >= 10,
+      s"only ${editPairs.count(_._3 >= 1L)} edits drifted >= 1 bit")
+  }
 }
