@@ -532,11 +532,15 @@ object TextAnalysis {
     * changes it), so the compact (doc, n_bpe, checksum) result
     * hash-checks the full encoding without shipping id arrays.
     *
-    * Scale shape: the corpus explodes to (doc, word-position) pairs
-    * ONCE; the word→segmentation and segment→id joins both broadcast
-    * VOCABULARY-scale tables (the Sennrich property again), and the
-    * position/checksum window partitions by document. Words containing
-    * the separator are skipped on both engines (the training guard).
+    * Scale shape: the corpus explodes to (doc, word-position) pairs ONCE
+    * and to nothing finer — per-word id sums (Σ id, Σ (si+1)·id, segment
+    * count) precompute on the VOCABULARY table, so the checksum
+    * decomposes as Σ_words (base_w·Σid + Σ(si+1)·id) with base_w one
+    * running sum of segment counts over the doc's words. The only
+    * corpus-scale stages are the word explode, a broadcast join of three
+    * longs, and the per-doc word window — segments never explode at
+    * corpus scale. Words containing the separator are skipped on both
+    * engines (the training guard).
     *
     * @return (id, n_bpe, id_checksum) per document
     */
@@ -559,21 +563,27 @@ object TextAnalysis {
       .withColumn("tok_id", row_number().over(
         Window.orderBy(col("c").desc, col("seg"))).cast("long"))
       .select(col("seg"), col("tok_id"))
+    // per DISTINCT word: segment count, Σ id, Σ (si+1)·id — all at
+    // vocabulary scale, so the corpus never joins ids per segment
+    val wordAgg = wordSegs
+      .select(col("w"), posexplode(col("segs")).as(Seq("si", "seg")))
+      .join(vocabIds, "seg")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("nseg"), sum(col("tok_id")).as("sid"),
+        sum((col("si") + 1).cast("long") * col("tok_id")).as("swid"))
     val words = df
       .select(col(idCol).as("id"),
         posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
       .filter(length(col("w")) >= 1 && !col("w").contains("|"))
-    val toks = words
-      .join(broadcast(wordSegs.select(col("w"), col("segs"))), "w")
-      .select(col("id"), col("wi"),
-        posexplode(col("segs")).as(Seq("si", "seg")))
-      .join(broadcast(vocabIds), "seg")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("wi"), col("si")))
-        .cast("long"))
-    toks.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bpe"),
-        sum(col("pos") * col("tok_id")).as("id_checksum"))
+    // base_w = segments before this word in the doc (exclusive prefix);
+    // word positions are unique per doc so the frame is deterministic
+    val based = words.join(broadcast(wordAgg), "w")
+      .withColumn("base", coalesce(sum(col("nseg")).over(
+        Window.partitionBy(col("id")).orderBy(col("wi"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    based.groupBy(col("id"))
+      .agg(sum(col("nseg")).as("n_bpe"),
+        sum(col("base") * col("sid") + col("swid")).as("id_checksum"))
       .select(col("id").as(idCol), col("n_bpe"), col("id_checksum"))
   }
 
