@@ -550,11 +550,15 @@ object TextAnalysis {
     val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
       call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
     }
+    // vocabulary-scale; materialized ONCE (it feeds both the vocab-id
+    // derivation and the per-word sums — without the checkpoint each
+    // branch re-runs the corpus word-count scan and the 12-replace chain)
     val wordSegs = bpeWordTable(df, textCol)
       .withColumn("rep", applied)
       .select(col("w"), col("wc"),
         expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
           .as("segs"))
+      .localCheckpoint()
     // frequency-ranked vocabulary ids; vocabulary-scale (alphabet +
     // merges), so the bare rank window is bounded-small by construction
     val vocabIds = wordSegs
