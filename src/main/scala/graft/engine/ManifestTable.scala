@@ -1,7 +1,9 @@
 package graft.engine
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Atomic table publication by MANIFEST-pointer indirection — the
@@ -13,30 +15,74 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout: `root/MANIFEST` is a one-line pointer naming the current
   * version directory `root/v{gen}-{uuid8}/` (plain parquet). Readers
   * resolve the pointer, then scan; publishers write a COMPLETE new
-  * version directory and swap the pointer with one `rename(2)` — POSIX-
-  * atomic, so any reader (this session, another Spark session, another
-  * engine entirely) sees the old version or the new one, never a
-  * mixture and never a missing table. In-session readers go through a
-  * session view re-pointed with a single `CREATE OR REPLACE TEMPORARY
-  * VIEW` (one catalog operation, same no-torn-read property).
+  * version directory and swap the pointer with one atomic rename — so
+  * any reader (this session, another Spark session, another engine
+  * entirely) sees the old version or the new one, never a mixture and
+  * never a missing table. In-session readers go through a session view
+  * re-pointed with a single `CREATE OR REPLACE TEMPORARY VIEW` (one
+  * catalog operation, same no-torn-read property).
+  *
+  * Filesystem routing: data and version directories always go through
+  * Spark's Hadoop FS; the pointer swap uses NIO `ATOMIC_MOVE` on
+  * local/`file:` roots (a true atomic replace — Hadoop's local
+  * rename-with-overwrite is delete-then-rename, which opens a
+  * missing-pointer window) and `FileContext.rename(OVERWRITE)` on other
+  * schemes (atomic on HDFS, where the NameNode applies it as one edit).
+  * Plain object stores have NO atomic rename — on s3:// and friends the
+  * pointer swap degrades to copy+delete and the no-torn-read guarantee
+  * requires a store- or layer-level primitive (conditional PUT, HBOSS,
+  * a real table format); use one of those there, not this class.
+  *
+  * Concurrency contract: any number of READERS race any single
+  * publisher safely. Publishers are serialized per root by a
+  * best-effort `.PUBLISH_LOCK` file (atomic create-new; a second
+  * publisher fails loudly with [[ConcurrentPublishException]] instead
+  * of corrupting the table; locks older than 10 minutes are presumed
+  * crashed and broken). As a second line of defense, GC re-reads the
+  * pointer AFTER the swap and keeps whatever version the live pointer
+  * names plus its highest-generation predecessor — so even if two
+  * publishers slip past the lock, neither can delete the directory the
+  * winning pointer points to.
   *
   * GC keeps the current AND previous version directories (a bounded
   * in-flight-reader horizon, the same contract as Iceberg snapshot
   * expiry: a reader that resolved the pointer more than one publish ago
   * has no liveness guarantee); everything older is deleted.
   *
-  * At 100 TB nothing here changes: the version directory is whatever
-  * the job wrote (partitioned, bucketed), the pointer is still one
-  * file, and the swap is still one rename on the object store /
-  * filesystem namespace.
+  * At 100 TB nothing else changes: the version directory is whatever
+  * the job wrote (partitioned, bucketed), and the pointer is still one
+  * tiny file.
   */
 object ManifestTable {
 
   private val Pointer = "MANIFEST"
+  private val Lock = ".PUBLISH_LOCK"
+  private val LockStaleMs = 10 * 60 * 1000L
+
+  final class ConcurrentPublishException(msg: String)
+    extends RuntimeException(msg)
+
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(root: String): FileSystem =
+    new HPath(root).getFileSystem(hadoopConf)
+
+  private def isLocal(fs: FileSystem): Boolean = fs.getScheme == "file"
+
+  private def nio(fs: FileSystem, p: HPath): java.nio.file.Path =
+    java.nio.file.Paths.get(fs.makeQualified(p).toUri)
 
   def currentVersion(root: String): Option[String] = {
-    val p = Paths.get(root, Pointer)
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    val fs = fsFor(root)
+    val p = new HPath(root, Pointer)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), UTF_8).trim)
+      finally in.close()
+    }
   }
 
   def currentDataDir(root: String): Option[String] =
@@ -48,34 +94,77 @@ object ManifestTable {
     spark.read.parquet(currentDataDir(root).getOrElse(
       sys.error(s"ManifestTable: no MANIFEST under $root")))
 
-  /** Publish `df` as the next version: full write → atomic pointer swap
-    * → keep-2 GC. Returns the new version's data directory. */
+  /** Publish `df` as the next version: writer lock → full write →
+    * atomic pointer swap → pointer-derived keep-2 GC → unlock. Returns
+    * the new version's data directory. */
   def publish(spark: SparkSession, root: String, df: DataFrame): String = {
-    Files.createDirectories(Paths.get(root))
-    val prev = currentVersion(root)
-    val gen = prev.map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
-    val ver = f"v$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
-    val dataDir = s"$root/$ver"
-    df.write.mode("error").parquet(dataDir)
-    val tmp = Paths.get(root, s".$Pointer.tmp.$ver")
-    Files.writeString(tmp, ver + "\n")
-    Files.move(tmp, Paths.get(root, Pointer),
-      StandardCopyOption.ATOMIC_MOVE)
-    gc(root, keep = Set(Some(ver), prev).flatten)
-    dataDir
+    val fs = fsFor(root)
+    fs.mkdirs(new HPath(root))
+    val lock = acquireLock(fs, root)
+    try {
+      val prev = currentVersion(root)
+      val gen = prev.map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
+      val ver = f"v$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+      val dataDir = s"$root/$ver"
+      df.write.mode("error").parquet(dataDir)
+      swapPointer(fs, root, ver)
+      gc(fs, root)
+      dataDir
+    } finally fs.delete(lock, false)
   }
 
-  private def gc(root: String, keep: Set[String]): Unit = {
-    val dir = Paths.get(root)
-    val versions = Files.list(dir).toArray.map(_.asInstanceOf[Path])
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("v"))
-    versions.filterNot(p => keep(p.getFileName.toString)).foreach(deleteTree)
+  /** Atomic create-new of the lock file; breaks locks older than
+    * [[LockStaleMs]] (a crashed publisher), fails loudly on a live one. */
+  private def acquireLock(fs: FileSystem, root: String): HPath = {
+    val lock = new HPath(root, Lock)
+    def tryCreate(): Boolean =
+      try {
+        if (isLocal(fs))
+          // NIO CREATE_NEW is atomic on POSIX; Hadoop's local
+          // create(overwrite=false) is check-then-create
+          java.nio.file.Files.createFile(nio(fs, lock))
+        else fs.create(lock, false).close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return lock
+    val age =
+      try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    if (age > LockStaleMs) fs.delete(lock, false)
+    if (tryCreate()) lock
+    else throw new ConcurrentPublishException(
+      s"ManifestTable: another publisher holds $root/$Lock — publishers " +
+        "are single-writer per root; retry after it completes (locks " +
+        s"idle > ${LockStaleMs / 60000} min are presumed crashed and broken)")
   }
 
-  private def deleteTree(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).toArray.map(_.asInstanceOf[Path]).foreach(deleteTree)
-    Files.deleteIfExists(p)
+  private def swapPointer(fs: FileSystem, root: String, ver: String): Unit = {
+    val dst = new HPath(root, Pointer)
+    val tmp = new HPath(root, s".$Pointer.tmp.$ver")
+    if (isLocal(fs)) {
+      java.nio.file.Files.writeString(nio(fs, tmp), ver + "\n")
+      java.nio.file.Files.move(nio(fs, tmp), nio(fs, dst),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = fs.create(tmp, true)
+      try out.write((ver + "\n").getBytes(UTF_8)) finally out.close()
+      FileContext.getFileContext(fs.getUri, hadoopConf).rename(
+        fs.makeQualified(tmp), fs.makeQualified(dst),
+        Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Keep the version the LIVE pointer names (re-read after the swap —
+    * a concurrent publisher may have won a later swap) plus its
+    * highest-generation predecessor; delete the rest recursively
+    * through the Hadoop FS (no directory-handle leaks). */
+  private def gc(fs: FileSystem, root: String): Unit = {
+    val current = currentVersion(root).getOrElse(return)
+    val versions = fs.listStatus(new HPath(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .map(_.getPath.getName).sorted // v%06d zero-padding = generation order
+    val keep = Set(current) ++ versions.filter(_ < current).lastOption
+    versions.filterNot(keep).foreach(v => fs.delete(new HPath(root, v), true))
   }
 
   /** Register the python-step callback that publishes `srcTable`'s rows

@@ -115,7 +115,9 @@ object Stats {
     // keep iff h60·ΣW < 2^60·(targetK·w): the 2^60 literal stays at its
     // own 19-digit precision and targetK multiplies onto the WEIGHT side
     // in exact BIGINT (ANSI errors loudly on overflow), so any targetK
-    // with targetK·max(w) < ~1.15e18 works — folding targetK into the
+    // with targetK·max(w) < 10^18 works (the decimal(18,0) cast below is
+    // the binding bound, tighter than the ~1.15e18 Long-multiply bound;
+    // ANSI rejects the cast loudly above it) — folding targetK into the
     // literal capped targetK at ~867 before DECIMAL(21,0) overflowed
     val rhs = (lit(targetK) * col(weightCol).cast("long"))
       .cast("decimal(18,0)")

@@ -748,27 +748,41 @@ object TextAnalysis {
     * arithmetic; ties totalized by (vtime, source, r) so the order —
     * and the SQL oracle's — is unique.
     *
-    * Scale shape: one window per source partition for the rank, the
-    * weight table broadcasts at source cardinality, and the global
-    * position over (vtime, source, r) — the only total order — runs
-    * through [[Packing.withGlobalRowNumber]]'s distributed prefix-sum
-    * scan (range-partition + broadcast per-partition offsets), never a
-    * bare `Window.orderBy` single-partition funnel (PlanAuditSpec pins
-    * its absence, the p03/p06 contract).
+    * Scale shape: BOTH ranks run through
+    * [[Packing.withGlobalRowNumber]]'s distributed prefix-sum scan
+    * (range-partition + broadcast per-partition offsets). The per-source
+    * longest-first rank is NOT a `Window.partitionBy(source)` — at
+    * corpus scale that funnels a whole source (TBs for a 20-source
+    * 100 TB mixture) through one window task. Instead: one global
+    * prefix-sum rank over (source, n_toks desc, id) — per-source runs
+    * are contiguous in that order — minus broadcast per-source start
+    * offsets (one extra source-cardinality aggregate). The weight table
+    * broadcasts at source cardinality, and the final position over
+    * (vtime, source, r) — the only total order — is the same scan,
+    * never a bare `Window.orderBy` single-partition funnel
+    * (PlanAuditSpec pins the absence of both funnel shapes, the
+    * p03/p06 contract).
     *
     * @return (pos, doc_id, source, r, vtime) in curriculum order
     */
   def curriculumInterleave(docs: DataFrame, idCol: String,
       srcCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val weights = sourceMixtureWeights(
         docs.select(col(srcCol), col(textCol)), srcCol, textCol)
       .select(col(srcCol), col("weight_ppm"))
-    val ranked = docs
-      .select(col(idCol), col(srcCol), wordCount(col(textCol)).as("n_toks"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col(srcCol))
-          .orderBy(col("n_toks").desc, col(idCol))).cast("long"))
+    // distributed per-source rank: global scan over (src, -n_toks, id),
+    // then r = gpos - (source's first gpos) + 1 — exact because the
+    // global order groups each source contiguously
+    val gpos = Packing.withGlobalRowNumber(
+      docs.select(col(idCol), col(srcCol),
+          wordCount(col(textCol)).as("n_toks"))
+        .withColumn("__negtoks", -col("n_toks")),
+      "__gpos", Seq(srcCol, "__negtoks", idCol))
+    val starts = gpos.groupBy(col(srcCol))
+      .agg(min(col("__gpos")).as("__start"))
+    val ranked = gpos.join(broadcast(starts), srcCol)
+      .withColumn("r", col("__gpos") - col("__start") + 1L)
+      .drop("__gpos", "__negtoks", "__start")
     val vt = ranked.join(broadcast(weights), srcCol)
       .withColumn("vtime", expr("(r * 1000000L) div weight_ppm"))
     Packing.withGlobalRowNumber(vt, "pos", Seq("vtime", srcCol, "r"))

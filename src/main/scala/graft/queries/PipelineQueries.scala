@@ -225,9 +225,11 @@ object PipelineQueries {
           SELECT a, b, sum(wc) AS c FROM pairs$r GROUP BY a, b)
         ORDER BY c DESC, a, b LIMIT 1),
       rep$r AS MATERIALIZED (
-        SELECT w, wc, replace(rep, '|' || a || '||' || b || '|',
-          '|' || a || b || '|') AS rep
-        FROM rep$p CROSS JOIN top$r)""")
+        -- LEFT JOIN + COALESCE so an exhausted corpus (empty top) is a
+        -- no-op round, mirroring bpeLearnMerges' `if (top.nonEmpty)`
+        SELECT w, wc, COALESCE(replace(rep, '|' || a || '||' || b || '|',
+          '|' || a || b || '|'), rep) AS rep
+        FROM rep$p LEFT JOIN top$r ON TRUE)""")
     }
     sb.append(select)
     sb.toString

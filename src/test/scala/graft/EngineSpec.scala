@@ -324,6 +324,27 @@ class EngineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().forall(_._1 == 6L))
   }
 
+  test("manifest publish is single-writer: a live lock fails loudly, a " +
+      "stale lock from a crashed publisher is broken") {
+    val root = Files.createTempDirectory("graft-manifest-lock").toString
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("v", "i")
+    ManifestTable.publish(spark, root, df)
+    // simulate a live concurrent publisher
+    val lock = java.nio.file.Paths.get(root, ".PUBLISH_LOCK")
+    Files.createFile(lock)
+    val ex = intercept[ManifestTable.ConcurrentPublishException] {
+      ManifestTable.publish(spark, root, df)
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // a crashed publisher's lock (idle > 10 min) is broken and publish wins
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 11 * 60 * 1000L))
+    ManifestTable.publish(spark, root, df)
+    assert(!Files.exists(lock), "lock must be released after publish")
+    assert(ManifestTable.read(spark, root).count() == 1)
+  }
+
   test("failing step records exception status and stops") {
     Tables.registerAll(spark, fixtures)
     val state = tmpState()

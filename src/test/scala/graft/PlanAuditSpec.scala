@@ -246,6 +246,25 @@ class PlanAuditSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
     assert(single.isEmpty,
       "curriculum global position collapsed to a single partition")
+    // the r11 finding: Window.partitionBy(source) shuffled FULL rows on
+    // `source` alone — one task per source at corpus scale. The only
+    // exchanges allowed to key on source alone are the partial-aggregate
+    // ones (per-source offsets / mixture weights: they ship a handful of
+    // pre-combined rows per map task, source-cardinality total)
+    val srcOnly = shuffles(df).filter { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name)).distinct ==
+            Seq("source")
+        case _ => false
+      }
+    }
+    srcOnly.foreach { e =>
+      assert(e.child.isInstanceOf[
+          org.apache.spark.sql.execution.aggregate.BaseAggregateExec],
+        s"p26 shuffles full rows keyed on source alone (the per-source " +
+          s"window funnel): child = ${e.child.getClass.getSimpleName}")
+    }
   }
 
   test("d08 substring dedup never shuffles document text") {
