@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -547,26 +547,7 @@ object TextAnalysis {
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
-      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
-    }
-    // vocabulary-scale; materialized ONCE (it feeds both the vocab-id
-    // derivation and the per-word sums — without the checkpoint each
-    // branch re-runs the corpus word-count scan and the 12-replace chain)
-    val wordSegs = bpeWordTable(df, textCol)
-      .withColumn("rep", applied)
-      .select(col("w"), col("wc"),
-        expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
-          .as("segs"))
-      .localCheckpoint()
-    // frequency-ranked vocabulary ids; vocabulary-scale (alphabet +
-    // merges), so the bare rank window is bounded-small by construction
-    val vocabIds = wordSegs
-      .select(col("wc"), explode(col("segs")).as("seg"))
-      .groupBy(col("seg")).agg(sum(col("wc")).as("c"))
-      .withColumn("tok_id", row_number().over(
-        Window.orderBy(col("c").desc, col("seg"))).cast("long"))
-      .select(col("seg"), col("tok_id"))
+    val (wordSegs, vocabIds) = bpeSegVocab(df, textCol, merges)
     // per DISTINCT word: segment count, Σ id, Σ (si+1)·id — all at
     // vocabulary scale, so the corpus never joins ids per segment
     val wordAgg = wordSegs
@@ -590,6 +571,115 @@ object TextAnalysis {
         sum(col("base") * col("sid") + col("swid")).as("id_checksum"))
       .select(col("id").as(idCol), col("n_bpe"), col("id_checksum"))
   }
+
+  /** Shared BPE-encode derivation: the segmented distinct-word table
+    * (vocabulary-scale; materialized ONCE — it feeds both the vocab-id
+    * derivation and the per-word passes, and without the checkpoint each
+    * branch re-runs the corpus word-count scan and the replace chain)
+    * and the frequency-ranked vocabulary ids (id = rank by count DESC,
+    * seg ASC — the bare rank window is bounded-small by construction:
+    * alphabet + merges rows). */
+  private def bpeSegVocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    val wordSegs = bpeWordTable(df, textCol)
+      .withColumn("rep", applied)
+      .select(col("w"), col("wc"),
+        expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
+          .as("segs"))
+      .localCheckpoint()
+    val vocabIds = wordSegs
+      .select(col("wc"), explode(col("segs")).as("seg"))
+      .groupBy(col("seg")).agg(sum(col("wc")).as("c"))
+      .withColumn("tok_id", row_number().over(
+        Window.orderBy(col("c").desc, col("seg"))).cast("long"))
+      .select(col("seg"), col("tok_id"))
+    (wordSegs, vocabIds)
+  }
+
+  /** BPE ENCODE, materialized: each document's full token-id SEQUENCE as
+    * an `array<long>` column — the dataset a trainer actually consumes
+    * ([[bpeEncode]]'s checksum proves an encoding; this one PRODUCES
+    * it). Ids are the same frequency-ranked vocabulary assignment, so
+    * the two operators agree row-for-row (their shared checksum is the
+    * oracle surface: Σ position·id recomputed FROM the array pins
+    * order, content, and length at once).
+    *
+    * Scale shape: the ordered per-word id ARRAYS assemble at VOCABULARY
+    * scale (segment posexplode + id join run on the distinct-word
+    * table), then broadcast into the corpus word explode — the corpus
+    * never explodes to segments. The only corpus-scale shuffle is the
+    * per-doc assembly aggregate, and it ships compact long arrays
+    * (collect_list partials), never segmentation strings; the word
+    * order is restored by sorting the (word-position, ids) structs
+    * inside the aggregate, so the result is partitioning-independent.
+    *
+    * @return (id, token_ids array<long>) per document with ≥1 word
+    */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val (wordSegs, vocabIds) = bpeSegVocab(df, textCol, merges)
+    // per DISTINCT word: its ordered token-id array (vocabulary scale)
+    val wordIds = wordSegs
+      .select(col("w"), posexplode(col("segs")).as(Seq("si", "seg")))
+      .join(vocabIds, "seg")
+      .groupBy(col("w"))
+      .agg(expr("transform(array_sort(collect_list(struct(si, tok_id))), " +
+        "x -> x.tok_id)").as("ids"))
+    val words = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
+    words.join(broadcast(wordIds), "w")
+      .groupBy(col("id"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(wi, ids))), " +
+        "x -> x.ids))").as("token_ids"))
+      .select(col("id").as(idCol), col("token_ids"))
+  }
+
+  /** Staged token-id table name, content-keyed by (sfDir, merge table)
+    * — the s19 ivfStagedTable convention, with the tokenizer in the key
+    * because the encoding IS a function of the merges (two tokenizers
+    * over one corpus are two different staged datasets). */
+  def bpeStagedTable(dir: String, merges: Seq[(String, String)]): String = {
+    val content = dir + "|" +
+      merges.map { case (a, b) => a + "," + b }.mkString(";")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    s"bpe_token_ids_$tag"
+  }
+
+  private val bpeStagedKeys =
+    scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Write [[bpeEncodeIds]]'s result ONCE per (session, sfDir, merges)
+    * as a parquet table, range-partitioned by doc id so shard-ordered
+    * training reads are sequential file scans (the s19 ingest pattern:
+    * staging is an ingest cost, queries and fresh sessions read the
+    * files). A killed JVM can leave the managed location while the
+    * in-memory catalog forgets the table; drop both halves first. */
+  def ensureBpeTokensStaged(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): Unit =
+    bpeStagedKeys.synchronized {
+      val table = bpeStagedTable(dir, merges)
+      val key = (System.identityHashCode(spark), table)
+      if (!bpeStagedKeys(key)) {
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+        bpeEncodeIds(docs, idCol, textCol, merges)
+          .repartitionByRange(col(idCol))
+          .write.mode("overwrite").format("parquet").saveAsTable(table)
+        bpeStagedKeys += key
+      }
+    }
 
   /** Overlapping token-window CHUNKING — the retrieval/RAG ingestion
     * verb: each document splits into windows of `window` tokens every

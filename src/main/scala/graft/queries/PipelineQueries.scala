@@ -806,6 +806,69 @@ object PipelineQueries {
           ' ')) AS chunk_md5
       FROM chunks ORDER BY doc_id, chunk_idx""")),
 
+    // BPE ENCODE MATERIALIZED (TextAnalysis.bpeEncodeIds +
+    // ensureBpeTokensStaged): the corpus as PHYSICAL token-id arrays —
+    // t20 proves the encoding by checksum, t22 PRODUCES the dataset a
+    // trainer consumes: (doc_id, array<long> token_ids) staged once per
+    // (session, sfDir) as a range-partitioned parquet table, the query
+    // served FROM the staged files. Every reported scalar derives from
+    // the materialized array column (count, Σ position·id, first, last),
+    // and the oracle recomputes all four from the source corpus — a
+    // wrong id, order, drop, or duplicate anywhere in the arrays breaks
+    // at least one of them.
+    QuerySpec("t22_bpe_token_ids", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val merges = learnedBpeMerges(s, dir)
+      TextAnalysis.ensureBpeTokensStaged(s, dir, docs, "doc_id", "text",
+        merges)
+      s.table(TextAnalysis.bpeStagedTable(dir, merges))
+        .select($"doc_id",
+          size($"token_ids").cast("long").as("n_bpe"),
+          expr("aggregate(zip_with(sequence(1L, size(token_ids)), " +
+            "token_ids, (p, x) -> p * x), 0L, (acc, x) -> acc + x)")
+            .as("id_checksum"),
+          element_at($"token_ids", 1).as("first_id"),
+          element_at($"token_ids", -1).as("last_id"))
+        .orderBy($"doc_id")
+    }, oracle = Some(bpeOracle(12, """,
+      vocab AS MATERIALIZED (
+        SELECT seg, sum(wc) AS c
+        FROM (SELECT wc, unnest(string_split(substr(rep, 2,
+                length(rep) - 2), '||')) AS seg
+              FROM rep12)
+        GROUP BY seg),
+      vids AS (
+        SELECT seg, CAST(row_number() OVER (ORDER BY c DESC, seg)
+          AS BIGINT) AS tok_id
+        FROM vocab),
+      wsegs AS MATERIALIZED (
+        SELECT w, string_split(substr(rep, 2, length(rep) - 2), '||')
+          AS segs
+        FROM rep12),
+      dwords AS (
+        SELECT doc_id, wi, ws[wi] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents))
+        WHERE length(ws[wi]) >= 1 AND ws[wi] NOT LIKE '%|%'),
+      dtoks0 AS (
+        SELECT d.doc_id, d.wi, s.segs,
+               unnest(generate_series(1, len(s.segs))) AS si
+        FROM dwords d JOIN wsegs s USING (w)),
+      positioned AS (
+        SELECT t.doc_id, v.tok_id,
+          row_number() OVER (PARTITION BY t.doc_id ORDER BY t.wi, t.si)
+            AS pos
+        FROM (SELECT doc_id, wi, si, segs[si] AS seg FROM dtoks0) t
+        JOIN vids v USING (seg))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+        CAST(sum(pos * tok_id) AS BIGINT) AS id_checksum,
+        CAST(arg_min(tok_id, pos) AS BIGINT) AS first_id,
+        CAST(arg_max(tok_id, pos) AS BIGINT) AS last_id
+      FROM positioned GROUP BY doc_id ORDER BY doc_id"""))),
+
     // KMV cardinality sketch (TextAnalysis.kmvDistinctCardinality over
     // 3-gram shingles): distinct-shingle count per source via a k=128
     // k-minimum-values synopsis — the engine-replayable alternative to

@@ -699,6 +699,51 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-side shuffle join planned: ${nonBroadcast.map(_.nodeName)}")
   }
 
+  test("t22 BPE id materialization assembles arrays without exploding " +
+      "segments at corpus scale: broadcast joins only, and the per-doc " +
+      "assembly shuffle ships id arrays, never segmentation strings") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val merges = graft.operators.TextAnalysis.bpeLearnMerges(
+      docs, "text", iters = 4)
+    val df = graft.operators.TextAnalysis.bpeEncodeIds(
+      docs, "doc_id", "text", merges)
+    val joins = allNodes(executedPlan(df)).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    val nonBroadcast = joins.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(nonBroadcast.isEmpty,
+      s"corpus-side shuffle join planned: ${nonBroadcast.map(_.nodeName)}")
+    // the only corpus-scale exchange is the groupBy(doc id) assembly;
+    // its rows must be (id, collect partials of long arrays) — a string
+    // there would mean the corpus shuffled words or segments
+    val docKeyed = shuffles(df).filter { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name)).contains("id")
+        case _ => false
+      }
+    }
+    def hasString(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.StringType => true
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasString(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasString(f.dataType))
+        case m: org.apache.spark.sql.types.MapType =>
+          hasString(m.keyType) || hasString(m.valueType)
+        case _ => false
+      }
+    docKeyed.foreach { e =>
+      val strs = e.child.output.filter(a => hasString(a.dataType))
+      assert(strs.isEmpty,
+        s"t22 doc-assembly shuffle ships strings: ${strs.map(_.name)}")
+    }
+  }
+
   test("p22 hilbert layout: a 2-D rectangle predicate prunes files via " +
       "its curve runs and matches the direct filter exactly") {
     import spark.implicits._
