@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MathNative
@@ -48,8 +48,14 @@ object Retrieval {
       .groupBy(col("id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // expression tree mirrored LITERALLY in the oracle SQL: same
-    // association, same decimal literals — see PipelineQueries s07
+    scoreAndRank(tf, df, nDocs, avgdl, topK, idCol)
+  }
+
+  /** The BM25 scoring tail shared by the per-query and the staged-index
+    * paths: expression tree mirrored LITERALLY in the oracle SQL — same
+    * association, same decimal literals (see PipelineQueries s07). */
+  private def scoreAndRank(tf: DataFrame, df: DataFrame, nDocs: Long,
+      avgdl: Double, topK: Int, idCol: String): DataFrame = {
     val idf = MathNative.lnLibm(
       (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val scoreMicros = floor(lit(1000000.0) * idf * (col("tf") * lit(2.2)) /
@@ -61,6 +67,85 @@ object Retrieval {
       .orderBy(col("score_micros").desc, col("id"))
       .limit(topK)
       .select(col("id").as(idCol), col("score_micros"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted BM25 index: postings, document-frequency stats, and corpus
+  // stats staged as tables at ingest — [[bm25TopK]] rebuilds all three
+  // from the corpus per query, which at 100 TB is a full text scan per
+  // keyword search. The staged serve path reads ONLY the query terms'
+  // postings: the postings table is BUCKETED by token, so a `tok IN
+  // (terms)` scan prunes whole buckets (the s19 file-pruning treatment
+  // applied to the lexical index).
+
+  /** Staged BM25 table names (postings, df-stats, corpus-stats),
+    * content-keyed by sfDir. */
+  def bm25StagedTables(dir: String): (String, String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (s"bm25_postings_$tag", s"bm25_df_$tag", s"bm25_stats_$tag")
+  }
+
+  private val bm25StagedKeys =
+    scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Build the inverted index ONCE per (session, sfDir): postings
+    * (tok, id, dl, tf) bucketed by token, per-term document frequencies,
+    * and the 1-row corpus stats (N, Σdl). One corpus scan total — the
+    * df table derives from the postings, not the text. */
+  def ensureBm25Staged(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int = 16): Unit =
+    bm25StagedKeys.synchronized {
+      val (postT, dfT, statsT) = bm25StagedTables(dir)
+      val key = (System.identityHashCode(spark), postT)
+      if (!bm25StagedKeys(key)) {
+        for (t <- Seq(postT, dfT, statsT)) {
+          spark.sql(s"DROP TABLE IF EXISTS `$t`")
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(loc, true)
+        }
+        val toks = docs.select(col(idCol).cast("long").as("id"),
+          TextAnalysis.tokens(col(textCol)).as("t"))
+        toks.agg(count(lit(1)).as("n"),
+            sum(size(col("t")).cast("long")).as("tot"))
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet").saveAsTable(statsT)
+        toks
+          .select(col("id"), size(col("t")).cast("long").as("dl"),
+            explode(col("t")).as("tok"))
+          .groupBy(col("id"), col("dl"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "tok")
+          .saveAsTable(postT)
+        spark.table(postT).groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "tok")
+          .saveAsTable(dfT)
+        bm25StagedKeys += key
+      }
+    }
+
+  /** Serve a keyword query from the STAGED index: the postings scan's
+    * `tok IN (terms)` prunes BUCKETS (only the terms' buckets are read
+    * off disk — plan-asserted), df and stats are bounded lookups, and
+    * the scoring tail is [[bm25TopK]]'s verbatim — the staged tf/df/dl
+    * values are the same integers the per-query path derives, so the
+    * result is identical and shares s07's oracle. */
+  def bm25StagedTopK(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, terms: Seq[String],
+      topK: Int): DataFrame = {
+    ensureBm25Staged(spark, dir, docs, idCol, textCol)
+    val (postT, dfT, statsT) = bm25StagedTables(dir)
+    val statsRow = spark.table(statsT).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val tf = spark.table(postT).filter(col("tok").isin(terms: _*))
+    val df = spark.table(dfT).filter(col("tok").isin(terms: _*))
+    scoreAndRank(tf, df, nDocs, avgdl, topK, idCol)
   }
 
   /** Positional-postings phrase search: every document containing the

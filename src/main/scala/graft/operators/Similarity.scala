@@ -511,9 +511,34 @@ object Similarity {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val q = array(query.map(v => lit(v)): _*)
-    // ADC lookup tables, m·ksub longs each on the driver:
-    //   dot(j)(c)  = Σ_i qq_ji · cb_ji   (query ⋅ codebook entry)
-    //   nrm(j)(c)  = Σ_i cb_ji²          (reconstruction norm piece)
+    val (dotLut, nrmLut, qNorm) = adcLuts(codebooks, qq)
+    val qvec = VectorFunctions.int8Quantize(col(vecCol))
+    // encode: per-subspace argmin code over the sliced quantized vector
+    val codeCols = (0 until m).map { j =>
+      VectorFunctions.int8NearestList(
+        slice(qvec, j * sub + 1, sub), codebooks(j))
+    }
+    scan
+      .withColumn("__codes", array(codeCols: _*))
+      .select(col(idCol), col(vecCol),
+        (lutSum(dotLut, col("__codes")).cast("double") /
+          (sqrt(lutSum(nrmLut, col("__codes")).cast("double")) *
+           sqrt(lit(qNorm.toDouble)))).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** ADC lookup tables, m·ksub longs each on the driver:
+    *   dot(j)(c)  = Σ_i qq_ji · cb_ji   (query ⋅ codebook entry)
+    *   nrm(j)(c)  = Σ_i cb_ji²          (reconstruction norm piece)
+    * plus the query's own quantized norm. */
+  private def adcLuts(codebooks: Array[Array[Array[Int]]], qq: Array[Int])
+      : (Array[Array[Long]], Array[Array[Long]], Long) = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
     val dotLut: Array[Array[Long]] = Array.tabulate(m) { j =>
       codebooks(j).map { c =>
         var s = 0L; var i = 0
@@ -529,29 +554,16 @@ object Similarity {
       }
     }
     val qNorm: Long = qq.foldLeft(0L)((acc, x) => acc + x.toLong * x)
-    val qvec = VectorFunctions.int8Quantize(col(vecCol))
-    // encode: per-subspace argmin code over the sliced quantized vector
-    val codeCols = (0 until m).map { j =>
-      VectorFunctions.int8NearestList(
-        slice(qvec, j * sub + 1, sub), codebooks(j))
-    }
-    def lutSum(lut: Array[Array[Long]]): Column = aggregate(
+    (dotLut, nrmLut, qNorm)
+  }
+
+  /** Σ_j lut(j)(codes(j)) as one codegen-friendly literal-array lookup. */
+  private def lutSum(lut: Array[Array[Long]], codes: Column): Column =
+    aggregate(
       zip_with(
         array(lut.map(row => array(row.map(lit): _*)): _*),
-        col("__codes"), (row, c) => element_at(row, c + 1)),
+        codes, (row, c) => element_at(row, c + 1)),
       lit(0L), (acc, x) => acc + x)
-    scan
-      .withColumn("__codes", array(codeCols: _*))
-      .select(col(idCol), col(vecCol),
-        (lutSum(dotLut).cast("double") /
-          (sqrt(lutSum(nrmLut).cast("double")) *
-           sqrt(lit(qNorm.toDouble)))).as("__adc"))
-      .orderBy(col("__adc").desc, col(idCol))
-      .limit(shortlist)
-      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
-  }
 
   /** IVF×PQ composite ANN — the architecture every large-scale vector
     * store actually runs (FAISS `IVFx,PQy`): the seeded coarse quantizer
@@ -601,6 +613,113 @@ object Similarity {
     // codebooks trained on the FULL corpus (ingest-time artifact)
     val codebooks = pqCodebooks(embs, idCol, vecCol, m, ksub, indexKey)
     pqAdcRefine(survivors, idCol, vecCol, codebooks, qq, query, k, shortlist)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted PQ: the codebooks AND the encoded code table staged as
+  // parquet tables at ingest — the s19 treatment for s09's session-LRU
+  // gap: a restarted engine must serve ADC scans from the staged codes,
+  // never re-derive them over the full corpus (at 100 TB that re-scan is
+  // precisely what PQ exists to avoid).
+
+  /** Staged PQ table names (codes, codebooks), content-keyed by
+    * (sfDir, m, ksub). */
+  def pqStagedTables(dir: String, m: Int, ksub: Int): (String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir m=$m ksub=$ksub".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    (s"pq_codes_$tag", s"pq_codebooks_$tag")
+  }
+
+  private val pqStagedKeys = scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Write the PQ index ONCE per (session, sfDir, m, ksub): the
+    * codebooks as a tiny (j, code, subvec) table and the corpus codes as
+    * (id, codes array<int>) range-partitioned by id — ~m bytes/vector
+    * instead of dim·4, the artifact an ADC scan reads. Encode runs the
+    * exact [[pqAdcRefine]] argmin expressions, so staged-vs-in-memory
+    * results are identical by construction. */
+  def ensurePqStaged(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int): Unit =
+    pqStagedKeys.synchronized {
+      val (codesTable, booksTable) = pqStagedTables(dir, m, ksub)
+      val key = (System.identityHashCode(spark), codesTable)
+      if (!pqStagedKeys(key)) {
+        val codebooks = pqDerive(corpus, idCol, vecCol, m, ksub)
+        val sub = codebooks.head.head.length
+        for (t <- Seq(codesTable, booksTable)) {
+          spark.sql(s"DROP TABLE IF EXISTS `$t`")
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(loc, true)
+        }
+        import spark.implicits._
+        codebooks.zipWithIndex.flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (vec, c) => (j, c, vec.toSeq) }
+        }.toSeq.toDF("j", "code", "subvec")
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet").saveAsTable(booksTable)
+        val qvec = VectorFunctions.int8Quantize(col(vecCol))
+        val codeCols = (0 until m).map { j =>
+          VectorFunctions.int8NearestList(
+            slice(qvec, j * sub + 1, sub), codebooks(j))
+        }
+        corpus
+          .select(col(idCol), array(codeCols: _*).as("codes"))
+          .repartitionByRange(col(idCol))
+          .write.mode("overwrite").format("parquet").saveAsTable(codesTable)
+        pqStagedKeys += key
+      }
+    }
+
+  /** Load the staged codebooks back into the driver-side shape (m·ksub
+    * rows — bounded like the centroid collects). */
+  def pqStagedCodebooks(spark: SparkSession, dir: String, m: Int,
+      ksub: Int): Array[Array[Array[Int]]] = {
+    val (_, booksTable) = pqStagedTables(dir, m, ksub)
+    val rows = spark.table(booksTable)
+      .select(col("j"), col("code"), col("subvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Int](2).toArray))
+    Array.tabulate(m) { j =>
+      val book = rows.filter(_._1 == j).sortBy(_._2)
+      require(book.length == ksub, s"staged codebook $j has ${book.length}")
+      book.map(_._3)
+    }
+  }
+
+  /** Serve a PQ top-k from the STAGED index: the ADC ranking scans the
+    * codes TABLE (a (id, codes) read — the dim·4/m IO reduction is now
+    * physical, plan-asserted), the bounded shortlist ids come back to
+    * the driver (≤ `shortlist` rows, like the probe-list collects), and
+    * only those ids are re-read from the raw corpus for the exact-cosine
+    * refine — an `id IN (...)` pushed parquet filter, not a second full
+    * scan. Same codebooks, same argmin encode, same ADC arithmetic, same
+    * refine as [[pqTopK]] — result-identical, so it shares s09's full
+    * oracle. */
+  def pqStagedTopK(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      m: Int = 8, ksub: Int = 16, shortlist: Int = 100): DataFrame = {
+    ensurePqStaged(spark, dir, corpus, idCol, vecCol, m, ksub)
+    val (codesTable, _) = pqStagedTables(dir, m, ksub)
+    val codebooks = pqStagedCodebooks(spark, dir, m, ksub)
+    val qq = quantizeQuery(corpus, query)
+    val (dotLut, nrmLut, qNorm) = adcLuts(codebooks, qq)
+    val codes = spark.table(codesTable)
+    val shortIds: Seq[Any] = codes
+      .select(col(idCol),
+        (lutSum(dotLut, col("codes")).cast("double") /
+          (sqrt(lutSum(nrmLut, col("codes")).cast("double")) *
+           sqrt(lit(qNorm.toDouble)))).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val q = array(query.map(v => lit(v)): _*)
+    corpus.filter(col(idCol).isin(shortIds: _*))
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 
   /** BATCHED product-quantization search — the shape a production ANN

@@ -241,6 +241,104 @@ object PipelineQueries {
     * exact integer squared-L2 assignment + probe selection (nprobe=4,
     * ties → lowest centroid index), exact-cosine scoring of the probed
     * lists. */
+  /** DuckDB oracle rebuilding the seeded PQ index end to end (s09 AND
+    * s20 — the persisted variant is result-identical by construction):
+    * int8 quantization, seeded codebooks (ksub smallest ids), exact
+    * integer argmin encode per subspace, ADC via integer dot/norm LUTs,
+    * top-100 shortlist, exact-cosine refine. */
+  private val SeededPqOracle: String = """
+      WITH qq AS (
+        SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT embedding, list_aggregate(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id = 0)),
+      cq AS (
+        SELECT vec_id,
+          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
+                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id <> 0)),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cvec
+        FROM cq ORDER BY vec_id LIMIT 16),
+      subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+      asgn AS (
+        SELECT vec_id, j, cidx,
+          row_number() OVER (PARTITION BY vec_id, j ORDER BY
+            list_aggregate(list_transform(list_zip(
+              list_slice(c.q, j * 8 + 1, j * 8 + 8),
+              list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
+              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+            cidx) AS rn
+        FROM cq c, cent ct, subs),
+      codes AS (SELECT vec_id, j, cidx AS code FROM asgn WHERE rn = 1),
+      lut AS (
+        SELECT j, cidx,
+          list_aggregate(list_transform(list_zip(
+            list_slice(qq.q, j * 8 + 1, j * 8 + 8),
+            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
+            x -> CAST(x[1] AS BIGINT) * x[2]), 'sum') AS dot,
+          list_aggregate(list_transform(
+            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8),
+            x -> CAST(x AS BIGINT) * x), 'sum') AS nrm
+        FROM qq, cent ct, subs),
+      qn AS (SELECT list_aggregate(list_transform(q,
+               x -> CAST(x AS BIGINT) * x), 'sum') AS qnorm FROM qq),
+      adc AS (
+        SELECT vec_id,
+          CAST(sum(l.dot) AS DOUBLE) /
+            (sqrt(CAST(sum(l.nrm) AS DOUBLE)) *
+             sqrt(CAST(qn.qnorm AS DOUBLE))) AS adc
+        FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cidx, qn
+        GROUP BY vec_id, qn.qnorm),
+      short AS (
+        SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 100),
+      refined AS (
+        SELECT e.vec_id,
+          list_aggregate(list_transform(list_zip(e.embedding, qe.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings e JOIN short USING (vec_id),
+          (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+      SELECT vec_id, round(cos, 9) AS cos FROM refined
+      ORDER BY cos DESC, vec_id LIMIT 20"""
+
+  /** DuckDB oracle for BM25 over the five fixed query terms (s07 AND
+    * s21 — the staged index serves the same integers by construction). */
+  private val SeededBm25Oracle: String = """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
+      tf AS (
+        SELECT doc_id, dl, tok, count(*) AS tf FROM (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok
+          FROM toks)
+        WHERE tok IN ('vector','stream','merge','window','spark')
+        GROUP BY doc_id, dl, tok),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      scored AS (
+        SELECT tf.doc_id,
+          CAST(floor(1000000.0 *
+            ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+            (tf.tf * 2.2) /
+            (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+              (CAST(stats.tot AS DOUBLE) / stats.n)))) AS BIGINT) AS s
+        FROM tf JOIN df USING (tok) CROSS JOIN stats)
+      SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros
+      FROM scored GROUP BY doc_id
+      ORDER BY score_micros DESC, doc_id LIMIT 20"""
+
   private val SeededIvfOracle: String = """
       WITH qq AS (
         SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
@@ -2139,71 +2237,7 @@ object PipelineQueries {
       Similarity.pqTopK(embs.filter($"vec_id" =!= 0), "vec_id",
           "embedding", q, k = 20, m = 8, ksub = 16, shortlist = 100)
         .select($"vec_id", round($"cos", 9).as("cos"))
-    }, oracle = Some("""
-      WITH qq AS (
-        SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
-          ELSE list_transform(embedding, x ->
-            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
-          END AS q
-        FROM (SELECT embedding, list_aggregate(list_transform(embedding,
-                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
-              FROM embeddings WHERE vec_id = 0)),
-      cq AS (
-        SELECT vec_id,
-          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
-          ELSE list_transform(embedding, x ->
-            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
-          END AS q
-        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
-                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
-              FROM embeddings WHERE vec_id <> 0)),
-      cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cvec
-        FROM cq ORDER BY vec_id LIMIT 16),
-      subs AS (SELECT unnest(generate_series(0, 7)) AS j),
-      asgn AS (
-        SELECT vec_id, j, cidx,
-          row_number() OVER (PARTITION BY vec_id, j ORDER BY
-            list_aggregate(list_transform(list_zip(
-              list_slice(c.q, j * 8 + 1, j * 8 + 8),
-              list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
-              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
-            cidx) AS rn
-        FROM cq c, cent ct, subs),
-      codes AS (SELECT vec_id, j, cidx AS code FROM asgn WHERE rn = 1),
-      lut AS (
-        SELECT j, cidx,
-          list_aggregate(list_transform(list_zip(
-            list_slice(qq.q, j * 8 + 1, j * 8 + 8),
-            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
-            x -> CAST(x[1] AS BIGINT) * x[2]), 'sum') AS dot,
-          list_aggregate(list_transform(
-            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8),
-            x -> CAST(x AS BIGINT) * x), 'sum') AS nrm
-        FROM qq, cent ct, subs),
-      qn AS (SELECT list_aggregate(list_transform(q,
-               x -> CAST(x AS BIGINT) * x), 'sum') AS qnorm FROM qq),
-      adc AS (
-        SELECT vec_id,
-          CAST(sum(l.dot) AS DOUBLE) /
-            (sqrt(CAST(sum(l.nrm) AS DOUBLE)) *
-             sqrt(CAST(qn.qnorm AS DOUBLE))) AS adc
-        FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cidx, qn
-        GROUP BY vec_id, qn.qnorm),
-      short AS (
-        SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 100),
-      refined AS (
-        SELECT e.vec_id,
-          list_aggregate(list_transform(list_zip(e.embedding, qe.embedding),
-            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-          (sqrt(list_aggregate(list_transform(e.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-           sqrt(list_aggregate(list_transform(qe.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM embeddings e JOIN short USING (vec_id),
-          (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
-      SELECT vec_id, round(cos, 9) AS cos FROM refined
-      ORDER BY cos DESC, vec_id LIMIT 20""")),
+    }, oracle = Some(SeededPqOracle)),
 
     // MMR diverse retrieval (Similarity.mmrTopK): greedy relevance-minus-
     // redundancy re-rank over a top-30 candidate pool — FULL oracle via a
@@ -2451,30 +2485,7 @@ object PipelineQueries {
         "doc_id", "text",
         terms = Seq("vector", "stream", "merge", "window", "spark"),
         topK = 20)
-    }, oracle = Some("""
-      WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM documents),
-      stats AS (
-        SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
-      tf AS (
-        SELECT doc_id, dl, tok, count(*) AS tf FROM (
-          SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS tok
-          FROM toks)
-        WHERE tok IN ('vector','stream','merge','window','spark')
-        GROUP BY doc_id, dl, tok),
-      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-      scored AS (
-        SELECT tf.doc_id,
-          CAST(floor(1000000.0 *
-            ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-            (tf.tf * 2.2) /
-            (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
-              (CAST(stats.tot AS DOUBLE) / stats.n)))) AS BIGINT) AS s
-        FROM tf JOIN df USING (tok) CROSS JOIN stats)
-      SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros
-      FROM scored GROUP BY doc_id
-      ORDER BY score_micros DESC, doc_id LIMIT 20"""), bench = true),
+    }, oracle = Some(SeededBm25Oracle), bench = true),
 
     // LSH-bucketed ANN — FULL oracle: DuckDB rebuilds the md5-derived
     // planes, the query and corpus buckets, the Hamming-<=probes probe
@@ -2548,6 +2559,41 @@ object PipelineQueries {
           "vec_id", "embedding", q, k = 20, nlist = 16, nprobe = 4)
         .select($"vec_id", round($"cos", 9).as("cos"))
     }, oracle = Some(SeededIvfOracle), bench = true),
+
+    // Persisted PQ (Similarity.pqStagedTopK) — s09's session-LRU gap
+    // closed the s19 way: codebooks AND corpus codes staged as parquet
+    // tables at ingest, the ADC ranking scans the (id, codes) TABLE
+    // (~m bytes/vector instead of dim·4 — the IO reduction made
+    // physical, plan-asserted), and only the bounded shortlist ids are
+    // re-read from the raw corpus via a pushed `id IN` filter for the
+    // exact refine. Same codebooks, encode, ADC arithmetic, and refine
+    // as s09 — result-identical, shares its full end-to-end oracle.
+    QuerySpec("s20_ann_pq_persisted", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.pqStagedTopK(s, dir, embs.filter($"vec_id" =!= 0),
+          "vec_id", "embedding", q, k = 20, m = 8, ksub = 16,
+          shortlist = 100)
+        .select($"vec_id", round($"cos", 9).as("cos"))
+    }, oracle = Some(SeededPqOracle), bench = true),
+
+    // Persisted BM25 (Retrieval.bm25StagedTopK) — s07 rebuilds postings,
+    // df stats, and corpus stats from the text per QUERY; here all three
+    // are ingest-time tables, the postings BUCKETED by token so the
+    // query terms' `tok IN` scan prunes whole buckets (plan-asserted).
+    // The staged tf/df/dl are the same exact integers the per-query path
+    // derives and the scoring tail is shared code — result-identical,
+    // shares s07's oracle.
+    QuerySpec("s21_bm25_persisted", (s, dir) => {
+      import s.implicits._
+      Retrieval.bm25StagedTopK(s, dir,
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text",
+        terms = Seq("vector", "stream", "merge", "window", "spark"),
+        topK = 20)
+    }, oracle = Some(SeededBm25Oracle), bench = true),
 
     // IVF×PQ composite ANN (Similarity.ivfPqTopK) — the production
     // 100 TB architecture: s03's seeded coarse quantizer prunes the scan

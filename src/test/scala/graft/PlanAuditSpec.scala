@@ -642,6 +642,84 @@ class PlanAuditSpec extends AnyFunSuite {
       !full.contains("BroadcastNestedLoopJoin"), full.take(3000))
   }
 
+  test("s21 persisted BM25: the postings scan prunes buckets down to " +
+      "the query terms' buckets and matches the per-query path") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val terms = Seq("vector", "stream", "merge", "window", "spark")
+    val stagedDf = graft.operators.Retrieval.bm25StagedTopK(
+      spark, dir, docs, "doc_id", "text", terms, topK = 20)
+    val staged = stagedDf.as[(Long, Long)].collect().toSeq
+    val mem = graft.operators.Retrieval.bm25TopK(
+        docs, "doc_id", "text", terms, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(staged == mem, "staged BM25 must equal the per-query path")
+    val scans = allNodes(executedPlan(stagedDf)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val postings = scans.filter(_.output.exists(_.name == "tf"))
+    assert(postings.nonEmpty, s"no postings scan in ${scans.map(_.nodeName)}")
+    postings.foreach { f =>
+      val sel = f.metadata.get("SelectedBucketsCount")
+      assert(sel.isDefined, s"postings scan not bucket-pruned: ${f.metadata}")
+      val m = "(\\d+) out of (\\d+)".r.findFirstMatchIn(sel.get)
+      assert(m.isDefined, sel.get)
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"no buckets pruned: ${sel.get}")
+    }
+  }
+
+  test("s20 persisted PQ: the ADC ranking scans only the staged " +
+      "(id, codes) table, the refine reads the corpus through a pushed " +
+      "id IN filter, and results match the in-memory PQ") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val stagedDf = Similarity.pqStagedTopK(spark, dir, corpus,
+      "vec_id", "embedding", q, k = 20, m = 8, ksub = 16, shortlist = 100)
+    val staged = stagedDf.as[(Long, Double)].collect().toSeq
+    val mem = Similarity.pqTopK(corpus, "vec_id", "embedding",
+      q, k = 20, m = 8, ksub = 16, shortlist = 100)
+      .as[(Long, Double)].collect().toSeq
+    assert(staged == mem, "staged PQ must equal the in-memory PQ")
+    // the serve plan never touches the raw embedding column except in
+    // the shortlist refine, whose scan carries the pushed In(vec_id)
+    val scans = allNodes(executedPlan(stagedDf)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      val readsVec = f.output.exists(_.name == "embedding")
+      if (readsVec)
+        assert(f.metadata.get("PushedFilters").exists(_.contains("In(vec_id")),
+          s"refine scan reads embeddings without a pushed id filter: " +
+            f.metadata.get("PushedFilters").toString)
+    }
+    // the ADC side is a codes-only read: some scan reads (vec_id, codes)
+    // and nothing else — the m-bytes-per-vector IO reduction is physical
+    val (codesTable, _) = Similarity.pqStagedTables(dir, 8, 16)
+    val codeScan = {
+      // the ADC stage ran inside pqStagedTopK (driver-collected
+      // shortlist); audit its own plan directly
+      val codebooks = Similarity.pqStagedCodebooks(spark, dir, 8, 16)
+      assert(codebooks.length == 8 && codebooks.forall(_.length == 16))
+      spark.table(codesTable).select($"vec_id", $"codes")
+    }
+    val cs = allNodes(executedPlan(codeScan)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(cs.nonEmpty)
+    assert(cs.head.output.map(_.name).toSet == Set("vec_id", "codes"),
+      s"codes scan reads ${cs.head.output.map(_.name)}")
+    // fresh-engine path: the staged files alone carry the index
+    val loc = spark.conf.get("spark.sql.warehouse.dir") + "/" + codesTable
+    val fresh = spark.read.parquet(loc)
+    assert(fresh.count() == corpus.count())
+    assert(fresh.columns.toSet == Set("vec_id", "codes"))
+  }
+
   test("s19 persisted IVF: the probe's list_id IN-set prunes partition " +
       "directories at the scan and matches the in-memory seeded IVF") {
     import spark.implicits._
