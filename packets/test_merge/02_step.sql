@@ -1,8 +1,19 @@
--- publish: dynamic partition overwrite replaces ONLY this bk's partition;
--- every other partition's files are untouched (pinned by EngineSpec's
--- write-job-UUID assertion). Idempotent under resume: re-running the
--- action re-overwrites the same partition with the same rows — which is
--- why the stage table is dropped in step 03, not here (a crash between
--- this action and its WAL flush retries it, needing the stage intact).
-INSERT OVERWRITE TABLE mrg_tbl PARTITION (bk)
-SELECT c_custkey, c_name, c_acctbal, bk FROM mrg_stage_GEN_OBJ_FLD_1;
+-- stage ONE delta-touched partition (a publish must not overwrite a
+-- partition it is reading, so each action stages first): mrg_tbl is the
+-- per-partition-manifest VIEW, whose branches carry bk as a literal —
+-- the static bk literal from the generator constant-folds every OTHER
+-- branch to an empty relation (plan-asserted in PlanAuditSpec), so this
+-- scan reads exactly one partition's current version files. That is
+-- what keeps merge cost proportional to the delta's partition footprint
+-- at any scale. An IN-subquery over the delta would NOT prune (it plans
+-- as a semi-join scanning every partition).
+DROP TABLE IF EXISTS mrg_stage_GEN_OBJ_FLD_1;
+CREATE TABLE mrg_stage_GEN_OBJ_FLD_1 USING parquet
+LOCATION 'DBC_PL_mrg_stage/bk_GEN_OBJ_FLD_1'
+AS SELECT t.c_custkey, t.c_name, t.c_acctbal, t.bk
+   FROM mrg_tbl t
+   LEFT ANTI JOIN mrg_delta d ON t.c_custkey = d.c_custkey
+   WHERE t.bk = GEN_OBJ_FLD_1
+   UNION ALL
+   SELECT c_custkey, c_name, c_acctbal, bk FROM mrg_delta
+   WHERE bk = GEN_OBJ_FLD_1;

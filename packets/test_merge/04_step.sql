@@ -1,6 +1,6 @@
--- validation (reference 04_step.sql parity-check slot): every delta key
--- must be present exactly once, updates marked, inserts landed
-SELECT
-  (SELECT count(*) FROM mrg_tbl) AS total_rows,
-  (SELECT count(*) FROM mrg_tbl WHERE c_name LIKE '% (upd)') AS updated_rows,
-  (SELECT count(*) FROM mrg_tbl WHERE c_custkey > 1000000) AS inserted_rows;
+-- cleanup is a SEPARATE tracked step: if step 03's publish executed but
+-- crashed before its WAL flush, the re-run retries the publish and the
+-- stage table must still exist — dropping it inside the publish step
+-- would make that retry fail permanently. IF EXISTS keeps this step's own
+-- retry idempotent.
+DROP TABLE IF EXISTS mrg_stage_GEN_OBJ_FLD_1;

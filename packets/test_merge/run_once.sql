@@ -2,15 +2,18 @@
 -- transactional form is a row-level UPDATE/INSERT pair inside one tx
 -- (packets/test_int4_to_int8/02_step.sql:3-6); on parquet the native
 -- shape is: anti-join the base against the delta keys, union the delta,
--- and INSERT OVERWRITE only the partitions the delta touches — untouched
+-- and republish ONLY the partitions the delta touches — untouched
 -- partitions are never read or rewritten, so merge cost scales with the
 -- delta's partition footprint, not the table (the property that survives
--- 100x growth). Delta/Iceberg targets would run MERGE INTO directly.
-SET spark.sql.sources.partitionOverwriteMode=dynamic;
-DROP TABLE IF EXISTS mrg_tbl;
+-- 100x growth). Publication is ATOMIC per partition: every partition is
+-- its own MANIFEST-pointer root (graft.engine.PartitionedManifest), so a
+-- concurrent reader sees each partition's complete old or new version,
+-- never the torn old/new file mix dynamic partition overwrite exposes.
+-- Delta/Iceberg targets would run MERGE INTO directly.
+DROP VIEW IF EXISTS mrg_tbl;
+DROP TABLE IF EXISTS mrg_seed;
 DROP TABLE IF EXISTS mrg_delta;
-DROP TABLE IF EXISTS mrg_stage;
-CREATE TABLE mrg_tbl USING parquet PARTITIONED BY (bk) LOCATION 'DBC_PL_mrg_src'
+CREATE TABLE mrg_seed USING parquet LOCATION 'DBC_PL_mrg_stage/seed'
 AS SELECT c_custkey, c_name, c_acctbal, CAST(c_custkey % 20 AS INT) AS bk
    FROM customer;
 -- the delta: updates to every 100th key (lands in bk 0) plus brand-new

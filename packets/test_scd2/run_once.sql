@@ -4,12 +4,15 @@
 -- row; history rows are immutable. Same partition-scoped copy-on-write
 -- machinery as test_merge: only delta-touched partitions are staged and
 -- republished, so upsert cost scales with the delta's partition
--- footprint, not dimension history. Delta/Iceberg targets would run the
--- canonical two-branch MERGE INTO; parquet stages + dynamic-overwrites.
-SET spark.sql.sources.partitionOverwriteMode=dynamic;
-DROP TABLE IF EXISTS scd_dim;
+-- footprint, not dimension history — and publication is ATOMIC per
+-- partition via the MANIFEST-pointer layout
+-- (graft.engine.PartitionedManifest), closing the torn-read window the
+-- previous dynamic partition overwrite left open. Delta/Iceberg targets
+-- would run the canonical two-branch MERGE INTO.
+DROP VIEW IF EXISTS scd_dim;
+DROP TABLE IF EXISTS scd_seed;
 DROP TABLE IF EXISTS scd_delta;
-CREATE TABLE scd_dim USING parquet PARTITIONED BY (bk) LOCATION 'DBC_PL_scd_src'
+CREATE TABLE scd_seed USING parquet LOCATION 'DBC_PL_scd_stage/seed'
 AS SELECT c_custkey, c_mktsegment, DATE '2024-01-01' AS valid_from,
           DATE '9999-12-31' AS valid_to, true AS is_current,
           CAST(c_custkey % 20 AS INT) AS bk

@@ -113,6 +113,28 @@ object ManifestTable {
     } finally fs.delete(lock, false)
   }
 
+  /** Adopt an ALREADY-WRITTEN directory as the next version: one
+    * directory rename (metadata-only — no data copy) + the same atomic
+    * pointer swap and GC as [[publish]]. The seeding path of
+    * [[PartitionedManifest]]: a single partitioned write job produces
+    * every partition's files, and each partition directory is adopted
+    * into its own manifest root without rewriting a byte. */
+  private[engine] def adoptVersion(root: String, srcDir: String): String = {
+    val fs = fsFor(root)
+    fs.mkdirs(new HPath(root))
+    val lock = acquireLock(fs, root)
+    try {
+      val prev = currentVersion(root)
+      val gen = prev.map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
+      val ver = f"v$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+      require(fs.rename(new HPath(srcDir), new HPath(s"$root/$ver")),
+        s"ManifestTable: could not adopt $srcDir into $root")
+      swapPointer(fs, root, ver)
+      gc(fs, root)
+      s"$root/$ver"
+    } finally fs.delete(lock, false)
+  }
+
   /** Atomic create-new of the lock file; breaks locks older than
     * [[LockStaleMs]] (a crashed publisher), fails loudly on a live one. */
   private def acquireLock(fs: FileSystem, root: String): HPath = {

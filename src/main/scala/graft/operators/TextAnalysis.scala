@@ -474,6 +474,64 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** BATCHED BPE training — the scale path [[bpeLearnMerges]]'s
+    * 2-jobs-per-merge loop cannot take (a 32k-vocab tokenizer would be
+    * ~10⁵ Spark jobs): each ROUND runs ONE pair-count scan, collects the
+    * `candK` top candidates, and accepts up to `batchR` of them by a
+    * deterministic greedy independence rule — a candidate is accepted
+    * iff it does not INTERACT with any already-accepted merge of this
+    * round, where (x,y) interacts with (a,b) iff they share a token
+    * (x,y,a,b collide) or either concatenation equals one of the other's
+    * tokens (xy ∈ {a,b} or ab ∈ {x,y} — the merged-token collision that
+    * would let one application change the other's count). All accepted
+    * merges then apply as one replace chain in rank order.
+    *
+    * Equivalence argument (and the documented deviation): within a
+    * round every accepted merge's count is EXACT at round start, and
+    * pairwise non-interaction makes the applications commute — no
+    * accepted merge changes another's count or pattern, so each merge
+    * is applied under exactly the statistics it was selected on. The
+    * deviation from strict-sequential BPE: counts are frozen per round,
+    * so a pair whose count would have RISEN past a later accepted
+    * candidate mid-round (only possible for pairs involving a
+    * just-merged token) waits for the next round's exact recount; a
+    * skipped interacting pair likewise re-competes next round with
+    * fresh counts. The learned table is a pure function of (corpus,
+    * rounds, batchR, candK) — every stage is deterministic, so the
+    * DuckDB oracle replays training end to end: the same greedy runs as
+    * a single-row-chain RECURSIVE CTE over the ranked candidates and
+    * the batch applies via `list_reduce` (PipelineQueries t23).
+    *
+    * @return the learned merges in application order (round-major,
+    *         rank order within a round)
+    */
+  def bpeLearnMergesBatched(df: DataFrame, textCol: String, rounds: Int,
+      batchR: Int, candK: Int): Seq[(String, String)] = {
+    require(rounds > 0 && batchR > 0 && candK >= batchR)
+    var rep = bpeWordTable(df, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 0 until rounds) {
+      val cand = bpePairCounts(rep).limit(candK).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for ((a, b) <- cand if acc.size < batchR) {
+        val interacts = acc.exists { case (x, y) =>
+          x == a || x == b || y == a || y == b ||
+            (x + y) == a || (x + y) == b || (a + b) == x || (a + b) == y
+        }
+        if (!interacts) acc += ((a, b))
+      }
+      if (acc.nonEmpty) {
+        merges ++= acc
+        rep = rep.withColumn("rep", acc.foldLeft(col("rep")) {
+          case (c, (a, b)) =>
+            call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+        }).localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
   /** (w, wc, rep): distinct corpus words with counts and the
     * boundary-wrapped initial (per-character) segmentation. */
   private def bpeWordTable(df: DataFrame, textCol: String): DataFrame =

@@ -93,12 +93,14 @@ object EngineQueries {
       FROM nation WHERE NOT (n_regionkey = 2) ORDER BY n_nationkey""")),
 
     // MERGE-style keyed upsert: copy-on-write anti-join + union, published
-    // by dynamic partition overwrite scoped to delta-touched partitions
-    // (packets/test_merge; untouched-partition-files-unchanged is pinned in
+    // ATOMICALLY per delta-touched partition through the per-partition
+    // MANIFEST layout (graft.engine.PartitionedManifest; packets/
+    // test_merge; untouched-partition-files-unchanged is pinned in
     // EngineSpec). Final table vs a direct relational MERGE recomputation.
     // SCD2 history-preserving dimension upsert through the packet engine
     // (packets/test_scd2): attribute changes close the current row and
-    // insert a new one; only delta-touched partitions are republished.
+    // insert a new one; only delta-touched partitions are republished,
+    // each behind its own atomic pointer swap.
     // The oracle reconstructs the post-upsert dimension relationally from
     // the customer fixture.
     // Schema evolution through the packet engine (packets/
@@ -129,6 +131,7 @@ object EngineQueries {
 
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
+      graft.engine.PartitionedManifest.ensurePacketPublishSteps()
       val conf = RunnerConf(
         stateDir = Files.createTempDirectory("graft-w04-state").toString,
         placeholders = Map(
@@ -164,6 +167,7 @@ object EngineQueries {
 
     QuerySpec("w03_merge_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
+      graft.engine.PartitionedManifest.ensurePacketPublishSteps()
       val conf = RunnerConf(
         stateDir = Files.createTempDirectory("graft-w03-state").toString,
         placeholders = Map(

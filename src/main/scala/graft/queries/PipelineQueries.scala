@@ -192,6 +192,84 @@ object PipelineQueries {
         Tables.load(s, dir, "documents").select(col("text")), "text",
         iters = 12))
 
+  /** DuckDB replay of the BATCHED trainer (TextAnalysis.
+    * bpeLearnMergesBatched): per round, rank the top-`candK` pair
+    * candidates, run the SAME greedy independence acceptance as a
+    * single-row-chain RECURSIVE CTE over the ranked list (the accepted
+    * set rides along as a VARCHAR[] of chr(1)-joined pairs), and apply
+    * the whole batch with one `list_reduce` replace fold — empty-batch
+    * rounds degrade to a no-op because `list_prepend(rep, [])` reduces
+    * to rep itself. Training replayed end to end, no literals. */
+  private def bpeBatchedOracle(rounds: Int, batchR: Int,
+      candK: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+      WITH RECURSIVE w0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents)
+        WHERE length(w) >= 1 AND w NOT LIKE '%|%'
+        GROUP BY w),
+      rep0 AS MATERIALIZED (
+        SELECT w, wc,
+          '|' || array_to_string(list_transform(
+            generate_series(1, length(w)), i -> substr(w, i, 1)), '||')
+            || '|' AS rep
+        FROM w0)""")
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+      pairs$r AS MATERIALIZED (
+        SELECT wc, segs[i] AS a, segs[i + 1] AS b
+        FROM (SELECT wc, segs,
+                unnest(generate_series(1, len(segs) - 1)) AS i
+              FROM (SELECT wc, string_split(substr(rep, 2,
+                      length(rep) - 2), '||') AS segs FROM rep$p)
+              WHERE len(segs) >= 2)),
+      cand$r AS MATERIALIZED (
+        SELECT a, b, CAST(row_number() OVER (ORDER BY c DESC, a, b)
+          AS BIGINT) AS rn
+        FROM (SELECT a, b, sum(wc) AS c FROM pairs$r GROUP BY a, b)
+        ORDER BY c DESC, a, b LIMIT $candK),
+      sel$r AS (
+        SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS VARCHAR[]) AS acc
+        UNION ALL
+        SELECT c.rn,
+          CASE WHEN len(s.acc) >= $batchR THEN s.acc
+               WHEN len(list_filter(s.acc, m ->
+                   string_split(m, chr(1))[1] IN (c.a, c.b) OR
+                   string_split(m, chr(1))[2] IN (c.a, c.b) OR
+                   replace(m, chr(1), '') IN (c.a, c.b) OR
+                   (c.a || c.b) IN (string_split(m, chr(1))[1],
+                                    string_split(m, chr(1))[2]))) > 0
+                 THEN s.acc
+               ELSE list_append(s.acc, c.a || chr(1) || c.b) END
+        FROM sel$r s JOIN cand$r c ON c.rn = s.rn + 1),
+      batch$r AS MATERIALIZED (
+        SELECT acc FROM sel$r ORDER BY rn DESC LIMIT 1),
+      rep$r AS MATERIALIZED (
+        SELECT w, wc, list_reduce(list_prepend(rep, b.acc), (accs, m) ->
+          replace(accs,
+            '|' || string_split(m, chr(1))[1] || '||' ||
+              string_split(m, chr(1))[2] || '|',
+            '|' || string_split(m, chr(1))[1] ||
+              string_split(m, chr(1))[2] || '|')) AS rep
+        FROM rep$p CROSS JOIN batch$r b)""")
+    }
+    val union = (1 to rounds).map(r =>
+      s"""SELECT $r AS round, i AS idx,
+            string_split(acc[i], chr(1))[1] AS a,
+            string_split(acc[i], chr(1))[2] AS b
+          FROM (SELECT acc, unnest(generate_series(1, len(acc))) AS i
+                FROM batch$r)""").mkString("\n        UNION ALL ")
+    sb.append(s"""
+      SELECT CAST(row_number() OVER (ORDER BY round, idx) AS BIGINT)
+        AS rank, a, b
+      FROM ($union)
+      ORDER BY rank""")
+    sb.toString
+  }
+
   private def bpeOracle(iters: Int, select: String): String = {
     val sb = new StringBuilder
     // every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
@@ -966,6 +1044,28 @@ object PipelineQueries {
         CAST(arg_min(tok_id, pos) AS BIGINT) AS first_id,
         CAST(arg_max(tok_id, pos) AS BIGINT) AS last_id
       FROM positioned GROUP BY doc_id ORDER BY doc_id"""))),
+
+    // BATCHED BPE training (TextAnalysis.bpeLearnMergesBatched): the
+    // scale path past t18's 2-jobs-per-merge loop — each round is ONE
+    // pair-count scan accepting up to batchR greedily-independent merges
+    // (no shared tokens, no merged-token collisions), so a 32k-vocab
+    // tokenizer needs ~vocab/batchR scans, not ~vocab. Counts are
+    // frozen per round (documented deviation from strict-sequential;
+    // within a round every accepted merge's count is exact and the
+    // applications commute). FULL oracle: the same greedy runs as a
+    // recursive single-row-chain CTE over the ranked candidates and
+    // each batch applies via one list_reduce fold — training replayed
+    // end to end, no literals.
+    QuerySpec("t23_bpe_train_batched", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"text")
+      TextAnalysis.bpeLearnMergesBatched(docs, "text",
+          rounds = 4, batchR = 8, candK = 64)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "a", "b").orderBy($"rank")
+    }, oracle = Some(bpeBatchedOracle(rounds = 4, batchR = 8,
+      candK = 64))),
 
     // KMV cardinality sketch (TextAnalysis.kmvDistinctCardinality over
     // 3-gram shingles): distinct-shingle count per source via a k=128

@@ -324,6 +324,65 @@ class EngineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().forall(_._1 == 6L))
   }
 
+  test("partitioned manifest: a reader racing partition republishes " +
+      "sees each partition complete — old or new version, never a torn " +
+      "mix — and untouched partitions stay bit-stable") {
+    val root = Files.createTempDirectory("graft-pmanifest").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    // two partitions; bk=1 will be republished 6 times, bk=0 never
+    def part(bk: Int, v: Int) =
+      (1 to 40).map(i => (v.toLong, i.toLong, bk)).toDF("v", "i", "bk")
+    PartitionedManifest.seed(spark, root,
+      part(0, 0).unionByName(part(1, 0)), "bk")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        // per-partition atomicity contract: within one PARTITION the
+        // scan is a complete version (one v value, all 40 rows); the
+        // GC-horizon retry rule is the same as the whole-table test
+        def scan(): Option[Map[Int, Seq[Long]]] =
+          try Some(PartitionedManifest.read(spark, root, "bk", "int")
+            .as[(Long, Long, Int)].collect().toSeq
+            .groupBy(_._3).view.mapValues(_.map(_._1).distinct.sorted).toMap)
+          catch { case _: Throwable => None }
+        scan().orElse(scan()) match {
+          case Some(byPart) =>
+            if (byPart.keySet != Set(0, 1))
+              bad.compareAndSet(null, s"partitions ${byPart.keySet}")
+            else {
+              if (byPart(0) != Seq(0L))
+                bad.compareAndSet(null, s"bk=0 drifted: ${byPart(0)}")
+              if (byPart(1).length != 1)
+                bad.compareAndSet(null, s"torn bk=1: versions ${byPart(1)}")
+            }
+            reads.incrementAndGet()
+          case None =>
+            bad.compareAndSet(null, "reader failed twice in a row")
+        }
+      }
+    })
+    reader.start()
+    for (v <- 1 to 6)
+      PartitionedManifest.publishPartition(spark, root, "bk", "1",
+        part(1, v).drop("bk"))
+    stop.set(true)
+    reader.join(60000)
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(reads.get() > 0, "reader never completed a read")
+    // keep-2 GC per partition root; untouched partition still on v1
+    assert(graft.engine.ManifestTable.currentVersion(s"$root/bk=0")
+      .get.startsWith("v000001"))
+    val v1dirs = new java.io.File(s"$root/bk=1").listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(v1dirs.length == 2, v1dirs.toSeq)
+    val finalRead = PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"bk" === 1).select($"v").distinct().as[Long].collect()
+    assert(finalRead.toSeq == Seq(6L))
+  }
+
   test("manifest publish is single-writer: a live lock fails loudly, a " +
       "stale lock from a crashed publisher is broken") {
     val root = Files.createTempDirectory("graft-manifest-lock").toString
@@ -415,6 +474,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("merge packet rewrites only delta-touched partitions") {
     Tables.registerAll(spark, fixtures)
+    graft.engine.PartitionedManifest.ensurePacketPublishSteps()
     val src = Files.createTempDirectory("graft-mrg-src").toString
     val conf = RunnerConf(
       stateDir = tmpState(),
@@ -426,11 +486,15 @@ class EngineSpec extends AnyFunSuite {
     assert(res.resultCode("spark") == "success", res.notices.mkString("; "))
     // every Spark write job stamps its part files with one job UUID
     // (part-00000-<uuid>…): untouched partitions must still carry the SEED
-    // job's uuid, while delta partitions carry a different (publish) uuid
-    def jobUuids(bk: Int): Set[String] =
-      new java.io.File(s"$src/bk=$bk").listFiles()
+    // job's uuid in their CURRENT manifest version, while delta partitions
+    // carry a different (publish) uuid
+    def jobUuids(bk: Int): Set[String] = {
+      val cur = ManifestTable.currentDataDir(s"$src/bk=$bk")
+        .getOrElse(fail(s"no MANIFEST for bk=$bk"))
+      new java.io.File(cur).listFiles()
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getName.split("-", 3)(2)).toSet
+    }
     val seedUuids = jobUuids(5)
     assert(seedUuids.nonEmpty && jobUuids(7) == seedUuids,
       "untouched partitions must keep the seed write's files")
@@ -438,6 +502,12 @@ class EngineSpec extends AnyFunSuite {
       "updated partition bk=0 must be rewritten by a different write job")
     assert((jobUuids(1) intersect seedUuids).isEmpty,
       "insert partition bk=1 must be rewritten by a different write job")
+    // untouched partitions are still on their SEED version (v1 — never
+    // republished), touched partitions moved past it
+    def gen(bk: Int): Int = ManifestTable.currentVersion(s"$src/bk=$bk")
+      .get.drop(1).takeWhile(_.isDigit).toInt
+    assert(gen(5) == 1 && gen(7) == 1)
+    assert(gen(0) > 1 && gen(1) > 1)
     // and the merge outcome is visible: updates marked, inserts landed
     import org.apache.spark.sql.functions._
     val t = spark.table("mrg_tbl")

@@ -164,12 +164,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"expected only our repartition: $exchanges")
   }
 
-  test("w03 merge action prunes the base scan to its own partition") {
+  test("w03 staging through the partitioned-manifest view reads exactly " +
+      "one partition's files: the bk literal folds every other branch") {
     import spark.implicits._
-    // one rendered per-partition merge action (test_merge/01_step.sql with
-    // GEN_OBJ_FLD_1 = 0): the literal bk predicate must reach the scan as
-    // a PartitionFilter selecting exactly one partition — the property
-    // that keeps merge cost ∝ delta footprint at 100 TB
+    import graft.engine.PartitionedManifest
+    val root = java.nio.file.Files.createTempDirectory("pa-pman").toString
+    val seedDf = (1 to 100).map(i => (i.toLong, i % 5)).toDF("k", "bk")
+    PartitionedManifest.seed(spark, root, seedDf, "bk")
+    // the test_merge/02_step.sql shape: the view's branches carry bk as a
+    // typed literal, so `WHERE bk = 2` constant-folds 4 of the 5 union
+    // branches to empty relations — the surviving plan scans ONE
+    // partition's current version directory
+    val q = PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"bk" === 2)
+    val scans = allNodes(executedPlan(q)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1,
+      s"expected 1 surviving branch scan, got ${scans.length}")
+    assert(scans.head.relation.location.rootPaths.forall(
+      _.toString.contains("bk=2")),
+      scans.head.relation.location.rootPaths.mkString(","))
+    assert(q.as[(Long, Int)].collect().length == 20)
+  }
+
+  test("w03 merge action prunes the base scan to its own partition " +
+      "(plain partitioned-table idiom)") {
+    import spark.implicits._
+    // the same pruning contract on a catalog-partitioned table: the
+    // literal bk predicate must reach the scan as a PartitionFilter
+    // selecting exactly one partition — the property that keeps merge
+    // cost ∝ delta footprint at 100 TB
     val src = java.nio.file.Files.createTempDirectory("pa-mrg").toString
     spark.sql("DROP TABLE IF EXISTS pa_mrg_tbl")
     Tables.load(spark, dir, "customer").createOrReplaceTempView("pa_customer")

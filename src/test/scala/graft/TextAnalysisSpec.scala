@@ -247,6 +247,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ids == Seq((7L, Seq(1L, 1L, 2L, 3L))))
   }
 
+  test("batched BPE training: batchR=1 degenerates to the sequential " +
+      "trainer exactly; a disjoint-token corpus batches in one round") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"text")
+    val seq3 = TextAnalysis.bpeLearnMerges(docs, "text", iters = 3)
+    val bat3 = TextAnalysis.bpeLearnMergesBatched(docs, "text",
+      rounds = 3, batchR = 1, candK = 64)
+    assert(bat3 == seq3,
+      "batchR=1 must equal sequential BPE round for round")
+    // fully disjoint alphabets: all four merges are independent, so ONE
+    // round learns what sequential needs four scans for, in the same
+    // (count DESC, a, b) order
+    val disjoint = Seq("ab ab ab cd cd ef ef gh").toDF("text")
+    val one = TextAnalysis.bpeLearnMergesBatched(disjoint, "text",
+      rounds = 1, batchR = 8, candK = 64)
+    assert(one == Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+    val four = TextAnalysis.bpeLearnMerges(disjoint, "text", iters = 4)
+    assert(one == four, "independent merges must match sequential")
+  }
+
+  test("batched BPE training reaches a 256+ merge vocabulary in 18 " +
+      "scans (2 jobs/round) - the t18 loop would need 512+ jobs") {
+    import spark.implicits._
+    // deterministic 26-letter pseudo-word corpus: diverse enough that
+    // per-round acceptance is alphabet-limited only in the first rounds
+    // and grows as merged tokens diversify (the regime a real tokenizer
+    // corpus is in from the start)
+    val docs = spark.range(5000).select(
+      expr("concat_ws('', transform(sequence(0, 9), " +
+        "j -> char(97 + pmod(hash(id * 31 + j), 26))))").as("w"))
+      .groupBy(lit(1))
+      .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+    val m = TextAnalysis.bpeLearnMergesBatched(docs, "text",
+      rounds = 18, batchR = 64, candK = 2048)
+    assert(m.size >= 256, s"learned only ${m.size} merges in 18 rounds")
+    assert(m.distinct.size == m.size, "duplicate merges learned")
+    // round-trip: the batched merge table drives the t19 apply path
+    val vocab = TextAnalysis.bpeVocab(docs, "text", m.take(64), topN = 20)
+      .as[(String, Long)].collect()
+    assert(vocab.nonEmpty && vocab.forall(_._2 > 0))
+  }
+
   test("bpeEncodeIds arrays reproduce bpeEncode's (n_bpe, checksum) on " +
       "the real corpus, and the staged table reads back file-only") {
     import spark.implicits._
