@@ -10,10 +10,12 @@
 -- concurrent reader sees each partition's complete old or new version,
 -- never the torn old/new file mix dynamic partition overwrite exposes.
 -- Delta/Iceberg targets would run MERGE INTO directly.
+DROP TABLE IF EXISTS mrg_tbl;
 DROP VIEW IF EXISTS mrg_tbl;
+DROP VIEW IF EXISTS mrg_seed;
 DROP TABLE IF EXISTS mrg_seed;
 DROP TABLE IF EXISTS mrg_delta;
-CREATE TABLE mrg_seed USING parquet LOCATION 'DBC_PL_mrg_stage/seed'
+CREATE TABLE mrg_seed USING parquet PARTITIONED BY (bk) LOCATION 'DBC_PL_mrg_src'
 AS SELECT c_custkey, c_name, c_acctbal, CAST(c_custkey % 20 AS INT) AS bk
    FROM customer;
 -- the delta: updates to every 100th key (lands in bk 0) plus brand-new

@@ -9,10 +9,12 @@
 -- (graft.engine.PartitionedManifest), closing the torn-read window the
 -- previous dynamic partition overwrite left open. Delta/Iceberg targets
 -- would run the canonical two-branch MERGE INTO.
+DROP TABLE IF EXISTS scd_dim;
 DROP VIEW IF EXISTS scd_dim;
+DROP VIEW IF EXISTS scd_seed;
 DROP TABLE IF EXISTS scd_seed;
 DROP TABLE IF EXISTS scd_delta;
-CREATE TABLE scd_seed USING parquet LOCATION 'DBC_PL_scd_stage/seed'
+CREATE TABLE scd_seed USING parquet PARTITIONED BY (bk) LOCATION 'DBC_PL_scd_src'
 AS SELECT c_custkey, c_mktsegment, DATE '2024-01-01' AS valid_from,
           DATE '9999-12-31' AS valid_to, true AS is_current,
           CAST(c_custkey % 20 AS INT) AS bk

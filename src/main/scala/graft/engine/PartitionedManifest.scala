@@ -27,15 +27,19 @@ import org.apache.spark.sql.functions._
   * from here to a full Iceberg-style table format, noted in SURVEY).
   *
   * The partition column is carried by the DIRECTORY NAME (hive-style
-  * `col=value`), never by the data files; readers re-attach it as a
-  * literal per partition branch — which also means a `WHERE col = k`
-  * filter constant-folds every other branch to an empty relation, so
-  * the merge staging scan still reads exactly one partition's files
-  * (plan-asserted in PlanAuditSpec).
+  * `col=value`), never by the data files.
   *
-  * In-session readers go through a session view rebuilt with ONE
-  * catalog operation after each publish (the w02 property); fresh
-  * engines resolve the per-partition pointers directly via [[read]].
+  * Two reader paths. In-session serving goes through
+  * [[syncCatalogTable]]: an external partitioned catalog table whose
+  * per-partition LOCATIONs are the current version directories —
+  * publish flips a partition with one `ALTER TABLE … SET LOCATION`
+  * (a single catalog operation, the w02 no-torn-read property), and
+  * queries plan ONE partitioned relation with real PartitionFilters
+  * pruning (plan-asserted in PlanAuditSpec). Fresh engines with no
+  * catalog resolve the per-partition pointer files directly via
+  * [[read]], whose literal-partition-column union branches
+  * constant-fold under a `col = k` filter to a single partition's
+  * scan (also plan-asserted).
   */
 object PartitionedManifest {
 
@@ -45,7 +49,12 @@ object PartitionedManifest {
   def seed(spark: SparkSession, root: String, df: DataFrame,
       partCol: String): Unit = {
     val scratch = s"$root/.seed-${java.util.UUID.randomUUID.toString.take(8)}"
-    df.write.mode("error").partitionBy(partCol).parquet(scratch)
+    // one writer task per partition value: without the repartition every
+    // shuffle partition writes a sliver into every bk=N dir (tasks x
+    // partitions small files - the 100 TB anti-pattern), and the write
+    // job itself costs ~2x in task scheduling
+    df.repartition(col(partCol))
+      .write.mode("error").partitionBy(partCol).parquet(scratch)
     val fs = new HPath(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new HPath(scratch))
@@ -57,6 +66,30 @@ object PartitionedManifest {
         p.getPath.toString)
     }
     fs.delete(new HPath(scratch), true)
+  }
+
+  /** Migrate an EXISTING hive-partitioned layout (plain `root/bk=N/`
+    * parquet dirs, e.g. a partitioned CTAS output) into the manifest
+    * layout IN PLACE: each partition's files move into their v1 version
+    * directory by two renames — zero bytes rewritten, the adoption
+    * story a 100 TB table needs. Idempotent: partitions that already
+    * have a MANIFEST are left untouched (resume-safe). */
+  def adoptExisting(spark: SparkSession, root: String,
+      partCol: String): Unit = {
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new HPath(root))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$partCol="))
+    parts.foreach { p =>
+      val name = p.getPath.getName
+      if (!fs.exists(new HPath(p.getPath, "MANIFEST"))) {
+        val tmp = new HPath(root, s".adopt-$name")
+        require(fs.rename(p.getPath, tmp),
+          s"PartitionedManifest: cannot stage $name for adoption")
+        ManifestTable.adoptVersion(s"$root/$name", tmp.toString)
+      }
+    }
   }
 
   /** Publish one partition's replacement rows (the staged copy-on-write
@@ -91,11 +124,17 @@ object PartitionedManifest {
       partType: String): DataFrame = {
     val parts = partitionValues(spark, root, partCol)
     require(parts.nonEmpty, s"PartitionedManifest: no $partCol=* under $root")
-    parts.map { v =>
-      val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
+    val dirs = parts.map { v =>
+      v -> ManifestTable.currentDataDir(s"$root/$partCol=$v")
         .getOrElse(sys.error(
           s"PartitionedManifest: no MANIFEST under $root/$partCol=$v"))
-      spark.read.parquet(dir)
+    }
+    // resolve the schema from ONE partition and pin it on the rest —
+    // without this every branch pays its own footer-inference job, a
+    // per-refresh cost linear in partition count
+    val schema = spark.read.parquet(dirs.head._2).schema
+    dirs.map { case (v, dir) =>
+      spark.read.schema(schema).parquet(dir)
         .withColumn(partCol, lit(v).cast(partType))
     }.reduce(_.unionByName(_))
   }
@@ -105,6 +144,52 @@ object PartitionedManifest {
   def refreshView(spark: SparkSession, root: String, view: String,
       partCol: String, partType: String): Unit =
     read(spark, root, partCol, partType).createOrReplaceTempView(view)
+
+  /** In-session serving through the CATALOG: an external partitioned
+    * table whose per-partition LOCATIONs point at the current version
+    * directories. Publishing flips a partition with one `ALTER TABLE …
+    * SET LOCATION` — a single catalog operation, so in-session readers
+    * get the same per-partition old-or-new guarantee as the pointer
+    * file gives cross-session readers — and the table plans as ONE
+    * partitioned relation: real PartitionFilters pruning, no N-branch
+    * union (the view path costs a scan node per partition, which is
+    * planning overhead linear in partition count on every query). */
+  def syncCatalogTable(spark: SparkSession, root: String, table: String,
+      partCol: String, partType: String): Unit = {
+    val parts = partitionValues(spark, root, partCol)
+    require(parts.nonEmpty, s"PartitionedManifest: no $partCol=* under $root")
+    val dirs = parts.map { v =>
+      v -> ManifestTable.currentDataDir(s"$root/$partCol=$v")
+        .getOrElse(sys.error(
+          s"PartitionedManifest: no MANIFEST under $root/$partCol=$v"))
+    }
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(dirs.head._2).schema
+      val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}")
+        .mkString(", ")
+      spark.sql(s"CREATE TABLE `$table` ($cols, `$partCol` $partType) " +
+        s"USING parquet PARTITIONED BY (`$partCol`) LOCATION '$root'")
+    }
+    // steady-state sync is catalog-diff-driven: one batched ADD for new
+    // partitions, and a SET LOCATION only where the pointer moved (a
+    // publish touches the delta's partition footprint, so this is
+    // delta-count statements, not partition-count)
+    val existing: Map[String, String] = spark.sharedState.externalCatalog
+      .listPartitions("default", table)
+      .map(p => p.spec(partCol) -> p.location.toString).toMap
+    def norm(s: String) = s.stripPrefix("file:").stripSuffix("/")
+    val added = dirs.filterNot { case (v, _) => existing.contains(v) }
+    if (added.nonEmpty)
+      spark.sql(s"ALTER TABLE `$table` ADD IF NOT EXISTS " +
+        added.map { case (v, dir) =>
+          s"PARTITION ($partCol=$v) LOCATION '$dir'" }.mkString(" "))
+    dirs.foreach { case (v, dir) =>
+      if (existing.get(v).exists(loc => norm(loc) != norm(dir)))
+        spark.sql(s"ALTER TABLE `$table` PARTITION ($partCol=$v) " +
+          s"SET LOCATION '$dir'")
+    }
+    spark.sql(s"REFRESH TABLE `$table`")
+  }
 
   /** Standing registrations for the merge/SCD2 packets' seed and
     * publish steps (idempotent — call before running these packets). */
@@ -119,10 +204,11 @@ object PartitionedManifest {
       "scd_delta", "scd_stage_", "scd_dim", "scd_src", "bk", "int")
   }
 
-  /** Seed step: convert the run_once-created seed TABLE into the
-    * per-partition manifest layout under the root placeholder, expose
-    * the session view, drop the seed table. Resume-safe: if the seed
-    * table is already gone, only the view is rebuilt. */
+  /** Seed step: adopt the run_once-created partitioned CTAS (already
+    * written AT the manifest root) into the per-partition manifest
+    * layout - in-place renames, no second write - and expose the
+    * catalog table over the current pointers. Resume-safe: already
+    * adopted partitions are skipped and the sync is a no-op diff. */
   def registerSeedStep(packet: String, stepFile: String, seedTable: String,
       view: String, rootKey: String, partCol: String,
       partType: String): Unit =
@@ -130,13 +216,15 @@ object PartitionedManifest {
       val spark = ctx.spark
       val root = ctx.placeholders.getOrElse(rootKey,
         sys.error(s"$packet/$stepFile: missing placeholder $rootKey"))
-      if (spark.catalog.tableExists(seedTable)) {
-        seed(spark, root, spark.table(seedTable), partCol)
+      // run_once materialized the seed ONCE as a partitioned external
+      // CTAS at the manifest root; drop its catalog entry (files stay)
+      // and adopt the partition dirs in place - zero bytes rewritten
+      if (spark.catalog.tableExists(seedTable))
         spark.sql(s"DROP TABLE IF EXISTS `$seedTable`")
-        ctx.notice("info",
-          s"seeded partitioned manifest $view -> $root ($partCol)")
-      }
-      refreshView(spark, root, view, partCol, partType)
+      adoptExisting(spark, root, partCol)
+      syncCatalogTable(spark, root, view, partCol, partType)
+      ctx.notice("info",
+        s"adopted partitioned manifest $view -> $root ($partCol)")
     }
 
   /** Publish step: for each delta-touched partition (bounded: the
@@ -157,6 +245,6 @@ object PartitionedManifest {
           spark.table(s"$stagePrefix$v"))
         ctx.notice("info", s"published $view $partCol=$v -> $dir")
       }
-      refreshView(spark, root, view, partCol, partType)
+      syncCatalogTable(spark, root, view, partCol, partType)
     }
 }
