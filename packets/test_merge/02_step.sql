@@ -1,9 +1,9 @@
 -- stage ONE delta-touched partition (a publish must not overwrite a
 -- partition it is reading, so each action stages first): mrg_tbl is the
--- per-partition-manifest VIEW, whose branches carry bk as a literal —
--- the static bk literal from the generator constant-folds every OTHER
--- branch to an empty relation (plan-asserted in PlanAuditSpec), so this
--- scan reads exactly one partition's current version files. That is
+-- per-partition-manifest CATALOG table (partition locations = current
+-- version dirs), so the static bk literal from the generator reaches
+-- the scan as a PartitionFilter selecting exactly one partition's
+-- current version files (plan-asserted in PlanAuditSpec). That is
 -- what keeps merge cost proportional to the delta's partition footprint
 -- at any scale. An IN-subquery over the delta would NOT prune (it plans
 -- as a semi-join scanning every partition).

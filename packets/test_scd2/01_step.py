@@ -1,7 +1,7 @@
-# Seed the per-partition manifest layout
-# (graft.engine.PartitionedManifest.registerSeedStep): one partitioned
-# write job lays scd_seed out hive-style, each bk=N directory is ADOPTED
-# (one rename, no data copy) as version 1 of its own MANIFEST root under
-# DBC_PL_scd_src, the session view scd_dim is built over the current
-# pointers, and the seed table is dropped. Resume-safe: if the seed
-# table is already gone, only the view rebuilds.
+# Adopt the run_once-created partitioned CTAS into the per-partition
+# manifest layout (graft.engine.PartitionedManifest.registerSeedStep):
+# drop the CTAS catalog entry (files stay), move each bk=N dir into its
+# v000001 version dir behind a MANIFEST pointer (two renames, zero
+# bytes rewritten), and expose scd_dim as an external partitioned
+# catalog table over the current pointers. Resume-safe: adopted
+# partitions are skipped.

@@ -1,6 +1,7 @@
--- stage ONE delta-touched partition (static bk literal constant-folds
--- every other view branch to empty — the test_merge idiom, so the scan
--- reads one partition's current version): untouched keys pass through, a touched
+-- stage ONE delta-touched partition (static bk literal = PartitionFilters
+-- pruning on the manifest-backed catalog table, the test_merge idiom —
+-- the scan reads one partition's current version): untouched keys pass
+-- through, a touched
 -- key's CURRENT row closes at the effective date, its history rows are
 -- copied byte-identical, and the delta contributes the new current row.
 DROP TABLE IF EXISTS scd_stage_GEN_OBJ_FLD_1;
