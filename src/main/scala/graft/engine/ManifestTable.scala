@@ -135,6 +135,12 @@ object ManifestTable {
     } finally fs.delete(lock, false)
   }
 
+  /** Swap a root-level pointer to an arbitrary name through the same
+    * atomic-rename machinery as [[publish]] (PartitionedManifest's
+    * snapshot commits ride this). */
+  private[engine] def swapRootPointer(root: String, name: String): Unit =
+    swapPointer(fsFor(root), root, name)
+
   /** Atomic create-new of the lock file; breaks locks older than
     * [[LockStaleMs]] (a crashed publisher), fails loudly on a live one. */
   private def acquireLock(fs: FileSystem, root: String): HPath = {

@@ -191,6 +191,119 @@ object PartitionedManifest {
     spark.sql(s"REFRESH TABLE `$table`")
   }
 
+  // ---------------------------------------------------------------------
+  // SNAPSHOT commits: one ROOT-level pointer over the whole partition
+  // set — the cross-partition consistency the per-partition pointers
+  // deliberately do not claim. A snapshot file lists every partition's
+  // version directory; publishing a delta writes the touched partitions'
+  // new version dirs, then swaps the single root MANIFEST to a new
+  // snapshot file naming the updated mapping — so a reader that
+  // resolves one snapshot sees EVERY partition at that commit, even
+  // when a publish touches many partitions (the Iceberg snapshot
+  // model, realized with the same pointer-file machinery). Old
+  // snapshots stay readable until GC'd (keep-N horizon) — time travel.
+
+  private val SnapDir = "_snapshots"
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Parse a snapshot file: lines of `value<TAB>versionDirName`. */
+  def snapshotMapping(spark: SparkSession, root: String,
+      snap: String): Seq[(String, String)] = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(new HPath(s"$root/$SnapDir/$snap"))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(v, dir) = l.split("\t", 2); (v, dir)
+    }.toSeq
+  }
+
+  /** The current snapshot name (root MANIFEST content), if committed. */
+  def currentSnapshot(spark: SparkSession, root: String): Option[String] = {
+    val fs = fsOf(spark, root)
+    val p = new HPath(root, "MANIFEST")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** All committed snapshots, oldest first (generation-ordered names). */
+  def snapshots(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val dir = new HPath(root, SnapDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("s")).sorted.toSeq
+  }
+
+  /** Commit a snapshot: write the touched partitions' new version dirs
+    * (each also advancing its per-partition pointer, so both reader
+    * paths agree), then swap the ONE root pointer to a snapshot file
+    * naming every partition's version — the whole delta becomes visible
+    * in a single atomic rename. Pass `updates` as partitionValue → new
+    * rows (without the partition column). Returns the snapshot name. */
+  def commitSnapshot(spark: SparkSession, root: String, partCol: String,
+      updates: Map[String, DataFrame]): String = {
+    val base: Map[String, String] = currentSnapshot(spark, root) match {
+      case Some(s) => snapshotMapping(spark, root, s).toMap
+      case None => // adopt the standing per-partition pointers as gen-0
+        partitionValues(spark, root, partCol).map { v =>
+          v -> new HPath(ManifestTable.currentDataDir(s"$root/$partCol=$v")
+            .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v")))
+            .getName
+        }.toMap
+    }
+    val written = updates.map { case (v, df) =>
+      v -> new HPath(publishPartition(spark, root, partCol, v, df)).getName
+    }
+    val mapping = (base ++ written).toSeq.sortBy(_._1)
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new HPath(root, SnapDir))
+    val gen = snapshots(spark, root).lastOption
+      .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
+    val snap = f"s$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+    val body = mapping.map { case (v, d) => s"$v\t$d" }.mkString("\n") + "\n"
+    val tmp = new HPath(root, s"$SnapDir/.$snap.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, new HPath(root, s"$SnapDir/$snap")),
+      s"cannot write snapshot $snap")
+    // the root pointer swap reuses ManifestTable's atomic-rename path
+    // (NIO ATOMIC_MOVE on local, FileContext OVERWRITE elsewhere)
+    ManifestTable.swapRootPointer(root, snap)
+    // snapshot horizon = the per-partition keep-2 GC's: the CURRENT and
+    // PREVIOUS commits stay fully readable (every partition keeps its
+    // pointed-to version plus one predecessor); older snapshot files
+    // would dangle into GC'd version dirs, so they go too
+    val keep = snapshots(spark, root).takeRight(2).toSet + snap
+    snapshots(spark, root).filterNot(keep).foreach(s =>
+      fs.delete(new HPath(root, s"$SnapDir/$s"), false))
+    snap
+  }
+
+  /** Read a COMMITTED snapshot — every partition at one commit, the
+    * cross-partition-consistent view. Defaults to the current one. */
+  def readSnapshot(spark: SparkSession, root: String, partCol: String,
+      partType: String, snapshot: Option[String] = None): DataFrame = {
+    val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
+      sys.error(s"PartitionedManifest: no snapshot committed under $root"))
+    val mapping = snapshotMapping(spark, root, snap)
+    require(mapping.nonEmpty, s"empty snapshot $snap")
+    val schema = spark.read.parquet(s"$root/$partCol=${mapping.head._1}/" +
+      mapping.head._2).schema
+    mapping.map { case (v, d) =>
+      spark.read.schema(schema).parquet(s"$root/$partCol=$v/$d")
+        .withColumn(partCol, lit(v).cast(partType))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Standing registrations for the merge/SCD2 packets' seed and
     * publish steps (idempotent — call before running these packets). */
   def ensurePacketPublishSteps(): Unit = {

@@ -34,9 +34,20 @@ object Packing {
 
   def sequenceChunks(
       docs: DataFrame, idCol: String, textCol: String,
+      window: Int, numPartitions: Option[Int] = None): DataFrame =
+    sequenceChunksFromCounts(
+      docs.select(col(idCol).cast("long").as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long")
+          .as("n_tokens")),
+      idCol, window, numPartitions)
+
+  /** [[sequenceChunks]] over PRE-COUNTED lengths — the packer a real
+    * pipeline runs over t22's staged token-id table, where `n_tokens`
+    * is the BPE token count of the materialized arrays rather than a
+    * whitespace proxy (p28). Input must be (id long, n_tokens long). */
+  def sequenceChunksFromCounts(
+      counted: DataFrame, idCol: String,
       window: Int, numPartitions: Option[Int] = None): DataFrame = {
-    val counted = docs.select(col(idCol).cast("long").as("id"),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
     // 1. id-ordered partitions (ranges are globally ordered, so prefix
     //    offsets by partition id ARE stream offsets); the in-partition
     //    sort keeps the checkpoint layout ordered, and the window below

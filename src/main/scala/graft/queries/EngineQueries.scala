@@ -129,6 +129,55 @@ object EngineQueries {
              ELSE 'high' END AS acct_band
       FROM supplier ORDER BY s_suppkey""")),
 
+    // SNAPSHOT commit + time travel (graft.engine.PartitionedManifest):
+    // one root-level pointer over the whole partition set — a
+    // multi-partition publish becomes visible in a single atomic rename
+    // (cross-partition consistency, the step past w03/w04's
+    // per-partition pointers), and the previous snapshot stays readable
+    // (keep-2 horizon = time travel). The query seeds a 2-partition
+    // table, commits a second snapshot rewriting partition 0, and reads
+    // BOTH snapshots back; the oracle recomputes both versions
+    // relationally from the nation fixture.
+    QuerySpec("w06_snapshot_time_travel", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat, lit}
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w06").toString
+      val nation = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          ($"n_regionkey" % 2).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, nation, "bk")
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty)
+      val p0 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .filter($"bk" === 0)
+        .select($"n_nationkey", concat($"n_name", lit(" (v2)")).as("n_name"))
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map("0" -> p0))
+      val snaps = PartitionedManifest.snapshots(s, root)
+      val s1 = PartitionedManifest
+        .readSnapshot(s, root, "bk", "int", Some(snaps.head))
+        .withColumn("snap", lit(1L))
+      val s2 = PartitionedManifest
+        .readSnapshot(s, root, "bk", "int", Some(snaps.last))
+        .withColumn("snap", lit(2L))
+      s1.unionByName(s2)
+        .select($"snap", $"n_nationkey", $"n_name",
+          $"bk".cast("long").as("bk"))
+        .orderBy($"snap", $"n_nationkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey % 2 AS BIGINT) AS bk
+        FROM nation),
+      s1 AS (SELECT 1 AS snap, n_nationkey, n_name, bk FROM base),
+      s2 AS (SELECT 2 AS snap, n_nationkey,
+               CASE WHEN bk = 0 THEN n_name || ' (v2)' ELSE n_name END
+                 AS n_name, bk
+             FROM base)
+      SELECT CAST(snap AS BIGINT) AS snap, n_nationkey, n_name, bk
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      ORDER BY snap, n_nationkey""")),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -3335,6 +3335,54 @@ object PipelineQueries {
           AS BIGINT) AS chunk_last
       FROM c2 ORDER BY doc_id"""), bench = true),
 
+    // Sequence packing over the MATERIALIZED tokenizer output: p03's
+    // concat-then-chunk layout computed from t22's staged token-id
+    // table, so the window math runs on REAL BPE token counts
+    // (size(token_ids)) instead of the whitespace proxy — the
+    // composition a training pipeline actually ships (encode -> pack).
+    // Same distributed prefix-sum (never a single-partition window);
+    // the oracle re-derives each doc's BPE token count from the corpus
+    // (12-stage merge replay -> per-word segment counts) and replays
+    // the cumsum layout.
+    QuerySpec("p28_pack_token_ids", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val merges = learnedBpeMerges(s, dir)
+      TextAnalysis.ensureBpeTokensStaged(s, dir, docs, "doc_id", "text",
+        merges)
+      Packing.sequenceChunksFromCounts(
+          s.table(TextAnalysis.bpeStagedTable(dir, merges))
+            .select($"doc_id".cast("long").as("id"),
+              size($"token_ids").cast("long").as("n_tokens")),
+          "doc_id", window = 512)
+        .orderBy($"doc_id")
+    }, oracle = Some(bpeOracle(12, """,
+      wsegs AS MATERIALIZED (
+        SELECT w, CAST(len(string_split(substr(rep, 2, length(rep) - 2),
+          '||')) AS BIGINT) AS nseg
+        FROM rep12),
+      dwords AS (
+        SELECT doc_id, wi, ws[wi] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents))
+        WHERE length(ws[wi]) >= 1 AND ws[wi] NOT LIKE '%|%'),
+      counts AS (
+        SELECT doc_id, CAST(sum(s.nseg) AS BIGINT) AS n_tokens
+        FROM dwords d JOIN wsegs s USING (w) GROUP BY doc_id),
+      c2 AS (
+        SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        FROM counts)
+      SELECT doc_id, n_tokens,
+        CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+        CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS chunk_first,
+        CAST(floor(greatest(tok_end - 1, tok_end - n_tokens) / 512.0)
+          AS BIGINT) AS chunk_last
+      FROM c2 ORDER BY doc_id"""))),
+
     // As-of join: each purchase event attached to the user's latest view
     // event at or before it (last-touch attribution). Spark side is the
     // union-merge single-shuffle formulation (operators/AsOf.scala — no

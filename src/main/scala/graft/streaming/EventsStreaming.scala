@@ -266,6 +266,46 @@ object EventsStreaming {
       VectorFunctions.int8Quantize(col("embedding")), centroids))
   }
 
+  /** Streaming twin of the w03 merge path: a stream of keyed upserts
+    * folds into a [[graft.engine.PartitionedManifest]] table through
+    * `foreachBatch` — each micro-batch anti-joins the touched
+    * partitions' CURRENT versions against its delta keys, unions the
+    * delta, and commits ONE snapshot, so readers see the whole
+    * micro-batch's merge atomically across every touched partition
+    * (the cross-partition guarantee the batch packet gets from
+    * commitSnapshot), and partitions no batch touches are never
+    * rewritten. No state store: the table IS the state, and the fold
+    * is idempotent per batch (re-running a batch re-publishes the same
+    * merged rows as a fresh version — at-least-once safe). The caller
+    * pre-dedupes keys WITHIN a batch (upsert semantics need one row
+    * per key per commit; StreamingSpec feeds unique keys).
+    *
+    * At 100 TB: per batch, cost = the delta's partition footprint
+    * (read current + rewrite of ONLY the touched partitions), exactly
+    * the batch merge's posture — a micro-batch is just a small delta. */
+  def mergePublishBatch(spark: org.apache.spark.sql.SparkSession,
+      root: String, partCol: String, keyCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    if (batch.isEmpty) return
+    val delta = batch.localCheckpoint() // freeze: read once per partition
+    val touched = delta.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val updates = touched.map { v =>
+      val d = delta.filter(col(partCol).cast("string") === v).drop(partCol)
+      val merged = ManifestTable
+        .currentDataDir(s"$root/$partCol=$v") match {
+          case Some(dir) =>
+            val cur = spark.read.parquet(dir)
+            cur.join(d.select(col(keyCol)), Seq(keyCol), "left_anti")
+              .unionByName(d)
+          case None => d // brand-new partition
+        }
+      v -> merged
+    }.toMap
+    PartitionedManifest.commitSnapshot(spark, root, partCol, updates)
+  }
+
   final case class DocArrival(doc_id: Long, text: String,
       ts: java.sql.Timestamp)
 

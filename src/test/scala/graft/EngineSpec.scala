@@ -388,6 +388,66 @@ class EngineSpec extends AnyFunSuite {
     assert(finalRead.toSeq == Seq(6L))
   }
 
+  test("snapshot commit: a reader racing multi-partition commits sees " +
+      "EVERY partition at one commit (cross-partition consistency), and " +
+      "the previous snapshot stays time-travel readable") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    def part(v: Int) = (1 to 20).map(i => (v.toLong, i.toLong)).toDF("v", "i")
+    PartitionedManifest.seed(spark, root,
+      part(0).withColumn("bk",
+          org.apache.spark.sql.functions.lit(0))
+        .unionByName(part(0).withColumn("bk",
+          org.apache.spark.sql.functions.lit(1))), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map.empty) // gen-1 snapshot adopts the seeded pointers
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        // EVERY commit updates BOTH partitions with the same v: a
+        // consistent read returns exactly one v across the whole table.
+        // Per-partition pointers can legitimately interleave mid-commit;
+        // the SNAPSHOT read must never show that (the claim under test).
+        // GC-horizon losses get the usual fresh-resolve retries.
+        def scan(): Option[Seq[Long]] =
+          try Some(PartitionedManifest
+            .readSnapshot(spark, root, "bk", "int")
+            .select($"v").distinct().as[Long].collect().toSeq.sorted)
+          catch { case _: Throwable => None }
+        scan().orElse(scan()).orElse(scan()) match {
+          case Some(vs) =>
+            if (vs.length != 1)
+              bad.compareAndSet(null, s"torn snapshot: versions $vs")
+            reads.incrementAndGet()
+          case None =>
+            bad.compareAndSet(null, "reader failed three times in a row")
+        }
+      }
+    })
+    reader.start()
+    for (v <- 1 to 5) {
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("0" -> part(v).drop("bk"), "1" -> part(v).drop("bk")))
+      Thread.sleep(50)
+    }
+    stop.set(true)
+    reader.join(60000)
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(reads.get() > 0, "reader never completed a read")
+    // time travel: the previous commit is still fully readable
+    val snaps = PartitionedManifest.snapshots(spark, root)
+    assert(snaps.length == 2, snaps)
+    val prev = PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      Some(snaps.head)).select($"v").distinct().as[Long].collect()
+    val cur = PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      Some(snaps.last)).select($"v").distinct().as[Long].collect()
+    assert(prev.toSeq == Seq(4L), s"previous snapshot: ${prev.toSeq}")
+    assert(cur.toSeq == Seq(5L), s"current snapshot: ${cur.toSeq}")
+  }
+
   test("manifest publish is single-writer: a live lock fails loudly, a " +
       "stale lock from a crashed publisher is broken") {
     val root = Files.createTempDirectory("graft-manifest-lock").toString

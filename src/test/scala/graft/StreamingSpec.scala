@@ -761,4 +761,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(scan.selectedPartitions.partitionCount <= 4,
       s"probe read ${scan.selectedPartitions.partitionCount} list dirs")
   }
+  test("streaming merge-publish twin: micro-batch upserts fold into the " +
+      "partitioned manifest atomically per batch, stream == batch merge, " +
+      "untouched partitions keep their seed version") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    val root = java.nio.file.Files.createTempDirectory("merge-twin").toString
+    // seed: 40 keys across 4 partitions
+    val seedRows = (0L until 40L).map(k => Upsert(k, s"base$k", (k % 4).toInt))
+    PartitionedManifest.seed(spark, root, seedRows.toDF(), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    // upserts: updates to bk 0/1 keys plus brand-new keys in bk 1 -
+    // partitions 2 and 3 are never touched
+    val ups = Seq(
+      Seq(Upsert(0, "upd0", 0), Upsert(5, "upd5", 1)),
+      Seq(Upsert(8, "upd8", 0), Upsert(100, "new100", 1)),
+      Seq(Upsert(0, "upd0b", 0), Upsert(101, "new101", 1)))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Upsert]
+    val q = mem.toDF().writeStream
+      .foreachBatch(EventsStreaming.mergePublishBatch(
+        spark, root, "bk", "k") _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("merge-chk").toString)
+      .start()
+    try ups.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // stream result == the batch merge of all upserts (last write wins
+    // across batches - batch 3 re-upserts k=0)
+    val got = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+      .select($"k", $"payload").as[(Long, String)].collect().toMap
+    val want = seedRows.map(u => u.k -> u.payload).toMap ++
+      ups.flatten.map(u => u.k -> u.payload).toMap
+    assert(got == want)
+    // untouched partitions were never republished
+    for (bk <- Seq(2, 3))
+      assert(ManifestTable.currentVersion(s"$root/bk=$bk")
+        .get.startsWith("v000001"), s"bk=$bk was rewritten")
+    // each micro-batch was ONE snapshot commit (seed commit + horizon:
+    // only the last two survive GC, but generation numbers prove count)
+    val lastSnap = PartitionedManifest.snapshots(spark, root).last
+    assert(lastSnap.startsWith("s000004"), lastSnap) // 1 seed + 3 batches
+  }
+
 }
+
+/** Top-level: MemoryStream encoders need an outer-scope-free case class. */
+final case class Upsert(k: Long, payload: String, bk: Int)
