@@ -689,6 +689,107 @@ object Similarity {
     }
   }
 
+  /** Staged IVF×PQ table names (codes, codebooks), content-keyed by
+    * (sfDir, nlist, m, ksub). */
+  def ivfPqStagedTables(dir: String, nlist: Int, m: Int,
+      ksub: Int): (String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir nlist=$nlist m=$m ksub=$ksub".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (s"ivfpq_codes_$tag", s"ivfpq_codebooks_$tag")
+  }
+
+  private val ivfPqStagedKeys =
+    scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Stage the FULL production ANN index ONCE per (session, sfDir,
+    * nlist, m, ksub): corpus codes written `partitionBy(list_id)` —
+    * the s19 directory pruning AND the s20 code compression in one
+    * artifact (a probe reads nprobe/nlist of the directories, and what
+    * it reads is m bytes/vector, not dim·4) — plus the codebooks
+    * table. Coarse assignment and encode are the exact [[ivfPqTopK]]
+    * expressions, so staged-vs-in-memory results are identical. */
+  def ensureIvfPqStaged(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, nlist: Int, m: Int,
+      ksub: Int): Unit =
+    ivfPqStagedKeys.synchronized {
+      val (codesTable, booksTable) = ivfPqStagedTables(dir, nlist, m, ksub)
+      val key = (System.identityHashCode(spark), codesTable)
+      if (!ivfPqStagedKeys(key)) {
+        for (t <- Seq(codesTable, booksTable)) {
+          spark.sql(s"DROP TABLE IF EXISTS `$t`")
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t)
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(loc, true)
+        }
+        val centroids = seededCentroids(corpus, idCol, vecCol, nlist)
+        val codebooks = pqDerive(corpus, idCol, vecCol, m, ksub)
+        val sub = codebooks.head.head.length
+        import spark.implicits._
+        codebooks.zipWithIndex.flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (vec, c) => (j, c, vec.toSeq) }
+        }.toSeq.toDF("j", "code", "subvec")
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet").saveAsTable(booksTable)
+        val qvec = VectorFunctions.int8Quantize(col(vecCol))
+        val codeCols = (0 until m).map { j =>
+          VectorFunctions.int8NearestList(
+            slice(qvec, j * sub + 1, sub), codebooks(j))
+        }
+        corpus
+          .withColumn("list_id", VectorFunctions.int8NearestList(
+            qvec, centroids))
+          .select(col(idCol), array(codeCols: _*).as("codes"),
+            col("list_id"))
+          .write.mode("overwrite").format("parquet")
+          .partitionBy("list_id").saveAsTable(codesTable)
+        ivfPqStagedKeys += key
+      }
+    }
+
+  /** Serve IVF×PQ from the STAGED index — the production architecture,
+    * persisted end to end: the probe's `list_id IN` prunes partition
+    * DIRECTORIES (only nprobe of nlist lists are read off disk), the
+    * surviving scan is codes-only (m bytes/vector), the bounded ADC
+    * shortlist collects to the driver, and the exact-cosine refine
+    * re-reads just those ids through a pushed parquet filter. Same
+    * centroids, probes, codebooks, encode, ADC, and refine as
+    * [[ivfPqTopK]] — result-identical, shares s13's oracle. */
+  def ivfPqStagedTopK(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      shortlist: Int = 50): DataFrame = {
+    ensureIvfPqStaged(spark, dir, corpus, idCol, vecCol, nlist, m, ksub)
+    val (codesTable, booksTable) = ivfPqStagedTables(dir, nlist, m, ksub)
+    val centroids = seededCentroids(corpus, idCol, vecCol, nlist)
+    val probed = seededProbeLists(spark, centroids, query, nprobe)
+    val rows = spark.table(booksTable)
+      .select(col("j"), col("code"), col("subvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Int](2).toArray))
+    val codebooks = Array.tabulate(m) { j =>
+      val book = rows.filter(_._1 == j).sortBy(_._2)
+      require(book.length == ksub, s"staged codebook $j has ${book.length}")
+      book.map(_._3)
+    }
+    val qq = quantizeQuery(corpus, query)
+    val (dotLut, nrmLut, qNorm) = adcLuts(codebooks, qq)
+    val shortIds: Seq[Any] = spark.table(codesTable)
+      .filter(col("list_id").isin(probed: _*))
+      .select(col(idCol),
+        (lutSum(dotLut, col("codes")).cast("double") /
+          (sqrt(lutSum(nrmLut, col("codes")).cast("double")) *
+           sqrt(lit(qNorm.toDouble)))).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val q = array(query.map(v => lit(v)): _*)
+    corpus.filter(col(idCol).isin(shortIds: _*))
+      .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Serve a PQ top-k from the STAGED index: the ADC ranking scans the
     * codes TABLE (a (id, codes) read — the dim·4/m IO reduction is now
     * physical, plan-asserted), the bounded shortlist ids come back to

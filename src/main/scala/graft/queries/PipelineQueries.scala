@@ -417,6 +417,92 @@ object PipelineQueries {
       FROM scored GROUP BY doc_id
       ORDER BY score_micros DESC, doc_id LIMIT 20"""
 
+  /** DuckDB oracle rebuilding the seeded IVF×PQ composite end to end
+    * (s13 AND s22 — the persisted variant is result-identical by
+    * construction): s03's coarse CTEs (cent/asgn/probe/keep) feeding
+    * s09's PQ CTEs (codes/lut/adc/short/refined). */
+  private val SeededIvfPqOracle: String = """
+      WITH qq AS (
+        SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT embedding, list_aggregate(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id = 0)),
+      cq AS (
+        SELECT vec_id,
+          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
+          END AS q
+        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
+                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+              FROM embeddings WHERE vec_id <> 0)),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cvec
+        FROM cq ORDER BY vec_id LIMIT 16),
+      asgn AS (
+        SELECT vec_id, cidx,
+          row_number() OVER (PARTITION BY vec_id ORDER BY
+            list_aggregate(list_transform(list_zip(c.q, ct.cvec),
+              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+            cidx) AS rn
+        FROM cq c, cent ct),
+      probe AS (
+        SELECT cidx, row_number() OVER (ORDER BY
+          list_aggregate(list_transform(list_zip(qq.q, ct.cvec),
+            x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+          cidx) AS rn
+        FROM qq, cent ct),
+      keep AS (
+        SELECT vec_id FROM asgn WHERE rn = 1 AND cidx IN
+          (SELECT cidx FROM probe WHERE rn <= 4)),
+      subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+      pasgn AS (
+        SELECT c.vec_id, j, cidx,
+          row_number() OVER (PARTITION BY c.vec_id, j ORDER BY
+            list_aggregate(list_transform(list_zip(
+              list_slice(c.q, j * 8 + 1, j * 8 + 8),
+              list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
+              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
+            cidx) AS rn
+        FROM cq c JOIN keep USING (vec_id), cent ct, subs),
+      codes AS (SELECT vec_id, j, cidx AS code FROM pasgn WHERE rn = 1),
+      lut AS (
+        SELECT j, cidx,
+          list_aggregate(list_transform(list_zip(
+            list_slice(qq.q, j * 8 + 1, j * 8 + 8),
+            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
+            x -> CAST(x[1] AS BIGINT) * x[2]), 'sum') AS dot,
+          list_aggregate(list_transform(
+            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8),
+            x -> CAST(x AS BIGINT) * x), 'sum') AS nrm
+        FROM qq, cent ct, subs),
+      qn AS (SELECT list_aggregate(list_transform(q,
+               x -> CAST(x AS BIGINT) * x), 'sum') AS qnorm FROM qq),
+      adc AS (
+        SELECT vec_id,
+          CAST(sum(l.dot) AS DOUBLE) /
+            (sqrt(CAST(sum(l.nrm) AS DOUBLE)) *
+             sqrt(CAST(qn.qnorm AS DOUBLE))) AS adc
+        FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cidx, qn
+        GROUP BY vec_id, qn.qnorm),
+      short AS (
+        SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 50),
+      refined AS (
+        SELECT e.vec_id,
+          list_aggregate(list_transform(list_zip(e.embedding, qe.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+          (sqrt(list_aggregate(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+           sqrt(list_aggregate(list_transform(qe.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM embeddings e JOIN short USING (vec_id),
+          (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+      SELECT vec_id, round(cos, 9) AS cos FROM refined
+      ORDER BY cos DESC, vec_id LIMIT 20"""
+
   private val SeededIvfOracle: String = """
       WITH qq AS (
         SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
@@ -2712,87 +2798,25 @@ object PipelineQueries {
           "embedding", q, k = 20, nlist = 16, nprobe = 4,
           m = 8, ksub = 16, shortlist = 50)
         .select($"vec_id", round($"cos", 9).as("cos"))
-    }, oracle = Some("""
-      WITH qq AS (
-        SELECT CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
-          ELSE list_transform(embedding, x ->
-            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
-          END AS q
-        FROM (SELECT embedding, list_aggregate(list_transform(embedding,
-                x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
-              FROM embeddings WHERE vec_id = 0)),
-      cq AS (
-        SELECT vec_id,
-          CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
-          ELSE list_transform(embedding, x ->
-            CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INTEGER))
-          END AS q
-        FROM (SELECT vec_id, embedding, list_aggregate(list_transform(
-                embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
-              FROM embeddings WHERE vec_id <> 0)),
-      cent AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, q AS cvec
-        FROM cq ORDER BY vec_id LIMIT 16),
-      asgn AS (
-        SELECT vec_id, cidx,
-          row_number() OVER (PARTITION BY vec_id ORDER BY
-            list_aggregate(list_transform(list_zip(c.q, ct.cvec),
-              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
-            cidx) AS rn
-        FROM cq c, cent ct),
-      probe AS (
-        SELECT cidx, row_number() OVER (ORDER BY
-          list_aggregate(list_transform(list_zip(qq.q, ct.cvec),
-            x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
-          cidx) AS rn
-        FROM qq, cent ct),
-      keep AS (
-        SELECT vec_id FROM asgn WHERE rn = 1 AND cidx IN
-          (SELECT cidx FROM probe WHERE rn <= 4)),
-      subs AS (SELECT unnest(generate_series(0, 7)) AS j),
-      pasgn AS (
-        SELECT c.vec_id, j, cidx,
-          row_number() OVER (PARTITION BY c.vec_id, j ORDER BY
-            list_aggregate(list_transform(list_zip(
-              list_slice(c.q, j * 8 + 1, j * 8 + 8),
-              list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
-              x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2])), 'sum'),
-            cidx) AS rn
-        FROM cq c JOIN keep USING (vec_id), cent ct, subs),
-      codes AS (SELECT vec_id, j, cidx AS code FROM pasgn WHERE rn = 1),
-      lut AS (
-        SELECT j, cidx,
-          list_aggregate(list_transform(list_zip(
-            list_slice(qq.q, j * 8 + 1, j * 8 + 8),
-            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8)),
-            x -> CAST(x[1] AS BIGINT) * x[2]), 'sum') AS dot,
-          list_aggregate(list_transform(
-            list_slice(ct.cvec, j * 8 + 1, j * 8 + 8),
-            x -> CAST(x AS BIGINT) * x), 'sum') AS nrm
-        FROM qq, cent ct, subs),
-      qn AS (SELECT list_aggregate(list_transform(q,
-               x -> CAST(x AS BIGINT) * x), 'sum') AS qnorm FROM qq),
-      adc AS (
-        SELECT vec_id,
-          CAST(sum(l.dot) AS DOUBLE) /
-            (sqrt(CAST(sum(l.nrm) AS DOUBLE)) *
-             sqrt(CAST(qn.qnorm AS DOUBLE))) AS adc
-        FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cidx, qn
-        GROUP BY vec_id, qn.qnorm),
-      short AS (
-        SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 50),
-      refined AS (
-        SELECT e.vec_id,
-          list_aggregate(list_transform(list_zip(e.embedding, qe.embedding),
-            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-          (sqrt(list_aggregate(list_transform(e.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-           sqrt(list_aggregate(list_transform(qe.embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM embeddings e JOIN short USING (vec_id),
-          (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
-      SELECT vec_id, round(cos, 9) AS cos FROM refined
-      ORDER BY cos DESC, vec_id LIMIT 20""")),
+    }, oracle = Some(SeededIvfPqOracle)),
+
+    // Persisted IVF×PQ (Similarity.ivfPqStagedTopK) — the production
+    // architecture staged end to end: corpus codes written
+    // partitionBy(list_id), so a probe prunes partition DIRECTORIES
+    // (s19's win) and what it reads is the m-code column, not floats
+    // (s20's win) — nprobe/nlist x dim·4/m less IO than brute force,
+    // now physical on disk. Bounded shortlist refine through a pushed
+    // id IN filter. Result-identical to s13, shares its full oracle.
+    QuerySpec("s22_ann_ivfpq_persisted", (s, dir) => {
+      import s.implicits._
+      val embs = Tables.load(s, dir, "embeddings")
+      val q = embs.filter($"vec_id" === 0)
+        .select($"embedding").head().getSeq[Float](0)
+      Similarity.ivfPqStagedTopK(s, dir, embs.filter($"vec_id" =!= 0),
+          "vec_id", "embedding", q, k = 20, nlist = 16, nprobe = 4,
+          m = 8, ksub = 16, shortlist = 50)
+        .select($"vec_id", round($"cos", 9).as("cos"))
+    }, oracle = Some(SeededIvfPqOracle), bench = true),
 
     // ---- Multimodal: REAL decode on codec-free formats -----------------
     // m01: P6 PPM image decode — the operator parses actual binary

@@ -694,6 +694,48 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s22 persisted IVFxPQ: the probe prunes list_id partition " +
+      "directories on the CODES table, the surviving read is codes-only, " +
+      "and results match the in-memory composite") {
+    import spark.implicits._
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val stagedDf = Similarity.ivfPqStagedTopK(spark, dir, corpus,
+      "vec_id", "embedding", q, k = 20, nlist = 16, nprobe = 4,
+      m = 8, ksub = 16, shortlist = 50)
+    val staged = stagedDf.as[(Long, Double)].collect().toSeq
+    val mem = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        q, k = 20, nlist = 16, nprobe = 4, m = 8, ksub = 16,
+        shortlist = 50)
+      .as[(Long, Double)].collect().toSeq
+    assert(staged == mem, "staged IVFxPQ must equal the in-memory path")
+    // audit the ADC scan's own plan: directory pruning + codes-only read
+    val (codesTable, _) = Similarity.ivfPqStagedTables(dir, 16, 8, 16)
+    val centroids = Similarity.seededCentroids(
+      corpus, "vec_id", "embedding", nlist = 16)
+    val probed = Similarity.seededProbeLists(spark, centroids, q, 4)
+    val adc = spark.table(codesTable)
+      .filter($"list_id".isin(probed: _*))
+      .select($"vec_id", $"codes")
+    adc.collect()
+    val scans = allNodes(executedPlan(adc)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("list_id")),
+      s"no list_id partition filter: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount <= 4,
+      s"probe read ${scan.selectedPartitions.partitionCount} list dirs")
+    assert(scan.output.map(_.name).toSet.subsetOf(
+        Set("vec_id", "codes", "list_id")),
+      s"ADC scan reads ${scan.output.map(_.name)}")
+    assert(!scan.output.exists(_.name == "embedding"),
+      "ADC scan must never read the raw vectors")
+  }
+
   test("s20 persisted PQ: the ADC ranking scans only the staged " +
       "(id, codes) table, the refine reads the corpus through a pushed " +
       "id IN filter, and results match the in-memory PQ") {
