@@ -353,11 +353,14 @@ object PartitionedManifest {
       val touched = spark.table(deltaTable)
         .select(col(partCol).cast("string")).distinct()
         .collect().map(_.getString(0)).sorted
-      touched.foreach { v =>
-        val dir = publishPartition(spark, root, partCol, v,
-          spark.table(s"$stagePrefix$v"))
-        ctx.notice("info", s"published $view $partCol=$v -> $dir")
-      }
+      // ONE snapshot commit over the whole delta: per-partition pointers
+      // advance for the legacy reader path, and the root snapshot makes
+      // the entire publish visible to snapshot readers in one atomic
+      // rename (cross-partition consistency)
+      val snap = commitSnapshot(spark, root, partCol,
+        touched.map(v => v -> spark.table(s"$stagePrefix$v")).toMap)
+      ctx.notice("info", s"published $view ${touched.length} " +
+        s"partition(s) (${touched.mkString(",")}) as snapshot $snap")
       syncCatalogTable(spark, root, view, partCol, partType)
     }
 }
