@@ -831,8 +831,17 @@ object TextAnalysis {
     *
     * @return (srcCol, n_tokens, w_micros, weight_ppm) — one row per source
     */
-  def sourceMixtureWeights(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
-    val mass = df.select(col(srcCol), wordCount(col(textCol)).as("n"))
+  def sourceMixtureWeights(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    sourceMixtureWeightsFromCounts(
+      df.select(col(srcCol), wordCount(col(textCol)).as("n")), srcCol)
+
+  /** [[sourceMixtureWeights]] over PRE-COUNTED per-row token counts
+    * (`srcCol`, `n` long) — lets a caller that already tokenized (p26's
+    * curriculum, which needs per-doc counts anyway) derive the weights
+    * without a second corpus text scan. */
+  def sourceMixtureWeightsFromCounts(counted: DataFrame,
+      srcCol: String): DataFrame = {
+    val mass = counted
       .groupBy(col(srcCol)).agg(sum(col("n")).as("m"))
     val total = mass.agg(sum(col("m"))).head().getLong(0)
     // mirrored literally in the SQL oracle: floor(1e6 * sqrt(m/T))
@@ -915,16 +924,19 @@ object TextAnalysis {
     */
   def curriculumInterleave(docs: DataFrame, idCol: String,
       srcCol: String, textCol: String): DataFrame = {
-    val weights = sourceMixtureWeights(
-        docs.select(col(srcCol), col(textCol)), srcCol, textCol)
+    // tokenize ONCE: the counted projection feeds both the weights
+    // aggregate and the rank scan (a second corpus text scan otherwise)
+    val counted = docs.select(col(idCol), col(srcCol),
+        wordCount(col(textCol)).as("n_toks"))
+      .localCheckpoint()
+    val weights = sourceMixtureWeightsFromCounts(
+        counted.select(col(srcCol), col("n_toks").as("n")), srcCol)
       .select(col(srcCol), col("weight_ppm"))
     // distributed per-source rank: global scan over (src, -n_toks, id),
     // then r = gpos - (source's first gpos) + 1 — exact because the
     // global order groups each source contiguously
     val gpos = Packing.withGlobalRowNumber(
-      docs.select(col(idCol), col(srcCol),
-          wordCount(col(textCol)).as("n_toks"))
-        .withColumn("__negtoks", -col("n_toks")),
+      counted.withColumn("__negtoks", -col("n_toks")),
       "__gpos", Seq(srcCol, "__negtoks", idCol))
     val starts = gpos.groupBy(col(srcCol))
       .agg(min(col("__gpos")).as("__start"))
