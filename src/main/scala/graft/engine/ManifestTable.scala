@@ -143,6 +143,16 @@ object ManifestTable {
 
   /** Atomic create-new of the lock file; breaks locks older than
     * [[LockStaleMs]] (a crashed publisher), fails loudly on a live one. */
+  /** Run `f` holding the root's publish lock — PartitionedManifest's
+    * snapshot commits serialize through this so two committers cannot
+    * both read base mapping N and race to write N+1 (lost update). */
+  private[engine] def withPublishLock[A](root: String)(f: => A): A = {
+    val fs = fsFor(root)
+    fs.mkdirs(new HPath(root))
+    val lock = acquireLock(fs, root)
+    try f finally fs.delete(lock, false)
+  }
+
   private def acquireLock(fs: FileSystem, root: String): HPath = {
     val lock = new HPath(root, Lock)
     def tryCreate(): Boolean =

@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * of a partition mid-overwrite sees a torn mix of old and new files).
   * Here a publish rewrites ONLY the touched partitions, and each
   * partition flips old→new in one pointer swap: a reader never sees a
-  * torn PARTITION. Cross-partition consistency is intentionally not
-  * claimed — a multi-partition publish is a sequence of per-partition
-  * commits, which is exactly the contract of the merge/SCD2 write path
-  * (a single root-level commit over partition manifests is the step
-  * from here to a full Iceberg-style table format, noted in SURVEY).
+  * torn PARTITION. For cross-partition consistency, [[commitSnapshot]]
+  * adds the root-level commit: one pointer over the whole partition
+  * set, so a multi-partition delta becomes visible in a single atomic
+  * rename and the previous commit stays readable (time travel) — the
+  * Iceberg snapshot model realized with the same pointer-file
+  * machinery (the packets' publish step commits through it).
   *
   * The partition column is carried by the DIRECTORY NAME (hive-style
   * `col=value`), never by the data files.
@@ -249,7 +250,11 @@ object PartitionedManifest {
     * in a single atomic rename. Pass `updates` as partitionValue → new
     * rows (without the partition column). Returns the snapshot name. */
   def commitSnapshot(spark: SparkSession, root: String, partCol: String,
-      updates: Map[String, DataFrame]): String = {
+      updates: Map[String, DataFrame]): String =
+    // serialize committers on the TABLE root (partition publishes lock
+    // their own partition roots - disjoint, no deadlock): two racing
+    // commits must not both read base mapping N and fight over N+1
+    ManifestTable.withPublishLock(root) {
     val base: Map[String, String] = currentSnapshot(spark, root) match {
       case Some(s) => snapshotMapping(spark, root, s).toMap
       case None => // adopt the standing per-partition pointers as gen-0
@@ -286,7 +291,7 @@ object PartitionedManifest {
     snapshots(spark, root).filterNot(keep).foreach(s =>
       fs.delete(new HPath(root, s"$SnapDir/$s"), false))
     snap
-  }
+    }
 
   /** Read a COMMITTED snapshot — every partition at one commit, the
     * cross-partition-consistent view. Defaults to the current one. */
