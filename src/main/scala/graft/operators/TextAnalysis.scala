@@ -532,6 +532,55 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Staged tokenizer-artifact table name, content-keyed by the merge
+    * table itself. */
+  def bpeMergesStagedTable(dir: String,
+      merges: Seq[(String, String)]): String = {
+    val content = dir + "|" +
+      merges.map { case (a, b) => a + "," + b }.mkString(";")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    s"bpe_merges_$tag"
+  }
+
+  private val bpeMergesStagedKeys =
+    scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Persist a learned merge table as a tiny (rank, a, b) parquet table
+    * — the TOKENIZER itself as an ingest artifact (vocabulary-scale; the
+    * third leg after t22's staged encodings and s20/s21/s22's staged
+    * indexes): a fresh engine reads the table back and applies the
+    * identical tokenizer without retraining. */
+  def ensureBpeMergesStaged(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): Unit =
+    bpeMergesStagedKeys.synchronized {
+      val table = bpeMergesStagedTable(dir, merges)
+      val key = (System.identityHashCode(spark), table)
+      if (!bpeMergesStagedKeys(key)) {
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+        import spark.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1L, a, b) }
+          .toDF("rank", "a", "b")
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet").saveAsTable(table)
+        bpeMergesStagedKeys += key
+      }
+    }
+
+  /** Load a staged merge table back in APPLICATION order (rank ASC) —
+    * bounded collect, like the centroid/codebook loads. */
+  def bpeMergesFromStaged(spark: SparkSession, table: String)
+      : Seq[(String, String)] =
+    spark.table(table).orderBy(col("rank"))
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** (w, wc, rep): distinct corpus words with counts and the
     * boundary-wrapped initial (per-character) segmentation. */
   private def bpeWordTable(df: DataFrame, textCol: String): DataFrame =

@@ -1153,6 +1153,29 @@ object PipelineQueries {
     }, oracle = Some(bpeBatchedOracle(rounds = 4, batchR = 8,
       candK = 64))),
 
+    // Tokenizer as a STAGED ARTIFACT (TextAnalysis.ensureBpeMergesStaged
+    // + bpeMergesFromStaged): the learned merge table persists as a tiny
+    // (rank, a, b) parquet table — the third staged leg after t22's
+    // encodings and the s20/s21/s22 indexes — and the query applies the
+    // tokenizer READ BACK FROM DISK in application order. Result-
+    // identical to t19 by construction (same merges, same replace
+    // chain), so it shares t19's full end-to-end oracle; a wrong rank
+    // order, lost merge, or mangled pair on the round-trip breaks the
+    // vocabulary.
+    QuerySpec("t24_bpe_tokenizer_artifact", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("text"))
+      val merges = learnedBpeMerges(s, dir)
+      TextAnalysis.ensureBpeMergesStaged(s, dir, merges)
+      val fromDisk = TextAnalysis.bpeMergesFromStaged(s,
+        TextAnalysis.bpeMergesStagedTable(dir, merges))
+      TextAnalysis.bpeVocab(docs, "text", fromDisk, topN = 100)
+    }, oracle = Some(bpeOracle(12, """
+      SELECT seg, CAST(sum(wc) AS BIGINT) AS c
+      FROM (SELECT wc, unnest(string_split(substr(rep, 2, length(rep) - 2),
+              '||')) AS seg
+            FROM rep12)
+      GROUP BY seg ORDER BY c DESC, seg LIMIT 100"""))),
+
     // KMV cardinality sketch (TextAnalysis.kmvDistinctCardinality over
     // 3-gram shingles): distinct-shingle count per source via a k=128
     // k-minimum-values synopsis — the engine-replayable alternative to

@@ -246,6 +246,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "global prefix sum collapsed to a single partition")
   }
 
+  test("p28 packing over staged token ids inherits the distributed " +
+      "prefix-sum shape: no single-partition funnel") {
+    import spark.implicits._
+    val counted = spark.range(2000).select($"id",
+      ($"id" % 37 + 1).as("n_tokens"))
+    val df = graft.operators.Packing.sequenceChunksFromCounts(
+      counted, "doc_id", window = 512)
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "pre-counted packing collapsed to a single partition")
+    // and the layout is the exact cumsum a sequential fold produces
+    val rows = df.orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"tok_start")
+      .as[(Long, Long, Long)].collect()
+    var acc = 0L
+    rows.foreach { case (_, n, start) =>
+      assert(start == acc); acc += n
+    }
+  }
+
   test("p06 corpus shuffle never funnels through a single partition") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"doc_id")
