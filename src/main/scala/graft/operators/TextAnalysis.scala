@@ -729,10 +729,56 @@ object TextAnalysis {
   def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val (wordSegs, vocabIds) = bpeSegVocab(df, textCol, merges)
-    // per DISTINCT word: its ordered token-id array (vocabulary scale)
-    val wordIds = wordSegs
+    encodeIdsTail(df, idCol, textCol, wordSegs, vocabIds, strict = false)
+  }
+
+  /** The frozen (seg, tok_id) vocabulary of a corpus under a merge
+    * table — the OTHER half of a tokenizer artifact: ids must be pinned
+    * at ingest alongside the merges, or two encode invocations over
+    * different corpora assign different ids to the same token. */
+  def bpeVocabIds(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeSegVocab(df, textCol, merges)._2
+
+  /** [[bpeEncodeIds]] against a FROZEN vocabulary (the streaming-ingest
+    * form: merges AND ids are ingest-time artifacts; new documents
+    * encode against them without re-deriving anything). A segment with
+    * no id in the frozen vocabulary fails LOUDLY (real tokenizers add
+    * byte-fallback; silently dropping tokens would corrupt sequences). */
+  def bpeEncodeIdsWithVocab(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocabIds: DataFrame): DataFrame = {
+    val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    val wordSegs = bpeWordTable(df, textCol)
+      .withColumn("rep", applied)
+      .select(col("w"), col("wc"),
+        expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
+          .as("segs"))
+    encodeIdsTail(df, idCol, textCol, wordSegs, vocabIds, strict = true)
+  }
+
+  /** Shared assembly tail: per-word ordered id arrays at vocabulary
+    * scale, broadcast into the corpus word explode, per-doc concat. */
+  private def encodeIdsTail(df: DataFrame, idCol: String, textCol: String,
+      wordSegs: DataFrame, vocabIds: DataFrame,
+      strict: Boolean): DataFrame = {
+    val joined = wordSegs
       .select(col("w"), posexplode(col("segs")).as(Seq("si", "seg")))
-      .join(vocabIds, "seg")
+      .join(vocabIds.select(col("seg"), col("tok_id")),
+        Seq("seg"), if (strict) "left" else "inner")
+    val checked =
+      if (strict)
+        // raise_error is codegen'd and only evaluates on the null branch
+        joined.withColumn("tok_id",
+          when(col("tok_id").isNull, expr(
+            "raise_error(concat('BPE encode: segment \\'', seg, " +
+              "'\\' has no id in the frozen vocabulary'))")
+            .cast("long"))
+            .otherwise(col("tok_id")))
+      else joined
+    // per DISTINCT word: its ordered token-id array (vocabulary scale)
+    val wordIds = checked
       .groupBy(col("w"))
       .agg(expr("transform(array_sort(collect_list(struct(si, tok_id))), " +
         "x -> x.tok_id)").as("ids"))

@@ -266,6 +266,29 @@ object EventsStreaming {
       VectorFunctions.int8Quantize(col("embedding")), centroids))
   }
 
+  /** Streaming twin of the t22 ENCODE-ingest path: documents arriving
+    * on a stream are BPE-encoded with a FROZEN tokenizer — the staged t24 merge table
+    * AND a pinned (seg, tok_id) vocabulary (both ingest-time, like the
+    * IVF centroids; per-batch id re-derivation would assign different
+    * ids to the same token, the bug the twin test would catch)
+    * and their (doc_id, token_ids) rows append into the same staged
+    * layout [[graft.operators.TextAnalysis.bpeEncodeIds]] fills in
+    * batch. `foreachBatch` because the per-doc array assembly is a
+    * grouped aggregate — each micro-batch carries complete documents,
+    * so the batch encoder runs as-is and the append is at-least-once
+    * safe (idempotent doc ids; a replayed batch rewrites the same
+    * arrays). StreamingSpec pins stream==batch arrays over the mixed
+    * directory. */
+  def encodeIdsBatch(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, merges: Seq[(String, String)],
+      vocabIds: DataFrame)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.TextAnalysis
+      .bpeEncodeIdsWithVocab(batch, "doc_id", "text", merges, vocabIds)
+      .write.mode("append").parquet(outDir)
+  }
+
   /** Streaming twin of the w03 merge path: a stream of keyed upserts
     * folds into a [[graft.engine.PartitionedManifest]] table through
     * `foreachBatch` — each micro-batch anti-joins the touched

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
 import graft.streaming.EventsStreaming
+import graft.operators.TextAnalysis
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
@@ -805,6 +806,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastSnap.startsWith("s000004"), lastSnap) // 1 seed + 3 batches
   }
 
+
+  test("streaming encode-ingest twin: docs arriving on a stream are " +
+      "encoded with the frozen tokenizer and append into the t22 " +
+      "layout; stream == batch arrays over the mixed directory") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 60)
+    val merges = TextAnalysis.bpeLearnMerges(docs, "text", iters = 4)
+    // the tokenizer artifact is merges AND the pinned id vocabulary -
+    // both derive from the ingest-time reference corpus and freeze
+    val vocab = TextAnalysis.bpeVocabIds(docs, "text", merges)
+      .localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("enc-twin").toString
+    // half the corpus encoded in batch (the t22 ingest step) ...
+    TextAnalysis.bpeEncodeIdsWithVocab(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", merges, vocab)
+      .write.mode("append").parquet(out)
+    // ... the other half arrives as a stream
+    val arrivals = docs.filter($"doc_id" % 2 === 0)
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .as[EventsStreaming.DocArrival].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.DocArrival]
+    val q = mem.toDF().select($"doc_id", $"text").writeStream
+      .foreachBatch(EventsStreaming.encodeIdsBatch(
+        spark, out, merges, vocab) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("enc-chk").toString)
+      .start()
+    try arrivals.grouped(math.max(arrivals.length / 3, 1)).foreach { b =>
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[Long])].collect().toMap
+    // the frozen vocab came from the SAME reference corpus, so the
+    // self-derived batch encode and the frozen-vocab encode agree
+    assert(got == want, "mixed batch+streamed encodings must equal batch")
+  }
 }
 
 /** Top-level: MemoryStream encoders need an outer-scope-free case class. */
