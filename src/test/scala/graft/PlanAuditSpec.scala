@@ -188,6 +188,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q.as[(Long, Int)].collect().length == 20)
   }
 
+  test("w03/w04 staging scan on the MANIFEST-BACKED catalog table prunes " +
+      "to one partition's current version directory") {
+    import spark.implicits._
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    val root = java.nio.file.Files.createTempDirectory("pa-mansync").toString
+    val seedDf = (1 to 200).map(i => (i.toLong, s"v$i", i % 5)).toDF("k", "s", "bk")
+    PartitionedManifest.seed(spark, root, seedDf, "bk")
+    spark.sql("DROP TABLE IF EXISTS pa_man_tbl")
+    PartitionedManifest.syncCatalogTable(spark, root, "pa_man_tbl", "bk", "int")
+    // republish one partition so its catalog location is a LATER version
+    PartitionedManifest.publishPartition(spark, root, "bk", "2",
+      (1 to 10).map(i => (1000L + i, s"new$i")).toDF("k", "s"))
+    PartitionedManifest.syncCatalogTable(spark, root, "pa_man_tbl", "bk", "int")
+    try {
+      // the packet staging shape: anti-join with a static bk literal
+      val delta = Seq(1002L, 1003L).toDF("k")
+      val q = spark.table("pa_man_tbl").as("t")
+        .join(delta.as("d"), $"t.k" === $"d.k", "left_anti")
+        .filter($"bk" === 2)
+      q.collect()
+      val scans = allNodes(executedPlan(q)).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "pa_man_tbl") => f
+      }
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.toString.contains("= 2")),
+        scan.partitionFilters.toString)
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"read ${scan.selectedPartitions.partitionCount} partitions")
+      // and the selected files live in the CURRENT manifest version dir
+      val cur = ManifestTable.currentDataDir(s"$root/bk=2").get
+      val ver = new org.apache.hadoop.fs.Path(cur).getName
+      assert(scan.selectedPartitions.toPartitionArray
+        .forall(_.filePath.toString.contains(ver)),
+        "scan read a non-current version directory")
+    } finally spark.sql("DROP TABLE pa_man_tbl")
+  }
+
   test("w03 merge action prunes the base scan to its own partition " +
       "(plain partitioned-table idiom)") {
     import spark.implicits._
