@@ -299,4 +299,40 @@ class EnginePropertySpec extends AnyFunSuite {
       }
     }
   }
+  test("snapshot commits: any sequence of partial-partition commits " +
+      "folds to the model (last commit per partition wins), and the " +
+      "horizon keeps exactly the last two snapshots") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    // commit sequences over 4 partitions: each commit updates a random
+    // NONEMPTY subset; the model is last-writer-wins per partition
+    val subsetGen = Gen.someOf(0, 1, 2, 3).suchThat(_.nonEmpty)
+    val seqGen = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, subsetGen))
+    forAll(seqGen, 6) { commits =>
+      val root = Files.createTempDirectory("prop-snap").toString
+      def rows(part: Int, commit: Int) =
+        (1 to 5).map(i => (commit.toLong, part * 100L + i)).toDF("c", "k")
+      PartitionedManifest.seed(spark, root,
+        (0 to 3).map(p => rows(p, 0)
+          .withColumn("bk", org.apache.spark.sql.functions.lit(p)))
+          .reduce(_.unionByName(_)), "bk")
+      PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+      val model = scala.collection.mutable.Map(
+        0 -> 0, 1 -> 0, 2 -> 0, 3 -> 0)
+      commits.zipWithIndex.foreach { case (parts, i) =>
+        val commit = i + 1
+        PartitionedManifest.commitSnapshot(spark, root, "bk",
+          parts.map(p => p.toString -> rows(p, commit)).toMap)
+        parts.foreach(p => model(p) = commit)
+      }
+      val got = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+        .select($"bk", $"c").distinct()
+        .as[(Int, Long)].collect().toMap
+      assert(got == model.map { case (p, c) => p -> c.toLong }.toMap,
+        s"commits=$commits got=$got model=$model")
+      assert(PartitionedManifest.snapshots(spark, root).length == 2)
+    }
+  }
+
 }
