@@ -176,7 +176,7 @@ object PartitionedManifest {
     // publish touches the delta's partition footprint, so this is
     // delta-count statements, not partition-count)
     val existing: Map[String, String] = spark.sharedState.externalCatalog
-      .listPartitions("default", table)
+      .listPartitions(spark.catalog.currentDatabase, table)
       .map(p => p.spec(partCol) -> p.location.toString).toMap
     def norm(s: String) = s.stripPrefix("file:").stripSuffix("/")
     val added = dirs.filterNot { case (v, _) => existing.contains(v) }

@@ -380,4 +380,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     }._1
     assert(maxRun <= 8, s"source run of $maxRun inside the shared window")
   }
+  test("frozen-vocabulary encode fails loudly on out-of-vocabulary " +
+      "segments instead of silently dropping tokens") {
+    import spark.implicits._
+    val ref = Seq("ab ab cd").toDF("text")
+    val merges = TextAnalysis.bpeLearnMerges(ref, "text", iters = 1)
+    val vocab = TextAnalysis.bpeVocabIds(ref, "text", merges)
+    // same alphabet encodes fine against the frozen vocab
+    val ok = TextAnalysis.bpeEncodeIdsWithVocab(
+      Seq((1L, "cd ab")).toDF("doc_id", "text"), "doc_id", "text",
+      merges, vocab).as[(Long, Seq[Long])].collect()
+    assert(ok.length == 1 && ok.head._2.length == 4)
+    // a character the reference corpus never saw has no id -> loud error
+    val ex = intercept[Exception] {
+      TextAnalysis.bpeEncodeIdsWithVocab(
+        Seq((2L, "zq")).toDF("doc_id", "text"), "doc_id", "text",
+        merges, vocab).collect()
+    }
+    assert(ex.getMessage.contains("no id in the frozen vocabulary") ||
+      String.valueOf(ex.getCause).contains("no id in the frozen vocabulary"),
+      ex.getMessage)
+  }
+
 }
