@@ -390,7 +390,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     val ok = TextAnalysis.bpeEncodeIdsWithVocab(
       Seq((1L, "cd ab")).toDF("doc_id", "text"), "doc_id", "text",
       merges, vocab).as[(Long, Seq[Long])].collect()
-    assert(ok.length == 1 && ok.head._2.length == 4)
+    // "cd ab" under the one learned merge (a,b) encodes as [c, d, ab] = 3 ids
+    assert(ok.length == 1 && ok.head._2.length == 3)
     // a character the reference corpus never saw has no id -> loud error
     val ex = intercept[Exception] {
       TextAnalysis.bpeEncodeIdsWithVocab(
