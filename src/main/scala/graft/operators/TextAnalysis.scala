@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Bpe
+
 /** Text-analysis operators for a training-data pipeline: tokenization,
   * quality scoring, language ID, fingerprinting. All pure column
   * expressions (codegen'd, partition-local, zero shuffle) — each scales
@@ -607,24 +609,21 @@ object TextAnalysis {
 
   /** BPE APPLY + vocabulary: segment every corpus word with a learned
     * merge table and report the resulting token vocabulary (top-N by
-    * frequency). The merge table broadcasts as literals inside a chain
-    * of codegen'd string `replace`s — applying T merges is T leftmost
-    * non-overlapping scans per word, exactly the training semantics, so
-    * train-then-apply round-trips. Runs at vocabulary scale like
-    * training (occurrences weight the distinct-word table).
+    * frequency). The merge table rides into the scan as ONE broadcast
+    * rank map inside the native [[graft.functions.BpeSegment]]
+    * expression (greedy lowest-rank apply ≡ rank-order replay for a
+    * trained table — see its Scaladoc), so plan depth is CONSTANT in
+    * the merge count and a real 32k–100k vocabulary applies in one
+    * pass. Runs at vocabulary scale like training (occurrences weight
+    * the distinct-word table).
     *
     * @return (seg, c) — topN BPE tokens by (count DESC, seg ASC)
     */
   def bpeVocab(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], topN: Int): DataFrame = {
-    val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
-      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
-    }
     bpeWordTable(df, textCol)
-      .withColumn("rep", applied)
       .select(col("wc"),
-        explode(expr("split(substring(rep, 2, length(rep) - 2), " +
-          "'\\\\|\\\\|')")).as("seg"))
+        explode(Bpe.segments(col("w"), merges)).as("seg"))
       .groupBy(col("seg")).agg(sum(col("wc")).as("c"))
       .orderBy(col("c").desc, col("seg"))
       .limit(topN)
@@ -682,21 +681,16 @@ object TextAnalysis {
   /** Shared BPE-encode derivation: the segmented distinct-word table
     * (vocabulary-scale; materialized ONCE — it feeds both the vocab-id
     * derivation and the per-word passes, and without the checkpoint each
-    * branch re-runs the corpus word-count scan and the replace chain)
+    * branch re-runs the corpus word-count scan and the segmentation)
     * and the frequency-ranked vocabulary ids (id = rank by count DESC,
     * seg ASC — the bare rank window is bounded-small by construction:
     * alphabet + merges rows). */
   private def bpeSegVocab(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
-      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
-    }
     val wordSegs = bpeWordTable(df, textCol)
-      .withColumn("rep", applied)
       .select(col("w"), col("wc"),
-        expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
-          .as("segs"))
+        Bpe.segments(col("w"), merges).as("segs"))
       .localCheckpoint()
     val vocabIds = wordSegs
       .select(col("wc"), explode(col("segs")).as("seg"))
@@ -747,14 +741,9 @@ object TextAnalysis {
     * byte-fallback; silently dropping tokens would corrupt sequences). */
   def bpeEncodeIdsWithVocab(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], vocabIds: DataFrame): DataFrame = {
-    val applied = merges.foldLeft(col("rep")) { case (c, (a, b)) =>
-      call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
-    }
     val wordSegs = bpeWordTable(df, textCol)
-      .withColumn("rep", applied)
       .select(col("w"), col("wc"),
-        expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
-          .as("segs"))
+        Bpe.segments(col("w"), merges).as("segs"))
     encodeIdsTail(df, idCol, textCol, wordSegs, vocabIds, strict = true)
   }
 
