@@ -39,59 +39,95 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the vocabulary-scale word table, never the corpus), independent
   * of vocabulary size; the map is O(1) amortized per probe.
   */
+/** Immutable merge-table holder shared by every copy of a
+  * [[BpeSegment]] instance Catalyst makes during analysis and
+  * optimization. A raw 32k-element Seq as a case-class field would
+  * make every TreeNode hashCode/semanticEquals O(vocab) — measured as
+  * tens of seconds of pure PLANNING time at 39k merges — so the
+  * holder caches its hash, fast-paths equality on identity, and
+  * builds the two-level rank lookup lazily once per deserialized
+  * instance. */
+final class MergeTable(val merges: Seq[(String, String)])
+    extends Serializable {
+  override lazy val hashCode: Int =
+    scala.util.hashing.MurmurHash3.orderedHash(merges, 0x62706531)
+  override def equals(o: Any): Boolean = o match {
+    case m: MergeTable =>
+      (m eq this) || (m.hashCode == hashCode && m.merges == merges)
+    case _ => false
+  }
+  override def toString: String = s"${merges.size} merges"
+  @transient lazy val ranks
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] =
+    BpeFns.rankMap(merges)
+}
+
 object BpeFns {
   /** Build the serializable rank map an expression instance carries:
-    * key = a + NUL + b (unambiguous: a whitespace-split token can
-    * never contain U+0000), value = 1-based application rank. */
-  def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    * left token -> (right token -> 1-based application rank). Two-level
+    * so the per-probe lookup in [[segment]] allocates nothing (no
+    * composite-key concatenation on the hot path). */
+  def rankMap(merges: Seq[(String, String)])
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String,
+      java.util.HashMap[String, Integer]](merges.size * 2)
     var r = 0
     while (r < merges.size) {
       val (a, b) = merges(r)
+      var inner = m.get(a)
+      if (inner == null) {
+        inner = new java.util.HashMap[String, Integer](4)
+        m.put(a, inner)
+      }
       // first (lowest) rank wins if a pair is ever duplicated
-      m.putIfAbsent(a + "\u0000" + b, Integer.valueOf(r + 1))
+      inner.putIfAbsent(b, Integer.valueOf(r + 1))
       r += 1
     }
     m
   }
 
   def segment(word: UTF8String,
-      ranks: java.util.HashMap[String, Integer]): GenericArrayData = {
+      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
+      : GenericArrayData = {
     val s = word.toString
     // initial segmentation: one segment per code point (the training
     // table's substring(w, i, 1) splits by code point, not UTF-16 unit)
-    val segs = new java.util.ArrayList[String](s.length)
+    var n = 0
+    val segs = new Array[String](s.length)
     var i = 0
     while (i < s.length) {
       val cc = Character.charCount(s.codePointAt(i))
-      segs.add(s.substring(i, i + cc))
+      segs(n) = s.substring(i, i + cc); n += 1
       i += cc
     }
-    var done = segs.size < 2
+    var done = n < 2
     while (!done) {
       var bestRank = Int.MaxValue
       var bestI = -1
       var j = 0
-      val n = segs.size
       while (j < n - 1) {
-        val r = ranks.get(segs.get(j) + "\u0000" + segs.get(j + 1))
-        if (r != null && r.intValue() < bestRank) {
-          bestRank = r.intValue(); bestI = j
+        val inner = ranks.get(segs(j))
+        if (inner != null) {
+          val r = inner.get(segs(j + 1))
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); bestI = j
+          }
         }
         j += 1
       }
       if (bestI < 0) done = true
       else {
-        segs.set(bestI, segs.get(bestI) + segs.get(bestI + 1))
-        segs.remove(bestI + 1)
-        if (segs.size < 2) done = true
+        segs(bestI) = segs(bestI) + segs(bestI + 1)
+        // shift left over the absorbed slot
+        var k = bestI + 1
+        while (k < n - 1) { segs(k) = segs(k + 1); k += 1 }
+        n -= 1
+        if (n < 2) done = true
       }
     }
-    val out = new Array[AnyRef](segs.size)
+    val out = new Array[AnyRef](n)
     var o = 0
-    while (o < segs.size) {
-      out(o) = UTF8String.fromString(segs.get(o)); o += 1
-    }
+    while (o < n) { out(o) = UTF8String.fromString(segs(o)); o += 1 }
     new GenericArrayData(out)
   }
 }
@@ -105,26 +141,30 @@ object BpeFns {
   * independent of the merge count — BpeSpec asserts the plan depth for
   * 8 and 4096 merges is identical.
   */
-case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+case class BpeSegment(child: Expression,
+    table: org.apache.spark.broadcast.Broadcast[MergeTable])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_segment"
 
-  @transient private lazy val ranks = BpeFns.rankMap(merges)
-
   // keep the merge table OUT of plan strings: at 32k merges the default
   // flatArguments rendering would put the whole table in every explain
-  override def toString: String = s"$prettyName($child, ${merges.size} merges)"
-  override def sql: String = s"$prettyName(${child.sql}, ${merges.size} merges)"
+  override def toString: String = s"$prettyName($child, ${table.value})"
+  override def sql: String = s"$prettyName(${child.sql}, ${table.value})"
 
   override protected def nullSafeEval(v: Any): Any =
-    BpeFns.segment(v.asInstanceOf[UTF8String], ranks)
+    BpeFns.segment(v.asInstanceOf[UTF8String], table.value.ranks)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
-      "java.util.HashMap<String, Integer>")
+    // the task closure carries only the Broadcast HANDLE; the 32k-entry
+    // table deserializes once per executor, not once per task — at 39k
+    // merges the per-task-closure form measurably spent more time
+    // re-materializing the table across a stage's tasks than segmenting
+    val tableRef = ctx.addReferenceObj("bpeMergeTable", table,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BpeFns.segment($c, $ranksRef)")
+      c => s"graft.functions.BpeFns.segment($c, " +
+        s"((graft.functions.MergeTable) $tableRef.value()).ranks())")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeSegment =
@@ -133,7 +173,11 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
 
 object Bpe {
   /** Column API: segment a word column under a learned merge table —
-    * constant plan depth in the merge count. */
-  def segments(word: Column, merges: Seq[(String, String)]): Column =
-    ColumnBridge.column(BpeSegment(ColumnBridge.expression(word), merges))
+    * constant plan depth in the merge count; the table rides as ONE
+    * executor-shared broadcast. */
+  def segments(word: Column, merges: Seq[(String, String)]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bcast = spark.sparkContext.broadcast(new MergeTable(merges))
+    ColumnBridge.column(BpeSegment(ColumnBridge.expression(word), bcast))
+  }
 }

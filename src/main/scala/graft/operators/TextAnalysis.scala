@@ -485,8 +485,14 @@ object TextAnalysis {
     * round, where (x,y) interacts with (a,b) iff they share a token
     * (x,y,a,b collide) or either concatenation equals one of the other's
     * tokens (xy ∈ {a,b} or ab ∈ {x,y} — the merged-token collision that
-    * would let one application change the other's count). All accepted
-    * merges then apply as one replace chain in rank order.
+    * would let one application change the other's count). The round's
+    * accepted merges take the next ranks; each round's segmentation is
+    * then RE-DERIVED from the pristine word table by the constant-depth
+    * [[graft.functions.BpeSegment]] greedy apply (≡ replaying the
+    * cumulative table in rank order — see its Scaladoc), so no stage of
+    * training builds an expression whose depth grows with the
+    * vocabulary: a 32k-merge round is the same 4-node plan as an
+    * 8-merge round.
     *
     * Equivalence argument (and the documented deviation): within a
     * round every accepted merge's count is EXACT at round start, and
@@ -508,28 +514,67 @@ object TextAnalysis {
     *         rank order within a round)
     */
   def bpeLearnMergesBatched(df: DataFrame, textCol: String, rounds: Int,
-      batchR: Int, candK: Int): Seq[(String, String)] = {
-    require(rounds > 0 && batchR > 0 && candK >= batchR)
-    var rep = bpeWordTable(df, textCol).localCheckpoint()
+      batchR: Int, candK: Int): Seq[(String, String)] =
+    bpeLearnMergesToTarget(df, textCol, maxRounds = rounds,
+      batchR = batchR, candK = candK, target = Int.MaxValue)
+
+  /** [[bpeLearnMergesBatched]] with an early-stop merge-count target —
+    * the production entry point: "learn a 32k vocabulary" instead of
+    * "run N rounds". Stops after the first round that reaches `target`
+    * merges (or when a round accepts nothing: corpus saturated), so the
+    * learned table is identical to the uncapped run's prefix-by-rounds.
+    *
+    * The per-candidate independence check is hash-set based (a
+    * candidate (a,b) is rejected iff a or b is a token of an accepted
+    * merge, a or b IS an accepted concatenation, or a+b is an accepted
+    * token) — O(1) per candidate, logically identical to the pairwise
+    * rule t23's oracle replays, so candK can be vocabulary-sized
+    * without a quadratic driver-side stall.
+    *
+    * `tieSweep` (off for the t23-compatible path): strict independence
+    * throttles hard on a small alphabet — acceptance per round is
+    * bounded by the live token pool, which only grows through merges
+    * (measured ~7%/round on a 16-symbol hex corpus: reaching 32k would
+    * take ~65 scans). But BELOW count 2 the frequency signal is
+    * exhausted: every remaining candidate is an exact tie, and
+    * strict-sequential BPE's choice among ties is pure tie-break
+    * order anyway. With tieSweep on, the count-1 tier is accepted IN
+    * BULK in the same deterministic (a, b) order, counts frozen for
+    * the round (documented deviation: overlapping count-1 rules may
+    * shadow each other when applied in rank order — a shadowed rule is
+    * dead where overlapped, never wrong). Consistency is unaffected: a
+    * candidate can only reference tokens that existed at round start,
+    * so every merge still builds on strictly lower ranks and the
+    * greedy apply remains identical to the rank-order replay (BpeSpec
+    * verifies exactly this on the swept 33k table). */
+  def bpeLearnMergesToTarget(df: DataFrame, textCol: String,
+      maxRounds: Int, batchR: Int, candK: Int,
+      target: Int, tieSweep: Boolean = false): Seq[(String, String)] = {
+    require(maxRounds > 0 && batchR > 0 && candK >= batchR && target > 0)
+    val words = bpeWordTable(df, textCol)
+      .select(col("w"), col("wc")).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    for (_ <- 0 until rounds) {
-      val cand = bpePairCounts(rep).limit(candK).collect()
-        .map(r => (r.getString(0), r.getString(1)))
+    var round = 0
+    var saturated = false
+    while (round < maxRounds && merges.size < target && !saturated) {
+      val segs = words.select(col("wc"),
+        Bpe.segments(col("w"), merges.toSeq).as("segs"))
+      val cand = bpePairCountsFromSegs(segs).limit(candK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val usedTok = scala.collection.mutable.Set.empty[String]
+      val usedCat = scala.collection.mutable.Set.empty[String]
       val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      for ((a, b) <- cand if acc.size < batchR) {
-        val interacts = acc.exists { case (x, y) =>
-          x == a || x == b || y == a || y == b ||
-            (x + y) == a || (x + y) == b || (a + b) == x || (a + b) == y
+      for ((a, b, c) <- cand if acc.size < batchR) {
+        val sweep = tieSweep && c <= 1L
+        val interacts = !sweep && (usedTok(a) || usedTok(b) ||
+          usedCat(a) || usedCat(b) || usedTok(a + b))
+        if (!interacts) {
+          acc += ((a, b))
+          if (!sweep) { usedTok += a; usedTok += b; usedCat += a + b }
         }
-        if (!interacts) acc += ((a, b))
       }
-      if (acc.nonEmpty) {
-        merges ++= acc
-        rep = rep.withColumn("rep", acc.foldLeft(col("rep")) {
-          case (c, (a, b)) =>
-            call_function("replace", c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
-        }).localCheckpoint()
-      }
+      if (acc.isEmpty) saturated = true else merges ++= acc
+      round += 1
     }
     merges.toSeq
   }
@@ -583,6 +628,135 @@ object TextAnalysis {
       .select(col("a"), col("b")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
 
+  private val bpeTargetCache =
+    scala.collection.mutable.Map.empty[(Int, String), Seq[(String, String)]]
+
+  /** Content tag for the t25 artifacts: training parameters + a cheap
+    * corpus fingerprint (slice row count), so a fresh session can tell
+    * a reusable staged tokenizer from a stale one. */
+  private def bpeArtifactTag(target: Int, sliceRows: Long): String =
+    s"v1|target=$target|sliceRows=$sliceRows"
+
+  private def artifactLoc(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+
+  /** Is a staged artifact directory present, complete (_SUCCESS), and
+    * tagged with the expected content key (_GRAFT_TAG)? */
+  private def stagedDirValid(spark: SparkSession, table: String,
+      tag: String): Boolean = {
+    val loc = artifactLoc(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tagFile = new org.apache.hadoop.fs.Path(loc, "_GRAFT_TAG")
+    fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) &&
+      fs.exists(tagFile) && {
+        val in = fs.open(tagFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == tag
+        finally in.close()
+      }
+  }
+
+  private def writeTag(spark: SparkSession, table: String,
+      tag: String): Unit = {
+    val loc = artifactLoc(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "_GRAFT_TAG"),
+      true)
+    try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fixed artifact table name for the t25 merge table. */
+  def bpeTargetMergesTable(dir: String): String =
+    "t25_merges_" +
+      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Train a production-scale (target-merge-count) tokenizer ONCE per
+    * sf directory and PERSIST it — the t24 tokenizer-as-artifact
+    * contract at real vocabulary size: training is an ingest cost, and
+    * a fresh engine (the per-round bench is one) reads the (rank, a,
+    * b) table back instead of retraining. An underscore-prefixed tag
+    * file records (params, training-slice row count) so a stale or
+    * torn artifact retrains instead of serving wrong merges. */
+  def ensureBpeTargetTrained(spark: SparkSession, dir: String,
+      train: DataFrame, textCol: String, target: Int): Seq[(String, String)] =
+    bpeTargetCache.synchronized {
+      bpeTargetCache.getOrElseUpdate(
+        (System.identityHashCode(spark), s"$dir#$target"), {
+          val table = bpeTargetMergesTable(dir)
+          val sliceRows = train.count()
+          val tag = bpeArtifactTag(target, sliceRows)
+          if (stagedDirValid(spark, table, tag)) {
+            import spark.implicits._
+            spark.read.parquet(artifactLoc(spark, table).toString)
+              .orderBy(col("rank")).select(col("a"), col("b"))
+              .as[(String, String)].collect().toSeq
+          } else {
+            val merges = bpeLearnMergesToTarget(train, textCol,
+              maxRounds = 24, batchR = 16384, candK = 65536,
+              target = target, tieSweep = true)
+            import spark.implicits._
+            spark.sql(s"DROP TABLE IF EXISTS `$table`")
+            val loc = artifactLoc(spark, table)
+            loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(loc, true)
+            merges.zipWithIndex
+              .map { case ((a, b), i) => (i + 1L, a, b) }
+              .toDF("rank", "a", "b")
+              .repartition(1)
+              .write.mode("overwrite").format("parquet").saveAsTable(table)
+            writeTag(spark, table, tag)
+            merges
+          }
+        })
+    }
+
+  /** Fixed artifact table name for the per-sfDir word->segments map (the
+    * oracle needs a path known at SQL-authoring time, so this one is
+    * named by sf directory, not content-keyed). */
+  def wordSegsStagedTable(dir: String): String =
+    "t25_word_segs_" +
+      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+
+  private val wordSegsStagedKeys =
+    scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Stage the FULL corpus's distinct-word segmentation under a merge
+    * table as a (w, segs) parquet table — the oracle-decomposition
+    * artifact for vocabulary-scale encode checks: DuckDB re-derives
+    * vocabulary ids, positions, per-doc order, and checksums entirely
+    * from (w, segs) + the raw corpus, trusting only the per-word
+    * segmentation map, which BpeSpec pins exactly (chain-replay
+    * equivalence) at 32k+ merges. Vocabulary-scale rows, written with
+    * full parallelism (the oracle reads a *.parquet glob); reused
+    * across sessions through the same tag check as the merge artifact
+    * (keyed additionally by the merge-table size + first/last rule so
+    * a retrained tokenizer invalidates the segmentation map). */
+  def ensureWordSegsStaged(spark: SparkSession, dir: String,
+      docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): Unit =
+    wordSegsStagedKeys.synchronized {
+      val table = wordSegsStagedTable(dir)
+      val key = (System.identityHashCode(spark), table)
+      if (!wordSegsStagedKeys(key)) {
+        val tag = s"v1|merges=${merges.size}|" +
+          s"first=${merges.headOption}|last=${merges.lastOption}"
+        if (!stagedDirValid(spark, table, tag)) {
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          val loc = artifactLoc(spark, table)
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(loc, true)
+          bpeWordTable(docs, textCol)
+            .select(col("w"), Bpe.segments(col("w"), merges).as("segs"))
+            .write.mode("overwrite").format("parquet").saveAsTable(table)
+          writeTag(spark, table, tag)
+        }
+        wordSegsStagedKeys += key
+      }
+    }
+
   /** (w, wc, rep): distinct corpus words with counts and the
     * boundary-wrapped initial (per-character) segmentation. */
   private def bpeWordTable(df: DataFrame, textCol: String): DataFrame =
@@ -595,9 +769,13 @@ object TextAnalysis {
   /** Exact weighted adjacent-pair counts over the current segmentation,
     * ordered (count DESC, a, b) — head is the next merge. */
   private def bpePairCounts(rep: DataFrame): DataFrame =
-    rep.select(col("wc"),
-        expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
-          .as("segs"))
+    bpePairCountsFromSegs(rep.select(col("wc"),
+      expr("split(substring(rep, 2, length(rep) - 2), '\\\\|\\\\|')")
+        .as("segs")))
+
+  /** The same counts from a (wc, segs array) segmentation table. */
+  private def bpePairCountsFromSegs(segsDf: DataFrame): DataFrame =
+    segsDf
       .filter(size(col("segs")) >= 2)
       .select(col("wc"), explode(expr(
         "transform(sequence(1, size(segs) - 1), i -> " +
@@ -652,16 +830,50 @@ object TextAnalysis {
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (wordSegs, vocabIds) = bpeSegVocab(df, textCol, merges)
+    encodeChecksumTail(df, idCol, textCol, wordSegs, vocabIds)
+  }
+
+  /** [[bpeEncode]] reading the word segmentation back from the staged
+    * (w, segs) artifact instead of re-segmenting — the serving form:
+    * after ingest (ensureWordSegsStaged), encoding a corpus never runs
+    * the tokenizer again; per-word stats join against the staged map
+    * and only corpus-scale assembly remains. */
+  def bpeEncodeFromStagedSegs(spark: SparkSession, dir: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segsOnly = spark.read.parquet(
+      artifactLoc(spark, wordSegsStagedTable(dir)).toString)
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val wordSegs = segsOnly.join(wc, "w").localCheckpoint()
+    val vocabIds = wordSegs
+      .select(col("wc"), explode(col("segs")).as("seg"))
+      .groupBy(col("seg")).agg(sum(col("wc")).as("c"))
+      .withColumn("tok_id", row_number().over(
+        Window.orderBy(col("c").desc, col("seg"))).cast("long"))
+      .select(col("seg"), col("tok_id"))
+    encodeChecksumTail(df, idCol, textCol, wordSegs, vocabIds)
+  }
+
+  /** Shared checksum-encode assembly over a precomputed segmentation. */
+  private def encodeChecksumTail(df: DataFrame, idCol: String,
+      textCol: String, wordSegs: DataFrame,
+      vocabIds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // per DISTINCT word: segment count, Σ id, Σ (si+1)·id — all at
-    // vocabulary scale, so the corpus never joins ids per segment
+    // vocabulary scale, so the corpus never joins ids per segment; the
+    // id table is broadcast (≤ alphabet + merges rows) so the segment
+    // explode never shuffles, and the compact result is materialized
+    // once — broadcast() below would otherwise re-run the whole chain
     val wordAgg = wordSegs
       .select(col("w"), posexplode(col("segs")).as(Seq("si", "seg")))
-      .join(vocabIds, "seg")
+      .join(broadcast(vocabIds), "seg")
       .groupBy(col("w"))
       .agg(count(lit(1)).as("nseg"), sum(col("tok_id")).as("sid"),
         sum((col("si") + 1).cast("long") * col("tok_id")).as("swid"))
+      .localCheckpoint()
     val words = df
       .select(col(idCol).as("id"),
         posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
@@ -754,7 +966,7 @@ object TextAnalysis {
       strict: Boolean): DataFrame = {
     val joined = wordSegs
       .select(col("w"), posexplode(col("segs")).as(Seq("si", "seg")))
-      .join(vocabIds.select(col("seg"), col("tok_id")),
+      .join(broadcast(vocabIds.select(col("seg"), col("tok_id"))),
         Seq("seg"), if (strict) "left" else "inner")
     val checked =
       if (strict)

@@ -1176,6 +1176,82 @@ object PipelineQueries {
             FROM rep12)
       GROUP BY seg ORDER BY c DESC, seg LIMIT 100"""))),
 
+    // PRODUCTION-VOCABULARY BPE ENCODE (bpeLearnMergesToTarget +
+    // bpeEncode): train a ≥32k-merge tokenizer and encode the corpus —
+    // the scale the t18–t24 pipeline previously could not reach, now
+    // constant-depth end to end (BpeSegment carries the whole merge
+    // table as one broadcast rank map; no stage's plan grows with the
+    // vocabulary). The corpus derives 40 hash-words per doc from doc
+    // ids (the documents fixture has a ~31-word vocabulary — far below
+    // 32k merge capacity — so both engines derive an identical
+    // 16-symbol-alphabet corpus from the same table: 640k chars at 500
+    // docs, which empirically yields ~0.1 merge rules per char, i.e.
+    // comfortably past the 33k target) and trains on a bounded 500-doc
+    // slice (constant training cost at any sf), session-cached like
+    // the s19–s22 index stagers.
+    //
+    // Oracle decomposition: DuckDB re-derives vocabulary ids (count
+    // DESC, seg), per-doc positions, n_bpe, and the order-sensitive
+    // Σ position·id checksum ENTIRELY from the raw corpus plus the
+    // staged (w → segs) map — trusting only the per-word segmentation,
+    // which BpeSpec pins exactly against the rank-order chain replay at
+    // 33k merges (infeasible to replay as 33k SQL replace stages; the
+    // trainer itself is full-oracle-replayed at t23's scale). Every
+    // corpus-scale stage — word explode, multiplicity weighting, id
+    // ranking, position assignment, per-doc aggregation — is verified
+    // independently.
+    QuerySpec("t25_bpe_encode_32k", (s, dir) => {
+      import s.implicits._
+      val corpus = Tables.load(s, dir, "documents")
+        .select($"doc_id", expr("concat_ws(' ', transform(" +
+          "sequence(0L, 39L), i -> md5(cast(doc_id * 40 + i as string))))")
+          .as("text"))
+      val merges = TextAnalysis.ensureBpeTargetTrained(s, dir,
+        corpus.filter($"doc_id" < 500).select($"text"), "text",
+        target = 33000)
+      TextAnalysis.ensureWordSegsStaged(s, dir, corpus, "text", merges)
+      TextAnalysis.bpeEncodeFromStagedSegs(s, dir, corpus, "doc_id", "text")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH wsegs AS (
+        SELECT w, segs FROM read_parquet(
+          '/root/repo/spark-warehouse/t25_word_segs_sf0_01/*.parquet')),
+      corpus AS (
+        SELECT doc_id, array_to_string(list_transform(
+          generate_series(0, 39),
+          i -> md5(CAST(doc_id * 40 + i AS VARCHAR))), ' ') AS text
+        FROM documents),
+      dwords AS (
+        SELECT doc_id, wi, ws[wi] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS ws
+                    FROM corpus))
+        WHERE length(ws[wi]) >= 1 AND ws[wi] NOT LIKE '%|%'),
+      wcount AS (SELECT w, count(*) AS wc FROM dwords GROUP BY w),
+      vocab AS (
+        SELECT seg, sum(wc) AS c
+        FROM (SELECT c.wc, unnest(s.segs) AS seg
+              FROM wcount c JOIN wsegs s USING (w))
+        GROUP BY seg),
+      vids AS (
+        SELECT seg, CAST(row_number() OVER (ORDER BY c DESC, seg)
+          AS BIGINT) AS tok_id
+        FROM vocab),
+      dtoks0 AS (
+        SELECT d.doc_id, d.wi, s.segs,
+               unnest(generate_series(1, len(s.segs))) AS si
+        FROM dwords d JOIN wsegs s USING (w)),
+      positioned AS (
+        SELECT t.doc_id, v.tok_id,
+          row_number() OVER (PARTITION BY t.doc_id ORDER BY t.wi, t.si)
+            AS pos
+        FROM (SELECT doc_id, wi, si, segs[si] AS seg FROM dtoks0) t
+        JOIN vids v USING (seg))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+        CAST(sum(pos * tok_id) AS BIGINT) AS id_checksum
+      FROM positioned GROUP BY doc_id ORDER BY doc_id""")),
+
     // KMV cardinality sketch (TextAnalysis.kmvDistinctCardinality over
     // 3-gram shingles): distinct-shingle count per source via a k=128
     // k-minimum-values synopsis — the engine-replayable alternative to

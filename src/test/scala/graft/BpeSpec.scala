@@ -135,6 +135,41 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("t25's trainer actually reaches a >=32768-merge vocabulary on " +
+      "the derived corpus, and the table is consistent (every token " +
+      "formed by lower-ranked merges)") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select($"doc_id", expr("concat_ws(' ', transform(" +
+        "sequence(0L, 39L), i -> md5(cast(doc_id * 40 + i as string))))")
+        .as("text"))
+    val merges = TextAnalysis.ensureBpeTargetTrained(spark,
+      "/root/testdata/sf0.01", corpus.filter($"doc_id" < 500)
+        .select($"text"), "text", target = 33000)
+    assert(merges.size >= 32768, s"only ${merges.size} merges learned")
+    // consistency: every non-character token referenced by a merge was
+    // produced by a LOWER-ranked merge — the property that makes the
+    // greedy apply identical to the rank-order replay
+    val formedAt = scala.collection.mutable.Map.empty[String, Int]
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      for (t <- Seq(a, b) if t.length > 1)
+        assert(formedAt.getOrElse(t, Int.MaxValue) < r,
+          s"rank $r uses token '$t' not yet formed")
+      formedAt.getOrElseUpdate(a + b, r)
+    }
+    // and the greedy apply still equals the 33k-stage rank-order chain
+    // replay on the TIE-SWEPT table (the equivalence the tie-sweep
+    // Scaladoc argues from consistency)
+    val sample = corpus.filter($"doc_id" < 20)
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .distinct().as[String].collect().toSeq.sorted.take(60)
+    assert(sample.size >= 40)
+    val native = nativeSegment(sample, merges)
+    sample.foreach { w =>
+      assert(native(w) == chainSegment(w, merges), s"word '$w'")
+    }
+  }
+
   test("the full encode path (t22 shape) under a 32k-merge tokenizer " +
       "stays constant-depth end to end") {
     import spark.implicits._
