@@ -63,7 +63,12 @@ object ManifestTable {
     extends RuntimeException(msg)
 
   private def hadoopConf: Configuration =
-    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+    // getActiveSession is thread-local: calls from non-Spark-created
+    // threads (reader threads, schedulers) must still see the session's
+    // Hadoop settings, so fall back to the JVM-global default session
+    // before surrendering to a bare Configuration
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
   private def fsFor(root: String): FileSystem =
@@ -97,7 +102,8 @@ object ManifestTable {
   /** Publish `df` as the next version: writer lock → full write →
     * atomic pointer swap → pointer-derived keep-2 GC → unlock. Returns
     * the new version's data directory. */
-  def publish(spark: SparkSession, root: String, df: DataFrame): String = {
+  def publish(spark: SparkSession, root: String, df: DataFrame,
+      protect: Set[String] = Set.empty): String = {
     val fs = fsFor(root)
     fs.mkdirs(new HPath(root))
     val lock = acquireLock(fs, root)
@@ -108,7 +114,7 @@ object ManifestTable {
       val dataDir = s"$root/$ver"
       df.write.mode("error").parquet(dataDir)
       swapPointer(fs, root, ver)
-      gc(fs, root)
+      gc(fs, root, prev.toSet ++ protect)
       dataDir
     } finally fs.delete(lock, false)
   }
@@ -119,7 +125,8 @@ object ManifestTable {
     * [[PartitionedManifest]]: a single partitioned write job produces
     * every partition's files, and each partition directory is adopted
     * into its own manifest root without rewriting a byte. */
-  private[engine] def adoptVersion(root: String, srcDir: String): String = {
+  private[engine] def adoptVersion(root: String, srcDir: String,
+      protect: Set[String] = Set.empty): String = {
     val fs = fsFor(root)
     fs.mkdirs(new HPath(root))
     val lock = acquireLock(fs, root)
@@ -130,7 +137,7 @@ object ManifestTable {
       require(fs.rename(new HPath(srcDir), new HPath(s"$root/$ver")),
         s"ManifestTable: could not adopt $srcDir into $root")
       swapPointer(fs, root, ver)
-      gc(fs, root)
+      gc(fs, root, prev.toSet ++ protect)
       s"$root/$ver"
     } finally fs.delete(lock, false)
   }
@@ -168,7 +175,18 @@ object ManifestTable {
     val age =
       try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-    if (age > LockStaleMs) fs.delete(lock, false)
+    if (age > LockStaleMs && age != Long.MaxValue) {
+      // break the stale lock by renaming it ASIDE first: an unconditional
+      // delete is TOCTOU-racy (two waiters could both measure staleness,
+      // and the slower delete would remove the faster waiter's freshly
+      // created lock). rename is atomic and fails for the loser, so at
+      // most one waiter retires any given stale lock file.
+      val aside = new HPath(root,
+        s"$Lock.stale.${java.util.UUID.randomUUID.toString.take(8)}")
+      val broke = try fs.rename(lock, aside)
+        catch { case _: java.io.IOException => false }
+      if (broke) fs.delete(aside, false)
+    }
     if (tryCreate()) lock
     else throw new ConcurrentPublishException(
       s"ManifestTable: another publisher holds $root/$Lock — publishers " +
@@ -193,15 +211,25 @@ object ManifestTable {
   }
 
   /** Keep the version the LIVE pointer names (re-read after the swap —
-    * a concurrent publisher may have won a later swap) plus its
-    * highest-generation predecessor; delete the rest recursively
-    * through the Hadoop FS (no directory-handle leaks). */
-  private def gc(fs: FileSystem, root: String): Unit = {
+    * a concurrent publisher may have won a later swap) plus the
+    * POINTER-DERIVED previous version and any explicitly protected
+    * versions (snapshot-referenced dirs); delete the rest recursively
+    * through the Hadoop FS (no directory-handle leaks).
+    *
+    * The previous version comes from the pointer value read under the
+    * lock BEFORE the swap, never from lexicographic guessing: a
+    * failed/aborted publish can leave an orphan dir of the same
+    * generation (e.g. v000002-aaaa next to the live v000002-bbbb), and
+    * keeping the lexicographically-highest predecessor would preserve
+    * the partial orphan while deleting the genuine previous version —
+    * breaking the documented keep-2 reader horizon. */
+  private def gc(fs: FileSystem, root: String,
+      protect: Set[String]): Unit = {
     val current = currentVersion(root).getOrElse(return)
     val versions = fs.listStatus(new HPath(root))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .map(_.getPath.getName).sorted // v%06d zero-padding = generation order
-    val keep = Set(current) ++ versions.filter(_ < current).lastOption
+    val keep = Set(current) ++ protect
     versions.filterNot(keep).foreach(v => fs.delete(new HPath(root, v), true))
   }
 

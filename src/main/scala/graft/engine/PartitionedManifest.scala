@@ -44,6 +44,24 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedManifest {
 
+  /** Partition values ride in DIRECTORY NAMES, generated SQL partition
+    * specs, and tab-delimited snapshot lines — so they must be plain
+    * printable tokens. Reject anything else LOUDLY instead of letting a
+    * quote or newline corrupt an ALTER TABLE statement or a snapshot
+    * file (the API accepts arbitrary partType; current callers use int
+    * buckets, but a string-typed partition must not be able to smuggle
+    * structure). */
+  private def checkPartValue(v: String): String = {
+    require(v.nonEmpty && v.length <= 255 && v.forall(c =>
+      c > ' ' && c <= '~' && c != '\'' && c != '"' && c != '\\' &&
+        c != '/' && c != '`'),
+      s"PartitionedManifest: unsupported partition value '$v' - values " +
+        "must be non-empty printable ASCII without quotes, backticks, " +
+        "slashes, or whitespace (they appear in directory names, SQL " +
+        "partition specs, and snapshot lines)")
+    v
+  }
+
   /** One Spark job writes `df` hive-partitioned by `partCol` into a
     * scratch dir; each partition directory is then ADOPTED (one rename,
     * no data copy) as version 1 of its own manifest root. */
@@ -99,6 +117,7 @@ object PartitionedManifest {
     * pointer swap → keep-2 GC, all inherited from [[ManifestTable]]. */
   def publishPartition(spark: SparkSession, root: String, partCol: String,
       value: String, df: DataFrame): String = {
+    checkPartValue(value)
     val data =
       if (df.columns.contains(partCol)) df.drop(partCol) else df
     ManifestTable.publish(spark, s"$root/$partCol=$value", data)
@@ -164,6 +183,30 @@ object PartitionedManifest {
         .getOrElse(sys.error(
           s"PartitionedManifest: no MANIFEST under $root/$partCol=$v"))
     }
+    syncCatalogDirs(spark, root, table, partCol, partType, dirs)
+  }
+
+  /** Pin a catalog table to a NAMED snapshot: every partition LOCATION
+    * comes from the snapshot mapping, not the live per-partition
+    * pointers — so a HISTORICAL commit serves through the same single
+    * partitioned relation (one plan, real PartitionFilters pruning,
+    * plan-asserted in PlanAuditSpec) as current-state serving, instead
+    * of the N-branch union the fresh-engine reader pays. Defaults to
+    * the current snapshot. */
+  def syncCatalogTableSnapshot(spark: SparkSession, root: String,
+      table: String, partCol: String, partType: String,
+      snapshot: Option[String] = None): Unit = {
+    val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
+      sys.error(s"PartitionedManifest: no snapshot committed under $root"))
+    val mapping = snapshotMapping(spark, root, snap)
+    require(mapping.nonEmpty, s"empty snapshot $snap")
+    val dirs = mapping.map { case (v, d) => v -> s"$root/$partCol=$v/$d" }
+    syncCatalogDirs(spark, root, table, partCol, partType, dirs)
+  }
+
+  private def syncCatalogDirs(spark: SparkSession, root: String,
+      table: String, partCol: String, partType: String,
+      dirs: Seq[(String, String)]): Unit = {
     if (!spark.catalog.tableExists(table)) {
       val schema = spark.read.parquet(dirs.head._2).schema
       val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}")
@@ -183,10 +226,12 @@ object PartitionedManifest {
     if (added.nonEmpty)
       spark.sql(s"ALTER TABLE `$table` ADD IF NOT EXISTS " +
         added.map { case (v, dir) =>
-          s"PARTITION ($partCol=$v) LOCATION '$dir'" }.mkString(" "))
+          s"PARTITION (`$partCol`='${checkPartValue(v)}') LOCATION '$dir'"
+        }.mkString(" "))
     dirs.foreach { case (v, dir) =>
       if (existing.get(v).exists(loc => norm(loc) != norm(dir)))
-        spark.sql(s"ALTER TABLE `$table` PARTITION ($partCol=$v) " +
+        spark.sql(s"ALTER TABLE `$table` " +
+          s"PARTITION (`$partCol`='${checkPartValue(v)}') " +
           s"SET LOCATION '$dir'")
     }
     spark.sql(s"REFRESH TABLE `$table`")
@@ -243,18 +288,31 @@ object PartitionedManifest {
       .filter(_.startsWith("s")).sorted.toSeq
   }
 
-  /** Commit a snapshot: write the touched partitions' new version dirs
-    * (each also advancing its per-partition pointer, so both reader
-    * paths agree), then swap the ONE root pointer to a snapshot file
-    * naming every partition's version — the whole delta becomes visible
-    * in a single atomic rename. Pass `updates` as partitionValue → new
-    * rows (without the partition column). Returns the snapshot name. */
+  /** Commit a snapshot: write ALL touched partitions' new version
+    * directories in ONE Spark job (hive-partitioned scratch write, then
+    * per-directory adoption — the seed() machinery, so a 500-partition
+    * delta costs one job launch, not 500 sequential ones), advance each
+    * touched partition's pointer (both reader paths agree), then swap
+    * the ONE root pointer to a snapshot file naming every partition's
+    * version — the whole delta becomes visible in a single atomic
+    * rename. Pass `updates` as partitionValue → new rows (without the
+    * partition column). Returns the snapshot name.
+    *
+    * `keepSnapshots` (≥ 2) is the time-travel horizon: the last N
+    * commits stay fully readable. Per-partition version GC is
+    * snapshot-aware — a touched partition keeps exactly the versions
+    * referenced by the kept snapshots plus its live pointer — and
+    * delta-scoped: an UNtouched partition's obsolete versions are
+    * collected when that partition is next touched (GC cost stays on
+    * the delta's partition footprint, never the partition count). */
   def commitSnapshot(spark: SparkSession, root: String, partCol: String,
-      updates: Map[String, DataFrame]): String =
+      updates: Map[String, DataFrame], keepSnapshots: Int = 2): String = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2 (current + previous)")
     // serialize committers on the TABLE root (partition publishes lock
     // their own partition roots - disjoint, no deadlock): two racing
     // commits must not both read base mapping N and fight over N+1
     ManifestTable.withPublishLock(root) {
+    updates.keys.foreach(checkPartValue)
     val base: Map[String, String] = currentSnapshot(spark, root) match {
       case Some(s) => snapshotMapping(spark, root, s).toMap
       case None => // adopt the standing per-partition pointers as gen-0
@@ -264,11 +322,50 @@ object PartitionedManifest {
             .getName
         }.toMap
     }
-    val written = updates.map { case (v, df) =>
-      v -> new HPath(publishPartition(spark, root, partCol, v, df)).getName
-    }
-    val mapping = (base ++ written).toSeq.sortBy(_._1)
     val fs = fsOf(spark, root)
+    // versions the SURVIVING older snapshots still reference, per
+    // partition — the per-partition GC must not collect them while a
+    // kept snapshot names them
+    val keptOld = snapshots(spark, root).takeRight(keepSnapshots - 1)
+    val protectByPart: Map[String, Set[String]] = keptOld
+      .flatMap(sn => snapshotMapping(spark, root, sn))
+      .groupBy(_._1).map { case (v, dirs) => v -> dirs.map(_._2).toSet }
+    val written: Map[String, String] =
+      if (updates.isEmpty) Map.empty
+      else {
+        // ONE hive-partitioned write of every touched partition's rows
+        val scratch =
+          s"$root/.commit-${java.util.UUID.randomUUID.toString.take(8)}"
+        val parts = updates.keys.toSeq.sorted
+        val schemaCols = updates(parts.head).drop(partCol).columns.toSeq
+        updates.map { case (v, df) =>
+          (if (df.columns.contains(partCol)) df.drop(partCol) else df)
+            .select(schemaCols.map(col): _*)
+            .withColumn(partCol, lit(v))
+        }.reduce(_.unionByName(_))
+          .repartition(col(partCol))
+          .write.mode("error").partitionBy(partCol).parquet(scratch)
+        val adopted = parts.map { v =>
+          val src = new HPath(s"$scratch/$partCol=$v")
+          val protect = protectByPart.getOrElse(v, Set.empty)
+          val dir =
+            if (fs.exists(src))
+              ManifestTable.adoptVersion(s"$root/$partCol=$v",
+                src.toString, protect)
+            else {
+              // an all-empty partition writes no scratch directory; its
+              // (legitimate) empty version still needs publishing
+              val df = updates(v)
+              ManifestTable.publish(spark, s"$root/$partCol=$v",
+                if (df.columns.contains(partCol)) df.drop(partCol) else df,
+                protect)
+            }
+          v -> new HPath(dir).getName
+        }.toMap
+        fs.delete(new HPath(scratch), true)
+        adopted
+      }
+    val mapping = (base ++ written).toSeq.sortBy(_._1)
     fs.mkdirs(new HPath(root, SnapDir))
     val gen = snapshots(spark, root).lastOption
       .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
@@ -283,15 +380,15 @@ object PartitionedManifest {
     // the root pointer swap reuses ManifestTable's atomic-rename path
     // (NIO ATOMIC_MOVE on local, FileContext OVERWRITE elsewhere)
     ManifestTable.swapRootPointer(root, snap)
-    // snapshot horizon = the per-partition keep-2 GC's: the CURRENT and
-    // PREVIOUS commits stay fully readable (every partition keeps its
-    // pointed-to version plus one predecessor); older snapshot files
-    // would dangle into GC'd version dirs, so they go too
-    val keep = snapshots(spark, root).takeRight(2).toSet + snap
+    // drop snapshot files past the keep-N horizon (their uniquely-
+    // referenced version dirs are collected lazily, on each partition's
+    // next touch)
+    val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet + snap
     snapshots(spark, root).filterNot(keep).foreach(s =>
       fs.delete(new HPath(root, s"$SnapDir/$s"), false))
     snap
     }
+  }
 
   /** Read a COMMITTED snapshot — every partition at one commit, the
     * cross-partition-consistent view. Defaults to the current one. */
