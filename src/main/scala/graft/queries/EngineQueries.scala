@@ -178,6 +178,75 @@ object EngineQueries {
       FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
       ORDER BY snap, n_nationkey""")),
 
+    // KEEP-N TIME TRAVEL + CATALOG-PINNED HISTORICAL SNAPSHOT
+    // (PartitionedManifest.commitSnapshot(keepSnapshots = 3) +
+    // syncCatalogTableSnapshot): the horizon is a config, not the
+    // constant 2 — three commits stay fully readable, with per-partition
+    // version GC protecting exactly the kept snapshots' referenced
+    // directories — and the MIDDLE (historical) snapshot serves through
+    // a catalog table pinned to its mapping: one partitioned relation
+    // with real PartitionFilters pruning (plan-asserted in
+    // PlanAuditSpec), not the N-branch fresh-engine union. The oracle
+    // recomputes all three versions relationally from the nation
+    // fixture; a GC bug that collected a still-referenced version dir
+    // or a mapping bug in the pinned catalog table breaks a row.
+    QuerySpec("w07_snapshot_catalog_history", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat, lit}
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w07").toString
+      val nation = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          ($"n_regionkey" % 2).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, nation, "bk")
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty,
+        keepSnapshots = 3)
+      val p0 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .filter($"bk" === 0)
+        .select($"n_nationkey", concat($"n_name", lit(" (v2)")).as("n_name"))
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map("0" -> p0),
+        keepSnapshots = 3)
+      val p1 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .filter($"bk" === 1)
+        .select($"n_nationkey", concat($"n_name", lit(" (v3)")).as("n_name"))
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map("1" -> p1),
+        keepSnapshots = 3)
+      val snaps = PartitionedManifest.snapshots(s, root)
+      require(snaps.length == 3, s"expected keep-3 horizon, got $snaps")
+      s.sql("DROP TABLE IF EXISTS w07_hist")
+      PartitionedManifest.syncCatalogTableSnapshot(s, root, "w07_hist",
+        "bk", "int", Some(snaps(1)))
+      val oldest = PartitionedManifest
+        .readSnapshot(s, root, "bk", "int", Some(snaps(0)))
+        .withColumn("snap", lit(1L))
+      val hist = s.table("w07_hist").withColumn("snap", lit(2L))
+      val cur = PartitionedManifest
+        .readSnapshot(s, root, "bk", "int", Some(snaps(2)))
+        .withColumn("snap", lit(3L))
+      oldest.unionByName(hist).unionByName(cur)
+        .select($"snap", $"n_nationkey", $"n_name",
+          $"bk".cast("long").as("bk"))
+        .orderBy($"snap", $"n_nationkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey % 2 AS BIGINT) AS bk
+        FROM nation),
+      s1 AS (SELECT 1 AS snap, n_nationkey, n_name, bk FROM base),
+      s2 AS (SELECT 2 AS snap, n_nationkey,
+               CASE WHEN bk = 0 THEN n_name || ' (v2)' ELSE n_name END
+                 AS n_name, bk
+             FROM base),
+      s3 AS (SELECT 3 AS snap, n_nationkey,
+               CASE WHEN bk = 0 THEN n_name || ' (v2)'
+                    ELSE n_name || ' (v3)' END AS n_name, bk
+             FROM base)
+      SELECT CAST(snap AS BIGINT) AS snap, n_nationkey, n_name, bk
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3)
+      ORDER BY snap, n_nationkey""")),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

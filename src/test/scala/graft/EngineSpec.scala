@@ -725,4 +725,122 @@ class EngineSpec extends AnyFunSuite {
     assert(!spark.table("evo_tbl").columns.contains("acct_band"),
       "03_step must not swap after a failed validation")
   }
+  test("one-job multi-partition snapshot commit: a 16-partition delta " +
+      "launches ONE write job (plus bounded metadata work), and the " +
+      "committed state equals the sequential semantics") {
+    val root = Files.createTempDirectory("graft-snap-1job").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val seed = (0 until 16).flatMap(b => (1 to 10).map(i =>
+      (0L, (b * 100 + i).toLong, b))).toDF("v", "i", "bk")
+    PartitionedManifest.seed(spark, root, seed, "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val updates = (0 until 16).map(b => b.toString ->
+      (1 to 10).map(i => (1L, (b * 100 + i).toLong)).toDF("v", "i")).toMap
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      PartitionedManifest.commitSnapshot(spark, root, "bk", updates)
+      Thread.sleep(500) // let queued listener events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one partitionBy write job; anything near 16 means the commit
+    // regressed to one-job-per-partition
+    assert(jobs.get() <= 3, s"commit launched ${jobs.get()} jobs")
+    val got = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+      .select($"v").distinct().as[Long].collect().toSeq
+    assert(got == Seq(1L), got)
+    val n = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+      .count()
+    assert(n == 160, s"$n rows")
+    // every partition advanced its own pointer too (reader-path parity)
+    (0 until 16).foreach { b =>
+      assert(graft.engine.ManifestTable.currentVersion(s"$root/bk=$b")
+        .get.startsWith("v000002"), s"bk=$b pointer did not advance")
+    }
+  }
+
+  test("manifest GC keeps the POINTER-DERIVED previous version: an " +
+      "aborted publish's same-generation orphan is collected, not " +
+      "mistaken for the previous version") {
+    val root = Files.createTempDirectory("graft-gc-orphan").toString
+    import spark.implicits._
+    ManifestTable.publish(spark, root, Seq((1L, 1L)).toDF("v", "i"))
+    ManifestTable.publish(spark, root, Seq((2L, 2L)).toDF("v", "i"))
+    val live = ManifestTable.currentVersion(root).get // v000002-xxxx
+    // a crashed publisher's orphan: same generation, lexicographically
+    // LAST — the old lexicographic rule would have kept this and
+    // deleted the genuine previous version
+    val orphan = "v000002-zzzzzzzz"
+    new java.io.File(s"$root/$orphan").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/$orphan/junk"), "partial")
+    ManifestTable.publish(spark, root, Seq((3L, 3L)).toDF("v", "i"))
+    val dirs = new java.io.File(root).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).toSet
+    assert(dirs.contains(live),
+      s"genuine previous version $live was deleted: $dirs")
+    assert(!dirs.contains(orphan), s"orphan survived GC: $dirs")
+    assert(dirs.size == 2, s"keep-2 horizon violated: $dirs")
+  }
+
+  test("partition values that would corrupt SQL specs, directory names " +
+      "or snapshot lines are rejected loudly") {
+    val root = Files.createTempDirectory("graft-partval").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val df = Seq((1L, 1L)).toDF("v", "i")
+    for (bad <- Seq("a b", "a'b", "a/b", "a\tb", "", "a`b")) {
+      val ex = intercept[IllegalArgumentException] {
+        PartitionedManifest.publishPartition(spark, root, "bk", bad, df)
+      }
+      assert(ex.getMessage.contains("unsupported partition value"),
+        s"'$bad': ${ex.getMessage}")
+    }
+    val ex2 = intercept[IllegalArgumentException] {
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("a b" -> df))
+    }
+    assert(ex2.getMessage.contains("unsupported partition value"))
+  }
+
+  test("keep-N horizon: keepSnapshots=3 leaves three commits fully " +
+      "readable, and version GC protects exactly the kept snapshots' " +
+      "directories") {
+    val root = Files.createTempDirectory("graft-keepn").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    def part(v: Int) = (1 to 5).map(i => (v.toLong, i.toLong)).toDF("v", "i")
+    PartitionedManifest.seed(spark, root,
+      part(0).withColumn("bk", org.apache.spark.sql.functions.lit(0))
+        .unionByName(part(0).withColumn("bk",
+          org.apache.spark.sql.functions.lit(1))), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 3)
+    for (v <- 1 to 4)
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("0" -> part(v).drop("bk"), "1" -> part(v).drop("bk")),
+        keepSnapshots = 3)
+    val snaps = PartitionedManifest.snapshots(spark, root)
+    assert(snaps.length == 3, snaps)
+    // all three horizons readable with the right contents (2, 3, 4)
+    snaps.zip(Seq(2L, 3L, 4L)).foreach { case (sn, expect) =>
+      val vs = PartitionedManifest
+        .readSnapshot(spark, root, "bk", "int", Some(sn))
+        .select($"v").distinct().as[Long].collect().toSeq
+      assert(vs == Seq(expect), s"$sn: $vs")
+    }
+    // each partition holds exactly the 3 referenced version dirs
+    Seq(0, 1).foreach { b =>
+      val dirs = new java.io.File(s"$root/bk=$b").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+      assert(dirs.length == 3, s"bk=$b: ${dirs.toSeq}")
+    }
+  }
+
 }

@@ -227,6 +227,52 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE pa_man_tbl")
   }
 
+  test("w07: a catalog table pinned to a HISTORICAL snapshot prunes to " +
+      "one partition AND reads that snapshot's version directory, not " +
+      "the current pointer's") {
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val root = java.nio.file.Files.createTempDirectory("pa-snapcat").toString
+    val seedDf = (1 to 100).map(i => (i.toLong, i % 5)).toDF("k", "bk")
+    PartitionedManifest.seed(spark, root, seedDf, "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 3)
+    // rewrite bk=2 in a second commit; the FIRST snapshot still names
+    // bk=2's v1 directory
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("2" -> (1 to 7).map(i => (1000L + i)).toDF("k")),
+      keepSnapshots = 3)
+    val snaps = PartitionedManifest.snapshots(spark, root)
+    val histDir = PartitionedManifest
+      .snapshotMapping(spark, root, snaps.head)
+      .toMap.apply("2") // the v1 name the historical snapshot pins
+    spark.sql("DROP TABLE IF EXISTS pa_snapcat")
+    PartitionedManifest.syncCatalogTableSnapshot(spark, root,
+      "pa_snapcat", "bk", "int", Some(snaps.head))
+    try {
+      val q = spark.table("pa_snapcat").filter($"bk" === 2)
+      assert(q.as[(Long, Int)].collect().map(_._1).sorted.toSeq
+        == (1 to 100).filter(_ % 5 == 2).map(_.toLong).toSeq,
+        "historical snapshot content wrong")
+      val scans = allNodes(executedPlan(q)).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "pa_snapcat") => f
+      }
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.toString.contains("= 2")),
+        scan.partitionFilters.toString)
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"read ${scan.selectedPartitions.partitionCount} partitions")
+      assert(scan.selectedPartitions.toPartitionArray
+        .forall(_.filePath.toString.contains(histDir)),
+        "scan did not read the historical snapshot's version directory")
+      val curDir = new org.apache.hadoop.fs.Path(graft.engine.ManifestTable
+        .currentDataDir(s"$root/bk=2").get).getName
+      assert(curDir != histDir, "test vacuous: pointer never moved")
+    } finally spark.sql("DROP TABLE pa_snapcat")
+  }
+
   test("w03 merge action prunes the base scan to its own partition " +
       "(plain partitioned-table idiom)") {
     import spark.implicits._
