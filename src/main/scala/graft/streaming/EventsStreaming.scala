@@ -271,14 +271,19 @@ object EventsStreaming {
     * AND a pinned (seg, tok_id) vocabulary (both ingest-time, like the
     * IVF centroids; per-batch id re-derivation would assign different
     * ids to the same token, the bug the twin test would catch)
-    * and their (doc_id, token_ids) rows append into the same staged
+    * and their (doc_id, token_ids) rows land in the same staged
     * layout [[graft.operators.TextAnalysis.bpeEncodeIds]] fills in
     * batch. `foreachBatch` because the per-doc array assembly is a
     * grouped aggregate — each micro-batch carries complete documents,
-    * so the batch encoder runs as-is and the append is at-least-once
-    * safe (idempotent doc ids; a replayed batch rewrites the same
-    * arrays). StreamingSpec pins stream==batch arrays over the mixed
-    * directory. */
+    * so the batch encoder runs as-is. At-least-once safety is REAL, not
+    * assumed: each micro-batch writes (mode=overwrite) its own
+    * batchId-keyed subdirectory, so a replayed batch REWRITES its
+    * directory instead of appending duplicate (doc_id, token_ids) rows
+    * into the corpus — a blind append would silently double documents
+    * after any failure/restart. Readers scan the layout with
+    * `recursiveFileLookup` (flat ingest files + b<id>/ stream dirs).
+    * StreamingSpec pins stream==batch arrays over the mixed directory
+    * AND replay-idempotency. */
   def encodeIdsBatch(spark: org.apache.spark.sql.SparkSession,
       outDir: String, merges: Seq[(String, String)],
       vocabIds: DataFrame)(
@@ -286,7 +291,7 @@ object EventsStreaming {
     if (batch.isEmpty) return
     graft.operators.TextAnalysis
       .bpeEncodeIdsWithVocab(batch, "doc_id", "text", merges, vocabIds)
-      .write.mode("append").parquet(outDir)
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
   }
 
   /** Streaming twin of the w03 merge path: a stream of keyed upserts

@@ -839,13 +839,30 @@ class StreamingSpec extends AnyFunSuite {
     try arrivals.grouped(math.max(arrivals.length / 3, 1)).foreach { b =>
       mem.addData(b.toSeq: _*); q.processAllAvailable()
     } finally q.stop()
-    val got = spark.read.parquet(out)
-      .as[(Long, Seq[Long])].collect().toMap
+    val mixed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out)
+    val rows = mixed.as[(Long, Seq[Long])].collect()
+    val got = rows.toMap
+    assert(rows.length == got.size,
+      "duplicate doc_ids in the staged layout (lost idempotency)")
     val want = TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges)
       .as[(Long, Seq[Long])].collect().toMap
     // the frozen vocab came from the SAME reference corpus, so the
     // self-derived batch encode and the frozen-vocab encode agree
     assert(got == want, "mixed batch+streamed encodings must equal batch")
+    // at-least-once REPLAY: re-running a micro-batch id with the same
+    // rows must rewrite its directory, not append duplicates
+    val replayRows = docs.filter($"doc_id" % 2 === 0).limit(5)
+    EventsStreaming.encodeIdsBatch(spark, out, merges, vocab)(
+      replayRows.toDF(), 99L)
+    val once = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).count()
+    EventsStreaming.encodeIdsBatch(spark, out, merges, vocab)(
+      replayRows.toDF(), 99L)
+    val twice = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).count()
+    assert(once == twice,
+      s"replayed batch appended duplicates: $once -> $twice")
   }
 }
 
