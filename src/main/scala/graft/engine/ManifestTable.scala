@@ -59,6 +59,32 @@ object ManifestTable {
   private val Lock = ".PUBLISH_LOCK"
   private val LockStaleMs = 10 * 60 * 1000L
 
+  // --- pluggable pointer medium -------------------------------------
+  // Roots under an installed prefix run their pointer swap and publish
+  // lock through a conditional-PUT PointerStore instead of atomic
+  // rename — the object-store deployment path (s3://, gs://, abfs://
+  // have no atomic rename; they DO have conditional PUT). Everything
+  // else keeps the rename machinery below.
+  private val pointerStores =
+    new java.util.concurrent.ConcurrentHashMap[String, PointerStore]()
+
+  /** Route every root under `prefix` through `store`. Longest installed
+    * prefix wins. */
+  def installPointerStore(prefix: String, store: PointerStore): Unit =
+    pointerStores.put(prefix, store)
+
+  def removePointerStore(prefix: String): Unit =
+    pointerStores.remove(prefix)
+
+  private def storeFor(root: String): Option[PointerStore] = {
+    var best: Option[(String, PointerStore)] = None
+    pointerStores.forEach { (pre, st) =>
+      if (root.startsWith(pre) &&
+          best.forall(_._1.length < pre.length)) best = Some((pre, st))
+    }
+    best.map(_._2)
+  }
+
   final class ConcurrentPublishException(msg: String)
     extends RuntimeException(msg)
 
@@ -79,16 +105,19 @@ object ManifestTable {
   private def nio(fs: FileSystem, p: HPath): java.nio.file.Path =
     java.nio.file.Paths.get(fs.makeQualified(p).toUri)
 
-  def currentVersion(root: String): Option[String] = {
-    val fs = fsFor(root)
-    val p = new HPath(root, Pointer)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), UTF_8).trim)
-      finally in.close()
+  def currentVersion(root: String): Option[String] =
+    storeFor(root) match {
+      case Some(st) => st.get(s"$root/$Pointer").map(_._1.trim)
+      case None =>
+        val fs = fsFor(root)
+        val p = new HPath(root, Pointer)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(in.readAllBytes(), UTF_8).trim)
+          finally in.close()
+        }
     }
-  }
 
   def currentDataDir(root: String): Option[String] =
     currentVersion(root).map(v => s"$root/$v")
@@ -106,7 +135,7 @@ object ManifestTable {
       protect: Set[String] = Set.empty): String = {
     val fs = fsFor(root)
     fs.mkdirs(new HPath(root))
-    val lock = acquireLock(fs, root)
+    val unlock = acquireLock(fs, root)
     try {
       val prev = currentVersion(root)
       val gen = prev.map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
@@ -116,7 +145,7 @@ object ManifestTable {
       swapPointer(fs, root, ver)
       gc(fs, root, prev.toSet ++ protect)
       dataDir
-    } finally fs.delete(lock, false)
+    } finally unlock()
   }
 
   /** Adopt an ALREADY-WRITTEN directory as the next version: one
@@ -129,7 +158,7 @@ object ManifestTable {
       protect: Set[String] = Set.empty): String = {
     val fs = fsFor(root)
     fs.mkdirs(new HPath(root))
-    val lock = acquireLock(fs, root)
+    val unlock = acquireLock(fs, root)
     try {
       val prev = currentVersion(root)
       val gen = prev.map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
@@ -139,7 +168,7 @@ object ManifestTable {
       swapPointer(fs, root, ver)
       gc(fs, root, prev.toSet ++ protect)
       s"$root/$ver"
-    } finally fs.delete(lock, false)
+    } finally unlock()
   }
 
   /** Swap a root-level pointer to an arbitrary name through the same
@@ -156,11 +185,44 @@ object ManifestTable {
   private[engine] def withPublishLock[A](root: String)(f: => A): A = {
     val fs = fsFor(root)
     fs.mkdirs(new HPath(root))
-    val lock = acquireLock(fs, root)
-    try f finally fs.delete(lock, false)
+    val unlock = acquireLock(fs, root)
+    try f finally unlock()
   }
 
-  private def acquireLock(fs: FileSystem, root: String): HPath = {
+  private def acquireLock(fs: FileSystem, root: String): () => Unit =
+    storeFor(root) match {
+      case Some(st) => acquireLockViaStore(st, root)
+      case None => acquireLockViaFs(fs, root)
+    }
+
+  /** Conditional-PUT lock: create-if-absent wins; a stale lock is taken
+    * over with ONE If-Match replace — no delete window at all (the
+    * loser's putIfMatch fails because the winner's write changed the
+    * tag), strictly stronger than the rename-aside dance below. */
+  private def acquireLockViaStore(st: PointerStore,
+      root: String): () => Unit = {
+    val path = s"$root/$Lock"
+    val owner = s"${System.currentTimeMillis()} " +
+      java.util.UUID.randomUUID.toString
+    def acquired(): () => Unit = () => st.delete(path)
+    if (st.putIfAbsent(path, owner)) return acquired()
+    val takeover = st.get(path) match {
+      case Some((content, tag)) =>
+        val ts = content.trim.takeWhile(_.isDigit)
+        val age = System.currentTimeMillis() -
+          (if (ts.nonEmpty) ts.toLong else 0L)
+        age > LockStaleMs && st.putIfMatch(path, owner, tag)
+      case None => st.putIfAbsent(path, owner)
+    }
+    if (takeover) acquired()
+    else throw new ConcurrentPublishException(
+      s"ManifestTable: another publisher holds $root/$Lock — publishers " +
+        "are single-writer per root; retry after it completes (locks " +
+        s"idle > ${LockStaleMs / 60000} min are presumed crashed and " +
+        "taken over)")
+  }
+
+  private def acquireLockViaFs(fs: FileSystem, root: String): () => Unit = {
     val lock = new HPath(root, Lock)
     def tryCreate(): Boolean =
       try {
@@ -171,7 +233,8 @@ object ManifestTable {
         else fs.create(lock, false).close()
         true
       } catch { case _: java.io.IOException => false }
-    if (tryCreate()) return lock
+    def acquired(): () => Unit = () => { fs.delete(lock, false); () }
+    if (tryCreate()) return acquired()
     val age =
       try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.FileNotFoundException => Long.MaxValue }
@@ -187,14 +250,57 @@ object ManifestTable {
         catch { case _: java.io.IOException => false }
       if (broke) fs.delete(aside, false)
     }
-    if (tryCreate()) lock
+    if (tryCreate()) acquired()
     else throw new ConcurrentPublishException(
       s"ManifestTable: another publisher holds $root/$Lock — publishers " +
         "are single-writer per root; retry after it completes (locks " +
         s"idle > ${LockStaleMs / 60000} min are presumed crashed and broken)")
   }
 
-  private def swapPointer(fs: FileSystem, root: String, ver: String): Unit = {
+  private def swapPointer(fs: FileSystem, root: String, ver: String): Unit =
+    storeFor(root) match {
+      case Some(st) =>
+        // CAS loop on the pointer object: create-if-absent for the first
+        // publish, If-Match replace after. Under the publish lock there
+        // is one writer, so the loop converges on the first try; the
+        // loop still guards against a takeover racing a crashed owner.
+        val path = s"$root/$Pointer"
+        var done = false
+        var spins = 0
+        while (!done) {
+          done = st.get(path) match {
+            case None => st.putIfAbsent(path, ver + "\n")
+            case Some((_, tag)) => st.putIfMatch(path, ver + "\n", tag)
+          }
+          spins += 1
+          require(spins < 1000, s"pointer CAS livelock on $path")
+        }
+      case None => swapPointerViaRename(fs, root, ver)
+    }
+
+  /** Create-once of an immutable uniquely-named file (snapshot files):
+    * one conditional PUT on a store-backed root (a plain object PUT is
+    * atomic per object; If-None-Match guards against name reuse),
+    * write-to-temp + rename elsewhere. */
+  private[engine] def writeOnce(root: String, relPath: String,
+      content: String): Unit =
+    storeFor(root) match {
+      case Some(st) =>
+        require(st.putIfAbsent(s"$root/$relPath", content),
+          s"ManifestTable: $root/$relPath already exists")
+      case None =>
+        val fs = fsFor(root)
+        val dst = new HPath(root, relPath)
+        val tmp = new HPath(dst.getParent,
+          s".${dst.getName}.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+        val out = fs.create(tmp, true)
+        try out.write(content.getBytes(UTF_8)) finally out.close()
+        require(fs.rename(tmp, dst),
+          s"ManifestTable: cannot write $root/$relPath")
+    }
+
+  private def swapPointerViaRename(fs: FileSystem, root: String,
+      ver: String): Unit = {
     val dst = new HPath(root, Pointer)
     val tmp = new HPath(root, s".$Pointer.tmp.$ver")
     if (isLocal(fs)) {

@@ -371,12 +371,9 @@ object PartitionedManifest {
       .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
     val snap = f"s$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
     val body = mapping.map { case (v, d) => s"$v\t$d" }.mkString("\n") + "\n"
-    val tmp = new HPath(root, s"$SnapDir/.$snap.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, new HPath(root, s"$SnapDir/$snap")),
-      s"cannot write snapshot $snap")
+    // immutable uniquely-named file: one conditional PUT on an
+    // object-store-backed root, tmp+rename elsewhere
+    ManifestTable.writeOnce(root, s"$SnapDir/$snap", body)
     // the root pointer swap reuses ManifestTable's atomic-rename path
     // (NIO ATOMIC_MOVE on local, FileContext OVERWRITE elsewhere)
     ManifestTable.swapRootPointer(root, snap)
