@@ -1219,12 +1219,21 @@ object TextAnalysis {
     * @return (pos, doc_id, source, r, vtime) in curriculum order
     */
   def curriculumInterleave(docs: DataFrame, idCol: String,
-      srcCol: String, textCol: String): DataFrame = {
-    // tokenize ONCE: the counted projection feeds both the weights
-    // aggregate and the rank scan (a second corpus text scan otherwise)
-    val counted = docs.select(col(idCol), col(srcCol),
-        wordCount(col(textCol)).as("n_toks"))
-      .localCheckpoint()
+      srcCol: String, textCol: String): DataFrame =
+    curriculumInterleaveFromCounts(
+      docs.select(col(idCol), col(srcCol),
+        wordCount(col(textCol)).as("n_toks")),
+      idCol, srcCol)
+
+  /** [[curriculumInterleave]] over PRE-COUNTED lengths — the form the
+    * e02 ingest packet composes over the ENCODED corpus, where `n_toks`
+    * is the real BPE token count of each document's materialized id
+    * array rather than the whitespace proxy. Input: (id, src, n_toks). */
+  def curriculumInterleaveFromCounts(counted0: DataFrame, idCol: String,
+      srcCol: String): DataFrame = {
+    // materialize ONCE: the counted projection feeds both the weights
+    // aggregate and the rank scan (a second corpus scan otherwise)
+    val counted = counted0.localCheckpoint()
     val weights = sourceMixtureWeightsFromCounts(
         counted.select(col(srcCol), col("n_toks").as("n")), srcCol)
       .select(col(srcCol), col("weight_ppm"))

@@ -38,6 +38,90 @@ object EngineQueries {
           AS n_count
       FROM region r ORDER BY r_name""")),
 
+    // THE FLAGSHIP PIPELINE AS A PACKET (packets/e02_llm_ingest +
+    // graft.engine.LlmIngestSteps): train tokenizer (t23) → persist
+    // artifact (t24) → encode corpus (t22) → pack windows (p28) →
+    // curriculum order (p26), composed as ORDERED ENGINE STEPS through
+    // PacketRunner — so the flagship LLM-ingest pipeline inherits the
+    // reference's execution contract: per-action MD5 dedup (resume
+    // skips completed stages; EngineSpec pins kill-between-steps →
+    // re-run executes only the remaining ones), typed errors, notices,
+    // atomic manifest publish of the final corpus. FULL oracle: DuckDB
+    // replays batched training end to end (the t23 recursive-CTE
+    // machinery), derives every doc's REAL token count from the trained
+    // segmentation, then replays packing's ordered cumsum and the
+    // curriculum's mixture-weight interleave — one wrong merge, count,
+    // chunk boundary, or curriculum position breaks the compare.
+    QuerySpec("e02_llm_ingest", (s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.engine.LlmIngestSteps.ensureE02Steps()
+      val conf = RunnerConf(
+        stateDir = Files.createTempDirectory("graft-e02-state").toString,
+        placeholders = Map(
+          "e02_art" -> Files.createTempDirectory("graft-e02-art").toString,
+          "e02_enc" -> Files.createTempDirectory("graft-e02-enc").toString,
+          "e02_pack" -> Files.createTempDirectory("graft-e02-pack").toString,
+          "e02_pub" -> Files.createTempDirectory("graft-e02-pub").toString))
+      val res = new PacketRunner(s, conf).run(s"$packetsDir/e02_llm_ingest")
+      require(res.resultCode("spark") == "success",
+        s"e02 packet failed: ${res.notices.mkString("; ")}")
+      s.sql("""SELECT pos, doc_id, source, n_tokens,
+                      CAST(chunk_first AS BIGINT) AS chunk_first
+               FROM e02_corpus ORDER BY pos""")
+    }, oracle = Some(PipelineQueries.bpeBatchedOracleCore(
+        rounds = 4, batchR = 8, candK = 64) + """,
+      wsegs AS MATERIALIZED (
+        SELECT w, CAST(len(string_split(substr(rep, 2,
+          length(rep) - 2), '||')) AS BIGINT) AS nseg
+        FROM rep4),
+      dwords AS (
+        SELECT doc_id, ws[wi] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents))
+        WHERE length(ws[wi]) >= 1 AND ws[wi] NOT LIKE '%|%'),
+      counts AS (
+        SELECT doc_id, CAST(sum(sg.nseg) AS BIGINT) AS n_tokens
+        FROM dwords d JOIN wsegs sg USING (w) GROUP BY doc_id),
+      c2 AS (
+        SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        FROM counts),
+      pk AS (
+        SELECT doc_id, n_tokens,
+          (tok_end - n_tokens) // 512 AS chunk_first
+        FROM c2),
+      srcs AS (SELECT doc_id, source FROM documents),
+      dtoks AS (SELECT c.doc_id, sr.source, c.n_tokens AS n
+                FROM counts c JOIN srcs sr USING (doc_id)),
+      mass AS (SELECT source, CAST(sum(n) AS BIGINT) AS m
+               FROM dtoks GROUP BY source),
+      tot AS (SELECT CAST(sum(m) AS BIGINT) AS t FROM mass),
+      qw AS (
+        SELECT source, m,
+          CAST(floor(1000000.0 *
+            sqrt(CAST(m AS DOUBLE) / CAST(t AS DOUBLE))) AS BIGINT) AS w
+        FROM mass CROSS JOIN tot),
+      sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM qw),
+      wt AS (SELECT source, (w * 1000000 // sw.sw) AS weight_ppm
+             FROM qw CROSS JOIN sw),
+      ranked AS (
+        SELECT doc_id, source, n,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n DESC, doc_id) AS BIGINT) AS r
+        FROM dtoks),
+      vt AS (
+        SELECT ranked.*, (r * 1000000) // wt.weight_ppm AS vtime
+        FROM ranked JOIN wt USING (source))
+      SELECT CAST(row_number() OVER
+          (ORDER BY v.vtime, v.source, v.r) AS BIGINT) AS pos,
+        v.doc_id, v.source, p.n_tokens,
+        CAST(p.chunk_first AS BIGINT) AS chunk_first
+      FROM vt v JOIN pk p USING (doc_id)
+      ORDER BY pos""")),
+
     // the int4→int8 migration: widened table built by generator-batched
     // partition overwrites, validated, swapped — final table must agree
     // with a direct relational recomputation from the source fixture

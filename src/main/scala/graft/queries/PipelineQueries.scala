@@ -203,6 +203,28 @@ object PipelineQueries {
   private def bpeBatchedOracle(rounds: Int, batchR: Int,
       candK: Int): String = {
     val sb = new StringBuilder
+    sb.append(bpeBatchedOracleCore(rounds, batchR, candK))
+    val union = (1 to rounds).map(r =>
+      s"""SELECT $r AS round, i AS idx,
+            string_split(acc[i], chr(1))[1] AS a,
+            string_split(acc[i], chr(1))[2] AS b
+          FROM (SELECT acc, unnest(generate_series(1, len(acc))) AS i
+                FROM batch$r)""").mkString("\n        UNION ALL ")
+    sb.append(s"""
+      SELECT CAST(row_number() OVER (ORDER BY round, idx) AS BIGINT)
+        AS rank, a, b
+      FROM ($union)
+      ORDER BY rank""")
+    sb.toString
+  }
+
+  /** The WITH-prefix of [[bpeBatchedOracle]]: batched training replayed
+    * through rep$rounds (the final segmentation state) — reusable by
+    * oracles that need the TRAINED segmentation rather than the merge
+    * table itself (e02's full-pipeline replay). */
+  private[queries] def bpeBatchedOracleCore(rounds: Int, batchR: Int,
+      candK: Int): String = {
+    val sb = new StringBuilder
     sb.append("""
       WITH RECURSIVE w0 AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS wc
@@ -256,17 +278,6 @@ object PipelineQueries {
               string_split(m, chr(1))[2] || '|')) AS rep
         FROM rep$p CROSS JOIN batch$r b)""")
     }
-    val union = (1 to rounds).map(r =>
-      s"""SELECT $r AS round, i AS idx,
-            string_split(acc[i], chr(1))[1] AS a,
-            string_split(acc[i], chr(1))[2] AS b
-          FROM (SELECT acc, unnest(generate_series(1, len(acc))) AS i
-                FROM batch$r)""").mkString("\n        UNION ALL ")
-    sb.append(s"""
-      SELECT CAST(row_number() OVER (ORDER BY round, idx) AS BIGINT)
-        AS rank, a, b
-      FROM ($union)
-      ORDER BY rank""")
     sb.toString
   }
 

@@ -843,4 +843,65 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("e02 llm-ingest packet resumes idempotently: a crash between " +
+      "steps re-runs ONLY the remaining stages, and the resumed result " +
+      "equals the from-scratch pipeline") {
+    Tables.registerAll(spark, fixtures)
+    LlmIngestSteps.ensureE02Steps()
+    val state = tmpState()
+    val ph = Map(
+      "e02_art" -> Files.createTempDirectory("e02r-art").toString,
+      "e02_enc" -> Files.createTempDirectory("e02r-enc").toString,
+      "e02_pack" -> Files.createTempDirectory("e02r-pack").toString,
+      "e02_pub" -> Files.createTempDirectory("e02r-pub").toString)
+    // poison the PACK step: the pipeline dies after train+encode
+    ScalaSteps.register("e02_llm_ingest", "03_step.py") { _ =>
+      sys.error("simulated crash before packing")
+    }
+    val res1 = new PacketRunner(spark,
+      RunnerConf(stateDir = state, placeholders = ph))
+      .run("packets/e02_llm_ingest")
+    assert(res1.resultCode("spark") == "fail", res1.resultCode.toString)
+    val tracker = new ActionTracker(spark, state)
+    val n1 = tracker.actions.count()
+    assert(n1 == 3, s"expected run_once + steps 01/02 tracked, got $n1")
+    // restore the real steps and RESUME: completed stages must be
+    // tracker-skipped (training does not re-run because packing crashed)
+    LlmIngestSteps.ensureE02Steps()
+    val res2 = new PacketRunner(spark,
+      RunnerConf(stateDir = state, placeholders = ph))
+      .run("packets/e02_llm_ingest")
+    assert(res2.resultCode("spark") == "success",
+      res2.notices.mkString("; "))
+    val done = res2.stepResults("spark")
+    assert(done("01_step.py") == StepOutcome.Done(0), done.toString)
+    assert(done("02_step.py") == StepOutcome.Done(0), done.toString)
+    assert(done("03_step.py") == StepOutcome.Done(1), done.toString)
+    assert(done("04_step.py") == StepOutcome.Done(1), done.toString)
+    // resumed output == the from-scratch pipeline on a fresh state
+    import spark.implicits._
+    val resumed = spark.table("e02_corpus")
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val ph2 = Map(
+      "e02_art" -> Files.createTempDirectory("e02f-art").toString,
+      "e02_enc" -> Files.createTempDirectory("e02f-enc").toString,
+      "e02_pack" -> Files.createTempDirectory("e02f-pack").toString,
+      "e02_pub" -> Files.createTempDirectory("e02f-pub").toString)
+    val res3 = new PacketRunner(spark,
+      RunnerConf(stateDir = tmpState(), placeholders = ph2))
+      .run("packets/e02_llm_ingest")
+    assert(res3.resultCode("spark") == "success")
+    val fresh = spark.table("e02_corpus")
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(resumed == fresh, "resumed pipeline diverged from scratch run")
+    // and a further re-run on the resumed state executes ZERO new actions
+    val n2 = new ActionTracker(spark, state).actions.count()
+    val res4 = new PacketRunner(spark,
+      RunnerConf(stateDir = state, placeholders = ph))
+      .run("packets/e02_llm_ingest")
+    assert(res4.resultCode("spark") == "success")
+    assert(new ActionTracker(spark, state).actions.count() == n2,
+      "re-run must execute zero new actions")
+  }
+
 }
