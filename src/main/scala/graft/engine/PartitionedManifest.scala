@@ -139,7 +139,16 @@ object PartitionedManifest {
   /** Cross-session reader: resolve every partition's pointer ONCE, scan
     * those version directories, re-attach the partition column as a
     * typed literal per branch. Per-partition atomicity: each branch is
-    * a complete old or new version, never a mixture. */
+    * a complete old or new version, never a mixture.
+    *
+    * Planning cost is one union branch per partition (constant-folds
+    * under a partition filter, but a 10k-partition table plans 10k scan
+    * nodes) — this is the BOOTSTRAP/debug path. For serving, a fresh
+    * engine should call [[syncCatalogTable]] (or
+    * [[syncCatalogTableSnapshot]] for a pinned commit): both CREATE the
+    * catalog table when missing, and the table plans as ONE partitioned
+    * relation with real PartitionFilters pruning at any partition
+    * count. */
   def read(spark: SparkSession, root: String, partCol: String,
       partType: String): DataFrame = {
     val parts = partitionValues(spark, root, partCol)
