@@ -854,13 +854,24 @@ object TextAnalysis {
       .withColumn("tok_id", row_number().over(
         Window.orderBy(col("c").desc, col("seg"))).cast("long"))
       .select(col("seg"), col("tok_id"))
-    encodeChecksumTail(df, idCol, textCol, wordSegs, vocabIds)
+    // NO forced broadcast of the per-word table here: t25's derived
+    // corpus has corpus-PROPORTIONAL distinct words (hash-words never
+    // repeat), so the word aggregate is not vocabulary-small — forcing
+    // it into a broadcast build is exactly the plan that falls over at
+    // 100 TB. AQE picks broadcast when it measures small, shuffle when
+    // not (measured at sf1: the forced build was a ~200 MB broadcast).
+    encodeChecksumTail(df, idCol, textCol, wordSegs, vocabIds,
+      hintBroadcast = false)
   }
 
-  /** Shared checksum-encode assembly over a precomputed segmentation. */
+  /** Shared checksum-encode assembly over a precomputed segmentation.
+    * `hintBroadcast`: natural-language corpora have vocabulary-small
+    * word tables (force the broadcast, plan-asserted in PlanAuditSpec);
+    * derived corpora with corpus-proportional distinct words must let
+    * AQE decide. */
   private def encodeChecksumTail(df: DataFrame, idCol: String,
       textCol: String, wordSegs: DataFrame,
-      vocabIds: DataFrame): DataFrame = {
+      vocabIds: DataFrame, hintBroadcast: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // per DISTINCT word: segment count, Σ id, Σ (si+1)·id — all at
     // vocabulary scale, so the corpus never joins ids per segment; the
@@ -880,7 +891,8 @@ object TextAnalysis {
       .filter(length(col("w")) >= 1 && !col("w").contains("|"))
     // base_w = segments before this word in the doc (exclusive prefix);
     // word positions are unique per doc so the frame is deterministic
-    val based = words.join(broadcast(wordAgg), "w")
+    val based = words.join(
+        if (hintBroadcast) broadcast(wordAgg) else wordAgg, "w")
       .withColumn("base", coalesce(sum(col("nseg")).over(
         Window.partitionBy(col("id")).orderBy(col("wi"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
