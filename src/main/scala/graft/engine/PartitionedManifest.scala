@@ -263,17 +263,38 @@ object PartitionedManifest {
   private def fsOf(spark: SparkSession, root: String) =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Parse a snapshot file: lines of `value<TAB>versionDirName`. */
+  /** Parse a snapshot file: lines of `value<TAB>versionDirName`;
+    * `#key=value` header lines (commit metadata) are skipped. */
   def snapshotMapping(spark: SparkSession, root: String,
       snap: String): Seq[(String, String)] = {
     val fs = fsOf(spark, root)
     val in = fs.open(new HPath(s"$root/$SnapDir/$snap"))
     val text = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(v, dir) = l.split("\t", 2); (v, dir)
-    }.toSeq
+    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val Array(v, dir) = l.split("\t", 2); (v, dir) }.toSeq
   }
+
+  /** A snapshot's commit wall-clock (epoch millis) from its header.
+    * None for pre-header snapshot files (older layouts parse fine). */
+  def snapshotCommittedMs(spark: SparkSession, root: String,
+      snap: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(new HPath(s"$root/$SnapDir/$snap"))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.linesIterator.find(_.startsWith("#committed_ms="))
+      .map(_.stripPrefix("#committed_ms=").trim.toLong)
+  }
+
+  /** AS-OF time travel: the LATEST snapshot committed at or before
+    * `tsMs` (the Iceberg `TIMESTAMP AS OF` contract). Snapshots within
+    * the keep-N horizon only — older commits are expired. None if every
+    * kept snapshot is newer than `tsMs`. */
+  def snapshotAsOf(spark: SparkSession, root: String,
+      tsMs: Long): Option[String] =
+    snapshots(spark, root).reverse.find(sn =>
+      snapshotCommittedMs(spark, root, sn).exists(_ <= tsMs))
 
   /** The current snapshot name (root MANIFEST content), if committed. */
   def currentSnapshot(spark: SparkSession, root: String): Option[String] = {
@@ -379,7 +400,8 @@ object PartitionedManifest {
     val gen = snapshots(spark, root).lastOption
       .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
     val snap = f"s$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
-    val body = mapping.map { case (v, d) => s"$v\t$d" }.mkString("\n") + "\n"
+    val body = s"#committed_ms=${System.currentTimeMillis()}\n" +
+      mapping.map { case (v, d) => s"$v\t$d" }.mkString("\n") + "\n"
     // immutable uniquely-named file: one conditional PUT on an
     // object-store-backed root, tmp+rename elsewhere
     ManifestTable.writeOnce(root, s"$SnapDir/$snap", body)

@@ -904,4 +904,49 @@ class EngineSpec extends AnyFunSuite {
       "re-run must execute zero new actions")
   }
 
+  test("as-of-timestamp time travel: snapshotAsOf resolves the latest " +
+      "commit at or before a wall-clock instant, within the keep-N " +
+      "horizon") {
+    val root = Files.createTempDirectory("graft-asof").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    def part(v: Int) = (1 to 5).map(i => (v.toLong, i.toLong)).toDF("v", "i")
+    PartitionedManifest.seed(spark, root,
+      part(0).withColumn("bk", org.apache.spark.sql.functions.lit(0)), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 3)
+    Thread.sleep(20)
+    val between1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("0" -> part(1).drop("bk")), keepSnapshots = 3)
+    Thread.sleep(20)
+    val between2 = System.currentTimeMillis()
+    Thread.sleep(20)
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("0" -> part(2).drop("bk")), keepSnapshots = 3)
+    val snaps = PartitionedManifest.snapshots(spark, root)
+    assert(snaps.length == 3)
+    // every commit carries its wall clock, monotonically
+    val times = snaps.map(sn =>
+      PartitionedManifest.snapshotCommittedMs(spark, root, sn).get)
+    assert(times == times.sorted, times.toString)
+    // as-of resolution: before the first commit -> None; between
+    // commits -> the earlier one; now -> the latest
+    assert(PartitionedManifest.snapshotAsOf(spark, root,
+      times.head - 1000).isEmpty)
+    assert(PartitionedManifest.snapshotAsOf(spark, root, between1)
+      .contains(snaps(0)))
+    assert(PartitionedManifest.snapshotAsOf(spark, root, between2)
+      .contains(snaps(1)))
+    val now = PartitionedManifest.snapshotAsOf(spark, root,
+      System.currentTimeMillis()).get
+    assert(now == snaps(2))
+    // and the resolved snapshot reads the right state
+    val vs = PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      PartitionedManifest.snapshotAsOf(spark, root, between2))
+      .select($"v").distinct().as[Long].collect().toSeq
+    assert(vs == Seq(1L), vs)
+  }
+
 }
