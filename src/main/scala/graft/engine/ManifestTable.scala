@@ -79,8 +79,10 @@ object ManifestTable {
   private def storeFor(root: String): Option[PointerStore] = {
     var best: Option[(String, PointerStore)] = None
     pointerStores.forEach { (pre, st) =>
-      if (root.startsWith(pre) &&
-          best.forall(_._1.length < pre.length)) best = Some((pre, st))
+      // path-boundary match: "/bucket/tableA" must NOT capture the
+      // sibling root "/bucket/tableA_archive"
+      val hit = root == pre || root.startsWith(pre.stripSuffix("/") + "/")
+      if (hit && best.forall(_._1.length < pre.length)) best = Some((pre, st))
     }
     best.map(_._2)
   }
@@ -195,17 +197,45 @@ object ManifestTable {
       case None => acquireLockViaFs(fs, root)
     }
 
+  // heartbeat scheduler for held locks: a publish legitimately running
+  // past LockStaleMs (a 100 TB multi-partition write job) must refresh
+  // its lock or a waiter will steal it mid-flight and race the pointer
+  private lazy val lockHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "manifest-lock-heartbeat")
+      t.setDaemon(true); t
+    })
+  private val HeartbeatMs = LockStaleMs / 4
+
   /** Conditional-PUT lock: create-if-absent wins; a stale lock is taken
     * over with ONE If-Match replace — no delete window at all (the
     * loser's putIfMatch fails because the winner's write changed the
-    * tag), strictly stronger than the rename-aside dance below. */
+    * tag), strictly stronger than the rename-aside dance below. While
+    * held, a heartbeat re-stamps the lock every LockStaleMs/4 so a
+    * long-running publish is never "stale"; release is a CONDITIONAL
+    * If-Match delete — an owner that lost its lock to a (justified or
+    * not) takeover cannot delete the new owner's lock on exit. */
   private def acquireLockViaStore(st: PointerStore,
       root: String): () => Unit = {
     val path = s"$root/$Lock"
-    val owner = s"${System.currentTimeMillis()} " +
-      java.util.UUID.randomUUID.toString
-    def acquired(): () => Unit = () => st.delete(path)
-    if (st.putIfAbsent(path, owner)) return acquired()
+    val uuid = java.util.UUID.randomUUID.toString
+    def stamp() = s"${System.currentTimeMillis()} $uuid"
+    val owner = stamp()
+    def armed(): () => Unit = {
+      val tag = new java.util.concurrent.atomic.AtomicReference[String](
+        st.get(path).map(_._2).orNull)
+      val beat = lockHeartbeats.scheduleAtFixedRate(() => {
+        val t = tag.get()
+        if (t != null && st.putIfMatch(path, stamp(), t))
+          st.get(path).map(_._2).foreach(tag.set)
+      }, HeartbeatMs, HeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      () => {
+        beat.cancel(false)
+        val t = tag.get()
+        if (t == null || !st.deleteIfMatch(path, t)) ()
+      }
+    }
+    if (st.putIfAbsent(path, owner)) return armed()
     val takeover = st.get(path) match {
       case Some((content, tag)) =>
         val ts = content.trim.takeWhile(_.isDigit)
@@ -214,7 +244,7 @@ object ManifestTable {
         age > LockStaleMs && st.putIfMatch(path, owner, tag)
       case None => st.putIfAbsent(path, owner)
     }
-    if (takeover) acquired()
+    if (takeover) armed()
     else throw new ConcurrentPublishException(
       s"ManifestTable: another publisher holds $root/$Lock — publishers " +
         "are single-writer per root; retry after it completes (locks " +
@@ -233,7 +263,15 @@ object ManifestTable {
         else fs.create(lock, false).close()
         true
       } catch { case _: java.io.IOException => false }
-    def acquired(): () => Unit = () => { fs.delete(lock, false); () }
+    def acquired(): () => Unit = {
+      // heartbeat: refresh the lock mtime so a publish running past
+      // LockStaleMs is not mistaken for a crash and stolen mid-flight
+      val beat = lockHeartbeats.scheduleAtFixedRate(() => {
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      }, HeartbeatMs, HeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      () => { beat.cancel(false); fs.delete(lock, false); () }
+    }
     if (tryCreate()) return acquired()
     val age =
       try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime

@@ -120,8 +120,21 @@ object PartitionedManifest {
     checkPartValue(value)
     val data =
       if (df.columns.contains(partCol)) df.drop(partCol) else df
-    ManifestTable.publish(spark, s"$root/$partCol=$value", data)
+    // on a snapshot-managed root, the per-partition keep-2 GC must not
+    // collect versions the KEPT snapshots still reference (keep-N can
+    // exceed the pointer horizon) — protect every dir any kept snapshot
+    // names for this partition
+    ManifestTable.publish(spark, s"$root/$partCol=$value", data,
+      snapshotProtected(spark, root, value))
   }
+
+  /** Version-directory names every kept snapshot references for one
+    * partition value (empty when the root has no snapshots). */
+  private def snapshotProtected(spark: SparkSession, root: String,
+      value: String): Set[String] =
+    snapshots(spark, root)
+      .flatMap(sn => snapshotMapping(spark, root, sn))
+      .collect { case (v, d) if v == value => d }.toSet
 
   /** The partition values present under `root`, from the directory
     * names (partition-count-bounded listing). */
@@ -224,13 +237,20 @@ object PartitionedManifest {
         s"USING parquet PARTITIONED BY (`$partCol`) LOCATION '$root'")
     }
     // steady-state sync is catalog-diff-driven: one batched ADD for new
-    // partitions, and a SET LOCATION only where the pointer moved (a
-    // publish touches the delta's partition footprint, so this is
-    // delta-count statements, not partition-count)
+    // partitions, a SET LOCATION only where the pointer moved, and a
+    // batched DROP for partitions the target mapping does NOT contain —
+    // without the drop, a table re-pinned to an OLDER snapshot would
+    // keep serving partitions that did not exist at that commit
     val existing: Map[String, String] = spark.sharedState.externalCatalog
       .listPartitions(spark.catalog.currentDatabase, table)
       .map(p => p.spec(partCol) -> p.location.toString).toMap
     def norm(s: String) = s.stripPrefix("file:").stripSuffix("/")
+    val wanted = dirs.map(_._1).toSet
+    val extra = existing.keys.filterNot(wanted).toSeq.sorted
+    if (extra.nonEmpty)
+      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
+        extra.map(v =>
+          s"PARTITION (`$partCol`='${checkPartValue(v)}')").mkString(" "))
     val added = dirs.filterNot { case (v, _) => existing.contains(v) }
     if (added.nonEmpty)
       spark.sql(s"ALTER TABLE `$table` ADD IF NOT EXISTS " +

@@ -36,6 +36,12 @@ trait PointerStore {
 
   /** Best-effort unconditional delete (lock release). */
   def delete(path: String): Unit
+
+  /** Delete `path` iff its current tag equals `tag` (S3/Azure
+    * `If-Match` delete, GCS `ifGenerationMatch`). True iff this call
+    * deleted it — the conditional RELEASE: an owner whose lock was
+    * taken over must not delete the new owner's lock. */
+  def deleteIfMatch(path: String, tag: String): Boolean
 }
 
 /** Local-filesystem EMULATION of a conditional-PUT object store, for
@@ -95,5 +101,14 @@ final class EmulatedConditionalPutStore extends PointerStore {
   override def delete(path: String): Unit =
     mon(path).synchronized {
       java.nio.file.Files.deleteIfExists(nioPath(path)); ()
+    }
+
+  override def deleteIfMatch(path: String, tag: String): Boolean =
+    mon(path).synchronized {
+      val f = nioPath(path)
+      java.nio.file.Files.exists(f) &&
+        tagOf(java.nio.file.Files.readAllBytes(f)) == tag && {
+          java.nio.file.Files.delete(f); true
+        }
     }
 }

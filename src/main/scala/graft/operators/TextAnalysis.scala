@@ -739,10 +739,13 @@ object TextAnalysis {
       merges: Seq[(String, String)]): Unit =
     wordSegsStagedKeys.synchronized {
       val table = wordSegsStagedTable(dir)
-      val key = (System.identityHashCode(spark), table)
+      val tag = s"v1|merges=${merges.size}|" +
+        s"first=${merges.headOption}|last=${merges.lastOption}"
+      // the memo must be keyed by the MERGE TABLE too: a session that
+      // retrains to a different target would otherwise serve the stale
+      // segmentation map without ever re-checking the on-disk tag
+      val key = (System.identityHashCode(spark), s"$table#$tag")
       if (!wordSegsStagedKeys(key)) {
-        val tag = s"v1|merges=${merges.size}|" +
-          s"first=${merges.headOption}|last=${merges.lastOption}"
         if (!stagedDirValid(spark, table, tag)) {
           spark.sql(s"DROP TABLE IF EXISTS `$table`")
           val loc = artifactLoc(spark, table)
@@ -847,7 +850,16 @@ object TextAnalysis {
     val wc = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 1 && !col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-    val wordSegs = segsOnly.join(wc, "w").localCheckpoint()
+    // LOUD failure for corpus words missing from the staged map (the
+    // encodeIdsTail strict contract): silent inner-join drops would
+    // deflate n_bpe/checksums when serving a corpus that grew past the
+    // staged segmentation
+    val wordSegs = wc.join(segsOnly, Seq("w"), "left")
+      .withColumn("segs", when(col("segs").isNull, expr(
+        "raise_error(concat('BPE encode: word \'', w, " +
+          "'\' missing from the staged segmentation map'))")
+        .cast("array<string>")).otherwise(col("segs")))
+      .localCheckpoint()
     val vocabIds = wordSegs
       .select(col("wc"), explode(col("segs")).as("seg"))
       .groupBy(col("seg")).agg(sum(col("wc")).as("c"))

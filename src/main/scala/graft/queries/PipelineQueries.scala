@@ -1223,10 +1223,16 @@ object PipelineQueries {
       TextAnalysis.ensureWordSegsStaged(s, dir, corpus, "text", merges)
       TextAnalysis.bpeEncodeFromStagedSegs(s, dir, corpus, "doc_id", "text")
         .orderBy($"doc_id")
-    }, oracle = Some("""
+    }, oracle = Some({
+      // the artifact path is BUILT from the same helpers the query uses
+      // (warehouse = cwd/spark-warehouse under the driver contract, sf
+      // = the driver's verify fixture), not a free-floating literal
+      val segsGlob = new java.io.File("spark-warehouse").getAbsolutePath +
+        "/" + TextAnalysis.wordSegsStagedTable("/root/testdata/sf0.01") +
+        "/*.parquet"
+      s"""
       WITH wsegs AS (
-        SELECT w, segs FROM read_parquet(
-          '/root/repo/spark-warehouse/t25_word_segs_sf0_01/*.parquet')),
+        SELECT w, segs FROM read_parquet('$segsGlob')),"""} + """
       corpus AS (
         SELECT doc_id, array_to_string(list_transform(
           generate_series(0, 39),

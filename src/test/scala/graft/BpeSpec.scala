@@ -192,4 +192,30 @@ class BpeSpec extends AnyFunSuite {
     // ids are consistent across docs: same word -> same id subsequence
     assert(out(1L).nonEmpty && out(2L).nonEmpty)
   }
+  test("serving an encode from the staged segmentation map fails LOUDLY " +
+      "when the corpus has grown past it (no silent token drops)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-staleserve").toString
+    val base = Seq((1L, "s", "ab ab cd"), (2L, "s", "cd ab"))
+      .toDF("doc_id", "source", "text")
+    val merges = TextAnalysis.bpeLearnMerges(base.select($"text"), "text", 1)
+    TextAnalysis.ensureWordSegsStaged(spark, dir, base, "text", merges)
+    // same corpus serves fine
+    val ok = TextAnalysis.bpeEncodeFromStagedSegs(spark, dir,
+      base, "doc_id", "text").collect()
+    assert(ok.length == 2)
+    // a grown corpus with an unseen word must not silently undercount
+    val grown = base.unionByName(
+      Seq((3L, "s", "zq ab")).toDF("doc_id", "source", "text"))
+    val ex = intercept[Exception] {
+      TextAnalysis.bpeEncodeFromStagedSegs(spark, dir,
+        grown, "doc_id", "text").collect()
+    }
+    assert(ex.getMessage.contains("missing from the staged segmentation") ||
+      String.valueOf(ex.getCause)
+        .contains("missing from the staged segmentation"),
+      ex.getMessage)
+  }
+
 }

@@ -949,4 +949,64 @@ class EngineSpec extends AnyFunSuite {
     assert(vs == Seq(1L), vs)
   }
 
+  test("a catalog table re-pinned to an OLDER snapshot stops serving " +
+      "partitions born in later commits") {
+    val root = Files.createTempDirectory("graft-repin").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    def part(v: Int) = (1 to 5).map(i => (v.toLong, i.toLong)).toDF("v", "i")
+    PartitionedManifest.seed(spark, root,
+      part(0).withColumn("bk", org.apache.spark.sql.functions.lit(0))
+        .unionByName(part(0).withColumn("bk",
+          org.apache.spark.sql.functions.lit(1))), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 3)
+    // second commit BIRTHS partition bk=7
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("7" -> part(9).drop("bk")), keepSnapshots = 3)
+    val snaps = PartitionedManifest.snapshots(spark, root)
+    spark.sql("DROP TABLE IF EXISTS repin_tbl")
+    PartitionedManifest.syncCatalogTableSnapshot(spark, root, "repin_tbl",
+      "bk", "int", Some(snaps.last))
+    assert(spark.table("repin_tbl").filter($"bk" === 7).count() == 5)
+    // re-pin to the FIRST snapshot: bk=7 did not exist at that commit
+    PartitionedManifest.syncCatalogTableSnapshot(spark, root, "repin_tbl",
+      "bk", "int", Some(snaps.head))
+    try {
+      assert(spark.table("repin_tbl").filter($"bk" === 7).count() == 0,
+        "older snapshot served a later-born partition")
+      val bks = spark.table("repin_tbl").select($"bk").distinct()
+        .as[Int].collect().sorted.toSeq
+      assert(bks == Seq(0, 1), bks.toString)
+    } finally spark.sql("DROP TABLE repin_tbl")
+  }
+
+  test("publishPartition on a snapshot-managed root protects versions " +
+      "the kept snapshots still reference (keep-3 horizon survives a " +
+      "direct per-partition publish)") {
+    val root = Files.createTempDirectory("graft-pubprotect").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    def part(v: Int) = (1 to 5).map(i => (v.toLong, i.toLong)).toDF("v", "i")
+    PartitionedManifest.seed(spark, root,
+      part(0).withColumn("bk", org.apache.spark.sql.functions.lit(0)), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 3)
+    for (v <- 1 to 2)
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("0" -> part(v).drop("bk")), keepSnapshots = 3)
+    val snaps = PartitionedManifest.snapshots(spark, root)
+    assert(snaps.length == 3)
+    // a DIRECT per-partition publish outside the snapshot path: its
+    // keep-2 GC must not collect dirs the kept snapshots reference
+    PartitionedManifest.publishPartition(spark, root, "bk", "0",
+      part(9).drop("bk"))
+    snaps.zip(Seq(0L, 1L, 2L)).foreach { case (sn, expect) =>
+      val vs = PartitionedManifest
+        .readSnapshot(spark, root, "bk", "int", Some(sn))
+        .select($"v").distinct().as[Long].collect().toSeq
+      assert(vs == Seq(expect), s"$sn unreadable after publish: $vs")
+    }
+  }
+
 }
