@@ -192,6 +192,66 @@ object TextAnalysis {
         expr("surprisal_sum_micros div n_tokens"))
   }
 
+  /** Conditional bigram-LM quality scoring with head/middle/tail
+    * bucketing — the full CCNet move (Wenzek et al. 2019): score every
+    * document by its mean negative log-likelihood under an add-one-
+    * smoothed bigram model trained on the corpus itself, then split the
+    * corpus into three equal-population quality buckets by score rank.
+    * [[unigramSurprisal]] is the context-free version; this one
+    * conditions on the previous token, which is what separates fluent
+    * boilerplate from shuffled-word gibberish (identical unigram
+    * histograms, very different bigram likelihoods).
+    *
+    * Engine-exact: `P(w2|w1) = (c12 + 1) / (c1 + V)` is one IEEE
+    * division of exact integer counts, ln runs through the platform
+    * libm ([[graft.functions.MathNative.lnLibm]], bit-matches DuckDB),
+    * and each bigram's NLL quantizes to integer micros BEFORE the
+    * per-doc sum — every reduction is an order-free integer sum.
+    *
+    * Scale shape: the bigram stream is a per-document lag window
+    * (partitioned by doc, bounded by doc length — never corpus-wide);
+    * model counts are map-side-combined groupBys on compact token-pair
+    * keys; scoring joins on (w1,w2)/(w1) — AQE broadcasts the model
+    * while it fits, hash-shuffles both sides at 100 TB; the tercile
+    * rank uses [[Packing.withGlobalRowNumber]]'s range-partition +
+    * broadcast-offset scan, NOT a single-partition global window.
+    * Driver-side: two scalars (vocab size, doc count).
+    *
+    * @return (id, n_bigrams, nll_sum_micros, mean_nll_micros, bucket)
+    */
+  def bigramLmBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val big = toks
+      .withColumn("w1", lag(col("tok"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("tok").as("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val pc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val nv = toks.agg(countDistinct(col("tok"))).head().getLong(0)
+    // mirrored literally in the SQL oracle:
+    // floor(-1000000.0 * ln((c12 + 1.0) / (c1 + V)))
+    val micros = floor(lit(-1000000.0) * graft.functions.MathNative.lnLibm(
+      (col("c12").cast("double") + lit(1.0)) /
+        (col("c1").cast("double") + lit(nv.toDouble)))).cast("long")
+    val perDoc = big.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
+      .select(col(idCol), micros.as("m"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("m")).as("nll_sum_micros"))
+      .withColumn("mean_nll_micros", expr("nll_sum_micros div n_bigrams"))
+    val ranked = Packing.withGlobalRowNumber(
+      perDoc, "__rn", Seq("mean_nll_micros", idCol))
+    // total population from the already-checkpointed rank stage
+    val n = ranked.agg(max(col("__rn"))).head().getLong(0)
+    ranked.withColumn("bucket",
+        when(col("__rn") * 3 <= n, lit("head"))
+          .when(col("__rn") * 3 <= 2 * n, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rn")
+  }
+
   /** PII scrubbing patterns — deliberately conservative RE2-compatible
     * regexes (no lookaround, no backreferences) so the same pattern text
     * runs identically under Spark's Java regex and the DuckDB oracle's

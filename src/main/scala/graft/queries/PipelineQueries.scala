@@ -1733,6 +1733,52 @@ object PipelineQueries {
           AS mean_surprisal_micros
       FROM agg ORDER BY doc_id""")),
 
+    // Conditional bigram-LM quality filter (CCNet head/middle/tail) —
+    // add-one-smoothed bigram NLL in integer micros, tercile buckets by
+    // the distributed global rank. FULL oracle: DuckDB rebuilds the
+    // bigram stream by zipping shifted list slices, replays the same
+    // count/smooth/ln/floor arithmetic, and buckets by row_number.
+    QuerySpec("t26_bigram_lm_filter", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.bigramLmBuckets(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      big AS (
+        SELECT doc_id,
+          unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+          unnest(list_slice(t, 2, len(t))) AS w2
+        FROM toks WHERE len(t) >= 2),
+      bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+      pc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS nv
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      sc AS (
+        SELECT big.doc_id,
+          CAST(floor(-1000000.0 * ln(
+            (CAST(c12 AS DOUBLE) + 1.0) /
+            (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)))) AS BIGINT) AS m
+        FROM big JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(m) AS BIGINT) AS nll_sum_micros
+        FROM sc GROUP BY doc_id),
+      rk AS (
+        SELECT doc_id, n_bigrams, nll_sum_micros,
+          CAST(nll_sum_micros // n_bigrams AS BIGINT) AS mean_nll_micros,
+          row_number() OVER (ORDER BY nll_sum_micros // n_bigrams, doc_id)
+            AS rn,
+          count(*) OVER () AS n
+        FROM agg)
+      SELECT doc_id, n_bigrams, nll_sum_micros, mean_nll_micros,
+        CASE WHEN 3 * rn <= n THEN 'head'
+             WHEN 3 * rn <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket
+      FROM rk ORDER BY doc_id"""), bench = true),
+
     // PII redaction + triage counts over documents with deterministic
     // planted PII (email, IPv4, long digit id appended per doc). The
     // patterns are RE2-compatible so the oracle applies the SAME regex

@@ -1074,4 +1074,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("t26 bigram-LM tercile rank never funnels through a single " +
+      "partition") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val df = graft.operators.TextAnalysis.bigramLmBuckets(
+      docs, "doc_id", "text")
+    // the oracle's row_number() OVER (ORDER BY mean, doc_id) would plan
+    // Exchange SinglePartition; the distributed prefix-rank must not
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "bigram-LM tercile rank collapsed to a single partition")
+  }
 }

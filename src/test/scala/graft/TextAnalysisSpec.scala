@@ -403,4 +403,64 @@ class TextAnalysisSpec extends AnyFunSuite {
       ex.getMessage)
   }
 
+  test("bigram LM buckets replay a driver-side reference model exactly") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val got = TextAnalysis.bigramLmBuckets(docs, "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"nll_sum_micros",
+        $"mean_nll_micros", $"bucket")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+
+    // reference: the same add-one bigram model, sequential driver-side
+    // (Math.log IS LnLibm's kernel, so the replay is bit-exact)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val bigrams = texts.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq
+    }
+    val c12 = scala.collection.mutable.Map.empty[(String, String), Long]
+    val c1 = scala.collection.mutable.Map.empty[String, Long]
+    bigrams.foreach { case (_, bs) => bs.foreach { b =>
+      c12(b) = c12.getOrElse(b, 0L) + 1L
+      c1(b._1) = c1.getOrElse(b._1, 0L) + 1L
+    } }
+    val nv = texts.flatMap(_._2.trim.split("\\s+")).distinct.size.toDouble
+    val scored = bigrams.map { case (id, bs) =>
+      val ms = bs.map { b =>
+        math.floor(-1000000.0 * java.lang.Math.log(
+          (c12(b).toDouble + 1.0) / (c1(b._1).toDouble + nv))).toLong
+      }
+      (id, ms.size.toLong, ms.sum)
+    }
+    val n = scored.size.toLong
+    val ranked = scored.sortBy { case (id, nb, s) => (s / nb, id) }
+      .zipWithIndex.map { case ((id, nb, s), i) =>
+        val rn = i + 1L
+        val bucket = if (3 * rn <= n) "head"
+          else if (3 * rn <= 2 * n) "middle" else "tail"
+        id -> ((nb, s, s / nb, bucket))
+      }.toMap
+    assert(got.size == ranked.size)
+    ranked.foreach { case (id, exp) => assert(got(id) == exp, s"doc $id") }
+    // terciles are population-balanced: sizes differ by at most 1
+    val sizes = got.values.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+  }
+
+  test("bigram LM separates fluent repetition from shuffled gibberish") {
+    import spark.implicits._
+    // same unigram histogram, different bigram structure: the
+    // conditional model must rank the alternating doc more likely
+    val df = Seq((1L, "x y x y x y x y"), (2L, "x x y y y x x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmBuckets(df, "doc_id", "text")
+      .select($"doc_id", $"mean_nll_micros")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) < got(2L), got.toString)
+  }
+
 }
