@@ -438,6 +438,56 @@ object PartitionedManifest {
     }
   }
 
+  /** Data files in a table root's LIVE version directory (pointer
+    * resolved once; `_`/`.`-prefixed metadata entries excluded). */
+  def dataFileCount(spark: SparkSession, tableRoot: String): Int =
+    ManifestTable.currentDataDir(tableRoot) match {
+      case Some(dir) =>
+        fsOf(spark, tableRoot).listStatus(new HPath(dir)).count { st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        }
+      case None => 0
+    }
+
+  /** Small-file compaction — the Iceberg `rewrite_data_files` /
+    * OPTIMIZE maintenance pass, and the lakehouse analogue of the
+    * reference's maintenance packet family (db_converter's
+    * `maintenance` packets run VACUUM-ish upkeep through the same
+    * run/track machinery; here the upkeep target is file layout).
+    * Every partition whose live version holds more than `maxFiles`
+    * data files is rewritten — content-preserving by construction: the
+    * update is the partition's OWN live rows, re-written through
+    * [[commitSnapshot]]'s one-job hive-partitioned write (its
+    * `repartition(partCol)` lands each compacted partition in a single
+    * task = a single file) and published in ONE atomic snapshot
+    * commit. Untouched partitions keep their version dirs byte-for-byte
+    * (the snapshot maps them unchanged).
+    *
+    * Scale shape: candidate selection is a driver-side directory
+    * listing (partition-count-bounded metadata, no data read); the
+    * rewrite is one Spark job over exactly the fragmented partitions'
+    * bytes. Single-writer contract like every publish here: racing a
+    * concurrent writer to the SAME partition loses that writer's rows
+    * (Iceberg revalidates-and-retries; this engine serializes
+    * committers through the root publish lock instead — run compaction
+    * as its own maintenance step, the reference's own packet shape).
+    *
+    * @return (new snapshot id, compacted partition values)
+    */
+  def compact(spark: SparkSession, root: String, partCol: String,
+      maxFiles: Int = 1, keepSnapshots: Int = 2): (String, Seq[String]) = {
+    val fragged = partitionValues(spark, root, partCol)
+      .filter(v => dataFileCount(spark, s"$root/$partCol=$v") > maxFiles)
+    val updates = fragged.map { v =>
+      val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
+        .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
+      v -> spark.read.parquet(dir)
+    }.toMap
+    val snap = commitSnapshot(spark, root, partCol, updates, keepSnapshots)
+    (snap, fragged)
+  }
+
   /** Read a COMMITTED snapshot — every partition at one commit, the
     * cross-partition-consistent view. Defaults to the current one. */
   def readSnapshot(spark: SparkSession, root: String, partCol: String,

@@ -331,6 +331,52 @@ object EngineQueries {
             UNION ALL SELECT * FROM s3)
       ORDER BY snap, n_nationkey""")),
 
+    // SMALL-FILE COMPACTION (PartitionedManifest.compact): the Iceberg
+    // rewrite_data_files / OPTIMIZE maintenance pass over the manifest
+    // table format — partition bk=0 is deliberately fragmented into >=4
+    // data files via a per-partition publish, then compact() rewrites
+    // exactly the fragmented partitions through commitSnapshot's
+    // one-job write and publishes one atomic snapshot. The query
+    // require()s the physical contract (only bk=0 touched; its live
+    // version collapses to ONE file; bk=1's version dir untouched) and
+    // returns the post-compaction table; the oracle recomputes the
+    // expected content relationally — compaction must be
+    // content-preserving.
+    QuerySpec("w08_compaction", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat, lit}
+      import graft.engine.{ManifestTable, PartitionedManifest}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w08").toString
+      val nation = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          ($"n_regionkey" % 2).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, nation, "bk")
+      // fragment bk=0: rewrite it as (v2) rows spread over 4 files
+      val p0 = ManifestTable.read(s, s"$root/bk=0")
+        .select($"n_nationkey", concat($"n_name", lit(" (v2)")).as("n_name"))
+        .repartition(4)
+      PartitionedManifest.publishPartition(s, root, "bk", "0", p0)
+      val before = PartitionedManifest.dataFileCount(s, s"$root/bk=0")
+      require(before >= 4, s"expected a fragmented bk=0, got $before files")
+      val dir1 = ManifestTable.currentDataDir(s"$root/bk=1").get
+      val (_, touched) = PartitionedManifest.compact(s, root, "bk",
+        maxFiles = 3)
+      require(touched == Seq("0"), s"expected only bk=0 compacted: $touched")
+      require(PartitionedManifest.dataFileCount(s, s"$root/bk=0") == 1,
+        "compaction must collapse bk=0 to one data file")
+      require(ManifestTable.currentDataDir(s"$root/bk=1").get == dir1,
+        "compaction must not rewrite the un-fragmented partition")
+      PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .select($"n_nationkey", $"n_name", $"bk".cast("long").as("bk"))
+        .orderBy($"n_nationkey")
+    }, oracle = Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        CASE WHEN n_regionkey % 2 = 0 THEN n_name || ' (v2)'
+             ELSE n_name END AS n_name,
+        CAST(n_regionkey % 2 AS BIGINT) AS bk
+      FROM nation ORDER BY n_nationkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

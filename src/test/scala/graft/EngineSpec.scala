@@ -1009,4 +1009,45 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction rewrites exactly the fragmented partitions, " +
+      "preserves content, and is an idempotent no-op when re-run") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val rows = (0 until 4).flatMap(b => (1 to 25).map(i =>
+      ((b * 100 + i).toLong, b)))
+    // seed, then fragment partitions 0 and 2 via per-partition
+    // publishes of 4-file rewrites
+    PartitionedManifest.seed(spark, root, rows.toDF("i", "bk"), "bk")
+    Seq(0, 2).foreach { b =>
+      val df = (1 to 25).map(i => (b * 100 + i).toLong).toDF("i")
+        .repartition(4)
+      PartitionedManifest.publishPartition(spark, root, "bk",
+        b.toString, df)
+    }
+    Seq(0, 2).foreach(b => assert(PartitionedManifest.dataFileCount(
+      spark, s"$root/bk=$b") >= 4, s"bk=$b not fragmented"))
+    val (snap1, touched1) =
+      PartitionedManifest.compact(spark, root, "bk", maxFiles = 1)
+    assert(touched1 == Seq("0", "2"), touched1)
+    (0 until 4).foreach(b => assert(PartitionedManifest.dataFileCount(
+      spark, s"$root/bk=$b") == 1, s"bk=$b files after compaction"))
+    // content-preserving: the compacted snapshot holds exactly the rows
+    val got = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+      .select($"i").as[Long].collect().sorted.toSeq
+    assert(got == rows.map(_._1).sorted, s"${got.size} rows")
+    // nothing fragmented -> second run touches nothing and the table
+    // still reads the same
+    val (snap2, touched2) =
+      PartitionedManifest.compact(spark, root, "bk", maxFiles = 1)
+    assert(touched2.isEmpty, touched2)
+    assert(snap2 != snap1)
+    val again = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+      .count()
+    assert(again == rows.size.toLong, s"$again rows")
+    // a root with no manifest counts zero files
+    assert(PartitionedManifest.dataFileCount(
+      spark, s"$root/bk=missing") == 0)
+  }
+
 }
