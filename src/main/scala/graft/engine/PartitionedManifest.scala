@@ -68,11 +68,15 @@ object PartitionedManifest {
   def seed(spark: SparkSession, root: String, df: DataFrame,
       partCol: String): Unit = {
     val scratch = s"$root/.seed-${java.util.UUID.randomUUID.toString.take(8)}"
-    // one writer task per partition value: without the repartition every
-    // shuffle partition writes a sliver into every bk=N dir (tasks x
-    // partitions small files - the 100 TB anti-pattern), and the write
-    // job itself costs ~2x in task scheduling
-    df.repartition(col(partCol))
+    // rebalance on the partition value: without it every shuffle
+    // partition writes a sliver into every bk=N dir (tasks x partitions
+    // small files - the 100 TB anti-pattern). REBALANCE instead of
+    // repartition(partCol) because the latter pins each value to ONE
+    // task - a skewed value would write its whole volume through a
+    // single writer; AQE's rebalance coalesces small values into few
+    // tasks (still one file per value) and SPLITS a skewed value across
+    // writers at the advisory partition size
+    df.hint("rebalance", col(partCol))
       .write.mode("error").partitionBy(partCol).parquet(scratch)
     val fs = new HPath(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -393,7 +397,10 @@ object PartitionedManifest {
             .select(schemaCols.map(col): _*)
             .withColumn(partCol, lit(v))
         }.reduce(_.unionByName(_))
-          .repartition(col(partCol))
+          // rebalance, not repartition(partCol): one task per VALUE
+          // would push a skewed partition's whole delta through a
+          // single writer (see seed())
+          .hint("rebalance", col(partCol))
           .write.mode("error").partitionBy(partCol).parquet(scratch)
         val adopted = parts.map { v =>
           val src = new HPath(s"$scratch/$partCol=$v")

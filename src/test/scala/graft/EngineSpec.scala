@@ -1050,4 +1050,33 @@ class EngineSpec extends AnyFunSuite {
       spark, s"$root/bk=missing") == 0)
   }
 
+  test("a SKEWED partition value writes through multiple tasks/files " +
+      "under the rebalance commit, not a single-writer funnel") {
+    val root = Files.createTempDirectory("graft-skew").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prior = spark.conf.get(advisory)
+    spark.conf.set(advisory, "64KB")
+    try {
+      // bk=0 carries ~200x the bytes of bk=1: repartition(partCol)
+      // would pin all of it to ONE task -> one giant file; REBALANCE
+      // must split it at the advisory size while bk=1 stays one file
+      val skewed = (1 to 200000).map(i => (i.toLong,
+          s"payload-$i-${"x" * 40}", 0))
+        .toDF("i", "pay", "bk")
+        .unionByName((1 to 1000).map(i => (i.toLong + 1000000L,
+          s"payload-$i", 1)).toDF("i", "pay", "bk"))
+      PartitionedManifest.seed(spark, root,
+        skewed.repartition(8), "bk")
+      val f0 = PartitionedManifest.dataFileCount(spark, s"$root/bk=0")
+      val f1 = PartitionedManifest.dataFileCount(spark, s"$root/bk=1")
+      assert(f0 > 1, s"skewed bk=0 wrote $f0 file(s) - single-writer funnel")
+      assert(f1 == 1, s"small bk=1 wrote $f1 files")
+      // and the content survives the split exactly
+      val n = PartitionedManifest.read(spark, root, "bk", "int").count()
+      assert(n == 201000L, s"$n rows")
+    } finally spark.conf.set(advisory, prior)
+  }
+
 }
