@@ -220,17 +220,7 @@ object TextAnalysis {
     * @return (id, n_bigrams, nll_sum_micros, mean_nll_micros, bucket)
     */
   def bigramLmBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val big = toks
-      .withColumn("w1", lag(col("tok"), 1).over(w))
-      .filter(col("w1").isNotNull)
-      .select(col(idCol), col("w1"), col("tok").as("w2"))
-    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val pc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val nv = toks.agg(countDistinct(col("tok"))).head().getLong(0)
+    val (big, bc, pc, nv) = bigramModel(df, idCol, textCol)
     // mirrored literally in the SQL oracle:
     // floor(-1000000.0 * ln((c12 + 1.0) / (c1 + V)))
     val micros = floor(lit(-1000000.0) * graft.functions.MathNative.lnLibm(
@@ -250,6 +240,127 @@ object TextAnalysis {
           .when(col("__rn") * 3 <= 2 * n, lit("middle"))
           .otherwise(lit("tail")))
       .drop("__rn")
+  }
+
+  /** The add-one bigram model's pieces: (per-doc bigram stream,
+    * pair counts (w1,w2,c12), prefix counts (w1,c1), vocab size). */
+  private def bigramModel(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val big = toks
+      .withColumn("w1", lag(col("tok"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("tok").as("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val pc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val nv = toks.agg(countDistinct(col("tok"))).head().getLong(0)
+    (big, bc, pc, nv)
+  }
+
+  /** Fixed artifact table names for the per-sfDir staged bigram LM
+    * (dir-named like [[wordSegsStagedTable]]: the oracle replays from
+    * the raw corpus, the QUERY serves from these). */
+  def lmModelStagedTable(dir: String): String =
+    "t27_bigram_lm_" +
+      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+  def lmStatsStagedTable(dir: String): String =
+    lmModelStagedTable(dir) + "_stats"
+
+  private val lmStagedKeys =
+    scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Stage the corpus's bigram LM as a FROZEN quality-filter artifact —
+    * the CCNet production shape: the model (observed (w1,w2) pair
+    * counts with their prefix counts) and a one-row stats table (vocab
+    * size + the head/middle tercile CUT-POINTS measured on the training
+    * corpus) persist at ingest, and every later scoring pass — fresh
+    * session, new documents, a stream — is per-document work against
+    * the frozen tables: no global rank, no corpus rescan. Session-
+    * memoized and tag-validated like the s19–s22 index stagers.
+    *
+    * Scale shape: the model is vocabulary²-bounded (observed pairs
+    * only), written with full parallelism; the cut-points reuse
+    * [[bigramLmBuckets]]'s distributed tercile rank once, at ingest. */
+  def ensureBigramLmStaged(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String): Unit =
+    lmStagedKeys.synchronized {
+      val model = lmModelStagedTable(dir)
+      val stats = lmStatsStagedTable(dir)
+      val tag = "v1"
+      val key = (System.identityHashCode(spark), s"$model#$tag")
+      if (!lmStagedKeys(key)) {
+        if (!stagedDirValid(spark, model, tag) ||
+            !stagedDirValid(spark, stats, tag)) {
+          Seq(model, stats).foreach { t =>
+            spark.sql(s"DROP TABLE IF EXISTS `$t`")
+            val loc = artifactLoc(spark, t)
+            loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(loc, true)
+          }
+          val (_, bc, pc, nv) = bigramModel(docs, idCol, textCol)
+          bc.join(pc, "w1").select("w1", "w2", "c12", "c1")
+            .write.mode("overwrite").format("parquet").saveAsTable(model)
+          val ranked = bigramLmBuckets(docs, idCol, textCol)
+          val cuts = ranked.agg(
+            max(when(col("bucket") === "head", col("mean_nll_micros")))
+              .as("cut_head"),
+            max(when(col("bucket") =!= "tail", col("mean_nll_micros")))
+              .as("cut_middle")).head()
+          val cutH = if (cuts.isNullAt(0)) Long.MinValue else cuts.getLong(0)
+          val cutM = if (cuts.isNullAt(1)) Long.MinValue else cuts.getLong(1)
+          import spark.implicits._
+          Seq((nv, cutH, cutM)).toDF("nv", "cut_head", "cut_middle")
+            .repartition(1)
+            .write.mode("overwrite").format("parquet").saveAsTable(stats)
+          Seq(model, stats).foreach(t => writeTag(spark, t, tag))
+        }
+        lmStagedKeys += key
+      }
+    }
+
+  /** Score documents against the FROZEN staged LM and bucket by the
+    * frozen cut-points — the serving path. Unseen pairs/prefixes
+    * smooth through the same add-one formula (c12=0 / c1=0 via left
+    * joins), so out-of-domain text scores high-NLL instead of failing.
+    * Per-document cost only: the model join is AQE-sized (broadcast
+    * while the model fits, hash-join at web scale), the bucket decision
+    * is a row-local comparison against two frozen literals — no global
+    * state, which is exactly what makes this the streaming-safe twin
+    * shape. */
+  def bigramLmBucketsFromArtifact(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, dir: String): DataFrame = {
+    val model = spark.table(lmModelStagedTable(dir))
+    val st = spark.table(lmStatsStagedTable(dir)).head()
+    val nv = st.getAs[Long]("nv")
+    val cutH = st.getAs[Long]("cut_head")
+    val cutM = st.getAs[Long]("cut_middle")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val big = toks
+      .withColumn("w1", lag(col("tok"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("tok").as("w2"))
+    val pc = model.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
+    val micros = floor(lit(-1000000.0) * graft.functions.MathNative.lnLibm(
+      (coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)).cast("double") +
+          lit(nv.toDouble)))).cast("long")
+    big
+      .join(model.select("w1", "w2", "c12"), Seq("w1", "w2"), "left")
+      .join(pc, Seq("w1"), "left")
+      .select(col(idCol), micros.as("m"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("m")).as("nll_sum_micros"))
+      .withColumn("mean_nll_micros", expr("nll_sum_micros div n_bigrams"))
+      .withColumn("bucket",
+        when(col("mean_nll_micros") <= cutH, lit("head"))
+          .when(col("mean_nll_micros") <= cutM, lit("middle"))
+          .otherwise(lit("tail")))
   }
 
   /** PII scrubbing patterns — deliberately conservative RE2-compatible

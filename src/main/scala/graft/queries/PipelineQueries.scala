@@ -1779,6 +1779,88 @@ object PipelineQueries {
              WHEN 3 * rn <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket
       FROM rk ORDER BY doc_id"""), bench = true),
 
+    // The LM quality filter as a FROZEN INGEST ARTIFACT (the CCNet
+    // production shape, and t26's staged twin in the s19–s22/t24
+    // pattern): pair/prefix counts + vocab size + tercile cut-points
+    // persist at ingest; serving scores corpus AND never-seen documents
+    // per-row against the frozen tables — unseen pairs smooth through
+    // add-one via left joins, buckets are row-local threshold compares.
+    // FULL oracle: DuckDB rebuilds the model and cut-points from the
+    // raw corpus and replays the left-join smoothing over the same
+    // served set (corpus + three planted docs, one partially and one
+    // fully out-of-vocabulary).
+    QuerySpec("t27_lm_filter_artifact", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      TextAnalysis.ensureBigramLmStaged(s, dir, docs, "doc_id", "text")
+      val planted = Seq(
+        (900001L, "batch batch batch stream spark window window"),
+        (900002L, "spark zzzq table qqqz join the"),
+        (900003L, "zzzq qqqz zzzq")).toDF("doc_id", "text")
+      TextAnalysis.bigramLmBucketsFromArtifact(s,
+          docs.unionByName(planted), "doc_id", "text", dir)
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      big AS (
+        SELECT doc_id,
+          unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+          unnest(list_slice(t, 2, len(t))) AS w2
+        FROM toks WHERE len(t) >= 2),
+      bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+      pc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS nv
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      sc AS (
+        SELECT big.doc_id,
+          CAST(floor(-1000000.0 * ln(
+            (CAST(c12 AS DOUBLE) + 1.0) /
+            (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)))) AS BIGINT) AS m
+        FROM big JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v),
+      agg AS (SELECT doc_id, count(*) AS nb, sum(m) AS sm
+              FROM sc GROUP BY 1),
+      rk AS (SELECT sm // nb AS mean,
+               row_number() OVER (ORDER BY sm // nb, doc_id) AS rn,
+               count(*) OVER () AS n
+             FROM agg),
+      cuts AS (SELECT max(CASE WHEN 3 * rn <= n THEN mean END) AS cut_h,
+                      max(CASE WHEN 3 * rn <= 2 * n THEN mean END) AS cut_m
+               FROM rk),
+      serve AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT 900001,
+          'batch batch batch stream spark window window'
+        UNION ALL SELECT 900002, 'spark zzzq table qqqz join the'
+        UNION ALL SELECT 900003, 'zzzq qqqz zzzq'),
+      stoks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM serve),
+      sbig AS (
+        SELECT doc_id,
+          unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+          unnest(list_slice(t, 2, len(t))) AS w2
+        FROM stoks WHERE len(t) >= 2),
+      ssc AS (
+        SELECT sbig.doc_id,
+          CAST(floor(-1000000.0 * ln(
+            (CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) /
+            (CAST(coalesce(c1, 0) AS DOUBLE) + CAST(nv AS DOUBLE))))
+            AS BIGINT) AS m
+        FROM sbig LEFT JOIN bc USING (w1, w2) LEFT JOIN pc USING (w1)
+          CROSS JOIN v),
+      sagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(m) AS BIGINT) AS nll_sum_micros
+        FROM ssc GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, nll_sum_micros,
+        CAST(nll_sum_micros // n_bigrams AS BIGINT) AS mean_nll_micros,
+        CASE WHEN nll_sum_micros // n_bigrams <= cut_h THEN 'head'
+             WHEN nll_sum_micros // n_bigrams <= cut_m THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM sagg CROSS JOIN cuts ORDER BY doc_id"""), bench = true),
+
     // PII redaction + triage counts over documents with deterministic
     // planted PII (email, IPv4, long digit id appended per doc). The
     // patterns are RE2-compatible so the oracle applies the SAME regex

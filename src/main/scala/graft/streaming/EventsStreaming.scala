@@ -294,6 +294,28 @@ object EventsStreaming {
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
   }
 
+  /** Streaming twin of the t27 LM quality-filter serving path:
+    * documents arriving on a stream score against the FROZEN staged
+    * bigram LM (model counts + vocab size + tercile cut-points, all
+    * ingest-time artifacts) — the CCNet production deployment, where
+    * the filter runs in the ingest stream and the model never moves.
+    * Scoring is per-document work (model left-joins + a row-local
+    * threshold compare; unseen pairs smooth through add-one), so
+    * stream==batch values hold exactly. `foreachBatch` because the
+    * per-doc NLL sum is a grouped aggregate and each micro-batch
+    * carries complete documents. At-least-once safe the same way as
+    * [[encodeIdsBatch]]: each batch overwrites its own batchId-keyed
+    * subdirectory, so a replayed batch rewrites instead of duplicating
+    * scored rows. */
+  def lmScoreBatch(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, sfDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.TextAnalysis
+      .bigramLmBucketsFromArtifact(spark, batch, "doc_id", "text", sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+  }
+
   /** Streaming twin of the w03 merge path: a stream of keyed upserts
     * folds into a [[graft.engine.PartitionedManifest]] table through
     * `foreachBatch` — each micro-batch anti-joins the touched

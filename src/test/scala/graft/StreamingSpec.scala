@@ -864,6 +864,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(once == twice,
       s"replayed batch appended duplicates: $once -> $twice")
   }
+
+  test("streaming LM-filter twin: docs scored on a stream against the " +
+      "frozen staged model == batch serving, and replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    TextAnalysis.ensureBigramLmStaged(spark, dir, corpus, "doc_id", "text")
+    // the served set includes never-seen text - the left-join smoothing
+    // must hold on the stream path too
+    val served = corpus.filter($"doc_id" < 40).unionByName(
+      Seq((900001L, "spark zzzq table qqqz join the"),
+        (900002L, "zzzq qqqz zzzq")).toDF("doc_id", "text"))
+    val out = java.nio.file.Files.createTempDirectory("lm-twin").toString
+    val arrivals = served
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .as[EventsStreaming.DocArrival].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.DocArrival]
+    val q = mem.toDF().select($"doc_id", $"text").writeStream
+      .foreachBatch(EventsStreaming.lmScoreBatch(spark, out, dir) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lm-chk").toString)
+      .start()
+    try arrivals.grouped(math.max(arrivals.length / 3, 1)).foreach { b =>
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .select($"doc_id", $"mean_nll_micros", $"bucket")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val want = TextAnalysis.bigramLmBucketsFromArtifact(
+        spark, served, "doc_id", "text", dir)
+      .select($"doc_id", $"mean_nll_micros", $"bucket")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got == want, "streamed scores must equal batch serving")
+    // replayed micro-batch rewrites its directory, never duplicates
+    val replay = served.limit(5).toDF()
+    EventsStreaming.lmScoreBatch(spark, out, dir)(replay, 99L)
+    val once = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).count()
+    EventsStreaming.lmScoreBatch(spark, out, dir)(replay, 99L)
+    val twice = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).count()
+    assert(once == twice,
+      s"replayed batch appended duplicates: $once -> $twice")
+  }
 }
 
 /** Top-level: MemoryStream encoders need an outer-scope-free case class. */
