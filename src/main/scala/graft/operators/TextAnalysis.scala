@@ -332,8 +332,14 @@ object TextAnalysis {
     * shape. */
   def bigramLmBucketsFromArtifact(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, dir: String): DataFrame = {
-    val model = spark.table(lmModelStagedTable(dir))
-    val st = spark.table(lmStatsStagedTable(dir)).head()
+    // PATH reads, not spark.table: a FRESH engine finds the tag-valid
+    // artifact directories without any catalog registration (the t25
+    // artifact contract; `_`-prefixed tag/metadata files are ignored by
+    // the parquet reader)
+    val model = spark.read.parquet(
+      artifactLoc(spark, lmModelStagedTable(dir)).toString)
+    val st = spark.read.parquet(
+      artifactLoc(spark, lmStatsStagedTable(dir)).toString).head()
     val nv = st.getAs[Long]("nv")
     val cutH = st.getAs[Long]("cut_head")
     val cutM = st.getAs[Long]("cut_middle")

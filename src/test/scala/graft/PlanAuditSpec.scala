@@ -1089,4 +1089,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(single.isEmpty,
       "bigram-LM tercile rank collapsed to a single partition")
   }
+
+  test("t27 LM-artifact SERVING is per-document only: no single-" +
+      "partition exchange anywhere in the scoring plan") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    graft.operators.TextAnalysis.ensureBigramLmStaged(
+      spark, dir, docs, "doc_id", "text")
+    val df = graft.operators.TextAnalysis.bigramLmBucketsFromArtifact(
+      spark, docs, "doc_id", "text", dir)
+    // serving must need NO global rank (the cut-points are frozen
+    // literals): a SinglePartition exchange here would mean the tercile
+    // computation leaked into the per-document scoring path
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "artifact serving planned a single-partition exchange")
+  }
 }
