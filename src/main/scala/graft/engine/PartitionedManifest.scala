@@ -448,13 +448,27 @@ object PartitionedManifest {
   /** Data files in a table root's LIVE version directory (pointer
     * resolved once; `_`/`.`-prefixed metadata entries excluded). */
   def dataFileCount(spark: SparkSession, tableRoot: String): Int =
+    dataFiles(spark, tableRoot).size
+
+  /** SMALL data files (strictly under `maxBytes`) in the live version —
+    * the compaction-candidate count: files already at or above the
+    * target size are not fragmentation and re-writing them would never
+    * converge (a partition bigger than the write-side advisory size
+    * legitimately holds several advisory-sized files forever). */
+  def smallDataFileCount(spark: SparkSession, tableRoot: String,
+      maxBytes: Long): Int =
+    dataFiles(spark, tableRoot).count(_.getLen < maxBytes)
+
+  private def dataFiles(spark: SparkSession, tableRoot: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
     ManifestTable.currentDataDir(tableRoot) match {
       case Some(dir) =>
-        fsOf(spark, tableRoot).listStatus(new HPath(dir)).count { st =>
-          st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith(".")
+        fsOf(spark, tableRoot).listStatus(new HPath(dir)).toSeq.filter {
+          st =>
+            st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith(".")
         }
-      case None => 0
+      case None => Seq.empty
     }
 
   /** Small-file compaction — the Iceberg `rewrite_data_files` /
@@ -463,13 +477,21 @@ object PartitionedManifest {
     * `maintenance` packets run VACUUM-ish upkeep through the same
     * run/track machinery; here the upkeep target is file layout).
     * Every partition whose live version holds more than `maxFiles`
-    * data files is rewritten — content-preserving by construction: the
-    * update is the partition's OWN live rows, re-written through
-    * [[commitSnapshot]]'s one-job hive-partitioned write (its
-    * `repartition(partCol)` lands each compacted partition in a single
-    * task = a single file) and published in ONE atomic snapshot
-    * commit. Untouched partitions keep their version dirs byte-for-byte
-    * (the snapshot maps them unchanged).
+    * SMALL data files (strictly under `smallFileBytes`) is rewritten —
+    * content-preserving by construction: the update is the partition's
+    * OWN live rows, re-written through [[commitSnapshot]]'s one-job
+    * hive-partitioned write (the REBALANCE write lands a small
+    * partition in one file and a partition above the advisory size in
+    * advisory-sized files) and published in ONE atomic snapshot
+    * commit. Convergent by the size gate: a rewritten partition's
+    * files are either one (small partition) or advisory-sized, so the
+    * next run finds no small files and selects nothing — keep
+    * `smallFileBytes` at or below the write-side advisory partition
+    * size or a just-compacted partition could re-qualify forever.
+    * Untouched partitions keep their version dirs byte-for-byte (the
+    * snapshot maps them unchanged), and a run that selects NOTHING
+    * commits NOTHING (no snapshot churn, no keep-N trim — safe to
+    * schedule against a healthy table).
     *
     * Scale shape: candidate selection is a driver-side directory
     * listing (partition-count-bounded metadata, no data read); the
@@ -479,13 +501,20 @@ object PartitionedManifest {
     * (Iceberg revalidates-and-retries; this engine serializes
     * committers through the root publish lock instead — run compaction
     * as its own maintenance step, the reference's own packet shape).
+    * Pass the table's own `keepSnapshots` horizon: a real compaction
+    * IS a commit and trims like any other.
     *
-    * @return (new snapshot id, compacted partition values)
+    * @return (snapshot id — the NEW commit, or the unchanged current
+    *         one when nothing qualified; compacted partition values)
     */
   def compact(spark: SparkSession, root: String, partCol: String,
-      maxFiles: Int = 1, keepSnapshots: Int = 2): (String, Seq[String]) = {
+      maxFiles: Int = 1, keepSnapshots: Int = 2,
+      smallFileBytes: Long = 32L << 20): (String, Seq[String]) = {
     val fragged = partitionValues(spark, root, partCol)
-      .filter(v => dataFileCount(spark, s"$root/$partCol=$v") > maxFiles)
+      .filter(v => smallDataFileCount(spark, s"$root/$partCol=$v",
+        smallFileBytes) > maxFiles)
+    if (fragged.isEmpty)
+      return (currentSnapshot(spark, root).getOrElse(""), Seq.empty)
     val updates = fragged.map { v =>
       val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
         .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))

@@ -221,6 +221,44 @@ object TextAnalysis {
     */
   def bigramLmBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (big, bc, pc, nv) = bigramModel(df, idCol, textCol)
+    bigramLmRanked(big, bc, pc, nv, idCol)
+  }
+
+  /** Per-document bigram stream: (id, w1, w2) for every adjacent token
+    * pair — the ONE tokenization both training and serving share (a
+    * hand-synced copy would let the frozen model silently diverge from
+    * the scoring path). The lag window is per-document: bounded by doc
+    * length, never corpus-wide. */
+  private def bigramStream(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    toks
+      .withColumn("w1", lag(col("tok"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col(idCol), col("w1"), col("tok").as("w2"))
+  }
+
+  /** The add-one bigram model's pieces: (per-doc bigram stream,
+    * pair counts (w1,w2,c12), prefix counts (w1,c1), vocab size). */
+  private def bigramModel(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame, Long) = {
+    val big = bigramStream(df, idCol, textCol)
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val pc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val nv = df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    (big, bc, pc, nv)
+  }
+
+  /** Score + tercile-bucket a corpus given its model pieces (shared by
+    * [[bigramLmBuckets]] and the ingest stager, which already has the
+    * pieces in hand — re-deriving them would double the staging scans). */
+  private def bigramLmRanked(big: DataFrame, bc: DataFrame, pc: DataFrame,
+      nv: Long, idCol: String): DataFrame = {
     // mirrored literally in the SQL oracle:
     // floor(-1000000.0 * ln((c12 + 1.0) / (c1 + V)))
     val micros = floor(lit(-1000000.0) * graft.functions.MathNative.lnLibm(
@@ -234,30 +272,14 @@ object TextAnalysis {
     val ranked = Packing.withGlobalRowNumber(
       perDoc, "__rn", Seq("mean_nll_micros", idCol))
     // total population from the already-checkpointed rank stage
-    val n = ranked.agg(max(col("__rn"))).head().getLong(0)
+    // (null max = empty/degenerate corpus -> empty result, not an NPE)
+    val n = Option(ranked.agg(max(col("__rn"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     ranked.withColumn("bucket",
         when(col("__rn") * 3 <= n, lit("head"))
           .when(col("__rn") * 3 <= 2 * n, lit("middle"))
           .otherwise(lit("tail")))
       .drop("__rn")
-  }
-
-  /** The add-one bigram model's pieces: (per-doc bigram stream,
-    * pair counts (w1,w2,c12), prefix counts (w1,c1), vocab size). */
-  private def bigramModel(df: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame, DataFrame, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val big = toks
-      .withColumn("w1", lag(col("tok"), 1).over(w))
-      .filter(col("w1").isNotNull)
-      .select(col(idCol), col("w1"), col("tok").as("w2"))
-    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val pc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val nv = toks.agg(countDistinct(col("tok"))).head().getLong(0)
-    (big, bc, pc, nv)
   }
 
   /** Fixed artifact table names for the per-sfDir staged bigram LM
@@ -289,7 +311,10 @@ object TextAnalysis {
     lmStagedKeys.synchronized {
       val model = lmModelStagedTable(dir)
       val stats = lmStatsStagedTable(dir)
-      val tag = "v1"
+      // content-keyed like the t25 artifacts (bpeArtifactTag): a corpus
+      // regenerated in place under the same sfDir must invalidate the
+      // staged model instead of silently serving stale counts/cuts
+      val tag = s"v1|docs=${docs.count()}"
       val key = (System.identityHashCode(spark), s"$model#$tag")
       if (!lmStagedKeys(key)) {
         if (!stagedDirValid(spark, model, tag) ||
@@ -300,10 +325,12 @@ object TextAnalysis {
             loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .delete(loc, true)
           }
-          val (_, bc, pc, nv) = bigramModel(docs, idCol, textCol)
+          val (big, bc, pc, nv) = bigramModel(docs, idCol, textCol)
           bc.join(pc, "w1").select("w1", "w2", "c12", "c1")
             .write.mode("overwrite").format("parquet").saveAsTable(model)
-          val ranked = bigramLmBuckets(docs, idCol, textCol)
+          // cut-points from the SAME model pieces (no second corpus
+          // scan pass through bigramLmBuckets)
+          val ranked = bigramLmRanked(big, bc, pc, nv, idCol)
           val cuts = ranked.agg(
             max(when(col("bucket") === "head", col("mean_nll_micros")))
               .as("cut_head"),
@@ -343,14 +370,7 @@ object TextAnalysis {
     val nv = st.getAs[Long]("nv")
     val cutH = st.getAs[Long]("cut_head")
     val cutM = st.getAs[Long]("cut_middle")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val big = toks
-      .withColumn("w1", lag(col("tok"), 1).over(w))
-      .filter(col("w1").isNotNull)
-      .select(col(idCol), col("w1"), col("tok").as("w2"))
+    val big = bigramStream(docs, idCol, textCol)
     val pc = model.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
     val micros = floor(lit(-1000000.0) * graft.functions.MathNative.lnLibm(
       (coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /

@@ -1036,15 +1036,23 @@ class EngineSpec extends AnyFunSuite {
     val got = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
       .select($"i").as[Long].collect().sorted.toSeq
     assert(got == rows.map(_._1).sorted, s"${got.size} rows")
-    // nothing fragmented -> second run touches nothing and the table
-    // still reads the same
+    // nothing fragmented -> second run touches nothing, commits
+    // NOTHING (no snapshot churn / keep-N trim from scheduled no-ops),
+    // and the table still reads the same
     val (snap2, touched2) =
       PartitionedManifest.compact(spark, root, "bk", maxFiles = 1)
     assert(touched2.isEmpty, touched2)
-    assert(snap2 != snap1)
+    assert(snap2 == snap1, s"no-op compaction committed: $snap1 -> $snap2")
     val again = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
       .count()
     assert(again == rows.size.toLong, s"$again rows")
+    // the SIZE gate: files at/above smallFileBytes are not
+    // fragmentation — with a 1-byte threshold nothing is "small", so
+    // even maxFiles=0 selects nothing (convergence for partitions
+    // bigger than the write-side advisory size)
+    val (_, touched3) = PartitionedManifest.compact(spark, root, "bk",
+      maxFiles = 0, smallFileBytes = 1L)
+    assert(touched3.isEmpty, touched3)
     // a root with no manifest counts zero files
     assert(PartitionedManifest.dataFileCount(
       spark, s"$root/bk=missing") == 0)
