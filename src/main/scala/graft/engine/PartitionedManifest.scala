@@ -551,6 +551,10 @@ object PartitionedManifest {
       "scd_seed", "scd_dim", "scd_src", "bk", "int")
     registerPublishStep("test_scd2", "03_step.py",
       "scd_delta", "scd_stage_", "scd_dim", "scd_src", "bk", "int")
+    registerSeedStep("test_compaction", "01_step.py",
+      "cmp_seed", "cmp_tbl", "cmp_src", "bk", "int")
+    registerCompactionStep("test_compaction", "02_step.py",
+      "cmp_tbl", "cmp_src", "bk", "int")
   }
 
   /** Seed step: adopt the run_once-created partitioned CTAS (already
@@ -574,6 +578,27 @@ object PartitionedManifest {
       syncCatalogTable(spark, root, view, partCol, partType)
       ctx.notice("info",
         s"adopted partitioned manifest $view -> $root ($partCol)")
+    }
+
+  /** Compaction step — [[compact]] as a tracked MAINTENANCE action
+    * (the reference's maintenance packet family runs table upkeep
+    * through the same run/track machinery; here the upkeep is file
+    * layout). Re-run/resume safe by CONVERGENCE: a compacted partition
+    * has no small files left, so a replayed step selects nothing and
+    * commits nothing. */
+  def registerCompactionStep(packet: String, stepFile: String,
+      view: String, rootKey: String, partCol: String, partType: String,
+      maxFiles: Int = 1): Unit =
+    ScalaSteps.register(packet, stepFile) { ctx =>
+      val spark = ctx.spark
+      val root = ctx.placeholders.getOrElse(rootKey,
+        sys.error(s"$packet/$stepFile: missing placeholder $rootKey"))
+      val (snap, touched) = compact(spark, root, partCol, maxFiles)
+      ctx.notice("info",
+        if (touched.isEmpty) s"compaction no-op for $view (nothing fragmented)"
+        else s"compacted $view ${touched.length} partition(s) " +
+          s"(${touched.mkString(",")}) as snapshot $snap")
+      syncCatalogTable(spark, root, view, partCol, partType)
     }
 
   /** Publish step: for each delta-touched partition (bounded: the

@@ -377,6 +377,46 @@ object EngineQueries {
         CAST(n_regionkey % 2 AS BIGINT) AS bk
       FROM nation ORDER BY n_nationkey"""), bench = true),
 
+    // COMPACTION AS A MAINTENANCE PACKET (test_compaction +
+    // registerCompactionStep): the w08 operator reached through the
+    // engine layer — run_once seeds a deliberately FRAGMENTED
+    // partitioned table (a round-robin REPARTITION(4) CTAS lands ~4
+    // sliver files per partition), the seed step adopts it in place
+    // (slivers preserved), the compaction step rewrites every
+    // fragmented partition behind one atomic snapshot, and a fail-loud
+    // SQL validation step checks content preservation inside the
+    // packet itself. The query require()s the physical outcome (every
+    // partition's live version collapsed to one file; the compaction
+    // notice fired) and returns the served table; the oracle
+    // recomputes the content relationally.
+    QuerySpec("w09_compaction_packet", (s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.engine.PartitionedManifest.ensurePacketPublishSteps()
+      val conf = RunnerConf(
+        stateDir = Files.createTempDirectory("graft-w09-state").toString,
+        placeholders = Map(
+          "cmp_src" -> Files.createTempDirectory("graft-w09-src").toString))
+      val res = new PacketRunner(s, conf).run(s"$packetsDir/test_compaction")
+      require(res.resultCode("spark") == "success",
+        s"compaction packet failed: ${res.notices.mkString("; ")}")
+      val root = conf.placeholders("cmp_src")
+      import graft.engine.PartitionedManifest
+      PartitionedManifest.partitionValues(s, root, "bk").foreach { v =>
+        require(PartitionedManifest.dataFileCount(s, s"$root/bk=$v") == 1,
+          s"bk=$v not compacted to one file")
+      }
+      require(res.notices.exists(n =>
+          n.message.contains("compacted cmp_tbl") ||
+            n.message.contains("compaction no-op")),
+        s"no compaction notice: ${res.notices.mkString("; ")}")
+      s.sql("""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+                      s_acctbal, CAST(bk AS BIGINT) AS bk
+               FROM cmp_tbl ORDER BY s_suppkey""")
+    }, oracle = Some("""
+      SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, s_acctbal,
+        CAST(s_nationkey % 5 AS BIGINT) AS bk
+      FROM supplier ORDER BY s_suppkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -1058,6 +1058,37 @@ class EngineSpec extends AnyFunSuite {
       spark, s"$root/bk=missing") == 0)
   }
 
+  test("compaction packet re-run is a tracked no-op: actions dedupe " +
+      "against the tracker and the snapshot history does not churn") {
+    import graft.engine.{PacketRunner, PartitionedManifest, RunnerConf}
+    Tables.registerAll(spark, fixtures)
+    PartitionedManifest.ensurePacketPublishSteps()
+    val conf = RunnerConf(
+      stateDir = Files.createTempDirectory("graft-cmp-state").toString,
+      placeholders = Map("cmp_src" ->
+        Files.createTempDirectory("graft-cmp-src").toString))
+    val res1 = new PacketRunner(spark, conf)
+      .run("/root/repo/packets/test_compaction")
+    assert(res1.resultCode("spark") == "success",
+      res1.notices.mkString("; "))
+    val root = conf.placeholders("cmp_src")
+    val snaps1 = PartitionedManifest.snapshots(spark, root)
+    // same state dir -> every action MD5-dedupes; no step re-executes
+    val res2 = new PacketRunner(spark, conf)
+      .run("/root/repo/packets/test_compaction")
+    assert(res2.resultCode("spark") == "success",
+      res2.notices.mkString("; "))
+    val snaps2 = PartitionedManifest.snapshots(spark, root)
+    assert(snaps2 == snaps1,
+      s"re-run churned snapshots: $snaps1 -> $snaps2")
+    // beyond tracker dedup, the step ITSELF converges when replayed
+    // directly: nothing is fragmented any more, so it commits nothing
+    val (snap3, touched3) =
+      PartitionedManifest.compact(spark, root, "bk", maxFiles = 1)
+    assert(touched3.isEmpty && snaps1.contains(snap3),
+      s"replayed compaction was not a no-op: $snap3 / $touched3")
+  }
+
   test("a SKEWED partition value writes through multiple tasks/files " +
       "under the rebalance commit, not a single-writer funnel") {
     val root = Files.createTempDirectory("graft-skew").toString
