@@ -231,8 +231,23 @@ object ManifestTable {
       }, HeartbeatMs, HeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       () => {
         beat.cancel(false)
-        val t = tag.get()
-        if (t == null || !st.deleteIfMatch(path, t)) ()
+        // cancel(false) does not wait for a RUNNING beat: one in-flight
+        // heartbeat may still re-stamp after this point, invalidating
+        // whatever tag we read. Verify ownership by uuid and retry the
+        // conditional delete until it lands (or the lock provably
+        // belongs to someone else) — a swallowed failed delete here
+        // would orphan a freshly-stamped lock for a full stale horizon.
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 50) {
+          st.get(path) match {
+            case Some((content, t)) if content.endsWith(uuid) =>
+              done = st.deleteIfMatch(path, t)
+              if (!done) Thread.sleep(10)
+            case _ => done = true // gone, or taken over: nothing to delete
+          }
+          attempts += 1
+        }
       }
     }
     if (st.putIfAbsent(path, owner)) return armed()

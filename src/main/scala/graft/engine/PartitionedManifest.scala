@@ -252,9 +252,12 @@ object PartitionedManifest {
     val wanted = dirs.map(_._1).toSet
     val extra = existing.keys.filterNot(wanted).toSeq.sorted
     if (extra.nonEmpty)
+      // DROP takes COMMA-separated partition specs (ADD takes
+      // space-separated spec LOCATION pairs — asymmetric grammar; a
+      // space-joined multi-spec DROP is a ParseException)
       spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
         extra.map(v =>
-          s"PARTITION (`$partCol`='${checkPartValue(v)}')").mkString(" "))
+          s"PARTITION (`$partCol`='${checkPartValue(v)}')").mkString(", "))
     val added = dirs.filterNot { case (v, _) => existing.contains(v) }
     if (added.nonEmpty)
       spark.sql(s"ALTER TABLE `$table` ADD IF NOT EXISTS " +
@@ -309,6 +312,14 @@ object PartitionedManifest {
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     text.linesIterator.find(_.startsWith("#committed_ms="))
       .map(_.stripPrefix("#committed_ms=").trim.toLong)
+      // header-less snapshot (pre-header layout): fall back to the
+      // file's mtime so as-of resolution still sees it — skipping it
+      // would make snapshotAsOf return None/an older commit on a
+      // mixed-layout table even when this snapshot satisfies the
+      // contract
+      .orElse(try Some(fs.getFileStatus(
+          new HPath(s"$root/$SnapDir/$snap")).getModificationTime)
+        catch { case _: java.io.IOException => None })
   }
 
   /** AS-OF time travel: the LATEST snapshot committed at or before
@@ -588,12 +599,16 @@ object PartitionedManifest {
     * commits nothing. */
   def registerCompactionStep(packet: String, stepFile: String,
       view: String, rootKey: String, partCol: String, partType: String,
-      maxFiles: Int = 1): Unit =
+      maxFiles: Int = 1, keepSnapshots: Int = 2): Unit =
     ScalaSteps.register(packet, stepFile) { ctx =>
       val spark = ctx.spark
       val root = ctx.placeholders.getOrElse(rootKey,
         sys.error(s"$packet/$stepFile: missing placeholder $rootKey"))
-      val (snap, touched) = compact(spark, root, partCol, maxFiles)
+      // register with the TABLE'S OWN horizon: committing with a
+      // narrower keep-N than the table was built with would trim
+      // still-wanted time-travel history as a side effect of upkeep
+      val (snap, touched) =
+        compact(spark, root, partCol, maxFiles, keepSnapshots)
       ctx.notice("info",
         if (touched.isEmpty) s"compaction no-op for $view (nothing fragmented)"
         else s"compacted $view ${touched.length} partition(s) " +
@@ -606,7 +621,8 @@ object PartitionedManifest {
     * partition's next version, then rebuild the view once. */
   def registerPublishStep(packet: String, stepFile: String,
       deltaTable: String, stagePrefix: String, view: String,
-      rootKey: String, partCol: String, partType: String): Unit =
+      rootKey: String, partCol: String, partType: String,
+      keepSnapshots: Int = 2): Unit =
     ScalaSteps.register(packet, stepFile) { ctx =>
       val spark = ctx.spark
       val root = ctx.placeholders.getOrElse(rootKey,
@@ -617,9 +633,11 @@ object PartitionedManifest {
       // ONE snapshot commit over the whole delta: per-partition pointers
       // advance for the legacy reader path, and the root snapshot makes
       // the entire publish visible to snapshot readers in one atomic
-      // rename (cross-partition consistency)
+      // rename (cross-partition consistency). keepSnapshots must be the
+      // table's own horizon — see registerCompactionStep.
       val snap = commitSnapshot(spark, root, partCol,
-        touched.map(v => v -> spark.table(s"$stagePrefix$v")).toMap)
+        touched.map(v => v -> spark.table(s"$stagePrefix$v")).toMap,
+        keepSnapshots)
       ctx.notice("info", s"published $view ${touched.length} " +
         s"partition(s) (${touched.mkString(",")}) as snapshot $snap")
       syncCatalogTable(spark, root, view, partCol, partType)

@@ -291,8 +291,11 @@ object TextAnalysis {
   def lmStatsStagedTable(dir: String): String =
     lmModelStagedTable(dir) + "_stats"
 
+  // current staged tag per (session, table) — same Map-not-Set rule as
+  // wordSegsStagedKeys (a corpus that changes and changes back must
+  // still re-check the on-disk tag)
   private val lmStagedKeys =
-    scala.collection.mutable.Set.empty[(Int, String)]
+    scala.collection.mutable.Map.empty[(Int, String), String]
 
   /** Stage the corpus's bigram LM as a FROZEN quality-filter artifact —
     * the CCNet production shape: the model (observed (w1,w2) pair
@@ -315,8 +318,8 @@ object TextAnalysis {
       // regenerated in place under the same sfDir must invalidate the
       // staged model instead of silently serving stale counts/cuts
       val tag = s"v1|docs=${docs.count()}"
-      val key = (System.identityHashCode(spark), s"$model#$tag")
-      if (!lmStagedKeys(key)) {
+      val key = (System.identityHashCode(spark), model)
+      if (!lmStagedKeys.get(key).contains(tag)) {
         if (!stagedDirValid(spark, model, tag) ||
             !stagedDirValid(spark, stats, tag)) {
           Seq(model, stats).foreach { t =>
@@ -344,7 +347,7 @@ object TextAnalysis {
             .write.mode("overwrite").format("parquet").saveAsTable(stats)
           Seq(model, stats).foreach(t => writeTag(spark, t, tag))
         }
-        lmStagedKeys += key
+        lmStagedKeys(key) = tag
       }
     }
 
@@ -913,12 +916,21 @@ object TextAnalysis {
   /** Fixed artifact table name for the per-sfDir word->segments map (the
     * oracle needs a path known at SQL-authoring time, so this one is
     * named by sf directory, not content-keyed). */
-  def wordSegsStagedTable(dir: String): String =
-    "t25_word_segs_" +
-      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+  /** DIR-INDEPENDENT name (one table, the sfDir lives in the content
+    * TAG): the oracle SQL is a static string that cannot know the
+    * runtime dir, so a dir-suffixed name would point the oracle at the
+    * wrong artifact whenever verify runs against any other fixture.
+    * Staging against a different dir invalidates the tag and rewrites
+    * this one table — the query stages immediately before the oracle
+    * reads, so the glob is always the just-written artifact. */
+  def wordSegsStagedTable(dir: String): String = "t25_word_segs"
 
+  // CURRENT staged tag per (session, table) — a Map, not a grow-only
+  // Set: retrain A -> B -> A in one session must re-check the on-disk
+  // tag (a set retaining every tag ever staged would skip the check and
+  // serve B's artifact under A's key)
   private val wordSegsStagedKeys =
-    scala.collection.mutable.Set.empty[(Int, String)]
+    scala.collection.mutable.Map.empty[(Int, String), String]
 
   /** Stage the FULL corpus's distinct-word segmentation under a merge
     * table as a (w, segs) parquet table — the oracle-decomposition
@@ -936,13 +948,13 @@ object TextAnalysis {
       merges: Seq[(String, String)]): Unit =
     wordSegsStagedKeys.synchronized {
       val table = wordSegsStagedTable(dir)
-      val tag = s"v1|merges=${merges.size}|" +
+      val tag = s"v1|dir=$dir|merges=${merges.size}|" +
         s"first=${merges.headOption}|last=${merges.lastOption}"
-      // the memo must be keyed by the MERGE TABLE too: a session that
-      // retrains to a different target would otherwise serve the stale
-      // segmentation map without ever re-checking the on-disk tag
-      val key = (System.identityHashCode(spark), s"$table#$tag")
-      if (!wordSegsStagedKeys(key)) {
+      // the memo records the CURRENT tag per table: a session that
+      // retrains (even back to a previously-seen merge table) must
+      // re-check the on-disk tag, not trust any tag it ever staged
+      val key = (System.identityHashCode(spark), table)
+      if (!wordSegsStagedKeys.get(key).contains(tag)) {
         if (!stagedDirValid(spark, table, tag)) {
           spark.sql(s"DROP TABLE IF EXISTS `$table`")
           val loc = artifactLoc(spark, table)
@@ -953,7 +965,7 @@ object TextAnalysis {
             .write.mode("overwrite").format("parquet").saveAsTable(table)
           writeTag(spark, table, tag)
         }
-        wordSegsStagedKeys += key
+        wordSegsStagedKeys(key) = tag
       }
     }
 
@@ -1053,8 +1065,12 @@ object TextAnalysis {
     // staged segmentation
     val wordSegs = wc.join(segsOnly, Seq("w"), "left")
       .withColumn("segs", when(col("segs").isNull, expr(
-        "raise_error(concat('BPE encode: word \'', w, " +
-          "'\' missing from the staged segmentation map'))")
+        // \\' so the SQL sees an ESCAPED quote inside the literal — a
+        // bare '' would merge the fragments into one constant string
+        // and swallow the `w` column reference (the word would never be
+        // named in the error)
+        "raise_error(concat('BPE encode: word \\'', w, " +
+          "'\\' missing from the staged segmentation map'))")
         .cast("array<string>")).otherwise(col("segs")))
       .localCheckpoint()
     val vocabIds = wordSegs

@@ -1224,12 +1224,12 @@ object PipelineQueries {
       TextAnalysis.bpeEncodeFromStagedSegs(s, dir, corpus, "doc_id", "text")
         .orderBy($"doc_id")
     }, oracle = Some({
-      // the artifact path is BUILT from the same helpers the query uses
-      // (warehouse = cwd/spark-warehouse under the driver contract, sf
-      // = the driver's verify fixture), not a free-floating literal
+      // the artifact path is BUILT from the same helper the query uses;
+      // the table name is DIR-INDEPENDENT (the sfDir lives in the
+      // staging tag), so this static oracle string reads the artifact
+      // the query just staged at WHATEVER fixture dir verify runs on
       val segsGlob = new java.io.File("spark-warehouse").getAbsolutePath +
-        "/" + TextAnalysis.wordSegsStagedTable("/root/testdata/sf0.01") +
-        "/*.parquet"
+        "/" + TextAnalysis.wordSegsStagedTable("") + "/*.parquet"
       s"""
       WITH wsegs AS (
         SELECT w, segs FROM read_parquet('$segsGlob')),"""} + """

@@ -216,6 +216,12 @@ class BpeSpec extends AnyFunSuite {
       String.valueOf(ex.getCause)
         .contains("missing from the staged segmentation"),
       ex.getMessage)
+    // the diagnostic must NAME the offending word (a mis-escaped quote
+    // in the raise_error concat once swallowed the column reference
+    // into the literal, leaving a constant message)
+    assert(ex.getMessage.contains("'zq'") ||
+      String.valueOf(ex.getCause).contains("'zq'"),
+      s"offending word not named: ${ex.getMessage}")
   }
 
 }

@@ -961,19 +961,23 @@ class EngineSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit(1))), "bk")
     PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
       keepSnapshots = 3)
-    // second commit BIRTHS partition bk=7
+    // second commit BIRTHS partitions bk=7 AND bk=8 — re-pinning must
+    // then DROP TWO specs in one ALTER (comma-separated grammar; a
+    // space-joined multi-spec drop is a ParseException)
     PartitionedManifest.commitSnapshot(spark, root, "bk",
-      Map("7" -> part(9).drop("bk")), keepSnapshots = 3)
+      Map("7" -> part(9).drop("bk"), "8" -> part(8).drop("bk")),
+      keepSnapshots = 3)
     val snaps = PartitionedManifest.snapshots(spark, root)
     spark.sql("DROP TABLE IF EXISTS repin_tbl")
     PartitionedManifest.syncCatalogTableSnapshot(spark, root, "repin_tbl",
       "bk", "int", Some(snaps.last))
     assert(spark.table("repin_tbl").filter($"bk" === 7).count() == 5)
-    // re-pin to the FIRST snapshot: bk=7 did not exist at that commit
+    assert(spark.table("repin_tbl").filter($"bk" === 8).count() == 5)
+    // re-pin to the FIRST snapshot: bk=7/bk=8 did not exist then
     PartitionedManifest.syncCatalogTableSnapshot(spark, root, "repin_tbl",
       "bk", "int", Some(snaps.head))
     try {
-      assert(spark.table("repin_tbl").filter($"bk" === 7).count() == 0,
+      assert(spark.table("repin_tbl").filter($"bk" >= 7).count() == 0,
         "older snapshot served a later-born partition")
       val bks = spark.table("repin_tbl").select($"bk").distinct()
         .as[Int].collect().sorted.toSeq
