@@ -916,6 +916,41 @@ object TextAnalysis {
   /** Fixed artifact table name for the per-sfDir word->segments map (the
     * oracle needs a path known at SQL-authoring time, so this one is
     * named by sf directory, not content-keyed). */
+  /** Tokenizer-quality evaluation — FERTILITY (tokens per word) and
+    * COMPRESSION (chars per token) per document group, the standard
+    * metrics a tokenizer ships with (SentencePiece reports fertility;
+    * compression ratio is the GPT-family yardstick). High fertility on
+    * a language/source = the vocabulary underfits it — exactly the
+    * signal a multilingual data pipeline balances mixtures on.
+    *
+    * Scale shape: segmentation runs at VOCABULARY scale only (distinct
+    * words through the broadcast-merge-map [[graft.functions.Bpe]]
+    * expression — constant plan depth at any vocab size); corpus-scale
+    * work is one compact (group, word) count and one join back; the
+    * ratios quantize to integer micros via integer division, replaying
+    * bit-exactly in the oracle.
+    *
+    * @return (group, n_words, n_chars, n_bpe, fertility_micros,
+    *         chars_per_tok_micros)
+    */
+  def tokenizerEval(df: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val occ = df.select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("wc"))
+    val dw = occ.select(col("w")).distinct()
+      .withColumn("nseg", size(Bpe.segments(col("w"), merges)).cast("long"))
+      .withColumn("wlen", length(col("w")).cast("long"))
+    occ.join(dw, Seq("w"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * col("wlen")).as("n_chars"),
+        sum(col("wc") * col("nseg")).as("n_bpe"))
+      .withColumn("fertility_micros", expr("(1000000 * n_bpe) div n_words"))
+      .withColumn("chars_per_tok_micros",
+        expr("(1000000 * n_chars) div n_bpe"))
+  }
+
   /** DIR-INDEPENDENT name (one table, the sfDir lives in the content
     * TAG): the oracle SQL is a static string that cannot know the
     * runtime dir, so a dir-suffixed name would point the oracle at the

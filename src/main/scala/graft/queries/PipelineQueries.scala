@@ -1187,6 +1187,43 @@ object PipelineQueries {
             FROM rep12)
       GROUP BY seg ORDER BY c DESC, seg LIMIT 100"""))),
 
+    // Tokenizer-quality EVAL: fertility (tokens/word) and compression
+    // (chars/token) per source under the learned 12-merge tokenizer —
+    // the metric a pipeline balances multilingual mixtures on.
+    // Segmentation at vocabulary scale only (distinct words, broadcast
+    // merge map); FULL oracle replays training via the recursive
+    // rep-chain (bpeOracle) and re-derives every count and micro-ratio.
+    QuerySpec("t28_tokenizer_eval", (s, dir) => {
+      import s.implicits._
+      val merges = learnedBpeMerges(s, dir)
+      TextAnalysis.tokenizerEval(
+          Tables.load(s, dir, "documents").select($"source", $"text"),
+          "source", "text", merges)
+        .orderBy($"source")
+    }, oracle = Some(bpeOracle(12, """,
+      occ AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT source,
+                unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents)
+        WHERE length(w) >= 1 AND w NOT LIKE '%|%'
+        GROUP BY source, w),
+      nseg AS (
+        SELECT w, CAST(len(string_split(substr(rep, 2,
+          length(rep) - 2), '||')) AS BIGINT) AS nseg
+        FROM rep12),
+      agg AS (
+        SELECT source,
+          CAST(sum(o.wc) AS BIGINT) AS n_words,
+          CAST(sum(o.wc * length(o.w)) AS BIGINT) AS n_chars,
+          CAST(sum(o.wc * n.nseg) AS BIGINT) AS n_bpe
+        FROM occ o JOIN nseg n ON o.w = n.w GROUP BY source)
+      SELECT source, n_words, n_chars, n_bpe,
+        CAST((1000000 * n_bpe) // n_words AS BIGINT) AS fertility_micros,
+        CAST((1000000 * n_chars) // n_bpe AS BIGINT)
+          AS chars_per_tok_micros
+      FROM agg ORDER BY source""")), bench = true),
+
     // PRODUCTION-VOCABULARY BPE ENCODE (bpeLearnMergesToTarget +
     // bpeEncode): train a ≥32k-merge tokenizer and encode the corpus —
     // the scale the t18–t24 pipeline previously could not reach, now

@@ -453,6 +453,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
   }
 
+  test("tokenizer eval invariants: fertility >= 1 token/word, " +
+      "compression >= 1 char/token, counts consistent") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"source", $"text")
+    val merges = TextAnalysis.bpeLearnMerges(
+      docs.select($"text"), "text", iters = 4)
+    val rows = TextAnalysis.tokenizerEval(docs, "source", "text", merges)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, b) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_bpe"))
+      val fert = r.getAs[Long]("fertility_micros")
+      val comp = r.getAs[Long]("chars_per_tok_micros")
+      assert(w > 0 && b >= w && c >= b,
+        s"counts inconsistent: words=$w bpe=$b chars=$c")
+      assert(fert >= 1000000L, s"fertility < 1 token/word: $fert")
+      assert(comp >= 1000000L, s"compression < 1 char/token: $comp")
+      assert(fert == (1000000L * b) / w && comp == (1000000L * c) / b)
+    }
+  }
+
   test("bigram LM separates fluent repetition from shuffled gibberish") {
     import spark.implicits._
     // same unigram histogram, different bigram structure: the
