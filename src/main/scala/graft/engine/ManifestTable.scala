@@ -237,13 +237,19 @@ object ManifestTable {
         // conditional delete until it lands (or the lock provably
         // belongs to someone else) — a swallowed failed delete here
         // would orphan a freshly-stamped lock for a full stale horizon.
+        // interrupt-safe: this closure runs in a finally — a sleep that
+        // threw InterruptedException there would MASK the publish's
+        // real failure and abandon the lock; swallow, re-flag, stop
         var done = false
         var attempts = 0
         while (!done && attempts < 50) {
           st.get(path) match {
             case Some((content, t)) if content.endsWith(uuid) =>
               done = st.deleteIfMatch(path, t)
-              if (!done) Thread.sleep(10)
+              if (!done)
+                try Thread.sleep(10)
+                catch { case _: InterruptedException =>
+                  Thread.currentThread().interrupt(); done = true }
             case _ => done = true // gone, or taken over: nothing to delete
           }
           attempts += 1

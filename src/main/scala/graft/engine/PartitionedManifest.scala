@@ -495,10 +495,13 @@ object PartitionedManifest {
     * partition in one file and a partition above the advisory size in
     * advisory-sized files) and published in ONE atomic snapshot
     * commit. Convergent by the size gate: a rewritten partition's
-    * files are either one (small partition) or advisory-sized, so the
-    * next run finds no small files and selects nothing — keep
-    * `smallFileBytes` at or below the write-side advisory partition
-    * size or a just-compacted partition could re-qualify forever.
+    * files are either one (small partition) or advisory-sized chunks,
+    * so the next run finds no small files and selects nothing. The
+    * advisory sizes PRE-ENCODING shuffle bytes, so on-disk parquet
+    * lands at advisory/compression-ratio — `smallFileBytes` must stay
+    * BELOW that (the 8 MB default tolerates 8x compression under the
+    * 64 MB advisory default; raise it only in step with the advisory,
+    * or a just-compacted compressible partition re-qualifies forever).
     * Untouched partitions keep their version dirs byte-for-byte (the
     * snapshot maps them unchanged), and a run that selects NOTHING
     * commits NOTHING (no snapshot churn, no keep-N trim — safe to
@@ -520,7 +523,7 @@ object PartitionedManifest {
     */
   def compact(spark: SparkSession, root: String, partCol: String,
       maxFiles: Int = 1, keepSnapshots: Int = 2,
-      smallFileBytes: Long = 32L << 20): (String, Seq[String]) = {
+      smallFileBytes: Long = 8L << 20): (String, Seq[String]) = {
     val fragged = partitionValues(spark, root, partCol)
       .filter(v => smallDataFileCount(spark, s"$root/$partCol=$v",
         smallFileBytes) > maxFiles)

@@ -282,9 +282,11 @@ object TextAnalysis {
       .drop("__rn")
   }
 
-  /** Fixed artifact table names for the per-sfDir staged bigram LM
-    * (dir-named like [[wordSegsStagedTable]]: the oracle replays from
-    * the raw corpus, the QUERY serves from these). */
+  /** Fixed artifact table names for the per-sfDir staged bigram LM —
+    * dir-SUFFIXED (one artifact per corpus; safe here because the t27
+    * oracle replays from the raw corpus and never reads these, unlike
+    * [[wordSegsStagedTable]], whose static oracle glob forces a single
+    * dir-independent name with the dir folded into the tag). */
   def lmModelStagedTable(dir: String): String =
     "t27_bigram_lm_" +
       new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
@@ -314,12 +316,19 @@ object TextAnalysis {
     lmStagedKeys.synchronized {
       val model = lmModelStagedTable(dir)
       val stats = lmStatsStagedTable(dir)
-      // content-keyed like the t25 artifacts (bpeArtifactTag): a corpus
-      // regenerated in place under the same sfDir must invalidate the
-      // staged model instead of silently serving stale counts/cuts
-      val tag = s"v1|docs=${docs.count()}"
       val key = (System.identityHashCode(spark), model)
-      if (!lmStagedKeys.get(key).contains(tag)) {
+      // memo hit = zero Spark jobs (the fingerprint is only computed
+      // when this session has not yet validated the artifact)
+      if (!lmStagedKeys.contains(key)) {
+        // content-keyed: row count + an order-independent xxhash64
+        // BIT_XOR over (id, text) — a corpus regenerated in place under
+        // the same sfDir (even at the same row count) must invalidate
+        // the staged model instead of silently serving stale counts/
+        // cuts. bit_xor, not sum: full-range hash longs overflow an
+        // ANSI Int64 sum
+        val fpRow = docs.agg(count(lit(1)),
+          expr(s"bit_xor(xxhash64(`$idCol`, `$textCol`))")).head()
+        val tag = s"v1|docs=${fpRow.getLong(0)}|fp=${fpRow.get(1)}"
         if (!stagedDirValid(spark, model, tag) ||
             !stagedDirValid(spark, stats, tag)) {
           Seq(model, stats).foreach { t =>
@@ -842,21 +851,27 @@ object TextAnalysis {
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)
 
-  /** Is a staged artifact directory present, complete (_SUCCESS), and
-    * tagged with the expected content key (_GRAFT_TAG)? */
-  private def stagedDirValid(spark: SparkSession, table: String,
-      tag: String): Boolean = {
+  /** The _GRAFT_TAG of a complete (_SUCCESS) staged artifact dir, if
+    * present. */
+  private def stagedTagOf(spark: SparkSession,
+      table: String): Option[String] = {
     val loc = artifactLoc(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tagFile = new org.apache.hadoop.fs.Path(loc, "_GRAFT_TAG")
-    fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) &&
-      fs.exists(tagFile) && {
-        val in = fs.open(tagFile)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == tag
-        finally in.close()
-      }
+    if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) &&
+        fs.exists(tagFile)) {
+      val in = fs.open(tagFile)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } else None
   }
+
+  /** Is a staged artifact directory present, complete (_SUCCESS), and
+    * tagged with the expected content key (_GRAFT_TAG)? */
+  private def stagedDirValid(spark: SparkSession, table: String,
+      tag: String): Boolean =
+    stagedTagOf(spark, table).contains(tag)
 
   private def writeTag(spark: SparkSession, table: String,
       tag: String): Unit = {
@@ -913,9 +928,6 @@ object TextAnalysis {
         })
     }
 
-  /** Fixed artifact table name for the per-sfDir word->segments map (the
-    * oracle needs a path known at SQL-authoring time, so this one is
-    * named by sf directory, not content-keyed). */
   /** Tokenizer-quality evaluation — FERTILITY (tokens per word) and
     * COMPRESSION (chars per token) per document group, the standard
     * metrics a tokenizer ships with (SentencePiece reports fertility;
@@ -946,9 +958,15 @@ object TextAnalysis {
       .agg(sum(col("wc")).as("n_words"),
         sum(col("wc") * col("wlen")).as("n_chars"),
         sum(col("wc") * col("nseg")).as("n_bpe"))
-      .withColumn("fertility_micros", expr("(1000000 * n_bpe) div n_words"))
-      .withColumn("chars_per_tok_micros",
-        expr("(1000000 * n_chars) div n_bpe"))
+      // quotient/remainder composition instead of (1e6 * total):
+      // a single group can hold >9.2e12 tokens at 100 TB, and the
+      // direct product would wrap Int64 silently (DuckDB would raise)
+      .withColumn("fertility_micros", expr(
+        "(n_bpe div n_words) * 1000000 + " +
+          "((n_bpe % n_words) * 1000000) div n_words"))
+      .withColumn("chars_per_tok_micros", expr(
+        "(n_chars div n_bpe) * 1000000 + " +
+          "((n_chars % n_bpe) * 1000000) div n_bpe"))
   }
 
   /** DIR-INDEPENDENT name (one table, the sfDir lives in the content
@@ -1089,8 +1107,17 @@ object TextAnalysis {
   def bpeEncodeFromStagedSegs(spark: SparkSession, dir: String,
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the table name is dir-INDEPENDENT (one shared artifact; the sfDir
+    // lives in the tag), so the serve path must VALIDATE the tag before
+    // reading: blindly serving another dir's segmentation would be
+    // silently wrong whenever the vocabularies overlap (every word
+    // joins, the missing-word guard never fires, wrong token ids)
+    val table = wordSegsStagedTable(dir)
+    val tagOk = stagedTagOf(spark, table).exists(_.contains(s"|dir=$dir|"))
+    require(tagOk, s"staged word-segmentation artifact `$table` was not " +
+      s"staged for $dir — run ensureWordSegsStaged for this corpus first")
     val segsOnly = spark.read.parquet(
-      artifactLoc(spark, wordSegsStagedTable(dir)).toString)
+      artifactLoc(spark, table).toString)
     val wc = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 1 && !col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))

@@ -1219,8 +1219,11 @@ object PipelineQueries {
           CAST(sum(o.wc * n.nseg) AS BIGINT) AS n_bpe
         FROM occ o JOIN nseg n ON o.w = n.w GROUP BY source)
       SELECT source, n_words, n_chars, n_bpe,
-        CAST((1000000 * n_bpe) // n_words AS BIGINT) AS fertility_micros,
-        CAST((1000000 * n_chars) // n_bpe AS BIGINT)
+        CAST((n_bpe // n_words) * 1000000
+          + ((n_bpe % n_words) * 1000000) // n_words AS BIGINT)
+          AS fertility_micros,
+        CAST((n_chars // n_bpe) * 1000000
+          + ((n_chars % n_bpe) * 1000000) // n_bpe AS BIGINT)
           AS chars_per_tok_micros
       FROM agg ORDER BY source""")), bench = true),
 

@@ -1072,14 +1072,14 @@ class EngineSpec extends AnyFunSuite {
       placeholders = Map("cmp_src" ->
         Files.createTempDirectory("graft-cmp-src").toString))
     val res1 = new PacketRunner(spark, conf)
-      .run("/root/repo/packets/test_compaction")
+      .run("packets/test_compaction")
     assert(res1.resultCode("spark") == "success",
       res1.notices.mkString("; "))
     val root = conf.placeholders("cmp_src")
     val snaps1 = PartitionedManifest.snapshots(spark, root)
     // same state dir -> every action MD5-dedupes; no step re-executes
     val res2 = new PacketRunner(spark, conf)
-      .run("/root/repo/packets/test_compaction")
+      .run("packets/test_compaction")
     assert(res2.resultCode("spark") == "success",
       res2.notices.mkString("; "))
     val snaps2 = PartitionedManifest.snapshots(spark, root)
