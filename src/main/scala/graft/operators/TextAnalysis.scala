@@ -224,6 +224,32 @@ object TextAnalysis {
     bigramLmRanked(big, bc, pc, nv, idCol)
   }
 
+  /** Quality-staged training curriculum — the order a CCNet-filtered
+    * corpus is actually consumed in: every document gets a global
+    * stream position that serves the HEAD tercile first, then middle,
+    * then tail, with a REPRODUCIBLE md5-keyed shuffle inside each
+    * stage (same seed → same order on any cluster, the
+    * [[Packing.deterministicShuffle]] contract).
+    *
+    * Scale shape: bucket assignment is [[bigramLmBuckets]]; the global
+    * position is the distributed range-partition rank over
+    * (stage, md5 key) — no single-partition window anywhere.
+    *
+    * @return (id, bucket, pos 0-based global training position)
+    */
+  def qualityCurriculum(df: DataFrame, idCol: String, textCol: String,
+      seed: String): DataFrame = {
+    val staged = bigramLmBuckets(df, idCol, textCol)
+      .withColumn("stage",
+        when(col("bucket") === "head", lit(0))
+          .when(col("bucket") === "middle", lit(1)).otherwise(lit(2)))
+      .withColumn("k",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+    Packing.withGlobalRowNumber(staged, "__rn", Seq("stage", "k", idCol))
+      .withColumn("pos", col("__rn") - lit(1L))
+      .select(col(idCol), col("bucket"), col("pos"))
+  }
+
   /** Per-document bigram stream: (id, w1, w2) for every adjacent token
     * pair — the ONE tokenization both training and serving share (a
     * hand-synced copy would let the frozen model silently diverge from

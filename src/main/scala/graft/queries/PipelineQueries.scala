@@ -1819,6 +1819,58 @@ object PipelineQueries {
              WHEN 3 * rn <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket
       FROM rk ORDER BY doc_id"""), bench = true),
 
+    // QUALITY-STAGED CURRICULUM: global training order serving the
+    // head tercile first, then middle, then tail, md5-shuffled
+    // reproducibly within each stage — t26's buckets composed with the
+    // distributed prefix-sum rank (the order a CCNet-filtered corpus is
+    // consumed in). FULL oracle: the t26 replay plus one row_number
+    // over (stage, md5 key).
+    QuerySpec("p29_quality_curriculum", (s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityCurriculum(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text", seed = "graft-curriculum-0")
+        .orderBy($"doc_id")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      big AS (
+        SELECT doc_id,
+          unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+          unnest(list_slice(t, 2, len(t))) AS w2
+        FROM toks WHERE len(t) >= 2),
+      bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+      pc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS nv
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      sc AS (
+        SELECT big.doc_id,
+          CAST(floor(-1000000.0 * ln(
+            (CAST(c12 AS DOUBLE) + 1.0) /
+            (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)))) AS BIGINT) AS m
+        FROM big JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v),
+      agg AS (SELECT doc_id, count(*) AS nb, sum(m) AS sm
+              FROM sc GROUP BY 1),
+      rk AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY sm // nb, doc_id) AS rn,
+          count(*) OVER () AS n
+        FROM agg),
+      bucketed AS (
+        SELECT doc_id,
+          CASE WHEN 3 * rn <= n THEN 'head'
+               WHEN 3 * rn <= 2 * n THEN 'middle' ELSE 'tail' END
+            AS bucket,
+          CASE WHEN 3 * rn <= n THEN 0
+               WHEN 3 * rn <= 2 * n THEN 1 ELSE 2 END AS stage,
+          md5('graft-curriculum-0:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM rk)
+      SELECT doc_id, bucket,
+        CAST(row_number() OVER (ORDER BY stage, k, doc_id) - 1 AS BIGINT)
+          AS pos
+      FROM bucketed ORDER BY doc_id"""), bench = true),
+
     // The LM quality filter as a FROZEN INGEST ARTIFACT (the CCNet
     // production shape, and t26's staged twin in the s19–s22/t24
     // pattern): pair/prefix counts + vocab size + tercile cut-points

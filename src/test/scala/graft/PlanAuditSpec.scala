@@ -1090,6 +1090,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "bigram-LM tercile rank collapsed to a single partition")
   }
 
+  test("p29 quality curriculum never funnels through a single partition") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val df = graft.operators.TextAnalysis.qualityCurriculum(
+      docs, "doc_id", "text", seed = "audit")
+    // the oracle's row_number() OVER (ORDER BY stage, k) would plan
+    // Exchange SinglePartition; the distributed prefix-rank must not
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "curriculum stream position collapsed to a single partition")
+  }
+
   test("t27 LM-artifact SERVING is per-document only: no single-" +
       "partition exchange anywhere in the scoring plan") {
     import spark.implicits._
