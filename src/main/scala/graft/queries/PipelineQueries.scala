@@ -1142,6 +1142,97 @@ object PipelineQueries {
         CAST(arg_max(tok_id, pos) AS BIGINT) AS last_id
       FROM positioned GROUP BY doc_id ORDER BY doc_id"""))),
 
+    // STREAM-LAYOUT COMPACTION (w-family through the streaming side):
+    // the encodeIdsBatch contract accumulates one b<id>/ directory per
+    // micro-batch (that isolation IS its replay idempotency), so the
+    // t22 layout grows a directory per batch — the small-file problem
+    // streaming CREATES. compactIngestLayout publishes the whole mixed
+    // layout as ONE ManifestTable version behind one atomic pointer
+    // swap; the query builds a mixed layout (flat batch ingest + two
+    // streamed micro-batches), compacts TWICE (idempotency), require()s
+    // the physical outcome (bounded file count, live version present),
+    // and serves the table through ManifestTable.read. FULL oracle:
+    // the t22 replay — compaction must preserve the encode exactly.
+    QuerySpec("w10_stream_layout_compaction", (s, dir) => {
+      import s.implicits._
+      import graft.engine.ManifestTable
+      import graft.streaming.EventsStreaming
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val merges = learnedBpeMerges(s, dir)
+      val vocab = TextAnalysis.bpeVocabIds(docs, "text", merges)
+        .localCheckpoint()
+      val layout = java.nio.file.Files
+        .createTempDirectory("graft-w10-layout").toString
+      // half the corpus lands as flat batch ingest ...
+      TextAnalysis.bpeEncodeIdsWithVocab(
+          docs.filter($"doc_id" % 2 === 1), "doc_id", "text", merges, vocab)
+        .write.mode("append").parquet(layout)
+      // ... the other half as two replay-isolated micro-batch dirs
+      EventsStreaming.encodeIdsBatch(s, layout, merges, vocab)(
+        docs.filter($"doc_id" % 4 === 0).toDF(), 0L)
+      EventsStreaming.encodeIdsBatch(s, layout, merges, vocab)(
+        docs.filter($"doc_id" % 4 === 2).toDF(), 1L)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-w10-tbl").toString
+      EventsStreaming.compactIngestLayout(s, layout, root,
+        targetPartitions = 1)
+      val files1 = graft.engine.PartitionedManifest.dataFileCount(s, root)
+      require(files1 == 1, s"compacted table holds $files1 files")
+      val v1 = ManifestTable.currentVersion(root)
+      // idempotent re-run: a fresh version of the same rows, old one
+      // GC'd behind the pointer — readers never see a mixture
+      EventsStreaming.compactIngestLayout(s, layout, root,
+        targetPartitions = 1)
+      require(ManifestTable.currentVersion(root) != v1,
+        "re-run must publish a fresh version behind the pointer")
+      ManifestTable.read(s, root)
+        .select($"doc_id",
+          size($"token_ids").cast("long").as("n_bpe"),
+          expr("aggregate(zip_with(sequence(1L, size(token_ids)), " +
+            "token_ids, (p, x) -> p * x), 0L, (acc, x) -> acc + x)")
+            .as("id_checksum"),
+          element_at($"token_ids", 1).as("first_id"),
+          element_at($"token_ids", -1).as("last_id"))
+        .orderBy($"doc_id")
+    }, oracle = Some(bpeOracle(12, """,
+      vocab AS MATERIALIZED (
+        SELECT seg, sum(wc) AS c
+        FROM (SELECT wc, unnest(string_split(substr(rep, 2,
+                length(rep) - 2), '||')) AS seg
+              FROM rep12)
+        GROUP BY seg),
+      vids AS (
+        SELECT seg, CAST(row_number() OVER (ORDER BY c DESC, seg)
+          AS BIGINT) AS tok_id
+        FROM vocab),
+      wsegs AS MATERIALIZED (
+        SELECT w, string_split(substr(rep, 2, length(rep) - 2), '||')
+          AS segs
+        FROM rep12),
+      dwords AS (
+        SELECT doc_id, wi, ws[wi] AS w
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents))
+        WHERE length(ws[wi]) >= 1 AND ws[wi] NOT LIKE '%|%'),
+      dtoks0 AS (
+        SELECT d.doc_id, d.wi, s.segs,
+               unnest(generate_series(1, len(s.segs))) AS si
+        FROM dwords d JOIN wsegs s USING (w)),
+      positioned AS (
+        SELECT t.doc_id, v.tok_id,
+          row_number() OVER (PARTITION BY t.doc_id ORDER BY t.wi, t.si)
+            AS pos
+        FROM (SELECT doc_id, wi, si, segs[si] AS seg FROM dtoks0) t
+        JOIN vids v USING (seg))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+        CAST(sum(pos * tok_id) AS BIGINT) AS id_checksum,
+        CAST(arg_min(tok_id, pos) AS BIGINT) AS first_id,
+        CAST(arg_max(tok_id, pos) AS BIGINT) AS last_id
+      FROM positioned GROUP BY doc_id ORDER BY doc_id""")),
+      bench = true),
+
     // BATCHED BPE training (TextAnalysis.bpeLearnMergesBatched): the
     // scale path past t18's 2-jobs-per-merge loop — each round is ONE
     // pair-count scan accepting up to batchR greedily-independent merges

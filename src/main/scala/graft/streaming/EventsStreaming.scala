@@ -316,6 +316,32 @@ object EventsStreaming {
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
   }
 
+  /** MAINTENANCE for the streaming-ingest layout — the small-file
+    * problem streaming CREATES, closed by the machinery batch
+    * maintenance already has: [[encodeIdsBatch]]-style sinks accumulate
+    * one b<id>/ directory per micro-batch (that per-batch isolation IS
+    * the replay-idempotency guarantee), so after N batches the layout
+    * holds N directory listings of sliver files. This one-shot pass
+    * reads the whole mixed layout (flat ingest files + b<id>/ dirs) and
+    * publishes it as a [[graft.engine.ManifestTable]] version behind
+    * ONE atomic pointer swap: readers of the table root see the
+    * complete old or new compacted version, never a mixture, and
+    * re-running re-publishes the same rows (keep-2 GC collects the
+    * duplicate — idempotent). The source layout is left untouched (the
+    * stream keeps appending to it; cut readers over to the table root
+    * and re-run the pass on whatever schedule the ingest volume needs).
+    * `targetPartitions` bounds the output file count; 0 = let the
+    * reader's own small-file binning (maxPartitionBytes) decide. */
+  def compactIngestLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, tableRoot: String,
+      targetPartitions: Int = 0): String = {
+    val all = spark.read.option("recursiveFileLookup", "true")
+      .parquet(layoutDir)
+    val sized =
+      if (targetPartitions > 0) all.repartition(targetPartitions) else all
+    graft.engine.ManifestTable.publish(spark, tableRoot, sized)
+  }
+
   /** Streaming twin of the w03 merge path: a stream of keyed upserts
     * folds into a [[graft.engine.PartitionedManifest]] table through
     * `foreachBatch` — each micro-batch anti-joins the touched
