@@ -275,14 +275,35 @@ object ManifestTable {
 
   private def acquireLockViaFs(fs: FileSystem, root: String): () => Unit = {
     val lock = new HPath(root, Lock)
+    // ownership content: release must not delete a lock that is no
+    // longer ours (a publisher whose lock was stolen by stale takeover
+    // — e.g. under a silently-failing setTimes heartbeat — would
+    // otherwise delete the NEW owner's lock on exit and admit a third
+    // concurrent publisher). POSIX has no compare-and-delete, so the
+    // read-check-delete still has a microsecond window (the store-
+    // backed path closes it fully with If-Match); this narrows the FS
+    // hole from always-open to takeover-lands-inside-the-release.
+    val uuid = java.util.UUID.randomUUID.toString
     def tryCreate(): Boolean =
       try {
-        if (isLocal(fs))
+        if (isLocal(fs)) {
           // NIO CREATE_NEW is atomic on POSIX; Hadoop's local
           // create(overwrite=false) is check-then-create
           java.nio.file.Files.createFile(nio(fs, lock))
-        else fs.create(lock, false).close()
+          java.nio.file.Files.writeString(nio(fs, lock), uuid)
+        } else {
+          val out = fs.create(lock, false)
+          out.write(uuid.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+        }
         true
+      } catch { case _: java.io.IOException => false }
+    def ownsLock(): Boolean =
+      try {
+        val in = fs.open(lock)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == uuid
+        finally in.close()
       } catch { case _: java.io.IOException => false }
     def acquired(): () => Unit = {
       // heartbeat: refresh the lock mtime so a publish running past
@@ -291,7 +312,11 @@ object ManifestTable {
         try fs.setTimes(lock, System.currentTimeMillis(), -1)
         catch { case _: java.io.IOException => () }
       }, HeartbeatMs, HeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-      () => { beat.cancel(false); fs.delete(lock, false); () }
+      () => {
+        beat.cancel(false)
+        if (ownsLock()) fs.delete(lock, false)
+        ()
+      }
     }
     if (tryCreate()) return acquired()
     val age =
@@ -394,7 +419,17 @@ object ManifestTable {
     val versions = fs.listStatus(new HPath(root))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .map(_.getPath.getName).sorted // v%06d zero-padding = generation order
-    val keep = Set(current) ++ protect
+    // second line of defense for publishers that slipped past the lock
+    // (stale takeover under a silently-broken heartbeat): ALSO protect
+    // the live pointer's generation predecessor — the loser's gc would
+    // otherwise delete the winner's previous version and break the
+    // keep-2 reader horizon. Only a COMPLETED predecessor (_SUCCESS)
+    // qualifies: a crashed write's partial orphan has none and must
+    // still be collected, not mistaken for the previous version (the
+    // caller's own pre-swap pointer rides in `protect`).
+    val predecessor = versions.filter(_ < current).reverse
+      .find(v => fs.exists(new HPath(s"$root/$v/_SUCCESS")))
+    val keep = Set(current) ++ protect ++ predecessor
     versions.filterNot(keep).foreach(v => fs.delete(new HPath(root, v), true))
   }
 

@@ -377,6 +377,17 @@ object PartitionedManifest {
     // their own partition roots - disjoint, no deadlock): two racing
     // commits must not both read base mapping N and fight over N+1
     ManifestTable.withPublishLock(root) {
+      commitSnapshotLocked(spark, root, partCol, updates, keepSnapshots)
+    }
+  }
+
+  /** [[commitSnapshot]]'s body, for callers that already hold the root
+    * publish lock AND need to form their read-set under it (compact():
+    * resolving version dirs outside the lock would lose a concurrent
+    * committer's update despite perfect lock serialization). */
+  private def commitSnapshotLocked(spark: SparkSession, root: String,
+      partCol: String, updates: Map[String, DataFrame],
+      keepSnapshots: Int): String = {
     updates.keys.foreach(checkPartValue)
     val base: Map[String, String] = currentSnapshot(spark, root) match {
       case Some(s) => snapshotMapping(spark, root, s).toMap
@@ -388,10 +399,16 @@ object PartitionedManifest {
         }.toMap
     }
     val fs = fsOf(spark, root)
-    // versions the SURVIVING older snapshots still reference, per
-    // partition — the per-partition GC must not collect them while a
-    // kept snapshot names them
-    val keptOld = snapshots(spark, root).takeRight(keepSnapshots - 1)
+    // versions the still-kept snapshots reference, per partition — the
+    // per-partition GC must not collect them while a kept snapshot
+    // names them. Protect ALL currently-kept snapshots (keepSnapshots,
+    // not keepSnapshots - 1): adoption GC runs BEFORE the new snapshot
+    // file and root swap exist, so collecting the expiring snapshot's
+    // dirs here would break its reads permanently if this commit
+    // aborts mid-way (the pointer would still name it). Its uniquely-
+    // referenced dirs collect lazily on the partition's next touch,
+    // after the snapshot file itself is dropped below.
+    val keptOld = snapshots(spark, root).takeRight(keepSnapshots)
     val protectByPart: Map[String, Set[String]] = keptOld
       .flatMap(sn => snapshotMapping(spark, root, sn))
       .groupBy(_._1).map { case (v, dirs) => v -> dirs.map(_._2).toSet }
@@ -453,7 +470,6 @@ object PartitionedManifest {
     snapshots(spark, root).filterNot(keep).foreach(s =>
       fs.delete(new HPath(root, s"$SnapDir/$s"), false))
     snap
-    }
   }
 
   /** Data files in a table root's LIVE version directory (pointer
@@ -510,13 +526,15 @@ object PartitionedManifest {
     * Scale shape: candidate selection is a driver-side directory
     * listing (partition-count-bounded metadata, no data read); the
     * rewrite is one Spark job over exactly the fragmented partitions'
-    * bytes. Single-writer contract like every publish here: racing a
-    * concurrent writer to the SAME partition loses that writer's rows
-    * (Iceberg revalidates-and-retries; this engine serializes
-    * committers through the root publish lock instead — run compaction
-    * as its own maintenance step, the reference's own packet shape).
-    * Pass the table's own `keepSnapshots` horizon: a real compaction
-    * IS a commit and trims like any other.
+    * bytes. The whole pass — selection, dir resolution, rewrite,
+    * publish — holds the root publish lock, so a concurrent
+    * commitSnapshot can never land between compaction's read and its
+    * write (the lost-update Iceberg handles by revalidate-and-retry is
+    * excluded by serialization here; per-partition publishPartition
+    * writers use their own partition locks and remain the documented
+    * single-writer-per-partition contract). Pass the table's own
+    * `keepSnapshots` horizon: a real compaction IS a commit and trims
+    * like any other.
     *
     * @return (snapshot id — the NEW commit, or the unchanged current
     *         one when nothing qualified; compacted partition values)
@@ -524,18 +542,29 @@ object PartitionedManifest {
   def compact(spark: SparkSession, root: String, partCol: String,
       maxFiles: Int = 1, keepSnapshots: Int = 2,
       smallFileBytes: Long = 8L << 20): (String, Seq[String]) = {
-    val fragged = partitionValues(spark, root, partCol)
-      .filter(v => smallDataFileCount(spark, s"$root/$partCol=$v",
-        smallFileBytes) > maxFiles)
-    if (fragged.isEmpty)
-      return (currentSnapshot(spark, root).getOrElse(""), Seq.empty)
-    val updates = fragged.map { v =>
-      val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
-        .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
-      v -> spark.read.parquet(dir)
-    }.toMap
-    val snap = commitSnapshot(spark, root, partCol, updates, keepSnapshots)
-    (snap, fragged)
+    require(keepSnapshots >= 2,
+      "keepSnapshots must be >= 2 (current + previous)")
+    // the WHOLE pass — candidate selection, version-dir resolution, the
+    // rewrite job, the snapshot publish — runs under the root publish
+    // lock: resolving dirs outside it would rewrite a concurrent
+    // committer's partition from a stale read-set and silently lose
+    // that commit's rows despite the committers being serialized
+    ManifestTable.withPublishLock(root) {
+      val fragged = partitionValues(spark, root, partCol)
+        .filter(v => smallDataFileCount(spark, s"$root/$partCol=$v",
+          smallFileBytes) > maxFiles)
+      if (fragged.isEmpty)
+        (currentSnapshot(spark, root).getOrElse(""), Seq.empty)
+      else {
+        val updates = fragged.map { v =>
+          val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
+            .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
+          v -> spark.read.parquet(dir)
+        }.toMap
+        (commitSnapshotLocked(spark, root, partCol, updates,
+          keepSnapshots), fragged)
+      }
+    }
   }
 
   /** Read a COMMITTED snapshot — every partition at one commit, the
@@ -633,16 +662,25 @@ object PartitionedManifest {
       val touched = spark.table(deltaTable)
         .select(col(partCol).cast("string")).distinct()
         .collect().map(_.getString(0)).sorted
-      // ONE snapshot commit over the whole delta: per-partition pointers
-      // advance for the legacy reader path, and the root snapshot makes
-      // the entire publish visible to snapshot readers in one atomic
-      // rename (cross-partition consistency). keepSnapshots must be the
-      // table's own horizon — see registerCompactionStep.
-      val snap = commitSnapshot(spark, root, partCol,
-        touched.map(v => v -> spark.table(s"$stagePrefix$v")).toMap,
-        keepSnapshots)
-      ctx.notice("info", s"published $view ${touched.length} " +
-        s"partition(s) (${touched.mkString(",")}) as snapshot $snap")
+      // an EMPTY delta commits NOTHING (the compact() rule): a
+      // scheduled publish against a quiet source would otherwise mint
+      // a content-identical snapshot and trim one real historical
+      // commit off the keep-N horizon
+      if (touched.isEmpty)
+        ctx.notice("info", s"publish no-op for $view (empty delta)")
+      else {
+        // ONE snapshot commit over the whole delta: per-partition
+        // pointers advance for the legacy reader path, and the root
+        // snapshot makes the entire publish visible to snapshot readers
+        // in one atomic rename (cross-partition consistency).
+        // keepSnapshots must be the table's own horizon — see
+        // registerCompactionStep.
+        val snap = commitSnapshot(spark, root, partCol,
+          touched.map(v => v -> spark.table(s"$stagePrefix$v")).toMap,
+          keepSnapshots)
+        ctx.notice("info", s"published $view ${touched.length} " +
+          s"partition(s) (${touched.mkString(",")}) as snapshot $snap")
+      }
       syncCatalogTable(spark, root, view, partCol, partType)
     }
 }

@@ -172,12 +172,24 @@ case class BpeSegment(child: Expression,
 }
 
 object Bpe {
+  // one broadcast per (session, merge-table instance): repeated calls
+  // with the SAME merges Seq (the streaming encode twin builds a plan
+  // per micro-batch) must not ship a fresh 32k-entry broadcast every
+  // trigger and leave the old ones to the ContextCleaner
+  private val bcastCache = scala.collection.mutable.Map.empty[
+    (Int, Int), org.apache.spark.broadcast.Broadcast[MergeTable]]
+
   /** Column API: segment a word column under a learned merge table —
     * constant plan depth in the merge count; the table rides as ONE
-    * executor-shared broadcast. */
+    * executor-shared broadcast (memoized per session + merge-table
+    * instance). */
   def segments(word: Column, merges: Seq[(String, String)]): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val bcast = spark.sparkContext.broadcast(new MergeTable(merges))
+    val bcast = bcastCache.synchronized {
+      bcastCache.getOrElseUpdate(
+        (System.identityHashCode(spark), System.identityHashCode(merges)),
+        spark.sparkContext.broadcast(new MergeTable(merges)))
+    }
     ColumnBridge.column(BpeSegment(ColumnBridge.expression(word), bcast))
   }
 }

@@ -315,13 +315,22 @@ object TextAnalysis {
     * dir-independent name with the dir folded into the tag). */
   def lmModelStagedTable(dir: String): String =
     "t27_bigram_lm_" +
-      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_") +
+      // basename alone collides for distinct dirs sharing a leaf name
+      // (two corpora would silently share one artifact slot)
+      "_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(3)
+        .map(b => f"${b & 0xff}%02x").mkString
   def lmStatsStagedTable(dir: String): String =
     lmModelStagedTable(dir) + "_stats"
 
-  // current staged tag per (session, table) — same Map-not-Set rule as
-  // wordSegsStagedKeys (a corpus that changes and changes back must
-  // still re-check the on-disk tag)
+  // (session, table) -> the tag this session validated/staged. Unlike
+  // wordSegsStagedKeys, presence alone short-circuits: computing the
+  // content fingerprint IS a corpus scan, so warm serving must not pay
+  // it per call. The deliberate trade-off: IN-SESSION regeneration of
+  // the corpus under the same dir is out of contract (fixtures are
+  // immutable within a session); CROSS-session staleness is what the
+  // fingerprint catches.
   private val lmStagedKeys =
     scala.collection.mutable.Map.empty[(Int, String), String]
 
@@ -381,6 +390,10 @@ object TextAnalysis {
             .repartition(1)
             .write.mode("overwrite").format("parquet").saveAsTable(stats)
           Seq(model, stats).foreach(t => writeTag(spark, t, tag))
+          // a rebuilt artifact invalidates this session's cached scalars
+          lmStatsCache.synchronized {
+            lmStatsCache.remove((System.identityHashCode(spark), stats))
+          }
         }
         lmStagedKeys(key) = tag
       }
@@ -395,19 +408,42 @@ object TextAnalysis {
     * is a row-local comparison against two frozen literals — no global
     * state, which is exactly what makes this the streaming-safe twin
     * shape. */
+  // (session, stats table) -> (nv, cut_head, cut_middle): the frozen
+  // scalars load once per session, not once per micro-batch (the
+  // streaming twin calls this per trigger — a driver head() job each
+  // time is pure overhead on constants)
+  private val lmStatsCache =
+    scala.collection.mutable.Map.empty[(Int, String), (Long, Long, Long)]
+
   def bigramLmBucketsFromArtifact(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, dir: String): DataFrame = {
+    val modelTable = lmModelStagedTable(dir)
+    val statsTable = lmStatsStagedTable(dir)
+    // serve ONLY a complete, matched artifact pair: a re-staging that
+    // crashed between the two table writes leaves model/stats from
+    // different corpora — scoring B's counts against A's cut-points
+    // would be silently wrong (the staged-segs encode path has the
+    // same guard)
+    val mTag = stagedTagOf(spark, modelTable)
+    val sTag = stagedTagOf(spark, statsTable)
+    require(mTag.isDefined && mTag == sTag,
+      s"staged LM artifact pair `$modelTable`/`$statsTable` is missing " +
+        s"or torn (tags $mTag vs $sTag) — run ensureBigramLmStaged first")
     // PATH reads, not spark.table: a FRESH engine finds the tag-valid
     // artifact directories without any catalog registration (the t25
     // artifact contract; `_`-prefixed tag/metadata files are ignored by
     // the parquet reader)
     val model = spark.read.parquet(
-      artifactLoc(spark, lmModelStagedTable(dir)).toString)
-    val st = spark.read.parquet(
-      artifactLoc(spark, lmStatsStagedTable(dir)).toString).head()
-    val nv = st.getAs[Long]("nv")
-    val cutH = st.getAs[Long]("cut_head")
-    val cutM = st.getAs[Long]("cut_middle")
+      artifactLoc(spark, modelTable).toString)
+    val (nv, cutH, cutM) = lmStatsCache.synchronized {
+      lmStatsCache.getOrElseUpdate(
+        (System.identityHashCode(spark), statsTable), {
+          val st = spark.read.parquet(
+            artifactLoc(spark, statsTable).toString).head()
+          (st.getAs[Long]("nv"), st.getAs[Long]("cut_head"),
+            st.getAs[Long]("cut_middle"))
+        })
+    }
     val big = bigramStream(docs, idCol, textCol)
     val pc = model.groupBy(col("w1")).agg(max(col("c1")).as("c1"))
     val micros = floor(lit(-1000000.0) * graft.functions.MathNative.lnLibm(

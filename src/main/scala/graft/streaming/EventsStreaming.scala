@@ -327,11 +327,17 @@ object EventsStreaming {
     * ONE atomic pointer swap: readers of the table root see the
     * complete old or new compacted version, never a mixture, and
     * re-running re-publishes the same rows (keep-2 GC collects the
-    * duplicate — idempotent). The source layout is left untouched (the
-    * stream keeps appending to it; cut readers over to the table root
-    * and re-run the pass on whatever schedule the ingest volume needs).
-    * `targetPartitions` bounds the output file count; 0 = let the
-    * reader's own small-file binning (maxPartitionBytes) decide. */
+    * duplicate — idempotent). The source layout is left untouched; cut
+    * readers over to the table root and re-run the pass on whatever
+    * schedule the ingest volume needs. Run it at a QUIESCED point (the
+    * stream stopped, or between triggers from the stream's own
+    * listener): a replayed micro-batch's b<id> overwrite deletes that
+    * directory mid-scan, so a pass racing the stream can fail on
+    * listed-then-deleted files or publish a version missing the
+    * replayed batch — scheduling around triggers is the contract, not
+    * a recoverable race. `targetPartitions` bounds the output file
+    * count; 0 = let the reader's own small-file binning
+    * (maxPartitionBytes) decide. */
   def compactIngestLayout(spark: org.apache.spark.sql.SparkSession,
       layoutDir: String, tableRoot: String,
       targetPartitions: Int = 0): String = {

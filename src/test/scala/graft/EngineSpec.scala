@@ -835,11 +835,23 @@ class EngineSpec extends AnyFunSuite {
         .select($"v").distinct().as[Long].collect().toSeq
       assert(vs == Seq(expect), s"$sn: $vs")
     }
-    // each partition holds exactly the 3 referenced version dirs
+    // each partition holds every dir the kept snapshots reference,
+    // plus AT MOST the just-expired snapshot's dir: commit-time GC
+    // protects ALL snapshots that were kept when it ran (collecting the
+    // expiring one's dirs before the new snapshot file exists would
+    // break its reads permanently if the commit aborted mid-way); the
+    // lagging dir collects on the partition's next touch
     Seq(0, 1).foreach { b =>
       val dirs = new java.io.File(s"$root/bk=$b").listFiles
-        .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
-      assert(dirs.length == 3, s"bk=$b: ${dirs.toSeq}")
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(_.getName).toSet
+      val referenced: Set[String] = snaps.map { sn =>
+        PartitionedManifest.snapshotMapping(spark, root, sn)
+          .toMap.apply(b.toString)
+      }.toSet
+      assert(referenced.subsetOf(dirs),
+        s"bk=$b: kept snapshot dirs missing: $referenced vs $dirs")
+      assert(dirs.size <= 4, s"bk=$b: ${dirs.toSeq.sorted}")
     }
   }
 
