@@ -80,8 +80,13 @@ object ManifestTable {
     var best: Option[(String, PointerStore)] = None
     pointerStores.forEach { (pre, st) =>
       // path-boundary match: "/bucket/tableA" must NOT capture the
-      // sibling root "/bucket/tableA_archive"
-      val hit = root == pre || root.startsWith(pre.stripSuffix("/") + "/")
+      // sibling root "/bucket/tableA_archive". Normalize trailing
+      // slashes on BOTH sides — a prefix installed as "s3://b/tbl/"
+      // must still match its own exact root "s3://b/tbl", or that root
+      // silently degrades to the rename-based machinery the store
+      // exists to replace.
+      val preN = pre.stripSuffix("/")
+      val hit = root.stripSuffix("/") == preN || root.startsWith(preN + "/")
       if (hit && best.forall(_._1.length < pre.length)) best = Some((pre, st))
     }
     best.map(_._2)
@@ -167,6 +172,14 @@ object ManifestTable {
       val ver = f"v$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
       require(fs.rename(new HPath(srcDir), new HPath(s"$root/$ver")),
         s"ManifestTable: could not adopt $srcDir into $root")
+      // completion marker BEFORE the swap: Spark writes _SUCCESS only at
+      // the scratch JOB root, so an adopted per-partition directory has
+      // none — without it, gc's stolen-lock second line of defense (keep
+      // only a _SUCCESS-completed predecessor) is inert on exactly the
+      // PartitionedManifest path it was motivated by. Readers ignore
+      // underscore-prefixed files, so the marker never changes results.
+      val succ = new HPath(s"$root/$ver/_SUCCESS")
+      if (!fs.exists(succ)) fs.create(succ, true).close()
       swapPointer(fs, root, ver)
       gc(fs, root, prev.toSet ++ protect)
       s"$root/$ver"

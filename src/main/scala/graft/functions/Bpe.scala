@@ -172,23 +172,44 @@ case class BpeSegment(child: Expression,
 }
 
 object Bpe {
-  // one broadcast per (session, merge-table instance): repeated calls
-  // with the SAME merges Seq (the streaming encode twin builds a plan
+  // one broadcast per (session, merge-table CONTENT): repeated calls
+  // with the same merges Seq (the streaming encode twin builds a plan
   // per micro-batch) must not ship a fresh 32k-entry broadcast every
-  // trigger and leave the old ones to the ContextCleaner
-  private val bcastCache = scala.collection.mutable.Map.empty[
-    (Int, Int), org.apache.spark.broadcast.Broadcast[MergeTable]]
+  // trigger and leave the old ones to the ContextCleaner. Keys are the
+  // live objects themselves — a WeakHashMap of session → (WeakHashMap
+  // of merges → WeakReference(broadcast)) — never identity hashes,
+  // which can collide or be reused after GC and silently serve the
+  // WRONG table. The inner map compares merge tables STRUCTURALLY
+  // (Seq.equals), so a hit is correct by construction; the double weak
+  // layer (weak keys, weak broadcast values) means a stopped session
+  // or a dropped merge table releases its broadcasts to the
+  // ContextCleaner instead of pinning them for the JVM lifetime.
+  private val bcastCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.WeakHashMap[Seq[(String, String)],
+      java.lang.ref.WeakReference[
+        org.apache.spark.broadcast.Broadcast[MergeTable]]]]()
 
   /** Column API: segment a word column under a learned merge table —
     * constant plan depth in the merge count; the table rides as ONE
     * executor-shared broadcast (memoized per session + merge-table
-    * instance). */
+    * content). */
   def segments(word: Column, merges: Seq[(String, String)]): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val bcast = bcastCache.synchronized {
-      bcastCache.getOrElseUpdate(
-        (System.identityHashCode(spark), System.identityHashCode(merges)),
-        spark.sparkContext.broadcast(new MergeTable(merges)))
+      var inner = bcastCache.get(spark)
+      if (inner == null) {
+        inner = new java.util.WeakHashMap()
+        bcastCache.put(spark, inner)
+      }
+      val ref = inner.get(merges)
+      val hit = if (ref == null) null else ref.get()
+      if (hit != null) hit
+      else {
+        val fresh = spark.sparkContext.broadcast(new MergeTable(merges))
+        inner.put(merges, new java.lang.ref.WeakReference(fresh))
+        fresh
+      }
     }
     ColumnBridge.column(BpeSegment(ColumnBridge.expression(word), bcast))
   }

@@ -87,7 +87,7 @@ object Retrieval {
   }
 
   private val bm25StagedKeys =
-    scala.collection.mutable.Set.empty[(Int, String)]
+    scala.collection.mutable.Set.empty[(String, String)]
 
   /** Build the inverted index ONCE per (session, sfDir): postings
     * (tok, id, dl, tf) bucketed by token, per-term document frequencies,
@@ -97,7 +97,7 @@ object Retrieval {
       idCol: String, textCol: String, nBuckets: Int = 16): Unit =
     bm25StagedKeys.synchronized {
       val (postT, dfT, statsT) = bm25StagedTables(dir)
-      val key = (System.identityHashCode(spark), postT)
+      val key = (graft.SessionKey.of(spark), postT)
       if (!bm25StagedKeys(key)) {
         for (t <- Seq(postT, dfT, statsT)) {
           spark.sql(s"DROP TABLE IF EXISTS `$t`")

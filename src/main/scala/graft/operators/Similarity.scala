@@ -221,16 +221,16 @@ object Similarity {
   // are freed by the ContextCleaner once unreferenced).
   private val IvfCacheCap = 8
   private val ivfCache =
-    new java.util.LinkedHashMap[(Int, String, Int, Long), IvfIndex](
+    new java.util.LinkedHashMap[(String, String, Int, Long), IvfIndex](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int, Long), IvfIndex]): Boolean =
+          e: java.util.Map.Entry[(String, String, Int, Long), IvfIndex]): Boolean =
         size() > IvfCacheCap
     }
 
   private def ivfKey(embs: DataFrame, indexKey: String, nlist: Int,
-      seed: Long): (Int, String, Int, Long) =
-    (System.identityHashCode(embs.sparkSession), indexKey, nlist, seed)
+      seed: Long): (String, String, Int, Long) =
+    (graft.SessionKey.of(embs.sparkSession), indexKey, nlist, seed)
 
   /** Train + assign once per session per `indexKey`; subsequent calls are
     * cache hits (the PgCatalog.ensureRegistered pattern). Training runs
@@ -355,7 +355,7 @@ object Similarity {
     s"ivf_lists_$tag"
   }
 
-  private val ivfStagedKeys = scala.collection.mutable.Set.empty[(Int, String)]
+  private val ivfStagedKeys = scala.collection.mutable.Set.empty[(String, String)]
 
   /** Write the seeded-IVF assignment ONCE per (session, sfDir) as a
     * parquet table PARTITIONED BY `list_id` (the BucketedTables ingest
@@ -365,7 +365,7 @@ object Similarity {
   def ensureIvfStaged(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, vecCol: String, nlist: Int): Unit =
     ivfStagedKeys.synchronized {
-      val key = (System.identityHashCode(spark), dir)
+      val key = (graft.SessionKey.of(spark), dir)
       if (!ivfStagedKeys(key)) {
         val table = ivfStagedTable(dir)
         spark.sql(s"DROP TABLE IF EXISTS `$table`")
@@ -440,13 +440,13 @@ object Similarity {
   // ingest-time staging for PQ codebooks — one derivation job per
   // (session, key, m, ksub), the ivfCache pattern: a PQ query pays one
   // scan of the CODES, it does not re-derive the quantizer. Bounded LRU
-  // for the same reason as ivfCache (identityHashCode key, no session pin).
+  // for the same reason as ivfCache (SessionKey key, no session pin).
   private val PqCacheCap = 8
   private val pqCache =
-    new java.util.LinkedHashMap[(Int, String, Int, Int), Array[Array[Array[Int]]]](
+    new java.util.LinkedHashMap[(String, String, Int, Int), Array[Array[Array[Int]]]](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int, Int), Array[Array[Array[Int]]]])
+          e: java.util.Map.Entry[(String, String, Int, Int), Array[Array[Array[Int]]]])
           : Boolean = size() > PqCacheCap
     }
 
@@ -472,7 +472,7 @@ object Similarity {
       : Array[Array[Array[Int]]] = indexKey match {
     case None => pqDerive(embs, idCol, vecCol, m, ksub)
     case Some(key) =>
-      val ck = (System.identityHashCode(embs.sparkSession), key, m, ksub)
+      val ck = (graft.SessionKey.of(embs.sparkSession), key, m, ksub)
       val cached = pqCache.synchronized(Option(pqCache.get(ck)))
       cached.getOrElse {
         val built = pqDerive(embs, idCol, vecCol, m, ksub)
@@ -631,7 +631,7 @@ object Similarity {
     (s"pq_codes_$tag", s"pq_codebooks_$tag")
   }
 
-  private val pqStagedKeys = scala.collection.mutable.Set.empty[(Int, String)]
+  private val pqStagedKeys = scala.collection.mutable.Set.empty[(String, String)]
 
   /** Write the PQ index ONCE per (session, sfDir, m, ksub): the
     * codebooks as a tiny (j, code, subvec) table and the corpus codes as
@@ -643,7 +643,7 @@ object Similarity {
       idCol: String, vecCol: String, m: Int, ksub: Int): Unit =
     pqStagedKeys.synchronized {
       val (codesTable, booksTable) = pqStagedTables(dir, m, ksub)
-      val key = (System.identityHashCode(spark), codesTable)
+      val key = (graft.SessionKey.of(spark), codesTable)
       if (!pqStagedKeys(key)) {
         val codebooks = pqDerive(corpus, idCol, vecCol, m, ksub)
         val sub = codebooks.head.head.length
@@ -700,7 +700,7 @@ object Similarity {
   }
 
   private val ivfPqStagedKeys =
-    scala.collection.mutable.Set.empty[(Int, String)]
+    scala.collection.mutable.Set.empty[(String, String)]
 
   /** Stage the FULL production ANN index ONCE per (session, sfDir,
     * nlist, m, ksub): corpus codes written `partitionBy(list_id)` —
@@ -714,7 +714,7 @@ object Similarity {
       ksub: Int): Unit =
     ivfPqStagedKeys.synchronized {
       val (codesTable, booksTable) = ivfPqStagedTables(dir, nlist, m, ksub)
-      val key = (System.identityHashCode(spark), codesTable)
+      val key = (graft.SessionKey.of(spark), codesTable)
       if (!ivfPqStagedKeys(key)) {
         for (t <- Seq(codesTable, booksTable)) {
           spark.sql(s"DROP TABLE IF EXISTS `$t`")

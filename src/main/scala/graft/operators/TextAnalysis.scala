@@ -332,7 +332,7 @@ object TextAnalysis {
   // immutable within a session); CROSS-session staleness is what the
   // fingerprint catches.
   private val lmStagedKeys =
-    scala.collection.mutable.Map.empty[(Int, String), String]
+    scala.collection.mutable.Map.empty[(String, String), String]
 
   /** Stage the corpus's bigram LM as a FROZEN quality-filter artifact —
     * the CCNet production shape: the model (observed (w1,w2) pair
@@ -351,7 +351,7 @@ object TextAnalysis {
     lmStagedKeys.synchronized {
       val model = lmModelStagedTable(dir)
       val stats = lmStatsStagedTable(dir)
-      val key = (System.identityHashCode(spark), model)
+      val key = (graft.SessionKey.of(spark), model)
       // memo hit = zero Spark jobs (the fingerprint is only computed
       // when this session has not yet validated the artifact)
       if (!lmStagedKeys.contains(key)) {
@@ -392,7 +392,7 @@ object TextAnalysis {
           Seq(model, stats).foreach(t => writeTag(spark, t, tag))
           // a rebuilt artifact invalidates this session's cached scalars
           lmStatsCache.synchronized {
-            lmStatsCache.remove((System.identityHashCode(spark), stats))
+            lmStatsCache.remove((graft.SessionKey.of(spark), stats))
           }
         }
         lmStagedKeys(key) = tag
@@ -413,7 +413,7 @@ object TextAnalysis {
   // streaming twin calls this per trigger — a driver head() job each
   // time is pure overhead on constants)
   private val lmStatsCache =
-    scala.collection.mutable.Map.empty[(Int, String), (Long, Long, Long)]
+    scala.collection.mutable.Map.empty[(String, String), (Long, Long, Long)]
 
   def bigramLmBucketsFromArtifact(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, dir: String): DataFrame = {
@@ -437,7 +437,7 @@ object TextAnalysis {
       artifactLoc(spark, modelTable).toString)
     val (nv, cutH, cutM) = lmStatsCache.synchronized {
       lmStatsCache.getOrElseUpdate(
-        (System.identityHashCode(spark), statsTable), {
+        (graft.SessionKey.of(spark), statsTable), {
           val st = spark.read.parquet(
             artifactLoc(spark, statsTable).toString).head()
           (st.getAs[Long]("nv"), st.getAs[Long]("cut_head"),
@@ -863,7 +863,7 @@ object TextAnalysis {
   }
 
   private val bpeMergesStagedKeys =
-    scala.collection.mutable.Set.empty[(Int, String)]
+    scala.collection.mutable.Set.empty[(String, String)]
 
   /** Persist a learned merge table as a tiny (rank, a, b) parquet table
     * — the TOKENIZER itself as an ingest artifact (vocabulary-scale; the
@@ -874,7 +874,7 @@ object TextAnalysis {
       merges: Seq[(String, String)]): Unit =
     bpeMergesStagedKeys.synchronized {
       val table = bpeMergesStagedTable(dir, merges)
-      val key = (System.identityHashCode(spark), table)
+      val key = (graft.SessionKey.of(spark), table)
       if (!bpeMergesStagedKeys(key)) {
         spark.sql(s"DROP TABLE IF EXISTS `$table`")
         val loc = new org.apache.hadoop.fs.Path(
@@ -900,7 +900,7 @@ object TextAnalysis {
       .map(r => (r.getString(0), r.getString(1))).toSeq
 
   private val bpeTargetCache =
-    scala.collection.mutable.Map.empty[(Int, String), Seq[(String, String)]]
+    scala.collection.mutable.Map.empty[(String, String), Seq[(String, String)]]
 
   /** Content tag for the t25 artifacts: training parameters + a cheap
     * corpus fingerprint (slice row count), so a fresh session can tell
@@ -912,6 +912,21 @@ object TextAnalysis {
       table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)
+
+  /** Local-filesystem glob over a staged artifact's parquet files, for
+    * DuckDB oracle consumption. Derived from the SAME
+    * `spark.sql.warehouse.dir` the staging helpers write under — a
+    * CWD-relative "spark-warehouse" guess diverges the moment the
+    * warehouse is configured anywhere else. Falls back to the Spark
+    * default only when no session exists yet. */
+  def stagedArtifactGlob(table: String): String = {
+    val wh = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get("spark.sql.warehouse.dir"))
+      .getOrElse(new java.io.File("spark-warehouse").getAbsolutePath)
+    val local = new org.apache.hadoop.fs.Path(wh).toUri.getPath
+    s"$local/$table/*.parquet"
+  }
 
   /** The _GRAFT_TAG of a complete (_SUCCESS) staged artifact dir, if
     * present. */
@@ -961,7 +976,7 @@ object TextAnalysis {
       train: DataFrame, textCol: String, target: Int): Seq[(String, String)] =
     bpeTargetCache.synchronized {
       bpeTargetCache.getOrElseUpdate(
-        (System.identityHashCode(spark), s"$dir#$target"), {
+        (graft.SessionKey.of(spark), s"$dir#$target"), {
           val table = bpeTargetMergesTable(dir)
           val sliceRows = train.count()
           val tag = bpeArtifactTag(target, sliceRows)
@@ -1045,7 +1060,7 @@ object TextAnalysis {
   // tag (a set retaining every tag ever staged would skip the check and
   // serve B's artifact under A's key)
   private val wordSegsStagedKeys =
-    scala.collection.mutable.Map.empty[(Int, String), String]
+    scala.collection.mutable.Map.empty[(String, String), String]
 
   /** Stage the FULL corpus's distinct-word segmentation under a merge
     * table as a (w, segs) parquet table — the oracle-decomposition
@@ -1068,7 +1083,7 @@ object TextAnalysis {
       // the memo records the CURRENT tag per table: a session that
       // retrains (even back to a previously-seen merge table) must
       // re-check the on-disk tag, not trust any tag it ever staged
-      val key = (System.identityHashCode(spark), table)
+      val key = (graft.SessionKey.of(spark), table)
       if (!wordSegsStagedKeys.get(key).contains(tag)) {
         if (!stagedDirValid(spark, table, tag)) {
           spark.sql(s"DROP TABLE IF EXISTS `$table`")
@@ -1369,7 +1384,7 @@ object TextAnalysis {
   }
 
   private val bpeStagedKeys =
-    scala.collection.mutable.Set.empty[(Int, String)]
+    scala.collection.mutable.Set.empty[(String, String)]
 
   /** Write [[bpeEncodeIds]]'s result ONCE per (session, sfDir, merges)
     * as a parquet table, range-partitioned by doc id so shard-ordered
@@ -1382,7 +1397,7 @@ object TextAnalysis {
       merges: Seq[(String, String)]): Unit =
     bpeStagedKeys.synchronized {
       val table = bpeStagedTable(dir, merges)
-      val key = (System.identityHashCode(spark), table)
+      val key = (graft.SessionKey.of(spark), table)
       if (!bpeStagedKeys(key)) {
         spark.sql(s"DROP TABLE IF EXISTS `$table`")
         val loc = new org.apache.hadoop.fs.Path(

@@ -183,11 +183,11 @@ object PipelineQueries {
   /** Train-once memo for the t18/t19 merge table (ingest-time posture;
     * the TrieMap race just trains twice, last-wins — identical result). */
   private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[(String, String)]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
 
   private def learnedBpeMerges(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, String)] =
-    bpeMergeCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    bpeMergeCache.getOrElseUpdate((graft.SessionKey.of(s), dir),
       TextAnalysis.bpeLearnMerges(
         Tables.load(s, dir, "documents").select(col("text")), "text",
         iters = 12))
@@ -1359,8 +1359,8 @@ object PipelineQueries {
       // the table name is DIR-INDEPENDENT (the sfDir lives in the
       // staging tag), so this static oracle string reads the artifact
       // the query just staged at WHATEVER fixture dir verify runs on
-      val segsGlob = new java.io.File("spark-warehouse").getAbsolutePath +
-        "/" + TextAnalysis.wordSegsStagedTable("") + "/*.parquet"
+      val segsGlob =
+        TextAnalysis.stagedArtifactGlob(TextAnalysis.wordSegsStagedTable(""))
       s"""
       WITH wsegs AS (
         SELECT w, segs FROM read_parquet('$segsGlob')),"""} + """

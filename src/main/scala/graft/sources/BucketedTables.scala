@@ -27,7 +27,7 @@ object BucketedTables {
 
   val Buckets = 8
 
-  private val staged = scala.collection.mutable.Set.empty[(Int, String)]
+  private val staged = scala.collection.mutable.Set.empty[(String, String)]
 
   private def tag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -51,7 +51,7 @@ object BucketedTables {
   }
 
   def ensure(spark: SparkSession, dir: String): Unit = staged.synchronized {
-    val key = (System.identityHashCode(spark), dir)
+    val key = (graft.SessionKey.of(spark), dir)
     if (!staged(key)) {
       dropStale(spark, ordersTable(dir))
       dropStale(spark, lineitemTable(dir))

@@ -14,6 +14,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The classic session's UUID (`sessionUUID` is private[sql]) — the
+    * never-recurring per-session token graft.SessionKey keys memo
+    * caches on. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** DataFrame over an already-parsed logical plan (Dataset.ofRows is
     * private[sql]) — lets a caller that parsed a statement to CLASSIFY it
     * execute the same plan without re-parsing/re-analyzing. */

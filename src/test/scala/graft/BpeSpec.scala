@@ -98,6 +98,29 @@ class BpeSpec extends AnyFunSuite {
       "plan must not grow with the merge table")
   }
 
+  test("broadcast memo hits on merge-table CONTENT, never on identity " +
+      "hashes: equal tables share one broadcast, different tables never do") {
+    def tableOf(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.expression(c) match {
+        case graft.functions.BpeSegment(_, b) => b
+        case other => fail(s"unexpected expression $other")
+      }
+    val m1 = Seq(("a", "b"), ("ab", "c"))
+    val m1copy = Seq(("a", "b"), ("ab", "c")) // distinct instance, equal content
+    val m2 = Seq(("a", "b"), ("b", "c"))
+    val b1 = tableOf(Bpe.segments(col("w"), m1))
+    val b1again = tableOf(Bpe.segments(col("w"), m1))
+    val b1struct = tableOf(Bpe.segments(col("w"), m1copy))
+    val b2 = tableOf(Bpe.segments(col("w"), m2))
+    assert(b1.id == b1again.id, "same instance must hit the memo")
+    assert(b1.id == b1struct.id,
+      "structurally-equal table must hit the memo (content key)")
+    assert(b1.id != b2.id, "different tables must never share a broadcast")
+    // and a hit always serves the RIGHT table
+    assert(b1struct.value.merges == m1)
+    assert(b2.value.merges == m2)
+  }
+
   test("a 32k-merge tokenizer applies in one codegen'd pass (no " +
       "fallback) and round-trips every word") {
     import spark.implicits._

@@ -168,4 +168,39 @@ class PointerStoreSpec extends AnyFunSuite {
       assert(prev == Seq(3L), prev)
     }
   }
+
+  test("a prefix installed WITH a trailing slash still routes its own " +
+      "exact root through the store (no silent rename fallback)") {
+    val base = Files.createTempDirectory("graft-ptrslash").toString
+    // record which paths the protocol actually routed through the store
+    // (the emulation is filesystem-backed, so the FILES look the same
+    // either way — only the call trace distinguishes the mediums)
+    val touched = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val inner = new EmulatedConditionalPutStore
+    val store: graft.engine.PointerStore = new graft.engine.PointerStore {
+      def get(path: String) = inner.get(path)
+      def putIfAbsent(path: String, content: String) = {
+        touched.add(path); inner.putIfAbsent(path, content)
+      }
+      def putIfMatch(path: String, content: String, tag: String) = {
+        touched.add(path); inner.putIfMatch(path, content, tag)
+      }
+      def delete(path: String): Unit = inner.delete(path)
+      def deleteIfMatch(path: String, tag: String) =
+        inner.deleteIfMatch(path, tag)
+    }
+    // trailing slash on the installed prefix; publish at the EXACT root
+    ManifestTable.installPointerStore(base + "/", store)
+    try {
+      import spark.implicits._
+      ManifestTable.publish(spark, base, Seq((1L, 1L)).toDF("v", "i"))
+      assert(touched.contains(s"$base/MANIFEST"),
+        s"exact root under a slash-suffixed prefix bypassed the store: $touched")
+      // and the sibling-root boundary still holds
+      val sibling = base + "_archive"
+      ManifestTable.publish(spark, sibling, Seq((2L, 2L)).toDF("v", "i"))
+      assert(!touched.contains(s"$sibling/MANIFEST"),
+        "sibling root must NOT be captured by the prefix")
+    } finally ManifestTable.removePointerStore(base + "/")
+  }
 }
