@@ -389,6 +389,47 @@ object PartitionedManifest {
       partCol: String, updates: Map[String, DataFrame],
       keepSnapshots: Int): String = {
     updates.keys.foreach(checkPartValue)
+    val fs = fsOf(spark, root)
+    val scratch =
+      if (updates.isEmpty) None
+      else Some(writeScratchParts(spark, root, partCol, updates))
+    try adoptPartsLocked(spark, root, partCol, scratch,
+      updates.keys.toSeq.sorted, v => updates(v), keepSnapshots)
+    finally scratch.foreach(s => fs.delete(new HPath(s), true))
+  }
+
+  /** The ONE hive-partitioned REBALANCE write of every touched
+    * partition's rows, into a fresh scratch dir under `root`. Factored
+    * out of the locked commit path so [[compact]] can run this — the
+    * expensive Spark job — entirely OUTSIDE the root publish lock.
+    * Rebalance, not repartition(partCol): one task per VALUE would push
+    * a skewed partition's whole delta through a single writer (see
+    * [[seed]]). Returns the scratch path (caller deletes). */
+  private def writeScratchParts(spark: SparkSession, root: String,
+      partCol: String, updates: Map[String, DataFrame]): String = {
+    val scratch =
+      s"$root/.commit-${java.util.UUID.randomUUID.toString.take(8)}"
+    val parts = updates.keys.toSeq.sorted
+    val schemaCols = updates(parts.head).drop(partCol).columns.toSeq
+    updates.map { case (v, df) =>
+      (if (df.columns.contains(partCol)) df.drop(partCol) else df)
+        .select(schemaCols.map(col): _*)
+        .withColumn(partCol, lit(v))
+    }.reduce(_.unionByName(_))
+      .hint("rebalance", col(partCol))
+      .write.mode("error").partitionBy(partCol).parquet(scratch)
+    scratch
+  }
+
+  /** The METADATA half of a snapshot commit, always under the root
+    * publish lock: adopt each touched partition's pre-written scratch
+    * subdir as that partition's next version (publishing `emptyUpdate`
+    * where the write produced no subdir — an all-empty partition),
+    * then write + swap the snapshot naming every partition's version
+    * and trim past the keep-N horizon. */
+  private def adoptPartsLocked(spark: SparkSession, root: String,
+      partCol: String, scratch: Option[String], parts: Seq[String],
+      emptyUpdate: String => DataFrame, keepSnapshots: Int): String = {
     val base: Map[String, String] = currentSnapshot(spark, root) match {
       case Some(s) => snapshotMapping(spark, root, s).toMap
       case None => // adopt the standing per-partition pointers as gen-0
@@ -412,44 +453,24 @@ object PartitionedManifest {
     val protectByPart: Map[String, Set[String]] = keptOld
       .flatMap(sn => snapshotMapping(spark, root, sn))
       .groupBy(_._1).map { case (v, dirs) => v -> dirs.map(_._2).toSet }
-    val written: Map[String, String] =
-      if (updates.isEmpty) Map.empty
-      else {
-        // ONE hive-partitioned write of every touched partition's rows
-        val scratch =
-          s"$root/.commit-${java.util.UUID.randomUUID.toString.take(8)}"
-        val parts = updates.keys.toSeq.sorted
-        val schemaCols = updates(parts.head).drop(partCol).columns.toSeq
-        updates.map { case (v, df) =>
-          (if (df.columns.contains(partCol)) df.drop(partCol) else df)
-            .select(schemaCols.map(col): _*)
-            .withColumn(partCol, lit(v))
-        }.reduce(_.unionByName(_))
-          // rebalance, not repartition(partCol): one task per VALUE
-          // would push a skewed partition's whole delta through a
-          // single writer (see seed())
-          .hint("rebalance", col(partCol))
-          .write.mode("error").partitionBy(partCol).parquet(scratch)
-        val adopted = parts.map { v =>
-          val src = new HPath(s"$scratch/$partCol=$v")
-          val protect = protectByPart.getOrElse(v, Set.empty)
-          val dir =
-            if (fs.exists(src))
-              ManifestTable.adoptVersion(s"$root/$partCol=$v",
-                src.toString, protect)
-            else {
-              // an all-empty partition writes no scratch directory; its
-              // (legitimate) empty version still needs publishing
-              val df = updates(v)
-              ManifestTable.publish(spark, s"$root/$partCol=$v",
-                if (df.columns.contains(partCol)) df.drop(partCol) else df,
-                protect)
-            }
-          v -> new HPath(dir).getName
-        }.toMap
-        fs.delete(new HPath(scratch), true)
-        adopted
+    val written: Map[String, String] = parts.map { v =>
+      val src = scratch.map(s => new HPath(s"$s/$partCol=$v"))
+        .filter(fs.exists)
+      val protect = protectByPart.getOrElse(v, Set.empty)
+      val dir = src match {
+        case Some(p) =>
+          ManifestTable.adoptVersion(s"$root/$partCol=$v", p.toString,
+            protect)
+        case None =>
+          // an all-empty partition writes no scratch directory; its
+          // (legitimate) empty version still needs publishing
+          val df = emptyUpdate(v)
+          ManifestTable.publish(spark, s"$root/$partCol=$v",
+            if (df.columns.contains(partCol)) df.drop(partCol) else df,
+            protect)
       }
+      v -> new HPath(dir).getName
+    }.toMap
     val mapping = (base ++ written).toSeq.sortBy(_._1)
     fs.mkdirs(new HPath(root, SnapDir))
     val gen = snapshots(spark, root).lastOption
@@ -526,45 +547,103 @@ object PartitionedManifest {
     * Scale shape: candidate selection is a driver-side directory
     * listing (partition-count-bounded metadata, no data read); the
     * rewrite is one Spark job over exactly the fragmented partitions'
-    * bytes. The whole pass — selection, dir resolution, rewrite,
-    * publish — holds the root publish lock, so a concurrent
-    * commitSnapshot can never land between compaction's read and its
-    * write (the lost-update Iceberg handles by revalidate-and-retry is
-    * excluded by serialization here; per-partition publishPartition
-    * writers use their own partition locks and remain the documented
-    * single-writer-per-partition contract). Pass the table's own
-    * `keepSnapshots` horizon: a real compaction IS a commit and trims
-    * like any other.
+    * bytes. Concurrency is OPTIMISTIC (the Iceberg
+    * `rewrite_data_files` contract): the read-set (partition → live
+    * version dir) is snapshotted under the root publish lock, the
+    * rewrite job runs entirely OUTSIDE it — so at 100 TB a
+    * minutes-long layout rewrite never stalls a single ingest commit;
+    * commit latency during compaction is bounded by lock acquisition,
+    * not rewrite duration — and the lock is re-acquired only to
+    * VALIDATE that each rewritten partition's live version is
+    * unchanged. Clean partitions commit in one atomic snapshot;
+    * partitions a concurrent commit touched mid-rewrite are NOT
+    * committed (the fresh commit's rows win — nothing is ever lost)
+    * and are retried with a fresh read-set, up to `maxAttempts`
+    * rounds; a partition that keeps invalidating is left for the next
+    * scheduled run (compaction is convergent maintenance, skipping a
+    * hot partition is always safe). A read-set dir GC'd mid-rewrite
+    * (the partition advanced twice concurrently) fails the rewrite
+    * job loudly; the pass re-selects and retries within the same
+    * attempt budget. Pass the table's own `keepSnapshots` horizon: a
+    * real compaction IS a commit and trims like any other.
     *
-    * @return (snapshot id — the NEW commit, or the unchanged current
-    *         one when nothing qualified; compacted partition values)
+    * @param onBeforeValidate test seam, called after each rewrite job
+    *        completes and BEFORE the lock is re-acquired for
+    *        validation — the race window a concurrent committer can
+    *        land in (EngineSpec drives a deterministic mid-compaction
+    *        commit through it)
+    * @return (snapshot id — the LAST commit this pass made, or the
+    *         unchanged current one when nothing qualified; compacted
+    *         partition values)
     */
   def compact(spark: SparkSession, root: String, partCol: String,
       maxFiles: Int = 1, keepSnapshots: Int = 2,
-      smallFileBytes: Long = 8L << 20): (String, Seq[String]) = {
+      smallFileBytes: Long = 8L << 20, maxAttempts: Int = 3,
+      onBeforeValidate: () => Unit = () => ()): (String, Seq[String]) = {
     require(keepSnapshots >= 2,
       "keepSnapshots must be >= 2 (current + previous)")
-    // the WHOLE pass — candidate selection, version-dir resolution, the
-    // rewrite job, the snapshot publish — runs under the root publish
-    // lock: resolving dirs outside it would rewrite a concurrent
-    // committer's partition from a stale read-set and silently lose
-    // that commit's rows despite the committers being serialized
-    ManifestTable.withPublishLock(root) {
-      val fragged = partitionValues(spark, root, partCol)
+    val fs = fsOf(spark, root)
+    // fragmented partitions with their live version dirs, resolved
+    // under the lock so the read-set is a consistent point-in-time view
+    def selectReadSet(among: Option[Set[String]]): Map[String, String] =
+      partitionValues(spark, root, partCol)
+        .filter(v => among.forall(_.contains(v)))
         .filter(v => smallDataFileCount(spark, s"$root/$partCol=$v",
           smallFileBytes) > maxFiles)
-      if (fragged.isEmpty)
-        (currentSnapshot(spark, root).getOrElse(""), Seq.empty)
-      else {
-        val updates = fragged.map { v =>
-          val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
+        .map { v =>
+          v -> ManifestTable.currentDataDir(s"$root/$partCol=$v")
             .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
-          v -> spark.read.parquet(dir)
         }.toMap
-        (commitSnapshotLocked(spark, root, partCol, updates,
-          keepSnapshots), fragged)
+    val done = scala.collection.mutable.ListBuffer.empty[String]
+    var lastSnap: Option[String] = None
+    var candidates = ManifestTable.withPublishLock(root)(selectReadSet(None))
+    var attempt = 0
+    while (candidates.nonEmpty && attempt < maxAttempts) {
+      attempt += 1
+      // EXPENSIVE phase, NO lock held: rewrite the read-set's bytes into
+      // scratch. The read-set dirs are immutable once written; if a
+      // concurrent committer advanced a partition far enough for GC to
+      // collect its read-set dir, this job fails — re-select and retry.
+      val scratch =
+        try {
+          val updates = candidates.map { case (v, dir) =>
+            v -> spark.read.parquet(dir)
+          }
+          Some(writeScratchParts(spark, root, partCol, updates))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      onBeforeValidate()
+      scratch match {
+        case None =>
+          candidates = ManifestTable.withPublishLock(root)(
+            selectReadSet(Some(candidates.keySet)))
+        case Some(s) =>
+          candidates = ManifestTable.withPublishLock(root) {
+            // CHEAP phase, lock held: a candidate is clean iff its live
+            // version is still exactly the read-set dir (every commit
+            // path advances the partition pointer, so pointer identity
+            // IS read-set validity)
+            val (clean, dirty) = candidates.partition { case (v, dir) =>
+              ManifestTable.currentDataDir(s"$root/$partCol=$v")
+                .contains(dir)
+            }
+            if (clean.nonEmpty) {
+              // emptyUpdate reads the (validated, still-live) read-set
+              // dir — only reached for a partition whose rewrite
+              // produced no scratch subdir, i.e. zero rows
+              lastSnap = Some(adoptPartsLocked(spark, root, partCol,
+                Some(s), clean.keys.toSeq.sorted,
+                v => spark.read.parquet(clean(v)), keepSnapshots))
+              done ++= clean.keys
+            }
+            // retry only the invalidated partitions, against their NEW
+            // live versions — and only if still fragmented
+            selectReadSet(Some(dirty.keySet))
+          }
+          fs.delete(new HPath(s), true)
       }
     }
+    (lastSnap.orElse(currentSnapshot(spark, root)).getOrElse(""),
+      done.sorted.toSeq)
   }
 
   /** Read a COMMITTED snapshot — every partition at one commit, the

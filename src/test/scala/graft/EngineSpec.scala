@@ -1074,6 +1074,58 @@ class EngineSpec extends AnyFunSuite {
       spark, s"$root/bk=missing") == 0)
   }
 
+  test("a commitSnapshot landing DURING compaction's rewrite succeeds " +
+      "immediately (no lock held) and neither side loses rows: the " +
+      "invalidated partition is retried against the fresh commit") {
+    val root = Files.createTempDirectory("graft-compact-race").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val rows = (0 until 3).flatMap(b => (1 to 25).map(i =>
+      ((b * 100 + i).toLong, b)))
+    PartitionedManifest.seed(spark, root, rows.toDF("i", "bk"), "bk")
+    // fragment all three partitions
+    (0 until 3).foreach { b =>
+      PartitionedManifest.publishPartition(spark, root, "bk", b.toString,
+        (1 to 25).map(i => (b * 100 + i).toLong).toDF("i").repartition(4))
+    }
+    val freshRows = (9001L to 9025L).toSeq
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the race window: after compaction's rewrite job, before it
+    // re-acquires the lock to validate. Under the old
+    // whole-pass-under-lock design this commit would hit
+    // ConcurrentPublishException (the root lock is not reentrant);
+    // succeeding HERE is the proof that commit latency during a
+    // compaction rewrite is lock-acquisition-bounded, not
+    // rewrite-bounded.
+    val (snap, touched) = PartitionedManifest.compact(spark, root, "bk",
+      maxFiles = 1,
+      onBeforeValidate = () => if (fired.compareAndSet(false, true)) {
+        // a snapshot committer (root lock) AND a per-partition
+        // publisher (partition lock) both land in the window; the
+        // publisher leaves partition 1 fragmented again so the retry
+        // path has real work to do
+        PartitionedManifest.commitSnapshot(spark, root, "bk",
+          Map("1" -> freshRows.toDF("i")))
+        PartitionedManifest.publishPartition(spark, root, "bk", "1",
+          freshRows.toDF("i").repartition(4))
+      })
+    assert(fired.get(), "race hook never fired")
+    // every partition ends compacted: 0 and 2 in round one, 1 (dirty,
+    // still fragmented after the concurrent commit) via the retry
+    assert(touched == Seq("0", "1", "2"), touched)
+    (0 until 3).foreach(b => assert(PartitionedManifest.dataFileCount(
+      spark, s"$root/bk=$b") == 1, s"bk=$b files after compaction"))
+    // nothing lost: partition 1 holds the CONCURRENT commit's rows
+    // (compaction must never resurrect its stale read-set), partitions
+    // 0 and 2 their original rows
+    val got = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+      .select($"i", $"bk").as[(Long, Int)].collect().toSeq
+    val expect = rows.filter(_._2 != 1) ++ freshRows.map((_, 1))
+    assert(got.sorted == expect.sorted,
+      s"${got.size} rows vs ${expect.size}")
+    assert(snap == PartitionedManifest.currentSnapshot(spark, root).get)
+  }
+
   test("compaction packet re-run is a tracked no-op: actions dedupe " +
       "against the tracker and the snapshot history does not churn") {
     import graft.engine.{PacketRunner, PartitionedManifest, RunnerConf}
