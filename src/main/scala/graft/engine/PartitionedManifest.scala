@@ -153,19 +153,17 @@ object PartitionedManifest {
       .sorted.toSeq
   }
 
-  /** Cross-session reader: resolve every partition's pointer ONCE, scan
-    * those version directories, re-attach the partition column as a
-    * typed literal per branch. Per-partition atomicity: each branch is
-    * a complete old or new version, never a mixture.
-    *
-    * Planning cost is one union branch per partition (constant-folds
-    * under a partition filter, but a 10k-partition table plans 10k scan
-    * nodes) — this is the BOOTSTRAP/debug path. For serving, a fresh
-    * engine should call [[syncCatalogTable]] (or
-    * [[syncCatalogTableSnapshot]] for a pinned commit): both CREATE the
-    * catalog table when missing, and the table plans as ONE partitioned
-    * relation with real PartitionFilters pruning at any partition
-    * count. */
+  /** Cross-session reader: resolve every partition's pointer ONCE, then
+    * serve that resolved mapping through a content-PINNED catalog table
+    * (see [[serveThroughPin]]) — ONE partitioned relation node with
+    * real PartitionFilters pruning at any partition count, where the
+    * historical N-branch union planned a scan node per partition (pure
+    * planning cost linear in partition count on every query).
+    * Per-partition atomicity is unchanged: each resolved dir is a
+    * complete old or new version, never a mixture, and the pin is
+    * immutable — a DataFrame captured before a later publish keeps
+    * reading ITS resolved versions (the same keep-N reader horizon as
+    * the version dirs themselves). */
   def read(spark: SparkSession, root: String, partCol: String,
       partType: String): DataFrame = {
     val parts = partitionValues(spark, root, partCol)
@@ -175,14 +173,67 @@ object PartitionedManifest {
         .getOrElse(sys.error(
           s"PartitionedManifest: no MANIFEST under $root/$partCol=$v"))
     }
-    // resolve the schema from ONE partition and pin it on the rest —
-    // without this every branch pays its own footer-inference job, a
-    // per-refresh cost linear in partition count
-    val schema = spark.read.parquet(dirs.head._2).schema
-    dirs.map { case (v, dir) =>
-      spark.read.schema(schema).parquet(dir)
-        .withColumn(partCol, lit(v).cast(partType))
-    }.reduce(_.unionByName(_))
+    serveThroughPin(spark, root, partCol, partType, dirs)
+  }
+
+  private def hash8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+
+  private def pinTableName(root: String, dirs: Seq[(String, String)]): String =
+    s"graft_pm_${hash8(root)}_" +
+      hash8(dirs.sortBy(_._1).map { case (v, d) => s"$v\t$d" }.mkString("\n"))
+
+  /** Serve a RESOLVED (partition value → absolute version dir) mapping
+    * through one partitioned catalog relation whose name is a CONTENT
+    * HASH of the mapping:
+    *
+    *   - any partition count plans ONE relation node with real
+    *     PartitionFilters pruning (plan-asserted) — the fresh-engine
+    *     path no longer pays an N-branch union;
+    *   - re-reading the same mapping reuses the registration, so the
+    *     steady-state read is zero catalog writes;
+    *   - the pin is immutable: a lazy DataFrame captured before a later
+    *     publish keeps reading exactly the versions it resolved (two
+    *     concurrently-held snapshots never fight over one table).
+    *
+    * Pins whose mapping is no longer the live one nor any kept
+    * snapshot's are dropped when a NEW pin registers — catalog
+    * metadata obeys the same keep-N reader horizon as the version
+    * directories themselves. */
+  private def serveThroughPin(spark: SparkSession, root: String,
+      partCol: String, partType: String,
+      dirs: Seq[(String, String)]): DataFrame = {
+    val table = pinTableName(root, dirs)
+    if (!spark.catalog.tableExists(table)) {
+      syncCatalogDirs(spark, root, table, partCol, partType, dirs)
+      gcStalePins(spark, root, partCol)
+    }
+    spark.table(table)
+  }
+
+  /** Drop this root's pin tables that serve neither the live pointers
+    * nor any kept snapshot (bounded: keep-N + 1 valid pins). */
+  private def gcStalePins(spark: SparkSession, root: String,
+      partCol: String): Unit = {
+    val prefix = s"graft_pm_${hash8(root)}_"
+    val livePin =
+      try {
+        val dirs = partitionValues(spark, root, partCol).flatMap { v =>
+          ManifestTable.currentDataDir(s"$root/$partCol=$v").map(v -> _)
+        }
+        if (dirs.isEmpty) None else Some(pinTableName(root, dirs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val snapPins = snapshots(spark, root).map { sn =>
+      pinTableName(root, snapshotMapping(spark, root, sn)
+        .map { case (v, d) => v -> s"$root/$partCol=$v/$d" })
+    }
+    val valid = (livePin.toSeq ++ snapPins).toSet
+    val db = spark.catalog.currentDatabase
+    spark.sharedState.externalCatalog.listTables(db)
+      .filter(t => t.startsWith(prefix) && !valid.contains(t))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   /** Rebuild the session view over the current pointers — ONE catalog
@@ -647,19 +698,19 @@ object PartitionedManifest {
   }
 
   /** Read a COMMITTED snapshot — every partition at one commit, the
-    * cross-partition-consistent view. Defaults to the current one. */
+    * cross-partition-consistent view. Defaults to the current one.
+    * Served through a content-pinned catalog relation (see
+    * [[serveThroughPin]]): one plan node at any partition count, and
+    * two concurrently-held snapshots each keep their own immutable
+    * pin. */
   def readSnapshot(spark: SparkSession, root: String, partCol: String,
       partType: String, snapshot: Option[String] = None): DataFrame = {
     val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
       sys.error(s"PartitionedManifest: no snapshot committed under $root"))
     val mapping = snapshotMapping(spark, root, snap)
     require(mapping.nonEmpty, s"empty snapshot $snap")
-    val schema = spark.read.parquet(s"$root/$partCol=${mapping.head._1}/" +
-      mapping.head._2).schema
-    mapping.map { case (v, d) =>
-      spark.read.schema(schema).parquet(s"$root/$partCol=$v/$d")
-        .withColumn(partCol, lit(v).cast(partType))
-    }.reduce(_.unionByName(_))
+    serveThroughPin(spark, root, partCol, partType,
+      mapping.map { case (v, d) => v -> s"$root/$partCol=$v/$d" })
   }
 
   /** Standing registrations for the merge/SCD2 packets' seed and

@@ -164,28 +164,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.size == 1, s"expected only our repartition: $exchanges")
   }
 
-  test("w03 staging through the partitioned-manifest view reads exactly " +
-      "one partition's files: the bk literal folds every other branch") {
+  test("w03 staging through the fresh-engine manifest read plans ONE " +
+      "relation and prunes to exactly one partition's current version") {
     import spark.implicits._
-    import graft.engine.PartitionedManifest
+    import graft.engine.{ManifestTable, PartitionedManifest}
     val root = java.nio.file.Files.createTempDirectory("pa-pman").toString
     val seedDf = (1 to 100).map(i => (i.toLong, i % 5)).toDF("k", "bk")
     PartitionedManifest.seed(spark, root, seedDf, "bk")
-    // the test_merge/02_step.sql shape: the view's branches carry bk as a
-    // typed literal, so `WHERE bk = 2` constant-folds 4 of the 5 union
-    // branches to empty relations — the surviving plan scans ONE
-    // partition's current version directory
+    // the test_merge/02_step.sql shape: the fresh-engine read serves
+    // through a content-pinned catalog relation, so `WHERE bk = 2` is a
+    // real PartitionFilter — one scan node, one selected partition, and
+    // the files come from that partition's CURRENT version directory
     val q = PartitionedManifest.read(spark, root, "bk", "int")
       .filter($"bk" === 2)
+    q.collect()
+    val scans = allNodes(executedPlan(q)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 scan node, got ${scans.length}")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("= 2")),
+      scans.head.partitionFilters.toString)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"read ${scans.head.selectedPartitions.partitionCount} partitions")
+    val cur = ManifestTable.currentDataDir(s"$root/bk=2").get
+    val ver = new org.apache.hadoop.fs.Path(cur).getName
+    assert(scans.head.selectedPartitions.toPartitionArray
+      .forall(_.filePath.toString.contains(ver)),
+      "scan read a non-current version directory")
+    assert(q.as[(Long, Int)].collect().length == 20)
+  }
+
+  test("a fresh-engine snapshot read of a MANY-partition table plans ONE " +
+      "relation node (no N-branch union), and an unfiltered read selects " +
+      "every partition") {
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val root = java.nio.file.Files.createTempDirectory("pa-pinplan").toString
+    val nParts = 24
+    val seedDf = (1 to 240).map(i => (i.toLong, i % nParts)).toDF("k", "bk")
+    PartitionedManifest.seed(spark, root, seedDf, "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    val q = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
     val scans = allNodes(executedPlan(q)).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.length == 1,
-      s"expected 1 surviving branch scan, got ${scans.length}")
-    assert(scans.head.relation.location.rootPaths.forall(
-      _.toString.contains("bk=2")),
-      scans.head.relation.location.rootPaths.mkString(","))
-    assert(q.as[(Long, Int)].collect().length == 20)
+      s"$nParts partitions must plan ONE scan node, got ${scans.length}")
+    assert(scans.head.selectedPartitions.partitionCount == nParts)
+    assert(q.count() == 240L)
+    // the same mapping re-read is a catalog no-op: SAME pin table
+    val q2 = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+    val t1 = allNodes(executedPlan(q)).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.tableIdentifier.map(_.table) }.flatten
+    val t2 = allNodes(executedPlan(q2)).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.tableIdentifier.map(_.table) }.flatten
+    assert(t1.isDefined && t1 == t2, s"$t1 vs $t2")
   }
 
   test("w03/w04 staging scan on the MANIFEST-BACKED catalog table prunes " +
