@@ -702,7 +702,23 @@ object PartitionedManifest {
     * Served through a content-pinned catalog relation (see
     * [[serveThroughPin]]): one plan node at any partition count, and
     * two concurrently-held snapshots each keep their own immutable
-    * pin. */
+    * pin.
+    *
+    * READER-HORIZON CONTRACT: the resolved mapping stays readable for
+    * as long as the snapshot is within the table's keep-N horizon —
+    * every commit (including compaction) protects all kept snapshots'
+    * version dirs. A reader that holds a DataFrame PAST the horizon
+    * (keepSnapshots further commits land, the snapshot expires, its
+    * uniquely-referenced dirs are collected on each partition's next
+    * touch) either still completes — dirs are collected lazily, so
+    * they may well survive — or fails LOUDLY with a missing-file
+    * error; it can never silently return a partial result, because
+    * the pin's file listing is fixed at resolution time and Spark
+    * fails on listed-but-missing files
+    * (`spark.sql.files.ignoreMissingFiles` must stay `false`, the
+    * default — setting it true voids this contract by design).
+    * Re-RESOLVING an expired snapshot fails loudly at
+    * [[snapshotMapping]] (the snapshot file itself is trimmed). */
   def readSnapshot(spark: SparkSession, root: String, partCol: String,
       partType: String, snapshot: Option[String] = None): DataFrame = {
     val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(

@@ -1126,6 +1126,56 @@ class EngineSpec extends AnyFunSuite {
     assert(snap == PartitionedManifest.currentSnapshot(spark, root).get)
   }
 
+  test("a slow reader under compaction + keep-N churn either completes " +
+      "or fails LOUDLY — never a silent partial read of a GC'd snapshot") {
+    val root = Files.createTempDirectory("graft-gc-churn").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val rows = (0 until 3).flatMap(b => (1 to 25).map(i =>
+      ((b * 100 + i).toLong, b)))
+    PartitionedManifest.seed(spark, root, rows.toDF("i", "bk"), "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    // the slow reader resolves its mapping + pin NOW…
+    val slow = PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      Some(s1))
+    assert(slow.count() == 75L) // …and completes within the horizon
+    // churn: every partition advances repeatedly (fragment + compact),
+    // each compaction commits and trims — s1 expires and its uniquely-
+    // referenced dirs are collected on each partition's next touch
+    for (r <- 1 to 3) {
+      (0 until 3).foreach { b =>
+        PartitionedManifest.publishPartition(spark, root, "bk",
+          b.toString, (1 to 25).map(i => (r * 1000 + b * 100 + i).toLong)
+            .toDF("i").repartition(4))
+      }
+      PartitionedManifest.compact(spark, root, "bk", maxFiles = 1)
+    }
+    assert(!PartitionedManifest.snapshots(spark, root).contains(s1),
+      "churn did not expire the snapshot")
+    // the horizon contract: the held DataFrame either completes with
+    // the FULL snapshot (lazy GC may not have reached its dirs) or
+    // fails loudly — a row count short of 75 without an error is the
+    // one forbidden outcome
+    try {
+      val n = slow.count()
+      assert(n == 75L, s"SILENT PARTIAL READ: $n of 75 rows, no error")
+    } catch { case e: Exception =>
+      assert(e.getMessage != null, e.toString) // loud is the contract
+    }
+    // re-RESOLVING the expired snapshot fails loudly too (its snapshot
+    // file is trimmed)
+    intercept[Exception] {
+      PartitionedManifest.readSnapshot(spark, root, "bk", "int", Some(s1))
+        .count()
+    }
+    // and the live table is intact through all the churn
+    val live = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+      .select($"i").as[Long].collect().sorted.toSeq
+    val expect = (0 until 3).flatMap(b =>
+      (1 to 25).map(i => (3000 + b * 100 + i).toLong)).sorted
+    assert(live == expect, s"${live.size} rows")
+  }
+
   test("compaction packet re-run is a tracked no-op: actions dedupe " +
       "against the tracker and the snapshot history does not churn") {
     import graft.engine.{PacketRunner, PartitionedManifest, RunnerConf}
