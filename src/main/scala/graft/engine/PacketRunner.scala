@@ -26,6 +26,12 @@ final case class RunnerConf(
     jdbc: Option[JdbcChannel] = None,
     exportDir: Option[String] = None,
     hookSink: Option[HookSink] = None,
+    /** run the packet's step files VERBATIM in the reference's own
+      * PostgreSQL dialect: every statement goes through
+      * [[PgDialectRewriter]] and the synthesized-catalog functions are
+      * registered — a user's unmodified reference-format packets run
+      * as-is (c20/c21 are the query-level twins of this path) */
+    pgDialect: Boolean = false,
     /** polled on failure: true → the run was cancelled (E18/E19), result
       * code `terminate` instead of `fail` (reference is_terminate checks,
       * dbccore.py:1146-1150) */
@@ -675,7 +681,18 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
 
   // -- execute_q (dbccore.py:831-903) ------------------------------------
   private def executeQ(ctx: StepContext, packet: Packet, sql: String): Unit = {
-    val stms = SqlSplitter.split(sql)
+    // verbatim-PG-dialect packets (conf.pgDialect): each statement is
+    // source-rewritten into Spark SQL AFTER splitting (the splitter
+    // understands PG text fine; the rewriter takes one statement) and
+    // the catalog-backed functions the reference SQL calls are ensured.
+    // Packet files stay byte-identical — the rewrite is execution-time.
+    val stms0 = SqlSplitter.split(sql)
+    val stms =
+      if (!conf.pgDialect) stms0
+      else {
+        graft.sources.PgCatalog.ensureFunctionsRegistered(spark)
+        stms0.map(PgDialectRewriter.rewrite)
+      }
     val results = mutable.Buffer.empty[ResultSet]
     val pt = packet.meta.packetType
     if (pt == PacketType.ExportData) {

@@ -1,0 +1,629 @@
+package graft.engine
+
+/** Source-to-source rewrite of PostgreSQL-dialect SQL into Spark SQL,
+  * so the reference's OWN packet step files run VERBATIM (byte-identical
+  * step text) against the synthesized catalog fixture
+  * (graft.sources.PgCatalog) — the finite construct set SURVEY.md
+  * §2.2/§4 enumerates, exercised end-to-end by the c20/c21 queries on
+  * /root/reference/packets/dba_top_tables/01_step.sql and
+  * /root/reference/packets/alert_bloat/01_step.sql.
+  *
+  * Covered rewrites (each token-aware — string literals, quoted
+  * identifiers, and comments are never touched by a rule):
+  *
+  *   - `x::type` postfix casts. Value-preserving numeric target types
+  *     go through `CAST(round(CAST(x AS DOUBLE), 0) AS T)` because
+  *     PostgreSQL numeric→int casts ROUND while Spark CAST truncates
+  *     (3.92::int = 4 in PG, 3 under a bare Spark cast — the
+  *     alert_bloat alignment math is sensitive to exactly this);
+  *     `::numeric` maps to DOUBLE math (the CatalogQueries portability
+  *     convention); `::regclass`/`::name`/`::"char"` drop (oids and
+  *     single-char literals are already the right values on the
+  *     fixture); `'lit'::regtype` folds to the type's oid constant.
+  *   - `expr FROM 'sql-pattern' FOR 'esc'` substring → anchored
+  *     `nullif(regexp_extract(...), '')` (SQL LIKE-pattern with
+  *     `#"…#"` capture delimiters, PG returns NULL on no-match).
+  *   - `regexp_split_to_table(e, d)[::T]` →
+  *     `explode(transform(split(e, d), __gx -> CAST(__gx AS T)))`.
+  *   - `ARRAY[...]` → `array(...)`; `x = ANY (arr)` →
+  *     `array_contains(arr, x)`; `x <> ALL (arr)` →
+  *     `NOT array_contains(arr, x)`.
+  *   - `a ~ p` → `a RLIKE p`; `a !~ p` → `a NOT RLIKE p`.
+  *   - `IS NOT DISTINCT FROM` → `<=>`.
+  *   - numeric `a ^ b` → `power(a, b)` (Spark `^` is XOR).
+  *   - `(SELECT f(...))` FROM-less correlated scalar wrap → `f(...)`.
+  *   - `pg_catalog.` function-name qualifier dropped.
+  *   - `string_agg(e, d)` → `array_join(collect_list(e), d)`;
+  *     `generate_series(...)` → `explode(sequence(...))`;
+  *     `now()` → `current_timestamp()`;
+  *     `current_database()` → `'graft'` (the fixture's database);
+  *     `version()` → a pinned 64-bit PostgreSQL version string (the
+  *     `version() ~ '…x86_64…'` MAXALIGN probe must take the 8-byte
+  *     branch the fixture's stats were authored for);
+  *     `'lit'::interval` → `INTERVAL 'lit'`.
+  *
+  * Deliberately OUT of scope (documented engine boundary): full PG
+  * type inference (e.g. bare int/int division truncates in PG but is
+  * fractional in Spark — packets relying on it, like
+  * alert_bloat/02_step's `(7+count(*))/8`, stay on the re-authored
+  * path), PL/pgSQL bodies (E26 runs them as typed Scala callbacks),
+  * and FROM-clause set-returning functions.
+  */
+object PgDialectRewriter {
+
+  // ------------------------------------------------------------------
+  // lexer
+  sealed trait Tok { def text: String }
+  final case class Comment(text: String) extends Tok
+  final case class Str(text: String) extends Tok // includes quotes
+  final case class QIdent(text: String) extends Tok // "..."
+  final case class Num(text: String) extends Tok
+  final case class Ident(text: String) extends Tok
+  final case class Op(text: String) extends Tok
+  final case class Punct(text: String) extends Tok
+
+  private def isKw(t: Tok, kw: String): Boolean = t match {
+    case Ident(s) => s.equalsIgnoreCase(kw)
+    case _ => false
+  }
+
+  def lex(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql(i)
+      if (c.isWhitespace) { i += 1 }
+      else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        val e = sql.indexOf('\n', i)
+        val stop = if (e < 0) n else e
+        out += Comment(sql.substring(i, stop)); i = stop
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        // PG block comments nest
+        var depth = 1; var k = i + 2
+        while (k + 1 < n && depth > 0) {
+          if (sql(k) == '/' && sql(k + 1) == '*') { depth += 1; k += 2 }
+          else if (sql(k) == '*' && sql(k + 1) == '/') { depth -= 1; k += 2 }
+          else k += 1
+        }
+        out += Comment(sql.substring(i, k)); i = k
+      } else if (c == '\'') {
+        var k = i + 1
+        var done = false
+        while (k < n && !done) {
+          if (sql(k) == '\'') {
+            if (k + 1 < n && sql(k + 1) == '\'') k += 2 else { done = true }
+          } else k += 1
+        }
+        require(done, s"unterminated string literal at offset $i")
+        out += Str(sql.substring(i, k + 1)); i = k + 1
+      } else if (c == '"') {
+        var k = i + 1
+        var done = false
+        while (k < n && !done) {
+          if (sql(k) == '"') {
+            if (k + 1 < n && sql(k + 1) == '"') k += 2 else { done = true }
+          } else k += 1
+        }
+        require(done, s"unterminated quoted identifier at offset $i")
+        out += QIdent(sql.substring(i, k + 1)); i = k + 1
+      } else if (c.isDigit) {
+        var k = i
+        while (k < n && (sql(k).isDigit || sql(k) == '.')) k += 1
+        if (k < n && (sql(k) == 'e' || sql(k) == 'E')) {
+          var e = k + 1
+          if (e < n && (sql(e) == '+' || sql(e) == '-')) e += 1
+          if (e < n && sql(e).isDigit) {
+            while (e < n && sql(e).isDigit) e += 1
+            k = e
+          }
+        }
+        out += Num(sql.substring(i, k)); i = k
+      } else if (c.isLetter || c == '_') {
+        var k = i
+        while (k < n && (sql(k).isLetterOrDigit || sql(k) == '_' ||
+          sql(k) == '$')) k += 1
+        out += Ident(sql.substring(i, k)); i = k
+      } else {
+        val three = if (i + 3 <= n) sql.substring(i, i + 3) else ""
+        val two = if (i + 2 <= n) sql.substring(i, i + 2) else ""
+        if (three == "!~*") { out += Op(three); i += 3 }
+        else if (Set("::", "<>", "!=", "<=", ">=", "!~", "~*", "||",
+          "<=>").contains(two)) { out += Op(two); i += 2 }
+        else if ("+-*/%<>=~^&|".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
+        else if ("()[],;.".indexOf(c) >= 0) { out += Punct(c.toString); i += 1 }
+        else sys.error(s"PgDialectRewriter: unexpected character '$c' at $i")
+      }
+    }
+    out.result()
+  }
+
+  def render(ts: Seq[Tok]): String = ts.map(_.text).mkString(" ")
+
+  // ------------------------------------------------------------------
+  // helpers over significant-token vectors
+
+  /** Index of the Punct(")")/("]") matching the opener at `open`. */
+  private def matchForward(ts: Vector[Tok], open: Int): Int = {
+    var depth = 0; var k = open
+    while (k < ts.length) {
+      ts(k) match {
+        case Punct("(") | Punct("[") => depth += 1
+        case Punct(")") | Punct("]") =>
+          depth -= 1; if (depth == 0) return k
+        case _ =>
+      }
+      k += 1
+    }
+    sys.error("PgDialectRewriter: unbalanced parentheses")
+  }
+
+  private val sqlKeywords = Set(
+    "select", "from", "where", "and", "or", "not", "on", "join", "inner",
+    "left", "right", "full", "cross", "outer", "when", "then", "else",
+    "end", "case", "in", "as", "all", "any", "some", "distinct", "group",
+    "by", "order", "having", "union", "intersect", "except", "limit",
+    "offset", "exists", "between", "like", "ilike", "is", "null", "true",
+    "false", "values", "with", "using", "desc", "asc", "nulls", "first",
+    "last", "over", "partition")
+
+  /** Start index of the primary expression ENDING at `end` (inclusive):
+    * a literal, an identifier with its qualifier dot-chain, or a
+    * balanced paren/bracket group with an optional function-name head. */
+  private def primaryStart(ts: Vector[Tok], end: Int): Int = {
+    var s = end
+    ts(s) match {
+      case Punct(")") | Punct("]") =>
+        var depth = 0; var k = s
+        var open = -1
+        while (k >= 0 && open < 0) {
+          ts(k) match {
+            case Punct(")") | Punct("]") => depth += 1
+            case Punct("(") | Punct("[") =>
+              depth -= 1; if (depth == 0) open = k
+            case _ =>
+          }
+          k -= 1
+        }
+        require(open >= 0, "PgDialectRewriter: unbalanced close")
+        s = open
+        // include a FUNCTION-name head, but never a SQL keyword — a
+        // parenthesized expression after SELECT/WHERE/AND/… is not a call
+        if (s > 0) ts(s - 1) match {
+          case Ident(name) if !sqlKeywords.contains(name.toLowerCase) =>
+            s -= 1
+          case QIdent(_) => s -= 1
+          case _ =>
+        }
+      case Ident(_) | QIdent(_) | Num(_) | Str(_) =>
+      case t => sys.error(s"PgDialectRewriter: cannot anchor cast on $t")
+    }
+    // qualifier chain: a.b.c
+    while (s >= 2 && ts(s - 1) == Punct(".") &&
+      (ts(s - 2) match { case Ident(_) | QIdent(_) => true; case _ => false }))
+      s -= 2
+    s
+  }
+
+  /** Split the top-level (depth-1) comma-separated argument ranges of a
+    * call whose '(' is at `open` and ')' at `close`. */
+  private def splitArgs(ts: Vector[Tok], open: Int,
+      close: Int): Seq[(Int, Int)] = {
+    val cuts = Vector.newBuilder[Int]
+    var depth = 0
+    var k = open
+    while (k <= close) {
+      ts(k) match {
+        case Punct("(") | Punct("[") => depth += 1
+        case Punct(")") | Punct("]") => depth -= 1
+        case Punct(",") if depth == 1 => cuts += k
+        case _ =>
+      }
+      k += 1
+    }
+    val bounds = (open +: cuts.result()) :+ close
+    bounds.sliding(2).map { case Seq(a, b) => (a + 1, b - 1) }.toSeq
+      .filter { case (a, b) => a <= b }
+  }
+
+  // ------------------------------------------------------------------
+  // SQL LIKE-pattern (with escape) → anchored Java regex with ONE
+  // capture group delimited by esc+double-quote pairs
+  def sqlPatternToRegex(pattern: String,
+      esc: String): String = {
+    require(esc.length == 1, s"escape must be one char: '$esc'")
+    val e = esc.head
+    def quote(c: Char): String =
+      if ("\\.[]{}()*+?^$|".indexOf(c) >= 0) "\\" + c else c.toString
+    val sb = new StringBuilder("^")
+    var i = 0
+    var inGroup = false
+    while (i < pattern.length) {
+      val c = pattern(i)
+      if (c == e && i + 1 < pattern.length && pattern(i + 1) == '"') {
+        sb.append(if (inGroup) ")" else "("); inGroup = !inGroup; i += 2
+      } else if (c == e && i + 1 < pattern.length) {
+        sb.append(quote(pattern(i + 1))); i += 2
+      } else if (c == '%') { sb.append(".*"); i += 1 }
+      else if (c == '_') { sb.append("."); i += 1 }
+      else { sb.append(quote(c)); i += 1 }
+    }
+    require(!inGroup, s"unbalanced capture delimiters in '$pattern'")
+    sb.append("$").toString
+  }
+
+  private def strLit(s: String): Str = Str("'" + s.replace("'", "''") + "'")
+  private def strValue(t: Str): String =
+    t.text.substring(1, t.text.length - 1).replace("''", "'")
+
+  // regtype literal → PG type oid (extend as packets need)
+  private val regtypeOids = Map(
+    "name" -> 19, "pg_catalog.name" -> 19, "text" -> 25,
+    "pg_catalog.text" -> 25, "int4" -> 23, "int8" -> 20)
+
+  // value-preserving cast targets: PG rounds numeric→int, Spark truncates
+  private val intTargets = Map(
+    "int2" -> "SMALLINT", "smallint" -> "SMALLINT",
+    "int4" -> "INT", "int" -> "INT", "integer" -> "INT",
+    "int8" -> "BIGINT", "bigint" -> "BIGINT")
+  private val plainTargets = Map(
+    "text" -> "STRING", "varchar" -> "STRING",
+    "numeric" -> "DOUBLE", "decimal" -> "DOUBLE",
+    "float4" -> "DOUBLE", "float8" -> "DOUBLE", "real" -> "DOUBLE",
+    "double" -> "DOUBLE",
+    "boolean" -> "BOOLEAN", "bool" -> "BOOLEAN",
+    "date" -> "DATE", "timestamp" -> "TIMESTAMP", "timestamptz" -> "TIMESTAMP")
+  private val dropTargets =
+    Set("regclass", "regnamespace", "regrole", "name", "char", "oid")
+
+  // ------------------------------------------------------------------
+  def rewrite(sql: String): String = {
+    var ts = lex(sql).filterNot(_.isInstanceOf[Comment])
+    // trailing statement terminator
+    while (ts.nonEmpty && ts.last == Punct(";")) ts = ts.dropRight(1)
+
+    // pg_catalog. function qualifier
+    ts = {
+      val b = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < ts.length) {
+        if (isKw(ts(k), "pg_catalog") && k + 2 < ts.length &&
+          ts(k + 1) == Punct(".") &&
+          (ts(k + 2) match { case Ident(_) => true; case _ => false }) &&
+          k + 3 < ts.length && ts(k + 3) == Punct("(")) k += 2
+        else { b += ts(k); k += 1 }
+      }
+      b.result()
+    }
+
+    // (SELECT f(...)) scalar wrap → f(...)
+    var changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 4 < ts.length) {
+        if (ts(k) == Punct("(") && isKw(ts(k + 1), "select") &&
+          (ts(k + 2) match { case Ident(_) => true; case _ => false }) &&
+          ts(k + 3) == Punct("(")) {
+          val close = matchForward(ts, k + 3)
+          if (close + 1 < ts.length && ts(close + 1) == Punct(")")) {
+            ts = ts.patch(close + 1, Nil, 1).patch(k, Nil, 2)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+
+    // substring(X from 'pat' for 'esc') → nullif(regexp_extract(X,rx,1),'')
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 1 < ts.length) {
+        if (isKw(ts(k), "substring") && ts(k + 1) == Punct("(")) {
+          val close = matchForward(ts, k + 1)
+          // locate depth-1 FROM / FOR keywords
+          var depth = 0; var fromIdx = -1; var forIdx = -1
+          var j = k + 1
+          while (j <= close) {
+            ts(j) match {
+              case Punct("(") | Punct("[") => depth += 1
+              case Punct(")") | Punct("]") => depth -= 1
+              case t if depth == 1 && isKw(t, "from") && fromIdx < 0 =>
+                fromIdx = j
+              case t if depth == 1 && isKw(t, "for") && forIdx < 0 =>
+                forIdx = j
+              case _ =>
+            }
+            j += 1
+          }
+          (fromIdx, forIdx) match {
+            case (f, r) if f > 0 && r > f =>
+              val (patT, escT) = (ts.slice(f + 1, r), ts.slice(r + 1, close))
+              (patT, escT) match {
+                case (Vector(p: Str), Vector(e: Str)) =>
+                  val rx = sqlPatternToRegex(strValue(p), strValue(e))
+                  val x = ts.slice(k + 2, f)
+                  val repl = Vector(Ident("nullif"), Punct("("),
+                    Ident("regexp_extract"), Punct("(")) ++ x ++
+                    Vector(Punct(","), strLit(rx), Punct(","), Num("1"),
+                      Punct(")"), Punct(","), Str("''"), Punct(")"))
+                  ts = ts.patch(k, repl, close - k + 1)
+                  changed = true
+                case _ => // non-literal pattern: leave untouched
+              }
+            case _ => // plain substring(s, a, b): leave untouched
+          }
+        }
+        k += 1
+      }
+    }
+
+    // regexp_split_to_table(A, B)[::T]
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 1 < ts.length) {
+        if (isKw(ts(k), "regexp_split_to_table") && ts(k + 1) == Punct("(")) {
+          val close = matchForward(ts, k + 1)
+          val args = splitArgs(ts, k + 1, close)
+          require(args.length == 2,
+            "regexp_split_to_table: expected 2 arguments")
+          val a = ts.slice(args(0)._1, args(0)._2 + 1)
+          val b = ts.slice(args(1)._1, args(1)._2 + 1)
+          val castTo: Option[String] =
+            if (close + 2 < ts.length && ts(close + 1) == Op("::"))
+              ts(close + 2) match {
+                case Ident(t)
+                  if intTargets.contains(t.toLowerCase) =>
+                  Some(intTargets(t.toLowerCase))
+                case Ident(t) if plainTargets.contains(t.toLowerCase) =>
+                  Some(plainTargets(t.toLowerCase))
+                case _ => None
+              }
+            else None
+          val split = Vector(Ident("split"), Punct("(")) ++ a ++
+            Vector(Punct(",")) ++ b ++ Vector(Punct(")"))
+          val (repl, consumed) = castTo match {
+            case Some(t) =>
+              (Vector(Ident("explode"), Punct("("), Ident("transform"),
+                Punct("(")) ++ split ++
+                Vector(Punct(","), Ident("__gx"), Op("->"),
+                  Ident("CAST"), Punct("("), Ident("__gx"), Ident("AS"),
+                  Ident(t), Punct(")"), Punct(")"), Punct(")")),
+                close - k + 3)
+            case None =>
+              (Vector(Ident("explode"), Punct("(")) ++ split ++
+                Vector(Punct(")")), close - k + 1)
+          }
+          ts = ts.patch(k, repl, consumed)
+          changed = true
+        }
+        k += 1
+      }
+    }
+
+    // ARRAY[...] → array(...)
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 1 < ts.length) {
+        if (isKw(ts(k), "array") && ts(k + 1) == Punct("[")) {
+          val close = matchForward(ts, k + 1)
+          ts = ts.updated(k, Ident("array"))
+            .updated(k + 1, Punct("(")).updated(close, Punct(")"))
+          changed = true
+        }
+        k += 1
+      }
+    }
+
+    // x = ANY (e) / x <> ALL (e) / x != ALL (e)
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 1
+      while (!changed && k + 2 < ts.length) {
+        val isAny = ts(k) == Op("=") && isKw(ts(k + 1), "any")
+        val isAll = (ts(k) == Op("<>") || ts(k) == Op("!=")) &&
+          isKw(ts(k + 1), "all")
+        if ((isAny || isAll) && ts(k + 2) == Punct("(")) {
+          val close = matchForward(ts, k + 2)
+          val e = ts.slice(k + 3, close)
+          val s = primaryStart(ts, k - 1)
+          val operand = ts.slice(s, k)
+          val core = Vector(Ident("array_contains"), Punct("(")) ++ e ++
+            Vector(Punct(",")) ++ operand ++ Vector(Punct(")"))
+          val repl = if (isAll) Ident("NOT") +: core else core
+          ts = ts.patch(s, repl, close - s + 1)
+          changed = true
+        }
+        k += 1
+      }
+    }
+
+    // regex matches: infix ~ / !~ → RLIKE / NOT RLIKE
+    ts = {
+      val b = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < ts.length) {
+        val infix = k > 0 && (ts(k - 1) match {
+          case Ident(_) | QIdent(_) | Num(_) | Str(_) | Punct(")") => true
+          case _ => false
+        })
+        ts(k) match {
+          case Op("~") if infix => b += Ident("RLIKE")
+          case Op("!~") if infix => b += Ident("NOT"); b += Ident("RLIKE")
+          case t => b += t
+        }
+        k += 1
+      }
+      b.result()
+    }
+
+    // IS NOT DISTINCT FROM → <=>
+    ts = {
+      val b = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < ts.length) {
+        if (k + 3 < ts.length && isKw(ts(k), "is") && isKw(ts(k + 1), "not") &&
+          isKw(ts(k + 2), "distinct") && isKw(ts(k + 3), "from")) {
+          b += Op("<=>"); k += 4
+        } else { b += ts(k); k += 1 }
+      }
+      b.result()
+    }
+
+    // numeric power: NUM ^ NUM → power(NUM, NUM)
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 1
+      while (!changed && k + 1 < ts.length) {
+        (ts(k - 1), ts(k), ts(k + 1)) match {
+          case (a: Num, Op("^"), b: Num) =>
+            ts = ts.patch(k - 1, Vector(Ident("power"), Punct("("), a,
+              Punct(","), b, Punct(")")), 3)
+            changed = true
+          case _ =>
+        }
+        k += 1
+      }
+    }
+
+    // string_agg(e, d) → array_join(collect_list(e), d)
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 1 < ts.length) {
+        if (isKw(ts(k), "string_agg") && ts(k + 1) == Punct("(")) {
+          val close = matchForward(ts, k + 1)
+          val args = splitArgs(ts, k + 1, close)
+          require(args.length == 2, "string_agg: expected 2 arguments")
+          val e = ts.slice(args(0)._1, args(0)._2 + 1)
+          val d = ts.slice(args(1)._1, args(1)._2 + 1)
+          val repl = Vector(Ident("array_join"), Punct("("),
+            Ident("collect_list"), Punct("(")) ++ e ++
+            Vector(Punct(")"), Punct(",")) ++ d ++ Vector(Punct(")"))
+          ts = ts.patch(k, repl, close - k + 1)
+          changed = true
+        }
+        k += 1
+      }
+    }
+
+    // generate_series(...) → explode(sequence(...)) (select-item form)
+    ts = {
+      val b = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < ts.length) {
+        if (isKw(ts(k), "generate_series") && k + 1 < ts.length &&
+          ts(k + 1) == Punct("(")) {
+          b += Ident("explode"); b += Punct("(") ; b += Ident("sequence")
+          // the matching close gains one extra ')'
+          val close = matchForward(ts, k + 1)
+          var j = k + 1
+          while (j <= close) { b += ts(j); j += 1 }
+          b += Punct(")")
+          k = close + 1
+        } else { b += ts(k); k += 1 }
+      }
+      b.result()
+    }
+
+    // now() → current_timestamp(); current_database() → 'graft';
+    // version() → pinned 64-bit PG banner
+    ts = {
+      val b = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < ts.length) {
+        val isCall = k + 2 < ts.length && ts(k + 1) == Punct("(") &&
+          ts(k + 2) == Punct(")")
+        if (isCall && isKw(ts(k), "now")) {
+          b += Ident("current_timestamp"); b += Punct("("); b += Punct(")")
+          k += 3
+        } else if (isCall && isKw(ts(k), "current_database")) {
+          b += Str("'graft'"); k += 3
+        } else if (isCall && isKw(ts(k), "version")) {
+          b += Str("'PostgreSQL 14.11 on x86_64-pc-linux-gnu, " +
+            "compiled by gcc, 64-bit'")
+          k += 3
+        } else { b += ts(k); k += 1 }
+      }
+      b.result()
+    }
+
+    // postfix ::type casts (after every rule that consumes its own ::)
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 1
+      while (!changed && k + 1 < ts.length) {
+        if (ts(k) == Op("::")) {
+          val tname = ts(k + 1) match {
+            case Ident(t) => t.toLowerCase
+            case QIdent(q) => q.substring(1, q.length - 1).toLowerCase
+            case t => sys.error(s"PgDialectRewriter: bad cast target $t")
+          }
+          val s = primaryStart(ts, k - 1)
+          val operand = ts.slice(s, k)
+          // PG names a bare select-item `col::type` after the COLUMN;
+          // Spark would auto-name the CAST. Re-attach the name when the
+          // operand is a pure column chain that forms a WHOLE select
+          // item (preceded by SELECT or a comma, followed by a comma or
+          // FROM) — `indisunique::integer,` in alert_bloat etc.
+          val pureColumn = operand.zipWithIndex.forall {
+            case (Ident(_), i) if i % 2 == 0 => true
+            case (Punct("."), i) if i % 2 == 1 => true
+            case _ => false
+          }
+          val wholeItem = pureColumn &&
+            (s == 0 || ts(s - 1) == Punct(",") || isKw(ts(s - 1), "select")) &&
+            (k + 2 >= ts.length || ts(k + 2) == Punct(",") ||
+              isKw(ts(k + 2), "from"))
+          val autoAlias: Vector[Tok] =
+            if (wholeItem) operand.last match {
+              case id: Ident => Vector(Ident("AS"), id)
+              case _ => Vector.empty
+            } else Vector.empty
+          val repl: Vector[Tok] =
+            if (tname == "regtype") operand match {
+              case Vector(lit: Str) =>
+                val key = strValue(lit).toLowerCase
+                Vector(Num(regtypeOids.getOrElse(key, sys.error(
+                  s"PgDialectRewriter: unknown regtype literal '$key'"))
+                  .toString))
+              case _ => operand // column::regtype: already an oid here
+            }
+            else if (dropTargets.contains(tname)) operand
+            else if (tname == "interval") operand match {
+              case Vector(lit: Str) => Vector(Ident("INTERVAL"), lit)
+              case _ => sys.error(
+                "PgDialectRewriter: ::interval needs a literal")
+            }
+            else if (intTargets.contains(tname))
+              Vector(Ident("CAST"), Punct("("), Ident("round"), Punct("("),
+                Ident("CAST"), Punct("(")) ++ operand ++
+                Vector(Ident("AS"), Ident("DOUBLE"), Punct(")"), Punct(","),
+                  Num("0"), Punct(")"), Ident("AS"),
+                  Ident(intTargets(tname)), Punct(")")) ++ autoAlias
+            else if (plainTargets.contains(tname))
+              Vector(Ident("CAST"), Punct("(")) ++ operand ++
+                Vector(Ident("AS"), Ident(plainTargets(tname)), Punct(")")) ++
+                autoAlias
+            else sys.error(
+              s"PgDialectRewriter: unsupported cast target '$tname'")
+          ts = ts.patch(s, repl, k + 2 - s)
+          changed = true
+        }
+        k += 1
+      }
+    }
+
+    render(ts)
+  }
+}

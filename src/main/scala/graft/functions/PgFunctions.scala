@@ -234,7 +234,12 @@ object PgFunctions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "pg_size_pretty", es => PgSizePretty(es.head), "built-in")
+      // PG overloads pg_size_pretty(numeric): accept any numeric child
+      // by casting to BIGINT (callers pass integral values — the c21
+      // verbatim path arrives here as DOUBLE via the ::numeric rewrite)
+      "pg_size_pretty", es => PgSizePretty(
+        org.apache.spark.sql.catalyst.expressions.Cast(es.head,
+          org.apache.spark.sql.types.LongType)), "built-in")
     reg.createOrReplaceTempFunction(
       "quote_ident", es => QuoteIdent(es.head), "built-in")
     reg.createOrReplaceTempFunction(

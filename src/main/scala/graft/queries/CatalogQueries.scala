@@ -886,7 +886,109 @@ object CatalogQueries {
     LEFT JOIN prev ON prev.relid = cur.relid
     ORDER BY d_ins + d_upd DESC, tbl"""
 
+  /** c20/c21 — the reference's OWN step files run VERBATIM (byte-
+    * identical step text, read straight from /root/reference at query
+    * time) through [[graft.engine.PgDialectRewriter]] against the
+    * synthesized catalog + its catalog-backed functions. The
+    * deterministic orderBy is applied OUTSIDE the verbatim text
+    * (presentation only — the compare sorts rows anyway). */
+  private def verbatimStep(s: org.apache.spark.sql.SparkSession,
+      packet: String, step: String): org.apache.spark.sql.DataFrame = {
+    PgCatalog.ensureFunctionsRegistered(s)
+    val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"/root/reference/packets/$packet/$step"))
+    s.sql(graft.engine.PgDialectRewriter.rewrite(sql))
+  }
+
+  /** DuckDB replay of the VERBATIM alert_bloat/01_step.sql estimator —
+    * the same join shape and alignment arithmetic, with PG's
+    * numeric→int ROUNDING made explicit (CAST(round(…)) — a bare
+    * DuckDB cast also rounds, but spelling it keeps the intent
+    * visible) and pg_index_key standing in for the indkey split (both
+    * derive from the same fixture rows). */
+  val alertBloatVerbatim: String = s"""
+    , btree_idx AS (
+        SELECT n.nspname, ci.relname AS index_name, ci.reltuples,
+          ci.relpages, ct.relname AS tablename, k.attnum,
+          COALESCE(CAST(nullif(regexp_extract(
+              coalesce(ci.reloptions, ''), 'fillfactor=(..)', 1), '')
+            AS INTEGER), 100) AS fillfactor,
+          i.indexrelid AS index_oid, i.indrelid AS table_oid
+        FROM pg_index i
+        JOIN pg_class ci ON i.indexrelid = ci.oid AND ci.relkind = 'i'
+        JOIN pg_class ct ON i.indrelid = ct.oid
+          AND ct.relkind IN ('r', 'm', 't')
+        JOIN pg_namespace n ON n.oid = ci.relnamespace
+        JOIN pg_am a ON ci.relam = a.oid
+        JOIN pg_index_key k ON k.indexrelid = i.indexrelid
+        WHERE a.amname = 'btree' AND ci.relpages > 3000
+          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+          AND ct.reltuples > 5000
+          AND ci.relname NOT IN ('d_last_session_site_id_ip_user_agent')
+    ), item_sizes AS (
+        SELECT b.nspname, b.index_name, b.reltuples, b.relpages,
+          b.table_oid, b.index_oid, 8192.0 AS bs, b.fillfactor,
+          8 AS maxalign, 24 AS pagehdr,
+          CASE WHEN max(COALESCE(s.null_frac, 0)) = 0 THEN 2 ELSE 6
+            END AS ituphdr,
+          sum((1 - COALESCE(s.null_frac, 0)) * COALESCE(s.avg_width, 1024))
+            AS ndw
+        FROM pg_attribute att
+        JOIN btree_idx b
+          ON att.attrelid = b.index_oid AND att.attnum = b.attnum
+        JOIN pg_stats s ON s.schemaname = b.nspname
+          AND ((s.tablename = b.tablename AND s.attname =
+                 (SELECT a2.attname FROM pg_attribute a2
+                  WHERE a2.attrelid = b.index_oid
+                    AND a2.attnum = b.attnum))
+            OR (s.tablename = b.index_name AND s.attname = att.attname))
+        WHERE att.attnum > 0
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+    ), aligned AS (
+        SELECT *, COALESCE(ceil(reltuples * (6 + maxalign
+            - CASE WHEN ituphdr % maxalign = 0 THEN maxalign
+                   ELSE ituphdr % maxalign END
+            + ndw + maxalign
+            - CASE WHEN CAST(round(ndw, 0) AS INTEGER) % maxalign = 0
+                   THEN maxalign
+                   ELSE CAST(round(ndw, 0) AS INTEGER) % maxalign END)
+          / (bs - 24) + 1), 0) AS expected
+        FROM item_sizes
+    ), raw_bloat AS (
+        SELECT e.nspname, c.relname AS table_name, e.index_name,
+          e.fillfactor,
+          e.bs * e.relpages AS totalbytes,
+          CASE WHEN e.relpages <= e.expected THEN 0
+               ELSE e.bs * (e.relpages - e.expected) END AS wastedbytes,
+          CASE WHEN e.relpages <= e.expected THEN 0
+               ELSE e.bs * (e.relpages - e.expected) * 100
+                    / (e.bs * e.relpages) END AS realbloat,
+          CAST(tc.relpages AS BIGINT) * 8192 AS table_bytes
+        FROM aligned e
+        JOIN pg_class c ON c.oid = e.table_oid
+        JOIN pg_class tc ON tc.oid = e.table_oid
+        JOIN pg_stat_user_indexes st ON e.index_oid = st.indexrelid
+    )
+    SELECT nspname AS schema_name, table_name, index_name,
+      round(realbloat, 2) AS bloat_pct,
+      ${sizePretty("CAST(wastedbytes AS BIGINT)")} AS bloat_size,
+      ${sizePretty("CAST(totalbytes AS BIGINT)")} AS index_size,
+      ${sizePretty("table_bytes")} AS table_size,
+      fillfactor
+    FROM raw_bloat
+    WHERE round(realbloat, 2) >= 80 AND wastedbytes / 1048576.0 > 5
+    ORDER BY index_name
+    LIMIT 10"""
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("c20_verbatim_dba_top_tables",
+      (s, _) => verbatimStep(s, "dba_top_tables", "01_step.sql")
+        .orderBy(org.apache.spark.sql.functions.col("relname")),
+      oracle = Some(PgCatalog.withCatalog(dbaTopTables))),
+    QuerySpec("c21_verbatim_alert_bloat",
+      (s, _) => verbatimStep(s, "alert_bloat", "01_step.sql")
+        .orderBy(org.apache.spark.sql.functions.col("index_name")),
+      oracle = Some(PgCatalog.withCatalog(alertBloatVerbatim))),
     QuerySpec("c04_dba_idx_diag_array_join",
       (s, _) => dbaIdxDiagArrayJoin(s),
       oracle = Some(PgCatalog.withCatalog("""

@@ -80,24 +80,24 @@ object PgCatalog {
       ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid, relpersistence)"""
 
   /** (indexrelid, indrelid, indisunique, indisprimary, indisvalid,
-    * indisready, inddef) — inddef is the pre-rendered pg_get_indexdef text
+    * indisready, inddef, indkey) — inddef is the pre-rendered pg_get_indexdef text
     * (decompilers become catalog columns on a file target, SURVEY.md §2.2);
     * indisvalid/indisready are 1/0 ints (alert_invalid_indexes targets:
     * a failed CREATE INDEX CONCURRENTLY leaves 0s). */
   val pgIndex: String =
     """SELECT * FROM (VALUES
-      (17001, 16384, 1, 1, 1, 1, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)'),
-      (17002, 16384, 0, 0, 0, 1, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)'),
-      (17003, 16385, 1, 1, 1, 1, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)'),
-      (17004, 16385, 0, 0, 1, 1, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)'),
-      (17005, 16386, 1, 1, 1, 1, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)'),
-      (17006, 16387, 1, 1, 1, 1, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)'),
-      (17007, 16391, 0, 0, 1, 1, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)'),
-      (17008, 16392, 0, 0, 1, 1, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)'),
-      (17009, 16393, 1, 1, 1, 1, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)'),
-      (17010, 16388, 1, 1, 1, 1, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)'),
-      (17011, 16385, 0, 0, 1, 0, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)')
-      ) AS t(indexrelid, indrelid, indisunique, indisprimary, indisvalid, indisready, inddef)"""
+      (17001, 16384, 1, 1, 1, 1, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)', '1 4'),
+      (17002, 16384, 0, 0, 0, 1, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)', '11'),
+      (17003, 16385, 1, 1, 1, 1, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)', '1'),
+      (17004, 16385, 0, 0, 1, 1, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)', '2'),
+      (17005, 16386, 1, 1, 1, 1, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)', '1'),
+      (17006, 16387, 1, 1, 1, 1, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)', '1'),
+      (17007, 16391, 0, 0, 1, 1, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)', '2'),
+      (17008, 16392, 0, 0, 1, 1, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)', '3'),
+      (17009, 16393, 1, 1, 1, 1, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)', '1'),
+      (17010, 16388, 1, 1, 1, 1, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)', '1'),
+      (17011, 16385, 0, 0, 1, 0, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)', '2')
+      ) AS t(indexrelid, indrelid, indisunique, indisprimary, indisvalid, indisready, inddef, indkey)"""
 
   /** (indexrelid, attnum, keypos) — one row per index key column: the
     * portable form of `regexp_split_to_table(indkey::text, ' ')`
@@ -395,6 +395,97 @@ object PgCatalog {
   /** Register once per session (temp views are session-scoped). */
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.catalog.tableExists("pg_namespace")) registerAll(spark)
+
+  private val fnSessions = scala.collection.mutable.Set.empty[String]
+
+  /** Catalog-backed PG admin FUNCTIONS over the fixture, so the
+    * reference's packets run VERBATIM (c20/c21 + PgDialectRewriter):
+    * size functions, decompilers, current_setting. Each is a lookup
+    * into a driver-built map of fixture METADATA — bounded by the
+    * catalog's row count (dozens), never corpus data, the same
+    * driver-side contract as the generator fan-out (SURVEY E7) — so a
+    * plain UDF is the right tool here (no codegen pressure to avoid).
+    * pg_size_pretty/quote_ident/… stay native (PgFunctions). */
+  def ensureFunctionsRegistered(spark: SparkSession): Unit =
+    fnSessions.synchronized {
+      val key = graft.SessionKey.of(spark)
+      if (!fnSessions(key)) {
+        ensureRegistered(spark)
+        import org.apache.spark.sql.Row
+        def rows(sql: String): Seq[Row] = spark.sql(sql).collect().toSeq
+        def longAt(r: Row, i: Int): Long = r.get(i) match {
+          case l: Long => l; case n: Int => n.toLong
+          case other => sys.error(s"unexpected $other")
+        }
+        // pg_table_size/pg_relation_size = relpages × block_size (the
+        // fixture's single source of truth for sizes, same formula the
+        // re-authored c01 uses inline)
+        val relSize: Map[Long, Long] =
+          rows("SELECT oid, relpages FROM pg_class")
+            .map(r => longAt(r, 0) -> longAt(r, 1) * 8192L).toMap
+        val idxSize: Map[Long, Long] =
+          rows("""SELECT i.indrelid, CAST(sum(ic.relpages) AS BIGINT) * 8192
+                  FROM pg_index i JOIN pg_class ic ON ic.oid = i.indexrelid
+                  GROUP BY i.indrelid""")
+            .map(r => longAt(r, 0) -> longAt(r, 1)).toMap
+        val inddef: Map[Long, String] =
+          rows("SELECT indexrelid, inddef FROM pg_index")
+            .map(r => longAt(r, 0) -> r.getString(1)).toMap
+        val attname: Map[(Long, Long), String] =
+          rows("SELECT attrelid, attnum, attname FROM pg_attribute")
+            .map(r => (longAt(r, 0), longAt(r, 1)) -> r.getString(2)).toMap
+        val condef: Map[Long, String] =
+          rows("SELECT oid, condef FROM pg_constraint")
+            .map(r => longAt(r, 0) -> r.getString(1)).toMap
+        val settings: Map[String, String] =
+          rows("SELECT name, setting FROM pg_settings")
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+        spark.udf.register("pg_table_size",
+          (oid: Long) => relSize.getOrElse(oid, 0L))
+        spark.udf.register("pg_relation_size",
+          (oid: Long) => relSize.getOrElse(oid, 0L))
+        spark.udf.register("pg_indexes_size",
+          (oid: Long) => idxSize.getOrElse(oid, 0L))
+        spark.udf.register("pg_total_relation_size",
+          (oid: Long) => relSize.getOrElse(oid, 0L) +
+            idxSize.getOrElse(oid, 0L))
+        spark.udf.register("pg_get_constraintdef",
+          (oid: Long) => condef.getOrElse(oid, null))
+        spark.udf.register("current_setting",
+          (name: String) => settings.getOrElse(name, null))
+        // the fixture stores reloptions PRE-JOINED (decompilers become
+        // data on a file target) — array_to_string over it is identity
+        spark.udf.register("array_to_string",
+          (s: String, sep: String) => s)
+        // pg_get_indexdef: 1-arg = whole def; 3-arg = the indexed
+        // column's name at (index oid, attnum) — arity dispatch through
+        // the registry (spark.udf.register cannot overload), built as a
+        // raw legacy-converter ScalaUDF so the registry gets a real
+        // catalyst expression
+        import org.apache.spark.sql.catalyst.expressions.{Cast, ScalaUDF}
+        import org.apache.spark.sql.types.{LongType, StringType}
+        def longArg(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+          Cast(e, LongType)
+        val def1: AnyRef =
+          (oid: Any) => if (oid == null) null
+            else inddef.getOrElse(oid.asInstanceOf[Long], null)
+        val def3: AnyRef =
+          (oid: Any, attnum: Any) => if (oid == null || attnum == null) null
+            else attname.getOrElse(
+              (oid.asInstanceOf[Long], attnum.asInstanceOf[Long]), null)
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "pg_get_indexdef", es => es.length match {
+            case 1 => ScalaUDF(def1, StringType, Seq(longArg(es.head)),
+              Seq(None), udfName = Some("pg_get_indexdef"))
+            case 3 => ScalaUDF(def3, StringType,
+              Seq(longArg(es(0)), longArg(es(1))), Seq(None, None),
+              udfName = Some("pg_get_indexdef"))
+            case n => sys.error(s"pg_get_indexdef: unsupported arity $n")
+          }, "built-in")
+        graft.functions.PgFunctions.registerAll(spark)
+        fnSessions += key
+      }
+    }
 
   /** Run a catalog query body against the registered VIEWS. The views
     * hold the SAME `tables` VALUES strings the oracle's CTE prelude uses,

@@ -724,6 +724,13 @@ class EngineSpec extends AnyFunSuite {
     // the swap never ran: the published table still lacks the new column
     assert(!spark.table("evo_tbl").columns.contains("acct_band"),
       "03_step must not swap after a failed validation")
+    // drop the failed run's seed CTAS: a lingering EXTERNAL evo_tbl with
+    // no temp view over it would make a LATER suite's run_once
+    // `DROP VIEW IF EXISTS evo_tbl` fail with WRONG_COMMAND_FOR_OBJECT_
+    // TYPE (suites share one SparkSession; catalog state must not leak
+    // across them in a shape no packet leaves behind on success)
+    spark.sql("DROP TABLE IF EXISTS evo_tbl")
+    spark.sql("DROP TABLE IF EXISTS evo_tbl_new")
   }
   test("one-job multi-partition snapshot commit: a 16-partition delta " +
       "launches ONE write job (plus bounded metadata work), and the " +
@@ -1174,6 +1181,27 @@ class EngineSpec extends AnyFunSuite {
     val expect = (0 until 3).flatMap(b =>
       (1 to 25).map(i => (3000 + b * 100 + i).toLong)).sorted
     assert(live == expect, s"${live.size} rows")
+  }
+
+  test("a REFERENCE-format packet runs VERBATIM from /root/reference " +
+      "via conf.pgDialect: dba_top_tables end to end, mattermost hook " +
+      "included") {
+    import graft.engine.{HookSink, PacketRunner, RunnerConf}
+    graft.sources.PgCatalog.ensureRegistered(spark)
+    val posts =
+      scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val conf = RunnerConf(
+      stateDir = Files.createTempDirectory("graft-verbatim-state").toString,
+      pgDialect = true,
+      hookSink = Some(HookSink.buffering(posts)))
+    val res = new PacketRunner(spark, conf)
+      .run("/root/reference/packets/dba_top_tables")
+    assert(res.resultCode("spark") == "success",
+      res.notices.mkString("; "))
+    // the read_only step's resultset hook fired on the packet's OWN
+    // meta_data.json channel with the fixture's largest table in it
+    assert(posts.exists { case (c, _, m) =>
+      c == "dbc-dba" && m.contains("lineitem") }, posts.toString)
   }
 
   test("compaction packet re-run is a tracked no-op: actions dedupe " +

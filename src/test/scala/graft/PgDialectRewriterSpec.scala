@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.PgDialectRewriter.{rewrite, sqlPatternToRegex}
+import graft.sources.PgCatalog
+
+/** The verbatim-PG-dialect path: reference step files run BYTE-IDENTICAL
+  * through the source rewriter against the synthesized catalog. */
+class PgDialectRewriterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  private def run(sql: String) = {
+    PgCatalog.ensureFunctionsRegistered(spark)
+    spark.sql(rewrite(sql))
+  }
+
+  test("postfix casts: PG numeric→int ROUNDS where Spark CAST truncates") {
+    assert(run("SELECT 3.92::integer AS x").head.getInt(0) == 4)
+    assert(run("SELECT 3.2::int2 AS x").head.getShort(0) == 3.toShort)
+    assert(run("SELECT '90'::int2 AS x").head.getShort(0) == 90.toShort)
+    assert(run("SELECT (1+2)::bigint AS x").head.getLong(0) == 3L)
+    assert(run("SELECT 7::numeric / 2 AS x").head.getDouble(0) == 3.5)
+    // drop-casts: regclass/name/"char" leave the value unchanged
+    assert(run("SELECT 'abc'::name AS x").head.getString(0) == "abc")
+    assert(run("SELECT 'r'::\"char\" AS x").head.getString(0) == "r")
+    assert(run("SELECT 16384::regclass AS x").head.getInt(0) == 16384)
+    // regtype literal folds to the type oid
+    assert(run("SELECT 'pg_catalog.name'::regtype AS x").head.getInt(0) == 19)
+  }
+
+  test("SQL-pattern substring with #\"…#\" capture → regexp_extract, " +
+      "NULL on no-match like PG") {
+    assert(sqlPatternToRegex("%fillfactor=#\"__#\"%", "#")
+      == "^.*fillfactor=(..).*$")
+    val r = run("SELECT coalesce(substring('fillfactor=90' from " +
+      "'%fillfactor=#\"__#\"%' for '#')::int2, 100) AS f, " +
+      "coalesce(substring('nothing' from " +
+      "'%fillfactor=#\"__#\"%' for '#')::int2, 100) AS g").head
+    assert(r.getInt(0) == 90 && r.getInt(1) == 100)
+    // plain substring stays untouched
+    assert(run("SELECT substring('abcdef', 2, 3) AS s").head.getString(0)
+      == "bcd")
+  }
+
+  test("ANY/ALL over ARRAY[…], regex matches, IS NOT DISTINCT FROM, " +
+      "power, scalar wrap, string_agg, generate_series") {
+    assert(run("SELECT 'r' = ANY (ARRAY['r'::\"char\", 'i'::\"char\"]) AS x")
+      .head.getBoolean(0))
+    assert(run("SELECT 'x' <> ALL (ARRAY['a', 'b']) AS x").head.getBoolean(0))
+    assert(run("SELECT 'pg_toast_7' ~ '^pg_toast' AS a, " +
+      "'public' !~ '^pg_toast'::text AS b").head ==
+      org.apache.spark.sql.Row(true, true))
+    assert(run("SELECT NULL IS NOT DISTINCT FROM NULL AS x")
+      .head.getBoolean(0))
+    assert(run("SELECT (1024^2) AS x").head.getDouble(0) == 1048576.0)
+    assert(run("SELECT (SELECT pg_get_constraintdef(18002)) AS d")
+      .head.getString(0) == "PRIMARY KEY (o_orderkey)")
+    assert(run("SELECT string_agg(c, ',') AS s FROM (VALUES ('a'), ('b')) " +
+      "AS t(c)").head.getString(0) == "a,b")
+    assert(run("SELECT generate_series(1, 3) AS i").count() == 3L)
+  }
+
+  test("catalog-backed functions agree with the fixture arithmetic") {
+    PgCatalog.ensureFunctionsRegistered(spark)
+    val r = spark.sql("""SELECT pg_table_size(16384) AS t,
+      pg_indexes_size(16384) AS i, pg_total_relation_size(16384) AS tot,
+      pg_get_indexdef(17003) AS d1,
+      pg_get_indexdef(17001, 4, TRUE) AS d3,
+      current_setting('block_size') AS bs""").head
+    assert(r.getLong(0) == 12000L * 8192)
+    assert(r.getLong(1) == (4500L + 8000L) * 8192)
+    assert(r.getLong(2) == (12000L + 4500 + 8000) * 8192)
+    assert(r.getString(3).startsWith("CREATE UNIQUE INDEX orders_pkey"))
+    assert(r.getString(4) == "l_linenumber")
+    assert(r.getString(5) == "8192")
+  }
+
+  test("dba_top_tables/01_step.sql runs BYTE-IDENTICAL and returns the " +
+      "fixture's tables largest-first") {
+    val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/packets/dba_top_tables/01_step.sql"))
+    val out = run(sql).collect()
+    assert(out.length == 8, s"${out.length} rows")
+    // largest total = lineitem (12000 heap + 12500 index pages)
+    val top = run(sql).head
+    assert(top.getString(1) == "lineitem", top.toString)
+    assert(top.getString(4) ==
+      graft.functions.PgStringFns.sizePretty((12000L + 12500L) * 8192))
+    val cols = run(sql).columns.toSeq
+    assert(cols == Seq("nspname", "relname", "size", "idxs_size", "total",
+      "n_live_tup", "n_dead_tup", "n_tup_ins", "n_tup_upd"), cols)
+  }
+
+  test("alert_bloat/01_step.sql runs BYTE-IDENTICAL: the two " +
+      "deliberately-bloated btree indexes and only they cross the gates") {
+    val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/packets/alert_bloat/01_step.sql"))
+    val out = run(sql).collect()
+    val names = out.map(_.getString(2)).toSet
+    assert(names == Set("lineitem_shipdate_idx", "events_ts_idx"), names)
+    val byName = out.map(r => r.getString(2) -> r).toMap
+    // lineitem_shipdate_idx: nulldatawidth 3.92 ROUNDS to 4 under the PG
+    // numeric→int cast (a bare Spark cast would truncate to 3 and shift
+    // the estimate) → inner width 15.92, expected =
+    // ceil(600572*15.92/8168 + 1) = 1172 pages, bloat = 6828*100/8000
+    val li = byName("lineitem_shipdate_idx")
+    assert(li.getDouble(3) == 85.35, li.toString)
+    assert(li.getString(4) ==
+      graft.functions.PgStringFns.sizePretty(8192L * (8000 - 1172)))
+    assert(li.getInt(7) == 100) // no fillfactor option → default 100
+    val ev = byName("events_ts_idx")
+    assert(ev.getDouble(3) == 80.19, ev.toString)
+    assert(ev.getInt(7) == 70) // fillfactor=70 extracted from reloptions
+  }
+}
