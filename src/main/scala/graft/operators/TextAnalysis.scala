@@ -463,6 +463,48 @@ object TextAnalysis {
           .otherwise(lit("tail")))
   }
 
+  /** STREAMING-SAFE curriculum assignment against the FROZEN t27
+    * artifact: every document gets its stage (from the frozen
+    * cut-points — a row-local compare, no global rank) and its
+    * reproducible md5 shuffle key. This is the per-micro-batch shape:
+    * a document arriving AFTER the cut-points froze is assignable
+    * immediately, and sorting any accumulated assignment set by
+    * (stage, k, id) reproduces the batch curriculum's order exactly
+    * (StreamingSpec pins stream == batch through this property).
+    *
+    * @return (id, bucket, stage, k)
+    */
+  def curriculumAssignFromArtifact(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, dir: String,
+      seed: String): DataFrame =
+    bigramLmBucketsFromArtifact(spark, docs, idCol, textCol, dir)
+      .withColumn("stage",
+        when(col("bucket") === "head", lit(0))
+          .when(col("bucket") === "middle", lit(1)).otherwise(lit(2)))
+      .withColumn("k",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .select(col(idCol), col("bucket"), col("stage"), col("k"))
+
+  /** Batch curriculum over the FROZEN artifact (p30): the same stage/
+    * key assignment as [[curriculumAssignFromArtifact]], materialized
+    * to global 0-based positions with the distributed range-partition
+    * rank (no single-partition window — the p29 shape). Differs from
+    * [[qualityCurriculum]] only in WHERE the buckets come from: frozen
+    * ingest-time cut-points instead of a same-pass tercile rank, which
+    * is what makes the assignment reproducible for late arrivals.
+    *
+    * @return (id, bucket, pos)
+    */
+  def curriculumFromArtifact(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, dir: String,
+      seed: String): DataFrame = {
+    val assigned =
+      curriculumAssignFromArtifact(spark, docs, idCol, textCol, dir, seed)
+    Packing.withGlobalRowNumber(assigned, "__rn", Seq("stage", "k", idCol))
+      .withColumn("pos", col("__rn") - lit(1L))
+      .select(col(idCol), col("bucket"), col("pos"))
+  }
+
   /** PII scrubbing patterns — deliberately conservative RE2-compatible
     * regexes (no lookaround, no backreferences) so the same pattern text
     * runs identically under Spark's Java regex and the DuckDB oracle's

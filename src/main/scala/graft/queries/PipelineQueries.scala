@@ -2044,6 +2044,86 @@ object PipelineQueries {
              ELSE 'tail' END AS bucket
       FROM sagg CROSS JOIN cuts ORDER BY doc_id"""), bench = true),
 
+    // Streaming-safe curriculum over the FROZEN t27 artifact (the p29
+    // curriculum's production twin): stage from frozen cut-points (row-
+    // local), reproducible md5 shuffle key, positions from the
+    // distributed rank over (stage, k, id). The oracle replays model,
+    // cut-points, serving scores, stage, key, and position entirely
+    // from the raw corpus.
+    QuerySpec("p30_curriculum_from_artifact", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      TextAnalysis.ensureBigramLmStaged(s, dir, docs, "doc_id", "text")
+      val planted = Seq(
+        (900001L, "spark zzzq table qqqz join the"),
+        (900002L, "zzzq qqqz zzzq")).toDF("doc_id", "text")
+      TextAnalysis.curriculumFromArtifact(s, docs.unionByName(planted),
+          "doc_id", "text", dir, "cur-v1")
+        .orderBy($"pos")
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      big AS (
+        SELECT doc_id,
+          unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+          unnest(list_slice(t, 2, len(t))) AS w2
+        FROM toks WHERE len(t) >= 2),
+      bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+      pc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      v AS (SELECT count(DISTINCT tok) AS nv
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      sc AS (
+        SELECT big.doc_id,
+          CAST(floor(-1000000.0 * ln(
+            (CAST(c12 AS DOUBLE) + 1.0) /
+            (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE)))) AS BIGINT) AS m
+        FROM big JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v),
+      agg AS (SELECT doc_id, count(*) AS nb, sum(m) AS sm
+              FROM sc GROUP BY 1),
+      rk AS (SELECT sm // nb AS mean,
+               row_number() OVER (ORDER BY sm // nb, doc_id) AS rn,
+               count(*) OVER () AS n
+             FROM agg),
+      cuts AS (SELECT max(CASE WHEN 3 * rn <= n THEN mean END) AS cut_h,
+                      max(CASE WHEN 3 * rn <= 2 * n THEN mean END) AS cut_m
+               FROM rk),
+      serve AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT 900001, 'spark zzzq table qqqz join the'
+        UNION ALL SELECT 900002, 'zzzq qqqz zzzq'),
+      stoks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM serve),
+      sbig AS (
+        SELECT doc_id,
+          unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+          unnest(list_slice(t, 2, len(t))) AS w2
+        FROM stoks WHERE len(t) >= 2),
+      ssc AS (
+        SELECT sbig.doc_id,
+          CAST(floor(-1000000.0 * ln(
+            (CAST(coalesce(c12, 0) AS DOUBLE) + 1.0) /
+            (CAST(coalesce(c1, 0) AS DOUBLE) + CAST(nv AS DOUBLE))))
+            AS BIGINT) AS m
+        FROM sbig LEFT JOIN bc USING (w1, w2) LEFT JOIN pc USING (w1)
+          CROSS JOIN v),
+      sagg AS (SELECT doc_id, count(*) AS nb, sum(m) AS sm
+               FROM ssc GROUP BY doc_id),
+      assigned AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CASE WHEN sm // nb <= cut_h THEN 'head'
+               WHEN sm // nb <= cut_m THEN 'middle'
+               ELSE 'tail' END AS bucket,
+          CASE WHEN sm // nb <= cut_h THEN 0
+               WHEN sm // nb <= cut_m THEN 1 ELSE 2 END AS stage,
+          md5('cur-v1:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM sagg CROSS JOIN cuts)
+      SELECT doc_id, bucket,
+        CAST(row_number() OVER (ORDER BY stage, k, doc_id) - 1 AS BIGINT)
+          AS pos
+      FROM assigned ORDER BY pos""")),
+
     // PII redaction + triage counts over documents with deterministic
     // planted PII (email, IPv4, long digit id appended per doc). The
     // patterns are RE2-compatible so the oracle applies the SAME regex

@@ -316,6 +316,27 @@ object EventsStreaming {
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
   }
 
+  /** Streaming twin of the p29 quality-staged curriculum: documents
+    * arriving on a stream are assigned their curriculum STAGE from the
+    * frozen t27 artifact's cut-points plus their reproducible shuffle
+    * key — row-local work, no global rank, so a micro-batch landing
+    * long after the cut-points froze still gets exactly the stage the
+    * batch curriculum would give it. The global training ORDER is a
+    * property of the accumulated set, not of any single row: sorting
+    * everything assigned so far by (stage, k, doc_id) IS the batch
+    * curriculum's order (StreamingSpec pins it). Replay-idempotent the
+    * [[encodeIdsBatch]] way: each batch overwrites its batchId-keyed
+    * subdirectory. */
+  def curriculumAssignBatch(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, sfDir: String, seed: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.TextAnalysis
+      .curriculumAssignFromArtifact(spark, batch, "doc_id", "text",
+        sfDir, seed)
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+  }
+
   /** MAINTENANCE for the streaming-ingest layout — the small-file
     * problem streaming CREATES, closed by the machinery batch
     * maintenance already has: [[encodeIdsBatch]]-style sinks accumulate

@@ -1139,6 +1139,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "curriculum stream position collapsed to a single partition")
   }
 
+  test("p30 curriculum ASSIGNMENT from the frozen artifact is per-" +
+      "document only (streaming-safe): no single-partition exchange") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    graft.operators.TextAnalysis.ensureBigramLmStaged(
+      spark, dir, docs, "doc_id", "text")
+    val df = graft.operators.TextAnalysis.curriculumAssignFromArtifact(
+      spark, docs, "doc_id", "text", dir, "audit")
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "late-arrival stage assignment collapsed to a single partition " +
+        "(a global rank leaked into the streaming-safe path)")
+  }
+
   test("t27 LM-artifact SERVING is per-document only: no single-" +
       "partition exchange anywhere in the scoring plan") {
     import spark.implicits._

@@ -910,6 +910,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(once == twice,
       s"replayed batch appended duplicates: $once -> $twice")
   }
+
+  test("streaming curriculum twin (p29): micro-batches arriving after " +
+      "the cut-points froze get their stage with NO global rank, and " +
+      "sorting the accumulated assignments reproduces the batch " +
+      "curriculum's positions exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val seed = "cur-v1"
+    val corpus = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    TextAnalysis.ensureBigramLmStaged(spark, dir, corpus, "doc_id", "text")
+    // late arrivals include never-seen text — assignable without
+    // touching the frozen artifact's training corpus again
+    val served = corpus.filter($"doc_id" < 40).unionByName(
+      Seq((900001L, "spark zzzq table qqqz join the"),
+        (900002L, "zzzq qqqz zzzq")).toDF("doc_id", "text"))
+    val out = java.nio.file.Files.createTempDirectory("cur-twin").toString
+    val arrivals = served
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .as[EventsStreaming.DocArrival].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.DocArrival]
+    val q = mem.toDF().select($"doc_id", $"text").writeStream
+      .foreachBatch(
+        EventsStreaming.curriculumAssignBatch(spark, out, dir, seed) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cur-chk").toString)
+      .start()
+    try arrivals.grouped(math.max(arrivals.length / 3, 1)).foreach { b =>
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the accumulated stream assignments, ordered by (stage, k, id),
+    // ARE the batch curriculum: positions match row for row
+    val accumulated = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+      .select($"doc_id", $"bucket", $"stage", $"k")
+      .as[(Long, String, Int, String)].collect()
+      .sortBy(t => (t._3, t._4, t._1))
+      .zipWithIndex.map { case ((id, b, _, _), i) => (id, b, i.toLong) }
+      .toSeq
+    val want = TextAnalysis.curriculumFromArtifact(
+        spark, served, "doc_id", "text", dir, seed)
+      .select($"doc_id", $"bucket", $"pos")
+      .as[(Long, String, Long)].collect().sortBy(_._3).toSeq
+    assert(accumulated == want,
+      s"stream-accumulated curriculum diverged from batch " +
+        s"(${accumulated.take(3)}… vs ${want.take(3)}…)")
+    // no late-arrival rescans: the stage decision never needed a rank —
+    // a SINGLE-doc batch gets the same stage the full batch gives it
+    val lone = Seq((900002L, "zzzq qqqz zzzq")).toDF("doc_id", "text")
+    val loneStage = TextAnalysis.curriculumAssignFromArtifact(
+        spark, lone, "doc_id", "text", dir, seed)
+      .select($"stage").as[Int].head()
+    assert(loneStage ==
+      accumulated.collectFirst { case (900002L, b, _) =>
+        Seq("head", "middle", "tail").indexOf(b) }.get,
+      "a lone late micro-batch must assign the same stage")
+    // replayed micro-batch rewrites its directory, never duplicates
+    EventsStreaming.curriculumAssignBatch(spark, out, dir, seed)(
+      served.limit(4).toDF(), 99L)
+    val once = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).count()
+    EventsStreaming.curriculumAssignBatch(spark, out, dir, seed)(
+      served.limit(4).toDF(), 99L)
+    val twice = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).count()
+    assert(once == twice,
+      s"replayed batch appended duplicates: $once -> $twice")
+  }
 }
 
 /** Top-level: MemoryStream encoders need an outer-scope-free case class. */
