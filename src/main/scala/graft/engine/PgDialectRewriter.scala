@@ -282,15 +282,16 @@ object PgDialectRewriter {
     // trailing statement terminator
     while (ts.nonEmpty && ts.last == Punct(";")) ts = ts.dropRight(1)
 
-    // pg_catalog. function qualifier
+    // pg_catalog. qualifier (functions AND catalog tables — the fixture
+    // registers everything unqualified; 'pg_catalog' inside string
+    // literals is a Str token and never touched)
     ts = {
       val b = Vector.newBuilder[Tok]
       var k = 0
       while (k < ts.length) {
         if (isKw(ts(k), "pg_catalog") && k + 2 < ts.length &&
           ts(k + 1) == Punct(".") &&
-          (ts(k + 2) match { case Ident(_) => true; case _ => false }) &&
-          k + 3 < ts.length && ts(k + 3) == Punct("(")) k += 2
+          (ts(k + 2) match { case Ident(_) => true; case _ => false })) k += 2
         else { b += ts(k); k += 1 }
       }
       b.result()
@@ -351,8 +352,34 @@ object PgDialectRewriter {
                       Punct(")"), Punct(","), Str("''"), Punct(")"))
                   ts = ts.patch(k, repl, close - k + 1)
                   changed = true
-                case _ => // non-literal pattern: leave untouched
+                case _ =>
+                  // NUMERIC from/for: PG counts from a virtual position
+                  // that may be < 1 — `from 0 for 64` yields positions
+                  // 1..63 (63 chars), where Spark's substring(x, 0, 64)
+                  // would yield 64. Preserve PG:
+                  //   substring(x, greatest(a,1), (a+b) - greatest(a,1))
+                  val x = ts.slice(k + 2, f)
+                  val a = ts.slice(f + 1, r)
+                  val bb = ts.slice(r + 1, close)
+                  val ga = Vector(Ident("greatest"), Punct("(")) ++ a ++
+                    Vector(Punct(","), Num("1"), Punct(")"))
+                  val repl = Vector(Ident("substring"), Punct("(")) ++ x ++
+                    Vector(Punct(",")) ++ ga ++ Vector(Punct(","),
+                      Punct("("), Punct("(")) ++ a ++ Vector(Punct(")"),
+                      Op("+"), Punct("(")) ++ bb ++ Vector(Punct(")"),
+                      Op("-")) ++ ga ++ Vector(Punct(")"), Punct(")"))
+                  ts = ts.patch(k, repl, close - k + 1)
+                  changed = true
               }
+            case (f, -1) if f > 0 =>
+              // substring(x FROM a): start clamps to 1 in PG
+              val x = ts.slice(k + 2, f)
+              val a = ts.slice(f + 1, close)
+              val repl = Vector(Ident("substring"), Punct("(")) ++ x ++
+                Vector(Punct(","), Ident("greatest"), Punct("(")) ++ a ++
+                Vector(Punct(","), Num("1"), Punct(")"), Punct(")"))
+              ts = ts.patch(k, repl, close - k + 1)
+              changed = true
             case _ => // plain substring(s, a, b): leave untouched
           }
         }

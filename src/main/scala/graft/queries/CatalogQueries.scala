@@ -989,6 +989,17 @@ object CatalogQueries {
       (s, _) => verbatimStep(s, "alert_bloat", "01_step.sql")
         .orderBy(org.apache.spark.sql.functions.col("index_name")),
       oracle = Some(PgCatalog.withCatalog(alertBloatVerbatim))),
+    // the blocked↔blocking lock pairs packet, byte-identical: exercises
+    // IS NOT DISTINCT FROM (nine NULL-heavy columns), the numeric
+    // substring(q FROM 0 FOR 64) form (PG yields 63 chars from the
+    // virtual position 0 — preserved), and pg_catalog.-qualified TABLE
+    // names. Oracle = the re-authored c02 body (same output columns,
+    // same 63-char truncation).
+    QuerySpec("c22_verbatim_dba_locks",
+      (s, _) => verbatimStep(s, "dba_locks", "01_step.sql")
+        .orderBy(org.apache.spark.sql.functions.col("blocked_pid"),
+          org.apache.spark.sql.functions.col("blocker_pid")),
+      oracle = Some(PgCatalog.withCatalog(dbaLocks))),
     QuerySpec("c04_dba_idx_diag_array_join",
       (s, _) => dbaIdxDiagArrayJoin(s),
       oracle = Some(PgCatalog.withCatalog("""

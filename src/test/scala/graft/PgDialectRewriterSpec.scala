@@ -41,6 +41,14 @@ class PgDialectRewriterSpec extends AnyFunSuite {
     // plain substring stays untouched
     assert(run("SELECT substring('abcdef', 2, 3) AS s").head.getString(0)
       == "bcd")
+    // numeric FROM/FOR keeps PG's virtual-position semantics:
+    // from 0 for 4 = positions 1..3 (3 chars), not Spark's 4
+    assert(run("SELECT substring('abcdef' FROM 0 FOR 4) AS s")
+      .head.getString(0) == "abc")
+    assert(run("SELECT substring('abcdef' FROM 2 FOR 3) AS s")
+      .head.getString(0) == "bcd")
+    assert(run("SELECT substring('abcdef' FROM 0) AS s")
+      .head.getString(0) == "abcdef")
   }
 
   test("ANY/ALL over ARRAY[…], regex matches, IS NOT DISTINCT FROM, " +
