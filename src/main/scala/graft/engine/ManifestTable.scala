@@ -192,6 +192,24 @@ object ManifestTable {
   private[engine] def swapRootPointer(root: String, name: String): Unit =
     swapPointer(fsFor(root), root, name)
 
+  /** Repoint the MANIFEST at an EXISTING version directory — rollback's
+    * metadata-only primitive: no data is read, written, moved, or GC'd
+    * (the caller — PartitionedManifest.rollback — owns horizon
+    * bookkeeping via its snapshot protection; running [[gc]] here could
+    * collect the version being abandoned while the snapshot that names
+    * it is still kept). The target directory must exist; fails loudly
+    * otherwise. */
+  private[engine] def repointVersion(root: String, ver: String): Unit = {
+    val fs = fsFor(root)
+    val unlock = acquireLock(fs, root)
+    try {
+      require(fs.exists(new HPath(s"$root/$ver")),
+        s"ManifestTable: rollback target $root/$ver does not exist " +
+          "(past the keep-N horizon?)")
+      swapPointer(fs, root, ver)
+    } finally unlock()
+  }
+
   /** Atomic create-new of the lock file; breaks locks older than
     * [[LockStaleMs]] (a crashed publisher), fails loudly on a live one. */
   /** Run `f` holding the root's publish lock — PartitionedManifest's

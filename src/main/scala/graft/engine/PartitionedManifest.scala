@@ -404,6 +404,161 @@ object PartitionedManifest {
       .filter(_.startsWith("s")).sorted.toSeq
   }
 
+  // ---------------------------------------------------------------------
+  // NAMED REFS (tags): immutable name → snapshot bindings under _refs/.
+  // A tagged snapshot is pinned OUTSIDE the keep-N horizon: its snapshot
+  // file survives the commit-time trim and (because every GC protection
+  // set is derived from the snapshot files still present under
+  // _snapshots/) its version directories stay protected until the tag is
+  // dropped — the Iceberg tag retention contract.
+
+  private val RefsDir = "_refs"
+
+  private def checkRefName(name: String): String = {
+    require(name.nonEmpty && name.length <= 128 && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"PartitionedManifest: unsupported ref name '$name' - letters, " +
+        "digits, dot, underscore, dash only (ref names are file names)")
+    name
+  }
+
+  /** Tag a committed snapshot with an immutable name (defaults to the
+    * CURRENT snapshot). Fails loudly if the name exists (tags never
+    * move — use a new name) or the snapshot is unknown. Returns the
+    * tagged snapshot id. */
+  def tagSnapshot(spark: SparkSession, root: String, name: String,
+      snapshot: Option[String] = None): String = {
+    checkRefName(name)
+    val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
+      sys.error(s"PartitionedManifest: no snapshot committed under $root"))
+    require(snapshots(spark, root).contains(snap),
+      s"PartitionedManifest: cannot tag unknown/expired snapshot $snap")
+    // immutable create-once: conditional PUT on a store-backed root,
+    // tmp+rename-no-overwrite elsewhere — two racing taggers of the
+    // same name cannot both succeed
+    ManifestTable.writeOnce(root, s"$RefsDir/$name", snap + "\n")
+    snap
+  }
+
+  /** All named refs: tag name → snapshot id. */
+  def tags(spark: SparkSession, root: String): Map[String, String] = {
+    val fs = fsOf(spark, root)
+    val dir = new HPath(root, RefsDir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith(".")).map { s =>
+      val in = fs.open(s.getPath)
+      val snap = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      s.getPath.getName -> snap
+    }.toMap
+  }
+
+  /** Drop a tag. The snapshot it pinned re-enters the normal keep-N
+    * horizon at the NEXT commit (trim and version GC are commit-time
+    * activities — nothing is deleted here). */
+  def dropTag(spark: SparkSession, root: String, name: String): Unit =
+    fsOf(spark, root).delete(
+      new HPath(root, s"$RefsDir/${checkRefName(name)}"), false)
+
+  /** Resolve a ref: a tag name, a literal snapshot id, or None for the
+    * current snapshot. */
+  def resolveRef(spark: SparkSession, root: String,
+      ref: Option[String]): Option[String] = ref match {
+    case None => currentSnapshot(spark, root)
+    case Some(r) => tags(spark, root).get(r).orElse(Some(r))
+  }
+
+  /** ROLLBACK: restore the table to `toSnap`'s state as a NEW commit —
+    * history moves forward (the bad commits stay readable until the
+    * horizon drops them), exactly Iceberg's
+    * `rollback_to_snapshot`. METADATA-ONLY: no data is read, written,
+    * or copied; each diverged partition's pointer is swapped back to
+    * the target snapshot's version directory (which the keep-N/tag
+    * protection has kept alive), and the root pointer advances to a
+    * fresh snapshot file carrying the restored mapping. `toSnap` may
+    * be a tag name.
+    *
+    * Partitions CREATED after the target snapshot are not covered by
+    * the restored mapping: snapshot readers correctly never see them,
+    * but the live per-partition `read()` path would — so rollback
+    * fails loudly if any exist rather than serving two readers two
+    * different answers. Drop or ignore such partitions explicitly
+    * first. */
+  def rollback(spark: SparkSession, root: String, partCol: String,
+      toSnap: String, keepSnapshots: Int = 2): String = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
+    ManifestTable.withPublishLock(root) {
+      val snap = resolveRef(spark, root, Some(toSnap)).get
+      val target = snapshotMapping(spark, root, snap).toMap
+      require(target.nonEmpty,
+        s"PartitionedManifest: empty rollback target $snap")
+      val extra = partitionValues(spark, root, partCol)
+        .filterNot(target.contains)
+      require(extra.isEmpty,
+        s"PartitionedManifest: partitions ${extra.mkString(",")} were " +
+          s"created after $snap - rollback cannot restore their absence " +
+          "for live-pointer readers; remove them first")
+      val fs = fsOf(spark, root)
+      target.toSeq.sortBy(_._1).foreach { case (v, d) =>
+        val pr = s"$root/$partCol=$v"
+        if (!ManifestTable.currentVersion(pr).contains(d)) {
+          require(fs.exists(new HPath(s"$pr/$d")),
+            s"PartitionedManifest: rollback target dir $pr/$d is gone")
+          ManifestTable.repointVersion(pr, d)
+        }
+      }
+      writeSnapshotFileLocked(spark, root, target.toSeq.sortBy(_._1),
+        keepSnapshots)
+    }
+  }
+
+  /** Incremental (CDC) read: the row-level changes between two kept
+    * snapshots (either end may be a tag name). The diff is
+    * METADATA-FIRST: a partition contributes rows only when its version
+    * DIRECTORY differs between the two commits — an untouched partition
+    * is never listed, planned, or read, so the cost scales with the
+    * delta's partition footprint, not the table (the Iceberg
+    * incremental-scan contract; at 100 TB a reader of a 0.1% delta
+    * touches 0.1% of the table). Within changed partitions the multiset
+    * row diff is emitted with `changeCol` ∈ {'insert','delete'} (an
+    * updated row appears as its delete + its insert — the Delta CDF
+    * shape without stored change files: CDC here is DERIVED from the
+    * immutable version directories, costing ingest nothing).
+    *
+    * Each side's changed directories are read as ONE relation (no
+    * per-partition union branch); the partition value is recovered from
+    * the directory path. The row diff is `exceptAll` both ways — two
+    * hash exchanges over only the changed partitions' rows. */
+  def changesBetween(spark: SparkSession, root: String, partCol: String,
+      partType: String, fromRef: String, toRef: String,
+      changeCol: String = "_change_type"): DataFrame = {
+    val fromSnap = resolveRef(spark, root, Some(fromRef)).get
+    val toSnap = resolveRef(spark, root, Some(toRef)).get
+    val from = snapshotMapping(spark, root, fromSnap).toMap
+    val to = snapshotMapping(spark, root, toSnap).toMap
+    val changed = (from.keySet ++ to.keySet)
+      .filter(v => from.get(v) != to.get(v)).toSeq.sorted
+    def side(m: Map[String, String]): Option[DataFrame] = {
+      val dirs = changed.flatMap(v =>
+        m.get(v).map(d => s"$root/$partCol=$v/$d"))
+      if (dirs.isEmpty) None
+      else Some(readDirsWithPartCol(spark, dirs, partCol, partType))
+    }
+    (side(from), side(to)) match {
+      case (None, None) =>
+        // no changed partitions: empty result with the table's schema
+        readSnapshot(spark, root, partCol, partType, Some(toSnap))
+          .limit(0).withColumn(changeCol, lit(""))
+      case (f, t) =>
+        val fDf = f.orElse(t.map(_.limit(0))).get
+        val tDf = t.orElse(f.map(_.limit(0))).get
+        tDf.exceptAll(fDf).withColumn(changeCol, lit("insert"))
+          .unionByName(
+            fDf.exceptAll(tDf).withColumn(changeCol, lit("delete")))
+    }
+  }
+
   /** Commit a snapshot: write ALL touched partitions' new version
     * directories in ONE Spark job (hive-partitioned scratch write, then
     * per-directory adoption — the seed() machinery, so a 500-partition
@@ -500,7 +655,12 @@ object PartitionedManifest {
     // aborts mid-way (the pointer would still name it). Its uniquely-
     // referenced dirs collect lazily on the partition's next touch,
     // after the snapshot file itself is dropped below.
-    val keptOld = snapshots(spark, root).takeRight(keepSnapshots)
+    // tagged snapshots are pinned outside the horizon: their version
+    // dirs must survive partition GC exactly like the kept-N's
+    val taggedSnaps = tags(spark, root).values.toSet
+    val allSnaps = snapshots(spark, root)
+    val keptOld = (allSnaps.filter(taggedSnaps) ++
+      allSnaps.takeRight(keepSnapshots)).distinct
     val protectByPart: Map[String, Set[String]] = keptOld
       .flatMap(sn => snapshotMapping(spark, root, sn))
       .groupBy(_._1).map { case (v, dirs) => v -> dirs.map(_._2).toSet }
@@ -522,7 +682,18 @@ object PartitionedManifest {
       }
       v -> new HPath(dir).getName
     }.toMap
-    val mapping = (base ++ written).toSeq.sortBy(_._1)
+    writeSnapshotFileLocked(spark, root, (base ++ written).toSeq.sortBy(_._1),
+      keepSnapshots)
+  }
+
+  /** Write + atomically publish a snapshot file carrying `mapping`,
+    * then trim snapshot files past the keep-N horizon — TAGGED
+    * snapshots survive the trim until their tag is dropped. Caller
+    * holds the root publish lock. Shared tail of [[commitSnapshot]]
+    * and [[rollback]]. */
+  private def writeSnapshotFileLocked(spark: SparkSession, root: String,
+      mapping: Seq[(String, String)], keepSnapshots: Int): String = {
+    val fs = fsOf(spark, root)
     fs.mkdirs(new HPath(root, SnapDir))
     val gen = snapshots(spark, root).lastOption
       .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
@@ -537,8 +708,9 @@ object PartitionedManifest {
     ManifestTable.swapRootPointer(root, snap)
     // drop snapshot files past the keep-N horizon (their uniquely-
     // referenced version dirs are collected lazily, on each partition's
-    // next touch)
-    val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet + snap
+    // next touch); TAGGED snapshots are pinned until untagged
+    val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet +
+      snap ++ tags(spark, root).values
     snapshots(spark, root).filterNot(keep).foreach(s =>
       fs.delete(new HPath(root, s"$SnapDir/$s"), false))
     snap
@@ -695,6 +867,88 @@ object PartitionedManifest {
     }
     (lastSnap.orElse(currentSnapshot(spark, root)).getOrElse(""),
       done.sorted.toSeq)
+  }
+
+  // ---------------------------------------------------------------------
+  // FILE-LEVEL DATA SKIPPING (zone maps): ANALYZE collects parquet
+  // footer min/max per file into an immutable sidecar per version dir
+  // (see [[FileStats]]); a range scan drops whole files whose [min,max]
+  // cannot intersect the predicate — the pruning layer BELOW partition
+  // pruning, at zero collection IO (footers only).
+
+  /** Collect file-level min/max stats for `cols` on every LIVE version
+    * directory of the table. Idempotent per version (version dirs are
+    * immutable; an analyzed one is skipped), so scheduling this after
+    * every commit costs one footer sweep of the DELTA's files only.
+    * Returns the number of version dirs newly analyzed. */
+  def analyzeFileStats(spark: SparkSession, root: String, partCol: String,
+      cols: Seq[String]): Int =
+    partitionValues(spark, root, partCol).map { v =>
+      val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
+        .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
+      if (FileStats.collect(spark, dir, cols) >= 0) 1 else 0
+    }.sum
+
+  /** Range scan with FILE-LEVEL skipping: serve `col BETWEEN lo AND hi`
+    * reading only the files whose zone map may contain a match.
+    * Partition-value pruning can ride on top (`partitions`); within the
+    * surviving partitions, analyzed versions drop non-intersecting
+    * files and UNanalyzed versions keep all theirs (stats are an
+    * optimization — absence can never change results). The kept files
+    * read as ONE relation; the predicate is RE-APPLIED row-level, so
+    * skipping is pure IO elision. Returns (rows, filesKept,
+    * filesTotal) — callers assert the elision they expect.
+    *
+    * Scale shape: the sidecar reads are per-partition metadata
+    * (pointer-resolution cost class); the saved work is full FILE
+    * scans, the dominant term at 100 TB for selective predicates on
+    * clustered columns (e.g. p22's hilbert layout or any
+    * time-ordered ingest makes most columns file-clustered). */
+  def scanWithFileSkipping(spark: SparkSession, root: String,
+      partCol: String, partType: String, column: String,
+      lo: Double, hi: Double,
+      partitions: Option[Seq[String]] = None)
+      : (DataFrame, Int, Int) = {
+    val parts = partitions.getOrElse(partitionValues(spark, root, partCol))
+    var total = 0
+    var keptFiles = Vector.empty[String]
+    parts.foreach { v =>
+      val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
+        .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
+      val stats = FileStats.statsFor(spark, dir)
+      val files = fsOf(spark, root).listStatus(new HPath(dir))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).sorted
+      total += files.length
+      keptFiles ++= files.filter { f =>
+        val name = new HPath(f).getName
+        stats.flatMap(_.get(name)).flatMap(_.get(column)) match {
+          case Some(cs) => cs.mayMatch(lo, hi)
+          case None => true // no stats for this file/column: never skip
+        }
+      }
+    }
+    val df =
+      if (keptFiles.isEmpty)
+        read(spark, root, partCol, partType).limit(0)
+      else readDirsWithPartCol(spark, keptFiles, partCol, partType)
+    (df.filter(col(column) >= lo && col(column) <= hi),
+      keptFiles.length, total)
+  }
+
+  /** Read a set of paths as ONE relation, recovering the partition
+    * value from the `partCol=value` path segment via the DETERMINISTIC
+    * hidden file-metadata column (shared by [[changesBetween]] and
+    * [[scanWithFileSkipping]]). */
+  private def readDirsWithPartCol(spark: SparkSession, paths: Seq[String],
+      partCol: String, partType: String): DataFrame = {
+    val df = spark.read.parquet(paths: _*)
+    df.withColumn(partCol,
+      regexp_extract(col("_metadata.file_path"),
+        java.util.regex.Pattern.quote(s"/$partCol=") + "([^/]+)/", 1)
+        .cast(partType))
+      .select((df.columns.map(col) :+ col(partCol)): _*)
   }
 
   /** Read a COMMITTED snapshot — every partition at one commit, the

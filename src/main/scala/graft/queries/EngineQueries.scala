@@ -417,6 +417,179 @@ object EngineQueries {
         CAST(s_nationkey % 5 AS BIGINT) AS bk
       FROM supplier ORDER BY s_suppkey"""), bench = true),
 
+    // CDC / INCREMENTAL READ (PartitionedManifest.changesBetween): the
+    // row-level diff between two snapshot commits, derived from the
+    // immutable version directories — no stored change files, ingest
+    // pays nothing. The diff is metadata-FIRST: only partitions whose
+    // version directory moved between the commits are listed or read
+    // (require()d below via inputFiles — the delta touches bk=1 only,
+    // so every planned file must live under bk=1), then the multiset
+    // row diff labels inserts and deletes (an update = delete+insert,
+    // the Delta CDF shape). The oracle replays the delta construction
+    // and both EXCEPT ALLs relationally.
+    QuerySpec("w11_cdc_changes", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{lit, when}
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w11").toString
+      val base = Tables.load(s, dir, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"),
+          $"c_acctbal".cast("double").as("c_acctbal"),
+          ($"c_custkey" % 4).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, base, "bk")
+      val s1 = PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty)
+      val old1 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .filter($"bk" === 1)
+      // the delta on bk=1: update custkey%10==1, delete custkey%20==13,
+      // insert a shifted row per custkey%40==1
+      val new1 = old1.filter($"c_custkey" % 20 =!= 13)
+        .withColumn("c_acctbal", when($"c_custkey" % 10 === 1,
+          $"c_acctbal" + 50.0).otherwise($"c_acctbal"))
+        .unionByName(old1.filter($"c_custkey" % 40 === 1)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+            lit(0.0).as("c_acctbal"), $"bk"))
+      val s2 = PartitionedManifest.commitSnapshot(s, root, "bk",
+        Map("1" -> new1))
+      val ch = PartitionedManifest.changesBetween(s, root, "bk", "int",
+        s1, s2, changeCol = "change_type")
+      require(ch.inputFiles.nonEmpty &&
+          ch.inputFiles.forall(_.contains("/bk=1/")),
+        "CDC must plan ONLY the changed partition's files: " +
+          ch.inputFiles.filterNot(_.contains("/bk=1/")).mkString(","))
+      ch.select($"c_custkey", $"c_acctbal", $"bk".cast("long").as("bk"),
+          $"change_type")
+        .orderBy($"change_type", $"c_custkey", $"c_acctbal")
+    }, oracle = Some("""
+      WITH old1 AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               CAST(c_custkey % 4 AS BIGINT) AS bk
+        FROM customer WHERE c_custkey % 4 = 1),
+      new1 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 50.0
+                    ELSE c_acctbal END AS c_acctbal, bk
+        FROM old1 WHERE c_custkey % 20 <> 13
+        UNION ALL
+        SELECT c_custkey + 1000000, 0.0, bk
+        FROM old1 WHERE c_custkey % 40 = 1),
+      ins AS (SELECT *, 'insert' AS change_type FROM
+                (SELECT * FROM new1 EXCEPT ALL SELECT * FROM old1)),
+      del AS (SELECT *, 'delete' AS change_type FROM
+                (SELECT * FROM old1 EXCEPT ALL SELECT * FROM new1))
+      SELECT c_custkey, c_acctbal, bk, change_type
+      FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+      ORDER BY change_type, c_custkey, c_acctbal"""), bench = true),
+
+    // ROLLBACK + NAMED TAGS (PartitionedManifest.rollback/tagSnapshot):
+    // the Iceberg rollback_to_snapshot + tag-retention contract on the
+    // manifest table format. The initial commit is TAGGED, which pins
+    // it OUTSIDE the keep-2 horizon (two later commits would otherwise
+    // expire it — require()d below); rollback to the tag is
+    // METADATA-ONLY (require()d: the restored partition's live version
+    // DIRECTORY is identical, not merely equal in content) and lands as
+    // a NEW forward commit. The query serves the rolled-back table both
+    // through the live path and through the tag-pinned snapshot; the
+    // oracle says both must equal the original content.
+    QuerySpec("w12_rollback_tag", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat, lit}
+      import graft.engine.{ManifestTable, PartitionedManifest}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w12").toString
+      val nation = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          ($"n_regionkey" % 2).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, nation, "bk")
+      val s1 = PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty)
+      PartitionedManifest.tagSnapshot(s, root, "release-1")
+      val taggedDir0 = ManifestTable.currentDataDir(s"$root/bk=0").get
+      def bump(v: Int, suffix: String) = {
+        val p = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+          .filter($"bk" === v)
+          .select($"n_nationkey",
+            concat($"n_name", lit(suffix)).as("n_name"))
+        PartitionedManifest.commitSnapshot(s, root, "bk",
+          Map(v.toString -> p))
+      }
+      bump(0, " (bad)")
+      bump(1, " (worse)")
+      // keep-2 horizon + the tag: s1 must SURVIVE the two trims
+      val snaps = PartitionedManifest.snapshots(s, root)
+      require(snaps.contains(s1) && snaps.length == 3,
+        s"tagged snapshot must outlive the keep-2 horizon: $snaps")
+      PartitionedManifest.rollback(s, root, "bk", "release-1")
+      require(ManifestTable.currentDataDir(s"$root/bk=0")
+          .contains(taggedDir0),
+        "rollback must repoint to the ORIGINAL version dir (metadata-" +
+          "only), not rewrite content")
+      val live = PartitionedManifest.read(s, root, "bk", "int")
+        .withColumn("src", lit("live"))
+      val tagged = PartitionedManifest.readSnapshot(s, root, "bk", "int",
+          PartitionedManifest.resolveRef(s, root, Some("release-1")))
+        .withColumn("src", lit("tag"))
+      live.unionByName(tagged)
+        .select($"src", $"n_nationkey", $"n_name",
+          $"bk".cast("long").as("bk"))
+        .orderBy($"src", $"n_nationkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey % 2 AS BIGINT) AS bk
+        FROM nation)
+      SELECT src, n_nationkey, n_name, bk
+      FROM (SELECT 'live' AS src, * FROM base
+            UNION ALL SELECT 'tag' AS src, * FROM base)
+      ORDER BY src, n_nationkey"""), bench = true),
+
+    // FILE-LEVEL DATA SKIPPING (FileStats + scanWithFileSkipping): zone
+    // maps below partition pruning. Each partition's version is written
+    // RANGE-CLUSTERED on o_orderkey (4 files with disjoint key spans —
+    // any time-ordered ingest gives this layout for free), ANALYZE
+    // collects parquet FOOTER min/max per file (zero data bytes read),
+    // and a selective range scan then drops whole files before Spark
+    // plans them — require()d: at least half the files are skipped, and
+    // (inputFiles) only surviving files are planned. The row-level
+    // predicate is re-applied, so the oracle is the plain relational
+    // filter: skipping can elide IO but never change a row.
+    QuerySpec("w13_file_skipping", (s, dir) => {
+      import s.implicits._
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w13").toString
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"),
+          ($"o_custkey" % 2).cast("int").as("bk"))
+      Seq(0, 1).foreach { v =>
+        PartitionedManifest.publishPartition(s, root, "bk", v.toString,
+          base.filter($"bk" === v)
+            .repartitionByRange(4, $"o_orderkey")
+            .sortWithinPartitions($"o_orderkey"))
+      }
+      PartitionedManifest.analyzeFileStats(s, root, "bk",
+        Seq("o_orderkey"))
+      val hi = math.floor(base.agg(org.apache.spark.sql.functions
+        .max($"o_orderkey")).head.getLong(0) / 8.0)
+      val (df, kept, total) = PartitionedManifest.scanWithFileSkipping(
+        s, root, "bk", "int", "o_orderkey", 1.0, hi)
+      require(total >= 8 && kept * 2 <= total,
+        s"zone maps must skip at least half the files: kept $kept of $total")
+      require(df.inputFiles.length == kept,
+        "the plan must reference ONLY the surviving files")
+      df.select($"o_orderkey", $"o_totalprice",
+          $"bk".cast("long").as("bk"))
+        .orderBy($"o_orderkey")
+    }, oracle = Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(o_custkey % 2 AS BIGINT) AS bk
+      FROM orders
+      WHERE o_orderkey >= 1
+        AND o_orderkey <= (SELECT FLOOR(MAX(o_orderkey) / 8.0) FROM orders)
+      ORDER BY o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

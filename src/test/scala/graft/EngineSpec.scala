@@ -1264,4 +1264,181 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.conf.set(advisory, prior)
   }
 
+  test("changesBetween: metadata-first diff — identical snapshots are " +
+      "empty, a new partition is all inserts, a dropped partition all " +
+      "deletes, and only changed partitions' files are planned") {
+    val root = Files.createTempDirectory("graft-cdc").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val rows = (0 until 2).flatMap(b => (1 to 10).map(i =>
+      ((b * 100 + i).toLong, b)))
+    PartitionedManifest.seed(spark, root, rows.toDF("i", "bk"), "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map.empty, keepSnapshots = 4)
+    // same snapshot both ends: zero changed partitions, empty result
+    // with the table schema + change column
+    val same = PartitionedManifest.changesBetween(spark, root, "bk",
+      "int", s1, s1)
+    assert(same.count() == 0L)
+    assert(same.columns.toSeq == Seq("i", "bk", "_change_type"))
+    // s2 adds partition bk=2 and leaves 0,1 untouched
+    val s2 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("2" -> (201 to 205).map(_.toLong).toDF("i")), keepSnapshots = 4)
+    val ch = PartitionedManifest.changesBetween(spark, root, "bk", "int",
+      s1, s2)
+    assert(ch.inputFiles.nonEmpty &&
+      ch.inputFiles.forall(_.contains("/bk=2/")),
+      s"untouched partitions were planned: ${ch.inputFiles.toSeq}")
+    val got = ch.select($"i", $"_change_type").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == (201 to 205).map(i => (i.toLong, "insert")))
+    // reverse direction: the same delta reads as deletes
+    val rev = PartitionedManifest.changesBetween(spark, root, "bk", "int",
+      s2, s1)
+    assert(rev.select($"_change_type").distinct.as[String]
+      .collect().toSeq == Seq("delete"))
+    // a row-level rewrite: update i=1 (+1000), delete i=2 in bk=0
+    val p0 = (Seq(1001L) ++ (3 to 10).map(_.toLong)).toDF("i")
+    val s3 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("0" -> p0), keepSnapshots = 4)
+    val d = PartitionedManifest.changesBetween(spark, root, "bk", "int",
+      s2, s3).select($"i", $"_change_type").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(d == Seq((1L, "delete"), (2L, "delete"), (1001L, "insert")), d)
+  }
+
+  test("tags pin snapshots and their version dirs past the keep-N " +
+      "horizon; tag names are immutable; dropTag re-enters the horizon " +
+      "at the next commit") {
+    val root = Files.createTempDirectory("graft-tags").toString
+    import spark.implicits._
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    PartitionedManifest.seed(spark, root,
+      (1 to 10).map(i => (i.toLong, i % 2)).toDF("i", "bk"), "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    assert(PartitionedManifest.tagSnapshot(spark, root, "gold") == s1)
+    // immutable: re-tagging the same name fails loudly
+    intercept[Exception] {
+      PartitionedManifest.tagSnapshot(spark, root, "gold")
+    }
+    // tagging an unknown snapshot fails loudly
+    intercept[Exception] {
+      PartitionedManifest.tagSnapshot(spark, root, "bad",
+        Some("s999999-nope"))
+    }
+    val dir0 = ManifestTable.currentDataDir(s"$root/bk=0").get
+    // two keep-2 commits rewriting bk=0: s1 would expire without the tag
+    (1 to 2).foreach { k =>
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("0" -> (1 to 10).map(i => (i * 10L * k)).toDF("i")))
+    }
+    val snaps = PartitionedManifest.snapshots(spark, root)
+    assert(snaps.contains(s1), s"tagged snapshot trimmed: $snaps")
+    assert(snaps.length == 3, snaps)
+    // the tagged version DIR survived partition GC: reading the tagged
+    // snapshot still serves the original rows
+    assert(new java.io.File(dir0.stripPrefix("file:")).isDirectory,
+      s"tagged version dir collected: $dir0")
+    val tagged = PartitionedManifest.readSnapshot(spark, root, "bk",
+      "int", PartitionedManifest.resolveRef(spark, root, Some("gold")))
+    assert(tagged.select($"i").as[Long].collect().sorted.toSeq ==
+      (1L to 10L))
+    // drop the tag: the NEXT commit trims s1 and its unique dirs are
+    // collectable on the partition's next touch
+    PartitionedManifest.dropTag(spark, root, "gold")
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("0" -> (1 to 10).map(i => (i * 1000L)).toDF("i")))
+    assert(!PartitionedManifest.snapshots(spark, root).contains(s1))
+    assert(PartitionedManifest.tags(spark, root).isEmpty)
+  }
+
+  test("rollback restores the tagged state metadata-only as a forward " +
+      "commit and fails loudly on partitions created after the target") {
+    val root = Files.createTempDirectory("graft-rollback").toString
+    import spark.implicits._
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    PartitionedManifest.seed(spark, root,
+      (1 to 10).map(i => (i.toLong, i % 2)).toDF("i", "bk"), "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    PartitionedManifest.tagSnapshot(spark, root, "r1")
+    val origDir0 = ManifestTable.currentDataDir(s"$root/bk=0").get
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("0" -> Seq(999L).toDF("i")))
+    // a partition created AFTER the target blocks rollback (live
+    // readers would otherwise still see it) — fails loudly
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("7" -> Seq(777L).toDF("i")))
+    val ex = intercept[Exception] {
+      PartitionedManifest.rollback(spark, root, "bk", "r1")
+    }
+    assert(ex.getMessage.contains("created after"), ex.getMessage)
+    // remove the extra partition dir, then rollback succeeds
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/bk=7"), true)
+    val s4 = PartitionedManifest.rollback(spark, root, "bk", "r1")
+    assert(s4 != s1, "rollback must be a NEW commit, not a pointer reuse")
+    assert(PartitionedManifest.currentSnapshot(spark, root).contains(s4))
+    // metadata-only: bk=0's live pointer is the ORIGINAL version dir
+    assert(ManifestTable.currentDataDir(s"$root/bk=0").contains(origDir0))
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .select($"i").as[Long].collect().sorted.toSeq == (1L to 10L))
+    // rolling back to a missing ref fails loudly
+    intercept[Exception] {
+      PartitionedManifest.rollback(spark, root, "bk", "no-such-ref")
+    }
+  }
+
+  test("file skipping: unanalyzed versions never skip, analyzed ones " +
+      "skip only non-intersecting files, and results match the full " +
+      "scan exactly") {
+    val root = Files.createTempDirectory("graft-zonemap").toString
+    import spark.implicits._
+    import graft.engine.{FileStats, ManifestTable, PartitionedManifest}
+    // two partitions, each range-clustered into 4 files over disjoint
+    // i-spans
+    Seq(0, 1).foreach { b =>
+      val df = (1 to 400).map(i => (b * 1000 + i).toLong).toDF("i")
+        .repartitionByRange(4, $"i").sortWithinPartitions($"i")
+      PartitionedManifest.publishPartition(spark, root, "bk",
+        b.toString, df)
+    }
+    // no sidecar yet: nothing may be skipped (stats are an optimization)
+    val (df0, kept0, total0) = PartitionedManifest.scanWithFileSkipping(
+      spark, root, "bk", "int", "i", 1.0, 50.0)
+    assert(total0 == 8 && kept0 == 8, s"unanalyzed: $kept0/$total0")
+    assert(df0.select($"i").as[Long].collect().sorted.toSeq == (1L to 50L))
+    assert(PartitionedManifest.analyzeFileStats(spark, root, "bk",
+      Seq("i")) == 2)
+    // re-analyze is a no-op (idempotent per immutable version)
+    assert(PartitionedManifest.analyzeFileStats(spark, root, "bk",
+      Seq("i")) == 0)
+    val (df1, kept1, total1) = PartitionedManifest.scanWithFileSkipping(
+      spark, root, "bk", "int", "i", 1.0, 50.0)
+    assert(total1 == 8 && kept1 == 1, s"analyzed: $kept1/$total1")
+    assert(df1.select($"i").as[Long].collect().sorted.toSeq == (1L to 50L))
+    // a band covering most of partition 0 plus partition 1's low file
+    // keeps exactly the intersecting files (4 of bk=0 + 1 of bk=1),
+    // skipping bk=1's upper three
+    val (df2, kept2, _) = PartitionedManifest.scanWithFileSkipping(
+      spark, root, "bk", "int", "i", 90.0, 1010.0)
+    assert(kept2 == 5, s"kept $kept2")
+    assert(df2.select($"i").as[Long].collect().sorted.toSeq ==
+      ((90L to 400L) ++ (1001L to 1010L)))
+    // stats survive under the version dir as an underscore sidecar the
+    // normal readers ignore
+    val dir0 = ManifestTable.currentDataDir(s"$root/bk=0").get
+    assert(FileStats.statsFor(spark, dir0).exists(_.nonEmpty))
+    assert(PartitionedManifest.read(spark, root, "bk", "int").count() ==
+      800L)
+    // a publish makes a NEW version (no sidecar): back to never-skip
+    // until re-analyzed
+    PartitionedManifest.publishPartition(spark, root, "bk", "0",
+      (1 to 400).map(i => i.toLong * 2).toDF("i"))
+    val (_, kept3, total3) = PartitionedManifest.scanWithFileSkipping(
+      spark, root, "bk", "int", "i", 1.0, 50.0,
+      partitions = Some(Seq("0")))
+    assert(kept3 == total3, s"new version must not inherit stats")
+  }
+
 }
