@@ -270,7 +270,8 @@ object PgDialectRewriter {
     "text" -> "STRING", "varchar" -> "STRING",
     "numeric" -> "DOUBLE", "decimal" -> "DOUBLE",
     "float4" -> "DOUBLE", "float8" -> "DOUBLE", "real" -> "DOUBLE",
-    "double" -> "DOUBLE",
+    "double" -> "DOUBLE", "float" -> "DOUBLE", // PG float = float8
+
     "boolean" -> "BOOLEAN", "bool" -> "BOOLEAN",
     "date" -> "DATE", "timestamp" -> "TIMESTAMP", "timestamptz" -> "TIMESTAMP")
   private val dropTargets =
@@ -596,6 +597,18 @@ object PgDialectRewriter {
             case QIdent(q) => q.substring(1, q.length - 1).toLowerCase
             case t => sys.error(s"PgDialectRewriter: bad cast target $t")
           }
+          // multi-word PG type names: consume the qualifier tokens.
+          // `timestamp with/without time zone` both map to the session
+          // TIMESTAMP (the fixture carries UTC micros either way);
+          // `double precision` is plain DOUBLE.
+          val extraWords: Int =
+            if ((tname == "timestamp" || tname == "time") &&
+              k + 4 < ts.length &&
+              (isKw(ts(k + 2), "with") || isKw(ts(k + 2), "without")) &&
+              isKw(ts(k + 3), "time") && isKw(ts(k + 4), "zone")) 3
+            else if (tname == "double" && k + 2 < ts.length &&
+              isKw(ts(k + 2), "precision")) 1
+            else 0
           val s = primaryStart(ts, k - 1)
           val operand = ts.slice(s, k)
           // PG names a bare select-item `col::type` after the COLUMN;
@@ -610,8 +623,9 @@ object PgDialectRewriter {
           }
           val wholeItem = pureColumn &&
             (s == 0 || ts(s - 1) == Punct(",") || isKw(ts(s - 1), "select")) &&
-            (k + 2 >= ts.length || ts(k + 2) == Punct(",") ||
-              isKw(ts(k + 2), "from"))
+            (k + 2 + extraWords >= ts.length ||
+              ts(k + 2 + extraWords) == Punct(",") ||
+              isKw(ts(k + 2 + extraWords), "from"))
           val autoAlias: Vector[Tok] =
             if (wholeItem) operand.last match {
               case id: Ident => Vector(Ident("AS"), id)
@@ -644,11 +658,20 @@ object PgDialectRewriter {
                 autoAlias
             else sys.error(
               s"PgDialectRewriter: unsupported cast target '$tname'")
-          ts = ts.patch(s, repl, k + 2 - s)
+          ts = ts.patch(s, repl, k + 2 + extraWords - s)
           changed = true
         }
         k += 1
       }
+    }
+
+    // PG double-quoted identifiers → Spark backtick identifiers (LAST:
+    // earlier passes match on QIdent; `""` is PG's embedded quote)
+    ts = ts.map {
+      case QIdent(q) =>
+        val inner = q.substring(1, q.length - 1).replace("\"\"", "\"")
+        Ident("`" + inner.replace("`", "``") + "`")
+      case t => t
     }
 
     render(ts)

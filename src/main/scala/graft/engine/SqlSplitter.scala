@@ -14,7 +14,21 @@ object SqlSplitter {
     val out = ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0
-    var state: Char = 'n' // n=normal, s='...', d="...", l=line comment, b=block comment
+    var state: Char = 'n' // n=normal, s='...', d="...", l=line comment, b=block comment, $=dollar-quoted
+    var dqTag = "" // the $tag$ that opened the current dollar-quoted body
+    // PG dollar-quote opener at position i: $$ or $tag$ where tag is an
+    // identifier (no leading digit — $1 is a parameter, not a tag)
+    def dollarTagAt(i: Int): Option[String] =
+      if (text.charAt(i) != '$') None
+      else {
+        var j = i + 1
+        while (j < text.length && (text.charAt(j).isLetterOrDigit ||
+          text.charAt(j) == '_')) j += 1
+        if (j < text.length && text.charAt(j) == '$' &&
+          (j == i + 1 || !text.charAt(i + 1).isDigit))
+          Some(text.substring(i, j + 1))
+        else None
+      }
     while (i < text.length) {
       val c = text.charAt(i)
       val next = if (i + 1 < text.length) text.charAt(i + 1) else '\u0000'
@@ -26,8 +40,20 @@ object SqlSplitter {
             case '"' => state = 'd'; cur += c
             case '-' if next == '-' => state = 'l'; cur += c
             case '/' if next == '*' => state = 'b'; cur += c
+            case '$' => dollarTagAt(i) match {
+              // a plpgsql body is ONE token to the splitter: `;` inside
+              // $tag$ … $tag$ never ends the statement (PG lexing)
+              case Some(tag) =>
+                dqTag = tag; state = '$'
+                cur ++= tag; i += tag.length - 1
+              case None => cur += c
+            }
             case _ => cur += c
           }
+        case '$' =>
+          if (c == '$' && text.regionMatches(i, dqTag, 0, dqTag.length)) {
+            cur ++= dqTag; i += dqTag.length - 1; state = 'n'
+          } else cur += c
         case 's' =>
           cur += c
           if (c == '\'' && next == '\'') { cur += next; i += 1 } // '' escape
