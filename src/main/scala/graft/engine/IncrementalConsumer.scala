@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Exactly-once incremental consumption over a snapshot-committed
+  * [[PartitionedManifest]] table — the downstream half of the CDC story
+  * ([[PartitionedManifest.changesBetween]] derives the per-commit diff;
+  * this drives a lagging consumer through the commit history with a
+  * crash-safe cursor), the same production shape as a Delta CDF reader
+  * or an Iceberg incremental scan feeding a sink.
+  *
+  * The cursor is one pointer file (the [[ManifestTable]] machinery:
+  * atomic rename locally, conditional PUT on object stores) naming the
+  * last FULLY PROCESSED snapshot. Each [[consumeOnce]] call:
+  *
+  *   1. resolves the cursor and the table's current snapshot;
+  *   2. if they differ, computes `changesBetween(cursor, current)` and
+  *      hands it to `process` together with the (from, to) pair;
+  *   3. advances the cursor to `current` ONLY after `process` returns.
+  *
+  * A crash between 2 and 3 replays the SAME (from, to) diff on the next
+  * call — delivery is at-least-once with a DETERMINISTIC replay, so a
+  * sink keyed by the snapshot pair (the foreachBatch batchId contract)
+  * gets effective exactly-once. The diff itself is metadata-first: an
+  * idle consumer costs two pointer reads, a lagging one costs exactly
+  * the changed partitions' bytes.
+  *
+  * HORIZON: the cursor must stay within the table's keep-N snapshot
+  * horizon. A consumer lagging PAST it fails LOUDLY on the next call
+  * (the expired snapshot file is gone — [[PartitionedManifest
+  * .snapshotMapping]] throws); it can never silently skip commits.
+  * Recover by re-bootstrapping ([[bootstrap]]) — the explicit choice
+  * the Iceberg/Delta CDF consumers also force. Size keepSnapshots to
+  * the consumer's worst-case lag.
+  *
+  * Reference analogue: the packet tracker's resume contract (E8/E25 —
+  * completed work is never re-executed, interrupted work replays) moved
+  * from action granularity to commit granularity. */
+object IncrementalConsumer {
+
+  /** The last fully-processed snapshot, if any — the cursor dir's
+    * pointer file, read through the same machinery as a manifest root
+    * (so an object-store-backed cursor dir resolves via its
+    * [[PointerStore]] too). */
+  def cursor(spark: SparkSession, cursorDir: String): Option[String] =
+    ManifestTable.currentVersion(cursorDir)
+
+  /** BOOTSTRAP: process the table's full current snapshot (every row as
+    * an 'insert'), then set the cursor to it. For a brand-new consumer,
+    * or to recover one that lagged past the horizon. Returns the
+    * snapshot the cursor now names. */
+  def bootstrap(spark: SparkSession, root: String, partCol: String,
+      partType: String, cursorDir: String)(
+      process: (DataFrame, String) => Unit): String = {
+    val snap = PartitionedManifest.currentSnapshot(spark, root).getOrElse(
+      sys.error(s"IncrementalConsumer: no snapshot committed under $root"))
+    process(PartitionedManifest.readSnapshot(spark, root, partCol,
+      partType, Some(snap)), snap)
+    advance(spark, cursorDir, snap)
+    snap
+  }
+
+  /** One consumption step: process the diff between the cursor and the
+    * current snapshot, advance the cursor after `process` returns.
+    * None when the consumer is already caught up (two pointer reads,
+    * no Spark job). Fails loudly if the cursor was never bootstrapped
+    * or has expired past the table's keep-N horizon. */
+  def consumeOnce(spark: SparkSession, root: String, partCol: String,
+      partType: String, cursorDir: String)(
+      process: (DataFrame, String, String) => Unit)
+      : Option[(String, String)] = {
+    val from = cursor(spark, cursorDir).getOrElse(sys.error(
+      s"IncrementalConsumer: no cursor under $cursorDir - bootstrap first"))
+    val to = PartitionedManifest.currentSnapshot(spark, root).getOrElse(
+      sys.error(s"IncrementalConsumer: no snapshot committed under $root"))
+    if (from == to) None
+    else {
+      // throws loudly if `from` expired past the keep-N horizon — a
+      // lagging consumer must re-bootstrap, never silently skip
+      val diff = PartitionedManifest.changesBetween(spark, root, partCol,
+        partType, from, to)
+      process(diff, from, to)
+      advance(spark, cursorDir, to)
+      Some((from, to))
+    }
+  }
+
+  /** Drain: consume until caught up (bounded by the commit count —
+    * each step jumps to the CURRENT snapshot, so this loops at most
+    * once per concurrent commit landing mid-drain, `maxSteps` guards
+    * a pathological commit storm). */
+  def drain(spark: SparkSession, root: String, partCol: String,
+      partType: String, cursorDir: String, maxSteps: Int = 100)(
+      process: (DataFrame, String, String) => Unit)
+      : Seq[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var steps = 0
+    var more = true
+    while (more && steps < maxSteps) {
+      consumeOnce(spark, root, partCol, partType, cursorDir)(process) match {
+        case Some(p) => out += p; steps += 1
+        case None => more = false
+      }
+    }
+    out.result()
+  }
+
+  private def advance(spark: SparkSession, cursorDir: String,
+      snap: String): Unit = {
+    val fs = new HPath(cursorDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new HPath(cursorDir))
+    ManifestTable.swapRootPointer(cursorDir, snap)
+  }
+}

@@ -590,6 +590,104 @@ object EngineQueries {
         AND o_orderkey <= (SELECT FLOOR(MAX(o_orderkey) / 8.0) FROM orders)
       ORDER BY o_orderkey"""), bench = true),
 
+    // EXACTLY-ONCE INCREMENTAL CONSUMPTION (IncrementalConsumer): the
+    // downstream CDC half — a consumer driven through the commit
+    // history by a crash-safe cursor (one atomic pointer file).
+    // bootstrap materializes a replica from the full snapshot; each
+    // consumeOnce applies exactly the (cursor → current) diff; a
+    // process() that THROWS leaves the cursor unmoved and the next call
+    // replays the SAME pair (require()d below — the foreachBatch
+    // batchId contract at commit granularity). The oracle says the
+    // replica after two incremental steps equals the table read
+    // directly — one lost or double-applied diff breaks a row.
+    QuerySpec("w14_incremental_consume", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, lit, when}
+      import graft.engine.{IncrementalConsumer, PartitionedManifest}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w14").toString
+      val cur = Files.createTempDirectory("graft-w14-cursor").toString
+      val base = Tables.load(s, dir, "supplier")
+        .select($"s_suppkey".cast("long").as("s_suppkey"),
+          $"s_acctbal".cast("double").as("s_acctbal"),
+          ($"s_nationkey" % 3).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, base, "bk")
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty)
+      // replica state as parquet (the consumer's sink)
+      val replicaDir = Files.createTempDirectory("graft-w14-replica").toString
+      def readReplica() = s.read.parquet(replicaDir)
+      IncrementalConsumer.bootstrap(s, root, "bk", "int", cur) {
+        (snap, _) => snap.write.mode("overwrite").parquet(replicaDir)
+      }
+      def applyDiff(diff: org.apache.spark.sql.DataFrame): Unit = {
+        val old = readReplica().localCheckpoint(true)
+        val dels = diff.filter($"_change_type" === "delete")
+          .drop("_change_type")
+        val ins = diff.filter($"_change_type" === "insert")
+          .drop("_change_type")
+        old.exceptAll(dels.select(old.columns.map(col): _*))
+          .unionByName(ins.select(old.columns.map(col): _*))
+          .write.mode("overwrite").parquet(replicaDir)
+      }
+      // commit 2: update half of partition 1
+      val p1 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .filter($"bk" === 1)
+        .withColumn("s_acctbal", when($"s_suppkey" % 2 === 0,
+          $"s_acctbal" + 10.0).otherwise($"s_acctbal"))
+        .drop("bk")
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map("1" -> p1))
+      // a process that THROWS must leave the cursor unmoved
+      val before = IncrementalConsumer.cursor(s, cur)
+      val threw =
+        try {
+          IncrementalConsumer.consumeOnce(s, root, "bk", "int", cur) {
+            (_, _, _) => sys.error("sink outage")
+          }
+          false
+        } catch { case _: RuntimeException => true }
+      require(threw, "the sink outage must propagate")
+      require(IncrementalConsumer.cursor(s, cur) == before,
+        "a failed process() must not advance the cursor")
+      val pair1 = IncrementalConsumer.consumeOnce(s, root, "bk", "int",
+        cur) { (diff, _, _) => applyDiff(diff) }
+      require(pair1.nonEmpty, "expected a pending diff")
+      // commit 3: delete a third of partition 2
+      val p2 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .filter($"bk" === 2 && $"s_suppkey" % 3 =!= 0).drop("bk")
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map("2" -> p2))
+      val drained = IncrementalConsumer.drain(s, root, "bk", "int", cur) {
+        (diff, _, _) => applyDiff(diff)
+      }
+      require(drained.length == 1, s"expected one step: $drained")
+      // caught up: an idle call is a no-op
+      require(IncrementalConsumer.consumeOnce(s, root, "bk", "int", cur) {
+        (_, _, _) => sys.error("must not run")
+      }.isEmpty, "caught-up consumer must not process")
+      val replica = readReplica().withColumn("src", lit("replica"))
+      val table = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .withColumn("src", lit("table"))
+      replica.unionByName(table)
+        .select($"src", $"s_suppkey", $"s_acctbal",
+          $"bk".cast("long").as("bk"))
+        .orderBy($"src", $"s_suppkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+               CAST(s_nationkey % 3 AS BIGINT) AS bk
+        FROM supplier),
+      v3 AS (
+        SELECT s_suppkey,
+               CASE WHEN bk = 1 AND s_suppkey % 2 = 0
+                    THEN s_acctbal + 10.0 ELSE s_acctbal END AS s_acctbal,
+               bk
+        FROM base
+        WHERE NOT (bk = 2 AND s_suppkey % 3 = 0))
+      SELECT src, s_suppkey, s_acctbal, bk
+      FROM (SELECT 'replica' AS src, * FROM v3
+            UNION ALL SELECT 'table' AS src, * FROM v3)
+      ORDER BY src, s_suppkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -1389,6 +1389,55 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental consumer: cursor jumps coalesce commits, a lagging " +
+      "cursor past the keep-N horizon fails loudly (never skips), and " +
+      "bootstrap recovers") {
+    val root = Files.createTempDirectory("graft-inc").toString
+    val cur = Files.createTempDirectory("graft-inc-cursor").toString
+    import spark.implicits._
+    import graft.engine.{IncrementalConsumer, PartitionedManifest}
+    PartitionedManifest.seed(spark, root,
+      (1 to 10).map(i => (i.toLong, i % 2)).toDF("i", "bk"), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 3)
+    var seen = Vector.empty[Set[Long]]
+    IncrementalConsumer.bootstrap(spark, root, "bk", "int", cur) {
+      (df, _) => seen :+= df.select($"i").as[Long].collect().toSet
+    }
+    assert(seen == Vector((1L to 10L).toSet))
+    // two commits land before the consumer wakes: ONE coalesced diff
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("0" -> Seq(100L).toDF("i")), keepSnapshots = 3)
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("1" -> Seq(200L).toDF("i")), keepSnapshots = 3)
+    val pairs = IncrementalConsumer.drain(spark, root, "bk", "int", cur) {
+      (diff, _, _) =>
+        seen :+= diff.filter($"_change_type" === "insert")
+          .select($"i").as[Long].collect().toSet
+    }
+    assert(pairs.length == 1, s"coalesced drain expected: $pairs")
+    assert(seen.last == Set(100L, 200L), seen.last)
+    // lag past the keep-3 horizon: the cursor's snapshot file expires
+    // and the next consume fails LOUDLY instead of skipping commits
+    (1 to 4).foreach { k =>
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("0" -> Seq(k * 1000L).toDF("i")), keepSnapshots = 3)
+    }
+    intercept[Exception] {
+      IncrementalConsumer.consumeOnce(spark, root, "bk", "int", cur) {
+        (_, _, _) => ()
+      }
+    }
+    // recovery is explicit: re-bootstrap from the full current snapshot
+    IncrementalConsumer.bootstrap(spark, root, "bk", "int", cur) {
+      (df, _) => seen :+= df.select($"i").as[Long].collect().toSet
+    }
+    assert(seen.last == Set(4000L, 200L), seen.last)
+    assert(IncrementalConsumer.consumeOnce(spark, root, "bk", "int", cur) {
+      (_, _, _) => sys.error("caught up")
+    }.isEmpty)
+  }
+
   test("file skipping: unanalyzed versions never skip, analyzed ones " +
       "skip only non-intersecting files, and results match the full " +
       "scan exactly") {
