@@ -429,15 +429,20 @@ object PartitionedManifest {
   def tagSnapshot(spark: SparkSession, root: String, name: String,
       snapshot: Option[String] = None): String = {
     checkRefName(name)
-    val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
-      sys.error(s"PartitionedManifest: no snapshot committed under $root"))
-    require(snapshots(spark, root).contains(snap),
-      s"PartitionedManifest: cannot tag unknown/expired snapshot $snap")
-    // immutable create-once: conditional PUT on a store-backed root,
-    // tmp+rename-no-overwrite elsewhere — two racing taggers of the
-    // same name cannot both succeed
-    ManifestTable.writeOnce(root, s"$RefsDir/$name", snap + "\n")
-    snap
+    // under the root publish lock: a concurrent commit's keep-N trim
+    // must not expire the snapshot between the existence check and the
+    // ref write (a dangling tag would pin nothing)
+    ManifestTable.withPublishLock(root) {
+      val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
+        sys.error(s"PartitionedManifest: no snapshot committed under $root"))
+      require(snapshots(spark, root).contains(snap),
+        s"PartitionedManifest: cannot tag unknown/expired snapshot $snap")
+      // immutable create-once: conditional PUT on a store-backed root,
+      // tmp+rename-no-overwrite elsewhere — two racing taggers of the
+      // same name cannot both succeed
+      ManifestTable.writeOnce(root, s"$RefsDir/$name", snap + "\n")
+      snap
+    }
   }
 
   /** All named refs: tag name → snapshot id. */
