@@ -913,7 +913,29 @@ object PartitionedManifest {
       partCol: String, partType: String, column: String,
       lo: Double, hi: Double,
       partitions: Option[Seq[String]] = None)
-      : (DataFrame, Int, Int) = {
+      : (DataFrame, Int, Int) =
+    skipScan(spark, root, partCol, partType, column, partitions,
+      _.mayMatch(lo, hi), df => df.filter(col(column) >= lo &&
+        col(column) <= hi))
+
+  /** [[scanWithFileSkipping]] for STRING columns (binary-order bounds —
+    * parquet string min/max are unsigned-byte ordered, which agrees
+    * with Java string order on ASCII; the conservative mayMatchString
+    * never skips on a stats type mismatch). */
+  def scanWithFileSkippingString(spark: SparkSession, root: String,
+      partCol: String, partType: String, column: String,
+      lo: String, hi: String,
+      partitions: Option[Seq[String]] = None)
+      : (DataFrame, Int, Int) =
+    skipScan(spark, root, partCol, partType, column, partitions,
+      _.mayMatchString(lo, hi), df => df.filter(col(column) >= lo &&
+        col(column) <= hi))
+
+  private def skipScan(spark: SparkSession, root: String,
+      partCol: String, partType: String, column: String,
+      partitions: Option[Seq[String]],
+      mayMatch: FileStats.ColStat => Boolean,
+      applyFilter: DataFrame => DataFrame): (DataFrame, Int, Int) = {
     val parts = partitions.getOrElse(partitionValues(spark, root, partCol))
     var total = 0
     var keptFiles = Vector.empty[String]
@@ -929,7 +951,7 @@ object PartitionedManifest {
       keptFiles ++= files.filter { f =>
         val name = new HPath(f).getName
         stats.flatMap(_.get(name)).flatMap(_.get(column)) match {
-          case Some(cs) => cs.mayMatch(lo, hi)
+          case Some(cs) => mayMatch(cs)
           case None => true // no stats for this file/column: never skip
         }
       }
@@ -938,8 +960,7 @@ object PartitionedManifest {
       if (keptFiles.isEmpty)
         read(spark, root, partCol, partType).limit(0)
       else readDirsWithPartCol(spark, keptFiles, partCol, partType)
-    (df.filter(col(column) >= lo && col(column) <= hi),
-      keptFiles.length, total)
+    (applyFilter(df), keptFiles.length, total)
   }
 
   /** Read a set of paths as ONE relation, recovering the partition

@@ -1490,4 +1490,25 @@ class EngineSpec extends AnyFunSuite {
     assert(kept3 == total3, s"new version must not inherit stats")
   }
 
+  test("string zone maps: range-clustered string column skips files " +
+      "by binary-order bounds; all-null chunks skip any range") {
+    val root = Files.createTempDirectory("graft-zonemap-str").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val words = (0 until 400).map(i => f"w$i%04d")
+    PartitionedManifest.publishPartition(spark, root, "bk", "0",
+      words.toDF("s").repartitionByRange(4, $"s")
+        .sortWithinPartitions($"s"))
+    // a second partition whose column is ALL NULL: any range predicate
+    // can skip its files entirely
+    PartitionedManifest.publishPartition(spark, root, "bk", "1",
+      Seq.fill(10)(null: String).toDF("s"))
+    PartitionedManifest.analyzeFileStats(spark, root, "bk", Seq("s"))
+    val (df, kept, total) = PartitionedManifest.scanWithFileSkippingString(
+      spark, root, "bk", "int", "s", "w0000", "w0050")
+    assert(total >= 5 && kept == 1, s"kept $kept of $total")
+    assert(df.select($"s").as[String].collect().sorted.toSeq ==
+      words.filter(w => w >= "w0000" && w <= "w0050"))
+  }
+
 }
