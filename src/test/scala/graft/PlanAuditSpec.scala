@@ -1172,4 +1172,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(single.isEmpty,
       "artifact serving planned a single-partition exchange")
   }
+
+  test("CDC changesBetween diffs distribute: hash exchanges only, no " +
+      "single-partition funnel, and the plan reads only changed dirs") {
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-plan")
+      .toString
+    val rows = (0 until 4).flatMap(b => (1 to 50).map(i =>
+      ((b * 100 + i).toLong, b)))
+    PartitionedManifest.seed(spark, root, rows.toDF("i", "bk"), "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map.empty, keepSnapshots = 3)
+    val s2 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("2" -> (1 to 40).map(i => (200 + i).toLong * 7).toDF("i")),
+      keepSnapshots = 3)
+    val df = PartitionedManifest.changesBetween(spark, root, "bk", "int",
+      s1, s2)
+    val single = shuffles(df).filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty,
+      "the multiset diff planned a single-partition exchange")
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("/bk=2/")), df.inputFiles.toSeq)
+  }
 }
