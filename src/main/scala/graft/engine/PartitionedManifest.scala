@@ -558,6 +558,13 @@ object PartitionedManifest {
       case (f, t) =>
         val fDf = f.orElse(t.map(_.limit(0))).get
         val tDf = t.orElse(f.map(_.limit(0))).get
+        // fail with a CLEAR message when the schema evolved between the
+        // endpoints (w05-style add-column): a row diff across two
+        // shapes has no single answer — the caller picks a projection
+        require(fDf.columns.sorted.sameElements(tDf.columns.sorted),
+          "changesBetween: schema differs between snapshots (" +
+            s"${fDf.columns.mkString(",")} vs ${tDf.columns.mkString(",")}" +
+            ") - project both sides to a common schema and diff those")
         tDf.exceptAll(fDf).withColumn(changeCol, lit("insert"))
           .unionByName(
             fDf.exceptAll(tDf).withColumn(changeCol, lit("delete")))
