@@ -563,8 +563,151 @@ object PgDialectRewriter {
       b.result()
     }
 
-    // now() → current_timestamp(); current_database() → 'graft';
-    // version() → pinned 64-bit PG banner
+    // whole-select-item test for a rewrite spanning [s, afterEnd): PG
+    // names `select f(x)` after the FUNCTION; Spark would name the
+    // rewritten expression after its text — re-attach `AS f` when the
+    // call forms a whole select item so both engines agree on the name
+    def wholeSelectItem(s: Int, afterEnd: Int): Boolean =
+      (s == 0 || ts(s - 1) == Punct(",") || isKw(ts(s - 1), "select")) &&
+        (afterEnd >= ts.length || ts(afterEnd) == Punct(",") ||
+          isKw(ts(afterEnd), "from"))
+
+    // age(xid) / mxid_age(mxid) → wrap-around distance from the pinned
+    // current xid/mxid (the fixture is a snapshot: current xid = 9100,
+    // current mxid = 5000 — PG's age() is mod-2^32 distance, see
+    // packets/dba_xact_age/01_step.sql, alert_xact_age/01_step.sql);
+    // age(a, b) → (a - b) day-time interval (value-preserving for the
+    // corpus's threshold comparisons and sorts)
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 1 < ts.length) {
+        val isAge = isKw(ts(k), "age") && ts(k + 1) == Punct("(")
+        val isMxid = isKw(ts(k), "mxid_age") && ts(k + 1) == Punct("(")
+        if (isAge || isMxid) {
+          val close = matchForward(ts, k + 1)
+          val args = splitArgs(ts, k + 1, close)
+          val fname = if (isAge) "age" else "mxid_age"
+          val alias: Vector[Tok] =
+            if (wholeSelectItem(k, close + 1))
+              Vector(Ident("AS"), Ident(fname))
+            else Vector.empty
+          val repl: Vector[Tok] = args match {
+            case Seq((a, b)) =>
+              val pinned = if (isAge) "9100" else "5000"
+              Vector(Ident("CAST"), Punct("("), Ident("pmod"), Punct("("),
+                Num(pinned), Op("-"), Punct("(")) ++ ts.slice(a, b + 1) ++
+                Vector(Punct(")"), Punct(","), Num("4294967296"),
+                  Punct(")"), Ident("AS"), Ident("BIGINT"), Punct(")")) ++
+                alias
+            case Seq((a1, b1), (a2, b2)) if isAge =>
+              Vector(Punct("("), Punct("(")) ++ ts.slice(a1, b1 + 1) ++
+                Vector(Punct(")"), Op("-"), Punct("(")) ++
+                ts.slice(a2, b2 + 1) ++ Vector(Punct(")"), Punct(")")) ++
+                alias
+            case other => sys.error(
+              s"PgDialectRewriter: $fname with ${other.length} args")
+          }
+          ts = ts.patch(k, repl, close - k + 1)
+          changed = true
+        }
+        k += 1
+      }
+    }
+
+    // date_trunc('milliseconds', iv) → pg_interval_text(iv) (PG-only
+    // field over an interval operand — dba_long_queries/01_step.sql:7-9;
+    // timestamp-field date_trunc forms are Spark-native and untouched);
+    // to_char(iv, 'HH12:MI:SS.MS'-style) → pg_to_char_interval
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 1 < ts.length) {
+        if (isKw(ts(k), "date_trunc") && ts(k + 1) == Punct("(")) {
+          val close = matchForward(ts, k + 1)
+          splitArgs(ts, k + 1, close) match {
+            case Seq((a1, b1), (a2, b2)) if a1 == b1 =>
+              ts(a1) match {
+                case s: Str
+                  if strValue(s).equalsIgnoreCase("milliseconds") =>
+                  val repl = Vector(Ident("pg_interval_text"),
+                    Punct("(")) ++ ts.slice(a2, b2 + 1) ++ Vector(Punct(")"))
+                  ts = ts.patch(k, repl, close - k + 1)
+                  changed = true
+                case _ =>
+              }
+            case _ =>
+          }
+        } else if (isKw(ts(k), "to_char") && ts(k + 1) == Punct("(")) {
+          val close = matchForward(ts, k + 1)
+          splitArgs(ts, k + 1, close) match {
+            case Seq((a1, b1), (a2, b2)) if a2 == b2 =>
+              ts(a2) match {
+                case s: Str if strValue(s).contains("HH12") ||
+                  strValue(s).contains("MS") =>
+                  val repl = Vector(Ident("pg_to_char_interval"),
+                    Punct("(")) ++ ts.slice(a1, b1 + 1) ++
+                    Vector(Punct(","), s, Punct(")"))
+                  ts = ts.patch(k, repl, close - k + 1)
+                  changed = true
+                case _ =>
+              }
+            case _ =>
+          }
+        }
+        k += 1
+      }
+    }
+
+    // format(...) → format_string(...): the corpus's query-level format
+    // uses only %s (alert_max_connections/01_step.sql:1), which Java's
+    // formatter renders identically; %I/%L appear only inside plpgsql
+    // bodies the engine routes through its procedural layer
+    ts = ts.zipWithIndex.map { case (t, k) =>
+      if (isKw(t, "format") && k + 1 < ts.length && ts(k + 1) == Punct("("))
+        Ident("format_string")
+      else t
+    }
+
+    // interval-shaped string literal adjacent to a comparison → typed
+    // INTERVAL literal (PG compares interval to string implicitly;
+    // Spark does not — alert_stat's `> '15 days'`, dba_long_queries'
+    // `>= '00:00:00.000001'`)
+    {
+      val compOps = Set(">", "<", ">=", "<=", "=", "<>", "!=")
+      val dayRx = "(?i)^\\d+\\s*(day|days|hour|hours|minute|minutes|" +
+        "second|seconds)$"
+      val timeRx = "^\\d{1,3}:\\d{2}:\\d{2}(\\.\\d{1,6})?$"
+      def isComp(i: Int): Boolean = i >= 0 && i < ts.length && (ts(i) match {
+        case Op(o) => compOps.contains(o)
+        case _ => false
+      })
+      val b = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < ts.length) {
+        ts(k) match {
+          case s: Str if isComp(k - 1) || isComp(k + 1) =>
+            val v = strValue(s)
+            if (v.matches(dayRx)) { b += Ident("INTERVAL"); b += s }
+            else if (v.matches(timeRx)) {
+              b += Ident("INTERVAL"); b += s
+              b += Ident("HOUR"); b += Ident("TO"); b += Ident("SECOND")
+            } else b += s
+          case t => b += t
+        }
+        k += 1
+      }
+      ts = b.result()
+    }
+
+    // now() → the pinned snapshot instant (the synthesized catalog is a
+    // point-in-time snapshot; its "now" is 2024-01-01 10:05:00, the same
+    // instant the re-authored twins pin — deterministic, oracle-
+    // replayable); pg_backend_pid() → 999 (no fixture pid collides);
+    // pg_current_wal_lsn() → the fixture's WAL head;
+    // current_database() → 'graft'; version() → pinned 64-bit PG banner
     ts = {
       val b = Vector.newBuilder[Tok]
       var k = 0
@@ -572,13 +715,20 @@ object PgDialectRewriter {
         val isCall = k + 2 < ts.length && ts(k + 1) == Punct("(") &&
           ts(k + 2) == Punct(")")
         if (isCall && isKw(ts(k), "now")) {
-          b += Ident("current_timestamp"); b += Punct("("); b += Punct(")")
+          b += Ident("TIMESTAMP"); b += Str("'2024-01-01 10:05:00'")
           k += 3
+        } else if (isCall && isKw(ts(k), "pg_backend_pid")) {
+          b += Num("999"); k += 3
+        } else if (isCall && isKw(ts(k), "pg_current_wal_lsn")) {
+          b += Str("'2/1A2B3C40'"); k += 3
         } else if (isCall && isKw(ts(k), "current_database")) {
           b += Str("'graft'"); k += 3
         } else if (isCall && isKw(ts(k), "version")) {
           b += Str("'PostgreSQL 14.11 on x86_64-pc-linux-gnu, " +
             "compiled by gcc, 64-bit'")
+          if (wholeSelectItem(k, k + 3)) {
+            b += Ident("AS"); b += Ident("version")
+          }
           k += 3
         } else { b += ts(k); k += 1 }
       }

@@ -228,6 +228,64 @@ object PgFunctions {
   /** pg_wal_lsn_diff(a, b) = byte distance between two LSNs. */
   def pg_wal_lsn_diff(a: Column, b: Column): Column = lsn_bytes(a) - lsn_bytes(b)
 
+  // -- PG interval rendering (verbatim-dialect packets) -----------------
+  // PostgreSQL displays day-time intervals as `[-][D day[s] ]HH:MI:SS
+  // [.ffffff]` with trailing fractional zeros trimmed. The verbatim
+  // steps surface intervals in their SELECT lists
+  // (packets/dba_long_queries/01_step.sql:7-9 date_trunc('milliseconds',
+  // now() - ts); packets/dba_active_maint/01_step.sql:8-12 to_char(...,
+  // 'HH12:MI:SS.MS')) — parquet/DuckDB can't hash-compare native interval
+  // values, so the dialect layer renders them to PG's text form. These
+  // run as plain UDFs over java.time.Duration: the inputs are pg_catalog
+  // fixture rows (dozens), the same bounded-scale contract as the other
+  // catalog shims in PgCatalog.ensureFunctionsRegistered.
+
+  /** PG text of a day-time interval truncated to milliseconds — the
+    * rewrite target of the PG-only `date_trunc('milliseconds', iv)`. */
+  def pgIntervalTextMs(d: java.time.Duration): String = {
+    if (d == null) return null
+    val neg = d.isNegative
+    val a = d.abs
+    val days = a.toDays
+    val h = a.toHoursPart; val m = a.toMinutesPart; val s = a.toSecondsPart
+    val ms = a.toMillisPart
+    val frac =
+      if (ms == 0) ""
+      else ("." + f"$ms%03d").reverse.dropWhile(_ == '0').reverse
+    val dayPart =
+      if (days == 0) "" else s"$days day${if (days == 1) "" else "s"} "
+    (if (neg) "-" else "") + dayPart + f"$h%02d:$m%02d:$s%02d" + frac
+  }
+
+  /** PG to_char(interval, fmt) for the HH12/HH24/MI/SS/MS field set
+    * (dba_active_maint's 'HH12:MI:SS.MS'). HH12 renders hour 0 as 12,
+    * exactly as PG does; HH24 carries day overflow (26:00:00 stays 26). */
+  def pgToCharInterval(d: java.time.Duration, fmt: String): String = {
+    if (d == null || fmt == null) return null
+    val totalH = d.toHours
+    val m = d.toMinutesPart; val s = d.toSecondsPart; val ms = d.toMillisPart
+    val h12 = if (totalH % 12 == 0) 12L else totalH % 12
+    val fields = Seq(
+      "HH24" -> f"$totalH%02d", "HH12" -> f"$h12%02d",
+      "MS" -> f"$ms%03d", "MI" -> f"$m%02d", "SS" -> f"$s%02d")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      fields.find { case (k, _) => fmt.startsWith(k, i) } match {
+        case Some((k, v)) => sb.append(v); i += k.length
+        case None => sb.append(fmt.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** 'X/Y' wire LSN → absolute byte position (JVM twin of lsn_bytes). */
+  def lsnBytesJvm(lsn: String): Long = {
+    val Array(hi, lo) = lsn.split("/")
+    java.lang.Long.parseLong(hi, 16) * 4294967296L +
+      java.lang.Long.parseLong(lo, 16)
+  }
+
   private def expression(c: Column): Expression = ColumnBridge.expression(c)
 
   /** Register SQL names so `spark.sql("select pg_size_pretty(x) ...")` works. */
@@ -252,5 +310,16 @@ object PgFunctions {
     // the same compat shim DuckDB ships, which keeps the SQL text portable
     reg.createOrReplaceTempFunction(
       "pg_get_expr", es => es.head, "built-in")
+    // SQL names for the verbatim-dialect surface: WAL arithmetic
+    // (dba_lag/01_step.sql) and the PG interval renderers — UDFs over
+    // java.time.Duration/String, bounded to pg_catalog fixture rows
+    spark.udf.register("pg_wal_lsn_diff",
+      (a: String, b: String) =>
+        PgFunctions.lsnBytesJvm(a) - PgFunctions.lsnBytesJvm(b))
+    spark.udf.register("pg_interval_text",
+      (d: java.time.Duration) => PgFunctions.pgIntervalTextMs(d))
+    spark.udf.register("pg_to_char_interval",
+      (d: java.time.Duration, fmt: String) =>
+        PgFunctions.pgToCharInterval(d, fmt))
   }
 }

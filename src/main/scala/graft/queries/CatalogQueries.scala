@@ -814,10 +814,11 @@ object CatalogQueries {
     PgCatalog.sqlOnViews(s, alertAutovacuumSparkSql)
   }
 
-  /** alert_invalid_indexes/01_step.sql:1-9 kept verbatim. Divergences:
-    * indisvalid/indisready are 1/0 ints on the file target (`= false` →
-    * `= 0`); a relname tiebreak is appended to the `relpages DESC` sort so
-    * the LIMIT is deterministic for the hash compare. */
+  /** alert_invalid_indexes/01_step.sql:1-9 kept verbatim (the fixture
+    * carries real booleans, so `= false` runs as written; c24 runs the
+    * reference file byte-identical). A relname tiebreak is appended to
+    * the `relpages DESC` sort so the LIMIT is deterministic for the
+    * hash compare. */
   val alertInvalidIndexes: String = """
     SELECT n.nspname, c.relname AS tbl, ci.relname AS idx,
       indisvalid, indisready
@@ -825,7 +826,7 @@ object CatalogQueries {
     JOIN pg_class c ON i.indrelid = c.oid AND c.relkind IN ('r', 'm')
     JOIN pg_class ci ON i.indexrelid = ci.oid AND ci.relkind = 'i'
     JOIN pg_namespace n ON n.oid = c.relnamespace
-    WHERE indisvalid = 0 OR indisready = 0
+    WHERE indisvalid = false OR indisready = false
     ORDER BY c.relpages DESC, ci.relname
     LIMIT 100"""
 
@@ -898,6 +899,20 @@ object CatalogQueries {
     val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
       s"/root/reference/packets/$packet/$step"))
     s.sql(graft.engine.PgDialectRewriter.rewrite(sql))
+  }
+
+  /** A step file holding SEVERAL statements (dba_xact_age/01_step.sql):
+    * the engine captures one resultset per statement; the query-level
+    * entry picks the idx-th. Statement boundaries come from the same
+    * [[graft.engine.SqlSplitter]] the PacketRunner uses. */
+  private def verbatimStatement(s: org.apache.spark.sql.SparkSession,
+      packet: String, step: String, idx: Int)
+      : org.apache.spark.sql.DataFrame = {
+    PgCatalog.ensureFunctionsRegistered(s)
+    val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"/root/reference/packets/$packet/$step"))
+    val stms = graft.engine.SqlSplitter.split(sql)
+    s.sql(graft.engine.PgDialectRewriter.rewrite(stms(idx)))
   }
 
   /** DuckDB replay of the VERBATIM alert_bloat/01_step.sql estimator —
@@ -1000,6 +1015,199 @@ object CatalogQueries {
         .orderBy(org.apache.spark.sql.functions.col("blocked_pid"),
           org.apache.spark.sql.functions.col("blocker_pid")),
       oracle = Some(PgCatalog.withCatalog(dbaLocks))),
+    // ---- round-14 verbatim wave: the remaining admin packets run ----
+    // BYTE-IDENTICAL from /root/reference through PgDialectRewriter.
+    // Presentation-only orderBy outside the verbatim text where the
+    // reference has no deterministic sort (the compare sorts rows).
+    QuerySpec("c23_verbatim_dba_find_db",
+      (s, _) => verbatimStep(s, "dba_find_db", "01_step.sql")
+        .orderBy(org.apache.spark.sql.functions.col("datname")),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT datname FROM pg_database WHERE datname ILIKE '%some_db%'
+        ORDER BY datname"""))),
+    QuerySpec("c24_verbatim_alert_invalid_indexes",
+      (s, _) => verbatimStep(s, "alert_invalid_indexes", "01_step.sql"),
+      // oracle = the re-authored twin (identical text modulo its
+      // deterministic tiebreak): boolean fixture columns run `= false`
+      // as written on both engines
+      oracle = Some(PgCatalog.withCatalog(alertInvalidIndexes))),
+    QuerySpec("c25_verbatim_dba_get_version",
+      (s, _) => verbatimStep(s, "dba_get_version", "01_step.sql"),
+      oracle = Some("SELECT 'PostgreSQL 14.11 on x86_64-pc-linux-gnu, " +
+        "compiled by gcc, 64-bit' AS version")),
+    // alert_stat byte-identical: exercises two-arg age() (→ day-time
+    // interval), LEAST over intervals, the `> '15 days'` interval-literal
+    // coercion, ::timestamp with time zone, and 4-key NULLS FIRST sort.
+    // Oracle = the re-authored c08 body (equivalent predicate algebra:
+    // LEAST(now-a, now-b) > 15d ⟺ GREATEST(a, b) < now-15d).
+    QuerySpec("c26_verbatim_alert_stat",
+      (s, _) => verbatimStep(s, "alert_stat", "01_step.sql"),
+      oracle = Some(PgCatalog.withCatalog(alertStat))),
+    // dba_long_queries byte-identical: pinned now()/pg_backend_pid(),
+    // date_trunc('milliseconds', interval) → PG text rendering,
+    // single-arg age(xid) → mod-2^32 distance from the pinned xid,
+    // substring(q from 0 for 32) → PG's 31-char virtual-position take
+    QuerySpec("c27_verbatim_dba_long_queries",
+      (s, _) => verbatimStep(s, "dba_long_queries", "01_step.sql")
+        .orderBy(org.apache.spark.sql.functions.col("pid")),
+      oracle = Some(PgCatalog.withCatalog("""
+        , base AS (
+            SELECT *,
+              CAST(floor(epoch(TIMESTAMP '2024-01-01 10:05:00')) AS BIGINT)
+                - CAST(floor(epoch(state_change)) AS BIGINT) AS sc_s,
+              CAST(floor(epoch(TIMESTAMP '2024-01-01 10:05:00')) AS BIGINT)
+                - CAST(floor(epoch(xact_start)) AS BIGINT) AS xs_s
+            FROM pg_stat_activity
+            WHERE state IN ('active', 'idle in transaction') AND pid <> 999)
+        SELECT datname, state, substring(query, 1, 31) AS query, pid,
+          backend_xid,
+          CASE WHEN sc_s > 0 THEN printf('%02d:%02d:%02d',
+              sc_s // 3600, (sc_s // 60) % 60, sc_s % 60)
+            ELSE '00:00:00' END AS state_change_age,
+          CASE WHEN xs_s > 0 THEN printf('%02d:%02d:%02d',
+              xs_s // 3600, (xs_s // 60) % 60, xs_s % 60)
+            ELSE '00:00:00' END AS xact_start_age,
+          greatest((9100 - backend_xmin + 4294967296) % 4294967296,
+                   (9100 - backend_xid + 4294967296) % 4294967296)
+            AS query_age_in_tx,
+          application_name AS app_name, wait_event_type, wait_event
+        FROM base ORDER BY pid LIMIT 20"""))),
+    // dba_active_maint byte-identical: the ILIKE maintenance sieve plus
+    // to_char(interval, 'HH12:MI:SS.MS') (HH12 renders hour 0 as 12)
+    QuerySpec("c28_verbatim_dba_active_maint",
+      (s, _) => verbatimStep(s, "dba_active_maint", "01_step.sql"),
+      oracle = Some(PgCatalog.withCatalog("""
+        , base AS (
+            SELECT *,
+              CAST(floor(epoch(TIMESTAMP '2024-01-01 10:05:00')) AS BIGINT)
+                - CAST(floor(epoch(state_change)) AS BIGINT) AS sc_s,
+              CAST(floor(epoch(TIMESTAMP '2024-01-01 10:05:00')) AS BIGINT)
+                - CAST(floor(epoch(xact_start)) AS BIGINT) AS xs_s
+            FROM pg_stat_activity
+            WHERE state IN ('active', 'idle in transaction') AND pid <> 999
+              AND (query ILIKE '%create%index%' OR query ILIKE '%alter%table%'
+                OR query ILIKE '%drop%table%' OR query ILIKE '%truncate%'
+                OR query ILIKE '%copy%to%' OR query ILIKE '%copy%from%'
+                OR query ILIKE '%reindex%' OR query ILIKE '%cluster%'
+                OR query ILIKE '%vacuum%' OR query ILIKE '%analyze%'
+                OR query ILIKE '%refresh%materialized%'))
+        SELECT datname, state, substring(query, 1, 31) AS query, pid,
+          backend_xid,
+          CASE WHEN sc_s > 0 THEN printf('%02d:%02d:%02d.%03d',
+              CASE WHEN (sc_s // 3600) % 12 = 0 THEN 12
+                   ELSE (sc_s // 3600) % 12 END,
+              (sc_s // 60) % 60, sc_s % 60, 0)
+            ELSE '00:00:00' END AS state_change_age,
+          CASE WHEN xs_s > 0 THEN printf('%02d:%02d:%02d.%03d',
+              CASE WHEN (xs_s // 3600) % 12 = 0 THEN 12
+                   ELSE (xs_s // 3600) % 12 END,
+              (xs_s // 60) % 60, xs_s % 60, 0)
+            ELSE '00:00:00' END AS xact_start_age,
+          application_name AS app_name, wait_event_type, wait_event
+        FROM base ORDER BY state_change ASC LIMIT 20"""))),
+    // alert_max_connections byte-identical: format() → format_string,
+    // scalar subqueries in arithmetic, ::numeric/::integer casts
+    QuerySpec("c29_verbatim_alert_max_connections",
+      (s, _) => verbatimStep(s, "alert_max_connections", "01_step.sql"),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT 'Low number of free connections: '
+            || CAST(T.c AS VARCHAR) || ' (' || CAST(T.v AS VARCHAR)
+            || '%) [max_connections = ' || T.s || ']' AS alert
+        FROM (
+          SELECT
+            round(((SELECT count(1) FROM pg_stat_activity) * 100)
+              / CAST(setting AS DOUBLE), 2) AS v,
+            CAST(setting AS INTEGER)
+              - (SELECT count(1) FROM pg_stat_activity) AS c,
+            setting AS s
+          FROM pg_settings WHERE name = 'max_connections'
+        ) T WHERE T.v > 70"""))),
+    // dba_xact_age byte-identical (BOTH statements of the one step file:
+    // the engine captures a resultset per statement; c30/c31 pin each)
+    QuerySpec("c30_verbatim_dba_xact_age",
+      (s, _) => verbatimStatement(s, "dba_xact_age", "01_step.sql", 0),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT n.nspname, c.relname,
+          greatest((9100 - c.relfrozenxid + 4294967296) % 4294967296,
+                   (9100 - t.relfrozenxid + 4294967296) % 4294967296) AS age
+        FROM pg_class c
+        JOIN pg_namespace n ON c.relnamespace = n.oid
+        LEFT JOIN pg_class t ON c.reltoastrelid = t.oid
+        WHERE c.relkind IN ('r', 'm')
+          AND greatest((9100 - c.relfrozenxid + 4294967296) % 4294967296,
+                (9100 - t.relfrozenxid + 4294967296) % 4294967296)
+              > 1200000000
+        ORDER BY 3 DESC LIMIT 10"""))),
+    QuerySpec("c31_verbatim_dba_xact_age_db",
+      (s, _) => verbatimStatement(s, "dba_xact_age", "01_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT datname,
+          (9100 - datfrozenxid + 4294967296) % 4294967296 AS age
+        FROM pg_database ORDER BY 2 DESC"""))),
+    // alert_xact_age byte-identical (two step FILES): wraparound alerts
+    // over pg_class then pg_database, mxid_age against the pinned mxid
+    QuerySpec("c32_verbatim_alert_xact_age",
+      (s, _) => verbatimStep(s, "alert_xact_age", "01_step.sql"),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT n.nspname, c.relname,
+          (9100 - c.relfrozenxid + 4294967296) % 4294967296
+            AS relfrozenxid_age,
+          (5000 - c.relminmxid + 4294967296) % 4294967296
+            AS relminmxid_age
+        FROM pg_class c
+        JOIN pg_namespace n ON c.relnamespace = n.oid
+        WHERE c.relkind IN ('r', 'm', 't')
+          AND ((9100 - c.relfrozenxid + 4294967296) % 4294967296
+                 > 1300000000
+            OR (5000 - c.relminmxid + 4294967296) % 4294967296
+                 > 1400000000)
+        ORDER BY 3 DESC LIMIT 10"""))),
+    QuerySpec("c33_verbatim_alert_xact_age_db",
+      (s, _) => verbatimStep(s, "alert_xact_age", "02_step.sql"),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT datname,
+          (9100 - datfrozenxid + 4294967296) % 4294967296
+            AS datfrozenxid_age,
+          (5000 - datminmxid + 4294967296) % 4294967296
+            AS datminmxid_age
+        FROM pg_database
+        WHERE (9100 - datfrozenxid + 4294967296) % 4294967296 > 1300000000
+           OR (5000 - datminmxid + 4294967296) % 4294967296 > 1400000000
+        ORDER BY 2 DESC"""))),
+    // dba_lag byte-identical: the four-stage WAL chain through
+    // pg_wal_lsn_diff over wire-format LSN strings; oracle subtracts the
+    // numeric twin positions the fixture carries (equal by construction)
+    QuerySpec("c34_verbatim_dba_lag",
+      (s, _) => verbatimStep(s, "dba_lag", "01_step.sql")
+        .orderBy(org.apache.spark.sql.functions.col("pid")),
+      oracle = Some(PgCatalog.withCatalog(s"""
+        SELECT pid, client_addr,
+          ${sizePretty("9028975680 - sent_pos")} AS pending_wal,
+          ${sizePretty("sent_pos - write_pos")} AS write,
+          ${sizePretty("write_pos - flush_pos")} AS flush,
+          ${sizePretty("flush_pos - replay_pos")} AS replay,
+          ${sizePretty("9028975680 - replay_pos")} AS total_lag
+        FROM pg_stat_replication ORDER BY pid"""))),
+    // dba_get_conf byte-identical: unit-aware pg_size_pretty rendering
+    // with the '-1' sentinel branch and commented-out select items
+    QuerySpec("c35_verbatim_dba_get_conf",
+      (s, _) => verbatimStep(s, "dba_get_conf", "01_step.sql"),
+      oracle = Some(PgCatalog.withCatalog(s"""
+        SELECT name, setting AS value,
+          (CASE
+             WHEN unit = '8kB' THEN
+               ${sizePretty("CAST(setting AS BIGINT) * 1024 * 8")}
+             WHEN unit = 'kB' AND setting <> '-1' THEN
+               ${sizePretty("CAST(setting AS BIGINT) * 1024")}
+             ELSE '' END) AS pretty_value,
+          boot_val, unit
+        FROM pg_settings
+        WHERE name IN ('max_connections', 'shared_buffers', 'work_mem',
+          'autovacuum_work_mem', 'autovacuum_vacuum_cost_limit',
+          'autovacuum_max_workers', 'checkpoint_timeout', 'max_wal_size',
+          'autovacuum_naptime', 'autovacuum_work_mem',
+          'maintenance_work_mem')
+        ORDER BY name ASC"""))),
     QuerySpec("c04_dba_idx_diag_array_join",
       (s, _) => dbaIdxDiagArrayJoin(s),
       oracle = Some(PgCatalog.withCatalog("""

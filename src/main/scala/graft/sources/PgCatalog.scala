@@ -47,56 +47,63 @@ object PgCatalog {
     * reloptions is the rendered storage-options string (fillfactor
     * extraction target); reltoastrelid links a heap to its toast table
     * (alert_bloat table-bloat estimator, c10); relpersistence p/u drives
-    * dba_clone_schema's TABLE vs UNLOGGED TABLE branch (01_step.sql:93-99).
+    * dba_clone_schema's TABLE vs UNLOGGED TABLE branch (01_step.sql:93-99);
+    * relfrozenxid/relminmxid feed the VERBATIM xact-age packets
+    * (dba_xact_age, alert_xact_age) — age() is mod-2^32 distance from the
+    * snapshot's pinned current xid 9100 / mxid 5000, so lineitem (frozen
+    * at 2.8e9) ages to ~1.49e9 (past both alert thresholds), events to
+    * ~1.39e9 xid / ~1.41e9 mxid, orders to ~1.19e9 (just UNDER the 1.2e9
+    * threshold — pins the negative branch).
     */
   val pgClass: String =
     """SELECT * FROM (VALUES
-      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING), 16394, 'p'),
-      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL, 0, 'p'),
-      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL, 0, 'p'),
-      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL, 0, 'p'),
-      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL, 0, 'p'),
-      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL, 0, 'p'),
-      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL, 0, 'p'),
-      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   'autovacuum_enabled=false', 0, 'u'),
-      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   'autovacuum_enabled=false,toast.autovacuum_enabled=false', 0, 'p'),
-      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL, 0, 'p'),
-      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL, 0, 'p'),
-      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL, 0, 'p'),
-      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90', 0, 'p'),
-      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL, 0, 'p'),
-      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL, 0, 'p'),
-      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70', 0, 'p'),
-      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL, 0, 'p'),
-      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL, 0, 'p'),
-      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70', 0, 'p'),
-      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL, 0, 'p'),
-      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL, 0, 'p'),
-      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0, 'p'),
-      (17011, 'orders_custkey_idx2',   2200,  'i', CAST(150000 AS BIGINT), 150,  403, NULL, 0, 'p'),
-      (17101, 'events_id_seq',   16500, 'S', CAST(1 AS BIGINT),   1,  0, NULL, 0, 'p'),
-      (17102, 'v_recent_events', 16500, 'v', CAST(0 AS BIGINT),   0,  0, NULL, 0, 'p'),
-      (17103, 'mv_doc_stats',    16500, 'm', CAST(300 AS BIGINT), 20, 0, NULL, 0, 'p')
-      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid, relpersistence)"""
+      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING), 16394, 'p', CAST(2800000000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL, 0, 'p', CAST(3100000000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   'autovacuum_enabled=false', 0, 'u', CAST(2900000000 AS BIGINT), CAST(2880000000 AS BIGINT)),
+      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   'autovacuum_enabled=false,toast.autovacuum_enabled=false', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL, 0, 'p', CAST(3000000000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17011, 'orders_custkey_idx2',   2200,  'i', CAST(150000 AS BIGINT), 150,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17101, 'events_id_seq',   16500, 'S', CAST(1 AS BIGINT),   1,  0, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17102, 'v_recent_events', 16500, 'v', CAST(0 AS BIGINT),   0,  0, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
+      (17103, 'mv_doc_stats',    16500, 'm', CAST(300 AS BIGINT), 20, 0, NULL, 0, 'p', CAST(8200 AS BIGINT), CAST(4100 AS BIGINT))
+      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid, relpersistence, relfrozenxid, relminmxid)"""
 
   /** (indexrelid, indrelid, indisunique, indisprimary, indisvalid,
     * indisready, inddef, indkey) — inddef is the pre-rendered pg_get_indexdef text
     * (decompilers become catalog columns on a file target, SURVEY.md §2.2);
-    * indisvalid/indisready are 1/0 ints (alert_invalid_indexes targets:
-    * a failed CREATE INDEX CONCURRENTLY leaves 0s). */
+    * indisvalid/indisready are real BOOLEANS (alert_invalid_indexes runs
+    * VERBATIM `indisvalid = false` — a failed CREATE INDEX CONCURRENTLY
+    * leaves false). */
   val pgIndex: String =
     """SELECT * FROM (VALUES
-      (17001, 16384, 1, 1, 1, 1, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)', '1 4'),
-      (17002, 16384, 0, 0, 0, 1, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)', '11'),
-      (17003, 16385, 1, 1, 1, 1, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)', '1'),
-      (17004, 16385, 0, 0, 1, 1, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)', '2'),
-      (17005, 16386, 1, 1, 1, 1, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)', '1'),
-      (17006, 16387, 1, 1, 1, 1, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)', '1'),
-      (17007, 16391, 0, 0, 1, 1, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)', '2'),
-      (17008, 16392, 0, 0, 1, 1, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)', '3'),
-      (17009, 16393, 1, 1, 1, 1, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)', '1'),
-      (17010, 16388, 1, 1, 1, 1, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)', '1'),
-      (17011, 16385, 0, 0, 1, 0, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)', '2')
+      (17001, 16384, 1, 1, true, true, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)', '1 4'),
+      (17002, 16384, 0, 0, false, true, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)', '11'),
+      (17003, 16385, 1, 1, true, true, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)', '1'),
+      (17004, 16385, 0, 0, true, true, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)', '2'),
+      (17005, 16386, 1, 1, true, true, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)', '1'),
+      (17006, 16387, 1, 1, true, true, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)', '1'),
+      (17007, 16391, 0, 0, true, true, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)', '2'),
+      (17008, 16392, 0, 0, true, true, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)', '3'),
+      (17009, 16393, 1, 1, true, true, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)', '1'),
+      (17010, 16388, 1, 1, true, true, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)', '1'),
+      (17011, 16385, 0, 0, true, false, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)', '2')
       ) AS t(indexrelid, indrelid, indisunique, indisprimary, indisvalid, indisready, inddef, indkey)"""
 
   /** (indexrelid, attnum, keypos) — one row per index key column: the
@@ -275,18 +282,27 @@ object PgCatalog {
       (505, 'etl',       'graft', 'COPY events FROM stdin', 'active', 'etl_loader', TIMESTAMP '2024-01-01 10:04:50', TIMESTAMP '2024-01-01 10:04:51', 9010, 9009, NULL, NULL)
       ) AS t(pid, usename, datname, query, state, application_name, xact_start, state_change, backend_xid, backend_xmin, wait_event_type, wait_event)"""
 
-  /** (name, setting, unit) — current_setting targets (dba_get_conf). */
+  /** (name, setting, unit, boot_val) — current_setting targets plus the
+    * full dba_get_conf name list (the packet runs VERBATIM as c34: its
+    * CASE renders '8kB'/'kB' units through pg_size_pretty, everything
+    * else — including autovacuum_work_mem's '-1' sentinel — falls to ''). */
   val pgSettings: String =
     """SELECT * FROM (VALUES
-      ('block_size', '8192', CAST(NULL AS STRING)),
-      ('work_mem', '204800', 'kB'),
-      ('maintenance_work_mem', '1048576', 'kB'),
-      ('shared_buffers', '1048576', '8kB'),
-      ('autovacuum', 'on', NULL),
-      ('server_version', '14.11', NULL),
-      ('statement_timeout', '3600000', 'ms'),
-      ('max_connections', '6', NULL)
-      ) AS t(name, setting, unit)"""
+      ('block_size', '8192', CAST(NULL AS STRING), '8192'),
+      ('work_mem', '204800', 'kB', '4096'),
+      ('maintenance_work_mem', '1048576', 'kB', '65536'),
+      ('shared_buffers', '1048576', '8kB', '16384'),
+      ('autovacuum', 'on', NULL, 'on'),
+      ('server_version', '14.11', NULL, '14.11'),
+      ('statement_timeout', '3600000', 'ms', '0'),
+      ('max_connections', '6', NULL, '100'),
+      ('autovacuum_work_mem', '-1', 'kB', '-1'),
+      ('autovacuum_vacuum_cost_limit', '200', NULL, '-1'),
+      ('autovacuum_max_workers', '3', NULL, '3'),
+      ('checkpoint_timeout', '300', 's', '300'),
+      ('max_wal_size', '4096', 'MB', '1024'),
+      ('autovacuum_naptime', '60', 's', '60')
+      ) AS t(name, setting, unit, boot_val)"""
 
   /** (adrelid, adnum, adbin, serial_seq) — column defaults
     * (dba_clone_schema/01_step.sql:131-190). adbin holds the RENDERED
@@ -331,25 +347,33 @@ object PgCatalog {
       ) AS t(oid, viewdef)"""
 
   /** (oid, datname) — database list (dba_find_db/01_step.sql:1). */
+  /** (oid, datname, datfrozenxid, datminmxid) — the frozen-xid columns
+    * feed the VERBATIM dba_xact_age/alert_xact_age second statements:
+    * template1 crosses the 1.3e9 xid-age alert threshold, postgres the
+    * 1.4e9 mxid-age one (pinned current xid 9100 / mxid 5000). */
   val pgDatabase: String =
     """SELECT * FROM (VALUES
-      (13443, 'postgres'),
-      (13444, 'template1'),
-      (16400, 'graft'),
-      (16401, 'app_some_db_prod'),
-      (16402, 'some_db_stage'),
-      (16403, 'analytics')
-      ) AS t(oid, datname)"""
+      (13443, 'postgres',  CAST(3200000000 AS BIGINT), CAST(2880000000 AS BIGINT)),
+      (13444, 'template1', CAST(2850000000 AS BIGINT), CAST(4200 AS BIGINT)),
+      (16400, 'graft',     CAST(8500 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16401, 'app_some_db_prod', CAST(8600 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16402, 'some_db_stage',    CAST(8700 AS BIGINT), CAST(4000 AS BIGINT)),
+      (16403, 'analytics', CAST(8800 AS BIGINT), CAST(4000 AS BIGINT))
+      ) AS t(oid, datname, datfrozenxid, datminmxid)"""
 
-  /** (pid, client_addr, sent_lsn, replay_lsn, sent_pos, replay_pos) —
-    * LSNs both as the wire 'X/Y' hex strings (parsed by
-    * PgFunctions.pg_wal_lsn_diff) and as absolute byte positions (the
-    * numeric truth the strings encode: X·2^32 + Y). */
+  /** (pid, client_addr, sent_lsn, write_lsn, flush_lsn, replay_lsn,
+    * sent_pos, write_pos, flush_pos, replay_pos) — the full dba_lag LSN
+    * chain, each both as the wire 'X/Y' hex string (parsed by
+    * PgFunctions.pg_wal_lsn_diff) and as its absolute byte position (the
+    * numeric truth the string encodes: X·2^32 + Y; hex↔pos pairs are
+    * exact by construction, so the verbatim c33 and its positions-based
+    * oracle agree). Pinned pg_current_wal_lsn() = '2/1A2B3C40'
+    * (9028975680), the sent head. */
   val pgStatReplication: String =
     """SELECT * FROM (VALUES
-      (9001, '10.0.0.21', '2/1A2B3C40', '2/1A2B0000', CAST(9028975680 AS BIGINT), CAST(9028960256 AS BIGINT)),
-      (9002, '10.0.0.22', '2/1A2B3C40', '1/FF000000', CAST(9028975680 AS BIGINT), CAST(8573157376 AS BIGINT))
-      ) AS t(pid, client_addr, sent_lsn, replay_lsn, sent_pos, replay_pos)"""
+      (9001, '10.0.0.21', '2/1A2B3C40', '2/1A2B3000', '2/1A2B2000', '2/1A2B0000', CAST(9028975680 AS BIGINT), CAST(9028972544 AS BIGINT), CAST(9028968448 AS BIGINT), CAST(9028960256 AS BIGINT)),
+      (9002, '10.0.0.22', '2/1A2B3C40', '2/00000000', '1/FFC00000', '1/FF000000', CAST(9028975680 AS BIGINT), CAST(8589934592 AS BIGINT), CAST(8585740288 AS BIGINT), CAST(8573157376 AS BIGINT))
+      ) AS t(pid, client_addr, sent_lsn, write_lsn, flush_lsn, replay_lsn, sent_pos, write_pos, flush_pos, replay_pos)"""
 
   /** (oid, relacl) — acl arrays in PostgreSQL's text rendering
     * (`{grantee=privchars/grantor,...}`), the aclexplode input shape

@@ -121,4 +121,44 @@ class PgDialectRewriterSpec extends AnyFunSuite {
     assert(ev.getDouble(3) == 80.19, ev.toString)
     assert(ev.getInt(7) == 70) // fillfactor=70 extracted from reloptions
   }
+
+  test("round-14 rules: pinned now()/pg_backend_pid(), xid/mxid age " +
+      "wraparound, two-arg age → interval, interval-literal coercion, " +
+      "date_trunc('milliseconds')/to_char interval rendering, format → " +
+      "format_string, version() whole-item alias") {
+    // now() pins to the snapshot instant (deterministic, oracle-replayable)
+    assert(run("SELECT now() AS t").head.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:05:00"))
+    assert(run("SELECT pg_backend_pid() AS p").head.getInt(0) == 999)
+    // age(xid): mod-2^32 distance from pinned xid 9100 — a recent xid
+    // ages to a small number, a pre-wrap frozen xid to ~1.5e9
+    assert(run("SELECT age(9001) AS age").head.getLong(0) == 99L)
+    assert(run("SELECT age(2800000000) AS age").head.getLong(0)
+      == 1494976396L)
+    assert(run("SELECT mxid_age(4000) AS mxid_age").head.getLong(0)
+      == 1000L)
+    // whole-item alias: PG names `select age(x)` simply 'age'
+    assert(run("SELECT age(9001) FROM (SELECT 1)").columns.head == "age")
+    // two-arg age compares against interval literals (PG coerces the
+    // string; Spark needs the rewriter's typed INTERVAL)
+    val r = run("SELECT age(now(), TIMESTAMP '2023-12-01') > '15 days' " +
+      "AS a, age(now(), TIMESTAMP '2023-12-31') > '15 days' AS b").head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(run("SELECT (now() - TIMESTAMP '2024-01-01 10:04:59') >= " +
+      "'00:00:00.000001' AS x").head.getBoolean(0))
+    // PG interval text rendering at the two verbatim call sites
+    assert(run("SELECT date_trunc('milliseconds', now() - " +
+      "TIMESTAMP '2024-01-01 10:00:05') AS a").head.getString(0)
+      == "00:04:55")
+    assert(run("SELECT to_char(now() - TIMESTAMP '2024-01-01 10:00:31', " +
+      "'HH12:MI:SS.MS') AS a").head.getString(0) == "12:04:29.000")
+    // timestamp-field date_trunc stays Spark-native
+    assert(run("SELECT date_trunc('MONTH', TIMESTAMP '2024-03-15') AS m")
+      .head.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    // format → format_string (PG %s = Java %s for the corpus's args)
+    assert(run("SELECT format('%s-%s', 1, 'a') AS f").head.getString(0)
+      == "1-a")
+    assert(run("SELECT version()").columns.head == "version")
+  }
 }
