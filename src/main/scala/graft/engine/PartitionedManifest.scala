@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Partition-scoped atomic publication: every partition of a table is
   * its own [[ManifestTable]] root —
@@ -173,7 +174,13 @@ object PartitionedManifest {
         .getOrElse(sys.error(
           s"PartitionedManifest: no MANIFEST under $root/$partCol=$v"))
     }
-    serveThroughPin(spark, root, partCol, partType, dirs)
+    // the live pointers' schema authority is the CURRENT snapshot's
+    // recorded schema (evolution adds columns old version dirs lack —
+    // the pinned relation reads them as NULL; a metadata-only drop
+    // projects the column away without touching a byte)
+    val schema = currentSnapshot(spark, root)
+      .flatMap(sn => snapshotSchema(spark, root, sn))
+    serveThroughPin(spark, root, partCol, partType, dirs, schema)
   }
 
   private def hash8(s: String): String =
@@ -181,9 +188,16 @@ object PartitionedManifest {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(8)
 
-  private def pinTableName(root: String, dirs: Seq[(String, String)]): String =
+  /** Pin names are content hashes of (mapping, schema): the SAME dirs
+    * under an evolved schema (a metadata-only dropColumn) must serve
+    * through a DIFFERENT pin, or the stale relation's columns would
+    * survive the evolution. Schema-less (legacy) pins keep their
+    * pre-evolution names. */
+  private def pinTableName(root: String, dirs: Seq[(String, String)],
+      schema: Option[StructType] = None): String =
     s"graft_pm_${hash8(root)}_" +
-      hash8(dirs.sortBy(_._1).map { case (v, d) => s"$v\t$d" }.mkString("\n"))
+      hash8(dirs.sortBy(_._1).map { case (v, d) => s"$v\t$d" }.mkString("\n")
+        + schema.map(s => "\n#schema=" + s.json).getOrElse(""))
 
   /** Serve a RESOLVED (partition value → absolute version dir) mapping
     * through one partitioned catalog relation whose name is a CONTENT
@@ -203,11 +217,11 @@ object PartitionedManifest {
     * metadata obeys the same keep-N reader horizon as the version
     * directories themselves. */
   private def serveThroughPin(spark: SparkSession, root: String,
-      partCol: String, partType: String,
-      dirs: Seq[(String, String)]): DataFrame = {
-    val table = pinTableName(root, dirs)
+      partCol: String, partType: String, dirs: Seq[(String, String)],
+      schema: Option[StructType] = None): DataFrame = {
+    val table = pinTableName(root, dirs, schema)
     if (!spark.catalog.tableExists(table)) {
-      syncCatalogDirs(spark, root, table, partCol, partType, dirs)
+      syncCatalogDirs(spark, root, table, partCol, partType, dirs, schema)
       gcStalePins(spark, root, partCol)
     }
     spark.table(table)
@@ -218,16 +232,20 @@ object PartitionedManifest {
   private def gcStalePins(spark: SparkSession, root: String,
       partCol: String): Unit = {
     val prefix = s"graft_pm_${hash8(root)}_"
+    val curSchema = currentSnapshot(spark, root)
+      .flatMap(sn => snapshotSchema(spark, root, sn))
     val livePin =
       try {
         val dirs = partitionValues(spark, root, partCol).flatMap { v =>
           ManifestTable.currentDataDir(s"$root/$partCol=$v").map(v -> _)
         }
-        if (dirs.isEmpty) None else Some(pinTableName(root, dirs))
+        if (dirs.isEmpty) None
+        else Some(pinTableName(root, dirs, curSchema))
       } catch { case scala.util.control.NonFatal(_) => None }
     val snapPins = snapshots(spark, root).map { sn =>
       pinTableName(root, snapshotMapping(spark, root, sn)
-        .map { case (v, d) => v -> s"$root/$partCol=$v/$d" })
+        .map { case (v, d) => v -> s"$root/$partCol=$v/$d" },
+        snapshotSchema(spark, root, sn))
     }
     val valid = (livePin.toSeq ++ snapPins).toSet
     val db = spark.catalog.currentDatabase
@@ -260,7 +278,9 @@ object PartitionedManifest {
         .getOrElse(sys.error(
           s"PartitionedManifest: no MANIFEST under $root/$partCol=$v"))
     }
-    syncCatalogDirs(spark, root, table, partCol, partType, dirs)
+    val schema = currentSnapshot(spark, root)
+      .flatMap(sn => snapshotSchema(spark, root, sn))
+    syncCatalogDirs(spark, root, table, partCol, partType, dirs, schema)
   }
 
   /** Pin a catalog table to a NAMED snapshot: every partition LOCATION
@@ -278,15 +298,30 @@ object PartitionedManifest {
     val mapping = snapshotMapping(spark, root, snap)
     require(mapping.nonEmpty, s"empty snapshot $snap")
     val dirs = mapping.map { case (v, d) => v -> s"$root/$partCol=$v/$d" }
-    syncCatalogDirs(spark, root, table, partCol, partType, dirs)
+    syncCatalogDirs(spark, root, table, partCol, partType, dirs,
+      snapshotSchema(spark, root, snap))
   }
 
   private def syncCatalogDirs(spark: SparkSession, root: String,
       table: String, partCol: String, partType: String,
-      dirs: Seq[(String, String)]): Unit = {
+      dirs: Seq[(String, String)],
+      schema: Option[StructType] = None): Unit = {
+    // a recorded (possibly evolved) schema is the relation's authority:
+    // version dirs written before an added column serve it as NULL, a
+    // dropped column is projected away. A NAMED table whose catalog
+    // columns no longer match is recreated (catalog-only; its
+    // partitions re-register through the diff below).
+    val dataSchema = schema.getOrElse(
+      spark.read.parquet(dirs.head._2).schema)
+    if (spark.catalog.tableExists(table)) {
+      val existingCols = spark.table(table).schema
+        .filterNot(_.name == partCol)
+        .map(f => (f.name, f.dataType))
+      if (existingCols != dataSchema.map(f => (f.name, f.dataType)))
+        spark.sql(s"DROP TABLE `$table`")
+    }
     if (!spark.catalog.tableExists(table)) {
-      val schema = spark.read.parquet(dirs.head._2).schema
-      val cols = schema.map(f => s"`${f.name}` ${f.dataType.sql}")
+      val cols = dataSchema.map(f => s"`${f.name}` ${f.dataType.sql}")
         .mkString(", ")
       spark.sql(s"CREATE TABLE `$table` ($cols, `$partCol` $partType) " +
         s"USING parquet PARTITIONED BY (`$partCol`) LOCATION '$root'")
@@ -371,6 +406,44 @@ object PartitionedManifest {
       .orElse(try Some(fs.getFileStatus(
           new HPath(s"$root/$SnapDir/$snap")).getModificationTime)
         catch { case _: java.io.IOException => None })
+  }
+
+  /** The table schema RECORDED at a snapshot commit (data columns only,
+    * never the partition column). Every snapshot written since schema
+    * evolution landed carries one; None for older layouts (readers fall
+    * back to a live version dir's parquet footer). */
+  def snapshotSchema(spark: SparkSession, root: String,
+      snap: String): Option[StructType] = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(new HPath(s"$root/$SnapDir/$snap"))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.linesIterator.find(_.startsWith("#schema="))
+      .map(l => DataType.fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[StructType])
+  }
+
+  /** ADDITIVE schema evolution (the Iceberg add-column contract): every
+    * existing column must arrive unchanged (same name, same type); new
+    * columns append. A column REMOVAL goes through [[dropColumn]] (an
+    * explicit metadata-only commit), never through an update that
+    * silently omits it; a type change needs a rewrite, not evolution. */
+  private def mergeSchemas(prev: StructType, upd: StructType): StructType = {
+    prev.fields.foreach { f =>
+      upd.fields.find(_.name == f.name) match {
+        case None => sys.error(
+          s"commitSnapshot: update omits column '${f.name}' - evolution " +
+            "is additive; use dropColumn() for an explicit metadata-only " +
+            "drop")
+        case Some(u) if u.dataType != f.dataType => sys.error(
+          s"commitSnapshot: column '${f.name}' changes type " +
+            s"${f.dataType.simpleString} -> ${u.dataType.simpleString}; " +
+            "type changes need a rewrite, not schema evolution")
+        case _ =>
+      }
+    }
+    StructType(prev.fields ++
+      upd.fields.filterNot(u => prev.fieldNames.contains(u.name)))
   }
 
   /** AS-OF time travel: the LATEST snapshot committed at or before
@@ -513,8 +586,43 @@ object PartitionedManifest {
           ManifestTable.repointVersion(pr, d)
         }
       }
+      // the restored commit carries the TARGET's schema: rolling back
+      // past a schema evolution restores the pre-evolution shape too
       writeSnapshotFileLocked(spark, root, target.toSeq.sortBy(_._1),
-        keepSnapshots)
+        keepSnapshots, snapshotSchema(spark, root, snap))
+    }
+  }
+
+  /** METADATA-ONLY column drop (the Iceberg drop-column contract): a
+    * new snapshot commits the SAME partition→version mapping with the
+    * column removed from the recorded schema — no data is read, moved,
+    * or rewritten (the bytes stay in the immutable version dirs, where
+    * time travel to pre-drop snapshots still serves them; the next
+    * compaction of a partition materializes the reduced shape). ADD
+    * column needs no API at all: commit an update carrying the new
+    * column and [[mergeSchemas]] appends it — older partitions read it
+    * as NULL. Returns the new snapshot name. */
+  def dropColumn(spark: SparkSession, root: String, partCol: String,
+      column: String, keepSnapshots: Int = 2): String = {
+    require(column != partCol,
+      s"dropColumn: '$column' is the partition column")
+    ManifestTable.withPublishLock(root) {
+      val snap = currentSnapshot(spark, root).getOrElse(sys.error(
+        s"PartitionedManifest: dropColumn needs a committed snapshot " +
+          s"under $root"))
+      val mapping = snapshotMapping(spark, root, snap)
+      val schema = snapshotSchema(spark, root, snap).getOrElse {
+        val (v, d) = mapping.head
+        spark.read.parquet(s"$root/$partCol=$v/$d").schema
+      }
+      require(schema.fieldNames.contains(column),
+        s"dropColumn: no column '$column' " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      val reduced = StructType(schema.filterNot(_.name == column))
+      require(reduced.fields.nonEmpty,
+        "dropColumn: cannot drop the last data column")
+      writeSnapshotFileLocked(spark, root, mapping, keepSnapshots,
+        Some(reduced))
     }
   }
 
@@ -556,15 +664,32 @@ object PartitionedManifest {
         readSnapshot(spark, root, partCol, partType, Some(toSnap))
           .limit(0).withColumn(changeCol, lit(""))
       case (f, t) =>
-        val fDf = f.orElse(t.map(_.limit(0))).get
-        val tDf = t.orElse(f.map(_.limit(0))).get
-        // fail with a CLEAR message when the schema evolved between the
-        // endpoints (w05-style add-column): a row diff across two
-        // shapes has no single answer — the caller picks a projection
-        require(fDf.columns.sorted.sameElements(tDf.columns.sorted),
-          "changesBetween: schema differs between snapshots (" +
-            s"${fDf.columns.mkString(",")} vs ${tDf.columns.mkString(",")}" +
-            ") - project both sides to a common schema and diff those")
+        val fDf0 = f.orElse(t.map(_.limit(0))).get
+        val tDf0 = t.orElse(f.map(_.limit(0))).get
+        // schema evolution between the endpoints: align BOTH sides to
+        // the TO snapshot's schema (Delta CDF's additive-evolution
+        // shape) — a column added between the commits reads as NULL on
+        // the from side; a column gone from the to side is projected
+        // away. A metadata-only dropColumn never even reaches here (its
+        // version dirs are identical). Type changes stay a loud error.
+        val toSchema: StructType = snapshotSchema(spark, root, toSnap)
+          .map(s => StructType(s.fields :+
+            StructField(partCol, tDf0.schema(partCol).dataType)))
+          .getOrElse(tDf0.schema)
+        def align(df: DataFrame): DataFrame =
+          df.select(toSchema.fields.toSeq.map { fld =>
+            if (df.columns.contains(fld.name)) {
+              val dt = df.schema(fld.name).dataType
+              require(dt == fld.dataType,
+                s"changesBetween: column '${fld.name}' changes type " +
+                  s"between snapshots (${dt.simpleString} vs " +
+                  s"${fld.dataType.simpleString}) - type changes are " +
+                  "not diffable")
+              col(fld.name)
+            } else lit(null).cast(fld.dataType).as(fld.name)
+          }: _*)
+        val fDf = align(fDf0)
+        val tDf = align(tDf0)
         tDf.exceptAll(fDf).withColumn(changeCol, lit("insert"))
           .unionByName(
             fDf.exceptAll(tDf).withColumn(changeCol, lit("delete")))
@@ -611,8 +736,11 @@ object PartitionedManifest {
     val scratch =
       if (updates.isEmpty) None
       else Some(writeScratchParts(spark, root, partCol, updates))
+    val updSchema = updates.headOption.map { case (_, df) =>
+      StructType(df.schema.filterNot(_.name == partCol))
+    }
     try adoptPartsLocked(spark, root, partCol, scratch,
-      updates.keys.toSeq.sorted, v => updates(v), keepSnapshots)
+      updates.keys.toSeq.sorted, v => updates(v), keepSnapshots, updSchema)
     finally scratch.foreach(s => fs.delete(new HPath(s), true))
   }
 
@@ -647,7 +775,8 @@ object PartitionedManifest {
     * and trim past the keep-N horizon. */
   private def adoptPartsLocked(spark: SparkSession, root: String,
       partCol: String, scratch: Option[String], parts: Seq[String],
-      emptyUpdate: String => DataFrame, keepSnapshots: Int): String = {
+      emptyUpdate: String => DataFrame, keepSnapshots: Int,
+      updatesSchema: Option[StructType] = None): String = {
     val base: Map[String, String] = currentSnapshot(spark, root) match {
       case Some(s) => snapshotMapping(spark, root, s).toMap
       case None => // adopt the standing per-partition pointers as gen-0
@@ -676,6 +805,18 @@ object PartitionedManifest {
     val protectByPart: Map[String, Set[String]] = keptOld
       .flatMap(sn => snapshotMapping(spark, root, sn))
       .groupBy(_._1).map { case (v, dirs) => v -> dirs.map(_._2).toSet }
+    // schema evolution check FIRST — a rejected merge (silent column
+    // drop, type change) must fail BEFORE any partition pointer moves,
+    // or the table would be torn between adopted dirs and the old
+    // snapshot. mergeSchemas is additive-only; see dropColumn.
+    val prevSchema = currentSnapshot(spark, root)
+      .flatMap(sn => snapshotSchema(spark, root, sn))
+    val mergedSchema: Option[StructType] =
+      (prevSchema, updatesSchema) match {
+        case (Some(p), Some(u)) => Some(mergeSchemas(p, u))
+        case (None, Some(u)) => Some(u)
+        case (p, None) => p
+      }
     val written: Map[String, String] = parts.map { v =>
       val src = scratch.map(s => new HPath(s"$s/$partCol=$v"))
         .filter(fs.exists)
@@ -694,8 +835,12 @@ object PartitionedManifest {
       }
       v -> new HPath(dir).getName
     }.toMap
-    writeSnapshotFileLocked(spark, root, (base ++ written).toSeq.sortBy(_._1),
-      keepSnapshots)
+    val mapping = (base ++ written).toSeq.sortBy(_._1)
+    // first commit / legacy tables with neither a recorded schema nor
+    // updates derive theirs once from a live version dir's footer
+    val newSchema = mergedSchema.orElse(mapping.headOption.map {
+      case (v, d) => spark.read.parquet(s"$root/$partCol=$v/$d").schema })
+    writeSnapshotFileLocked(spark, root, mapping, keepSnapshots, newSchema)
   }
 
   /** Write + atomically publish a snapshot file carrying `mapping`,
@@ -704,13 +849,15 @@ object PartitionedManifest {
     * holds the root publish lock. Shared tail of [[commitSnapshot]]
     * and [[rollback]]. */
   private def writeSnapshotFileLocked(spark: SparkSession, root: String,
-      mapping: Seq[(String, String)], keepSnapshots: Int): String = {
+      mapping: Seq[(String, String)], keepSnapshots: Int,
+      schema: Option[StructType] = None): String = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new HPath(root, SnapDir))
     val gen = snapshots(spark, root).lastOption
       .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
     val snap = f"s$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
     val body = s"#committed_ms=${System.currentTimeMillis()}\n" +
+      schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       mapping.map { case (v, d) => s"$v\t$d" }.mkString("\n") + "\n"
     // immutable uniquely-named file: one conditional PUT on an
     // object-store-backed root, tmp+rename elsewhere
@@ -841,8 +988,17 @@ object PartitionedManifest {
       // collect its read-set dir, this job fails — re-select and retry.
       val scratch =
         try {
+          // rewrite through the RECORDED schema when the table evolved:
+          // a pre-evolution version dir lacks added columns (read as
+          // NULL), and without the explicit schema the mixed-shape
+          // union across candidates would fail — compaction then
+          // materializes the nulls, converging the layout on the
+          // current shape
+          val curSchema = currentSnapshot(spark, root)
+            .flatMap(sn => snapshotSchema(spark, root, sn))
           val updates = candidates.map { case (v, dir) =>
-            v -> spark.read.parquet(dir)
+            v -> curSchema.map(sc => spark.read.schema(sc).parquet(dir))
+              .getOrElse(spark.read.parquet(dir))
           }
           Some(writeScratchParts(spark, root, partCol, updates))
         } catch { case scala.util.control.NonFatal(_) => None }
@@ -1012,8 +1168,11 @@ object PartitionedManifest {
       sys.error(s"PartitionedManifest: no snapshot committed under $root"))
     val mapping = snapshotMapping(spark, root, snap)
     require(mapping.nonEmpty, s"empty snapshot $snap")
+    // time travel preserves the schema AS OF the snapshot: a read of a
+    // pre-evolution commit serves the pre-evolution columns
     serveThroughPin(spark, root, partCol, partType,
-      mapping.map { case (v, d) => v -> s"$root/$partCol=$v/$d" })
+      mapping.map { case (v, d) => v -> s"$root/$partCol=$v/$d" },
+      snapshotSchema(spark, root, snap))
   }
 
   /** Standing registrations for the merge/SCD2 packets' seed and

@@ -688,6 +688,109 @@ object EngineQueries {
             UNION ALL SELECT 'table' AS src, * FROM v3)
       ORDER BY src, s_suppkey"""), bench = true),
 
+    // SCHEMA EVOLUTION (PartitionedManifest snapshot-recorded schemas):
+    // the Iceberg add/drop-column contract on the manifest table format.
+    // ADD needs no API — a commit whose update carries a new column
+    // appends it to the recorded schema; partitions whose version dirs
+    // predate the column serve it as NULL (require()d below: the
+    // untouched partitions' dirs are byte-identical). DROP is an
+    // explicit METADATA-ONLY commit (dropColumn — same mapping, reduced
+    // schema, zero bytes moved; also require()d on dir identity). CDC
+    // across the evolution boundary aligns both sides to the to-side
+    // schema (Delta CDF's shape), so the from-side deletes carry NULL
+    // for the added column. The result surfaces all three behaviors:
+    // the 'cdc' section diffs s1→s2 through the boundary, the 'live'
+    // section reads the post-drop table (tier survives, acctbal gone,
+    // NULL-backfilled outside bk=1); the oracle replays both
+    // relationally.
+    QuerySpec("w15_schema_evolution", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, lit, when}
+      import graft.engine.{ManifestTable, PartitionedManifest}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w15").toString
+      val base = Tables.load(s, dir, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"),
+          $"c_acctbal".cast("double").as("c_acctbal"),
+          ($"c_custkey" % 4).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, base, "bk")
+      val s1 = PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty,
+        keepSnapshots = 4)
+      // evolved update on bk=1 only: tier derives from the ORIGINAL
+      // balance, then the balance bumps for custkey%10==1
+      val old1 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .filter($"bk" === 1).drop("bk")
+      val new1 = old1
+        .withColumn("tier",
+          when($"c_acctbal" >= 5000.0, "gold").otherwise("std"))
+        .withColumn("c_acctbal", when($"c_custkey" % 10 === 1,
+          $"c_acctbal" + 100.0).otherwise($"c_acctbal"))
+      val s2 = PartitionedManifest.commitSnapshot(s, root, "bk",
+        Map("1" -> new1), keepSnapshots = 4)
+      val untouched = (0 until 4).filter(_ != 1).map(b =>
+        ManifestTable.currentDataDir(s"$root/bk=$b").get)
+      // CDC through the evolution boundary: only bk=1 planned, from
+      // side aligned with NULL tier
+      val ch = PartitionedManifest.changesBetween(s, root, "bk", "int",
+        s1, s2, changeCol = "change_type")
+      require(ch.inputFiles.nonEmpty &&
+        ch.inputFiles.forall(_.contains("/bk=1/")),
+        "CDC must plan only the changed partition")
+      // metadata-only column drop; untouched partitions' dirs identical
+      PartitionedManifest.dropColumn(s, root, "bk", "c_acctbal",
+        keepSnapshots = 4)
+      val untouchedAfter = (0 until 4).filter(_ != 1).map(b =>
+        ManifestTable.currentDataDir(s"$root/bk=$b").get)
+      require(untouched == untouchedAfter,
+        "evolution must not rewrite untouched partitions")
+      require(PartitionedManifest.readSnapshot(s, root, "bk", "int",
+        Some(s1)).columns.toSeq == Seq("c_custkey", "c_acctbal", "bk"),
+        "time travel must keep the pre-evolution shape")
+      val live = PartitionedManifest.read(s, root, "bk", "int")
+      require(live.columns.toSeq == Seq("c_custkey", "tier", "bk"),
+        s"post-drop columns: ${live.columns.mkString(",")}")
+      val cdcPart = ch.select(lit("cdc").as("src"), $"c_custkey",
+        $"c_acctbal", $"tier", $"bk".cast("long").as("bk"),
+        $"change_type")
+      val livePart = live.select(lit("live").as("src"), $"c_custkey",
+        lit(null).cast("double").as("c_acctbal"), $"tier",
+        $"bk".cast("long").as("bk"), lit("").as("change_type"))
+      cdcPart.unionByName(livePart)
+        .orderBy($"src", $"change_type", $"c_custkey", $"c_acctbal")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               CAST(c_custkey % 4 AS BIGINT) AS bk
+        FROM customer),
+      old1 AS (SELECT * FROM base WHERE bk = 1),
+      new1 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_acctbal >= 5000.0 THEN 'gold'
+                    ELSE 'std' END AS tier,
+               bk
+        FROM old1),
+      o1a AS (SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS tier,
+                     bk FROM old1),
+      ins AS (SELECT *, 'insert' AS change_type FROM
+               (SELECT * FROM new1 EXCEPT ALL SELECT * FROM o1a)),
+      del AS (SELECT *, 'delete' AS change_type FROM
+               (SELECT * FROM o1a EXCEPT ALL SELECT * FROM new1)),
+      live AS (
+        SELECT c_custkey, CAST(NULL AS DOUBLE) AS c_acctbal,
+               CASE WHEN bk = 1 THEN
+                 (CASE WHEN c_acctbal >= 5000.0 THEN 'gold' ELSE 'std' END)
+               END AS tier,
+               bk, '' AS change_type
+        FROM base)
+      SELECT src, c_custkey, c_acctbal, tier, bk, change_type
+      FROM (SELECT 'cdc' AS src, * FROM (SELECT * FROM ins
+              UNION ALL SELECT * FROM del)
+            UNION ALL SELECT 'live' AS src, * FROM live)
+      ORDER BY src, change_type, c_custkey, c_acctbal"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

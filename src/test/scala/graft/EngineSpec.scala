@@ -1307,6 +1307,103 @@ class EngineSpec extends AnyFunSuite {
     assert(d == Seq((1L, "delete"), (2L, "delete"), (1001L, "insert")), d)
   }
 
+  test("schema evolution: an added column NULL-backfills old partitions, " +
+      "time travel keeps each snapshot's shape, dropColumn is " +
+      "metadata-only, rollback restores the pre-evolution schema, and " +
+      "compaction converges the layout") {
+    val root = Files.createTempDirectory("graft-evo").toString
+    import spark.implicits._
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    val base = (0 until 2).flatMap(b => (1 to 10).map(i =>
+      ((b * 100 + i).toLong, b))).toDF("i", "bk")
+    PartitionedManifest.seed(spark, root, base, "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map.empty, keepSnapshots = 6)
+    assert(PartitionedManifest.snapshotSchema(spark, root, s1)
+      .map(_.fieldNames.toSeq).contains(Seq("i")), "s1 must record schema")
+    // ADD COLUMN: just commit an update carrying it
+    val upd1 = (101 to 110).map(i => (i.toLong, s"t$i")).toDF("i", "tag")
+    val s2 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("1" -> upd1), keepSnapshots = 6)
+    assert(PartitionedManifest.snapshotSchema(spark, root, s2)
+      .map(_.fieldNames.toSeq).contains(Seq("i", "tag")))
+    val live = PartitionedManifest.read(spark, root, "bk", "int")
+    assert(live.columns.toSeq == Seq("i", "tag", "bk"))
+    // the untouched partition (old version dir, no tag bytes on disk)
+    // serves the evolved column as NULL
+    assert(live.filter($"bk" === 0).select($"tag").distinct
+      .collect().map(_.isNullAt(0)).toSeq == Seq(true))
+    assert(live.filter($"bk" === 1 && $"tag".isNull).count() == 0)
+    // time travel: the PRE-evolution snapshot keeps its shape
+    assert(PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      Some(s1)).columns.toSeq == Seq("i", "bk"))
+    // additive only: an update that silently OMITS a column fails
+    // loudly and points at dropColumn
+    val omit = intercept[RuntimeException] {
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("0" -> (1 to 3).map(_.toLong).toDF("i")), keepSnapshots = 6)
+    }
+    assert(omit.getMessage.contains("dropColumn"), omit.getMessage)
+    // type changes refuse evolution
+    val ty = intercept[RuntimeException] {
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("0" -> (1 to 3).map(i => (i.toString, "x")).toDF("i", "tag")),
+        keepSnapshots = 6)
+    }
+    assert(ty.getMessage.contains("type"), ty.getMessage)
+    // CDC across the evolution boundary aligns to the TO schema:
+    // from-side rows carry NULL for the added column
+    val ch = PartitionedManifest.changesBetween(spark, root, "bk", "int",
+      s1, s2)
+    assert(ch.columns.toSeq == Seq("i", "tag", "bk", "_change_type"))
+    val dels = ch.filter($"_change_type" === "delete")
+    assert(dels.count() == 10 && dels.filter($"tag".isNotNull).count() == 0)
+    assert(ch.filter($"_change_type" === "insert" && $"tag".isNull)
+      .count() == 0)
+    // DROP COLUMN: metadata-only — the version directories are
+    // byte-identical before and after
+    val dirsBefore = (0 until 2).map(b =>
+      ManifestTable.currentDataDir(s"$root/bk=$b").get)
+    val s3 = PartitionedManifest.dropColumn(spark, root, "bk", "i",
+      keepSnapshots = 6)
+    val dirsAfter = (0 until 2).map(b =>
+      ManifestTable.currentDataDir(s"$root/bk=$b").get)
+    assert(dirsBefore == dirsAfter, "dropColumn must not touch data")
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .columns.toSeq == Seq("tag", "bk"))
+    // pre-drop snapshots still serve the dropped column (the bytes
+    // live on in the immutable version dirs)
+    assert(PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      Some(s2)).columns.toSeq == Seq("i", "tag", "bk"))
+    // guards: partition column / unknown / last column
+    intercept[IllegalArgumentException] {
+      PartitionedManifest.dropColumn(spark, root, "bk", "bk")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedManifest.dropColumn(spark, root, "bk", "nope")
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedManifest.dropColumn(spark, root, "bk", "tag")
+    }
+    // ROLLBACK past the evolution restores the pre-evolution schema
+    PartitionedManifest.rollback(spark, root, "bk", s1, keepSnapshots = 6)
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .columns.toSeq == Seq("i", "bk"))
+    // roll forward again and compact: the rewrite reads old dirs
+    // through the RECORDED schema (mixed shapes union cleanly) and
+    // materializes the evolved layout
+    PartitionedManifest.rollback(spark, root, "bk", s2, keepSnapshots = 6)
+    val (_, touched) = PartitionedManifest.compact(spark, root, "bk",
+      maxFiles = 0, keepSnapshots = 6)
+    assert(touched.nonEmpty, "forced compaction must touch partitions")
+    val bk0Dir = ManifestTable.currentDataDir(s"$root/bk=0").get
+    assert(spark.read.parquet(bk0Dir).columns.toSeq == Seq("i", "tag"),
+      "compaction must materialize the evolved shape")
+    val after = PartitionedManifest.read(spark, root, "bk", "int")
+    assert(after.count() == 20 &&
+      after.filter($"bk" === 0 && $"tag".isNotNull).count() == 0)
+  }
+
   test("tags pin snapshots and their version dirs past the keep-N " +
       "horizon; tag names are immutable; dropTag re-enters the horizon " +
       "at the next commit") {
