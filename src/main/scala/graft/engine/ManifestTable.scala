@@ -192,6 +192,67 @@ object ManifestTable {
   private[engine] def swapRootPointer(root: String, name: String): Unit =
     swapPointer(fsFor(root), root, name)
 
+  /** Adopt `srcDir` as the next version directory of `root` WITHOUT
+    * advancing the partition pointer and WITHOUT running GC — branch
+    * commits stage their versions invisibly to live readers
+    * (PartitionedManifest.commitSnapshotToBranch). The branch's
+    * snapshot file, written moments later under the same root publish
+    * lock, is what protects a staged dir from commit-time GC: every
+    * protection set derives from the snapshot files present, and
+    * branch heads are in every keep set. */
+  private[engine] def stageVersion(root: String, srcDir: String): String = {
+    val fs = fsFor(root)
+    fs.mkdirs(new HPath(root))
+    val unlock = acquireLock(fs, root)
+    try {
+      val prev = currentVersion(root)
+      val gen = prev.map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
+      val ver = f"v$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+      require(fs.rename(new HPath(srcDir), new HPath(s"$root/$ver")),
+        s"ManifestTable: could not stage $srcDir into $root")
+      val succ = new HPath(s"$root/$ver/_SUCCESS")
+      if (!fs.exists(succ)) fs.create(succ, true).close()
+      s"$root/$ver"
+    } finally unlock()
+  }
+
+  /** Atomically (over)write a small MUTABLE ref file at a relative path
+    * (branch pointers) — the MANIFEST swap machinery generalized: CAS
+    * loop on a store-backed root, tmp + atomic rename elsewhere. */
+  private[engine] def swapRefPointer(root: String, relPath: String,
+      content: String): Unit =
+    storeFor(root) match {
+      case Some(st) =>
+        val path = s"$root/$relPath"
+        var done = false
+        var spins = 0
+        while (!done) {
+          done = st.get(path) match {
+            case None => st.putIfAbsent(path, content)
+            case Some((_, tag)) => st.putIfMatch(path, content, tag)
+          }
+          spins += 1
+          require(spins < 1000, s"ref CAS livelock on $path")
+        }
+      case None =>
+        val fs = fsFor(root)
+        val dst = new HPath(root, relPath)
+        fs.mkdirs(dst.getParent)
+        val tmp = new HPath(dst.getParent, s".${dst.getName}.tmp." +
+          java.util.UUID.randomUUID.toString.take(8))
+        if (isLocal(fs)) {
+          java.nio.file.Files.writeString(nio(fs, tmp), content)
+          java.nio.file.Files.move(nio(fs, tmp), nio(fs, dst),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          val out = fs.create(tmp, true)
+          try out.write(content.getBytes(UTF_8)) finally out.close()
+          FileContext.getFileContext(fs.getUri, hadoopConf).rename(
+            fs.makeQualified(tmp), fs.makeQualified(dst),
+            Options.Rename.OVERWRITE)
+        }
+    }
+
   /** Repoint the MANIFEST at an EXISTING version directory — rollback's
     * metadata-only primitive: no data is read, written, moved, or GC'd
     * (the caller — PartitionedManifest.rollback — owns horizon

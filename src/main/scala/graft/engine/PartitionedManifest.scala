@@ -544,8 +544,179 @@ object PartitionedManifest {
   def resolveRef(spark: SparkSession, root: String,
       ref: Option[String]): Option[String] = ref match {
     case None => currentSnapshot(spark, root)
-    case Some(r) => tags(spark, root).get(r).orElse(Some(r))
+    case Some(r) => tags(spark, root).get(r)
+      .orElse(branches(spark, root).get(r).map(_._1))
+      .orElse(Some(r))
   }
+
+  // ---------------------------------------------------------------------
+  // BRANCHES (mutable refs) + WRITE-AUDIT-PUBLISH: commits can land on a
+  // named branch whose staged version directories are INVISIBLE to live
+  // readers (partition pointers never move); auditors read the branch
+  // head like any snapshot; a validated branch FAST-FORWARDS into main
+  // in one metadata operation. The Iceberg branch / WAP contract — at
+  // 100 TB this is how bad data stays out of production: ingest lands on
+  // `audit`, quality gates run against the branch, and only a passing
+  // head is ever published. Branch files are mutable pointers under
+  // _branches/ (`head<TAB>forkBase`), updated atomically under the root
+  // publish lock.
+
+  private val BranchesDir = "_branches"
+
+  /** All branches: name → (head snapshot, fork-base snapshot). */
+  def branches(spark: SparkSession, root: String)
+      : Map[String, (String, String)] = {
+    val fs = fsOf(spark, root)
+    val dir = new HPath(root, BranchesDir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith(".")).map { s =>
+      val in = fs.open(s.getPath)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      val Array(head, base) = txt.split("\t", 2)
+      s.getPath.getName -> ((head, base))
+    }.toMap
+  }
+
+  def branchHead(spark: SparkSession, root: String,
+      name: String): Option[String] =
+    branches(spark, root).get(name).map(_._1)
+
+  /** Create a branch at a snapshot (default: current). Create-once —
+    * two racing creators of one name cannot both succeed. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      from: Option[String] = None): String = {
+    checkRefName(name)
+    ManifestTable.withPublishLock(root) {
+      val snap = from.flatMap(r => resolveRef(spark, root, Some(r)))
+        .orElse(currentSnapshot(spark, root)).getOrElse(sys.error(
+          s"PartitionedManifest: no snapshot committed under $root"))
+      require(snapshots(spark, root).contains(snap),
+        s"PartitionedManifest: cannot branch from unknown/expired " +
+          s"snapshot $snap")
+      require(!branches(spark, root).contains(name),
+        s"PartitionedManifest: branch '$name' already exists")
+      // the existence check above runs under the root publish lock, so
+      // the write itself can use the same atomic-overwrite path every
+      // later branch update uses (one write machinery, one checksum
+      // story — writeOnce's fs.create would leave a CRC sidecar the
+      // NIO-based pointer swaps don't maintain)
+      ManifestTable.swapRefPointer(root, s"$BranchesDir/$name",
+        s"$snap\t$snap\n")
+      snap
+    }
+  }
+
+  /** Drop a branch. Its head snapshot re-enters the normal keep-N
+    * horizon at the next commit (nothing is deleted here). */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit =
+    ManifestTable.withPublishLock(root) {
+      fsOf(spark, root).delete(new HPath(root, s"$BranchesDir/$name"), false)
+    }
+
+  /** Commit to a BRANCH: version directories are STAGED (the partition
+    * pointers never move — live readers cannot see branch data), the
+    * snapshot file lands in the shared history, and only the branch
+    * pointer advances. Readers audit the result via
+    * `readSnapshot(resolveRef(branch))`. Branch commits may touch
+    * EXISTING partitions only: a branch-created partition directory
+    * would appear in live readers' partition listings with no published
+    * pointer and break them. */
+  def commitSnapshotToBranch(spark: SparkSession, root: String,
+      partCol: String, updates: Map[String, DataFrame], branch: String,
+      keepSnapshots: Int = 2): String = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
+    require(updates.nonEmpty, "branch commit needs updates")
+    updates.keys.foreach(checkPartValue)
+    ManifestTable.withPublishLock(root) {
+      val (head, base) = branches(spark, root).getOrElse(branch,
+        sys.error(s"PartitionedManifest: no branch '$branch'"))
+      val baseMapping = snapshotMapping(spark, root, head).toMap
+      val unknown = updates.keySet.filterNot(baseMapping.contains)
+      require(unknown.isEmpty,
+        s"PartitionedManifest: branch commit may only touch existing " +
+          s"partitions (new: ${unknown.toSeq.sorted.mkString(",")}) - " +
+          "create partitions on main first")
+      // additive schema evolution works on branches too, against the
+      // BRANCH head's recorded schema
+      val prevSchema = snapshotSchema(spark, root, head)
+      val updSchema = updates.headOption.map { case (_, df) =>
+        StructType(df.schema.filterNot(_.name == partCol)) }
+      val merged = (prevSchema, updSchema) match {
+        case (Some(p), Some(u)) => Some(mergeSchemas(p, u))
+        case (None, u) => u
+        case (p, None) => p
+      }
+      val fs = fsOf(spark, root)
+      val scratch = writeScratchParts(spark, root, partCol, updates)
+      try {
+        val staged: Map[String, String] = updates.keys.toSeq.sorted.map {
+          v =>
+            val src = new HPath(s"$scratch/$partCol=$v")
+            val dir =
+              if (fs.exists(src))
+                ManifestTable.stageVersion(s"$root/$partCol=$v",
+                  src.toString)
+              else {
+                // an all-empty partition update wrote no scratch subdir;
+                // its (legitimate) empty version still needs staging
+                val tmp = s"$root/$partCol=$v/.stage-" +
+                  java.util.UUID.randomUUID.toString.take(8)
+                val df = updates(v)
+                (if (df.columns.contains(partCol)) df.drop(partCol)
+                 else df).write.parquet(tmp)
+                ManifestTable.stageVersion(s"$root/$partCol=$v", tmp)
+              }
+            v -> new HPath(dir).getName
+        }.toMap
+        val mapping = (baseMapping ++ staged).toSeq.sortBy(_._1)
+        val snap = writeSnapshotFileLocked(spark, root, mapping,
+          keepSnapshots, merged, advanceRoot = false)
+        ManifestTable.swapRefPointer(root, s"$BranchesDir/$branch",
+          s"$snap\t$base\n")
+        snap
+      } finally fs.delete(new HPath(scratch), true)
+    }
+  }
+
+  /** PUBLISH a branch: fast-forward main to the branch head in one
+    * metadata operation (repoint the diverged partitions' pointers,
+    * swap the root pointer to the branch's snapshot file — no data
+    * moves; the staged dirs simply become live). Fails loudly if main
+    * advanced since the branch forked: a fast-forward would silently
+    * drop main's commits — recreate the branch from current and replay
+    * instead. After publishing, the branch is synced (base = head). */
+  def fastForward(spark: SparkSession, root: String, partCol: String,
+      branch: String): String =
+    ManifestTable.withPublishLock(root) {
+      val (head, base) = branches(spark, root).getOrElse(branch,
+        sys.error(s"PartitionedManifest: no branch '$branch'"))
+      val cur = currentSnapshot(spark, root).getOrElse(sys.error(
+        s"PartitionedManifest: no snapshot committed under $root"))
+      if (head == cur) head
+      else {
+        require(cur == base,
+          s"PartitionedManifest: main advanced since branch '$branch' " +
+            s"forked ($base -> $cur) - a fast-forward would drop main's " +
+            "commits; recreate the branch from current and replay " +
+            "(rebase), then publish")
+        val target = snapshotMapping(spark, root, head)
+        val fs = fsOf(spark, root)
+        target.foreach { case (v, d) =>
+          val pr = s"$root/$partCol=$v"
+          if (!ManifestTable.currentVersion(pr).contains(d)) {
+            require(fs.exists(new HPath(s"$pr/$d")),
+              s"PartitionedManifest: branch head dir $pr/$d is gone")
+            ManifestTable.repointVersion(pr, d)
+          }
+        }
+        ManifestTable.swapRootPointer(root, head)
+        ManifestTable.swapRefPointer(root, s"$BranchesDir/$branch",
+          s"$head\t$head\n")
+        head
+      }
+    }
 
   /** ROLLBACK: restore the table to `toSnap`'s state as a NEW commit —
     * history moves forward (the bad commits stay readable until the
@@ -797,10 +968,17 @@ object PartitionedManifest {
     // referenced dirs collect lazily on the partition's next touch,
     // after the snapshot file itself is dropped below.
     // tagged snapshots are pinned outside the horizon: their version
-    // dirs must survive partition GC exactly like the kept-N's
+    // dirs must survive partition GC exactly like the kept-N's. So are
+    // BRANCH HEADS (their staged dirs have no live pointer protecting
+    // them) and main's CURRENT snapshot — branch commits interleave in
+    // the shared generation order, so takeRight(N) alone could slide
+    // past the root pointer's own commit.
     val taggedSnaps = tags(spark, root).values.toSet
+    val branchHeads = branches(spark, root).values.map(_._1).toSet
     val allSnaps = snapshots(spark, root)
     val keptOld = (allSnaps.filter(taggedSnaps) ++
+      allSnaps.filter(branchHeads) ++
+      currentSnapshot(spark, root).toSeq ++
       allSnaps.takeRight(keepSnapshots)).distinct
     val protectByPart: Map[String, Set[String]] = keptOld
       .flatMap(sn => snapshotMapping(spark, root, sn))
@@ -850,7 +1028,8 @@ object PartitionedManifest {
     * and [[rollback]]. */
   private def writeSnapshotFileLocked(spark: SparkSession, root: String,
       mapping: Seq[(String, String)], keepSnapshots: Int,
-      schema: Option[StructType] = None): String = {
+      schema: Option[StructType] = None,
+      advanceRoot: Boolean = true): String = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new HPath(root, SnapDir))
     val gen = snapshots(spark, root).lastOption
@@ -863,13 +1042,18 @@ object PartitionedManifest {
     // object-store-backed root, tmp+rename elsewhere
     ManifestTable.writeOnce(root, s"$SnapDir/$snap", body)
     // the root pointer swap reuses ManifestTable's atomic-rename path
-    // (NIO ATOMIC_MOVE on local, FileContext OVERWRITE elsewhere)
-    ManifestTable.swapRootPointer(root, snap)
+    // (NIO ATOMIC_MOVE on local, FileContext OVERWRITE elsewhere);
+    // a BRANCH commit advances only its branch pointer, never the root
+    if (advanceRoot) ManifestTable.swapRootPointer(root, snap)
     // drop snapshot files past the keep-N horizon (their uniquely-
     // referenced version dirs are collected lazily, on each partition's
-    // next touch); TAGGED snapshots are pinned until untagged
+    // next touch); TAGGED snapshots and BRANCH HEADS are pinned until
+    // untagged/dropped, and main's current snapshot always survives
+    // (branch commits interleave in the generation order)
     val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet +
-      snap ++ tags(spark, root).values
+      snap ++ tags(spark, root).values ++
+      branches(spark, root).values.map(_._1) ++
+      currentSnapshot(spark, root)
     snapshots(spark, root).filterNot(keep).foreach(s =>
       fs.delete(new HPath(root, s"$SnapDir/$s"), false))
     snap

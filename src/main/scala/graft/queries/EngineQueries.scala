@@ -791,6 +791,88 @@ object EngineQueries {
             UNION ALL SELECT 'live' AS src, * FROM live)
       ORDER BY src, change_type, c_custkey, c_acctbal"""), bench = true),
 
+    // BRANCHES + WRITE-AUDIT-PUBLISH (PartitionedManifest branches /
+    // commitSnapshotToBranch / fastForward): the Iceberg WAP contract.
+    // Ingest lands on branch 'audit' — its version dirs are STAGED
+    // (partition pointers never move), so main readers cannot see the
+    // batch while it carries bad rows (require()d: the pre-publish live
+    // read has zero negatives while the branch head shows them all).
+    // The quality gate runs against the branch head like any snapshot;
+    // the batch is FIXED on the branch; only the passing head
+    // fast-forwards into main — one metadata operation, no data
+    // movement. The result surfaces main before ('prepub', captured via
+    // an immutable pin that later publishes cannot disturb) and after
+    // ('published'); the oracle replays both relationally.
+    QuerySpec("w16_branch_wap", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{lit, when}
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w16").toString
+      val base = Tables.load(s, dir, "part")
+        .select($"p_partkey".cast("long").as("p_partkey"),
+          $"p_retailprice".cast("double").as("p_retailprice"),
+          ($"p_partkey" % 3).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, base, "bk")
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty,
+        keepSnapshots = 4)
+      PartitionedManifest.createBranch(s, root, "audit")
+      val old1 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+        .filter($"bk" === 1).drop("bk")
+      // the ingest batch: a price bump plus BAD rows (negative prices)
+      val good = old1.withColumn("p_retailprice",
+        when($"p_partkey" % 10 === 1, $"p_retailprice" + 2.5)
+          .otherwise($"p_retailprice"))
+      val bad = good.unionByName(
+        old1.filter($"p_partkey" % 50 === 4)
+          .select(($"p_partkey" + 9000000L).as("p_partkey"),
+            lit(-1.0).as("p_retailprice")))
+      PartitionedManifest.commitSnapshotToBranch(s, root, "bk",
+        Map("1" -> bad), "audit", keepSnapshots = 4)
+      // main is untouched (immutable pin — later publishes cannot
+      // disturb it); the branch head carries the violations
+      val prePub = PartitionedManifest.read(s, root, "bk", "int")
+      require(prePub.filter($"p_retailprice" < 0).count() == 0,
+        "bad rows leaked into main before the audit")
+      val branchHead = PartitionedManifest.resolveRef(s, root,
+        Some("audit"))
+      val nBad = PartitionedManifest.readSnapshot(s, root, "bk", "int",
+        branchHead).filter($"p_retailprice" < 0).count()
+      require(nBad > 0, "the audit gate must SEE the staged violations")
+      // fix ON the branch, re-audit, publish
+      PartitionedManifest.commitSnapshotToBranch(s, root, "bk",
+        Map("1" -> good), "audit", keepSnapshots = 4)
+      val fixedHead = PartitionedManifest.resolveRef(s, root, Some("audit"))
+      require(PartitionedManifest.readSnapshot(s, root, "bk", "int",
+        fixedHead).filter($"p_retailprice" < 0).count() == 0,
+        "fix must clear the gate")
+      val pub = PartitionedManifest.fastForward(s, root, "bk", "audit")
+      require(PartitionedManifest.currentSnapshot(s, root).contains(pub),
+        "publish must advance main to the branch head")
+      val published = PartitionedManifest.read(s, root, "bk", "int")
+      prePub.select(lit("prepub").as("src"), $"p_partkey",
+          $"p_retailprice", $"bk".cast("long").as("bk"))
+        .unionByName(published.select(lit("published").as("src"),
+          $"p_partkey", $"p_retailprice", $"bk".cast("long").as("bk")))
+        .orderBy($"src", $"p_partkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+               CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+               CAST(p_partkey % 3 AS BIGINT) AS bk
+        FROM part),
+      pub AS (
+        SELECT p_partkey,
+               CASE WHEN bk = 1 AND p_partkey % 10 = 1
+                    THEN p_retailprice + 2.5
+                    ELSE p_retailprice END AS p_retailprice,
+               bk
+        FROM base)
+      SELECT src, p_partkey, p_retailprice, bk
+      FROM (SELECT 'prepub' AS src, * FROM base
+            UNION ALL SELECT 'published' AS src, * FROM pub)
+      ORDER BY src, p_partkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

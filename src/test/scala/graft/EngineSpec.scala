@@ -1307,6 +1307,78 @@ class EngineSpec extends AnyFunSuite {
     assert(d == Seq((1L, "delete"), (2L, "delete"), (1001L, "insert")), d)
   }
 
+  test("branches + write-audit-publish: staged branch commits are " +
+      "invisible to main, their dirs survive main's keep-N GC, " +
+      "fast-forward publishes in one metadata op, and a diverged main " +
+      "refuses the publish") {
+    val root = Files.createTempDirectory("graft-wap").toString
+    import spark.implicits._
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    val base = (0 until 2).flatMap(b => (1 to 10).map(i =>
+      ((b * 100 + i).toLong, b))).toDF("i", "bk")
+    PartitionedManifest.seed(spark, root, base, "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    PartitionedManifest.createBranch(spark, root, "audit")
+    intercept[IllegalArgumentException] {
+      PartitionedManifest.createBranch(spark, root, "audit")
+    }
+    val livePtr1 = ManifestTable.currentDataDir(s"$root/bk=1").get
+    // branch commit replaces bk=1 (adds 1000 to every i)
+    val b1 = PartitionedManifest.commitSnapshotToBranch(spark, root, "bk",
+      Map("1" -> (101 to 110).map(i => (i + 1000).toLong).toDF("i")),
+      "audit")
+    // INVISIBLE to main: pointer unmoved, root snapshot unmoved, live
+    // read serves the original rows
+    assert(ManifestTable.currentDataDir(s"$root/bk=1").get == livePtr1)
+    assert(PartitionedManifest.currentSnapshot(spark, root).contains(s1))
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"i" > 1000).count() == 0)
+    // but the branch head serves them
+    assert(PartitionedManifest.resolveRef(spark, root, Some("audit"))
+      .contains(b1))
+    assert(PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      Some(b1)).filter($"i" > 1000).count() == 10)
+    // main advances TWICE on the branch-staged partition with keep-2:
+    // the branch head's staged dir must survive both commits' GC
+    (1 to 2).foreach { k =>
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("1" -> (101 to 110).map(i => (i + k * 10000).toLong)
+          .toDF("i")))
+    }
+    assert(PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      Some(b1)).filter($"i" > 1000 && $"i" < 10000).count() == 10,
+      "branch head dirs must survive main's keep-N GC")
+    // main diverged from the fork base: publishing must refuse
+    val ff = intercept[IllegalArgumentException] {
+      PartitionedManifest.fastForward(spark, root, "bk", "audit")
+    }
+    assert(ff.getMessage.contains("advanced"), ff.getMessage)
+    // rebase: recreate from current, replay, publish
+    PartitionedManifest.dropBranch(spark, root, "audit")
+    PartitionedManifest.createBranch(spark, root, "audit")
+    val b2 = PartitionedManifest.commitSnapshotToBranch(spark, root, "bk",
+      Map("1" -> (101 to 110).map(i => (i + 500).toLong).toDF("i")),
+      "audit")
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"i" > 500 && $"i" < 10000).count() == 0,
+      "rebased branch stays invisible until published")
+    val pub = PartitionedManifest.fastForward(spark, root, "bk", "audit")
+    assert(pub == b2)
+    assert(PartitionedManifest.currentSnapshot(spark, root).contains(b2))
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"bk" === 1 && $"i".between(601, 610)).count() == 10)
+    // published branch is synced: a second fast-forward is a no-op
+    assert(PartitionedManifest.fastForward(spark, root, "bk", "audit")
+      == b2)
+    // branch commits may not CREATE partitions (live readers would see
+    // a pointer-less directory)
+    val np = intercept[IllegalArgumentException] {
+      PartitionedManifest.commitSnapshotToBranch(spark, root, "bk",
+        Map("7" -> Seq(1L).toDF("i")), "audit")
+    }
+    assert(np.getMessage.contains("existing"), np.getMessage)
+  }
+
   test("schema evolution: an added column NULL-backfills old partitions, " +
       "time travel keeps each snapshot's shape, dropColumn is " +
       "metadata-only, rollback restores the pre-evolution schema, and " +
