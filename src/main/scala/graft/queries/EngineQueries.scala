@@ -873,6 +873,83 @@ object EngineQueries {
             UNION ALL SELECT 'published' AS src, * FROM pub)
       ORDER BY src, p_partkey"""), bench = true),
 
+    // STREAMING CDC SOURCE (graft.streaming.CdcSource): the table's
+    // commit history as a NATIVE Structured Streaming source —
+    // readStream.format("graft-cdc") yields each snapshot commit's
+    // row-level diff as a micro-batch (the Delta CDF stream shape),
+    // offsets are snapshot generations (checkpoint-recoverable — the
+    // restart contract is pinned in StreamingSpec), and each batch's
+    // plan is metadata-first (only moved partitions are read). The
+    // query drives one bootstrap batch + one incremental batch through
+    // foreachBatch into a result table; the oracle replays both
+    // relationally. batchId labels the phases deterministically
+    // (processAllAvailable between the commits).
+    QuerySpec("w17_cdc_stream", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, lit, when}
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w17").toString
+      val ckpt = Files.createTempDirectory("graft-w17-ck").toString
+      val outDir = Files.createTempDirectory("graft-w17-out").toString
+      val base = Tables.load(s, dir, "supplier")
+        .select($"s_suppkey".cast("long").as("s_suppkey"),
+          $"s_acctbal".cast("double").as("s_acctbal"),
+          ($"s_nationkey" % 3).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, base, "bk")
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty,
+        keepSnapshots = 4)
+      val q = s.readStream.format("graft-cdc")
+        .option("root", root).option("partCol", "bk")
+        .option("partType", "int").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch", lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      try {
+        q.processAllAvailable() // batch 0: bootstrap, all inserts
+        val old1 = PartitionedManifest.readSnapshot(s, root, "bk", "int")
+          .filter($"bk" === 1).drop("bk")
+        val new1 = old1.filter($"s_suppkey" % 10 =!= 7)
+          .withColumn("s_acctbal", when($"s_suppkey" % 4 === 1,
+            $"s_acctbal" + 25.0).otherwise($"s_acctbal"))
+        PartitionedManifest.commitSnapshot(s, root, "bk",
+          Map("1" -> new1), keepSnapshots = 4)
+        q.processAllAvailable() // batch 1: the commit's diff
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .select($"batch".cast("long").as("batch"), $"s_suppkey",
+          $"s_acctbal", $"bk".cast("long").as("bk"),
+          col("_change_type").as("change_type"))
+        .orderBy($"batch", $"change_type", $"s_suppkey", $"s_acctbal")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+               CAST(s_nationkey % 3 AS BIGINT) AS bk
+        FROM supplier),
+      old1 AS (SELECT * FROM base WHERE bk = 1),
+      new1 AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 4 = 1 THEN s_acctbal + 25.0
+                    ELSE s_acctbal END AS s_acctbal, bk
+        FROM old1 WHERE s_suppkey % 10 <> 7),
+      boot AS (SELECT CAST(0 AS BIGINT) AS batch, *,
+                      'insert' AS change_type FROM base),
+      ins AS (SELECT CAST(1 AS BIGINT) AS batch, *,
+                     'insert' AS change_type FROM
+               (SELECT * FROM new1 EXCEPT ALL SELECT * FROM old1)),
+      del AS (SELECT CAST(1 AS BIGINT) AS batch, *,
+                     'delete' AS change_type FROM
+               (SELECT * FROM old1 EXCEPT ALL SELECT * FROM new1))
+      SELECT batch, s_suppkey, s_acctbal, bk, change_type
+      FROM (SELECT * FROM boot UNION ALL SELECT * FROM ins
+            UNION ALL SELECT * FROM del)
+      ORDER BY batch, change_type, s_suppkey, s_acctbal"""),
+      bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

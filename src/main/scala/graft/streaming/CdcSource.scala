@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.engine.PartitionedManifest
+
+/** Structured Streaming SOURCE over a [[graft.engine.PartitionedManifest]]
+  * table's commit history:
+  *
+  * {{{
+  *   spark.readStream.format("graft-cdc")
+  *     .option("root", tableRoot).option("partCol", "bk")
+  *     .option("partType", "int").load()
+  * }}}
+  *
+  * Each micro-batch is the row-level diff between two snapshot commits
+  * (insert/delete rows, an update = delete+insert) — the Delta CDF /
+  * Iceberg incremental-read contract surfaced as a NATIVE stream, so the
+  * whole Structured Streaming surface (transforms, watermarks,
+  * foreachBatch sinks, checkpoint recovery) composes with the table
+  * format. Offsets are snapshot GENERATIONS (the monotone numeric prefix
+  * of the snapshot name), so a checkpoint survives restarts: resuming
+  * replays exactly the committed-but-unprocessed generations.
+  *
+  * Semantics, all inherited from [[PartitionedManifest.changesBetween]]:
+  *   - the diff is METADATA-FIRST: only partitions whose version
+  *     directory moved between the offsets are listed, planned, or read
+  *     — per batch, cost scales with the delta's partition footprint,
+  *     never the table (at 100 TB a reader of a 0.1% delta touches 0.1%);
+  *   - the FIRST batch bootstraps the whole table as inserts (the
+  *     standard CDC-stream bootstrap; start the stream before the first
+  *     commit to skip it);
+  *   - schema evolution between offsets aligns to the newer snapshot's
+  *     recorded schema;
+  *   - a stream lagging past the keep-N horizon fails LOUDLY at offset
+  *     resolution (the snapshot file is trimmed), never silently skips —
+  *     the same reader-horizon contract as [[graft.engine.IncrementalConsumer]].
+  *
+  * V1 `Source` by design: `getBatch` returns a DataFrame, so the diff
+  * rides the existing content-pinned readers (one relation node, real
+  * pruning) instead of a hand-rolled row reader.
+  */
+class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), CdcSource.schemaFor(ctx, parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new CdcSource(ctx, parameters)
+}
+
+object CdcSource {
+  private def opt(parameters: Map[String, String], key: String): String =
+    parameters.getOrElse(key, sys.error(s"graft-cdc: missing option '$key'"))
+
+  /** The stream schema: the CURRENT snapshot's recorded data columns +
+    * the partition column + the change-type column. Fixed at stream
+    * construction (Structured Streaming schemas are static); a stream
+    * crossing a schema evolution restarts with the new shape. */
+  private[streaming] def schemaFor(ctx: SQLContext,
+      parameters: Map[String, String]): StructType = {
+    val spark = ctx.sparkSession
+    val root = opt(parameters, "root")
+    val partCol = opt(parameters, "partCol")
+    val partType = parameters.getOrElse("partType", "string")
+    val changeCol = parameters.getOrElse("changeCol", "_change_type")
+    val data = PartitionedManifest.currentSnapshot(spark, root)
+      .flatMap(sn => PartitionedManifest.snapshotSchema(spark, root, sn))
+      .getOrElse(StructType(PartitionedManifest
+        .read(spark, root, partCol, partType).schema
+        .filterNot(_.name == partCol)))
+    StructType(data.fields :+
+      StructField(partCol,
+        org.apache.spark.sql.types.DataType.fromDDL(partType)) :+
+      StructField(changeCol, StringType, nullable = true))
+  }
+
+  /** Generation number of a snapshot name (`s%06d-uuid`). */
+  private[streaming] def genOf(snap: String): Long =
+    snap.drop(1).takeWhile(_.isDigit).toLong
+}
+
+class CdcSource(ctx: SQLContext, parameters: Map[String, String])
+    extends Source {
+  private val spark = ctx.sparkSession
+  private val root = parameters.getOrElse("root",
+    sys.error("graft-cdc: missing option 'root'"))
+  private val partCol = parameters.getOrElse("partCol",
+    sys.error("graft-cdc: missing option 'partCol'"))
+  private val partType = parameters.getOrElse("partType", "string")
+  private val changeCol = parameters.getOrElse("changeCol", "_change_type")
+
+  override val schema: StructType = CdcSource.schemaFor(ctx, parameters)
+
+  private def longOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => sys.error(s"graft-cdc: unexpected offset $other")
+  }
+
+  /** Snapshot name at a generation. Fails LOUDLY when the generation is
+    * past the keep-N horizon — a lagging stream must never silently
+    * skip commits (re-bootstrap explicitly instead). */
+  private def snapAt(gen: Long): String =
+    PartitionedManifest.snapshots(spark, root)
+      .find(sn => CdcSource.genOf(sn) == gen)
+      .getOrElse(sys.error(
+        s"graft-cdc: snapshot generation $gen is past the keep-N " +
+          s"horizon of $root - the stream lagged behind retention; " +
+          "re-bootstrap from a fresh checkpoint"))
+
+  override def getOffset: Option[Offset] =
+    PartitionedManifest.currentSnapshot(spark, root)
+      .map(sn => LongOffset(CdcSource.genOf(sn)))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endSnap = snapAt(longOf(end))
+    val batch = start match {
+      case None =>
+        // bootstrap: the whole table at the end offset, as inserts
+        PartitionedManifest.readSnapshot(spark, root, partCol, partType,
+            Some(endSnap))
+          .withColumn(changeCol, lit("insert"))
+      case Some(s) =>
+        PartitionedManifest.changesBetween(spark, root, partCol, partType,
+          snapAt(longOf(s)), endSnap, changeCol)
+    }
+    // column order pinned to the declared stream schema; V1 getBatch
+    // must hand back isStreaming=true (the FileStreamSource pattern)
+    val aligned = batch.select(schema.fieldNames.toSeq
+      .map(org.apache.spark.sql.functions.col): _*)
+    org.apache.spark.sql.graft.ColumnBridge
+      .asStreamingDataFrame(spark, aligned)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -40,6 +40,19 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Re-present a BATCH DataFrame as a STREAMING one (isStreaming=true)
+    * — what a V1 `Source.getBatch` must return (MicroBatchExecution
+    * asserts it; FileStreamSource/KafkaSource use the same
+    * private[sql] internalCreateDataFrame). The batch plan is already
+    * resolved, so handing its toRdd over is exactly the file-source
+    * pattern. */
+  def asStreamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Wrapping (2-complement) long arithmetic for hash mixing — ANSI mode
     * (Spark 4 default) makes `*`/`+` throw on overflow, but universal
     * hashing WANTS modular wraparound. */

@@ -979,6 +979,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(once == twice,
       s"replayed batch appended duplicates: $once -> $twice")
   }
+
+  test("graft-cdc streaming source: the first batch bootstraps the " +
+      "table as inserts, each snapshot commit arrives as its row-level " +
+      "diff, and a checkpoint restart replays exactly the unprocessed " +
+      "generations") {
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcsrc")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcsrc-ck")
+      .toString
+    val rows = (0 until 2).flatMap(b => (1 to 10).map(i =>
+      ((b * 100 + i).toLong, b)))
+    PartitionedManifest.seed(spark, root, rows.toDF("i", "bk"), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 4)
+    val got = scala.collection.mutable.Buffer.empty[(Long, Long, Int, String)]
+    def start() = spark.readStream.format("graft-cdc")
+      .option("root", root).option("partCol", "bk")
+      .option("partType", "int").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        got ++= df.collect().map(r => (id, r.getLong(0), r.getInt(1),
+          r.getString(2)))
+        ()
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // bootstrap: the whole table as inserts, one batch
+      assert(got.size == 20 && got.forall(_._4 == "insert"), got.size)
+      val b0 = got.map(_._1).distinct
+      assert(b0.size == 1, s"bootstrap must be ONE batch: $b0")
+      got.clear()
+      // commit 2: replace bk=1 (update i+=1000 for evens, one delete)
+      val p1 = (101 to 110).filter(_ != 105)
+        .map(i => if (i % 2 == 0) (i + 1000).toLong else i.toLong).toDF("i")
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("1" -> p1), keepSnapshots = 4)
+      q.processAllAvailable()
+      val dels = got.filter(_._4 == "delete").map(_._2).sorted
+      val ins = got.filter(_._4 == "insert").map(_._2).sorted
+      assert(dels == Seq(102L, 104L, 105L, 106L, 108L, 110L), dels)
+      assert(ins == Seq(1102L, 1104L, 1106L, 1108L, 1110L), ins)
+      assert(got.forall(_._3 == 1), "only the changed partition's rows")
+    } finally q.stop()
+    // a commit lands while the stream is DOWN; the checkpoint restart
+    // replays exactly that generation's diff, nothing else
+    got.clear()
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("0" -> (1 to 5).map(_.toLong).toDF("i")), keepSnapshots = 4)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.nonEmpty && got.forall(_._3 == 0),
+        s"restart must replay only the offline commit's diff: $got")
+      assert(got.filter(_._4 == "delete").map(_._2).sorted ==
+        (6 to 10).map(_.toLong), got.filter(_._4 == "delete"))
+      // caught up: nothing more arrives
+      val n = got.size
+      q2.processAllAvailable()
+      assert(got.size == n, "caught-up stream must not re-emit")
+    } finally q2.stop()
+  }
 }
 
 /** Top-level: MemoryStream encoders need an outer-scope-free case class. */
