@@ -449,7 +449,43 @@ object PgDialectRewriter {
       }
     }
 
-    // x = ANY (e) / x <> ALL (e) / x != ALL (e)
+    // PG vector columns (int2vector/oidvector: indkey, conkey, confkey)
+    // ride the fixture as their wire TEXT form ('2 3 4 5'). Subscripts
+    // and ANY() over them rewrite to split() arithmetic:
+    //   x.indkey[N]  →  CAST(try_element_at(split(x.indkey,' '), N+1)
+    //                    AS INT)      (0-based → 1-based; out-of-range
+    //                                  reads NULL, as PG's subscript)
+    val vectorCols = Set("indkey", "conkey", "confkey")
+    def isVectorChainEnd(t: Tok): Boolean = t match {
+      case Ident(n) => vectorCols.contains(n.toLowerCase)
+      case _ => false
+    }
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 3 < ts.length) {
+        if (isVectorChainEnd(ts(k)) && ts(k + 1) == Punct("[")) {
+          (ts(k + 2), ts(k + 3)) match {
+            case (Num(n), Punct("]")) =>
+              val s = primaryStart(ts, k)
+              val chain = ts.slice(s, k + 1)
+              val repl = Vector(Ident("CAST"), Punct("("),
+                Ident("try_element_at"), Punct("("), Ident("split"),
+                Punct("(")) ++ chain ++ Vector(Punct(","), Str("' '"),
+                Punct(")"), Punct(","), Num((n.toInt + 1).toString),
+                Punct(")"), Ident("AS"), Ident("INT"), Punct(")"))
+              ts = ts.patch(s, repl, k + 4 - s)
+              changed = true
+            case _ =>
+          }
+        }
+        k += 1
+      }
+    }
+
+    // x = ANY (e) / x <> ALL (e) / x != ALL (e); when e is a vector
+    // column chain the text splits into a casted INT array first
     changed = true
     while (changed) {
       changed = false
@@ -460,7 +496,21 @@ object PgDialectRewriter {
           isKw(ts(k + 1), "all")
         if ((isAny || isAll) && ts(k + 2) == Punct("(")) {
           val close = matchForward(ts, k + 2)
-          val e = ts.slice(k + 3, close)
+          val e0 = ts.slice(k + 3, close)
+          val isVector = e0.nonEmpty && isVectorChainEnd(e0.last) &&
+            e0.zipWithIndex.forall {
+              case (Ident(_), i) if i % 2 == 0 => true
+              case (Punct("."), i) if i % 2 == 1 => true
+              case _ => false
+            }
+          val e =
+            if (isVector)
+              Vector(Ident("transform"), Punct("("), Ident("split"),
+                Punct("(")) ++ e0 ++ Vector(Punct(","), Str("' '"),
+                Punct(")"), Punct(","), Ident("gx"), Op("->"),
+                Ident("CAST"), Punct("("), Ident("gx"), Ident("AS"),
+                Ident("INT"), Punct(")"), Punct(")"))
+            else e0
           val s = primaryStart(ts, k - 1)
           val operand = ts.slice(s, k)
           val core = Vector(Ident("array_contains"), Punct("(")) ++ e ++
@@ -661,14 +711,110 @@ object PgDialectRewriter {
       }
     }
 
-    // format(...) → format_string(...): the corpus's query-level format
+    // format(fmt, ...) with a LITERAL fmt containing %I/%L expands to a
+    // concat of quote_ident/quote_literal/string pieces at rewrite time
+    // (dba_idx_diag/06_step.sql:13-18 renders CREATE INDEX statements) —
+    // the same driver-side expansion PgFunctions.pg_format does for the
+    // re-authored twins, here as source text
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 2 < ts.length) {
+        if (isKw(ts(k), "format") && ts(k + 1) == Punct("(")) {
+          val close = matchForward(ts, k + 1)
+          val args = splitArgs(ts, k + 1, close)
+          val fmtOk = args.nonEmpty && args.head._1 == args.head._2 &&
+            (ts(args.head._1) match {
+              case s: Str => strValue(s).contains("%I") ||
+                strValue(s).contains("%L")
+              case _ => false
+            })
+          if (fmtOk) {
+            val fmt = strValue(ts(args.head._1).asInstanceOf[Str])
+            val rest = args.tail
+            var argIdx = 0
+            val parts = Vector.newBuilder[Vector[Tok]]
+            val sb = new StringBuilder
+            def flush(): Unit =
+              if (sb.nonEmpty) { parts += Vector(strLit(sb.toString)); sb.clear() }
+            def nextArg(): Vector[Tok] = {
+              require(argIdx < rest.length,
+                s"PgDialectRewriter: format '$fmt': too few arguments")
+              val (a, b) = rest(argIdx); argIdx += 1
+              ts.slice(a, b + 1)
+            }
+            var i = 0
+            while (i < fmt.length) {
+              if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+                fmt.charAt(i + 1) match {
+                  case '%' => sb += '%'
+                  case 'I' =>
+                    flush()
+                    parts += (Vector(Ident("quote_ident"), Punct("(")) ++
+                      nextArg() ++ Vector(Punct(")")))
+                  case 'L' =>
+                    flush()
+                    parts += (Vector(Ident("quote_literal"), Punct("(")) ++
+                      nextArg() ++ Vector(Punct(")")))
+                  case 's' =>
+                    flush()
+                    parts += (Vector(Ident("CAST"), Punct("(")) ++
+                      nextArg() ++ Vector(Ident("AS"), Ident("STRING"),
+                        Punct(")")))
+                  case c => sys.error(
+                    s"PgDialectRewriter: format: unsupported %$c")
+                }
+                i += 2
+              } else { sb += fmt.charAt(i); i += 1 }
+            }
+            flush()
+            val pieces = parts.result()
+            val repl = Vector(Ident("concat"), Punct("(")) ++
+              pieces.zipWithIndex.flatMap { case (p, j) =>
+                (if (j == 0) Vector.empty[Tok] else Vector(Punct(","))) ++ p
+              } ++ Vector(Punct(")"))
+            ts = ts.patch(k, repl, close - k + 1)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+
+    // format(...) → format_string(...): the remaining query-level format
     // uses only %s (alert_max_connections/01_step.sql:1), which Java's
-    // formatter renders identically; %I/%L appear only inside plpgsql
-    // bodies the engine routes through its procedural layer
+    // formatter renders identically
     ts = ts.zipWithIndex.map { case (t, k) =>
       if (isKw(t, "format") && k + 1 < ts.length && ts(k + 1) == Punct("("))
         Ident("format_string")
       else t
+    }
+
+    // array_agg(distinct X) → PG's array TEXT rendering over a SORTED
+    // set: '{a,b}' (dba_idx_diag/07's duplicate-index lists). PG's own
+    // aggregate order is input-dependent — the sorted rendering is the
+    // deterministic cross-engine projection of the same set, the same
+    // treatment string_agg gets
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 2 < ts.length) {
+        if (isKw(ts(k), "array_agg") && ts(k + 1) == Punct("(") &&
+          isKw(ts(k + 2), "distinct")) {
+          val close = matchForward(ts, k + 1)
+          val e = ts.slice(k + 3, close)
+          val repl = Vector(Ident("concat"), Punct("("), Str("'{'"),
+            Punct(","), Ident("array_join"), Punct("("),
+            Ident("sort_array"), Punct("("), Ident("collect_set"),
+            Punct("(")) ++ e ++ Vector(Punct(")"), Punct(")"), Punct(","),
+            Str("','"), Punct(")"), Punct(","), Str("'}'"), Punct(")"))
+          ts = ts.patch(k, repl, close - k + 1)
+          changed = true
+        }
+        k += 1
+      }
     }
 
     // interval-shaped string literal adjacent to a comparison → typed
@@ -813,6 +959,52 @@ object PgDialectRewriter {
         }
         k += 1
       }
+    }
+
+    // PG names an UNALIASED whole-select-item function call after the
+    // FUNCTION (select pg_get_indexdef(x) → column "pg_get_indexdef",
+    // count(*) → "count"); Spark would auto-name the expression text.
+    // Re-attach the name at TOP-LEVEL (depth-0) select items only —
+    // argument positions also sit between commas, but never at depth 0
+    // (the final resultset is the only place PG's naming is observable).
+    {
+      val depths = {
+        val d = new Array[Int](ts.length)
+        var dep = 0
+        var i = 0
+        while (i < ts.length) {
+          ts(i) match {
+            case Punct("(") | Punct("[") => d(i) = dep; dep += 1
+            case Punct(")") | Punct("]") => dep -= 1; d(i) = dep
+            case _ => d(i) = dep
+          }
+          i += 1
+        }
+        d
+      }
+      val excluded = sqlKeywords ++ Set("cast", "interval", "array",
+        "row", "grouping")
+      val b = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < ts.length) {
+        ts(k) match {
+          case Ident(name) if depths(k) == 0 && k + 1 < ts.length &&
+            ts(k + 1) == Punct("(") &&
+            !excluded.contains(name.toLowerCase) &&
+            (k == 0 || ts(k - 1) == Punct(",") ||
+              isKw(ts(k - 1), "select")) =>
+            val close = matchForward(ts, k + 1)
+            val after = close + 1
+            b ++= ts.slice(k, close + 1)
+            if (after >= ts.length || ts(after) == Punct(",") ||
+              isKw(ts(after), "from")) {
+              b += Ident("AS"); b += Ident(name)
+            }
+            k = close + 1
+          case t => b += t; k += 1
+        }
+      }
+      ts = b.result()
     }
 
     // PG double-quoted identifiers → Spark backtick identifiers (LAST:

@@ -586,7 +586,7 @@ object CatalogQueries {
     JOIN pg_namespace n ON n.oid = c.relnamespace
     JOIN pg_index_key k ON k.indexrelid = i.indexrelid
     JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = k.attnum
-    WHERE i.indisprimary = 1 AND c.relpages > 10000
+    WHERE i.indisprimary AND c.relpages > 10000
       AND a.atttypid IN (21, 23) AND n.nspname <> 'pg_toast'
     ORDER BY n.nspname, c.relname, a.attname"""
 
@@ -1188,6 +1188,214 @@ object CatalogQueries {
           ${sizePretty("flush_pos - replay_pos")} AS replay,
           ${sizePretty("9028975680 - replay_pos")} AS total_lag
         FROM pg_stat_replication ORDER BY pid"""))),
+    // ---- the 10-step dba_idx_diag packet, every CHECK statement ----
+    // byte-identical (statement 0 of each step is the banner SELECT;
+    // the engine-level verbatim run in EngineSpec executes those too)
+    QuerySpec("c36_verbatim_idx_diag_oversized",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "01_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog(s"""
+        SELECT ${sizePretty("CAST(cr.relpages AS BIGINT) * 8192")}
+            AS tbl_size,
+          ${sizePretty("CAST(ci.relpages AS BIGINT) * 8192")} AS idx_size,
+          round(CAST(ci.relpages AS DOUBLE) / cr.relpages * 100, 2)
+            AS idx_ratio,
+          n.nspname, cr.relname AS tbl_name, ci.relname AS idx_name
+        FROM pg_index i
+        JOIN pg_class ci ON ci.oid = i.indexrelid AND ci.relkind = 'i'
+        JOIN pg_class cr ON cr.oid = i.indrelid AND cr.relkind = 'r'
+        JOIN pg_namespace n ON n.oid = ci.relnamespace
+          AND nspname NOT IN ('pg_catalog', 'pg_toast',
+            'information_schema')
+        WHERE cr.relpages > 100 AND ci.relpages > 0
+          AND CAST(ci.relpages AS DOUBLE) / cr.relpages > 0.5
+        ORDER BY idx_ratio DESC LIMIT 100"""))),
+    QuerySpec("c37_verbatim_idx_diag_many_fields",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "02_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT n.nspname AS nspname, cr.relname AS tbl_name,
+          ci.relname AS idx_name, indnatts AS flds_in_idx
+        FROM pg_index i
+        JOIN pg_class ci ON ci.oid = i.indexrelid AND ci.relkind = 'i'
+        JOIN pg_class cr ON cr.oid = i.indrelid AND cr.relkind = 'r'
+        JOIN pg_namespace n ON n.oid = ci.relnamespace AND
+          nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
+        WHERE indnatts > 3 LIMIT 100"""))),
+    QuerySpec("c38_verbatim_idx_diag_no_pk",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "03_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT n.nspname, cr.relname AS tbl_name
+        FROM pg_class cr
+        JOIN pg_namespace n ON n.oid = cr.relnamespace AND
+          nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
+        LEFT JOIN pg_index i ON cr.oid = i.indrelid
+          AND (i.indisprimary OR i.indisunique)
+        LEFT JOIN pg_class ci ON ci.oid = i.indexrelid
+          AND ci.relkind = 'i'
+        WHERE cr.relkind = 'r' AND i.indrelid IS NULL
+        ORDER BY n.nspname, tbl_name LIMIT 100"""))),
+    QuerySpec("c39_verbatim_idx_diag_text_btree",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "04_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT n.nspname AS nspname, cr.relname AS tbl_name,
+          ci.relname AS idx_name, attname AS fld_name,
+          i.inddef AS pg_get_indexdef
+        FROM pg_index i
+        JOIN pg_class ci ON ci.oid = i.indexrelid AND ci.relkind = 'i'
+        JOIN pg_class cr ON cr.oid = i.indrelid AND cr.relkind = 'r'
+        JOIN pg_namespace n ON n.oid = ci.relnamespace AND
+          nspname NOT IN ('pg_catalog', 'pg_toast', 'information_schema')
+        JOIN pg_attribute a ON a.attrelid = i.indrelid
+          AND list_contains(list_transform(string_split(i.indkey, ' '),
+            x -> CAST(x AS INT)), a.attnum)
+          AND NOT a.attisdropped
+        JOIN pg_type t ON t.oid = atttypid
+        JOIN pg_am am ON ci.relam = am.oid
+        WHERE t.typname IN ('varchar', 'text') AND am.amname = 'btree'
+        ORDER BY nspname, tbl_name, idx_name LIMIT 100"""))),
+    QuerySpec("c40_verbatim_idx_diag_unused",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "05_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog(s"""
+        SELECT ${sizePretty("CAST(cr.relpages AS BIGINT) * 8192")}
+            AS tbl_size,
+          ${sizePretty("CAST(ci.relpages AS BIGINT) * 8192")} AS idx_size,
+          n.nspname, cr.relname AS tbl_name, ci.relname AS idx_name,
+          sat.idx_scan AS idx_scan_total, sai.idx_scan,
+          round(CAST(sai.idx_scan AS DOUBLE) / sat.idx_scan * 100, 3)
+            AS idx_scan_ratio
+        FROM pg_index i
+        JOIN pg_class ci ON ci.oid = i.indexrelid AND ci.relkind = 'i'
+        JOIN pg_class cr ON cr.oid = i.indrelid AND cr.relkind = 'r'
+        JOIN pg_namespace n ON n.oid = ci.relnamespace
+          AND nspname NOT IN ('pg_catalog', 'pg_toast',
+            'information_schema')
+        JOIN pg_stat_all_indexes sai ON sai.indexrelid = i.indexrelid
+          AND sai.relid = i.indrelid
+        JOIN pg_stat_all_tables sat ON sat.relid = cr.oid
+        WHERE cr.relpages > 100 AND ci.relpages > 0 AND sat.idx_scan > 0
+          AND (sat.idx_scan > 1000 OR sat.seq_scan > 1000)
+          AND CAST(sai.idx_scan AS DOUBLE) / sat.idx_scan < 0.01
+        ORDER BY idx_scan_ratio, idx_name LIMIT 100"""))),
+    QuerySpec("c41_verbatim_idx_diag_fk_no_index",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "06_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog("""
+        , idx1 AS (
+            SELECT cr.oid AS tbl_oid, a.attname
+            FROM pg_index i
+            JOIN pg_class ci ON ci.oid = i.indexrelid AND ci.relkind = 'i'
+            JOIN pg_class cr ON cr.oid = i.indrelid AND cr.relkind = 'r'
+            JOIN pg_namespace n ON n.oid = ci.relnamespace AND
+              nspname NOT IN ('pg_catalog', 'pg_toast',
+                'information_schema')
+            JOIN pg_attribute a ON a.attrelid = i.indrelid
+              AND a.attnum = CAST(string_split(i.indkey, ' ')[1] AS INT)
+              AND NOT a.attisdropped)
+        SELECT n_target.nspname AS target_nspname,
+          c_target.relname AS target_relname, af.attname AS target_fld,
+          con.conname, n_source.nspname AS source_nspname,
+          c_source.relname AS source_relname, ar.attname AS source_fld,
+          con.condef AS constraint_def,
+          'CREATE INDEX ON ' || n_source.nspname || '.' ||
+            c_source.relname || ' USING btree (' || ar.attname || ')'
+            AS idx_def
+        FROM pg_constraint con
+        JOIN pg_class c_target ON con.confrelid = c_target.oid
+        JOIN pg_class c_source ON con.conrelid = c_source.oid
+        JOIN pg_namespace n_target ON n_target.oid = c_target.relnamespace
+        JOIN pg_namespace n_source ON n_source.oid = c_source.relnamespace
+        JOIN pg_attribute af ON af.attrelid = con.confrelid
+          AND list_contains(list_transform(string_split(con.confkey, ' '),
+            x -> CAST(x AS INT)), af.attnum)
+          AND NOT af.attisdropped
+        JOIN pg_attribute ar ON ar.attrelid = con.conrelid
+          AND list_contains(list_transform(string_split(con.conkey, ' '),
+            x -> CAST(x AS INT)), ar.attnum)
+          AND NOT ar.attisdropped
+        LEFT JOIN idx1 t ON t.tbl_oid = c_source.oid
+          AND t.attname = ar.attname
+        WHERE contype = 'f'
+          AND (confupdtype <> 'a' OR confdeltype <> 'a')
+          AND t.tbl_oid IS NULL
+        ORDER BY 1, 2, 3, 4, 5, 6, 7, 8"""))),
+    QuerySpec("c42_verbatim_idx_diag_duplicates",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "07_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog("""
+        , pidx AS (
+            SELECT i.indexrelid, i.indrelid,
+              CAST(string_split(i.indkey, ' ')[1] AS INT) AS k0,
+              CAST(string_split(i.indkey, ' ')[2] AS INT) AS k1
+            FROM pg_index i),
+        two AS (
+            SELECT max(n.nspname) AS nspname, max(cr.relname) AS tbl_name,
+              '{' || array_to_string(list_sort(list(DISTINCT ci.relname)),
+                ',') || '}' AS idxs
+            FROM pidx i
+            JOIN pg_class ci ON ci.oid = i.indexrelid AND ci.relkind = 'i'
+            JOIN pg_class cr ON cr.oid = i.indrelid AND cr.relkind = 'r'
+            JOIN pg_namespace n ON n.oid = ci.relnamespace AND
+              nspname NOT IN ('pg_catalog', 'pg_toast',
+                'information_schema')
+            JOIN pg_attribute a ON a.attrelid = i.indrelid
+              AND i.k1 IS NOT NULL
+              AND (a.attnum = i.k0 OR a.attnum = i.k1)
+              AND NOT a.attisdropped
+            GROUP BY cr.oid, i.k0, i.k1 HAVING count(*) > 2),
+        one AS (
+            SELECT max(n.nspname) AS nspname, max(cr.relname) AS tbl_name,
+              '{' || array_to_string(list_sort(list(DISTINCT ci.relname)),
+                ',') || '}' AS idxs
+            FROM pidx i
+            JOIN pg_class ci ON ci.oid = i.indexrelid AND ci.relkind = 'i'
+            JOIN pg_class cr ON cr.oid = i.indrelid AND cr.relkind = 'r'
+            JOIN pg_namespace n ON n.oid = ci.relnamespace AND
+              nspname NOT IN ('pg_catalog', 'pg_toast',
+                'information_schema')
+            JOIN pg_attribute a ON a.attrelid = i.indrelid
+              AND a.attnum = i.k0 AND i.k1 IS NULL
+              AND NOT a.attisdropped
+            GROUP BY cr.oid, i.k0 HAVING count(*) > 1)
+        SELECT * FROM (SELECT * FROM two UNION ALL SELECT * FROM one)
+        ORDER BY nspname, tbl_name LIMIT 100"""))),
+    QuerySpec("c43_verbatim_idx_diag_invalid",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "08_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog("""
+        SELECT n.nspname, c.relname AS tbl, ci.relname AS idx,
+          indisvalid, indisready
+        FROM pg_index i
+        JOIN pg_class c ON i.indrelid = c.oid AND c.relkind IN ('r', 'm')
+        JOIN pg_class ci ON i.indexrelid = ci.oid AND ci.relkind = 'i'
+        JOIN pg_namespace n ON n.oid = c.relnamespace
+        WHERE indisvalid = false OR indisready = false
+        ORDER BY c.relpages DESC LIMIT 100"""))),
+    QuerySpec("c44_verbatim_idx_diag_no_index_tables",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "09_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog(s"""
+        SELECT n.nspname, c.relname AS tbl_name,
+          ${sizePretty("CAST(c.relpages AS BIGINT) * 8192")} AS tbl_size,
+          seq_scan, seq_tup_read
+        FROM pg_class c
+        JOIN pg_namespace n ON n.oid = c.relnamespace
+          AND nspname NOT IN ('pg_catalog', 'pg_toast',
+            'information_schema')
+        JOIN pg_stat_all_tables sat ON sat.relid = c.oid
+        WHERE c.relpages > 1000 AND seq_scan > 1000
+          AND relhasindex = false
+        LIMIT 100"""))),
+    QuerySpec("c45_verbatim_idx_diag_missed_indexes",
+      (s, _) => verbatimStatement(s, "dba_idx_diag", "10_step.sql", 1),
+      oracle = Some(PgCatalog.withCatalog(s"""
+        SELECT n.nspname, c.relname AS tbl_name,
+          ${sizePretty("CAST(c.relpages AS BIGINT) * 8192")} AS tbl_size,
+          seq_scan, seq_tup_read
+        FROM pg_class c
+        JOIN pg_namespace n ON n.oid = c.relnamespace
+          AND nspname NOT IN ('pg_catalog', 'pg_toast',
+            'information_schema')
+        JOIN pg_stat_all_tables sat ON sat.relid = c.oid
+        WHERE c.relpages > 1000 AND seq_scan > 1000
+          AND CAST(seq_tup_read AS DOUBLE) / seq_scan > 1000
+          AND idx_tup_fetch < seq_tup_read
+          AND relhasindex = true
+        LIMIT 100"""))),
     // dba_get_conf byte-identical: unit-aware pg_size_pretty rendering
     // with the '-1' sentinel branch and commented-out select items
     QuerySpec("c35_verbatim_dba_get_conf",

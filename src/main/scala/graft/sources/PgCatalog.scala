@@ -41,6 +41,15 @@ object PgCatalog {
   val pgAm: String =
     """SELECT * FROM (VALUES (403, 'btree'), (405, 'hash')) AS t(oid, amname)"""
 
+  /** (oid, typname) — the type-oid names the verbatim dba_idx_diag/04
+    * btree-on-text check resolves through. */
+  val pgType: String =
+    """SELECT * FROM (VALUES
+      (16, 'bool'), (20, 'int8'), (21, 'int2'), (23, 'int4'),
+      (25, 'text'), (701, 'float8'), (1043, 'varchar'),
+      (1082, 'date'), (1114, 'timestamp')
+      ) AS t(oid, typname)"""
+
   /** (oid, relname, relnamespace, relkind, reltuples, relpages, relam,
     * reloptions, reltoastrelid, relpersistence) — relkind: r=table,
     * i=index, t=toast, S=sequence, v=view, m=materialized view.
@@ -48,7 +57,9 @@ object PgCatalog {
     * extraction target); reltoastrelid links a heap to its toast table
     * (alert_bloat table-bloat estimator, c10); relpersistence p/u drives
     * dba_clone_schema's TABLE vs UNLOGGED TABLE branch (01_step.sql:93-99);
-    * relfrozenxid/relminmxid feed the VERBATIM xact-age packets
+    * relhasindex feeds dba_idx_diag's 09/10 checks (events_archive is the
+    * BIG indexless table that trips 09); relfrozenxid/relminmxid feed
+    * the VERBATIM xact-age packets
     * (dba_xact_age, alert_xact_age) — age() is mod-2^32 distance from the
     * snapshot's pinned current xid 9100 / mxid 5000, so lineitem (frozen
     * at 2.8e9) ages to ~1.49e9 (past both alert thresholds), events to
@@ -57,54 +68,60 @@ object PgCatalog {
     */
   val pgClass: String =
     """SELECT * FROM (VALUES
-      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING), 16394, 'p', CAST(2800000000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL, 0, 'p', CAST(3100000000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   'autovacuum_enabled=false', 0, 'u', CAST(2900000000 AS BIGINT), CAST(2880000000 AS BIGINT)),
-      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   'autovacuum_enabled=false,toast.autovacuum_enabled=false', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL, 0, 'p', CAST(3000000000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17011, 'orders_custkey_idx2',   2200,  'i', CAST(150000 AS BIGINT), 150,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17101, 'events_id_seq',   16500, 'S', CAST(1 AS BIGINT),   1,  0, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17102, 'v_recent_events', 16500, 'v', CAST(0 AS BIGINT),   0,  0, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT)),
-      (17103, 'mv_doc_stats',    16500, 'm', CAST(300 AS BIGINT), 20, 0, NULL, 0, 'p', CAST(8200 AS BIGINT), CAST(4100 AS BIGINT))
-      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid, relpersistence, relfrozenxid, relminmxid)"""
+      (16384, 'lineitem',   2200,  'r', CAST(600572 AS BIGINT), 12000, 0,   CAST(NULL AS STRING), 16394, 'p', CAST(2800000000 AS BIGINT), CAST(4000 AS BIGINT), true),
+      (16385, 'orders',     2200,  'r', CAST(150000 AS BIGINT), 3500,  0,   NULL, 0, 'p', CAST(3100000000 AS BIGINT), CAST(4000 AS BIGINT), true),
+      (16386, 'customer',   2200,  'r', CAST(15000 AS BIGINT),  500,   0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), true),
+      (16387, 'part',       2200,  'r', CAST(20000 AS BIGINT),  600,   0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), true),
+      (16388, 'supplier',   2200,  'r', CAST(1000 AS BIGINT),   40,    0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), true),
+      (16389, 'nation',     2200,  'r', CAST(25 AS BIGINT),     2,     0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (16390, 'region',     2200,  'r', CAST(5 AS BIGINT),      1,     0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (16391, 'events',     16500, 'r', CAST(250000 AS BIGINT), 6000,  0,   'autovacuum_enabled=false', 0, 'u', CAST(2900000000 AS BIGINT), CAST(2880000000 AS BIGINT), true),
+      (16392, 'documents',  16500, 'r', CAST(5000 AS BIGINT),   800,   0,   'autovacuum_enabled=false,toast.autovacuum_enabled=false', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), true),
+      (16393, 'embeddings', 16500, 'r', CAST(5000 AS BIGINT),   1500,  0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), true),
+      (16394, 'pg_toast_16384', 99, 't', CAST(1000 AS BIGINT),  300,   0,   NULL, 0, 'p', CAST(3000000000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (1259,  'pg_class',   11,    'r', CAST(500 AS BIGINT),    30,    0,   NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), true),
+      (17001, 'lineitem_pkey',         2200,  'i', CAST(600572 AS BIGINT), 4500, 403, 'fillfactor=90', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17002, 'lineitem_shipdate_idx', 2200,  'i', CAST(600572 AS BIGINT), 8000, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17003, 'orders_pkey',           2200,  'i', CAST(150000 AS BIGINT), 1200, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17004, 'orders_custkey_idx',    2200,  'i', CAST(150000 AS BIGINT), 2600, 403, 'fillfactor=70', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17005, 'customer_pkey',         2200,  'i', CAST(15000 AS BIGINT),  180,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17006, 'part_pkey',             2200,  'i', CAST(20000 AS BIGINT),  210,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17007, 'events_ts_idx',         16500, 'i', CAST(250000 AS BIGINT), 3100, 403, 'fillfactor=70', 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17008, 'documents_fp_idx',      16500, 'i', CAST(5000 AS BIGINT),   900,  405, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17009, 'embeddings_pkey',       16500, 'i', CAST(5000 AS BIGINT),   1100, 403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17010, 'supplier_pkey',         2200,  'i', CAST(1000 AS BIGINT),   8,    403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17011, 'orders_custkey_idx2',   2200,  'i', CAST(150000 AS BIGINT), 150,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17012, 'events_composite_idx',  16500, 'i', CAST(250000 AS BIGINT), 120,  403, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (16395, 'events_archive', 16500, 'r', CAST(900000 AS BIGINT), 5000, 0,  NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17101, 'events_id_seq',   16500, 'S', CAST(1 AS BIGINT),   1,  0, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17102, 'v_recent_events', 16500, 'v', CAST(0 AS BIGINT),   0,  0, NULL, 0, 'p', CAST(8000 AS BIGINT), CAST(4000 AS BIGINT), false),
+      (17103, 'mv_doc_stats',    16500, 'm', CAST(300 AS BIGINT), 20, 0, NULL, 0, 'p', CAST(8200 AS BIGINT), CAST(4100 AS BIGINT), false)
+      ) AS t(oid, relname, relnamespace, relkind, reltuples, relpages, relam, reloptions, reltoastrelid, relpersistence, relfrozenxid, relminmxid, relhasindex)"""
 
   /** (indexrelid, indrelid, indisunique, indisprimary, indisvalid,
-    * indisready, inddef, indkey) — inddef is the pre-rendered pg_get_indexdef text
-    * (decompilers become catalog columns on a file target, SURVEY.md §2.2);
-    * indisvalid/indisready are real BOOLEANS (alert_invalid_indexes runs
-    * VERBATIM `indisvalid = false` — a failed CREATE INDEX CONCURRENTLY
-    * leaves false). */
+    * indisready, inddef, indkey, indnatts) — inddef is the pre-rendered
+    * pg_get_indexdef text (decompilers become catalog columns on a file
+    * target, SURVEY.md §2.2); the indis* flags are real BOOLEANS (the
+    * verbatim steps test them as booleans: `indisvalid = false`,
+    * `i.indisprimary or i.indisunique`); indkey is the int2vector in
+    * its wire text form (subscripts/ANY rewrite to split()); indnatts
+    * matches the indkey arity (dba_idx_diag/02 gates on > 3 — the
+    * 4-column events_composite_idx trips it). */
   val pgIndex: String =
     """SELECT * FROM (VALUES
-      (17001, 16384, 1, 1, true, true, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)', '1 4'),
-      (17002, 16384, 0, 0, false, true, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)', '11'),
-      (17003, 16385, 1, 1, true, true, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)', '1'),
-      (17004, 16385, 0, 0, true, true, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)', '2'),
-      (17005, 16386, 1, 1, true, true, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)', '1'),
-      (17006, 16387, 1, 1, true, true, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)', '1'),
-      (17007, 16391, 0, 0, true, true, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)', '2'),
-      (17008, 16392, 0, 0, true, true, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)', '3'),
-      (17009, 16393, 1, 1, true, true, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)', '1'),
-      (17010, 16388, 1, 1, true, true, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)', '1'),
-      (17011, 16385, 0, 0, true, false, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)', '2')
-      ) AS t(indexrelid, indrelid, indisunique, indisprimary, indisvalid, indisready, inddef, indkey)"""
+      (17001, 16384, true, true, true, true, 'CREATE UNIQUE INDEX lineitem_pkey ON public.lineitem USING btree (l_orderkey, l_linenumber)', '1 4', 2),
+      (17002, 16384, false, false, false, true, 'CREATE INDEX lineitem_shipdate_idx ON public.lineitem USING btree (l_shipdate)', '11', 1),
+      (17003, 16385, true, true, true, true, 'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (o_orderkey)', '1', 1),
+      (17004, 16385, false, false, true, true, 'CREATE INDEX orders_custkey_idx ON public.orders USING btree (o_custkey)', '2', 1),
+      (17005, 16386, true, true, true, true, 'CREATE UNIQUE INDEX customer_pkey ON public.customer USING btree (c_custkey)', '1', 1),
+      (17006, 16387, true, true, true, true, 'CREATE UNIQUE INDEX part_pkey ON public.part USING btree (p_partkey)', '1', 1),
+      (17007, 16391, false, false, true, true, 'CREATE INDEX events_ts_idx ON analytics.events USING btree (ts)', '2', 1),
+      (17008, 16392, false, false, true, true, 'CREATE INDEX documents_fp_idx ON analytics.documents USING hash (fp)', '3', 1),
+      (17009, 16393, true, true, true, true, 'CREATE UNIQUE INDEX embeddings_pkey ON analytics.embeddings USING btree (vec_id)', '1', 1),
+      (17010, 16388, true, true, true, true, 'CREATE UNIQUE INDEX supplier_pkey ON public.supplier USING btree (s_suppkey)', '1', 1),
+      (17011, 16385, false, false, true, false, 'CREATE INDEX orders_custkey_idx2 ON public.orders USING btree (o_custkey)', '2', 1),
+      (17012, 16391, false, false, true, true, 'CREATE INDEX events_composite_idx ON analytics.events USING btree (ts, user_id, event_type, score)', '2 3 4 5', 4)
+      ) AS t(indexrelid, indrelid, indisunique, indisprimary, indisvalid, indisready, inddef, indkey, indnatts)"""
 
   /** (indexrelid, attnum, keypos) — one row per index key column: the
     * portable form of `regexp_split_to_table(indkey::text, ' ')`
@@ -121,7 +138,8 @@ object PgCatalog {
       (17008, 3, 1),
       (17009, 1, 1),
       (17010, 1, 1),
-      (17011, 2, 1)
+      (17011, 2, 1),
+      (17012, 2, 1), (17012, 3, 2), (17012, 4, 3), (17012, 5, 4)
       ) AS t(indexrelid, attnum, keypos)"""
 
   /** (attrelid, attnum, attname, atttypid) — attribute rows both under the
@@ -131,31 +149,38 @@ object PgCatalog {
     * 1114 timestamp); none is 19 (`name`), so c10's is_na stays false. */
   val pgAttribute: String =
     """SELECT * FROM (VALUES
-      (17001, 1, 'l_orderkey', 20), (17001, 4, 'l_linenumber', 23),
-      (17002, 11, 'l_shipdate', 1082),
-      (17003, 1, 'o_orderkey', 20),
-      (17004, 2, 'o_custkey', 20),
-      (17005, 1, 'c_custkey', 20),
-      (17006, 1, 'p_partkey', 20),
-      (17007, 2, 'ts', 1114),
-      (17008, 3, 'fp', 1043),
-      (17009, 1, 'vec_id', 20),
-      (17010, 1, 's_suppkey', 20),
-      (17011, 2, 'o_custkey', 20),
-      (16384, 1, 'l_orderkey', 20), (16384, 4, 'l_linenumber', 23),
-      (16384, 11, 'l_shipdate', 1082),
-      (16385, 1, 'o_orderkey', 20), (16385, 2, 'o_custkey', 20),
-      (16386, 1, 'c_custkey', 20),
-      (16387, 1, 'p_partkey', 20),
-      (16388, 1, 's_suppkey', 20),
-      (16391, 1, 'event_id', 20),
-      (16391, 2, 'ts', 1114),
-      (16391, 3, 'user_id', 20),
-      (16392, 3, 'fp', 1043),
-      (16392, 9, 'event_ref', 20),
-      (16392, 10, 'created_at', 1114),
-      (16393, 1, 'vec_id', 20)
-      ) AS t(attrelid, attnum, attname, atttypid)"""
+      (17001, 1, 'l_orderkey', 20, false), (17001, 4, 'l_linenumber', 23, false),
+      (17002, 11, 'l_shipdate', 1082, false),
+      (17003, 1, 'o_orderkey', 20, false),
+      (17004, 2, 'o_custkey', 20, false),
+      (17005, 1, 'c_custkey', 20, false),
+      (17006, 1, 'p_partkey', 20, false),
+      (17007, 2, 'ts', 1114, false),
+      (17008, 3, 'fp', 1043, false),
+      (17009, 1, 'vec_id', 20, false),
+      (17010, 1, 's_suppkey', 20, false),
+      (17011, 2, 'o_custkey', 20, false),
+      (16384, 1, 'l_orderkey', 20, false), (16384, 4, 'l_linenumber', 23, false),
+      (16384, 11, 'l_shipdate', 1082, false),
+      (16385, 1, 'o_orderkey', 20, false), (16385, 2, 'o_custkey', 20, false),
+      (16386, 1, 'c_custkey', 20, false),
+      (16387, 1, 'p_partkey', 20, false),
+      (16388, 1, 's_suppkey', 20, false),
+      (16391, 1, 'event_id', 20, false),
+      (16391, 2, 'ts', 1114, false),
+      (16391, 3, 'user_id', 20, false),
+      (16391, 4, 'event_type', 25, false),
+      (16391, 5, 'score', 701, false),
+      (16392, 3, 'fp', 1043, false),
+      (16392, 9, 'event_ref', 20, false),
+      (16392, 10, 'created_at', 1114, false),
+      (16393, 1, 'vec_id', 20, false),
+      (17012, 2, 'ts', 1114, false),
+      (17012, 3, 'user_id', 20, false),
+      (17012, 4, 'event_type', 25, false),
+      (17012, 5, 'score', 701, false),
+      (16384, 17, 'l_comment_old', 25, true)
+      ) AS t(attrelid, attnum, attname, atttypid, attisdropped)"""
 
   /** (schemaname, tablename, attname, null_frac, avg_width, inherited) */
   val pgStats: String =
@@ -181,17 +206,18 @@ object PgCatalog {
     * 2024-01-01), the rest are fresh. */
   val pgStatAllTables: String =
     """SELECT * FROM (VALUES
-      (16384, CAST(600572 AS BIGINT), CAST(1200 AS BIGINT), CAST(600572 AS BIGINT), CAST(4500 AS BIGINT), CAST(900 AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)),
-      (16385, CAST(150000 AS BIGINT), CAST(800 AS BIGINT),  CAST(150000 AS BIGINT), CAST(2500 AS BIGINT), CAST(400 AS BIGINT), TIMESTAMP '2023-10-02 04:00:00', TIMESTAMP '2023-10-01 03:00:00', TIMESTAMP '2023-09-20 02:00:00', TIMESTAMP '2023-09-25 01:00:00'),
-      (16386, CAST(15000 AS BIGINT),  CAST(40 AS BIGINT),   CAST(15000 AS BIGINT),  CAST(300 AS BIGINT),  CAST(80 AS BIGINT),  TIMESTAMP '2023-12-30 04:10:00', TIMESTAMP '2023-12-30 03:10:00', NULL, NULL),
-      (16387, CAST(20000 AS BIGINT),  CAST(60 AS BIGINT),   CAST(20000 AS BIGINT),  CAST(150 AS BIGINT),  CAST(20 AS BIGINT),  TIMESTAMP '2023-12-29 04:20:00', TIMESTAMP '2023-12-29 03:20:00', NULL, NULL),
-      (16388, CAST(1000 AS BIGINT),   CAST(5 AS BIGINT),    CAST(1000 AS BIGINT),   CAST(10 AS BIGINT),   CAST(2 AS BIGINT),   TIMESTAMP '2023-12-28 04:30:00', TIMESTAMP '2023-12-28 03:30:00', NULL, NULL),
-      (16389, CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-27 04:40:00', TIMESTAMP '2023-12-27 03:40:00', NULL, NULL),
-      (16390, CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-26 04:50:00', TIMESTAMP '2023-12-26 03:50:00', NULL, NULL),
-      (16391, CAST(250000 AS BIGINT), CAST(2000 AS BIGINT), CAST(250000 AS BIGINT), CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-31 05:00:00', TIMESTAMP '2023-11-01 05:00:00', NULL, NULL),
-      (16392, CAST(5000 AS BIGINT),   CAST(100 AS BIGINT),  CAST(5000 AS BIGINT),   CAST(600 AS BIGINT),  CAST(120 AS BIGINT), TIMESTAMP '2023-11-10 06:00:00', TIMESTAMP '2023-11-11 06:00:00', TIMESTAMP '2023-11-12 06:00:00', TIMESTAMP '2023-11-13 06:00:00'),
-      (16393, CAST(5000 AS BIGINT),   CAST(20 AS BIGINT),   CAST(5000 AS BIGINT),   CAST(50 AS BIGINT),   CAST(10 AS BIGINT),  TIMESTAMP '2023-12-31 07:00:00', TIMESTAMP '2023-12-31 07:30:00', NULL, NULL)
-      ) AS t(relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd, last_autoanalyze, last_autovacuum, last_analyze, last_vacuum)"""
+      (16384, CAST(600572 AS BIGINT), CAST(1200 AS BIGINT), CAST(600572 AS BIGINT), CAST(4500 AS BIGINT), CAST(900 AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(500000 AS BIGINT), CAST(2000 AS BIGINT), CAST(4000000 AS BIGINT), CAST(1000000 AS BIGINT)),
+      (16385, CAST(150000 AS BIGINT), CAST(800 AS BIGINT),  CAST(150000 AS BIGINT), CAST(2500 AS BIGINT), CAST(400 AS BIGINT), TIMESTAMP '2023-10-02 04:00:00', TIMESTAMP '2023-10-01 03:00:00', TIMESTAMP '2023-09-20 02:00:00', TIMESTAMP '2023-09-25 01:00:00', CAST(20000 AS BIGINT), CAST(500 AS BIGINT), CAST(100000 AS BIGINT), CAST(3000000 AS BIGINT)),
+      (16386, CAST(15000 AS BIGINT),  CAST(40 AS BIGINT),   CAST(15000 AS BIGINT),  CAST(300 AS BIGINT),  CAST(80 AS BIGINT),  TIMESTAMP '2023-12-30 04:10:00', TIMESTAMP '2023-12-30 03:10:00', NULL, NULL, CAST(5000 AS BIGINT), CAST(100 AS BIGINT), CAST(50000 AS BIGINT), CAST(200000 AS BIGINT)),
+      (16387, CAST(20000 AS BIGINT),  CAST(60 AS BIGINT),   CAST(20000 AS BIGINT),  CAST(150 AS BIGINT),  CAST(20 AS BIGINT),  TIMESTAMP '2023-12-29 04:20:00', TIMESTAMP '2023-12-29 03:20:00', NULL, NULL, CAST(3000 AS BIGINT), CAST(80 AS BIGINT), CAST(40000 AS BIGINT), CAST(100000 AS BIGINT)),
+      (16388, CAST(1000 AS BIGINT),   CAST(5 AS BIGINT),    CAST(1000 AS BIGINT),   CAST(10 AS BIGINT),   CAST(2 AS BIGINT),   TIMESTAMP '2023-12-28 04:30:00', TIMESTAMP '2023-12-28 03:30:00', NULL, NULL, CAST(500 AS BIGINT), CAST(50 AS BIGINT), CAST(5000 AS BIGINT), CAST(10000 AS BIGINT)),
+      (16389, CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(25 AS BIGINT),     CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-27 04:40:00', TIMESTAMP '2023-12-27 03:40:00', NULL, NULL, CAST(0 AS BIGINT), CAST(30000 AS BIGINT), CAST(750000 AS BIGINT), CAST(0 AS BIGINT)),
+      (16390, CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(5 AS BIGINT),      CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-26 04:50:00', TIMESTAMP '2023-12-26 03:50:00', NULL, NULL, CAST(0 AS BIGINT), CAST(20000 AS BIGINT), CAST(100000 AS BIGINT), CAST(0 AS BIGINT)),
+      (16391, CAST(250000 AS BIGINT), CAST(2000 AS BIGINT), CAST(250000 AS BIGINT), CAST(0 AS BIGINT),    CAST(0 AS BIGINT),   TIMESTAMP '2023-12-31 05:00:00', TIMESTAMP '2023-11-01 05:00:00', NULL, NULL, CAST(0 AS BIGINT), CAST(3000 AS BIGINT), CAST(300000 AS BIGINT), CAST(0 AS BIGINT)),
+      (16392, CAST(5000 AS BIGINT),   CAST(100 AS BIGINT),  CAST(5000 AS BIGINT),   CAST(600 AS BIGINT),  CAST(120 AS BIGINT), TIMESTAMP '2023-11-10 06:00:00', TIMESTAMP '2023-11-11 06:00:00', TIMESTAMP '2023-11-12 06:00:00', TIMESTAMP '2023-11-13 06:00:00', CAST(800 AS BIGINT), CAST(200 AS BIGINT), CAST(10000 AS BIGINT), CAST(5000 AS BIGINT)),
+      (16393, CAST(5000 AS BIGINT),   CAST(20 AS BIGINT),   CAST(5000 AS BIGINT),   CAST(50 AS BIGINT),   CAST(10 AS BIGINT),  TIMESTAMP '2023-12-31 07:00:00', TIMESTAMP '2023-12-31 07:30:00', NULL, NULL, CAST(1200 AS BIGINT), CAST(10 AS BIGINT), CAST(1000 AS BIGINT), CAST(9000 AS BIGINT)),
+      (16395, CAST(900000 AS BIGINT), CAST(0 AS BIGINT), CAST(900000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(0 AS BIGINT), CAST(4000 AS BIGINT), CAST(9000000 AS BIGINT), CAST(0 AS BIGINT))
+      ) AS t(relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd, last_autoanalyze, last_autovacuum, last_analyze, last_vacuum, idx_scan, seq_scan, seq_tup_read, idx_tup_fetch)"""
 
   /** The PREVIOUS monitoring snapshot of pg_stat_all_tables (as of
     * 2023-12-20), the stored state a reference alert compares against:
@@ -213,6 +239,25 @@ object PgCatalog {
       ) AS t(relid, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, n_tup_hot_upd)"""
 
   /** (indexrelid, idx_scan) */
+  /** (relid, indexrelid, idx_scan) — per-index scan counters
+    * (dba_idx_diag/05's unused-index ratio: lineitem_shipdate_idx and
+    * orders_custkey_idx2 are the planted near-zero-usage indexes). */
+  val pgStatAllIndexes: String =
+    """SELECT * FROM (VALUES
+      (16384, 17001, CAST(499900 AS BIGINT)),
+      (16384, 17002, CAST(100 AS BIGINT)),
+      (16385, 17003, CAST(4950 AS BIGINT)),
+      (16385, 17004, CAST(15000 AS BIGINT)),
+      (16385, 17011, CAST(50 AS BIGINT)),
+      (16386, 17005, CAST(5000 AS BIGINT)),
+      (16387, 17006, CAST(3000 AS BIGINT)),
+      (16388, 17010, CAST(500 AS BIGINT)),
+      (16391, 17007, CAST(0 AS BIGINT)),
+      (16391, 17012, CAST(0 AS BIGINT)),
+      (16392, 17008, CAST(800 AS BIGINT)),
+      (16393, 17009, CAST(1200 AS BIGINT))
+      ) AS t(relid, indexrelid, idx_scan)"""
+
   val pgStatUserIndexes: String =
     """SELECT * FROM (VALUES
       (17001, CAST(998877 AS BIGINT)), (17002, CAST(12 AS BIGINT)),
@@ -231,17 +276,17 @@ object PgCatalog {
     * no-action/no-action (excluded by the reference's filter). */
   val pgConstraint: String =
     """SELECT * FROM (VALUES
-      (18001, 'lineitem_pkey',   'p', 2200,  17001, 16384, 0, 'a', 'a', 'PRIMARY KEY (l_orderkey, l_linenumber)'),
-      (18002, 'orders_pkey',     'p', 2200,  17003, 16385, 0, 'a', 'a', 'PRIMARY KEY (o_orderkey)'),
-      (18003, 'customer_pkey',   'p', 2200,  17005, 16386, 0, 'a', 'a', 'PRIMARY KEY (c_custkey)'),
-      (18004, 'part_pkey',       'p', 2200,  17006, 16387, 0, 'a', 'a', 'PRIMARY KEY (p_partkey)'),
-      (18005, 'embeddings_pkey', 'p', 16500, 17009, 16393, 0, 'a', 'a', 'PRIMARY KEY (vec_id)'),
-      (18006, 'supplier_pkey',   'p', 2200,  17010, 16388, 0, 'a', 'a', 'PRIMARY KEY (s_suppkey)'),
-      (18007, 'orders_custkey_fkey',   'f', 2200,  0, 16385, 16386, 'a', 'c', 'FOREIGN KEY (o_custkey) REFERENCES customer(c_custkey) ON DELETE CASCADE'),
-      (18008, 'events_user_fkey',      'f', 16500, 0, 16391, 16386, 'a', 'c', 'FOREIGN KEY (user_id) REFERENCES customer(c_custkey) ON DELETE CASCADE'),
-      (18009, 'lineitem_orderkey_fkey','f', 2200,  0, 16384, 16385, 'a', 'a', 'FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)'),
-      (18010, 'documents_event_fkey',  'f', 16500, 0, 16392, 16391, 'a', 'c', 'FOREIGN KEY (event_ref) REFERENCES analytics.events(event_id) ON DELETE CASCADE')
-      ) AS t(oid, conname, contype, connamespace, conindid, conrelid, confrelid, confupdtype, confdeltype, condef)"""
+      (18001, 'lineitem_pkey',   'p', 2200,  17001, 16384, 0, 'a', 'a', 'PRIMARY KEY (l_orderkey, l_linenumber)', '1 4', CAST(NULL AS STRING)),
+      (18002, 'orders_pkey',     'p', 2200,  17003, 16385, 0, 'a', 'a', 'PRIMARY KEY (o_orderkey)', '1', NULL),
+      (18003, 'customer_pkey',   'p', 2200,  17005, 16386, 0, 'a', 'a', 'PRIMARY KEY (c_custkey)', '1', NULL),
+      (18004, 'part_pkey',       'p', 2200,  17006, 16387, 0, 'a', 'a', 'PRIMARY KEY (p_partkey)', '1', NULL),
+      (18005, 'embeddings_pkey', 'p', 16500, 17009, 16393, 0, 'a', 'a', 'PRIMARY KEY (vec_id)', '1', NULL),
+      (18006, 'supplier_pkey',   'p', 2200,  17010, 16388, 0, 'a', 'a', 'PRIMARY KEY (s_suppkey)', '1', NULL),
+      (18007, 'orders_custkey_fkey',   'f', 2200,  0, 16385, 16386, 'a', 'c', 'FOREIGN KEY (o_custkey) REFERENCES customer(c_custkey) ON DELETE CASCADE', '2', '1'),
+      (18008, 'events_user_fkey',      'f', 16500, 0, 16391, 16386, 'a', 'c', 'FOREIGN KEY (user_id) REFERENCES customer(c_custkey) ON DELETE CASCADE', '3', '1'),
+      (18009, 'lineitem_orderkey_fkey','f', 2200,  0, 16384, 16385, 'a', 'a', 'FOREIGN KEY (l_orderkey) REFERENCES orders(o_orderkey)', '1', '1'),
+      (18010, 'documents_event_fkey',  'f', 16500, 0, 16392, 16391, 'a', 'c', 'FOREIGN KEY (event_ref) REFERENCES analytics.events(event_id) ON DELETE CASCADE', '9', '1')
+      ) AS t(oid, conname, contype, connamespace, conindid, conrelid, confrelid, confupdtype, confdeltype, condef, conkey, confkey)"""
 
   /** (conoid, src_attnum, tgt_attnum) — one row per FK key column: the
     * portable form of `attnum = any(conkey/confkey)`
@@ -399,6 +444,8 @@ object PgCatalog {
     "pg_stat_all_tables" -> pgStatAllTables,
     "pg_stat_all_tables_prev" -> pgStatAllTablesPrev,
     "pg_stat_user_indexes" -> pgStatUserIndexes,
+    "pg_stat_all_indexes" -> pgStatAllIndexes,
+    "pg_type" -> pgType,
     "pg_constraint" -> pgConstraint,
     "pg_constraint_key" -> pgConstraintKey,
     "pg_locks" -> pgLocks,

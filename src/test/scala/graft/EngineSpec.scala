@@ -1204,6 +1204,31 @@ class EngineSpec extends AnyFunSuite {
       c == "dbc-dba" && m.contains("lineitem") }, posts.toString)
   }
 
+  test("the WHOLE 10-step dba_idx_diag packet runs VERBATIM from " +
+      "/root/reference end to end: banners + checks, every check " +
+      "non-empty on the fixture") {
+    import graft.engine.{PacketRunner, RunnerConf}
+    graft.sources.PgCatalog.ensureFunctionsRegistered(spark)
+    val conf = RunnerConf(
+      stateDir = Files.createTempDirectory("graft-idxdiag-state").toString,
+      pgDialect = true)
+    val res = new PacketRunner(spark, conf)
+      .run("/root/reference/packets/dba_idx_diag")
+    assert(res.resultCode("spark") == "success",
+      res.notices.mkString("; "))
+    // every step captured TWO resultsets (banner + check); spot-pin two
+    // checks' content: step 02 finds the 4-column composite index,
+    // step 09 the big indexless table
+    val byStep = res.resultData("spark")
+    assert(byStep.size == 10 && byStep.values.forall(_.size == 2),
+      byStep.map { case (k, v) => s"$k:${v.size}" }.mkString(", "))
+    val flatRows = byStep.values.flatten.flatMap(_.rows).toSeq
+    assert(flatRows.exists(_.contains("events_composite_idx")),
+      "step-02 check must surface the composite index")
+    assert(flatRows.exists(_.contains("events_archive")),
+      "step-09 check must surface the indexless table")
+  }
+
   test("compaction packet re-run is a tracked no-op: actions dedupe " +
       "against the tracker and the snapshot history does not churn") {
     import graft.engine.{PacketRunner, PartitionedManifest, RunnerConf}

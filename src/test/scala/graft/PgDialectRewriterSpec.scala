@@ -89,7 +89,9 @@ class PgDialectRewriterSpec extends AnyFunSuite {
     val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(
       "/root/reference/packets/dba_top_tables/01_step.sql"))
     val out = run(sql).collect()
-    assert(out.length == 8, s"${out.length} rows")
+    // 9 tables since events_archive (the round-14 indexless fixture
+    // table) joined the catalog
+    assert(out.length == 9, s"${out.length} rows")
     // largest total = lineitem (12000 heap + 12500 index pages)
     val top = run(sql).head
     assert(top.getString(1) == "lineitem", top.toString)
@@ -160,5 +162,31 @@ class PgDialectRewriterSpec extends AnyFunSuite {
     assert(run("SELECT format('%s-%s', 1, 'a') AS f").head.getString(0)
       == "1-a")
     assert(run("SELECT version()").columns.head == "version")
+  }
+
+  test("int2vector surface: subscripts, ANY(), format %I expansion, " +
+      "array_agg(distinct) PG rendering, whole-item function naming") {
+    // indkey[N] is a 0-based subscript over the wire-text vector;
+    // out-of-range reads NULL exactly like PG
+    val r = run("SELECT i.indkey[0] AS k0, i.indkey[1] AS k1, " +
+      "i.indkey[3] AS k3 FROM pg_index i WHERE i.indexrelid = 17001").head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 4 && r.isNullAt(2), r)
+    // attnum = any(indkey) over the vector text
+    assert(run("SELECT count(1) AS n FROM pg_index i WHERE " +
+      "4 = any(i.indkey)").head.getLong(0) == 2) // lineitem_pkey + composite
+    // format with %I expands to quote_ident concat at rewrite time
+    assert(run("SELECT format('CREATE INDEX ON %I.%I (%I)', 'public', " +
+      "'Orders', 'o_custkey') AS d").head.getString(0)
+      == "CREATE INDEX ON public.\"Orders\" (o_custkey)")
+    // array_agg(distinct) renders PG's '{a,b}' text over a SORTED set
+    assert(run("SELECT array_agg(distinct relname) AS idxs FROM pg_index " +
+      "i JOIN pg_class ci ON ci.oid = i.indexrelid WHERE " +
+      "i.indrelid = 16385 AND i.indkey = '2'").head.getString(0)
+      == "{orders_custkey_idx,orders_custkey_idx2}")
+    // PG names an unaliased whole-item call after the FUNCTION — at the
+    // top level only (argument/subquery positions keep Spark naming)
+    assert(run("SELECT pg_get_indexdef(17003) FROM (SELECT 1)")
+      .columns.head == "pg_get_indexdef")
+    assert(run("SELECT count(1) FROM pg_index").columns.head == "count")
   }
 }
