@@ -691,7 +691,10 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       if (!conf.pgDialect) stms0
       else {
         graft.sources.PgCatalog.ensureFunctionsRegistered(spark)
-        stms0.map(PgDialectRewriter.rewrite)
+        // DO blocks stay RAW: PlPgSqlDo rewrites their inner queries
+        // itself (the outer $$ body is not SQL the rewriter lexes)
+        stms0.map(st =>
+          if (PlPgSqlDo.isDo(st)) st else PgDialectRewriter.rewrite(st))
       }
     val results = mutable.Buffer.empty[ResultSet]
     val pt = packet.meta.packetType
@@ -736,6 +739,27 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       return
     }
     stms.foreach { stm =>
+      // verbatim PL/pgSQL DO blocks (alert packets' condition-gated
+      // raises) run through the narrow executor INSTEAD of the SQL
+      // path, and ahead of the read-only guard: the reference runs DO
+      // under a read-only session and PG enforces writes inside — this
+      // executor only ever SELECTs, and a raise exception throws into
+      // the E22 raise path
+      if (conf.pgDialect && PlPgSqlDo.isDo(stm))
+        PlPgSqlDo.execute(spark, stm,
+          m => notices += Notice("NOTICE", m))
+      else executeOne(ctx, packet, pt, stm, results)
+    }
+    if (results.nonEmpty) {
+      resultData(ctx.stepName) = results.toSeq
+      conf.hookSink.foreach(_.resultsetHook(packet.meta, ctx.stepName,
+        results.toSeq))
+    }
+  }
+
+  private def executeOne(ctx: StepContext, packet: Packet,
+      pt: PacketType, stm: String,
+      results: mutable.Buffer[ResultSet]): Unit = {
       val ro = SqlSplitter.isReadOnlyStatement(stm)
       if (pt == PacketType.ReadOnly && !ro)
         throw new IllegalStateException(
@@ -794,11 +818,6 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
           }
         }
       }
-    }
-    if (results.nonEmpty) {
-      resultData(ctx.stepName) = results.toSeq // last action wins (dbccore.py:901-902)
-      conf.hookSink.foreach(_.resultsetHook(packet.meta, ctx.stepName, results.toSeq))
-    }
   }
 
   /** E9 routing by OWNER: Spark maintains its own view caches (REFRESH

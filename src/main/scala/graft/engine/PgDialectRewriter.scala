@@ -129,7 +129,7 @@ object PgDialectRewriter {
         val two = if (i + 2 <= n) sql.substring(i, i + 2) else ""
         if (three == "!~*") { out += Op(three); i += 3 }
         else if (Set("::", "<>", "!=", "<=", ">=", "!~", "~*", "||",
-          "<=>").contains(two)) { out += Op(two); i += 2 }
+          "<=>", "@>", "<@").contains(two)) { out += Op(two); i += 2 }
         else if ("+-*/%<>=~^&|".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
         else if ("()[],;.".indexOf(c) >= 0) { out += Punct(c.toString); i += 1 }
         else sys.error(s"PgDialectRewriter: unexpected character '$c' at $i")
@@ -791,27 +791,71 @@ object PgDialectRewriter {
       else t
     }
 
-    // array_agg(distinct X) → PG's array TEXT rendering over a SORTED
-    // set: '{a,b}' (dba_idx_diag/07's duplicate-index lists). PG's own
-    // aggregate order is input-dependent — the sorted rendering is the
-    // deterministic cross-engine projection of the same set, the same
-    // treatment string_agg gets
+    // array_agg([distinct] X) → PG's array TEXT rendering '{a,b}' over
+    // a SORTED set/list (dba_idx_diag/07's duplicate-index lists;
+    // alert_check_autovacuum's raise argument, where the trailing
+    // ::text then casts string→string). PG's own aggregate order is
+    // input-dependent — the sorted rendering is the deterministic
+    // cross-engine projection of the same multiset, the same treatment
+    // string_agg gets
     changed = true
     while (changed) {
       changed = false
       var k = 0
       while (!changed && k + 2 < ts.length) {
-        if (isKw(ts(k), "array_agg") && ts(k + 1) == Punct("(") &&
-          isKw(ts(k + 2), "distinct")) {
+        if (isKw(ts(k), "array_agg") && ts(k + 1) == Punct("(")) {
           val close = matchForward(ts, k + 1)
-          val e = ts.slice(k + 3, close)
+          val distinct = isKw(ts(k + 2), "distinct")
+          val e = ts.slice(if (distinct) k + 3 else k + 2, close)
+          val agg = if (distinct) "collect_set" else "collect_list"
           val repl = Vector(Ident("concat"), Punct("("), Str("'{'"),
             Punct(","), Ident("array_join"), Punct("("),
-            Ident("sort_array"), Punct("("), Ident("collect_set"),
+            Ident("sort_array"), Punct("("), Ident(agg),
             Punct("(")) ++ e ++ Vector(Punct(")"), Punct(")"), Punct(","),
             Str("','"), Punct(")"), Punct(","), Str("'}'"), Punct(")"))
           ts = ts.patch(k, repl, close - k + 1)
           changed = true
+        }
+        k += 1
+      }
+    }
+
+    // '{a,b}'::text[] @> col — PG array containment over the fixture's
+    // pre-joined reloptions text (alert_check_autovacuum/01_step.sql:7):
+    // LEFT contains RIGHT ⟺ every element of col is in the literal set.
+    // NULL reloptions stays NULL (excluded by WHERE), as in PG.
+    changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (!changed && k + 6 < ts.length) {
+        (ts(k), ts(k + 1), ts(k + 2), ts(k + 3), ts(k + 4), ts(k + 5)) match {
+          case (lit: Str, Op("::"), t, Punct("["), Punct("]"), Op("@>"))
+            if isKw(t, "text") =>
+            val v = strValue(lit)
+            require(v.startsWith("{") && v.endsWith("}"),
+              s"PgDialectRewriter: expected array literal, got $v")
+            val els = v.substring(1, v.length - 1).split(",").toSeq
+              .map(_.trim)
+            // RHS: a qualifier chain
+            var e = k + 6
+            while (e + 2 < ts.length && ts(e + 1) == Punct(".") &&
+              (ts(e + 2) match { case Ident(_) => true; case _ => false }))
+              e += 2
+            val rhs = ts.slice(k + 6, e + 1)
+            val elems = els.zipWithIndex.flatMap { case (el, j) =>
+              (if (j == 0) Vector.empty[Tok] else Vector(Punct(","))) :+
+                strLit(el)
+            }
+            val repl = Vector(Ident("forall"), Punct("("), Ident("split"),
+              Punct("(")) ++ rhs ++ Vector(Punct(","), Str("','"),
+              Punct(")"), Punct(","), Ident("ge"), Op("->"),
+              Ident("array_contains"), Punct("("), Ident("array"),
+              Punct("(")) ++ elems ++ Vector(Punct(")"), Punct(","),
+              Ident("ge"), Punct(")"), Punct(")"))
+            ts = ts.patch(k, repl, e + 1 - k)
+            changed = true
+          case _ =>
         }
         k += 1
       }

@@ -1,0 +1,170 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Narrow PL/pgSQL `DO $$ … $$` executor for the verbatim-dialect path
+  * (conf.pgDialect): the reference's alert packets use DO blocks as
+  * condition-gated raises —
+  *
+  * {{{
+  *   do $$ begin
+  *     if exists(<QUERY>) then
+  *       raise exception '<FMT>', (<ARG>), …;
+  *     end if;
+  *   end$$;
+  * }}}
+  *
+  * (packets/alert_check_autovacuum/01_step.sql) plus the unconditional
+  * `raise exception '…';` form (packets/test_raise/01_step.sql). The
+  * guard query and every argument run through [[PgDialectRewriter]]
+  * against the synthesized catalog; `raise exception` throws into the
+  * runner's E22 raise_error path (step fails, raise hook fires with the
+  * PG-formatted message), `raise notice` lands on the Notice channel.
+  * Anything outside this shape — loops, DECLARE blocks, EXECUTE —
+  * fails LOUDLY as unsupported (the big plpgsql programs,
+  * dba_clone_schema and alert_int4_capacity, stay on their re-authored
+  * driver-side paths c12/c14 by design).
+  */
+object PlPgSqlDo {
+
+  /** True when the statement is a DO block this executor can run. */
+  def isDo(stm: String): Boolean =
+    SqlSplitter.firstKeyword(stm).equalsIgnoreCase("do")
+
+  def execute(spark: SparkSession, stm: String,
+      notice: String => Unit): Unit = {
+    val clean = SqlSplitter.stripComments(stm).trim
+    val body = {
+      val m = ("(?is)^\\s*do\\s+\\$\\$\\s*begin\\b(.*?)\\bend\\s*" +
+        "\\$\\$\\s*;?\\s*$").r.findFirstMatchIn(clean)
+        .getOrElse(sys.error(
+          "PlPgSqlDo: unsupported DO shape (declare/loop/execute " +
+            "bodies run on the re-authored driver-side paths): " +
+            stm.take(120)))
+      m.group(1).trim
+    }
+    // two supported statements: IF EXISTS(...) THEN <raise>; END IF;
+    // and a bare <raise>;
+    val ifRx = "(?is)^if\\s+exists\\s*\\(".r
+    ifRx.findFirstMatchIn(body) match {
+      case Some(m) =>
+        val open = m.matched.length - 1
+        val close = matchParen(body, open)
+        val guard = body.substring(open + 1, close)
+        val rest = body.substring(close + 1).trim
+        val thenRx = "(?is)^then\\b(.*?);\\s*end\\s+if\\s*;?$".r
+        val raisePart = thenRx.findFirstMatchIn(rest).getOrElse(
+          sys.error(s"PlPgSqlDo: unsupported IF tail: ${rest.take(120)}"))
+          .group(1).trim
+        val fires = spark.sql(PgDialectRewriter.rewrite(guard))
+          .limit(1).count() > 0
+        if (fires) runRaise(spark, raisePart, notice)
+      case None =>
+        val raisePart = body.stripSuffix(";").trim
+        runRaise(spark, raisePart, notice)
+    }
+  }
+
+  /** `raise (exception|notice) 'fmt'[, arg]…` — each `%` consumes one
+    * argument (PG's raise formatting; `%%` is a literal percent). */
+  private def runRaise(spark: SparkSession, raise: String,
+      notice: String => Unit): Unit = {
+    val m = ("(?is)^raise\\s+(exception|notice)\\s+" +
+      "'((?:[^']|'')*)'\\s*(.*)$").r.findFirstMatchIn(raise)
+      .getOrElse(sys.error(
+        s"PlPgSqlDo: unsupported raise form: ${raise.take(120)}"))
+    val level = m.group(1).toLowerCase
+    val fmt = m.group(2).replace("''", "'")
+    val argText = m.group(3).trim
+    val args =
+      if (argText.isEmpty) Seq.empty[String]
+      else splitTopLevel(argText.stripPrefix(",").trim).map(evalArg(spark, _))
+    val sb = new StringBuilder
+    var ai = 0
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length &&
+        fmt.charAt(i + 1) == '%') { sb += '%'; i += 2 }
+      else if (fmt.charAt(i) == '%') {
+        require(ai < args.length,
+          s"PlPgSqlDo: raise '$fmt': too few arguments")
+        sb ++= args(ai); ai += 1; i += 1
+      } else { sb += fmt.charAt(i); i += 1 }
+    }
+    val msg = sb.toString
+    if (level == "exception") throw new IllegalStateException(msg)
+    else notice(msg)
+  }
+
+  /** Evaluate one raise argument: a parenthesized scalar subquery runs
+    * directly; any other expression runs as `SELECT <expr>`. */
+  private def evalArg(spark: SparkSession, arg: String): String = {
+    val a = arg.trim
+    val inner =
+      if (a.startsWith("(") && matchParen(a, 0) == a.length - 1)
+        a.substring(1, a.length - 1).trim
+      else a
+    val sql =
+      if (SqlSplitter.firstKeyword(inner).equalsIgnoreCase("select") ||
+        SqlSplitter.firstKeyword(inner).equalsIgnoreCase("with")) inner
+      else s"SELECT $inner"
+    val row = spark.sql(PgDialectRewriter.rewrite(sql)).head()
+    if (row.isNullAt(0)) "<NULL>" else String.valueOf(row.get(0))
+  }
+
+  /** Index of the ')' matching the '(' at `open`, honoring
+    * single-quoted strings ('' is the embedded quote). */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          var done = false
+          while (i < s.length && !done) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+              else done = true
+            } else i += 1
+          }
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    sys.error(s"PlPgSqlDo: unbalanced parentheses in: ${s.take(120)}")
+  }
+
+  /** Split on top-level commas (outside parens and strings). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          var done = false
+          while (i < s.length && !done) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+              else done = true
+            } else i += 1
+          }
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

@@ -1229,6 +1229,38 @@ class EngineSpec extends AnyFunSuite {
       "step-09 check must surface the indexless table")
   }
 
+  test("alert_check_autovacuum's PL/pgSQL DO block runs VERBATIM: the " +
+      "condition-gated raise fires with PG's formatted message under " +
+      "exact @> containment, and test_raise's unconditional raise too") {
+    import graft.engine.{HookSink, PacketRunner, RunnerConf}
+    graft.sources.PgCatalog.ensureFunctionsRegistered(spark)
+    val posts =
+      scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val conf = RunnerConf(
+      stateDir = Files.createTempDirectory("graft-av-state").toString,
+      pgDialect = true,
+      hookSink = Some(HookSink.buffering(posts)))
+    val res = new PacketRunner(spark, conf)
+      .run("/root/reference/packets/alert_check_autovacuum")
+    // the fixture has autovacuum_enabled=false on events (exactly
+    // contained in the literal set) and on documents (which ALSO
+    // carries a toast option, so PG's @> containment EXCLUDES it —
+    // the twin's LIKE interpretation would wrongly include it)
+    assert(res.resultCode("spark") != "success", res.resultCode.toString)
+    val msgs = res.notices.map(_.message) ++ posts.map(_._3)
+    assert(msgs.exists(_.contains(
+      "autovacuum_enabled=false on some tables! {analytics.events}")),
+      msgs.mkString("; "))
+    // the unconditional raise shape (test_raise/01_step.sql)
+    val res2 = new PacketRunner(spark, RunnerConf(
+      stateDir = Files.createTempDirectory("graft-raise-state").toString,
+      pgDialect = true))
+      .run("/root/reference/packets/test_raise")
+    assert(res2.resultCode("spark") != "success")
+    assert(res2.notices.exists(_.message.contains("some exception")),
+      res2.notices.mkString("; "))
+  }
+
   test("compaction packet re-run is a tracked no-op: actions dedupe " +
       "against the tracker and the snapshot history does not churn") {
     import graft.engine.{PacketRunner, PartitionedManifest, RunnerConf}
