@@ -219,7 +219,7 @@ object ManifestTable {
   /** Atomically (over)write a small MUTABLE ref file at a relative path
     * (branch pointers) — the MANIFEST swap machinery generalized: CAS
     * loop on a store-backed root, tmp + atomic rename elsewhere. */
-  private[engine] def swapRefPointer(root: String, relPath: String,
+  private[graft] def swapRefPointer(root: String, relPath: String,
       content: String): Unit =
     storeFor(root) match {
       case Some(st) =>

@@ -950,6 +950,74 @@ object EngineQueries {
       ORDER BY batch, change_type, s_suppkey, s_acctbal"""),
       bench = true),
 
+    // STREAMING TABLE SINK (graft.streaming.TableSink): the write-side
+    // complement of w17 — writeStream.format("graft-table") folds each
+    // micro-batch into the manifest table as ONE atomic key-merged
+    // snapshot commit (the w03 MERGE shape per batch; readers see the
+    // whole batch across every touched partition or none of it).
+    // EXACTLY-ONCE at commit granularity: the last batchId rides in an
+    // atomic ref under the root, so a replayed batch is SKIPPED
+    // (require()d below via a direct addBatch with a stale id). The
+    // stream here is a file source fed two parquet drops — batch 0
+    // seeds, batch 1 updates/inserts; the oracle replays the merge.
+    QuerySpec("w18_table_sink", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.lit
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w18").toString
+      val ckpt = Files.createTempDirectory("graft-w18-ck").toString
+      val inDir = Files.createTempDirectory("graft-w18-in").toString
+      val base = Tables.load(s, dir, "supplier")
+        .select($"s_suppkey".cast("long").as("k"),
+          $"s_acctbal".cast("double").as("amount"),
+          ($"s_nationkey" % 3).cast("int").as("bk"))
+      base.write.mode("overwrite").parquet(inDir)
+      val q = s.readStream.schema(base.schema).parquet(inDir)
+        .writeStream.format("graft-table")
+        .option("root", root).option("partCol", "bk")
+        .option("keyCol", "k").option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable() // batch 0: the seed
+        val b2 = base.filter($"k" % 5 === 0)
+          .withColumn("amount", $"amount" + 7.5)
+          .unionByName(base.filter($"k" % 100 === 1)
+            .select(($"k" + 100000L).as("k"), lit(0.0).as("amount"),
+              $"bk"))
+        b2.write.mode("append").parquet(inDir)
+        q.processAllAvailable() // batch 1: the merge delta
+      } finally q.stop()
+      require(PartitionedManifest.snapshots(s, root).length == 2,
+        "one snapshot commit per micro-batch")
+      // exactly-once: a replayed batchId must be a no-op
+      val sink = new graft.streaming.TableSinkProvider().createSink(
+        s.sqlContext, Map("root" -> root, "partCol" -> "bk",
+          "keyCol" -> "k"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      sink.addBatch(0, base.limit(1).withColumn("amount", lit(-1.0)))
+      require(PartitionedManifest.snapshots(s, root).length == 2 &&
+        PartitionedManifest.read(s, root, "bk", "int")
+          .filter($"amount" === -1.0).count() == 0,
+        "replayed batchId must not re-commit")
+      PartitionedManifest.read(s, root, "bk", "int")
+        .select($"k", $"amount", $"bk".cast("long").as("bk"))
+        .orderBy($"k")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS k,
+               CAST(s_acctbal AS DOUBLE) AS amount,
+               CAST(s_nationkey % 3 AS BIGINT) AS bk
+        FROM supplier),
+      b2 AS (
+        SELECT k, amount + 7.5 AS amount, bk FROM base WHERE k % 5 = 0
+        UNION ALL
+        SELECT k + 100000, 0.0, bk FROM base WHERE k % 100 = 1)
+      SELECT k, amount, bk
+      FROM (SELECT * FROM base WHERE k % 5 <> 0
+            UNION ALL SELECT * FROM b2)
+      ORDER BY k"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

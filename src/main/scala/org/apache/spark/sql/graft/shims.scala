@@ -53,6 +53,18 @@ object ColumnBridge {
       isStreaming = true)
   }
 
+  /** The inverse: re-present a V1 `Sink.addBatch` DataFrame (tagged
+    * isStreaming=true, so plain actions refuse to run on it) as a BATCH
+    * DataFrame over the same incremental execution — the MemorySink /
+    * ConsoleSink consumption pattern. Valid only within the addBatch
+    * call that received it. */
+  def asBatchDataFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** Wrapping (2-complement) long arithmetic for hash mixing — ANSI mode
     * (Spark 4 default) makes `*`/`+` throw on overflow, but universal
     * hashing WANTS modular wraparound. */

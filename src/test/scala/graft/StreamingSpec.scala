@@ -980,6 +980,65 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed batch appended duplicates: $once -> $twice")
   }
 
+  test("graft-table streaming sink: each micro-batch folds in as ONE " +
+      "atomic key-merged snapshot commit, replayed batchIds are " +
+      "skipped, and the CDC source's diff of the commit matches the " +
+      "batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.engine.PartitionedManifest
+    val root = java.nio.file.Files.createTempDirectory("graft-tsink")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tsink-ck")
+      .toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Upsert]
+    val q = mem.toDF().writeStream.format("graft-table")
+      .option("root", root).option("partCol", "bk").option("keyCol", "k")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      mem.addData(Upsert(1, "a", 0), Upsert(2, "b", 0), Upsert(3, "c", 1))
+      q.processAllAvailable()
+      val t1 = PartitionedManifest.read(spark, root, "bk", "int")
+      assert(t1.count() == 3)
+      val s1 = PartitionedManifest.currentSnapshot(spark, root).get
+      // batch 2: update k=2, insert k=4 — one commit, key-merged
+      mem.addData(Upsert(2, "B", 0), Upsert(4, "d", 1))
+      q.processAllAvailable()
+      val got = PartitionedManifest.read(spark, root, "bk", "int")
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, "a", 0), (2L, "B", 0), (3L, "c", 1),
+        (4L, "d", 1)), got)
+      val snaps = PartitionedManifest.snapshots(spark, root)
+      assert(snaps.length == 2, s"one commit per batch: $snaps")
+      // the CDC source's contract composes: the commit's diff IS the
+      // batch's row-level effect
+      val s2 = PartitionedManifest.currentSnapshot(spark, root).get
+      val ch = PartitionedManifest.changesBetween(spark, root, "bk",
+        "int", s1, s2).as[(Long, String, Int, String)]
+        .collect().sortBy(r => (r._4, r._1)).toSeq
+      assert(ch == Seq((2L, "b", 0, "delete"), (2L, "B", 0, "insert"),
+        (4L, "d", 1, "insert")), ch)
+    } finally q.stop()
+    // exactly-once: a REPLAYED batchId is skipped, not re-merged — no
+    // new snapshot, identical content
+    val sink = new graft.streaming.TableSinkProvider().createSink(
+      spark.sqlContext, Map("root" -> root, "partCol" -> "bk",
+        "keyCol" -> "k"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val before = PartitionedManifest.snapshots(spark, root)
+    sink.addBatch(1, Seq(Upsert(2, "XXX", 0)).toDF())
+    assert(PartitionedManifest.snapshots(spark, root) == before,
+      "replayed batchId must be a no-op")
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"payload" === "XXX").count() == 0)
+    // a NEW batchId commits
+    sink.addBatch(2, Seq(Upsert(2, "Z", 0)).toDF())
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"payload" === "Z").count() == 1)
+  }
+
   test("graft-cdc streaming source: the first batch bootstraps the " +
       "table as inserts, each snapshot commit arrives as its row-level " +
       "diff, and a checkpoint restart replays exactly the unprocessed " +
