@@ -938,6 +938,33 @@ object PartitionedManifest {
     scratch
   }
 
+  /** The clustered-OPTIMIZE scratch write: one range-partitioned,
+    * internally-sorted job per candidate partition (see [[compact]]'s
+    * clusterBy). The scratch layout matches [[writeScratchParts]]'s
+    * (`scratch/partCol=v/`), so adoption is identical. */
+  private def writeClusteredScratch(spark: SparkSession, root: String,
+      partCol: String, candidates: Map[String, String],
+      schema: Option[StructType], clusterBy: Seq[String],
+      clusterFiles: Int, targetBytes: Long): String = {
+    val fs = fsOf(spark, root)
+    val scratch =
+      s"$root/.optimize-${java.util.UUID.randomUUID.toString.take(8)}"
+    candidates.toSeq.sortBy(_._1).foreach { case (v, dir) =>
+      val df = schema.map(sc => spark.read.schema(sc).parquet(dir))
+        .getOrElse(spark.read.parquet(dir))
+      val bytes = fs.listStatus(new HPath(dir))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")).map(_.getLen).sum
+      val nf =
+        if (clusterFiles > 0) clusterFiles
+        else math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      df.repartitionByRange(nf, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+        .write.mode("error").parquet(s"$scratch/$partCol=$v")
+    }
+    scratch
+  }
+
   /** The METADATA half of a snapshot commit, always under the root
     * publish lock: adopt each touched partition's pre-written scratch
     * subdir as that partition's next version (publishing `emptyUpdate`
@@ -1142,10 +1169,24 @@ object PartitionedManifest {
     *         unchanged current one when nothing qualified; compacted
     *         partition values)
     */
+  /** `clusterBy` turns the rewrite into a CLUSTERED OPTIMIZE (Iceberg's
+    * rewrite_data_files with a sort order / Delta's OPTIMIZE ZORDER
+    * BY): each rewritten partition is RANGE-SPLIT on the cluster
+    * columns into `clusterFiles` files (0 = size-derived from
+    * `clusterTargetBytes`), each internally sorted — so the
+    * [[analyzeFileStats]] zone maps get DISJOINT per-file spans and
+    * range scans drop whole files (w19 pins the before/after pruning).
+    * The clustered path writes one job per candidate partition
+    * (offline maintenance; file-group-shaped work, as Iceberg's
+    * rewrite runs it) and, with an explicit `clusterFiles`, is NOT
+    * convergent under the small-file gate by design — it is an
+    * explicit layout action, not the steady-state dedup of w08. */
   def compact(spark: SparkSession, root: String, partCol: String,
       maxFiles: Int = 1, keepSnapshots: Int = 2,
       smallFileBytes: Long = 8L << 20, maxAttempts: Int = 3,
-      onBeforeValidate: () => Unit = () => ()): (String, Seq[String]) = {
+      onBeforeValidate: () => Unit = () => (),
+      clusterBy: Seq[String] = Nil, clusterFiles: Int = 0,
+      clusterTargetBytes: Long = 128L << 20): (String, Seq[String]) = {
     require(keepSnapshots >= 2,
       "keepSnapshots must be >= 2 (current + previous)")
     val fs = fsOf(spark, root)
@@ -1180,11 +1221,16 @@ object PartitionedManifest {
           // current shape
           val curSchema = currentSnapshot(spark, root)
             .flatMap(sn => snapshotSchema(spark, root, sn))
-          val updates = candidates.map { case (v, dir) =>
-            v -> curSchema.map(sc => spark.read.schema(sc).parquet(dir))
-              .getOrElse(spark.read.parquet(dir))
+          if (clusterBy.nonEmpty)
+            Some(writeClusteredScratch(spark, root, partCol, candidates,
+              curSchema, clusterBy, clusterFiles, clusterTargetBytes))
+          else {
+            val updates = candidates.map { case (v, dir) =>
+              v -> curSchema.map(sc => spark.read.schema(sc).parquet(dir))
+                .getOrElse(spark.read.parquet(dir))
+            }
+            Some(writeScratchParts(spark, root, partCol, updates))
           }
-          Some(writeScratchParts(spark, root, partCol, updates))
         } catch { case scala.util.control.NonFatal(_) => None }
       onBeforeValidate()
       scratch match {

@@ -1018,6 +1018,64 @@ object EngineQueries {
             UNION ALL SELECT * FROM b2)
       ORDER BY k"""), bench = true),
 
+    // CLUSTERED OPTIMIZE (compact(clusterBy=...) — the Iceberg
+    // rewrite_data_files(sort_order) / Delta OPTIMIZE ZORDER contract):
+    // the seed layout interleaves o_orderkey across each partition's 4
+    // files (every file spans the whole key range — hash-placement
+    // ingest gives exactly this), so the w13 zone maps can skip
+    // NOTHING (require()d: kept == total). One clustered rewrite
+    // RANGE-SPLITS each partition on o_orderkey into 4 internally
+    // sorted files behind the same atomic snapshot commit; re-ANALYZE
+    // costs one footer sweep of the new dirs, and the same range scan
+    // then drops at least half the files (require()d, plan-checked).
+    // Skipping is IO elision only — the oracle is the plain relational
+    // filter, identical before and after.
+    QuerySpec("w19_optimize_cluster", (s, dir) => {
+      import s.implicits._
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w19").toString
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"),
+          ($"o_custkey" % 2).cast("int").as("bk"))
+      Seq(0, 1).foreach { v =>
+        PartitionedManifest.publishPartition(s, root, "bk", v.toString,
+          base.filter($"bk" === v).repartition(4)) // interleaved spans
+      }
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty)
+      PartitionedManifest.analyzeFileStats(s, root, "bk",
+        Seq("o_orderkey"))
+      val hi = math.floor(base.agg(org.apache.spark.sql.functions
+        .max($"o_orderkey")).head.getLong(0) / 8.0)
+      val (_, kept0, total0) = PartitionedManifest.scanWithFileSkipping(
+        s, root, "bk", "int", "o_orderkey", 1.0, hi)
+      require(total0 >= 8 && kept0 == total0,
+        s"interleaved layout must defeat zone maps: kept $kept0/$total0")
+      val (_, touched) = PartitionedManifest.compact(s, root, "bk",
+        clusterBy = Seq("o_orderkey"), clusterFiles = 4)
+      require(touched.sorted == Seq("0", "1"),
+        s"both partitions must rewrite: $touched")
+      PartitionedManifest.analyzeFileStats(s, root, "bk",
+        Seq("o_orderkey"))
+      val (df, kept1, total1) = PartitionedManifest.scanWithFileSkipping(
+        s, root, "bk", "int", "o_orderkey", 1.0, hi)
+      require(total1 >= 8 && kept1 * 2 <= total1,
+        s"clustered layout must skip at least half: kept $kept1/$total1")
+      require(df.inputFiles.length == kept1,
+        "the plan must reference ONLY the surviving files")
+      df.select($"o_orderkey", $"o_totalprice",
+          $"bk".cast("long").as("bk"))
+        .orderBy($"o_orderkey")
+    }, oracle = Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(o_custkey % 2 AS BIGINT) AS bk
+      FROM orders
+      WHERE o_orderkey >= 1
+        AND o_orderkey <= (SELECT FLOOR(MAX(o_orderkey) / 8.0) FROM orders)
+      ORDER BY o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()
