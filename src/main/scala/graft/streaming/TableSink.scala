@@ -53,7 +53,17 @@ class TableSink(ctx: SQLContext, parameters: Map[String, String])
   private val root = opt("root")
   private val partCol = opt("partCol")
   private val keyCol = opt("keyCol")
-  private val sinkId = parameters.getOrElse("sinkId", "default")
+  private val sinkId = {
+    val id = parameters.getOrElse("sinkId", "default")
+    // the id lands in a ref PATH under the table root — same charset
+    // contract as tag/branch names (no separators, no traversal)
+    require(id.nonEmpty && id.length <= 128 && id.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-') &&
+      !id.startsWith("."),
+      s"graft-table: unsupported sinkId '$id' - letters, digits, " +
+        "'.', '_', '-' only")
+    id
+  }
   private val keepSnapshots =
     parameters.getOrElse("keepSnapshots", "2").toInt
   private val batchRef = s"_refs_stream/$sinkId"
