@@ -74,7 +74,12 @@ object CdcSource {
     val partCol = opt(parameters, "partCol")
     val partType = parameters.getOrElse("partType", "string")
     val changeCol = parameters.getOrElse("changeCol", "_change_type")
-    val data = PartitionedManifest.currentSnapshot(spark, root)
+    // a followed ref's head owns the schema (a branch may have evolved
+    // ahead of main); otherwise the current snapshot's
+    val headSnap = parameters.get("ref")
+      .flatMap(r => PartitionedManifest.resolveRef(spark, root, Some(r)))
+      .orElse(PartitionedManifest.currentSnapshot(spark, root))
+    val data = headSnap
       .flatMap(sn => PartitionedManifest.snapshotSchema(spark, root, sn))
       .getOrElse(StructType(PartitionedManifest
         .read(spark, root, partCol, partType).schema
@@ -99,6 +104,11 @@ class CdcSource(ctx: SQLContext, parameters: Map[String, String])
     sys.error("graft-cdc: missing option 'partCol'"))
   private val partType = parameters.getOrElse("partType", "string")
   private val changeCol = parameters.getOrElse("changeCol", "_change_type")
+  // optional ref to FOLLOW instead of main: a BRANCH name streams the
+  // branch's commits (the WAP composition — an audit stream tails the
+  // 'audit' branch and sees staged batches main readers cannot), a TAG
+  // pins the stream's end at that snapshot
+  private val ref = parameters.get("ref")
 
   override val schema: StructType = CdcSource.schemaFor(ctx, parameters)
 
@@ -119,9 +129,16 @@ class CdcSource(ctx: SQLContext, parameters: Map[String, String])
           s"horizon of $root - the stream lagged behind retention; " +
           "re-bootstrap from a fresh checkpoint"))
 
-  override def getOffset: Option[Offset] =
-    PartitionedManifest.currentSnapshot(spark, root)
-      .map(sn => LongOffset(CdcSource.genOf(sn)))
+  override def getOffset: Option[Offset] = (ref match {
+    case Some(r) =>
+      val resolved = PartitionedManifest.resolveRef(spark, root, Some(r))
+      require(resolved.exists(sn =>
+        PartitionedManifest.snapshots(spark, root).contains(sn)),
+        s"graft-cdc: ref '$r' does not resolve to a known snapshot " +
+          s"of $root")
+      resolved
+    case None => PartitionedManifest.currentSnapshot(spark, root)
+  }).map(sn => LongOffset(CdcSource.genOf(sn)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endSnap = snapAt(longOf(end))

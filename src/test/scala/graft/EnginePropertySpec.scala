@@ -335,4 +335,45 @@ class EnginePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int2vector dialect rules vs a direct oracle: subscripts read " +
+      "0-based positions (NULL past the end), ANY() is membership, for " +
+      "arbitrary vectors") {
+    val spark = TestSpark.session
+    import graft.engine.PgDialectRewriter.rewrite
+    val vecGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 40)))
+    forAll(Gen.zip(vecGen, Gen.chooseNum(0, 7), Gen.chooseNum(1, 40)), 60) {
+      case ((vec, idx, probe)) =>
+        val lit = vec.mkString(" ")
+        val r = spark.sql(rewrite(
+          s"SELECT x.indkey[$idx] AS k, $probe = any(x.indkey) AS m " +
+            s"FROM (SELECT '$lit' AS indkey) x")).head
+        if (idx < vec.length) assert(r.getInt(0) == vec(idx),
+          s"vec=$lit idx=$idx")
+        else assert(r.isNullAt(0), s"vec=$lit idx=$idx must be NULL")
+        assert(r.getBoolean(1) == vec.contains(probe),
+          s"vec=$lit probe=$probe")
+    }
+  }
+
+  test("interval-literal coercion vs epoch arithmetic: '<n> days' " +
+      "comparisons agree with the second-level oracle for arbitrary " +
+      "timestamps and thresholds") {
+    val spark = TestSpark.session
+    import graft.engine.PgDialectRewriter.rewrite
+    // now() pins to 2024-01-01 10:05:00 (the snapshot instant)
+    val nowS = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+      .getTime / 1000
+    val tsGen = Gen.chooseNum(0L, 90L * 86400).map(back =>
+      new java.sql.Timestamp((nowS - back) * 1000))
+    forAll(Gen.zip(tsGen, Gen.chooseNum(1, 60)), 60) { case (ts, days) =>
+      val got = spark.sql(rewrite(
+        s"SELECT age(now(), TIMESTAMP '$ts') > '$days days' AS a, " +
+          s"(now() - TIMESTAMP '$ts') >= '00:00:01' AS b")).head
+      val diffS = nowS - ts.getTime / 1000
+      assert(got.getBoolean(0) == (diffS > days.toLong * 86400),
+        s"ts=$ts days=$days diff=$diffS")
+      assert(got.getBoolean(1) == (diffS >= 1), s"ts=$ts")
+    }
+  }
 }

@@ -980,6 +980,54 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed batch appended duplicates: $once -> $twice")
   }
 
+  test("graft-cdc source follows a BRANCH ref: the audit stream sees " +
+      "staged commits main readers cannot, and a published (fast-" +
+      "forwarded) branch leaves the stream caught up") {
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbr")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcbr-ck")
+      .toString
+    val rows = (0 until 2).flatMap(b => (1 to 5).map(i =>
+      ((b * 100 + i).toLong, b)))
+    PartitionedManifest.seed(spark, root, rows.toDF("i", "bk"), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 4)
+    PartitionedManifest.createBranch(spark, root, "audit")
+    val got = scala.collection.mutable.Buffer.empty[(Long, Int, String)]
+    val q = spark.readStream.format("graft-cdc")
+      .option("root", root).option("partCol", "bk")
+      .option("partType", "int").option("ref", "audit").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getString(2)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // bootstrap at the branch head (= fork)
+      assert(got.size == 10 && got.forall(_._3 == "insert"))
+      got.clear()
+      // a STAGED branch commit: invisible to main, streamed to the
+      // audit follower
+      PartitionedManifest.commitSnapshotToBranch(spark, root, "bk",
+        Map("1" -> Seq(900L, 901L).toDF("i")), "audit",
+        keepSnapshots = 4)
+      q.processAllAvailable()
+      assert(PartitionedManifest.read(spark, root, "bk", "int")
+        .filter($"i" >= 900).count() == 0, "staged data leaked to main")
+      assert(got.count(_._3 == "insert") == 2 &&
+        got.count(_._3 == "delete") == 5, got.toSeq.sortBy(_._1))
+      got.clear()
+      // publish: the branch head becomes main; the follower is already
+      // AT the head, so nothing re-emits
+      PartitionedManifest.fastForward(spark, root, "bk", "audit")
+      q.processAllAvailable()
+      assert(got.isEmpty, s"published branch must not re-emit: $got")
+    } finally q.stop()
+  }
+
   test("graft-table streaming sink: each micro-batch folds in as ONE " +
       "atomic key-merged snapshot commit, replayed batchIds are " +
       "skipped, and the CDC source's diff of the commit matches the " +
