@@ -1436,6 +1436,72 @@ class EngineSpec extends AnyFunSuite {
     assert(np.getMessage.contains("existing"), np.getMessage)
   }
 
+  test("racing main and branch committers serialize safely: both land, " +
+      "main never sees staged data, the branch never loses its head") {
+    val root = Files.createTempDirectory("graft-race-br").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    PartitionedManifest.seed(spark, root,
+      (1 to 20).map(i => (i.toLong, i % 2)).toDF("i", "bk"), "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty,
+      keepSnapshots = 8)
+    PartitionedManifest.createBranch(spark, root, "audit")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // 3 main commits on bk=0 race 3 branch commits on bk=1. The root
+    // publish lock is fail-LOUD on contention (single-writer-per-root;
+    // ConcurrentPublishException tells the caller to retry) — so each
+    // committer retries, exactly the documented client contract, and
+    // every commit must land exactly once.
+    def retrying[A](f: => A): A = {
+      var out: Option[A] = None
+      var spins = 0
+      while (out.isEmpty) {
+        try out = Some(f)
+        catch {
+          case _: graft.engine.ManifestTable.ConcurrentPublishException =>
+            spins += 1
+            require(spins < 500, "livelock")
+            Thread.sleep(20)
+        }
+      }
+      out.get
+    }
+    val mains = Future {
+      (1 to 3).map(k => retrying(PartitionedManifest.commitSnapshot(spark,
+        root, "bk", Map("0" -> (1 to 10).map(i => (i + k * 1000).toLong)
+          .toDF("i")), keepSnapshots = 8)))
+    }
+    val branches = Future {
+      (1 to 3).map(k => retrying(PartitionedManifest.commitSnapshotToBranch(
+        spark, root, "bk",
+        Map("1" -> (1 to 10).map(i => (i + k * 100000).toLong).toDF("i")),
+        "audit", keepSnapshots = 8)))
+    }
+    val mainSnaps = Await.result(mains, 120.seconds)
+    val branchSnaps = Await.result(branches, 120.seconds)
+    assert((mainSnaps ++ branchSnaps).distinct.size == 6,
+      "six distinct snapshots must land")
+    // main's live state: the LAST main commit's bk=0, the ORIGINAL bk=1
+    val live = PartitionedManifest.read(spark, root, "bk", "int")
+    assert(PartitionedManifest.currentSnapshot(spark, root)
+      .contains(mainSnaps.last))
+    assert(live.filter($"bk" === 0 && $"i" > 3000).count() == 10)
+    assert(live.filter($"bk" === 1 && $"i" > 100).count() == 0,
+      "staged branch data leaked into main under the race")
+    // the branch head: the LAST branch commit's bk=1, over main's base
+    // AS OF THE FORK (bk=0 unchanged there)
+    assert(PartitionedManifest.branchHead(spark, root, "audit")
+      .contains(branchSnaps.last))
+    val br = PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      branchSnaps.lastOption)
+    assert(br.filter($"bk" === 1 && $"i" > 300000).count() == 10)
+    assert(br.filter($"bk" === 0 && $"i" > 1000).count() == 0,
+      "the branch must stay pinned at its fork base for bk=0")
+  }
+
   test("schema evolution: an added column NULL-backfills old partitions, " +
       "time travel keeps each snapshot's shape, dropColumn is " +
       "metadata-only, rollback restores the pre-evolution schema, and " +
