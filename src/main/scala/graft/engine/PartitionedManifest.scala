@@ -130,16 +130,20 @@ object PartitionedManifest {
     // exceed the pointer horizon) — protect every dir any kept snapshot
     // names for this partition
     ManifestTable.publish(spark, s"$root/$partCol=$value", data,
-      snapshotProtected(spark, root, value))
+      snapshotProtected(spark, root, s"$root/$partCol=$value", value))
   }
 
   /** Version-directory names every kept snapshot references for one
-    * partition value (empty when the root has no snapshots). */
+    * partition value (empty when the root has no snapshots), expanded
+    * through merge-on-read base chains: a MOR version dir is only
+    * readable while its base chain survives, so protecting the dir a
+    * snapshot names must protect everything it layers on. */
   private def snapshotProtected(spark: SparkSession, root: String,
-      value: String): Set[String] =
-    snapshots(spark, root)
-      .flatMap(sn => snapshotMapping(spark, root, sn))
-      .collect { case (v, d) if v == value => d }.toSet
+      partRoot: String, value: String): Set[String] =
+    expandMorProtect(spark, partRoot,
+      snapshots(spark, root)
+        .flatMap(sn => snapshotMapping(spark, root, sn))
+        .collect { case (v, d) if v == value => d }.toSet)
 
   /** The partition values present under `root`, from the directory
     * names (partition-count-bounded listing). */
@@ -180,7 +184,29 @@ object PartitionedManifest {
     // projects the column away without touching a byte)
     val schema = currentSnapshot(spark, root)
       .flatMap(sn => snapshotSchema(spark, root, sn))
-    serveThroughPin(spark, root, partCol, partType, dirs, schema)
+    serveResolved(spark, root, partCol, partType, dirs, schema)
+  }
+
+  /** Serve a resolved mapping, routing merge-on-read partitions through
+    * [[resolveVersionData]] and everything else through the content-
+    * pinned catalog relation: the common all-pure case keeps its ONE
+    * plan node; MOR partitions (bounded by compaction cadence) each
+    * compose base ∪ delta and union on top. */
+  private def serveResolved(spark: SparkSession, root: String,
+      partCol: String, partType: String, dirs: Seq[(String, String)],
+      schema: Option[StructType]): DataFrame = {
+    val (mor, pure) = dirs.partition { case (_, p) => isMorDir(spark, p) }
+    val pureDf =
+      if (pure.isEmpty) None
+      else Some(serveThroughPin(spark, root, partCol, partType, pure,
+        schema))
+    val morDfs = mor.map { case (v, path) =>
+      val slash = path.lastIndexOf('/')
+      resolveVersionData(spark, path.substring(0, slash),
+          path.substring(slash + 1), schema)
+        .withColumn(partCol, lit(v).cast(partType))
+    }
+    (pureDf.toSeq ++ morDfs).reduce(_.unionByName(_))
   }
 
   private def hash8(s: String): String =
@@ -222,32 +248,44 @@ object PartitionedManifest {
     val table = pinTableName(root, dirs, schema)
     if (!spark.catalog.tableExists(table)) {
       syncCatalogDirs(spark, root, table, partCol, partType, dirs, schema)
-      gcStalePins(spark, root, partCol)
+      gcStalePins(spark, root, partCol, keep = Set(table))
     }
+    // a reused pin from an earlier session still needs the session-local
+    // optimizer rule for automatic file skipping
+    graft.plans.ZoneMaps.install(spark)
     spark.table(table)
   }
 
   /** Drop this root's pin tables that serve neither the live pointers
-    * nor any kept snapshot (bounded: keep-N + 1 valid pins). */
+    * nor any kept snapshot (bounded: keep-N + 1 valid pins per shape).
+    * A mapping with merge-on-read partitions serves its PURE SUBSET
+    * through the pin (the MOR partitions compose on top), so both the
+    * full-mapping pin and the pure-subset pin count as valid. */
   private def gcStalePins(spark: SparkSession, root: String,
-      partCol: String): Unit = {
+      partCol: String, keep: Set[String] = Set.empty): Unit = {
     val prefix = s"graft_pm_${hash8(root)}_"
+    def pinsFor(dirs: Seq[(String, String)],
+        schema: Option[StructType]): Seq[String] = {
+      val pure = dirs.filterNot { case (_, p) => isMorDir(spark, p) }
+      (Seq(pinTableName(root, dirs, schema)) ++
+        (if (pure != dirs && pure.nonEmpty)
+          Seq(pinTableName(root, pure, schema)) else Nil)).distinct
+    }
     val curSchema = currentSnapshot(spark, root)
       .flatMap(sn => snapshotSchema(spark, root, sn))
-    val livePin =
+    val livePins =
       try {
         val dirs = partitionValues(spark, root, partCol).flatMap { v =>
           ManifestTable.currentDataDir(s"$root/$partCol=$v").map(v -> _)
         }
-        if (dirs.isEmpty) None
-        else Some(pinTableName(root, dirs, curSchema))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    val snapPins = snapshots(spark, root).map { sn =>
-      pinTableName(root, snapshotMapping(spark, root, sn)
+        if (dirs.isEmpty) Nil else pinsFor(dirs, curSchema)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    val snapPins = snapshots(spark, root).flatMap { sn =>
+      pinsFor(snapshotMapping(spark, root, sn)
         .map { case (v, d) => v -> s"$root/$partCol=$v/$d" },
         snapshotSchema(spark, root, sn))
     }
-    val valid = (livePin.toSeq ++ snapPins).toSet
+    val valid = (livePins ++ snapPins).toSet ++ keep
     val db = spark.catalog.currentDatabase
     spark.sharedState.externalCatalog.listTables(db)
       .filter(t => t.startsWith(prefix) && !valid.contains(t))
@@ -306,6 +344,16 @@ object PartitionedManifest {
       table: String, partCol: String, partType: String,
       dirs: Seq[(String, String)],
       schema: Option[StructType] = None): Unit = {
+    // a catalog partition LOCATION serves raw parquet — a merge-on-read
+    // version dir is NOT its partition's content (the delta files would
+    // read as the whole partition). Fail LOUDLY; compact() folds a MOR
+    // partition back to a pure dir that can serve through a location.
+    dirs.foreach { case (v, d) =>
+      require(!isMorDir(spark, d),
+        s"PartitionedManifest: partition $v is merge-on-read at $d - " +
+          "catalog locations cannot serve MOR content; compact() first " +
+          "(read()/readSnapshot() resolve MOR transparently)")
+    }
     // a recorded (possibly evolved) schema is the relation's authority:
     // version dirs written before an added column serve it as NULL, a
     // dropped column is projected away. A NAMED table whose catalog
@@ -323,9 +371,14 @@ object PartitionedManifest {
     if (!spark.catalog.tableExists(table)) {
       val cols = dataSchema.map(f => s"`${f.name}` ${f.dataType.sql}")
         .mkString(", ")
+      // graft.zonemaps: ZoneMapRule wraps this relation's file index so
+      // range queries consult the version dirs' _filestats.tsv sidecars
+      // automatically (file skipping on the DEFAULT read path)
       spark.sql(s"CREATE TABLE `$table` ($cols, `$partCol` $partType) " +
-        s"USING parquet PARTITIONED BY (`$partCol`) LOCATION '$root'")
+        s"USING parquet PARTITIONED BY (`$partCol`) LOCATION '$root' " +
+        s"TBLPROPERTIES ('${graft.plans.ZoneMaps.Prop}'='true')")
     }
+    graft.plans.ZoneMaps.install(spark)
     // steady-state sync is catalog-diff-driven: one batched ADD for new
     // partitions, a SET LOCATION only where the pointer moved, and a
     // batched DROP for partitions the target mapping does NOT contain —
@@ -823,13 +876,29 @@ object PartitionedManifest {
     val to = snapshotMapping(spark, root, toSnap).toMap
     val changed = (from.keySet ++ to.keySet)
       .filter(v => from.get(v) != to.get(v)).toSeq.sorted
-    def side(m: Map[String, String]): Option[DataFrame] = {
-      val dirs = changed.flatMap(v =>
-        m.get(v).map(d => s"$root/$partCol=$v/$d"))
-      if (dirs.isEmpty) None
-      else Some(readDirsWithPartCol(spark, dirs, partCol, partType))
+    // each side resolves through its own snapshot's recorded schema;
+    // merge-on-read dirs compose per partition (delta-scoped), pure
+    // dirs keep the one-relation read
+    def side(m: Map[String, String], snap: String): Option[DataFrame] = {
+      val schema = snapshotSchema(spark, root, snap)
+      val entries = changed.flatMap(v => m.get(v).map(v -> _))
+      if (entries.isEmpty) None
+      else {
+        val (mor, pure) = entries.partition { case (v, d) =>
+          isMorDir(spark, s"$root/$partCol=$v/$d") }
+        val pureDf =
+          if (pure.isEmpty) None
+          else Some(readDirsWithPartCol(spark,
+            pure.map { case (v, d) => s"$root/$partCol=$v/$d" },
+            partCol, partType, schema))
+        val morDfs = mor.map { case (v, d) =>
+          resolveVersionData(spark, s"$root/$partCol=$v", d, schema)
+            .withColumn(partCol, lit(v).cast(partType))
+        }
+        Some((pureDf.toSeq ++ morDfs).reduce(_.unionByName(_)))
+      }
     }
-    (side(from), side(to)) match {
+    (side(from, fromSnap), side(to, toSnap)) match {
       case (None, None) =>
         // no changed partitions: empty result with the table's schema
         readSnapshot(spark, root, partCol, partType, Some(toSnap))
@@ -865,6 +934,277 @@ object PartitionedManifest {
           .unionByName(
             fDf.exceptAll(tDf).withColumn(changeCol, lit("delete")))
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // MERGE-ON-READ: the write mode copy-on-write cannot afford at 100 TB
+  // with hot partitions — a stream of small upsert batches into a 1 TB
+  // partition must NOT rewrite the terabyte per batch (write
+  // amplification = partition size / batch size). A MOR commit writes a
+  // new version directory holding ONLY the delta:
+  //
+  //   v000007-xxxx/
+  //     _mor.tsv            #keys=k1,k2 / base=v000006-yyyy
+  //     _delta/upserts/     (parquet: full-schema replacement rows)
+  //     _delta/deletes/     (parquet: key columns of removed rows)
+  //
+  // `base` names the PREVIOUS version directory — itself possibly MOR,
+  // so deltas chain (the Iceberg v2 delete-file / Delta deletion-vector
+  // posture realized on the pointer machinery: bytes written per commit
+  // scale with the DELTA, never the partition). Readers resolve the
+  // chain lazily: base rows whose key appears in any layer are dropped
+  // with ONE anti-join against the (delta-sized, broadcastable) key set,
+  // and each key's NEWEST layer event wins — an upsert contributes its
+  // replacement row, a delete contributes nothing. Every existing
+  // reader path (read/readSnapshot, changesBetween/CDC, the streaming
+  // CdcSource, IncrementalConsumer) resolves MOR dirs transparently.
+  //
+  // COMPACTION IS THE FOLD-DOWN: compact() selects MOR-live partitions
+  // unconditionally (a delta chain IS deferred merge work), rewrites the
+  // RESOLVED content, and publishes a pure data dir — converging the
+  // layout; chain length is therefore bounded by compaction cadence.
+  // GC safety: every protection set is expanded through _mor.tsv base
+  // chains, so a base dir can never be collected while a kept snapshot
+  // (or the live pointer) names a layer above it.
+
+  private val MorFile = "_mor.tsv"
+
+  private def isMorDir(spark: SparkSession, dirPath: String): Boolean =
+    fsOf(spark, dirPath).exists(new HPath(dirPath, MorFile))
+
+  /** Parse a MOR marker: (key columns, base version dir NAME). */
+  private def morInfo(spark: SparkSession, dirPath: String)
+      : Option[(Seq[String], String)] = {
+    val fs = fsOf(spark, dirPath)
+    val p = new HPath(dirPath, MorFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val keys = text.linesIterator.find(_.startsWith("#keys="))
+        .map(_.stripPrefix("#keys=").trim.split(",").toSeq)
+        .getOrElse(sys.error(s"PartitionedManifest: $dirPath/$MorFile " +
+          "has no #keys= header"))
+      val base = text.linesIterator.find(_.startsWith("base="))
+        .map(_.stripPrefix("base=").trim)
+        .getOrElse(sys.error(s"PartitionedManifest: $dirPath/$MorFile " +
+          "has no base= line"))
+      Some((keys, base))
+    }
+  }
+
+  /** A version dir plus its transitive MOR bases, newest first (the
+    * head is `dir` itself; a pure dir is a one-element chain). Cycle
+    * and runaway guarded. */
+  private[engine] def morChain(spark: SparkSession, partRoot: String,
+      dir: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer(dir)
+    var info = morInfo(spark, s"$partRoot/$dir")
+    while (info.isDefined) {
+      val next = info.get._2
+      require(!out.contains(next) && out.length < 100000,
+        s"PartitionedManifest: MOR base cycle under $partRoot: $out")
+      out += next
+      info = morInfo(spark, s"$partRoot/$next")
+    }
+    out.toSeq
+  }
+
+  /** Expand a protection set through MOR base chains (see the section
+    * comment: protecting a layer must protect everything below it). */
+  private def expandMorProtect(spark: SparkSession, partRoot: String,
+      dirs: Set[String]): Set[String] =
+    dirs.flatMap(d => morChain(spark, partRoot, d))
+
+  /** One partition's LOGICAL content (no partition column) at version
+    * `dirName`: a pure dir reads directly; a MOR dir resolves base ∪
+    * layers — base rows whose key appears in ANY layer are dropped by
+    * one anti-join against the delta-sized key set (broadcast at scale),
+    * then each key's newest layer event contributes its upsert row (a
+    * newest-event delete contributes nothing). `schema` (the snapshot's
+    * recorded schema) is the read authority when given. */
+  private[engine] def resolveVersionData(spark: SparkSession,
+      partRoot: String, dirName: String,
+      schema: Option[StructType]): DataFrame = {
+    def readPure(d: String, sc: Option[StructType]): DataFrame =
+      sc.map(s => spark.read.schema(s).parquet(s"$partRoot/$d"))
+        .getOrElse(spark.read.parquet(s"$partRoot/$d"))
+    morInfo(spark, s"$partRoot/$dirName") match {
+      case None => readPure(dirName, schema)
+      case Some((keys, _)) =>
+        val chain = morChain(spark, partRoot, dirName)
+        val baseDir = chain.last
+        val layers = chain.init.reverse // oldest layer first
+        val fs = fsOf(spark, partRoot)
+        val dataSchema: StructType = schema.getOrElse(
+          spark.read.parquet(s"$partRoot/$baseDir").schema)
+        val base = readPure(baseDir, Some(dataSchema))
+        val events: Seq[DataFrame] = layers.zipWithIndex.flatMap {
+          case (d, i) =>
+            val up = {
+              val p = s"$partRoot/$d/_delta/upserts"
+              if (fs.exists(new HPath(p)))
+                Some(spark.read.schema(dataSchema).parquet(p)
+                  .withColumn("_graft_op", lit("u"))
+                  .withColumn("_graft_layer", lit(i + 1)))
+              else None
+            }
+            val del = {
+              val p = s"$partRoot/$d/_delta/deletes"
+              if (fs.exists(new HPath(p))) {
+                val keyDf = spark.read.parquet(p)
+                Some(keyDf.select(dataSchema.fields.toSeq.map { f =>
+                  if (keys.contains(f.name))
+                    col(f.name).cast(f.dataType).as(f.name)
+                  else lit(null).cast(f.dataType).as(f.name)
+                }: _*).withColumn("_graft_op", lit("d"))
+                  .withColumn("_graft_layer", lit(i + 1)))
+              } else None
+            }
+            up.toSeq ++ del.toSeq
+        }
+        if (events.isEmpty) base
+        else {
+          val all = events.reduce(_.unionByName(_))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col("_graft_layer").desc)
+          val latest = all
+            .withColumn("_graft_rn",
+              org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("_graft_rn") === 1)
+          base.join(all.select(keys.map(col): _*).distinct(),
+              keys, "left_anti")
+            .unionByName(latest.filter(col("_graft_op") === "u")
+              .drop("_graft_op", "_graft_layer", "_graft_rn"))
+        }
+    }
+  }
+
+  /** One partition's current logical content (no partition column) —
+    * MOR-resolving; the public single-partition reader the streaming
+    * sink and merge paths use instead of a raw parquet read of the
+    * live version dir (which would be empty on a MOR-live partition). */
+  def readPartition(spark: SparkSession, root: String, partCol: String,
+      value: String, schema: Option[StructType] = None): DataFrame = {
+    val pr = s"$root/$partCol=${checkPartValue(value)}"
+    val dir = ManifestTable.currentVersion(pr).getOrElse(
+      sys.error(s"PartitionedManifest: no MANIFEST under $pr"))
+    val sc = schema.orElse(currentSnapshot(spark, root)
+      .flatMap(sn => snapshotSchema(spark, root, sn)))
+    resolveVersionData(spark, pr, dir, sc)
+  }
+
+  /** MERGE-ON-READ commit: fold `upserts` (full-schema replacement rows,
+    * keyed by `keyCols`) and `deletes` (key rows) into the touched
+    * partitions WITHOUT rewriting them — each touched partition gets a
+    * new version dir holding only the delta files and a `_mor.tsv`
+    * naming its base (see the section comment). One atomic snapshot
+    * commit covers the whole delta, so CDC, time travel, tags, branches
+    * and the incremental consumer see a MOR commit exactly like any
+    * other. Bytes written scale with the DELTA (w20 require()s it).
+    *
+    * Contract: the table must be snapshot-managed; touched partitions
+    * must exist (partition creation is a [[commitSnapshot]] job);
+    * upsert frames carry exactly the recorded schema (evolution goes
+    * through commitSnapshot); per partition, upsert keys and delete
+    * keys must be disjoint, and upsert keys unique (the Delta MERGE
+    * multiple-match contract — violations make the resolved content
+    * order-dependent). Returns the snapshot name. */
+  def commitMerge(spark: SparkSession, root: String, partCol: String,
+      keyCols: Seq[String], upserts: Map[String, DataFrame] = Map.empty,
+      deletes: Map[String, DataFrame] = Map.empty,
+      keepSnapshots: Int = 2): String = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
+    require(keyCols.nonEmpty && !keyCols.contains(partCol),
+      "commitMerge: keyCols must be non-empty data columns")
+    val touched = (upserts.keySet ++ deletes.keySet).toSeq.sorted
+    require(touched.nonEmpty, "commitMerge needs upserts or deletes")
+    touched.foreach(checkPartValue)
+    ManifestTable.withPublishLock(root) {
+      val snap = currentSnapshot(spark, root).getOrElse(sys.error(
+        "PartitionedManifest: commitMerge needs a snapshot-managed " +
+          s"table under $root - commitSnapshot first"))
+      val base = snapshotMapping(spark, root, snap).toMap
+      val unknown = touched.filterNot(base.contains)
+      require(unknown.isEmpty,
+        "PartitionedManifest: merge-on-read may only touch existing " +
+          s"partitions (new: ${unknown.mkString(",")}) - create " +
+          "partitions through commitSnapshot")
+      val schema = snapshotSchema(spark, root, snap).getOrElse {
+        val (v, d) = base.head
+        spark.read.parquet(s"$root/$partCol=$v/$d").schema
+      }
+      keyCols.foreach(k => require(schema.fieldNames.contains(k),
+        s"commitMerge: unknown key column '$k'"))
+      upserts.foreach { case (v, df) =>
+        val cols = df.schema.filterNot(_.name == partCol)
+          .map(f => (f.name, f.dataType))
+        require(cols == schema.map(f => (f.name, f.dataType)).toSeq,
+          s"commitMerge: partition $v upsert schema " +
+            s"(${cols.map(_._1).mkString(",")}) does not match the " +
+            s"recorded schema (${schema.fieldNames.mkString(",")}) - " +
+            "schema evolution goes through commitSnapshot")
+      }
+      deletes.foreach { case (v, df) =>
+        val cols = df.columns.toSeq.filterNot(_ == partCol).sorted
+        require(cols == keyCols.sorted,
+          s"commitMerge: partition $v delete frame must carry exactly " +
+            s"the key columns ${keyCols.mkString(",")} (got " +
+            s"${cols.mkString(",")})")
+      }
+      val protectByPart = protectedDirsByPartition(spark, root,
+        keepSnapshots)
+      val fs = fsOf(spark, root)
+      val written: Map[String, String] = touched.map { v =>
+        val pr = s"$root/$partCol=$v"
+        val baseDir = ManifestTable.currentVersion(pr).getOrElse(
+          sys.error(s"PartitionedManifest: no MANIFEST under $pr"))
+        val up = upserts.get(v).map(df =>
+          (if (df.columns.contains(partCol)) df.drop(partCol) else df)
+            .select(schema.fieldNames.toSeq.map(col): _*))
+        val del = deletes.get(v).map(df =>
+          (if (df.columns.contains(partCol)) df.drop(partCol) else df)
+            .select(keyCols.map(col): _*).distinct())
+        for (u <- up; d <- del)
+          require(u.select(keyCols.map(col): _*)
+              .intersect(d).isEmpty,
+            s"commitMerge: partition $v has keys in BOTH upserts and " +
+              "deletes - an upsert already replaces; a delete already " +
+              "removes (overlap makes the outcome ambiguous)")
+        val stage = s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
+        fs.mkdirs(new HPath(stage))
+        up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
+        del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
+        ManifestTable.writeOnce(stage, MorFile,
+          s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
+        val protect = expandMorProtect(spark, pr,
+          protectByPart.getOrElse(v, Set.empty))
+        val dir = ManifestTable.adoptVersion(pr, stage, protect)
+        v -> new HPath(dir).getName
+      }.toMap
+      writeSnapshotFileLocked(spark, root,
+        (base ++ written).toSeq.sortBy(_._1), keepSnapshots, Some(schema))
+    }
+  }
+
+  /** Version dirs every protection-relevant snapshot (kept-N + tags +
+    * branch heads + current) references, per partition value — the
+    * shared protect-set computation of [[commitMerge]] and
+    * [[adoptPartsLocked]] (callers expand through MOR chains at the
+    * partition root). */
+  private def protectedDirsByPartition(spark: SparkSession, root: String,
+      keepSnapshots: Int): Map[String, Set[String]] = {
+    val taggedSnaps = tags(spark, root).values.toSet
+    val branchHeads = branches(spark, root).values.map(_._1).toSet
+    val allSnaps = snapshots(spark, root)
+    val keptOld = (allSnaps.filter(taggedSnaps) ++
+      allSnaps.filter(branchHeads) ++
+      currentSnapshot(spark, root).toSeq ++
+      allSnaps.takeRight(keepSnapshots)).distinct
+    keptOld.flatMap(sn => snapshotMapping(spark, root, sn))
+      .groupBy(_._1).map { case (v, dirs) => v -> dirs.map(_._2).toSet }
   }
 
   /** Commit a snapshot: write ALL touched partitions' new version
@@ -950,11 +1290,14 @@ object PartitionedManifest {
     val scratch =
       s"$root/.optimize-${java.util.UUID.randomUUID.toString.take(8)}"
     candidates.toSeq.sortBy(_._1).foreach { case (v, dir) =>
-      val df = schema.map(sc => spark.read.schema(sc).parquet(dir))
-        .getOrElse(spark.read.parquet(dir))
-      val bytes = fs.listStatus(new HPath(dir))
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".")).map(_.getLen).sum
+      val df = resolveVersionData(spark, s"$root/$partCol=$v",
+        new HPath(dir).getName, schema)
+      // size-derived file count sums the whole MOR chain's bytes (an
+      // upper bound on the resolved size — safe for sizing)
+      val bytes = morChain(spark, s"$root/$partCol=$v",
+          new HPath(dir).getName)
+        .map(d => fs.getContentSummary(
+          new HPath(s"$root/$partCol=$v/$d")).getLength).sum
       val nf =
         if (clusterFiles > 0) clusterFiles
         else math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -999,17 +1342,10 @@ object PartitionedManifest {
     // BRANCH HEADS (their staged dirs have no live pointer protecting
     // them) and main's CURRENT snapshot — branch commits interleave in
     // the shared generation order, so takeRight(N) alone could slide
-    // past the root pointer's own commit.
-    val taggedSnaps = tags(spark, root).values.toSet
-    val branchHeads = branches(spark, root).values.map(_._1).toSet
-    val allSnaps = snapshots(spark, root)
-    val keptOld = (allSnaps.filter(taggedSnaps) ++
-      allSnaps.filter(branchHeads) ++
-      currentSnapshot(spark, root).toSeq ++
-      allSnaps.takeRight(keepSnapshots)).distinct
-    val protectByPart: Map[String, Set[String]] = keptOld
-      .flatMap(sn => snapshotMapping(spark, root, sn))
-      .groupBy(_._1).map { case (v, dirs) => v -> dirs.map(_._2).toSet }
+    // past the root pointer's own commit. (Tags + branch heads +
+    // current + kept-N: protectedDirsByPartition.)
+    val protectByPart: Map[String, Set[String]] =
+      protectedDirsByPartition(spark, root, keepSnapshots)
     // schema evolution check FIRST — a rejected merge (silent column
     // drop, type change) must fail BEFORE any partition pointer moves,
     // or the table would be torn between adopted dirs and the old
@@ -1025,7 +1361,9 @@ object PartitionedManifest {
     val written: Map[String, String] = parts.map { v =>
       val src = scratch.map(s => new HPath(s"$s/$partCol=$v"))
         .filter(fs.exists)
-      val protect = protectByPart.getOrElse(v, Set.empty)
+      // chain expansion: a protected MOR layer keeps its bases alive
+      val protect = expandMorProtect(spark, s"$root/$partCol=$v",
+        protectByPart.getOrElse(v, Set.empty))
       val dir = src match {
         case Some(p) =>
           ManifestTable.adoptVersion(s"$root/$partCol=$v", p.toString,
@@ -1192,11 +1530,18 @@ object PartitionedManifest {
     val fs = fsOf(spark, root)
     // fragmented partitions with their live version dirs, resolved
     // under the lock so the read-set is a consistent point-in-time view
+    // a merge-on-read live version is ALWAYS a candidate: a delta chain
+    // is deferred merge work, and compaction is its fold-down — the
+    // rewrite below resolves the logical content and publishes a pure
+    // data dir, converging the layout
     def selectReadSet(among: Option[Set[String]]): Map[String, String] =
       partitionValues(spark, root, partCol)
         .filter(v => among.forall(_.contains(v)))
-        .filter(v => smallDataFileCount(spark, s"$root/$partCol=$v",
-          smallFileBytes) > maxFiles)
+        .filter { v =>
+          val pr = s"$root/$partCol=$v"
+          smallDataFileCount(spark, pr, smallFileBytes) > maxFiles ||
+            ManifestTable.currentDataDir(pr).exists(isMorDir(spark, _))
+        }
         .map { v =>
           v -> ManifestTable.currentDataDir(s"$root/$partCol=$v")
             .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
@@ -1225,9 +1570,12 @@ object PartitionedManifest {
             Some(writeClusteredScratch(spark, root, partCol, candidates,
               curSchema, clusterBy, clusterFiles, clusterTargetBytes))
           else {
+            // resolveVersionData: a merge-on-read candidate's rewrite is
+            // its RESOLVED content — the fold-down that converges the
+            // delta chain back to a pure data dir
             val updates = candidates.map { case (v, dir) =>
-              v -> curSchema.map(sc => spark.read.schema(sc).parquet(dir))
-                .getOrElse(spark.read.parquet(dir))
+              v -> resolveVersionData(spark, s"$root/$partCol=$v",
+                new HPath(dir).getName, curSchema)
             }
             Some(writeScratchParts(spark, root, partCol, updates))
           }
@@ -1250,10 +1598,11 @@ object PartitionedManifest {
             if (clean.nonEmpty) {
               // emptyUpdate reads the (validated, still-live) read-set
               // dir — only reached for a partition whose rewrite
-              // produced no scratch subdir, i.e. zero rows
+              // produced no scratch subdir, i.e. zero resolved rows
               lastSnap = Some(adoptPartsLocked(spark, root, partCol,
                 Some(s), clean.keys.toSeq.sorted,
-                v => spark.read.parquet(clean(v)), keepSnapshots))
+                v => resolveVersionData(spark, s"$root/$partCol=$v",
+                  new HPath(clean(v)).getName, None), keepSnapshots))
               done ++= clean.keys
             }
             // retry only the invalidated partitions, against their NEW
@@ -1284,6 +1633,12 @@ object PartitionedManifest {
     partitionValues(spark, root, partCol).map { v =>
       val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
         .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
+      // a merge-on-read dir has no top-level data files: an (empty)
+      // sidecar would make every later skip-scan silently drop the
+      // partition's content — refuse loudly; compact() first
+      require(!isMorDir(spark, dir),
+        s"PartitionedManifest: partition $v is merge-on-read at $dir - " +
+          "analyze after compact() folds the delta chain down")
       if (FileStats.collect(spark, dir, cols) >= 0) 1 else 0
     }.sum
 
@@ -1335,6 +1690,9 @@ object PartitionedManifest {
     parts.foreach { v =>
       val dir = ManifestTable.currentDataDir(s"$root/$partCol=$v")
         .getOrElse(sys.error(s"no MANIFEST under $root/$partCol=$v"))
+      require(!isMorDir(spark, dir),
+        s"PartitionedManifest: partition $v is merge-on-read at $dir - " +
+          "skip-scans read top-level data files only; compact() first")
       val stats = FileStats.statsFor(spark, dir)
       val files = fsOf(spark, root).listStatus(new HPath(dir))
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -1361,8 +1719,10 @@ object PartitionedManifest {
     * hidden file-metadata column (shared by [[changesBetween]] and
     * [[scanWithFileSkipping]]). */
   private def readDirsWithPartCol(spark: SparkSession, paths: Seq[String],
-      partCol: String, partType: String): DataFrame = {
-    val df = spark.read.parquet(paths: _*)
+      partCol: String, partType: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val df = schema.map(sc => spark.read.schema(sc).parquet(paths: _*))
+      .getOrElse(spark.read.parquet(paths: _*))
     df.withColumn(partCol,
       regexp_extract(col("_metadata.file_path"),
         java.util.regex.Pattern.quote(s"/$partCol=") + "([^/]+)/", 1)
@@ -1400,7 +1760,7 @@ object PartitionedManifest {
     require(mapping.nonEmpty, s"empty snapshot $snap")
     // time travel preserves the schema AS OF the snapshot: a read of a
     // pre-evolution commit serves the pre-evolution columns
-    serveThroughPin(spark, root, partCol, partType,
+    serveResolved(spark, root, partCol, partType,
       mapping.map { case (v, d) => v -> s"$root/$partCol=$v/$d" },
       snapshotSchema(spark, root, snap))
   }

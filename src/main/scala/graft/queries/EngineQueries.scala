@@ -1076,6 +1076,210 @@ object EngineQueries {
         AND o_orderkey <= (SELECT FLOOR(MAX(o_orderkey) / 8.0) FROM orders)
       ORDER BY o_orderkey"""), bench = true),
 
+    // MERGE-ON-READ (PartitionedManifest.commitMerge — the Iceberg v2
+    // delete-file / Delta deletion-vector posture on the manifest
+    // format): three small batches (upsert / delete / layered upsert +
+    // insert) land on the BIG partition as delta-only version dirs —
+    // require()d: each commit's new dir is a fraction of the partition's
+    // base bytes (copy-on-write would rewrite the full partition per
+    // batch: write amplification = partition size / batch size, the one
+    // posture that inverts at 100 TB with hot partitions). Readers
+    // resolve base ∪ layers with one delta-sized anti-join; CDC across
+    // the whole MOR history plans ONLY the touched partition's files;
+    // time travel to the pre-merge snapshot still serves the original
+    // content; compaction FOLDS the delta chain back to a pure data dir
+    // (require()d) with identical content. The oracle replays the merge
+    // relationally, including the exceptAll-shaped CDC sections.
+    QuerySpec("w20_merge_on_read", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat, lit, md5, when}
+      import org.apache.hadoop.fs.{Path => HPath}
+      import graft.engine.{ManifestTable, PartitionedManifest}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w20").toString
+      // pad: 128 incompressible chars per row, so the base/delta byte
+      // ratio measures DATA, not parquet footer overhead
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"),
+          concat(
+            md5(concat($"o_orderkey".cast("string"), lit("a"))),
+            md5(concat($"o_orderkey".cast("string"), lit("b"))),
+            md5(concat($"o_orderkey".cast("string"), lit("c"))),
+            md5(concat($"o_orderkey".cast("string"), lit("d")))).as("pad"),
+          ($"o_orderkey" % 2).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, base, "bk")
+      val s1 = PartitionedManifest.commitSnapshot(s, root, "bk",
+        Map.empty, keepSnapshots = 6)
+      val fs = new HPath(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def liveDir() = ManifestTable.currentDataDir(s"$root/bk=0").get
+      def bytesOf(d: String) =
+        fs.getContentSummary(new HPath(d)).getLength
+      def requireDeltaScaled(tag: String, baseBytes: Long): Unit = {
+        val d = liveDir()
+        require(fs.exists(new HPath(d, "_mor.tsv")),
+          s"$tag: a MOR commit must layer a delta dir, not rewrite")
+        require(bytesOf(d) * 3 <= baseBytes,
+          s"$tag: bytes written must scale with the DELTA - " +
+            s"wrote ${bytesOf(d)} against a ${baseBytes}-byte partition")
+      }
+      val baseBytes = bytesOf(liveDir())
+      // batch 1: upsert ~1% of the hot partition (+100 on totalprice)
+      val cur0 = PartitionedManifest.readPartition(s, root, "bk", "0")
+      PartitionedManifest.commitMerge(s, root, "bk", Seq("o_orderkey"),
+        upserts = Map("0" -> cur0.filter($"o_orderkey" % 100 === 2)
+          .withColumn("o_totalprice", $"o_totalprice" + 100.0)),
+        keepSnapshots = 6)
+      requireDeltaScaled("batch1", baseBytes)
+      // batch 2: delete ~1% by key
+      PartitionedManifest.commitMerge(s, root, "bk", Seq("o_orderkey"),
+        deletes = Map("0" -> cur0.filter($"o_orderkey" % 100 === 4)
+          .select($"o_orderkey")),
+        keepSnapshots = 6)
+      requireDeltaScaled("batch2", baseBytes)
+      // batch 3: layered upsert over batch 1's keys (+1000 more) plus
+      // brand-new inserted keys — built from the MOR-resolved current
+      // content, so readPartition mid-chain is exercised too
+      val cur0b = PartitionedManifest.readPartition(s, root, "bk", "0")
+      val s4 = PartitionedManifest.commitMerge(s, root, "bk",
+        Seq("o_orderkey"),
+        upserts = Map("0" ->
+          cur0b.filter($"o_orderkey" % 200 === 2)
+            .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+            .unionByName(cur0b.filter($"o_orderkey" % 500 === 2)
+              .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+                lit(0.0).as("o_totalprice"), $"pad"))),
+        keepSnapshots = 6)
+      requireDeltaScaled("batch3", baseBytes)
+      // CDC across the whole MOR history: metadata-first — only the
+      // touched partition's files are ever planned
+      val ch = PartitionedManifest.changesBetween(s, root, "bk", "int",
+        s1, s4)
+      require(ch.inputFiles.nonEmpty &&
+          ch.inputFiles.forall(_.contains("/bk=0/")),
+        "MOR CDC must plan ONLY the touched partition's files")
+      val cdc = ch.select(
+        when($"_change_type" === "insert", "cdc_ins")
+          .otherwise("cdc_del").as("src"),
+        $"o_orderkey", $"o_totalprice", $"pad", $"bk".cast("long").as("bk"))
+      // time travel: the pre-merge snapshot still serves the original
+      val snap1 = PartitionedManifest.readSnapshot(s, root, "bk", "int",
+          Some(s1))
+        .select(lit("snap1").as("src"), $"o_orderkey", $"o_totalprice",
+          $"pad", $"bk".cast("long").as("bk"))
+      // compaction folds the chain down to a pure data dir
+      val (_, touched) = PartitionedManifest.compact(s, root, "bk",
+        keepSnapshots = 6)
+      require(touched.contains("0"),
+        s"compaction must select the MOR partition: $touched")
+      require(!fs.exists(new HPath(liveDir(), "_mor.tsv")),
+        "compaction must fold the delta chain to a pure data dir")
+      val live = PartitionedManifest.read(s, root, "bk", "int")
+        .select(lit("live").as("src"), $"o_orderkey", $"o_totalprice",
+          $"pad", $"bk".cast("long").as("bk"))
+      live.unionByName(snap1).unionByName(cdc)
+        .orderBy($"src", $"o_orderkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               md5(CAST(o_orderkey AS VARCHAR) || 'a') ||
+               md5(CAST(o_orderkey AS VARCHAR) || 'b') ||
+               md5(CAST(o_orderkey AS VARCHAR) || 'c') ||
+               md5(CAST(o_orderkey AS VARCHAR) || 'd') AS pad,
+               CAST(o_orderkey % 2 AS BIGINT) AS bk
+        FROM orders),
+      merged AS (
+        SELECT o_orderkey,
+               CASE WHEN bk = 0 AND o_orderkey % 200 = 2
+                      THEN o_totalprice + 1100.0
+                    WHEN bk = 0 AND o_orderkey % 100 = 2
+                      THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               pad, bk
+        FROM base WHERE NOT (bk = 0 AND o_orderkey % 100 = 4)
+        UNION ALL
+        SELECT o_orderkey + 10000000, 0.0, pad, 0
+        FROM base WHERE bk = 0 AND o_orderkey % 500 = 2),
+      ins AS (SELECT * FROM merged WHERE bk = 0
+              EXCEPT ALL SELECT * FROM base WHERE bk = 0),
+      del AS (SELECT * FROM base WHERE bk = 0
+              EXCEPT ALL SELECT * FROM merged WHERE bk = 0)
+      SELECT src, o_orderkey, o_totalprice, pad, bk FROM (
+        SELECT 'live' AS src, * FROM merged
+        UNION ALL SELECT 'snap1' AS src, * FROM base
+        UNION ALL SELECT 'cdc_ins' AS src, * FROM ins
+        UNION ALL SELECT 'cdc_del' AS src, * FROM del)
+      ORDER BY src, o_orderkey"""), bench = true),
+
+    // ZONE MAPS ON THE DEFAULT READ PATH (ZoneMapRule + ZoneMapFileIndex):
+    // w13 proved file skipping through the explicit scanWithFileSkipping
+    // API; here a PLAIN `spark.table(t).where(range)` — no special call —
+    // prunes files, because manifest-synced relations carry the
+    // graft.zonemaps property and the injected optimizer rule wraps
+    // their file index. require()d at the PLAN level via the scan's
+    // selected file listing: before ANALYZE the same query keeps every
+    // file (the unanalyzed-never-skips contract), after ANALYZE it keeps
+    // at most half, on BOTH the catalog-table path and the pinned read()
+    // path. The row-level predicate re-applies, so the oracle is the
+    // plain relational filter.
+    QuerySpec("w21_zonemap_default_path", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w21").toString
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"),
+          ($"o_custkey" % 2).cast("int").as("bk"))
+      Seq(0, 1).foreach { v =>
+        PartitionedManifest.publishPartition(s, root, "bk", v.toString,
+          base.filter($"bk" === v)
+            .repartitionByRange(4, $"o_orderkey")
+            .sortWithinPartitions($"o_orderkey"))
+      }
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty)
+      PartitionedManifest.syncCatalogTable(s, root, "w21_t", "bk", "int")
+      val hi = math.floor(base.agg(org.apache.spark.sql.functions
+        .max($"o_orderkey")).head.getLong(0) / 8.0)
+      def plannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.sparkPlan.collect {
+          case f: FileSourceScanExec => f.selectedPartitions
+            .totalNumberOfFiles
+        }.sum
+      def q() = s.table("w21_t")
+        .where($"o_orderkey" >= 1 && $"o_orderkey" <= hi)
+      // unanalyzed: the same plan keeps EVERY file (never skip on doubt)
+      val before = plannedFiles(q())
+      require(before >= 8,
+        s"unanalyzed table must plan all files: planned $before")
+      PartitionedManifest.analyzeFileStats(s, root, "bk",
+        Seq("o_orderkey"))
+      val after = plannedFiles(q())
+      require(after * 2 <= before,
+        s"default-path zone maps must skip at least half the files: " +
+          s"$after of $before planned")
+      // the pinned fresh-engine read() path prunes identically
+      val pinned = PartitionedManifest.read(s, root, "bk", "int")
+        .where($"o_orderkey" >= 1 && $"o_orderkey" <= hi)
+      val pinnedFiles = plannedFiles(pinned)
+      require(pinnedFiles == after,
+        s"pinned read() must prune like the catalog table: " +
+          s"$pinnedFiles vs $after")
+      q().select($"o_orderkey", $"o_totalprice",
+          $"bk".cast("long").as("bk"))
+        .orderBy($"o_orderkey")
+    }, oracle = Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(o_custkey % 2 AS BIGINT) AS bk
+      FROM orders
+      WHERE o_orderkey >= 1
+        AND o_orderkey <= (SELECT FLOOR(MAX(o_orderkey) / 8.0) FROM orders)
+      ORDER BY o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

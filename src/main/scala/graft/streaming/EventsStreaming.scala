@@ -398,8 +398,11 @@ object EventsStreaming {
       val d = delta.filter(col(partCol).cast("string") === v).drop(partCol)
       val merged = ManifestTable
         .currentDataDir(s"$root/$partCol=$v") match {
-          case Some(dir) =>
-            val cur = spark.read.parquet(dir)
+          case Some(_) =>
+            // MOR-resolving current read (a raw parquet read of a
+            // merge-on-read live dir would see only the delta files)
+            val cur = PartitionedManifest.readPartition(spark, root,
+              partCol, v)
             cur.join(d.select(col(keyCol)), Seq(keyCol), "left_anti")
               .unionByName(d)
           case None => d // brand-new partition

@@ -66,6 +66,15 @@ class TableSink(ctx: SQLContext, parameters: Map[String, String])
   }
   private val keepSnapshots =
     parameters.getOrElse("keepSnapshots", "2").toInt
+  // merge-on-read mode: each micro-batch lands as ONE commitMerge —
+  // bytes written per batch scale with the BATCH, not the touched
+  // partitions (the copy-on-write path rewrites every touched
+  // partition's full content per batch: write amplification =
+  // partition size / batch size on a hot partition). Batches that
+  // CREATE a partition fall back to the full-rewrite commit for that
+  // batch (MOR can only layer on existing partitions).
+  private val mergeOnRead =
+    parameters.getOrElse("mergeOnRead", "false").toBoolean
   private val batchRef = s"_refs_stream/$sinkId"
 
   private def lastBatch(): Long = {
@@ -94,21 +103,37 @@ class TableSink(ctx: SQLContext, parameters: Map[String, String])
     if (!delta.isEmpty) {
       val touched = delta.select(col(partCol).cast("string")).distinct()
         .collect().map(_.getString(0)).sorted
-      val updates = touched.map { v =>
-        val d = delta.filter(col(partCol).cast("string") === v)
-          .drop(partCol)
-        val merged =
-          ManifestTable.currentDataDir(s"$root/$partCol=$v") match {
-            case Some(dir) =>
-              val cur = spark.read.parquet(dir)
-              cur.join(d.select(col(keyCol)), Seq(keyCol), "left_anti")
-                .unionByName(d)
-            case None => d // brand-new partition
-          }
-        v -> merged
-      }.toMap
-      PartitionedManifest.commitSnapshot(spark, root, partCol, updates,
-        keepSnapshots)
+      val allExist = touched.forall(v =>
+        ManifestTable.currentDataDir(s"$root/$partCol=$v").isDefined)
+      if (mergeOnRead && allExist) {
+        // ONE atomic MOR commit: per touched partition, only the
+        // batch's own rows hit disk (upsert-by-key — the same merged
+        // content the rewrite path produces, deferred to read/compact)
+        val upserts = touched.map { v =>
+          v -> delta.filter(col(partCol).cast("string") === v)
+            .drop(partCol)
+        }.toMap
+        PartitionedManifest.commitMerge(spark, root, partCol,
+          Seq(keyCol), upserts, keepSnapshots = keepSnapshots)
+      } else {
+        val updates = touched.map { v =>
+          val d = delta.filter(col(partCol).cast("string") === v)
+            .drop(partCol)
+          val merged =
+            ManifestTable.currentDataDir(s"$root/$partCol=$v") match {
+              case Some(_) =>
+                // MOR-resolving read of the partition's current content
+                val cur = PartitionedManifest.readPartition(spark, root,
+                  partCol, v)
+                cur.join(d.select(col(keyCol)), Seq(keyCol), "left_anti")
+                  .unionByName(d)
+              case None => d // brand-new partition
+            }
+          v -> merged
+        }.toMap
+        PartitionedManifest.commitSnapshot(spark, root, partCol, updates,
+          keepSnapshots)
+      }
     }
     // advance the batch ref AFTER the commit: a crash in between makes
     // the replay re-run the (idempotent, key-merged) commit; a crash

@@ -1803,4 +1803,71 @@ class EngineSpec extends AnyFunSuite {
       words.filter(w => w >= "w0000" && w <= "w0050"))
   }
 
+  test("merge-on-read: delta chains survive keep-2 trims (base dirs are " +
+      "chain-protected from GC), readers resolve layered upserts and " +
+      "deletes, and compaction folds the chain to a pure dir") {
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("graft-mor").toString
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val base = (0 until 100).map(i => (i.toLong, i * 1.0, i % 2))
+      .toDF("k", "v", "bk")
+    PartitionedManifest.seed(spark, root, base, "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    val v1dir = graft.engine.ManifestTable.currentVersion(s"$root/bk=0").get
+    // four MOR commits at the MINIMUM horizon (keep-2): by the fourth,
+    // the snapshot that named the pure base dir has been trimmed — the
+    // base must survive anyway, because every layer's protection set
+    // expands through the _mor.tsv chain
+    def upsert(k: Long, v: Double) =
+      PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+        upserts = Map("0" -> Seq((k, v)).toDF("k", "v")))
+    upsert(0L, 100.0)
+    upsert(2L, 200.0)
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+      deletes = Map("0" -> Seq(4L).toDF("k")))
+    upsert(0L, 300.0) // re-layer the same key: newest layer must win
+    assert(fs.exists(new HPath(s"$root/bk=0/$v1dir")),
+      "the MOR chain's base dir must survive keep-2 snapshot trims")
+    def content() = PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"bk" === 0).select($"k", $"v").as[(Long, Double)]
+      .collect().toMap
+    val got = content()
+    assert(got(0L) == 300.0 && got(2L) == 200.0 && !got.contains(4L) &&
+      got(6L) == 6.0 && got.size == 49, s"resolved content wrong: " +
+      s"size=${got.size} 0->${got.get(0L)} 2->${got.get(2L)}")
+    // contracts fail loudly
+    intercept[IllegalArgumentException] { // unknown partition
+      PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+        upserts = Map("9" -> Seq((1L, 1.0)).toDF("k", "v")))
+    }
+    intercept[IllegalArgumentException] { // overlapping upsert/delete keys
+      PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+        upserts = Map("0" -> Seq((8L, 8.5)).toDF("k", "v")),
+        deletes = Map("0" -> Seq(8L).toDF("k")))
+    }
+    intercept[IllegalArgumentException] { // delete frame must be key-only
+      PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+        deletes = Map("0" -> Seq((8L, 8.5)).toDF("k", "v")))
+    }
+    intercept[IllegalArgumentException] { // catalog cannot serve MOR
+      PartitionedManifest.syncCatalogTable(spark, root, "mor_t", "bk",
+        "int")
+    }
+    intercept[IllegalArgumentException] { // zone maps need a pure dir
+      PartitionedManifest.analyzeFileStats(spark, root, "bk", Seq("k"))
+    }
+    // compaction folds down; content identical; catalog serving works
+    val (_, touched) = PartitionedManifest.compact(spark, root, "bk")
+    assert(touched.contains("0"))
+    assert(!fs.exists(new HPath(
+      s"$root/bk=0/${graft.engine.ManifestTable.currentVersion(
+        s"$root/bk=0").get}/_mor.tsv")))
+    assert(content() == got, "fold-down must preserve content")
+    PartitionedManifest.syncCatalogTable(spark, root, "mor_t", "bk", "int")
+    assert(spark.table("mor_t").count() == 99)
+  }
+
 }

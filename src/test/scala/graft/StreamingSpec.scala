@@ -1087,6 +1087,53 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"payload" === "Z").count() == 1)
   }
 
+  test("graft-table sink in mergeOnRead mode: partition-creating " +
+      "batches fall back to full commits, steady-state batches land as " +
+      "delta-only MOR layers, and readers + CDC resolve them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.hadoop.fs.{Path => HPath}
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    val root = java.nio.file.Files.createTempDirectory("graft-tsink-mor")
+      .toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tsink-mor-ck").toString
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def liveIsMor(v: Int) = fs.exists(new HPath(
+      ManifestTable.currentDataDir(s"$root/bk=$v").get, "_mor.tsv"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Upsert]
+    val q = mem.toDF().writeStream.format("graft-table")
+      .option("root", root).option("partCol", "bk").option("keyCol", "k")
+      .option("mergeOnRead", "true")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      // batch 0 creates both partitions: full-commit fallback
+      mem.addData(Upsert(1, "a", 0), Upsert(2, "b", 0), Upsert(3, "c", 1))
+      q.processAllAvailable()
+      assert(!liveIsMor(0) && !liveIsMor(1),
+        "partition-creating batch must land as a full commit")
+      val s1 = PartitionedManifest.currentSnapshot(spark, root).get
+      // batch 1 touches existing partitions only: ONE MOR commit
+      mem.addData(Upsert(2, "B", 0), Upsert(4, "d", 1))
+      q.processAllAvailable()
+      assert(liveIsMor(0) && liveIsMor(1),
+        "steady-state batch must layer delta-only MOR dirs")
+      val got = PartitionedManifest.read(spark, root, "bk", "int")
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, "a", 0), (2L, "B", 0), (3L, "c", 1),
+        (4L, "d", 1)), got)
+      val s2 = PartitionedManifest.currentSnapshot(spark, root).get
+      val ch = PartitionedManifest.changesBetween(spark, root, "bk",
+        "int", s1, s2).as[(Long, String, Int, String)]
+        .collect().sortBy(r => (r._4, r._1)).toSeq
+      assert(ch == Seq((2L, "b", 0, "delete"), (2L, "B", 0, "insert"),
+        (4L, "d", 1, "insert")), ch)
+    } finally q.stop()
+  }
+
   test("graft-cdc streaming source: the first batch bootstraps the " +
       "table as inserts, each snapshot commit arrives as its row-level " +
       "diff, and a checkpoint restart replays exactly the unprocessed " +
