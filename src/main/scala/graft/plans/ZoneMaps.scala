@@ -70,7 +70,7 @@ object ZoneMaps {
   private val statsCache = new ConcurrentHashMap[String,
     Map[String, Map[String, FileStats.ColStat]]]()
 
-  private[plans] def statsFor(spark: SparkSession, versionDir: String)
+  private[graft] def statsFor(spark: SparkSession, versionDir: String)
       : Option[Map[String, Map[String, FileStats.ColStat]]] = {
     val hit = statsCache.get(versionDir)
     if (hit != null) Some(hit)
@@ -114,11 +114,33 @@ object ZoneMaps {
     case _ => None
   }
 
+  private def isPlainNumeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType => true
+    case _ => false
+  }
+
+  /** The column under a comparison side: a bare attribute, or an
+    * attribute under a NUMERIC-to-numeric cast — safe because both the
+    * bound and the stats are compared through Double, and
+    * double-rounding is monotone (x >= y ⇒ toDouble(x) >= toDouble(y)),
+    * so a rounded comparison can only KEEP more, never wrongly skip. */
+  private def attrOf(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: Cast => c.child match {
+      case a: AttributeReference
+          if isPlainNumeric(a.dataType) && isPlainNumeric(c.dataType) =>
+        Some(a)
+      case _ => None
+    }
+    case _ => None
+  }
+
   /** Extract per-column bounds from conjunctive pushed filters. Only
     * >, >=, <, <=, = against a literal contribute; everything else is
     * ignored (kept conservative). Strict bounds are treated as
     * inclusive — never skips too much. */
-  private[plans] def extractBounds(filters: Seq[Expression])
+  private[graft] def extractBounds(filters: Seq[Expression])
       : Map[String, Bounds] = {
     var out = Map.empty[String, Bounds]
     def upd(name: String)(f: Bounds => Bounds): Unit =
@@ -132,22 +154,22 @@ object ZoneMaps {
       strLit(v, dt).foreach(s => upd(a.name)(_.withShi(s)))
     }
     filters.foreach {
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) =>
-        lo(a, v, t)
-      case GreaterThan(a: AttributeReference, Literal(v, t)) => lo(a, v, t)
-      case LessThanOrEqual(a: AttributeReference, Literal(v, t)) =>
-        hi(a, v, t)
-      case LessThan(a: AttributeReference, Literal(v, t)) => hi(a, v, t)
-      case EqualTo(a: AttributeReference, Literal(v, t)) =>
-        lo(a, v, t); hi(a, v, t)
-      case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) =>
-        hi(a, v, t)
-      case GreaterThan(Literal(v, t), a: AttributeReference) => hi(a, v, t)
-      case LessThanOrEqual(Literal(v, t), a: AttributeReference) =>
-        lo(a, v, t)
-      case LessThan(Literal(v, t), a: AttributeReference) => lo(a, v, t)
-      case EqualTo(Literal(v, t), a: AttributeReference) =>
-        lo(a, v, t); hi(a, v, t)
+      case GreaterThanOrEqual(l, Literal(v, t)) =>
+        attrOf(l).foreach(lo(_, v, t))
+      case GreaterThan(l, Literal(v, t)) => attrOf(l).foreach(lo(_, v, t))
+      case LessThanOrEqual(l, Literal(v, t)) =>
+        attrOf(l).foreach(hi(_, v, t))
+      case LessThan(l, Literal(v, t)) => attrOf(l).foreach(hi(_, v, t))
+      case EqualTo(l, Literal(v, t)) =>
+        attrOf(l).foreach { a => lo(a, v, t); hi(a, v, t) }
+      case GreaterThanOrEqual(Literal(v, t), r) =>
+        attrOf(r).foreach(hi(_, v, t))
+      case GreaterThan(Literal(v, t), r) => attrOf(r).foreach(hi(_, v, t))
+      case LessThanOrEqual(Literal(v, t), r) =>
+        attrOf(r).foreach(lo(_, v, t))
+      case LessThan(Literal(v, t), r) => attrOf(r).foreach(lo(_, v, t))
+      case EqualTo(Literal(v, t), r) =>
+        attrOf(r).foreach { a => lo(a, v, t); hi(a, v, t) }
       case _ => ()
     }
     out
@@ -155,7 +177,7 @@ object ZoneMaps {
 
   /** Can any row of a file with stats `cs` satisfy `b`? Null literals
     * never reach here (catalyst folds `col > null` away). */
-  private[plans] def mayMatch(cs: FileStats.ColStat, b: Bounds): Boolean =
+  private[graft] def mayMatch(cs: FileStats.ColStat, b: Bounds): Boolean =
     (cs.min, cs.max) match {
       case (None, None) =>
         // all-null file: a range bound is null-rejecting — skippable

@@ -1242,15 +1242,17 @@ object EngineQueries {
       }
       PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty)
       PartitionedManifest.syncCatalogTable(s, root, "w21_t", "bk", "int")
+      // long literal bounds: a double literal would CAST the column side
+      // and the (deliberately narrow) bound extraction keeps all files
       val hi = math.floor(base.agg(org.apache.spark.sql.functions
-        .max($"o_orderkey")).head.getLong(0) / 8.0)
+        .max($"o_orderkey")).head.getLong(0) / 8.0).toLong
       def plannedFiles(df: org.apache.spark.sql.DataFrame): Long =
         df.queryExecution.sparkPlan.collect {
           case f: FileSourceScanExec => f.selectedPartitions
             .totalNumberOfFiles
         }.sum
       def q() = s.table("w21_t")
-        .where($"o_orderkey" >= 1 && $"o_orderkey" <= hi)
+        .where($"o_orderkey" >= 1L && $"o_orderkey" <= hi)
       // unanalyzed: the same plan keeps EVERY file (never skip on doubt)
       val before = plannedFiles(q())
       require(before >= 8,
@@ -1263,7 +1265,7 @@ object EngineQueries {
           s"$after of $before planned")
       // the pinned fresh-engine read() path prunes identically
       val pinned = PartitionedManifest.read(s, root, "bk", "int")
-        .where($"o_orderkey" >= 1 && $"o_orderkey" <= hi)
+        .where($"o_orderkey" >= 1L && $"o_orderkey" <= hi)
       val pinnedFiles = plannedFiles(pinned)
       require(pinnedFiles == after,
         s"pinned read() must prune like the catalog table: " +
