@@ -828,11 +828,47 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
     ch match {
       case Some(c) if !Jdbc.isSparkSideMaintenance(stm) =>
         Jdbc.executeAutoCommit(c, stm)
+      case _ if conf.pgDialect => pgMaintenance(stm)
       case _ => spark.sql(stm)
     }
 
+  /** PG-dialect maintenance on a Spark target: `ANALYZE t` / `VACUUM t`
+    * collect statistics server-side in PG — the closest Spark-side
+    * effect on a synthesized relation is a cache refresh, and like PG
+    * the statement never changes results. A target the fixture does not
+    * serve (e.g. pg_amop) is a recorded no-op, not a failure — the
+    * reference's ANALYZE succeeds regardless of table size or use. */
+  private def pgMaintenance(stm: String): Unit = {
+    val s = SqlSplitter.stripComments(stm).trim.stripSuffix(";")
+    val m = "(?is)^(analyze|vacuum)\\b(?:\\s+(?:full|freeze|verbose|" +
+      "analyze))*\\s*([A-Za-z_][\\w.]*)?\\s*$"
+    m.r.findFirstMatchIn(s) match {
+      case Some(g) =>
+        Option(g.group(2)) match {
+          case Some(t) =>
+            try spark.catalog.refreshTable(t)
+            catch { case scala.util.control.NonFatal(_) =>
+              notices += Notice("INFO",
+                s"maintenance no-op: relation $t not served by this " +
+                  "target")
+            }
+          case None => () // bare ANALYZE/VACUUM: whole-database no-op
+        }
+      case None => spark.sql(PgDialectRewriter.rewrite(s))
+    }
+  }
+
   private def collectGen(sql: String): Seq[GenRow] = {
-    val df: DataFrame = spark.sql(sql)
+    // verbatim-PG-dialect packets: generator SQL is reference text too
+    // (generate_series grids, PG casts) — rewrite at execution exactly
+    // like step statements (E7 fan-out composes with the dialect layer)
+    val q =
+      if (!conf.pgDialect) sql
+      else {
+        graft.sources.PgCatalog.ensureFunctionsRegistered(spark)
+        PgDialectRewriter.rewrite(sql)
+      }
+    val df: DataFrame = spark.sql(q)
     df.collect().toSeq.map { r =>
       val vals = r.toSeq.map(v => Option(v).map(_.toString))
       GenRow(vals.headOption.flatten,

@@ -298,6 +298,92 @@ object PgDialectRewriter {
       b.result()
     }
 
+    // row_number() OVER () — PG numbers rows in their incoming order
+    // (the reference grids sort a subquery, then number); Spark refuses
+    // an unordered ranking window. ORDER BY monotonically_increasing_id
+    // reproduces the incoming order: ids are (partition, row-index)
+    // prefixed, and a sorted child's range partitions are themselves in
+    // key order — so numbering follows the subquery's ORDER BY, exactly
+    // the PG behavior the packet relies on
+    // (reference packets/test_common/02_gen_obj.sql:12-25).
+    ts = {
+      val b = Vector.newBuilder[Tok]
+      var k = 0
+      while (k < ts.length) {
+        if (isKw(ts(k), "over") && k + 2 < ts.length &&
+          ts(k + 1) == Punct("(") && ts(k + 2) == Punct(")")) {
+          b += ts(k) += Punct("(") += Ident("ORDER") += Ident("BY") +=
+            Ident("monotonically_increasing_id") += Punct("(") +=
+            Punct(")") += Punct(")")
+          k += 3
+        } else { b += ts(k); k += 1 }
+      }
+      b.result()
+    }
+
+    // PG int/int division TRUNCATES; Spark '/' is always fractional.
+    // `a / b` becomes `a div b` only when BOTH operands are PROVABLY
+    // integer-typed: integer literals, count(...) calls, and +,-,*
+    // compositions of those in parentheses — the alert_bloat tuple-
+    // header estimator's `(7 + count(*)) / 8`
+    // (reference packets/alert_bloat/02_step.sql:14). Anything with a
+    // column reference or another function keeps '/': PG's reltuples &
+    // friends are float4, where '/' IS fractional — inferring more
+    // would risk changing those.
+    ts = {
+      def intish(span: Vector[Tok]): Boolean =
+        span.nonEmpty && span.exists(t => !t.isInstanceOf[Punct]) &&
+          span.forall {
+            case Num(n) => !n.contains('.') && !n.toLowerCase.contains("e")
+            case t if isKw(t, "count") => true
+            case Punct("(") | Punct(")") | Punct("+") | Punct("-") |
+                Punct("*") => true
+            case _ => false
+          }
+      def leftStart(v: Vector[Tok], e: Int): Option[Int] = v(e) match {
+        case Num(_) => Some(e)
+        case Punct(")") =>
+          var depth = 0; var j = e
+          while (j >= 0) {
+            v(j) match {
+              case Punct(")") | Punct("]") => depth += 1
+              case Punct("(") | Punct("[") =>
+                depth -= 1
+                if (depth == 0)
+                  return Some(
+                    if (j > 0 && (v(j - 1) match {
+                      case Ident(_) => true; case _ => false
+                    })) j - 1 else j)
+              case _ =>
+            }
+            j -= 1
+          }
+          None
+        case _ => None
+      }
+      def rightEnd(v: Vector[Tok], s: Int): Option[Int] = v(s) match {
+        case Num(_) => Some(s)
+        case Punct("(") => Some(matchForward(v, s))
+        case Ident(_) if s + 1 < v.length && v(s + 1) == Punct("(") =>
+          Some(matchForward(v, s + 1))
+        case _ => None
+      }
+      var v = ts
+      var k = 1
+      while (k < v.length - 1) {
+        if (v(k) == Punct("/")) {
+          val repl = for {
+            ls <- leftStart(v, k - 1)
+            re <- rightEnd(v, k + 1)
+            if intish(v.slice(ls, k)) && intish(v.slice(k + 1, re + 1))
+          } yield ()
+          if (repl.isDefined) v = v.updated(k, Ident("div"))
+        }
+        k += 1
+      }
+      v
+    }
+
     // (SELECT f(...)) scalar wrap → f(...)
     var changed = true
     while (changed) {
@@ -373,14 +459,33 @@ object PgDialectRewriter {
                   changed = true
               }
             case (f, -1) if f > 0 =>
-              // substring(x FROM a): start clamps to 1 in PG
               val x = ts.slice(k + 2, f)
               val a = ts.slice(f + 1, close)
-              val repl = Vector(Ident("substring"), Punct("(")) ++ x ++
-                Vector(Punct(","), Ident("greatest"), Punct("(")) ++ a ++
-                Vector(Punct(","), Num("1"), Punct(")"), Punct(")"))
-              ts = ts.patch(k, repl, close - k + 1)
-              changed = true
+              a match {
+                case Vector(p: Str) =>
+                  // substring(x FROM 'regex'): PG's POSIX-regex form —
+                  // the FIRST capture group when the pattern has one,
+                  // else the whole match; NULL on no match
+                  // (alert_bloat/02_step.sql:63
+                  // `substring(... from 'fillfactor=([0-9]+)')`)
+                  val pat = strValue(p)
+                  val grp =
+                    if (pat.replace("\\(", "").contains("(")) "1" else "0"
+                  val repl = Vector(Ident("nullif"), Punct("("),
+                    Ident("regexp_extract"), Punct("(")) ++ x ++
+                    Vector(Punct(","), p, Punct(","), Num(grp),
+                      Punct(")"), Punct(","), Str("''"), Punct(")"))
+                  ts = ts.patch(k, repl, close - k + 1)
+                  changed = true
+                case _ =>
+                  // substring(x FROM a): start clamps to 1 in PG
+                  val repl = Vector(Ident("substring"), Punct("(")) ++ x ++
+                    Vector(Punct(","), Ident("greatest"), Punct("(")) ++
+                    a ++
+                    Vector(Punct(","), Num("1"), Punct(")"), Punct(")"))
+                  ts = ts.patch(k, repl, close - k + 1)
+                  changed = true
+              }
             case _ => // plain substring(s, a, b): leave untouched
           }
         }

@@ -43,8 +43,23 @@ object PlPgSqlDo {
             stm.take(120)))
       m.group(1).trim
     }
-    // two supported statements: IF EXISTS(...) THEN <raise>; END IF;
-    // and a bare <raise>;
+    // comment-only body (test_common/05_step.sql: the raise is
+    // commented out) — a legitimate no-op block
+    if (body.isEmpty) return
+    // PERFORM-only bodies (test_common/01_step.sql `PERFORM 1, 2, 3;`,
+    // 06_step.sql `perform pg_sleep(1);`): each PERFORM evaluates its
+    // expression list as a SELECT and discards the result — PG
+    // semantics, including side effects (pg_sleep really sleeps)
+    if ("(?is)^(?:perform\\b[^;]*;\\s*)*perform\\b[^;]*;?\\s*$".r
+        .matches(body)) {
+      body.split(";").map(_.trim).filter(_.nonEmpty).foreach { st =>
+        val exprs = st.replaceFirst("(?is)^perform\\b", "").trim
+        spark.sql(PgDialectRewriter.rewrite(s"SELECT $exprs")).collect()
+      }
+      return
+    }
+    // two further supported statements: IF EXISTS(...) THEN <raise>;
+    // END IF; and a bare <raise>;
     val ifRx = "(?is)^if\\s+exists\\s*\\(".r
     ifRx.findFirstMatchIn(body) match {
       case Some(m) =>

@@ -1004,6 +1004,15 @@ object CatalogQueries {
       (s, _) => verbatimStep(s, "alert_bloat", "01_step.sql")
         .orderBy(org.apache.spark.sql.functions.col("index_name")),
       oracle = Some(PgCatalog.withCatalog(alertBloatVerbatim))),
+    // the LAST re-authored admin statement now verbatim: the TABLE-bloat
+    // estimator's `(7 + count(*)) / 8` is PG integer division — the
+    // rewriter's provably-integer rule emits `div`, closing the one gap
+    // that kept 02_step off the byte-identical path. Oracle: the c10
+    // DuckDB twin (same estimator, integer division spelled as
+    // CAST(floor(x/8.0))).
+    QuerySpec("c46_verbatim_bloat_tables",
+      (s, _) => verbatimStep(s, "alert_bloat", "02_step.sql"),
+      oracle = Some(PgCatalog.withCatalog(alertBloatTables))),
     // the blocked↔blocking lock pairs packet, byte-identical: exercises
     // IS NOT DISTINCT FROM (nine NULL-heavy columns), the numeric
     // substring(q FROM 0 FOR 64) form (PG yields 63 chars from the

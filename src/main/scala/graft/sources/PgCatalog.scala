@@ -528,6 +528,10 @@ object PgCatalog {
         // data on a file target) — array_to_string over it is identity
         spark.udf.register("array_to_string",
           (s: String, sep: String) => s)
+        // pg_sleep really sleeps (test_common/06_step.sql relies on the
+        // side effect); returns '' like PG's void renders
+        spark.udf.register("pg_sleep",
+          (sec: Double) => { Thread.sleep((sec * 1000).toLong); "" })
         // pg_get_indexdef: 1-arg = whole def; 3-arg = the indexed
         // column's name at (index oid, attnum) — arity dispatch through
         // the registry (spark.udf.register cannot overload), built as a

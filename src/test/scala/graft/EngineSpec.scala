@@ -1229,6 +1229,48 @@ class EngineSpec extends AnyFunSuite {
       "step-09 check must surface the indexless table")
   }
 
+  test("the GENERATOR-BEARING reference packet test_common runs " +
+      "VERBATIM from /root/reference via conf.pgDialect: E7 fan-out + " +
+      "GEN_*_FLD substitution + maint pre-commands + the three DO " +
+      "shapes (PERFORM list, comment-only, pg_sleep) compose with the " +
+      "dialect rewriter, and tracker dedup makes the re-run a no-op") {
+    import graft.engine.{ActionTracker, PacketRunner, RunnerConf}
+    graft.sources.PgCatalog.ensureFunctionsRegistered(spark)
+    val state = Files.createTempDirectory("graft-vgen-state").toString
+    val conf = RunnerConf(stateDir = state, pgDialect = true)
+    val res = new PacketRunner(spark, conf)
+      .run("/root/reference/packets/test_common")
+    assert(res.resultCode("spark") == "success",
+      res.notices.mkString("; "))
+    assert(res.packetStatus("spark") == "done")
+    val done = res.stepResults("spark")
+    // the reference grid: generate_series(0,1010,10) rows join
+    // series(10,1010,10) on row_number → 101 combos for 02_step;
+    // 03_gen_nsp yields 3 rows; 04 = 3 nsp x 3 obj
+    assert(done("02_step.sql") == StepOutcome.Done(101), done.toString)
+    assert(done("03_step.sql") == StepOutcome.Done(3))
+    assert(done("04_step.sql") == StepOutcome.Done(9))
+    // GEN substitution rendered into the resultset (last combo wins)
+    val rs = res.resultData("spark")("04_step.sql").head
+    assert(rs.rows.head.head.toString
+      .matches("nsp_[a-f]\\.(tbl_[abc]|\\d+)"), rs.rows.toString)
+    // maint pre-commands ran: pg_am is served (refresh succeeds), the
+    // unserved pg_amop/pg_cast are recorded no-ops, never failures
+    assert(res.notices.exists(n =>
+      n.message.contains("maintenance no-op: relation pg_amop")),
+      res.notices.filter(_.severity == "INFO").take(20).mkString("; "))
+    val tracker = new ActionTracker(spark, state)
+    val n1 = tracker.actions.count()
+    assert(n1 == 1L + 101 + 3 + 9 + 1 + 1, s"actions: $n1")
+    // tracker dedup observed on the verbatim path: zero new actions
+    val res2 = new PacketRunner(spark, conf)
+      .run("/root/reference/packets/test_common")
+    assert(res2.resultCode("spark") == "success")
+    assert(res2.stepResults("spark")("02_step.sql") == StepOutcome.Done(0))
+    assert(tracker.actions.count() == n1,
+      "verbatim re-run must execute zero new actions")
+  }
+
   test("alert_check_autovacuum's PL/pgSQL DO block runs VERBATIM: the " +
       "condition-gated raise fires with PG's formatted message under " +
       "exact @> containment, and test_raise's unconditional raise too") {
