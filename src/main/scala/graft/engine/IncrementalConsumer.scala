@@ -46,15 +46,33 @@ object IncrementalConsumer {
   def cursor(spark: SparkSession, cursorDir: String): Option[String] =
     ManifestTable.currentVersion(cursorDir)
 
-  /** BOOTSTRAP: process the table's full current snapshot (every row as
+  /** The snapshot a consumer targets: main's current snapshot, or —
+    * BRANCH-AWARE consumption (the audit half of write-audit-publish:
+    * quality gates tail the staged commits BEFORE fastForward makes
+    * them live) — the named branch's head. Branch snapshots live in
+    * the shared generation-ordered history, so cursors and diffs work
+    * identically; after a fastForward, main's current snapshot IS the
+    * branch head the consumer already processed — the next call sees
+    * from == to and emits nothing (EngineSpec pins the no-re-emission). */
+  private def headOf(spark: SparkSession, root: String,
+      ref: Option[String]): String = ref match {
+    case None => PartitionedManifest.currentSnapshot(spark, root)
+      .getOrElse(sys.error(
+        s"IncrementalConsumer: no snapshot committed under $root"))
+    case Some(r) => PartitionedManifest.branchHead(spark, root, r)
+      .getOrElse(sys.error(s"IncrementalConsumer: no branch '$r' " +
+        s"under $root"))
+  }
+
+  /** BOOTSTRAP: process the table's full target snapshot (every row as
     * an 'insert'), then set the cursor to it. For a brand-new consumer,
-    * or to recover one that lagged past the horizon. Returns the
-    * snapshot the cursor now names. */
+    * or to recover one that lagged past the horizon. `ref` targets a
+    * branch head instead of main. Returns the snapshot the cursor now
+    * names. */
   def bootstrap(spark: SparkSession, root: String, partCol: String,
-      partType: String, cursorDir: String)(
+      partType: String, cursorDir: String, ref: Option[String] = None)(
       process: (DataFrame, String) => Unit): String = {
-    val snap = PartitionedManifest.currentSnapshot(spark, root).getOrElse(
-      sys.error(s"IncrementalConsumer: no snapshot committed under $root"))
+    val snap = headOf(spark, root, ref)
     process(PartitionedManifest.readSnapshot(spark, root, partCol,
       partType, Some(snap)), snap)
     advance(spark, cursorDir, snap)
@@ -62,18 +80,18 @@ object IncrementalConsumer {
   }
 
   /** One consumption step: process the diff between the cursor and the
-    * current snapshot, advance the cursor after `process` returns.
-    * None when the consumer is already caught up (two pointer reads,
-    * no Spark job). Fails loudly if the cursor was never bootstrapped
-    * or has expired past the table's keep-N horizon. */
+    * target head (main's current snapshot, or `ref`'s branch head),
+    * advance the cursor after `process` returns. None when the
+    * consumer is already caught up (two pointer reads, no Spark job).
+    * Fails loudly if the cursor was never bootstrapped or has expired
+    * past the table's keep-N horizon. */
   def consumeOnce(spark: SparkSession, root: String, partCol: String,
-      partType: String, cursorDir: String)(
+      partType: String, cursorDir: String, ref: Option[String] = None)(
       process: (DataFrame, String, String) => Unit)
       : Option[(String, String)] = {
     val from = cursor(spark, cursorDir).getOrElse(sys.error(
       s"IncrementalConsumer: no cursor under $cursorDir - bootstrap first"))
-    val to = PartitionedManifest.currentSnapshot(spark, root).getOrElse(
-      sys.error(s"IncrementalConsumer: no snapshot committed under $root"))
+    val to = headOf(spark, root, ref)
     if (from == to) None
     else {
       // throws loudly if `from` expired past the keep-N horizon — a
@@ -87,18 +105,20 @@ object IncrementalConsumer {
   }
 
   /** Drain: consume until caught up (bounded by the commit count —
-    * each step jumps to the CURRENT snapshot, so this loops at most
+    * each step jumps to the CURRENT head, so this loops at most
     * once per concurrent commit landing mid-drain, `maxSteps` guards
     * a pathological commit storm). */
   def drain(spark: SparkSession, root: String, partCol: String,
-      partType: String, cursorDir: String, maxSteps: Int = 100)(
+      partType: String, cursorDir: String, maxSteps: Int = 100,
+      ref: Option[String] = None)(
       process: (DataFrame, String, String) => Unit)
       : Seq[(String, String)] = {
     val out = Vector.newBuilder[(String, String)]
     var steps = 0
     var more = true
     while (more && steps < maxSteps) {
-      consumeOnce(spark, root, partCol, partType, cursorDir)(process) match {
+      consumeOnce(spark, root, partCol, partType, cursorDir, ref)(
+          process) match {
         case Some(p) => out += p; steps += 1
         case None => more = false
       }

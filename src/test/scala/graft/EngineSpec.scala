@@ -1845,6 +1845,68 @@ class EngineSpec extends AnyFunSuite {
       words.filter(w => w >= "w0000" && w <= "w0050"))
   }
 
+  test("branch-aware incremental consumption: an audit consumer tails " +
+      "staged branch commits invisible to main, and after fastForward " +
+      "neither it nor a main consumer re-emits the published rows") {
+    import spark.implicits._
+    import graft.engine.{IncrementalConsumer, PartitionedManifest}
+    val root = Files.createTempDirectory("graft-brcons").toString
+    val curAudit = Files.createTempDirectory("graft-brcons-a").toString
+    val curMain = Files.createTempDirectory("graft-brcons-m").toString
+    val base = (0 until 40).map(i => (i.toLong, i * 1.0, i % 2))
+      .toDF("k", "v", "bk")
+    PartitionedManifest.seed(spark, root, base, "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    IncrementalConsumer.bootstrap(spark, root, "bk", "int", curAudit) {
+      (_, _) => () }
+    IncrementalConsumer.bootstrap(spark, root, "bk", "int", curMain) {
+      (_, _) => () }
+    PartitionedManifest.createBranch(spark, root, "audit")
+    // two staged commits: bump k=2 on bk=0, then drop k=5 from bk=1
+    val p0 = PartitionedManifest.readSnapshot(spark, root, "bk", "int")
+      .filter($"bk" === 0)
+      .withColumn("v", org.apache.spark.sql.functions
+        .when($"k" === 2, 99.0).otherwise($"v")).drop("bk")
+    PartitionedManifest.commitSnapshotToBranch(spark, root, "bk",
+      Map("0" -> p0), "audit")
+    val p1 = PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+        PartitionedManifest.branchHead(spark, root, "audit"))
+      .filter($"bk" === 1 && $"k" =!= 5).drop("bk")
+    PartitionedManifest.commitSnapshotToBranch(spark, root, "bk",
+      Map("1" -> p1), "audit")
+    // the main consumer sees NOTHING: staged commits never advance main
+    assert(IncrementalConsumer.consumeOnce(spark, root, "bk", "int",
+      curMain) { (_, _, _) => fail("staged commits must be invisible") }
+      .isEmpty)
+    // the audit consumer tails the branch: one coalesced step, the
+    // row-level effect of both staged commits
+    var auditDiff = Seq.empty[(Long, Double, Int, String)]
+    val drained = IncrementalConsumer.drain(spark, root, "bk", "int",
+      curAudit, ref = Some("audit")) { (d, _, _) =>
+      auditDiff = d.as[(Long, Double, Int, String)].collect().toSeq
+    }
+    assert(drained.length == 1, drained.toString)
+    assert(auditDiff.sortBy(r => (r._4, r._1)) == Seq(
+      (5L, 5.0, 1, "delete"), (2L, 2.0, 0, "delete"),
+      (2L, 99.0, 0, "insert")).sortBy(r => (r._4, r._1)), auditDiff)
+    // publish: fastForward is one metadata op; the audit consumer is
+    // already AT the published head — nothing re-emits, on either the
+    // branch ref or main
+    PartitionedManifest.fastForward(spark, root, "bk", "audit")
+    assert(IncrementalConsumer.consumeOnce(spark, root, "bk", "int",
+      curAudit, ref = Some("audit")) { (_, _, _) =>
+      fail("audit consumer must not re-emit after fastForward") }.isEmpty)
+    assert(IncrementalConsumer.consumeOnce(spark, root, "bk", "int",
+      curAudit) { (_, _, _) =>
+      fail("switching the caught-up audit consumer to main must not " +
+        "re-emit") }.isEmpty)
+    // the main consumer now sees the published delta exactly once
+    var mainDiff = 0L
+    assert(IncrementalConsumer.drain(spark, root, "bk", "int", curMain) {
+      (d, _, _) => mainDiff += d.count() }.length == 1)
+    assert(mainDiff == 3, s"main consumer diff rows: $mainDiff")
+  }
+
   test("merge-on-read: delta chains survive keep-2 trims (base dirs are " +
       "chain-protected from GC), readers resolve layered upserts and " +
       "deletes, and compaction folds the chain to a pure dir") {
