@@ -1282,6 +1282,120 @@ object EngineQueries {
         AND o_orderkey <= (SELECT FLOOR(MAX(o_orderkey) / 8.0) FROM orders)
       ORDER BY o_orderkey"""), bench = true),
 
+    // MULTI-COLUMN / HIDDEN PARTITIONING (SpecManifest): the Iceberg
+    // partition-spec contract on the pointer model — the table keys on
+    // (year(o_orderdate), bucket(4, o_custkey)), both DERIVED by the
+    // writer; a w03-style merge commits one atomic snapshot over the
+    // touched leaves; CDC lists only leaves whose version dir moved
+    // (require()d: every planned file sits under /y=1996/); explicit
+    // two-level pruning and HIDDEN pruning (a bare o_custkey equality
+    // also prunes to its bucket directory) are require()d at the plan
+    // level via inputFiles. The oracle replays the merge relationally
+    // (bucket values never surface — they are layout, not data).
+    QuerySpec("w22_partition_spec", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, lit, year => yearOf}
+      import graft.engine.SpecManifest
+      import graft.engine.SpecManifest.{Bucket, PartField, PartitionSpec, Year}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w22").toString
+      val spec = PartitionSpec(Seq(
+        PartField("y", "o_orderdate", Year),
+        PartField("b", "o_custkey", Bucket(4))))
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"),
+          $"o_orderdate")
+      val s1 = SpecManifest.seed(s, root, base, spec)
+      // the delta touches ONE year: +100 on 1996's o_orderkey%10==0,
+      // plus shifted-key inserts for 1996's o_orderkey%97==0
+      val delta = base
+        .filter(yearOf($"o_orderdate") === 1996 && $"o_orderkey" % 10 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 100.0)
+        .unionByName(base
+          .filter(yearOf($"o_orderdate") === 1996 &&
+            $"o_orderkey" % 97 === 0)
+          .select(($"o_orderkey" + 20000000L).as("o_orderkey"),
+            $"o_custkey", lit(0.0).as("o_totalprice"), $"o_orderdate"))
+      val nUpd = delta.filter($"o_orderkey" < 20000000L).count()
+      val nIns = delta.filter($"o_orderkey" >= 20000000L).count()
+      val tagged = spec.fields.foldLeft(delta)((d, f) =>
+        d.withColumn(f.name, f.derived)).localCheckpoint()
+      val cur = SpecManifest.read(s, root, spec)
+      val touched = tagged.select($"y", $"b").distinct().collect()
+        .map(r => Seq(r.getString(0), r.getString(1)))
+      require(touched.forall(_.head == "1996") && touched.nonEmpty,
+        s"delta must land in y=1996 leaves only: ${touched.toSeq}")
+      val updates = touched.map { vs =>
+        val curLeaf = cur.filter($"y" === vs(0) && $"b" === vs(1))
+          .drop("y", "b")
+        val dLeaf = tagged.filter($"y" === vs(0) && $"b" === vs(1))
+          .drop("y", "b")
+        vs.toSeq -> curLeaf.join(dLeaf.select($"o_orderkey"),
+          Seq("o_orderkey"), "left_anti").unionByName(dLeaf)
+      }.toMap
+      val s2 = SpecManifest.commitSnapshot(s, root, spec, updates)
+      // CDC is leaf-footprint-bounded on the COMPOSITE key: only the
+      // touched year's buckets are ever planned
+      val ch0 = SpecManifest.changesBetween(s, root, spec, s1, s2)
+      require(ch0.inputFiles.nonEmpty &&
+          ch0.inputFiles.forall(_.contains("/y=1996/")),
+        "spec CDC must plan ONLY the touched year's leaves")
+      val ch = ch0.localCheckpoint()
+      val insCount = ch.filter($"_change_type" === "insert").count()
+      val delCount = ch.filter($"_change_type" === "delete").count()
+      require(insCount == nUpd + nIns && delCount == nUpd,
+        s"CDC row effect wrong: ins=$insCount del=$delCount " +
+          s"(nUpd=$nUpd nIns=$nIns)")
+      // explicit TWO-LEVEL pruning: a (year, bucket) predicate plans
+      // only that leaf's files
+      val oneBucket = touched.head(1)
+      val both = SpecManifest.read(s, root, spec)
+        .where($"y" === "1996" && $"b" === oneBucket)
+      require(both.inputFiles.nonEmpty && both.inputFiles.forall(
+          _.contains(s"/y=1996/b=$oneBucket/")),
+        "two-level partition pruning must plan one leaf")
+      // HIDDEN pruning: a bare source-column equality also prunes to
+      // its derived bucket directory across all years
+      val ck = base.filter($"o_custkey" % 7 === 0)
+        .select($"o_custkey").head().getLong(0)
+      val hidden = SpecManifest.hiddenPrune(s,
+        SpecManifest.read(s, root, spec), spec, Map("o_custkey" -> ck))
+      val bVal = s.range(1).select(spec.fields(1).derive(lit(ck)).as("v"))
+        .head().getString(0)
+      require(hidden.inputFiles.nonEmpty && hidden.inputFiles.forall(
+          _.contains(s"/b=$bVal/")),
+        "hidden pruning must derive the bucket filter from the source " +
+          "equality")
+      require(hidden.select($"o_custkey").distinct().count() == 1,
+        "hidden pruning must keep the row-level predicate")
+      // result: the merged table (bucket values are layout, never data)
+      SpecManifest.read(s, root, spec)
+        .select($"o_orderkey", $"o_totalprice", $"y")
+        .orderBy($"o_orderkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               o_orderdate
+        FROM orders),
+      merged AS (
+        SELECT o_orderkey,
+               CASE WHEN year(o_orderdate) = 1996 AND o_orderkey % 10 = 0
+                    THEN o_totalprice + 100.0 ELSE o_totalprice END
+                 AS o_totalprice,
+               o_orderdate
+        FROM base
+        UNION ALL
+        SELECT o_orderkey + 20000000, 0.0, o_orderdate
+        FROM base
+        WHERE year(o_orderdate) = 1996 AND o_orderkey % 97 = 0)
+      SELECT o_orderkey, o_totalprice,
+             strftime(o_orderdate, '%Y') AS y
+      FROM merged
+      ORDER BY o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

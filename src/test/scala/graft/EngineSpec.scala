@@ -1845,6 +1845,49 @@ class EngineSpec extends AnyFunSuite {
       words.filter(w => w >= "w0000" && w <= "w0050"))
   }
 
+  test("partition-spec manifest: time travel serves the pre-merge " +
+      "content, a mismatched spec fails loudly, and the keep-2 horizon " +
+      "trims snapshot files") {
+    import spark.implicits._
+    import graft.engine.SpecManifest
+    import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+    val root = Files.createTempDirectory("graft-specm").toString
+    val spec = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b", "k", Bucket(3))))
+    val base = (0 until 60).map(i => (i.toLong, i * 1.0, s"g${i % 2}"))
+      .toDF("k", "v", "grp")
+    val s1 = SpecManifest.seed(spark, root, base, spec)
+    def readAll(snap: Option[String] = None) =
+      SpecManifest.read(spark, root, spec, snap)
+        .select($"k", $"v").as[(Long, Double)].collect().toMap
+    assert(readAll().size == 60)
+    // one-leaf update: replace leaf (g0, bucket(0L)) content
+    val b0 = spark.range(1)
+      .select(spec.fields(1).derive(org.apache.spark.sql.functions
+        .lit(0L)).as("v")).head().getString(0)
+    val cur = SpecManifest.read(spark, root, spec)
+    val leaf = cur.filter($"g" === "g0" && $"b" === b0).drop("g", "b")
+    val s2 = SpecManifest.commitSnapshot(spark, root, spec,
+      Map(Seq("g0", b0) -> leaf.withColumn("v", $"v" + 1000.0)))
+    val now = readAll()
+    val then1 = readAll(Some(s1))
+    assert(then1(0L) == 0.0 && now(0L) == 1000.0)
+    // CDC between the commits touches exactly that leaf's rows
+    val ch = SpecManifest.changesBetween(spark, root, spec, s1, s2)
+    assert(ch.inputFiles.forall(_.contains(s"/g=g0/b=$b0/")))
+    // wrong spec: loud
+    intercept[IllegalArgumentException] {
+      SpecManifest.read(spark, root, PartitionSpec(Seq(
+        PartField("g", "grp", Identity), PartField("b", "k", Bucket(4)))))
+    }
+    // keep-2: a third commit trims s1's snapshot file
+    SpecManifest.commitSnapshot(spark, root, spec,
+      Map(Seq("g0", b0) -> leaf.withColumn("v", $"v" + 2000.0)))
+    assert(!SpecManifest.snapshots(spark, root).contains(s1),
+      SpecManifest.snapshots(spark, root).toString)
+  }
+
   test("branch-aware incremental consumption: an audit consumer tails " +
       "staged branch commits invisible to main, and after fastForward " +
       "neither it nor a main consumer re-emits the published rows") {
