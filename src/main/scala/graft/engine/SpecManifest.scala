@@ -89,6 +89,10 @@ object SpecManifest {
     def names: Seq[String] = fields.map(_.name)
     def render: String = fields.map(f =>
       s"${f.name}\t${f.source}\t${f.transform.render}").mkString("\n")
+    /** One-line render safe for a table-property value (identifier
+      * charset + `[]:;` only). */
+    def renderCompact: String = fields.map(f =>
+      s"${f.name}:${f.source}:${f.transform.render}").mkString(";")
   }
 
   object PartitionSpec {
@@ -98,6 +102,13 @@ object SpecManifest {
         PartField(n, src, Transform.parse(t))
       }.toSeq)
   }
+
+  /** Inverse of [[PartitionSpec.renderCompact]]. */
+  def parseCompact(s: String): PartitionSpec = PartitionSpec(
+    s.split(";").toSeq.filter(_.nonEmpty).map { f =>
+      val Array(n, src, t) = f.split(":", 3)
+      PartField(n, src, Transform.parse(t))
+    })
 
   private val SnapDir = "_snapshots"
   private val SpecFile = "_spec"
@@ -330,10 +341,15 @@ object SpecManifest {
       val cols = dataSchema.map(f => s"`${f.name}` ${f.dataType.sql}")
         .mkString(", ")
       val partCols = spec.names.map(n => s"`$n` string").mkString(", ")
+      // graft.spec: HiddenPartitionRule derives partition filters from
+      // bare source-column equalities over this relation (transparent
+      // hidden partitioning); graft.zonemaps: file skipping below
       spark.sql(s"CREATE TABLE `$table` ($cols, $partCols) " +
         s"USING parquet PARTITIONED BY (${spec.names.map(n => s"`$n`")
           .mkString(", ")}) LOCATION '$root' " +
-        s"TBLPROPERTIES ('${graft.plans.ZoneMaps.Prop}'='true')")
+        s"TBLPROPERTIES ('${graft.plans.ZoneMaps.Prop}'='true', " +
+        s"'${graft.plans.HiddenPartitions.Prop}'=" +
+        s"'${spec.renderCompact}')")
       val adds = mapping.map { case (k, d) =>
         val specClause = k.split("/").map { seg =>
           val Array(n, v) = seg.split("=", 2)
@@ -355,6 +371,7 @@ object SpecManifest {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
     graft.plans.ZoneMaps.install(spark)
+    graft.plans.HiddenPartitions.install(spark)
     spark.table(table)
   }
 

@@ -1370,6 +1370,23 @@ object EngineQueries {
           "equality")
       require(hidden.select($"o_custkey").distinct().count() == 1,
         "hidden pruning must keep the row-level predicate")
+      // ... and TRANSPARENTLY: a bare .where on the source column (no
+      // helper) derives the same partition filter through the injected
+      // HiddenPartitionRule. The rule runs in the LAST optimizer batch,
+      // so the pruning shows in the physical scan's selected files (the
+      // partition filter reaches FileSourceStrategy), not in
+      // optimizedPlan-derived inputFiles.
+      val bare = SpecManifest.read(s, root, spec)
+        .where($"o_custkey" === ck)
+      val bareFiles = bare.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray
+            .map(_.filePath.toString).toSeq
+      }.flatten
+      require(bareFiles.nonEmpty && bareFiles.forall(
+          _.contains(s"/b=$bVal/")),
+        "the optimizer rule must derive bucket pruning from a bare " +
+          "source equality: " + bareFiles.take(3).mkString(","))
       // result: the merged table (bucket values are layout, never data)
       SpecManifest.read(s, root, spec)
         .select($"o_orderkey", $"o_totalprice", $"y")
