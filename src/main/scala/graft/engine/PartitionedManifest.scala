@@ -967,9 +967,9 @@ object PartitionedManifest {
   // chains, so a base dir can never be collected while a kept snapshot
   // (or the live pointer) names a layer above it.
 
-  private val MorFile = "_mor.tsv"
+  private[engine] val MorFile = "_mor.tsv"
 
-  private def isMorDir(spark: SparkSession, dirPath: String): Boolean =
+  private[engine] def isMorDir(spark: SparkSession, dirPath: String): Boolean =
     fsOf(spark, dirPath).exists(new HPath(dirPath, MorFile))
 
   /** Parse a MOR marker: (key columns, base version dir NAME). */
@@ -1013,7 +1013,7 @@ object PartitionedManifest {
 
   /** Expand a protection set through MOR base chains (see the section
     * comment: protecting a layer must protect everything below it). */
-  private def expandMorProtect(spark: SparkSession, partRoot: String,
+  private[engine] def expandMorProtect(spark: SparkSession, partRoot: String,
       dirs: Set[String]): Set[String] =
     dirs.flatMap(d => morChain(spark, partRoot, d))
 
@@ -1111,11 +1111,19 @@ object PartitionedManifest {
     * through commitSnapshot); per partition, upsert keys and delete
     * keys must be disjoint, and upsert keys unique (the Delta MERGE
     * multiple-match contract — violations make the resolved content
-    * order-dependent). Returns the snapshot name. */
+    * order-dependent). Returns the snapshot name.
+    *
+    * `foldChainAt` (> 0) BOUNDS the delta chain without a separate
+    * maintenance pass: a merge that would make a partition's chain
+    * that deep publishes the RESOLVED content as a pure data dir
+    * instead of another layer — the partition's bytes are paid once
+    * per `foldChainAt` merges (amortized 1/foldChainAt per commit)
+    * and every reader's chain walk stays ≤ foldChainAt. 0 leaves the
+    * bound to compaction cadence (compact() folds unconditionally). */
   def commitMerge(spark: SparkSession, root: String, partCol: String,
       keyCols: Seq[String], upserts: Map[String, DataFrame] = Map.empty,
       deletes: Map[String, DataFrame] = Map.empty,
-      keepSnapshots: Int = 2): String = {
+      keepSnapshots: Int = 2, foldChainAt: Int = 0): String = {
     require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
     require(keyCols.nonEmpty && !keyCols.contains(partCol),
       "commitMerge: keyCols must be non-empty data columns")
@@ -1173,15 +1181,30 @@ object PartitionedManifest {
             s"commitMerge: partition $v has keys in BOTH upserts and " +
               "deletes - an upsert already replaces; a delete already " +
               "removes (overlap makes the outcome ambiguous)")
-        val stage = s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
-        fs.mkdirs(new HPath(stage))
-        up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
-        del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
-        ManifestTable.writeOnce(stage, MorFile,
-          s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
         val protect = expandMorProtect(spark, pr,
           protectByPart.getOrElse(v, Set.empty))
-        val dir = ManifestTable.adoptVersion(pr, stage, protect)
+        val dir =
+          if (foldChainAt > 0 &&
+              morChain(spark, pr, baseDir).length + 1 >= foldChainAt) {
+            // bounded chain: fold instead of layering (see Scaladoc)
+            val current = resolveVersionData(spark, pr, baseDir,
+              Some(schema))
+            val touchedKeys = (up.map(_.select(keyCols.map(col): _*))
+              .toSeq ++ del.toSeq).reduce(_.unionByName(_)).distinct()
+            val merged = current
+              .join(touchedKeys, keyCols, "left_anti")
+              .unionByName(up.getOrElse(current.limit(0)))
+            ManifestTable.publish(spark, pr, merged, protect)
+          } else {
+            val stage =
+              s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
+            fs.mkdirs(new HPath(stage))
+            up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
+            del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
+            ManifestTable.writeOnce(stage, MorFile,
+              s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
+            ManifestTable.adoptVersion(pr, stage, protect)
+          }
         v -> new HPath(dir).getName
       }.toMap
       writeSnapshotFileLocked(spark, root,

@@ -262,10 +262,7 @@ object SpecManifest {
       }
       // kept snapshots' dirs per leaf — the per-leaf GC protection
       val protectByLeaf: Map[String, Set[String]] =
-        (currentSnapshot(spark, root).toSeq ++
-          snapshots(spark, root).takeRight(keepSnapshots)).distinct
-          .flatMap(sn => snapshotMapping(spark, root, sn))
-          .groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).toSet }
+        protectedDirsByLeaf(spark, root, keepSnapshots)
       val written: Map[String, String] =
         if (updates.isEmpty) Map.empty
         else {
@@ -286,7 +283,9 @@ object SpecManifest {
           try updates.keys.toSeq.sortBy(_.mkString("/")).map { vs =>
             val lp = leafPath(spec, vs)
             val src = new HPath(s"$scratch/$lp")
-            val protect = protectByLeaf.getOrElse(lp, Set.empty)
+            // chain expansion: a protected MOR layer keeps its bases
+            val protect = PartitionedManifest.expandMorProtect(spark,
+              s"$root/$lp", protectByLeaf.getOrElse(lp, Set.empty))
             val dir =
               if (fs.exists(src))
                 ManifestTable.adoptVersion(s"$root/$lp", src.toString,
@@ -299,21 +298,41 @@ object SpecManifest {
           }.toMap
           finally fs.delete(new HPath(scratch), true)
         }
-      val mapping = (base ++ written).toSeq.sortBy(_._1)
-      require(mapping.nonEmpty, "SpecManifest: nothing to commit")
-      fs.mkdirs(new HPath(root, SnapDir))
-      val gen = snapshots(spark, root).lastOption
-        .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
-      val snap = f"s$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
-      val body = s"#committed_ms=${System.currentTimeMillis()}\n" +
-        mapping.map { case (k, d) => s"$k\t$d" }.mkString("\n") + "\n"
-      ManifestTable.writeOnce(root, s"$SnapDir/$snap", body)
-      ManifestTable.swapRootPointer(root, snap)
-      val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet + snap
-      snapshots(spark, root).filterNot(keep).foreach(s =>
-        fs.delete(new HPath(root, s"$SnapDir/$s"), false))
-      snap
+      writeSnapshotLocked(spark, root, (base ++ written).toSeq.sortBy(_._1),
+        keepSnapshots)
     }
+  }
+
+  /** Version dirs the kept snapshots (+ current) reference, per leaf —
+    * the GC protection base every commit path shares (callers expand
+    * through MOR chains at the leaf root). */
+  private def protectedDirsByLeaf(spark: SparkSession, root: String,
+      keepSnapshots: Int): Map[String, Set[String]] =
+    (currentSnapshot(spark, root).toSeq ++
+      snapshots(spark, root).takeRight(keepSnapshots)).distinct
+      .flatMap(sn => snapshotMapping(spark, root, sn))
+      .groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).toSet }
+
+  /** Write + atomically publish a snapshot file carrying `mapping`,
+    * then trim past the keep-N horizon. Caller holds the root publish
+    * lock. Shared tail of [[commitSnapshot]], [[commitMerge]] and
+    * [[compactLeaves]]. */
+  private def writeSnapshotLocked(spark: SparkSession, root: String,
+      mapping: Seq[(String, String)], keepSnapshots: Int): String = {
+    require(mapping.nonEmpty, "SpecManifest: nothing to commit")
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new HPath(root, SnapDir))
+    val gen = snapshots(spark, root).lastOption
+      .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
+    val snap = f"s$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+    val body = s"#committed_ms=${System.currentTimeMillis()}\n" +
+      mapping.map { case (k, d) => s"$k\t$d" }.mkString("\n") + "\n"
+    ManifestTable.writeOnce(root, s"$SnapDir/$snap", body)
+    ManifestTable.swapRootPointer(root, snap)
+    val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet + snap
+    snapshots(spark, root).filterNot(keep).foreach(s =>
+      fs.delete(new HPath(root, s"$SnapDir/$s"), false))
+    snap
   }
 
   private def hash8(s: String): String =
@@ -325,7 +344,11 @@ object SpecManifest {
     * catalog relation carrying ALL spec fields as partition columns —
     * one plan node, PartitionFilters pruning on every level. The pin
     * carries the zone-map property, so file skipping composes below
-    * partition pruning here too. */
+    * partition pruning here too.
+    *
+    * Merge-on-read leaves (bounded by [[compactLeaves]] cadence) each
+    * resolve their delta chain and union on top of the pinned pure
+    * subset — the common all-pure case keeps its ONE plan node. */
   def read(spark: SparkSession, root: String, spec: PartitionSpec,
       snapshot: Option[String] = None): DataFrame = {
     checkSpec(spark, root, spec)
@@ -333,6 +356,26 @@ object SpecManifest {
       sys.error(s"SpecManifest: no snapshot committed under $root"))
     val mapping = snapshotMapping(spark, root, snap)
     require(mapping.nonEmpty, s"SpecManifest: empty snapshot $snap")
+    val (morLs, pureLs) = mapping.partition { case (k, d) =>
+      PartitionedManifest.isMorDir(spark, s"$root/$k/$d") }
+    val pureDf =
+      if (pureLs.isEmpty) None
+      else Some(servePin(spark, root, spec, pureLs))
+    val morDfs = morLs.map { case (k, d) =>
+      val resolved = PartitionedManifest.resolveVersionData(spark,
+        s"$root/$k", d, None)
+      k.split("/").foldLeft(resolved) { (x, seg) =>
+        val Array(n, v) = seg.split("=", 2)
+        x.withColumn(n, lit(v))
+      }
+    }
+    (pureDf.toSeq ++ morDfs).reduce(_.unionByName(_))
+  }
+
+  /** The PURE subset of a snapshot's leaves served through one
+    * content-pinned partitioned relation (see [[read]]). */
+  private def servePin(spark: SparkSession, root: String,
+      spec: PartitionSpec, mapping: Seq[(String, String)]): DataFrame = {
     val table = s"graft_sm_${hash8(root)}_" + hash8(
       mapping.map { case (k, d) => s"$k\t$d" }.mkString("\n"))
     if (!spark.catalog.tableExists(table)) {
@@ -359,11 +402,16 @@ object SpecManifest {
       }
       spark.sql(s"ALTER TABLE `$table` ADD IF NOT EXISTS " +
         adds.mkString(" "))
-      // drop pins of expired snapshots for this root (keep-N bounded)
+      // drop pins of expired snapshots for this root (keep-N bounded).
+      // A snapshot with merge-on-read leaves serves its PURE SUBSET
+      // through the pin, so that subset's pin counts as valid too.
       val prefix = s"graft_sm_${hash8(root)}_"
-      val valid = snapshots(spark, root).map { sn =>
-        prefix + hash8(snapshotMapping(spark, root, sn)
-          .map { case (k, d) => s"$k\t$d" }.mkString("\n"))
+      val valid = snapshots(spark, root).flatMap { sn =>
+        val m = snapshotMapping(spark, root, sn)
+        val pure = m.filterNot { case (k, d) =>
+          PartitionedManifest.isMorDir(spark, s"$root/$k/$d") }
+        Seq(m, pure).filter(_.nonEmpty).map(x => prefix + hash8(
+          x.map { case (k, d) => s"$k\t$d" }.mkString("\n")))
       }.toSet + table
       val db = spark.catalog.currentDatabase
       spark.sharedState.externalCatalog.listTables(db)
@@ -408,16 +456,20 @@ object SpecManifest {
     val to = snapshotMapping(spark, root, toSnap).toMap
     val changed = (from.keySet ++ to.keySet)
       .filter(k => from.get(k) != to.get(k)).toSeq.sorted
+    // per-leaf MOR-resolving reads (a changed leaf may be a delta
+    // chain on either side); partition values come from the leaf key
     def side(m: Map[String, String]): Option[DataFrame] = {
-      val dirs = changed.flatMap(k => m.get(k).map(d => s"$root/$k/$d"))
-      if (dirs.isEmpty) None
-      else {
-        val df = spark.read.parquet(dirs: _*)
-        Some(spec.fields.foldLeft(df) { (d, f) =>
-          d.withColumn(f.name, regexp_extract(col("_metadata.file_path"),
-            java.util.regex.Pattern.quote(s"/${f.name}=") + "([^/]+)/", 1))
-        }.select((df.columns.map(col) ++ spec.names.map(col)): _*))
-      }
+      val leaves = changed.flatMap(k => m.get(k).map(d => (k, d)))
+      if (leaves.isEmpty) None
+      else Some(leaves.map { case (k, d) =>
+        val df = PartitionedManifest.resolveVersionData(spark,
+          s"$root/$k", d, None)
+        val dataCols = df.columns.toSeq
+        k.split("/").foldLeft(df) { (x, seg) =>
+          val Array(n, v) = seg.split("=", 2)
+          x.withColumn(n, lit(v))
+        }.select((dataCols.map(col) ++ spec.names.map(col)): _*)
+      }.reduce(_.unionByName(_)))
     }
     (side(from), side(to)) match {
       case (None, None) =>
@@ -430,5 +482,196 @@ object SpecManifest {
           .unionByName(
             fDf.exceptAll(tDf).withColumn(changeCol, lit("delete")))
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // MERGE-ON-READ on the composite spec — the same `_mor.tsv` delta-
+  // chain contract as [[PartitionedManifest]] (see its section comment),
+  // keyed per LEAF: a merge commit writes ONLY the delta under each
+  // touched leaf and becomes visible in one root snapshot swap, so
+  // bytes written scale with the DELTA, never the leaf — the posture a
+  // 100 TB table partitioned on (day, bucket(id)) needs for CDC-style
+  // upsert streams into hot (today's) leaves. Readers (read /
+  // changesBetween / readLeaf) resolve chains through the shared
+  // resolver; [[compactLeaves]] is the fold-down that converges MOR
+  // leaves back to pure data dirs.
+
+  /** One leaf's current LOGICAL content (no partition columns) —
+    * MOR-resolving; the single-leaf reader merge builders use instead
+    * of a raw parquet read of the live version dir. */
+  def readLeaf(spark: SparkSession, root: String, spec: PartitionSpec,
+      values: Seq[String]): DataFrame = {
+    val lp = leafPath(spec, values)
+    val dir = ManifestTable.currentVersion(s"$root/$lp").getOrElse(
+      sys.error(s"SpecManifest: no MANIFEST under $root/$lp"))
+    PartitionedManifest.resolveVersionData(spark, s"$root/$lp", dir, None)
+  }
+
+  /** MERGE-ON-READ commit over leaf-keyed `upserts` (full-data-schema
+    * replacement rows, keyed by `keyCols`) and `deletes` (key rows):
+    * each touched leaf gets a new version dir holding only the delta
+    * files and a `_mor.tsv` naming its base; one atomic root snapshot
+    * covers the whole delta, so CDC and time travel see a MOR commit
+    * exactly like any other. Same contract as
+    * [[PartitionedManifest.commitMerge]]: leaves must exist, upsert
+    * schemas must match the data schema, per leaf the upsert and
+    * delete key sets must be disjoint. Returns the snapshot name. */
+  def commitMerge(spark: SparkSession, root: String,
+      spec: PartitionSpec, keyCols: Seq[String],
+      upserts: Map[Seq[String], DataFrame] = Map.empty,
+      deletes: Map[Seq[String], DataFrame] = Map.empty,
+      keepSnapshots: Int = 2): String = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
+    checkSpec(spark, root, spec)
+    require(keyCols.nonEmpty && !keyCols.exists(spec.names.contains),
+      "commitMerge: keyCols must be data columns, not partition fields")
+    val touched = (upserts.keySet ++ deletes.keySet).toSeq
+      .sortBy(_.mkString("/"))
+    require(touched.nonEmpty, "commitMerge needs upserts or deletes")
+    ManifestTable.withPublishLock(root) {
+      val snap = currentSnapshot(spark, root).getOrElse(sys.error(
+        s"SpecManifest: commitMerge needs a committed snapshot under " +
+          s"$root - seed first"))
+      val base = snapshotMapping(spark, root, snap).toMap
+      val touchedPaths = touched.map(vs => vs -> leafPath(spec, vs))
+      val unknown = touchedPaths.collect {
+        case (_, lp) if !base.contains(lp) => lp }
+      require(unknown.isEmpty,
+        "SpecManifest: merge-on-read may only touch existing leaves " +
+          s"(new: ${unknown.mkString(",")}) - create leaves through " +
+          "commitSnapshot")
+      // data-schema authority: the first touched leaf's chain BOTTOM
+      // (a pure dir by construction — MOR layers hold no data files)
+      val schema = {
+        val (_, lp) = touchedPaths.head
+        val bottom = PartitionedManifest.morChain(spark, s"$root/$lp",
+          base(lp)).last
+        spark.read.parquet(s"$root/$lp/$bottom").schema
+      }
+      keyCols.foreach(k => require(schema.fieldNames.contains(k),
+        s"commitMerge: unknown key column '$k'"))
+      def dataOnly(df: DataFrame): DataFrame =
+        spec.names.foldLeft(df)((x, n) =>
+          if (x.columns.contains(n)) x.drop(n) else x)
+      upserts.foreach { case (vs, df) =>
+        val cols = dataOnly(df).schema.map(f => (f.name, f.dataType))
+        require(cols == schema.map(f => (f.name, f.dataType)).toSeq,
+          s"commitMerge: leaf ${vs.mkString("/")} upsert schema " +
+            s"(${cols.map(_._1).mkString(",")}) does not match the " +
+            s"data schema (${schema.fieldNames.mkString(",")})")
+      }
+      deletes.foreach { case (vs, df) =>
+        val cols = dataOnly(df).columns.toSeq.sorted
+        require(cols == keyCols.sorted,
+          s"commitMerge: leaf ${vs.mkString("/")} delete frame must " +
+            s"carry exactly the key columns ${keyCols.mkString(",")} " +
+            s"(got ${cols.mkString(",")})")
+      }
+      val protectByLeaf = protectedDirsByLeaf(spark, root, keepSnapshots)
+      val fs = fsOf(spark, root)
+      val written: Map[String, String] = touchedPaths.map {
+        case (vs, lp) =>
+          val pr = s"$root/$lp"
+          val baseDir = ManifestTable.currentVersion(pr).getOrElse(
+            sys.error(s"SpecManifest: no MANIFEST under $pr"))
+          val up = upserts.get(vs).map(df =>
+            dataOnly(df).select(schema.fieldNames.toSeq.map(col): _*))
+          val del = deletes.get(vs).map(df =>
+            dataOnly(df).select(keyCols.map(col): _*).distinct())
+          for (u <- up; d <- del)
+            require(u.select(keyCols.map(col): _*).intersect(d).isEmpty,
+              s"commitMerge: leaf $lp has keys in BOTH upserts and " +
+                "deletes - an upsert already replaces; a delete " +
+                "already removes")
+          val stage =
+            s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
+          fs.mkdirs(new HPath(stage))
+          up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
+          del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
+          ManifestTable.writeOnce(stage, PartitionedManifest.MorFile,
+            s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
+          val protect = PartitionedManifest.expandMorProtect(spark, pr,
+            protectByLeaf.getOrElse(lp, Set.empty))
+          lp -> new HPath(ManifestTable.adoptVersion(pr, stage, protect))
+            .getName
+      }.toMap
+      writeSnapshotLocked(spark, root,
+        (base ++ written).toSeq.sortBy(_._1), keepSnapshots)
+    }
+  }
+
+  /** Fold every merge-on-read leaf back down to a pure data dir — the
+    * spec table's compaction pass, OPTIMISTIC like
+    * [[PartitionedManifest.compact]]: the read-set (leaf → live
+    * version dir) snapshots under the root lock, the resolve-and-
+    * rewrite job runs with NO lock held (a minutes-long fold never
+    * stalls an ingest commit), and the lock is re-acquired only to
+    * validate pointer identity per leaf; leaves a concurrent commit
+    * touched mid-rewrite retry with a fresh read-set up to
+    * `maxAttempts`. Returns (last snapshot, folded leaf paths). */
+  def compactLeaves(spark: SparkSession, root: String,
+      spec: PartitionSpec, keepSnapshots: Int = 2, maxAttempts: Int = 3,
+      onBeforeValidate: () => Unit = () => ()): (String, Seq[String]) = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
+    checkSpec(spark, root, spec)
+    val fs = fsOf(spark, root)
+    def selectReadSet(among: Option[Set[String]]): Map[String, String] = {
+      val snap = currentSnapshot(spark, root).getOrElse(
+        sys.error(s"SpecManifest: no snapshot committed under $root"))
+      snapshotMapping(spark, root, snap)
+        .filter { case (k, _) => among.forall(_.contains(k)) }
+        .filter { case (k, d) =>
+          PartitionedManifest.isMorDir(spark, s"$root/$k/$d") }
+        .toMap
+    }
+    val done = scala.collection.mutable.ListBuffer.empty[String]
+    var lastSnap: Option[String] = None
+    var candidates =
+      ManifestTable.withPublishLock(root)(selectReadSet(None))
+    var attempt = 0
+    while (candidates.nonEmpty && attempt < maxAttempts) {
+      attempt += 1
+      // EXPENSIVE phase, NO lock held: resolve each candidate chain
+      // and write the pure replacement into a staged dir under its
+      // leaf (a GC'd read-set dir fails loudly → re-select and retry)
+      val staged: Option[Map[String, String]] =
+        try Some(candidates.map { case (lp, d) =>
+          val pr = s"$root/$lp"
+          val tmp = s"$pr/.fold-${java.util.UUID.randomUUID.toString.take(8)}"
+          PartitionedManifest.resolveVersionData(spark, pr, d, None)
+            .write.mode("error").parquet(tmp)
+          lp -> new HPath(ManifestTable.stageVersion(pr, tmp)).getName
+        })
+        catch { case scala.util.control.NonFatal(_) => None }
+      onBeforeValidate()
+      staged match {
+        case None =>
+          candidates = ManifestTable.withPublishLock(root)(
+            selectReadSet(Some(candidates.keySet)))
+        case Some(st) =>
+          candidates = ManifestTable.withPublishLock(root) {
+            // CHEAP phase, lock held: pointer identity IS validity
+            val (clean, dirty) = candidates.partition { case (lp, d) =>
+              ManifestTable.currentVersion(s"$root/$lp").contains(d)
+            }
+            if (clean.nonEmpty) {
+              clean.keys.foreach(lp =>
+                ManifestTable.repointVersion(s"$root/$lp", st(lp)))
+              val snap = currentSnapshot(spark, root).get
+              val base = snapshotMapping(spark, root, snap).toMap
+              lastSnap = Some(writeSnapshotLocked(spark, root,
+                (base ++ clean.keys.map(lp => lp -> st(lp))).toSeq
+                  .sortBy(_._1), keepSnapshots))
+              done ++= clean.keys
+            }
+            // staged dirs for invalidated leaves are orphans: drop them
+            dirty.keys.foreach(lp =>
+              fs.delete(new HPath(s"$root/$lp/${st(lp)}"), true))
+            selectReadSet(Some(dirty.keySet))
+          }
+      }
+    }
+    (lastSnap.orElse(currentSnapshot(spark, root)).getOrElse(""),
+      done.sorted.toSeq)
   }
 }

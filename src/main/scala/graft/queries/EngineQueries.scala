@@ -1413,6 +1413,168 @@ object EngineQueries {
       FROM merged
       ORDER BY o_orderkey"""), bench = true),
 
+    // MERGE-ON-READ × PARTITION SPEC (w20 × w22): CDC-style upsert
+    // streams into the HOT leaves of a (year, bucket(id)) table write
+    // only their delta — per touched leaf, bytes written scale with the
+    // DELTA (require()d against the leaf's base bytes), the chain
+    // resolves through every reader (read / readLeaf / changesBetween /
+    // time travel), CDC stays leaf-footprint-bounded on the COMPOSITE
+    // key, and compactLeaves() (optimistic, lock-free rewrite) folds
+    // the chains back to pure data dirs.
+    QuerySpec("w23_spec_merge_on_read", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat, lit, md5, when, year => yearOf}
+      import org.apache.hadoop.fs.{Path => HPath}
+      import graft.engine.{ManifestTable, SpecManifest}
+      import graft.engine.SpecManifest.{Bucket, PartField, PartitionSpec, Year}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w23").toString
+      val spec = PartitionSpec(Seq(
+        PartField("y", "o_orderdate", Year),
+        PartField("b", "o_custkey", Bucket(4))))
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"),
+          $"o_orderdate",
+          concat(
+            md5(concat($"o_orderkey".cast("string"), lit("a"))),
+            md5(concat($"o_orderkey".cast("string"), lit("b"))),
+            md5(concat($"o_orderkey".cast("string"), lit("c"))),
+            md5(concat($"o_orderkey".cast("string"), lit("d")))).as("pad"))
+      val s1 = SpecManifest.seed(s, root, base, spec)
+      val fs = new HPath(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      def bytesOf(d: String) =
+        fs.getContentSummary(new HPath(d)).getLength
+      val leaves96 = SpecManifest.leafKeys(s, root, spec)
+        .filter(_.head == "1996")
+      require(leaves96.nonEmpty, "orders must populate y=1996 leaves")
+      val baseBytes: Map[String, Long] = leaves96.map { vs =>
+        val lp = s"y=${vs(0)}/b=${vs(1)}"
+        lp -> bytesOf(ManifestTable.currentDataDir(s"$root/$lp").get)
+      }.toMap
+      def requireDeltaScaled(tag: String,
+          touched: Iterable[Seq[String]]): Unit = touched.foreach { vs =>
+        val lp = s"y=${vs(0)}/b=${vs(1)}"
+        val d = ManifestTable.currentDataDir(s"$root/$lp").get
+        require(fs.exists(new HPath(d, "_mor.tsv")),
+          s"$tag/$lp: a MOR commit must layer a delta dir, not rewrite")
+        // x3 with a fixed allowance: parquet FOOTERS dominate a
+        // toy-scale delta file (sf0.001 leaves are ~9 KB); the
+        // constant vanishes at any real scale
+        require(bytesOf(d) * 3 <= baseBytes(lp) + 24576,
+          s"$tag/$lp: bytes written must scale with the DELTA - wrote " +
+            s"${bytesOf(d)} against a ${baseBytes(lp)}-byte leaf")
+      }
+      // leaf-keyed grouping of a delta frame (leaf-count-bounded)
+      def perLeaf(df: org.apache.spark.sql.DataFrame)
+          : Map[Seq[String], org.apache.spark.sql.DataFrame] = {
+        val tagged = spec.fields.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, f.derived))
+        tagged.select($"y", $"b").distinct().collect()
+          .map(r => Seq(r.getString(0), r.getString(1)))
+          .map(vs => vs -> tagged
+            .filter($"y" === vs(0) && $"b" === vs(1)).drop("y", "b"))
+          .toMap
+      }
+      // batch 1: upsert ~10% of 1996 (+100 on totalprice)
+      val up1 = perLeaf(base
+        .filter(yearOf($"o_orderdate") === 1996 && $"o_orderkey" % 10 === 2)
+        .withColumn("o_totalprice", $"o_totalprice" + 100.0))
+      SpecManifest.commitMerge(s, root, spec, Seq("o_orderkey"),
+        upserts = up1, keepSnapshots = 6)
+      requireDeltaScaled("batch1", up1.keys)
+      // batch 2: delete 1996's o_orderkey%10==4 by key
+      val del2 = perLeaf(base
+        .filter(yearOf($"o_orderdate") === 1996 && $"o_orderkey" % 10 === 4))
+        .map { case (vs, df) => vs -> df.select($"o_orderkey") }
+      SpecManifest.commitMerge(s, root, spec, Seq("o_orderkey"),
+        deletes = del2, keepSnapshots = 6)
+      requireDeltaScaled("batch2", del2.keys)
+      // batch 3: layered upsert (+1000 over batch 1's %20==2 subset)
+      // plus shifted-key inserts, built per leaf from the MOR-RESOLVED
+      // current content — readLeaf mid-chain is exercised too
+      val up3 = leaves96.flatMap { vs =>
+        val cur = SpecManifest.readLeaf(s, root, spec, vs)
+        val u = cur.filter($"o_orderkey" % 20 === 2)
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+          .unionByName(cur.filter($"o_orderkey" % 90 === 2)
+            .select(($"o_orderkey" + 1000000000L).as("o_orderkey"),
+              $"o_custkey", lit(0.0).as("o_totalprice"), $"o_orderdate",
+              $"pad"))
+          .localCheckpoint()
+        if (u.isEmpty) None else Some(vs -> u)
+      }.toMap
+      val s4 = SpecManifest.commitMerge(s, root, spec, Seq("o_orderkey"),
+        upserts = up3, keepSnapshots = 6)
+      requireDeltaScaled("batch3", up3.keys)
+      // CDC across the whole MOR history: leaf-footprint-bounded on
+      // the composite key — only 1996's leaves are ever planned
+      val ch = SpecManifest.changesBetween(s, root, spec, s1, s4)
+      require(ch.inputFiles.nonEmpty &&
+          ch.inputFiles.forall(_.contains("/y=1996/")),
+        "spec MOR CDC must plan ONLY the touched year's leaves")
+      val cdc = ch.select(
+        when($"_change_type" === "insert", "cdc_ins")
+          .otherwise("cdc_del").as("src"),
+        $"o_orderkey", $"o_totalprice", $"pad", $"y")
+      // time travel: the pre-merge snapshot still serves the original
+      val snap1 = SpecManifest.read(s, root, spec, Some(s1))
+        .select(lit("snap1").as("src"), $"o_orderkey", $"o_totalprice",
+          $"pad", $"y")
+      // the optimistic fold-down converges every chain to a pure dir
+      val (_, folded) = SpecManifest.compactLeaves(s, root, spec,
+        keepSnapshots = 6)
+      val touchedAll = (up1.keys ++ del2.keys ++ up3.keys)
+        .map(vs => s"y=${vs(0)}/b=${vs(1)}").toSet
+      require(folded.toSet == touchedAll,
+        s"compactLeaves must fold exactly the MOR leaves: $folded " +
+          s"vs $touchedAll")
+      SpecManifest.leafKeys(s, root, spec).foreach { vs =>
+        val d = ManifestTable.currentDataDir(
+          s"$root/y=${vs(0)}/b=${vs(1)}").get
+        require(!fs.exists(new HPath(d, "_mor.tsv")),
+          s"fold must leave pure data dirs ($d)")
+      }
+      val live = SpecManifest.read(s, root, spec)
+        .select(lit("live").as("src"), $"o_orderkey", $"o_totalprice",
+          $"pad", $"y")
+      live.unionByName(snap1).unionByName(cdc)
+        .orderBy($"src", $"o_orderkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               md5(CAST(o_orderkey AS VARCHAR) || 'a') ||
+               md5(CAST(o_orderkey AS VARCHAR) || 'b') ||
+               md5(CAST(o_orderkey AS VARCHAR) || 'c') ||
+               md5(CAST(o_orderkey AS VARCHAR) || 'd') AS pad,
+               strftime(o_orderdate, '%Y') AS y
+        FROM orders),
+      merged AS (
+        SELECT o_orderkey,
+               CASE WHEN y = '1996' AND o_orderkey % 20 = 2
+                      THEN o_totalprice + 1100.0
+                    WHEN y = '1996' AND o_orderkey % 10 = 2
+                      THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               pad, y
+        FROM base WHERE NOT (y = '1996' AND o_orderkey % 10 = 4)
+        UNION ALL
+        SELECT o_orderkey + 1000000000, 0.0, pad, y
+        FROM base WHERE y = '1996' AND o_orderkey % 90 = 2),
+      ins AS (SELECT * FROM merged WHERE y = '1996'
+              EXCEPT ALL SELECT * FROM base WHERE y = '1996'),
+      del AS (SELECT * FROM base WHERE y = '1996'
+              EXCEPT ALL SELECT * FROM merged WHERE y = '1996')
+      SELECT src, o_orderkey, o_totalprice, pad, y FROM (
+        SELECT 'live' AS src, * FROM merged
+        UNION ALL SELECT 'snap1' AS src, * FROM base
+        UNION ALL SELECT 'cdc_ins' AS src, * FROM ins
+        UNION ALL SELECT 'cdc_del' AS src, * FROM del)
+      ORDER BY src, o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -2017,4 +2017,93 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.table("mor_t").count() == 99)
   }
 
+  test("merge-on-read: foldChainAt bounds the delta chain inline — a " +
+      "merge that would reach the bound publishes the RESOLVED content " +
+      "as a pure dir, and content is preserved across folds") {
+    import spark.implicits._
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("graft-morfold").toString
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val base = (0 until 100).map(i => (i.toLong, i * 1.0, i % 2))
+      .toDF("k", "v", "bk")
+    PartitionedManifest.seed(spark, root, base, "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    def isMor() = fs.exists(new HPath(
+      s"$root/bk=0/${ManifestTable.currentVersion(s"$root/bk=0").get}" +
+        "/_mor.tsv"))
+    def upsert(k: Long, v: Double) =
+      PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+        upserts = Map("0" -> Seq((k, v)).toDF("k", "v")),
+        foldChainAt = 3)
+    upsert(0L, 100.0) // chain: layer + base = 2 < 3
+    assert(isMor(), "first merge under the bound must layer")
+    upsert(2L, 200.0) // would reach 3 -> folds to a pure dir
+    assert(!isMor(), "the bound-reaching merge must fold to a pure dir")
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+      deletes = Map("0" -> Seq(4L).toDF("k")), foldChainAt = 3)
+    assert(isMor(), "post-fold merge starts a fresh chain")
+    upsert(0L, 300.0) // reaches the bound again -> folds, delete applied
+    assert(!isMor(), "second bound-reaching merge must fold again")
+    val got = PartitionedManifest.read(spark, root, "bk", "int")
+      .filter($"bk" === 0).select($"k", $"v").as[(Long, Double)]
+      .collect().toMap
+    assert(got(0L) == 300.0 && got(2L) == 200.0 && !got.contains(4L) &&
+      got(6L) == 6.0 && got.size == 49,
+      s"folded content wrong: size=${got.size} 0->${got.get(0L)}")
+  }
+
+  test("spec merge-on-read: compactLeaves is optimistic — a commitMerge " +
+      "landing mid-fold invalidates its leaf (retried with a fresh " +
+      "read-set), the clean leaf commits, and nothing is lost") {
+    import spark.implicits._
+    import graft.engine.{ManifestTable, SpecManifest}
+    import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("graft-specfold").toString
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val spec = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b", "k", Bucket(2))))
+    val base = (0 until 40).map(i => (i.toLong, i * 1.0, s"g${i % 2}"))
+      .toDF("k", "v", "grp")
+    SpecManifest.seed(spark, root, base, spec)
+    // make every leaf MOR-live
+    val leaves = SpecManifest.leafKeys(spark, root, spec)
+    leaves.foreach { vs =>
+      val keys = SpecManifest.readLeaf(spark, root, spec, vs)
+        .select($"k").as[Long].head(1).toSeq
+      SpecManifest.commitMerge(spark, root, spec, Seq("k"),
+        upserts = Map(vs -> keys.map(k => (k, -1.0, s"g${k % 2}"))
+          .toDF("k", "v", "grp")))
+    }
+    def isMor(vs: Seq[String]) = fs.exists(new HPath(
+      s"$root/g=${vs(0)}/b=${vs(1)}/" + ManifestTable.currentVersion(
+        s"$root/g=${vs(0)}/b=${vs(1)}").get, "_mor.tsv"))
+    assert(leaves.forall(isMor))
+    // a concurrent merge lands on ONE leaf between the fold's rewrite
+    // and its validation — that leaf must be detected dirty and retried
+    val hot = leaves.head
+    var fired = false
+    val (_, folded) = SpecManifest.compactLeaves(spark, root, spec,
+      onBeforeValidate = () => if (!fired) {
+        fired = true
+        SpecManifest.commitMerge(spark, root, spec, Seq("k"),
+          upserts = Map(hot -> Seq((999L, 9.0, hot(0)))
+            .toDF("k", "v", "grp")))
+      })
+    assert(folded.toSet ==
+      leaves.map(vs => s"g=${vs(0)}/b=${vs(1)}").toSet,
+      s"every MOR leaf must fold (retry included): $folded")
+    assert(leaves.forall(vs => !isMor(vs)),
+      "all leaves must be pure after the pass")
+    val got = SpecManifest.read(spark, root, spec)
+      .select($"k", $"v").as[(Long, Double)].collect().toMap
+    assert(got(999L) == 9.0, "the mid-fold commit's row must survive")
+    assert(got.size == 41 && got.values.count(_ == -1.0) == leaves.size,
+      s"fold must preserve merged content: size=${got.size}")
+  }
+
 }
