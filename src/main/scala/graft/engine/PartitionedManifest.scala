@@ -1562,7 +1562,12 @@ object PartitionedManifest {
         .filter(v => among.forall(_.contains(v)))
         .filter { v =>
           val pr = s"$root/$partCol=$v"
-          smallDataFileCount(spark, pr, smallFileBytes) > maxFiles ||
+          // an explicit CLUSTERED rewrite is a layout action: it
+          // selects every partition regardless of file sizes (the
+          // small-file gate is the steady-state dedup heuristic —
+          // at scale the interleaved files it must fix are LARGE)
+          clusterBy.nonEmpty ||
+            smallDataFileCount(spark, pr, smallFileBytes) > maxFiles ||
             ManifestTable.currentDataDir(pr).exists(isMorDir(spark, _))
         }
         .map { v =>

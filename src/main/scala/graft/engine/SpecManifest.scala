@@ -112,6 +112,7 @@ object SpecManifest {
 
   private val SnapDir = "_snapshots"
   private val SpecFile = "_spec"
+  private val SpecsDir = "_specs"
 
   private def fsOf(spark: SparkSession, root: String) =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -143,13 +144,76 @@ object SpecManifest {
     PartitionSpec.parse(text)
   }
 
+  /** All spec versions, oldest first — v1 is the seed-time `_spec`;
+    * [[evolveSpec]] appends under `_specs/`. */
+  def specVersions(spark: SparkSession, root: String): Seq[PartitionSpec] = {
+    val fs = fsOf(spark, root)
+    val dir = new HPath(root, SpecsDir)
+    val later =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("spec-")).sorted.toSeq.map { n =>
+          val in = fs.open(new HPath(dir, n))
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          PartitionSpec.parse(text)
+        }
+    readSpec(spark, root) +: later
+  }
+
+  /** PARTITION SPEC EVOLUTION (the Iceberg contract): change how NEW
+    * data partitions — e.g. bucket(4) → bucket(8) as the table grows —
+    * WITHOUT rewriting a byte of what exists. Old leaves keep their
+    * old layout (and stay mergeable/compactable under their own spec);
+    * commits of NEW leaves use the evolved spec; [[read]] serves the
+    * union with the current spec's fields re-DERIVED from source
+    * columns, and the transparent hidden-partition rule prunes each
+    * layout generation through its own spec.
+    *
+    * Name discipline: a field NAME never changes meaning across
+    * versions — a field whose (source, transform) differs from any
+    * prior same-named field must take a FRESH name (Iceberg's
+    * spec-field identity rule; leaf directory names stay unambiguous
+    * forever). Returns the new spec's version number. */
+  def evolveSpec(spark: SparkSession, root: String,
+      newSpec: PartitionSpec): Int = ManifestTable.withPublishLock(root) {
+    val versions = specVersions(spark, root)
+    require(newSpec != versions.last,
+      "SpecManifest: the new spec is already current")
+    val priorMeaning: Map[String, (String, String)] =
+      versions.flatMap(_.fields)
+        .map(f => f.name -> (f.source, f.transform.render)).toMap
+    newSpec.fields.foreach { f =>
+      priorMeaning.get(f.name).foreach { case (src, tr) =>
+        require(src == f.source && tr == f.transform.render,
+          s"SpecManifest: field '${f.name}' already means $src/$tr - " +
+            "a changed source or transform needs a FRESH field name")
+      }
+    }
+    val gen = versions.length + 1
+    ManifestTable.writeOnce(root, f"$SpecsDir/spec-$gen%05d",
+      newSpec.render + "\n")
+    gen
+  }
+
+  /** The spec version a leaf was written under, recovered from its
+    * path's field names (unambiguous by [[evolveSpec]]'s name rule;
+    * newest match wins for identical name sequences). */
+  private def specForLeaf(versions: Seq[PartitionSpec],
+      leafKey: String): PartitionSpec = {
+    val names = leafKey.split("/").toSeq.map(_.split("=", 2)(0))
+    versions.reverse.find(_.names == names).getOrElse(sys.error(
+      s"SpecManifest: no spec version matches leaf $leafKey " +
+        s"(names $names)"))
+  }
+
   private def checkSpec(spark: SparkSession, root: String,
       spec: PartitionSpec): Unit = {
-    val stored = readSpec(spark, root)
-    require(stored == spec,
+    val versions = specVersions(spark, root)
+    require(versions.contains(spec),
       s"SpecManifest: spec mismatch under $root - stored " +
-        s"[${stored.render.replace("\n", "; ")}], got " +
-        s"[${spec.render.replace("\n", "; ")}]")
+        s"[${versions.map(_.render.replace("\n", "; ")).mkString(" | ")}]" +
+        s", got [${spec.render.replace("\n", "; ")}]")
   }
 
   /** All leaf keys present on disk (depth = spec arity; partition-count
@@ -260,6 +324,17 @@ object SpecManifest {
               .getName
           }.toMap
       }
+      // spec evolution: creating a NEW leaf is reserved to the CURRENT
+      // spec (old layouts stay mergeable but never grow new leaves)
+      val versions = specVersions(spark, root)
+      if (spec != versions.last) {
+        val fresh = updates.keys.map(vs => leafPath(spec, vs))
+          .filterNot(lp => base.contains(lp) ||
+            ManifestTable.currentVersion(s"$root/$lp").isDefined)
+        require(fresh.isEmpty,
+          s"SpecManifest: new leaves (${fresh.mkString(",")}) must use " +
+            "the CURRENT spec version")
+      }
       // kept snapshots' dirs per leaf — the per-leaf GC protection
       val protectByLeaf: Map[String, Set[String]] =
         protectedDirsByLeaf(spark, root, keepSnapshots)
@@ -351,25 +426,58 @@ object SpecManifest {
     * subset — the common all-pure case keeps its ONE plan node. */
   def read(spark: SparkSession, root: String, spec: PartitionSpec,
       snapshot: Option[String] = None): DataFrame = {
-    checkSpec(spark, root, spec)
+    val versions = specVersions(spark, root)
+    require(versions.contains(spec) && spec == versions.last,
+      s"SpecManifest: read serves the CURRENT spec under $root - " +
+        s"current is [${versions.last.render.replace("\n", "; ")}]")
     val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
       sys.error(s"SpecManifest: no snapshot committed under $root"))
     val mapping = snapshotMapping(spark, root, snap)
     require(mapping.nonEmpty, s"SpecManifest: empty snapshot $snap")
     val (morLs, pureLs) = mapping.partition { case (k, d) =>
       PartitionedManifest.isMorDir(spark, s"$root/$k/$d") }
-    val pureDf =
-      if (pureLs.isEmpty) None
-      else Some(servePin(spark, root, spec, pureLs))
-    val morDfs = morLs.map { case (k, d) =>
-      val resolved = PartitionedManifest.resolveVersionData(spark,
-        s"$root/$k", d, None)
-      k.split("/").foldLeft(resolved) { (x, seg) =>
-        val Array(n, v) = seg.split("=", 2)
-        x.withColumn(n, lit(v))
+    if (versions.size == 1) {
+      val pureDf =
+        if (pureLs.isEmpty) None
+        else Some(servePin(spark, root, spec, pureLs))
+      val morDfs = morLs.map { case (k, d) =>
+        val resolved = PartitionedManifest.resolveVersionData(spark,
+          s"$root/$k", d, None)
+        k.split("/").foldLeft(resolved) { (x, seg) =>
+          val Array(n, v) = seg.split("=", 2)
+          x.withColumn(n, lit(v))
+        }
       }
+      (pureDf.toSeq ++ morDfs).reduce(_.unionByName(_))
+    } else {
+      // EVOLVED table: each layout generation serves through its OWN
+      // pin (so the hidden-partition rule prunes each through its own
+      // spec); the output shape is data columns + the CURRENT spec's
+      // fields. A current field a generation ALSO partitions on keeps
+      // its stored partition column (a filter on it still prunes that
+      // pin); a field the generation predates is re-DERIVED from its
+      // source column (row-level only there — the hidden rule prunes
+      // it through the source predicate instead). Partition values
+      // are layout, never data, so readers get one stable shape.
+      val pins = pureLs
+        .groupBy { case (k, _) => specForLeaf(versions, k) }.toSeq
+        .sortBy(_._1.names.mkString("/"))
+        .map { case (sp, ls) =>
+          val df = servePin(spark, root, sp, ls)
+          val missing = spec.fields.filterNot(sp.fields.contains)
+          val dropNames = sp.names
+            .filterNot(n => spec.fields.exists(f =>
+              f.name == n && sp.fields.contains(f)))
+          missing.foldLeft(df.drop(dropNames: _*))((d, f) =>
+            d.withColumn(f.name, f.derived))
+        }
+      val mors = morLs.map { case (k, d) =>
+        val df = PartitionedManifest.resolveVersionData(spark,
+          s"$root/$k", d, None)
+        spec.fields.foldLeft(df)((x, f) => x.withColumn(f.name, f.derived))
+      }
+      (pins ++ mors).reduce(_.unionByName(_))
     }
-    (pureDf.toSeq ++ morDfs).reduce(_.unionByName(_))
   }
 
   /** The PURE subset of a snapshot's leaves served through one
@@ -404,14 +512,20 @@ object SpecManifest {
         adds.mkString(" "))
       // drop pins of expired snapshots for this root (keep-N bounded).
       // A snapshot with merge-on-read leaves serves its PURE SUBSET
-      // through the pin, so that subset's pin counts as valid too.
+      // through the pin, so that subset's pin counts as valid too —
+      // and an EVOLVED table serves one pin per spec generation, so
+      // each generation's pure group is valid as well.
       val prefix = s"graft_sm_${hash8(root)}_"
+      val versions = specVersions(spark, root)
       val valid = snapshots(spark, root).flatMap { sn =>
         val m = snapshotMapping(spark, root, sn)
         val pure = m.filterNot { case (k, d) =>
           PartitionedManifest.isMorDir(spark, s"$root/$k/$d") }
-        Seq(m, pure).filter(_.nonEmpty).map(x => prefix + hash8(
-          x.map { case (k, d) => s"$k\t$d" }.mkString("\n")))
+        val groups = pure.groupBy { case (k, _) =>
+          specForLeaf(versions, k) }.values.toSeq
+        (Seq(m, pure) ++ groups).filter(_.nonEmpty).map(x =>
+          prefix + hash8(
+            x.map { case (k, d) => s"$k\t$d" }.mkString("\n")))
       }.toSet + table
       val db = spark.catalog.currentDatabase
       spark.sharedState.externalCatalog.listTables(db)
@@ -457,7 +571,11 @@ object SpecManifest {
     val changed = (from.keySet ++ to.keySet)
       .filter(k => from.get(k) != to.get(k)).toSeq.sorted
     // per-leaf MOR-resolving reads (a changed leaf may be a delta
-    // chain on either side); partition values come from the leaf key
+    // chain on either side); partition values come from the leaf key.
+    // Across spec evolutions changed leaves may carry different field
+    // names — the diff emits the union, absent fields as NULL.
+    val allNames: Seq[String] = changed
+      .flatMap(_.split("/").map(_.split("=", 2)(0))).distinct
     def side(m: Map[String, String]): Option[DataFrame] = {
       val leaves = changed.flatMap(k => m.get(k).map(d => (k, d)))
       if (leaves.isEmpty) None
@@ -465,10 +583,15 @@ object SpecManifest {
         val df = PartitionedManifest.resolveVersionData(spark,
           s"$root/$k", d, None)
         val dataCols = df.columns.toSeq
-        k.split("/").foldLeft(df) { (x, seg) =>
+        val present = k.split("/").map(_.split("=", 2)(0)).toSet
+        val attached = k.split("/").foldLeft(df) { (x, seg) =>
           val Array(n, v) = seg.split("=", 2)
           x.withColumn(n, lit(v))
-        }.select((dataCols.map(col) ++ spec.names.map(col)): _*)
+        }
+        allNames.filterNot(present)
+          .foldLeft(attached)((x, n) =>
+            x.withColumn(n, lit(null).cast("string")))
+          .select((dataCols.map(col) ++ allNames.map(col)): _*)
       }.reduce(_.unionByName(_)))
     }
     (side(from), side(to)) match {

@@ -1575,6 +1575,151 @@ object EngineQueries {
         UNION ALL SELECT 'cdc_del' AS src, * FROM del)
       ORDER BY src, o_orderkey"""), bench = true),
 
+    // PARTITION SPEC EVOLUTION (the Iceberg contract): bucket(4) →
+    // bucket(8) as the table grows, WITHOUT rewriting a byte — old
+    // leaves keep their layout (and stay merge-on-read-able under
+    // their own spec), new commits land under the evolved spec, and
+    // ONE read serves both generations: shared fields (y) keep their
+    // stored partition columns (year filters prune BOTH pins), the
+    // new bucket field is re-derived where it predates the data, and
+    // a bare source-column equality prunes EACH generation through
+    // its own spec via the transparent hidden-partition rule
+    // (plan-asserted on the physical scans' selected files).
+    QuerySpec("w24_spec_evolution", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{lit, year => yearOf}
+      import org.apache.hadoop.fs.{Path => HPath}
+      import graft.engine.{ManifestTable, SpecManifest}
+      import graft.engine.SpecManifest.{Bucket, PartField, PartitionSpec, Year}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w24").toString
+      val spec1 = PartitionSpec(Seq(
+        PartField("y", "o_orderdate", Year),
+        PartField("b", "o_custkey", Bucket(4))))
+      val spec2 = PartitionSpec(Seq(
+        PartField("y", "o_orderdate", Year),
+        PartField("b8", "o_custkey", Bucket(8))))
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"),
+          $"o_orderdate")
+      val old = base.filter(yearOf($"o_orderdate") < 1996)
+      // ONE new-generation year keeps the harness leaf-count bounded
+      // (the generational mechanics are identical at any leaf count)
+      val newer = base.filter(yearOf($"o_orderdate") === 1996)
+      val s1 = SpecManifest.seed(s, root, old, spec1)
+      // name discipline: re-using 'b' with a changed transform refuses
+      try {
+        SpecManifest.evolveSpec(s, root, PartitionSpec(Seq(
+          PartField("y", "o_orderdate", Year),
+          PartField("b", "o_custkey", Bucket(8)))))
+        sys.error("evolveSpec must refuse a reused name")
+      } catch {
+        case e: IllegalArgumentException =>
+          require(e.getMessage.contains("FRESH"), e.getMessage)
+      }
+      SpecManifest.evolveSpec(s, root, spec2)
+      def perLeaf(spec: PartitionSpec,
+          df: org.apache.spark.sql.DataFrame)
+          : Map[Seq[String], org.apache.spark.sql.DataFrame] = {
+        val tagged = spec.fields.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, f.derived)).localCheckpoint()
+        val ns = spec.names
+        tagged.select(ns.head, ns.tail: _*).distinct().collect()
+          .map(r => Seq(r.getString(0), r.getString(1)))
+          .map(vs => vs -> ns.zipWithIndex.foldLeft(tagged) {
+            case (d, (n, i)) => d.filter(d(n) === vs(i))
+          }.drop(ns: _*)).toMap
+      }
+      // 1996+ lands as NEW leaves under the evolved spec
+      val s2 = SpecManifest.commitSnapshot(s, root, spec2,
+        perLeaf(spec2, newer), keepSnapshots = 6)
+      val leaves1 = SpecManifest.leafKeys(s, root, spec1)
+      val leaves2 = SpecManifest.leafKeys(s, root, spec2)
+      require(leaves1.nonEmpty && leaves2.nonEmpty &&
+          leaves1.forall(_.head.toInt < 1996) &&
+          leaves2.forall(_.head.toInt == 1996),
+        s"generations must coexist: $leaves1 / $leaves2")
+      // CDC across the evolution commit: only gen-2 leaves moved
+      val ch = SpecManifest.changesBetween(s, root, spec2, s1, s2)
+      require(ch.inputFiles.nonEmpty &&
+          ch.inputFiles.forall(_.contains("/b8=")),
+        "evolution CDC must plan only the new generation's leaves")
+      require(ch.filter($"_change_type" === "delete").isEmpty,
+        "an additive evolution commit has no deletes")
+      // an OLD-generation leaf still merges, under ITS OWN spec (MOR)
+      val up1 = perLeaf(spec1, old
+        .filter(yearOf($"o_orderdate") === 1995 && $"o_orderkey" % 10 === 2)
+        .withColumn("o_totalprice", $"o_totalprice" + 100.0))
+      SpecManifest.commitMerge(s, root, spec1, Seq("o_orderkey"),
+        upserts = up1, keepSnapshots = 6)
+      val fs = new HPath(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      up1.keys.foreach { vs =>
+        val d = ManifestTable.currentDataDir(
+          s"$root/y=${vs(0)}/b=${vs(1)}").get
+        require(fs.exists(new HPath(d, "_mor.tsv")),
+          s"old-generation merge must layer, not rewrite ($d)")
+      }
+      // fold the old generation's chains back down
+      val (_, folded) = SpecManifest.compactLeaves(s, root, spec2,
+        keepSnapshots = 6)
+      require(folded.toSet ==
+          up1.keys.map(vs => s"y=${vs(0)}/b=${vs(1)}").toSet,
+        s"fold must converge exactly the merged leaves: $folded")
+      // transparent hidden pruning across BOTH generations: a bare
+      // source equality prunes each pin to ITS derived bucket dir
+      val ck = base.filter($"o_custkey" % 7 === 3)
+        .select($"o_custkey").head().getLong(0)
+      val b4 = s.range(1).select(spec1.fields(1).derive(lit(ck)).as("v"))
+        .head().getString(0)
+      val b8 = s.range(1).select(spec2.fields(1).derive(lit(ck)).as("v"))
+        .head().getString(0)
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.toPartitionArray
+              .map(_.filePath.toString).toSeq
+        }.flatten
+      val allFiles = scanFiles(SpecManifest.read(s, root, spec2))
+      val bareFiles = scanFiles(SpecManifest.read(s, root, spec2)
+        .where($"o_custkey" === ck))
+      require(bareFiles.nonEmpty && bareFiles.size < allFiles.size &&
+          bareFiles.forall(p =>
+            p.contains(s"/b=$b4/") || p.contains(s"/b8=$b8/")),
+        s"bare equality must prune both generations " +
+          s"(${bareFiles.size}/${allFiles.size}): " +
+          bareFiles.take(3).mkString(","))
+      // the SHARED field stays a stored partition column: a year
+      // filter prunes to one year's leaves in whichever generation
+      val y95 = SpecManifest.read(s, root, spec2).where($"y" === "1995")
+      require(y95.inputFiles.nonEmpty &&
+          y95.inputFiles.forall(_.contains("/y=1995/")),
+        "year pruning must survive the evolution")
+      val y96 = SpecManifest.read(s, root, spec2).where($"y" === "1996")
+      require(y96.inputFiles.nonEmpty &&
+          y96.inputFiles.forall(_.contains("/y=1996/")),
+        "gen-2 year pruning must hold too")
+      // result: one stable shape across generations (b8 is layout)
+      SpecManifest.read(s, root, spec2)
+        .select($"o_orderkey", $"o_totalprice", $"y")
+        .orderBy($"o_orderkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               strftime(o_orderdate, '%Y') AS y
+        FROM orders)
+      SELECT o_orderkey,
+             CASE WHEN y = '1995' AND o_orderkey % 10 = 2
+                  THEN o_totalprice + 100.0 ELSE o_totalprice END
+               AS o_totalprice,
+             y
+      FROM base
+      WHERE y IN ('1995', '1996')
+      ORDER BY o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -2106,4 +2106,63 @@ class EngineSpec extends AnyFunSuite {
       s"fold must preserve merged content: size=${got.size}")
   }
 
+  test("spec evolution contracts: reads serve the CURRENT spec only, " +
+      "new leaves refuse an old spec, and old-generation leaves stay " +
+      "writable under their own spec") {
+    import spark.implicits._
+    import graft.engine.SpecManifest
+    import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+    val root = Files.createTempDirectory("graft-specevo").toString
+    val spec1 = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b", "k", Bucket(2))))
+    val spec2 = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b4", "k", Bucket(4))))
+    val gen1 = (0 until 20).map(i => (i.toLong, i * 1.0, "old"))
+      .toDF("k", "v", "grp")
+    SpecManifest.seed(spark, root, gen1, spec1)
+    SpecManifest.evolveSpec(spark, root, spec2)
+    // an evolved spec cannot re-evolve to itself
+    intercept[IllegalArgumentException] {
+      SpecManifest.evolveSpec(spark, root, spec2)
+    }
+    // reads must name the CURRENT spec
+    intercept[IllegalArgumentException] {
+      SpecManifest.read(spark, root, spec1)
+    }
+    // a NEW leaf under the OLD spec refuses
+    intercept[IllegalArgumentException] {
+      SpecManifest.commitSnapshot(spark, root, spec1,
+        Map(Seq("new", "0") ->
+          Seq((100L, 1.0, "new")).toDF("k", "v", "grp")))
+    }
+    // ... but the same rows land fine under the CURRENT spec
+    val rows = Seq((100L, 1.0, "new"), (101L, 2.0, "new"))
+      .toDF("k", "v", "grp")
+    val tagged = spec2.fields.foldLeft(rows)((d, f) =>
+      d.withColumn(f.name, f.derived)).localCheckpoint()
+    val updates = tagged.select($"g", $"b4").distinct().collect()
+      .map(r => Seq(r.getString(0), r.getString(1)))
+      .map(vs => vs -> tagged.filter($"g" === vs(0) && $"b4" === vs(1))
+        .drop("g", "b4")).toMap
+    SpecManifest.commitSnapshot(spark, root, spec2, updates)
+    // an OLD-generation leaf merges under ITS spec (MOR), and the
+    // unified read resolves it with the evolved output shape — pick
+    // the leaf that actually holds k=0 (bucket placement is hashed)
+    val oldLeaf = SpecManifest.leafKeys(spark, root, spec1).find { vs =>
+      SpecManifest.readLeaf(spark, root, spec1, vs)
+        .filter($"k" === 0L).count() > 0
+    }.get
+    SpecManifest.commitMerge(spark, root, spec1, Seq("k"),
+      upserts = Map(oldLeaf ->
+        Seq((0L, -5.0, "old")).toDF("k", "v", "grp")))
+    val df = SpecManifest.read(spark, root, spec2)
+    assert(df.columns.contains("b4") && !df.columns.contains("b"),
+      s"evolved read shape: ${df.columns.toSeq}")
+    val got = df.select($"k", $"v").as[(Long, Double)].collect().toMap
+    assert(got.size == 22 && got(0L) == -5.0 && got(100L) == 1.0 &&
+      got(101L) == 2.0, s"unified content wrong: size=${got.size}")
+  }
+
 }
