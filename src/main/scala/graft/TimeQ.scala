@@ -13,8 +13,9 @@ object TimeQ {
     names.foreach { n =>
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"[timeq] $n run$i ${(System.nanoTime()-t0)/1e9}%.3f s")
+        val rows = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"[timeq] $n run$i ${(System.nanoTime()-t0)/1e9}%.3f s " +
+          s"rows=$rows")
       }
     }
     spark.stop()

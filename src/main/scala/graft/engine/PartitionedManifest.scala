@@ -1308,7 +1308,8 @@ object PartitionedManifest {
   private def writeClusteredScratch(spark: SparkSession, root: String,
       partCol: String, candidates: Map[String, String],
       schema: Option[StructType], clusterBy: Seq[String],
-      clusterFiles: Int, targetBytes: Long): String = {
+      clusterFiles: Int, targetBytes: Long,
+      zOrder: Boolean = false): String = {
     val fs = fsOf(spark, root)
     val scratch =
       s"$root/.optimize-${java.util.UUID.randomUUID.toString.take(8)}"
@@ -1324,9 +1325,40 @@ object PartitionedManifest {
       val nf =
         if (clusterFiles > 0) clusterFiles
         else math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      df.repartitionByRange(nf, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
-        .write.mode("error").parquet(s"$scratch/$partCol=$v")
+      val clustered =
+        if (!zOrder)
+          df.repartitionByRange(nf, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        else {
+          // OPTIMIZE ZORDER: interleave the two dimensions on the
+          // Morton curve so EITHER column's range predicate prunes
+          // files (a lexicographic sort only serves its leading
+          // column). Each dimension min-max scales to the full
+          // 16-bit range per partition first (Delta's range-bounds
+          // pass) — interleaving raw values that only touch the low
+          // bits would leave every row in one Z quadrant.
+          require(clusterBy.length == 2,
+            "zOrder clustering interleaves exactly two columns")
+          val Seq(c1, c2) = clusterBy
+          val r = df.agg(min(col(c1).cast("long")),
+            max(col(c1).cast("long")), min(col(c2).cast("long")),
+            max(col(c2).cast("long"))).head()
+          val (amin, amax) = (r.getLong(0), r.getLong(1))
+          val (bmin, bmax) = (r.getLong(2), r.getLong(3))
+          val spanA = math.max(amax - amin, 1L)
+          val spanB = math.max(bmax - bmin, 1L)
+          // integer `div`, not `/` (Column./ is float division)
+          val a16 = expr(
+            s"((cast(`$c1` as bigint) - ${amin}L) * 65535L) div ${spanA}L")
+          val b16 = expr(
+            s"((cast(`$c2` as bigint) - ${bmin}L) * 65535L) div ${spanB}L")
+          df.withColumn("_graft_z",
+              graft.operators.Layout.zOrder16(a16, b16))
+            .repartitionByRange(nf, col("_graft_z"))
+            .sortWithinPartitions(col("_graft_z"))
+            .drop("_graft_z")
+        }
+      clustered.write.mode("error").parquet(s"$scratch/$partCol=$v")
     }
     scratch
   }
@@ -1547,7 +1579,8 @@ object PartitionedManifest {
       smallFileBytes: Long = 8L << 20, maxAttempts: Int = 3,
       onBeforeValidate: () => Unit = () => (),
       clusterBy: Seq[String] = Nil, clusterFiles: Int = 0,
-      clusterTargetBytes: Long = 128L << 20): (String, Seq[String]) = {
+      clusterTargetBytes: Long = 128L << 20,
+      clusterZOrder: Boolean = false): (String, Seq[String]) = {
     require(keepSnapshots >= 2,
       "keepSnapshots must be >= 2 (current + previous)")
     val fs = fsOf(spark, root)
@@ -1596,7 +1629,8 @@ object PartitionedManifest {
             .flatMap(sn => snapshotSchema(spark, root, sn))
           if (clusterBy.nonEmpty)
             Some(writeClusteredScratch(spark, root, partCol, candidates,
-              curSchema, clusterBy, clusterFiles, clusterTargetBytes))
+              curSchema, clusterBy, clusterFiles, clusterTargetBytes,
+              clusterZOrder))
           else {
             // resolveVersionData: a merge-on-read candidate's rewrite is
             // its RESOLVED content — the fold-down that converges the

@@ -1720,6 +1720,80 @@ object EngineQueries {
       WHERE y IN ('1995', '1996')
       ORDER BY o_orderkey"""), bench = true),
 
+    // OPTIMIZE ZORDER (compact(clusterZOrder=true) — Delta's OPTIMIZE
+    // ZORDER BY (a, b) / Iceberg's z-order rewrite strategy): w19's
+    // lexicographic range-split serves only its LEADING column; the
+    // Morton interleave gives BOTH dimensions file-level pruning. The
+    // seed layout hash-interleaves 16 files (every file spans both key
+    // ranges — require()d: zone maps skip NOTHING on either column);
+    // one z-order rewrite makes a 1/8-range scan on EITHER column drop
+    // at least half the files (require()d, plan-checked: the scan
+    // references only survivors). Skipping is IO elision only — the
+    // oracle is the two plain relational filters, identical before and
+    // after the rewrite.
+    QuerySpec("w25_optimize_zorder", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{lit, max}
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w25").toString
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"))
+      PartitionedManifest.publishPartition(s, root, "bk", "0",
+        base.repartition(16)) // interleaved spans on BOTH dims
+      PartitionedManifest.commitSnapshot(s, root, "bk", Map.empty)
+      val cols = Seq("o_orderkey", "o_custkey")
+      PartitionedManifest.analyzeFileStats(s, root, "bk", cols)
+      val kHi = math.floor(base.agg(max($"o_orderkey")).head.getLong(0)
+        / 8.0)
+      val cHi = math.floor(base.agg(max($"o_custkey")).head.getLong(0)
+        / 8.0)
+      val (_, k0, kt0) = PartitionedManifest.scanWithFileSkipping(
+        s, root, "bk", "int", "o_orderkey", 1.0, kHi)
+      val (_, c0, ct0) = PartitionedManifest.scanWithFileSkipping(
+        s, root, "bk", "int", "o_custkey", 1.0, cHi)
+      require(kt0 >= 16 && k0 == kt0 && c0 == ct0,
+        s"hash layout must defeat zone maps on both dims: " +
+          s"$k0/$kt0, $c0/$ct0")
+      val (_, touched) = PartitionedManifest.compact(s, root, "bk",
+        clusterBy = Seq("o_custkey", "o_orderkey"), clusterFiles = 16,
+        clusterZOrder = true)
+      require(touched == Seq("0"), s"the partition must rewrite: $touched")
+      PartitionedManifest.analyzeFileStats(s, root, "bk", cols)
+      val (dfK, k1, kt1) = PartitionedManifest.scanWithFileSkipping(
+        s, root, "bk", "int", "o_orderkey", 1.0, kHi)
+      val (dfC, c1, ct1) = PartitionedManifest.scanWithFileSkipping(
+        s, root, "bk", "int", "o_custkey", 1.0, cHi)
+      require(kt1 >= 16 && k1 * 2 <= kt1,
+        s"z-order must prune o_orderkey range scans: kept $k1/$kt1")
+      require(c1 * 2 <= ct1,
+        s"z-order must prune o_custkey range scans too: kept $c1/$ct1")
+      require(dfK.inputFiles.length == k1 &&
+          dfC.inputFiles.length == c1,
+        "the plans must reference ONLY the surviving files")
+      dfK.select(lit("byk").as("src"), $"o_orderkey", $"o_custkey",
+          $"o_totalprice")
+        .unionByName(dfC.select(lit("byc").as("src"), $"o_orderkey",
+          $"o_custkey", $"o_totalprice"))
+        .orderBy($"src", $"o_orderkey", $"o_custkey")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders)
+      SELECT src, o_orderkey, o_custkey, o_totalprice FROM (
+        SELECT 'byk' AS src, * FROM base
+        WHERE o_orderkey >= 1 AND o_orderkey <=
+          (SELECT FLOOR(MAX(o_orderkey) / 8.0) FROM base)
+        UNION ALL
+        SELECT 'byc' AS src, * FROM base
+        WHERE o_custkey >= 1 AND o_custkey <=
+          (SELECT FLOOR(MAX(o_custkey) / 8.0) FROM base))
+      ORDER BY src, o_orderkey, o_custkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()
