@@ -311,9 +311,14 @@ object SpecManifest {
       spec: PartitionSpec, updates: Map[Seq[String], DataFrame],
       keepSnapshots: Int = 2): String = {
     require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
-    checkSpec(spark, root, spec)
     ManifestTable.withPublishLock(root) {
       val fs = fsOf(spark, root)
+      // create-table-on-first-commit: a fresh root adopts the writer's
+      // spec as v1 (the streaming sink's bootstrap path); an existing
+      // root validates the spec against the stored versions as always
+      if (!fs.exists(new HPath(root, SpecFile)))
+        ManifestTable.writeOnce(root, SpecFile, spec.render + "\n")
+      checkSpec(spark, root, spec)
       val base: Map[String, String] = currentSnapshot(spark, root) match {
         case Some(s) => snapshotMapping(spark, root, s).toMap
         case None =>

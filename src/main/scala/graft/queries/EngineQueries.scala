@@ -1794,6 +1794,86 @@ object EngineQueries {
           (SELECT FLOOR(MAX(o_custkey) / 8.0) FROM base))
       ORDER BY src, o_orderkey, o_custkey"""), bench = true),
 
+    // STREAMING SINK INTO A SPEC TABLE (graft-spec-table — w18
+    // generalized to composite hidden partitioning): the sink DERIVES
+    // each row's (identity, bucket) leaf through the writer transforms
+    // (producers never supply partition values), batch 0 bootstraps
+    // the table (create-on-first-commit adopts the spec as v1) and
+    // seeds every leaf, batch 1 rides merge-on-read — one atomic
+    // commitMerge whose touched leaves layer delta dirs (require()d:
+    // _mor.tsv present, so bytes per batch scale with the batch, not
+    // the hot leaves). Exactly-once: a directly replayed batchId is a
+    // no-op (require()d). The oracle replays both batches relationally.
+    QuerySpec("w26_spec_table_sink", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.lit
+      import org.apache.hadoop.fs.{Path => HPath}
+      import graft.engine.{ManifestTable, SpecManifest}
+      import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w26").toString
+      val ckpt = Files.createTempDirectory("graft-w26-ck").toString
+      val inDir = Files.createTempDirectory("graft-w26-in").toString
+      val spec = PartitionSpec(Seq(
+        PartField("g", "grp", Identity),
+        PartField("b", "k", Bucket(2))))
+      val base = Tables.load(s, dir, "supplier")
+        .select($"s_suppkey".cast("long").as("k"),
+          $"s_acctbal".cast("double").as("amount"),
+          ($"s_nationkey" % 3).cast("int").as("grp"))
+      base.write.mode("overwrite").parquet(inDir)
+      val q = s.readStream.schema(base.schema).parquet(inDir)
+        .writeStream.format("graft-spec-table")
+        .option("root", root).option("spec", spec.renderCompact)
+        .option("keyCol", "k").option("mergeOnRead", "true")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable() // batch 0: bootstrap + seed every leaf
+        // updates only: every touched leaf exists by construction, so
+        // the batch provably rides the merge-on-read path at any scale
+        // (inserts into fresh leaves are w18/w23 territory)
+        val b2 = base.filter($"k" % 5 === 0)
+          .withColumn("amount", $"amount" + 7.5)
+        b2.write.mode("append").parquet(inDir)
+        q.processAllAvailable() // batch 1: merge-on-read delta
+      } finally q.stop()
+      require(SpecManifest.snapshots(s, root).length == 2,
+        "one snapshot commit per micro-batch")
+      // the merge batch layered deltas — it did NOT rewrite the leaves
+      val fs = new HPath(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val morLeaves = SpecManifest.leafKeys(s, root, spec).filter { vs =>
+        val d = ManifestTable.currentDataDir(
+          s"$root/g=${vs(0)}/b=${vs(1)}").get
+        fs.exists(new HPath(d, "_mor.tsv"))
+      }
+      require(morLeaves.nonEmpty,
+        "the merge batch must land as merge-on-read layers")
+      // exactly-once: a replayed batchId must be a no-op
+      val sink = new graft.streaming.SpecTableSinkProvider().createSink(
+        s.sqlContext, Map("root" -> root, "spec" -> spec.renderCompact,
+          "keyCol" -> "k", "mergeOnRead" -> "true"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      sink.addBatch(0, base.limit(1).withColumn("amount", lit(-1.0)))
+      require(SpecManifest.snapshots(s, root).length == 2,
+        "replayed batchId must not re-commit")
+      SpecManifest.read(s, root, spec)
+        .select($"k", $"amount", $"g".cast("long").as("g"))
+        .orderBy($"k")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS k,
+               CAST(s_acctbal AS DOUBLE) AS amount,
+               CAST(s_nationkey % 3 AS BIGINT) AS g
+        FROM supplier),
+      b2 AS (
+        SELECT k, amount + 7.5 AS amount, g FROM base WHERE k % 5 = 0)
+      SELECT k, amount, g
+      FROM (SELECT * FROM base WHERE k % 5 <> 0
+            UNION ALL SELECT * FROM b2)
+      ORDER BY k"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.engine.{ManifestTable, SpecManifest}
+
+/** Structured Streaming SINK into a [[graft.engine.SpecManifest]]
+  * table — [[TableSink]] generalized to COMPOSITE partition specs, the
+  * write side a 100 TB ingest keyed on (day, bucket(id)) needs:
+  *
+  * {{{
+  *   upserts.writeStream.format("graft-spec-table")
+  *     .option("root", tableRoot)
+  *     .option("spec", spec.renderCompact)   // y:o_orderdate:year;b:o_custkey:bucket[4]
+  *     .option("keyCol", "k").outputMode("update")
+  *     .option("checkpointLocation", ckpt).start()
+  * }}}
+  *
+  * The sink DERIVES each row's leaf from the spec's transforms (hidden
+  * partitioning — producers never supply partition values), groups the
+  * micro-batch per touched leaf (leaf-count-bounded driver work), and
+  * lands the whole batch as ONE atomic root snapshot commit. With
+  * `mergeOnRead=true` and every touched leaf existing, the commit is a
+  * [[SpecManifest.commitMerge]] — bytes written per batch scale with
+  * the BATCH, never the hot leaf; batches that create leaves fall back
+  * to the full-merge snapshot commit for that batch (new leaves always
+  * land under the CURRENT spec — commitSnapshot enforces it, so the
+  * sink composes with spec evolution: evolve the table, restart the
+  * stream with the new spec option).
+  *
+  * EXACTLY-ONCE at commit granularity via the same per-sink
+  * `_refs_stream/<sinkId>` batch ref as [[TableSink]]: replayed batch
+  * ids are skipped, a crash between commit and ref lands on the
+  * key-merge's idempotence.
+  */
+class SpecTableSinkProvider extends StreamSinkProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft-spec-table"
+
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink =
+    new SpecTableSink(ctx, parameters)
+}
+
+class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
+    extends Sink {
+  private def opt(key: String): String = parameters.getOrElse(key,
+    sys.error(s"graft-spec-table: missing option '$key'"))
+  private val root = opt("root")
+  private val spec = SpecManifest.parseCompact(opt("spec"))
+  private val keyCol = opt("keyCol")
+  private val sinkId = {
+    val id = parameters.getOrElse("sinkId", "default")
+    require(id.nonEmpty && id.length <= 128 && id.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-') &&
+      !id.startsWith("."),
+      s"graft-spec-table: unsupported sinkId '$id' - letters, digits, " +
+        "'.', '_', '-' only")
+    id
+  }
+  private val keepSnapshots =
+    parameters.getOrElse("keepSnapshots", "2").toInt
+  private val mergeOnRead =
+    parameters.getOrElse("mergeOnRead", "false").toBoolean
+  private val batchRef = s"_refs_stream/$sinkId"
+
+  private def lastBatch(): Long = {
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      ctx.sparkSession.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, batchRef)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (batchId <= lastBatch()) return // replayed batch: already committed
+    val spark = ctx.sparkSession
+    val batch = org.apache.spark.sql.graft.ColumnBridge
+      .asBatchDataFrame(spark, data)
+    // derive each row's leaf through the writer-side transforms, then
+    // freeze once: the incremental plan is only valid within this call
+    val tagged = spec.fields.foldLeft(batch)((d, f) =>
+      d.withColumn(f.name, f.derived)).localCheckpoint()
+    if (!tagged.isEmpty) {
+      val ns = spec.names
+      val touched: Seq[Seq[String]] = tagged
+        .select(ns.head, ns.tail: _*).distinct().collect()
+        .map(r => ns.indices.map(i => r.getString(i)))
+        .toSeq.sortBy(_.mkString("/"))
+      def leafPathOf(vs: Seq[String]) =
+        ns.zip(vs).map { case (n, v) => s"$n=$v" }.mkString("/")
+      def leafOf(vs: Seq[String]): DataFrame =
+        ns.zipWithIndex.foldLeft(tagged) { case (d, (n, i)) =>
+          d.filter(col(n) === vs(i)) }.drop(ns: _*)
+      val allExist = touched.forall(vs =>
+        ManifestTable.currentVersion(s"$root/${leafPathOf(vs)}")
+          .isDefined)
+      if (mergeOnRead && allExist) {
+        SpecManifest.commitMerge(spark, root, spec, Seq(keyCol),
+          upserts = touched.map(vs => vs -> leafOf(vs)).toMap,
+          keepSnapshots = keepSnapshots)
+      } else {
+        val updates = touched.map { vs =>
+          val d = leafOf(vs)
+          val merged =
+            if (ManifestTable.currentVersion(
+                s"$root/${leafPathOf(vs)}").isDefined) {
+              // MOR-resolving read of the leaf's current content
+              val cur = SpecManifest.readLeaf(spark, root, spec, vs)
+              cur.join(d.select(col(keyCol)), Seq(keyCol), "left_anti")
+                .unionByName(d)
+            } else d // brand-new leaf (current-spec-only, enforced)
+          vs -> merged
+        }.toMap
+        SpecManifest.commitSnapshot(spark, root, spec, updates,
+          keepSnapshots)
+      }
+    }
+    // advance the batch ref AFTER the commit (see TableSink)
+    ManifestTable.swapRefPointer(root, batchRef, batchId.toString + "\n")
+  }
+
+  override def toString: String = s"GraftSpecTableSink($root)"
+}
