@@ -1678,6 +1678,116 @@ object PartitionedManifest {
       done.sorted.toSeq)
   }
 
+  /** AGE-BASED snapshot expiry (Iceberg's `expire_snapshots`): drop
+    * snapshot FILES whose commit wall-clock is older than
+    * `olderThanMs`, always keeping the newest `keepLast` plus tags,
+    * branch heads, and the current pointer — the same protection
+    * surface every keep-N trim applies, now with a time horizon
+    * ("keep 7 days" instead of "keep 2 commits": a quiet table's last
+    * N commits can span months, and a hot one's N commits span
+    * minutes). Metadata-only and O(#snapshots): version-dir GC stays
+    * LAZY (a partition's newly-unreferenced dirs collect on its next
+    * touch, exactly like the count-based trim). Pre-header snapshot
+    * files (no recorded wall-clock) are never age-expired. Returns the
+    * expired names. */
+  def expireSnapshots(spark: SparkSession, root: String,
+      olderThanMs: Long, keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 2, "keepLast must be >= 2 (current + previous)")
+    ManifestTable.withPublishLock(root) {
+      val fs = fsOf(spark, root)
+      val all = snapshots(spark, root)
+      val protect = all.takeRight(keepLast).toSet ++
+        tags(spark, root).values ++
+        branches(spark, root).values.map(_._1) ++
+        currentSnapshot(spark, root)
+      val expired = all.filterNot(protect).filter { sn =>
+        snapshotCommittedMs(spark, root, sn).exists(_ < olderThanMs)
+      }
+      expired.foreach(sn =>
+        fs.delete(new HPath(root, s"$SnapDir/$sn"), false))
+      expired
+    }
+  }
+
+  /** ORPHAN cleanup (Iceberg's `remove_orphan_files`, scoped to the
+    * layout this format actually writes): a crashed writer can strand
+    * (a) scratch directories (`.commit-*`, `.optimize-*`, `.seed-*`,
+    * `.mor-*`, `.fold-*` — written OUTSIDE any lock by design) and
+    * (b) fully-written version directories no snapshot ever came to
+    * reference (a crash between stage and commit). Both are invisible
+    * to readers but cost storage forever. This pass deletes, under the
+    * root and under every partition root, dot-prefixed scratch
+    * entries and UNREFERENCED version dirs whose modification time is
+    * older than `graceMs` — the grace window keeps in-flight writers
+    * safe (pick it ≫ the longest plausible write; referenced = named
+    * by ANY kept snapshot file, any MOR chain they anchor, or a live
+    * partition pointer). Runs under the publish lock so the reference
+    * set cannot move mid-scan. Returns the deleted paths. */
+  def cleanOrphans(spark: SparkSession, root: String,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] =
+    ManifestTable.withPublishLock(root) {
+      val fs = fsOf(spark, root)
+      val cutoff = System.currentTimeMillis() - graceMs
+      // the full reference set: every kept snapshot's dirs + every
+      // live pointer, expanded through MOR chains
+      val referencedByPart: Map[String, Set[String]] = {
+        val fromSnaps = snapshots(spark, root)
+          .flatMap(sn => snapshotMapping(spark, root, sn))
+        val fromPointers = partitionValues(spark, root,
+            snapshotPartCol(spark, root)).flatMap { v =>
+          ManifestTable.currentVersion(
+            s"$root/${snapshotPartCol(spark, root)}=$v").map(v -> _)
+        }
+        (fromSnaps ++ fromPointers).groupBy(_._1).map { case (v, ds) =>
+          v -> ds.map(_._2).toSet
+        }
+      }
+      val deleted = scala.collection.mutable.ListBuffer.empty[String]
+      def sweep(dir: HPath, referenced: Set[String]): Unit =
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          val stale = st.getModificationTime < cutoff
+          if (st.isDirectory && stale &&
+              (name.startsWith(".") ||
+                (name.startsWith("v") && name.drop(1).headOption
+                  .exists(_.isDigit) && !referenced.contains(name)))) {
+            fs.delete(st.getPath, true)
+            deleted += st.getPath.toString
+          }
+        }
+      // root-level scratch (.commit-*/.optimize-*/.seed-* land here)
+      fs.listStatus(new HPath(root)).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(".") &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, true)
+          deleted += st.getPath.toString
+        }
+      }
+      val pc = snapshotPartCol(spark, root)
+      partitionValues(spark, root, pc).foreach { v =>
+        val pr = s"$root/$pc=$v"
+        val referenced = expandMorProtect(spark, pr,
+          referencedByPart.getOrElse(v, Set.empty))
+        sweep(new HPath(pr), referenced)
+      }
+      deleted.sorted.toSeq
+    }
+
+  /** The partition column name recoverable from the table's own layout
+    * (`<col>=<value>` dirs) — lets maintenance passes run without the
+    * caller restating it. Fails loudly on an empty root. */
+  private def snapshotPartCol(spark: SparkSession, root: String): String = {
+    val fs = fsOf(spark, root)
+    fs.listStatus(new HPath(root)).collectFirst {
+      case st if st.isDirectory && st.getPath.getName.contains("=") &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_") =>
+        st.getPath.getName.split("=", 2)(0)
+    }.getOrElse(sys.error(
+      s"PartitionedManifest: no <col>=<value> dirs under $root"))
+  }
+
   // ---------------------------------------------------------------------
   // FILE-LEVEL DATA SKIPPING (zone maps): ANALYZE collects parquet
   // footer min/max per file into an immutable sidecar per version dir

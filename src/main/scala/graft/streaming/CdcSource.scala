@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.engine.PartitionedManifest
+import graft.engine.{PartitionedManifest, SpecManifest}
 
 /** Structured Streaming SOURCE over a [[graft.engine.PartitionedManifest]]
   * table's commit history:
@@ -71,9 +71,21 @@ object CdcSource {
       parameters: Map[String, String]): StructType = {
     val spark = ctx.sparkSession
     val root = opt(parameters, "root")
+    val changeCol = parameters.getOrElse("changeCol", "_change_type")
+    // COMPOSITE-SPEC table: data columns + the CURRENT spec's fields
+    // (strings — they live in directory names) + the change column
+    parameters.get("spec") match {
+      case Some(sc) =>
+        val spec = SpecManifest.parseCompact(sc)
+        val data = SpecManifest.read(spark, root, spec).schema
+          .filterNot(f => spec.names.contains(f.name))
+        return StructType((data ++
+          spec.names.map(StructField(_, StringType, nullable = true)))
+          :+ StructField(changeCol, StringType, nullable = true))
+      case None =>
+    }
     val partCol = opt(parameters, "partCol")
     val partType = parameters.getOrElse("partType", "string")
-    val changeCol = parameters.getOrElse("changeCol", "_change_type")
     // a followed ref's head owns the schema (a branch may have evolved
     // ahead of main); otherwise the current snapshot's
     val headSnap = parameters.get("ref")
@@ -100,7 +112,13 @@ class CdcSource(ctx: SQLContext, parameters: Map[String, String])
   private val spark = ctx.sparkSession
   private val root = parameters.getOrElse("root",
     sys.error("graft-cdc: missing option 'root'"))
-  private val partCol = parameters.getOrElse("partCol",
+  // COMPOSITE-SPEC mode: pass `spec` (the compact render) instead of
+  // partCol/partType — batches ride SpecManifest.changesBetween (leaf-
+  // footprint-bounded on the composite key); refs are a single-column
+  // table feature and do not combine with spec
+  private val specOpt = parameters.get("spec")
+    .map(graft.engine.SpecManifest.parseCompact)
+  private lazy val partCol = parameters.getOrElse("partCol",
     sys.error("graft-cdc: missing option 'partCol'"))
   private val partType = parameters.getOrElse("partType", "string")
   private val changeCol = parameters.getOrElse("changeCol", "_change_type")
@@ -121,8 +139,13 @@ class CdcSource(ctx: SQLContext, parameters: Map[String, String])
   /** Snapshot name at a generation. Fails LOUDLY when the generation is
     * past the keep-N horizon — a lagging stream must never silently
     * skip commits (re-bootstrap explicitly instead). */
+  private def allSnapshots(): Seq[String] = specOpt match {
+    case Some(_) => SpecManifest.snapshots(spark, root)
+    case None => PartitionedManifest.snapshots(spark, root)
+  }
+
   private def snapAt(gen: Long): String =
-    PartitionedManifest.snapshots(spark, root)
+    allSnapshots()
       .find(sn => CdcSource.genOf(sn) == gen)
       .getOrElse(sys.error(
         s"graft-cdc: snapshot generation $gen is past the keep-N " +
@@ -131,31 +154,46 @@ class CdcSource(ctx: SQLContext, parameters: Map[String, String])
 
   override def getOffset: Option[Offset] = (ref match {
     case Some(r) =>
+      require(specOpt.isEmpty,
+        "graft-cdc: 'ref' does not combine with 'spec'")
       val resolved = PartitionedManifest.resolveRef(spark, root, Some(r))
       require(resolved.exists(sn =>
         PartitionedManifest.snapshots(spark, root).contains(sn)),
         s"graft-cdc: ref '$r' does not resolve to a known snapshot " +
           s"of $root")
       resolved
-    case None => PartitionedManifest.currentSnapshot(spark, root)
+    case None => specOpt match {
+      case Some(_) => SpecManifest.currentSnapshot(spark, root)
+      case None => PartitionedManifest.currentSnapshot(spark, root)
+    }
   }).map(sn => LongOffset(CdcSource.genOf(sn)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endSnap = snapAt(longOf(end))
-    val batch = start match {
-      case None =>
+    val batch = (start, specOpt) match {
+      case (None, Some(spec)) =>
+        SpecManifest.read(spark, root, spec, Some(endSnap))
+          .withColumn(changeCol, lit("insert"))
+      case (None, None) =>
         // bootstrap: the whole table at the end offset, as inserts
         PartitionedManifest.readSnapshot(spark, root, partCol, partType,
             Some(endSnap))
           .withColumn(changeCol, lit("insert"))
-      case Some(s) =>
+      case (Some(s), Some(spec)) =>
+        SpecManifest.changesBetween(spark, root, spec,
+          snapAt(longOf(s)), endSnap, changeCol)
+      case (Some(s), None) =>
         PartitionedManifest.changesBetween(spark, root, partCol, partType,
           snapAt(longOf(s)), endSnap, changeCol)
     }
-    // column order pinned to the declared stream schema; V1 getBatch
-    // must hand back isStreaming=true (the FileStreamSource pattern)
-    val aligned = batch.select(schema.fieldNames.toSeq
-      .map(org.apache.spark.sql.functions.col): _*)
+    // column order pinned to the declared stream schema, absent fields
+    // (an evolved spec table's old-generation diff) as NULL; V1
+    // getBatch must hand back isStreaming=true (FileStreamSource)
+    val aligned = batch.select(schema.fields.toSeq.map { f =>
+      if (batch.columns.contains(f.name))
+        org.apache.spark.sql.functions.col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     org.apache.spark.sql.graft.ColumnBridge
       .asStreamingDataFrame(spark, aligned)
   }

@@ -2165,4 +2165,66 @@ class EngineSpec extends AnyFunSuite {
       got(101L) == 2.0, s"unified content wrong: size=${got.size}")
   }
 
+  test("table maintenance: age-based snapshot expiry honors tags and " +
+      "keep-last; orphan cleanup removes stale scratch and unreferenced " +
+      "version dirs but never referenced or in-grace ones") {
+    import spark.implicits._
+    import graft.engine.{ManifestTable, PartitionedManifest}
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("graft-maint").toString
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val base = (0 until 40).map(i => (i.toLong, i * 1.0, i % 2))
+      .toDF("k", "v", "bk")
+    PartitionedManifest.seed(spark, root, base, "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map.empty, keepSnapshots = 10)
+    PartitionedManifest.tagSnapshot(spark, root, "keepme", Some(s1))
+    val snaps = (1 to 4).map { i =>
+      PartitionedManifest.commitSnapshot(spark, root, "bk",
+        Map("0" -> Seq((100L + i, i * 1.0)).toDF("k", "v")),
+        keepSnapshots = 10)
+    }
+    assert(PartitionedManifest.snapshots(spark, root).length == 5)
+    // expire everything older than "now": s1 survives via its TAG,
+    // the two newest via keepLast, s2 expires
+    val expired = PartitionedManifest.expireSnapshots(spark, root,
+      olderThanMs = System.currentTimeMillis() + 1000, keepLast = 2)
+    assert(expired == Seq(snaps(0)) ||
+      expired.toSet == Set(snaps(0), snaps(1)),
+      s"expiry must drop only unprotected old snapshots: $expired")
+    assert(PartitionedManifest.snapshots(spark, root).contains(s1),
+      "a tagged snapshot must survive age expiry")
+    assert(PartitionedManifest.readSnapshot(spark, root, "bk", "int",
+      Some(s1)).count() == 40, "the tagged snapshot still serves")
+    // a future cutoff with nothing tagged keeps exactly keepLast
+    PartitionedManifest.dropTag(spark, root, "keepme")
+    PartitionedManifest.expireSnapshots(spark, root,
+      olderThanMs = System.currentTimeMillis() + 1000, keepLast = 2)
+    assert(PartitionedManifest.snapshots(spark, root).length == 2)
+    // orphans: a stranded scratch dir at the root, one under a
+    // partition, and a fake unreferenced version dir
+    fs.mkdirs(new HPath(s"$root/.commit-dead"))
+    fs.mkdirs(new HPath(s"$root/bk=0/.mor-dead"))
+    fs.mkdirs(new HPath(s"$root/bk=0/v999999-dead"))
+    val live = ManifestTable.currentVersion(s"$root/bk=0").get
+    // grace window: a fresh scratch dir survives a 1h-grace pass
+    assert(PartitionedManifest.cleanOrphans(spark, root,
+      graceMs = 3600 * 1000).isEmpty,
+      "in-grace entries must survive")
+    // zero grace: stale entries go, live version stays
+    val deleted = PartitionedManifest.cleanOrphans(spark, root,
+      graceMs = -1000)
+    assert(deleted.exists(_.endsWith(".commit-dead")) &&
+      deleted.exists(_.endsWith(".mor-dead")) &&
+      deleted.exists(_.endsWith("v999999-dead")),
+      s"stale orphans must be deleted: $deleted")
+    assert(fs.exists(new HPath(s"$root/bk=0/$live")),
+      "the live version dir must survive")
+    // bk=1 untouched (20 rows) + bk=0 replaced by the last commit's
+    // single row (commitSnapshot REPLACES partition content)
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .count() == 21, "content intact after maintenance")
+  }
+
 }

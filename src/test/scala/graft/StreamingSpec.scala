@@ -1197,6 +1197,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == n, "caught-up stream must not re-emit")
     } finally q2.stop()
   }
+
+  test("graft-cdc source over a SPEC table: bootstrap carries the " +
+      "composite partition fields, per-commit diffs are the spec " +
+      "changesBetween rows, and a merge-on-read commit streams its " +
+      "logical effect") {
+    import spark.implicits._
+    import graft.engine.SpecManifest
+    import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcspec")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcspec-ck")
+      .toString
+    val spec = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b", "k", Bucket(2))))
+    val base = (0 until 20).map(i => (i.toLong, i * 1.0, s"g${i % 2}"))
+      .toDF("k", "v", "grp")
+    SpecManifest.seed(spark, root, base, spec)
+    val got = scala.collection.mutable.Buffer
+      .empty[(Long, Double, String, String)]
+    val q = spark.readStream.format("graft-cdc")
+      .option("root", root).option("spec", spec.renderCompact).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getString(3), r.getString(5))) // k, v, g, _change_type
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // bootstrap: the whole table as inserts
+      assert(got.size == 20 && got.forall(_._4 == "insert") &&
+        got.count(_._3 == "g0") == 10, s"bootstrap wrong: ${got.size}")
+      got.clear()
+      // a MOR commit's stream effect is its LOGICAL row diff
+      val leaf = SpecManifest.leafKeys(spark, root, spec).find { vs =>
+        SpecManifest.readLeaf(spark, root, spec, vs)
+          .filter($"k" === 0L).count() > 0
+      }.get
+      SpecManifest.commitMerge(spark, root, spec, Seq("k"),
+        upserts = Map(leaf -> Seq((0L, -5.0, "g0")).toDF("k", "v", "grp")))
+      q.processAllAvailable()
+      assert(got.toSet == Set((0L, 0.0, "g0", "delete"),
+        (0L, -5.0, "g0", "insert")),
+        s"MOR commit diff wrong: ${got.toSeq.sorted}")
+    } finally q.stop()
+  }
 }
 
 /** Top-level: MemoryStream encoders need an outer-scope-free case class. */
