@@ -728,6 +728,51 @@ object SpecManifest {
     }
   }
 
+  /** Collect file-level min/max zone maps for `cols` on every LIVE
+    * leaf version dir — [[PartitionedManifest.analyzeFileStats]] on
+    * the composite layout. The content-pinned read relations already
+    * carry the zone-map property, so after ANALYZE a PLAIN
+    * `read(…).where(range)` prunes files below partition pruning with
+    * no helper call (the w21 contract on spec tables). Idempotent per
+    * version dir; merge-on-read leaves refuse loudly (fold first —
+    * an empty sidecar would silently drop their content on skip).
+    * Returns the number of version dirs newly analyzed. */
+  def analyzeFileStats(spark: SparkSession, root: String,
+      spec: PartitionSpec, cols: Seq[String]): Int = {
+    checkSpec(spark, root, spec)
+    leafKeys(spark, root, spec).map { vs =>
+      val lp = leafPath(spec, vs)
+      val dir = ManifestTable.currentDataDir(s"$root/$lp").getOrElse(
+        sys.error(s"SpecManifest: no MANIFEST under $root/$lp"))
+      require(!PartitionedManifest.isMorDir(spark, dir),
+        s"SpecManifest: leaf $lp is merge-on-read at $dir - analyze " +
+          "after compactLeaves() folds the delta chain down")
+      if (FileStats.collect(spark, dir, cols) >= 0) 1 else 0
+    }.sum
+  }
+
+  /** AS-OF time travel: the LATEST kept snapshot committed at or
+    * before `tsMs` ([[PartitionedManifest.snapshotAsOf]] on the
+    * composite layout); compose with [[read]]'s snapshot parameter.
+    * None if every kept snapshot is newer (the retention horizon has
+    * moved past the asked instant — never silently serves younger
+    * data). */
+  def snapshotAsOf(spark: SparkSession, root: String,
+      tsMs: Long): Option[String] =
+    snapshots(spark, root).reverse.find(sn =>
+      committedMsOf(spark, root, sn).exists(_ <= tsMs))
+
+  /** A snapshot's commit wall-clock from its #committed_ms header. */
+  def committedMsOf(spark: SparkSession, root: String,
+      snap: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(new HPath(s"$root/$SnapDir/$snap"))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.linesIterator.find(_.startsWith("#committed_ms="))
+      .map(_.stripPrefix("#committed_ms=").trim.toLong)
+  }
+
   /** Fold every merge-on-read leaf back down to a pure data dir — the
     * spec table's compaction pass, OPTIMISTIC like
     * [[PartitionedManifest.compact]]: the read-set (leaf → live

@@ -2227,4 +2227,69 @@ class EngineSpec extends AnyFunSuite {
       .count() == 21, "content intact after maintenance")
   }
 
+  test("spec-table zone maps ride the default read path (a plain " +
+      "read().where(range) skips non-intersecting leaves' files), and " +
+      "timestamp time travel resolves the latest snapshot at or before " +
+      "the instant on both formats") {
+    import spark.implicits._
+    import graft.engine.{PartitionedManifest, SpecManifest}
+    import graft.engine.SpecManifest.{Identity, PartField, PartitionSpec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft-speczm").toString
+    val spec = PartitionSpec(Seq(PartField("g", "grp", Identity)))
+    // k ranges correlate with leaves: g=a holds k<20, g=b holds k>=20
+    val base = (0 until 40)
+      .map(i => (i.toLong, if (i < 20) "a" else "b")).toDF("k", "grp")
+    SpecManifest.seed(spark, root, base, spec)
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray
+            .map(_.filePath.toString).toSeq
+      }.flatten
+    // unanalyzed: the data-column range keeps every file
+    val before = scanFiles(SpecManifest.read(spark, root, spec)
+      .where($"k" >= 0L && $"k" <= 5L))
+    val all = scanFiles(SpecManifest.read(spark, root, spec))
+    assert(before.size == all.size && all.size >= 2,
+      s"unanalyzed must never skip: ${before.size}/${all.size}")
+    // analyzed: only the intersecting leaf's files survive — FILE
+    // skipping on a DATA column, below partition pruning, no helper
+    SpecManifest.analyzeFileStats(spark, root, spec, Seq("k"))
+    val after = scanFiles(SpecManifest.read(spark, root, spec)
+      .where($"k" >= 0L && $"k" <= 5L))
+    assert(after.nonEmpty && after.size < all.size &&
+      after.forall(_.contains("/g=a/")),
+      s"analyzed range scan must skip g=b files: $after")
+    // row-level predicate re-applies: content exact
+    assert(SpecManifest.read(spark, root, spec)
+      .where($"k" >= 0L && $"k" <= 5L).count() == 6)
+    // ---- timestamp travel (both formats)
+    val r2 = Files.createTempDirectory("graft-asof").toString
+    val b2 = (0 until 10).map(i => (i.toLong, i % 2)).toDF("k", "bk")
+    PartitionedManifest.seed(spark, r2, b2, "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, r2, "bk",
+      Map.empty, keepSnapshots = 4)
+    Thread.sleep(20)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    val s2 = PartitionedManifest.commitSnapshot(spark, r2, "bk",
+      Map("0" -> Seq((100L, 1.0)).toDF("k", "v2")
+        .select($"k")), keepSnapshots = 4)
+    assert(PartitionedManifest.snapshotAsOf(spark, r2, tMid)
+      .contains(s1), "asOf(mid) must resolve the pre-commit snapshot")
+    assert(PartitionedManifest.snapshotAsOf(spark, r2,
+      System.currentTimeMillis()).contains(s2))
+    assert(PartitionedManifest.readSnapshot(spark, r2, "bk", "int",
+      PartitionedManifest.snapshotAsOf(spark, r2, tMid))
+      .count() == 10, "asOf read serves the old content")
+    assert(PartitionedManifest.snapshotAsOf(spark, r2, 1000L).isEmpty,
+      "asOf before every kept commit must resolve nothing")
+    // the spec table's own asOf
+    val sSnap = SpecManifest.snapshotAsOf(spark, root,
+      System.currentTimeMillis())
+    assert(sSnap.isDefined &&
+      SpecManifest.read(spark, root, spec, sSnap).count() == 40)
+  }
+
 }
