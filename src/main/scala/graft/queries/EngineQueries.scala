@@ -1493,17 +1493,25 @@ object EngineQueries {
         deletes = del2, keepSnapshots = 6)
       requireDeltaScaled("batch2", del2.keys)
       // batch 3: layered upsert (+1000 over batch 1's %20==2 subset)
-      // plus shifted-key inserts, built per leaf from the MOR-RESOLVED
-      // current content — readLeaf mid-chain is exercised too
+      // plus shifted-key inserts, built from the MOR-RESOLVED current
+      // content — readLeaf mid-chain is exercised too. ONE checkpoint
+      // materializes every leaf's resolved delta (leaf-count jobs
+      // would re-resolve the chains once per leaf)
+      val cur96 = leaves96.map { vs =>
+        SpecManifest.readLeaf(s, root, spec, vs)
+          .withColumn("_ly", lit(vs(0))).withColumn("_lb", lit(vs(1)))
+      }.reduce(_.unionByName(_))
+        .filter($"o_orderkey" % 20 === 2 || $"o_orderkey" % 90 === 2)
+        .localCheckpoint()
       val up3 = leaves96.flatMap { vs =>
-        val cur = SpecManifest.readLeaf(s, root, spec, vs)
+        val cur = cur96.filter($"_ly" === vs(0) && $"_lb" === vs(1))
+          .drop("_ly", "_lb")
         val u = cur.filter($"o_orderkey" % 20 === 2)
           .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
           .unionByName(cur.filter($"o_orderkey" % 90 === 2)
             .select(($"o_orderkey" + 1000000000L).as("o_orderkey"),
               $"o_custkey", lit(0.0).as("o_totalprice"), $"o_orderdate",
               $"pad"))
-          .localCheckpoint()
         if (u.isEmpty) None else Some(vs -> u)
       }.toMap
       val s4 = SpecManifest.commitMerge(s, root, spec, Seq("o_orderkey"),
