@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   * relation with BOTH partition columns — one plan node, real
   * PartitionFilters pruning on each level (plan-asserted in w22).
   *
-  * Scope: the spec surface is seed / snapshot-commit / read /
-  * time-travel / CDC / hidden-pruning. Tags, branches, MOR and
-  * compaction stay on the single-column [[PartitionedManifest]] for
-  * now — the pointer primitives are shared, so extending them here is
-  * mechanical.
+  * Scope: seed / snapshot-commit / merge-on-read commit / read /
+  * readLeaf / time-travel (by snapshot and by timestamp) / CDC /
+  * hidden-pruning (helper and transparent rule) / spec EVOLUTION /
+  * optimistic leaf fold-down / zone-map analyze / tags / rollback /
+  * age-based expiry / orphan cleanup, plus the graft-spec-table sink
+  * and the graft-cdc `spec` source option. Branches/WAP stay on the
+  * single-column [[PartitionedManifest]] — the ref primitives are
+  * shared, so extending them here is mechanical.
   */
 object SpecManifest {
 
@@ -383,12 +386,13 @@ object SpecManifest {
     }
   }
 
-  /** Version dirs the kept snapshots (+ current) reference, per leaf —
-    * the GC protection base every commit path shares (callers expand
-    * through MOR chains at the leaf root). */
+  /** Version dirs the kept snapshots (+ tags + current) reference, per
+    * leaf — the GC protection base every commit path shares (callers
+    * expand through MOR chains at the leaf root). */
   private def protectedDirsByLeaf(spark: SparkSession, root: String,
       keepSnapshots: Int): Map[String, Set[String]] =
     (currentSnapshot(spark, root).toSeq ++
+      tags(spark, root).values ++
       snapshots(spark, root).takeRight(keepSnapshots)).distinct
       .flatMap(sn => snapshotMapping(spark, root, sn))
       .groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).toSet }
@@ -409,10 +413,168 @@ object SpecManifest {
       mapping.map { case (k, d) => s"$k\t$d" }.mkString("\n") + "\n"
     ManifestTable.writeOnce(root, s"$SnapDir/$snap", body)
     ManifestTable.swapRootPointer(root, snap)
-    val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet + snap
+    // TAGGED snapshots survive the keep-N trim until their tag drops
+    val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet +
+      snap ++ tags(spark, root).values
     snapshots(spark, root).filterNot(keep).foreach(s =>
       fs.delete(new HPath(root, s"$SnapDir/$s"), false))
     snap
+  }
+
+  private val RefsDir = "_refs"
+
+  private def checkRefName(name: String): String = {
+    require(name.nonEmpty && name.length <= 128 && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"SpecManifest: unsupported ref name '$name' - letters, digits, " +
+        "dot, underscore, dash only (ref names are file names)")
+    name
+  }
+
+  /** Tag a committed snapshot with an IMMUTABLE name (defaults to the
+    * current snapshot) — pins it outside the keep-N horizon exactly
+    * like [[PartitionedManifest.tagSnapshot]]: create-once ref
+    * (conditional PUT on object stores — racing taggers of one name
+    * cannot both win), honored by snapshot trims and per-leaf GC
+    * protection. Returns the tagged snapshot id. */
+  def tagSnapshot(spark: SparkSession, root: String, name: String,
+      snapshot: Option[String] = None): String = {
+    checkRefName(name)
+    ManifestTable.withPublishLock(root) {
+      val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
+        sys.error(s"SpecManifest: no snapshot committed under $root"))
+      require(snapshots(spark, root).contains(snap),
+        s"SpecManifest: cannot tag unknown/expired snapshot $snap")
+      ManifestTable.writeOnce(root, s"$RefsDir/$name", snap + "\n")
+      snap
+    }
+  }
+
+  /** All named refs: tag name → snapshot id. */
+  def tags(spark: SparkSession, root: String): Map[String, String] = {
+    val fs = fsOf(spark, root)
+    val dir = new HPath(root, RefsDir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith(".")).map { s =>
+      val in = fs.open(s.getPath)
+      val snap = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      s.getPath.getName -> snap
+    }.toMap
+  }
+
+  /** Drop a tag. The snapshot it pinned re-enters the keep-N horizon
+    * at the NEXT commit (trims are commit-time activities). */
+  def dropTag(spark: SparkSession, root: String, name: String): Unit =
+    fsOf(spark, root).delete(
+      new HPath(root, s"$RefsDir/${checkRefName(name)}"), false)
+
+  /** ROLLBACK to a kept snapshot (or tag): METADATA-ONLY — each leaf
+    * repoints at the target's (still-present, GC-protected) version
+    * dir and the restored mapping lands as a NEW forward commit, so
+    * history is append-only and CDC sees the restore as a diff.
+    * Leaves created after the target fail the rollback loudly
+    * (live-pointer readers would otherwise diverge from snapshot
+    * readers). Returns the new snapshot name. */
+  def rollback(spark: SparkSession, root: String, spec: PartitionSpec,
+      toSnap: String, keepSnapshots: Int = 2): String = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
+    checkSpec(spark, root, spec)
+    ManifestTable.withPublishLock(root) {
+      val snap = tags(spark, root).getOrElse(toSnap, toSnap)
+      val target = snapshotMapping(spark, root, snap).toMap
+      require(target.nonEmpty, s"SpecManifest: empty rollback target $snap")
+      val extra = leafKeys(spark, root, spec)
+        .map(vs => leafPath(spec, vs)).filterNot(target.contains)
+      require(extra.isEmpty,
+        s"SpecManifest: leaves ${extra.mkString(",")} were created " +
+          s"after $snap - rollback cannot restore their absence for " +
+          "live-pointer readers; remove them first")
+      val fs = fsOf(spark, root)
+      target.toSeq.sortBy(_._1).foreach { case (lp, d) =>
+        val pr = s"$root/$lp"
+        if (!ManifestTable.currentVersion(pr).contains(d)) {
+          require(fs.exists(new HPath(s"$pr/$d")),
+            s"SpecManifest: rollback target dir $pr/$d is gone")
+          ManifestTable.repointVersion(pr, d)
+        }
+      }
+      writeSnapshotLocked(spark, root, target.toSeq.sortBy(_._1),
+        keepSnapshots)
+    }
+  }
+
+  /** AGE-BASED snapshot expiry —
+    * [[PartitionedManifest.expireSnapshots]] on the composite layout:
+    * metadata-only, O(#snapshots); newest `keepLast`, tags, and the
+    * current pointer always survive; leaf version GC stays lazy.
+    * Returns the expired names. */
+  def expireSnapshots(spark: SparkSession, root: String,
+      olderThanMs: Long, keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 2, "keepLast must be >= 2 (current + previous)")
+    ManifestTable.withPublishLock(root) {
+      val fs = fsOf(spark, root)
+      val all = snapshots(spark, root)
+      val protect = all.takeRight(keepLast).toSet ++
+        tags(spark, root).values ++ currentSnapshot(spark, root)
+      val expired = all.filterNot(protect).filter { sn =>
+        committedMsOf(spark, root, sn).exists(_ < olderThanMs)
+      }
+      expired.foreach(sn =>
+        fs.delete(new HPath(root, s"$SnapDir/$sn"), false))
+      expired
+    }
+  }
+
+  /** ORPHAN cleanup — [[PartitionedManifest.cleanOrphans]] on the
+    * composite layout: under the root and every LEAF root, delete
+    * dot-prefixed scratch dirs (crashed lock-free writers) and version
+    * dirs no kept snapshot, MOR chain, or live pointer references,
+    * behind the same grace window. Returns the deleted paths. */
+  def cleanOrphans(spark: SparkSession, root: String,
+      spec: PartitionSpec, graceMs: Long = 24L * 3600 * 1000)
+      : Seq[String] = ManifestTable.withPublishLock(root) {
+    checkSpec(spark, root, spec)
+    val fs = fsOf(spark, root)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val referencedByLeaf: Map[String, Set[String]] = {
+      val fromSnaps = snapshots(spark, root)
+        .flatMap(sn => snapshotMapping(spark, root, sn))
+      val fromPointers = leafKeys(spark, root, spec).flatMap { vs =>
+        val lp = leafPath(spec, vs)
+        ManifestTable.currentVersion(s"$root/$lp").map(lp -> _)
+      }
+      (fromSnaps ++ fromPointers).groupBy(_._1).map { case (lp, ds) =>
+        lp -> ds.map(_._2).toSet }
+    }
+    val deleted = scala.collection.mutable.ListBuffer.empty[String]
+    fs.listStatus(new HPath(root)).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(".") &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, true)
+        deleted += st.getPath.toString
+      }
+    }
+    leafKeys(spark, root, spec).foreach { vs =>
+      val lp = leafPath(spec, vs)
+      val pr = s"$root/$lp"
+      val referenced = PartitionedManifest.expandMorProtect(spark, pr,
+        referencedByLeaf.getOrElse(lp, Set.empty))
+      fs.listStatus(new HPath(pr)).foreach { st =>
+        val name = st.getPath.getName
+        val stale = st.getModificationTime < cutoff
+        if (st.isDirectory && stale &&
+            (name.startsWith(".") ||
+              (name.startsWith("v") && name.drop(1).headOption
+                .exists(_.isDigit) && !referenced.contains(name)))) {
+          fs.delete(st.getPath, true)
+          deleted += st.getPath.toString
+        }
+      }
+    }
+    deleted.sorted.toSeq
   }
 
   private def hash8(s: String): String =

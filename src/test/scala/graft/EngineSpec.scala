@@ -2292,4 +2292,63 @@ class EngineSpec extends AnyFunSuite {
       SpecManifest.read(spark, root, spec, sSnap).count() == 40)
   }
 
+  test("spec retention parity: tags pin snapshots (and their version " +
+      "dirs) through keep-N trims, rollback is metadata-only and lands " +
+      "forward, age expiry honors tags, and orphan cleanup leaves " +
+      "referenced dirs alone") {
+    import spark.implicits._
+    import graft.engine.{ManifestTable, SpecManifest}
+    import graft.engine.SpecManifest.{Identity, PartField, PartitionSpec}
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("graft-specret").toString
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val spec = PartitionSpec(Seq(PartField("g", "grp", Identity)))
+    val base = (0 until 20).map(i => (i.toLong, s"g${i % 2}"))
+      .toDF("k", "grp")
+    val s1 = SpecManifest.seed(spark, root, base, spec)
+    SpecManifest.tagSnapshot(spark, root, "v1", Some(s1))
+    val v1dir = ManifestTable.currentVersion(s"$root/g=g0").get
+    // three keep-2 commits: without the tag, s1 and its dirs expire
+    (1 to 3).foreach { i =>
+      SpecManifest.commitSnapshot(spark, root, spec,
+        Map(Seq("g0") -> Seq((100L + i, "g0")).toDF("k", "grp")))
+    }
+    assert(SpecManifest.snapshots(spark, root).contains(s1),
+      "a tagged snapshot must survive keep-2 trims")
+    assert(fs.exists(new HPath(s"$root/g=g0/$v1dir")),
+      "the tagged snapshot's version dir must survive leaf GC")
+    assert(SpecManifest.read(spark, root, spec, Some(s1)).count() == 20,
+      "the tagged snapshot still serves its full content")
+    assert(SpecManifest.read(spark, root, spec).count() == 11,
+      "live = g1's 10 rows + g0 replaced by one row")
+    // rollback: metadata-only (pointer identity), forward commit
+    val nSnaps = SpecManifest.snapshots(spark, root).length
+    SpecManifest.rollback(spark, root, spec, "v1")
+    assert(ManifestTable.currentVersion(s"$root/g=g0").contains(v1dir),
+      "rollback must repoint at the ORIGINAL dir, not copy it")
+    assert(SpecManifest.read(spark, root, spec).count() == 20)
+    assert(SpecManifest.snapshots(spark, root).length >= nSnaps,
+      "rollback lands as a forward commit")
+    // age expiry honors the tag, then keeps exactly keepLast after drop
+    SpecManifest.expireSnapshots(spark, root,
+      olderThanMs = System.currentTimeMillis() + 1000, keepLast = 2)
+    assert(SpecManifest.snapshots(spark, root).contains(s1))
+    SpecManifest.dropTag(spark, root, "v1")
+    SpecManifest.expireSnapshots(spark, root,
+      olderThanMs = System.currentTimeMillis() + 1000, keepLast = 2)
+    assert(SpecManifest.snapshots(spark, root).length == 2)
+    // orphans: stale scratch + unreferenced version dir go, live stays
+    fs.mkdirs(new HPath(s"$root/.commit-dead"))
+    fs.mkdirs(new HPath(s"$root/g=g0/v999999-dead"))
+    assert(SpecManifest.cleanOrphans(spark, root, spec,
+      graceMs = 3600 * 1000).isEmpty, "in-grace entries survive")
+    val deleted = SpecManifest.cleanOrphans(spark, root, spec,
+      graceMs = -1000)
+    assert(deleted.exists(_.endsWith(".commit-dead")) &&
+      deleted.exists(_.endsWith("v999999-dead")), s"orphans: $deleted")
+    assert(SpecManifest.read(spark, root, spec).count() == 20,
+      "content intact after maintenance")
+  }
+
 }
