@@ -33,9 +33,8 @@ import org.apache.spark.sql.functions._
   * hidden-pruning (helper and transparent rule) / spec EVOLUTION /
   * optimistic leaf fold-down / zone-map analyze / tags / rollback /
   * age-based expiry / orphan cleanup, plus the graft-spec-table sink
-  * and the graft-cdc `spec` source option. Branches/WAP stay on the
-  * single-column [[PartitionedManifest]] — the ref primitives are
-  * shared, so extending them here is mechanical.
+  * and the graft-cdc `spec` source option — full parity with the
+  * single-column [[PartitionedManifest]] surface.
   */
 object SpecManifest {
 
@@ -386,23 +385,28 @@ object SpecManifest {
     }
   }
 
-  /** Version dirs the kept snapshots (+ tags + current) reference, per
-    * leaf — the GC protection base every commit path shares (callers
-    * expand through MOR chains at the leaf root). */
+  /** Version dirs the kept snapshots (+ tags + branch heads + current)
+    * reference, per leaf — the GC protection base every commit path
+    * shares (callers expand through MOR chains at the leaf root).
+    * Branch heads matter doubly: their STAGED dirs have no live
+    * pointer protecting them. */
   private def protectedDirsByLeaf(spark: SparkSession, root: String,
       keepSnapshots: Int): Map[String, Set[String]] =
     (currentSnapshot(spark, root).toSeq ++
       tags(spark, root).values ++
+      branches(spark, root).values.map(_._1) ++
       snapshots(spark, root).takeRight(keepSnapshots)).distinct
       .flatMap(sn => snapshotMapping(spark, root, sn))
       .groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).toSet }
 
   /** Write + atomically publish a snapshot file carrying `mapping`,
     * then trim past the keep-N horizon. Caller holds the root publish
-    * lock. Shared tail of [[commitSnapshot]], [[commitMerge]] and
-    * [[compactLeaves]]. */
+    * lock. Shared tail of [[commitSnapshot]], [[commitMerge]],
+    * [[compactLeaves]], [[rollback]] and (with `advanceRoot=false`)
+    * [[commitSnapshotToBranch]]. */
   private def writeSnapshotLocked(spark: SparkSession, root: String,
-      mapping: Seq[(String, String)], keepSnapshots: Int): String = {
+      mapping: Seq[(String, String)], keepSnapshots: Int,
+      advanceRoot: Boolean = true): String = {
     require(mapping.nonEmpty, "SpecManifest: nothing to commit")
     val fs = fsOf(spark, root)
     fs.mkdirs(new HPath(root, SnapDir))
@@ -412,10 +416,16 @@ object SpecManifest {
     val body = s"#committed_ms=${System.currentTimeMillis()}\n" +
       mapping.map { case (k, d) => s"$k\t$d" }.mkString("\n") + "\n"
     ManifestTable.writeOnce(root, s"$SnapDir/$snap", body)
-    ManifestTable.swapRootPointer(root, snap)
-    // TAGGED snapshots survive the keep-N trim until their tag drops
+    // a BRANCH commit advances only its branch pointer, never the root
+    if (advanceRoot) ManifestTable.swapRootPointer(root, snap)
+    // TAGGED snapshots and BRANCH HEADS survive the keep-N trim; so
+    // does main's CURRENT snapshot (branch commits interleave in the
+    // shared generation order, so takeRight(N) alone could slide past
+    // the root pointer's own commit)
     val keep = snapshots(spark, root).takeRight(keepSnapshots).toSet +
-      snap ++ tags(spark, root).values
+      snap ++ tags(spark, root).values ++
+      branches(spark, root).values.map(_._1) ++
+      currentSnapshot(spark, root)
     snapshots(spark, root).filterNot(keep).foreach(s =>
       fs.delete(new HPath(root, s"$SnapDir/$s"), false))
     snap
@@ -470,6 +480,167 @@ object SpecManifest {
     fsOf(spark, root).delete(
       new HPath(root, s"$RefsDir/${checkRefName(name)}"), false)
 
+  /** Resolve a ref: a tag name, a branch name (its head), a literal
+    * snapshot id, or None for the current snapshot. */
+  def resolveRef(spark: SparkSession, root: String,
+      ref: Option[String]): Option[String] = ref match {
+    case None => currentSnapshot(spark, root)
+    case Some(r) => tags(spark, root).get(r)
+      .orElse(branches(spark, root).get(r).map(_._1))
+      .orElse(Some(r))
+  }
+
+  // ---------------------------------------------------------------------
+  // BRANCHES + WRITE-AUDIT-PUBLISH on the composite layout — the same
+  // contract as [[PartitionedManifest]]'s: branch commits STAGE leaf
+  // version dirs (leaf pointers never move — live readers cannot see
+  // the batch), auditors read the branch head like any snapshot, and a
+  // validated head FAST-FORWARDS into main in one metadata operation.
+  // Branch files are mutable `head<TAB>forkBase` pointers under
+  // _branches/, updated atomically under the root publish lock.
+
+  private val BranchesDir = "_branches"
+
+  /** All branches: name → (head snapshot, fork-base snapshot). */
+  def branches(spark: SparkSession, root: String)
+      : Map[String, (String, String)] = {
+    val fs = fsOf(spark, root)
+    val dir = new HPath(root, BranchesDir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith(".")).map { s =>
+      val in = fs.open(s.getPath)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      val Array(head, base) = text.split("\t", 2)
+      s.getPath.getName -> (head, base)
+    }.toMap
+  }
+
+  /** Create a branch at a kept snapshot (default: current). */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      from: Option[String] = None): String = {
+    checkRefName(name)
+    ManifestTable.withPublishLock(root) {
+      val snap = from.flatMap(r => resolveRef(spark, root, Some(r)))
+        .orElse(currentSnapshot(spark, root)).getOrElse(sys.error(
+          s"SpecManifest: no snapshot committed under $root"))
+      require(snapshots(spark, root).contains(snap),
+        s"SpecManifest: cannot branch from unknown/expired snapshot $snap")
+      require(!branches(spark, root).contains(name),
+        s"SpecManifest: branch '$name' already exists")
+      ManifestTable.swapRefPointer(root, s"$BranchesDir/$name",
+        s"$snap\t$snap\n")
+      snap
+    }
+  }
+
+  /** Drop a branch. Its head re-enters the keep-N horizon at the next
+    * commit (nothing is deleted here). */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit =
+    ManifestTable.withPublishLock(root) {
+      fsOf(spark, root).delete(
+        new HPath(root, s"$BranchesDir/${checkRefName(name)}"), false)
+    }
+
+  /** Commit to a BRANCH: leaf version dirs are STAGED (leaf pointers
+    * never move — live readers cannot see branch data), the snapshot
+    * file lands in the shared history, and only the branch pointer
+    * advances. Branch commits may touch EXISTING leaves only. */
+  def commitSnapshotToBranch(spark: SparkSession, root: String,
+      spec: PartitionSpec, updates: Map[Seq[String], DataFrame],
+      branch: String, keepSnapshots: Int = 2): String = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
+    require(updates.nonEmpty, "branch commit needs updates")
+    checkSpec(spark, root, spec)
+    ManifestTable.withPublishLock(root) {
+      val (head, base) = branches(spark, root).getOrElse(branch,
+        sys.error(s"SpecManifest: no branch '$branch'"))
+      val baseMapping = snapshotMapping(spark, root, head).toMap
+      val touchedPaths = updates.keys.toSeq.sortBy(_.mkString("/"))
+        .map(vs => vs -> leafPath(spec, vs))
+      val unknown = touchedPaths.collect {
+        case (_, lp) if !baseMapping.contains(lp) => lp }
+      require(unknown.isEmpty,
+        s"SpecManifest: branch commit may only touch existing leaves " +
+          s"(new: ${unknown.mkString(",")}) - create leaves on main first")
+      val fs = fsOf(spark, root)
+      val scratch =
+        s"$root/.branch-${java.util.UUID.randomUUID.toString.take(8)}"
+      val dataCols = updates.head._2.columns.toSeq
+        .filterNot(spec.names.contains)
+      updates.map { case (vs, df) =>
+        val d = spec.names.foldLeft(df)((x, n) =>
+          if (x.columns.contains(n)) x.drop(n) else x)
+        spec.fields.zip(vs).foldLeft(d.select(dataCols.map(col): _*)) {
+          case (x, (f, v)) => x.withColumn(f.name, lit(v))
+        }
+      }.reduce(_.unionByName(_))
+        .hint("rebalance", spec.names.map(col): _*)
+        .write.mode("error").partitionBy(spec.names: _*).parquet(scratch)
+      try {
+        val staged: Map[String, String] = touchedPaths.map {
+          case (vs, lp) =>
+            val src = new HPath(s"$scratch/$lp")
+            val dir =
+              if (fs.exists(src))
+                ManifestTable.stageVersion(s"$root/$lp", src.toString)
+              else {
+                // an all-empty leaf update still stages its empty version
+                val tmp = s"$root/$lp/.stage-" +
+                  java.util.UUID.randomUUID.toString.take(8)
+                updates(vs).select(dataCols.map(col): _*).limit(0)
+                  .write.parquet(tmp)
+                ManifestTable.stageVersion(s"$root/$lp", tmp)
+              }
+            lp -> new HPath(dir).getName
+        }.toMap
+        val snap = writeSnapshotLocked(spark, root,
+          (baseMapping ++ staged).toSeq.sortBy(_._1), keepSnapshots,
+          advanceRoot = false)
+        ManifestTable.swapRefPointer(root, s"$BranchesDir/$branch",
+          s"$snap\t$base\n")
+        snap
+      } finally fs.delete(new HPath(scratch), true)
+    }
+  }
+
+  /** PUBLISH a branch: fast-forward main to the branch head in one
+    * metadata operation (repoint the diverged leaves, swap the root
+    * pointer — the staged dirs simply become live). Fails loudly if
+    * main advanced since the fork (recreate + replay instead). After
+    * publishing, the branch is synced (base = head). */
+  def fastForward(spark: SparkSession, root: String,
+      spec: PartitionSpec, branch: String): String = {
+    checkSpec(spark, root, spec)
+    ManifestTable.withPublishLock(root) {
+      val (head, base) = branches(spark, root).getOrElse(branch,
+        sys.error(s"SpecManifest: no branch '$branch'"))
+      val cur = currentSnapshot(spark, root).getOrElse(sys.error(
+        s"SpecManifest: no snapshot committed under $root"))
+      if (head == cur) head
+      else {
+        require(cur == base,
+          s"SpecManifest: main advanced since branch '$branch' forked " +
+            s"($base -> $cur) - a fast-forward would drop main's " +
+            "commits; recreate the branch from current and replay")
+        val fs = fsOf(spark, root)
+        snapshotMapping(spark, root, head).foreach { case (lp, d) =>
+          val pr = s"$root/$lp"
+          if (!ManifestTable.currentVersion(pr).contains(d)) {
+            require(fs.exists(new HPath(s"$pr/$d")),
+              s"SpecManifest: branch head dir $pr/$d is gone")
+            ManifestTable.repointVersion(pr, d)
+          }
+        }
+        ManifestTable.swapRootPointer(root, head)
+        ManifestTable.swapRefPointer(root, s"$BranchesDir/$branch",
+          s"$head\t$head\n")
+        head
+      }
+    }
+  }
+
   /** ROLLBACK to a kept snapshot (or tag): METADATA-ONLY — each leaf
     * repoints at the target's (still-present, GC-protected) version
     * dir and the restored mapping lands as a NEW forward commit, so
@@ -482,7 +653,7 @@ object SpecManifest {
     require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
     checkSpec(spark, root, spec)
     ManifestTable.withPublishLock(root) {
-      val snap = tags(spark, root).getOrElse(toSnap, toSnap)
+      val snap = resolveRef(spark, root, Some(toSnap)).get
       val target = snapshotMapping(spark, root, snap).toMap
       require(target.nonEmpty, s"SpecManifest: empty rollback target $snap")
       val extra = leafKeys(spark, root, spec)
@@ -517,7 +688,9 @@ object SpecManifest {
       val fs = fsOf(spark, root)
       val all = snapshots(spark, root)
       val protect = all.takeRight(keepLast).toSet ++
-        tags(spark, root).values ++ currentSnapshot(spark, root)
+        tags(spark, root).values ++
+        branches(spark, root).values.map(_._1) ++
+        currentSnapshot(spark, root)
       val expired = all.filterNot(protect).filter { sn =>
         committedMsOf(spark, root, sn).exists(_ < olderThanMs)
       }

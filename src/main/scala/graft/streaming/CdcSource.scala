@@ -114,8 +114,8 @@ class CdcSource(ctx: SQLContext, parameters: Map[String, String])
     sys.error("graft-cdc: missing option 'root'"))
   // COMPOSITE-SPEC mode: pass `spec` (the compact render) instead of
   // partCol/partType — batches ride SpecManifest.changesBetween (leaf-
-  // footprint-bounded on the composite key); refs are a single-column
-  // table feature and do not combine with spec
+  // footprint-bounded on the composite key); a `ref` resolves through
+  // the spec table's own tags/branches
   private val specOpt = parameters.get("spec")
     .map(graft.engine.SpecManifest.parseCompact)
   private lazy val partCol = parameters.getOrElse("partCol",
@@ -154,11 +154,11 @@ class CdcSource(ctx: SQLContext, parameters: Map[String, String])
 
   override def getOffset: Option[Offset] = (ref match {
     case Some(r) =>
-      require(specOpt.isEmpty,
-        "graft-cdc: 'ref' does not combine with 'spec'")
-      val resolved = PartitionedManifest.resolveRef(spark, root, Some(r))
-      require(resolved.exists(sn =>
-        PartitionedManifest.snapshots(spark, root).contains(sn)),
+      val resolved = specOpt match {
+        case Some(_) => SpecManifest.resolveRef(spark, root, Some(r))
+        case None => PartitionedManifest.resolveRef(spark, root, Some(r))
+      }
+      require(resolved.exists(allSnapshots().contains),
         s"graft-cdc: ref '$r' does not resolve to a known snapshot " +
           s"of $root")
       resolved

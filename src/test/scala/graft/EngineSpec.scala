@@ -2351,4 +2351,60 @@ class EngineSpec extends AnyFunSuite {
       "content intact after maintenance")
   }
 
+  test("spec branches + write-audit-publish: branch commits stage leaf " +
+      "dirs invisibly to live readers, the staged dirs survive main's " +
+      "keep-2 churn, fast-forward publishes in one metadata op, and a " +
+      "diverged main refuses loudly") {
+    import spark.implicits._
+    import graft.engine.{ManifestTable, SpecManifest}
+    import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("graft-specwap").toString
+    val spec = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b", "k", Bucket(2))))
+    val base = (0 until 20).map(i => (i.toLong, i * 1.0, s"g${i % 2}"))
+      .toDF("k", "v", "grp")
+    SpecManifest.seed(spark, root, base, spec)
+    SpecManifest.createBranch(spark, root, "audit")
+    // a branch commit: staged, invisible to live readers
+    val leaf = SpecManifest.leafKeys(spark, root, spec).head
+    val headSnap = SpecManifest.commitSnapshotToBranch(spark, root, spec,
+      Map(leaf -> Seq((900L, 9.0, leaf(0))).toDF("k", "v", "grp")),
+      "audit")
+    assert(SpecManifest.read(spark, root, spec)
+      .filter($"k" === 900L).isEmpty, "staged data leaked to main")
+    // auditors read the branch head like any snapshot
+    val audit = SpecManifest.read(spark, root, spec, Some(headSnap))
+    assert(audit.filter($"k" === 900L).count() == 1 &&
+      audit.count() == base.count() -
+        SpecManifest.readLeaf(spark, root, spec, leaf).count() + 1,
+      "the branch head serves base + the staged replacement leaf")
+    // the staged dir survives main's keep-2 churn on the SAME leaf
+    (1 to 2).foreach { i =>
+      SpecManifest.commitSnapshot(spark, root, spec,
+        Map(leaf -> Seq((800L + i, 1.0, leaf(0))).toDF("k", "v", "grp")))
+    }
+    val stagedDir = SpecManifest.snapshotMapping(spark, root, headSnap)
+      .toMap.apply(s"g=${leaf(0)}/b=${leaf(1)}")
+    assert(new HPath(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      .exists(new HPath(s"$root/g=${leaf(0)}/b=${leaf(1)}/$stagedDir")),
+      "branch-staged dirs must survive main-side GC")
+    // diverged main refuses the publish loudly
+    intercept[IllegalArgumentException] {
+      SpecManifest.fastForward(spark, root, spec, "audit")
+    }
+    // a fresh branch from current publishes cleanly
+    SpecManifest.createBranch(spark, root, "audit2")
+    SpecManifest.commitSnapshotToBranch(spark, root, spec,
+      Map(leaf -> Seq((901L, 9.0, leaf(0))).toDF("k", "v", "grp")),
+      "audit2")
+    SpecManifest.fastForward(spark, root, spec, "audit2")
+    val got = SpecManifest.read(spark, root, spec)
+      .select($"k").as[Long].collect().toSet
+    assert(got.contains(901L) && !got.contains(900L) &&
+      !got.contains(802L), "publish must land exactly audit2's head")
+  }
+
 }
