@@ -133,4 +133,71 @@ object IncrementalConsumer {
     fs.mkdirs(new HPath(cursorDir))
     ManifestTable.swapRootPointer(cursorDir, snap)
   }
+
+  // ---------------------------------------------------------------------
+  // COMPOSITE-SPEC tables: the same cursor machinery over
+  // [[SpecManifest]] — diffs are leaf-footprint-bounded on the
+  // composite key, branch-aware consumption tails a spec branch's
+  // staged commits, and every horizon/replay contract carries over
+  // (the cursor file format is identical, so a consumer can even be
+  // inspected with the same tooling).
+
+  import graft.engine.SpecManifest.PartitionSpec
+
+  private def specHeadOf(spark: SparkSession, root: String,
+      ref: Option[String]): String = ref match {
+    case None => SpecManifest.currentSnapshot(spark, root)
+      .getOrElse(sys.error(
+        s"IncrementalConsumer: no snapshot committed under $root"))
+    case Some(r) => SpecManifest.branches(spark, root).get(r).map(_._1)
+      .getOrElse(sys.error(
+        s"IncrementalConsumer: no branch '$r' under $root"))
+  }
+
+  /** [[bootstrap]] for a composite-spec table. */
+  def bootstrapSpec(spark: SparkSession, root: String,
+      spec: PartitionSpec, cursorDir: String,
+      ref: Option[String] = None)(
+      process: (DataFrame, String) => Unit): String = {
+    val snap = specHeadOf(spark, root, ref)
+    process(SpecManifest.read(spark, root, spec, Some(snap)), snap)
+    advance(spark, cursorDir, snap)
+    snap
+  }
+
+  /** [[consumeOnce]] for a composite-spec table. */
+  def consumeOnceSpec(spark: SparkSession, root: String,
+      spec: PartitionSpec, cursorDir: String,
+      ref: Option[String] = None)(
+      process: (DataFrame, String, String) => Unit)
+      : Option[(String, String)] = {
+    val from = cursor(spark, cursorDir).getOrElse(sys.error(
+      s"IncrementalConsumer: no cursor under $cursorDir - bootstrap first"))
+    val to = specHeadOf(spark, root, ref)
+    if (from == to) None
+    else {
+      val diff = SpecManifest.changesBetween(spark, root, spec, from, to)
+      process(diff, from, to)
+      advance(spark, cursorDir, to)
+      Some((from, to))
+    }
+  }
+
+  /** [[drain]] for a composite-spec table. */
+  def drainSpec(spark: SparkSession, root: String, spec: PartitionSpec,
+      cursorDir: String, maxSteps: Int = 100,
+      ref: Option[String] = None)(
+      process: (DataFrame, String, String) => Unit)
+      : Seq[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var steps = 0
+    var more = true
+    while (more && steps < maxSteps) {
+      consumeOnceSpec(spark, root, spec, cursorDir, ref)(process) match {
+        case Some(p) => out += p; steps += 1
+        case None => more = false
+      }
+    }
+    out.result()
+  }
 }

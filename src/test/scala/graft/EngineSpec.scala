@@ -2407,4 +2407,65 @@ class EngineSpec extends AnyFunSuite {
       !got.contains(802L), "publish must land exactly audit2's head")
   }
 
+  test("spec incremental consumption: exactly-once cursor over the " +
+      "composite layout, branch-aware audit tailing, and no re-emission " +
+      "after fast-forward") {
+    import spark.implicits._
+    import graft.engine.{IncrementalConsumer, SpecManifest}
+    import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+    val root = Files.createTempDirectory("graft-specinc").toString
+    val curMain = Files.createTempDirectory("graft-specinc-c1").toString
+    val curAudit = Files.createTempDirectory("graft-specinc-c2").toString
+    val spec = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b", "k", Bucket(2))))
+    val base = (0 until 20).map(i => (i.toLong, i * 1.0, s"g${i % 2}"))
+      .toDF("k", "v", "grp")
+    SpecManifest.seed(spark, root, base, spec)
+    var boot = 0L
+    IncrementalConsumer.bootstrapSpec(spark, root, spec, curMain) {
+      (df, _) => boot = df.count() }
+    assert(boot == 20)
+    // caught up: no Spark job, no emission
+    assert(IncrementalConsumer.consumeOnceSpec(spark, root, spec,
+      curMain) { (_, _, _) => fail("caught-up must not emit") }.isEmpty)
+    // a MOR merge commits; the consumer sees exactly its logical diff
+    val leaf = SpecManifest.leafKeys(spark, root, spec).find { vs =>
+      SpecManifest.readLeaf(spark, root, spec, vs)
+        .filter($"k" === 0L).count() > 0
+    }.get
+    SpecManifest.commitMerge(spark, root, spec, Seq("k"),
+      upserts = Map(leaf -> Seq((0L, -5.0, "g0")).toDF("k", "v", "grp")))
+    var diffs = Seq.empty[(String, Double)]
+    assert(IncrementalConsumer.drainSpec(spark, root, spec, curMain) {
+      (d, _, _) => diffs = d.select($"_change_type", $"v")
+        .as[(String, Double)].collect().toSeq
+    }.length == 1)
+    assert(diffs.toSet == Set(("delete", 0.0), ("insert", -5.0)),
+      s"spec consumer diff wrong: $diffs")
+    // branch-aware: the audit consumer tails staged commits, and after
+    // fastForward it does NOT re-emit the rows it already processed
+    SpecManifest.createBranch(spark, root, "audit")
+    IncrementalConsumer.bootstrapSpec(spark, root, spec, curAudit,
+      ref = Some("audit")) { (_, _) => () }
+    SpecManifest.commitSnapshotToBranch(spark, root, spec,
+      Map(leaf -> Seq((900L, 9.0, leaf(0))).toDF("k", "v", "grp")),
+      "audit")
+    var staged = 0L
+    assert(IncrementalConsumer.consumeOnceSpec(spark, root, spec,
+      curAudit, ref = Some("audit")) { (d, _, _) =>
+        staged = d.filter($"_change_type" === "insert").count()
+    }.isDefined)
+    assert(staged == 1, s"audit consumer must see the staged insert")
+    SpecManifest.fastForward(spark, root, spec, "audit")
+    assert(IncrementalConsumer.consumeOnceSpec(spark, root, spec,
+      curAudit, ref = Some("audit")) { (_, _, _) =>
+        fail("audit consumer must not re-emit after fastForward")
+    }.isEmpty)
+    // ... and switching the caught-up audit consumer to main is clean
+    assert(IncrementalConsumer.consumeOnceSpec(spark, root, spec,
+      curAudit) { (_, _, _) =>
+        fail("caught-up main switch must not emit") }.isEmpty)
+  }
+
 }
