@@ -1882,6 +1882,90 @@ object EngineQueries {
             UNION ALL SELECT * FROM b2)
       ORDER BY k"""), bench = true),
 
+    // RETENTION MAINTENANCE (expireSnapshots + cleanOrphans — Iceberg's
+    // expire_snapshots / remove_orphan_files as first-class gates): a
+    // table accumulates four commits at a wide keep horizon, then age
+    // expiry trims to wall-clock retention with the TAGGED baseline
+    // surviving (require()d: only the untagged mid-history snapshot
+    // expires, the baseline still time-travels byte-exact), orphan
+    // cleanup removes stranded scratch and an unreferenced version dir
+    // behind the grace window (require()d: in-grace survives, stale
+    // goes, live dirs untouched), and as-of-timestamp resolves the
+    // newest commit. The oracle replays the surviving content — live
+    // merged state plus the tagged baseline — relationally.
+    QuerySpec("w27_retention_maintenance", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.lit
+      import org.apache.hadoop.fs.{Path => HPath}
+      import graft.engine.PartitionedManifest
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w27").toString
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("k"),
+          $"o_totalprice".cast("double").as("p"),
+          ($"o_orderkey" % 2).cast("int").as("bk"))
+      PartitionedManifest.seed(s, root, base, "bk")
+      val s1 = PartitionedManifest.commitSnapshot(s, root, "bk",
+        Map.empty, keepSnapshots = 6)
+      PartitionedManifest.tagSnapshot(s, root, "baseline", Some(s1))
+      val c2 = PartitionedManifest.commitSnapshot(s, root, "bk",
+        Map("0" -> base.filter($"bk" === 0)
+          .withColumn("p", $"p" + 10.0).drop("bk")), keepSnapshots = 6)
+      PartitionedManifest.commitSnapshot(s, root, "bk",
+        Map("1" -> base.filter($"bk" === 1)
+          .withColumn("p", $"p" + 20.0).drop("bk")), keepSnapshots = 6)
+      val cur0 = PartitionedManifest.readPartition(s, root, "bk", "0")
+      val c4 = PartitionedManifest.commitSnapshot(s, root, "bk",
+        Map("0" -> cur0.filter($"k" % 7 =!= 0)), keepSnapshots = 6)
+      // age expiry: wall-clock retention with the tag honored
+      val now = System.currentTimeMillis() + 1000
+      val expired = PartitionedManifest.expireSnapshots(s, root, now,
+        keepLast = 2)
+      require(expired == Seq(c2),
+        s"only the untagged mid-history snapshot expires: $expired")
+      val kept = PartitionedManifest.snapshots(s, root)
+      require(kept.contains(s1) && kept.length == 3,
+        s"tag + newest-2 must survive: $kept")
+      require(PartitionedManifest.snapshotAsOf(s, root, now)
+        .contains(c4), "asOf(now) must resolve the newest commit")
+      // orphan cleanup: grace window, then a stale sweep
+      val fs = new HPath(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new HPath(s"$root/.commit-dead"))
+      fs.mkdirs(new HPath(s"$root/bk=0/v999999-dead"))
+      require(PartitionedManifest.cleanOrphans(s, root,
+          graceMs = 3600 * 1000).isEmpty,
+        "in-grace entries must survive the sweep")
+      val deleted = PartitionedManifest.cleanOrphans(s, root,
+        graceMs = -1000)
+      require(deleted.exists(_.endsWith(".commit-dead")) &&
+          deleted.exists(_.endsWith("v999999-dead")),
+        s"stale orphans must go: $deleted")
+      // the tagged baseline still time-travels; live is the merged state
+      val live = PartitionedManifest.read(s, root, "bk", "int")
+        .select(lit("live").as("src"), $"k", $"p",
+          $"bk".cast("long").as("bk"))
+      val baseline = PartitionedManifest.readSnapshot(s, root, "bk",
+          "int", PartitionedManifest.resolveRef(s, root, Some("baseline")))
+        .select(lit("baseline").as("src"), $"k", $"p",
+          $"bk".cast("long").as("bk"))
+      live.unionByName(baseline).orderBy($"src", $"k", $"bk")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(o_totalprice AS DOUBLE) AS p,
+               CAST(o_orderkey % 2 AS BIGINT) AS bk
+        FROM orders),
+      live AS (
+        SELECT k, p + 10.0 AS p, bk FROM base
+        WHERE bk = 0 AND k % 7 <> 0
+        UNION ALL
+        SELECT k, p + 20.0, bk FROM base WHERE bk = 1)
+      SELECT src, k, p, bk FROM (
+        SELECT 'live' AS src, * FROM live
+        UNION ALL SELECT 'baseline' AS src, * FROM base)
+      ORDER BY src, k, bk"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()
