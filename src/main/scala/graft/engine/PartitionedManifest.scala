@@ -1774,6 +1774,56 @@ object PartitionedManifest {
       deleted.sorted.toSeq
     }
 
+  /** One row of [[filesMetadata]]: partition value, version dir name,
+    * file path RELATIVE to the version dir (MOR delta files keep their
+    * `_delta/...` prefix), size, mtime, and the zone-map stats per
+    * analyzed column (empty where unanalyzed). */
+  final case class FileMeta(partition: String, version: String,
+      file: String, bytes: Long, modified: Long,
+      stats: Map[String, (String, Option[String], Option[String])])
+
+  /** FILE-LEVEL metadata table (Iceberg's `table.files` inspection
+    * surface): one row per data file in a snapshot (default current) —
+    * the inventory compaction planners, skew debuggers and storage
+    * audits read. Built from directory listings + the `_filestats.tsv`
+    * sidecars only (ZERO data bytes; driver-side, file-count bounded —
+    * the pointer-resolution cost class). Merge-on-read version dirs
+    * contribute their `_delta/` files, so every live byte is
+    * accounted. */
+  def filesMetadata(spark: SparkSession, root: String, partCol: String,
+      snapshot: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
+      sys.error(s"PartitionedManifest: no snapshot committed under $root"))
+    snapshotMapping(spark, root, snap).flatMap { case (v, d) =>
+      filesOfVersion(spark, s"$root/$partCol=$v/$d", v, d)
+    }.toDF()
+  }
+
+  private[engine] def filesOfVersion(spark: SparkSession,
+      dirPath: String, partition: String, version: String)
+      : Seq[FileMeta] = {
+    val fs = fsOf(spark, dirPath)
+    val base = new HPath(dirPath)
+    val stats = FileStats.statsFor(spark, dirPath).getOrElse(Map.empty)
+    def walk(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n.startsWith(".")) Nil else walk(st.getPath)
+        } else if (n.startsWith("_") || n.startsWith(".")) Nil
+        else Seq(st)
+      }
+    walk(base).map { st =>
+      val rel = st.getPath.toString.stripPrefix(
+        fs.makeQualified(base).toString).stripPrefix("/")
+      FileMeta(partition, version, rel, st.getLen,
+        st.getModificationTime,
+        stats.getOrElse(rel, Map.empty).map { case (c, cs) =>
+          c -> (cs.typ, cs.min, cs.max) })
+    }
+  }
+
   /** The partition column name recoverable from the table's own layout
     * (`<col>=<value>` dirs) — lets maintenance passes run without the
     * caller restating it. Fails loudly on an empty root. */

@@ -1108,6 +1108,22 @@ object SpecManifest {
       .map(_.stripPrefix("#committed_ms=").trim.toLong)
   }
 
+  /** FILE-LEVEL metadata table —
+    * [[PartitionedManifest.filesMetadata]] on the composite layout:
+    * one row per data file in a snapshot (default current), partition
+    * = the leaf's relative path. Listings + sidecars only, zero data
+    * bytes. */
+  def filesMetadata(spark: SparkSession, root: String,
+      spec: PartitionSpec, snapshot: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    checkSpec(spark, root, spec)
+    val snap = snapshot.orElse(currentSnapshot(spark, root)).getOrElse(
+      sys.error(s"SpecManifest: no snapshot committed under $root"))
+    snapshotMapping(spark, root, snap).flatMap { case (lp, d) =>
+      PartitionedManifest.filesOfVersion(spark, s"$root/$lp/$d", lp, d)
+    }.toDF()
+  }
+
   /** Fold every merge-on-read leaf back down to a pure data dir — the
     * spec table's compaction pass, OPTIMISTIC like
     * [[PartitionedManifest.compact]]: the read-set (leaf → live

@@ -2468,4 +2468,48 @@ class EngineSpec extends AnyFunSuite {
         fail("caught-up main switch must not emit") }.isEmpty)
   }
 
+  test("files metadata table: one row per live data file with bytes, " +
+      "mtime and zone-map stats from listings only; merge-on-read " +
+      "delta files are accounted; the spec variant keys on leaf paths") {
+    import spark.implicits._
+    import graft.engine.{PartitionedManifest, SpecManifest}
+    import graft.engine.SpecManifest.{Identity, PartField, PartitionSpec}
+    val root = Files.createTempDirectory("graft-filesmeta").toString
+    val base = (0 until 40).map(i => (i.toLong, i * 1.0, i % 2))
+      .toDF("k", "v", "bk")
+    PartitionedManifest.seed(spark, root, base, "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    PartitionedManifest.analyzeFileStats(spark, root, "bk", Seq("k"))
+    val fm = PartitionedManifest.filesMetadata(spark, root, "bk")
+      .as[PartitionedManifest.FileMeta].collect()
+    val expected = Seq("0", "1").map(v =>
+      PartitionedManifest.dataFileCount(spark, s"$root/bk=$v")).sum
+    assert(fm.length == expected && expected > 0,
+      s"one row per live data file: ${fm.length} vs $expected")
+    assert(fm.forall(m => m.bytes > 0 && m.modified > 0))
+    assert(fm.forall(_.stats.get("k").exists(s =>
+        s._1 == "long" && s._2.isDefined && s._3.isDefined)),
+      "analyzed columns carry min/max stats")
+    // a MOR layer's delta files are accounted with their prefix
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+      upserts = Map("0" -> Seq((0L, -1.0)).toDF("k", "v")))
+    val fm2 = PartitionedManifest.filesMetadata(spark, root, "bk")
+      .as[PartitionedManifest.FileMeta].collect()
+    assert(fm2.exists(m => m.partition == "0" &&
+        m.file.startsWith("_delta/upserts/")),
+      s"MOR delta files must be listed: ${fm2.map(_.file).toSeq}")
+    assert(fm2.filter(_.partition == "0")
+      .forall(_.stats.isEmpty), "an unanalyzed MOR dir has no stats")
+    // spec variant: partition = the leaf's relative path
+    val r2 = Files.createTempDirectory("graft-filesmeta2").toString
+    val spec = PartitionSpec(Seq(PartField("g", "grp", Identity)))
+    SpecManifest.seed(spark, r2,
+      (0 until 10).map(i => (i.toLong, s"g${i % 2}")).toDF("k", "grp"),
+      spec)
+    val sm = SpecManifest.filesMetadata(spark, r2, spec)
+      .as[PartitionedManifest.FileMeta].collect()
+    assert(sm.nonEmpty && sm.forall(_.partition.startsWith("g=")),
+      s"spec rows key on leaf paths: ${sm.map(_.partition).toSeq}")
+  }
+
 }
