@@ -45,6 +45,14 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object PartitionedManifest {
 
+  /** A layout action (clustered OPTIMIZE) was asked to do something it
+    * can never succeed at — distinguished from the transient failures
+    * [[compact]]'s optimistic retry loop absorbs, so a misconfigured
+    * z-order column fails LOUDLY instead of silently no-opping through
+    * three retries. */
+  final class LayoutValidationException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Partition values ride in DIRECTORY NAMES, generated SQL partition
     * specs, and tab-delimited snapshot lines — so they must be plain
     * printable tokens. Reject anything else LOUDLY instead of letting a
@@ -1082,6 +1090,107 @@ object PartitionedManifest {
     }
   }
 
+  /** Resolve MANY merge-on-read chains in ONE bounded-width plan — the
+    * serving path for a CDC-heavy table with K hot partitions/leaves
+    * between folds. The per-chain resolver ([[resolveVersionData]])
+    * plans one subtree per chain: K hot leaves cost K union arms, the
+    * exact per-partition plan-width problem the content-pin work
+    * eliminated for pure dirs. Here the arms scale with CHAIN DEPTH,
+    * never K:
+    *
+    *   - every chain's BOTTOM (pure) dir reads as ONE relation, with
+    *     the hive partition fields recovered from the file paths;
+    *   - every chain's layer at depth d reads as ONE upsert relation +
+    *     ONE delete relation (depth is bounded by foldChainAt/compact
+    *     cadence, typically ≤ 3);
+    *   - resolution runs GLOBALLY, keyed on (partition fields ++ key
+    *     columns): one anti-join of the combined base against the
+    *     combined (delta-sized, broadcastable) key set, one
+    *     newest-layer-wins window over the DELTA union only — the same
+    *     per-key semantics as the per-chain resolver, because the
+    *     partition fields keep different leaves' keys apart and layer
+    *     numbering is per-chain.
+    *
+    * `entries` are (partition/leaf root, live MOR version dir name);
+    * `fields` the hive field names (in path order) to recover as
+    * STRING partition columns. Chains with different key-column sets
+    * group separately (arms = depth × distinct key sets). Output:
+    * data columns ++ fields. */
+  private[engine] def resolveMorGrouped(spark: SparkSession,
+      entries: Seq[(String, String)], fields: Seq[String],
+      schema: Option[StructType]): DataFrame = {
+    require(entries.nonEmpty, "resolveMorGrouped: no entries")
+    val fs = fsOf(spark, entries.head._1)
+    val infos = entries.map { case (pr, d) =>
+      val keys = morInfo(spark, s"$pr/$d").map(_._1).getOrElse(
+        sys.error(s"resolveMorGrouped: $pr/$d is not merge-on-read"))
+      (pr, morChain(spark, pr, d), keys)
+    }
+    def attach(df: DataFrame): DataFrame = {
+      val dataCols = df.columns.toSeq
+      val withF = fields.foldLeft(df)((x, f) =>
+        x.withColumn(f, regexp_extract(col("_metadata.file_path"),
+          java.util.regex.Pattern.quote(s"/$f=") + "([^/]+)/", 1)))
+      withF.select((dataCols.map(col) ++ fields.map(col)): _*)
+    }
+    infos.groupBy(_._3).toSeq.sortBy(_._1.mkString(","))
+      .map { case (keys, group) =>
+        val dataSchema: StructType = schema.getOrElse {
+          val (pr, chain, _) = group.head
+          spark.read.parquet(s"$pr/${chain.last}").schema
+        }
+        val base = attach(spark.read.schema(dataSchema).parquet(
+          group.map { case (pr, chain, _) => s"$pr/${chain.last}" }: _*))
+        val maxDepth = group.map(_._2.length - 1).max
+        val events: Seq[DataFrame] = (1 to maxDepth).flatMap { d =>
+          // depth d = the d-th layer ABOVE the base, oldest first
+          // (chain is newest-first: layer d = chain(len - 1 - d))
+          val layerDirs = group.collect {
+            case (pr, chain, _) if chain.length - 1 >= d =>
+              s"$pr/${chain(chain.length - 1 - d)}"
+          }
+          val ups = layerDirs.map(_ + "/_delta/upserts")
+            .filter(p => fs.exists(new HPath(p)))
+          val dels = layerDirs.map(_ + "/_delta/deletes")
+            .filter(p => fs.exists(new HPath(p)))
+          val u =
+            if (ups.isEmpty) None
+            else Some(attach(spark.read.schema(dataSchema)
+                .parquet(ups: _*))
+              .withColumn("_graft_op", lit("u"))
+              .withColumn("_graft_layer", lit(d)))
+          val dl =
+            if (dels.isEmpty) None
+            else {
+              val keyDf = attach(spark.read.parquet(dels: _*))
+              Some(keyDf.select((dataSchema.fields.toSeq.map { f =>
+                if (keys.contains(f.name))
+                  col(f.name).cast(f.dataType).as(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              } ++ fields.map(col)): _*)
+                .withColumn("_graft_op", lit("d"))
+                .withColumn("_graft_layer", lit(d)))
+            }
+          u.toSeq ++ dl.toSeq
+        }
+        if (events.isEmpty) base
+        else {
+          val all = events.reduce(_.unionByName(_))
+          val grpKeys = fields ++ keys
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(grpKeys.map(col): _*)
+            .orderBy(col("_graft_layer").desc)
+          val latest = all
+            .withColumn("_graft_rn", row_number().over(w))
+            .filter(col("_graft_rn") === 1)
+          base.join(all.select(grpKeys.map(col): _*).distinct(),
+              grpKeys, "left_anti")
+            .unionByName(latest.filter(col("_graft_op") === "u")
+              .drop("_graft_op", "_graft_layer", "_graft_rn"))
+        }
+      }.reduce(_.unionByName(_))
+  }
+
   /** One partition's current logical content (no partition column) —
     * MOR-resolving; the public single-partition reader the streaming
     * sink and merge paths use instead of a raw parquet read of the
@@ -1340,18 +1449,32 @@ object PartitionedManifest {
           require(clusterBy.length == 2,
             "zOrder clustering interleaves exactly two columns")
           val Seq(c1, c2) = clusterBy
-          val r = df.agg(min(col(c1).cast("long")),
-            max(col(c1).cast("long")), min(col(c2).cast("long")),
-            max(col(c2).cast("long"))).head()
+          // try_cast, not cast: under ANSI a non-numeric value would
+          // throw an opaque CAST_INVALID_INPUT mid-job — the guard
+          // below turns the all-null outcome into a clear layout error
+          val r = df.agg(min(expr(s"try_cast(`$c1` as bigint)")),
+            max(expr(s"try_cast(`$c1` as bigint)")),
+            min(expr(s"try_cast(`$c2` as bigint)")),
+            max(expr(s"try_cast(`$c2` as bigint)"))).head()
+          // loud validation instead of an opaque NPE mid-rewrite: an
+          // all-NULL column, a column that does not cast to bigint
+          // (string/date), or an empty partition leaves null agg slots
+          if ((0 to 3).exists(r.isNullAt))
+            throw new LayoutValidationException(
+              s"zOrder: partition $v needs non-empty data and cluster " +
+                s"columns (${clusterBy.mkString(", ")}) castable to " +
+                "bigint with at least one non-null value each")
           val (amin, amax) = (r.getLong(0), r.getLong(1))
           val (bmin, bmax) = (r.getLong(2), r.getLong(3))
           val spanA = math.max(amax - amin, 1L)
           val spanB = math.max(bmax - bmin, 1L)
-          // integer `div`, not `/` (Column./ is float division)
+          // integer `div`, not `/` (Column./ is float division);
+          // try_cast so a stray non-castable value lands in the null
+          // range-partition instead of failing the whole rewrite
           val a16 = expr(
-            s"((cast(`$c1` as bigint) - ${amin}L) * 65535L) div ${spanA}L")
+            s"((try_cast(`$c1` as bigint) - ${amin}L) * 65535L) div ${spanA}L")
           val b16 = expr(
-            s"((cast(`$c2` as bigint) - ${bmin}L) * 65535L) div ${spanB}L")
+            s"((try_cast(`$c2` as bigint) - ${bmin}L) * 65535L) div ${spanB}L")
           df.withColumn("_graft_z",
               graft.operators.Layout.zOrder16(a16, b16))
             .repartitionByRange(nf, col("_graft_z"))
@@ -1359,8 +1482,39 @@ object PartitionedManifest {
             .drop("_graft_z")
         }
       clustered.write.mode("error").parquet(s"$scratch/$partCol=$v")
+      // layout marker rides INTO the version dir at adoption: repeated
+      // identical clustered OPTIMIZE calls then select nothing (see
+      // [[compact]]'s candidate gate) — Iceberg's sort-order metadata
+      // in one underscore-prefixed (reader-invisible) file
+      ManifestTable.writeOnce(s"$scratch/$partCol=$v", ClusterMarker,
+        clusterMarkerBody(clusterBy, clusterFiles, zOrder))
     }
     scratch
+  }
+
+  /** Sort-order marker file a clustered rewrite stamps into its version
+    * dirs (underscore-prefixed: readers never see it). */
+  private val ClusterMarker = "_clustered.tsv"
+
+  private def clusterMarkerBody(clusterBy: Seq[String], clusterFiles: Int,
+      zOrder: Boolean): String =
+    s"clusterBy=${clusterBy.mkString(",")}\nfiles=$clusterFiles\n" +
+      s"zorder=$zOrder\n"
+
+  /** Is this (pure) version dir already clustered under exactly this
+    * layout spec? Conservative: no marker / different layout → false
+    * (the partition is re-selected). */
+  private def isClusteredAs(spark: SparkSession, dirPath: String,
+      clusterBy: Seq[String], clusterFiles: Int,
+      zOrder: Boolean): Boolean = {
+    val fs = fsOf(spark, dirPath)
+    val p = new HPath(dirPath, ClusterMarker)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text == clusterMarkerBody(clusterBy, clusterFiles, zOrder)
+    }
   }
 
   /** The METADATA half of a snapshot commit, always under the root
@@ -1595,13 +1749,23 @@ object PartitionedManifest {
         .filter(v => among.forall(_.contains(v)))
         .filter { v =>
           val pr = s"$root/$partCol=$v"
+          val morLive =
+            ManifestTable.currentDataDir(pr).exists(isMorDir(spark, _))
           // an explicit CLUSTERED rewrite is a layout action: it
           // selects every partition regardless of file sizes (the
           // small-file gate is the steady-state dedup heuristic —
-          // at scale the interleaved files it must fix are LARGE)
-          clusterBy.nonEmpty ||
+          // at scale the interleaved files it must fix are LARGE).
+          // CONVERGENT, though: a partition whose live version already
+          // carries this exact layout's marker is skipped, so repeated
+          // identical OPTIMIZE calls rewrite nothing (a MOR-live
+          // partition re-selects — its chain is new unclustered data)
+          if (clusterBy.nonEmpty)
+            morLive || !ManifestTable.currentDataDir(pr).exists(d =>
+              isClusteredAs(spark, d, clusterBy, clusterFiles,
+                clusterZOrder))
+          else
             smallDataFileCount(spark, pr, smallFileBytes) > maxFiles ||
-            ManifestTable.currentDataDir(pr).exists(isMorDir(spark, _))
+              morLive
         }
         .map { v =>
           v -> ManifestTable.currentDataDir(s"$root/$partCol=$v")
@@ -1641,7 +1805,10 @@ object PartitionedManifest {
             }
             Some(writeScratchParts(spark, root, partCol, updates))
           }
-        } catch { case scala.util.control.NonFatal(_) => None }
+        } catch {
+          case e: LayoutValidationException => throw e
+          case scala.util.control.NonFatal(_) => None
+        }
       onBeforeValidate()
       scratch match {
         case None =>

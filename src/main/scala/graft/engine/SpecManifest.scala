@@ -237,6 +237,20 @@ object SpecManifest {
     walk(new HPath(root), 0).map(_._2).sortBy(_.mkString("/"))
   }
 
+  /** Leaf keys across EVERY spec generation, each with its OWNING spec
+    * — an evolved table keeps its old-generation leaves on disk, so
+    * maintenance passes (orphan sweeps, rollback guards, ANALYZE) must
+    * enumerate them all, not just the current spec's ([[leafKeys]]
+    * matches directory names by ONE spec's field names and would skip
+    * old layouts entirely). Distinct leaves by construction:
+    * [[evolveSpec]]'s field-identity rule keeps every generation's
+    * directory names unambiguous. */
+  def allLeaves(spark: SparkSession, root: String)
+      : Seq[(PartitionSpec, Seq[String])] =
+    specVersions(spark, root).flatMap { sp =>
+      leafKeys(spark, root, sp).map(vs => (sp, vs))
+    }
+
   /** SEED: derive the partition columns, write the whole frame
     * hive-partitioned by ALL spec fields in ONE rebalanced job, adopt
     * each leaf directory as version 1 of its own pointer root (renames,
@@ -656,8 +670,14 @@ object SpecManifest {
       val snap = resolveRef(spark, root, Some(toSnap)).get
       val target = snapshotMapping(spark, root, snap).toMap
       require(target.nonEmpty, s"SpecManifest: empty rollback target $snap")
-      val extra = leafKeys(spark, root, spec)
-        .map(vs => leafPath(spec, vs)).filterNot(target.contains)
+      // guard across EVERY spec generation: an old-generation leaf
+      // created between the target and a later evolution would escape a
+      // current-spec-only check, restoring a mapping that omits it while
+      // its live pointer remains (exactly the live-pointer/snapshot
+      // divergence this require() exists to prevent)
+      val extra = allLeaves(spark, root)
+        .map { case (sp, vs) => leafPath(sp, vs) }
+        .filterNot(target.contains)
       require(extra.isEmpty,
         s"SpecManifest: leaves ${extra.mkString(",")} were created " +
           s"after $snap - rollback cannot restore their absence for " +
@@ -711,11 +731,17 @@ object SpecManifest {
     checkSpec(spark, root, spec)
     val fs = fsOf(spark, root)
     val cutoff = System.currentTimeMillis() - graceMs
+    // the sweep set spans EVERY spec generation: on an evolved table,
+    // old-generation leaves (e.g. y=…/b=… after evolving to b8) still
+    // hold live data and can still strand .mor-*/.fold-* scratch and
+    // unreferenced version dirs — a current-spec-only enumeration would
+    // leak them forever
+    val sweepLeaves = allLeaves(spark, root)
+      .map { case (sp, vs) => leafPath(sp, vs) }.distinct
     val referencedByLeaf: Map[String, Set[String]] = {
       val fromSnaps = snapshots(spark, root)
         .flatMap(sn => snapshotMapping(spark, root, sn))
-      val fromPointers = leafKeys(spark, root, spec).flatMap { vs =>
-        val lp = leafPath(spec, vs)
+      val fromPointers = sweepLeaves.flatMap { lp =>
         ManifestTable.currentVersion(s"$root/$lp").map(lp -> _)
       }
       (fromSnaps ++ fromPointers).groupBy(_._1).map { case (lp, ds) =>
@@ -730,8 +756,7 @@ object SpecManifest {
         deleted += st.getPath.toString
       }
     }
-    leafKeys(spark, root, spec).foreach { vs =>
-      val lp = leafPath(spec, vs)
+    sweepLeaves.foreach { lp =>
       val pr = s"$root/$lp"
       val referenced = PartitionedManifest.expandMorProtect(spark, pr,
         referencedByLeaf.getOrElse(lp, Set.empty))
@@ -1075,8 +1100,11 @@ object SpecManifest {
   def analyzeFileStats(spark: SparkSession, root: String,
       spec: PartitionSpec, cols: Seq[String]): Int = {
     checkSpec(spark, root, spec)
-    leafKeys(spark, root, spec).map { vs =>
-      val lp = leafPath(spec, vs)
+    // every generation's leaves: an evolved table's old-layout leaves
+    // hold live data too — skipping them would leave zone maps
+    // uncollected there while the returned count suggests full coverage
+    allLeaves(spark, root).map { case (sp, vs) =>
+      val lp = leafPath(sp, vs)
       val dir = ManifestTable.currentDataDir(s"$root/$lp").getOrElse(
         sys.error(s"SpecManifest: no MANIFEST under $root/$lp"))
       require(!PartitionedManifest.isMorDir(spark, dir),

@@ -23,14 +23,28 @@ import graft.engine.SpecManifest.{Bucket, Day, Identity, Month, PartitionSpec, T
   * then splits it into a real PartitionFilter at physical planning, so
   * the scan lists only the derived leaf directories.
   *
-  * Conservative: only top-level equality conjuncts against literals
-  * derive anything (an OR branch or a range on a bucketed column prunes
-  * nothing — correct, bucket hashes are order-destroying); Day/Month/
-  * Year derive for date/timestamp literals in UTC (the engine pins
-  * spark.sql.session.timeZone=UTC); a transform evaluation that cannot
-  * be reproduced exactly adds NO predicate. Added predicates are
-  * checked for semantic presence first, so the rule is idempotent
-  * under the fixed-point batch. */
+  * Three conjunct shapes derive (each top-level, against literals):
+  *
+  *   - EQUALITY — any transform: `o_custkey = 42` prunes to its bucket.
+  *   - IN-LIST — any transform: each literal derives its partition
+  *     value, the field prunes to the derived value SET (the catalog
+  *     packets' dominant filter shape; a bucket field prunes to at most
+  *     |list| buckets). One underivable or null literal drops the whole
+  *     derivation.
+  *   - INCLUSIVE RANGES — ORDER-PRESERVING transforms only (the Iceberg
+  *     range-projection contract): `o_orderdate BETWEEN a AND b`
+  *     projects through day/month/year (derived strings are fixed-width
+  *     and lexicographically ordered), truncate and numeric identity
+  *     (compared through a bigint cast of the partition value — string
+  *     compare of numerics breaks across digit counts), and string
+  *     identity. Strict bounds project inclusively (many source values
+  *     share one partition value — never skips too much). Ranges on a
+  *     BUCKET field derive nothing: hashes are order-destroying.
+  *
+  * Conservative otherwise: an OR branch derives nothing; a transform
+  * evaluation that cannot be reproduced exactly adds NO predicate.
+  * Added predicates are checked for semantic presence first, so the
+  * rule is idempotent under the fixed-point batch. */
 object HiddenPartitions {
 
   /** Table property carrying the compact spec render. */
@@ -45,12 +59,26 @@ object HiddenPartitions {
 
   /** Derive the partition value of `transform` applied to a literal —
     * EXACTLY the writer's expression semantics or None (no predicate).
-    * Mirrors [[SpecManifest.PartField.derive]]. */
+    * Mirrors [[SpecManifest.PartField.derive]]. Identity only covers
+    * types whose cast-to-string render is reproducible here (string,
+    * integral, boolean, date); floats/decimals/timestamps derive
+    * nothing — a subtly-different render would build a FALSE predicate
+    * that silently prunes everything. */
   private[plans] def deriveValue(t: Transform, v: Any,
       dt: DataType): Option[String] = t match {
-    case Identity => Option(v).map {
-      case u: UTF8String => u.toString
-      case x => x.toString
+    case Identity => (v, dt) match {
+      case (null, _) => None
+      case (u: UTF8String, _) => Some(u.toString)
+      case (b: Byte, ByteType) => Some(b.toString)
+      case (s: Short, ShortType) => Some(s.toString)
+      case (i: Int, IntegerType) => Some(i.toString)
+      case (l: Long, LongType) => Some(l.toString)
+      case (b: Boolean, BooleanType) => Some(b.toString)
+      // catalyst dates are epoch DAYS; the writer's cast-to-string is
+      // the ISO render, never the day count
+      case (days: Int, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+      case _ => None
     }
     case Bucket(n) =>
       // Spark's hash(): Murmur3 with seed 42; pmod like the writer
@@ -91,27 +119,124 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
     l.catalogTable.flatMap(_.properties.get(HiddenPartitions.Prop))
       .map(SpecManifest.parseCompact)
 
+  private def strLit(s: String): Literal =
+    Literal(UTF8String.fromString(s), StringType)
+
+  /** Is a range on the source monotone through the transform, compared
+    * the way the derived predicate compares? Day/Month/Year and STRING
+    * identity order lexicographically (fixed-width renders); Truncate
+    * and NUMERIC identity order numerically (compared through a bigint
+    * cast of the partition value). Bucket destroys order. */
+  private def lexRange(t: Transform): Boolean = t match {
+    case Day | Month | Year => true
+    case _ => false
+  }
+  private def numRange(t: Transform): Boolean = t match {
+    case Truncate(_) | Identity => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, l: LogicalRelation) if specOf(l).isDefined =>
       val spec = specOf(l).get
       val conjuncts = splitConjunctivePredicates(cond)
-      def litOf(src: String): Option[(Any, DataType)] =
-        conjuncts.collectFirst {
-          case EqualTo(a: AttributeReference, Literal(v, t))
-              if a.name == src && v != null => (v, t)
-          case EqualTo(Literal(v, t), a: AttributeReference)
-              if a.name == src && v != null => (v, t)
-        }
       val derived = spec.fields.flatMap { fld =>
-        for {
-          partAttr <- l.output.find(_.name == fld.name)
-          (v, dt) <- litOf(fld.source)
-          s <- HiddenPartitions.deriveValue(fld.transform, v, dt)
-          pred = EqualTo(partAttr,
-            Literal(UTF8String.fromString(s), StringType))
-          if !conjuncts.exists(_.semanticEquals(pred))
-        } yield pred
-      }
+        l.output.find(_.name == fld.name).toSeq.flatMap { partAttr =>
+          def derive(v: Any, dt: DataType): Option[String] =
+            HiddenPartitions.deriveValue(fld.transform, v, dt)
+          // the derived value compared the way the transform orders:
+          // lexicographic on the string partition value, or numeric
+          // through a bigint cast of it (see [[lexRange]]/[[numRange]])
+          def bound(v: Any, dt: DataType, lo: Boolean)
+              : Option[Expression] =
+            derive(v, dt).flatMap { s =>
+              if (lexRange(fld.transform))
+                Some(if (lo) GreaterThanOrEqual(partAttr, strLit(s))
+                     else LessThanOrEqual(partAttr, strLit(s)))
+              else if (numRange(fld.transform))
+                s.toLongOption.map { n =>
+                  val castPart = Cast(partAttr, LongType)
+                  if (lo) GreaterThanOrEqual(castPart, Literal(n, LongType))
+                  else LessThanOrEqual(castPart, Literal(n, LongType))
+                }
+              // string identity: lexicographic on the value itself,
+              // but only when the SOURCE is a string (numeric renders
+              // break across digit counts)
+              else None
+            }
+          def strIdentityBound(v: Any, dt: DataType, lo: Boolean)
+              : Option[Expression] = (fld.transform, dt) match {
+            // string identity: the value IS the partition value; date
+            // identity renders ISO yyyy-MM-dd — both fixed-shape and
+            // lexicographically ordered
+            case (Identity, StringType) | (Identity, DateType) =>
+              derive(v, dt).map { s =>
+                if (lo) GreaterThanOrEqual(partAttr, strLit(s))
+                else LessThanOrEqual(partAttr, strLit(s))
+              }
+            case _ => None
+          }
+          val perConjunct: Seq[Expression] = conjuncts.flatMap {
+            // EQUALITY — any transform
+            case EqualTo(a: AttributeReference, Literal(v, t))
+                if a.name == fld.source && v != null =>
+              derive(v, t).map(s => EqualTo(partAttr, strLit(s)))
+            case EqualTo(Literal(v, t), a: AttributeReference)
+                if a.name == fld.source && v != null =>
+              derive(v, t).map(s => EqualTo(partAttr, strLit(s)))
+            // IN-LIST — any transform; every literal must derive (a
+            // null literal never matches affirmatively and is skipped)
+            case In(a: AttributeReference, list)
+                if a.name == fld.source && list.nonEmpty &&
+                  list.forall(_.isInstanceOf[Literal]) =>
+              val lits = list.collect {
+                case Literal(v, t) if v != null => (v, t) }
+              val vals = lits.map { case (v, t) => derive(v, t) }
+              if (lits.nonEmpty && vals.forall(_.isDefined))
+                Some(In(partAttr, vals.flatten.distinct.map(strLit)))
+              else None
+            // a large IN is already an InSet by the time the last
+            // optimizer batch runs (OptimizeIn) — same derivation over
+            // the internal-typed value set
+            case InSet(a: AttributeReference, hset)
+                if a.name == fld.source && hset.nonEmpty =>
+              val vals = hset.toSeq.filter(_ != null)
+                .map(v => derive(v, a.dataType))
+              if (vals.nonEmpty && vals.forall(_.isDefined))
+                Some(In(partAttr, vals.flatten.distinct.sorted.map(strLit)))
+              else None
+            // INCLUSIVE RANGE PROJECTION — order-preserving transforms
+            // only; strict bounds project inclusively (conservative)
+            case GreaterThanOrEqual(a: AttributeReference, Literal(v, t))
+                if a.name == fld.source && v != null =>
+              bound(v, t, lo = true).orElse(strIdentityBound(v, t, true))
+            case GreaterThan(a: AttributeReference, Literal(v, t))
+                if a.name == fld.source && v != null =>
+              bound(v, t, lo = true).orElse(strIdentityBound(v, t, true))
+            case LessThanOrEqual(a: AttributeReference, Literal(v, t))
+                if a.name == fld.source && v != null =>
+              bound(v, t, lo = false).orElse(strIdentityBound(v, t, false))
+            case LessThan(a: AttributeReference, Literal(v, t))
+                if a.name == fld.source && v != null =>
+              bound(v, t, lo = false).orElse(strIdentityBound(v, t, false))
+            // flipped literal-first comparisons
+            case GreaterThanOrEqual(Literal(v, t), a: AttributeReference)
+                if a.name == fld.source && v != null =>
+              bound(v, t, lo = false).orElse(strIdentityBound(v, t, false))
+            case GreaterThan(Literal(v, t), a: AttributeReference)
+                if a.name == fld.source && v != null =>
+              bound(v, t, lo = false).orElse(strIdentityBound(v, t, false))
+            case LessThanOrEqual(Literal(v, t), a: AttributeReference)
+                if a.name == fld.source && v != null =>
+              bound(v, t, lo = true).orElse(strIdentityBound(v, t, true))
+            case LessThan(Literal(v, t), a: AttributeReference)
+                if a.name == fld.source && v != null =>
+              bound(v, t, lo = true).orElse(strIdentityBound(v, t, true))
+            case _ => None
+          }
+          perConjunct.filterNot(p => conjuncts.exists(_.semanticEquals(p)))
+        }
+      }.distinct
       if (derived.isEmpty) f
       else Filter((conjuncts ++ derived).reduce(And), l)
   }

@@ -137,8 +137,9 @@ object ZoneMaps {
   }
 
   /** Extract per-column bounds from conjunctive pushed filters. Only
-    * >, >=, <, <=, = against a literal contribute; everything else is
-    * ignored (kept conservative). Strict bounds are treated as
+    * >, >=, <, <=, = against a literal and IN/InSet over literals
+    * contribute (an IN-list becomes its [min,max] hull — conservative);
+    * everything else is ignored. Strict bounds are treated as
     * inclusive — never skips too much. */
   private[graft] def extractBounds(filters: Seq[Expression])
       : Map[String, Bounds] = {
@@ -170,6 +171,42 @@ object ZoneMaps {
       case LessThan(Literal(v, t), r) => attrOf(r).foreach(lo(_, v, t))
       case EqualTo(Literal(v, t), r) =>
         attrOf(r).foreach { a => lo(a, v, t); hi(a, v, t) }
+      // IN-list as min/max-of-literals bounds (still conservative: a
+      // file intersecting the hull is kept even if it straddles a gap
+      // between list values). Null literals never match affirmatively
+      // and are skipped; a list with non-literal members derives
+      // nothing.
+      case In(e, list) if list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        attrOf(e).foreach { a =>
+          val lits = list.collect { case Literal(v, t) if v != null =>
+            (v, t) }
+          val nums = lits.map { case (v, t) => numLit(v, t) }
+          val strs = lits.map { case (v, t) => strLit(v, t) }
+          if (lits.nonEmpty && nums.forall(_.isDefined)) {
+            val f = nums.flatten
+            upd(a.name)(_.withNlo(f.min)); upd(a.name)(_.withNhi(f.max))
+          } else if (lits.nonEmpty && strs.forall(_.isDefined)) {
+            val f = strs.flatten
+            upd(a.name)(_.withSlo(f.min)); upd(a.name)(_.withShi(f.max))
+          }
+        }
+      // post-OptimizeIn shape of a large IN: values are in the
+      // internal representation of the (possibly cast) child's type
+      case InSet(e, hset) if hset.nonEmpty =>
+        attrOf(e).foreach { a =>
+          val dt = e.dataType
+          val vs = hset.toSeq.filter(_ != null)
+          val nums = vs.map(numLit(_, dt))
+          val strs = vs.map(strLit(_, dt))
+          if (vs.nonEmpty && nums.forall(_.isDefined)) {
+            val f = nums.flatten
+            upd(a.name)(_.withNlo(f.min)); upd(a.name)(_.withNhi(f.max))
+          } else if (vs.nonEmpty && strs.forall(_.isDefined)) {
+            val f = strs.flatten
+            upd(a.name)(_.withSlo(f.min)); upd(a.name)(_.withShi(f.max))
+          }
+        }
       case _ => ()
     }
     out

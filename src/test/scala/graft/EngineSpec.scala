@@ -2512,4 +2512,224 @@ class EngineSpec extends AnyFunSuite {
       s"spec rows key on leaf paths: ${sm.map(_.partition).toSeq}")
   }
 
+  test("evolved-spec maintenance covers OLD-generation leaves: orphan " +
+      "sweep reaches them, ANALYZE counts them, and rollback refuses a " +
+      "target that predates an old-generation leaf") {
+    import spark.implicits._
+    import graft.engine.SpecManifest
+    import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("graft-evomaint").toString
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val spec1 = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b", "k", Bucket(2))))
+    val spec2 = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b4", "k", Bucket(4))))
+    val s1 = SpecManifest.seed(spark, root,
+      (0 until 20).map(i => (i.toLong, i * 1.0, "old")).toDF("k", "v", "grp"),
+      spec1)
+    SpecManifest.tagSnapshot(spark, root, "target", Some(s1))
+    // an OLD-generation leaf created AFTER the target snapshot (spec1
+    // is still current here)
+    SpecManifest.commitSnapshot(spark, root, spec1,
+      Map(Seq("late", "0") -> Seq((100L, 1.0, "late")).toDF("k", "v", "grp")))
+    SpecManifest.evolveSpec(spark, root, spec2)
+    // rollback guard must see the old-generation leaf (current-spec-only
+    // enumeration would miss g=late/b=0 entirely and silently restore a
+    // mapping that omits it while its live pointer remains)
+    intercept[IllegalArgumentException] {
+      SpecManifest.rollback(spark, root, spec2, "target")
+    }
+    // a NEW-generation leaf under the evolved spec
+    SpecManifest.commitSnapshot(spark, root, spec2,
+      Map(Seq("new", "1") -> Seq((200L, 2.0, "new")).toDF("k", "v", "grp")))
+    // orphan sweep reaches old-generation leaves: stranded scratch and
+    // an unreferenced version dir under g=old/b=* must be deleted
+    val oldLeaf = SpecManifest.leafKeys(spark, root, spec1)
+      .find(_.head == "old").get
+    val oldPr = s"$root/g=${oldLeaf(0)}/b=${oldLeaf(1)}"
+    fs.mkdirs(new HPath(s"$oldPr/.mor-dead"))
+    fs.mkdirs(new HPath(s"$oldPr/v999999-dead"))
+    val deleted = SpecManifest.cleanOrphans(spark, root, spec2,
+      graceMs = -1000)
+    assert(deleted.exists(_.endsWith(".mor-dead")) &&
+      deleted.exists(_.endsWith("v999999-dead")),
+      s"old-generation leaf scratch must be swept: $deleted")
+    // ANALYZE covers every generation's leaves
+    val analyzed = SpecManifest.analyzeFileStats(spark, root, spec2,
+      Seq("k"))
+    val allLeafCount = SpecManifest.allLeaves(spark, root).size
+    assert(analyzed == allLeafCount && allLeafCount >= 3,
+      s"ANALYZE must cover all generations: $analyzed of $allLeafCount")
+    // content intact after maintenance
+    assert(SpecManifest.read(spark, root, spec2).count() == 22)
+  }
+
+  test("clustered OPTIMIZE is convergent under the layout marker: a " +
+      "repeat with identical parameters rewrites nothing, a different " +
+      "layout rewrites again, and a non-castable z-order column fails " +
+      "loudly") {
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val root = Files.createTempDirectory("graft-clconv").toString
+    val base = (0 until 400).map(i => (i.toLong, s"s$i", i % 2))
+      .toDF("k", "s", "bk")
+    Seq(0, 1).foreach { v =>
+      PartitionedManifest.publishPartition(spark, root, "bk", v.toString,
+        base.filter($"bk" === v).repartition(4))
+    }
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    val (_, t1) = PartitionedManifest.compact(spark, root, "bk",
+      clusterBy = Seq("k"), clusterFiles = 2)
+    assert(t1.sorted == Seq("0", "1"), s"first clustered pass: $t1")
+    val (_, t2) = PartitionedManifest.compact(spark, root, "bk",
+      clusterBy = Seq("k"), clusterFiles = 2)
+    assert(t2.isEmpty,
+      s"identical repeat must select nothing (marker gate): $t2")
+    val (_, t3) = PartitionedManifest.compact(spark, root, "bk",
+      clusterBy = Seq("k"), clusterFiles = 3)
+    assert(t3.sorted == Seq("0", "1"),
+      s"a different layout must re-select: $t3")
+    // new data (a MOR chain) re-qualifies the partition despite the
+    // marker on its base
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+      upserts = Map("0" -> Seq((0L, "zz")).toDF("k", "s")))
+    val (_, t4) = PartitionedManifest.compact(spark, root, "bk",
+      clusterBy = Seq("k"), clusterFiles = 3)
+    assert(t4 == Seq("0"), s"MOR-live partition must re-select: $t4")
+    assert(PartitionedManifest.read(spark, root, "bk", "int")
+      .count() == 400, "content intact through the layout passes")
+    // z-order over a string column can never succeed: loud error, not
+    // a silent three-retry no-op
+    intercept[PartitionedManifest.LayoutValidationException] {
+      PartitionedManifest.compact(spark, root, "bk",
+        clusterBy = Seq("k", "s"), clusterFiles = 2, clusterZOrder = true)
+    }
+  }
+
+  test("hidden partitioning projects RANGES through order-preserving " +
+      "transforms and IN-LISTS through any transform; OR branches and " +
+      "bucket ranges stay conservative") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.engine.SpecManifest
+    import graft.engine.SpecManifest.{Bucket, PartField, PartitionSpec, Truncate, Year}
+    def filesOf(df: DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray
+            .map(_.filePath.toString).toSeq
+      }.flatten
+    val root = Files.createTempDirectory("graft-hpr").toString
+    val spec = PartitionSpec(Seq(
+      PartField("y", "d", Year),
+      PartField("b", "k", Bucket(4))))
+    val base = (0 until 400).map { i =>
+      (i.toLong, java.sql.Date.valueOf(s"${1994 + i % 4}-0${1 + i % 9}-15"),
+        i * 1.0)
+    }.toDF("k", "d", "v")
+    SpecManifest.seed(spark, root, base, spec)
+    def read() = SpecManifest.read(spark, root, spec)
+    // RANGE on the year-transformed date: a bare BETWEEN prunes to the
+    // matching year's leaves (the single most common 100 TB predicate)
+    val ranged = read().where(col("d") >= lit("1995-01-01").cast("date") &&
+      col("d") <= lit("1995-12-31").cast("date"))
+    val rf = filesOf(ranged)
+    assert(rf.nonEmpty && rf.forall(_.contains("/y=1995/")),
+      s"year-range projection must prune to y=1995: ${rf.take(3)}")
+    assert(ranged.count() == base.filter(
+      $"d".between("1995-01-01", "1995-12-31")).count())
+    // IN-LIST on the bucketed source column: prunes to the derived
+    // bucket SET across all years
+    val inKeys = Seq(3L, 7L)
+    val buckets = inKeys.map(ck => spark.range(1)
+      .select(spec.fields(1).derive(lit(ck)).as("v")).head().getString(0))
+      .toSet
+    val inDf = read().where(col("k").isin(inKeys: _*))
+    val inF = filesOf(inDf)
+    assert(inF.nonEmpty && inF.forall(f =>
+        buckets.exists(b => f.contains(s"/b=$b/"))),
+      s"IN-list must prune to derived buckets $buckets: ${inF.take(3)}")
+    assert(inDf.count() == 2)
+    // RANGE on the BUCKET source derives nothing (hash is
+    // order-destroying): all buckets planned
+    val bw = filesOf(read().where(col("k") >= 100L && col("k") <= 101L))
+    assert(Seq("0", "1", "2", "3").forall(b =>
+        bw.exists(_.contains(s"/b=$b/"))),
+      "a range on a bucketed source must not prune buckets")
+    // OR at the top level derives nothing
+    val orF = filesOf(read().where(
+      (col("d") >= lit("1997-01-01").cast("date")) || col("k") === 3L))
+    assert(Seq("1994", "1995", "1996", "1997").forall(y =>
+        orF.exists(_.contains(s"/y=$y/"))),
+      "an OR branch must stay conservative")
+    // TRUNCATE range: numeric compare through the bigint cast of the
+    // partition value (string compare would break across digit counts)
+    val r2 = Files.createTempDirectory("graft-hpr2").toString
+    val spec2 = PartitionSpec(Seq(PartField("t", "k", Truncate(100L))))
+    SpecManifest.seed(spark, r2,
+      (0 until 1200).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), spec2)
+    val tr = SpecManifest.read(spark, r2, spec2)
+      .where(col("k") >= 150L && col("k") <= 249L)
+    val tf = filesOf(tr)
+    assert(tf.nonEmpty && tf.forall(f =>
+        f.contains("/t=100/") || f.contains("/t=200/")),
+      s"truncate range must keep exactly the covering ranges: ${tf.take(3)}")
+    assert(tr.count() == 100)
+    // ... and digit-count safety: k >= 950 must still plan t=1000+
+    val tf2 = filesOf(SpecManifest.read(spark, r2, spec2)
+      .where(col("k") >= 950L))
+    assert(tf2.exists(_.contains("/t=1000/")) &&
+      tf2.exists(_.contains("/t=1100/")) &&
+      tf2.exists(_.contains("/t=900/")) &&
+      !tf2.exists(_.contains("/t=800/")),
+      s"numeric-range compare must survive digit-count changes: " +
+        s"${tf2.take(5)}")
+  }
+
+  test("zone maps skip files on IN-list predicates over analyzed " +
+      "clustered layouts; unanalyzed versions never skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import graft.engine.PartitionedManifest
+    def filesOf(df: DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray
+            .map(_.filePath.toString).toSeq
+      }.flatten
+    val root = Files.createTempDirectory("graft-zmin").toString
+    val base = (0 until 800).map(i => (i.toLong, i * 1.0, i % 2))
+      .toDF("k", "v", "bk")
+    // range-clustered files: 4 per partition, disjoint k spans
+    Seq(0, 1).foreach { p =>
+      PartitionedManifest.publishPartition(spark, root, "bk", p.toString,
+        base.filter($"bk" === p).repartitionByRange(4, col("k"))
+          .sortWithinPartitions("k"))
+    }
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    PartitionedManifest.syncCatalogTable(spark, root, "zmin_t", "bk", "int")
+    // UNanalyzed: an IN-list keeps every file
+    val before = filesOf(spark.table("zmin_t")
+      .where(col("k").isin(10L, 20L)))
+    assert(before.size == 8, s"unanalyzed must keep all: ${before.size}")
+    PartitionedManifest.analyzeFileStats(spark, root, "bk", Seq("k"))
+    PartitionedManifest.syncCatalogTable(spark, root, "zmin_t", "bk", "int")
+    // analyzed: both values live in the lowest span — at most one file
+    // per partition survives
+    val after = filesOf(spark.table("zmin_t")
+      .where(col("k").isin(10L, 20L)))
+    assert(after.nonEmpty && after.size <= 2,
+      s"IN-list must skip non-intersecting files: kept ${after.size}")
+    assert(spark.table("zmin_t").where(col("k").isin(10L, 20L))
+      .count() == 2, "skipping is IO elision only")
+  }
+
 }

@@ -48,6 +48,29 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(!b.contains("s"))
   }
 
+  test("extractBounds: IN-lists become their [min,max] hull (In and " +
+      "post-OptimizeIn InSet), null members are skipped, mixed or " +
+      "non-literal lists derive nothing") {
+    val b = ZoneMaps.extractBounds(Seq(
+      In(k, Seq(Literal(30L), Literal(12L), Literal(25L)))))
+    assert(b("k").nlo.contains(12.0) && b("k").nhi.contains(30.0))
+    // a null member never matches affirmatively: hull of the rest
+    val b2 = ZoneMaps.extractBounds(Seq(
+      In(k, Seq(Literal(5L), Literal.create(null, LongType)))))
+    assert(b2("k").nlo.contains(5.0) && b2("k").nhi.contains(5.0))
+    // string IN
+    val b3 = ZoneMaps.extractBounds(Seq(In(s,
+      Seq(Literal.create("pq", StringType), Literal.create("ab", StringType)))))
+    assert(b3("s").slo.contains("ab") && b3("s").shi.contains("pq"))
+    // InSet carries internal-typed values
+    val b4 = ZoneMaps.extractBounds(Seq(
+      InSet(k, Set[Any](7L, 90L, 41L))))
+    assert(b4("k").nlo.contains(7.0) && b4("k").nhi.contains(90.0))
+    // a non-literal member: no bound (conservative)
+    val b5 = ZoneMaps.extractBounds(Seq(In(k, Seq(Literal(1L), s))))
+    assert(!b5.contains("k"))
+  }
+
   test("mayMatch: numeric in/out, all-null skip, unusable stats and " +
       "type mismatches keep") {
     val lo10hi20 = ZoneMaps.Bounds(nlo = Some(10.0), nhi = Some(20.0))
