@@ -208,13 +208,17 @@ object PartitionedManifest {
       if (pure.isEmpty) None
       else Some(serveThroughPin(spark, root, partCol, partType, pure,
         schema))
-    val morDfs = mor.map { case (v, path) =>
-      val slash = path.lastIndexOf('/')
-      resolveVersionData(spark, path.substring(0, slash),
-          path.substring(slash + 1), schema)
-        .withColumn(partCol, lit(v).cast(partType))
-    }
-    (pureDf.toSeq ++ morDfs).reduce(_.unionByName(_))
+    // K hot MOR partitions serve through ONE grouped resolution whose
+    // plan width scales with chain depth, never K (resolveMorGrouped)
+    val morDf =
+      if (mor.isEmpty) None
+      else Some(resolveMorGrouped(spark,
+          mor.map { case (_, path) =>
+            val slash = path.lastIndexOf('/')
+            (path.substring(0, slash), path.substring(slash + 1))
+          }, Seq(partCol), schema)
+        .withColumn(partCol, col(partCol).cast(partType)))
+    (pureDf.toSeq ++ morDf.toSeq).reduce(_.unionByName(_))
   }
 
   private def hash8(s: String): String =
@@ -899,11 +903,13 @@ object PartitionedManifest {
           else Some(readDirsWithPartCol(spark,
             pure.map { case (v, d) => s"$root/$partCol=$v/$d" },
             partCol, partType, schema))
-        val morDfs = mor.map { case (v, d) =>
-          resolveVersionData(spark, s"$root/$partCol=$v", d, schema)
-            .withColumn(partCol, lit(v).cast(partType))
-        }
-        Some((pureDf.toSeq ++ morDfs).reduce(_.unionByName(_)))
+        val morDf =
+          if (mor.isEmpty) None
+          else Some(resolveMorGrouped(spark,
+              mor.map { case (v, d) => (s"$root/$partCol=$v", d) },
+              Seq(partCol), schema)
+            .withColumn(partCol, col(partCol).cast(partType)))
+        Some((pureDf.toSeq ++ morDf.toSeq).reduce(_.unionByName(_)))
       }
     }
     (side(from, fromSnap), side(to, toSnap)) match {
@@ -1090,6 +1096,28 @@ object PartitionedManifest {
     }
   }
 
+  /** Recover hive-style `field=value` path segments as STRING columns
+    * appended after the data columns, via the deterministic hidden
+    * file-metadata column (the multi-field generalization of
+    * [[readDirsWithPartCol]]'s trick). */
+  private[engine] def attachFieldsFromPath(df: DataFrame,
+      fields: Seq[String]): DataFrame = {
+    val dataCols = df.columns.toSeq
+    val withF = fields.foldLeft(df)((x, f) =>
+      x.withColumn(f, regexp_extract(col("_metadata.file_path"),
+        java.util.regex.Pattern.quote(s"/$f=") + "([^/]+)/", 1)))
+    withF.select((dataCols.map(col) ++ fields.map(col)): _*)
+  }
+
+  /** Read a set of (pure) version dirs as ONE relation with hive path
+    * fields recovered as string columns. */
+  private[engine] def readDirsWithFields(spark: SparkSession,
+      paths: Seq[String], fields: Seq[String],
+      schema: Option[StructType] = None): DataFrame =
+    attachFieldsFromPath(
+      schema.map(sc => spark.read.schema(sc).parquet(paths: _*))
+        .getOrElse(spark.read.parquet(paths: _*)), fields)
+
   /** Resolve MANY merge-on-read chains in ONE bounded-width plan — the
     * serving path for a CDC-heavy table with K hot partitions/leaves
     * between folds. The per-chain resolver ([[resolveVersionData]])
@@ -1126,13 +1154,8 @@ object PartitionedManifest {
         sys.error(s"resolveMorGrouped: $pr/$d is not merge-on-read"))
       (pr, morChain(spark, pr, d), keys)
     }
-    def attach(df: DataFrame): DataFrame = {
-      val dataCols = df.columns.toSeq
-      val withF = fields.foldLeft(df)((x, f) =>
-        x.withColumn(f, regexp_extract(col("_metadata.file_path"),
-          java.util.regex.Pattern.quote(s"/$f=") + "([^/]+)/", 1)))
-      withF.select((dataCols.map(col) ++ fields.map(col)): _*)
-    }
+    def attach(df: DataFrame): DataFrame =
+      attachFieldsFromPath(df, fields)
     infos.groupBy(_._3).toSeq.sortBy(_._1.mkString(","))
       .map { case (keys, group) =>
         val dataSchema: StructType = schema.getOrElse {
@@ -1183,8 +1206,11 @@ object PartitionedManifest {
           val latest = all
             .withColumn("_graft_rn", row_number().over(w))
             .filter(col("_graft_rn") === 1)
+          // re-select the base order: a using-columns join moves the
+          // join keys to the FRONT of the output
           base.join(all.select(grpKeys.map(col): _*).distinct(),
               grpKeys, "left_anti")
+            .select(base.columns.toSeq.map(col): _*)
             .unionByName(latest.filter(col("_graft_op") === "u")
               .drop("_graft_op", "_graft_layer", "_graft_rn"))
         }

@@ -805,15 +805,15 @@ object SpecManifest {
       val pureDf =
         if (pureLs.isEmpty) None
         else Some(servePin(spark, root, spec, pureLs))
-      val morDfs = morLs.map { case (k, d) =>
-        val resolved = PartitionedManifest.resolveVersionData(spark,
-          s"$root/$k", d, None)
-        k.split("/").foldLeft(resolved) { (x, seg) =>
-          val Array(n, v) = seg.split("=", 2)
-          x.withColumn(n, lit(v))
-        }
-      }
-      (pureDf.toSeq ++ morDfs).reduce(_.unionByName(_))
+      // K hot MOR leaves serve through ONE grouped resolution (plan
+      // width scales with chain depth, never K) with the spec fields
+      // recovered from the leaf directory paths
+      val morDf =
+        if (morLs.isEmpty) None
+        else Some(PartitionedManifest.resolveMorGrouped(spark,
+          morLs.map { case (k, d) => (s"$root/$k", d) }, spec.names,
+          None))
+      (pureDf.toSeq ++ morDf.toSeq).reduce(_.unionByName(_))
     } else {
       // EVOLVED table: each layout generation serves through its OWN
       // pin (so the hidden-partition rule prunes each through its own
@@ -836,11 +836,20 @@ object SpecManifest {
           missing.foldLeft(df.drop(dropNames: _*))((d, f) =>
             d.withColumn(f.name, f.derived))
         }
-      val mors = morLs.map { case (k, d) =>
-        val df = PartitionedManifest.resolveVersionData(spark,
-          s"$root/$k", d, None)
-        spec.fields.foldLeft(df)((x, f) => x.withColumn(f.name, f.derived))
-      }
+      // MOR leaves group per GENERATION (one grouped resolution per
+      // spec version with chains, arms = generations × depth); the
+      // stored partition fields drop and the CURRENT spec's fields
+      // re-derive from source columns, like the pure pins above
+      val mors = morLs
+        .groupBy { case (k, _) => specForLeaf(versions, k) }.toSeq
+        .sortBy(_._1.names.mkString("/"))
+        .map { case (sp, ls) =>
+          val df = PartitionedManifest.resolveMorGrouped(spark,
+            ls.map { case (k, d) => (s"$root/$k", d) }, sp.names, None)
+            .drop(sp.names: _*)
+          spec.fields.foldLeft(df)((x, f) =>
+            x.withColumn(f.name, f.derived))
+        }
       (pins ++ mors).reduce(_.unionByName(_))
     }
   }
@@ -944,20 +953,32 @@ object SpecManifest {
     def side(m: Map[String, String]): Option[DataFrame] = {
       val leaves = changed.flatMap(k => m.get(k).map(d => (k, d)))
       if (leaves.isEmpty) None
-      else Some(leaves.map { case (k, d) =>
-        val df = PartitionedManifest.resolveVersionData(spark,
-          s"$root/$k", d, None)
-        val dataCols = df.columns.toSeq
-        val present = k.split("/").map(_.split("=", 2)(0)).toSet
-        val attached = k.split("/").foldLeft(df) { (x, seg) =>
-          val Array(n, v) = seg.split("=", 2)
-          x.withColumn(n, lit(v))
-        }
-        allNames.filterNot(present)
-          .foldLeft(attached)((x, n) =>
-            x.withColumn(n, lit(null).cast("string")))
-          .select((dataCols.map(col) ++ allNames.map(col)): _*)
-      }.reduce(_.unionByName(_)))
+      else Some(leaves
+        // one group per field-name layout (spec generation): pure dirs
+        // read as ONE relation, MOR chains resolve through the grouped
+        // resolver — plan width is generations × chain depth, never
+        // the changed-leaf count
+        .groupBy { case (k, _) =>
+          k.split("/").toSeq.map(_.split("=", 2)(0)) }
+        .toSeq.sortBy(_._1.mkString("/"))
+        .map { case (names, ls) =>
+          val (mor, pure) = ls.partition { case (k, d) =>
+            PartitionedManifest.isMorDir(spark, s"$root/$k/$d") }
+          val parts =
+            (if (pure.isEmpty) Nil
+             else Seq(PartitionedManifest.readDirsWithFields(spark,
+               pure.map { case (k, d) => s"$root/$k/$d" }, names))) ++
+            (if (mor.isEmpty) Nil
+             else Seq(PartitionedManifest.resolveMorGrouped(spark,
+               mor.map { case (k, d) => (s"$root/$k", d) }, names,
+               None)))
+          val df = parts.reduce(_.unionByName(_))
+          val dataCols = df.columns.toSeq.filterNot(names.contains)
+          allNames.filterNot(names.contains)
+            .foldLeft(df)((x, n) =>
+              x.withColumn(n, lit(null).cast("string")))
+            .select((dataCols.map(col) ++ allNames.map(col)): _*)
+        }.reduce(_.unionByName(_)))
     }
     (side(from), side(to)) match {
       case (None, None) =>

@@ -2610,6 +2610,88 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-on-read serving is bounded-width: K hot leaves plan " +
+      "O(chain depth) scan nodes, not O(K), with resolution semantics " +
+      "unchanged (delete-then-upsert layering, newest layer wins)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.engine.SpecManifest
+    import graft.engine.SpecManifest.{Bucket, Identity, PartField, PartitionSpec}
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }.size
+    val root = Files.createTempDirectory("graft-morwidth").toString
+    val spec = PartitionSpec(Seq(
+      PartField("g", "grp", Identity),
+      PartField("b", "k", Bucket(4))))
+    val base = (0 until 200).map(i =>
+      (i.toLong, i * 1.0, s"g${i % 2}")).toDF("k", "v", "grp")
+    SpecManifest.seed(spark, root, base, spec)
+    val leaves = SpecManifest.leafKeys(spark, root, spec)
+    assert(leaves.size == 8, s"expected 8 leaves: $leaves")
+    // layer 1 on EVERY leaf: upsert one row + delete one row per leaf
+    def keyIn(vs: Seq[String]): (Long, Long) = {
+      val rows = SpecManifest.readLeaf(spark, root, spec, vs)
+        .select($"k").orderBy($"k").limit(2).as[Long].collect()
+      (rows(0), rows(1))
+    }
+    val batch1 = leaves.map { vs =>
+      val (a, b) = keyIn(vs)
+      vs -> ((a, b))
+    }.toMap
+    SpecManifest.commitMerge(spark, root, spec, Seq("k"),
+      upserts = batch1.map { case (vs, (a, _)) =>
+        vs -> Seq((a, -1.0, vs.head)).toDF("k", "v", "grp")
+      },
+      deletes = batch1.map { case (vs, (_, b)) =>
+        vs -> Seq(b).toDF("k")
+      })
+    // layer 2 on half the leaves: delete the layer-1 upserted key, then
+    // re-upsert the layer-1 deleted key (newest layer must win)
+    val half = leaves.take(4)
+    SpecManifest.commitMerge(spark, root, spec, Seq("k"),
+      upserts = half.map { vs =>
+        val (_, b) = batch1(vs)
+        vs -> Seq((b, 99.0, vs.head)).toDF("k", "v", "grp")
+      }.toMap,
+      deletes = half.map { vs =>
+        val (a, _) = batch1(vs)
+        vs -> Seq(a).toDF("k")
+      }.toMap)
+    val df = SpecManifest.read(spark, root, spec)
+    // width: 8 MOR leaves, depth ≤ 2 → scans bounded by depth, not K
+    // (the per-leaf resolver planned ≥ 3 scans per leaf = 24+)
+    val n = scanCount(df)
+    assert(n <= 12, s"grouped MOR serving must stay bounded: $n scans")
+    // semantics: per untouched-half leaf, a replaced and a removed key;
+    // per touched-half leaf, the layer-2 flip wins
+    val got = df.select($"k", $"v").as[(Long, Double)].collect().toMap
+    leaves.foreach { vs =>
+      val (a, b) = batch1(vs)
+      if (half.contains(vs)) {
+        assert(!got.contains(a), s"layer-2 delete of $a must win")
+        assert(got(b) == 99.0, s"layer-2 re-upsert of $b must win")
+      } else {
+        assert(got(a) == -1.0, s"layer-1 upsert of $a must hold")
+        assert(!got.contains(b), s"layer-1 delete of $b must hold")
+      }
+    }
+    // 200 - 8 layer-1 deletes - 4 layer-2 deletes + 4 re-upserts
+    assert(got.size == 192, s"row count: ${got.size}")
+    // CDC across the MOR history stays leaf-footprint-bounded and
+    // grouped: the diff between the two merge snapshots plans only
+    // the touched half's leaves
+    val snaps = SpecManifest.snapshots(spark, root)
+    val ch = SpecManifest.changesBetween(spark, root, spec,
+      snaps(snaps.size - 2), snaps.last)
+    val chFiles = ch.inputFiles
+    assert(chFiles.nonEmpty && half.forall(vs =>
+        chFiles.exists(_.contains(s"/g=${vs(0)}/b=${vs(1)}/"))) &&
+      leaves.drop(4).forall(vs =>
+        !chFiles.exists(_.contains(s"/g=${vs(0)}/b=${vs(1)}/v"))),
+      "CDC must plan only touched leaves")
+  }
+
   test("hidden partitioning projects RANGES through order-preserving " +
       "transforms and IN-LISTS through any transform; OR branches and " +
       "bucket ranges stay conservative") {
