@@ -1254,96 +1254,145 @@ object PartitionedManifest {
     * instead of another layer — the partition's bytes are paid once
     * per `foldChainAt` merges (amortized 1/foldChainAt per commit)
     * and every reader's chain walk stays ≤ foldChainAt. 0 leaves the
-    * bound to compaction cadence (compact() folds unconditionally). */
+    * bound to compaction cadence (compact() folds unconditionally).
+    *
+    * CONCURRENCY (the compact() posture): the delta parquet is staged
+    * with NO lock held — at high commit frequency concurrent merge
+    * committers overlap their I/O and serialize only on the cheap
+    * metadata tail. Under the lock each touched partition re-reads its
+    * FRESH live version as the chain base (the delta files never
+    * depend on it), so a committer that landed mid-staging simply
+    * becomes one more layer below — both commits land, newest layer
+    * still wins per key. The recorded schema is re-validated under the
+    * lock; a concurrent schema evolution fails the merge loudly.
+    *
+    * @param onBeforeLock test seam, called after the lock-free staging
+    *        completes and BEFORE the publish lock is taken — the race
+    *        window a concurrent committer can land in */
   def commitMerge(spark: SparkSession, root: String, partCol: String,
       keyCols: Seq[String], upserts: Map[String, DataFrame] = Map.empty,
       deletes: Map[String, DataFrame] = Map.empty,
-      keepSnapshots: Int = 2, foldChainAt: Int = 0): String = {
+      keepSnapshots: Int = 2, foldChainAt: Int = 0,
+      onBeforeLock: () => Unit = () => ()): String = {
     require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
     require(keyCols.nonEmpty && !keyCols.contains(partCol),
       "commitMerge: keyCols must be non-empty data columns")
     val touched = (upserts.keySet ++ deletes.keySet).toSeq.sorted
     require(touched.nonEmpty, "commitMerge needs upserts or deletes")
     touched.foreach(checkPartValue)
-    ManifestTable.withPublishLock(root) {
-      val snap = currentSnapshot(spark, root).getOrElse(sys.error(
-        "PartitionedManifest: commitMerge needs a snapshot-managed " +
-          s"table under $root - commitSnapshot first"))
+    val fs = fsOf(spark, root)
+    // ---- LOCK-FREE phase: validate against an optimistic read of the
+    // current snapshot and stage every partition's delta parquet ----
+    val snap0 = currentSnapshot(spark, root).getOrElse(sys.error(
+      "PartitionedManifest: commitMerge needs a snapshot-managed " +
+        s"table under $root - commitSnapshot first"))
+    val base0 = snapshotMapping(spark, root, snap0).toMap
+    val unknown0 = touched.filterNot(base0.contains)
+    require(unknown0.isEmpty,
+      "PartitionedManifest: merge-on-read may only touch existing " +
+        s"partitions (new: ${unknown0.mkString(",")}) - create " +
+        "partitions through commitSnapshot")
+    val schema = snapshotSchema(spark, root, snap0).getOrElse {
+      val (v, d) = base0.head
+      spark.read.parquet(s"$root/$partCol=$v/$d").schema
+    }
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"commitMerge: unknown key column '$k'"))
+    upserts.foreach { case (v, df) =>
+      val cols = df.schema.filterNot(_.name == partCol)
+        .map(f => (f.name, f.dataType))
+      require(cols == schema.map(f => (f.name, f.dataType)).toSeq,
+        s"commitMerge: partition $v upsert schema " +
+          s"(${cols.map(_._1).mkString(",")}) does not match the " +
+          s"recorded schema (${schema.fieldNames.mkString(",")}) - " +
+          "schema evolution goes through commitSnapshot")
+    }
+    deletes.foreach { case (v, df) =>
+      val cols = df.columns.toSeq.filterNot(_ == partCol).sorted
+      require(cols == keyCols.sorted,
+        s"commitMerge: partition $v delete frame must carry exactly " +
+          s"the key columns ${keyCols.mkString(",")} (got " +
+          s"${cols.mkString(",")})")
+    }
+    // (upserts, deletes, staged delta dir) per partition
+    val staged: Seq[(String, Option[DataFrame], Option[DataFrame],
+        String)] = touched.map { v =>
+      val pr = s"$root/$partCol=$v"
+      val up = upserts.get(v).map(df =>
+        (if (df.columns.contains(partCol)) df.drop(partCol) else df)
+          .select(schema.fieldNames.toSeq.map(col): _*))
+      val del = deletes.get(v).map(df =>
+        (if (df.columns.contains(partCol)) df.drop(partCol) else df)
+          .select(keyCols.map(col): _*).distinct())
+      for (u <- up; d <- del)
+        require(u.select(keyCols.map(col): _*)
+            .intersect(d).isEmpty,
+          s"commitMerge: partition $v has keys in BOTH upserts and " +
+            "deletes - an upsert already replaces; a delete already " +
+            "removes (overlap makes the outcome ambiguous)")
+      val stage =
+        s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
+      fs.mkdirs(new HPath(stage))
+      up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
+      del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
+      (v, up, del, stage)
+    }
+    onBeforeLock()
+    // ---- LOCKED phase: cheap metadata only (plus the amortized-rare
+    // foldChainAt fold) — re-validate, bind each delta to its FRESH
+    // chain base, adopt, snapshot ----
+    def dropStaged(): Unit = staged.foreach { case (_, _, _, st) =>
+      try fs.delete(new HPath(st), true)
+      catch { case _: java.io.IOException => () }
+    }
+    try ManifestTable.withPublishLock(root) {
+      val snap = currentSnapshot(spark, root).get
       val base = snapshotMapping(spark, root, snap).toMap
       val unknown = touched.filterNot(base.contains)
       require(unknown.isEmpty,
         "PartitionedManifest: merge-on-read may only touch existing " +
-          s"partitions (new: ${unknown.mkString(",")}) - create " +
-          "partitions through commitSnapshot")
-      val schema = snapshotSchema(spark, root, snap).getOrElse {
-        val (v, d) = base.head
-        spark.read.parquet(s"$root/$partCol=$v/$d").schema
-      }
-      keyCols.foreach(k => require(schema.fieldNames.contains(k),
-        s"commitMerge: unknown key column '$k'"))
-      upserts.foreach { case (v, df) =>
-        val cols = df.schema.filterNot(_.name == partCol)
-          .map(f => (f.name, f.dataType))
-        require(cols == schema.map(f => (f.name, f.dataType)).toSeq,
-          s"commitMerge: partition $v upsert schema " +
-            s"(${cols.map(_._1).mkString(",")}) does not match the " +
-            s"recorded schema (${schema.fieldNames.mkString(",")}) - " +
-            "schema evolution goes through commitSnapshot")
-      }
-      deletes.foreach { case (v, df) =>
-        val cols = df.columns.toSeq.filterNot(_ == partCol).sorted
-        require(cols == keyCols.sorted,
-          s"commitMerge: partition $v delete frame must carry exactly " +
-            s"the key columns ${keyCols.mkString(",")} (got " +
-            s"${cols.mkString(",")})")
-      }
+          s"partitions (new: ${unknown.mkString(",")})")
+      // a schema evolution that landed mid-staging invalidates the
+      // staged frames' shape — fail loudly, never adopt a stale shape
+      val curSchema = snapshotSchema(spark, root, snap)
+      require(curSchema.forall(s => s.map(f => (f.name, f.dataType)) ==
+          schema.map(f => (f.name, f.dataType))),
+        "commitMerge: the table schema evolved while the delta was " +
+          "staging - restage against the current schema")
       val protectByPart = protectedDirsByPartition(spark, root,
         keepSnapshots)
-      val fs = fsOf(spark, root)
-      val written: Map[String, String] = touched.map { v =>
-        val pr = s"$root/$partCol=$v"
-        val baseDir = ManifestTable.currentVersion(pr).getOrElse(
-          sys.error(s"PartitionedManifest: no MANIFEST under $pr"))
-        val up = upserts.get(v).map(df =>
-          (if (df.columns.contains(partCol)) df.drop(partCol) else df)
-            .select(schema.fieldNames.toSeq.map(col): _*))
-        val del = deletes.get(v).map(df =>
-          (if (df.columns.contains(partCol)) df.drop(partCol) else df)
-            .select(keyCols.map(col): _*).distinct())
-        for (u <- up; d <- del)
-          require(u.select(keyCols.map(col): _*)
-              .intersect(d).isEmpty,
-            s"commitMerge: partition $v has keys in BOTH upserts and " +
-              "deletes - an upsert already replaces; a delete already " +
-              "removes (overlap makes the outcome ambiguous)")
-        val protect = expandMorProtect(spark, pr,
-          protectByPart.getOrElse(v, Set.empty))
-        val dir =
-          if (foldChainAt > 0 &&
-              morChain(spark, pr, baseDir).length + 1 >= foldChainAt) {
-            // bounded chain: fold instead of layering (see Scaladoc)
-            val current = resolveVersionData(spark, pr, baseDir,
-              Some(schema))
-            val touchedKeys = (up.map(_.select(keyCols.map(col): _*))
-              .toSeq ++ del.toSeq).reduce(_.unionByName(_)).distinct()
-            val merged = current
-              .join(touchedKeys, keyCols, "left_anti")
-              .unionByName(up.getOrElse(current.limit(0)))
-            ManifestTable.publish(spark, pr, merged, protect)
-          } else {
-            val stage =
-              s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
-            fs.mkdirs(new HPath(stage))
-            up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
-            del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
-            ManifestTable.writeOnce(stage, MorFile,
-              s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
-            ManifestTable.adoptVersion(pr, stage, protect)
-          }
-        v -> new HPath(dir).getName
+      val written: Map[String, String] = staged.map {
+        case (v, up, del, stage) =>
+          val pr = s"$root/$partCol=$v"
+          val baseDir = ManifestTable.currentVersion(pr).getOrElse(
+            sys.error(s"PartitionedManifest: no MANIFEST under $pr"))
+          val protect = expandMorProtect(spark, pr,
+            protectByPart.getOrElse(v, Set.empty))
+          val dir =
+            if (foldChainAt > 0 &&
+                morChain(spark, pr, baseDir).length + 1 >= foldChainAt) {
+              // bounded chain: fold instead of layering (see Scaladoc)
+              val current = resolveVersionData(spark, pr, baseDir,
+                Some(schema))
+              val touchedKeys = (up.map(_.select(keyCols.map(col): _*))
+                .toSeq ++ del.toSeq).reduce(_.unionByName(_)).distinct()
+              val merged = current
+                .join(touchedKeys, keyCols, "left_anti")
+                .unionByName(up.getOrElse(current.limit(0)))
+              val d = ManifestTable.publish(spark, pr, merged, protect)
+              fs.delete(new HPath(stage), true)
+              d
+            } else {
+              ManifestTable.writeOnce(stage, MorFile,
+                s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
+              ManifestTable.adoptVersion(pr, stage, protect)
+            }
+          v -> new HPath(dir).getName
       }.toMap
       writeSnapshotFileLocked(spark, root,
         (base ++ written).toSeq.sortBy(_._1), keepSnapshots, Some(schema))
+    } catch {
+      case e: Throwable => dropStaged(); throw e
     }
   }
 

@@ -1024,12 +1024,20 @@ object SpecManifest {
     * exactly like any other. Same contract as
     * [[PartitionedManifest.commitMerge]]: leaves must exist, upsert
     * schemas must match the data schema, per leaf the upsert and
-    * delete key sets must be disjoint. Returns the snapshot name. */
+    * delete key sets must be disjoint. Returns the snapshot name.
+    *
+    * CONCURRENCY: like the single-column twin, the delta parquet is
+    * staged with NO lock held; under the lock each leaf binds its
+    * delta to the FRESH live version as the chain base, so racing
+    * merge committers both land (newest layer wins per key) and
+    * serialize only on the metadata tail. `onBeforeLock` is the test
+    * seam between the two phases. */
   def commitMerge(spark: SparkSession, root: String,
       spec: PartitionSpec, keyCols: Seq[String],
       upserts: Map[Seq[String], DataFrame] = Map.empty,
       deletes: Map[Seq[String], DataFrame] = Map.empty,
-      keepSnapshots: Int = 2): String = {
+      keepSnapshots: Int = 2,
+      onBeforeLock: () => Unit = () => ()): String = {
     require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
     checkSpec(spark, root, spec)
     require(keyCols.nonEmpty && !keyCols.exists(spec.names.contains),
@@ -1037,75 +1045,96 @@ object SpecManifest {
     val touched = (upserts.keySet ++ deletes.keySet).toSeq
       .sortBy(_.mkString("/"))
     require(touched.nonEmpty, "commitMerge needs upserts or deletes")
-    ManifestTable.withPublishLock(root) {
-      val snap = currentSnapshot(spark, root).getOrElse(sys.error(
-        s"SpecManifest: commitMerge needs a committed snapshot under " +
-          s"$root - seed first"))
+    val fs = fsOf(spark, root)
+    // ---- LOCK-FREE phase: validate optimistically, stage the delta --
+    val snap0 = currentSnapshot(spark, root).getOrElse(sys.error(
+      s"SpecManifest: commitMerge needs a committed snapshot under " +
+        s"$root - seed first"))
+    val base0 = snapshotMapping(spark, root, snap0).toMap
+    val touchedPaths = touched.map(vs => vs -> leafPath(spec, vs))
+    val unknown0 = touchedPaths.collect {
+      case (_, lp) if !base0.contains(lp) => lp }
+    require(unknown0.isEmpty,
+      "SpecManifest: merge-on-read may only touch existing leaves " +
+        s"(new: ${unknown0.mkString(",")}) - create leaves through " +
+        "commitSnapshot")
+    // data-schema authority: the first touched leaf's chain BOTTOM
+    // (a pure dir by construction — MOR layers hold no data files)
+    val schema = {
+      val (_, lp) = touchedPaths.head
+      val bottom = PartitionedManifest.morChain(spark, s"$root/$lp",
+        base0(lp)).last
+      spark.read.parquet(s"$root/$lp/$bottom").schema
+    }
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"commitMerge: unknown key column '$k'"))
+    def dataOnly(df: DataFrame): DataFrame =
+      spec.names.foldLeft(df)((x, n) =>
+        if (x.columns.contains(n)) x.drop(n) else x)
+    upserts.foreach { case (vs, df) =>
+      val cols = dataOnly(df).schema.map(f => (f.name, f.dataType))
+      require(cols == schema.map(f => (f.name, f.dataType)).toSeq,
+        s"commitMerge: leaf ${vs.mkString("/")} upsert schema " +
+          s"(${cols.map(_._1).mkString(",")}) does not match the " +
+          s"data schema (${schema.fieldNames.mkString(",")})")
+    }
+    deletes.foreach { case (vs, df) =>
+      val cols = dataOnly(df).columns.toSeq.sorted
+      require(cols == keyCols.sorted,
+        s"commitMerge: leaf ${vs.mkString("/")} delete frame must " +
+          s"carry exactly the key columns ${keyCols.mkString(",")} " +
+          s"(got ${cols.mkString(",")})")
+    }
+    val staged: Seq[(String, String)] = touchedPaths.map {
+      case (vs, lp) =>
+        val pr = s"$root/$lp"
+        val up = upserts.get(vs).map(df =>
+          dataOnly(df).select(schema.fieldNames.toSeq.map(col): _*))
+        val del = deletes.get(vs).map(df =>
+          dataOnly(df).select(keyCols.map(col): _*).distinct())
+        for (u <- up; d <- del)
+          require(u.select(keyCols.map(col): _*).intersect(d).isEmpty,
+            s"commitMerge: leaf $lp has keys in BOTH upserts and " +
+              "deletes - an upsert already replaces; a delete " +
+              "already removes")
+        val stage =
+          s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
+        fs.mkdirs(new HPath(stage))
+        up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
+        del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
+        lp -> stage
+    }
+    onBeforeLock()
+    // ---- LOCKED phase: metadata only — bind each delta to its FRESH
+    // chain base, adopt, snapshot ----
+    def dropStaged(): Unit = staged.foreach { case (_, st) =>
+      try fs.delete(new HPath(st), true)
+      catch { case _: java.io.IOException => () }
+    }
+    try ManifestTable.withPublishLock(root) {
+      val snap = currentSnapshot(spark, root).get
       val base = snapshotMapping(spark, root, snap).toMap
-      val touchedPaths = touched.map(vs => vs -> leafPath(spec, vs))
-      val unknown = touchedPaths.collect {
-        case (_, lp) if !base.contains(lp) => lp }
+      val unknown = staged.collect {
+        case (lp, _) if !base.contains(lp) => lp }
       require(unknown.isEmpty,
         "SpecManifest: merge-on-read may only touch existing leaves " +
-          s"(new: ${unknown.mkString(",")}) - create leaves through " +
-          "commitSnapshot")
-      // data-schema authority: the first touched leaf's chain BOTTOM
-      // (a pure dir by construction — MOR layers hold no data files)
-      val schema = {
-        val (_, lp) = touchedPaths.head
-        val bottom = PartitionedManifest.morChain(spark, s"$root/$lp",
-          base(lp)).last
-        spark.read.parquet(s"$root/$lp/$bottom").schema
-      }
-      keyCols.foreach(k => require(schema.fieldNames.contains(k),
-        s"commitMerge: unknown key column '$k'"))
-      def dataOnly(df: DataFrame): DataFrame =
-        spec.names.foldLeft(df)((x, n) =>
-          if (x.columns.contains(n)) x.drop(n) else x)
-      upserts.foreach { case (vs, df) =>
-        val cols = dataOnly(df).schema.map(f => (f.name, f.dataType))
-        require(cols == schema.map(f => (f.name, f.dataType)).toSeq,
-          s"commitMerge: leaf ${vs.mkString("/")} upsert schema " +
-            s"(${cols.map(_._1).mkString(",")}) does not match the " +
-            s"data schema (${schema.fieldNames.mkString(",")})")
-      }
-      deletes.foreach { case (vs, df) =>
-        val cols = dataOnly(df).columns.toSeq.sorted
-        require(cols == keyCols.sorted,
-          s"commitMerge: leaf ${vs.mkString("/")} delete frame must " +
-            s"carry exactly the key columns ${keyCols.mkString(",")} " +
-            s"(got ${cols.mkString(",")})")
-      }
+          s"(new: ${unknown.mkString(",")})")
       val protectByLeaf = protectedDirsByLeaf(spark, root, keepSnapshots)
-      val fs = fsOf(spark, root)
-      val written: Map[String, String] = touchedPaths.map {
-        case (vs, lp) =>
-          val pr = s"$root/$lp"
-          val baseDir = ManifestTable.currentVersion(pr).getOrElse(
-            sys.error(s"SpecManifest: no MANIFEST under $pr"))
-          val up = upserts.get(vs).map(df =>
-            dataOnly(df).select(schema.fieldNames.toSeq.map(col): _*))
-          val del = deletes.get(vs).map(df =>
-            dataOnly(df).select(keyCols.map(col): _*).distinct())
-          for (u <- up; d <- del)
-            require(u.select(keyCols.map(col): _*).intersect(d).isEmpty,
-              s"commitMerge: leaf $lp has keys in BOTH upserts and " +
-                "deletes - an upsert already replaces; a delete " +
-                "already removes")
-          val stage =
-            s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
-          fs.mkdirs(new HPath(stage))
-          up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
-          del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
-          ManifestTable.writeOnce(stage, PartitionedManifest.MorFile,
-            s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
-          val protect = PartitionedManifest.expandMorProtect(spark, pr,
-            protectByLeaf.getOrElse(lp, Set.empty))
-          lp -> new HPath(ManifestTable.adoptVersion(pr, stage, protect))
-            .getName
+      val written: Map[String, String] = staged.map { case (lp, stage) =>
+        val pr = s"$root/$lp"
+        val baseDir = ManifestTable.currentVersion(pr).getOrElse(
+          sys.error(s"SpecManifest: no MANIFEST under $pr"))
+        ManifestTable.writeOnce(stage, PartitionedManifest.MorFile,
+          s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
+        val protect = PartitionedManifest.expandMorProtect(spark, pr,
+          protectByLeaf.getOrElse(lp, Set.empty))
+        lp -> new HPath(ManifestTable.adoptVersion(pr, stage, protect))
+          .getName
       }.toMap
       writeSnapshotLocked(spark, root,
         (base ++ written).toSeq.sortBy(_._1), keepSnapshots)
+    } catch {
+      case e: Throwable => dropStaged(); throw e
     }
   }
 

@@ -2692,6 +2692,74 @@ class EngineSpec extends AnyFunSuite {
       "CDC must plan only touched leaves")
   }
 
+  test("racing merge committers: the delta stages with NO lock held, " +
+      "a commit landing in the race window becomes the chain base — " +
+      "both land, neither loses rows, newest layer wins per key") {
+    import spark.implicits._
+    import graft.engine.{ManifestTable, PartitionedManifest, SpecManifest}
+    import graft.engine.SpecManifest.{Identity, PartField, PartitionSpec}
+    // single-column layout
+    val root = Files.createTempDirectory("graft-morrace").toString
+    PartitionedManifest.seed(spark, root,
+      (0 until 10).map(i => (i.toLong, i * 1.0, 0)).toDF("k", "v", "bk"),
+      "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    var nested = false
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+      upserts = Map("0" -> Seq((0L, 100.0)).toDF("k", "v")),
+      onBeforeLock = () => if (!nested) {
+        nested = true
+        // B lands ENTIRELY inside A's race window (A staged, not yet
+        // locked): B's layer becomes A's chain base
+        PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+          upserts = Map("0" ->
+            Seq((0L, 999.0), (1L, 200.0)).toDF("k", "v")))
+      })
+    val got = PartitionedManifest.read(spark, root, "bk", "int")
+      .select($"k", $"v").as[(Long, Double)].collect().toMap
+    assert(got(0L) == 100.0, "A committed after B: A's row wins on k=0")
+    assert(got(1L) == 200.0, "B's non-conflicting row survives")
+    assert(got.size == 10, s"neither commit lost rows: ${got.size}")
+    // two layers over the seed base: the live dir is MOR, and its
+    // base (B's layer) is MOR too
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def morBase(dir: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/bk=0/$dir/_mor.tsv")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val t = try new String(in.readAllBytes()) finally in.close()
+        t.linesIterator.find(_.startsWith("base="))
+          .map(_.stripPrefix("base=").trim)
+      }
+    }
+    val live = ManifestTable.currentVersion(s"$root/bk=0").get
+    val bLayer = morBase(live)
+    assert(bLayer.isDefined, "A's layer must be MOR")
+    assert(morBase(bLayer.get).isDefined, "B's layer is A's chain base")
+    assert(morBase(morBase(bLayer.get).get).isEmpty, "seed base is pure")
+    // composite-spec layout
+    val r2 = Files.createTempDirectory("graft-morrace2").toString
+    val spec = PartitionSpec(Seq(PartField("g", "grp", Identity)))
+    SpecManifest.seed(spark, r2,
+      (0 until 10).map(i => (i.toLong, i * 1.0, "a")).toDF("k", "v", "grp"),
+      spec)
+    var nested2 = false
+    SpecManifest.commitMerge(spark, r2, spec, Seq("k"),
+      upserts = Map(Seq("a") -> Seq((0L, 100.0, "a")).toDF("k", "v", "grp")),
+      onBeforeLock = () => if (!nested2) {
+        nested2 = true
+        SpecManifest.commitMerge(spark, r2, spec, Seq("k"),
+          upserts = Map(Seq("a") ->
+            Seq((0L, 999.0, "a"), (1L, 200.0, "a")).toDF("k", "v", "grp")))
+      })
+    val got2 = SpecManifest.read(spark, r2, spec)
+      .select($"k", $"v").as[(Long, Double)].collect().toMap
+    assert(got2(0L) == 100.0 && got2(1L) == 200.0 && got2.size == 10,
+      s"spec race outcome wrong: $got2")
+  }
+
   test("hidden partitioning projects RANGES through order-preserving " +
       "transforms and IN-LISTS through any transform; OR branches and " +
       "bucket ranges stay conservative") {
