@@ -188,9 +188,49 @@ object ManifestTable {
 
   /** Swap a root-level pointer to an arbitrary name through the same
     * atomic-rename machinery as [[publish]] (PartitionedManifest's
-    * snapshot commits ride this). */
-  private[engine] def swapRootPointer(root: String, name: String): Unit =
+    * snapshot commits ride this), then journal the movement in the
+    * root's history log — every snapshot that BECAME current is one
+    * line of `_history.tsv` (`epoch_ms<TAB>snapshot<TAB>action`), the
+    * raw material of the `history` inspection table (Iceberg's
+    * made-current log). Callers hold the root publish lock, so the
+    * read-modify-write append is race-free; the log keeps the newest
+    * [[HistoryKeep]] lines (metadata-only, bounded). */
+  private[engine] def swapRootPointer(root: String, name: String,
+      action: String = "commit"): Unit = {
     swapPointer(fsFor(root), root, name)
+    appendHistory(root, name, action)
+  }
+
+  private val HistoryFile = "_history.tsv"
+  private val HistoryKeep = 1000
+
+  private def appendHistory(root: String, snap: String,
+      action: String): Unit = {
+    val prior = historyLines(root)
+    val line = s"${System.currentTimeMillis()}\t$snap\t$action"
+    swapRefPointer(root, HistoryFile,
+      (prior :+ line).takeRight(HistoryKeep).mkString("\n") + "\n")
+  }
+
+  /** The root's made-current journal, oldest first:
+    * (epoch ms, snapshot, action). Empty when no log exists (tables
+    * created before history landed journal from their next commit). */
+  private[engine] def historyLines(root: String): Seq[String] =
+    storeFor(root) match {
+      case Some(st) => st.get(s"$root/$HistoryFile")
+        .map(_._1.linesIterator.filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      case None =>
+        val fs = fsFor(root)
+        val p = new HPath(root, HistoryFile)
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(), UTF_8)
+          finally in.close()
+          text.linesIterator.filter(_.nonEmpty).toSeq
+        }
+    }
 
   /** Adopt `srcDir` as the next version directory of `root` WITHOUT
     * advancing the partition pointer and WITHOUT running GC — branch

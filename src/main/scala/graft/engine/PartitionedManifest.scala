@@ -737,7 +737,8 @@ object PartitionedManifest {
         }.toMap
         val mapping = (baseMapping ++ staged).toSeq.sortBy(_._1)
         val snap = writeSnapshotFileLocked(spark, root, mapping,
-          keepSnapshots, merged, advanceRoot = false)
+          keepSnapshots, merged, advanceRoot = false,
+          operation = "branch-commit")
         ManifestTable.swapRefPointer(root, s"$BranchesDir/$branch",
           s"$snap\t$base\n")
         snap
@@ -776,7 +777,7 @@ object PartitionedManifest {
             ManifestTable.repointVersion(pr, d)
           }
         }
-        ManifestTable.swapRootPointer(root, head)
+        ManifestTable.swapRootPointer(root, head, "fast-forward")
         ManifestTable.swapRefPointer(root, s"$BranchesDir/$branch",
           s"$head\t$head\n")
         head
@@ -825,7 +826,8 @@ object PartitionedManifest {
       // the restored commit carries the TARGET's schema: rolling back
       // past a schema evolution restores the pre-evolution shape too
       writeSnapshotFileLocked(spark, root, target.toSeq.sortBy(_._1),
-        keepSnapshots, snapshotSchema(spark, root, snap))
+        keepSnapshots, snapshotSchema(spark, root, snap),
+        operation = "rollback")
     }
   }
 
@@ -858,7 +860,7 @@ object PartitionedManifest {
       require(reduced.fields.nonEmpty,
         "dropColumn: cannot drop the last data column")
       writeSnapshotFileLocked(spark, root, mapping, keepSnapshots,
-        Some(reduced))
+        Some(reduced), operation = "drop-column")
     }
   }
 
@@ -1390,7 +1392,8 @@ object PartitionedManifest {
           v -> new HPath(dir).getName
       }.toMap
       writeSnapshotFileLocked(spark, root,
-        (base ++ written).toSeq.sortBy(_._1), keepSnapshots, Some(schema))
+        (base ++ written).toSeq.sortBy(_._1), keepSnapshots, Some(schema),
+        operation = "merge")
     } catch {
       case e: Throwable => dropStaged(); throw e
     }
@@ -1601,7 +1604,8 @@ object PartitionedManifest {
   private def adoptPartsLocked(spark: SparkSession, root: String,
       partCol: String, scratch: Option[String], parts: Seq[String],
       emptyUpdate: String => DataFrame, keepSnapshots: Int,
-      updatesSchema: Option[StructType] = None): String = {
+      updatesSchema: Option[StructType] = None,
+      operation: String = "commit"): String = {
     val base: Map[String, String] = currentSnapshot(spark, root) match {
       case Some(s) => snapshotMapping(spark, root, s).toMap
       case None => // adopt the standing per-partition pointers as gen-0
@@ -1667,7 +1671,8 @@ object PartitionedManifest {
     // updates derive theirs once from a live version dir's footer
     val newSchema = mergedSchema.orElse(mapping.headOption.map {
       case (v, d) => spark.read.parquet(s"$root/$partCol=$v/$d").schema })
-    writeSnapshotFileLocked(spark, root, mapping, keepSnapshots, newSchema)
+    writeSnapshotFileLocked(spark, root, mapping, keepSnapshots, newSchema,
+      operation = operation)
   }
 
   /** Write + atomically publish a snapshot file carrying `mapping`,
@@ -1678,13 +1683,20 @@ object PartitionedManifest {
   private def writeSnapshotFileLocked(spark: SparkSession, root: String,
       mapping: Seq[(String, String)], keepSnapshots: Int,
       schema: Option[StructType] = None,
-      advanceRoot: Boolean = true): String = {
+      advanceRoot: Boolean = true,
+      operation: String = "commit"): String = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new HPath(root, SnapDir))
     val gen = snapshots(spark, root).lastOption
       .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
     val snap = f"s$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+    // commit metadata headers feed the snapshots/history inspection
+    // tables: operation (commit/merge/compact/rollback/…) and parent
+    // (the snapshot current when this one was written)
+    val parent = currentSnapshot(spark, root)
     val body = s"#committed_ms=${System.currentTimeMillis()}\n" +
+      s"#operation=$operation\n" +
+      parent.map(p => s"#parent=$p\n").getOrElse("") +
       schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       mapping.map { case (v, d) => s"$v\t$d" }.mkString("\n") + "\n"
     // immutable uniquely-named file: one conditional PUT on an
@@ -1693,7 +1705,7 @@ object PartitionedManifest {
     // the root pointer swap reuses ManifestTable's atomic-rename path
     // (NIO ATOMIC_MOVE on local, FileContext OVERWRITE elsewhere);
     // a BRANCH commit advances only its branch pointer, never the root
-    if (advanceRoot) ManifestTable.swapRootPointer(root, snap)
+    if (advanceRoot) ManifestTable.swapRootPointer(root, snap, operation)
     // drop snapshot files past the keep-N horizon (their uniquely-
     // referenced version dirs are collected lazily, on each partition's
     // next touch); TAGGED snapshots and BRANCH HEADS are pinned until
@@ -1906,7 +1918,8 @@ object PartitionedManifest {
               lastSnap = Some(adoptPartsLocked(spark, root, partCol,
                 Some(s), clean.keys.toSeq.sorted,
                 v => resolveVersionData(spark, s"$root/$partCol=$v",
-                  new HPath(clean(v)).getName, None), keepSnapshots))
+                  new HPath(clean(v)).getName, None), keepSnapshots,
+                operation = "compact"))
               done ++= clean.keys
             }
             // retry only the invalidated partitions, against their NEW
@@ -2064,6 +2077,60 @@ object PartitionedManifest {
         stats.getOrElse(rel, Map.empty).map { case (c, cs) =>
           c -> (cs.typ, cs.min, cs.max) })
     }
+  }
+
+  /** One row of [[snapshotsMetadata]]. */
+  final case class SnapshotMeta(snapshot: String,
+      committedMs: Option[Long], operation: Option[String],
+      parent: Option[String], entries: Long)
+
+  /** SNAPSHOT inspection table (Iceberg's `table.snapshots`): one row
+    * per KEPT snapshot file — id, commit wall-clock, operation
+    * (commit/merge/compact/rollback/branch-commit/drop-column),
+    * parent (the snapshot current when it was written), and the
+    * partition/leaf entry count. Metadata-only: snapshot files are
+    * small and zero data bytes are read. Pre-header snapshots (older
+    * layouts) surface with null operation/parent. The snapshot-file
+    * layout is shared, so this serves BOTH layouts (the SpecManifest
+    * alias delegates here). */
+  def snapshotsMetadata(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, root)
+    snapshots(spark, root).map { sn =>
+      val in = fs.open(new HPath(s"$root/$SnapDir/$sn"))
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      def header(k: String): Option[String] = text.linesIterator
+        .find(_.startsWith(s"#$k=")).map(_.stripPrefix(s"#$k=").trim)
+      SnapshotMeta(sn, header("committed_ms").map(_.toLong),
+        header("operation"), header("parent"),
+        text.linesIterator
+          .count(l => l.nonEmpty && !l.startsWith("#")).toLong)
+    }.toDF()
+  }
+
+  /** One row of [[historyMetadata]]. */
+  final case class HistoryMeta(madeCurrentMs: Long, snapshot: String,
+      action: String, isCurrent: Boolean)
+
+  /** HISTORY inspection table (Iceberg's `table.history`): every ROOT
+    * pointer movement, oldest first — commits, merges, compactions,
+    * rollbacks (the restore lands as a forward movement), and
+    * fast-forwards (which move the pointer WITHOUT writing a new
+    * snapshot file — exactly the movements the snapshot files alone
+    * cannot show). Sourced from the `_history.tsv` journal every
+    * [[ManifestTable.swapRootPointer]] appends under the publish
+    * lock; tables created before the journal landed report from
+    * their next commit on. */
+  def historyMetadata(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentSnapshot(spark, root)
+    val lines = ManifestTable.historyLines(root)
+    lines.zipWithIndex.map { case (l, i) =>
+      val Array(ts, snap, action) = l.split("\t", 3)
+      HistoryMeta(ts.toLong, snap, action,
+        i == lines.length - 1 && cur.contains(snap))
+    }.toDF()
   }
 
   /** The partition column name recoverable from the table's own layout

@@ -420,18 +420,24 @@ object SpecManifest {
     * [[commitSnapshotToBranch]]. */
   private def writeSnapshotLocked(spark: SparkSession, root: String,
       mapping: Seq[(String, String)], keepSnapshots: Int,
-      advanceRoot: Boolean = true): String = {
+      advanceRoot: Boolean = true,
+      operation: String = "commit"): String = {
     require(mapping.nonEmpty, "SpecManifest: nothing to commit")
     val fs = fsOf(spark, root)
     fs.mkdirs(new HPath(root, SnapDir))
     val gen = snapshots(spark, root).lastOption
       .map(_.drop(1).takeWhile(_.isDigit).toInt).getOrElse(0) + 1
     val snap = f"s$gen%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+    // operation + parent headers feed the snapshots/history inspection
+    // tables (see [[PartitionedManifest.snapshotsMetadata]])
+    val parent = currentSnapshot(spark, root)
     val body = s"#committed_ms=${System.currentTimeMillis()}\n" +
+      s"#operation=$operation\n" +
+      parent.map(p => s"#parent=$p\n").getOrElse("") +
       mapping.map { case (k, d) => s"$k\t$d" }.mkString("\n") + "\n"
     ManifestTable.writeOnce(root, s"$SnapDir/$snap", body)
     // a BRANCH commit advances only its branch pointer, never the root
-    if (advanceRoot) ManifestTable.swapRootPointer(root, snap)
+    if (advanceRoot) ManifestTable.swapRootPointer(root, snap, operation)
     // TAGGED snapshots and BRANCH HEADS survive the keep-N trim; so
     // does main's CURRENT snapshot (branch commits interleave in the
     // shared generation order, so takeRight(N) alone could slide past
@@ -611,7 +617,7 @@ object SpecManifest {
         }.toMap
         val snap = writeSnapshotLocked(spark, root,
           (baseMapping ++ staged).toSeq.sortBy(_._1), keepSnapshots,
-          advanceRoot = false)
+          advanceRoot = false, operation = "branch-commit")
         ManifestTable.swapRefPointer(root, s"$BranchesDir/$branch",
           s"$snap\t$base\n")
         snap
@@ -647,7 +653,7 @@ object SpecManifest {
             ManifestTable.repointVersion(pr, d)
           }
         }
-        ManifestTable.swapRootPointer(root, head)
+        ManifestTable.swapRootPointer(root, head, "fast-forward")
         ManifestTable.swapRefPointer(root, s"$BranchesDir/$branch",
           s"$head\t$head\n")
         head
@@ -692,7 +698,7 @@ object SpecManifest {
         }
       }
       writeSnapshotLocked(spark, root, target.toSeq.sortBy(_._1),
-        keepSnapshots)
+        keepSnapshots, operation = "rollback")
     }
   }
 
@@ -1132,7 +1138,8 @@ object SpecManifest {
           .getName
       }.toMap
       writeSnapshotLocked(spark, root,
-        (base ++ written).toSeq.sortBy(_._1), keepSnapshots)
+        (base ++ written).toSeq.sortBy(_._1), keepSnapshots,
+        operation = "merge")
     } catch {
       case e: Throwable => dropStaged(); throw e
     }
@@ -1202,6 +1209,19 @@ object SpecManifest {
     }.toDF()
   }
 
+  /** SNAPSHOT inspection table — the snapshot-file layout is shared
+    * with the single-column format, so this delegates to
+    * [[PartitionedManifest.snapshotsMetadata]] (entries = leaf
+    * count). */
+  def snapshotsMetadata(spark: SparkSession, root: String): DataFrame =
+    PartitionedManifest.snapshotsMetadata(spark, root)
+
+  /** HISTORY inspection table — every root pointer movement incl.
+    * rollbacks and fast-forwards; delegates to
+    * [[PartitionedManifest.historyMetadata]]. */
+  def historyMetadata(spark: SparkSession, root: String): DataFrame =
+    PartitionedManifest.historyMetadata(spark, root)
+
   /** Fold every merge-on-read leaf back down to a pure data dir — the
     * spec table's compaction pass, OPTIMISTIC like
     * [[PartitionedManifest.compact]]: the read-set (leaf → live
@@ -1263,7 +1283,8 @@ object SpecManifest {
               val base = snapshotMapping(spark, root, snap).toMap
               lastSnap = Some(writeSnapshotLocked(spark, root,
                 (base ++ clean.keys.map(lp => lp -> st(lp))).toSeq
-                  .sortBy(_._1), keepSnapshots))
+                  .sortBy(_._1), keepSnapshots,
+                operation = "compact"))
               done ++= clean.keys
             }
             // staged dirs for invalidated leaves are orphans: drop them

@@ -1966,6 +1966,69 @@ object EngineQueries {
         UNION ALL SELECT 'baseline' AS src, * FROM base)
       ORDER BY src, k, bk"""), bench = true),
 
+    // SNAPSHOT/HISTORY inspection tables (Iceberg's `table.snapshots`
+    // and `table.history` on the graft layouts): one row per kept
+    // snapshot with its operation label, parent, and entry count —
+    // and one row per ROOT pointer movement (which the snapshot files
+    // alone cannot show: a fast-forward moves the pointer without
+    // writing a snapshot). Zero data bytes: headers + the
+    // `_history.tsv` journal only. The oracle recomputes the leaf
+    // counts from the raw data and pins the full operation sequence.
+    QuerySpec("w28_inspection_tables", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, lit, year => yearOf}
+      import graft.engine.SpecManifest
+      import graft.engine.SpecManifest.{PartField, PartitionSpec, Year}
+      Tables.registerAll(s, dir)
+      val root = Files.createTempDirectory("graft-w28").toString
+      val spec = PartitionSpec(Seq(PartField("y", "o_orderdate", Year)))
+      val base = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_totalprice".cast("double").as("o_totalprice"),
+          $"o_orderdate")
+      SpecManifest.seed(s, root, base, spec) // commit
+      // merge-on-read into 1996's leaf, then fold it down
+      val up = base.filter(yearOf($"o_orderdate") === 1996 &&
+        $"o_orderkey" % 100 === 0)
+        .withColumn("o_totalprice", lit(0.0))
+      SpecManifest.commitMerge(s, root, spec, Seq("o_orderkey"),
+        upserts = Map(Seq("1996") -> up), keepSnapshots = 10) // merge
+      SpecManifest.compactLeaves(s, root, spec,
+        keepSnapshots = 10) // compact
+      val sm = SpecManifest.snapshotsMetadata(s, root)
+        .orderBy($"snapshot").collect()
+      // parent chain: each kept snapshot's parent is its predecessor
+      require(sm.length == 3 &&
+        (1 until 3).forall(i => sm(i).getAs[String]("parent") ==
+          sm(i - 1).getAs[String]("snapshot")),
+        s"parent chain broken: ${sm.toSeq}")
+      val hm = SpecManifest.historyMetadata(s, root).collect()
+      require(hm.length == 3 && hm.last.getAs[Boolean]("isCurrent"),
+        s"history must show 3 movements, newest current: ${hm.toSeq}")
+      val smRows = sm.zipWithIndex.map { case (r, i) =>
+        (i + 1L, "snapshot", r.getAs[String]("operation"),
+          Option(r.getAs[Long]("entries")))
+      }
+      val hmRows = hm.zipWithIndex.map { case (r, i) =>
+        (i + 4L, "history", r.getAs[String]("action"), None: Option[Long])
+      }
+      (smRows ++ hmRows).toSeq
+        .toDF("idx", "src", "op", "entries")
+        .select($"idx", $"src", $"op", $"entries".cast("long"))
+        .orderBy($"idx")
+    }, oracle = Some("""
+      WITH n AS (SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y'))
+                   AS BIGINT) AS c FROM orders)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS idx, 'snapshot' AS src,
+               'commit' AS op, (SELECT c FROM n) AS entries
+        UNION ALL SELECT 2, 'snapshot', 'merge', (SELECT c FROM n)
+        UNION ALL SELECT 3, 'snapshot', 'compact', (SELECT c FROM n)
+        UNION ALL SELECT 4, 'history', 'commit', NULL
+        UNION ALL SELECT 5, 'history', 'merge', NULL
+        UNION ALL SELECT 6, 'history', 'compact', NULL)
+      ORDER BY idx""")),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -2692,6 +2692,68 @@ class EngineSpec extends AnyFunSuite {
       "CDC must plan only touched leaves")
   }
 
+  test("snapshots/history inspection tables: operation labels, parent " +
+      "chain, entry counts, and ref movements incl. rollback and " +
+      "fast-forward (which writes no snapshot file)") {
+    import spark.implicits._
+    import graft.engine.{PartitionedManifest, SpecManifest}
+    import graft.engine.SpecManifest.{Identity, PartField, PartitionSpec}
+    val root = Files.createTempDirectory("graft-inspect").toString
+    PartitionedManifest.seed(spark, root,
+      (0 until 20).map(i => (i.toLong, i * 1.0, i % 2)).toDF("k", "v", "bk"),
+      "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map.empty, keepSnapshots = 10)
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+      upserts = Map("0" -> Seq((0L, -1.0)).toDF("k", "v")),
+      keepSnapshots = 10)
+    PartitionedManifest.compact(spark, root, "bk", keepSnapshots = 10)
+    PartitionedManifest.tagSnapshot(spark, root, "t")
+    PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("1" -> Seq((101L, 5.0)).toDF("k", "v")), keepSnapshots = 10)
+    val s5 = PartitionedManifest.rollback(spark, root, "bk", "t",
+      keepSnapshots = 10)
+    val sm = PartitionedManifest.snapshotsMetadata(spark, root)
+      .orderBy($"snapshot")
+      .as[PartitionedManifest.SnapshotMeta].collect()
+    assert(sm.map(_.operation) === Array(Some("commit"), Some("merge"),
+      Some("compact"), Some("commit"), Some("rollback")),
+      s"operations: ${sm.map(_.operation).toSeq}")
+    assert(sm.head.parent.isEmpty && (1 until sm.length).forall(i =>
+        sm(i).parent.contains(sm(i - 1).snapshot)),
+      s"parent chain: ${sm.map(r => r.snapshot -> r.parent).toSeq}")
+    assert(sm.forall(_.entries == 2) && sm.forall(_.committedMs.isDefined),
+      "every snapshot lists both partitions with a wall-clock")
+    val hm = PartitionedManifest.historyMetadata(spark, root)
+      .as[PartitionedManifest.HistoryMeta].collect()
+    assert(hm.map(_.action) === Array("commit", "merge", "compact",
+      "commit", "rollback"), s"history: ${hm.map(_.action).toSeq}")
+    assert(hm.last.snapshot == s5 && hm.last.isCurrent &&
+      !hm.init.exists(_.isCurrent), "only the newest movement is current")
+    assert(hm.map(_.snapshot).head == s1)
+    // spec layout: a branch commit writes a snapshot but NO pointer
+    // movement; fastForward moves the pointer WITHOUT a new snapshot
+    val r2 = Files.createTempDirectory("graft-inspect2").toString
+    val spec = PartitionSpec(Seq(PartField("g", "grp", Identity)))
+    SpecManifest.seed(spark, r2,
+      (0 until 10).map(i => (i.toLong, s"a")).toDF("k", "grp"), spec)
+    SpecManifest.createBranch(spark, r2, "audit")
+    SpecManifest.commitSnapshotToBranch(spark, r2, spec,
+      Map(Seq("a") -> Seq((100L, "a")).toDF("k", "grp")), "audit",
+      keepSnapshots = 10)
+    val head = SpecManifest.fastForward(spark, r2, spec, "audit")
+    val sm2 = SpecManifest.snapshotsMetadata(spark, r2)
+      .orderBy($"snapshot")
+      .as[PartitionedManifest.SnapshotMeta].collect()
+    assert(sm2.map(_.operation) === Array(Some("commit"),
+      Some("branch-commit")), s"spec ops: ${sm2.map(_.operation).toSeq}")
+    val hm2 = SpecManifest.historyMetadata(spark, r2)
+      .as[PartitionedManifest.HistoryMeta].collect()
+    assert(hm2.map(_.action) === Array("commit", "fast-forward"),
+      s"spec history: ${hm2.map(_.action).toSeq}")
+    assert(hm2.last.snapshot == head && hm2.last.isCurrent)
+  }
+
   test("racing merge committers: the delta stages with NO lock held, " +
       "a commit landing in the race window becomes the chain base — " +
       "both land, neither loses rows, newest layer wins per key") {
