@@ -88,13 +88,19 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions=graft.GraftExtensions` — see [[GraftFunctions]]. */
+/** `spark.sql.extensions=graft.GraftExtensions` — see [[GraftFunctions]].
+  * Also injects the analyzer half of the graft SQL table surface
+  * ([[graft.sql.GraftSqlRules]]): read substitution onto the pinned
+  * Scala readers and MERGE/DELETE/UPDATE command conversion for tables
+  * of a `graft.sql.GraftCatalog`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
           usage, ""),
         b))
     }
+    ext.injectResolutionRule(session => new graft.sql.GraftSqlRules(session))
+  }
 }

@@ -498,7 +498,7 @@ object ManifestTable {
     * one conditional PUT on a store-backed root (a plain object PUT is
     * atomic per object; If-None-Match guards against name reuse),
     * write-to-temp + rename elsewhere. */
-  private[engine] def writeOnce(root: String, relPath: String,
+  private[graft] def writeOnce(root: String, relPath: String,
       content: String): Unit =
     storeFor(root) match {
       case Some(st) =>

@@ -2029,6 +2029,109 @@ object EngineQueries {
         UNION ALL SELECT 6, 'history', 'compact', NULL)
       ORDER BY idx""")),
 
+    // THE SQL SURFACE of the table format (DataSource V2 TableCatalog
+    // + analyzer rules): a spec table driven end-to-end through pure
+    // spark.sql — CREATE TABLE … PARTITIONED BY (years(d),
+    // bucket(4, k)), INSERT INTO … SELECT, MERGE INTO (update + insert
+    // through one leaf-scoped commit), VERSION AS OF time travel — with
+    // hidden-partition pruning plan-asserted ON THE SQL PATH (the read
+    // substitutes onto the same pinned relation the Scala readers
+    // serve). The reference's consumers are SQL sessions against named
+    // tables (packets/test_int4_to_int8/02_step.sql:3-6); this closes
+    // that posture for the graft format.
+    QuerySpec("w29_sql_table_format", (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      Tables.registerAll(s, dir)
+      // the catalog binds its warehouse at first use and is cached by
+      // the session's CatalogManager — set once, recreate the table
+      // inside it on re-runs (bench runs each query twice per session)
+      if (s.conf.getOption("spark.sql.catalog.gw29").isEmpty) {
+        s.conf.set("spark.sql.catalog.gw29", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gw29.warehouse",
+          Files.createTempDirectory("graft-w29").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw29.db")
+      s.sql("DROP TABLE IF EXISTS gw29.db.orders_t")
+      s.sql("""CREATE TABLE gw29.db.orders_t
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         o_orderdate DATE)
+        PARTITIONED BY (years(o_orderdate), bucket(4, o_custkey))""")
+      s.sql("""INSERT INTO gw29.db.orders_t
+        SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+               CAST(o_totalprice AS DOUBLE), o_orderdate
+        FROM orders""")
+      val root =
+        s.conf.get("spark.sql.catalog.gw29.warehouse") + "/db/orders_t"
+      graft.engine.SpecManifest.tagSnapshot(s, root, "seeded")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW w29_delta AS
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(o_totalprice + 100.0 AS DOUBLE) AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE year(o_orderdate) = 1996 AND o_orderkey % 10 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey + 20000000 AS BIGINT),
+               CAST(o_custkey AS BIGINT), CAST(0.0 AS DOUBLE),
+               o_orderdate
+        FROM orders
+        WHERE year(o_orderdate) = 1996 AND o_orderkey % 97 = 0""")
+      s.sql("""MERGE INTO gw29.db.orders_t t USING w29_delta s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      // pruning ON THE SQL PATH: a bare year range plans only that
+      // year's leaves; a bucket-source equality plans one bucket
+      def filesOf(q: String): Seq[String] =
+        s.sql(q).queryExecution.sparkPlan.collect {
+          case f: FileSourceScanExec =>
+            f.selectedPartitions.toPartitionArray
+              .map(_.filePath.toString).toSeq
+        }.flatten
+      val rf = filesOf("""SELECT o_totalprice FROM gw29.db.orders_t
+        WHERE o_orderdate BETWEEN DATE'1995-01-01' AND DATE'1995-12-31'""")
+      require(rf.nonEmpty &&
+        rf.forall(_.contains("/o_orderdate_year=1995/")),
+        s"SQL year-range pruning failed: ${rf.take(3)}")
+      val ck = s.sql("SELECT o_custkey FROM orders WHERE o_custkey % 7 = 0")
+        .head().getLong(0)
+      val bf = filesOf(
+        s"SELECT o_totalprice FROM gw29.db.orders_t WHERE o_custkey = $ck")
+      require(bf.nonEmpty && bf.map(_.replaceAll(".*/o_custkey_bucket=", "")
+          .replaceAll("/.*", "")).distinct.size == 1,
+        s"SQL bucket pruning failed: ${bf.take(3)}")
+      // live + time-travelled union, fully through SQL syntax
+      s.sql("""SELECT src, o_orderkey, o_totalprice, y FROM (
+        SELECT 'live' AS src, o_orderkey, o_totalprice,
+               CAST(year(o_orderdate) AS BIGINT) AS y
+        FROM gw29.db.orders_t
+        UNION ALL
+        SELECT 'seeded', o_orderkey, o_totalprice,
+               CAST(year(o_orderdate) AS BIGINT)
+        FROM gw29.db.orders_t VERSION AS OF 'seeded')
+        ORDER BY src, o_orderkey""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(o_totalprice AS DOUBLE) AS p, o_orderdate AS d
+        FROM orders),
+      merged AS (
+        SELECT k,
+               CASE WHEN year(d) = 1996 AND k % 10 = 0
+                    THEN p + 100.0 ELSE p END AS p, d
+        FROM base
+        UNION ALL
+        SELECT k + 20000000, 0.0, d FROM base
+        WHERE year(d) = 1996 AND k % 97 = 0)
+      SELECT src, o_orderkey, o_totalprice, y FROM (
+        SELECT 'live' AS src, k AS o_orderkey, p AS o_totalprice,
+               CAST(year(d) AS BIGINT) AS y
+        FROM merged
+        UNION ALL
+        SELECT 'seeded', k, p, CAST(year(d) AS BIGINT) FROM base)
+      ORDER BY src, o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -1,0 +1,392 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.{ManifestTable, SpecManifest}
+import graft.engine.SpecManifest.{Bucket, Day, Identity, Month, PartField, PartitionSpec, Transform => GTransform, Truncate, Year}
+
+/** The SQL front door of the graft table format — a DataSource V2
+  * `TableCatalog` over [[SpecManifest]] roots, so the format's
+  * consumers are plain SQL sessions, not Scala callers (the
+  * reference's own posture: its packets are SQL files against NAMED
+  * tables, packets/test_int4_to_int8/02_step.sql:3-6):
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sql.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *   spark.sql.extensions              = graft.GraftExtensions
+  *
+  *   CREATE TABLE graft.db.orders (o_orderkey BIGINT, …)
+  *     PARTITIONED BY (years(o_orderdate), bucket(4, o_custkey));
+  *   INSERT INTO graft.db.orders SELECT …;
+  *   SELECT … FROM graft.db.orders WHERE o_custkey = 42;   -- pruned
+  *   SELECT … FROM graft.db.orders VERSION AS OF 'audited';
+  *   MERGE INTO graft.db.orders t USING delta s ON t.k = s.k …;
+  *   DELETE FROM graft.db.orders WHERE …;
+  * }}}
+  *
+  * Identity resolves to `warehouse/<namespace…>/<table>` — one
+  * [[SpecManifest]] root per table, so every format guarantee
+  * (snapshot atomicity, MOR, CDC, tags/branches, retention, zone
+  * maps, hidden partitioning) carries to the SQL surface unchanged.
+  * READS substitute in the analyzer ([[GraftSqlRules]]) onto the
+  * existing content-pinned, partition-pruned, zone-mapped readers —
+  * the scan a Scala caller gets is byte-identical to the SQL one.
+  * WRITES ride the V1 write bridge (`InsertableRelation`, the JDBC-v2
+  * pattern) into snapshot commits; MERGE/DELETE/UPDATE convert to
+  * runnable commands in [[GraftSqlRules]].
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(sys.error(
+      s"GraftCatalog '$name': set spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = new HPath(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  // -------------------------------------------------------------------
+  // namespaces: plain directories under the warehouse
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val base = new HPath(warehouse)
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      fs.exists(new HPath((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(new HPath((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = new HPath((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(p)) false
+    else {
+      require(cascade || fs.listStatus(p).isEmpty,
+        "GraftCatalog: namespace not empty (use CASCADE)")
+      fs.delete(p, true)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // tables
+
+  private def isTableRoot(p: HPath): Boolean =
+    fs.exists(new HPath(p, "_spec")) && fs.exists(new HPath(p, "_schema.json"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = new HPath((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base)
+      .filter(s => s.isDirectory && isTableRoot(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableRoot(new HPath(rootOf(ident)))
+
+  private def readSchemaFile(root: String): StructType = {
+    val in = fs.open(new HPath(root, "_schema.json"))
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    DataType.fromJson(text).asInstanceOf[StructType]
+  }
+
+  private def load(ident: Identifier,
+      snapshot: Option[String]): GraftSqlTable = {
+    val root = rootOf(ident)
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident)
+    new GraftSqlTable(
+      (catalogName +: ident.namespace().toSeq :+ ident.name())
+        .mkString("."),
+      root, SpecManifest.readSpec(spark, root), readSchemaFile(root),
+      snapshot)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF '<snapshot-or-tag-or-branch>'` — resolves refs
+    * through the same machinery as the Scala readers. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val t = load(ident, None)
+    val snap = SpecManifest.resolveRef(spark, root, Some(version))
+      .getOrElse(sys.error(s"GraftCatalog: unknown ref $version"))
+    require(SpecManifest.snapshots(spark, root).contains(snap),
+      s"GraftCatalog: unknown or expired snapshot/ref '$version'")
+    new GraftSqlTable(t.name(), root, t.spec, t.dataSchema, Some(snap))
+  }
+
+  /** `TIMESTAMP AS OF …` — Spark hands MICROSECONDS since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    val t = load(ident, None)
+    val snap = SpecManifest.snapshotAsOf(spark, root, timestamp / 1000L)
+      .getOrElse(sys.error(
+        s"GraftCatalog: no snapshot at or before the asked instant " +
+          "(the retention horizon may have moved past it)"))
+    new GraftSqlTable(t.name(), root, t.spec, t.dataSchema, Some(snap))
+  }
+
+  /** Map Spark's parsed PARTITIONED BY transforms onto the spec
+    * transforms. Field names are derived deterministically and NEVER
+    * collide with data columns (hidden partitioning: the fields are
+    * layout, not data). */
+  private def toSpec(partitions: Array[Transform],
+      schema: StructType): PartitionSpec = {
+    def srcOf(parts: Seq[String]): String = {
+      require(parts.length == 1,
+        s"GraftCatalog: nested partition sources unsupported: $parts")
+      val n = parts.head
+      require(schema.fieldNames.contains(n),
+        s"GraftCatalog: unknown partition source column '$n'")
+      n
+    }
+    val fields = partitions.toSeq.map { t =>
+      org.apache.spark.sql.graft.TransformBridge.decode(t) match {
+        case ("identity", ref, _) =>
+          val s = srcOf(ref); PartField(s"p_$s", s, Identity)
+        case ("years", ref, _) =>
+          val s = srcOf(ref); PartField(s"${s}_year", s, Year)
+        case ("months", ref, _) =>
+          val s = srcOf(ref); PartField(s"${s}_month", s, Month)
+        case ("days", ref, _) =>
+          val s = srcOf(ref); PartField(s"${s}_day", s, Day)
+        case ("bucket", ref, Some(n)) =>
+          val s = srcOf(ref); PartField(s"${s}_bucket", s, Bucket(n.toInt))
+        case ("truncate", ref, Some(w)) =>
+          val s = srcOf(ref); PartField(s"${s}_trunc", s, Truncate(w))
+        case (kind, _, _) => sys.error(
+          s"GraftCatalog: unsupported partition transform $kind " +
+            "(identity, years, months, days, bucket, truncate)")
+      }
+    }
+    require(fields.nonEmpty,
+      "GraftCatalog: graft tables are partitioned - declare " +
+        "PARTITIONED BY (at 100 TB an unpartitioned table is a bug)")
+    PartitionSpec(fields)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val root = rootOf(ident)
+    val spec = toSpec(partitions, schema)
+    fs.mkdirs(new HPath(root))
+    ManifestTable.writeOnce(root, "_schema.json", schema.json + "\n")
+    ManifestTable.writeOnce(root, "_spec", spec.render + "\n")
+    load(ident, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*)
+      : Table = throw new UnsupportedOperationException(
+    "GraftCatalog: ALTER TABLE is not supported yet - evolve through " +
+      "the Scala API (evolveSpec / schema-evolving commits)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new HPath(rootOf(ident))
+    if (!isTableRoot(p)) false else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: RENAME is not supported (pinned readers hold " +
+        "path-addressed snapshots)")
+}
+
+/** One named graft table: schema = the DATA columns (partition fields
+  * are hidden layout, the Iceberg posture); `pinnedSnapshot` carries a
+  * time-travel pin. Reads never go through [[newScanBuilder]] — the
+  * analyzer substitutes the pinned Scala reader ([[GraftSqlRules]]);
+  * writes ride the V1 bridge into leaf-scoped snapshot commits. */
+class GraftSqlTable(tableName: String, val root: String,
+    val spec: PartitionSpec, val dataSchema: StructType,
+    val pinnedSnapshot: Option[String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def partitioning(): Array[Transform] =
+    spec.fields.map { f =>
+      f.transform match {
+        case Identity => Expressions.identity(f.source)
+        case Year => Expressions.years(f.source)
+        case Month => Expressions.months(f.source)
+        case Day => Expressions.days(f.source)
+        case Bucket(n) => Expressions.bucket(n, f.source)
+        case Truncate(w) => Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(f.source))
+      }
+    }.toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("format" -> "graft", "root" -> root).asJava
+
+  /** The pinned Scala reader this table's SQL reads substitute onto:
+    * data columns only (partition fields stay hidden), empty-but-typed
+    * before the first commit. */
+  def buildRead(spark: SparkSession): DataFrame = {
+    val dataCols = dataSchema.fieldNames.toSeq
+    if (SpecManifest.currentSnapshot(spark, root).isEmpty)
+      spark.createDataFrame(
+        new util.ArrayList[Row](), dataSchema)
+    else SpecManifest.read(spark, root, spec, pinnedSnapshot)
+      .select(dataCols.map(col): _*)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => throw new UnsupportedOperationException(
+    s"graft table $tableName: SQL reads require the graft analyzer " +
+      "rules - add spark.sql.extensions=graft.GraftExtensions")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                ignored: Boolean): Unit =
+              GraftSqlWrites.insert(data.sparkSession, GraftSqlTable.this,
+                data, overwrite)
+          }
+      }
+    }
+}
+
+/** Write-side routing: INSERT INTO / INSERT OVERWRITE / the command
+  * bodies of MERGE, DELETE, UPDATE — all land as LEAF-SCOPED snapshot
+  * commits through the existing engine (bytes rewritten scale with the
+  * touched leaves, never the table). */
+object GraftSqlWrites {
+
+  /** Distinct derived leaf tuples of `rows` (leaf-count-bounded
+    * driver collect — the SpecTableSink posture). */
+  private def leavesOf(rows: DataFrame,
+      spec: PartitionSpec): Seq[Seq[String]] = {
+    val tagged = spec.fields.foldLeft(rows)((d, f) =>
+      d.withColumn(f.name, f.derived))
+    tagged.select(spec.names.map(col): _*).distinct().collect()
+      .map(r => spec.names.indices.map(i => r.getString(i)))
+  }
+
+  private def leafRows(rows: DataFrame, spec: PartitionSpec,
+      vs: Seq[String]): DataFrame = {
+    val dataCols = rows.columns.toSeq
+    val tagged = spec.fields.foldLeft(rows)((d, f) =>
+      d.withColumn(f.name, f.derived))
+    spec.names.zip(vs).foldLeft(tagged) { case (d, (n, v)) =>
+      d.where(col(n) === v)
+    }.select(dataCols.map(col): _*)
+  }
+
+  /** INSERT INTO (append) / INSERT OVERWRITE (truncate) semantics:
+    * append unions the incoming rows into their derived leaves'
+    * current content (copy-on-write, touched-leaf-scoped); overwrite
+    * replaces every existing leaf. First insert bootstraps the
+    * table's first snapshot. */
+  def insert(spark: SparkSession, table: GraftSqlTable, data: DataFrame,
+      overwrite: Boolean): Unit = {
+    val spec = table.spec
+    val aligned = data
+      .select(table.dataSchema.fieldNames.toSeq.map(col): _*)
+      .localCheckpoint()
+    val incomingLeaves = leavesOf(aligned, spec)
+    val existing: Set[Seq[String]] =
+      if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
+        Set.empty
+      else SpecManifest.leafKeys(spark, table.root, spec).toSet
+    val updates: Map[Seq[String], DataFrame] =
+      if (overwrite) {
+        // truncate: every existing leaf empties unless re-filled
+        val cleared = existing.toSeq
+          .map(vs => vs -> aligned.limit(0))
+        (cleared ++ incomingLeaves.map(vs =>
+          vs -> leafRows(aligned, spec, vs))).toMap
+      } else incomingLeaves.map { vs =>
+        val inc = leafRows(aligned, spec, vs)
+        vs -> (if (existing.contains(vs))
+          SpecManifest.readLeaf(spark, table.root, spec, vs)
+            .unionByName(inc)
+        else inc)
+      }.toMap
+    if (updates.nonEmpty)
+      SpecManifest.commitSnapshot(spark, table.root, spec, updates)
+  }
+
+  /** Per-leaf REPLACEMENT commit for the DML commands: `newContent`
+    * maps each touched leaf to its full new rows. */
+  def replaceLeaves(spark: SparkSession, table: GraftSqlTable,
+      newContent: Map[Seq[String], DataFrame]): Unit =
+    if (newContent.nonEmpty)
+      SpecManifest.commitSnapshot(spark, table.root, table.spec,
+        newContent)
+
+  private[sql] def leavesOfRows(rows: DataFrame,
+      spec: PartitionSpec): Seq[Seq[String]] = leavesOf(rows, spec)
+
+  private[sql] def rowsOfLeaf(rows: DataFrame, spec: PartitionSpec,
+      vs: Seq[String]): DataFrame = leafRows(rows, spec, vs)
+}

@@ -1,0 +1,347 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, ExprId, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.engine.SpecManifest
+
+/** The analyzer half of the SQL surface ([[GraftCatalog]] is the
+  * catalog half), injected by `graft.GraftExtensions`:
+  *
+  *   - READ SUBSTITUTION: every resolved [[DataSourceV2Relation]] over
+  *     a [[GraftSqlTable]] is replaced (output exprIds preserved via
+  *     aliases) by the table's pinned Scala reader — so a SQL `SELECT`
+  *     plans the exact content-pinned, partition-pruned, zone-mapped,
+  *     hidden-partitioned relation a Scala caller gets, and Catalyst
+  *     pushes the query's filters/projections into it. Relations under
+  *     a write command's TARGET side are never substituted.
+  *   - DML CONVERSION: resolved `DELETE FROM` / `UPDATE` /
+  *     `MERGE INTO` nodes over graft targets become runnable commands
+  *     that route through leaf-scoped snapshot commits — converted
+  *     during resolution, BEFORE Spark's row-level-operation machinery
+  *     (which would reject a table without SupportsRowLevelOperations)
+  *     ever checks them.
+  */
+class GraftSqlRules(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def isGraftRel(p: LogicalPlan): Boolean = p match {
+    case r: DataSourceV2Relation => r.table.isInstanceOf[GraftSqlTable]
+    case _ => false
+  }
+
+  /** The (relation, table) under optional SubqueryAlias wrapping —
+    * the shape DML targets resolve to. */
+  private def graftTarget(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftSqlTable)] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSqlTable => Some((r, t))
+      case _ => None
+    }
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!plan.exists(p => isGraftRel(p))) plan
+    else plan match {
+      case d: DeleteFromTable if graftTarget(d.table).isDefined =>
+        if (!d.resolved) d
+        else {
+          val (r, t) = graftTarget(d.table).get
+          GraftDeleteCommand(t, d.condition, r.output)
+        }
+      case u: UpdateTable if graftTarget(u.table).isDefined =>
+        if (!u.resolved) u
+        else {
+          val (r, t) = graftTarget(u.table).get
+          GraftUpdateCommand(t, u.assignments, u.condition, r.output)
+        }
+      case m: MergeIntoTable if graftTarget(m.targetTable).isDefined =>
+        if (!m.resolved) m
+        else convertMerge(m)
+      case other => substitute(other)
+    }
+
+  /** Replace graft READS, skipping every write command's table side. */
+  private def substitute(p: LogicalPlan): LogicalPlan = p match {
+    case a: AppendData => a.copy(query = substitute(a.query))
+    case o: OverwriteByExpression => o.copy(query = substitute(o.query))
+    case o: OverwritePartitionsDynamic =>
+      o.copy(query = substitute(o.query))
+    case i: InsertIntoStatement => i.copy(query = substitute(i.query))
+    case r: DataSourceV2Relation if isGraftRel(r) =>
+      substituteRelation(r)
+    case other => other.mapChildren(substitute)
+  }
+
+  private def substituteRelation(r: DataSourceV2Relation): LogicalPlan = {
+    val t = r.table.asInstanceOf[GraftSqlTable]
+    val child = t.buildRead(spark).queryExecution.analyzed
+    val resolver = spark.sessionState.conf.resolver
+    val projections = r.output.map { a =>
+      val c = child.output.find(c => resolver(c.name, a.name))
+        .getOrElse(sys.error(
+          s"graft: reader misses column '${a.name}' of ${t.name()}"))
+      require(c.dataType == a.dataType,
+        s"graft: reader column '${a.name}' is ${c.dataType.simpleString}" +
+          s", catalog says ${a.dataType.simpleString}")
+      Alias(c, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    }
+    Project(projections, child)
+  }
+
+  private def convertMerge(m: MergeIntoTable): LogicalPlan = {
+    val (r, t) = graftTarget(m.targetTable).get
+    require(m.notMatchedBySourceActions.isEmpty,
+      "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported yet")
+    require(m.matchedActions.length <= 1 &&
+      m.notMatchedActions.length <= 1,
+      "graft MERGE: at most one WHEN MATCHED and one WHEN NOT MATCHED " +
+        "action")
+    GraftMergeCommand(t, substitute(m.sourceTable), m.mergeCondition,
+      m.matchedActions.headOption, m.notMatchedActions.headOption,
+      r.output)
+  }
+}
+
+/** Shared expression plumbing for the DML commands: resolved catalyst
+  * expressions from the analyzed DML node are re-bound by NAME against
+  * the engine-built DataFrames. */
+private[sql] object GraftDml {
+
+  def bind(e: Expression, m: Map[ExprId, Expression]): Expression =
+    e.transform {
+      case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+    }
+
+  def attrMap(attrs: Seq[Attribute], df: DataFrame)
+      : Map[ExprId, Expression] =
+    attrs.map(a => a.exprId ->
+      ColumnBridge.expression(df(a.name))).toMap
+
+  def colOn(e: Expression, m: Map[ExprId, Expression])
+      : org.apache.spark.sql.Column =
+    ColumnBridge.column(bind(e, m))
+}
+
+/** `DELETE FROM t WHERE cond` → per touched leaf, the leaf's rows with
+  * the condition inverted, committed as ONE snapshot (copy-on-write,
+  * bytes scale with the touched leaves). */
+case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
+    relOutput: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
+      return Seq.empty
+    def condOn(df: DataFrame) =
+      GraftDml.colOn(cond, GraftDml.attrMap(relOutput, df))
+    val tgt = table.buildRead(spark)
+    val removed = tgt.filter(condOn(tgt)).localCheckpoint()
+    val touched = GraftSqlWrites.leavesOfRows(removed, table.spec)
+    val updates = touched.map { vs =>
+      val leaf = SpecManifest.readLeaf(spark, table.root, table.spec, vs)
+      vs -> leaf.filter(not(condOn(leaf)))
+    }.toMap
+    GraftSqlWrites.replaceLeaves(spark, table, updates)
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE cond` → per touched leaf, assignments applied
+  * under the condition. Assignments to a partition SOURCE column are
+  * refused (they would move rows across leaves — use MERGE). */
+case class GraftUpdateCommand(table: GraftSqlTable,
+    assignments: Seq[Assignment], cond: Option[Expression],
+    relOutput: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
+      return Seq.empty
+    val byName: Map[String, Expression] = assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => sys.error(s"graft UPDATE: unsupported " +
+          s"assignment target $other (top-level columns only)")
+      }
+      name -> a.value
+    }.toMap
+    val movers = table.spec.fields.map(_.source).filter(byName.contains)
+    require(movers.isEmpty,
+      s"graft UPDATE: assigning partition source column(s) " +
+        s"${movers.mkString(", ")} would move rows across leaves - " +
+        "use MERGE INTO (or delete + insert)")
+    def m(df: DataFrame) = GraftDml.attrMap(relOutput, df)
+    def condOn(df: DataFrame) = cond
+      .map(c => GraftDml.colOn(c, m(df))).getOrElse(lit(true))
+    val tgt = table.buildRead(spark)
+    val affected = tgt.filter(condOn(tgt)).localCheckpoint()
+    val touched = GraftSqlWrites.leavesOfRows(affected, table.spec)
+    val updates = touched.map { vs =>
+      val leaf = SpecManifest.readLeaf(spark, table.root, table.spec, vs)
+      val lm = m(leaf)
+      val c = condOn(leaf)
+      vs -> leaf.select(table.dataSchema.fieldNames.toSeq.map { n =>
+        byName.get(n) match {
+          case Some(v) => org.apache.spark.sql.functions
+            .when(c, GraftDml.colOn(v, lm)).otherwise(leaf(n)).as(n)
+          case None => leaf(n)
+        }
+      }: _*)
+    }.toMap
+    GraftSqlWrites.replaceLeaves(spark, table, updates)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING s ON t.k = s.k …` → the classic key-merge,
+  * committed as ONE leaf-scoped copy-on-write snapshot:
+  *
+  *   - ON must be a conjunction of target-column = source-column
+  *     equalities (the merge KEYS; per-key uniqueness on both sides is
+  *     the standard MERGE contract);
+  *   - at most one WHEN MATCHED (UPDATE SET — explicit or star — or
+  *     DELETE) and one WHEN NOT MATCHED (INSERT, explicit or star),
+  *     each with an optional condition;
+  *   - touched leaves = the leaves of affected old rows plus the
+  *     derived leaves of new rows (an UPDATE may move a row across
+  *     leaves; both sides commit atomically in the one snapshot).
+  */
+case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
+    mergeCond: Expression, matched: Option[MergeAction],
+    notMatched: Option[MergeAction], targetOutput: Seq[Attribute])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftDml._
+    val srcDf = ColumnBridge.ofRows(spark, source).localCheckpoint()
+    val srcMap = attrMap(source.output, srcDf)
+    val targetIds = targetOutput.map(_.exprId).toSet
+    val sourceIds = source.output.map(_.exprId).toSet
+    // merge keys from the ON conjunction
+    val keyPairs: Seq[(String, String)] = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          split(l) ++ split(r)
+        case other => Seq(other)
+      }
+      split(mergeCond).map {
+        case org.apache.spark.sql.catalyst.expressions
+            .EqualTo(a: AttributeReference, b: AttributeReference)
+            if targetIds.contains(a.exprId) &&
+              sourceIds.contains(b.exprId) => (a.name, b.name)
+        case org.apache.spark.sql.catalyst.expressions
+            .EqualTo(a: AttributeReference, b: AttributeReference)
+            if sourceIds.contains(a.exprId) &&
+              targetIds.contains(b.exprId) => (b.name, a.name)
+        case other => sys.error("graft MERGE: the ON condition must " +
+          s"be a conjunction of t.col = s.col equalities, got $other")
+      }
+    }
+    val tKeys = keyPairs.map(_._1)
+    val dataCols = table.dataSchema.fieldNames.toSeq
+    val hasSnapshot =
+      SpecManifest.currentSnapshot(spark, table.root).isDefined
+    val tgt = table.buildRead(spark)
+    val tgtMap = attrMap(targetOutput, tgt)
+    val joinCond = keyPairs.map { case (tk, sk) =>
+      tgt(tk) === srcDf(sk) }.reduce(_ && _)
+    val matchedDf = tgt.join(srcDf, joinCond, "inner")
+    val both = tgtMap ++ srcMap
+    def actCond(a: MergeAction): org.apache.spark.sql.Column =
+      a.condition.map(c => colOn(c, both)).getOrElse(lit(true))
+    // affected OLD rows (matched action fired) and their replacements
+    val (removedOld, updatedNew): (Option[DataFrame], Option[DataFrame]) =
+      matched match {
+        case None => (None, None)
+        case Some(a) =>
+          val affected = matchedDf.filter(actCond(a))
+          val old = affected.select(targetOutput.map(x =>
+            tgt(x.name).as(x.name)): _*)
+          a match {
+            case DeleteAction(_) => (Some(old), None)
+            case UpdateAction(_, assigns, _) =>
+              val byName = assigns.map(x => (x.key match {
+                case ar: AttributeReference => ar.name
+                case o => sys.error(s"graft MERGE: unsupported " +
+                  s"assignment target $o")
+              }) -> x.value).toMap
+              val upd = affected.select(dataCols.map { n =>
+                byName.get(n).map(v => colOn(v, both).as(n))
+                  .getOrElse(tgt(n).as(n))
+              }: _*)
+              (Some(old), Some(upd))
+            case UpdateStarAction(_) =>
+              val upd = affected.select(dataCols.map(n =>
+                srcDf(n).as(n)): _*)
+              (Some(old), Some(upd))
+            case o => sys.error(
+              s"graft MERGE: unsupported WHEN MATCHED action $o")
+          }
+      }
+    val inserted: Option[DataFrame] = notMatched.map { a =>
+      val notM = srcDf.join(
+        tgt.select(tKeys.map(tgt(_)): _*).distinct(),
+        keyPairs.map { case (tk, sk) => srcDf(sk) === tgt(tk) }
+          .reduce(_ && _),
+        "left_anti")
+      val nmMap = attrMap(source.output, notM) ++ tgtMap
+      val c = a.condition.map(x => colOn(x, nmMap)).getOrElse(lit(true))
+      val rows = notM.filter(c)
+      a match {
+        case InsertAction(_, assigns) =>
+          val byName = assigns.map(x => (x.key match {
+            case ar: AttributeReference => ar.name
+            case o => sys.error(
+              s"graft MERGE: unsupported insert target $o")
+          }) -> x.value).toMap
+          rows.select(dataCols.map { n =>
+            byName.get(n).map(v => colOn(v, nmMap).as(n)).getOrElse(
+              sys.error(s"graft MERGE: INSERT must assign column '$n'"))
+          }: _*)
+        case InsertStarAction(_) =>
+          rows.select(dataCols.map(n => notM(n).as(n)): _*)
+        case o => sys.error(
+          s"graft MERGE: unsupported WHEN NOT MATCHED action $o")
+      }
+    }
+    if (!hasSnapshot) {
+      // empty table: only inserts can land; bootstrap via the insert path
+      inserted.filter(_ => notMatched.isDefined).foreach(ins =>
+        GraftSqlWrites.insert(spark, table, ins, overwrite = false))
+      return Seq.empty
+    }
+    val removed = removedOld.map(_.localCheckpoint())
+    val added = (updatedNew.toSeq ++ inserted.toSeq) match {
+      case Nil => None
+      case xs => Some(xs.reduce(_.unionByName(_)).localCheckpoint())
+    }
+    val spec = table.spec
+    val touched = (removed.toSeq.flatMap(r =>
+      GraftSqlWrites.leavesOfRows(r, spec)) ++
+      added.toSeq.flatMap(a2 => GraftSqlWrites.leavesOfRows(a2, spec)))
+      .distinct
+    val updates = touched.map { vs =>
+      val leaf = SpecManifest.readLeaf(spark, table.root, table.spec, vs)
+      val minus = removed match {
+        case Some(r) =>
+          val keys = GraftSqlWrites.rowsOfLeaf(r, spec, vs)
+            .select(tKeys.map(col): _*).distinct()
+          leaf.join(keys, tKeys, "left_anti")
+            .select(dataCols.map(col): _*)
+        case None => leaf
+      }
+      val plus = added match {
+        case Some(a2) => minus.unionByName(
+          GraftSqlWrites.rowsOfLeaf(a2, spec, vs))
+        case None => minus
+      }
+      vs -> plus
+    }.toMap
+    GraftSqlWrites.replaceLeaves(spark, table, updates)
+    Seq.empty
+  }
+}

@@ -73,3 +73,38 @@ object ColumnBridge {
   def wrapAdd(a: Column, b: Column): Column =
     column(Add(expression(a), expression(b), EvalMode.LEGACY))
 }
+
+/** V2 partition-transform bridge: the connector transform case classes
+  * (IdentityTransform, YearsTransform, BucketTransform, …) are
+  * private[sql], so the graft catalog decodes them here — same
+  * package-tree technique as [[ColumnBridge]]. */
+object TransformBridge {
+  import org.apache.spark.sql.connector.expressions._
+
+  private def one(ref: NamedReference): Seq[String] =
+    ref.fieldNames().toSeq
+
+  /** (kind, source column path, numeric parameter). Kinds: identity,
+    * years, months, days, bucket, truncate. */
+  def decode(t: Transform): (String, Seq[String], Option[Long]) =
+    t match {
+      case IdentityTransform(ref) => ("identity", one(ref), None)
+      case YearsTransform(ref) => ("years", one(ref), None)
+      case MonthsTransform(ref) => ("months", one(ref), None)
+      case DaysTransform(ref) => ("days", one(ref), None)
+      case HoursTransform(ref) => ("hours", one(ref), None)
+      case BucketTransform(n, cols, sorted) =>
+        require(cols.length == 1 && sorted.isEmpty,
+          "bucket() takes exactly one column")
+        ("bucket", one(cols.head), Some(n.toLong))
+      case ApplyTransform("truncate", args) => args.toSeq match {
+        case Seq(l: Literal[_], r: NamedReference) =>
+          ("truncate", one(r), Some(l.value().toString.toLong))
+        case Seq(r: NamedReference, l: Literal[_]) =>
+          ("truncate", one(r), Some(l.value().toString.toLong))
+        case other =>
+          sys.error(s"truncate(width, col) expected, got $other")
+      }
+      case other => sys.error(s"unsupported partition transform $other")
+    }
+}
