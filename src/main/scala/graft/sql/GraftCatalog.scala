@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -265,7 +265,8 @@ class GraftSqlTable(tableName: String, val root: String,
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def partitioning(): Array[Transform] =
     spec.fields.map { f =>
@@ -301,16 +302,21 @@ class GraftSqlTable(tableName: String, val root: String,
       "rules - add spark.sql.extensions=graft.GraftExtensions")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+      // "append" | "truncate" (static INSERT OVERWRITE: the whole
+      // table) | "dynamic" (replace only the leaves the data derives)
+      private var mode = "append"
+      override def truncate(): WriteBuilder = { mode = "truncate"; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = "dynamic"; this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame,
                 ignored: Boolean): Unit =
               GraftSqlWrites.insert(data.sparkSession, GraftSqlTable.this,
-                data, overwrite)
+                data, mode)
           }
       }
     }
@@ -342,13 +348,19 @@ object GraftSqlWrites {
     }.select(dataCols.map(col): _*)
   }
 
-  /** INSERT INTO (append) / INSERT OVERWRITE (truncate) semantics:
-    * append unions the incoming rows into their derived leaves'
-    * current content (copy-on-write, touched-leaf-scoped); overwrite
-    * replaces every existing leaf. First insert bootstraps the
-    * table's first snapshot. */
+  /** INSERT semantics by `mode`:
+    *   - "append" (INSERT INTO): union the incoming rows into their
+    *     derived leaves' current content (copy-on-write,
+    *     touched-leaf-scoped);
+    *   - "truncate" (static INSERT OVERWRITE): every existing leaf
+    *     empties unless re-filled by the incoming rows;
+    *   - "dynamic" (dynamic-partition INSERT OVERWRITE): only the
+    *     leaves the data derives are replaced — the natural overwrite
+    *     for a partitioned format at scale.
+    * First insert bootstraps the table's first snapshot; all modes are
+    * ONE atomic snapshot commit. */
   def insert(spark: SparkSession, table: GraftSqlTable, data: DataFrame,
-      overwrite: Boolean): Unit = {
+      mode: String): Unit = {
     val spec = table.spec
     val aligned = data
       .select(table.dataSchema.fieldNames.toSeq.map(col): _*)
@@ -358,20 +370,22 @@ object GraftSqlWrites {
       if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
         Set.empty
       else SpecManifest.leafKeys(spark, table.root, spec).toSet
-    val updates: Map[Seq[String], DataFrame] =
-      if (overwrite) {
-        // truncate: every existing leaf empties unless re-filled
+    val updates: Map[Seq[String], DataFrame] = mode match {
+      case "truncate" =>
         val cleared = existing.toSeq
           .map(vs => vs -> aligned.limit(0))
         (cleared ++ incomingLeaves.map(vs =>
           vs -> leafRows(aligned, spec, vs))).toMap
-      } else incomingLeaves.map { vs =>
+      case "dynamic" =>
+        incomingLeaves.map(vs => vs -> leafRows(aligned, spec, vs)).toMap
+      case _ => incomingLeaves.map { vs =>
         val inc = leafRows(aligned, spec, vs)
         vs -> (if (existing.contains(vs))
           SpecManifest.readLeaf(spark, table.root, spec, vs)
             .unionByName(inc)
         else inc)
       }.toMap
+    }
     if (updates.nonEmpty)
       SpecManifest.commitSnapshot(spark, table.root, spec, updates)
   }

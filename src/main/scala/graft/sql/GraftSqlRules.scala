@@ -48,8 +48,16 @@ class GraftSqlRules(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!plan.exists(p => isGraftRel(p))) plan
-    else plan match {
+    plan match {
+      // dynamic-partition INSERT OVERWRITE first: its table side is
+      // NOT a plan child, so the exists() fast path below cannot see
+      // the graft relation under it
+      case o: OverwritePartitionsDynamic
+          if graftTarget(o.table).isDefined =>
+        if (!o.resolved) o
+        else GraftInsertCommand(graftTarget(o.table).get._2,
+          substitute(o.query), "dynamic")
+      case _ if !plan.exists(p => isGraftRel(p)) => plan
       case d: DeleteFromTable if graftTarget(d.table).isDefined =>
         if (!d.resolved) d
         else {
@@ -128,6 +136,19 @@ private[sql] object GraftDml {
   def colOn(e: Expression, m: Map[ExprId, Expression])
       : org.apache.spark.sql.Column =
     ColumnBridge.column(bind(e, m))
+}
+
+/** Dynamic-partition INSERT OVERWRITE routed through the graft insert
+  * path (mode "dynamic": replace exactly the leaves the data
+  * derives). */
+case class GraftInsertCommand(table: GraftSqlTable, query: LogicalPlan,
+    mode: String) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlWrites.insert(spark, table,
+      ColumnBridge.ofRows(spark, query), mode)
+    Seq.empty
+  }
 }
 
 /** `DELETE FROM t WHERE cond` → per touched leaf, the leaf's rows with
@@ -311,7 +332,7 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     if (!hasSnapshot) {
       // empty table: only inserts can land; bootstrap via the insert path
       inserted.filter(_ => notMatched.isDefined).foreach(ins =>
-        GraftSqlWrites.insert(spark, table, ins, overwrite = false))
+        GraftSqlWrites.insert(spark, table, ins, mode = "append"))
       return Seq.empty
     }
     val removed = removedOld.map(_.localCheckpoint())

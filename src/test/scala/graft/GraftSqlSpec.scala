@@ -100,21 +100,39 @@ class GraftSqlSpec extends AnyFunSuite {
     val _ = tagged
   }
 
-  test("INSERT OVERWRITE truncates; catalog lists tables; DROP TABLE " +
-      "removes the root") {
+  test("INSERT OVERWRITE: static mode truncates the table, dynamic " +
+      "mode replaces only the derived leaves; catalog lists tables; " +
+      "DROP TABLE removes the root") {
     wh
-    spark.sql("""CREATE TABLE gsql.db.tiny (k BIGINT, g STRING)
-      PARTITIONED BY (identity(g))""")
-    spark.sql("INSERT INTO gsql.db.tiny VALUES (1, 'x'), (2, 'y')")
-    spark.sql("INSERT OVERWRITE gsql.db.tiny VALUES (9, 'x')")
-    val got = spark.sql("SELECT k, g FROM gsql.db.tiny ORDER BY k")
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    assert(got.toSeq == Seq((9L, "x")), got.toSeq)
-    assert(spark.sql("SHOW TABLES IN gsql.db").collect()
-      .map(_.getString(1)).contains("tiny"))
-    spark.sql("DROP TABLE gsql.db.tiny")
-    assert(!spark.sql("SHOW TABLES IN gsql.db").collect()
-      .map(_.getString(1)).contains("tiny"))
+    val prevMode = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.sql("""CREATE TABLE gsql.db.tiny (k BIGINT, g STRING)
+        PARTITIONED BY (identity(g))""")
+      spark.sql("INSERT INTO gsql.db.tiny VALUES (1, 'x'), (2, 'y')")
+      // DYNAMIC: only leaf g=x is replaced; g=y survives
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE gsql.db.tiny VALUES (8, 'x')")
+      val dyn = spark.sql("SELECT k, g FROM gsql.db.tiny ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(dyn.toSeq == Seq((2L, "y"), (8L, "x")), dyn.toSeq)
+      // STATIC: the whole table truncates
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql("INSERT OVERWRITE gsql.db.tiny VALUES (9, 'x')")
+      val got = spark.sql("SELECT k, g FROM gsql.db.tiny ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((9L, "x")), got.toSeq)
+      assert(spark.sql("SHOW TABLES IN gsql.db").collect()
+        .map(_.getString(1)).contains("tiny"))
+      spark.sql("DROP TABLE gsql.db.tiny")
+      assert(!spark.sql("SHOW TABLES IN gsql.db").collect()
+        .map(_.getString(1)).contains("tiny"))
+    } finally prevMode match {
+      case Some(m) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   test("w29 is re-runnable in one session (the bench runs every query " +
