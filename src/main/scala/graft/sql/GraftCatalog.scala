@@ -157,7 +157,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       snapshot)
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  /** Iceberg-style METADATA TABLE addressing: `g.db.t.files`,
+    * `g.db.t.snapshots`, `g.db.t.history` parse as namespace
+    * `[db, t]`, name `files` — served when `t` is a real graft table
+    * and no physical table shadows the name. */
+  private def metaTable(ident: Identifier): Option[GraftMetaTable] =
+    if (ident.namespace().isEmpty ||
+        !GraftMetaTable.Kinds.contains(ident.name())) None
+    else {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (!tableExists(parent)) None
+      else {
+        val t = load(parent, None)
+        Some(new GraftMetaTable(s"${t.name()}.${ident.name()}",
+          ident.name(), t.root, t.spec))
+      }
+    }
+
+  override def loadTable(ident: Identifier): Table =
+    if (tableExists(ident)) load(ident, None)
+    else metaTable(ident).getOrElse(load(ident, None))
 
   /** `VERSION AS OF '<snapshot-or-tag-or-branch>'` — resolves refs
     * through the same machinery as the Scala readers. */
@@ -251,15 +271,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "path-addressed snapshots)")
 }
 
+/** Any graft catalog table whose SQL reads substitute in the analyzer
+  * onto an engine-built DataFrame ([[GraftSqlRules]]). */
+trait GraftReadableTable extends Table with SupportsRead {
+  def buildRead(spark: SparkSession): DataFrame
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => throw new UnsupportedOperationException(
+    s"graft table ${name()}: SQL reads require the graft analyzer " +
+      "rules - add spark.sql.extensions=graft.GraftExtensions")
+}
+
+/** A read-only inspection table (`t.files` / `t.snapshots` /
+  * `t.history`) over a graft table's metadata — zero data bytes. */
+class GraftMetaTable(tableName: String, val kind: String,
+    val root: String, val spec: PartitionSpec)
+    extends GraftReadableTable {
+  override def name(): String = tableName
+  override def schema(): StructType = GraftMetaTable.schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def buildRead(spark: SparkSession): DataFrame = kind match {
+    case "files" => SpecManifest.filesMetadata(spark, root, spec)
+    case "snapshots" => SpecManifest.snapshotsMetadata(spark, root)
+    case "history" => SpecManifest.historyMetadata(spark, root)
+  }
+}
+
+object GraftMetaTable {
+  val Kinds = Set("files", "snapshots", "history")
+  import org.apache.spark.sql.Encoders
+  import graft.engine.PartitionedManifest.{FileMeta, HistoryMeta, SnapshotMeta}
+  private[sql] def schemaOf(kind: String): StructType = kind match {
+    case "files" => Encoders.product[FileMeta].schema
+    case "snapshots" => Encoders.product[SnapshotMeta].schema
+    case "history" => Encoders.product[HistoryMeta].schema
+  }
+}
+
 /** One named graft table: schema = the DATA columns (partition fields
   * are hidden layout, the Iceberg posture); `pinnedSnapshot` carries a
-  * time-travel pin. Reads never go through [[newScanBuilder]] — the
+  * time-travel pin. Reads never go through `newScanBuilder` — the
   * analyzer substitutes the pinned Scala reader ([[GraftSqlRules]]);
   * writes ride the V1 bridge into leaf-scoped snapshot commits. */
 class GraftSqlTable(tableName: String, val root: String,
     val spec: PartitionSpec, val dataSchema: StructType,
     val pinnedSnapshot: Option[String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends GraftReadableTable with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = dataSchema
@@ -287,7 +344,7 @@ class GraftSqlTable(tableName: String, val root: String,
   /** The pinned Scala reader this table's SQL reads substitute onto:
     * data columns only (partition fields stay hidden), empty-but-typed
     * before the first commit. */
-  def buildRead(spark: SparkSession): DataFrame = {
+  override def buildRead(spark: SparkSession): DataFrame = {
     val dataCols = dataSchema.fieldNames.toSeq
     if (SpecManifest.currentSnapshot(spark, root).isEmpty)
       spark.createDataFrame(
@@ -295,11 +352,6 @@ class GraftSqlTable(tableName: String, val root: String,
     else SpecManifest.read(spark, root, spec, pinnedSnapshot)
       .select(dataCols.map(col): _*)
   }
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = () => throw new UnsupportedOperationException(
-    s"graft table $tableName: SQL reads require the graft analyzer " +
-      "rules - add spark.sql.extensions=graft.GraftExtensions")
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {

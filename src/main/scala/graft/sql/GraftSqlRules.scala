@@ -31,7 +31,8 @@ import graft.engine.SpecManifest
 class GraftSqlRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def isGraftRel(p: LogicalPlan): Boolean = p match {
-    case r: DataSourceV2Relation => r.table.isInstanceOf[GraftSqlTable]
+    case r: DataSourceV2Relation =>
+      r.table.isInstanceOf[GraftReadableTable]
     case _ => false
   }
 
@@ -89,7 +90,7 @@ class GraftSqlRules(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def substituteRelation(r: DataSourceV2Relation): LogicalPlan = {
-    val t = r.table.asInstanceOf[GraftSqlTable]
+    val t = r.table.asInstanceOf[GraftReadableTable]
     val child = t.buildRead(spark).queryExecution.analyzed
     val resolver = spark.sessionState.conf.resolver
     val projections = r.output.map { a =>

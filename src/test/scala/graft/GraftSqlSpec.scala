@@ -135,6 +135,62 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables are SQL-addressable: t.files, t.snapshots, " +
+      "t.history; TIMESTAMP AS OF resolves; conditioned MERGE actions, " +
+      "DELETE-all and the partition-source UPDATE refusal hold") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.meta_t (k BIGINT, v DOUBLE, g STRING)
+      PARTITIONED BY (identity(g))""")
+    spark.sql("""INSERT INTO gsql.db.meta_t VALUES
+      (1, 1.0, 'a'), (2, 2.0, 'b'), (3, 3.0, 'a')""")
+    spark.sql("INSERT INTO gsql.db.meta_t VALUES (4, 4.0, 'b')")
+    // snapshots metadata through SQL: two commits, operation labels
+    val snaps = spark.sql(
+      "SELECT operation, entries FROM gsql.db.meta_t.snapshots " +
+        "ORDER BY snapshot").collect()
+    assert(snaps.length == 2 &&
+      snaps.forall(_.getString(0) == "commit"), snaps.toSeq)
+    // history through SQL
+    assert(spark.sql("SELECT action FROM gsql.db.meta_t.history")
+      .collect().map(_.getString(0)).toSeq == Seq("commit", "commit"))
+    // files through SQL: every row a live data file with bytes
+    val files = spark.sql(
+      "SELECT partition, bytes FROM gsql.db.meta_t.files").collect()
+    assert(files.nonEmpty && files.forall(_.getLong(1) > 0) &&
+      files.forall(_.getString(0).startsWith("p_g=")), files.toSeq)
+    // TIMESTAMP AS OF: after the last commit's wall-clock, the current
+    // content serves
+    val ts = spark.sql(
+      "SELECT max(committedMs) FROM gsql.db.meta_t.snapshots")
+      .head().getLong(0)
+    val asOf = spark.sql("SELECT count(*) FROM gsql.db.meta_t " +
+      s"TIMESTAMP AS OF ${(ts + 1000) * 1000L}").head().getLong(0)
+    assert(asOf == 4, s"timestamp time travel: $asOf")
+    // conditioned MERGE: only the matched row passing the condition
+    // updates; the insert condition filters too
+    Seq((1L, 100.0, "a"), (2L, 200.0, "b"), (9L, 9.0, "a"),
+      (10L, 10.0, "b")).toDF_("k", "v", "g")
+      .createOrReplaceTempView("meta_delta")
+    spark.sql("""MERGE INTO gsql.db.meta_t t USING meta_delta s
+      ON t.k = s.k
+      WHEN MATCHED AND s.v > 150.0 THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND s.k < 10 THEN INSERT (k, v, g)
+        VALUES (s.k, s.v, s.g)""")
+    val got = spark.sql("SELECT k, v FROM gsql.db.meta_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 200.0), (3L, 3.0),
+      (4L, 4.0), (9L, 9.0)), got.toSeq)
+    // UPDATE on a partition source column refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gsql.db.meta_t SET g = 'z' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("partition source"), e.getMessage)
+    // DELETE without a WHERE empties the table
+    spark.sql("DELETE FROM gsql.db.meta_t WHERE true")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.meta_t")
+      .head().getLong(0) == 0)
+  }
+
   test("w29 is re-runnable in one session (the bench runs every query " +
       "twice): same rows both times") {
     val run = graft.SparkEntry.queries("w29_sql_table_format")
