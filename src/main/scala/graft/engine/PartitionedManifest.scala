@@ -1027,6 +1027,14 @@ object PartitionedManifest {
     out.toSeq
   }
 
+  /** The key columns of a version dir's delta chain (None = pure).
+    * Chains are keyed UNIFORMLY by construction — [[commitMerge]]
+    * refuses to layer a differently-keyed delta, because resolution
+    * applies the TOP layer's keys to every layer. */
+  private[engine] def chainKeys(spark: SparkSession, partRoot: String,
+      dirName: String): Option[Seq[String]] =
+    morInfo(spark, s"$partRoot/$dirName").map(_._1)
+
   /** Expand a protection set through MOR base chains (see the section
     * comment: protecting a layer must protect everything below it). */
   private[engine] def expandMorProtect(spark: SparkSession, partRoot: String,
@@ -1368,6 +1376,16 @@ object PartitionedManifest {
           val pr = s"$root/$partCol=$v"
           val baseDir = ManifestTable.currentVersion(pr).getOrElse(
             sys.error(s"PartitionedManifest: no MANIFEST under $pr"))
+          // chains must be keyed uniformly: the resolver applies the
+          // TOP layer's keys to every layer, so layering a
+          // differently-keyed delta would silently mis-resolve the
+          // chain below it
+          chainKeys(spark, pr, baseDir).foreach(bk =>
+            require(bk == keyCols,
+              s"commitMerge: partition $v has a delta chain keyed by " +
+                s"(${bk.mkString(",")}) - a merge keyed by " +
+                s"(${keyCols.mkString(",")}) cannot layer on it; " +
+                "compact() first or reuse the chain's keys"))
           val protect = expandMorProtect(spark, pr,
             protectByPart.getOrElse(v, Set.empty))
           val dir =

@@ -1022,6 +1022,16 @@ object SpecManifest {
     PartitionedManifest.resolveVersionData(spark, s"$root/$lp", dir, None)
   }
 
+  /** The key columns of a leaf's LIVE delta chain (None = pure leaf) —
+    * callers picking between delta-layering and copy-on-write check
+    * compatibility here (chains are uniformly keyed by construction). */
+  def leafChainKeys(spark: SparkSession, root: String,
+      spec: PartitionSpec, values: Seq[String]): Option[Seq[String]] = {
+    val lp = leafPath(spec, values)
+    ManifestTable.currentVersion(s"$root/$lp").flatMap(d =>
+      PartitionedManifest.chainKeys(spark, s"$root/$lp", d))
+  }
+
   /** MERGE-ON-READ commit over leaf-keyed `upserts` (full-data-schema
     * replacement rows, keyed by `keyCols`) and `deletes` (key rows):
     * each touched leaf gets a new version dir holding only the delta
@@ -1130,6 +1140,13 @@ object SpecManifest {
         val pr = s"$root/$lp"
         val baseDir = ManifestTable.currentVersion(pr).getOrElse(
           sys.error(s"SpecManifest: no MANIFEST under $pr"))
+        // uniform chain keys (see PartitionedManifest.commitMerge)
+        PartitionedManifest.chainKeys(spark, pr, baseDir).foreach(bk =>
+          require(bk == keyCols,
+            s"commitMerge: leaf $lp has a delta chain keyed by " +
+              s"(${bk.mkString(",")}) - a merge keyed by " +
+              s"(${keyCols.mkString(",")}) cannot layer on it; " +
+              "compactLeaves() first or reuse the chain's keys"))
         ManifestTable.writeOnce(stage, PartitionedManifest.MorFile,
           s"#keys=${keyCols.mkString(",")}\nbase=$baseDir\n")
         val protect = PartitionedManifest.expandMorProtect(spark, pr,

@@ -152,9 +152,16 @@ case class GraftInsertCommand(table: GraftSqlTable, query: LogicalPlan,
   }
 }
 
-/** `DELETE FROM t WHERE cond` → per touched leaf, the leaf's rows with
-  * the condition inverted, committed as ONE snapshot (copy-on-write,
-  * bytes scale with the touched leaves). */
+/** `DELETE FROM t WHERE cond` — two commit routes, cheapest first:
+  *
+  *   - MERGE-ON-READ: the removed rows land as FULL-ROW-KEYED delete
+  *     deltas (one atomic commitMerge) — bytes written scale with the
+  *     DELTA, never the leaf (at 100 TB, deleting 0.01% of a hot leaf
+  *     must not rewrite the leaf). Eligible when every touched leaf's
+  *     chain is pure or already full-row-keyed, and no removed row
+  *     carries a NULL (null keys never anti-join).
+  *   - COPY-ON-WRITE fallback: per touched leaf, the leaf's rows with
+  *     the condition inverted, committed as ONE snapshot. */
 case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     relOutput: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -165,11 +172,25 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     val tgt = table.buildRead(spark)
     val removed = tgt.filter(condOn(tgt)).localCheckpoint()
     val touched = GraftSqlWrites.leavesOfRows(removed, table.spec)
-    val updates = touched.map { vs =>
-      val leaf = SpecManifest.readLeaf(spark, table.root, table.spec, vs)
-      vs -> leaf.filter(not(condOn(leaf)))
-    }.toMap
-    GraftSqlWrites.replaceLeaves(spark, table, updates)
+    if (touched.isEmpty) return Seq.empty
+    val dataCols = table.dataSchema.fieldNames.toSeq
+    val chainsOk = touched.forall(vs =>
+      SpecManifest.leafChainKeys(spark, table.root, table.spec, vs)
+        .forall(_ == dataCols))
+    val noNulls = removed.filter(
+      dataCols.map(col(_).isNull).reduce(_ || _)).isEmpty
+    if (chainsOk && noNulls) {
+      SpecManifest.commitMerge(spark, table.root, table.spec, dataCols,
+        deletes = touched.map(vs =>
+          vs -> GraftSqlWrites.rowsOfLeaf(removed, table.spec, vs)).toMap)
+    } else {
+      val updates = touched.map { vs =>
+        val leaf =
+          SpecManifest.readLeaf(spark, table.root, table.spec, vs)
+        vs -> leaf.filter(not(condOn(leaf)))
+      }.toMap
+      GraftSqlWrites.replaceLeaves(spark, table, updates)
+    }
     Seq.empty
   }
 }
@@ -346,6 +367,65 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
       GraftSqlWrites.leavesOfRows(r, spec)) ++
       added.toSeq.flatMap(a2 => GraftSqlWrites.leavesOfRows(a2, spec)))
       .distinct
+    if (touched.isEmpty) return Seq.empty
+    // ---- MERGE-ON-READ fast path: the whole MERGE lands as key-
+    // merged DELTAS in one atomic commitMerge — bytes written scale
+    // with the delta, never the touched leaves. Eligible when:
+    //   - the matched action provably keeps rows in their leaf and
+    //     under their key (no assignment to a partition SOURCE or a
+    //     merge KEY; SET * keeps keys by the ON equality, so it only
+    //     needs every partition source to BE a merge key);
+    //   - every touched leaf exists (inserts into new leaves need a
+    //     leaf-creating snapshot commit);
+    //   - existing chains are keyed by the same merge keys.
+    val specSources = spec.fields.map(_.source).toSet
+    // per-assignment safety: alignment/star expansion assigns EVERY
+    // column, so the test is value-aware — a self-assignment (t.c =
+    // t.c) changes nothing; assigning a merge-KEY column its ON-equal
+    // source attribute (t.k = s.k) is key-preserving; anything else is
+    // unsafe exactly when it targets a partition source or a merge key
+    def safeAssign(a: Assignment): Boolean = a.key match {
+      case k: AttributeReference =>
+        a.value match {
+          case v: AttributeReference
+              if targetIds.contains(v.exprId) && v.name == k.name => true
+          case v: AttributeReference
+              if sourceIds.contains(v.exprId) &&
+                keyPairs.contains((k.name, v.name)) => true
+          case _ =>
+            !specSources.contains(k.name) && !tKeys.contains(k.name)
+        }
+      case _ => false
+    }
+    val matchedSafe = matched match {
+      case None => true
+      case Some(DeleteAction(_)) => true
+      case Some(UpdateAction(_, assigns, _)) => assigns.forall(safeAssign)
+      case Some(UpdateStarAction(_)) =>
+        specSources.subsetOf(tKeys.toSet)
+      case _ => false
+    }
+    val existing = SpecManifest.leafKeys(spark, table.root, spec).toSet
+    val chainsOk = touched.forall(vs =>
+      SpecManifest.leafChainKeys(spark, table.root, spec, vs)
+        .forall(_ == tKeys))
+    if (matchedSafe && chainsOk && touched.forall(existing.contains)) {
+      val ups = added.map(a2 => touched.map(vs =>
+        vs -> GraftSqlWrites.rowsOfLeaf(a2, spec, vs)).toMap)
+        .getOrElse(Map.empty[Seq[String], DataFrame])
+      val dels = (matched, removed) match {
+        // only a DELETE action removes keys the upserts don't replace
+        case (Some(DeleteAction(_)), Some(r)) => touched.map(vs =>
+          vs -> GraftSqlWrites.rowsOfLeaf(r, spec, vs)
+            .select(tKeys.map(col): _*)).toMap
+        case _ => Map.empty[Seq[String], DataFrame]
+      }
+      if (ups.nonEmpty || dels.nonEmpty)
+        SpecManifest.commitMerge(spark, table.root, spec, tKeys,
+          upserts = ups, deletes = dels)
+      return Seq.empty
+    }
+    // ---- copy-on-write fallback: rebuild each touched leaf ----
     val updates = touched.map { vs =>
       val leaf = SpecManifest.readLeaf(spark, table.root, table.spec, vs)
       val minus = removed match {

@@ -2754,6 +2754,35 @@ class EngineSpec extends AnyFunSuite {
     assert(hm2.last.snapshot == head && hm2.last.isCurrent)
   }
 
+  test("a delta chain refuses a differently-keyed merge: resolution " +
+      "applies the TOP layer's keys to every layer, so mixed-key " +
+      "chains would silently mis-resolve") {
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    val root = Files.createTempDirectory("graft-mixedkeys").toString
+    PartitionedManifest.seed(spark, root,
+      (0 until 10).map(i => (i.toLong, i * 10L, 0)).toDF("k", "v", "bk"),
+      "bk")
+    PartitionedManifest.commitSnapshot(spark, root, "bk", Map.empty)
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+      upserts = Map("0" -> Seq((0L, -1L)).toDF("k", "v")))
+    val e = intercept[IllegalArgumentException] {
+      PartitionedManifest.commitMerge(spark, root, "bk", Seq("v"),
+        deletes = Map("0" -> Seq(20L).toDF("v")))
+    }
+    assert(e.getMessage.contains("keyed by"), e.getMessage)
+    // same keys layer fine; fold resets the chain and ANY keys work
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("k"),
+      upserts = Map("0" -> Seq((1L, -2L)).toDF("k", "v")))
+    PartitionedManifest.compact(spark, root, "bk")
+    PartitionedManifest.commitMerge(spark, root, "bk", Seq("v"),
+      deletes = Map("0" -> Seq(20L).toDF("v")))
+    val got = PartitionedManifest.read(spark, root, "bk", "int")
+      .select($"k", $"v").as[(Long, Long)].collect().toMap
+    assert(got(0L) == -1L && got(1L) == -2L && !got.values.exists(_ == 20L)
+      && got.size == 9, s"content after fold + re-keyed merge: $got")
+  }
+
   test("racing merge committers: the delta stages with NO lock held, " +
       "a commit landing in the race window becomes the chain base — " +
       "both land, neither loses rows, newest layer wins per key") {

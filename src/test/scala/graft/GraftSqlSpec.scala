@@ -191,6 +191,67 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 0)
   }
 
+  test("SQL MERGE and DELETE route through merge-on-read deltas when " +
+      "eligible (bytes scale with the delta), and fall back to " +
+      "copy-on-write when an assignment moves rows across leaves") {
+    wh
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def liveIsMor(table: String, leaf: String): Boolean = {
+      val pr = s"$wh/db/$table/$leaf"
+      graft.engine.ManifestTable.currentVersion(pr)
+        .exists(d => fs.exists(new HPath(s"$pr/$d/_mor.tsv")))
+    }
+    spark.sql("""CREATE TABLE gsql.db.mor_t (id BIGINT, bal DOUBLE,
+      seg STRING) PARTITIONED BY (bucket(2, id))""")
+    spark.sql("""INSERT INTO gsql.db.mor_t VALUES
+      (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'a'), (4, 40.0, 'b')""")
+    // MERGE keyed on id (the bucket source IS the key): UPDATE SET *
+    // + INSERT into existing leaves — lands as a DELTA layer
+    Seq((2L, 200.0, "b"), (5L, 50.0, "x")).toDF_("id", "bal", "seg")
+      .createOrReplaceTempView("mor_delta")
+    spark.sql("""MERGE INTO gsql.db.mor_t t USING mor_delta s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val morLeaves = Seq(0, 1).map(b => liveIsMor("mor_t", s"id_bucket=$b"))
+    assert(morLeaves.exists(identity),
+      "an eligible SQL MERGE must land as merge-on-read deltas")
+    val afterMerge = spark.sql(
+      "SELECT id, bal FROM gsql.db.mor_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(afterMerge.toSeq == Seq((1L, 10.0), (2L, 200.0), (3L, 30.0),
+      (4L, 40.0), (5L, 50.0)), afterMerge.toSeq)
+    // DELETE on the SAME table: chain keys differ (id vs full row) —
+    // correctness holds via the COW fallback; then on a FRESH pure
+    // table a DELETE lands as a full-row-keyed delta
+    spark.sql("DELETE FROM gsql.db.mor_t WHERE id = 3")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.mor_t")
+      .head().getLong(0) == 4)
+    spark.sql("""CREATE TABLE gsql.db.del_t (id BIGINT, g STRING)
+      PARTITIONED BY (identity(g))""")
+    spark.sql("INSERT INTO gsql.db.del_t VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql("DELETE FROM gsql.db.del_t WHERE id = 1")
+    assert(liveIsMor("del_t", "p_g=a"),
+      "an eligible SQL DELETE must land as a delete delta")
+    assert(spark.sql("SELECT id FROM gsql.db.del_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // fallback: SET * with a partition source OUTSIDE the keys may
+    // move rows across leaves — COW path, content exact
+    spark.sql("""CREATE TABLE gsql.db.cow_t (id BIGINT, g STRING)
+      PARTITIONED BY (identity(g))""")
+    spark.sql("INSERT INTO gsql.db.cow_t VALUES (1, 'a'), (2, 'b')")
+    Seq((1L, "b")).toDF_("id", "g").createOrReplaceTempView("cow_delta")
+    spark.sql("""MERGE INTO gsql.db.cow_t t USING cow_delta s
+      ON t.id = s.id WHEN MATCHED THEN UPDATE SET *""")
+    val moved = spark.sql("SELECT id, g FROM gsql.db.cow_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(moved.toSeq == Seq((1L, "b"), (2L, "b")), moved.toSeq)
+    assert(!liveIsMor("cow_t", "p_g=a") && !liveIsMor("cow_t", "p_g=b"),
+      "a leaf-moving MERGE must take the copy-on-write path")
+  }
+
   test("w29 is re-runnable in one session (the bench runs every query " +
       "twice): same rows both times") {
     val run = graft.SparkEntry.queries("w29_sql_table_format")
