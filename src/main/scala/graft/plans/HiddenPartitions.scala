@@ -136,14 +136,13 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, l: LogicalRelation) if specOf(l).isDefined =>
-      val spec = specOf(l).get
-      val conjuncts = splitConjunctivePredicates(cond)
-      val derived = spec.fields.flatMap { fld =>
-        l.output.find(_.name == fld.name).toSeq.flatMap { partAttr =>
-          def derive(v: Any, dt: DataType): Option[String] =
-            HiddenPartitions.deriveValue(fld.transform, v, dt)
+  /** Derive a partition predicate implied by ONE leaf comparison for
+    * ONE spec field, or None. */
+  private def deriveLeaf(fld: graft.engine.SpecManifest.PartField,
+      partAttr: Attribute, e: Expression): Option[Expression] = {
+    {
+      def derive(v: Any, dt: DataType): Option[String] =
+        HiddenPartitions.deriveValue(fld.transform, v, dt)
           // the derived value compared the way the transform orders:
           // lexicographic on the string partition value, or numeric
           // through a bigint cast of it (see [[lexRange]]/[[numRange]])
@@ -176,7 +175,7 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
               }
             case _ => None
           }
-          val perConjunct: Seq[Expression] = conjuncts.flatMap {
+          e match {
             // EQUALITY — any transform
             case EqualTo(a: AttributeReference, Literal(v, t))
                 if a.name == fld.source && v != null =>
@@ -234,10 +233,47 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
               bound(v, t, lo = true).orElse(strIdentityBound(v, t, true))
             case _ => None
           }
-          perConjunct.filterNot(p => conjuncts.exists(_.semanticEquals(p)))
-        }
-      }.distinct
-      if (derived.isEmpty) f
-      else Filter((conjuncts ++ derived).reduce(And), l)
+    }
+  }
+
+  /** RECURSIVE inclusive projection of a whole predicate tree onto the
+    * partition fields (Iceberg's Projections.inclusive): a leaf
+    * comparison derives the conjunction of every field's implication;
+    * AND projects partially (either side's derivation is sound alone);
+    * OR projects only when BOTH branches derive (a row satisfying the
+    * original satisfies one branch, hence that branch's derivation,
+    * hence the derived OR); anything else derives nothing. */
+  private def projectPred(spec: PartitionSpec,
+      fieldAttr: Map[String, Attribute],
+      e: Expression): Option[Expression] = e match {
+    case And(l, r) =>
+      (projectPred(spec, fieldAttr, l), projectPred(spec, fieldAttr, r))
+      match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    case Or(l, r) =>
+      for {
+        a <- projectPred(spec, fieldAttr, l)
+        b <- projectPred(spec, fieldAttr, r)
+      } yield Or(a, b)
+    case leaf =>
+      spec.fields.flatMap(fld => fieldAttr.get(fld.name)
+        .flatMap(pa => deriveLeaf(fld, pa, leaf)))
+        .reduceOption(And)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, l: LogicalRelation) if specOf(l).isDefined =>
+      val spec = specOf(l).get
+      val fieldAttr: Map[String, Attribute] = spec.fields.flatMap(fld =>
+        l.output.find(_.name == fld.name).map(fld.name -> _)).toMap
+      val conjuncts = splitConjunctivePredicates(cond)
+      projectPred(spec, fieldAttr, cond) match {
+        case Some(derived)
+            if !conjuncts.exists(_.semanticEquals(derived)) =>
+          Filter(And(cond, derived), l)
+        case _ => f
+      }
   }
 }

@@ -2852,8 +2852,9 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("hidden partitioning projects RANGES through order-preserving " +
-      "transforms and IN-LISTS through any transform; OR branches and " +
-      "bucket ranges stay conservative") {
+      "transforms, IN-LISTS through any transform, and ORs of " +
+      "derivable branches; bucket ranges and mixed ORs stay " +
+      "conservative") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -2903,12 +2904,22 @@ class EngineSpec extends AnyFunSuite {
     assert(Seq("0", "1", "2", "3").forall(b =>
         bw.exists(_.contains(s"/b=$b/"))),
       "a range on a bucketed source must not prune buckets")
-    // OR at the top level derives nothing
+    // OR of two DERIVABLE branches projects to the derived union:
+    // (year >= 1997) OR (bucket = h(3)) — pre-1997 leaves outside
+    // bucket h(3) are pruned
+    val b3 = spark.range(1)
+      .select(spec.fields(1).derive(lit(3L)).as("v")).head().getString(0)
     val orF = filesOf(read().where(
       (col("d") >= lit("1997-01-01").cast("date")) || col("k") === 3L))
+    assert(orF.nonEmpty && orF.forall(f =>
+        f.contains("/y=1997/") || f.contains(s"/b=$b3/")),
+      s"a derivable OR must prune to the union: ${orF.take(3)}")
+    // OR with an UNDERIVABLE branch derives nothing (conservative)
+    val orU = filesOf(read().where(
+      (col("d") >= lit("1997-01-01").cast("date")) || col("k") % 2 === 0L))
     assert(Seq("1994", "1995", "1996", "1997").forall(y =>
-        orF.exists(_.contains(s"/y=$y/"))),
-      "an OR branch must stay conservative")
+        orU.exists(_.contains(s"/y=$y/"))),
+      "an OR with an underivable branch must stay conservative")
     // TRUNCATE range: numeric compare through the bigint cast of the
     // partition value (string compare would break across digit counts)
     val r2 = Files.createTempDirectory("graft-hpr2").toString

@@ -252,6 +252,23 @@ class GraftSqlSpec extends AnyFunSuite {
       "a leaf-moving MERGE must take the copy-on-write path")
   }
 
+  test("CTAS creates and fills a graft table in one statement; " +
+      "DESCRIBE shows schema and partitioning") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.ctas_t
+      PARTITIONED BY (identity(g)) AS
+      SELECT id AS k, CAST(id % 2 AS STRING) AS g FROM range(10)""")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.ctas_t")
+      .head().getLong(0) == 10)
+    assert(spark.sql("SELECT k FROM gsql.db.ctas_t WHERE g = '1' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+    val desc = spark.sql("DESCRIBE TABLE gsql.db.ctas_t").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.contains(("k", "bigint")) && desc.contains(("g", "string")))
+    assert(desc.count(_._1 == "g") == 2,
+      "partitioning section lists the identity source")
+  }
+
   test("w29 is re-runnable in one session (the bench runs every query " +
       "twice): same rows both times") {
     val run = graft.SparkEntry.queries("w29_sql_table_format")
