@@ -191,6 +191,21 @@ object ZoneMaps {
             upd(a.name)(_.withSlo(f.min)); upd(a.name)(_.withShi(f.max))
           }
         }
+      // prefix predicate (LIKE 'abc%'): any match lies in
+      // [prefix, prefixWithLastCharIncremented] — the upper bound is
+      // INCLUSIVE of strings like prefix+"￿"+…, so it stays
+      // conservative; a prefix ending in Char.MaxValue keeps only the
+      // lower bound
+      case StartsWith(l, Literal(v, StringType)) if v != null =>
+        attrOf(l).foreach { a =>
+          val p = v.toString
+          if (p.nonEmpty) {
+            upd(a.name)(_.withSlo(p))
+            if (p.last != Char.MaxValue)
+              upd(a.name)(_.withShi(
+                p.init + (p.last + 1).toChar))
+          }
+        }
       // post-OptimizeIn shape of a large IN: values are in the
       // internal representation of the (possibly cast) child's type
       case InSet(e, hset) if hset.nonEmpty =>

@@ -150,11 +150,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = rootOf(ident)
     if (!tableExists(ident))
       throw new NoSuchTableException(ident)
+    // the CURRENT spec version: a table evolved through the Scala API
+    // (evolveSpec) must keep serving through SQL — readSpec alone
+    // returns the seed-time v1
     new GraftSqlTable(
       (catalogName +: ident.namespace().toSeq :+ ident.name())
         .mkString("."),
-      root, SpecManifest.readSpec(spark, root), readSchemaFile(root),
-      snapshot)
+      root, SpecManifest.specVersions(spark, root).last,
+      readSchemaFile(root), snapshot)
   }
 
   /** Iceberg-style METADATA TABLE addressing: `g.db.t.files`,

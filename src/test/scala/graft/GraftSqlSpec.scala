@@ -252,6 +252,26 @@ class GraftSqlSpec extends AnyFunSuite {
       "a leaf-moving MERGE must take the copy-on-write path")
   }
 
+  test("a Scala-side spec evolution keeps the SQL surface serving: " +
+      "the catalog loads the CURRENT spec version") {
+    wh
+    import graft.engine.SpecManifest
+    import graft.engine.SpecManifest.{Bucket, PartField, PartitionSpec}
+    spark.sql("""CREATE TABLE gsql.db.evo_t (k BIGINT, g STRING)
+      PARTITIONED BY (bucket(2, k))""")
+    spark.sql("""INSERT INTO gsql.db.evo_t VALUES
+      (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')""")
+    SpecManifest.evolveSpec(spark, s"$wh/db/evo_t", PartitionSpec(Seq(
+      PartField("k_bucket8", "k", Bucket(8)))))
+    // SQL writes land under the NEW spec; SQL reads serve BOTH
+    // generations through the evolved reader
+    spark.sql("INSERT INTO gsql.db.evo_t VALUES (5, 'e')")
+    val got = spark.sql("SELECT k, g FROM gsql.db.evo_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e")), got.toSeq)
+  }
+
   test("CTAS creates and fills a graft table in one statement; " +
       "DESCRIBE shows schema and partitioning") {
     wh

@@ -71,6 +71,22 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(!b5.contains("k"))
   }
 
+  test("extractBounds: a string prefix (LIKE 'p%') bounds to " +
+      "[p, p-with-last-char-incremented], conservative at the edges") {
+    val b = ZoneMaps.extractBounds(Seq(
+      StartsWith(s, Literal.create("mm", StringType))))
+    assert(b("s").slo.contains("mm") && b("s").shi.contains("mn"))
+    // prefix ending at Char.MaxValue: only the lower bound
+    val b2 = ZoneMaps.extractBounds(Seq(
+      StartsWith(s, Literal.create("a" + Char.MaxValue, StringType))))
+    assert(b2("s").slo.contains("a" + Char.MaxValue) &&
+      b2("s").shi.isEmpty)
+    // empty prefix: nothing derived
+    val b3 = ZoneMaps.extractBounds(Seq(
+      StartsWith(s, Literal.create("", StringType))))
+    assert(!b3.contains("s"))
+  }
+
   test("mayMatch: numeric in/out, all-null skip, unusable stats and " +
       "type mismatches keep") {
     val lo10hi20 = ZoneMaps.Bounds(nlo = Some(10.0), nhi = Some(20.0))
