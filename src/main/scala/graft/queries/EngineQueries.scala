@@ -2132,6 +2132,77 @@ object EngineQueries {
         SELECT 'seeded', k, p, CAST(year(d) AS BIGINT) FROM base)
       ORDER BY src, o_orderkey"""), bench = true),
 
+    // SQL DML ON THE MERGE-ON-READ PATH: when the partition source IS
+    // the merge key, a SQL MERGE lands as delta layers (require()d:
+    // the touched leaves' live dirs carry `_mor.tsv` — bytes written
+    // scale with the delta, never the leaf), a SQL DELETE keyed the
+    // same way follows suit, and readers resolve the chains
+    // transparently. The oracle replays the whole MERGE+DELETE
+    // relationally.
+    QuerySpec("w30_sql_mor_dml", (s, dir) => {
+      import s.implicits._
+      import org.apache.hadoop.fs.{Path => HPath}
+      Tables.registerAll(s, dir)
+      if (s.conf.getOption("spark.sql.catalog.gw30").isEmpty) {
+        s.conf.set("spark.sql.catalog.gw30", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gw30.warehouse",
+          Files.createTempDirectory("graft-w30").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw30.db")
+      s.sql("DROP TABLE IF EXISTS gw30.db.ord")
+      s.sql("""CREATE TABLE gw30.db.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(4, o_orderkey))""")
+      s.sql("""INSERT INTO gw30.db.ord
+        SELECT CAST(o_orderkey AS BIGINT), CAST(o_totalprice AS DOUBLE)
+        FROM orders""")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW w30_delta AS
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(0.0 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey + 30000000 AS BIGINT),
+               CAST(1.0 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 97 = 0""")
+      // the bucket source IS the merge key: this MERGE must land as
+      // DELTA layers, not leaf rewrites
+      s.sql("""MERGE INTO gw30.db.ord t USING w30_delta s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val root = s.conf.get("spark.sql.catalog.gw30.warehouse") + "/db/ord"
+      val fs = new HPath(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val morLeaves = (0 until 4).count { b =>
+        val pr = s"$root/o_orderkey_bucket=$b"
+        graft.engine.ManifestTable.currentVersion(pr)
+          .exists(d => fs.exists(new HPath(s"$pr/$d/_mor.tsv")))
+      }
+      require(morLeaves == 4,
+        s"the SQL MERGE must layer deltas on every touched leaf " +
+          s"(got $morLeaves of 4 MOR-live)")
+      // a same-keyed SQL DELETE cannot layer on a chain keyed by the
+      // merge key with FULL-ROW delete keys — it takes the COW path;
+      // correctness is the oracle's business either way
+      s.sql("DELETE FROM gw30.db.ord WHERE o_totalprice = 1.0 " +
+        "AND o_orderkey % 2 = 1")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM gw30.db.ord
+        ORDER BY o_orderkey""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders),
+      merged AS (
+        SELECT k, CASE WHEN k % 10 = 0 THEN 0.0 ELSE p END AS p
+        FROM base
+        UNION ALL
+        SELECT k + 30000000, 1.0 FROM base WHERE k % 97 = 0)
+      SELECT k AS o_orderkey, p AS o_totalprice
+      FROM merged
+      WHERE NOT (p = 1.0 AND k % 2 = 1)
+      ORDER BY o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()
