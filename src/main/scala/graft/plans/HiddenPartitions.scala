@@ -270,10 +270,18 @@ object HiddenPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
         l.output.find(_.name == fld.name).map(fld.name -> _)).toMap
       val conjuncts = splitConjunctivePredicates(cond)
       projectPred(spec, fieldAttr, cond) match {
-        case Some(derived)
-            if !conjuncts.exists(_.semanticEquals(derived)) =>
-          Filter(And(cond, derived), l)
-        case _ => f
+        case Some(derived) =>
+          // add only the MISSING conjuncts of the derivation: an
+          // And-shaped derived compared whole against the split
+          // conjuncts would never match, and the fixed-point batch
+          // would re-add it every iteration up to the iteration cap —
+          // a planning-time explosion (duplicated predicate trees),
+          // caught by the sf1 bench regression
+          val parts = splitConjunctivePredicates(derived)
+            .filterNot(p => conjuncts.exists(_.semanticEquals(p)))
+          if (parts.isEmpty) f
+          else Filter((conjuncts ++ parts).reduce(And), l)
+        case None => f
       }
   }
 }
