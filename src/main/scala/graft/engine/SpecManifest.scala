@@ -1135,6 +1135,22 @@ object SpecManifest {
       require(unknown.isEmpty,
         "SpecManifest: merge-on-read may only touch existing leaves " +
           s"(new: ${unknown.mkString(",")})")
+      // a schema-changing commit that landed mid-staging invalidates
+      // the staged frames' shape — fail loudly, never adopt a stale
+      // shape (mirrors PartitionedManifest.commitMerge; the schema
+      // authority here is the first touched leaf's FRESH chain bottom)
+      val curSchema = {
+        val (_, lp) = touchedPaths.head
+        val live = ManifestTable.currentVersion(s"$root/$lp").getOrElse(
+          sys.error(s"SpecManifest: no MANIFEST under $root/$lp"))
+        val bottom =
+          PartitionedManifest.morChain(spark, s"$root/$lp", live).last
+        spark.read.parquet(s"$root/$lp/$bottom").schema
+      }
+      require(curSchema.map(f => (f.name, f.dataType)) ==
+          schema.map(f => (f.name, f.dataType)),
+        "commitMerge: the table schema evolved while the delta was " +
+          "staging - restage against the current schema")
       val protectByLeaf = protectedDirsByLeaf(spark, root, keepSnapshots)
       val written: Map[String, String] = staged.map { case (lp, stage) =>
         val pr = s"$root/$lp"

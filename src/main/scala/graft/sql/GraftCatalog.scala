@@ -75,17 +75,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // -------------------------------------------------------------------
   // namespaces: plain directories under the warehouse
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val base = new HPath(warehouse)
+  /** Child directories of `parent` that are namespaces (a table root —
+    * identified by its `_spec`/`_schema.json` markers — is a TABLE,
+    * not a namespace; a directory created straight under the warehouse
+    * as a table must not list as one). */
+  private def childNamespaces(parent: Seq[String]): Array[String] = {
+    val base = new HPath((warehouse +: parent).mkString("/"))
     if (!fs.exists(base)) Array.empty
-    else fs.listStatus(base).filter(_.isDirectory)
-      .map(s => Array(s.getPath.getName)).sortBy(_.head)
+    else fs.listStatus(base)
+      .filter(s => s.isDirectory && !isTableRoot(s.getPath) &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
   }
+
+  override def listNamespaces(): Array[Array[String]] =
+    childNamespaces(Seq.empty).map(Array(_))
 
   override def listNamespaces(namespace: Array[String])
       : Array[Array[String]] = {
     if (namespace.isEmpty) listNamespaces()
-    else if (namespaceExists(namespace)) Array.empty
+    else if (namespaceExists(namespace))
+      childNamespaces(namespace.toSeq)
+        .map(c => namespace :+ c)
     else throw new NoSuchNamespaceException(namespace)
   }
 

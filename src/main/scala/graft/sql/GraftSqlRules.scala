@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.engine.SpecManifest
@@ -187,7 +187,11 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
       val updates = touched.map { vs =>
         val leaf =
           SpecManifest.readLeaf(spark, table.root, table.spec, vs)
-        vs -> leaf.filter(not(condOn(leaf)))
+        // SQL DELETE removes only rows where the condition IS TRUE: a
+        // NULL-valued condition keeps its row (not(NULL) is NULL and
+        // would silently drop it — the Delta/Iceberg rewrite posture
+        // coalesces to false before inverting)
+        vs -> leaf.filter(not(coalesce(condOn(leaf), lit(false))))
       }.toMap
       GraftSqlWrites.replaceLeaves(spark, table, updates)
     }

@@ -2851,6 +2851,41 @@ class EngineSpec extends AnyFunSuite {
       s"spec race outcome wrong: $got2")
   }
 
+  test("a schema-changing commit landing in the merge staging window " +
+      "fails the merge loudly on the spec layout (never adopts a " +
+      "stale-shaped delta)") {
+    import spark.implicits._
+    import graft.engine.SpecManifest
+    import graft.engine.SpecManifest.{Identity, PartField, PartitionSpec}
+    val root = Files.createTempDirectory("graft-morschemarace").toString
+    val spec = PartitionSpec(Seq(PartField("g", "grp", Identity)))
+    SpecManifest.seed(spark, root,
+      (0 until 6).map(i => (i.toLong, i * 1.0, "a")).toDF("k", "v", "grp"),
+      spec)
+    val e = intercept[IllegalArgumentException] {
+      SpecManifest.commitMerge(spark, root, spec, Seq("k"),
+        upserts = Map(Seq("a") ->
+          Seq((0L, 100.0, "a")).toDF("k", "v", "grp")),
+        onBeforeLock = () =>
+          // a WIDER-schema replacement lands entirely inside the race
+          // window: the staged delta's shape is now stale
+          SpecManifest.commitSnapshot(spark, root, spec, Map(Seq("a") ->
+            (0 until 6).map(i => (i.toLong, i * 1.0, "x", "a"))
+              .toDF("k", "v", "extra", "grp"))))
+    }
+    assert(e.getMessage.contains("restage against the current schema"),
+      e.getMessage)
+    // the refused merge left no stale state: a restaged merge against
+    // the NEW shape lands fine
+    SpecManifest.commitMerge(spark, root, spec, Seq("k"),
+      upserts = Map(Seq("a") ->
+        Seq((0L, 100.0, "y", "a")).toDF("k", "v", "extra", "grp")))
+    val got2 = SpecManifest.read(spark, root, spec)
+      .select($"k", $"extra").as[(Long, String)].collect().toMap
+    assert(got2(0L) == "y" && got2(1L) == "x" && got2.size == 6,
+      s"restaged merge content: $got2")
+  }
+
   test("hidden partitioning projects RANGES through order-preserving " +
       "transforms, IN-LISTS through any transform, and ORs of " +
       "derivable branches; bucket ranges and mixed ORs stay " +

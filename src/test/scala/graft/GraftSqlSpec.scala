@@ -297,6 +297,54 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(a == b && a > 0, s"re-run mismatch: $a vs $b")
   }
 
+  test("DELETE keeps rows whose condition evaluates to NULL on BOTH " +
+      "commit routes (SQL deletes only where the condition IS TRUE)") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.nulldel
+      (id BIGINT, price DOUBLE, seg STRING)
+      PARTITIONED BY (bucket(2, id))""")
+    // id=1 carries a NULL seg, so the delete's removed set trips the
+    // MOR no-NULL-key guard and the commit takes the COPY-ON-WRITE
+    // route — the route that used to drop NULL-condition rows
+    spark.sql("""INSERT INTO gsql.db.nulldel VALUES
+      (1, 150.0, NULL), (2, 50.0, 'x'), (3, NULL, 'x'), (4, 200.0, 'x')""")
+    spark.sql("DELETE FROM gsql.db.nulldel WHERE price > 100.0")
+    val cow = spark.sql("SELECT id FROM gsql.db.nulldel ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(cow == Seq(2L, 3L),
+      s"COW DELETE must keep the NULL-condition row id=3: $cow")
+    // same shape without the NULL seg: the MERGE-ON-READ route must
+    // agree (full-row-keyed delete deltas never see the NULL row)
+    spark.sql("""CREATE TABLE gsql.db.nulldel2
+      (id BIGINT, price DOUBLE)
+      PARTITIONED BY (bucket(2, id))""")
+    spark.sql("""INSERT INTO gsql.db.nulldel2 VALUES
+      (1, 150.0), (2, 50.0), (3, NULL), (4, 200.0)""")
+    spark.sql("DELETE FROM gsql.db.nulldel2 WHERE price > 100.0")
+    val mor = spark.sql("SELECT id FROM gsql.db.nulldel2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(mor == Seq(2L, 3L),
+      s"MOR DELETE must keep the NULL-condition row id=3: $mor")
+  }
+
+  test("nested namespaces list under their parent, and a table root " +
+      "never lists as a namespace") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql.outer.inner")
+    val under = spark.sql("SHOW NAMESPACES IN gsql.outer").collect()
+      .map(_.getString(0)).toSeq
+    assert(under == Seq("outer.inner"), s"SHOW NAMESPACES IN: $under")
+    // a table created directly under the warehouse is a TABLE root,
+    // not a namespace
+    spark.sql("""CREATE TABLE gsql.toplevel_t (k BIGINT)
+      PARTITIONED BY (bucket(2, k))""")
+    val top = spark.sql("SHOW NAMESPACES IN gsql").collect()
+      .map(_.getString(0)).toSeq
+    assert(top.contains("outer") && !top.contains("toplevel_t"),
+      s"top-level namespaces: $top")
+    spark.sql("DROP TABLE gsql.toplevel_t")
+  }
+
   // spark.implicits is session-bound; a tiny local helper keeps the
   // suite free of the lazy-session init-order trap
   implicit class SeqToDf[A <: Product : scala.reflect.runtime.universe.TypeTag](
