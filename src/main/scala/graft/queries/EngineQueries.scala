@@ -2203,6 +2203,92 @@ object EngineQueries {
       WHERE NOT (p = 1.0 AND k % 2 = 1)
       ORDER BY o_orderkey"""), bench = true),
 
+    // THE FULL SQL MERGE CLAUSE SURFACE on a graft table: multiple
+    // conditional WHEN MATCHED clauses (DELETE + UPDATE), multiple
+    // conditional WHEN NOT MATCHED inserts, and WHEN NOT MATCHED BY
+    // SOURCE (DELETE + UPDATE) — first matching clause wins per row,
+    // all landing in ONE leaf-scoped snapshot (merge-on-read deltas
+    // here: the bucket source IS the merge key and every clause is
+    // key- and leaf-preserving). The oracle replays every clause
+    // relationally.
+    QuerySpec("w31_sql_merge_clauses", (s, dir) => {
+      Tables.registerAll(s, dir)
+      if (s.conf.getOption("spark.sql.catalog.gw31").isEmpty) {
+        s.conf.set("spark.sql.catalog.gw31", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gw31.warehouse",
+          Files.createTempDirectory("graft-w31").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw31.db")
+      s.sql("DROP TABLE IF EXISTS gw31.db.cust")
+      s.sql("""CREATE TABLE gw31.db.cust
+        (c_custkey BIGINT, c_acctbal DOUBLE, status STRING)
+        PARTITIONED BY (bucket(4, c_custkey))""")
+      s.sql("""INSERT INTO gw31.db.cust
+        SELECT CAST(c_custkey AS BIGINT), CAST(c_acctbal AS DOUBLE),
+               'live'
+        FROM customer""")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW w31_delta AS
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(c_acctbal + 50.0 AS DOUBLE) AS nb
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT CAST(1000000 + c_custkey AS BIGINT), CAST(-5.0 AS DOUBLE)
+        FROM customer WHERE c_custkey % 97 = 0""")
+      s.sql("""MERGE INTO gw31.db.cust t USING w31_delta s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND s.nb < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET c_acctbal = s.nb, status = 'updated'
+        WHEN NOT MATCHED AND s.nb < 0 THEN
+          INSERT (c_custkey, c_acctbal, status)
+          VALUES (s.c_custkey, -s.nb, 'seeded-neg')
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_acctbal, status)
+          VALUES (s.c_custkey, s.nb, 'new')
+        WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'""")
+      // the merge key IS the bucket source and every clause preserves
+      // keys and leaves: the whole multi-clause MERGE must have landed
+      // as merge-on-read deltas, bytes scaling with the delta
+      val root =
+        s.conf.get("spark.sql.catalog.gw31.warehouse") + "/db/cust"
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val morLeaves = (0 until 4).count { b =>
+        val pr = s"$root/c_custkey_bucket=$b"
+        graft.engine.ManifestTable.currentVersion(pr).exists(d =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$pr/$d/_mor.tsv")))
+      }
+      require(morLeaves == 4,
+        s"the multi-clause MERGE must layer deltas on every leaf " +
+          s"(got $morLeaves of 4 MOR-live)")
+      s.sql("""SELECT c_custkey, c_acctbal, status FROM gw31.db.cust
+        ORDER BY c_custkey""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(c_acctbal AS DOUBLE) AS b
+        FROM customer),
+      src AS (
+        SELECT k, b + 50.0 AS nb FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT 1000000 + k, -5.0 FROM base WHERE k % 97 = 0),
+      result AS (
+        SELECT t.k, s.nb AS b, 'updated' AS status
+        FROM base t JOIN src s ON t.k = s.k
+        WHERE s.nb >= 0
+        UNION ALL
+        SELECT t.k, t.b, 'stale'
+        FROM base t
+        WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.k = t.k)
+          AND t.b >= 0
+        UNION ALL
+        SELECT s.k, CASE WHEN s.nb < 0 THEN -s.nb ELSE s.nb END,
+               CASE WHEN s.nb < 0 THEN 'seeded-neg' ELSE 'new' END
+        FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.k = s.k))
+      SELECT k AS c_custkey, b AS c_acctbal, status
+      FROM result ORDER BY c_custkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

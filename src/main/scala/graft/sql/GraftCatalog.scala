@@ -367,6 +367,12 @@ class GraftSqlTable(tableName: String, val root: String,
       .select(dataCols.map(col): _*)
   }
 
+  /** Like [[buildRead]] but KEEPING the partition-field columns — the
+    * leaf-local DML planners filter on them so the pin's partition
+    * pruning bounds the target scan. Requires a committed snapshot. */
+  def buildReadWithParts(spark: SparkSession): DataFrame =
+    SpecManifest.read(spark, root, spec, pinnedSnapshot)
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
       // "append" | "truncate" (static INSERT OVERWRITE: the whole
@@ -393,6 +399,16 @@ class GraftSqlTable(tableName: String, val root: String,
   * commits through the existing engine (bytes rewritten scale with the
   * touched leaves, never the table). */
 object GraftSqlWrites {
+
+  /** Align `df` to the table's data schema: column order, names and
+    * TYPES — writers never land a frame whose physical types drift
+    * from the catalog schema (assignment and VALUES expressions may
+    * carry narrower or wider literals). */
+  def alignData(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.schema(f.name).dataType == f.dataType) col(f.name)
+      else col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
 
   /** Distinct derived leaf tuples of `rows` (leaf-count-bounded
     * driver collect — the SpecTableSink posture). */
@@ -428,9 +444,7 @@ object GraftSqlWrites {
   def insert(spark: SparkSession, table: GraftSqlTable, data: DataFrame,
       mode: String): Unit = {
     val spec = table.spec
-    val aligned = data
-      .select(table.dataSchema.fieldNames.toSeq.map(col): _*)
-      .localCheckpoint()
+    val aligned = alignData(data, table.dataSchema).localCheckpoint()
     val incomingLeaves = leavesOf(aligned, spec)
     val existing: Set[Seq[String]] =
       if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
@@ -456,13 +470,32 @@ object GraftSqlWrites {
       SpecManifest.commitSnapshot(spark, table.root, spec, updates)
   }
 
+  /** The table's rows restricted to `leaves` — an OR-of-conjunctions
+    * predicate over the PARTITION columns, so the pin prunes to
+    * exactly those leaves at planning time (leaf-count-bounded
+    * predicate size; callers cap the leaf count). The bucket-local
+    * MERGE planner's target side. */
+  def restrictToLeaves(spark: SparkSession, table: GraftSqlTable,
+      leaves: Seq[Seq[String]]): DataFrame = {
+    val withParts = table.buildReadWithParts(spark)
+    val pred = leaves.map(vs =>
+      table.spec.names.zip(vs).map { case (n, v) =>
+        col(n) === org.apache.spark.sql.functions.lit(v)
+      }.reduce(_ && _))
+      .reduceOption(_ || _)
+      .getOrElse(org.apache.spark.sql.functions.lit(false))
+    withParts.filter(pred)
+      .select(table.dataSchema.fieldNames.toSeq.map(col): _*)
+  }
+
   /** Per-leaf REPLACEMENT commit for the DML commands: `newContent`
     * maps each touched leaf to its full new rows. */
   def replaceLeaves(spark: SparkSession, table: GraftSqlTable,
       newContent: Map[Seq[String], DataFrame]): Unit =
     if (newContent.nonEmpty)
       SpecManifest.commitSnapshot(spark, table.root, table.spec,
-        newContent)
+        newContent.map { case (vs, df) =>
+          vs -> alignData(df, table.dataSchema) })
 
   private[sql] def leavesOfRows(rows: DataFrame,
       spec: PartitionSpec): Seq[Seq[String]] = leavesOf(rows, spec)

@@ -63,12 +63,15 @@ class GraftSqlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!d.resolved) d
         else {
           val (r, t) = graftTarget(d.table).get
+          GraftDml.checkSubqueries(d.condition, "DELETE")
           GraftDeleteCommand(t, d.condition, r.output)
         }
       case u: UpdateTable if graftTarget(u.table).isDefined =>
         if (!u.resolved) u
         else {
           val (r, t) = graftTarget(u.table).get
+          (u.assignments ++ u.condition.toSeq)
+            .foreach(e => GraftDml.checkSubqueries(e, "UPDATE"))
           GraftUpdateCommand(t, u.assignments, u.condition, r.output)
         }
       case m: MergeIntoTable if graftTarget(m.targetTable).isDefined =>
@@ -107,14 +110,12 @@ class GraftSqlRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def convertMerge(m: MergeIntoTable): LogicalPlan = {
     val (r, t) = graftTarget(m.targetTable).get
-    require(m.notMatchedBySourceActions.isEmpty,
-      "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported yet")
-    require(m.matchedActions.length <= 1 &&
-      m.notMatchedActions.length <= 1,
-      "graft MERGE: at most one WHEN MATCHED and one WHEN NOT MATCHED " +
-        "action")
+    (Seq(m.mergeCondition) ++
+      (m.matchedActions ++ m.notMatchedActions ++
+        m.notMatchedBySourceActions))
+      .foreach(e => GraftDml.checkSubqueries(e, "MERGE"))
     GraftMergeCommand(t, substitute(m.sourceTable), m.mergeCondition,
-      m.matchedActions.headOption, m.notMatchedActions.headOption,
+      m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions,
       r.output)
   }
 }
@@ -137,6 +138,20 @@ private[sql] object GraftDml {
   def colOn(e: Expression, m: Map[ExprId, Expression])
       : org.apache.spark.sql.Column =
     ColumnBridge.column(bind(e, m))
+
+  /** UNcorrelated subqueries in DML conditions work (their plans were
+    * analyzed — and any graft relations substituted — during the outer
+    * resolution; at run time they re-plan inside the engine-built
+    * filters). CORRELATED ones cannot rebind their outer references to
+    * the engine-built frames — refuse loudly at conversion instead of
+    * mis-resolving at run time. */
+  def checkSubqueries(e: Expression, what: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    if (SubqueryExpression.hasCorrelatedSubquery(e))
+      sys.error(s"graft $what: correlated subqueries in conditions are " +
+        "not supported yet - rewrite as a join (uncorrelated " +
+        "subqueries work)")
+  }
 }
 
 /** Dynamic-partition INSERT OVERWRITE routed through the graft insert
@@ -163,7 +178,8 @@ case class GraftInsertCommand(table: GraftSqlTable, query: LogicalPlan,
   *   - COPY-ON-WRITE fallback: per touched leaf, the leaf's rows with
   *     the condition inverted, committed as ONE snapshot. */
 case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
-    relOutput: Seq[Attribute]) extends LeafRunnableCommand {
+    relOutput: Seq[Attribute])
+    extends LeafRunnableCommand with SupportsSubquery {
   override def run(spark: SparkSession): Seq[Row] = {
     if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
       return Seq.empty
@@ -204,7 +220,8 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
   * refused (they would move rows across leaves — use MERGE). */
 case class GraftUpdateCommand(table: GraftSqlTable,
     assignments: Seq[Assignment], cond: Option[Expression],
-    relOutput: Seq[Attribute]) extends LeafRunnableCommand {
+    relOutput: Seq[Attribute])
+    extends LeafRunnableCommand with SupportsSubquery {
   override def run(spark: SparkSession): Seq[Row] = {
     if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
       return Seq.empty
@@ -244,23 +261,37 @@ case class GraftUpdateCommand(table: GraftSqlTable,
   }
 }
 
-/** `MERGE INTO t USING s ON t.k = s.k …` → the classic key-merge,
-  * committed as ONE leaf-scoped copy-on-write snapshot:
+/** `MERGE INTO t USING s ON t.k = s.k …` → the full MERGE clause
+  * surface, committed as ONE leaf-scoped snapshot (merge-on-read
+  * deltas when eligible, copy-on-write otherwise):
   *
   *   - ON must be a conjunction of target-column = source-column
   *     equalities (the merge KEYS; per-key uniqueness on both sides is
   *     the standard MERGE contract);
-  *   - at most one WHEN MATCHED (UPDATE SET — explicit or star — or
-  *     DELETE) and one WHEN NOT MATCHED (INSERT, explicit or star),
-  *     each with an optional condition;
+  *   - any number of conditional `WHEN MATCHED` (UPDATE SET — explicit
+  *     or star — or DELETE), `WHEN NOT MATCHED` (INSERT, explicit or
+  *     star) and `WHEN NOT MATCHED BY SOURCE` (UPDATE/DELETE) clauses;
+  *     per row the FIRST clause whose condition holds wins (the
+  *     SQL:2016 / Delta / Iceberg contract);
   *   - touched leaves = the leaves of affected old rows plus the
   *     derived leaves of new rows (an UPDATE may move a row across
   *     leaves; both sides commit atomically in the one snapshot).
-  */
+  *
+  * 100 TB posture — BUCKET-LOCAL planning: when every partition SOURCE
+  * column is a merge key (the bucketed-on-key shape) and no NOT
+  * MATCHED BY SOURCE clause needs the full target, a matching target
+  * row can only live in a leaf the SOURCE keys derive — so the target
+  * side of both the matched join and the not-matched anti-join reads
+  * ONLY those leaves (partition-pruned through the pin), never the
+  * whole table. At 100 TB the target scan dominates MERGE cost; this
+  * bounds it by the source's leaf spread. */
 case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
-    mergeCond: Expression, matched: Option[MergeAction],
-    notMatched: Option[MergeAction], targetOutput: Seq[Attribute])
-    extends LeafRunnableCommand {
+    mergeCond: Expression, matched: Seq[MergeAction],
+    notMatched: Seq[MergeAction], notMatchedBySource: Seq[MergeAction],
+    targetOutput: Seq[Attribute])
+    extends LeafRunnableCommand with SupportsSubquery {
+
+  private val ClauseCol = "_graft_merge_clause"
 
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftDml._
@@ -268,105 +299,200 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     val srcMap = attrMap(source.output, srcDf)
     val targetIds = targetOutput.map(_.exprId).toSet
     val sourceIds = source.output.map(_.exprId).toSet
-    // merge keys from the ON conjunction
+    // merge keys from the ON conjunction; type coercion wraps the
+    // narrower side in a Cast (e.g. an INT-typed VALUES source against
+    // a BIGINT key), so equality sides unwrap through casts — key uses
+    // below re-cast the SOURCE side to the target key's type (ANSI:
+    // an out-of-range source key fails loudly, never silently)
     val keyPairs: Seq[(String, String)] = {
       def split(e: Expression): Seq[Expression] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
           split(l) ++ split(r)
         case other => Seq(other)
       }
+      def attrOf(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+          attrOf(c.child)
+        case _ => None
+      }
       split(mergeCond).map {
-        case org.apache.spark.sql.catalyst.expressions
-            .EqualTo(a: AttributeReference, b: AttributeReference)
-            if targetIds.contains(a.exprId) &&
-              sourceIds.contains(b.exprId) => (a.name, b.name)
-        case org.apache.spark.sql.catalyst.expressions
-            .EqualTo(a: AttributeReference, b: AttributeReference)
-            if sourceIds.contains(a.exprId) &&
-              targetIds.contains(b.exprId) => (b.name, a.name)
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+          (attrOf(l), attrOf(r)) match {
+            case (Some(a), Some(b))
+                if targetIds.contains(a.exprId) &&
+                  sourceIds.contains(b.exprId) => (a.name, b.name)
+            case (Some(a), Some(b))
+                if sourceIds.contains(a.exprId) &&
+                  targetIds.contains(b.exprId) => (b.name, a.name)
+            case _ => sys.error("graft MERGE: the ON condition must " +
+              s"be a conjunction of t.col = s.col equalities, got " +
+              s"${org.apache.spark.sql.catalyst.expressions
+                .EqualTo(l, r)}")
+          }
         case other => sys.error("graft MERGE: the ON condition must " +
           s"be a conjunction of t.col = s.col equalities, got $other")
       }
     }
     val tKeys = keyPairs.map(_._1)
+    val tTypeOf = targetOutput.map(a => a.name -> a.dataType).toMap
+    val sTypeOf = source.output.map(a => a.name -> a.dataType).toMap
+    /** The source key column cast to its target key's type. */
+    def srcKey(df: DataFrame, tk: String, sk: String)
+        : org.apache.spark.sql.Column =
+      if (sTypeOf(sk) == tTypeOf(tk)) df(sk)
+      else df(sk).cast(tTypeOf(tk))
     val dataCols = table.dataSchema.fieldNames.toSeq
+    val spec = table.spec
+    val specSources = spec.fields.map(_.source).toSet
     val hasSnapshot =
       SpecManifest.currentSnapshot(spark, table.root).isDefined
-    val tgt = table.buildRead(spark)
-    val tgtMap = attrMap(targetOutput, tgt)
-    val joinCond = keyPairs.map { case (tk, sk) =>
-      tgt(tk) === srcDf(sk) }.reduce(_ && _)
-    val matchedDf = tgt.join(srcDf, joinCond, "inner")
-    val both = tgtMap ++ srcMap
-    def actCond(a: MergeAction): org.apache.spark.sql.Column =
-      a.condition.map(c => colOn(c, both)).getOrElse(lit(true))
-    // affected OLD rows (matched action fired) and their replacements
-    val (removedOld, updatedNew): (Option[DataFrame], Option[DataFrame]) =
-      matched match {
-        case None => (None, None)
-        case Some(a) =>
-          val affected = matchedDf.filter(actCond(a))
-          val old = affected.select(targetOutput.map(x =>
-            tgt(x.name).as(x.name)): _*)
-          a match {
-            case DeleteAction(_) => (Some(old), None)
-            case UpdateAction(_, assigns, _) =>
-              val byName = assigns.map(x => (x.key match {
-                case ar: AttributeReference => ar.name
-                case o => sys.error(s"graft MERGE: unsupported " +
-                  s"assignment target $o")
-              }) -> x.value).toMap
-              val upd = affected.select(dataCols.map { n =>
-                byName.get(n).map(v => colOn(v, both).as(n))
-                  .getOrElse(tgt(n).as(n))
-              }: _*)
-              (Some(old), Some(upd))
-            case UpdateStarAction(_) =>
-              val upd = affected.select(dataCols.map(n =>
-                srcDf(n).as(n)): _*)
-              (Some(old), Some(upd))
-            case o => sys.error(
-              s"graft MERGE: unsupported WHEN MATCHED action $o")
-          }
+    // bucket-local eligibility: key-derived leaves bound the target
+    val srcLeaves: Option[Seq[Seq[String]]] =
+      if (!hasSnapshot || notMatchedBySource.nonEmpty ||
+          !specSources.subsetOf(tKeys.toSet)) None
+      else {
+        val keyed = srcDf.select(keyPairs.map { case (tk, sk) =>
+          srcKey(srcDf, tk, sk).as(tk) }: _*)
+        val ls = GraftSqlWrites.leavesOfRows(keyed, spec)
+        // a very wide source spread gains nothing over the full read
+        // (and the OR-of-conjunctions pruning predicate has a cost)
+        if (ls.size > 512) None else Some(ls)
       }
-    val inserted: Option[DataFrame] = notMatched.map { a =>
-      val notM = srcDf.join(
-        tgt.select(tKeys.map(tgt(_)): _*).distinct(),
-        keyPairs.map { case (tk, sk) => srcDf(sk) === tgt(tk) }
-          .reduce(_ && _),
-        "left_anti")
-      val nmMap = attrMap(source.output, notM) ++ tgtMap
-      val c = a.condition.map(x => colOn(x, nmMap)).getOrElse(lit(true))
-      val rows = notM.filter(c)
-      a match {
-        case InsertAction(_, assigns) =>
-          val byName = assigns.map(x => (x.key match {
-            case ar: AttributeReference => ar.name
-            case o => sys.error(
-              s"graft MERGE: unsupported insert target $o")
-          }) -> x.value).toMap
-          rows.select(dataCols.map { n =>
-            byName.get(n).map(v => colOn(v, nmMap).as(n)).getOrElse(
-              sys.error(s"graft MERGE: INSERT must assign column '$n'"))
-          }: _*)
-        case InsertStarAction(_) =>
-          rows.select(dataCols.map(n => notM(n).as(n)): _*)
-        case o => sys.error(
-          s"graft MERGE: unsupported WHEN NOT MATCHED action $o")
-      }
+    val tgt = srcLeaves match {
+      case Some(ls) => GraftSqlWrites.restrictToLeaves(spark, table, ls)
+      case None => table.buildRead(spark)
     }
+    val tgtMap = attrMap(targetOutput, tgt)
+    val both = tgtMap ++ srcMap
+    val oldCols = targetOutput.map(x => tgt(x.name).as(x.name))
+
+    /** Tag each row with the index of the FIRST clause whose condition
+      * holds (a NULL condition skips to the next clause, per SQL), and
+      * keep only rows some clause claims. */
+    def tagClauses(df: DataFrame, acts: Seq[MergeAction],
+        m: Map[ExprId, Expression]): DataFrame = {
+      def condOf(a: MergeAction) =
+        a.condition.map(c => colOn(c, m)).getOrElse(lit(true))
+      val chain = acts.zipWithIndex.tail.foldLeft(
+        org.apache.spark.sql.functions.when(condOf(acts.head), lit(0))) {
+        case (c, (a, i)) => c.when(condOf(a), lit(i))
+      }
+      df.withColumn(ClauseCol, chain).filter(col(ClauseCol).isNotNull)
+    }
+
+    def assignMap(assigns: Seq[Assignment]): Map[String, Expression] =
+      assigns.map(x => (x.key match {
+        case ar: AttributeReference => ar.name
+        case o => sys.error(
+          s"graft MERGE: unsupported assignment target $o " +
+            "(top-level columns only)")
+      }) -> x.value).toMap
+
+    /** (all affected old rows, old rows a DELETE clause removed,
+      * replacement rows per UPDATE clause) over a tagged frame. */
+    def applyClauses(tagged: DataFrame, acts: Seq[MergeAction],
+        m: Map[ExprId, Expression])
+        : (DataFrame, Option[DataFrame], Seq[DataFrame]) = {
+      val removed = tagged.select(oldCols: _*)
+      val delIdx = acts.zipWithIndex.collect {
+        case (DeleteAction(_), i) => i }
+      val deleted =
+        if (delIdx.isEmpty) None
+        else Some(tagged.filter(col(ClauseCol).isin(delIdx: _*))
+          .select(oldCols: _*))
+      val updates = acts.zipWithIndex.collect {
+        case (UpdateAction(_, assigns, _), i) =>
+          val byName = assignMap(assigns)
+          tagged.filter(col(ClauseCol) === i).select(dataCols.map { n =>
+            byName.get(n).map(v => colOn(v, m).as(n))
+              .getOrElse(tgt(n).as(n))
+          }: _*)
+        case (UpdateStarAction(_), i) =>
+          tagged.filter(col(ClauseCol) === i).select(dataCols.map(n =>
+            srcDf(n).as(n)): _*)
+      }
+      val bad = acts.filter {
+        case DeleteAction(_) | UpdateAction(_, _, _) |
+             UpdateStarAction(_) => false
+        case _ => true
+      }
+      require(bad.isEmpty,
+        s"graft MERGE: unsupported matched-side action(s) $bad")
+      (removed, deleted, updates)
+    }
+
+    // ---- WHEN MATCHED ----
+    val (remM, delM, updM):
+        (Option[DataFrame], Option[DataFrame], Seq[DataFrame]) =
+      if (matched.isEmpty) (None, None, Nil)
+      else {
+        val joinCond = keyPairs.map { case (tk, sk) =>
+          tgt(tk) === srcKey(srcDf, tk, sk) }.reduce(_ && _)
+        val tagged = tagClauses(tgt.join(srcDf, joinCond, "inner"),
+          matched, both).localCheckpoint()
+        val (r, d, u) = applyClauses(tagged, matched, both)
+        (Some(r), d, u)
+      }
+    // ---- WHEN NOT MATCHED (INSERT) ----
+    val inserted: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val notM = srcDf.join(
+          tgt.select(tKeys.map(tgt(_)): _*).distinct(),
+          keyPairs.map { case (tk, sk) =>
+            srcKey(srcDf, tk, sk) === tgt(tk) }.reduce(_ && _),
+          "left_anti")
+        val nmMap = attrMap(source.output, notM)
+        val tagged = tagClauses(notM, notMatched, nmMap)
+        val frames = notMatched.zipWithIndex.map {
+          case (InsertAction(_, assigns), i) =>
+            val byName = assignMap(assigns)
+            tagged.filter(col(ClauseCol) === i).select(dataCols.map { n =>
+              byName.get(n).map(v => colOn(v, nmMap).as(n)).getOrElse(
+                sys.error(s"graft MERGE: INSERT must assign column '$n'"))
+            }: _*)
+          case (InsertStarAction(_), i) =>
+            tagged.filter(col(ClauseCol) === i).select(dataCols.map(n =>
+              notM(n).as(n)): _*)
+          case (o, _) => sys.error(
+            s"graft MERGE: unsupported WHEN NOT MATCHED action $o")
+        }
+        Some(frames.reduce(_.unionByName(_)))
+      }
+    // ---- WHEN NOT MATCHED BY SOURCE (full-target scan by nature:
+    // these clauses judge every target row with no source match) ----
+    val (remN, delN, updN):
+        (Option[DataFrame], Option[DataFrame], Seq[DataFrame]) =
+      if (notMatchedBySource.isEmpty || !hasSnapshot) (None, None, Nil)
+      else {
+        val srcKeys = srcDf.select(keyPairs.map { case (tk, sk) =>
+          srcKey(srcDf, tk, sk).as(s"_graft_src_$tk") }: _*).distinct()
+        val antiCond = keyPairs.map { case (tk, _) =>
+          tgt(tk) === srcKeys(s"_graft_src_$tk") }.reduce(_ && _)
+        val tagged = tagClauses(tgt.join(srcKeys, antiCond, "left_anti"),
+          notMatchedBySource, tgtMap).localCheckpoint()
+        val (r, d, u) = applyClauses(tagged, notMatchedBySource, tgtMap)
+        (Some(r), d, u)
+      }
     if (!hasSnapshot) {
       // empty table: only inserts can land; bootstrap via the insert path
-      inserted.filter(_ => notMatched.isDefined).foreach(ins =>
+      inserted.foreach(ins =>
         GraftSqlWrites.insert(spark, table, ins, mode = "append"))
       return Seq.empty
     }
-    val removed = removedOld.map(_.localCheckpoint())
-    val added = (updatedNew.toSeq ++ inserted.toSeq) match {
+    val removed = (remM.toSeq ++ remN.toSeq)
+      .reduceOption(_.unionByName(_)).map(_.localCheckpoint())
+    val deletedOld = (delM.toSeq ++ delN.toSeq)
+      .reduceOption(_.unionByName(_))
+    val added = (updM ++ updN ++ inserted.toSeq) match {
       case Nil => None
-      case xs => Some(xs.reduce(_.unionByName(_)).localCheckpoint())
+      // align TYPES to the catalog schema: assignment / VALUES
+      // expressions may carry narrower literals (INT into a BIGINT
+      // column), and merge-on-read deltas must match the leaf schema
+      case xs => Some(GraftSqlWrites.alignData(
+        xs.reduce(_.unionByName(_)), table.dataSchema).localCheckpoint())
     }
-    val spec = table.spec
     val touched = (removed.toSeq.flatMap(r =>
       GraftSqlWrites.leavesOfRows(r, spec)) ++
       added.toSeq.flatMap(a2 => GraftSqlWrites.leavesOfRows(a2, spec)))
@@ -375,14 +501,17 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     // ---- MERGE-ON-READ fast path: the whole MERGE lands as key-
     // merged DELTAS in one atomic commitMerge — bytes written scale
     // with the delta, never the touched leaves. Eligible when:
-    //   - the matched action provably keeps rows in their leaf and
-    //     under their key (no assignment to a partition SOURCE or a
-    //     merge KEY; SET * keeps keys by the ON equality, so it only
-    //     needs every partition source to BE a merge key);
+    //   - every UPDATE clause (matched or not-matched-by-source)
+    //     provably keeps rows in their leaf and under their key (no
+    //     assignment to a partition SOURCE or a merge KEY; SET * keeps
+    //     keys by the ON equality, so it only needs every partition
+    //     source to BE a merge key); DELETE clauses land as key-only
+    //     delete deltas;
     //   - every touched leaf exists (inserts into new leaves need a
     //     leaf-creating snapshot commit);
     //   - existing chains are keyed by the same merge keys.
-    val specSources = spec.fields.map(_.source).toSet
+    // Clause exclusivity (first-match-wins) keeps each leaf's upsert
+    // and delete key sets disjoint, commitMerge's contract.
     // per-assignment safety: alignment/star expansion assigns EVERY
     // column, so the test is value-aware — a self-assignment (t.c =
     // t.c) changes nothing; assigning a merge-KEY column its ON-equal
@@ -401,14 +530,13 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         }
       case _ => false
     }
-    val matchedSafe = matched match {
-      case None => true
-      case Some(DeleteAction(_)) => true
-      case Some(UpdateAction(_, assigns, _)) => assigns.forall(safeAssign)
-      case Some(UpdateStarAction(_)) =>
-        specSources.subsetOf(tKeys.toSet)
+    def actionSafe(a: MergeAction): Boolean = a match {
+      case DeleteAction(_) => true
+      case UpdateAction(_, assigns, _) => assigns.forall(safeAssign)
+      case UpdateStarAction(_) => specSources.subsetOf(tKeys.toSet)
       case _ => false
     }
+    val matchedSafe = (matched ++ notMatchedBySource).forall(actionSafe)
     val existing = SpecManifest.leafKeys(spark, table.root, spec).toSet
     val chainsOk = touched.forall(vs =>
       SpecManifest.leafChainKeys(spark, table.root, spec, vs)
@@ -417,13 +545,11 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
       val ups = added.map(a2 => touched.map(vs =>
         vs -> GraftSqlWrites.rowsOfLeaf(a2, spec, vs)).toMap)
         .getOrElse(Map.empty[Seq[String], DataFrame])
-      val dels = (matched, removed) match {
-        // only a DELETE action removes keys the upserts don't replace
-        case (Some(DeleteAction(_)), Some(r)) => touched.map(vs =>
-          vs -> GraftSqlWrites.rowsOfLeaf(r, spec, vs)
-            .select(tKeys.map(col): _*)).toMap
-        case _ => Map.empty[Seq[String], DataFrame]
-      }
+      // only DELETE-clause rows remove keys the upserts don't replace
+      val dels = deletedOld.map(d => touched.map(vs =>
+        vs -> GraftSqlWrites.rowsOfLeaf(d, spec, vs)
+          .select(tKeys.map(col): _*)).toMap)
+        .getOrElse(Map.empty[Seq[String], DataFrame])
       if (ups.nonEmpty || dels.nonEmpty)
         SpecManifest.commitMerge(spark, table.root, spec, tKeys,
           upserts = ups, deletes = dels)

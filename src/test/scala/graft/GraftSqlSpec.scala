@@ -345,6 +345,116 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gsql.toplevel_t")
   }
 
+  test("uncorrelated subqueries work in graft DML conditions; " +
+      "correlated ones refuse loudly") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.subq_t (id BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(2, id))""")
+    spark.sql("""INSERT INTO gsql.db.subq_t VALUES
+      (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)""")
+    spark.sql("""CREATE TABLE gsql.db.subq_other (id BIGINT)
+      PARTITIONED BY (bucket(2, id))""")
+    spark.sql("INSERT INTO gsql.db.subq_other VALUES (2), (4)")
+    // IN-subquery over ANOTHER graft table in a DELETE condition
+    spark.sql("""DELETE FROM gsql.db.subq_t
+      WHERE id IN (SELECT id FROM gsql.db.subq_other)""")
+    assert(spark.sql("SELECT id FROM gsql.db.subq_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // scalar + IN subqueries in an UPDATE condition
+    spark.sql("""UPDATE gsql.db.subq_t SET v = v + 10.0
+      WHERE id IN (SELECT max(id) - 1 FROM gsql.db.subq_other)""")
+    assert(spark.sql("SELECT v FROM gsql.db.subq_t WHERE id = 2")
+      .count() == 0)
+    assert(spark.sql("SELECT v FROM gsql.db.subq_t ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq == Seq(1.0, 13.0))
+    // correlated: loud refusal, not a mis-resolution
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM gsql.db.subq_t t WHERE EXISTS
+        (SELECT 1 FROM gsql.db.subq_other o WHERE o.id = t.id)""")
+    }
+    assert(e.getMessage.contains("correlated subqueries"), e.getMessage)
+  }
+
+  test("full MERGE clause surface: multiple conditional WHEN MATCHED, " +
+      "multiple WHEN NOT MATCHED, and WHEN NOT MATCHED BY SOURCE " +
+      "(first matching clause wins per row)") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.scd (id BIGINT, v DOUBLE,
+      status STRING) PARTITIONED BY (bucket(2, id))""")
+    spark.sql("""INSERT INTO gsql.db.scd VALUES
+      (1, 10.0, 'live'), (2, 20.0, 'live'), (3, 30.0, 'live'),
+      (4, 40.0, 'live'), (5, 50.0, 'live')""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW scd_delta AS
+      SELECT * FROM VALUES (1, 11.0), (2, -1.0), (6, 60.0), (7, -7.0)
+      AS t(id, v)""")
+    spark.sql("""MERGE INTO gsql.db.scd t
+      USING scd_delta s ON t.id = CAST(s.id AS BIGINT)
+      WHEN MATCHED AND s.v < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v, status = 'updated'
+      WHEN NOT MATCHED AND s.v < 0
+        THEN INSERT (id, v, status) VALUES (s.id, -s.v, 'flipped')
+      WHEN NOT MATCHED THEN INSERT (id, v, status)
+        VALUES (s.id, s.v, 'new')
+      WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'""")
+    val got = spark.sql(
+      "SELECT id, v, status FROM gsql.db.scd ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 11.0, "updated"),  // matched, second clause
+      // 2 deleted by the first matched clause
+      (3L, 30.0, "stale"),    // not matched by source, update clause
+      // 4 deleted by the first NMBS clause
+      (5L, 50.0, "stale"),
+      (6L, 60.0, "new"),      // not matched, second clause
+      (7L, 7.0, "flipped")    // not matched, first clause
+    ), got)
+  }
+
+  test("bucket-local MERGE: when the merge keys cover every partition " +
+      "source, the target side reads ONLY the source-derived leaves") {
+    wh
+    import org.apache.spark.sql.functions.lit
+    spark.sql("""CREATE TABLE gsql.db.mloc (id BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(8, id))""")
+    spark.sql("INSERT INTO gsql.db.mloc " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(4000)")
+    // the restricted target read (what the MERGE plans when sources
+    // align) prunes to exactly the derived buckets
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+    val root = s"$wh/db/mloc"
+    val spec = graft.engine.SpecManifest.specVersions(spark, root).last
+    val t = new graft.sql.GraftSqlTable("gsql.db.mloc", root, spec,
+      new StructType().add("id", LongType).add("v", DoubleType), None)
+    val leaves = spark.range(2).select((col("id") + 7L).as("id"))
+      .select(spec.fields.head.derive(col("id")).as("b"))
+      .distinct().collect().map(r => Seq(r.getString(0))).toSeq
+    assert(leaves.size <= 2 && leaves.nonEmpty, s"leaves: $leaves")
+    val restricted =
+      graft.sql.GraftSqlWrites.restrictToLeaves(spark, t, leaves)
+    val rf = filesOf(restricted)
+    val buckets = rf.map(_.replaceAll(".*/id_bucket=", "")
+      .replaceAll("/.*", "")).distinct.sorted
+    assert(rf.nonEmpty &&
+      buckets == leaves.map(_.head).distinct.sorted,
+      s"restricted target must scan only derived buckets: $buckets " +
+        s"vs $leaves")
+    // end-to-end: the localized MERGE is still correct
+    spark.sql("""MERGE INTO gsql.db.mloc t
+      USING (SELECT 7 AS id, -7.0 AS v UNION ALL
+             SELECT 4100 AS id, 1.0 AS v) s
+      ON t.id = CAST(s.id AS BIGINT)
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM gsql.db.mloc WHERE id = 7")
+      .head().getDouble(0) == -7.0)
+    assert(spark.sql("SELECT v FROM gsql.db.mloc WHERE id = 4100")
+      .head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT count(*) FROM gsql.db.mloc")
+      .head().getLong(0) == 4001)
+  }
+
   // spark.implicits is session-bound; a tiny local helper keeps the
   // suite free of the lazy-session init-order trap
   implicit class SeqToDf[A <: Product : scala.reflect.runtime.universe.TypeTag](
