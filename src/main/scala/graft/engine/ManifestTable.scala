@@ -316,7 +316,7 @@ object ManifestTable {
   /** Run `f` holding the root's publish lock — PartitionedManifest's
     * snapshot commits serialize through this so two committers cannot
     * both read base mapping N and race to write N+1 (lost update). */
-  private[engine] def withPublishLock[A](root: String)(f: => A): A = {
+  private[graft] def withPublishLock[A](root: String)(f: => A): A = {
     val fs = fsFor(root)
     fs.mkdirs(new HPath(root))
     val unlock = acquireLock(fs, root)

@@ -796,7 +796,9 @@ object SpecManifest {
     * resolve their delta chain and union on top of the pinned pure
     * subset — the common all-pure case keeps its ONE plan node. */
   def read(spark: SparkSession, root: String, spec: PartitionSpec,
-      snapshot: Option[String] = None): DataFrame = {
+      snapshot: Option[String] = None,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val versions = specVersions(spark, root)
     require(versions.contains(spec) && spec == versions.last,
       s"SpecManifest: read serves the CURRENT spec under $root - " +
@@ -810,15 +812,15 @@ object SpecManifest {
     if (versions.size == 1) {
       val pureDf =
         if (pureLs.isEmpty) None
-        else Some(servePin(spark, root, spec, pureLs))
+        else Some(servePin(spark, root, spec, pureLs, dataSchema))
       // K hot MOR leaves serve through ONE grouped resolution (plan
       // width scales with chain depth, never K) with the spec fields
       // recovered from the leaf directory paths
       val morDf =
         if (morLs.isEmpty) None
-        else Some(PartitionedManifest.resolveMorGrouped(spark,
+        else Some(alignMaybe(PartitionedManifest.resolveMorGrouped(spark,
           morLs.map { case (k, d) => (s"$root/$k", d) }, spec.names,
-          None))
+          None), dataSchema, spec.names))
       (pureDf.toSeq ++ morDf.toSeq).reduce(_.unionByName(_))
     } else {
       // EVOLVED table: each layout generation serves through its OWN
@@ -834,7 +836,7 @@ object SpecManifest {
         .groupBy { case (k, _) => specForLeaf(versions, k) }.toSeq
         .sortBy(_._1.names.mkString("/"))
         .map { case (sp, ls) =>
-          val df = servePin(spark, root, sp, ls)
+          val df = servePin(spark, root, sp, ls, dataSchema)
           val missing = spec.fields.filterNot(sp.fields.contains)
           val dropNames = sp.names
             .filterNot(n => spec.fields.exists(f =>
@@ -850,9 +852,9 @@ object SpecManifest {
         .groupBy { case (k, _) => specForLeaf(versions, k) }.toSeq
         .sortBy(_._1.names.mkString("/"))
         .map { case (sp, ls) =>
-          val df = PartitionedManifest.resolveMorGrouped(spark,
+          val df = alignMaybe(PartitionedManifest.resolveMorGrouped(spark,
             ls.map { case (k, d) => (s"$root/$k", d) }, sp.names, None)
-            .drop(sp.names: _*)
+            .drop(sp.names: _*), dataSchema, Seq.empty)
           spec.fields.foldLeft(df)((x, f) =>
             x.withColumn(f.name, f.derived))
         }
@@ -860,15 +862,48 @@ object SpecManifest {
     }
   }
 
+  /** Align a frame to a DECLARED data schema when one is given (the
+    * SQL catalog's evolved-schema reads): missing columns serve as
+    * typed NULLs, physically narrower columns widen — the row-level
+    * twin of the declared-schema parquet pin, for the MOR-resolved
+    * subsets that don't serve through a pin. `keep` columns (partition
+    * fields) pass through untouched. */
+  private def alignMaybe(df: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType],
+      keep: Seq[String]): DataFrame = declared match {
+    case None => df
+    case Some(schema) =>
+      df.select(schema.fields.toSeq.map { f =>
+        if (!df.columns.contains(f.name))
+          lit(null).cast(f.dataType).as(f.name)
+        else if (df.schema(f.name).dataType == f.dataType) col(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      } ++ keep.map(col): _*)
+  }
+
+  /** The pin's name: content hash of the leaf mapping plus (when the
+    * caller declares one) the served schema — an ALTER TABLE must
+    * never reuse a pin built for the previous schema. */
+  private def pinName(root: String, mapping: Seq[(String, String)],
+      declared: Option[org.apache.spark.sql.types.StructType]): String =
+    s"graft_sm_${hash8(root)}_" + hash8(
+      mapping.map { case (k, d) => s"$k\t$d" }.mkString("\n") +
+        declared.map(s => "\n#schema=" + s.json).getOrElse(""))
+
   /** The PURE subset of a snapshot's leaves served through one
-    * content-pinned partitioned relation (see [[read]]). */
+    * content-pinned partitioned relation (see [[read]]). With a
+    * DECLARED schema the pin serves it directly: the Spark 4 parquet
+    * reader null-fills missing columns and widens
+    * int8/16/32→int64/float64, float32→float64 (SPARK-40876), so
+    * schema evolution stays metadata-only down to the scan. */
   private def servePin(spark: SparkSession, root: String,
-      spec: PartitionSpec, mapping: Seq[(String, String)]): DataFrame = {
-    val table = s"graft_sm_${hash8(root)}_" + hash8(
-      mapping.map { case (k, d) => s"$k\t$d" }.mkString("\n"))
+      spec: PartitionSpec, mapping: Seq[(String, String)],
+      declared: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val table = pinName(root, mapping, declared)
     if (!spark.catalog.tableExists(table)) {
-      val dataSchema = spark.read
-        .parquet(s"$root/${mapping.head._1}/${mapping.head._2}").schema
+      val dataSchema = declared.getOrElse(spark.read
+        .parquet(s"$root/${mapping.head._1}/${mapping.head._2}").schema)
       val cols = dataSchema.map(f => s"`${f.name}` ${f.dataType.sql}")
         .mkString(", ")
       val partCols = spec.names.map(n => s"`$n` string").mkString(", ")
@@ -893,19 +928,30 @@ object SpecManifest {
       // drop pins of expired snapshots for this root (keep-N bounded).
       // A snapshot with merge-on-read leaves serves its PURE SUBSET
       // through the pin, so that subset's pin counts as valid too —
-      // and an EVOLVED table serves one pin per spec generation, so
-      // each generation's pure group is valid as well.
+      // an EVOLVED table serves one pin per spec generation, so each
+      // generation's pure group is valid as well — and a SQL table
+      // serves through declared-schema pins, so each group is valid
+      // under no declaration, the CURRENT schema, and the schema in
+      // effect at that snapshot (time travel).
       val prefix = s"graft_sm_${hash8(root)}_"
       val versions = specVersions(spark, root)
+      val declaredVariants: String => Seq[Option[
+          org.apache.spark.sql.types.StructType]] =
+        if (!graft.sql.GraftSchemas.hasVersions(spark, root)) _ => Seq(None)
+        else { sn => Seq(None,
+          Some(graft.sql.GraftSchemas.current(spark, root)),
+          Some(graft.sql.GraftSchemas.forSnapshot(spark, root, sn)))
+        }
       val valid = snapshots(spark, root).flatMap { sn =>
         val m = snapshotMapping(spark, root, sn)
         val pure = m.filterNot { case (k, d) =>
           PartitionedManifest.isMorDir(spark, s"$root/$k/$d") }
         val groups = pure.groupBy { case (k, _) =>
           specForLeaf(versions, k) }.values.toSeq
-        (Seq(m, pure) ++ groups).filter(_.nonEmpty).map(x =>
-          prefix + hash8(
-            x.map { case (k, d) => s"$k\t$d" }.mkString("\n")))
+        for {
+          x <- Seq(m, pure) ++ groups if x.nonEmpty
+          dv <- declaredVariants(sn)
+        } yield pinName(root, x, dv)
       }.toSet + table
       val db = spark.catalog.currentDatabase
       spark.sharedState.externalCatalog.listTables(db)
@@ -1020,6 +1066,22 @@ object SpecManifest {
     val dir = ManifestTable.currentVersion(s"$root/$lp").getOrElse(
       sys.error(s"SpecManifest: no MANIFEST under $root/$lp"))
     PartitionedManifest.resolveVersionData(spark, s"$root/$lp", dir, None)
+  }
+
+  /** A leaf's PHYSICAL data schema: its live chain's bottom (pure)
+    * parquet footer — what [[commitMerge]] validates upserts against.
+    * Callers choosing between delta-layering and copy-on-write check
+    * it against the catalog schema (a schema-evolved leaf must fold or
+    * rewrite before new-shape deltas can layer on it). One footer read
+    * per call. */
+  def leafBottomSchema(spark: SparkSession, root: String,
+      spec: PartitionSpec, values: Seq[String])
+      : org.apache.spark.sql.types.StructType = {
+    val lp = leafPath(spec, values)
+    val dir = ManifestTable.currentVersion(s"$root/$lp").getOrElse(
+      sys.error(s"SpecManifest: no MANIFEST under $root/$lp"))
+    val bottom = PartitionedManifest.morChain(spark, s"$root/$lp", dir).last
+    spark.read.parquet(s"$root/$lp/$bottom").schema
   }
 
   /** The key columns of a leaf's LIVE delta chain (None = pure leaf) —

@@ -2289,6 +2289,82 @@ object EngineQueries {
       SELECT k AS c_custkey, b AS c_acctbal, status
       FROM result ORDER BY c_custkey"""), bench = true),
 
+    // SQL ALTER TABLE on the graft catalog — the reference's FLAGSHIP
+    // migration shape (packets/test_int4_to_int8/01_step.sql:9 adds a
+    // bigint column, 06_step.sql swaps the key) driven end-to-end
+    // through spark.sql: ADD COLUMN + widen INT→BIGINT are
+    // METADATA-ONLY (require()d: leaf version dirs byte-identical
+    // across both ALTERs), reads serve NULL-filled/widened rows
+    // natively, a SQL UPDATE backfills copy-on-write, and VERSION AS
+    // OF keeps serving the pre-alter schema (require()d: old column
+    // set, old type). The oracle replays both epochs relationally.
+    QuerySpec("w32_sql_alter_schema", (s, dir) => {
+      Tables.registerAll(s, dir)
+      if (s.conf.getOption("spark.sql.catalog.gw32").isEmpty) {
+        s.conf.set("spark.sql.catalog.gw32", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gw32.warehouse",
+          Files.createTempDirectory("graft-w32").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw32.db")
+      s.sql("DROP TABLE IF EXISTS gw32.db.acct")
+      s.sql("""CREATE TABLE gw32.db.acct
+        (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)
+        PARTITIONED BY (bucket(4, c_custkey))""")
+      s.sql("""INSERT INTO gw32.db.acct
+        SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS INT),
+               CAST(c_acctbal AS DOUBLE)
+        FROM customer""")
+      val root =
+        s.conf.get("spark.sql.catalog.gw32.warehouse") + "/db/acct"
+      graft.engine.SpecManifest.tagSnapshot(s, root, "v1")
+      def leafDirs(): Seq[String] = (0 until 4).flatMap(b =>
+        graft.engine.ManifestTable.currentVersion(
+          s"$root/c_custkey_bucket=$b"))
+      val before = leafDirs()
+      s.sql("ALTER TABLE gw32.db.acct ADD COLUMN balcat STRING")
+      s.sql("ALTER TABLE gw32.db.acct ALTER COLUMN c_nationkey " +
+        "TYPE BIGINT")
+      require(leafDirs() == before,
+        "ALTER TABLE must be metadata-only - no leaf may move")
+      // widened read BEFORE any rewrite: int32 files serve as BIGINT
+      require(s.sql("SELECT sum(c_nationkey) FROM gw32.db.acct")
+        .head().get(0) != null, "widened read failed")
+      // SQL backfill of the added column (copy-on-write)
+      s.sql("""UPDATE gw32.db.acct SET balcat =
+        CASE WHEN c_acctbal >= 5000.0 THEN 'high' ELSE 'low' END""")
+      // time travel: the pre-alter epoch keeps its own schema
+      val tt = s.sql("SELECT * FROM gw32.db.acct VERSION AS OF 'v1'")
+      require(tt.columns.toSeq ==
+        Seq("c_custkey", "c_nationkey", "c_acctbal") &&
+        tt.schema("c_nationkey").dataType ==
+          org.apache.spark.sql.types.IntegerType,
+        s"time travel must keep the pre-alter schema: " +
+          s"${tt.schema.simpleString}")
+      s.sql("""SELECT src, c_custkey, c_nationkey, c_acctbal, balcat
+        FROM (
+          SELECT 'live' AS src, c_custkey, c_nationkey, c_acctbal, balcat
+          FROM gw32.db.acct
+          UNION ALL
+          SELECT 'v1', c_custkey, CAST(c_nationkey AS BIGINT), c_acctbal,
+                 CAST(NULL AS STRING)
+          FROM gw32.db.acct VERSION AS OF 'v1')
+        ORDER BY src, c_custkey""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(c_nationkey AS BIGINT) AS n,
+               CAST(c_acctbal AS DOUBLE) AS b
+        FROM customer)
+      SELECT src, k AS c_custkey, n AS c_nationkey, b AS c_acctbal,
+             balcat
+      FROM (
+        SELECT 'live' AS src, k, n, b,
+               CASE WHEN b >= 5000.0 THEN 'high' ELSE 'low' END AS balcat
+        FROM base
+        UNION ALL
+        SELECT 'v1', k, n, b, CAST(NULL AS VARCHAR) FROM base)
+      ORDER BY src, c_custkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

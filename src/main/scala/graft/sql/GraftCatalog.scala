@@ -149,26 +149,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     isTableRoot(new HPath(rootOf(ident)))
 
-  private def readSchemaFile(root: String): StructType = {
-    val in = fs.open(new HPath(root, "_schema.json"))
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    DataType.fromJson(text).asInstanceOf[StructType]
-  }
-
   private def load(ident: Identifier,
       snapshot: Option[String]): GraftSqlTable = {
     val root = rootOf(ident)
     if (!tableExists(ident))
       throw new NoSuchTableException(ident)
-    // the CURRENT spec version: a table evolved through the Scala API
-    // (evolveSpec) must keep serving through SQL — readSpec alone
-    // returns the seed-time v1
+    // the CURRENT spec and schema versions: a table evolved through
+    // the Scala API (evolveSpec) or ALTER TABLE must keep serving —
+    // readSpec / _schema.json alone return the seed-time v1
     new GraftSqlTable(
       (catalogName +: ident.namespace().toSeq :+ ident.name())
         .mkString("."),
       root, SpecManifest.specVersions(spark, root).last,
-      readSchemaFile(root), snapshot)
+      GraftSchemas.current(spark, root), snapshot)
   }
 
   /** Iceberg-style METADATA TABLE addressing: `g.db.t.files`,
@@ -194,7 +187,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else metaTable(ident).getOrElse(load(ident, None))
 
   /** `VERSION AS OF '<snapshot-or-tag-or-branch>'` — resolves refs
-    * through the same machinery as the Scala readers. */
+    * through the same machinery as the Scala readers, and serves the
+    * SCHEMA in effect when that snapshot committed (an added column
+    * does not exist in the past; a dropped one still does). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     val t = load(ident, None)
@@ -202,7 +197,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(sys.error(s"GraftCatalog: unknown ref $version"))
     require(SpecManifest.snapshots(spark, root).contains(snap),
       s"GraftCatalog: unknown or expired snapshot/ref '$version'")
-    new GraftSqlTable(t.name(), root, t.spec, t.dataSchema, Some(snap))
+    new GraftSqlTable(t.name(), root, t.spec,
+      GraftSchemas.forSnapshot(spark, root, snap), Some(snap))
   }
 
   /** `TIMESTAMP AS OF …` — Spark hands MICROSECONDS since epoch. */
@@ -213,7 +209,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(sys.error(
         s"GraftCatalog: no snapshot at or before the asked instant " +
           "(the retention horizon may have moved past it)"))
-    new GraftSqlTable(t.name(), root, t.spec, t.dataSchema, Some(snap))
+    new GraftSqlTable(t.name(), root, t.spec,
+      GraftSchemas.forSnapshot(spark, root, snap), Some(snap))
   }
 
   /** Map Spark's parsed PARTITIONED BY transforms onto the spec
@@ -268,10 +265,101 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None)
   }
 
+  /** SQL `ALTER TABLE` — METADATA-ONLY schema evolution (the Iceberg
+    * posture; at 100 TB a schema change must never rewrite data):
+    *
+    *   - `ADD COLUMN c t` — appends a nullable column; existing rows
+    *     serve NULL (parquet missing-column fill), new writes carry it;
+    *   - `DROP COLUMN c` — removes it from the served schema; the
+    *     bytes stay until leaves next rewrite (partition sources and
+    *     the last data column refuse);
+    *   - `ALTER COLUMN c TYPE t` — WIDENING only (int8/16/32→bigint,
+    *     int→double, float→double: the conversions the Spark 4 parquet
+    *     reader performs natively); bucket-transform sources refuse —
+    *     the bucket hash is width-sensitive, so widening one would
+    *     silently re-derive new rows into different leaves.
+    *
+    * Time travel keeps serving each snapshot under the schema that was
+    * current when it committed ([[GraftSchemas]]). RENAME COLUMN needs
+    * field ids the parquet layout does not carry — refused. */
   override def alterTable(ident: Identifier, changes: TableChange*)
-      : Table = throw new UnsupportedOperationException(
-    "GraftCatalog: ALTER TABLE is not supported yet - evolve through " +
-      "the Scala API (evolveSpec / schema-evolving commits)")
+      : Table = {
+    import TableChange._
+    val root = rootOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val allSources = SpecManifest.specVersions(spark, root)
+      .flatMap(_.fields.map(_.source)).toSet
+    val bucketSrc = SpecManifest.specVersions(spark, root)
+      .flatMap(_.fields).filter(_.transform match {
+        case Bucket(_) => true
+        case _ => false
+      }).map(_.source).toSet
+    def widens(from: DataType, to: DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (from, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType | DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+    }
+    val cur = GraftSchemas.current(spark, root)
+    val next = changes.foldLeft(cur) { (schema, ch) =>
+      ch match {
+        case a: AddColumn =>
+          require(a.fieldNames.length == 1,
+            "GraftCatalog: ADD COLUMN supports top-level columns only")
+          val n = a.fieldNames.head
+          require(!schema.fieldNames.contains(n),
+            s"GraftCatalog: column '$n' already exists")
+          require(a.isNullable,
+            "GraftCatalog: ADD COLUMN must be nullable - existing rows " +
+              "have no value for it (add nullable, backfill, then use)")
+          schema.add(n, a.dataType, nullable = true)
+        case d: DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            "GraftCatalog: DROP COLUMN supports top-level columns only")
+          val n = d.fieldNames.head
+          if (!schema.fieldNames.contains(n)) {
+            require(d.ifExists, s"GraftCatalog: no column '$n'")
+            schema
+          } else {
+            require(!allSources.contains(n),
+              s"GraftCatalog: '$n' is a partition source column - " +
+                "hidden partitioning derives the layout from it")
+            require(schema.length > 1,
+              "GraftCatalog: cannot drop the last data column")
+            StructType(schema.filterNot(_.name == n))
+          }
+        case u: UpdateColumnType =>
+          require(u.fieldNames.length == 1,
+            "GraftCatalog: ALTER COLUMN supports top-level columns only")
+          val n = u.fieldNames.head
+          require(schema.fieldNames.contains(n),
+            s"GraftCatalog: no column '$n'")
+          val from = schema(n).dataType
+          require(widens(from, u.newDataType),
+            s"GraftCatalog: only WIDENING type changes are supported " +
+              s"(got ${from.simpleString} -> " +
+              s"${u.newDataType.simpleString}); for anything else add " +
+              "a new column and backfill (the reference's int4->int8 " +
+              "posture)")
+          require(!bucketSrc.contains(n),
+            s"GraftCatalog: '$n' sources a bucket partition transform " +
+              "- the bucket hash is width-sensitive, widening would " +
+              "re-derive new rows into different leaves")
+          StructType(schema.map(f =>
+            if (f.name == n) f.copy(dataType = u.newDataType) else f))
+        case o => throw new UnsupportedOperationException(
+          s"GraftCatalog: unsupported ALTER TABLE change $o (ADD " +
+            "COLUMN, DROP COLUMN, ALTER COLUMN TYPE <widening>)")
+      }
+    }
+    require(next != cur, "GraftCatalog: ALTER TABLE changed nothing")
+    GraftSchemas.evolve(spark, root, next)
+    load(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new HPath(rootOf(ident))
@@ -363,15 +451,16 @@ class GraftSqlTable(tableName: String, val root: String,
     if (SpecManifest.currentSnapshot(spark, root).isEmpty)
       spark.createDataFrame(
         new util.ArrayList[Row](), dataSchema)
-    else SpecManifest.read(spark, root, spec, pinnedSnapshot)
-      .select(dataCols.map(col): _*)
+    else SpecManifest.read(spark, root, spec, pinnedSnapshot,
+      Some(dataSchema)).select(dataCols.map(col): _*)
   }
 
   /** Like [[buildRead]] but KEEPING the partition-field columns — the
     * leaf-local DML planners filter on them so the pin's partition
     * pruning bounds the target scan. Requires a committed snapshot. */
   def buildReadWithParts(spark: SparkSession): DataFrame =
-    SpecManifest.read(spark, root, spec, pinnedSnapshot)
+    SpecManifest.read(spark, root, spec, pinnedSnapshot,
+      Some(dataSchema))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
@@ -403,10 +492,15 @@ object GraftSqlWrites {
   /** Align `df` to the table's data schema: column order, names and
     * TYPES — writers never land a frame whose physical types drift
     * from the catalog schema (assignment and VALUES expressions may
-    * carry narrower or wider literals). */
+    * carry narrower or wider literals), and a column the frame
+    * PREDATES (a leaf read from before an ADD COLUMN) serves as a
+    * typed NULL. */
   def alignData(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fields.toSeq.map { f =>
-      if (df.schema(f.name).dataType == f.dataType) col(f.name)
+      if (!df.columns.contains(f.name))
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+          .as(f.name)
+      else if (df.schema(f.name).dataType == f.dataType) col(f.name)
       else col(f.name).cast(f.dataType).as(f.name)
     }: _*)
 
@@ -460,9 +554,11 @@ object GraftSqlWrites {
         incomingLeaves.map(vs => vs -> leafRows(aligned, spec, vs)).toMap
       case _ => incomingLeaves.map { vs =>
         val inc = leafRows(aligned, spec, vs)
+        // existing content aligns to the CURRENT schema first: a leaf
+        // written before an ADD COLUMN / type widening unions cleanly
         vs -> (if (existing.contains(vs))
-          SpecManifest.readLeaf(spark, table.root, spec, vs)
-            .unionByName(inc)
+          alignData(SpecManifest.readLeaf(spark, table.root, spec, vs),
+            table.dataSchema).unionByName(inc)
         else inc)
       }.toMap
     }

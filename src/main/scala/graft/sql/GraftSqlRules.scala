@@ -195,14 +195,22 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
         .forall(_ == dataCols))
     val noNulls = removed.filter(
       dataCols.map(col(_).isNull).reduce(_ || _)).isEmpty
-    if (chainsOk && noNulls) {
+    // a leaf whose physical schema predates a catalog ALTER cannot
+    // take catalog-shaped deltas — copy-on-write rewrites it into the
+    // current shape instead (footer read per touched leaf)
+    val schemasOk = touched.forall(vs =>
+      SpecManifest.leafBottomSchema(spark, table.root, table.spec, vs)
+        .map(f => (f.name, f.dataType)) ==
+        table.dataSchema.map(f => (f.name, f.dataType)).toSeq)
+    if (chainsOk && noNulls && schemasOk) {
       SpecManifest.commitMerge(spark, table.root, table.spec, dataCols,
         deletes = touched.map(vs =>
           vs -> GraftSqlWrites.rowsOfLeaf(removed, table.spec, vs)).toMap)
     } else {
       val updates = touched.map { vs =>
-        val leaf =
-          SpecManifest.readLeaf(spark, table.root, table.spec, vs)
+        val leaf = GraftSqlWrites.alignData(
+          SpecManifest.readLeaf(spark, table.root, table.spec, vs),
+          table.dataSchema)
         // SQL DELETE removes only rows where the condition IS TRUE: a
         // NULL-valued condition keeps its row (not(NULL) is NULL and
         // would silently drop it — the Delta/Iceberg rewrite posture
@@ -245,7 +253,9 @@ case class GraftUpdateCommand(table: GraftSqlTable,
     val affected = tgt.filter(condOn(tgt)).localCheckpoint()
     val touched = GraftSqlWrites.leavesOfRows(affected, table.spec)
     val updates = touched.map { vs =>
-      val leaf = SpecManifest.readLeaf(spark, table.root, table.spec, vs)
+      val leaf = GraftSqlWrites.alignData(
+        SpecManifest.readLeaf(spark, table.root, table.spec, vs),
+        table.dataSchema)
       val lm = m(leaf)
       val c = condOn(leaf)
       vs -> leaf.select(table.dataSchema.fieldNames.toSeq.map { n =>
@@ -541,7 +551,15 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     val chainsOk = touched.forall(vs =>
       SpecManifest.leafChainKeys(spark, table.root, spec, vs)
         .forall(_ == tKeys))
-    if (matchedSafe && chainsOk && touched.forall(existing.contains)) {
+    // a leaf whose physical schema predates a catalog ALTER cannot
+    // take catalog-shaped deltas — copy-on-write rewrites it instead
+    val schemasOk = touched.forall(vs =>
+      !existing.contains(vs) ||
+        SpecManifest.leafBottomSchema(spark, table.root, spec, vs)
+          .map(f => (f.name, f.dataType)) ==
+          table.dataSchema.map(f => (f.name, f.dataType)).toSeq)
+    if (matchedSafe && chainsOk && schemasOk &&
+        touched.forall(existing.contains)) {
       val ups = added.map(a2 => touched.map(vs =>
         vs -> GraftSqlWrites.rowsOfLeaf(a2, spec, vs)).toMap)
         .getOrElse(Map.empty[Seq[String], DataFrame])
@@ -555,9 +573,17 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
           upserts = ups, deletes = dels)
       return Seq.empty
     }
-    // ---- copy-on-write fallback: rebuild each touched leaf ----
+    // ---- copy-on-write fallback: rebuild each touched leaf (a NEW
+    // leaf — an insert deriving a fresh partition tuple — starts
+    // empty; commitSnapshot creates it) ----
     val updates = touched.map { vs =>
-      val leaf = SpecManifest.readLeaf(spark, table.root, table.spec, vs)
+      val leaf =
+        if (!existing.contains(vs))
+          spark.createDataFrame(new java.util.ArrayList[Row](),
+            table.dataSchema)
+        else GraftSqlWrites.alignData(
+          SpecManifest.readLeaf(spark, table.root, table.spec, vs),
+          table.dataSchema)
       val minus = removed match {
         case Some(r) =>
           val keys = GraftSqlWrites.rowsOfLeaf(r, spec, vs)

@@ -455,6 +455,72 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 4001)
   }
 
+  test("ALTER TABLE is metadata-only: ADD COLUMN serves NULL for old " +
+      "rows, type widening reads narrow files natively, DROP COLUMN " +
+      "hides bytes in place, and time travel keeps the pinned epoch's " +
+      "schema") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.alt
+      (id BIGINT, v INT, seg STRING)
+      PARTITIONED BY (bucket(2, id))""")
+    spark.sql("""INSERT INTO gsql.db.alt VALUES
+      (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'a'), (4, 40, 'b')""")
+    val root = s"$wh/db/alt"
+    graft.engine.SpecManifest.tagSnapshot(spark, root, "pre-alter")
+    def leafDirs(): Seq[String] = (0 until 2).flatMap(b =>
+      graft.engine.ManifestTable.currentVersion(s"$root/id_bucket=$b"))
+    val before = leafDirs()
+    spark.sql("ALTER TABLE gsql.db.alt ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE gsql.db.alt ALTER COLUMN v TYPE BIGINT")
+    assert(leafDirs() == before,
+      "ALTER TABLE must not move a byte of data")
+    // old rows: added column NULL, widened column reads from int32
+    val widened = spark.sql(
+      "SELECT id, v, note FROM gsql.db.alt ORDER BY id").collect()
+    assert(widened.map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(widened.forall(_.isNullAt(2)))
+    // new writes carry the evolved shape; mixed leaves serve uniformly
+    spark.sql("INSERT INTO gsql.db.alt VALUES (5, 50, 'a', 'noted')")
+    assert(spark.sql("SELECT sum(v) FROM gsql.db.alt")
+      .head().getLong(0) == 150L)
+    assert(spark.sql(
+      "SELECT note FROM gsql.db.alt WHERE id = 5").head().getString(0)
+      == "noted")
+    // backfill through SQL UPDATE (copy-on-write: pre-alter leaves
+    // cannot take catalog-shaped deltas)
+    spark.sql("UPDATE gsql.db.alt SET note = concat(seg, '-bf') " +
+      "WHERE note IS NULL")
+    assert(spark.sql(
+      "SELECT note FROM gsql.db.alt WHERE id = 1").head().getString(0)
+      == "a-bf")
+    // DROP COLUMN hides the bytes in place
+    spark.sql("ALTER TABLE gsql.db.alt DROP COLUMN seg")
+    assert(spark.sql("SELECT * FROM gsql.db.alt").columns.toSeq ==
+      Seq("id", "v", "note"))
+    // time travel serves the PRE-ALTER schema: no note, v still INT
+    val tt = spark.sql(
+      "SELECT * FROM gsql.db.alt VERSION AS OF 'pre-alter'")
+    assert(tt.columns.toSeq == Seq("id", "v", "seg"))
+    assert(tt.schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(tt.count() == 4)
+    // refusals: narrowing, bucket-source widening, partition-source
+    // drop, NOT NULL add
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage != null && (e.getMessage.contains(frag) ||
+        e.getMessage.toLowerCase.contains(frag.toLowerCase)),
+        s"$sql => ${e.getMessage}")
+    }
+    refuses("ALTER TABLE gsql.db.alt ALTER COLUMN v TYPE INT", "")
+    refuses("ALTER TABLE gsql.db.alt ALTER COLUMN id TYPE DECIMAL(20,0)",
+      "")
+    refuses("ALTER TABLE gsql.db.alt DROP COLUMN id",
+      "partition source")
+    refuses("ALTER TABLE gsql.db.alt ADD COLUMN must_nn INT NOT NULL",
+      "nullable")
+  }
+
   // spark.implicits is session-bound; a tiny local helper keeps the
   // suite free of the lazy-session init-order trap
   implicit class SeqToDf[A <: Product : scala.reflect.runtime.universe.TypeTag](
