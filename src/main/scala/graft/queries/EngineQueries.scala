@@ -2365,6 +2365,68 @@ object EngineQueries {
         SELECT 'v1', k, n, b, CAST(NULL AS VARCHAR) FROM base)
       ORDER BY src, c_custkey"""), bench = true),
 
+    // SQL-ADDRESSABLE MAINTENANCE (CALL procedures on the graft
+    // catalog — Iceberg's `CALL catalog.system.…` posture via Spark 4's
+    // native ProcedureCatalog): a pure-SQL session tags, MERGEs (MOR),
+    // folds the delta chains (CALL compact — require()d: all 4 touched
+    // leaves fold), tags the folded state, and rolls back to the seed
+    // (CALL rollback) — then serves BOTH epochs through time travel.
+    // The history inspection table is require()d to record the
+    // merge → compact → rollback sequence. The oracle replays both
+    // epochs relationally.
+    QuerySpec("w33_sql_maintenance", (s, dir) => {
+      Tables.registerAll(s, dir)
+      if (s.conf.getOption("spark.sql.catalog.gw33").isEmpty) {
+        s.conf.set("spark.sql.catalog.gw33", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gw33.warehouse",
+          Files.createTempDirectory("graft-w33").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw33.db")
+      s.sql("DROP TABLE IF EXISTS gw33.db.ord")
+      s.sql("""CREATE TABLE gw33.db.ord
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(4, o_orderkey))""")
+      s.sql("""INSERT INTO gw33.db.ord
+        SELECT CAST(o_orderkey AS BIGINT), CAST(o_totalprice AS DOUBLE)
+        FROM orders""")
+      s.sql("CALL gw33.system.tag('db.ord', 'seed')")
+      // keyed MERGE lands as MOR deltas on every leaf
+      s.sql("""MERGE INTO gw33.db.ord t
+        USING (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                      CAST(0.0 AS DOUBLE) AS o_totalprice
+               FROM orders WHERE o_orderkey % 10 = 0) src
+        ON t.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice""")
+      val folded = s.sql("CALL gw33.system.compact('db.ord')")
+        .collect().map(_.getString(0)).toSeq
+      require(folded.count(_.startsWith("folded ")) == 4,
+        s"CALL compact must fold all 4 MOR leaves: $folded")
+      s.sql("CALL gw33.system.tag('db.ord', 'merged')")
+      s.sql("CALL gw33.system.rollback('db.ord', 'seed')")
+      val ops = s.sql("SELECT action FROM gw33.db.ord.history " +
+        "ORDER BY madeCurrentMs").collect().map(_.getString(0)).toSeq
+      require(ops.containsSlice(Seq("merge", "compact", "rollback")),
+        s"history must record the SQL maintenance sequence: $ops")
+      s.sql("""SELECT src, o_orderkey, o_totalprice FROM (
+        SELECT 'rolled' AS src, o_orderkey, o_totalprice
+        FROM gw33.db.ord
+        UNION ALL
+        SELECT 'merged', o_orderkey, o_totalprice
+        FROM gw33.db.ord VERSION AS OF 'merged')
+        ORDER BY src, o_orderkey""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders)
+      SELECT src, k AS o_orderkey, p AS o_totalprice FROM (
+        SELECT 'merged' AS src, k,
+               CASE WHEN k % 10 = 0 THEN 0.0 ELSE p END AS p
+        FROM base
+        UNION ALL
+        SELECT 'rolled', k, p FROM base)
+      ORDER BY src, o_orderkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, WriteBuilder}
@@ -50,7 +51,8 @@ import graft.engine.SpecManifest.{Bucket, Day, Identity, Month, PartField, Parti
   * pattern) into snapshot commits; MERGE/DELETE/UPDATE convert to
   * runnable commands in [[GraftSqlRules]].
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -371,6 +373,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "GraftCatalog: RENAME is not supported (pinned readers hold " +
         "path-addressed snapshots)")
+
+  // -------------------------------------------------------------------
+  // stored procedures: `CALL <cat>.system.<proc>(…)` — the SQL face of
+  // the maintenance surface (see [[GraftProcedures]])
+
+  /** A procedure's `table` argument (`'db.t'`) resolved to its root,
+    * validated as an existing graft table of THIS catalog. */
+  private[sql] def rootOfTableName(table: String): String = {
+    val parts = table.split("\\.").toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"GraftCatalog: empty table name '$table'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    rootOf(ident)
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"GraftCatalog: procedures live under the 'system' namespace " +
+        s"(CALL $catalogName.system.<proc>), got " +
+        ident.namespace().mkString("."))
+    GraftProcedures.load(ident.name(), this)
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 }
 
 /** Any graft catalog table whose SQL reads substitute in the analyzer

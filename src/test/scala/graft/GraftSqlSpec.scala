@@ -521,6 +521,70 @@ class GraftSqlSpec extends AnyFunSuite {
       "nullable")
   }
 
+  test("CALL procedures run the whole maintenance lifecycle from " +
+      "pure SQL: tag, compact, rollback, branch + fast_forward, " +
+      "expire_snapshots, clean_orphans, analyze") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.mnt (id BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(2, id))""")
+    spark.sql("INSERT INTO gsql.db.mnt " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val root = s"$wh/db/mnt"
+    def call(q: String): Seq[String] =
+      spark.sql(q).collect().map(_.getString(0)).toSeq
+    // tag the seeded state
+    assert(call("CALL gsql.system.tag('db.mnt', 'seeded')")
+      .head.startsWith("tagged s"))
+    // a keyed MERGE layers MOR deltas; CALL compact folds them
+    spark.sql("""MERGE INTO gsql.db.mnt t
+      USING (SELECT CAST(7 AS BIGINT) AS id, -7.0 AS v) s
+      ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v""")
+    val folded = call("CALL gsql.system.compact('db.mnt')")
+    assert(folded.exists(_.startsWith("folded id_bucket=")), folded)
+    assert(call("CALL gsql.system.compact('db.mnt')") ==
+      Seq("no merge-on-read leaves"))
+    assert(spark.sql("SELECT v FROM gsql.db.mnt WHERE id = 7")
+      .head().getDouble(0) == -7.0)
+    // rollback to the tag restores pre-merge content, as a NEW commit
+    assert(call("CALL gsql.system.rollback('db.mnt', 'seeded')")
+      .head.startsWith("rolled back as s"))
+    assert(spark.sql("SELECT v FROM gsql.db.mnt WHERE id = 7")
+      .head().getDouble(0) == 7.0)
+    // write-audit-publish purely via SQL: branch through the Scala API
+    // is commitSnapshotToBranch; here we branch + fast-forward a no-op
+    // head to pin the procedure wiring
+    assert(call("CALL gsql.system.create_branch('db.mnt', 'wap')")
+      .head.startsWith("branched at s"))
+    assert(call("CALL gsql.system.fast_forward('db.mnt', 'wap')")
+      .head.startsWith("fast-forwarded to s"))
+    assert(call("CALL gsql.system.drop_branch('db.mnt', 'wap')") ==
+      Seq("dropped branch wap"))
+    // zone-map collection, then expiry + orphan sweep (grace 0: sweep
+    // everything unreferenced now)
+    assert(call("CALL gsql.system.analyze('db.mnt', 'id,v')")
+      .head.startsWith("analyzed "))
+    assert(call("CALL gsql.system.drop_tag('db.mnt', 'seeded')") ==
+      Seq("dropped tag seeded"))
+    val expired = call("CALL gsql.system.expire_snapshots('db.mnt', " +
+      s"${System.currentTimeMillis() + 1000}, 2)")
+    assert(expired.forall(_.startsWith("expired s")) ||
+      expired == Seq("nothing to expire"), expired)
+    val cleaned = call("CALL gsql.system.clean_orphans('db.mnt', 0)")
+    assert(cleaned.forall(_.startsWith("deleted ")) ||
+      cleaned == Seq("no orphans"), cleaned)
+    // the history inspection table confirms the operation sequence
+    val ops = spark.sql(
+      "SELECT action FROM gsql.db.mnt.history ORDER BY madeCurrentMs")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.containsSlice(Seq("merge", "compact", "rollback")) ||
+      (ops.contains("merge") && ops.contains("compact") &&
+        ops.contains("rollback") && ops.contains("fast-forward")),
+      s"history ops: $ops")
+    // table content survived the full lifecycle
+    assert(spark.sql("SELECT count(*), sum(v) FROM gsql.db.mnt")
+      .head().getLong(0) == 100L)
+  }
+
   // spark.implicits is session-bound; a tiny local helper keeps the
   // suite free of the lazy-session init-order trap
   implicit class SeqToDf[A <: Product : scala.reflect.runtime.universe.TypeTag](
