@@ -380,7 +380,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** A procedure's `table` argument (`'db.t'`) resolved to its root,
     * validated as an existing graft table of THIS catalog. */
-  private[sql] def rootOfTableName(table: String): String = {
+  private[graft] def rootOfTableName(table: String): String = {
     val parts = table.split("\\.").toSeq.filter(_.nonEmpty)
     require(parts.nonEmpty, s"GraftCatalog: empty table name '$table'")
     val ident = Identifier.of(parts.init.toArray, parts.last)

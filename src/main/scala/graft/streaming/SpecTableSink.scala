@@ -51,8 +51,30 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
     extends Sink {
   private def opt(key: String): String = parameters.getOrElse(key,
     sys.error(s"graft-spec-table: missing option '$key'"))
-  private val root = opt("root")
-  private val spec = SpecManifest.parseCompact(opt("spec"))
+  /** Either path-addressed (`root` + `spec` options) or catalog-NAMED:
+    * `option("table", "g.db.t")` resolves through the session's
+    * registered [[graft.sql.GraftCatalog]] — the streaming half of the
+    * SQL surface (spec and schema come from the catalog, and batches
+    * align to the table's CURRENT schema, so the sink composes with
+    * ALTER TABLE). */
+  private val (root: String, spec: SpecManifest.PartitionSpec) =
+    parameters.get("table") match {
+    case Some(t) =>
+      val parts = t.split("\\.").toSeq.filter(_.nonEmpty)
+      require(parts.length >= 2, s"graft-spec-table: table '$t' must " +
+        "be <catalog>.<namespace…>.<name>")
+      org.apache.spark.sql.graft.ColumnBridge
+        .catalogPlugin(ctx.sparkSession, parts.head) match {
+        case g: graft.sql.GraftCatalog =>
+          val r = g.rootOfTableName(parts.tail.mkString("."))
+          (r, SpecManifest.specVersions(ctx.sparkSession, r).last)
+        case other => sys.error(s"graft-spec-table: catalog " +
+          s"'${parts.head}' is ${other.getClass.getName}, not a " +
+          "graft.sql.GraftCatalog")
+      }
+    case None => (opt("root"), SpecManifest.parseCompact(opt("spec")))
+  }
+  private val catalogNamed = parameters.contains("table")
   private val keyCol = opt("keyCol")
   private val sinkId = {
     val id = parameters.getOrElse("sinkId", "default")
@@ -85,8 +107,15 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (batchId <= lastBatch()) return // replayed batch: already committed
     val spark = ctx.sparkSession
-    val batch = org.apache.spark.sql.graft.ColumnBridge
+    val raw = org.apache.spark.sql.graft.ColumnBridge
       .asBatchDataFrame(spark, data)
+    // a catalog-named sink aligns each batch to the table's CURRENT
+    // schema (order, names, types — re-read per batch so a concurrent
+    // ALTER TABLE takes effect at the next micro-batch)
+    val batch =
+      if (!catalogNamed) raw
+      else graft.sql.GraftSqlWrites.alignData(raw,
+        graft.sql.GraftSchemas.current(spark, root))
     // derive each row's leaf through the writer-side transforms, then
     // freeze once: the incremental plan is only valid within this call
     val tagged = spec.fields.foldLeft(batch)((d, f) =>

@@ -65,6 +65,14 @@ object ColumnBridge {
       isStreaming = false)
   }
 
+  /** A registered catalog plugin by name (catalogManager is
+    * private[sql]) — lets the streaming sink resolve a catalog-NAMED
+    * graft table (`g.db.t`) to its root. */
+  def catalogPlugin(spark: org.apache.spark.sql.SparkSession,
+      name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name)
+
   /** Wrapping (2-complement) long arithmetic for hash mixing — ANSI mode
     * (Spark 4 default) makes `*`/`+` throw on overflow, but universal
     * hashing WANTS modular wraparound. */

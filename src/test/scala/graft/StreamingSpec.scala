@@ -1247,3 +1247,68 @@ class StreamingSpec extends AnyFunSuite {
 
 /** Top-level: MemoryStream encoders need an outer-scope-free case class. */
 final case class Upsert(k: Long, payload: String, bk: Int)
+
+/** The streaming half of the SQL surface: `graft-spec-table` resolving
+  * a CATALOG-NAMED table, so a stream lands in the same table SQL
+  * sessions create, query and maintain. */
+class GraftNamedSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  test("graft-spec-table sink resolves option(\"table\", \"g.db.t\") " +
+      "through the session's GraftCatalog: micro-batches land " +
+      "exactly-once as MOR deltas, and SQL reads serve them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.hadoop.fs.{Path => HPath}
+    val wh2 =
+      java.nio.file.Files.createTempDirectory("graft-gstream").toString
+    spark.conf.set("spark.sql.catalog.gstream", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstream.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstream.db")
+    spark.sql("""CREATE TABLE gstream.db.ev
+      (k BIGINT, payload STRING, bk INT)
+      PARTITIONED BY (identity(bk))""")
+    // seed through SQL so every leaf exists (MOR steady state)
+    spark.sql("""INSERT INTO gstream.db.ev VALUES
+      (1, 'a', 0), (2, 'b', 0), (3, 'c', 1)""")
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft-gstream-ck").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Upsert]
+    val q = mem.toDF().writeStream.format("graft-spec-table")
+      .option("table", "gstream.db.ev").option("keyCol", "k")
+      .option("mergeOnRead", "true")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      mem.addData(Upsert(2, "B", 0), Upsert(4, "d", 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT k, payload FROM gstream.db.ev ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")), got)
+    // the steady-state batch layered a MOR delta — it did not rewrite
+    val root = s"$wh2/db/ev"
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = graft.engine.ManifestTable
+      .currentVersion(s"$root/p_bk=0").get
+    assert(fs.exists(new HPath(s"$root/p_bk=0/$live/_mor.tsv")),
+      "the named-sink batch must land merge-on-read")
+    // exactly-once: a REPLAYED batchId through the same table name is
+    // a no-op
+    val sink = new graft.streaming.SpecTableSinkProvider().createSink(
+      spark.sqlContext, Map("table" -> "gstream.db.ev",
+        "keyCol" -> "k", "mergeOnRead" -> "true"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    sink.addBatch(0, Seq(Upsert(2, "XXX", 0)).toDF())
+    assert(spark.sql(
+      "SELECT count(*) FROM gstream.db.ev WHERE payload = 'XXX'")
+      .head().getLong(0) == 0, "replayed batchId must be a no-op")
+    // a NEW batchId commits
+    sink.addBatch(1, Seq(Upsert(5, "e", 1)).toDF())
+    assert(spark.sql("SELECT payload FROM gstream.db.ev WHERE k = 5")
+      .head().getString(0) == "e")
+  }
+}
