@@ -809,10 +809,13 @@ object SpecManifest {
     require(mapping.nonEmpty, s"SpecManifest: empty snapshot $snap")
     val (morLs, pureLs) = mapping.partition { case (k, d) =>
       PartitionedManifest.isMorDir(spark, s"$root/$k/$d") }
-    if (versions.size == 1) {
+    // files spell RENAMED columns by their PHYSICAL (creation-time)
+    // names: serve physically, alias to the logical names at the end
+    val physDecl = dataSchema.map(graft.sql.GraftSchemas.physicalSchema)
+    val served = if (versions.size == 1) {
       val pureDf =
         if (pureLs.isEmpty) None
-        else Some(servePin(spark, root, spec, pureLs, dataSchema))
+        else Some(servePin(spark, root, spec, pureLs, physDecl))
       // K hot MOR leaves serve through ONE grouped resolution (plan
       // width scales with chain depth, never K) with the spec fields
       // recovered from the leaf directory paths
@@ -820,7 +823,7 @@ object SpecManifest {
         if (morLs.isEmpty) None
         else Some(alignMaybe(PartitionedManifest.resolveMorGrouped(spark,
           morLs.map { case (k, d) => (s"$root/$k", d) }, spec.names,
-          None), dataSchema, spec.names))
+          None), physDecl, spec.names))
       (pureDf.toSeq ++ morDf.toSeq).reduce(_.unionByName(_))
     } else {
       // EVOLVED table: each layout generation serves through its OWN
@@ -836,7 +839,7 @@ object SpecManifest {
         .groupBy { case (k, _) => specForLeaf(versions, k) }.toSeq
         .sortBy(_._1.names.mkString("/"))
         .map { case (sp, ls) =>
-          val df = servePin(spark, root, sp, ls, dataSchema)
+          val df = servePin(spark, root, sp, ls, physDecl)
           val missing = spec.fields.filterNot(sp.fields.contains)
           val dropNames = sp.names
             .filterNot(n => spec.fields.exists(f =>
@@ -854,11 +857,18 @@ object SpecManifest {
         .map { case (sp, ls) =>
           val df = alignMaybe(PartitionedManifest.resolveMorGrouped(spark,
             ls.map { case (k, d) => (s"$root/$k", d) }, sp.names, None)
-            .drop(sp.names: _*), dataSchema, Seq.empty)
+            .drop(sp.names: _*), physDecl, Seq.empty)
           spec.fields.foldLeft(df)((x, f) =>
             x.withColumn(f.name, f.derived))
         }
       (pins ++ mors).reduce(_.unionByName(_))
+    }
+    dataSchema match {
+      case Some(ds) if graft.sql.GraftSchemas.hasRenames(ds) =>
+        served.select(ds.map(f =>
+          col(graft.sql.GraftSchemas.physicalName(f)).as(f.name)) ++
+          spec.names.map(col): _*)
+      case _ => served
     }
   }
 
@@ -939,8 +949,10 @@ object SpecManifest {
           org.apache.spark.sql.types.StructType]] =
         if (!graft.sql.GraftSchemas.hasVersions(spark, root)) _ => Seq(None)
         else { sn => Seq(None,
-          Some(graft.sql.GraftSchemas.current(spark, root)),
-          Some(graft.sql.GraftSchemas.forSnapshot(spark, root, sn)))
+          Some(graft.sql.GraftSchemas.physicalSchema(
+            graft.sql.GraftSchemas.current(spark, root))),
+          Some(graft.sql.GraftSchemas.physicalSchema(
+            graft.sql.GraftSchemas.forSnapshot(spark, root, sn))))
         }
       val valid = snapshots(spark, root).flatMap { sn =>
         val m = snapshotMapping(spark, root, sn)

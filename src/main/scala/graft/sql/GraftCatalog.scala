@@ -281,9 +281,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *     the bucket hash is width-sensitive, so widening one would
     *     silently re-derive new rows into different leaves.
     *
+    *   - `RENAME COLUMN a TO b` — metadata-only as well: the field
+    *     keeps its PHYSICAL (creation-time) spelling inside the files
+    *     (recorded as field metadata, the Iceberg field-id idea spelled
+    *     by name); readers alias it out, writers rename before landing
+    *     bytes. Partition sources refuse (the hidden layout derives
+    *     from them by name).
+    *
     * Time travel keeps serving each snapshot under the schema that was
-    * current when it committed ([[GraftSchemas]]). RENAME COLUMN needs
-    * field ids the parquet layout does not carry — refused. */
+    * current when it committed ([[GraftSchemas]]). */
   override def alterTable(ident: Identifier, changes: TableChange*)
       : Table = {
     import TableChange._
@@ -315,10 +321,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val n = a.fieldNames.head
           require(!schema.fieldNames.contains(n),
             s"GraftCatalog: column '$n' already exists")
+          // the new column's PHYSICAL name is its logical name — it
+          // must not collide with a renamed column's physical spelling
+          // (files would then carry two meanings for one name)
+          require(!schema.exists(f =>
+              GraftSchemas.physicalName(f) == n),
+            s"GraftCatalog: '$n' is the physical spelling of renamed " +
+              s"column '${schema.find(f =>
+                GraftSchemas.physicalName(f) == n).map(_.name)
+                .getOrElse("?")}' - pick a fresh name")
           require(a.isNullable,
             "GraftCatalog: ADD COLUMN must be nullable - existing rows " +
               "have no value for it (add nullable, backfill, then use)")
           schema.add(n, a.dataType, nullable = true)
+        case r: RenameColumn =>
+          require(r.fieldNames.length == 1,
+            "GraftCatalog: RENAME COLUMN supports top-level columns only")
+          val n = r.fieldNames.head
+          require(schema.fieldNames.contains(n),
+            s"GraftCatalog: no column '$n'")
+          require(!schema.fieldNames.contains(r.newName),
+            s"GraftCatalog: column '${r.newName}' already exists")
+          val f = schema(n)
+          val phys = GraftSchemas.physicalName(f)
+          require(!allSources.contains(phys),
+            s"GraftCatalog: '$n' is a partition source column - " +
+              "hidden partitioning derives the layout from it")
+          // METADATA-ONLY: the field keeps its physical (creation-time)
+          // spelling inside the files; readers alias it out, writers
+          // rename to it before landing bytes
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          val renamed =
+            if (phys == r.newName) // renamed back to its physical name
+              f.copy(name = r.newName,
+                metadata = md.remove(GraftSchemas.PhysKey).build())
+            else f.copy(name = r.newName, metadata =
+              md.putString(GraftSchemas.PhysKey, phys).build())
+          StructType(schema.map(x => if (x.name == n) renamed else x))
         case d: DeleteColumn =>
           require(d.fieldNames.length == 1,
             "GraftCatalog: DROP COLUMN supports top-level columns only")
@@ -524,14 +564,29 @@ object GraftSqlWrites {
     * carry narrower or wider literals), and a column the frame
     * PREDATES (a leaf read from before an ADD COLUMN) serves as a
     * typed NULL. */
-  def alignData(df: DataFrame, schema: StructType): DataFrame =
+  def alignData(df: DataFrame, schema: StructType,
+      fromFiles: Boolean = false): DataFrame =
     df.select(schema.fields.toSeq.map { f =>
-      if (!df.columns.contains(f.name))
+      // a frame read straight off files (fromFiles) spells a RENAMED
+      // column by its PHYSICAL name; a user/engine-built frame spells
+      // it logically. The caller states which — guessing would be
+      // ambiguous when one field's logical name equals another's
+      // physical (the classic rename-swap migration).
+      val n = if (fromFiles) GraftSchemas.physicalName(f) else f.name
+      if (!df.columns.contains(n))
         org.apache.spark.sql.functions.lit(null).cast(f.dataType)
           .as(f.name)
-      else if (df.schema(f.name).dataType == f.dataType) col(f.name)
-      else col(f.name).cast(f.dataType).as(f.name)
+      else if (df.schema(n).dataType == f.dataType) col(n).as(f.name)
+      else col(n).cast(f.dataType).as(f.name)
     }: _*)
+
+  /** The write-side inverse: a LOGICAL-named frame renamed to the
+    * PHYSICAL column spellings before bytes land (files always carry
+    * physical names, so leaves stay uniform across renames). */
+  def toPhysical(df: DataFrame, schema: StructType): DataFrame =
+    if (!GraftSchemas.hasRenames(schema)) df
+    else df.select(schema.fields.toSeq.map(f =>
+      col(f.name).as(GraftSchemas.physicalName(f))): _*)
 
   /** Distinct derived leaf tuples of `rows` (leaf-count-bounded
     * driver collect — the SpecTableSink posture). */
@@ -587,12 +642,14 @@ object GraftSqlWrites {
         // written before an ADD COLUMN / type widening unions cleanly
         vs -> (if (existing.contains(vs))
           alignData(SpecManifest.readLeaf(spark, table.root, spec, vs),
-            table.dataSchema).unionByName(inc)
+            table.dataSchema, fromFiles = true).unionByName(inc)
         else inc)
       }.toMap
     }
     if (updates.nonEmpty)
-      SpecManifest.commitSnapshot(spark, table.root, spec, updates)
+      SpecManifest.commitSnapshot(spark, table.root, spec,
+        updates.map { case (vs, df) =>
+          vs -> toPhysical(df, table.dataSchema) })
   }
 
   /** The table's rows restricted to `leaves` — an OR-of-conjunctions
@@ -620,7 +677,8 @@ object GraftSqlWrites {
     if (newContent.nonEmpty)
       SpecManifest.commitSnapshot(spark, table.root, table.spec,
         newContent.map { case (vs, df) =>
-          vs -> alignData(df, table.dataSchema) })
+          vs -> toPhysical(alignData(df, table.dataSchema),
+            table.dataSchema) })
 
   private[sql] def leavesOfRows(rows: DataFrame,
       spec: PartitionSpec): Seq[Seq[String]] = leavesOf(rows, spec)

@@ -43,6 +43,28 @@ object GraftSchemas {
 
   private val Dir = "_schemas"
 
+  /** Field-metadata key carrying a RENAMED column's PHYSICAL name (the
+    * column name inside the parquet files, i.e. the name at creation
+    * time). Absent = logical name IS the physical name. RENAME COLUMN
+    * is thereby metadata-only, like every other ALTER: readers declare
+    * physical names over the files and alias out; writers rename
+    * logical frames to physical before landing bytes. */
+  val PhysKey = "graft.physical"
+
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  /** The schema as the FILES spell it: logical names replaced by their
+    * physical names (metadata dropped — physical is self-referential). */
+  def physicalSchema(s: StructType): StructType =
+    StructType(s.map(f => org.apache.spark.sql.types.StructField(
+      physicalName(f), f.dataType, f.nullable)))
+
+  /** True when any field's logical name differs from its physical. */
+  def hasRenames(s: StructType): Boolean =
+    s.exists(f => physicalName(f) != f.name)
+
   private def fsOf(spark: SparkSession, root: String) =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

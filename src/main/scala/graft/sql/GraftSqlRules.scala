@@ -190,9 +190,12 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     val touched = GraftSqlWrites.leavesOfRows(removed, table.spec)
     if (touched.isEmpty) return Seq.empty
     val dataCols = table.dataSchema.fieldNames.toSeq
+    // files (and so delta chains) spell RENAMED columns physically
+    val physSchema = GraftSchemas.physicalSchema(table.dataSchema)
+    val physCols = physSchema.fieldNames.toSeq
     val chainsOk = touched.forall(vs =>
       SpecManifest.leafChainKeys(spark, table.root, table.spec, vs)
-        .forall(_ == dataCols))
+        .forall(_ == physCols))
     val noNulls = removed.filter(
       dataCols.map(col(_).isNull).reduce(_ || _)).isEmpty
     // a leaf whose physical schema predates a catalog ALTER cannot
@@ -201,16 +204,18 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     val schemasOk = touched.forall(vs =>
       SpecManifest.leafBottomSchema(spark, table.root, table.spec, vs)
         .map(f => (f.name, f.dataType)) ==
-        table.dataSchema.map(f => (f.name, f.dataType)).toSeq)
+        physSchema.map(f => (f.name, f.dataType)).toSeq)
     if (chainsOk && noNulls && schemasOk) {
-      SpecManifest.commitMerge(spark, table.root, table.spec, dataCols,
+      SpecManifest.commitMerge(spark, table.root, table.spec, physCols,
         deletes = touched.map(vs =>
-          vs -> GraftSqlWrites.rowsOfLeaf(removed, table.spec, vs)).toMap)
+          vs -> GraftSqlWrites.toPhysical(
+            GraftSqlWrites.rowsOfLeaf(removed, table.spec, vs),
+            table.dataSchema)).toMap)
     } else {
       val updates = touched.map { vs =>
         val leaf = GraftSqlWrites.alignData(
           SpecManifest.readLeaf(spark, table.root, table.spec, vs),
-          table.dataSchema)
+          table.dataSchema, fromFiles = true)
         // SQL DELETE removes only rows where the condition IS TRUE: a
         // NULL-valued condition keeps its row (not(NULL) is NULL and
         // would silently drop it — the Delta/Iceberg rewrite posture
@@ -255,7 +260,7 @@ case class GraftUpdateCommand(table: GraftSqlTable,
     val updates = touched.map { vs =>
       val leaf = GraftSqlWrites.alignData(
         SpecManifest.readLeaf(spark, table.root, table.spec, vs),
-        table.dataSchema)
+        table.dataSchema, fromFiles = true)
       val lm = m(leaf)
       val c = condOn(leaf)
       vs -> leaf.select(table.dataSchema.fieldNames.toSeq.map { n =>
@@ -548,28 +553,34 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     }
     val matchedSafe = (matched ++ notMatchedBySource).forall(actionSafe)
     val existing = SpecManifest.leafKeys(spark, table.root, spec).toSet
+    // files (and so delta chains) spell RENAMED columns physically
+    val physSchema = GraftSchemas.physicalSchema(table.dataSchema)
+    def physOf(logical: String): String =
+      GraftSchemas.physicalName(table.dataSchema(logical))
+    val tKeysPhys = tKeys.map(physOf)
     val chainsOk = touched.forall(vs =>
       SpecManifest.leafChainKeys(spark, table.root, spec, vs)
-        .forall(_ == tKeys))
+        .forall(_ == tKeysPhys))
     // a leaf whose physical schema predates a catalog ALTER cannot
     // take catalog-shaped deltas — copy-on-write rewrites it instead
     val schemasOk = touched.forall(vs =>
       !existing.contains(vs) ||
         SpecManifest.leafBottomSchema(spark, table.root, spec, vs)
           .map(f => (f.name, f.dataType)) ==
-          table.dataSchema.map(f => (f.name, f.dataType)).toSeq)
+          physSchema.map(f => (f.name, f.dataType)).toSeq)
     if (matchedSafe && chainsOk && schemasOk &&
         touched.forall(existing.contains)) {
       val ups = added.map(a2 => touched.map(vs =>
-        vs -> GraftSqlWrites.rowsOfLeaf(a2, spec, vs)).toMap)
-        .getOrElse(Map.empty[Seq[String], DataFrame])
+        vs -> GraftSqlWrites.toPhysical(
+          GraftSqlWrites.rowsOfLeaf(a2, spec, vs), table.dataSchema))
+        .toMap).getOrElse(Map.empty[Seq[String], DataFrame])
       // only DELETE-clause rows remove keys the upserts don't replace
       val dels = deletedOld.map(d => touched.map(vs =>
         vs -> GraftSqlWrites.rowsOfLeaf(d, spec, vs)
-          .select(tKeys.map(col): _*)).toMap)
+          .select(tKeys.map(k => col(k).as(physOf(k))): _*)).toMap)
         .getOrElse(Map.empty[Seq[String], DataFrame])
       if (ups.nonEmpty || dels.nonEmpty)
-        SpecManifest.commitMerge(spark, table.root, spec, tKeys,
+        SpecManifest.commitMerge(spark, table.root, spec, tKeysPhys,
           upserts = ups, deletes = dels)
       return Seq.empty
     }
@@ -583,7 +594,7 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
             table.dataSchema)
         else GraftSqlWrites.alignData(
           SpecManifest.readLeaf(spark, table.root, table.spec, vs),
-          table.dataSchema)
+          table.dataSchema, fromFiles = true)
       val minus = removed match {
         case Some(r) =>
           val keys = GraftSqlWrites.rowsOfLeaf(r, spec, vs)

@@ -111,11 +111,17 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
       .asBatchDataFrame(spark, data)
     // a catalog-named sink aligns each batch to the table's CURRENT
     // schema (order, names, types — re-read per batch so a concurrent
-    // ALTER TABLE takes effect at the next micro-batch)
-    val batch =
-      if (!catalogNamed) raw
-      else graft.sql.GraftSqlWrites.alignData(raw,
-        graft.sql.GraftSchemas.current(spark, root))
+    // ALTER TABLE takes effect at the next micro-batch), then renames
+    // to the PHYSICAL column spellings (files never see logical
+    // renames); the key column follows the same mapping
+    val (batch, keyColPhys) =
+      if (!catalogNamed) (raw, keyCol)
+      else {
+        val schema = graft.sql.GraftSchemas.current(spark, root)
+        (graft.sql.GraftSqlWrites.toPhysical(
+          graft.sql.GraftSqlWrites.alignData(raw, schema), schema),
+          graft.sql.GraftSchemas.physicalName(schema(keyCol)))
+      }
     // derive each row's leaf through the writer-side transforms, then
     // freeze once: the incremental plan is only valid within this call
     val tagged = spec.fields.foldLeft(batch)((d, f) =>
@@ -135,7 +141,7 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
         ManifestTable.currentVersion(s"$root/${leafPathOf(vs)}")
           .isDefined)
       if (mergeOnRead && allExist) {
-        SpecManifest.commitMerge(spark, root, spec, Seq(keyCol),
+        SpecManifest.commitMerge(spark, root, spec, Seq(keyColPhys),
           upserts = touched.map(vs => vs -> leafOf(vs)).toMap,
           keepSnapshots = keepSnapshots)
       } else {
@@ -146,7 +152,7 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
                 s"$root/${leafPathOf(vs)}").isDefined) {
               // MOR-resolving read of the leaf's current content
               val cur = SpecManifest.readLeaf(spark, root, spec, vs)
-              cur.join(d.select(col(keyCol)), Seq(keyCol), "left_anti")
+              cur.join(d.select(col(keyColPhys)), Seq(keyColPhys), "left_anti")
                 .unionByName(d)
             } else d // brand-new leaf (current-spec-only, enforced)
           vs -> merged

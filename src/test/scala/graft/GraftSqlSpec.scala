@@ -585,6 +585,59 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 100L)
   }
 
+  test("RENAME COLUMN is metadata-only, survives the classic " +
+      "rename-swap migration (id->id_old, id_new->id, drop id_old), " +
+      "and keeps serving reads, DML and merges") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.ren (id INT, fld BIGINT)
+      PARTITIONED BY (bucket(2, fld))""")
+    spark.sql("INSERT INTO gsql.db.ren " +
+      "SELECT CAST(id AS INT), id * 10 FROM range(50)")
+    val root = s"$wh/db/ren"
+    // the int4->int8 posture: add the wide column, backfill, swap
+    spark.sql("ALTER TABLE gsql.db.ren ADD COLUMN id_new BIGINT")
+    spark.sql("UPDATE gsql.db.ren SET id_new = CAST(id AS BIGINT)")
+    def leafDirs(): Seq[String] = (0 until 2).flatMap(b =>
+      graft.engine.ManifestTable.currentVersion(s"$root/fld_bucket=$b"))
+    val before = leafDirs()
+    spark.sql("ALTER TABLE gsql.db.ren RENAME COLUMN id TO id_old")
+    spark.sql("ALTER TABLE gsql.db.ren RENAME COLUMN id_new TO id")
+    spark.sql("ALTER TABLE gsql.db.ren DROP COLUMN id_old")
+    assert(leafDirs() == before,
+      "RENAME/DROP COLUMN must not move a byte of data")
+    assert(spark.sql("SELECT * FROM gsql.db.ren").columns.toSeq ==
+      Seq("fld", "id"))
+    assert(spark.table("gsql.db.ren").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the surviving id is the widened one")
+    assert(spark.sql("SELECT sum(id) FROM gsql.db.ren")
+      .head().getLong(0) == (0 until 50).sum)
+    // DML through the renamed column: filter + assignment + merge
+    spark.sql("DELETE FROM gsql.db.ren WHERE id = 49")
+    spark.sql("""MERGE INTO gsql.db.ren t
+      USING (SELECT CAST(1000 AS BIGINT) AS fld,
+                    CAST(100 AS BIGINT) AS id) s
+      ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql(
+      "SELECT id, fld FROM gsql.db.ren WHERE id >= 48 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((48L, 480L), (100L, 1000L)), got)
+    assert(spark.sql("SELECT count(*) FROM gsql.db.ren")
+      .head().getLong(0) == 50)
+    // a rename cannot shadow a renamed column's physical spelling
+    spark.sql("ALTER TABLE gsql.db.ren RENAME COLUMN id TO id2")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.db.ren ADD COLUMN id_new DOUBLE")
+    }
+    assert(e.getMessage.contains("physical spelling"), e.getMessage)
+    // renaming a partition source refuses
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.db.ren RENAME COLUMN fld TO fld2")
+    }
+    assert(e2.getMessage.contains("partition source"), e2.getMessage)
+  }
+
   // spark.implicits is session-bound; a tiny local helper keeps the
   // suite free of the lazy-session init-order trap
   implicit class SeqToDf[A <: Product : scala.reflect.runtime.universe.TypeTag](
