@@ -32,6 +32,17 @@ final case class RunnerConf(
       * registered — a user's unmodified reference-format packets run
       * as-is (c20/c21 are the query-level twins of this path) */
     pgDialect: Boolean = false,
+    /** PG-schema → catalog-namespace mapping for verbatim packets whose
+      * DDL/DML targets NAMED tables (e.g. `public` → `g.db`): table
+      * references rewrite through it, and the PG-DDL surface
+      * ([[PgDdl]]: serial sequences, triggers, constraints, unique
+      * indexes, rename swaps, UPDATE…FROM) executes against the mapped
+      * graft SQL tables. Empty = off. */
+    pgSchemaMap: Map[String, String] = Map.empty,
+    /** PARTITIONED BY clause for tables a verbatim packet CREATEs
+      * (PG DDL has no partition clause; graft tables require one),
+      * keyed by simple table name. */
+    pgCreatePartition: Map[String, String] = Map.empty,
     /** polled on failure: true → the run was cancelled (E18/E19), result
       * code `terminate` instead of `fail` (reference is_terminate checks,
       * dbccore.py:1146-1150) */
@@ -111,7 +122,12 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
   // swallowed webhook failures land in this run's log stream, not stderr
   private implicit val hookLog: HookSink.Log = HookSink.Log(log(_, _))
 
-  def runPacket(packet: Packet): RunResult = {
+  def runPacket(packet: Packet): RunResult =
+    // every rewrite in this run (steps, generators, DO bodies) maps
+    // PG-schema-qualified names through conf.pgSchemaMap
+    PgDialectRewriter.withTableMap(conf.pgSchemaMap)(runPacket0(packet))
+
+  private def runPacket0(packet: Packet): RunResult = {
     log(s"packet ${packet.name} started on ${conf.target}")
     errorsCount = 0
     tracker.initTables()
@@ -692,9 +708,14 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       else {
         graft.sources.PgCatalog.ensureFunctionsRegistered(spark)
         // DO blocks stay RAW: PlPgSqlDo rewrites their inner queries
-        // itself (the outer $$ body is not SQL the rewriter lexes)
+        // itself (the outer $$ body is not SQL the rewriter lexes);
+        // PG-DDL statements on mapped tables stay RAW too ([[PgDdl]]
+        // maps names and dispatches itself — dollar-quoted function
+        // bodies are not SQL the rewriter lexes either)
         stms0.map(st =>
-          if (PlPgSqlDo.isDo(st)) st else PgDialectRewriter.rewrite(st))
+          if (PlPgSqlDo.isDo(st) ||
+              PgDdl.handles(st, conf.pgSchemaMap)) st
+          else PgDialectRewriter.rewrite(st))
       }
     val results = mutable.Buffer.empty[ResultSet]
     val pt = packet.meta.packetType
@@ -738,16 +759,34 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
       }
       return
     }
+    // PG-DDL inner executor for DO-gated DDL (the int4→int8 packet's
+    // trigger/constraint setup runs INSIDE an IF … THEN … END IF)
+    def pgExec(st: String): Unit =
+      if (PgDdl.handles(st, conf.pgSchemaMap))
+        PgDdl.execute(spark, conf.pgSchemaMap, conf.pgCreatePartition,
+          st, m => notices += Notice("INFO", m))
+      else executeOne(ctx, packet, pt, PgDialectRewriter.rewrite(st),
+        results)
     stms.foreach { stm =>
       // verbatim PL/pgSQL DO blocks (alert packets' condition-gated
       // raises) run through the narrow executor INSTEAD of the SQL
       // path, and ahead of the read-only guard: the reference runs DO
       // under a read-only session and PG enforces writes inside — this
-      // executor only ever SELECTs, and a raise exception throws into
-      // the E22 raise path
-      if (conf.pgDialect && PlPgSqlDo.isDo(stm))
-        PlPgSqlDo.execute(spark, stm,
+      // executor only ever SELECTs (or routes gated DDL through the
+      // PG-DDL layer), and a raise exception throws into the E22 path
+      if (conf.pgDialect && PlPgSqlDo.isDo(stm)) {
+        if (conf.pgSchemaMap.nonEmpty &&
+            stm.toLowerCase.contains("information_schema"))
+          PgDdl.refreshInfoSchema(spark, conf.pgSchemaMap)
+        if (conf.pgSchemaMap.nonEmpty)
+          PlPgSqlDo.execute(spark, stm,
+            m => notices += Notice("NOTICE", m), pgExec)
+        else PlPgSqlDo.execute(spark, stm,
           m => notices += Notice("NOTICE", m))
+      }
+      else if (conf.pgDialect && PgDdl.handles(stm, conf.pgSchemaMap))
+        PgDdl.execute(spark, conf.pgSchemaMap, conf.pgCreatePartition,
+          stm, m => notices += Notice("INFO", m))
       else executeOne(ctx, packet, pt, stm, results)
     }
     if (results.nonEmpty) {
@@ -839,7 +878,9 @@ final class PacketRunner(spark: SparkSession, conf: RunnerConf) {
     * serve (e.g. pg_amop) is a recorded no-op, not a failure — the
     * reference's ANALYZE succeeds regardless of table size or use. */
   private def pgMaintenance(stm: String): Unit = {
+    // the rewriter renders mapped multi-part names with spaced dots
     val s = SqlSplitter.stripComments(stm).trim.stripSuffix(";")
+      .replaceAll("\\s*\\.\\s*", ".")
     val m = "(?is)^(analyze|vacuum)\\b(?:\\s+(?:full|freeze|verbose|" +
       "analyze))*\\s*([A-Za-z_][\\w.]*)?\\s*$"
     m.r.findFirstMatchIn(s) match {

@@ -278,8 +278,46 @@ object PgDialectRewriter {
     Set("regclass", "regnamespace", "regrole", "name", "char", "oid")
 
   // ------------------------------------------------------------------
+  /** Scoped PG-schema → catalog-namespace mapping (RunnerConf
+    * .pgSchemaMap): inside [[withTableMap]], `public.t` rewrites to the
+    * mapped multi-part name and `information_schema.columns` to the
+    * engine-materialized `dbc_info_columns` view. Thread-local — each
+    * packet run scopes its own. */
+  private val tableMap =
+    new scala.util.DynamicVariable[Map[String, String]](Map.empty)
+
+  def withTableMap[A](m: Map[String, String])(f: => A): A =
+    if (m.isEmpty) f else tableMap.withValue(m)(f)
+
+  private def mapTables(ts0: Vector[Tok]): Vector[Tok] = {
+    val m = tableMap.value
+    if (m.isEmpty) return ts0
+    val b = Vector.newBuilder[Tok]
+    var k = 0
+    while (k < ts0.length) {
+      ts0(k) match {
+        case Ident(s) if k + 2 < ts0.length && ts0(k + 1) == Punct(".") =>
+          ts0(k + 2) match {
+            case Ident(t)
+                if s.equalsIgnoreCase("information_schema") &&
+                  t.equalsIgnoreCase("columns") =>
+              b += Ident("dbc_info_columns"); k += 3
+            case Ident(t) if m.contains(s.toLowerCase) =>
+              m(s.toLowerCase).split("\\.").foreach { part =>
+                b += Ident(part); b += Punct(".")
+              }
+              b += Ident(t)
+              k += 3
+            case _ => b += ts0(k); k += 1
+          }
+        case t => b += t; k += 1
+      }
+    }
+    b.result()
+  }
+
   def rewrite(sql: String): String = {
-    var ts = lex(sql).filterNot(_.isInstanceOf[Comment])
+    var ts = mapTables(lex(sql).filterNot(_.isInstanceOf[Comment]))
     // trailing statement terminator
     while (ts.nonEmpty && ts.last == Punct(";")) ts = ts.dropRight(1)
 

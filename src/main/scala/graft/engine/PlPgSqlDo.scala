@@ -31,8 +31,20 @@ object PlPgSqlDo {
   def isDo(stm: String): Boolean =
     SqlSplitter.firstKeyword(stm).equalsIgnoreCase("do")
 
+  /** Default inner-statement executor: only `raise` is allowed (the
+    * alert-packet posture). The PG-DDL path passes a real callback so
+    * DO-gated DDL (the int4→int8 packet's trigger/constraint setup)
+    * executes through the engine's statement machinery. */
+  private def refuseExec(st: String): Unit = sys.error(
+    s"PlPgSqlDo: unsupported statement inside DO (only raise, or DDL " +
+      s"via the pgSchemaMap path): ${st.take(120)}")
+
   def execute(spark: SparkSession, stm: String,
-      notice: String => Unit): Unit = {
+      notice: String => Unit): Unit =
+    execute(spark, stm, notice, refuseExec)
+
+  def execute(spark: SparkSession, stm: String,
+      notice: String => Unit, exec: String => Unit): Unit = {
     val clean = SqlSplitter.stripComments(stm).trim
     val body = {
       val m = ("(?is)^\\s*do\\s+\\$\\$\\s*begin\\b(.*?)\\bend\\s*" +
@@ -58,26 +70,54 @@ object PlPgSqlDo {
       }
       return
     }
-    // two further supported statements: IF EXISTS(...) THEN <raise>;
-    // END IF; and a bare <raise>;
-    val ifRx = "(?is)^if\\s+exists\\s*\\(".r
+    // two further supported statements: IF <cond> THEN <stmts> END IF;
+    // and a bare <raise>; — inside THEN, `raise` runs here and anything
+    // else goes through the caller's executor (refused by default)
+    val ifRx = "(?is)^if\\b(.*?)\\bthen\\b(.*)\\bend\\s+if\\s*;?$".r
     ifRx.findFirstMatchIn(body) match {
       case Some(m) =>
-        val open = m.matched.length - 1
-        val close = matchParen(body, open)
-        val guard = body.substring(open + 1, close)
-        val rest = body.substring(close + 1).trim
-        val thenRx = "(?is)^then\\b(.*?);\\s*end\\s+if\\s*;?$".r
-        val raisePart = thenRx.findFirstMatchIn(rest).getOrElse(
-          sys.error(s"PlPgSqlDo: unsupported IF tail: ${rest.take(120)}"))
-          .group(1).trim
-        val fires = spark.sql(PgDialectRewriter.rewrite(guard))
-          .limit(1).count() > 0
-        if (fires) runRaise(spark, raisePart, notice)
+        val cond = m.group(1).trim
+        val inner = m.group(2).trim
+        if (evalCond(spark, cond)) {
+          SqlSplitter.split(inner).map(_.trim).filter(_.nonEmpty)
+            .foreach { st =>
+              if (SqlSplitter.firstKeyword(st)
+                  .equalsIgnoreCase("raise"))
+                runRaise(spark, st.stripSuffix(";").trim, notice)
+              else exec(st)
+            }
+        }
       case None =>
         val raisePart = body.stripSuffix(";").trim
         runRaise(spark, raisePart, notice)
     }
+  }
+
+  /** Evaluate an IF condition as one scalar boolean. `exists(<q>)`
+    * sub-forms rewrite to count-scalar subqueries first (Spark allows
+    * EXISTS only in filters), so shapes like `exists(…) = false` and
+    * `(SELECT is_nullable FROM …) = 'YES'` all evaluate uniformly. */
+  private def evalCond(spark: SparkSession, cond: String): Boolean = {
+    val sb = new StringBuilder
+    val rx = "(?is)exists\\s*\\(".r
+    var rest = cond
+    while (rest.nonEmpty) {
+      rx.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(rest, open)
+          sb ++= rest.substring(0, m.start)
+          sb ++= "((SELECT count(*) FROM (" +
+            rest.substring(open + 1, close) + ") dbc_exists_probe) > 0)"
+          rest = rest.substring(close + 1)
+        case None =>
+          sb ++= rest
+          rest = ""
+      }
+    }
+    val row = spark.sql(PgDialectRewriter.rewrite(
+      s"SELECT (${sb.toString}) AS c")).head()
+    !row.isNullAt(0) && row.getBoolean(0)
   }
 
   /** `raise (exception|notice) 'fmt'[, arg]…` — each `%` consumes one

@@ -323,11 +323,31 @@ object SpecManifest {
     * pointer adoption with kept-snapshot GC protection, one atomic
     * root snapshot swap — [[PartitionedManifest.commitSnapshot]]
     * generalized to composite keys. */
+  /** Thrown when a [[commitSnapshot]] conflict guard trips: another
+    * committer landed between the caller's read and its commit, so the
+    * caller's replacement frames were computed from a stale base —
+    * re-read and retry (the Iceberg/Delta optimistic-concurrency
+    * posture; copy-on-write writers MUST use the guard or a racing
+    * commit's rows silently vanish under theirs). */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
   def commitSnapshot(spark: SparkSession, root: String,
       spec: PartitionSpec, updates: Map[Seq[String], DataFrame],
-      keepSnapshots: Int = 2): String = {
+      keepSnapshots: Int = 2,
+      expectedBase: Option[Option[String]] = None): String = {
     require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
     ManifestTable.withPublishLock(root) {
+      // CONFLICT GUARD, first thing under the lock: the caller states
+      // which snapshot its replacement frames were computed from
+      expectedBase.foreach { expected =>
+        val cur = currentSnapshot(spark, root)
+        if (cur != expected)
+          throw new ConcurrentCommitException(
+            s"SpecManifest: a concurrent commit moved $root from " +
+              s"$expected to $cur - recompute against the new base " +
+              "and retry")
+      }
       val fs = fsOf(spark, root)
       // create-table-on-first-commit: a fresh root adopts the writer's
       // spec as v1 (the streaming sink's bootstrap path); an existing
@@ -919,13 +939,20 @@ object SpecManifest {
       val partCols = spec.names.map(n => s"`$n` string").mkString(", ")
       // graft.spec: HiddenPartitionRule derives partition filters from
       // bare source-column equalities over this relation (transparent
-      // hidden partitioning); graft.zonemaps: file skipping below
-      spark.sql(s"CREATE TABLE `$table` ($cols, $partCols) " +
+      // hidden partitioning); graft.zonemaps: file skipping below.
+      // Pin names are content-derived, so a RACING reader creating the
+      // same pin built the identical table — losing the create race is
+      // benign (the partition adds below are idempotent either way)
+      try spark.sql(s"CREATE TABLE `$table` ($cols, $partCols) " +
         s"USING parquet PARTITIONED BY (${spec.names.map(n => s"`$n`")
           .mkString(", ")}) LOCATION '$root' " +
         s"TBLPROPERTIES ('${graft.plans.ZoneMaps.Prop}'='true', " +
         s"'${graft.plans.HiddenPartitions.Prop}'=" +
         s"'${spec.renderCompact}')")
+      catch {
+        case _: org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException => ()
+      }
       val adds = mapping.map { case (k, d) =>
         val specClause = k.split("/").map { seg =>
           val Array(n, v) = seg.split("=", 2)

@@ -66,6 +66,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** The warehouse directory (the PG-DDL emulation layer keeps its
+    * sequence/trigger/constraint state under `<warehouse>/_pg/`). */
+  private[graft] def warehouseDir: String = warehouse
+
   private def spark: SparkSession = SparkSession.active
 
   private def fs = new HPath(warehouse)
@@ -558,6 +562,28 @@ class GraftSqlTable(tableName: String, val root: String,
   * touched leaves, never the table). */
 object GraftSqlWrites {
 
+  /** OPTIMISTIC-CONCURRENCY retry loop for copy-on-write DML: the body
+    * captures the table's current snapshot, computes replacement
+    * frames against it, and commits with the conflict guard; when a
+    * racing committer moved the table first, the whole body re-runs
+    * against the fresh base (bounded attempts, then loud). Merge-on-
+    * read commits need no guard — commitMerge re-binds deltas to the
+    * fresh base under the lock by design. */
+  def withConflictRetry[A](what: String, attempts: Int = 5)(f: => A): A = {
+    var i = 0
+    while (true) {
+      try return f
+      catch {
+        case e: SpecManifest.ConcurrentCommitException =>
+          i += 1
+          if (i >= attempts) throw new IllegalStateException(
+            s"graft $what: lost the commit race $attempts times - " +
+              "giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Align `df` to the table's data schema: column order, names and
     * TYPES — writers never land a frame whose physical types drift
     * from the catalog schema (assignment and VALUES expressions may
@@ -623,10 +649,18 @@ object GraftSqlWrites {
       mode: String): Unit = {
     val spec = table.spec
     val aligned = alignData(data, table.dataSchema).localCheckpoint()
+    withConflictRetry(s"INSERT into ${table.name()}") {
+      insertOnce(spark, table, aligned, mode)
+    }
+  }
+
+  private def insertOnce(spark: SparkSession, table: GraftSqlTable,
+      aligned: DataFrame, mode: String): Unit = {
+    val spec = table.spec
+    val base = SpecManifest.currentSnapshot(spark, table.root)
     val incomingLeaves = leavesOf(aligned, spec)
     val existing: Set[Seq[String]] =
-      if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
-        Set.empty
+      if (base.isEmpty) Set.empty
       else SpecManifest.leafKeys(spark, table.root, spec).toSet
     val updates: Map[Seq[String], DataFrame] = mode match {
       case "truncate" =>
@@ -649,7 +683,8 @@ object GraftSqlWrites {
     if (updates.nonEmpty)
       SpecManifest.commitSnapshot(spark, table.root, spec,
         updates.map { case (vs, df) =>
-          vs -> toPhysical(df, table.dataSchema) })
+          vs -> toPhysical(df, table.dataSchema) },
+        expectedBase = Some(base))
   }
 
   /** The table's rows restricted to `leaves` — an OR-of-conjunctions
@@ -673,12 +708,14 @@ object GraftSqlWrites {
   /** Per-leaf REPLACEMENT commit for the DML commands: `newContent`
     * maps each touched leaf to its full new rows. */
   def replaceLeaves(spark: SparkSession, table: GraftSqlTable,
-      newContent: Map[Seq[String], DataFrame]): Unit =
+      newContent: Map[Seq[String], DataFrame],
+      expectedBase: Option[Option[String]] = None): Unit =
     if (newContent.nonEmpty)
       SpecManifest.commitSnapshot(spark, table.root, table.spec,
         newContent.map { case (vs, df) =>
           vs -> toPhysical(alignData(df, table.dataSchema),
-            table.dataSchema) })
+            table.dataSchema) },
+        expectedBase = expectedBase)
 
   private[sql] def leavesOfRows(rows: DataFrame,
       spec: PartitionSpec): Seq[Seq[String]] = leavesOf(rows, spec)

@@ -180,9 +180,12 @@ case class GraftInsertCommand(table: GraftSqlTable, query: LogicalPlan,
 case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     relOutput: Seq[Attribute])
     extends LeafRunnableCommand with SupportsSubquery {
-  override def run(spark: SparkSession): Seq[Row] = {
-    if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
-      return Seq.empty
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlWrites.withConflictRetry(s"DELETE on ${table.name()}")(
+      runOnce(spark))
+  private def runOnce(spark: SparkSession): Seq[Row] = {
+    val base = SpecManifest.currentSnapshot(spark, table.root)
+    if (base.isEmpty) return Seq.empty
     def condOn(df: DataFrame) =
       GraftDml.colOn(cond, GraftDml.attrMap(relOutput, df))
     val tgt = table.buildRead(spark)
@@ -222,7 +225,7 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
         // coalesces to false before inverting)
         vs -> leaf.filter(not(coalesce(condOn(leaf), lit(false))))
       }.toMap
-      GraftSqlWrites.replaceLeaves(spark, table, updates)
+      GraftSqlWrites.replaceLeaves(spark, table, updates, Some(base))
     }
     Seq.empty
   }
@@ -235,9 +238,12 @@ case class GraftUpdateCommand(table: GraftSqlTable,
     assignments: Seq[Assignment], cond: Option[Expression],
     relOutput: Seq[Attribute])
     extends LeafRunnableCommand with SupportsSubquery {
-  override def run(spark: SparkSession): Seq[Row] = {
-    if (SpecManifest.currentSnapshot(spark, table.root).isEmpty)
-      return Seq.empty
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlWrites.withConflictRetry(s"UPDATE on ${table.name()}")(
+      runOnce(spark))
+  private def runOnce(spark: SparkSession): Seq[Row] = {
+    val base = SpecManifest.currentSnapshot(spark, table.root)
+    if (base.isEmpty) return Seq.empty
     val byName: Map[String, Expression] = assignments.map { a =>
       val name = a.key match {
         case ar: AttributeReference => ar.name
@@ -271,7 +277,7 @@ case class GraftUpdateCommand(table: GraftSqlTable,
         }
       }: _*)
     }.toMap
-    GraftSqlWrites.replaceLeaves(spark, table, updates)
+    GraftSqlWrites.replaceLeaves(spark, table, updates, Some(base))
     Seq.empty
   }
 }
@@ -308,8 +314,13 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
 
   private val ClauseCol = "_graft_merge_clause"
 
-  override def run(spark: SparkSession): Seq[Row] = {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlWrites.withConflictRetry(s"MERGE into ${table.name()}")(
+      runOnce(spark))
+
+  private def runOnce(spark: SparkSession): Seq[Row] = {
     import GraftDml._
+    val base0 = SpecManifest.currentSnapshot(spark, table.root)
     val srcDf = ColumnBridge.ofRows(spark, source).localCheckpoint()
     val srcMap = attrMap(source.output, srcDf)
     val targetIds = targetOutput.map(_.exprId).toSet
@@ -360,8 +371,7 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     val dataCols = table.dataSchema.fieldNames.toSeq
     val spec = table.spec
     val specSources = spec.fields.map(_.source).toSet
-    val hasSnapshot =
-      SpecManifest.currentSnapshot(spark, table.root).isDefined
+    val hasSnapshot = base0.isDefined
     // bucket-local eligibility: key-derived leaves bound the target
     val srcLeaves: Option[Seq[Seq[String]]] =
       if (!hasSnapshot || notMatchedBySource.nonEmpty ||
@@ -610,7 +620,7 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
       }
       vs -> plus
     }.toMap
-    GraftSqlWrites.replaceLeaves(spark, table, updates)
+    GraftSqlWrites.replaceLeaves(spark, table, updates, Some(base0))
     Seq.empty
   }
 }

@@ -1271,6 +1271,92 @@ class EngineSpec extends AnyFunSuite {
       "verbatim re-run must execute zero new actions")
   }
 
+  test("the reference's FLAGSHIP int4->int8 packet runs VERBATIM from " +
+      "/root/reference against a graft SQL table: serial seeding, " +
+      "trigger-guarded concurrent insert, generator-batched MERGE " +
+      "backfill, constraint + unique-index validation, rename swap - " +
+      "tracker dedup intact") {
+    import org.apache.spark.sql.functions.col
+    graft.sources.PgCatalog.ensureFunctionsRegistered(spark)
+    if (spark.conf.getOption("spark.sql.catalog.gpgddl").isEmpty) {
+      spark.conf.set("spark.sql.catalog.gpgddl", "graft.sql.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gpgddl.warehouse",
+        Files.createTempDirectory("graft-pgddl").toString)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpgddl.db")
+    val wh = spark.conf.get("spark.sql.catalog.gpgddl.warehouse")
+    val state = tmpState()
+    val schemaMap = Map("public" -> "gpgddl.db")
+    val conf = RunnerConf(stateDir = state, pgDialect = true,
+      pgSchemaMap = schemaMap,
+      pgCreatePartition = Map("test_tbl" -> "bucket(4, fld_1)"))
+    // the reference's whole point: a concurrent writer inserts WHILE
+    // the migration runs, and the 01-step trigger keeps id_new in sync
+    // for rows the backfill may already have passed — fire two inserts
+    // through the PG-DDL path as soon as the trigger registers
+    @volatile var lateRows = 0
+    val writer = new Thread(() => {
+      val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val trig =
+        new org.apache.hadoop.fs.Path(s"$wh/_pg/trig_test_tbl_tg")
+      val deadline = System.currentTimeMillis() + 120000
+      while (!fs.exists(trig) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      if (fs.exists(trig)) {
+        try {
+          PgDdl.execute(spark, schemaMap, Map.empty,
+            "INSERT INTO public.test_tbl(fld_1, fld_2) VALUES " +
+              "(9000000001, 'late_a'), (9000000002, 'late_b')", _ => ())
+          lateRows = 2
+        } catch {
+          case e: Throwable =>
+            println(s"[w] concurrent insert FAILED: ${e.getClass}: " +
+              String.valueOf(e.getMessage).take(400))
+            e.printStackTrace()
+        }
+      }
+    })
+    writer.start()
+    val res = new PacketRunner(spark, conf)
+      .run("/root/reference/packets/test_int4_to_int8")
+    writer.join(130000)
+    assert(res.resultCode("spark") == "success",
+      res.notices.mkString("; "))
+    assert(lateRows == 2, "the concurrent writer must have fired")
+    val t = spark.table("gpgddl.db.test_tbl")
+    // the swap landed: the surviving id IS the widened bigint
+    assert(t.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.columns.toSeq.sorted == Seq("fld_1", "fld_2", "id"))
+    assert(t.count() == 200010L + 2 + 11, s"rows: ${t.count()}")
+    // original rows keep id == fld_1 through trigger + backfill + swap
+    assert(t.filter(col("fld_1") <= 200010L &&
+      col("id") =!= col("fld_1")).count() == 0,
+      "backfilled ids must pair with their original values")
+    // trigger-guarded concurrent rows got the next serial ids
+    val late = t.filter(col("fld_2").startsWith("late_"))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(late == Seq(200011L, 200012L), s"late ids: $late")
+    // 07's post-swap inserts continue the sequence via the re-owned
+    // default, with values past the int4 range (the migration's point)
+    val post = t.filter(col("fld_1")
+        .between(4000000000L, 4000000010L))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(post == (200013L to 200023L), s"post-swap ids: $post")
+    // tracker dedup intact on the verbatim path: the re-run executes
+    // ZERO new actions and changes nothing
+    val tracker = new ActionTracker(spark, state)
+    val n1 = tracker.actions.count()
+    val res2 = new PacketRunner(spark, conf)
+      .run("/root/reference/packets/test_int4_to_int8")
+    assert(res2.resultCode("spark") == "success",
+      res2.notices.mkString("; "))
+    assert(tracker.actions.count() == n1,
+      "verbatim re-run must execute zero new actions")
+    assert(spark.table("gpgddl.db.test_tbl").count() == 200023L)
+  }
+
   test("alert_check_autovacuum's PL/pgSQL DO block runs VERBATIM: the " +
       "condition-gated raise fires with PG's formatted message under " +
       "exact @> containment, and test_raise's unconditional raise too") {
