@@ -232,8 +232,11 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
 }
 
 /** `UPDATE t SET … WHERE cond` → per touched leaf, assignments applied
-  * under the condition. Assignments to a partition SOURCE column are
-  * refused (they would move rows across leaves — use MERGE). */
+  * under the condition. An assignment to a partition SOURCE column
+  * MOVES rows across leaves: the affected old rows leave their leaves
+  * and the transformed rows land in their newly-derived ones, all in
+  * ONE copy-on-write snapshot (the Delta/Iceberg rewrite posture;
+  * multiset-exact via exceptAll — no key assumption). */
 case class GraftUpdateCommand(table: GraftSqlTable,
     assignments: Seq[Assignment], cond: Option[Expression],
     relOutput: Seq[Attribute])
@@ -253,15 +256,44 @@ case class GraftUpdateCommand(table: GraftSqlTable,
       name -> a.value
     }.toMap
     val movers = table.spec.fields.map(_.source).filter(byName.contains)
-    require(movers.isEmpty,
-      s"graft UPDATE: assigning partition source column(s) " +
-        s"${movers.mkString(", ")} would move rows across leaves - " +
-        "use MERGE INTO (or delete + insert)")
     def m(df: DataFrame) = GraftDml.attrMap(relOutput, df)
     def condOn(df: DataFrame) = cond
       .map(c => GraftDml.colOn(c, m(df))).getOrElse(lit(true))
     val tgt = table.buildRead(spark)
     val affected = tgt.filter(condOn(tgt)).localCheckpoint()
+    val dataCols = table.dataSchema.fieldNames.toSeq
+    if (movers.nonEmpty) {
+      // LEAF-MOVING update: the affected old rows leave their leaves,
+      // the transformed rows land in their newly-derived ones — one
+      // atomic copy-on-write snapshot over both sides, multiset-exact
+      // (exceptAll removes exactly the matched occurrences)
+      val am = m(affected)
+      val moved = GraftSqlWrites.alignData(
+        affected.select(dataCols.map { n =>
+          byName.get(n).map(v => GraftDml.colOn(v, am).as(n))
+            .getOrElse(affected(n))
+        }: _*), table.dataSchema).localCheckpoint()
+      val spec = table.spec
+      val touched = (GraftSqlWrites.leavesOfRows(affected, spec) ++
+        GraftSqlWrites.leavesOfRows(moved, spec)).distinct
+      if (touched.isEmpty) return Seq.empty
+      val existing =
+        SpecManifest.leafKeys(spark, table.root, spec).toSet
+      val updates = touched.map { vs =>
+        val leaf =
+          if (!existing.contains(vs))
+            spark.createDataFrame(new java.util.ArrayList[Row](),
+              table.dataSchema)
+          else GraftSqlWrites.alignData(
+            SpecManifest.readLeaf(spark, table.root, spec, vs),
+            table.dataSchema, fromFiles = true)
+        vs -> leaf
+          .exceptAll(GraftSqlWrites.rowsOfLeaf(affected, spec, vs))
+          .unionByName(GraftSqlWrites.rowsOfLeaf(moved, spec, vs))
+      }.toMap
+      GraftSqlWrites.replaceLeaves(spark, table, updates, Some(base))
+      return Seq.empty
+    }
     val touched = GraftSqlWrites.leavesOfRows(affected, table.spec)
     val updates = touched.map { vs =>
       val leaf = GraftSqlWrites.alignData(

@@ -137,7 +137,7 @@ class GraftSqlSpec extends AnyFunSuite {
 
   test("metadata tables are SQL-addressable: t.files, t.snapshots, " +
       "t.history; TIMESTAMP AS OF resolves; conditioned MERGE actions, " +
-      "DELETE-all and the partition-source UPDATE refusal hold") {
+      "DELETE-all and the leaf-moving partition-source UPDATE hold") {
     wh
     spark.sql("""CREATE TABLE gsql.db.meta_t (k BIGINT, v DOUBLE, g STRING)
       PARTITIONED BY (identity(g))""")
@@ -180,11 +180,17 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == Seq((1L, 1.0), (2L, 200.0), (3L, 3.0),
       (4L, 4.0), (9L, 9.0)), got.toSeq)
-    // UPDATE on a partition source column refuses loudly
-    val e = intercept[Exception] {
-      spark.sql("UPDATE gsql.db.meta_t SET g = 'z' WHERE k = 1")
-    }
-    assert(e.getMessage.contains("partition source"), e.getMessage)
+    // UPDATE on a partition source column MOVES the row to its newly
+    // derived leaf (one atomic COW snapshot over both sides — the
+    // Delta/Iceberg rewrite posture), including a brand-new leaf
+    spark.sql("UPDATE gsql.db.meta_t SET g = 'z' WHERE k = 1")
+    assert(spark.sql("SELECT g FROM gsql.db.meta_t WHERE k = 1")
+      .head().getString(0) == "z")
+    assert(graft.engine.ManifestTable
+      .currentVersion(s"$wh/db/meta_t/p_g=z").isDefined,
+      "the move must create the newly derived leaf")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.meta_t")
+      .head().getLong(0) == 5)
     // DELETE without a WHERE empties the table
     spark.sql("DELETE FROM gsql.db.meta_t WHERE true")
     assert(spark.sql("SELECT count(*) FROM gsql.db.meta_t")
