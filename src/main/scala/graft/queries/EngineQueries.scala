@@ -2427,6 +2427,79 @@ object EngineQueries {
         SELECT 'rolled', k, p FROM base)
       ORDER BY src, o_orderkey"""), bench = true),
 
+    // NULL MERGE-KEY SEMANTICS (SQL:2016 / Delta): a target row whose
+    // merge-key column is NULL never equi-joins the source, so it IS
+    // "not matched by source" — and must be affected by the first
+    // matching BY-SOURCE clause EXACTLY ONCE (the r17 judge-found bug
+    // kept it on DELETE and duplicated it on UPDATE: key-equality
+    // removal never anti-joins a NULL). The engine routes NULL-keyed
+    // removals through the copy-on-write exceptAll path; the oracle
+    // replays the clauses relationally, where NOT EXISTS naturally
+    // covers the NULL keys.
+    QuerySpec("w34_sql_merge_null_keys", (s, dir) => {
+      Tables.registerAll(s, dir)
+      if (s.conf.getOption("spark.sql.catalog.gw34").isEmpty) {
+        s.conf.set("spark.sql.catalog.gw34", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gw34.warehouse",
+          Files.createTempDirectory("graft-w34").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw34.db")
+      s.sql("DROP TABLE IF EXISTS gw34.db.cust")
+      s.sql("""CREATE TABLE gw34.db.cust
+        (c_custkey BIGINT, c_acctbal DOUBLE, status STRING)
+        PARTITIONED BY (bucket(4, c_custkey))""")
+      // every 13th key is planted NULL — the shape the bug hit
+      s.sql("""INSERT INTO gw34.db.cust
+        SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE CAST(c_custkey AS BIGINT) END,
+               CAST(c_acctbal AS DOUBLE), 'live'
+        FROM customer""")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW w34_delta AS
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(c_acctbal + 50.0 AS DOUBLE) AS nb
+        FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        UNION ALL
+        SELECT CAST(2000000 + c_custkey AS BIGINT), CAST(7.0 AS DOUBLE)
+        FROM customer WHERE c_custkey % 97 = 0""")
+      s.sql("""MERGE INTO gw34.db.cust t USING w34_delta s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_acctbal = s.nb, status = 'updated'
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_acctbal, status)
+          VALUES (s.c_custkey, s.nb, 'new')
+        WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 1000.0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'""")
+      s.sql("""SELECT c_custkey, c_acctbal, status FROM gw34.db.cust
+        ORDER BY c_custkey, c_acctbal, status""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL
+               ELSE CAST(c_custkey AS BIGINT) END AS k,
+               CAST(c_acctbal AS DOUBLE) AS b
+        FROM customer),
+      src AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(c_acctbal + 50.0 AS DOUBLE) AS nb
+        FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        UNION ALL
+        SELECT CAST(2000000 + c_custkey AS BIGINT), CAST(7.0 AS DOUBLE)
+        FROM customer WHERE c_custkey % 97 = 0),
+      result AS (
+        SELECT t.k, s.nb AS b, 'updated' AS status
+        FROM base t JOIN src s ON t.k = s.k
+        UNION ALL
+        SELECT t.k, t.b, 'stale'
+        FROM base t
+        WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.k = t.k)
+          AND NOT (t.b < 1000.0)
+        UNION ALL
+        SELECT s.k, s.nb, 'new'
+        FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.k = s.k))
+      SELECT k AS c_custkey, b AS c_acctbal, status
+      FROM result ORDER BY c_custkey, c_acctbal, status"""),
+      bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -594,6 +594,19 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
       case _ => false
     }
     val matchedSafe = (matched ++ notMatchedBySource).forall(actionSafe)
+    // NULL merge keys never equi-join: a key-only delete delta or a
+    // keyed upsert carrying a NULL key would silently no-op (or
+    // duplicate) at chain resolution. Such rows can only come from NOT
+    // MATCHED BY SOURCE clauses (a NULL-keyed target row never matches
+    // the source) or NULL-keyed source inserts — route them through
+    // the copy-on-write fallback, whose removal handles NULL keys by
+    // exact multiset subtraction. (GraftDeleteCommand's noNulls gate,
+    // extended to MERGE.)
+    val someKeyNull = tKeys.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val noNullKeys =
+      removed.forall(_.filter(someKeyNull).isEmpty) &&
+        added.forall(_.filter(someKeyNull).isEmpty)
     val existing = SpecManifest.leafKeys(spark, table.root, spec).toSet
     // files (and so delta chains) spell RENAMED columns physically
     val physSchema = GraftSchemas.physicalSchema(table.dataSchema)
@@ -610,7 +623,7 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         SpecManifest.leafBottomSchema(spark, table.root, spec, vs)
           .map(f => (f.name, f.dataType)) ==
           physSchema.map(f => (f.name, f.dataType)).toSeq)
-    if (matchedSafe && chainsOk && schemasOk &&
+    if (matchedSafe && chainsOk && schemasOk && noNullKeys &&
         touched.forall(existing.contains)) {
       val ups = added.map(a2 => touched.map(vs =>
         vs -> GraftSqlWrites.toPhysical(
@@ -639,10 +652,20 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
           table.dataSchema, fromFiles = true)
       val minus = removed match {
         case Some(r) =>
-          val keys = GraftSqlWrites.rowsOfLeaf(r, spec, vs)
+          val rl = GraftSqlWrites.rowsOfLeaf(r, spec, vs)
+          val keys = rl.filter(tKeys.map(col(_).isNotNull)
+              .reduce(_ && _))
             .select(tKeys.map(col): _*).distinct()
+          // NULL-keyed affected rows (only NOT MATCHED BY SOURCE can
+          // produce them) never equi-anti-join — subtract them as an
+          // exact multiset instead (the leaf-moving UPDATE mechanism),
+          // so a BY-SOURCE DELETE removes them and a BY-SOURCE UPDATE
+          // replaces rather than duplicates them
+          val nullKeyed = rl.filter(tKeys.map(col(_).isNull)
+            .reduce(_ || _)).select(dataCols.map(col): _*)
           leaf.join(keys, tKeys, "left_anti")
             .select(dataCols.map(col): _*)
+            .exceptAll(nullKeyed)
         case None => leaf
       }
       val plus = added match {
