@@ -108,9 +108,12 @@ object PgDdl {
       .toSeq
   }
 
-  /** Allocate `n` consecutive sequence values; returns the first. */
+  /** Allocate `n` consecutive sequence values; returns the first.
+    * Read-modify-write under the warehouse publish lock — concurrent
+    * PG-DDL inserters (the flagship's live-writer race) must never be
+    * handed overlapping ranges. */
   private def fetchAdd(spark: SparkSession, wh: String, seq: String,
-      n: Long): Long = {
+      n: Long): Long = ManifestTable.withPublishLock(wh) {
     val cur = get(spark, wh, s"seq_$seq").map(_.toLong).getOrElse(1L)
     put(spark, wh, s"seq_$seq", (cur + n).toString)
     cur
@@ -131,13 +134,52 @@ object PgDdl {
     val schemas = m.keys.map(java.util.regex.Pattern.quote).mkString("|")
     val refs = s"(?is).*\\b($schemas)\\s*\\.\\s*\\w+.*".r.matches(s)
     // UPDATE…FROM and plain INSERT-with-collist are ours; a plain
-    // UPDATE/DELETE on a mapped table passes through to the catalog
+    // UPDATE/DELETE on a mapped table passes through to the catalog —
+    // the FROM must be a TOP-LEVEL clause after the SET list ('from'
+    // inside a string literal or a scalar subquery in SET belongs to
+    // the normal catalog UPDATE path)
     kw match {
-      case "update" => refs && "(?is).*\\bfrom\\b.*".r.matches(s)
+      case "update" => refs && hasTopLevelUpdateFrom(s)
       case "insert" => refs &&
         "(?is)^insert\\s+into\\s+[\\w\\.]+\\s*\\(.*".r.matches(s)
       case _ => refs
     }
+  }
+
+  /** True when an UPDATE statement carries a top-level FROM clause
+    * (outside string literals and parens, after the SET keyword) —
+    * the PG `UPDATE … SET … FROM …` shape this layer rewrites to
+    * MERGE. */
+  private def hasTopLevelUpdateFrom(s: String): Boolean = {
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    var depth = 0
+    var seenSet = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '"' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '"') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 && isWordChar(c) &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) =>
+          var j = i
+          while (j < s.length && isWordChar(s.charAt(j))) j += 1
+          s.substring(i, j).toLowerCase match {
+            case "set" => seenSet = true
+            case "from" if seenSet => return true
+            case _ =>
+          }
+          i = j - 1
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 
   // ------------------------------------------------------------------

@@ -1175,13 +1175,28 @@ object SpecManifest {
       "SpecManifest: merge-on-read may only touch existing leaves " +
         s"(new: ${unknown0.mkString(",")}) - create leaves through " +
         "commitSnapshot")
-    // data-schema authority: the first touched leaf's chain BOTTOM
-    // (a pure dir by construction — MOR layers hold no data files)
-    val schema = {
-      val (_, lp) = touchedPaths.head
-      val bottom = PartitionedManifest.morChain(spark, s"$root/$lp",
-        base0(lp)).last
+    // data-schema authority: each touched leaf's chain BOTTOM (a pure
+    // dir by construction — MOR layers hold no data files). EVERY
+    // touched leaf must agree: on a mixed-shape table (partial
+    // copy-on-write rewrites after an ALTER) a delta matching leaf #1
+    // must not layer onto a differently-shaped leaf #2.
+    def bottomSchema(lp: String, live: String) = {
+      val bottom =
+        PartitionedManifest.morChain(spark, s"$root/$lp", live).last
       spark.read.parquet(s"$root/$lp/$bottom").schema
+    }
+    val schema = bottomSchema(touchedPaths.head._2,
+      base0(touchedPaths.head._2))
+    touchedPaths.tail.foreach { case (_, lp) =>
+      val sc = bottomSchema(lp, base0(lp))
+      require(sc.map(f => (f.name, f.dataType)) ==
+          schema.map(f => (f.name, f.dataType)),
+        s"commitMerge: leaf $lp file schema " +
+          s"(${sc.fieldNames.mkString(",")}) differs from leaf " +
+          s"${touchedPaths.head._2}'s " +
+          s"(${schema.fieldNames.mkString(",")}) - mixed-shape " +
+          "leaves cannot share one delta; rewrite the stale leaves " +
+          "first (copy-on-write DML does this automatically)")
     }
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"commitMerge: unknown key column '$k'"))
@@ -1238,20 +1253,18 @@ object SpecManifest {
           s"(new: ${unknown.mkString(",")})")
       // a schema-changing commit that landed mid-staging invalidates
       // the staged frames' shape — fail loudly, never adopt a stale
-      // shape (mirrors PartitionedManifest.commitMerge; the schema
-      // authority here is the first touched leaf's FRESH chain bottom)
-      val curSchema = {
-        val (_, lp) = touchedPaths.head
+      // shape (mirrors PartitionedManifest.commitMerge). EVERY staged
+      // leaf's FRESH chain bottom is checked, not just the first: a
+      // racing partial rewrite can reshape any one of them.
+      staged.foreach { case (lp, _) =>
         val live = ManifestTable.currentVersion(s"$root/$lp").getOrElse(
           sys.error(s"SpecManifest: no MANIFEST under $root/$lp"))
-        val bottom =
-          PartitionedManifest.morChain(spark, s"$root/$lp", live).last
-        spark.read.parquet(s"$root/$lp/$bottom").schema
+        val curSchema = bottomSchema(lp, live)
+        require(curSchema.map(f => (f.name, f.dataType)) ==
+            schema.map(f => (f.name, f.dataType)),
+          s"commitMerge: leaf $lp's schema evolved while the delta " +
+            "was staging - restage against the current schema")
       }
-      require(curSchema.map(f => (f.name, f.dataType)) ==
-          schema.map(f => (f.name, f.dataType)),
-        "commitMerge: the table schema evolved while the delta was " +
-          "staging - restage against the current schema")
       val protectByLeaf = protectedDirsByLeaf(spark, root, keepSnapshots)
       val written: Map[String, String] = staged.map { case (lp, stage) =>
         val pr = s"$root/$lp"

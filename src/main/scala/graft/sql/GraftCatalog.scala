@@ -316,7 +316,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case _ => false
       }
     }
-    val cur = GraftSchemas.current(spark, root)
+    val history = GraftSchemas.versions(spark, root)
+    val cur = history.last._2
+    // every physical spelling that EVER named bytes in this table's
+    // files (current or dropped): a new column may not reuse one — old
+    // parquet files still carry those bytes, and a name-based reader
+    // would serve the stale values instead of NULL (the field-id
+    // problem). Re-adding such a name gets a FRESH physical spelling.
+    val everPhys: Set[String] = history.flatMap(_._2.map(f =>
+      GraftSchemas.physicalName(f))).toSet
     val next = changes.foldLeft(cur) { (schema, ch) =>
       ch match {
         case a: AddColumn =>
@@ -325,19 +333,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val n = a.fieldNames.head
           require(!schema.fieldNames.contains(n),
             s"GraftCatalog: column '$n' already exists")
-          // the new column's PHYSICAL name is its logical name — it
-          // must not collide with a renamed column's physical spelling
-          // (files would then carry two meanings for one name)
-          require(!schema.exists(f =>
-              GraftSchemas.physicalName(f) == n),
-            s"GraftCatalog: '$n' is the physical spelling of renamed " +
-              s"column '${schema.find(f =>
-                GraftSchemas.physicalName(f) == n).map(_.name)
-                .getOrElse("?")}' - pick a fresh name")
           require(a.isNullable,
             "GraftCatalog: ADD COLUMN must be nullable - existing rows " +
               "have no value for it (add nullable, backfill, then use)")
-          schema.add(n, a.dataType, nullable = true)
+          if (!everPhys.contains(n) &&
+              !schema.exists(f => GraftSchemas.physicalName(f) == n))
+            schema.add(n, a.dataType, nullable = true)
+          else {
+            // the spelling is (or was) live in files — store the new
+            // column under a fresh physical name so pre-existing bytes
+            // stay invisible and reads serve NULL
+            val taken = everPhys ++
+              schema.map(f => GraftSchemas.physicalName(f)) ++
+              schema.fieldNames
+            var k = history.length
+            while (taken.contains(s"${n}__r$k")) k += 1
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(GraftSchemas.PhysKey, s"${n}__r$k").build()
+            schema.add(org.apache.spark.sql.types.StructField(
+              n, a.dataType, nullable = true, metadata = md))
+          }
         case r: RenameColumn =>
           require(r.fieldNames.length == 1,
             "GraftCatalog: RENAME COLUMN supports top-level columns only")
@@ -403,7 +418,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     require(next != cur, "GraftCatalog: ALTER TABLE changed nothing")
-    GraftSchemas.evolve(spark, root, next)
+    // CAS on the version count this computation was based on: a racing
+    // ALTER that landed in between must fail this one loudly instead
+    // of being silently folded over a stale base
+    GraftSchemas.evolve(spark, root, next,
+      expectedVersions = Some(history.length))
     load(ident, None)
   }
 

@@ -122,13 +122,23 @@ object GraftSchemas {
   /** Append a schema version effective from the NEXT snapshot
     * generation (live reads switch immediately; already-committed
     * snapshots keep serving their own schema). Returns the version
-    * number. */
-  def evolve(spark: SparkSession, root: String,
-      newSchema: StructType): Int =
+    * number.
+    *
+    * `expectedVersions` is the optimistic-concurrency guard (the
+    * expectedBase posture of DML commits): the caller states how many
+    * schema versions its computed evolution was based on; when a
+    * racing ALTER appended one in between, this throws instead of
+    * silently discarding the racer's change. */
+  def evolve(spark: SparkSession, root: String, newSchema: StructType,
+      expectedVersions: Option[Int] = None): Int =
     ManifestTable.withPublishLock(root) {
       val fromGen = SpecManifest.snapshots(spark, root).lastOption
         .map(genOf).getOrElse(0) + 1
       val n = versions(spark, root).length + 1
+      expectedVersions.foreach(exp => require(n == exp + 1,
+        s"GraftSchemas: concurrent ALTER TABLE detected on $root " +
+          s"(schema version moved ${exp} -> ${n - 1} while this " +
+          "ALTER was computing) - re-run the statement"))
       ManifestTable.writeOnce(root, f"$Dir/schema-$n%05d",
         s"#from_gen=$fromGen\n" + newSchema.json + "\n")
       n

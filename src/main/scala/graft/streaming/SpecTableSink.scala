@@ -114,14 +114,17 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
     // ALTER TABLE takes effect at the next micro-batch), then renames
     // to the PHYSICAL column spellings (files never see logical
     // renames); the key column follows the same mapping
-    val (batch, keyColPhys) =
-      if (!catalogNamed) (raw, keyCol)
-      else {
-        val schema = graft.sql.GraftSchemas.current(spark, root)
+    val catSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (catalogNamed)
+        Some(graft.sql.GraftSchemas.current(spark, root))
+      else None
+    val (batch, keyColPhys) = catSchema match {
+      case None => (raw, keyCol)
+      case Some(schema) =>
         (graft.sql.GraftSqlWrites.toPhysical(
           graft.sql.GraftSqlWrites.alignData(raw, schema), schema),
           graft.sql.GraftSchemas.physicalName(schema(keyCol)))
-      }
+    }
     // derive each row's leaf through the writer-side transforms, then
     // freeze once: the incremental plan is only valid within this call
     val tagged = spec.fields.foldLeft(batch)((d, f) =>
@@ -140,7 +143,22 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
       val allExist = touched.forall(vs =>
         ManifestTable.currentVersion(s"$root/${leafPathOf(vs)}")
           .isDefined)
-      if (mergeOnRead && allExist) {
+      // the DML commands' leafBottomSchema gate, mirrored: a leaf
+      // whose physical file schema predates a catalog ALTER TABLE
+      // cannot take current-shaped MOR deltas — route the batch
+      // through the aligning copy-on-write branch instead (which
+      // reshapes the stale leaf to the current schema as it rewrites),
+      // so the stream keeps flowing across an ALTER instead of wedging
+      val schemasOk = catSchema.forall { sc =>
+        val phys = graft.sql.GraftSchemas.physicalSchema(sc)
+          .map(f => (f.name, f.dataType)).toSeq
+        touched.forall(vs =>
+          ManifestTable.currentVersion(s"$root/${leafPathOf(vs)}")
+            .isEmpty ||
+          SpecManifest.leafBottomSchema(spark, root, spec, vs)
+            .map(f => (f.name, f.dataType)) == phys)
+      }
+      if (mergeOnRead && allExist && schemasOk) {
         SpecManifest.commitMerge(spark, root, spec, Seq(keyColPhys),
           upserts = touched.map(vs => vs -> leafOf(vs)).toMap,
           keepSnapshots = keepSnapshots)
@@ -150,8 +168,16 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
           val merged =
             if (ManifestTable.currentVersion(
                 s"$root/${leafPathOf(vs)}").isDefined) {
-              // MOR-resolving read of the leaf's current content
-              val cur = SpecManifest.readLeaf(spark, root, spec, vs)
+              // MOR-resolving read of the leaf's current content — a
+              // catalog-named sink aligns it to the CURRENT schema
+              // first (a stale-shaped leaf reshapes here, once)
+              val cur0 = SpecManifest.readLeaf(spark, root, spec, vs)
+              val cur = catSchema match {
+                case None => cur0
+                case Some(sc) => graft.sql.GraftSqlWrites.toPhysical(
+                  graft.sql.GraftSqlWrites.alignData(cur0, sc,
+                    fromFiles = true), sc)
+              }
               cur.join(d.select(col(keyColPhys)), Seq(keyColPhys), "left_anti")
                 .unionByName(d)
             } else d // brand-new leaf (current-spec-only, enforced)

@@ -508,6 +508,47 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 4001)
   }
 
+  test("DROP COLUMN then ADD COLUMN with the same name serves NULL, " +
+      "never the dropped column's stale bytes (fresh physical " +
+      "spelling), and a racing ALTER fails the version CAS") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.readd
+      (id BIGINT, v INT, seg STRING) PARTITIONED BY (bucket(2, id))""")
+    spark.sql("""INSERT INTO gsql.db.readd VALUES
+      (1, 100, 'a'), (2, 200, 'b')""")
+    spark.sql("ALTER TABLE gsql.db.readd DROP COLUMN v")
+    // same name, even a different type: pre-drop files still carry
+    // int bytes under 'v' — the re-added column must NOT see them
+    spark.sql("ALTER TABLE gsql.db.readd ADD COLUMN v DOUBLE")
+    val vs = spark.sql("SELECT v FROM gsql.db.readd").collect()
+    assert(vs.forall(_.isNullAt(0)),
+      s"re-added column must serve NULL, not resurrected bytes: " +
+        s"${vs.mkString(",")}")
+    // new writes land under the fresh physical spelling and read back
+    // (the re-added column appends at the END of the schema)
+    spark.sql("INSERT INTO gsql.db.readd VALUES (3, 'c', 5.5)")
+    val got = spark.sql(
+      "SELECT id, v FROM gsql.db.readd ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some(5.5))), s"$got")
+    // old rows keep serving NULL after a COW rewrite touches the leaf
+    spark.sql("UPDATE gsql.db.readd SET seg = 'z' WHERE id = 1")
+    assert(spark.sql("SELECT v FROM gsql.db.readd WHERE id = 1")
+      .head().isNullAt(0))
+    // a racing ALTER: evolving from a stale version count fails loudly
+    // instead of silently discarding the interleaved change
+    val root = s"$wh/db/readd"
+    val curSchema = graft.sql.GraftSchemas.current(spark, root)
+    val nVersions = graft.sql.GraftSchemas.versions(spark, root).length
+    val e = intercept[IllegalArgumentException] {
+      graft.sql.GraftSchemas.evolve(spark, root,
+        curSchema.add("extra", "string"),
+        expectedVersions = Some(nVersions - 1))
+    }
+    assert(e.getMessage.contains("concurrent ALTER"), e.getMessage)
+  }
+
   test("ALTER TABLE is metadata-only: ADD COLUMN serves NULL for old " +
       "rows, type widening reads narrow files natively, DROP COLUMN " +
       "hides bytes in place, and time travel keeps the pinned epoch's " +
@@ -678,12 +719,17 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(got == Seq((48L, 480L), (100L, 1000L)), got)
     assert(spark.sql("SELECT count(*) FROM gsql.db.ren")
       .head().getLong(0) == 50)
-    // a rename cannot shadow a renamed column's physical spelling
+    // re-using a renamed column's PHYSICAL spelling as a new column
+    // name: the new column gets a FRESH physical spelling, so it
+    // serves NULL instead of the renamed column's bytes, and the
+    // renamed column keeps serving its own values
     spark.sql("ALTER TABLE gsql.db.ren RENAME COLUMN id TO id2")
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gsql.db.ren ADD COLUMN id_new DOUBLE")
-    }
-    assert(e.getMessage.contains("physical spelling"), e.getMessage)
+    spark.sql("ALTER TABLE gsql.db.ren ADD COLUMN id_new DOUBLE")
+    val shadow = spark.sql(
+      "SELECT id2, id_new FROM gsql.db.ren WHERE id2 = 48").head()
+    assert(shadow.getLong(0) == 48L && shadow.isNullAt(1),
+      s"the re-added name must not serve the renamed column's bytes: " +
+        s"$shadow")
     // renaming a partition source refuses
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE gsql.db.ren RENAME COLUMN fld TO fld2")

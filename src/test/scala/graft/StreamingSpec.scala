@@ -1311,4 +1311,50 @@ class GraftNamedSinkSpec extends AnyFunSuite {
     assert(spark.sql("SELECT payload FROM gstream.db.ev WHERE k = 5")
       .head().getString(0) == "e")
   }
+
+  test("named sink keeps flowing across ALTER TABLE: a stale-shaped " +
+      "leaf routes through the aligning copy-on-write branch instead " +
+      "of wedging commitMerge, then MOR resumes") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{Path => HPath}
+    val wh2 =
+      java.nio.file.Files.createTempDirectory("graft-galter").toString
+    spark.conf.set("spark.sql.catalog.galter", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.galter.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS galter.db")
+    spark.sql("""CREATE TABLE galter.db.ev
+      (k BIGINT, payload STRING, bk INT)
+      PARTITIONED BY (identity(bk))""")
+    spark.sql("INSERT INTO galter.db.ev VALUES (1, 'a', 0), (2, 'b', 1)")
+    val sink = new graft.streaming.SpecTableSinkProvider().createSink(
+      spark.sqlContext, Map("table" -> "galter.db.ev",
+        "keyCol" -> "k", "mergeOnRead" -> "true"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    sink.addBatch(0, Seq(Upsert(2, "B", 1)).toDF())
+    // schema evolves UNDER the running sink — pre-ALTER leaves keep
+    // their stale file shape until something rewrites them
+    spark.sql("ALTER TABLE galter.db.ev ADD COLUMN note STRING")
+    // this batch touches BOTH leaves: the MOR fast path must step
+    // aside (stale bottoms cannot take current-shaped deltas) and the
+    // copy-on-write branch reshapes them while applying the upserts
+    sink.addBatch(1,
+      Seq(Upsert(1, "A", 0), Upsert(3, "c", 1)).toDF())
+    val got = spark.sql("""SELECT k, payload, note FROM galter.db.ev
+      ORDER BY k""").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) "NULL" else r.getString(2))).toSeq
+    assert(got == Seq((1L, "A", "NULL"), (2L, "B", "NULL"),
+      (3L, "c", "NULL")), s"stream across ALTER: $got")
+    // leaves are now current-shaped: the NEXT batch is MOR again
+    sink.addBatch(2, Seq(Upsert(3, "C", 1)).toDF())
+    val root = s"$wh2/db/ev"
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = graft.engine.ManifestTable
+      .currentVersion(s"$root/p_bk=1").get
+    assert(fs.exists(new HPath(s"$root/p_bk=1/$live/_mor.tsv")),
+      "post-reshape batches must resume merge-on-read")
+    assert(spark.sql("SELECT payload FROM galter.db.ev WHERE k = 3")
+      .head().getString(0) == "C")
+  }
 }
