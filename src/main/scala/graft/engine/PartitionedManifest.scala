@@ -1530,53 +1530,8 @@ object PartitionedManifest {
       val nf =
         if (clusterFiles > 0) clusterFiles
         else math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      val clustered =
-        if (!zOrder)
-          df.repartitionByRange(nf, clusterBy.map(col): _*)
-            .sortWithinPartitions(clusterBy.map(col): _*)
-        else {
-          // OPTIMIZE ZORDER: interleave the two dimensions on the
-          // Morton curve so EITHER column's range predicate prunes
-          // files (a lexicographic sort only serves its leading
-          // column). Each dimension min-max scales to the full
-          // 16-bit range per partition first (Delta's range-bounds
-          // pass) — interleaving raw values that only touch the low
-          // bits would leave every row in one Z quadrant.
-          require(clusterBy.length == 2,
-            "zOrder clustering interleaves exactly two columns")
-          val Seq(c1, c2) = clusterBy
-          // try_cast, not cast: under ANSI a non-numeric value would
-          // throw an opaque CAST_INVALID_INPUT mid-job — the guard
-          // below turns the all-null outcome into a clear layout error
-          val r = df.agg(min(expr(s"try_cast(`$c1` as bigint)")),
-            max(expr(s"try_cast(`$c1` as bigint)")),
-            min(expr(s"try_cast(`$c2` as bigint)")),
-            max(expr(s"try_cast(`$c2` as bigint)"))).head()
-          // loud validation instead of an opaque NPE mid-rewrite: an
-          // all-NULL column, a column that does not cast to bigint
-          // (string/date), or an empty partition leaves null agg slots
-          if ((0 to 3).exists(r.isNullAt))
-            throw new LayoutValidationException(
-              s"zOrder: partition $v needs non-empty data and cluster " +
-                s"columns (${clusterBy.mkString(", ")}) castable to " +
-                "bigint with at least one non-null value each")
-          val (amin, amax) = (r.getLong(0), r.getLong(1))
-          val (bmin, bmax) = (r.getLong(2), r.getLong(3))
-          val spanA = math.max(amax - amin, 1L)
-          val spanB = math.max(bmax - bmin, 1L)
-          // integer `div`, not `/` (Column./ is float division);
-          // try_cast so a stray non-castable value lands in the null
-          // range-partition instead of failing the whole rewrite
-          val a16 = expr(
-            s"((try_cast(`$c1` as bigint) - ${amin}L) * 65535L) div ${spanA}L")
-          val b16 = expr(
-            s"((try_cast(`$c2` as bigint) - ${bmin}L) * 65535L) div ${spanB}L")
-          df.withColumn("_graft_z",
-              graft.operators.Layout.zOrder16(a16, b16))
-            .repartitionByRange(nf, col("_graft_z"))
-            .sortWithinPartitions(col("_graft_z"))
-            .drop("_graft_z")
-        }
+      val clustered = clusterFrame(df, clusterBy, nf, zOrder,
+        s"partition $v")
       clustered.write.mode("error").parquet(s"$scratch/$partCol=$v")
       // layout marker rides INTO the version dir at adoption: repeated
       // identical clustered OPTIMIZE calls then select nothing (see
@@ -1588,19 +1543,73 @@ object PartitionedManifest {
     scratch
   }
 
+  /** The layout transform itself — one frame range-partitioned into
+    * `nf` internally-sorted files, lexicographically on `clusterBy` or
+    * Morton-interleaved (`zOrder`). Shared by the single-column
+    * [[compact]] and the composite-spec
+    * [[SpecManifest.rewriteLayout]]. */
+  private[engine] def clusterFrame(df: DataFrame, clusterBy: Seq[String],
+      nf: Int, zOrder: Boolean, what: String): DataFrame =
+    if (!zOrder)
+      df.repartitionByRange(nf, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    else {
+      // OPTIMIZE ZORDER: interleave the two dimensions on the
+      // Morton curve so EITHER column's range predicate prunes
+      // files (a lexicographic sort only serves its leading
+      // column). Each dimension min-max scales to the full
+      // 16-bit range per partition first (Delta's range-bounds
+      // pass) — interleaving raw values that only touch the low
+      // bits would leave every row in one Z quadrant.
+      require(clusterBy.length == 2,
+        "zOrder clustering interleaves exactly two columns")
+      val Seq(c1, c2) = clusterBy
+      // try_cast, not cast: under ANSI a non-numeric value would
+      // throw an opaque CAST_INVALID_INPUT mid-job — the guard
+      // below turns the all-null outcome into a clear layout error
+      val r = df.agg(min(expr(s"try_cast(`$c1` as bigint)")),
+        max(expr(s"try_cast(`$c1` as bigint)")),
+        min(expr(s"try_cast(`$c2` as bigint)")),
+        max(expr(s"try_cast(`$c2` as bigint)"))).head()
+      // loud validation instead of an opaque NPE mid-rewrite: an
+      // all-NULL column, a column that does not cast to bigint
+      // (string/date), or an empty partition leaves null agg slots
+      if ((0 to 3).exists(r.isNullAt))
+        throw new LayoutValidationException(
+          s"zOrder: $what needs non-empty data and cluster " +
+            s"columns (${clusterBy.mkString(", ")}) castable to " +
+            "bigint with at least one non-null value each")
+      val (amin, amax) = (r.getLong(0), r.getLong(1))
+      val (bmin, bmax) = (r.getLong(2), r.getLong(3))
+      val spanA = math.max(amax - amin, 1L)
+      val spanB = math.max(bmax - bmin, 1L)
+      // integer `div`, not `/` (Column./ is float division);
+      // try_cast so a stray non-castable value lands in the null
+      // range-partition instead of failing the whole rewrite
+      val a16 = expr(
+        s"((try_cast(`$c1` as bigint) - ${amin}L) * 65535L) div ${spanA}L")
+      val b16 = expr(
+        s"((try_cast(`$c2` as bigint) - ${bmin}L) * 65535L) div ${spanB}L")
+      df.withColumn("_graft_z",
+          graft.operators.Layout.zOrder16(a16, b16))
+        .repartitionByRange(nf, col("_graft_z"))
+        .sortWithinPartitions(col("_graft_z"))
+        .drop("_graft_z")
+    }
+
   /** Sort-order marker file a clustered rewrite stamps into its version
     * dirs (underscore-prefixed: readers never see it). */
-  private val ClusterMarker = "_clustered.tsv"
+  private[engine] val ClusterMarker = "_clustered.tsv"
 
-  private def clusterMarkerBody(clusterBy: Seq[String], clusterFiles: Int,
-      zOrder: Boolean): String =
+  private[engine] def clusterMarkerBody(clusterBy: Seq[String],
+      clusterFiles: Int, zOrder: Boolean): String =
     s"clusterBy=${clusterBy.mkString(",")}\nfiles=$clusterFiles\n" +
       s"zorder=$zOrder\n"
 
   /** Is this (pure) version dir already clustered under exactly this
     * layout spec? Conservative: no marker / different layout → false
     * (the partition is re-selected). */
-  private def isClusteredAs(spark: SparkSession, dirPath: String,
+  private[engine] def isClusteredAs(spark: SparkSession, dirPath: String,
       clusterBy: Seq[String], clusterFiles: Int,
       zOrder: Boolean): Boolean = {
     val fs = fsOf(spark, dirPath)

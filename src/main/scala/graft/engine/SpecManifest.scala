@@ -1444,4 +1444,121 @@ object SpecManifest {
     (lastSnap.orElse(currentSnapshot(spark, root)).getOrElse(""),
       done.sorted.toSeq)
   }
+
+  /** CLUSTERED / Z-ORDER `OPTIMIZE` on the composite-spec layout —
+    * [[PartitionedManifest.compact]]'s `clusterBy`/`clusterZOrder`
+    * rewrite carried to spec tables (the declared 100 TB shape): every
+    * live leaf is rewritten into `clusterFiles` (or size-derived)
+    * internally-sorted files, lexicographic on `clusterBy` or
+    * Morton-interleaved (`zOrder=true`, exactly two columns), so
+    * zone-map file skipping gets DISJOINT ranges to prune against.
+    *
+    * CONVERGENT: each rewritten version dir is stamped with the layout
+    * marker ([[PartitionedManifest.ClusterMarker]]); a leaf already
+    * carrying exactly this layout is skipped, so repeated identical
+    * calls rewrite nothing. A merge-on-read leaf always re-selects —
+    * its delta chain is new unclustered data, and the rewrite is its
+    * fold-down. `schema` (the catalog's current PHYSICAL schema, when
+    * the table is catalog-managed) converges stale-shaped leaves onto
+    * the current shape as they rewrite.
+    *
+    * Same two-phase optimistic loop as [[compactLeaves]]: the
+    * expensive clustered write runs with NO lock held; under the lock
+    * pointer identity validates the read-set, clean leaves repoint,
+    * dirty ones retry. Returns (snapshot, rewritten leaf paths). */
+  def rewriteLayout(spark: SparkSession, root: String,
+      spec: PartitionSpec, clusterBy: Seq[String], clusterFiles: Int = 0,
+      targetBytes: Long = 128L << 20, zOrder: Boolean = false,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      keepSnapshots: Int = 2,
+      maxAttempts: Int = 3,
+      onBeforeValidate: () => Unit = () => ()): (String, Seq[String]) = {
+    require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
+    require(clusterBy.nonEmpty, "rewriteLayout: empty cluster columns")
+    require(!zOrder || clusterBy.length == 2,
+      "rewriteLayout: zOrder interleaves exactly two columns")
+    require(!clusterBy.exists(spec.names.contains),
+      "rewriteLayout: cluster columns must be data columns, not " +
+        "partition fields")
+    checkSpec(spark, root, spec)
+    val fs = fsOf(spark, root)
+    def selectReadSet(among: Option[Set[String]]): Map[String, String] = {
+      val snap = currentSnapshot(spark, root).getOrElse(
+        sys.error(s"SpecManifest: no snapshot committed under $root"))
+      snapshotMapping(spark, root, snap)
+        .filter { case (k, _) => among.forall(_.contains(k)) }
+        .filter { case (k, d) =>
+          PartitionedManifest.isMorDir(spark, s"$root/$k/$d") ||
+            !PartitionedManifest.isClusteredAs(spark, s"$root/$k/$d",
+              clusterBy, clusterFiles, zOrder)
+        }
+        .toMap
+    }
+    val done = scala.collection.mutable.ListBuffer.empty[String]
+    var lastSnap: Option[String] = None
+    var candidates =
+      ManifestTable.withPublishLock(root)(selectReadSet(None))
+    var attempt = 0
+    while (candidates.nonEmpty && attempt < maxAttempts) {
+      attempt += 1
+      // EXPENSIVE phase, NO lock: resolve each candidate (folding any
+      // MOR chain down) and write its clustered replacement staged
+      // under the leaf
+      val staged: Option[Map[String, String]] =
+        try Some(candidates.map { case (lp, d) =>
+          val pr = s"$root/$lp"
+          val df = PartitionedManifest.resolveVersionData(spark, pr, d,
+            schema)
+          val bytes = PartitionedManifest.morChain(spark, pr, d)
+            .map(x => fs.getContentSummary(new HPath(s"$pr/$x"))
+              .getLength).sum
+          val nf =
+            if (clusterFiles > 0) clusterFiles
+            else math.max(1,
+              math.ceil(bytes.toDouble / targetBytes).toInt)
+          val tmp =
+            s"$pr/.optimize-${java.util.UUID.randomUUID.toString.take(8)}"
+          PartitionedManifest.clusterFrame(df, clusterBy, nf, zOrder,
+            s"leaf $lp").write.mode("error").parquet(tmp)
+          // the layout marker rides into the version dir: repeated
+          // identical calls then select nothing
+          ManifestTable.writeOnce(tmp, PartitionedManifest.ClusterMarker,
+            PartitionedManifest.clusterMarkerBody(clusterBy,
+              clusterFiles, zOrder))
+          lp -> new HPath(ManifestTable.stageVersion(pr, tmp)).getName
+        })
+        catch {
+          case e: PartitionedManifest.LayoutValidationException => throw e
+          case scala.util.control.NonFatal(_) => None
+        }
+      onBeforeValidate()
+      staged match {
+        case None =>
+          candidates = ManifestTable.withPublishLock(root)(
+            selectReadSet(Some(candidates.keySet)))
+        case Some(st) =>
+          candidates = ManifestTable.withPublishLock(root) {
+            val (clean, dirty) = candidates.partition { case (lp, d) =>
+              ManifestTable.currentVersion(s"$root/$lp").contains(d)
+            }
+            if (clean.nonEmpty) {
+              clean.keys.foreach(lp =>
+                ManifestTable.repointVersion(s"$root/$lp", st(lp)))
+              val snap = currentSnapshot(spark, root).get
+              val base = snapshotMapping(spark, root, snap).toMap
+              lastSnap = Some(writeSnapshotLocked(spark, root,
+                (base ++ clean.keys.map(lp => lp -> st(lp))).toSeq
+                  .sortBy(_._1), keepSnapshots,
+                operation = "rewrite_layout"))
+              done ++= clean.keys
+            }
+            dirty.keys.foreach(lp =>
+              fs.delete(new HPath(s"$root/$lp/${st(lp)}"), true))
+            selectReadSet(Some(dirty.keySet))
+          }
+      }
+    }
+    (lastSnap.orElse(currentSnapshot(spark, root)).getOrElse(""),
+      done.sorted.toSeq)
+  }
 }

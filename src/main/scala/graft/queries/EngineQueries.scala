@@ -2500,6 +2500,95 @@ object EngineQueries {
       FROM result ORDER BY c_custkey, c_acctbal, status"""),
       bench = true),
 
+    // CLUSTERED / Z-ORDER OPTIMIZE ON SPEC TABLES, SQL-ADDRESSABLE:
+    // `CALL g.system.rewrite_layout(t, mode, cols, files, target_mb)`
+    // rewrites every leaf of the composite-partitioned (100 TB-shape)
+    // table into Morton-interleaved sorted files, folding MOR chains
+    // as it goes, so zone maps prune range scans on EITHER dimension
+    // (require()d: kept files <= half of total on both dims; repeated
+    // identical CALL rewrites nothing). The oracle replays the content
+    // relationally — layout must never change results.
+    QuerySpec("w35_optimize_spec_layout", (s, dir) => {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      Tables.registerAll(s, dir)
+      if (s.conf.getOption("spark.sql.catalog.gw35").isEmpty) {
+        s.conf.set("spark.sql.catalog.gw35", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gw35.warehouse",
+          Files.createTempDirectory("graft-w35").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw35.db")
+      s.sql("DROP TABLE IF EXISTS gw35.db.ord")
+      s.sql("""CREATE TABLE gw35.db.ord
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        PARTITIONED BY (bucket(2, o_orderkey))""")
+      s.sql("""INSERT INTO gw35.db.ord
+        SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+               CAST(o_totalprice AS DOUBLE)
+        FROM orders""")
+      // a keyed MERGE layers MOR deltas — the layout rewrite folds them
+      s.sql("""MERGE INTO gw35.db.ord t
+        USING (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                      CAST(0.0 AS DOUBLE) AS p
+               FROM orders WHERE o_orderkey % 10 = 0) src
+        ON t.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = src.p""")
+      def call(q: String): Seq[String] =
+        s.sql(q).collect().map(_.getString(0)).toSeq
+          .filterNot(_.startsWith("snapshot "))
+      val z = call("CALL gw35.system.rewrite_layout('db.ord', " +
+        "'zorder', 'o_custkey,o_orderkey', 8, 0)")
+      require(z.count(_.startsWith("rewrote ")) == 2,
+        s"both leaves must rewrite: $z")
+      call("CALL gw35.system.analyze('db.ord', 'o_orderkey,o_custkey')")
+      def plannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.sparkPlan.collect {
+          case f: FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.sum
+      val mx = s.sql("SELECT max(o_orderkey), max(o_custkey) " +
+        "FROM gw35.db.ord").head()
+      val kHi = mx.getLong(0) / 8L
+      val cHi = mx.getLong(1) / 8L
+      val total = plannedFiles(s.sql("SELECT * FROM gw35.db.ord"))
+      require(total >= 16, s"8 files x 2 leaves expected: $total")
+      val byK = s.sql("SELECT * FROM gw35.db.ord " +
+        s"WHERE o_orderkey >= 1 AND o_orderkey <= $kHi")
+      val byC = s.sql("SELECT * FROM gw35.db.ord " +
+        s"WHERE o_custkey >= 1 AND o_custkey <= $cHi")
+      val (keptK, keptC) = (plannedFiles(byK), plannedFiles(byC))
+      require(keptK * 2 <= total,
+        s"z-order must prune o_orderkey ranges: kept $keptK of $total")
+      require(keptC * 2 <= total,
+        s"z-order must prune o_custkey ranges: kept $keptC of $total")
+      // convergent: the identical CALL selects nothing
+      val again = call("CALL gw35.system.rewrite_layout('db.ord', " +
+        "'zorder', 'o_custkey,o_orderkey', 8, 0)")
+      require(again == Seq("no leaves need this layout"),
+        s"repeated identical rewrite must be a no-op: $again")
+      s.sql(s"""SELECT src, o_orderkey, o_custkey, o_totalprice FROM (
+        SELECT 'byk' AS src, o_orderkey, o_custkey, o_totalprice
+        FROM gw35.db.ord WHERE o_orderkey >= 1 AND o_orderkey <= $kHi
+        UNION ALL
+        SELECT 'byc', o_orderkey, o_custkey, o_totalprice
+        FROM gw35.db.ord WHERE o_custkey >= 1 AND o_custkey <= $cHi)
+        ORDER BY src, o_orderkey, o_custkey""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 0.0
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+        FROM orders)
+      SELECT src, o_orderkey, o_custkey, o_totalprice FROM (
+        SELECT 'byk' AS src, * FROM base
+        WHERE o_orderkey >= 1 AND o_orderkey <=
+          CAST(FLOOR((SELECT MAX(o_orderkey) FROM base) / 8) AS BIGINT)
+        UNION ALL
+        SELECT 'byc', * FROM base
+        WHERE o_custkey >= 1 AND o_custkey <=
+          CAST(FLOOR((SELECT MAX(o_custkey) FROM base) / 8) AS BIGINT))
+      ORDER BY src, o_orderkey, o_custkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

@@ -55,10 +55,43 @@ object GraftProcedures {
       "fold every merge-on-read delta chain back to pure data dirs",
       Seq("table" -> StringType),
       (s, root, _) => {
-        val (snap, folded) = SpecManifest.compactLeaves(s, root,
+        val (_, folded) = SpecManifest.compactLeaves(s, root,
           spec(s, root))
         if (folded.isEmpty) Seq("no merge-on-read leaves")
-        else folded.map(lp => s"folded $lp") :+ s"snapshot $snap"
+        else folded.map(lp => s"folded $lp")
+      }),
+    GP("rewrite_layout",
+      "clustered / z-order OPTIMIZE: rewrite every leaf into sorted " +
+        "files ('sort' lexicographic, 'zorder' Morton-interleaved); " +
+        "files > 0 pins the per-leaf file count, else target_mb sizes " +
+        "it; repeated identical calls rewrite nothing",
+      Seq("table" -> StringType, "mode" -> StringType,
+        "columns" -> StringType, "files" -> LongType,
+        "target_mb" -> LongType),
+      (s, root, args) => {
+        val mode = args(0).asInstanceOf[String].toLowerCase
+        require(mode == "sort" || mode == "zorder",
+          s"rewrite_layout: mode must be 'sort' or 'zorder', got " +
+            s"'$mode'")
+        val cols = args(1).asInstanceOf[String].split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "rewrite_layout: empty column list")
+        val files = args(2).asInstanceOf[Long].toInt
+        val targetMb = args(3).asInstanceOf[Long]
+        require(files > 0 || targetMb > 0,
+          "rewrite_layout: give files > 0 or target_mb > 0")
+        // catalog-managed tables converge stale-shaped leaves onto the
+        // CURRENT physical schema as they rewrite
+        val phys =
+          if (!GraftSchemas.hasVersions(s, root)) None
+          else Some(GraftSchemas.physicalSchema(
+            GraftSchemas.current(s, root)))
+        val (_, rewritten) = SpecManifest.rewriteLayout(s, root,
+          spec(s, root), cols, clusterFiles = files,
+          targetBytes = targetMb << 20, zOrder = mode == "zorder",
+          schema = phys)
+        if (rewritten.isEmpty) Seq("no leaves need this layout")
+        else rewritten.map(lp => s"rewrote $lp")
       }),
     GP("expire_snapshots",
       "expire kept snapshots older than a wall-clock instant",
@@ -155,7 +188,12 @@ object GraftProcedures {
             }
             val root =
               catalog.rootOfTableName(args.head.asInstanceOf[String])
-            val lines = gp.fn(spark, root, args.tail)
+            val body = gp.fn(spark, root, args.tail)
+            // every result relation ends with the table's snapshot id
+            // AFTER the call, so packet steps can assert on it (and a
+            // snapshot-creating procedure exposes the one it made)
+            val lines = body ++ SpecManifest
+              .currentSnapshot(spark, root).map(sn => s"snapshot $sn")
             val scan: Scan = new LocalScan {
               override def readSchema(): StructType =
                 new StructType().add("result", StringType)

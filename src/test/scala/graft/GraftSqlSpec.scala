@@ -624,8 +624,15 @@ class GraftSqlSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gsql.db.mnt " +
       "SELECT id, CAST(id AS DOUBLE) FROM range(100)")
     val root = s"$wh/db/mnt"
-    def call(q: String): Seq[String] =
-      spark.sql(q).collect().map(_.getString(0)).toSeq
+    // every procedure's result relation ends with the table's current
+    // snapshot id (assertable by packet steps) — strip it to keep the
+    // per-procedure assertions on their own lines
+    def call(q: String): Seq[String] = {
+      val all = spark.sql(q).collect().map(_.getString(0)).toSeq
+      assert(all.last.startsWith("snapshot s"),
+        s"CALL result must end with the snapshot id: $all")
+      all.init
+    }
     // tag the seeded state
     assert(call("CALL gsql.system.tag('db.mnt', 'seeded')")
       .head.startsWith("tagged s"))
@@ -677,6 +684,72 @@ class GraftSqlSpec extends AnyFunSuite {
     // table content survived the full lifecycle
     assert(spark.sql("SELECT count(*), sum(v) FROM gsql.db.mnt")
       .head().getLong(0) == 100L)
+  }
+
+  test("CALL rewrite_layout z-orders spec-table leaves (range scans " +
+      "prune files on BOTH dims), folds MOR chains as it rewrites, " +
+      "converges on repeated calls, and 'sort' mode relayouts") {
+    wh
+    import org.apache.hadoop.fs.{Path => HPath}
+    spark.sql("""CREATE TABLE gsql.db.opt (a BIGINT, b BIGINT)
+      PARTITIONED BY (bucket(2, a))""")
+    // a and b anti-correlated: a lexicographic sort on a leaves b
+    // interleaved; only the Morton layout serves both
+    spark.sql("INSERT INTO gsql.db.opt " +
+      "SELECT id, 4000 - id FROM range(4000)")
+    // a keyed MERGE layers a MOR delta — the layout rewrite must fold it
+    spark.sql("""MERGE INTO gsql.db.opt t
+      USING (SELECT CAST(7 AS BIGINT) AS a, CAST(-7 AS BIGINT) AS b) s
+      ON t.a = s.a WHEN MATCHED THEN UPDATE SET b = s.b""")
+    def call(q: String): Seq[String] =
+      spark.sql(q).collect().map(_.getString(0)).toSeq
+        .filterNot(_.startsWith("snapshot "))
+    val z = call(
+      "CALL gsql.system.rewrite_layout('db.opt', 'zorder', 'a,b', 8, 0)")
+    assert(z.toSet == Set("rewrote a_bucket=0", "rewrote a_bucket=1"), z)
+    // the rewrite IS the fold-down: live leaf versions are pure again
+    val root = s"$wh/db/opt"
+    val fs = new HPath(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1).foreach { bkt =>
+      val pr = s"$root/a_bucket=$bkt"
+      val live = graft.engine.ManifestTable.currentVersion(pr).get
+      assert(!fs.exists(new HPath(s"$pr/$live/_mor.tsv")),
+        s"rewrite_layout must fold the MOR chain on a_bucket=$bkt")
+    }
+    // zone maps over the clustered files: EITHER dim's range prunes
+    call("CALL gsql.system.analyze('db.opt', 'a,b')")
+    val total = filesOf(spark.sql("SELECT a FROM gsql.db.opt")).size
+    assert(total >= 16, s"8 files x 2 leaves expected: $total")
+    val keptA = filesOf(spark.sql(
+      "SELECT a FROM gsql.db.opt WHERE a >= 0 AND a <= 400")).size
+    val keptB = filesOf(spark.sql(
+      "SELECT b FROM gsql.db.opt WHERE b >= 0 AND b <= 400")).size
+    assert(keptA * 2 <= total,
+      s"z-order must prune a-ranges: kept $keptA of $total")
+    assert(keptB * 2 <= total,
+      s"z-order must prune b-ranges: kept $keptB of $total")
+    // CONVERGENT: the identical call rewrites nothing
+    assert(call("CALL gsql.system.rewrite_layout('db.opt', 'zorder', " +
+      "'a,b', 8, 0)") == Seq("no leaves need this layout"))
+    // a DIFFERENT layout re-selects: lexicographic on b
+    val srt = call(
+      "CALL gsql.system.rewrite_layout('db.opt', 'sort', 'b', 8, 0)")
+    assert(srt.toSet == Set("rewrote a_bucket=0", "rewrote a_bucket=1"),
+      srt)
+    call("CALL gsql.system.analyze('db.opt', 'b')")
+    val keptB2 = filesOf(spark.sql(
+      "SELECT b FROM gsql.db.opt WHERE b >= 0 AND b <= 400")).size
+    val total2 = filesOf(spark.sql("SELECT b FROM gsql.db.opt")).size
+    assert(keptB2 * 2 <= total2,
+      s"sorted layout must prune b-ranges: kept $keptB2 of $total2")
+    // content survived both rewrites (incl. the folded MOR row)
+    val chk = spark.sql(
+      "SELECT count(*), sum(a), sum(b) FROM gsql.db.opt").head()
+    assert(chk.getLong(0) == 4000L &&
+      chk.getLong(1) == (0L until 4000L).sum &&
+      chk.getLong(2) == (0L until 4000L).map(4000L - _).sum - 4000L,
+      s"content drifted: $chk")
   }
 
   test("RENAME COLUMN is metadata-only, survives the classic " +
