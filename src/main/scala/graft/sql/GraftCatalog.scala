@@ -268,6 +268,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs.mkdirs(new HPath(root))
     ManifestTable.writeOnce(root, "_schema.json", schema.json + "\n")
     ManifestTable.writeOnce(root, "_spec", spec.render + "\n")
+    // recognized TBLPROPERTIES persist; Spark's reserved/engine keys
+    // (provider, owner, …) are not table state here
+    Option(properties.get(GraftProps.KeepSnapshots)).foreach(v =>
+      GraftProps.set(root, GraftProps.KeepSnapshots, v))
     load(ident, None)
   }
 
@@ -299,6 +303,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     import TableChange._
     val root = rootOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // property changes are not schema versions — apply and strip them
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: SetProperty | _: RemoveProperty => true
+      case _ => false
+    }
+    propChanges.foreach {
+      case p: SetProperty =>
+        require(p.property == GraftProps.KeepSnapshots,
+          s"GraftCatalog: unsupported table property '${p.property}' " +
+            s"(only ${GraftProps.KeepSnapshots})")
+        GraftProps.set(root, p.property, p.value)
+      case r: RemoveProperty =>
+        require(r.property == GraftProps.KeepSnapshots,
+          s"GraftCatalog: unsupported table property '${r.property}' " +
+            s"(only ${GraftProps.KeepSnapshots})")
+        GraftProps.remove(root, r.property)
+      case _ =>
+    }
+    if (schemaChanges.isEmpty) return load(ident, None)
     val allSources = SpecManifest.specVersions(spark, root)
       .flatMap(_.fields.map(_.source)).toSet
     val bucketSrc = SpecManifest.specVersions(spark, root)
@@ -325,7 +348,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // problem). Re-adding such a name gets a FRESH physical spelling.
     val everPhys: Set[String] = history.flatMap(_._2.map(f =>
       GraftSchemas.physicalName(f))).toSet
-    val next = changes.foldLeft(cur) { (schema, ch) =>
+    val next = schemaChanges.foldLeft(cur) { (schema, ch) =>
       ch match {
         case a: AddColumn =>
           require(a.fieldNames.length == 1,
@@ -502,6 +525,50 @@ object GraftMetaTable {
   }
 }
 
+/** Per-table catalog PROPERTIES, persisted as `root/_props` (k=v
+  * lines, atomically swapped). One key today:
+  * `graft.keep_snapshots` — the snapshot retention every SQL commit
+  * path applies (default 2 = current + previous). A CDC stream's
+  * restart replay needs its start generation still on disk, so a
+  * table that feeds streams sets this to cover the stream's maximum
+  * downtime in commits (the Iceberg/Delta retention posture). */
+private[graft] object GraftProps {
+  val KeepSnapshots = "graft.keep_snapshots"
+
+  private def fs(root: String) = new HPath(root).getFileSystem(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  def all(root: String): Map[String, String] = {
+    val p = new HPath(root, "_props")
+    val f = fs(root)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.linesIterator.filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
+    }
+  }
+
+  private def render(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n") + "\n"
+
+  def set(root: String, k: String, v: String): Unit = {
+    if (k == KeepSnapshots) require(
+      scala.util.Try(v.toInt).toOption.exists(_ >= 2),
+      s"GraftCatalog: $KeepSnapshots must be an integer >= 2, got '$v'")
+    ManifestTable.swapRefPointer(root, "_props", render(all(root) + (k -> v)))
+  }
+
+  def remove(root: String, k: String): Unit =
+    ManifestTable.swapRefPointer(root, "_props", render(all(root) - k))
+
+  def keepSnapshots(root: String): Int =
+    all(root).get(KeepSnapshots).map(_.toInt).getOrElse(2)
+}
+
 /** One named graft table: schema = the DATA columns (partition fields
   * are hidden layout, the Iceberg posture); `pinnedSnapshot` carries a
   * time-travel pin. Reads never go through `newScanBuilder` — the
@@ -532,8 +599,13 @@ class GraftSqlTable(tableName: String, val root: String,
       }
     }.toArray
 
+  /** Snapshot retention every SQL commit on this table applies
+    * ([[GraftProps.KeepSnapshots]]; default 2). */
+  lazy val keepSnapshots: Int = GraftProps.keepSnapshots(root)
+
   override def properties(): util.Map[String, String] =
-    Map("format" -> "graft", "root" -> root).asJava
+    (Map("format" -> "graft", "root" -> root) ++
+      GraftProps.all(root)).asJava
 
   /** The pinned Scala reader this table's SQL reads substitute onto:
     * data columns only (partition fields stay hidden), empty-but-typed
@@ -703,6 +775,7 @@ object GraftSqlWrites {
       SpecManifest.commitSnapshot(spark, table.root, spec,
         updates.map { case (vs, df) =>
           vs -> toPhysical(df, table.dataSchema) },
+        keepSnapshots = table.keepSnapshots,
         expectedBase = Some(base))
   }
 
@@ -734,6 +807,7 @@ object GraftSqlWrites {
         newContent.map { case (vs, df) =>
           vs -> toPhysical(alignData(df, table.dataSchema),
             table.dataSchema) },
+        keepSnapshots = table.keepSnapshots,
         expectedBase = expectedBase)
 
   private[sql] def leavesOfRows(rows: DataFrame,

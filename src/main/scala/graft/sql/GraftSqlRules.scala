@@ -213,7 +213,8 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
         deletes = touched.map(vs =>
           vs -> GraftSqlWrites.toPhysical(
             GraftSqlWrites.rowsOfLeaf(removed, table.spec, vs),
-            table.dataSchema)).toMap)
+            table.dataSchema)).toMap,
+        keepSnapshots = table.keepSnapshots)
     } else {
       val updates = touched.map { vs =>
         val leaf = GraftSqlWrites.alignData(
@@ -636,7 +637,8 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         .getOrElse(Map.empty[Seq[String], DataFrame])
       if (ups.nonEmpty || dels.nonEmpty)
         SpecManifest.commitMerge(spark, table.root, spec, tKeysPhys,
-          upserts = ups, deletes = dels)
+          upserts = ups, deletes = dels,
+          keepSnapshots = table.keepSnapshots)
       return Seq.empty
     }
     // ---- copy-on-write fallback: rebuild each touched leaf (a NEW

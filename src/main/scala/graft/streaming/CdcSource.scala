@@ -16,6 +16,11 @@ import graft.engine.{PartitionedManifest, SpecManifest}
   *   spark.readStream.format("graft-cdc")
   *     .option("root", tableRoot).option("partCol", "bk")
   *     .option("partType", "int").load()
+  *   // composite-spec roots: .option("spec", spec.renderCompact)
+  *   // catalog-NAMED (resolves root+spec through GraftCatalog, the
+  *   // symmetric half of the graft-spec-table sink's option):
+  *   spark.readStream.format("graft-cdc")
+  *     .option("table", "g.db.t").load()
   * }}}
   *
   * Each micro-batch is the row-level diff between two snapshot commits
@@ -51,17 +56,48 @@ class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])
       : (String, StructType) =
-    (shortName(), CdcSource.schemaFor(ctx, parameters))
+    (shortName(),
+      CdcSource.schemaFor(ctx, CdcSource.resolveTable(ctx, parameters)))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new CdcSource(ctx, parameters)
+    new CdcSource(ctx, CdcSource.resolveTable(ctx, parameters))
 }
 
 object CdcSource {
   private def opt(parameters: Map[String, String], key: String): String =
     parameters.getOrElse(key, sys.error(s"graft-cdc: missing option '$key'"))
+
+  /** Catalog-NAMED source: `option("table", "g.db.t")` resolves root
+    * and spec through the session's registered [[graft.sql.GraftCatalog]]
+    * — the symmetric half of [[SpecTableSink]]'s `table` option, so a
+    * pure-SQL-catalog user can tail changes without digging the
+    * warehouse path or the compact spec string out of band. `ref`
+    * still composes (branch audit streams). */
+  private[streaming] def resolveTable(ctx: SQLContext,
+      parameters: Map[String, String]): Map[String, String] =
+    parameters.get("table") match {
+      case None => parameters
+      case Some(t) =>
+        require(!parameters.contains("root") &&
+          !parameters.contains("spec"),
+          "graft-cdc: give either 'table' or 'root'+'spec', not both")
+        val parts = t.split("\\.").toSeq.filter(_.nonEmpty)
+        require(parts.length >= 2, s"graft-cdc: table '$t' must be " +
+          "<catalog>.<namespace…>.<name>")
+        org.apache.spark.sql.graft.ColumnBridge
+          .catalogPlugin(ctx.sparkSession, parts.head) match {
+          case g: graft.sql.GraftCatalog =>
+            val r = g.rootOfTableName(parts.tail.mkString("."))
+            parameters ++ Map("root" -> r,
+              "spec" -> SpecManifest
+                .specVersions(ctx.sparkSession, r).last.renderCompact)
+          case other => sys.error(s"graft-cdc: catalog " +
+            s"'${parts.head}' is ${other.getClass.getName}, not a " +
+            "graft.sql.GraftCatalog")
+        }
+    }
 
   /** The stream schema: the CURRENT snapshot's recorded data columns +
     * the partition column + the change-type column. Fixed at stream
@@ -77,8 +113,17 @@ object CdcSource {
     parameters.get("spec") match {
       case Some(sc) =>
         val spec = SpecManifest.parseCompact(sc)
-        val data = SpecManifest.read(spark, root, spec).schema
-          .filterNot(f => spec.names.contains(f.name))
+        // a CATALOG-managed root streams under the catalog's CURRENT
+        // LOGICAL schema (renames aliased, dropped columns hidden,
+        // added ones NULL for old generations) — exactly what a SQL
+        // read of the same table serves; a plain Scala-API root
+        // streams the file-spelled columns
+        val data =
+          if (graft.sql.GraftSchemas.hasVersions(spark, root))
+            graft.sql.GraftSchemas.current(spark, root).fields.toSeq
+              .map(f => StructField(f.name, f.dataType, f.nullable))
+          else SpecManifest.read(spark, root, spec).schema
+            .filterNot(f => spec.names.contains(f.name))
         return StructType((data ++
           spec.names.map(StructField(_, StringType, nullable = true)))
           :+ StructField(changeCol, StringType, nullable = true))
@@ -186,11 +231,22 @@ class CdcSource(ctx: SQLContext, parameters: Map[String, String])
         PartitionedManifest.changesBetween(spark, root, partCol, partType,
           snapAt(longOf(s)), endSnap, changeCol)
     }
+    // a catalog-managed root's diff carries PHYSICAL column spellings
+    // (files never see logical renames) — alias them back to the
+    // catalog's logical names before aligning to the stream schema
+    val logical =
+      if (!graft.sql.GraftSchemas.hasVersions(spark, root)) batch
+      else graft.sql.GraftSchemas.current(spark, root).fields
+        .foldLeft(batch) { (d, f) =>
+          val p = graft.sql.GraftSchemas.physicalName(f)
+          if (p != f.name && d.columns.contains(p))
+            d.withColumnRenamed(p, f.name) else d
+        }
     // column order pinned to the declared stream schema, absent fields
     // (an evolved spec table's old-generation diff) as NULL; V1
     // getBatch must hand back isStreaming=true (FileStreamSource)
-    val aligned = batch.select(schema.fields.toSeq.map { f =>
-      if (batch.columns.contains(f.name))
+    val aligned = logical.select(schema.fields.toSeq.map { f =>
+      if (logical.columns.contains(f.name))
         org.apache.spark.sql.functions.col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)

@@ -1357,4 +1357,59 @@ class GraftNamedSinkSpec extends AnyFunSuite {
     assert(spark.sql("SELECT payload FROM galter.db.ev WHERE k = 3")
       .head().getString(0) == "C")
   }
+
+  test("graft-cdc source resolves option(\"table\", \"g.db.t\") " +
+      "through the session's GraftCatalog (the sink's symmetric " +
+      "half): bootstrap, SQL-DML commit diffs, restart replay") {
+    val wh2 =
+      java.nio.file.Files.createTempDirectory("graft-gcdc").toString
+    spark.conf.set("spark.sql.catalog.gcdc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdc.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcdc.db")
+    // retention must cover the stream's replay window: a restarting
+    // stream re-reads its last committed generation range, so a table
+    // that feeds CDC keeps more than the default 2 snapshots
+    spark.sql("""CREATE TABLE gcdc.db.t (k BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(2, k))
+      TBLPROPERTIES ('graft.keep_snapshots' = '8')""")
+    assert(spark.sql("SHOW TBLPROPERTIES gcdc.db.t").collect()
+      .exists(r => r.getString(0) == "graft.keep_snapshots" &&
+        r.getString(1) == "8"))
+    spark.sql("INSERT INTO gcdc.db.t " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(1, 11)")
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft-gcdc-ck").toString
+    val got = scala.collection.mutable.Buffer
+      .empty[(Long, Double, String)]
+    def start() = spark.readStream.format("graft-cdc")
+      .option("table", "gcdc.db.t").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getString(3)))
+        ()
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(got.size == 10 && got.forall(_._3 == "insert"),
+        s"bootstrap must carry the whole table as inserts: ${got.size}")
+      got.clear()
+      // a SQL UPDATE commit arrives as its logical row diff
+      spark.sql("UPDATE gcdc.db.t SET v = -1.0 WHERE k = 3")
+      q.processAllAvailable()
+      assert(got.toSet == Set((3L, 3.0, "delete"), (3L, -1.0, "insert")),
+        s"UPDATE diff wrong: ${got.toSeq.sorted}")
+    } finally q.stop()
+    // a SQL DELETE lands while the stream is DOWN: the checkpoint
+    // restart replays exactly that diff
+    got.clear()
+    spark.sql("DELETE FROM gcdc.db.t WHERE k = 5")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.toSeq == Seq((5L, 5.0, "delete")),
+        s"restart must replay only the offline DELETE: $got")
+    } finally q2.stop()
+  }
 }
