@@ -2589,6 +2589,58 @@ object EngineQueries {
           CAST(FLOOR((SELECT MAX(o_custkey) FROM base) / 8) AS BIGINT))
       ORDER BY src, o_orderkey, o_custkey"""), bench = true),
 
+    // CORRELATED SUBQUERIES IN DML CONDITIONS: `DELETE … WHERE EXISTS
+    // (SELECT … WHERE corr = t.col)` is the reference's own
+    // tracker-wipe idiom (actiontracker.py:272-291). The engine plans
+    // the condition as a Catalyst Filter over the fresh read —
+    // RewritePredicateSubquery decorrelates it into semi/anti joins —
+    // and the per-leaf rewrite subtracts the affected rows as an
+    // exact multiset. The oracle replays both statements relationally.
+    QuerySpec("w36_sql_dml_correlated", (s, dir) => {
+      Tables.registerAll(s, dir)
+      if (s.conf.getOption("spark.sql.catalog.gw36").isEmpty) {
+        s.conf.set("spark.sql.catalog.gw36", "graft.sql.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gw36.warehouse",
+          Files.createTempDirectory("graft-w36").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw36.db")
+      s.sql("DROP TABLE IF EXISTS gw36.db.cust")
+      s.sql("DROP TABLE IF EXISTS gw36.db.banned")
+      s.sql("""CREATE TABLE gw36.db.cust
+        (c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)
+        PARTITIONED BY (bucket(4, c_custkey))""")
+      s.sql("""INSERT INTO gw36.db.cust
+        SELECT CAST(c_custkey AS BIGINT), CAST(c_acctbal AS DOUBLE),
+               c_mktsegment
+        FROM customer""")
+      s.sql("""CREATE TABLE gw36.db.banned (c_custkey BIGINT)
+        PARTITIONED BY (bucket(2, c_custkey))""")
+      s.sql("""INSERT INTO gw36.db.banned
+        SELECT CAST(c_custkey AS BIGINT) FROM customer
+        WHERE c_custkey % 11 = 0""")
+      s.sql("""DELETE FROM gw36.db.cust t WHERE EXISTS
+        (SELECT 1 FROM gw36.db.banned b
+         WHERE b.c_custkey = t.c_custkey)""")
+      s.sql("""UPDATE gw36.db.cust t SET c_mktsegment = 'next-banned'
+        WHERE EXISTS (SELECT 1 FROM gw36.db.banned b
+                      WHERE b.c_custkey = t.c_custkey + 1)""")
+      s.sql("""SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM gw36.db.cust ORDER BY c_custkey""")
+    }, oracle = Some("""
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(c_acctbal AS DOUBLE) AS b, c_mktsegment AS s
+        FROM customer),
+      banned AS (SELECT k FROM base WHERE k % 11 = 0),
+      afterdel AS (
+        SELECT * FROM base t
+        WHERE NOT EXISTS (SELECT 1 FROM banned WHERE banned.k = t.k))
+      SELECT k AS c_custkey, b AS c_acctbal,
+             CASE WHEN EXISTS (SELECT 1 FROM banned
+                               WHERE banned.k = t.k + 1)
+                  THEN 'next-banned' ELSE s END AS c_mktsegment
+      FROM afterdel t ORDER BY c_custkey"""), bench = true),
+
     QuerySpec("w04_scd2_upsert", (s, dir) => {
       Tables.registerAll(s, dir)
       graft.engine.PartitionedManifest.ensurePacketPublishSteps()

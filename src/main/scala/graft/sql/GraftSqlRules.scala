@@ -63,15 +63,22 @@ class GraftSqlRules(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!d.resolved) d
         else {
           val (r, t) = graftTarget(d.table).get
-          GraftDml.checkSubqueries(d.condition, "DELETE")
+          // conditions may carry CORRELATED subqueries (EXISTS/IN/
+          // scalar): the command plans them as a Catalyst Filter over
+          // the fresh read, and the optimizer decorrelates to semi/
+          // anti joins — the reference's own tracker-wipe idiom
+          // (actiontracker.py:272-291) is DELETE … WHERE EXISTS
           GraftDeleteCommand(t, d.condition, r.output)
         }
       case u: UpdateTable if graftTarget(u.table).isDefined =>
         if (!u.resolved) u
         else {
           val (r, t) = graftTarget(u.table).get
-          (u.assignments ++ u.condition.toSeq)
-            .foreach(e => GraftDml.checkSubqueries(e, "UPDATE"))
+          // correlated subqueries work in the CONDITION (planned as a
+          // decorrelated Filter); assignment VALUES must stay
+          // rebindable against engine-built frames — refuse there
+          u.assignments
+            .foreach(e => GraftDml.checkSubqueries(e, "UPDATE SET"))
           GraftUpdateCommand(t, u.assignments, u.condition, r.output)
         }
       case m: MergeIntoTable if graftTarget(m.targetTable).isDefined =>
@@ -139,18 +146,46 @@ private[sql] object GraftDml {
       : org.apache.spark.sql.Column =
     ColumnBridge.column(bind(e, m))
 
-  /** UNcorrelated subqueries in DML conditions work (their plans were
+  /** UNcorrelated subqueries rebind anywhere (their plans were
     * analyzed — and any graft relations substituted — during the outer
     * resolution; at run time they re-plan inside the engine-built
     * filters). CORRELATED ones cannot rebind their outer references to
-    * the engine-built frames — refuse loudly at conversion instead of
-    * mis-resolving at run time. */
+    * the engine-built frames: DML CONDITIONS route them through
+    * [[affectedFrame]] (a real Catalyst Filter the optimizer
+    * decorrelates into semi/anti joins); everywhere else — UPDATE/
+    * MERGE assignments, MERGE clause conditions — refuse loudly at
+    * conversion instead of mis-resolving at run time. */
   def checkSubqueries(e: Expression, what: String): Unit = {
     import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     if (SubqueryExpression.hasCorrelatedSubquery(e))
-      sys.error(s"graft $what: correlated subqueries in conditions are " +
-        "not supported yet - rewrite as a join (uncorrelated " +
-        "subqueries work)")
+      sys.error(s"graft $what: correlated subqueries are not " +
+        "supported here - rewrite as a join (uncorrelated subqueries " +
+        "work; DELETE/UPDATE conditions support correlated ones)")
+  }
+
+  def isCorrelated(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    SubqueryExpression.hasCorrelatedSubquery(e)
+  }
+
+  /** The DML target's affected rows, computed by PLANNING the original
+    * resolved condition over the FRESH read (exprIds restored via
+    * aliases, the substituteRelation pattern) — the route that makes
+    * correlated EXISTS / IN / scalar subqueries work: the optimizer's
+    * subquery rewrite decorrelates the Filter into semi/anti joins.
+    * Built at RUN time so a conflict retry recomputes against the
+    * fresh snapshot. */
+  def affectedFrame(spark: SparkSession, tgt: DataFrame,
+      relOutput: Seq[Attribute], cond: Expression): DataFrame = {
+    val child = tgt.queryExecution.analyzed
+    val resolver = spark.sessionState.conf.resolver
+    val projections = relOutput.map { a =>
+      val c = child.output.find(c => resolver(c.name, a.name))
+        .getOrElse(sys.error(
+          s"graft DML: reader misses column '${a.name}'"))
+      Alias(c, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    }
+    ColumnBridge.ofRows(spark, Filter(cond, Project(projections, child)))
   }
 }
 
@@ -188,8 +223,14 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     if (base.isEmpty) return Seq.empty
     def condOn(df: DataFrame) =
       GraftDml.colOn(cond, GraftDml.attrMap(relOutput, df))
+    // a correlated condition cannot rebind per-frame — plan it ONCE as
+    // a decorrelated Filter over the fresh read; the per-leaf removal
+    // then subtracts the affected rows as an exact multiset
+    val correlated = GraftDml.isCorrelated(cond)
     val tgt = table.buildRead(spark)
-    val removed = tgt.filter(condOn(tgt)).localCheckpoint()
+    val removed = (if (correlated)
+      GraftDml.affectedFrame(spark, tgt, relOutput, cond)
+    else tgt.filter(condOn(tgt))).localCheckpoint()
     val touched = GraftSqlWrites.leavesOfRows(removed, table.spec)
     if (touched.isEmpty) return Seq.empty
     val dataCols = table.dataSchema.fieldNames.toSeq
@@ -223,8 +264,14 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
         // SQL DELETE removes only rows where the condition IS TRUE: a
         // NULL-valued condition keeps its row (not(NULL) is NULL and
         // would silently drop it — the Delta/Iceberg rewrite posture
-        // coalesces to false before inverting)
-        vs -> leaf.filter(not(coalesce(condOn(leaf), lit(false))))
+        // coalesces to false before inverting). A correlated condition
+        // cannot re-evaluate per leaf — subtract the (planned-once)
+        // affected rows as an exact multiset instead.
+        vs -> (if (correlated)
+          leaf.select(dataCols.map(col): _*).exceptAll(
+            GraftSqlWrites.rowsOfLeaf(removed, table.spec, vs)
+              .select(dataCols.map(col): _*))
+        else leaf.filter(not(coalesce(condOn(leaf), lit(false)))))
       }.toMap
       GraftSqlWrites.replaceLeaves(spark, table, updates, Some(base))
     }
@@ -260,10 +307,16 @@ case class GraftUpdateCommand(table: GraftSqlTable,
     def m(df: DataFrame) = GraftDml.attrMap(relOutput, df)
     def condOn(df: DataFrame) = cond
       .map(c => GraftDml.colOn(c, m(df))).getOrElse(lit(true))
+    // a correlated condition plans ONCE as a decorrelated Filter over
+    // the fresh read; the per-leaf rewrite then uses the exceptAll /
+    // union mechanism (the leaf-moving branch) instead of re-filtering
+    val correlated = cond.exists(GraftDml.isCorrelated)
     val tgt = table.buildRead(spark)
-    val affected = tgt.filter(condOn(tgt)).localCheckpoint()
+    val affected = (if (correlated)
+      GraftDml.affectedFrame(spark, tgt, relOutput, cond.get)
+    else tgt.filter(condOn(tgt))).localCheckpoint()
     val dataCols = table.dataSchema.fieldNames.toSeq
-    if (movers.nonEmpty) {
+    if (movers.nonEmpty || correlated) {
       // LEAF-MOVING update: the affected old rows leave their leaves,
       // the transformed rows land in their newly-derived ones — one
       // atomic copy-on-write snapshot over both sides, multiset-exact

@@ -352,7 +352,8 @@ class GraftSqlSpec extends AnyFunSuite {
   }
 
   test("uncorrelated subqueries work in graft DML conditions; " +
-      "correlated ones refuse loudly") {
+      "correlated EXISTS/NOT EXISTS/IN decorrelate on both commit " +
+      "routes; correlated assignment values refuse loudly") {
     wh
     spark.sql("""CREATE TABLE gsql.db.subq_t (id BIGINT, v DOUBLE)
       PARTITIONED BY (bucket(2, id))""")
@@ -373,10 +374,40 @@ class GraftSqlSpec extends AnyFunSuite {
       .count() == 0)
     assert(spark.sql("SELECT v FROM gsql.db.subq_t ORDER BY id")
       .collect().map(_.getDouble(0)).toSeq == Seq(1.0, 13.0))
-    // correlated: loud refusal, not a mis-resolution
-    val e = intercept[Exception] {
-      spark.sql("""DELETE FROM gsql.db.subq_t t WHERE EXISTS
+    // CORRELATED EXISTS in a DELETE (the reference's tracker-wipe
+    // idiom, actiontracker.py:272-291) — the MOR route (full-row
+    // delete deltas, no NULLs here)
+    spark.sql("INSERT INTO gsql.db.subq_other VALUES (3)")
+    spark.sql("""DELETE FROM gsql.db.subq_t t WHERE EXISTS
+      (SELECT 1 FROM gsql.db.subq_other o WHERE o.id = t.id)""")
+    assert(spark.sql("SELECT id FROM gsql.db.subq_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // correlated NOT EXISTS in an UPDATE (the COW exceptAll route)
+    spark.sql("""INSERT INTO gsql.db.subq_t VALUES (5, 5.0), (6, 6.0)""")
+    spark.sql("INSERT INTO gsql.db.subq_other VALUES (6)")
+    spark.sql("""UPDATE gsql.db.subq_t t SET v = -1.0
+      WHERE NOT EXISTS
         (SELECT 1 FROM gsql.db.subq_other o WHERE o.id = t.id)""")
+    val got = spark.sql(
+      "SELECT id, v FROM gsql.db.subq_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, -1.0), (5L, -1.0), (6L, 6.0)), s"$got")
+    // correlated IN in a DELETE over a table with NULL rows (forces
+    // the copy-on-write route through noNulls)
+    spark.sql("""CREATE TABLE gsql.db.subq_n (id BIGINT, seg STRING)
+      PARTITIONED BY (bucket(2, id))""")
+    spark.sql("""INSERT INTO gsql.db.subq_n VALUES
+      (1, NULL), (2, 'x'), (4, 'y'), (9, NULL)""")
+    spark.sql("""DELETE FROM gsql.db.subq_n t
+      WHERE t.id IN (SELECT o.id FROM gsql.db.subq_other o
+                     WHERE o.id < t.id + 10)""")
+    assert(spark.sql("SELECT id FROM gsql.db.subq_n ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 9L))
+    // correlated ASSIGNMENT values still refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("""UPDATE gsql.db.subq_t t SET v =
+        (SELECT CAST(max(o.id) AS DOUBLE) FROM gsql.db.subq_other o
+         WHERE o.id = t.id)""")
     }
     assert(e.getMessage.contains("correlated subqueries"), e.getMessage)
   }
