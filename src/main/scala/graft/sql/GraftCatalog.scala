@@ -75,8 +75,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def fs = new HPath(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // -------------------------------------------------------------------
+  // name indirection: `ALTER TABLE … RENAME TO` is ONE metadata write.
+  // Data directories never move (pinned readers hold path-addressed
+  // snapshots), so the warehouse carries a `_names` mapping file:
+  //   <logical path> \t <actual root>   — a renamed name points at the
+  //                                       original directory
+  //   <logical path> \t !               — tombstone: the original name
+  //                                       no longer serves its dir
+  // Atomically swapped (the MANIFEST ref machinery); rename/create/
+  // drop serialize on the warehouse publish lock.
+
+  private val Tombstone = "!"
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def namesMap: Map[String, String] = {
+    val p = new HPath(warehouse, "_names")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.linesIterator.filter(_.contains("\t")).map { l =>
+        val Array(k, v) = l.split("\t", 2); k -> v
+      }.toMap
+    }
+  }
+
+  private def writeNames(m: Map[String, String]): Unit =
+    ManifestTable.swapRefPointer(warehouse, "_names",
+      m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n") +
+        "\n")
+
+  private def tombstoned(ident: Identifier): Boolean =
+    namesMap.get(pathOf(ident)).contains(Tombstone)
+
   private def rootOf(ident: Identifier): String =
-    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+    namesMap.get(pathOf(ident)).filter(_ != Tombstone)
+      .getOrElse(s"$warehouse/${pathOf(ident)}")
 
   // -------------------------------------------------------------------
   // namespaces: plain directories under the warehouse
@@ -145,15 +183,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = new HPath((warehouse +: namespace.toSeq).mkString("/"))
-    if (!fs.exists(base)) Array.empty
-    else fs.listStatus(base)
-      .filter(s => s.isDirectory && isTableRoot(s.getPath))
-      .map(s => Identifier.of(namespace, s.getPath.getName))
-      .sortBy(_.name())
+    val dirs =
+      if (!fs.exists(base)) Array.empty[Identifier]
+      else fs.listStatus(base)
+        .filter(s => s.isDirectory && isTableRoot(s.getPath))
+        .map(s => Identifier.of(namespace, s.getPath.getName))
+    // renamed names live only in the mapping; tombstoned originals hide
+    val mapped = namesMap.toSeq.filter(_._2 != Tombstone)
+      .map(_._1.split("/").toSeq)
+      .filter(p => p.init == namespace.toSeq)
+      .map(p => Identifier.of(p.init.toArray, p.last))
+    (dirs.toSeq ++ mapped).distinct.filter(tableExists)
+      .sortBy(_.name()).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableRoot(new HPath(rootOf(ident)))
+    !tombstoned(ident) && isTableRoot(new HPath(rootOf(ident)))
 
   private def load(ident: Identifier,
       snapshot: Option[String]): GraftSqlTable = {
@@ -263,6 +308,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident)
+    if (tombstoned(ident)) {
+      // the name was renamed away; its directory may still hold the
+      // renamed table's data (path-addressed) — re-creating over it
+      // would collide. Once the renamed table is dropped the path
+      // frees up and the tombstone clears here.
+      require(!isTableRoot(new HPath(s"$warehouse/${pathOf(ident)}")),
+        s"GraftCatalog: '${pathOf(ident)}' was renamed away and its " +
+          "directory still holds that table's data - drop the renamed " +
+          "table first or pick another name")
+      ManifestTable.withPublishLock(warehouse)(
+        writeNames(namesMap - pathOf(ident)))
+    }
     val root = rootOf(ident)
     val spec = toSpec(partitions, schema)
     fs.mkdirs(new HPath(root))
@@ -450,15 +507,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    if (tombstoned(ident)) return false
     val p = new HPath(rootOf(ident))
-    if (!isTableRoot(p)) false else fs.delete(p, true)
+    if (!isTableRoot(p)) false
+    else {
+      val ok = fs.delete(p, true)
+      if (ok && namesMap.contains(pathOf(ident)))
+        ManifestTable.withPublishLock(warehouse)(
+          writeNames(namesMap - pathOf(ident)))
+      ok
+    }
   }
 
+  /** `ALTER TABLE … RENAME TO` — ONE metadata write into the `_names`
+    * mapping. The data directory never moves, so pinned readers
+    * (time-travel, open scans) keep serving their path-addressed
+    * snapshots; the old name tombstones, the new name points at the
+    * original root. */
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: RENAME is not supported (pinned readers hold " +
-        "path-addressed snapshots)")
+    ManifestTable.withPublishLock(warehouse) {
+      if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+      if (tableExists(newIdent))
+        throw new TableAlreadyExistsException(newIdent)
+      require(namespaceExists(newIdent.namespace()),
+        s"GraftCatalog: namespace " +
+          s"${newIdent.namespace().mkString(".")} does not exist")
+      require(!isTableRoot(
+          new HPath(s"$warehouse/${pathOf(newIdent)}")),
+        s"GraftCatalog: a dropped-but-renamed-away table's directory " +
+          s"still occupies '${pathOf(newIdent)}'")
+      val m = namesMap
+      val oldPath = pathOf(oldIdent)
+      val actualRoot = m.get(oldPath).filter(_ != Tombstone)
+        .getOrElse(s"$warehouse/$oldPath")
+      // a name whose PHYSICAL dir holds the data tombstones; a name
+      // that was itself a rename just drops its mapping entry
+      val m2 = (if (isTableRoot(new HPath(s"$warehouse/$oldPath")))
+        m + (oldPath -> Tombstone)
+      else m - oldPath) + (pathOf(newIdent) -> actualRoot)
+      writeNames(m2)
+    }
 
   // -------------------------------------------------------------------
   // stored procedures: `CALL <cat>.system.<proc>(…)` — the SQL face of

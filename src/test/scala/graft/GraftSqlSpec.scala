@@ -783,6 +783,66 @@ class GraftSqlSpec extends AnyFunSuite {
       s"content drifted: $chk")
   }
 
+  test("ALTER TABLE RENAME TO is one metadata write (name " +
+      "indirection): old name gone, new name serves reads/DML/time " +
+      "travel, pinned readers keep their path-addressed snapshots") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.rn1 (k BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(2, k))""")
+    spark.sql("INSERT INTO gsql.db.rn1 " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    spark.sql("CALL gsql.system.tag('db.rn1', 'seed')")
+    // a reader pins the seeded snapshot BEFORE the rename
+    val pinned = spark.sql(
+      "SELECT * FROM gsql.db.rn1 VERSION AS OF 'seed'")
+    spark.sql("INSERT INTO gsql.db.rn1 " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(10, 15)")
+    spark.sql("ALTER TABLE gsql.db.rn1 RENAME TO db.rn2")
+    // new name serves everything, old name is gone
+    assert(spark.sql("SELECT count(*) FROM gsql.db.rn2")
+      .head().getLong(0) == 15)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gsql.db.rn1").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND")
+      || e.getMessage.contains("rn1"), e.getMessage)
+    // the pre-rename pinned reader still serves its snapshot (data
+    // directories never moved)
+    assert(pinned.count() == 10)
+    // time travel rides through the new name
+    assert(spark.sql(
+      "SELECT count(*) FROM gsql.db.rn2 VERSION AS OF 'seed'")
+      .head().getLong(0) == 10)
+    // DML + maintenance through the new name
+    spark.sql("DELETE FROM gsql.db.rn2 WHERE k = 0")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.rn2")
+      .head().getLong(0) == 14)
+    assert(spark.sql("CALL gsql.system.compact('db.rn2')").count() >= 1)
+    // SHOW TABLES lists only the new name
+    val names = spark.sql("SHOW TABLES IN gsql.db").collect()
+      .map(_.getString(1)).toSeq
+    assert(names.contains("rn2") && !names.contains("rn1"), s"$names")
+    // re-creating the old name refuses while the directory still
+    // holds the renamed table's data
+    val e2 = intercept[Exception] {
+      spark.sql("""CREATE TABLE gsql.db.rn1 (x BIGINT)
+        PARTITIONED BY (bucket(2, x))""")
+    }
+    assert(e2.getMessage.contains("renamed away"), e2.getMessage)
+    // a second rename of a renamed name just repoints the mapping
+    spark.sql("ALTER TABLE gsql.db.rn2 RENAME TO db.rn3")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.rn3")
+      .head().getLong(0) == 14)
+    // dropping the renamed table frees the original path for reuse
+    spark.sql("DROP TABLE gsql.db.rn3")
+    spark.sql("""CREATE TABLE gsql.db.rn1 (x BIGINT)
+      PARTITIONED BY (bucket(2, x))""")
+    spark.sql("INSERT INTO gsql.db.rn1 VALUES (1)")
+    assert(spark.sql("SELECT count(*) FROM gsql.db.rn1")
+      .head().getLong(0) == 1)
+    spark.sql("DROP TABLE gsql.db.rn1")
+  }
+
   test("RENAME COLUMN is metadata-only, survives the classic " +
       "rename-swap migration (id->id_old, id_new->id, drop id_old), " +
       "and keeps serving reads, DML and merges") {
