@@ -372,9 +372,12 @@ case class GraftUpdateCommand(table: GraftSqlTable,
   * surface, committed as ONE leaf-scoped snapshot (merge-on-read
   * deltas when eligible, copy-on-write otherwise):
   *
-  *   - ON must be a conjunction of target-column = source-column
-  *     equalities (the merge KEYS; per-key uniqueness on both sides is
-  *     the standard MERGE contract);
+  *   - ON is a conjunction holding at least one target-column =
+  *     source-column equality (the merge KEYS; per-key uniqueness on
+  *     both sides is the standard MERGE contract); any OTHER conjunct
+  *     is a RESIDUAL that folds into the matching predicate — a pair
+  *     matches iff keys AND residual hold, and both NOT MATCHED sides
+  *     judge the full ON (the Delta posture);
   *   - any number of conditional `WHEN MATCHED` (UPDATE SET — explicit
   *     or star — or DELETE), `WHEN NOT MATCHED` (INSERT, explicit or
   *     star) and `WHEN NOT MATCHED BY SOURCE` (UPDATE/DELETE) clauses;
@@ -415,8 +418,13 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     // narrower side in a Cast (e.g. an INT-typed VALUES source against
     // a BIGINT key), so equality sides unwrap through casts — key uses
     // below re-cast the SOURCE side to the target key's type (ANSI:
-    // an out-of-range source key fails loudly, never silently)
-    val keyPairs: Seq[(String, String)] = {
+    // an out-of-range source key fails loudly, never silently).
+    // NON-key conjuncts (Delta allows them) become the RESIDUAL: a
+    // target/source pair MATCHES iff keys AND residual hold — the
+    // residual folds into the matched join and BOTH anti-joins, so
+    // NOT MATCHED / NOT MATCHED BY SOURCE judge the full ON predicate.
+    val (keyPairs: Seq[(String, String)],
+         residual: Option[Expression]) = {
       def split(e: Expression): Seq[Expression] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
           split(l) ++ split(r)
@@ -428,23 +436,27 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
           attrOf(c.child)
         case _ => None
       }
-      split(mergeCond).map {
-        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
-          (attrOf(l), attrOf(r)) match {
-            case (Some(a), Some(b))
-                if targetIds.contains(a.exprId) &&
-                  sourceIds.contains(b.exprId) => (a.name, b.name)
-            case (Some(a), Some(b))
-                if sourceIds.contains(a.exprId) &&
-                  targetIds.contains(b.exprId) => (b.name, a.name)
-            case _ => sys.error("graft MERGE: the ON condition must " +
-              s"be a conjunction of t.col = s.col equalities, got " +
-              s"${org.apache.spark.sql.catalyst.expressions
-                .EqualTo(l, r)}")
-          }
-        case other => sys.error("graft MERGE: the ON condition must " +
-          s"be a conjunction of t.col = s.col equalities, got $other")
-      }
+      val parts: Seq[Either[(String, String), Expression]] =
+        split(mergeCond).map {
+          case eq@org.apache.spark.sql.catalyst.expressions
+              .EqualTo(l, r) =>
+            (attrOf(l), attrOf(r)) match {
+              case (Some(a), Some(b))
+                  if targetIds.contains(a.exprId) &&
+                    sourceIds.contains(b.exprId) => Left((a.name, b.name))
+              case (Some(a), Some(b))
+                  if sourceIds.contains(a.exprId) &&
+                    targetIds.contains(b.exprId) => Left((b.name, a.name))
+              case _ => Right(eq)
+            }
+          case other => Right(other)
+        }
+      val keys = parts.collect { case Left(kp) => kp }
+      require(keys.nonEmpty, "graft MERGE: the ON condition needs at " +
+        "least one t.col = s.col equality (the merge keys); residual " +
+        s"conjuncts are allowed alongside, got $mergeCond")
+      (keys, parts.collect { case Right(e) => e }
+        .reduceOption(org.apache.spark.sql.catalyst.expressions.And))
     }
     val tKeys = keyPairs.map(_._1)
     val tTypeOf = targetOutput.map(a => a.name -> a.dataType).toMap
@@ -533,14 +545,20 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
       (removed, deleted, updates)
     }
 
+    // the ON residual bound over (tgt, srcDf) — folds into the
+    // matched join and both anti-joins (a pair matches iff keys AND
+    // residual hold, the SQL:2016 / Delta contract)
+    val resCol: Option[org.apache.spark.sql.Column] =
+      residual.map(e => colOn(e, both))
+    val keysCond = keyPairs.map { case (tk, sk) =>
+      tgt(tk) === srcKey(srcDf, tk, sk) }.reduce(_ && _)
+    val onCond = resCol.map(keysCond && _).getOrElse(keysCond)
     // ---- WHEN MATCHED ----
     val (remM, delM, updM):
         (Option[DataFrame], Option[DataFrame], Seq[DataFrame]) =
       if (matched.isEmpty) (None, None, Nil)
       else {
-        val joinCond = keyPairs.map { case (tk, sk) =>
-          tgt(tk) === srcKey(srcDf, tk, sk) }.reduce(_ && _)
-        val tagged = tagClauses(tgt.join(srcDf, joinCond, "inner"),
+        val tagged = tagClauses(tgt.join(srcDf, onCond, "inner"),
           matched, both).localCheckpoint()
         val (r, d, u) = applyClauses(tagged, matched, both)
         (Some(r), d, u)
@@ -549,11 +567,16 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     val inserted: Option[DataFrame] =
       if (notMatched.isEmpty) None
       else {
-        val notM = srcDf.join(
-          tgt.select(tKeys.map(tgt(_)): _*).distinct(),
-          keyPairs.map { case (tk, sk) =>
-            srcKey(srcDf, tk, sk) === tgt(tk) }.reduce(_ && _),
-          "left_anti")
+        // no residual: anti-join against the DISTINCT target keys (a
+        // smaller build side); with one, the full ON predicate decides
+        // matching, so the anti-join needs the target columns it reads
+        val notM =
+          if (residual.isEmpty)
+            srcDf.join(tgt.select(tKeys.map(tgt(_)): _*).distinct(),
+              keyPairs.map { case (tk, sk) =>
+                srcKey(srcDf, tk, sk) === tgt(tk) }.reduce(_ && _),
+              "left_anti")
+          else srcDf.join(tgt, onCond, "left_anti")
         val nmMap = attrMap(source.output, notM)
         val tagged = tagClauses(notM, notMatched, nmMap)
         val frames = notMatched.zipWithIndex.map {
@@ -577,12 +600,17 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         (Option[DataFrame], Option[DataFrame], Seq[DataFrame]) =
       if (notMatchedBySource.isEmpty || !hasSnapshot) (None, None, Nil)
       else {
-        val srcKeys = srcDf.select(keyPairs.map { case (tk, sk) =>
-          srcKey(srcDf, tk, sk).as(s"_graft_src_$tk") }: _*).distinct()
-        val antiCond = keyPairs.map { case (tk, _) =>
-          tgt(tk) === srcKeys(s"_graft_src_$tk") }.reduce(_ && _)
-        val tagged = tagClauses(tgt.join(srcKeys, antiCond, "left_anti"),
-          notMatchedBySource, tgtMap).localCheckpoint()
+        val anti =
+          if (residual.isEmpty) {
+            val srcKeys = srcDf.select(keyPairs.map { case (tk, sk) =>
+              srcKey(srcDf, tk, sk).as(s"_graft_src_$tk") }: _*)
+              .distinct()
+            val antiCond = keyPairs.map { case (tk, _) =>
+              tgt(tk) === srcKeys(s"_graft_src_$tk") }.reduce(_ && _)
+            tgt.join(srcKeys, antiCond, "left_anti")
+          } else tgt.join(srcDf, onCond, "left_anti")
+        val tagged = tagClauses(anti, notMatchedBySource, tgtMap)
+          .localCheckpoint()
         val (r, d, u) = applyClauses(tagged, notMatchedBySource, tgtMap)
         (Some(r), d, u)
       }
@@ -661,6 +689,11 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     val noNullKeys =
       removed.forall(_.filter(someKeyNull).isEmpty) &&
         added.forall(_.filter(someKeyNull).isEmpty)
+    // a RESIDUAL makes "not matched" weaker than "key absent": an
+    // insert may carry a key that EXISTS in the target (pair failed
+    // the residual) — a keyed upsert delta would silently REPLACE that
+    // row; only the copy-on-write route adds alongside it
+    val insertsKeySafe = residual.isEmpty || inserted.isEmpty
     val existing = SpecManifest.leafKeys(spark, table.root, spec).toSet
     // files (and so delta chains) spell RENAMED columns physically
     val physSchema = GraftSchemas.physicalSchema(table.dataSchema)
@@ -678,7 +711,7 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
           .map(f => (f.name, f.dataType)) ==
           physSchema.map(f => (f.name, f.dataType)).toSeq)
     if (matchedSafe && chainsOk && schemasOk && noNullKeys &&
-        touched.forall(existing.contains)) {
+        insertsKeySafe && touched.forall(existing.contains)) {
       val ups = added.map(a2 => touched.map(vs =>
         vs -> GraftSqlWrites.toPhysical(
           GraftSqlWrites.rowsOfLeaf(a2, spec, vs), table.dataSchema))
@@ -705,22 +738,17 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         else GraftSqlWrites.alignData(
           SpecManifest.readLeaf(spark, table.root, table.spec, vs),
           table.dataSchema, fromFiles = true)
+      // removal is an EXACT MULTISET subtraction (the leaf-moving
+      // UPDATE mechanism), never a key anti-join: a key anti-join
+      // would also remove rows that merely SHARE an affected row's
+      // key without being affected themselves — NULL-keyed rows
+      // (which never equi-join at all), and key-duplicate rows a
+      // residual-ON insert legitimately created
       val minus = removed match {
         case Some(r) =>
-          val rl = GraftSqlWrites.rowsOfLeaf(r, spec, vs)
-          val keys = rl.filter(tKeys.map(col(_).isNotNull)
-              .reduce(_ && _))
-            .select(tKeys.map(col): _*).distinct()
-          // NULL-keyed affected rows (only NOT MATCHED BY SOURCE can
-          // produce them) never equi-anti-join — subtract them as an
-          // exact multiset instead (the leaf-moving UPDATE mechanism),
-          // so a BY-SOURCE DELETE removes them and a BY-SOURCE UPDATE
-          // replaces rather than duplicates them
-          val nullKeyed = rl.filter(tKeys.map(col(_).isNull)
-            .reduce(_ || _)).select(dataCols.map(col): _*)
-          leaf.join(keys, tKeys, "left_anti")
-            .select(dataCols.map(col): _*)
-            .exceptAll(nullKeyed)
+          leaf.select(dataCols.map(col): _*).exceptAll(
+            GraftSqlWrites.rowsOfLeaf(r, spec, vs)
+              .select(dataCols.map(col): _*))
         case None => leaf
       }
       val plus = added match {

@@ -495,6 +495,43 @@ class GraftSqlSpec extends AnyFunSuite {
       s"untouched NULL-keyed row must survive a keyed MERGE: $afterMor")
   }
 
+  test("MERGE ON residual conjuncts beyond key equality fold into " +
+      "the matching predicate: a key-equal pair failing the residual " +
+      "is NOT matched on both sides") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.mres (id BIGINT, v DOUBLE,
+      status STRING) PARTITIONED BY (bucket(2, id))""")
+    spark.sql("""INSERT INTO gsql.db.mres VALUES
+      (1, 10.0, 'live'), (2, 20.0, 'archived'), (3, 30.0, 'live')""")
+    // id=1 matches (live target, positive source); id=2 fails the
+    // target-side residual; id=3 fails the source-side residual
+    spark.sql("""MERGE INTO gsql.db.mres t
+      USING (SELECT * FROM VALUES (1, 100.0), (2, 200.0), (3, -300.0)
+             AS s(id, v)) s
+      ON t.id = CAST(s.id AS BIGINT) AND t.status = 'live' AND s.v > 0
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN
+        INSERT (id, v, status) VALUES (s.id, s.v, 'new')
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'""")
+    val got = spark.sql("""SELECT id, v, status FROM gsql.db.mres
+      ORDER BY id, v""").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 100.0, "live"),     // matched: key + both residuals hold
+      (2L, 20.0, "stale"),     // target residual failed -> by-source
+      (2L, 200.0, "new"),      // ... and the source row inserts
+      (3L, -300.0, "new"),     // source residual failed -> inserts
+      (3L, 30.0, "stale")      // ... and the target row is by-source
+    ), s"residual-ON MERGE: $got")
+    // an ON with no key equality at all still refuses
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gsql.db.mres t
+        USING (SELECT 1 AS id, 1.0 AS v) s ON t.v > s.v
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("at least one"), e.getMessage)
+  }
+
   test("bucket-local MERGE: when the merge keys cover every partition " +
       "source, the target side reads ONLY the source-derived leaves") {
     wh
