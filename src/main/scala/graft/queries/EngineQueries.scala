@@ -2535,8 +2535,11 @@ object EngineQueries {
       def call(q: String): Seq[String] =
         s.sql(q).collect().map(_.getString(0)).toSeq
           .filterNot(_.startsWith("snapshot "))
+      // 16 files per leaf: each z-run then fixes the TOP TWO bits of
+      // both dims (8 would fix only one — a 1/8-range scan would touch
+      // exactly half the files, a boundary assert)
       val z = call("CALL gw35.system.rewrite_layout('db.ord', " +
-        "'zorder', 'o_custkey,o_orderkey', 8, 0)")
+        "'zorder', 'o_custkey,o_orderkey', 16, 0)")
       require(z.count(_.startsWith("rewrote ")) == 2,
         s"both leaves must rewrite: $z")
       call("CALL gw35.system.analyze('db.ord', 'o_orderkey,o_custkey')")
@@ -2550,7 +2553,7 @@ object EngineQueries {
       val kHi = mx.getLong(0) / 8L
       val cHi = mx.getLong(1) / 8L
       val total = plannedFiles(s.sql("SELECT * FROM gw35.db.ord"))
-      require(total >= 16, s"8 files x 2 leaves expected: $total")
+      require(total >= 32, s"16 files x 2 leaves expected: $total")
       val byK = s.sql("SELECT * FROM gw35.db.ord " +
         s"WHERE o_orderkey >= 1 AND o_orderkey <= $kHi")
       val byC = s.sql("SELECT * FROM gw35.db.ord " +
@@ -2562,7 +2565,7 @@ object EngineQueries {
         s"z-order must prune o_custkey ranges: kept $keptC of $total")
       // convergent: the identical CALL selects nothing
       val again = call("CALL gw35.system.rewrite_layout('db.ord', " +
-        "'zorder', 'o_custkey,o_orderkey', 8, 0)")
+        "'zorder', 'o_custkey,o_orderkey', 16, 0)")
       require(again == Seq("no leaves need this layout"),
         s"repeated identical rewrite must be a no-op: $again")
       s.sql(s"""SELECT src, o_orderkey, o_custkey, o_totalprice FROM (
