@@ -1470,6 +1470,7 @@ object SpecManifest {
       spec: PartitionSpec, clusterBy: Seq[String], clusterFiles: Int = 0,
       targetBytes: Long = 128L << 20, zOrder: Boolean = false,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
+      leafWhere: Option[String] = None,
       keepSnapshots: Int = 2,
       maxAttempts: Int = 3,
       onBeforeValidate: () => Unit = () => ()): (String, Seq[String]) = {
@@ -1482,11 +1483,38 @@ object SpecManifest {
         "partition fields")
     checkSpec(spark, root, spec)
     val fs = fsOf(spark, root)
+    /** Leaves admitted by `leafWhere` — a SQL predicate over the
+      * PARTITION FIELD names, evaluated driver-side over the leaf
+      * tuples (values are the directory-name STRINGS; leaf-count
+      * bounded). The 100 TB posture: layout maintenance runs
+      * incrementally per partition predicate ("y = '2025'"), never
+      * the whole table per call — Iceberg's rewrite_data_files
+      * `where`. */
+    def admitted(keys: Iterable[String]): Set[String] = leafWhere match {
+      case None => keys.toSet
+      case Some(w) =>
+        val rows = keys.toSeq.map { lp =>
+          val vs = lp.split("/").toSeq.map(_.split("=", 2)(1))
+          org.apache.spark.sql.Row.fromSeq(vs :+ lp)
+        }
+        val sch = org.apache.spark.sql.types.StructType(
+          (spec.names :+ "_graft_leaf").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType)))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          sch).filter(expr(w)).collect()
+          .map(_.getString(spec.names.length)).toSet
+    }
     def selectReadSet(among: Option[Set[String]]): Map[String, String] = {
       val snap = currentSnapshot(spark, root).getOrElse(
         sys.error(s"SpecManifest: no snapshot committed under $root"))
-      snapshotMapping(spark, root, snap)
+      val mapping = snapshotMapping(spark, root, snap)
         .filter { case (k, _) => among.forall(_.contains(k)) }
+      val keep = admitted(mapping.map(_._1))
+      mapping
+        .filter { case (k, _) => keep.contains(k) }
         .filter { case (k, d) =>
           PartitionedManifest.isMorDir(spark, s"$root/$k/$d") ||
             !PartitionedManifest.isClusteredAs(spark, s"$root/$k/$d",

@@ -2539,7 +2539,7 @@ object EngineQueries {
       // both dims (8 would fix only one — a 1/8-range scan would touch
       // exactly half the files, a boundary assert)
       val z = call("CALL gw35.system.rewrite_layout('db.ord', " +
-        "'zorder', 'o_custkey,o_orderkey', 16, 0)")
+        "'zorder', 'o_custkey,o_orderkey', 16, 0, '')")
       require(z.count(_.startsWith("rewrote ")) == 2,
         s"both leaves must rewrite: $z")
       call("CALL gw35.system.analyze('db.ord', 'o_orderkey,o_custkey')")
@@ -2565,7 +2565,7 @@ object EngineQueries {
         s"z-order must prune o_custkey ranges: kept $keptC of $total")
       // convergent: the identical CALL selects nothing
       val again = call("CALL gw35.system.rewrite_layout('db.ord', " +
-        "'zorder', 'o_custkey,o_orderkey', 16, 0)")
+        "'zorder', 'o_custkey,o_orderkey', 16, 0, '')")
       require(again == Seq("no leaves need this layout"),
         s"repeated identical rewrite must be a no-op: $again")
       s.sql(s"""SELECT src, o_orderkey, o_custkey, o_totalprice FROM (

@@ -45,7 +45,8 @@ object GraftProcedures {
     * (session, table root, remaining args) and returns result lines. */
   private final case class GP(name: String, desc: String,
       params: Seq[(String, DataType)],
-      fn: (SparkSession, String, Seq[Any]) => Seq[String])
+      fn: (SparkSession, String, Seq[Any]) => Seq[String],
+      defaults: Map[String, String] = Map.empty)
 
   private def spec(s: SparkSession, root: String) =
     SpecManifest.specVersions(s, root).last
@@ -67,7 +68,7 @@ object GraftProcedures {
         "it; repeated identical calls rewrite nothing",
       Seq("table" -> StringType, "mode" -> StringType,
         "columns" -> StringType, "files" -> LongType,
-        "target_mb" -> LongType),
+        "target_mb" -> LongType, "where" -> StringType),
       (s, root, args) => {
         val mode = args(0).asInstanceOf[String].toLowerCase
         require(mode == "sort" || mode == "zorder",
@@ -80,6 +81,11 @@ object GraftProcedures {
         val targetMb = args(3).asInstanceOf[Long]
         require(files > 0 || targetMb > 0,
           "rewrite_layout: give files > 0 or target_mb > 0")
+        // '' = every leaf; otherwise a predicate over the PARTITION
+        // FIELD names selecting the leaves to rewrite (the 100 TB
+        // incremental-maintenance shape: one partition per call)
+        val where = Option(args(4).asInstanceOf[String]).map(_.trim)
+          .filter(_.nonEmpty)
         // catalog-managed tables converge stale-shaped leaves onto the
         // CURRENT physical schema as they rewrite
         val phys =
@@ -89,10 +95,10 @@ object GraftProcedures {
         val (_, rewritten) = SpecManifest.rewriteLayout(s, root,
           spec(s, root), cols, clusterFiles = files,
           targetBytes = targetMb << 20, zOrder = mode == "zorder",
-          schema = phys)
+          schema = phys, leafWhere = where)
         if (rewritten.isEmpty) Seq("no leaves need this layout")
         else rewritten.map(lp => s"rewrote $lp")
-      }),
+      }, defaults = Map("where" -> "''")),
     GP("expire_snapshots",
       "expire kept snapshots older than a wall-clock instant",
       Seq("table" -> StringType, "older_than_ms" -> LongType,
@@ -175,7 +181,9 @@ object GraftProcedures {
           override def isDeterministic: Boolean = false
           override def parameters(): Array[ProcedureParameter] =
             gp.params.map { case (n, t) =>
-              ProcedureParameter.in(n, t).build()
+              val b = ProcedureParameter.in(n, t)
+              gp.defaults.get(n).foreach(b.defaultValue)
+              b.build()
             }.toArray
           override def call(input: InternalRow): util.Iterator[Scan] = {
             val spark = SparkSession.active

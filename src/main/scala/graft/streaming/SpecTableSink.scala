@@ -85,8 +85,12 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
         "'.', '_', '-' only")
     id
   }
-  private val keepSnapshots =
-    parameters.getOrElse("keepSnapshots", "2").toInt
+  /** Explicit option wins; a catalog-NAMED sink otherwise honors the
+    * table's `graft.keep_snapshots` property (the retention a CDC
+    * consumer of the same table relies on). */
+  private val keepSnapshots = parameters.get("keepSnapshots").map(_.toInt)
+    .getOrElse(if (catalogNamed) graft.sql.GraftProps.keepSnapshots(root)
+    else 2)
   private val mergeOnRead =
     parameters.getOrElse("mergeOnRead", "false").toBoolean
   private val batchRef = s"_refs_stream/$sinkId"

@@ -773,7 +773,7 @@ class GraftSqlSpec extends AnyFunSuite {
       spark.sql(q).collect().map(_.getString(0)).toSeq
         .filterNot(_.startsWith("snapshot "))
     val z = call(
-      "CALL gsql.system.rewrite_layout('db.opt', 'zorder', 'a,b', 8, 0)")
+      "CALL gsql.system.rewrite_layout('db.opt', 'zorder', 'a,b', 8, 0, '')")
     assert(z.toSet == Set("rewrote a_bucket=0", "rewrote a_bucket=1"), z)
     // the rewrite IS the fold-down: live leaf versions are pure again
     val root = s"$wh/db/opt"
@@ -802,7 +802,7 @@ class GraftSqlSpec extends AnyFunSuite {
       "'a,b', 8, 0)") == Seq("no leaves need this layout"))
     // a DIFFERENT layout re-selects: lexicographic on b
     val srt = call(
-      "CALL gsql.system.rewrite_layout('db.opt', 'sort', 'b', 8, 0)")
+      "CALL gsql.system.rewrite_layout('db.opt', 'sort', 'b', 8, 0, '')")
     assert(srt.toSet == Set("rewrote a_bucket=0", "rewrote a_bucket=1"),
       srt)
     call("CALL gsql.system.analyze('db.opt', 'b')")
@@ -811,7 +811,13 @@ class GraftSqlSpec extends AnyFunSuite {
     val total2 = filesOf(spark.sql("SELECT b FROM gsql.db.opt")).size
     assert(keptB2 * 2 <= total2,
       s"sorted layout must prune b-ranges: kept $keptB2 of $total2")
-    // content survived both rewrites (incl. the folded MOR row)
+    // leaf-subset targeting: a 'where' over the partition FIELD names
+    // rewrites only the admitted leaves (the incremental-maintenance
+    // shape at 100 TB: one partition predicate per call)
+    val one = call("CALL gsql.system.rewrite_layout('db.opt', " +
+      "'zorder', 'a,b', 4, 0, \"a_bucket = '1'\")")
+    assert(one == Seq("rewrote a_bucket=1"), s"where-targeted: $one")
+    // content survived all rewrites (incl. the folded MOR row)
     val chk = spark.sql(
       "SELECT count(*), sum(a), sum(b) FROM gsql.db.opt").head()
     assert(chk.getLong(0) == 4000L &&
