@@ -826,6 +826,41 @@ class GraftSqlSpec extends AnyFunSuite {
       s"content drifted: $chk")
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES manages " +
+      "graft.keep_snapshots; unsupported keys refuse loudly") {
+    wh
+    spark.sql("""CREATE TABLE gsql.db.props (k BIGINT)
+      PARTITIONED BY (bucket(2, k))""")
+    def prop(): Option[String] = spark
+      .sql("SHOW TBLPROPERTIES gsql.db.props").collect()
+      .find(_.getString(0) == "graft.keep_snapshots").map(_.getString(1))
+    assert(prop().isEmpty)
+    spark.sql("ALTER TABLE gsql.db.props " +
+      "SET TBLPROPERTIES ('graft.keep_snapshots' = '4')")
+    assert(prop().contains("4"))
+    // retention takes effect on the NEXT commits: 3 inserts at keep 4
+    // leave all snapshots on disk
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO gsql.db.props VALUES ($i)"))
+    assert(graft.engine.SpecManifest
+      .snapshots(spark, s"$wh/db/props").size == 3)
+    spark.sql("ALTER TABLE gsql.db.props " +
+      "UNSET TBLPROPERTIES ('graft.keep_snapshots')")
+    assert(prop().isEmpty)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.db.props " +
+        "SET TBLPROPERTIES ('some.other.key' = 'x')")
+    }
+    assert(e.getMessage.contains("unsupported table property"),
+      e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql.db.props " +
+        "SET TBLPROPERTIES ('graft.keep_snapshots' = '1')")
+    }
+    assert(e2.getMessage.contains(">= 2"), e2.getMessage)
+    spark.sql("DROP TABLE gsql.db.props")
+  }
+
   test("ALTER TABLE RENAME TO is one metadata write (name " +
       "indirection): old name gone, new name serves reads/DML/time " +
       "travel, pinned readers keep their path-addressed snapshots") {
