@@ -1,0 +1,67 @@
+package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query job/stage/task profile: counts Spark jobs, stages, tasks
+  * and sums task time while a query runs, separating "many tiny jobs"
+  * driver overhead from real executor compute (optimization guide §1:
+  * measure first, decide where the time goes).
+  *
+  * `runMain graft.ProfQ <q1,q2,...> <sfDir>`
+  */
+object ProfQ {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val sfDir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    @volatile var jobs = 0L
+    @volatile var stages = 0L
+    @volatile var tasks = 0L
+    @volatile var taskTimeMs = 0L
+    @volatile var shuffleReadB = 0L
+    @volatile var shuffleWriteB = 0L
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+      override def onStageCompleted(s: SparkListenerStageCompleted)
+          : Unit = synchronized {
+        stages += 1
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          taskTimeMs += m.executorRunTime
+          shuffleReadB += m.shuffleReadMetrics.totalBytesRead
+          shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        synchronized { tasks += 1 }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    names.foreach { n =>
+      for (i <- 1 to 2) {
+        jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0
+        shuffleReadB = 0; shuffleWriteB = 0
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // drain listener events before reading the counters
+        // (listenerBus.waitUntilEmpty is private[spark]; a short sleep
+        // suffices for a diagnostic tool)
+        Thread.sleep(400)
+        println(f"[profq] $n run$i wall=$wall%.3f s rows=$rows " +
+          f"jobs=$jobs stages=$stages tasks=$tasks " +
+          f"taskTime=${taskTimeMs / 1e3}%.2f s " +
+          f"shufR=${shuffleReadB / 1e6}%.1f MB " +
+          f"shufW=${shuffleWriteB / 1e6}%.1f MB")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -163,6 +163,16 @@ object PgDdl {
         case '"' =>
           i += 1
           while (i < s.length && s.charAt(i) != '"') i += 1
+        // SQL comments may carry keyword-shaped text ('-- from ...'):
+        // skip them like string literals, or a plain UPDATE would be
+        // misrouted to the MERGE rewrite path
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < s.length &&
+              !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+          i += 1 // lands on '/', the loop's i += 1 steps past it
         case '(' => depth += 1
         case ')' => depth -= 1
         case c if depth == 0 && isWordChar(c) &&

@@ -1493,10 +1493,18 @@ object SpecManifest {
     def admitted(keys: Iterable[String]): Set[String] = leafWhere match {
       case None => keys.toSet
       case Some(w) =>
-        val rows = keys.toSeq.map { lp =>
-          val vs = lp.split("/").toSeq.map(_.split("=", 2)(1))
-          org.apache.spark.sql.Row.fromSeq(vs :+ lp)
-        }
+        // a spec-evolved table keeps OLD-layout leaves (fewer
+        // field=value segments than the current spec); a predicate
+        // over the current field names cannot judge them — skip them
+        // rather than crash, matching the "old layouts stay
+        // mergeable" posture (a call without `where` still rewrites
+        // everything)
+        val rows = keys.toSeq
+          .filter(_.split("/").length == spec.names.length)
+          .map { lp =>
+            val vs = lp.split("/").toSeq.map(_.split("=", 2)(1))
+            org.apache.spark.sql.Row.fromSeq(vs :+ lp)
+          }
         val sch = org.apache.spark.sql.types.StructType(
           (spec.names :+ "_graft_leaf").map(n =>
             org.apache.spark.sql.types.StructField(n,

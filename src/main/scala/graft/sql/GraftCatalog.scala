@@ -326,7 +326,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ManifestTable.writeOnce(root, "_schema.json", schema.json + "\n")
     ManifestTable.writeOnce(root, "_spec", spec.render + "\n")
     // recognized TBLPROPERTIES persist; Spark's reserved/engine keys
-    // (provider, owner, …) are not table state here
+    // (provider, owner, …) are not table state here. Anything ELSE is
+    // rejected the same way ALTER rejects it — a typo'd retention key
+    // silently ignored would leave the user believing retention is
+    // configured when it is not
+    val reserved = Set("provider", "owner", "location", "comment",
+      "external", "is_managed_location", "format")
+    scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala
+      .keys.foreach(k => require(
+        k == GraftProps.KeepSnapshots || reserved.contains(k) ||
+          k.startsWith("option.") || k.startsWith("spark.sql."),
+        s"GraftCatalog: unsupported table property '$k' " +
+          s"(only ${GraftProps.KeepSnapshots})"))
     Option(properties.get(GraftProps.KeepSnapshots)).foreach(v =>
       GraftProps.set(root, GraftProps.KeepSnapshots, v))
     load(ident, None)
@@ -365,20 +376,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _: SetProperty | _: RemoveProperty => true
       case _ => false
     }
+    // VALIDATE property changes up front (name and value), but APPLY
+    // them only after the schema changes in the same statement
+    // succeed — otherwise a failing combined ALTER would leave the
+    // property mutation persisted (a half-applied statement)
     propChanges.foreach {
       case p: SetProperty =>
         require(p.property == GraftProps.KeepSnapshots,
           s"GraftCatalog: unsupported table property '${p.property}' " +
             s"(only ${GraftProps.KeepSnapshots})")
-        GraftProps.set(root, p.property, p.value)
+        require(scala.util.Try(p.value.toInt).toOption.exists(_ >= 2),
+          s"GraftCatalog: ${GraftProps.KeepSnapshots} must be an " +
+            s"integer >= 2, got '${p.value}'")
       case r: RemoveProperty =>
         require(r.property == GraftProps.KeepSnapshots,
           s"GraftCatalog: unsupported table property '${r.property}' " +
             s"(only ${GraftProps.KeepSnapshots})")
-        GraftProps.remove(root, r.property)
       case _ =>
     }
-    if (schemaChanges.isEmpty) return load(ident, None)
+    def applyProps(): Unit = propChanges.foreach {
+      case p: SetProperty => GraftProps.set(root, p.property, p.value)
+      case r: RemoveProperty => GraftProps.remove(root, r.property)
+      case _ =>
+    }
+    if (schemaChanges.isEmpty) { applyProps(); return load(ident, None) }
     val allSources = SpecManifest.specVersions(spark, root)
       .flatMap(_.fields.map(_.source)).toSet
     val bucketSrc = SpecManifest.specVersions(spark, root)
@@ -503,6 +524,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // of being silently folded over a stale base
     GraftSchemas.evolve(spark, root, next,
       expectedVersions = Some(history.length))
+    applyProps()
     load(ident, None)
   }
 

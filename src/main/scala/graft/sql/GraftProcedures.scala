@@ -56,8 +56,11 @@ object GraftProcedures {
       "fold every merge-on-read delta chain back to pure data dirs",
       Seq("table" -> StringType),
       (s, root, _) => {
+        // honor the table's retention property: trimming past the
+        // default 2 here would destroy the replay window a restarting
+        // CDC stream needs (every DML/MERGE/sink commit threads it)
         val (_, folded) = SpecManifest.compactLeaves(s, root,
-          spec(s, root))
+          spec(s, root), keepSnapshots = GraftProps.keepSnapshots(root))
         if (folded.isEmpty) Seq("no merge-on-read leaves")
         else folded.map(lp => s"folded $lp")
       }),
@@ -95,7 +98,8 @@ object GraftProcedures {
         val (_, rewritten) = SpecManifest.rewriteLayout(s, root,
           spec(s, root), cols, clusterFiles = files,
           targetBytes = targetMb << 20, zOrder = mode == "zorder",
-          schema = phys, leafWhere = where)
+          schema = phys, leafWhere = where,
+          keepSnapshots = GraftProps.keepSnapshots(root))
         if (rewritten.isEmpty) Seq("no leaves need this layout")
         else rewritten.map(lp => s"rewrote $lp")
       }, defaults = Map("where" -> "''")),

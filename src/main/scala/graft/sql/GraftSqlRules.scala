@@ -710,8 +710,38 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         SpecManifest.leafBottomSchema(spark, table.root, spec, vs)
           .map(f => (f.name, f.dataType)) ==
           physSchema.map(f => (f.name, f.dataType)).toSeq)
+    // DUPLICATE keys break merge-on-read resolution, which is keyed:
+    // base-row removal is a key anti-join (it would drop EVERY row
+    // sharing an affected key, affected or not) and chain resolution
+    // keeps ONE delta row per key per layer (two updates or two
+    // inserts of the same key silently collapse to one). Duplicate
+    // target keys are legal (plain INSERT enforces nothing; a
+    // residual-ON insert creates them deliberately) — route any MERGE
+    // whose affected keys are non-unique in the target, or whose
+    // replacement rows repeat a key, through the copy-on-write
+    // fallback, whose exact-multiset removal and plain union handle
+    // duplicates exactly. Delta-scale: one count over the affected-
+    // key-semi-joined target read, evaluated only when every other
+    // MOR gate already passed.
+    def noDupKeys: Boolean = {
+      val cnt = org.apache.spark.sql.functions.count(lit(1))
+      val addKeys = added.map(_.select(tKeys.map(col): _*))
+      val affectedKeys = (removed.toSeq ++ added.toSeq)
+        .map(_.select(tKeys.map(col): _*))
+        .reduceOption(_.unionByName(_))
+      val tgtDupFree = affectedKeys.forall(ks =>
+        tgt.select(tKeys.map(tgt(_)): _*)
+          .join(ks.distinct(), tKeys.toSeq, "left_semi")
+          .groupBy(tKeys.map(col): _*).agg(cnt.as("_graft_keyn"))
+          .filter(col("_graft_keyn") > 1L).isEmpty)
+      val addedDupFree = addKeys.forall(a2 =>
+        a2.groupBy(tKeys.map(col): _*).agg(cnt.as("_graft_keyn"))
+          .filter(col("_graft_keyn") > 1L).isEmpty)
+      tgtDupFree && addedDupFree
+    }
     if (matchedSafe && chainsOk && schemasOk && noNullKeys &&
-        insertsKeySafe && touched.forall(existing.contains)) {
+        insertsKeySafe && touched.forall(existing.contains) &&
+        noDupKeys) {
       val ups = added.map(a2 => touched.map(vs =>
         vs -> GraftSqlWrites.toPhysical(
           GraftSqlWrites.rowsOfLeaf(a2, spec, vs), table.dataSchema))

@@ -27,6 +27,18 @@ class PgDdlSpec extends AnyFunSuite {
     assert(!PgDdl.handles(
       "UPDATE public.t SET x = (SELECT max(v) FROM public.o), " +
         "note = 'from a subquery' WHERE id = 1", m))
+    // 'from' inside SQL comments is NOT a FROM clause either — a
+    // plain UPDATE carrying one must not be routed to the MERGE
+    // rewrite path
+    assert(!PgDdl.handles(
+      "UPDATE public.t SET x = 1 -- copied from the runbook\n" +
+        "WHERE id = 1", m))
+    assert(!PgDdl.handles(
+      "UPDATE public.t SET x = 1 /* from legacy */ WHERE id = 1", m))
+    // a real top-level FROM after a comment still classifies
+    assert(PgDdl.handles(
+      "UPDATE public.t a SET x = s.k /* join source */ " +
+        "FROM public.o s WHERE a.k = s.k", m))
   }
 
   test("handles() keeps its other classifications") {
