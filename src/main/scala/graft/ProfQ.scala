@@ -27,6 +27,8 @@ object ProfQ {
     @volatile var taskTimeMs = 0L
     @volatile var shuffleReadB = 0L
     @volatile var shuffleWriteB = 0L
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobDone = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         synchronized { jobs += 1 }
@@ -39,6 +41,11 @@ object ProfQ {
           shuffleReadB += m.shuffleReadMetrics.totalBytesRead
           shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
         }
+        val wallS = (for {
+          a <- s.stageInfo.completionTime
+          b <- s.stageInfo.submissionTime
+        } yield (a - b) / 1e3).getOrElse(0.0)
+        jobDone.add((wallS, s.stageInfo.name.takeWhile(_ != '+').trim))
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         synchronized { tasks += 1 }
@@ -48,6 +55,7 @@ object ProfQ {
       for (i <- 1 to 2) {
         jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0
         shuffleReadB = 0; shuffleWriteB = 0
+        jobStart.clear(); jobDone.clear()
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -60,6 +68,15 @@ object ProfQ {
           f"taskTime=${taskTimeMs / 1e3}%.2f s " +
           f"shufR=${shuffleReadB / 1e6}%.1f MB " +
           f"shufW=${shuffleWriteB / 1e6}%.1f MB")
+        if (i == 2) {
+          import scala.jdk.CollectionConverters._
+          val bySite = jobDone.asScala.toSeq.groupBy(_._2)
+            .map { case (s, xs) =>
+              (xs.map(_._1).sum, xs.size, s) }
+            .toSeq.sortBy(-_._1).take(12)
+          bySite.foreach { case (t, cnt, s) =>
+            println(f"[profq]   $t%7.2f s  n=$cnt%-4d $s") }
+        }
       }
     }
     spark.stop()

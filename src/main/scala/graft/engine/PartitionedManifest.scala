@@ -53,6 +53,24 @@ object PartitionedManifest {
   final class LayoutValidationException(msg: String)
     extends IllegalArgumentException(msg)
 
+  /** Parquet footer schema of an IMMUTABLE version directory,
+    * memoized process-wide. Version dirs are write-once: uuid-named,
+    * adopted by a single rename, never mutated afterwards (the
+    * underscore sidecars later writes add are reader-invisible), so
+    * the footer can never change and repeated commits / reads /
+    * DML-eligibility gates stop re-paying the ~25-90 ms listing +
+    * footer job each inspection costs (guide §1.2: don't re-compute
+    * what you throw away). Bounded: cleared wholesale past 8192
+    * entries (schemas are tiny; the bound is paranoia, not need). */
+  private val footerSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private[graft] def footerSchema(spark: SparkSession, dir: String)
+      : StructType = {
+    if (footerSchemaCache.size > 8192) footerSchemaCache.clear()
+    footerSchemaCache.computeIfAbsent(dir,
+      d => spark.read.parquet(d).schema)
+  }
+
   /** Partition values ride in DIRECTORY NAMES, generated SQL partition
     * specs, and tab-delimited snapshot lines — so they must be plain
     * printable tokens. Reject anything else LOUDLY instead of letting a
@@ -93,7 +111,8 @@ object PartitionedManifest {
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(s"$partCol="))
     require(parts.nonEmpty, s"seed produced no $partCol=* partitions")
-    parts.foreach { p =>
+    // independent per-partition pointer adoptions — overlap them
+    Par.map(parts.toSeq) { p =>
       ManifestTable.adoptVersion(s"$root/${p.getPath.getName}",
         p.getPath.toString)
     }
@@ -372,7 +391,7 @@ object PartitionedManifest {
     // columns no longer match is recreated (catalog-only; its
     // partitions re-register through the diff below).
     val dataSchema = schema.getOrElse(
-      spark.read.parquet(dirs.head._2).schema)
+      footerSchema(spark, dirs.head._2))
     if (spark.catalog.tableExists(table)) {
       val existingCols = spark.table(table).schema
         .filterNot(_.name == partCol)
@@ -851,7 +870,7 @@ object PartitionedManifest {
       val mapping = snapshotMapping(spark, root, snap)
       val schema = snapshotSchema(spark, root, snap).getOrElse {
         val (v, d) = mapping.head
-        spark.read.parquet(s"$root/$partCol=$v/$d").schema
+        footerSchema(spark, s"$root/$partCol=$v/$d")
       }
       require(schema.fieldNames.contains(column),
         s"dropColumn: no column '$column' " +
@@ -1062,7 +1081,7 @@ object PartitionedManifest {
         val layers = chain.init.reverse // oldest layer first
         val fs = fsOf(spark, partRoot)
         val dataSchema: StructType = schema.getOrElse(
-          spark.read.parquet(s"$partRoot/$baseDir").schema)
+          footerSchema(spark, s"$partRoot/$baseDir"))
         val base = readPure(baseDir, Some(dataSchema))
         val events: Seq[DataFrame] = layers.zipWithIndex.flatMap {
           case (d, i) =>
@@ -1077,7 +1096,10 @@ object PartitionedManifest {
             val del = {
               val p = s"$partRoot/$d/_delta/deletes"
               if (fs.exists(new HPath(p))) {
-                val keyDf = spark.read.parquet(p)
+                // delete dirs live inside immutable version dirs —
+                // their footer schema memoizes like any other
+                val keyDf = spark.read.schema(footerSchema(spark, p))
+                  .parquet(p)
                 Some(keyDf.select(dataSchema.fields.toSeq.map { f =>
                   if (keys.contains(f.name))
                     col(f.name).cast(f.dataType).as(f.name)
@@ -1170,7 +1192,7 @@ object PartitionedManifest {
       .map { case (keys, group) =>
         val dataSchema: StructType = schema.getOrElse {
           val (pr, chain, _) = group.head
-          spark.read.parquet(s"$pr/${chain.last}").schema
+          footerSchema(spark, s"$pr/${chain.last}")
         }
         val base = attach(spark.read.schema(dataSchema).parquet(
           group.map { case (pr, chain, _) => s"$pr/${chain.last}" }: _*))
@@ -1304,7 +1326,7 @@ object PartitionedManifest {
         "partitions through commitSnapshot")
     val schema = snapshotSchema(spark, root, snap0).getOrElse {
       val (v, d) = base0.head
-      spark.read.parquet(s"$root/$partCol=$v/$d").schema
+      footerSchema(spark, s"$root/$partCol=$v/$d")
     }
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"commitMerge: unknown key column '$k'"))
@@ -1324,29 +1346,77 @@ object PartitionedManifest {
           s"the key columns ${keyCols.mkString(",")} (got " +
           s"${cols.mkString(",")})")
     }
-    // (upserts, deletes, staged delta dir) per partition
-    val staged: Seq[(String, Option[DataFrame], Option[DataFrame],
-        String)] = touched.map { v =>
-      val pr = s"$root/$partCol=$v"
-      val up = upserts.get(v).map(df =>
-        (if (df.columns.contains(partCol)) df.drop(partCol) else df)
-          .select(schema.fieldNames.toSeq.map(col): _*))
-      val del = deletes.get(v).map(df =>
-        (if (df.columns.contains(partCol)) df.drop(partCol) else df)
-          .select(keyCols.map(col): _*).distinct())
-      for (u <- up; d <- del)
-        require(u.select(keyCols.map(col): _*)
-            .intersect(d).isEmpty,
-          s"commitMerge: partition $v has keys in BOTH upserts and " +
-            "deletes - an upsert already replaces; a delete already " +
-            "removes (overlap makes the outcome ambiguous)")
-      val stage =
-        s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
-      fs.mkdirs(new HPath(stage))
-      up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
-      del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
-      (v, up, del, stage)
+    // (upserts, deletes, staged delta dir) per partition. Staging
+    // writes collapse into ONE job for every partition's upserts and
+    // one for all deletes (per-partition frames tagged with the
+    // partition ordinal, unioned, `partitionBy` the tag into a root
+    // scratch, then renamed into the per-partition stage dirs): a tiny
+    // parquet write has ~0.1-0.3 s fixed cost, so L per-partition
+    // writes per commit collapsing to 2 jobs dominates multi-partition
+    // merge latency (guide §2.4; measured in OPTIMIZATION_r19.md).
+    // The per-partition up/del overlap checks batch into ONE intersect
+    // the same way. The lazy up/del frames stay in the tuple for the
+    // (amortized-rare) foldChainAt branch.
+    val Tag = "_graft_stage_leaf"
+    def dropPart(df: DataFrame): DataFrame =
+      if (df.columns.contains(partCol)) df.drop(partCol) else df
+    val idxOf: Map[String, Int] = touched.zipWithIndex.toMap
+    def taggedUnion(m: Map[String, DataFrame],
+        sel: DataFrame => DataFrame): Option[DataFrame] =
+      touched.flatMap { v =>
+        m.get(v).map(df => sel(dropPart(df))
+          .withColumn(Tag, lit(idxOf(v).toString)))
+      }.reduceOption(_.unionByName(_))
+    val upAll = taggedUnion(upserts,
+      _.select(schema.fieldNames.toSeq.map(col): _*))
+    val delAll = taggedUnion(deletes,
+      _.select(keyCols.map(col): _*)).map(_.distinct())
+    for (u <- upAll; d <- delAll) {
+      val overlap = u.select((keyCols :+ Tag).map(col): _*)
+        .intersect(d.select((keyCols :+ Tag).map(col): _*))
+        .select(col(Tag)).distinct().collect()
+        .map(r => touched(r.getString(0).toInt))
+      require(overlap.isEmpty,
+        s"commitMerge: partition(s) ${overlap.sorted.mkString(",")} " +
+          "have keys in BOTH upserts and deletes - an upsert already " +
+          "replaces; a delete already removes (overlap makes the " +
+          "outcome ambiguous)")
     }
+    def scratchWrite(df: Option[DataFrame], what: String)
+        : Option[String] = df.map { d =>
+      val p = s"$root/.morstage-$what-" +
+        java.util.UUID.randomUUID.toString.take(8)
+      d.write.partitionBy(Tag).parquet(p)
+      p
+    }
+    val scratchUp = scratchWrite(upAll, "up")
+    val scratchDel = scratchWrite(delAll, "del")
+    val staged: Seq[(String, Option[DataFrame], Option[DataFrame],
+        String)] =
+      try touched.zipWithIndex.map { case (v, i) =>
+        val pr = s"$root/$partCol=$v"
+        val up = upserts.get(v).map(df =>
+          dropPart(df).select(schema.fieldNames.toSeq.map(col): _*))
+        val del = deletes.get(v).map(df =>
+          dropPart(df).select(keyCols.map(col): _*).distinct())
+        val stage =
+          s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
+        fs.mkdirs(new HPath(s"$stage/_delta"))
+        // a partition whose frame produced no rows writes no scratch
+        // subdir; the resolver probes each _delta subdir with
+        // fs.exists, so absent == empty (same read semantics)
+        def adopt(scratch: Option[String], sub: String): Unit =
+          scratch.foreach { sc =>
+            val src = new HPath(s"$sc/$Tag=$i")
+            if (fs.exists(src))
+              fs.rename(src, new HPath(s"$stage/_delta/$sub"))
+          }
+        adopt(scratchUp, "upserts")
+        adopt(scratchDel, "deletes")
+        (v, up, del, stage)
+      } finally (scratchUp.toSeq ++ scratchDel.toSeq).foreach(p =>
+        try fs.delete(new HPath(p), true)
+        catch { case _: java.io.IOException => () })
     onBeforeLock()
     // ---- LOCKED phase: cheap metadata only (plus the amortized-rare
     // foldChainAt fold) — re-validate, bind each delta to its FRESH
@@ -1371,7 +1441,7 @@ object PartitionedManifest {
           "staging - restage against the current schema")
       val protectByPart = protectedDirsByPartition(spark, root,
         keepSnapshots)
-      val written: Map[String, String] = staged.map {
+      val written: Map[String, String] = Par.map(staged) {
         case (v, up, del, stage) =>
           val pr = s"$root/$partCol=$v"
           val baseDir = ManifestTable.currentVersion(pr).getOrElse(
@@ -1518,7 +1588,9 @@ object PartitionedManifest {
     val fs = fsOf(spark, root)
     val scratch =
       s"$root/.optimize-${java.util.UUID.randomUUID.toString.take(8)}"
-    candidates.toSeq.sortBy(_._1).foreach { case (v, dir) =>
+    // one independent resolve+clustered-write job per candidate
+    // partition — overlap them (guide §2.6)
+    Par.map(candidates.toSeq.sortBy(_._1)) { case (v, dir) =>
       val df = resolveVersionData(spark, s"$root/$partCol=$v",
         new HPath(dir).getName, schema)
       // size-derived file count sums the whole MOR chain's bytes (an
@@ -1673,7 +1745,7 @@ object PartitionedManifest {
         case (None, Some(u)) => Some(u)
         case (p, None) => p
       }
-    val written: Map[String, String] = parts.map { v =>
+    val written: Map[String, String] = Par.map(parts.toSeq) { v =>
       val src = scratch.map(s => new HPath(s"$s/$partCol=$v"))
         .filter(fs.exists)
       // chain expansion: a protected MOR layer keeps its bases alive
@@ -1697,7 +1769,7 @@ object PartitionedManifest {
     // first commit / legacy tables with neither a recorded schema nor
     // updates derive theirs once from a live version dir's footer
     val newSchema = mergedSchema.orElse(mapping.headOption.map {
-      case (v, d) => spark.read.parquet(s"$root/$partCol=$v/$d").schema })
+      case (v, d) => footerSchema(spark, s"$root/$partCol=$v/$d") })
     writeSnapshotFileLocked(spark, root, mapping, keepSnapshots, newSchema,
       operation = operation)
   }

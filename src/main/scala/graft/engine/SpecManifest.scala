@@ -396,7 +396,9 @@ object SpecManifest {
             .hint("rebalance", spec.names.map(col): _*)
             .write.mode("error").partitionBy(spec.names: _*)
             .parquet(scratch)
-          try updates.keys.toSeq.sortBy(_.mkString("/")).map { vs =>
+          // per-leaf pointer adoption is independent fs work —
+          // overlap it (guide §2.6)
+          try Par.map(updates.keys.toSeq.sortBy(_.mkString("/"))) { vs =>
             val lp = leafPath(spec, vs)
             val src = new HPath(s"$scratch/$lp")
             // chain expansion: a protected MOR layer keeps its bases
@@ -932,8 +934,8 @@ object SpecManifest {
       : DataFrame = {
     val table = pinName(root, mapping, declared)
     if (!spark.catalog.tableExists(table)) {
-      val dataSchema = declared.getOrElse(spark.read
-        .parquet(s"$root/${mapping.head._1}/${mapping.head._2}").schema)
+      val dataSchema = declared.getOrElse(PartitionedManifest
+        .footerSchema(spark, s"$root/${mapping.head._1}/${mapping.head._2}"))
       val cols = dataSchema.map(f => s"`${f.name}` ${f.dataType.sql}")
         .mkString(", ")
       val partCols = spec.names.map(n => s"`$n` string").mkString(", ")
@@ -1120,7 +1122,7 @@ object SpecManifest {
     val dir = ManifestTable.currentVersion(s"$root/$lp").getOrElse(
       sys.error(s"SpecManifest: no MANIFEST under $root/$lp"))
     val bottom = PartitionedManifest.morChain(spark, s"$root/$lp", dir).last
-    spark.read.parquet(s"$root/$lp/$bottom").schema
+    PartitionedManifest.footerSchema(spark, s"$root/$lp/$bottom")
   }
 
   /** The key columns of a leaf's LIVE delta chain (None = pure leaf) —
@@ -1164,10 +1166,10 @@ object SpecManifest {
     require(touched.nonEmpty, "commitMerge needs upserts or deletes")
     val fs = fsOf(spark, root)
     // ---- LOCK-FREE phase: validate optimistically, stage the delta --
-    val snap0 = currentSnapshot(spark, root).getOrElse(sys.error(
+    val snap0 = Dbg.t("cm.snap0")(currentSnapshot(spark, root)).getOrElse(sys.error(
       s"SpecManifest: commitMerge needs a committed snapshot under " +
         s"$root - seed first"))
-    val base0 = snapshotMapping(spark, root, snap0).toMap
+    val base0 = Dbg.t("cm.mapping")(snapshotMapping(spark, root, snap0)).toMap
     val touchedPaths = touched.map(vs => vs -> leafPath(spec, vs))
     val unknown0 = touchedPaths.collect {
       case (_, lp) if !base0.contains(lp) => lp }
@@ -1183,11 +1185,12 @@ object SpecManifest {
     def bottomSchema(lp: String, live: String) = {
       val bottom =
         PartitionedManifest.morChain(spark, s"$root/$lp", live).last
-      spark.read.parquet(s"$root/$lp/$bottom").schema
+      PartitionedManifest.footerSchema(spark, s"$root/$lp/$bottom")
     }
-    val schema = bottomSchema(touchedPaths.head._2,
-      base0(touchedPaths.head._2))
-    touchedPaths.tail.foreach { case (_, lp) =>
+    val schema = Dbg.t("cm.bottomSchema0")(bottomSchema(touchedPaths.head._2,
+      base0(touchedPaths.head._2)))
+    // independent per-leaf footer reads (~25 ms each) — overlap them
+    Dbg.t("cm.bottomSchemaRest")(Par.map(touchedPaths.tail) { case (_, lp) =>
       val sc = bottomSchema(lp, base0(lp))
       require(sc.map(f => (f.name, f.dataType)) ==
           schema.map(f => (f.name, f.dataType)),
@@ -1197,7 +1200,7 @@ object SpecManifest {
           s"(${schema.fieldNames.mkString(",")}) - mixed-shape " +
           "leaves cannot share one delta; rewrite the stale leaves " +
           "first (copy-on-write DML does this automatically)")
-    }
+    })
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"commitMerge: unknown key column '$k'"))
     def dataOnly(df: DataFrame): DataFrame =
@@ -1217,25 +1220,70 @@ object SpecManifest {
           s"carry exactly the key columns ${keyCols.mkString(",")} " +
           s"(got ${cols.mkString(",")})")
     }
-    val staged: Seq[(String, String)] = touchedPaths.map {
-      case (vs, lp) =>
+    // staging: ONE write job for every leaf's upserts and one for all
+    // deletes — each per-leaf frame tagged with its touched-leaf
+    // ordinal, unioned, written `partitionBy` the tag into a root
+    // scratch, then RENAMED into the per-leaf stage dirs (driver fs
+    // ops). A tiny parquet write has ~0.1-0.3 s fixed cost (job
+    // launch, committer, footers), so L per-leaf writes collapsing to
+    // 2 jobs is the dominant saving on multi-leaf merges (guide §2.4:
+    // two operations keyed the same way share one job; measured in
+    // OPTIMIZATION_r19.md). The per-leaf up/del overlap checks batch
+    // into ONE intersect the same way (the tag keeps it per-leaf;
+    // intersect, not an equi-join, so NULL keys still compare).
+    val Tag = "_graft_stage_leaf" // _graft_ prefix reserved repo-wide
+    val idxOf: Map[Seq[String], Int] =
+      touchedPaths.map(_._1).zipWithIndex.toMap
+    def taggedUnion(m: Map[Seq[String], DataFrame],
+        sel: DataFrame => DataFrame): Option[DataFrame] =
+      touchedPaths.flatMap { case (vs, _) =>
+        m.get(vs).map(df => sel(dataOnly(df))
+          .withColumn(Tag, lit(idxOf(vs).toString)))
+      }.reduceOption(_.unionByName(_))
+    val upAll = taggedUnion(upserts,
+      _.select(schema.fieldNames.toSeq.map(col): _*))
+    val delAll = taggedUnion(deletes,
+      _.select(keyCols.map(col): _*)).map(_.distinct())
+    for (u <- upAll; d <- delAll) Dbg.t("cm.overlap") {
+      val overlap = u.select((keyCols :+ Tag).map(col): _*)
+        .intersect(d.select((keyCols :+ Tag).map(col): _*))
+        .select(col(Tag)).distinct().collect()
+        .map(r => touchedPaths(r.getString(0).toInt)._2)
+      require(overlap.isEmpty,
+        s"commitMerge: leaf(s) ${overlap.sorted.mkString(",")} have " +
+          "keys in BOTH upserts and deletes - an upsert already " +
+          "replaces; a delete already removes")
+    }
+    def scratchWrite(df: Option[DataFrame], what: String)
+        : Option[String] = df.map { d =>
+      val p = s"$root/.morstage-$what-" +
+        java.util.UUID.randomUUID.toString.take(8)
+      d.write.partitionBy(Tag).parquet(p)
+      p
+    }
+    val scratchUp = Dbg.t("cm.scratchUp")(scratchWrite(upAll, "up"))
+    val scratchDel = Dbg.t("cm.scratchDel")(scratchWrite(delAll, "del"))
+    val staged: Seq[(String, String)] =
+      try touchedPaths.zipWithIndex.map { case ((vs, lp), i) =>
         val pr = s"$root/$lp"
-        val up = upserts.get(vs).map(df =>
-          dataOnly(df).select(schema.fieldNames.toSeq.map(col): _*))
-        val del = deletes.get(vs).map(df =>
-          dataOnly(df).select(keyCols.map(col): _*).distinct())
-        for (u <- up; d <- del)
-          require(u.select(keyCols.map(col): _*).intersect(d).isEmpty,
-            s"commitMerge: leaf $lp has keys in BOTH upserts and " +
-              "deletes - an upsert already replaces; a delete " +
-              "already removes")
         val stage =
           s"$pr/.mor-${java.util.UUID.randomUUID.toString.take(8)}"
-        fs.mkdirs(new HPath(stage))
-        up.foreach(_.write.parquet(s"$stage/_delta/upserts"))
-        del.foreach(_.write.parquet(s"$stage/_delta/deletes"))
+        fs.mkdirs(new HPath(s"$stage/_delta"))
+        // a leaf whose frame produced no rows writes no scratch
+        // subdir; the resolver probes each _delta subdir with
+        // fs.exists, so absent == empty (same read semantics)
+        def adopt(scratch: Option[String], sub: String): Unit =
+          scratch.foreach { sc =>
+            val src = new HPath(s"$sc/$Tag=$i")
+            if (fs.exists(src))
+              fs.rename(src, new HPath(s"$stage/_delta/$sub"))
+          }
+        adopt(scratchUp, "upserts")
+        adopt(scratchDel, "deletes")
         lp -> stage
-    }
+      } finally (scratchUp.toSeq ++ scratchDel.toSeq).foreach(p =>
+        try fs.delete(new HPath(p), true)
+        catch { case _: java.io.IOException => () })
     onBeforeLock()
     // ---- LOCKED phase: metadata only — bind each delta to its FRESH
     // chain base, adopt, snapshot ----
@@ -1243,7 +1291,7 @@ object SpecManifest {
       try fs.delete(new HPath(st), true)
       catch { case _: java.io.IOException => () }
     }
-    try ManifestTable.withPublishLock(root) {
+    try Dbg.t("cm.locked")(ManifestTable.withPublishLock(root) {
       val snap = currentSnapshot(spark, root).get
       val base = snapshotMapping(spark, root, snap).toMap
       val unknown = staged.collect {
@@ -1266,7 +1314,7 @@ object SpecManifest {
             "was staging - restage against the current schema")
       }
       val protectByLeaf = protectedDirsByLeaf(spark, root, keepSnapshots)
-      val written: Map[String, String] = staged.map { case (lp, stage) =>
+      val written: Map[String, String] = Par.map(staged) { case (lp, stage) =>
         val pr = s"$root/$lp"
         val baseDir = ManifestTable.currentVersion(pr).getOrElse(
           sys.error(s"SpecManifest: no MANIFEST under $pr"))
@@ -1287,7 +1335,7 @@ object SpecManifest {
       writeSnapshotLocked(spark, root,
         (base ++ written).toSeq.sortBy(_._1), keepSnapshots,
         operation = "merge")
-    } catch {
+    }) catch {
       case e: Throwable => dropStaged(); throw e
     }
   }
@@ -1404,13 +1452,13 @@ object SpecManifest {
       // and write the pure replacement into a staged dir under its
       // leaf (a GC'd read-set dir fails loudly → re-select and retry)
       val staged: Option[Map[String, String]] =
-        try Some(candidates.map { case (lp, d) =>
+        try Some(Par.map(candidates.toSeq) { case (lp, d) =>
           val pr = s"$root/$lp"
           val tmp = s"$pr/.fold-${java.util.UUID.randomUUID.toString.take(8)}"
           PartitionedManifest.resolveVersionData(spark, pr, d, None)
             .write.mode("error").parquet(tmp)
           lp -> new HPath(ManifestTable.stageVersion(pr, tmp)).getName
-        })
+        }.toMap)
         catch { case scala.util.control.NonFatal(_) => None }
       onBeforeValidate()
       staged match {
@@ -1541,7 +1589,7 @@ object SpecManifest {
       // MOR chain down) and write its clustered replacement staged
       // under the leaf
       val staged: Option[Map[String, String]] =
-        try Some(candidates.map { case (lp, d) =>
+        try Some(Par.map(candidates.toSeq) { case (lp, d) =>
           val pr = s"$root/$lp"
           val df = PartitionedManifest.resolveVersionData(spark, pr, d,
             schema)
@@ -1562,7 +1610,7 @@ object SpecManifest {
             PartitionedManifest.clusterMarkerBody(clusterBy,
               clusterFiles, zOrder))
           lp -> new HPath(ManifestTable.stageVersion(pr, tmp)).getName
-        })
+        }.toMap)
         catch {
           case e: PartitionedManifest.LayoutValidationException => throw e
           case scala.util.control.NonFatal(_) => None

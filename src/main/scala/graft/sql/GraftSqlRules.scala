@@ -237,18 +237,19 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     // files (and so delta chains) spell RENAMED columns physically
     val physSchema = GraftSchemas.physicalSchema(table.dataSchema)
     val physCols = physSchema.fieldNames.toSeq
-    val chainsOk = touched.forall(vs =>
+    // per-leaf chain/footer inspections overlap (guide §2.6)
+    val chainsOk = graft.engine.Par.map(touched)(vs =>
       SpecManifest.leafChainKeys(spark, table.root, table.spec, vs)
-        .forall(_ == physCols))
+        .forall(_ == physCols)).forall(identity)
     val noNulls = removed.filter(
       dataCols.map(col(_).isNull).reduce(_ || _)).isEmpty
     // a leaf whose physical schema predates a catalog ALTER cannot
     // take catalog-shaped deltas — copy-on-write rewrites it into the
     // current shape instead (footer read per touched leaf)
-    val schemasOk = touched.forall(vs =>
+    val schemasOk = graft.engine.Par.map(touched)(vs =>
       SpecManifest.leafBottomSchema(spark, table.root, table.spec, vs)
         .map(f => (f.name, f.dataType)) ==
-        physSchema.map(f => (f.name, f.dataType)).toSeq)
+        physSchema.map(f => (f.name, f.dataType)).toSeq).forall(identity)
     if (chainsOk && noNulls && schemasOk) {
       SpecManifest.commitMerge(spark, table.root, table.spec, physCols,
         deletes = touched.map(vs =>
@@ -686,9 +687,11 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     // extended to MERGE.)
     val someKeyNull = tKeys.map(col(_).isNull)
       .reduceOption(_ || _).getOrElse(lit(false))
-    val noNullKeys =
-      removed.forall(_.filter(someKeyNull).isEmpty) &&
-        added.forall(_.filter(someKeyNull).isEmpty)
+    // removed and added share the data-column shape — ONE probe job
+    val noNullKeys = (removed.toSeq ++
+        added.map(_.select(dataCols.map(col): _*)).toSeq)
+      .reduceOption(_.unionByName(_))
+      .forall(_.filter(someKeyNull).isEmpty)
     // a RESIDUAL makes "not matched" weaker than "key absent": an
     // insert may carry a key that EXISTS in the target (pair failed
     // the residual) — a keyed upsert delta would silently REPLACE that
@@ -700,16 +703,19 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     def physOf(logical: String): String =
       GraftSchemas.physicalName(table.dataSchema(logical))
     val tKeysPhys = tKeys.map(physOf)
-    val chainsOk = touched.forall(vs =>
+    // per-leaf chain/footer inspections are independent ~25 ms driver
+    // reads — overlap them (guide §2.6)
+    val chainsOk = graft.engine.Par.map(touched)(vs =>
       SpecManifest.leafChainKeys(spark, table.root, spec, vs)
-        .forall(_ == tKeysPhys))
+        .forall(_ == tKeysPhys)).forall(identity)
     // a leaf whose physical schema predates a catalog ALTER cannot
     // take catalog-shaped deltas — copy-on-write rewrites it instead
-    val schemasOk = touched.forall(vs =>
+    val schemasOk = graft.engine.Par.map(touched)(vs =>
       !existing.contains(vs) ||
         SpecManifest.leafBottomSchema(spark, table.root, spec, vs)
           .map(f => (f.name, f.dataType)) ==
           physSchema.map(f => (f.name, f.dataType)).toSeq)
+      .forall(identity)
     // DUPLICATE keys break merge-on-read resolution, which is keyed:
     // base-row removal is a key anti-join (it would drop EVERY row
     // sharing an affected key, affected or not) and chain resolution
@@ -725,19 +731,27 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     // MOR gate already passed.
     def noDupKeys: Boolean = {
       val cnt = org.apache.spark.sql.functions.count(lit(1))
-      val addKeys = added.map(_.select(tKeys.map(col): _*))
-      val affectedKeys = (removed.toSeq ++ added.toSeq)
-        .map(_.select(tKeys.map(col): _*))
-        .reduceOption(_.unionByName(_))
-      val tgtDupFree = affectedKeys.forall(ks =>
+      // both dup tests (affected keys non-unique in the TARGET; keys
+      // repeated within the REPLACEMENT rows) ride one job: tag the
+      // side, group by (keys, side), any group >1 fails the gate.
+      // The target side only needs the keys of REMOVED rows: update
+      // replacements are key-preserving (matchedSafe), so their keys
+      // are removed keys; insert keys cannot pre-exist in the target
+      // (the no-residual anti-join guarantees it, and residual inserts
+      // are already COW-routed by insertsKeySafe) — an insert-only
+      // merge therefore skips the target scan entirely and only
+      // checks its own rows for repeated keys.
+      val tgtKeys = removed.map(r =>
         tgt.select(tKeys.map(tgt(_)): _*)
-          .join(ks.distinct(), tKeys.toSeq, "left_semi")
-          .groupBy(tKeys.map(col): _*).agg(cnt.as("_graft_keyn"))
+          .join(r.select(tKeys.map(col): _*).distinct(),
+            tKeys.toSeq, "left_semi")
+          .withColumn("_graft_side", lit("t")))
+      val addKeys = added.map(_.select(tKeys.map(col): _*)
+        .withColumn("_graft_side", lit("a")))
+      (tgtKeys.toSeq ++ addKeys.toSeq).reduceOption(_.unionByName(_))
+        .forall(_.groupBy((tKeys :+ "_graft_side").map(col): _*)
+          .agg(cnt.as("_graft_keyn"))
           .filter(col("_graft_keyn") > 1L).isEmpty)
-      val addedDupFree = addKeys.forall(a2 =>
-        a2.groupBy(tKeys.map(col): _*).agg(cnt.as("_graft_keyn"))
-          .filter(col("_graft_keyn") > 1L).isEmpty)
-      tgtDupFree && addedDupFree
     }
     if (matchedSafe && chainsOk && schemasOk && noNullKeys &&
         insertsKeySafe && touched.forall(existing.contains) &&
