@@ -1371,17 +1371,6 @@ object PartitionedManifest {
       _.select(schema.fieldNames.toSeq.map(col): _*))
     val delAll = taggedUnion(deletes,
       _.select(keyCols.map(col): _*)).map(_.distinct())
-    for (u <- upAll; d <- delAll) {
-      val overlap = u.select((keyCols :+ Tag).map(col): _*)
-        .intersect(d.select((keyCols :+ Tag).map(col): _*))
-        .select(col(Tag)).distinct().collect()
-        .map(r => touched(r.getString(0).toInt))
-      require(overlap.isEmpty,
-        s"commitMerge: partition(s) ${overlap.sorted.mkString(",")} " +
-          "have keys in BOTH upserts and deletes - an upsert already " +
-          "replaces; a delete already removes (overlap makes the " +
-          "outcome ambiguous)")
-    }
     def scratchWrite(df: Option[DataFrame], what: String)
         : Option[String] = df.map { d =>
       val p = s"$root/.morstage-$what-" +
@@ -1391,6 +1380,28 @@ object PartitionedManifest {
     }
     val scratchUp = scratchWrite(upAll, "up")
     val scratchDel = scratchWrite(delAll, "del")
+    // the up/del disjointness contract checks against the WRITTEN
+    // scratches (explicit schema, so an all-empty side still reads):
+    // one cheap scan of materialized delta bytes instead of
+    // re-evaluating both tagged unions a second time
+    for (us <- scratchUp; ds <- scratchDel) {
+      val u = spark.read.schema(upAll.get.schema).parquet(us)
+      val d = spark.read.schema(delAll.get.schema).parquet(ds)
+      val overlap = u.select((keyCols :+ Tag).map(col): _*)
+        .intersect(d.select((keyCols :+ Tag).map(col): _*))
+        .select(col(Tag)).distinct().collect()
+        .map(r => touched(r.getString(0).toInt))
+      if (overlap.nonEmpty) {
+        (scratchUp.toSeq ++ scratchDel.toSeq).foreach(p =>
+          try fs.delete(new HPath(p), true)
+          catch { case _: java.io.IOException => () })
+        require(overlap.isEmpty,
+          s"commitMerge: partition(s) ${overlap.sorted.mkString(",")} " +
+            "have keys in BOTH upserts and deletes - an upsert already " +
+            "replaces; a delete already removes (overlap makes the " +
+            "outcome ambiguous)")
+      }
+    }
     val staged: Seq[(String, Option[DataFrame], Option[DataFrame],
         String)] =
       try touched.zipWithIndex.map { case (v, i) =>

@@ -1244,16 +1244,6 @@ object SpecManifest {
       _.select(schema.fieldNames.toSeq.map(col): _*))
     val delAll = taggedUnion(deletes,
       _.select(keyCols.map(col): _*)).map(_.distinct())
-    for (u <- upAll; d <- delAll) Dbg.t("cm.overlap") {
-      val overlap = u.select((keyCols :+ Tag).map(col): _*)
-        .intersect(d.select((keyCols :+ Tag).map(col): _*))
-        .select(col(Tag)).distinct().collect()
-        .map(r => touchedPaths(r.getString(0).toInt)._2)
-      require(overlap.isEmpty,
-        s"commitMerge: leaf(s) ${overlap.sorted.mkString(",")} have " +
-          "keys in BOTH upserts and deletes - an upsert already " +
-          "replaces; a delete already removes")
-    }
     def scratchWrite(df: Option[DataFrame], what: String)
         : Option[String] = df.map { d =>
       val p = s"$root/.morstage-$what-" +
@@ -1263,6 +1253,27 @@ object SpecManifest {
     }
     val scratchUp = Dbg.t("cm.scratchUp")(scratchWrite(upAll, "up"))
     val scratchDel = Dbg.t("cm.scratchDel")(scratchWrite(delAll, "del"))
+    // the up/del disjointness contract checks against the WRITTEN
+    // scratches (explicit schema, so an all-empty side still reads):
+    // one cheap scan of materialized delta bytes instead of
+    // re-evaluating both tagged unions a second time
+    for (us <- scratchUp; ds <- scratchDel) Dbg.t("cm.overlap") {
+      val u = spark.read.schema(upAll.get.schema).parquet(us)
+      val d = spark.read.schema(delAll.get.schema).parquet(ds)
+      val overlap = u.select((keyCols :+ Tag).map(col): _*)
+        .intersect(d.select((keyCols :+ Tag).map(col): _*))
+        .select(col(Tag)).distinct().collect()
+        .map(r => touchedPaths(r.getString(0).toInt)._2)
+      if (overlap.nonEmpty) {
+        (scratchUp.toSeq ++ scratchDel.toSeq).foreach(p =>
+          try fs.delete(new HPath(p), true)
+          catch { case _: java.io.IOException => () })
+        require(overlap.isEmpty,
+          s"commitMerge: leaf(s) ${overlap.sorted.mkString(",")} have " +
+            "keys in BOTH upserts and deletes - an upsert already " +
+            "replaces; a delete already removes")
+      }
+    }
     val staged: Seq[(String, String)] =
       try touchedPaths.zipWithIndex.map { case ((vs, lp), i) =>
         val pr = s"$root/$lp"

@@ -410,8 +410,10 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
 
   private def runOnce(spark: SparkSession): Seq[Row] = {
     import GraftDml._
+    import graft.engine.{Dbg, Par}
     val base0 = SpecManifest.currentSnapshot(spark, table.root)
-    val srcDf = ColumnBridge.ofRows(spark, source).localCheckpoint()
+    val srcDf = Dbg.t("mg.src")(
+      ColumnBridge.ofRows(spark, source).localCheckpoint())
     val srcMap = attrMap(source.output, srcDf)
     val targetIds = targetOutput.map(_.exprId).toSet
     val sourceIds = source.output.map(_.exprId).toSet
@@ -559,8 +561,9 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         (Option[DataFrame], Option[DataFrame], Seq[DataFrame]) =
       if (matched.isEmpty) (None, None, Nil)
       else {
-        val tagged = tagClauses(tgt.join(srcDf, onCond, "inner"),
-          matched, both).localCheckpoint()
+        val tagged = Dbg.t("mg.matched")(
+          tagClauses(tgt.join(srcDf, onCond, "inner"),
+          matched, both).localCheckpoint())
         val (r, d, u) = applyClauses(tagged, matched, both)
         (Some(r), d, u)
       }
@@ -621,8 +624,8 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         GraftSqlWrites.insert(spark, table, ins, mode = "append"))
       return Seq.empty
     }
-    val removed = (remM.toSeq ++ remN.toSeq)
-      .reduceOption(_.unionByName(_)).map(_.localCheckpoint())
+    val removed = Dbg.t("mg.removed")((remM.toSeq ++ remN.toSeq)
+      .reduceOption(_.unionByName(_)).map(_.localCheckpoint()))
     val deletedOld = (delM.toSeq ++ delN.toSeq)
       .reduceOption(_.unionByName(_))
     val added = (updM ++ updN ++ inserted.toSeq) match {
@@ -630,13 +633,30 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
       // align TYPES to the catalog schema: assignment / VALUES
       // expressions may carry narrower literals (INT into a BIGINT
       // column), and merge-on-read deltas must match the leaf schema
-      case xs => Some(GraftSqlWrites.alignData(
-        xs.reduce(_.unionByName(_)), table.dataSchema).localCheckpoint())
+      case xs => Dbg.t("mg.added")(Some(GraftSqlWrites.alignData(
+        xs.reduce(_.unionByName(_)), table.dataSchema).localCheckpoint()))
     }
-    val touched = (removed.toSeq.flatMap(r =>
-      GraftSqlWrites.leavesOfRows(r, spec)) ++
-      added.toSeq.flatMap(a2 => GraftSqlWrites.leavesOfRows(a2, spec)))
-      .distinct
+    // ONE job derives the touched leaves AND probes for NULL merge
+    // keys over the union of affected old rows and replacement rows
+    // (the two facts read the same frame; see the noNullKeys comment
+    // below for why NULL keys gate the commit route)
+    val affectedAll = (removed.toSeq ++
+        added.map(_.select(dataCols.map(col): _*)).toSeq)
+      .reduceOption(_.unionByName(_))
+    val someKeyNull = tKeys.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val (touched: Seq[Seq[String]], anyNullKey: Boolean) =
+      Dbg.t("mg.touched")(affectedAll match {
+        case None => (Seq.empty[Seq[String]], false)
+        case Some(df) =>
+          val tagged = spec.fields.foldLeft(df)((d, f) =>
+            d.withColumn(f.name, f.derived))
+          val agg = tagged.groupBy(spec.names.map(col): _*)
+            .agg(org.apache.spark.sql.functions.max(someKeyNull)
+              .as("_graft_nullkey")).collect()
+          (agg.toSeq.map(r => spec.names.indices.map(r.getString)),
+            agg.exists(_.getBoolean(spec.names.length)))
+      })
     if (touched.isEmpty) return Seq.empty
     // ---- MERGE-ON-READ fast path: the whole MERGE lands as key-
     // merged DELTAS in one atomic commitMerge — bytes written scale
@@ -685,19 +705,14 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     // the copy-on-write fallback, whose removal handles NULL keys by
     // exact multiset subtraction. (GraftDeleteCommand's noNulls gate,
     // extended to MERGE.)
-    val someKeyNull = tKeys.map(col(_).isNull)
-      .reduceOption(_ || _).getOrElse(lit(false))
-    // removed and added share the data-column shape — ONE probe job
-    val noNullKeys = (removed.toSeq ++
-        added.map(_.select(dataCols.map(col): _*)).toSeq)
-      .reduceOption(_.unionByName(_))
-      .forall(_.filter(someKeyNull).isEmpty)
+    val noNullKeys = !anyNullKey
     // a RESIDUAL makes "not matched" weaker than "key absent": an
     // insert may carry a key that EXISTS in the target (pair failed
     // the residual) — a keyed upsert delta would silently REPLACE that
     // row; only the copy-on-write route adds alongside it
     val insertsKeySafe = residual.isEmpty || inserted.isEmpty
-    val existing = SpecManifest.leafKeys(spark, table.root, spec).toSet
+    val existing = Dbg.t("mg.leafKeys")(
+      SpecManifest.leafKeys(spark, table.root, spec).toSet)
     // files (and so delta chains) spell RENAMED columns physically
     val physSchema = GraftSchemas.physicalSchema(table.dataSchema)
     def physOf(logical: String): String =
@@ -705,17 +720,17 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     val tKeysPhys = tKeys.map(physOf)
     // per-leaf chain/footer inspections are independent ~25 ms driver
     // reads — overlap them (guide §2.6)
-    val chainsOk = graft.engine.Par.map(touched)(vs =>
+    val chainsOk = Dbg.t("mg.chainsOk")(Par.map(touched)(vs =>
       SpecManifest.leafChainKeys(spark, table.root, spec, vs)
-        .forall(_ == tKeysPhys)).forall(identity)
+        .forall(_ == tKeysPhys)).forall(identity))
     // a leaf whose physical schema predates a catalog ALTER cannot
     // take catalog-shaped deltas — copy-on-write rewrites it instead
-    val schemasOk = graft.engine.Par.map(touched)(vs =>
+    val schemasOk = Dbg.t("mg.schemasOk")(Par.map(touched)(vs =>
       !existing.contains(vs) ||
         SpecManifest.leafBottomSchema(spark, table.root, spec, vs)
           .map(f => (f.name, f.dataType)) ==
           physSchema.map(f => (f.name, f.dataType)).toSeq)
-      .forall(identity)
+      .forall(identity))
     // DUPLICATE keys break merge-on-read resolution, which is keyed:
     // base-row removal is a key anti-join (it would drop EVERY row
     // sharing an affected key, affected or not) and chain resolution
