@@ -11,6 +11,10 @@ object TimeQ {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for conf experiments, e.g. GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false"
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     names.foreach { n =>
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()

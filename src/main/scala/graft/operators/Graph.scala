@@ -51,9 +51,15 @@ object Graph {
     // the largest exchange in the loop). Unpersisted before return:
     // the eager per-iteration checkpoints mean every job that needs the
     // cache has already run.
+    // sortWithinPartitions(src) ON TOP of the hash partitioning: an
+    // InMemoryTableScan preserves outputOrdering as well as
+    // outputPartitioning, so each iteration's sort-merge join sorts
+    // ONLY the node-scale ranks side — without this the loop re-sorts
+    // the full cached edge list every round (10x the largest sort)
     val e2 = e.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
       .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

@@ -556,13 +556,34 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
     val keysCond = keyPairs.map { case (tk, sk) =>
       tgt(tk) === srcKey(srcDf, tk, sk) }.reduce(_ && _)
     val onCond = resCol.map(keysCond && _).getOrElse(keysCond)
+    // broadcast a provably small source (guide §3.1, the Delta
+    // low-shuffle-merge posture): the checkpointed source's row count
+    // is exact and cheap; bytes estimate with Spark's own
+    // defaultSize-based stats arithmetic, gated by the session's
+    // autoBroadcastJoinThreshold - a big-delta MERGE keeps the
+    // shuffled joins (broadcasting gigabytes would be worse). Build
+    // sides only: the matched inner join and both
+    // NOT-MATCHED-BY-SOURCE anti-joins build the source side; the
+    // insert anti-join builds the TARGET side, so it stays as is.
+    lazy val srcIsSmall: Boolean = {
+      val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+      thr > 0 && {
+        val rows = srcDf.count()
+        rows * srcDf.schema.defaultSize <= thr
+      }
+    }
+    def srcMaybeB: DataFrame =
+      if ((matched.nonEmpty || notMatchedBySource.nonEmpty) &&
+          srcIsSmall)
+        org.apache.spark.sql.functions.broadcast(srcDf)
+      else srcDf
     // ---- WHEN MATCHED ----
     val (remM, delM, updM):
         (Option[DataFrame], Option[DataFrame], Seq[DataFrame]) =
       if (matched.isEmpty) (None, None, Nil)
       else {
         val tagged = Dbg.t("mg.matched")(
-          tagClauses(tgt.join(srcDf, onCond, "inner"),
+          tagClauses(tgt.join(srcMaybeB, onCond, "inner"),
           matched, both).localCheckpoint())
         val (r, d, u) = applyClauses(tagged, matched, both)
         (Some(r), d, u)
@@ -611,8 +632,10 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
               .distinct()
             val antiCond = keyPairs.map { case (tk, _) =>
               tgt(tk) === srcKeys(s"_graft_src_$tk") }.reduce(_ && _)
-            tgt.join(srcKeys, antiCond, "left_anti")
-          } else tgt.join(srcDf, onCond, "left_anti")
+            tgt.join(if (srcIsSmall)
+              org.apache.spark.sql.functions.broadcast(srcKeys)
+            else srcKeys, antiCond, "left_anti")
+          } else tgt.join(srcMaybeB, onCond, "left_anti")
         val tagged = tagClauses(anti, notMatchedBySource, tgtMap)
           .localCheckpoint()
         val (r, d, u) = applyClauses(tagged, notMatchedBySource, tgtMap)
