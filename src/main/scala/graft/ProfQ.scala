@@ -45,7 +45,14 @@ object ProfQ {
           a <- s.stageInfo.completionTime
           b <- s.stageInfo.submissionTime
         } yield (a - b) / 1e3).getOrElse(0.0)
-        jobDone.add((wallS, s.stageInfo.name.takeWhile(_ != '+').trim))
+        // attribute the stage to the first graft frame in its call-site
+        // stack (the short name is just the action verb — useless when
+        // every commit-machinery job is an async Dataset action)
+        val site = s.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProfQ"))
+          .map(_.trim.replaceAll("^at ", ""))
+          .getOrElse(s.stageInfo.name.takeWhile(_ != '+').trim)
+        jobDone.add((wallS, site))
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         synchronized { tasks += 1 }

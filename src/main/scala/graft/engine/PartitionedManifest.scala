@@ -1361,12 +1361,25 @@ object PartitionedManifest {
     def dropPart(df: DataFrame): DataFrame =
       if (df.columns.contains(partCol)) df.drop(partCol) else df
     val idxOf: Map[String, Int] = touched.zipWithIndex.toMap
+    // a union of L per-partition delta frames carries the SUM of their
+    // partitions; coalesce back to the widest constituent's partition
+    // count (scale-free: no shuffle, no size guess — a big delta keeps
+    // the parallelism its own plan chose), which bounds both the write
+    // task count and the files-per-tag every later chain read pays for
     def taggedUnion(m: Map[String, DataFrame],
-        sel: DataFrame => DataFrame): Option[DataFrame] =
-      touched.flatMap { v =>
+        sel: DataFrame => DataFrame): Option[DataFrame] = {
+      val frames = touched.flatMap { v =>
         m.get(v).map(df => sel(dropPart(df))
           .withColumn(Tag, lit(idxOf(v).toString)))
-      }.reduceOption(_.unionByName(_))
+      }
+      frames.reduceOption(_.unionByName(_)).map { u =>
+        if (frames.lengthCompare(1) <= 0) u
+        else {
+          val widest = frames.map(_.rdd.getNumPartitions).max
+          if (u.rdd.getNumPartitions > widest) u.coalesce(widest) else u
+        }
+      }
+    }
     val upAll = taggedUnion(upserts,
       _.select(schema.fieldNames.toSeq.map(col): _*))
     val delAll = taggedUnion(deletes,
@@ -1378,8 +1391,11 @@ object PartitionedManifest {
       d.write.partitionBy(Tag).parquet(p)
       p
     }
-    val scratchUp = scratchWrite(upAll, "up")
-    val scratchDel = scratchWrite(delAll, "del")
+    // independent staging jobs — overlap them (guide §2.6)
+    val Seq(scratchUp, scratchDel) = Par.map(Seq(
+      (upAll, "up"), (delAll, "del"))) {
+      case (df, what) => scratchWrite(df, what)
+    }
     // the up/del disjointness contract checks against the WRITTEN
     // scratches (explicit schema, so an all-empty side still reads):
     // one cheap scan of materialized delta bytes instead of

@@ -1234,12 +1234,27 @@ object SpecManifest {
     val Tag = "_graft_stage_leaf" // _graft_ prefix reserved repo-wide
     val idxOf: Map[Seq[String], Int] =
       touchedPaths.map(_._1).zipWithIndex.toMap
+    // a union of L per-leaf delta frames carries the SUM of their
+    // partitions (union concatenates); for a multi-leaf merge of tiny
+    // deltas that is L× the task count — and L× the files per tag —
+    // that the widest constituent needed. Coalesce back to the widest
+    // constituent's own partition count: scale-free (a big delta keeps
+    // whatever parallelism its own plan chose; no shuffle, no size
+    // guess), and every later chain resolution reads fewer footers.
     def taggedUnion(m: Map[Seq[String], DataFrame],
-        sel: DataFrame => DataFrame): Option[DataFrame] =
-      touchedPaths.flatMap { case (vs, _) =>
+        sel: DataFrame => DataFrame): Option[DataFrame] = {
+      val frames = touchedPaths.flatMap { case (vs, _) =>
         m.get(vs).map(df => sel(dataOnly(df))
           .withColumn(Tag, lit(idxOf(vs).toString)))
-      }.reduceOption(_.unionByName(_))
+      }
+      frames.reduceOption(_.unionByName(_)).map { u =>
+        if (frames.lengthCompare(1) <= 0) u
+        else {
+          val widest = frames.map(_.rdd.getNumPartitions).max
+          if (u.rdd.getNumPartitions > widest) u.coalesce(widest) else u
+        }
+      }
+    }
     val upAll = taggedUnion(upserts,
       _.select(schema.fieldNames.toSeq.map(col): _*))
     val delAll = taggedUnion(deletes,
@@ -1251,8 +1266,13 @@ object SpecManifest {
       d.write.partitionBy(Tag).parquet(p)
       p
     }
-    val scratchUp = Dbg.t("cm.scratchUp")(scratchWrite(upAll, "up"))
-    val scratchDel = Dbg.t("cm.scratchDel")(scratchWrite(delAll, "del"))
+    // the two staging writes are INDEPENDENT jobs (different frames,
+    // different scratch roots) — submit both so the second's tasks
+    // back-fill cores freed by the first's tail (guide §2.6)
+    val Seq(scratchUp, scratchDel) = Par.map(Seq(
+      ("cm.scratchUp", upAll, "up"), ("cm.scratchDel", delAll, "del"))) {
+      case (tag, df, what) => Dbg.t(tag)(scratchWrite(df, what))
+    }
     // the up/del disjointness contract checks against the WRITTEN
     // scratches (explicit schema, so an all-empty side still reads):
     // one cheap scan of materialized delta bytes instead of

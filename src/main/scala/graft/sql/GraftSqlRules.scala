@@ -647,18 +647,22 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         GraftSqlWrites.insert(spark, table, ins, mode = "append"))
       return Seq.empty
     }
-    val removed = Dbg.t("mg.removed")((remM.toSeq ++ remN.toSeq)
-      .reduceOption(_.unionByName(_)).map(_.localCheckpoint()))
-    val deletedOld = (delM.toSeq ++ delN.toSeq)
-      .reduceOption(_.unionByName(_))
-    val added = (updM ++ updN ++ inserted.toSeq) match {
-      case Nil => None
+    // the removed / added materializations are INDEPENDENT jobs over
+    // already-checkpointed tagged frames — overlap them (guide §2.6)
+    val Seq(removed, added) = Par.map(Seq[() => Option[DataFrame]](
+      () => Dbg.t("mg.removed")((remM.toSeq ++ remN.toSeq)
+        .reduceOption(_.unionByName(_)).map(_.localCheckpoint())),
       // align TYPES to the catalog schema: assignment / VALUES
       // expressions may carry narrower literals (INT into a BIGINT
       // column), and merge-on-read deltas must match the leaf schema
-      case xs => Dbg.t("mg.added")(Some(GraftSqlWrites.alignData(
-        xs.reduce(_.unionByName(_)), table.dataSchema).localCheckpoint()))
-    }
+      () => (updM ++ updN ++ inserted.toSeq) match {
+        case Nil => None
+        case xs => Dbg.t("mg.added")(Some(GraftSqlWrites.alignData(
+          xs.reduce(_.unionByName(_)), table.dataSchema)
+          .localCheckpoint()))
+      }))(_.apply())
+    val deletedOld = (delM.toSeq ++ delN.toSeq)
+      .reduceOption(_.unionByName(_))
     // ONE job derives the touched leaves AND probes for NULL merge
     // keys over the union of affected old rows and replacement rows
     // (the two facts read the same frame; see the noNullKeys comment
