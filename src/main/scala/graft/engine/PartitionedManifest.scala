@@ -1372,13 +1372,12 @@ object PartitionedManifest {
         m.get(v).map(df => sel(dropPart(df))
           .withColumn(Tag, lit(idxOf(v).toString)))
       }
-      frames.reduceOption(_.unionByName(_)).map { u =>
+      // coalesce to the session's shuffle parallelism: a no-op when
+      // the union is already narrower, and no .rdd probe (which would
+      // eagerly materialize any shuffle stage a caller's frame holds)
+      frames.reduceOption(_.unionByName(_)).map(u =>
         if (frames.lengthCompare(1) <= 0) u
-        else {
-          val widest = frames.map(_.rdd.getNumPartitions).max
-          if (u.rdd.getNumPartitions > widest) u.coalesce(widest) else u
-        }
-      }
+        else u.coalesce(spark.sessionState.conf.numShufflePartitions))
     }
     val upAll = taggedUnion(upserts,
       _.select(schema.fieldNames.toSeq.map(col): _*))

@@ -826,6 +826,23 @@ object GraftSqlWrites {
       .map(r => spec.names.indices.map(i => r.getString(i)))
   }
 
+  /** [[leavesOf]] fused with an any-row-satisfies probe: ONE
+    * aggregation job serves both the distinct leaf tuples and whether
+    * `flag` holds anywhere (the mg.touched fusion — a separate isEmpty
+    * probe over the same frame would be a second full job). */
+  private[sql] def leavesAndFlag(rows: DataFrame, spec: PartitionSpec,
+      flag: org.apache.spark.sql.Column)
+      : (Seq[Seq[String]], Boolean) = {
+    val tagged = spec.fields.foldLeft(rows)((d, f) =>
+      d.withColumn(f.name, f.derived))
+    val agg = tagged.groupBy(spec.names.map(col): _*)
+      .agg(org.apache.spark.sql.functions.max(flag).as("_graft_flag"))
+      .collect()
+    (agg.toSeq.map(r => spec.names.indices.map(r.getString)),
+      agg.exists(r => !r.isNullAt(spec.names.length) &&
+        r.getBoolean(spec.names.length)))
+  }
+
   private def leafRows(rows: DataFrame, spec: PartitionSpec,
       vs: Seq[String]): DataFrame = {
     val dataCols = rows.columns.toSeq

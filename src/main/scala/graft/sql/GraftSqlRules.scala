@@ -231,9 +231,13 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     val removed = (if (correlated)
       GraftDml.affectedFrame(spark, tgt, relOutput, cond)
     else tgt.filter(condOn(tgt))).localCheckpoint()
-    val touched = GraftSqlWrites.leavesOfRows(removed, table.spec)
-    if (touched.isEmpty) return Seq.empty
     val dataCols = table.dataSchema.fieldNames.toSeq
+    // ONE job derives the touched leaves AND probes for NULL-valued
+    // rows (the MOR delete delta is keyed by the full row, and NULL
+    // keys never equi-join — the mg.touched/noNullKeys fusion)
+    val (touched, anyNull) = GraftSqlWrites.leavesAndFlag(removed,
+      table.spec, dataCols.map(col(_).isNull).reduce(_ || _))
+    if (touched.isEmpty) return Seq.empty
     // files (and so delta chains) spell RENAMED columns physically
     val physSchema = GraftSchemas.physicalSchema(table.dataSchema)
     val physCols = physSchema.fieldNames.toSeq
@@ -241,8 +245,7 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
     val chainsOk = graft.engine.Par.map(touched)(vs =>
       SpecManifest.leafChainKeys(spark, table.root, table.spec, vs)
         .forall(_ == physCols)).forall(identity)
-    val noNulls = removed.filter(
-      dataCols.map(col(_).isNull).reduce(_ || _)).isEmpty
+    val noNulls = !anyNull
     // a leaf whose physical schema predates a catalog ALTER cannot
     // take catalog-shaped deltas — copy-on-write rewrites it into the
     // current shape instead (footer read per touched leaf)
@@ -329,8 +332,10 @@ case class GraftUpdateCommand(table: GraftSqlTable,
             .getOrElse(affected(n))
         }: _*), table.dataSchema).localCheckpoint()
       val spec = table.spec
-      val touched = (GraftSqlWrites.leavesOfRows(affected, spec) ++
-        GraftSqlWrites.leavesOfRows(moved, spec)).distinct
+      // the two leaf derivations read independent checkpoints —
+      // overlap them (guide §2.6)
+      val touched = graft.engine.Par.map(Seq(affected, moved))(
+        GraftSqlWrites.leavesOfRows(_, spec)).flatten.distinct
       if (touched.isEmpty) return Seq.empty
       val existing =
         SpecManifest.leafKeys(spark, table.root, spec).toSet
@@ -577,16 +582,41 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
           srcIsSmall)
         org.apache.spark.sql.functions.broadcast(srcDf)
       else srcDf
-    // ---- WHEN MATCHED ----
+    // ---- WHEN MATCHED / WHEN NOT MATCHED BY SOURCE ----
+    // the matched inner join and the by-source anti-join materialize
+    // INDEPENDENT tagged frames off the same (tgt, srcDf) inputs —
+    // overlap the two checkpoint jobs (guide §2.6)
+    val Seq(taggedMOpt, taggedNOpt) = Par.map(Seq[() => Option[DataFrame]](
+      () =>
+        if (matched.isEmpty) None
+        else Some(Dbg.t("mg.matched")(
+          tagClauses(tgt.join(srcMaybeB, onCond, "inner"),
+            matched, both).localCheckpoint())),
+      () =>
+        if (notMatchedBySource.isEmpty || !hasSnapshot) None
+        else {
+          val anti =
+            if (residual.isEmpty) {
+              val srcKeys = srcDf.select(keyPairs.map { case (tk, sk) =>
+                srcKey(srcDf, tk, sk).as(s"_graft_src_$tk") }: _*)
+                .distinct()
+              val antiCond = keyPairs.map { case (tk, _) =>
+                tgt(tk) === srcKeys(s"_graft_src_$tk") }.reduce(_ && _)
+              tgt.join(if (srcIsSmall)
+                org.apache.spark.sql.functions.broadcast(srcKeys)
+              else srcKeys, antiCond, "left_anti")
+            } else tgt.join(srcMaybeB, onCond, "left_anti")
+          Some(Dbg.t("mg.bySource")(
+            tagClauses(anti, notMatchedBySource, tgtMap)
+              .localCheckpoint()))
+        }))(_.apply())
     val (remM, delM, updM):
         (Option[DataFrame], Option[DataFrame], Seq[DataFrame]) =
-      if (matched.isEmpty) (None, None, Nil)
-      else {
-        val tagged = Dbg.t("mg.matched")(
-          tagClauses(tgt.join(srcMaybeB, onCond, "inner"),
-          matched, both).localCheckpoint())
-        val (r, d, u) = applyClauses(tagged, matched, both)
-        (Some(r), d, u)
+      taggedMOpt match {
+        case None => (None, None, Nil)
+        case Some(tagged) =>
+          val (r, d, u) = applyClauses(tagged, matched, both)
+          (Some(r), d, u)
       }
     // ---- WHEN NOT MATCHED (INSERT) ----
     val inserted: Option[DataFrame] =
@@ -620,26 +650,17 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         Some(frames.reduce(_.unionByName(_)))
       }
     // ---- WHEN NOT MATCHED BY SOURCE (full-target scan by nature:
-    // these clauses judge every target row with no source match) ----
+    // these clauses judge every target row with no source match; the
+    // tagged frame itself materialized above, overlapped with the
+    // matched join) ----
     val (remN, delN, updN):
         (Option[DataFrame], Option[DataFrame], Seq[DataFrame]) =
-      if (notMatchedBySource.isEmpty || !hasSnapshot) (None, None, Nil)
-      else {
-        val anti =
-          if (residual.isEmpty) {
-            val srcKeys = srcDf.select(keyPairs.map { case (tk, sk) =>
-              srcKey(srcDf, tk, sk).as(s"_graft_src_$tk") }: _*)
-              .distinct()
-            val antiCond = keyPairs.map { case (tk, _) =>
-              tgt(tk) === srcKeys(s"_graft_src_$tk") }.reduce(_ && _)
-            tgt.join(if (srcIsSmall)
-              org.apache.spark.sql.functions.broadcast(srcKeys)
-            else srcKeys, antiCond, "left_anti")
-          } else tgt.join(srcMaybeB, onCond, "left_anti")
-        val tagged = tagClauses(anti, notMatchedBySource, tgtMap)
-          .localCheckpoint()
-        val (r, d, u) = applyClauses(tagged, notMatchedBySource, tgtMap)
-        (Some(r), d, u)
+      taggedNOpt match {
+        case None => (None, None, Nil)
+        case Some(tagged) =>
+          val (r, d, u) = applyClauses(tagged, notMatchedBySource,
+            tgtMap)
+          (Some(r), d, u)
       }
     if (!hasSnapshot) {
       // empty table: only inserts can land; bootstrap via the insert path
@@ -647,28 +668,47 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
         GraftSqlWrites.insert(spark, table, ins, mode = "append"))
       return Seq.empty
     }
-    // the removed / added materializations are INDEPENDENT jobs over
-    // already-checkpointed tagged frames — overlap them (guide §2.6)
-    val Seq(removed, added) = Par.map(Seq[() => Option[DataFrame]](
-      () => Dbg.t("mg.removed")((remM.toSeq ++ remN.toSeq)
-        .reduceOption(_.unionByName(_)).map(_.localCheckpoint())),
-      // align TYPES to the catalog schema: assignment / VALUES
-      // expressions may carry narrower literals (INT into a BIGINT
-      // column), and merge-on-read deltas must match the leaf schema
-      () => (updM ++ updN ++ inserted.toSeq) match {
-        case Nil => None
-        case xs => Dbg.t("mg.added")(Some(GraftSqlWrites.alignData(
-          xs.reduce(_.unionByName(_)), table.dataSchema)
-          .localCheckpoint()))
-      }))(_.apply())
-    val deletedOld = (delM.toSeq ++ delN.toSeq)
+    // ONE materialization serves BOTH affected sides: the removed old
+    // rows and the aligned replacement rows union side-tagged into a
+    // single localCheckpoint, and `removed` / `added` are filters of
+    // it — one job instead of two, and every downstream probe scans
+    // one checkpoint instead of two. (Both sides are dataSchema-shaped
+    // — `removed` projects the target read, `added` goes through
+    // alignData — so the union coerces nothing; alignData keeps
+    // assignment / VALUES literals honest on the added side, because
+    // merge-on-read deltas must match the leaf schema.)
+    val SideCol = "_graft_side"
+    val remLazy = (remM.toSeq ++ remN.toSeq)
       .reduceOption(_.unionByName(_))
-    // ONE job derives the touched leaves AND probes for NULL merge
-    // keys over the union of affected old rows and replacement rows
-    // (the two facts read the same frame; see the noNullKeys comment
-    // below for why NULL keys gate the commit route)
-    val affectedAll = (removed.toSeq ++
-        added.map(_.select(dataCols.map(col): _*)).toSeq)
+    val addLazy = (updM ++ updN ++ inserted.toSeq) match {
+      case Nil => None
+      case xs => Some(GraftSqlWrites.alignData(
+        xs.reduce(_.unionByName(_)), table.dataSchema))
+    }
+    val affectedSides: Seq[DataFrame] =
+      remLazy.map(_.select(dataCols.map(col): _*)
+        .withColumn(SideCol, lit("r"))).toSeq ++
+      addLazy.map(_.select(dataCols.map(col): _*)
+        .withColumn(SideCol, lit("a"))).toSeq
+    val affectedAll: Option[DataFrame] =
+      affectedSides.reduceOption(_.unionByName(_)).map { u0 =>
+        // the union carries the SUM of its sides' partitions (each a
+        // stack of filters over session-parallelism checkpoints);
+        // coalesce to the session's shuffle parallelism before
+        // materializing, so the checkpoint — and every probe/commit
+        // job that filters it — stays at one side's task count.
+        // coalesce to MORE partitions than the plan has is a no-op,
+        // so a narrow union keeps its own count; no .rdd probe (that
+        // would eagerly materialize the insert anti-join's stages),
+        // no shuffle, and the bound is the cluster-sized session conf
+        val u = u0.coalesce(spark.sessionState.conf.numShufflePartitions)
+        Dbg.t("mg.affected")(u.localCheckpoint())
+      }
+    val removed: Option[DataFrame] = remLazy.flatMap(_ =>
+      affectedAll.map(_.filter(col(SideCol) === "r").drop(SideCol)))
+    val added: Option[DataFrame] = addLazy.flatMap(_ =>
+      affectedAll.map(_.filter(col(SideCol) === "a").drop(SideCol)))
+    val deletedOld = (delM.toSeq ++ delN.toSeq)
       .reduceOption(_.unionByName(_))
     val someKeyNull = tKeys.map(col(_).isNull)
       .reduceOption(_ || _).getOrElse(lit(false))

@@ -390,10 +390,14 @@ object EventsStreaming {
       root: String, partCol: String, keyCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.engine.{ManifestTable, PartitionedManifest}
-    if (batch.isEmpty) return
+    // checkpoint FIRST: the old isEmpty probe executed the incremental
+    // plan once and the checkpoint executed it again; now one
+    // materialization serves the emptiness test (zero collected
+    // partition values) and every downstream read
     val delta = batch.localCheckpoint() // freeze: read once per partition
     val touched = delta.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
+    if (touched.isEmpty) return
     val updates = touched.map { v =>
       val d = delta.filter(col(partCol).cast("string") === v).drop(partCol)
       val merged = ManifestTable

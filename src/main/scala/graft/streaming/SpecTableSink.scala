@@ -133,12 +133,14 @@ class SpecTableSink(ctx: SQLContext, parameters: Map[String, String])
     // freeze once: the incremental plan is only valid within this call
     val tagged = spec.fields.foldLeft(batch)((d, f) =>
       d.withColumn(f.name, f.derived)).localCheckpoint()
-    if (!tagged.isEmpty) {
-      val ns = spec.names
-      val touched: Seq[Seq[String]] = tagged
-        .select(ns.head, ns.tail: _*).distinct().collect()
-        .map(r => ns.indices.map(i => r.getString(i)))
-        .toSeq.sortBy(_.mkString("/"))
+    // ONE job serves both the emptiness test and the touched-leaf
+    // derivation (an empty batch collects zero leaf tuples)
+    val ns = spec.names
+    val touched: Seq[Seq[String]] = tagged
+      .select(ns.head, ns.tail: _*).distinct().collect()
+      .map(r => ns.indices.map(i => r.getString(i)))
+      .toSeq.sortBy(_.mkString("/"))
+    if (touched.nonEmpty) {
       def leafPathOf(vs: Seq[String]) =
         ns.zip(vs).map { case (n, v) => s"$n=$v" }.mkString("/")
       def leafOf(vs: Seq[String]): DataFrame =

@@ -100,9 +100,11 @@ class TableSink(ctx: SQLContext, parameters: Map[String, String])
     val batch = org.apache.spark.sql.graft.ColumnBridge
       .asBatchDataFrame(spark, data)
     val delta = batch.localCheckpoint()
-    if (!delta.isEmpty) {
-      val touched = delta.select(col(partCol).cast("string")).distinct()
-        .collect().map(_.getString(0)).sorted
+    // ONE job serves both the emptiness test and the touched-partition
+    // derivation (an empty batch collects zero partition values)
+    val touched = delta.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (touched.nonEmpty) {
       val allExist = touched.forall(v =>
         ManifestTable.currentDataDir(s"$root/$partCol=$v").isDefined)
       if (mergeOnRead && allExist) {
