@@ -965,9 +965,7 @@ object PartitionedManifest {
           }: _*)
         val fDf = align(fDf0)
         val tDf = align(tDf0)
-        tDf.exceptAll(fDf).withColumn(changeCol, lit("insert"))
-          .unionByName(
-            fDf.exceptAll(tDf).withColumn(changeCol, lit("delete")))
+        multisetDiff(tDf, fDf, changeCol)
     }
   }
 
@@ -1126,6 +1124,35 @@ object PartitionedManifest {
               .drop("_graft_op", "_graft_layer", "_graft_rn"))
         }
     }
+  }
+
+  /** Both directions of a multiset row diff in ONE aggregation —
+    * row-for-row what `to.exceptAll(from)` tagged 'insert' unioned
+    * with `from.exceptAll(to)` tagged 'delete' produces. Spark's own
+    * RewriteExceptAll turns EACH exceptAll into union → signed-count
+    * aggregate → replicate, so the two-direction spelling aggregates
+    * the combined input twice; tagging the sides ±1 and keeping both
+    * signs runs that same rewrite once (one exchange instead of two
+    * over the changed partitions' rows). Multiset-exact: a row with
+    * m copies on the to side and n on the from side emits |m-n|
+    * copies, inserts where m>n, deletes where n>m — the exceptAll
+    * multiplicity contract. */
+  private[engine] def multisetDiff(to: DataFrame, from: DataFrame,
+      changeCol: String): DataFrame = {
+    val W = "_graft_w"
+    val cols = to.columns.toSeq
+    val summed = to.withColumn(W, lit(1L))
+      .unionByName(from.withColumn(W, lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(org.apache.spark.sql.functions.sum(col(W)).as(W))
+      .filter(col(W) =!= 0L)
+    summed.select((cols :+ W).map(col) :+
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr(
+            s"sequence(1L, abs($W))")).as("_graft_i"): _*)
+      .select(cols.map(col) :+
+        org.apache.spark.sql.functions.when(col(W) > 0, lit("insert"))
+          .otherwise(lit("delete")).as(changeCol): _*)
   }
 
   /** Recover hive-style `field=value` path segments as STRING columns

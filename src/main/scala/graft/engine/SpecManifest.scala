@@ -1080,9 +1080,7 @@ object SpecManifest {
       case (f, t) =>
         val fDf = f.orElse(t.map(_.limit(0))).get
         val tDf = t.orElse(f.map(_.limit(0))).get
-        tDf.exceptAll(fDf).withColumn(changeCol, lit("insert"))
-          .unionByName(
-            fDf.exceptAll(tDf).withColumn(changeCol, lit("delete")))
+        PartitionedManifest.multisetDiff(tDf, fDf, changeCol)
     }
   }
 

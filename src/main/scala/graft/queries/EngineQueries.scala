@@ -1503,16 +1503,24 @@ object EngineQueries {
       }.reduce(_.unionByName(_))
         .filter($"o_orderkey" % 20 === 2 || $"o_orderkey" % 90 === 2)
         .localCheckpoint()
+      // ONE job decides which leaves carry delta rows (the per-leaf
+      // frame below is nonempty iff its leaf appears here) — a
+      // per-leaf isEmpty probe would be a separate job per leaf
+      val live96 = cur96.select($"_ly", $"_lb").distinct().collect()
+        .map(r => Seq(r.getString(0), r.getString(1))).toSet
       val up3 = leaves96.flatMap { vs =>
-        val cur = cur96.filter($"_ly" === vs(0) && $"_lb" === vs(1))
-          .drop("_ly", "_lb")
-        val u = cur.filter($"o_orderkey" % 20 === 2)
-          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
-          .unionByName(cur.filter($"o_orderkey" % 90 === 2)
-            .select(($"o_orderkey" + 1000000000L).as("o_orderkey"),
-              $"o_custkey", lit(0.0).as("o_totalprice"), $"o_orderdate",
-              $"pad"))
-        if (u.isEmpty) None else Some(vs -> u)
+        if (!live96.contains(vs)) None
+        else {
+          val cur = cur96.filter($"_ly" === vs(0) && $"_lb" === vs(1))
+            .drop("_ly", "_lb")
+          val u = cur.filter($"o_orderkey" % 20 === 2)
+            .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+            .unionByName(cur.filter($"o_orderkey" % 90 === 2)
+              .select(($"o_orderkey" + 1000000000L).as("o_orderkey"),
+                $"o_custkey", lit(0.0).as("o_totalprice"), $"o_orderdate",
+                $"pad"))
+          Some(vs -> u)
+        }
       }.toMap
       val s4 = SpecManifest.commitMerge(s, root, spec, Seq("o_orderkey"),
         upserts = up3, keepSnapshots = 6)
