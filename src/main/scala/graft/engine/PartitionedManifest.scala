@@ -1136,7 +1136,11 @@ object PartitionedManifest {
     * over the changed partitions' rows). Multiset-exact: a row with
     * m copies on the to side and n on the from side emits |m-n|
     * copies, inserts where m>n, deletes where n>m — the exceptAll
-    * multiplicity contract. */
+    * multiplicity contract. Replication streams through the
+    * [[graft.functions.ReplicateN]] generator — an
+    * `explode(sequence(1, |w|))` would materialize a |w|-element array
+    * inside the task, a multi-MB allocation (and OOM risk) for a row
+    * legitimately duplicated millions of times. */
   private[engine] def multisetDiff(to: DataFrame, from: DataFrame,
       changeCol: String): DataFrame = {
     val W = "_graft_w"
@@ -1147,9 +1151,8 @@ object PartitionedManifest {
       .agg(org.apache.spark.sql.functions.sum(col(W)).as(W))
       .filter(col(W) =!= 0L)
     summed.select((cols :+ W).map(col) :+
-        org.apache.spark.sql.functions.explode(
-          org.apache.spark.sql.functions.expr(
-            s"sequence(1L, abs($W))")).as("_graft_i"): _*)
+        graft.functions.Replicate.replicateN(
+          org.apache.spark.sql.functions.abs(col(W))): _*)
       .select(cols.map(col) :+
         org.apache.spark.sql.functions.when(col(W) > 0, lit("insert"))
           .otherwise(lit("delete")).as(changeCol): _*)
@@ -1389,10 +1392,12 @@ object PartitionedManifest {
       if (df.columns.contains(partCol)) df.drop(partCol) else df
     val idxOf: Map[String, Int] = touched.zipWithIndex.toMap
     // a union of L per-partition delta frames carries the SUM of their
-    // partitions; coalesce back to the widest constituent's partition
-    // count (scale-free: no shuffle, no size guess — a big delta keeps
-    // the parallelism its own plan chose), which bounds both the write
-    // task count and the files-per-tag every later chain read pays for
+    // partitions; coalesce back to the SESSION SHUFFLE PARALLELISM
+    // (scale-free: no shuffle, no size guess, a no-op for any union
+    // already narrower), which bounds both the write task count and
+    // the files-per-tag every later chain read pays for. A delta
+    // wider than the session conf is deliberately narrowed to it —
+    // the session parallelism is the cluster-sized write bound.
     def taggedUnion(m: Map[String, DataFrame],
         sel: DataFrame => DataFrame): Option[DataFrame] = {
       val frames = touched.flatMap { v =>

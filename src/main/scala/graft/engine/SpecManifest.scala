@@ -1235,10 +1235,12 @@ object SpecManifest {
     // a union of L per-leaf delta frames carries the SUM of their
     // partitions (union concatenates); for a multi-leaf merge of tiny
     // deltas that is L× the task count — and L× the files per tag —
-    // that the widest constituent needed. Coalesce back to the widest
-    // constituent's own partition count: scale-free (a big delta keeps
-    // whatever parallelism its own plan chose; no shuffle, no size
-    // guess), and every later chain resolution reads fewer footers.
+    // that the widest constituent needed. Coalesce back to the SESSION
+    // SHUFFLE PARALLELISM: scale-free (no shuffle, no size guess, a
+    // no-op for any union already narrower), and every later chain
+    // resolution reads fewer footers. A delta wider than the session
+    // conf is deliberately narrowed to it — the session parallelism
+    // is the cluster-sized write bound.
     def taggedUnion(m: Map[Seq[String], DataFrame],
         sel: DataFrame => DataFrame): Option[DataFrame] = {
       val frames = touchedPaths.flatMap { case (vs, _) =>

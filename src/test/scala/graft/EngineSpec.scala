@@ -1492,6 +1492,41 @@ class EngineSpec extends AnyFunSuite {
     assert(d == Seq((1L, "delete"), (2L, "delete"), (1001L, "insert")), d)
   }
 
+  test("changesBetween: high-multiplicity duplicate rows replicate " +
+      "exactly (streaming generator, no per-row array materialization)") {
+    val root = Files.createTempDirectory("graft-cdc-dup").toString
+    import spark.implicits._
+    import graft.engine.PartitionedManifest
+    // duplicates are legal — plain INSERT enforces nothing. A row with
+    // multiset count 3 in s1 and 120003 in s2 must diff as exactly
+    // 120000 inserts (the exceptAll multiplicity contract); the
+    // replication streams through ReplicateN instead of allocating a
+    // 120k-element sequence array inside the task.
+    PartitionedManifest.seed(spark, root,
+      Seq.fill(3)((7L, 0)).toDF("i", "bk"), "bk")
+    val s1 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map.empty, keepSnapshots = 4)
+    val s2 = PartitionedManifest.commitSnapshot(spark, root, "bk",
+      Map("0" -> Seq.fill(120003)(7L).toDF("i")), keepSnapshots = 4)
+    val ch = PartitionedManifest.changesBetween(spark, root, "bk", "int",
+      s1, s2)
+    val byType = ch.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 120000L), byType)
+    // and the reverse direction replicates the same count as deletes
+    val rev = PartitionedManifest.changesBetween(spark, root, "bk",
+      "int", s2, s1).groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(rev == Map("delete" -> 120000L), rev)
+    // the generator itself: n copies, streamed
+    val n = spark.range(1)
+      .select(org.apache.spark.sql.functions.lit(42).as("a"),
+        graft.functions.Replicate.replicateN(
+          org.apache.spark.sql.functions.lit(250000L)))
+      .groupBy($"a").count().as[(Int, Long)].collect().toSeq
+    assert(n == Seq((42, 250000L)), n)
+  }
+
   test("branches + write-audit-publish: staged branch commits are " +
       "invisible to main, their dirs survive main's keep-N GC, " +
       "fast-forward publishes in one metadata op, and a diverged main " +
