@@ -28,7 +28,7 @@ object ProfQ {
     @volatile var shuffleReadB = 0L
     @volatile var shuffleWriteB = 0L
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    val jobDone = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
+    val jobDone = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Double, String, String)]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         synchronized { jobs += 1 }
@@ -52,7 +52,14 @@ object ProfQ {
           .find(l => l.contains("graft.") && !l.contains("ProfQ"))
           .map(_.trim.replaceAll("^at ", ""))
           .getOrElse(s.stageInfo.name.takeWhile(_ != '+').trim)
-        jobDone.add((wallS, site))
+        val runS =
+          if (m != null) m.executorRunTime / 1e3 else 0.0
+        val detail = f"tasks=${s.stageInfo.numTasks} " +
+          f"in=${if (m != null) m.inputMetrics.bytesRead / 1e6 else 0.0}%.1fMB " +
+          f"out=${if (m != null) m.outputMetrics.bytesWritten / 1e6 else 0.0}%.1fMB " +
+          f"sr=${if (m != null) m.shuffleReadMetrics.totalBytesRead / 1e6 else 0.0}%.1fMB " +
+          s.stageInfo.rddInfos.map(_.name).mkString("|").take(120)
+        jobDone.add((wallS, runS, site, detail))
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         synchronized { tasks += 1 }
@@ -77,12 +84,19 @@ object ProfQ {
           f"shufW=${shuffleWriteB / 1e6}%.1f MB")
         if (i == 2) {
           import scala.jdk.CollectionConverters._
-          val bySite = jobDone.asScala.toSeq.groupBy(_._2)
+          val bySite = jobDone.asScala.toSeq.groupBy(_._3)
             .map { case (s, xs) =>
-              (xs.map(_._1).sum, xs.size, s) }
+              (xs.map(_._1).sum, xs.map(_._2).sum, xs.size, s) }
             .toSeq.sortBy(-_._1).take(12)
-          bySite.foreach { case (t, cnt, s) =>
-            println(f"[profq]   $t%7.2f s  n=$cnt%-4d $s") }
+          bySite.foreach { case (t, rt, cnt, s) =>
+            println(
+              f"[profq]   $t%7.2f s  run=$rt%7.2f s  n=$cnt%-4d $s") }
+          // and the heaviest individual stages by executor run time
+          jobDone.asScala.toSeq.sortBy(-_._2).take(10).foreach {
+            case (w, rt, site, nm) =>
+              println(f"[profq]   stage run=$rt%7.2f s wall=$w%5.2f s" +
+                f"  $nm  [$site]")
+          }
         }
       }
     }

@@ -336,6 +336,41 @@ object SpecManifest {
       spec: PartitionSpec, updates: Map[Seq[String], DataFrame],
       keepSnapshots: Int = 2,
       expectedBase: Option[Option[String]] = None): String = {
+    // Map-of-frames spelling delegates to the one-pass tagged core:
+    // each leaf's frame gets its leaf values attached as literal
+    // string columns, and the union is staged in ONE partitionBy job
+    val tagged: Option[DataFrame] = updates.headOption.map { h =>
+      val dataCols = h._2.columns.toSeq.filterNot(spec.names.contains)
+      updates.map { case (vs, df) =>
+        val d = spec.names.foldLeft(df)((x, n) =>
+          if (x.columns.contains(n)) x.drop(n) else x)
+        spec.fields.zip(vs).foldLeft(d.select(dataCols.map(col): _*)) {
+          case (x, (f, v)) => x.withColumn(f.name, lit(v))
+        }
+      }.reduce(_.unionByName(_))
+    }
+    commitSnapshotTagged(spark, root, spec, tagged,
+      updates.keys.toSeq, keepSnapshots, expectedBase)
+  }
+
+  /** One-pass variant of [[commitSnapshot]] for callers whose
+    * replacement rows all come from ONE frame: `data` carries the leaf
+    * data columns PLUS the spec partition columns (string-typed, as
+    * [[PartField.derive]] renders them — derived for rows routed by
+    * value, literal for rows pinned to a physical leaf), and `touched`
+    * lists every leaf this commit replaces. The per-leaf-Map spelling
+    * evaluates each leaf's frame as its own union arm, so L leaves
+    * re-scan a shared source L times (O(L·N) — the w29 INSERT profile:
+    * 28 arms × a 15 MB checkpoint = 420 MB read, 35 s of CPU for one
+    * staging write); here the source is scanned ONCE and the
+    * partitionBy write routes rows to their leaf dirs (guide §1.2,
+    * §2.4). A touched leaf with no rows in `data` publishes an empty
+    * version, exactly as an empty per-leaf frame did. */
+  def commitSnapshotTagged(spark: SparkSession, root: String,
+      spec: PartitionSpec, data: Option[DataFrame],
+      touched: Seq[Seq[String]],
+      keepSnapshots: Int = 2,
+      expectedBase: Option[Option[String]] = None): String = {
     require(keepSnapshots >= 2, "keepSnapshots must be >= 2")
     ManifestTable.withPublishLock(root) {
       // CONFLICT GUARD, first thing under the lock: the caller states
@@ -369,7 +404,7 @@ object SpecManifest {
       // spec (old layouts stay mergeable but never grow new leaves)
       val versions = specVersions(spark, root)
       if (spec != versions.last) {
-        val fresh = updates.keys.map(vs => leafPath(spec, vs))
+        val fresh = touched.map(vs => leafPath(spec, vs))
           .filterNot(lp => base.contains(lp) ||
             ManifestTable.currentVersion(s"$root/$lp").isDefined)
         require(fresh.isEmpty,
@@ -380,25 +415,20 @@ object SpecManifest {
       val protectByLeaf: Map[String, Set[String]] =
         protectedDirsByLeaf(spark, root, keepSnapshots)
       val written: Map[String, String] =
-        if (updates.isEmpty) Map.empty
+        if (data.isEmpty || touched.isEmpty) Map.empty
         else {
+          val df = data.get
+          val dataCols = df.columns.toSeq
+            .filterNot(spec.names.contains)
           val scratch =
             s"$root/.commit-${java.util.UUID.randomUUID.toString.take(8)}"
-          val dataCols = updates.head._2.columns.toSeq
-            .filterNot(spec.names.contains)
-          updates.map { case (vs, df) =>
-            val d = spec.names.foldLeft(df)((x, n) =>
-              if (x.columns.contains(n)) x.drop(n) else x)
-            spec.fields.zip(vs).foldLeft(d.select(dataCols.map(col): _*)) {
-              case (x, (f, v)) => x.withColumn(f.name, lit(v))
-            }
-          }.reduce(_.unionByName(_))
+          df.select((dataCols ++ spec.names).map(col): _*)
             .hint("rebalance", spec.names.map(col): _*)
             .write.mode("error").partitionBy(spec.names: _*)
             .parquet(scratch)
           // per-leaf pointer adoption is independent fs work —
           // overlap it (guide §2.6)
-          try Par.map(updates.keys.toSeq.sortBy(_.mkString("/"))) { vs =>
+          try Par.map(touched.sortBy(_.mkString("/"))) { vs =>
             val lp = leafPath(spec, vs)
             val src = new HPath(s"$scratch/$lp")
             // chain expansion: a protected MOR layer keeps its bases
@@ -410,7 +440,7 @@ object SpecManifest {
                   protect)
               else // all-empty leaf update: publish its empty version
                 ManifestTable.publish(spark, s"$root/$lp",
-                  updates(vs).select(dataCols.map(col): _*).limit(0),
+                  df.select(dataCols.map(col): _*).limit(0),
                   protect)
             lp -> new HPath(dir).getName
           }.toMap

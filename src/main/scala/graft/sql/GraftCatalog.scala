@@ -881,31 +881,57 @@ object GraftSqlWrites {
     val existing: Set[Seq[String]] =
       if (base.isEmpty) Set.empty
       else SpecManifest.leafKeys(spark, table.root, spec).toSet
-    val updates: Map[Seq[String], DataFrame] = mode match {
+    // ONE-PASS staging: the incoming frame is scanned once with its
+    // leaf columns DERIVED (a per-leaf Map would re-filter the whole
+    // frame once per leaf — O(L·N), the w29 INSERT hot stage);
+    // append-mode existing content joins the union pinned to its
+    // physical leaf by LITERAL tags (per-leaf file reads — linear).
+    val incTagged = tagDerived(toPhysical(aligned, table.dataSchema),
+      spec, table.dataSchema)
+    val (data: DataFrame, touched: Seq[Seq[String]]) = mode match {
       case "truncate" =>
-        val cleared = existing.toSeq
-          .map(vs => vs -> aligned.limit(0))
-        (cleared ++ incomingLeaves.map(vs =>
-          vs -> leafRows(aligned, spec, vs))).toMap
-      case "dynamic" =>
-        incomingLeaves.map(vs => vs -> leafRows(aligned, spec, vs)).toMap
-      case _ => incomingLeaves.map { vs =>
-        val inc = leafRows(aligned, spec, vs)
+        (incTagged, (existing ++ incomingLeaves).toSeq)
+      case "dynamic" => (incTagged, incomingLeaves)
+      case _ =>
         // existing content aligns to the CURRENT schema first: a leaf
         // written before an ADD COLUMN / type widening unions cleanly
-        vs -> (if (existing.contains(vs))
-          alignData(SpecManifest.readLeaf(spark, table.root, spec, vs),
-            table.dataSchema, fromFiles = true).unionByName(inc)
-        else inc)
-      }.toMap
+        val olds = incomingLeaves.filter(existing.contains).map { vs =>
+          tagLiterals(toPhysical(alignData(
+            SpecManifest.readLeaf(spark, table.root, spec, vs),
+            table.dataSchema, fromFiles = true), table.dataSchema),
+            spec, vs)
+        }
+        ((incTagged +: olds).reduce(_.unionByName(_)), incomingLeaves)
     }
-    if (updates.nonEmpty)
-      SpecManifest.commitSnapshot(spark, table.root, spec,
-        updates.map { case (vs, df) =>
-          vs -> toPhysical(df, table.dataSchema) },
+    if (touched.nonEmpty)
+      SpecManifest.commitSnapshotTagged(spark, table.root, spec,
+        Some(data), touched,
         keepSnapshots = table.keepSnapshots,
         expectedBase = Some(base))
   }
+
+  /** `df` (data columns only) with the spec partition columns DERIVED
+    * from its rows — the one-pass staging tag for rows routed by
+    * value. A data column sharing a spec field's name is replaced,
+    * exactly as the per-leaf Map spelling excluded it from dataCols. */
+  private def tagDerived(df: DataFrame, spec: PartitionSpec,
+      dataSchema: StructType): DataFrame = {
+    // derivations reference LOGICAL source names; files spell physical
+    val physOf = dataSchema.fields.map(f =>
+      f.name -> GraftSchemas.physicalName(f)).toMap
+    spec.fields.foldLeft(df)((d, f) =>
+      d.withColumn(f.name,
+        f.derive(col(physOf.getOrElse(f.source, f.source))).as(f.name)))
+  }
+
+  /** `df` (data columns only) with the spec partition columns attached
+    * as LITERALS — the one-pass staging tag for rows pinned to the
+    * physical leaf they were read from. */
+  private def tagLiterals(df: DataFrame, spec: PartitionSpec,
+      vs: Seq[String]): DataFrame =
+    spec.names.zip(vs).foldLeft(df) { case (d, (n, v)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.lit(v))
+    }
 
   /** The table's rows restricted to `leaves` — an OR-of-conjunctions
     * predicate over the PARTITION columns, so the pin prunes to
@@ -937,6 +963,48 @@ object GraftSqlWrites {
             table.dataSchema) },
         keepSnapshots = table.keepSnapshots,
         expectedBase = expectedBase)
+
+  /** One-pass variant of [[replaceLeaves]]: `data` carries the LOGICAL
+    * data columns plus the spec partition columns as STRING tags
+    * (derived for value-routed rows, literal for rows pinned to the
+    * physical leaf they were read from). The per-leaf-Map spelling
+    * evaluates each leaf's frame as its own union arm, so a shared
+    * source (a checkpointed affected/removed frame) is re-scanned once
+    * per leaf; here every source is scanned once. Alignment + physical
+    * renames apply to the data columns only, tags pass through. */
+  def replaceLeavesTagged(spark: SparkSession, table: GraftSqlTable,
+      data: DataFrame, touched: Seq[Seq[String]],
+      expectedBase: Option[Option[String]] = None): Unit =
+    if (touched.nonEmpty) {
+      val alignedTagged = data.select(
+        table.dataSchema.fields.toSeq.map { f =>
+          val c =
+            if (!data.columns.contains(f.name))
+              org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+            else if (data.schema(f.name).dataType == f.dataType)
+              col(f.name)
+            else col(f.name).cast(f.dataType)
+          c.as(GraftSchemas.physicalName(f))
+        } ++ table.spec.names.map(col): _*)
+      SpecManifest.commitSnapshotTagged(spark, table.root, table.spec,
+        Some(alignedTagged), touched,
+        keepSnapshots = table.keepSnapshots,
+        expectedBase = expectedBase)
+    }
+
+  /** The spec partition columns DERIVED from `df`'s (logical) data
+    * columns — the value-routing tag for [[replaceLeavesTagged]]. */
+  private[sql] def tagDerivedLogical(df: DataFrame,
+      spec: PartitionSpec): DataFrame =
+    spec.fields.foldLeft(df)((d, f) => d.withColumn(f.name, f.derived))
+
+  /** The spec partition columns attached as LITERALS — the
+    * physical-leaf pin for [[replaceLeavesTagged]]. */
+  private[sql] def tagLiteralsOf(df: DataFrame, spec: PartitionSpec,
+      vs: Seq[String]): DataFrame =
+    spec.names.zip(vs).foldLeft(df) { case (d, (n, v)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.lit(v))
+    }
 
   private[sql] def leavesOfRows(rows: DataFrame,
       spec: PartitionSpec): Seq[Seq[String]] = leavesOf(rows, spec)

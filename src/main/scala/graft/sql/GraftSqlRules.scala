@@ -260,22 +260,38 @@ case class GraftDeleteCommand(table: GraftSqlTable, cond: Expression,
             GraftSqlWrites.rowsOfLeaf(removed, table.spec, vs),
             table.dataSchema)).toMap,
         keepSnapshots = table.keepSnapshots)
+    } else if (correlated) {
+      // A correlated condition cannot re-evaluate per leaf — subtract
+      // the (planned-once) affected rows as an exact multiset. ONE
+      // tagged pass: content pinned to its physical leaf by literal
+      // tags, the removed checkpoint tagged by its DERIVED leaf — the
+      // exceptAll subtracts within each leaf (disjoint tags), and the
+      // checkpoint is scanned once instead of once per leaf.
+      val spec = table.spec
+      val outCols = (dataCols ++ spec.names).map(col)
+      val content = touched.map { vs =>
+        GraftSqlWrites.tagLiteralsOf(GraftSqlWrites.alignData(
+          SpecManifest.readLeaf(spark, table.root, spec, vs),
+          table.dataSchema, fromFiles = true), spec, vs)
+          .select(outCols: _*)
+      }.reduce(_.unionByName(_))
+      GraftSqlWrites.replaceLeavesTagged(spark, table,
+        content.exceptAll(GraftSqlWrites.tagDerivedLogical(
+          removed.select(dataCols.map(col): _*), spec)
+          .select(outCols: _*)),
+        touched, Some(base))
     } else {
+      // SQL DELETE removes only rows where the condition IS TRUE: a
+      // NULL-valued condition keeps its row (not(NULL) is NULL and
+      // would silently drop it — the Delta/Iceberg rewrite posture
+      // coalesces to false before inverting). Each leaf's rewrite
+      // reads only its OWN files (no shared source to re-scan), so
+      // the per-leaf Map spelling is already one pass.
       val updates = touched.map { vs =>
         val leaf = GraftSqlWrites.alignData(
           SpecManifest.readLeaf(spark, table.root, table.spec, vs),
           table.dataSchema, fromFiles = true)
-        // SQL DELETE removes only rows where the condition IS TRUE: a
-        // NULL-valued condition keeps its row (not(NULL) is NULL and
-        // would silently drop it — the Delta/Iceberg rewrite posture
-        // coalesces to false before inverting). A correlated condition
-        // cannot re-evaluate per leaf — subtract the (planned-once)
-        // affected rows as an exact multiset instead.
-        vs -> (if (correlated)
-          leaf.select(dataCols.map(col): _*).exceptAll(
-            GraftSqlWrites.rowsOfLeaf(removed, table.spec, vs)
-              .select(dataCols.map(col): _*))
-        else leaf.filter(not(coalesce(condOn(leaf), lit(false)))))
+        vs -> leaf.filter(not(coalesce(condOn(leaf), lit(false))))
       }.toMap
       GraftSqlWrites.replaceLeaves(spark, table, updates, Some(base))
     }
@@ -339,19 +355,28 @@ case class GraftUpdateCommand(table: GraftSqlTable,
       if (touched.isEmpty) return Seq.empty
       val existing =
         SpecManifest.leafKeys(spark, table.root, spec).toSet
-      val updates = touched.map { vs =>
-        val leaf =
-          if (!existing.contains(vs))
-            spark.createDataFrame(new java.util.ArrayList[Row](),
-              table.dataSchema)
-          else GraftSqlWrites.alignData(
-            SpecManifest.readLeaf(spark, table.root, spec, vs),
-            table.dataSchema, fromFiles = true)
-        vs -> leaf
-          .exceptAll(GraftSqlWrites.rowsOfLeaf(affected, spec, vs))
-          .unionByName(GraftSqlWrites.rowsOfLeaf(moved, spec, vs))
-      }.toMap
-      GraftSqlWrites.replaceLeaves(spark, table, updates, Some(base))
+      // ONE tagged pass (the MERGE-COW shape): existing content pinned
+      // to its physical leaf by literal tags, the affected/moved
+      // checkpoints tagged by their DERIVED leaf — the exceptAll
+      // subtracts within each leaf exactly as the per-leaf Map did
+      // (disjoint tags), but each checkpoint is scanned ONCE instead
+      // of once per touched leaf
+      val outCols = (dataCols ++ spec.names).map(col)
+      val content = touched.filter(existing.contains).map { vs =>
+        GraftSqlWrites.tagLiteralsOf(GraftSqlWrites.alignData(
+          SpecManifest.readLeaf(spark, table.root, spec, vs),
+          table.dataSchema, fromFiles = true), spec, vs)
+          .select(outCols: _*)
+      }.reduceOption(_.unionByName(_))
+      val minus = content.map(_.exceptAll(
+        GraftSqlWrites.tagDerivedLogical(
+          affected.select(dataCols.map(col): _*), spec)
+          .select(outCols: _*)))
+      val plus = GraftSqlWrites.tagDerivedLogical(
+        moved.select(dataCols.map(col): _*), spec).select(outCols: _*)
+      GraftSqlWrites.replaceLeavesTagged(spark, table,
+        (minus.toSeq :+ plus).reduce(_.unionByName(_)), touched,
+        Some(base))
       return Seq.empty
     }
     val touched = GraftSqlWrites.leavesOfRows(affected, table.spec)
@@ -853,38 +878,50 @@ case class GraftMergeCommand(table: GraftSqlTable, source: LogicalPlan,
           keepSnapshots = table.keepSnapshots)
       return Seq.empty
     }
-    // ---- copy-on-write fallback: rebuild each touched leaf (a NEW
-    // leaf — an insert deriving a fresh partition tuple — starts
-    // empty; commitSnapshot creates it) ----
-    val updates = touched.map { vs =>
-      val leaf =
-        if (!existing.contains(vs))
-          spark.createDataFrame(new java.util.ArrayList[Row](),
-            table.dataSchema)
-        else GraftSqlWrites.alignData(
-          SpecManifest.readLeaf(spark, table.root, table.spec, vs),
-          table.dataSchema, fromFiles = true)
-      // removal is an EXACT MULTISET subtraction (the leaf-moving
-      // UPDATE mechanism), never a key anti-join: a key anti-join
-      // would also remove rows that merely SHARE an affected row's
-      // key without being affected themselves — NULL-keyed rows
-      // (which never equi-join at all), and key-duplicate rows a
-      // residual-ON insert legitimately created
-      val minus = removed match {
-        case Some(r) =>
-          leaf.select(dataCols.map(col): _*).exceptAll(
-            GraftSqlWrites.rowsOfLeaf(r, spec, vs)
-              .select(dataCols.map(col): _*))
-        case None => leaf
+    // ---- copy-on-write fallback: rebuild the touched leaves in ONE
+    // tagged pass (a NEW leaf — an insert deriving a fresh partition
+    // tuple — has no content arm; its rows come from the added side).
+    // Per-leaf structure rides the STRING TAGS: existing content is
+    // pinned to its physical leaf by literals, the removed/added
+    // checkpoint filters carry their DERIVED leaf — so the exceptAll
+    // subtracts within each leaf exactly as the per-leaf-Map spelling
+    // did (multiset subtraction distributes over disjoint tags), but
+    // every source is scanned ONCE instead of once per leaf (the
+    // O(L·N) checkpoint re-scan this replaces; guide §1.2).
+    // Removal is an EXACT MULTISET subtraction (the leaf-moving
+    // UPDATE mechanism), never a key anti-join: a key anti-join
+    // would also remove rows that merely SHARE an affected row's
+    // key without being affected themselves — NULL-keyed rows
+    // (which never equi-join at all), and key-duplicate rows a
+    // residual-ON insert legitimately created.
+    val outCols = (dataCols ++ spec.names).map(col)
+    val content = touched.filter(existing.contains).map { vs =>
+      GraftSqlWrites.tagLiteralsOf(GraftSqlWrites.alignData(
+        SpecManifest.readLeaf(spark, table.root, table.spec, vs),
+        table.dataSchema, fromFiles = true), spec, vs)
+        .select(outCols: _*)
+    }.reduceOption(_.unionByName(_))
+    val minus = (content, removed) match {
+      case (Some(c), Some(r)) => Some(c.exceptAll(
+        GraftSqlWrites.tagDerivedLogical(
+          r.select(dataCols.map(col): _*), spec).select(outCols: _*)))
+      case (c, None) => c
+      case (None, _) => None
+    }
+    val plus = added.map(a2 => GraftSqlWrites.tagDerivedLogical(
+      a2.select(dataCols.map(col): _*), spec).select(outCols: _*))
+    // no content and no added side still commits: every touched leaf
+    // publishes an empty version (the per-leaf-Map behavior)
+    val data = (minus.toSeq ++ plus.toSeq)
+      .reduceOption(_.unionByName(_)).getOrElse {
+        val sc = org.apache.spark.sql.types.StructType(
+          table.dataSchema.fields.toSeq ++ spec.names.map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType)))
+        spark.createDataFrame(new java.util.ArrayList[Row](), sc)
       }
-      val plus = added match {
-        case Some(a2) => minus.unionByName(
-          GraftSqlWrites.rowsOfLeaf(a2, spec, vs))
-        case None => minus
-      }
-      vs -> plus
-    }.toMap
-    GraftSqlWrites.replaceLeaves(spark, table, updates, Some(base0))
+    GraftSqlWrites.replaceLeavesTagged(spark, table, data, touched,
+      Some(base0))
     Seq.empty
   }
 }
